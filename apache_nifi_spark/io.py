@@ -1,0 +1,86 @@
+"""Fixture loading and the ConvertRecord-style format bridge.
+
+NiFi reads content through RecordReaders and writes through RecordSetWriters
+(Avro/JSON/CSV/XML/Parquet) [2.7.2-surface, SURVEY.md §1.1/§2.2]; in Spark
+the DataFrame *is* the record set, so the whole reader/writer surface is
+``spark.read.format(a)`` → ``df.write.format(b)``.
+
+Scale notes: parquet scans get predicate pushdown + column pruning from
+Catalyst for free; ``load_table`` never caches or collects, so the 100 TB
+path streams through executors untouched by the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["TABLES", "load_table", "load_all", "register_views", "convert_record"]
+
+#: Fixture tables the driver materializes (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table (GetFile/FetchFile analog, SURVEY.md §2.1).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark reads as a long
+    (``spark.sql.legacy.parquet.nanosAsLong``, set in session.py); convert
+    to microsecond TIMESTAMP_NTZ in the scan projection — DuckDB's naive
+    microsecond timestamp semantics, zero driver involvement.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros((F.col("ts") / 1000).cast("long")).cast("timestamp_ntz"),
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture as a temp view so flows can use ``spark.sql``
+    (QueryRecord / JoinEnrichment-SQL analogs run against these)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def convert_record(
+    spark: SparkSession,
+    in_path: str,
+    in_format: str,
+    out_path: str,
+    out_format: str,
+    mode: str = "overwrite",
+    read_options: dict[str, str] | None = None,
+    write_options: dict[str, str] | None = None,
+) -> None:
+    """ConvertRecord analog: reader→writer format bridge (SURVEY.md §2.4).
+
+    NiFi pairs a RecordReader with a RecordSetWriter per processor; here the
+    bridge is a scan + write with no per-record code, so Catalyst can prune
+    and push down, and the write is partition-parallel.
+
+    ``mode`` mirrors PutFile's conflict-resolution strategy
+    (replace/ignore/fail → overwrite/ignore/error, SURVEY.md §2.2).
+    """
+    reader = spark.read.format(in_format).options(**(read_options or {}))
+    df = reader.load(in_path)
+    df.write.mode(mode).options(**(write_options or {})).format(out_format).save(out_path)

@@ -1,0 +1,57 @@
+"""Processor inventory of the NiFi 2.7.2 engine, re-expressed as composable
+DataFrame operators (SURVEY.md §2).  Each module documents which processors
+it covers and how the Spark plan differs (for the better) from NiFi's
+operator-at-a-time execution."""
+
+from apache_nifi_spark.operators.route import (  # noqa: F401
+    route_on_attribute,
+    route_text,
+    query_record,
+    scan_attribute,
+    validate_record,
+)
+from apache_nifi_spark.operators.transform import (  # noqa: F401
+    update_record,
+    rename_fields,
+    remove_fields,
+    extract_text,
+    replace_text,
+    replace_text_with_mapping,
+    flatten_json,
+    attributes_to_json,
+    evaluate_json_path,
+)
+from apache_nifi_spark.operators.join import (  # noqa: F401
+    lookup_record,
+    lookup_split,
+    join_enrichment,
+    join_enrichment_sql,
+    range_join,
+    asof_join,
+)
+from apache_nifi_spark.operators.aggregate import (  # noqa: F401
+    merge_record,
+    defragment,
+    calculate_record_stats,
+    partition_record,
+    deduplicate_record,
+    split_record,
+)
+from apache_nifi_spark.operators.window import (  # noqa: F401
+    enforce_order,
+    rolling_window,
+    top_k_per_group,
+    rank_records,
+)
+from apache_nifi_spark.operators.setops import (  # noqa: F401
+    funnel,
+    distinct_union,
+    intersect_records,
+    except_records,
+)
+from apache_nifi_spark.operators.sample import (  # noqa: F401
+    sample_interval,
+    sample_probabilistic,
+    sample_reservoir,
+    control_rate_limit,
+)

@@ -1,0 +1,123 @@
+"""Routing & per-record SQL — NiFi's WHERE and multiplexed WHERE.
+
+Covers (SURVEY.md §2.3):
+- ``RouteOnAttribute``  — N EL predicates → N relationships (+ unmatched).
+- ``RouteText`` / ``RouteOnContent`` — regex routing over text content.
+- ``QueryRecord``       — SQL over records (Calcite in NiFi → Spark SQL here;
+  the centerpiece mapping: a temp view + ``spark.sql``).
+- ``ScanAttribute``/``ScanContent`` — dictionary membership.
+- ``ValidateRecord``    — valid/invalid split via corrupt-record column.
+
+Scale: NiFi evaluates routes FlowFile-at-a-time; here each route is a
+Catalyst-planned filter over a columnar scan, and the multi-route fan-out
+computes the parent ONCE (caller caches or relies on parquet scan reuse)
+then applies N pushed-down predicates — SURVEY.md §4.2 item 1.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "route_on_attribute",
+    "route_text",
+    "query_record",
+    "scan_attribute",
+    "validate_record",
+]
+
+
+def route_on_attribute(
+    df: DataFrame,
+    routes: Mapping[str, Column],
+    strategy: str = "route_all_matching",
+) -> dict[str, DataFrame]:
+    """RouteOnAttribute: each named predicate becomes an output relationship;
+    rows matching none land in ``unmatched``.
+
+    strategy:
+      - ``route_all_matching``: a row may appear on every matching route.
+      - ``route_first_matching``: a row goes only to the first matching route
+        (NiFi's Route-to-Property-Name single-relationship mode).
+    """
+    out: dict[str, DataFrame] = {}
+    if strategy == "route_all_matching":
+        for name, pred in routes.items():
+            out[name] = df.filter(pred)
+    elif strategy == "route_first_matching":
+        prior: Column | None = None
+        for name, pred in routes.items():
+            eff = pred if prior is None else pred & ~prior
+            out[name] = df.filter(eff)
+            prior = pred if prior is None else prior | pred
+    else:
+        raise ValueError(f"unknown strategy: {strategy}")
+
+    none_match = ~_any_of(list(routes.values()))
+    out["unmatched"] = df.filter(none_match)
+    return out
+
+
+def _any_of(preds: Sequence[Column]) -> Column:
+    acc = preds[0]
+    for p in preds[1:]:
+        acc = acc | p
+    return acc
+
+
+def route_text(df: DataFrame, text_col: str, pattern: str) -> dict[str, DataFrame]:
+    """RouteText/RouteOnContent: regex over content → matched / unmatched."""
+    c = F.col(text_col)
+    return {
+        "matched": df.filter(c.rlike(pattern)),
+        "unmatched": df.filter(~c.rlike(pattern) | c.isNull()),
+    }
+
+
+def query_record(
+    spark: SparkSession,
+    df: DataFrame,
+    queries: Mapping[str, str],
+    view_name: str = "FLOWFILE",
+) -> dict[str, DataFrame]:
+    """QueryRecord: run SQL statements against the record set.
+
+    NiFi runs Calcite per-FlowFile over table ``FLOWFILE``; here the record
+    set is one temp view and each route's SQL is planned by Catalyst with
+    full pushdown into the underlying scan.  Far stronger at scale: one
+    distributed plan instead of millions of per-file Calcite plans.
+    """
+    df.createOrReplaceTempView(view_name)
+    return {name: spark.sql(sql) for name, sql in queries.items()}
+
+
+def scan_attribute(
+    df: DataFrame, col: str, dictionary: Sequence, negate: bool = False
+) -> DataFrame:
+    """ScanAttribute/ScanContent: membership against a dictionary.
+
+    The dictionary is a literal list → Catalyst compiles ``isin`` to a hash
+    set JVM-side (or a broadcast semi-join if the caller joins instead);
+    never a per-row Python callback.
+    """
+    pred = F.col(col).isin(list(dictionary))
+    return df.filter(~pred if negate else pred)
+
+
+def validate_record(
+    df: DataFrame, constraints: Mapping[str, Column]
+) -> dict[str, DataFrame]:
+    """ValidateRecord: constraint predicates → valid / invalid split, with a
+    per-row ``violations`` array naming failed constraints (NiFi attaches
+    the failure reason as an attribute)."""
+    checks = [F.when(~pred, F.lit(name)) for name, pred in constraints.items()]
+    annotated = df.withColumn(
+        "violations", F.array_compact(F.array(*checks))
+    )
+    return {
+        "valid": annotated.filter(F.size("violations") == 0).drop("violations"),
+        "invalid": annotated.filter(F.size("violations") > 0),
+    }

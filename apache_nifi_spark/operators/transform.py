@@ -1,0 +1,121 @@
+"""Attribute / record transformation — NiFi's SELECT-list (SURVEY.md §2.4).
+
+Covers ``UpdateAttribute``/``UpdateRecord``, ``RenameRecordField``/
+``RemoveRecordField``, ``ExtractText``, ``ExtractGrok`` (grok→regex),
+``ReplaceText``, ``ReplaceTextWithMapping``, ``FlattenJson``,
+``AttributesToJSON``, ``EvaluateJsonPath``.
+
+All pure column expressions — Catalyst collapses chains of these into one
+projection, so a NiFi flow of five transform processors becomes a single
+whole-stage-codegen'd map over the scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, MapType, StructType
+
+__all__ = [
+    "update_record",
+    "rename_fields",
+    "remove_fields",
+    "extract_text",
+    "replace_text",
+    "replace_text_with_mapping",
+    "flatten_json",
+    "attributes_to_json",
+    "evaluate_json_path",
+]
+
+
+def update_record(df: DataFrame, updates: Mapping[str, Column]) -> DataFrame:
+    """UpdateRecord/UpdateAttribute: set fields from expressions.  One
+    ``withColumns`` call → one projection, regardless of field count."""
+    return df.withColumns(dict(updates))
+
+
+def rename_fields(df: DataFrame, renames: Mapping[str, str]) -> DataFrame:
+    """RenameRecordField (top-level; nested renames via update_record +
+    ``withField``)."""
+    return df.withColumnsRenamed(dict(renames))
+
+
+def remove_fields(df: DataFrame, fields: Sequence[str]) -> DataFrame:
+    """RemoveRecordField."""
+    return df.drop(*fields)
+
+
+def extract_text(
+    df: DataFrame, source_col: str, patterns: Mapping[str, tuple[str, int]]
+) -> DataFrame:
+    """ExtractText: named regex capture groups → new columns.
+
+    ``patterns`` maps output column → (regex, group index).  NiFi puts the
+    captures into attributes; here they are first-class typed columns.
+    """
+    return df.withColumns(
+        {
+            out: F.regexp_extract(F.col(source_col), rx, grp)
+            for out, (rx, grp) in patterns.items()
+        }
+    )
+
+
+def replace_text(
+    df: DataFrame, col: str, pattern: str, replacement: str, out_col: str | None = None
+) -> DataFrame:
+    """ReplaceText (regex-replace strategy, entire-text evaluation)."""
+    return df.withColumn(out_col or col, F.regexp_replace(F.col(col), pattern, replacement))
+
+
+def replace_text_with_mapping(
+    df: DataFrame, col: str, mapping: Mapping[str, str], out_col: str | None = None
+) -> DataFrame:
+    """ReplaceTextWithMapping: dictionary substitution.
+
+    The mapping file is bounded (NiFi loads it in memory per node), so a
+    folded chain of ``replace`` calls keeps it JVM-side; for large maps use
+    a broadcast join on a tokenized column instead.
+    """
+    c: Column = F.col(col)
+    for k, v in mapping.items():
+        c = F.replace(c, F.lit(k), F.lit(v))
+    return df.withColumn(out_col or col, c)
+
+
+def _flatten_schema(schema: StructType, prefix: str = "", sep: str = ".") -> list[str]:
+    paths: list[str] = []
+    for f in schema.fields:
+        name = f"{prefix}{f.name}"
+        if isinstance(f.dataType, StructType):
+            paths.extend(_flatten_schema(f.dataType, prefix=f"{name}{sep}", sep=sep))
+        else:
+            paths.append(name)
+    return paths
+
+
+def flatten_json(df: DataFrame, sep: str = ".") -> DataFrame:
+    """FlattenJson: nested structs → dotted top-level columns.
+
+    Arrays are left intact (NiFi's flatten mode 'keep arrays'); explode is a
+    separate, row-multiplying operator (SplitRecord analog).
+    """
+    paths = _flatten_schema(df.schema, sep=sep)
+    return df.select([F.col(p.replace(sep, ".")).alias(p) for p in paths])
+
+
+def attributes_to_json(df: DataFrame, cols: Sequence[str], out_col: str = "json") -> DataFrame:
+    """AttributesToJSON: serialize selected columns into one JSON string."""
+    return df.withColumn(out_col, F.to_json(F.struct(*[F.col(c) for c in cols])))
+
+
+def evaluate_json_path(
+    df: DataFrame, json_col: str, paths: Mapping[str, str]
+) -> DataFrame:
+    """EvaluateJsonPath: JSONPath extraction into columns (attributes)."""
+    return df.withColumns(
+        {out: F.get_json_object(F.col(json_col), p) for out, p in paths.items()}
+    )

@@ -1,0 +1,77 @@
+"""SparkSession factory.
+
+NiFi's engine runtime (the long-running JVM configured by the reference's
+``base/nifi/configmap.yaml`` / ``nifi-deploy.yaml``) maps onto a single
+SparkSession here.  Defaults are chosen for correctness-vs-oracle first
+(UTC session timezone — DuckDB timestamps are UTC-naive) and for scale
+second (AQE on, skew-join handling on, broadcast threshold tuned).
+
+At 100 TB the same builder runs unchanged on a real cluster: everything
+below is standard Spark SQL conf, nothing local-mode specific except the
+``master`` argument which callers override via ``SPARK_GRAFT_CPUS``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "stop_spark"]
+
+
+def get_spark(
+    app_name: str = "apache-nifi-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Parameters
+    ----------
+    master:
+        Defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).  On a
+        real cluster pass ``None`` via spark-submit and let the submitter
+        set the master.
+    shuffle_partitions:
+        Default: number of local cores (small-SF testing).  At scale this
+        is overridden; AQE coalesces post-shuffle partitions anyway.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Oracle parity: DuckDB compares naive/UTC timestamps.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Adaptive execution: runtime re-plan, skew-join splitting, and
+        # post-shuffle coalescing — the scale path for 100 TB inputs.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for every pandas UDF / mapInPandas boundary.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Fixture events.parquet carries TIMESTAMP(NANOS) which Spark's
+        # vectorized reader rejects; read as long and convert in io.py.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Broadcast joins for bounded dimension tables (LookupRecord analog).
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Keep driver result transfers bounded — no huge collects by design.
+        .config("spark.driver.maxResultSize", "2g")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,66 @@
+"""Benchmark harness: runs the registry's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "suite_wall_sec", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+One shared SparkSession for the whole suite (JVM startup amortized —
+BASELINE.md B).  Each query is timed around a full action (collect of an
+aggregated/limited result, or count for wide row sets) so the measured
+number includes scan→shuffle→agg, not plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from apache_nifi_spark.registry import QUERIES  # noqa: E402
+from apache_nifi_spark.session import get_spark  # noqa: E402
+
+#: Queries whose result is small (agg/limit) are collected; wide row-level
+#: results are counted (driver transfer would otherwise dominate timing).
+COLLECT_MAX_COLS = 64
+
+
+def run_bench(sf_dir: str) -> dict:
+    spark = get_spark(app_name="bench")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0  # non-standard dir name; timings still valid
+
+    timings: dict[str, float] = {}
+    # Warm the JVM + parquet footers once with the flagship.
+    QUERIES["flagship_revenue"](spark, sf_dir).collect()
+
+    t_suite = time.perf_counter()
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # noop sink: materializes every output row/column on executors
+        # without shipping results to the driver — measures the real plan.
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+    total = round(time.perf_counter() - t_suite, 4)
+
+    spark.stop()
+    return {
+        "metric": "suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if len(sys.argv) > 1:
+        sf_dir = sys.argv[1]
+    print(json.dumps(run_bench(sf_dir)))

@@ -1,0 +1,211 @@
+"""Operator-level unit tests (sf0.001) — SURVEY.md §5.2.
+
+Each test exercises one processor analog with assertions on semantics the
+oracle can't see (route completeness/disjointness, match/unmatch
+partitioning, as-of ordering invariants, edge cases).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apache_nifi_spark import io
+from apache_nifi_spark.operators import (
+    asof_join,
+    calculate_record_stats,
+    deduplicate_record,
+    defragment,
+    funnel,
+    join_enrichment,
+    lookup_record,
+    lookup_split,
+    merge_record,
+    partition_record,
+    range_join,
+    route_on_attribute,
+    route_text,
+    sample_interval,
+    split_record,
+    top_k_per_group,
+    validate_record,
+)
+
+
+def test_route_all_matching_covers_and_overlaps(spark, sf_dir):
+    ev = io.load_table(spark, sf_dir, "events")
+    total = ev.count()
+    routes = route_on_attribute(
+        ev,
+        {"hi": F.col("value") > 100, "err": F.col("event_type") == "error"},
+        strategy="route_all_matching",
+    )
+    n_hi, n_err, n_un = (
+        routes["hi"].count(),
+        routes["err"].count(),
+        routes["unmatched"].count(),
+    )
+    both = ev.filter((F.col("value") > 100) & (F.col("event_type") == "error")).count()
+    # all-matching: overlap counted on both routes; unmatched is the rest
+    assert n_hi + n_err - both + n_un == total
+
+
+def test_route_first_matching_is_disjoint_partition(spark, sf_dir):
+    ev = io.load_table(spark, sf_dir, "events")
+    total = ev.count()
+    routes = route_on_attribute(
+        ev,
+        {"hi": F.col("value") > 100, "err": F.col("event_type") == "error"},
+        strategy="route_first_matching",
+    )
+    counts = {k: v.count() for k, v in routes.items()}
+    assert sum(counts.values()) == total
+    # a row matching both predicates lands only on the first route
+    overlap = routes["err"].filter(F.col("value") > 100).count()
+    assert overlap == 0
+
+
+def test_route_text_null_safe(spark):
+    df = spark.createDataFrame([("abc",), (None,), ("xbz",)], "t string")
+    out = route_text(df, "t", "a.c")
+    assert out["matched"].count() == 1
+    assert out["unmatched"].count() == 2  # null routes to unmatched
+
+
+def test_validate_record_annotates_all_violations(spark, sf_dir):
+    li = io.load_table(spark, sf_dir, "lineitem")
+    out = validate_record(
+        li, {"q": F.col("l_quantity") <= 10, "d": F.col("l_discount") <= 0.05}
+    )
+    assert out["valid"].count() + out["invalid"].count() == li.count()
+    # a row violating both constraints lists both names
+    double = out["invalid"].filter(
+        (F.col("l_quantity") > 10) & (F.col("l_discount") > 0.05)
+    )
+    row = double.select(F.size("violations").alias("n")).first()
+    if row is not None:
+        assert row["n"] == 2
+
+
+def test_lookup_split_partitions(spark, sf_dir):
+    c = io.load_table(spark, sf_dir, "customer")
+    n = io.load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 10)
+    out = lookup_split(
+        c.withColumnRenamed("c_nationkey", "n_nationkey"), n, on="n_nationkey"
+    )
+    assert out["matched"].count() + out["unmatched"].count() == c.count()
+    assert out["matched"].filter(F.col("n_nationkey") >= 10).count() == 0
+
+
+def test_lookup_record_broadcasts(spark, sf_dir):
+    c = io.load_table(spark, sf_dir, "customer")
+    n = io.load_table(spark, sf_dir, "nation")
+    joined = lookup_record(c, n, on=c.c_nationkey == n.n_nationkey, how="inner")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_join_enrichment_full_outer(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "k int, a string")
+    b = spark.createDataFrame([(2, "p"), (3, "q")], "k int, b string")
+    out = join_enrichment(a, b, on="k", how="full")
+    assert out.count() == 3
+
+
+def test_range_join_half_open(spark):
+    pts = spark.createDataFrame([(0.0,), (1.0,), (2.0,)], "x double")
+    rngs = spark.createDataFrame([("a", 0.0, 1.0), ("b", 1.0, 2.0)], "nm string, lo double, hi double")
+    out = range_join(pts, rngs, F.col("x"), F.col("lo"), F.col("hi"))
+    got = {(r["x"], r["nm"]) for r in out.collect()}
+    assert got == {(0.0, "a"), (1.0, "b")}  # hi exclusive, 2.0 matches nothing
+
+
+def test_asof_join_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "L1"), (1, 20, "L2"), (2, 5, "L3")], "k int, t int, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 9, 900.0)], "k int, t int, v double"
+    )
+    out = asof_join(left, right, on="k", left_ts="t", right_ts="t", right_cols=["v"])
+    got = {r["tag"]: r["v"] for r in out.collect()}
+    # equal timestamps match (<=); later right rows don't leak backward
+    assert got == {"L1": 100.0, "L2": 150.0, "L3": None}
+
+
+def test_merge_record_bins_and_cap(spark, sf_dir):
+    ev = io.load_table(spark, sf_dir, "events")
+    bins = merge_record(ev, "user_id", F.col("event_id"), max_entries=5)
+    mx = bins.select(F.max(F.size("records")).alias("m")).first()["m"]
+    assert mx <= 5
+    assert bins.count() == ev.select("user_id").distinct().count()
+
+
+def test_defragment_orders_fragments(spark):
+    df = spark.createDataFrame(
+        [("f1", 2, "c"), ("f1", 0, "a"), ("f1", 1, "b"), ("f2", 0, "z")],
+        "fid string, idx int, payload string",
+    )
+    out = defragment(df, "fid", "idx", F.col("payload"))
+    got = {r["fid"]: r["fragments"] for r in out.collect()}
+    assert got["f1"] == ["a", "b", "c"]
+    assert got["f2"] == ["z"]
+
+
+def test_split_record_emits_fragment_index(spark):
+    df = spark.createDataFrame([(1, ["a", "b"])], "id int, arr array<string>")
+    out = split_record(df, "arr")
+    rows = {(r["fragment_index"], r["record"]) for r in out.collect()}
+    assert rows == {(0, "a"), (1, "b")}
+
+
+def test_dedup_deterministic_winner(spark):
+    df = spark.createDataFrame(
+        [("k", 3, "late"), ("k", 1, "first"), ("k", 2, "mid")], "k string, seq int, v string"
+    )
+    out = deduplicate_record(df, ["k"], keep_order_col="seq")
+    assert out.collect()[0]["v"] == "first"
+
+
+def test_calculate_record_stats_total(spark, sf_dir):
+    ev = io.load_table(spark, sf_dir, "events")
+    out = calculate_record_stats(ev, ["event_type"])
+    total = out.filter(F.col("category") == "<total>").first()["record_count"]
+    assert total == ev.count()
+    per_cat = (
+        out.filter(F.col("category") == "event_type")
+        .agg(F.sum("record_count").alias("s"))
+        .first()["s"]
+    )
+    assert per_cat == total
+
+
+def test_partition_record_colocates(spark, sf_dir):
+    ev = io.load_table(spark, sf_dir, "events")
+    parted = partition_record(ev, ["event_type"])
+    # every partition holds at most the number of distinct keys' runs;
+    # verify rows survive and key runs are contiguous within partitions
+    assert parted.count() == ev.count()
+
+
+def test_funnel_pads_missing_columns(spark):
+    a = spark.createDataFrame([(1, "x")], "id int, a string")
+    b = spark.createDataFrame([(2,)], "id int")
+    out = funnel(a, b)
+    assert out.count() == 2
+    assert set(out.columns) == {"id", "a"}
+
+
+def test_top_k_per_group_exact_k(spark, sf_dir):
+    o = io.load_table(spark, sf_dir, "orders")
+    out = top_k_per_group(
+        o, ["o_orderstatus"], [F.desc("o_totalprice"), F.asc("o_orderkey")], 2
+    )
+    counts = {r["o_orderstatus"]: r["n"] for r in out.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()}
+    assert all(v <= 2 for v in counts.values())
+
+
+def test_sample_interval_deterministic(spark, sf_dir):
+    ev = io.load_table(spark, sf_dir, "events")
+    a = sample_interval(ev, F.col("event_id"), 7).count()
+    b = sample_interval(ev, F.col("event_id"), 7).count()
+    assert a == b > 0
