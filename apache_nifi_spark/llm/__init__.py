@@ -1,0 +1,45 @@
+"""Beyond-reference LLM-data-pipeline operators (SURVEY.md §2.12).
+
+The capabilities a 100 TB training-data pipeline needs on top of the NiFi
+2.7.2 processor surface: deduplication (exact, MinHash-LSH, SimHash,
+n-gram Jaccard), embedding similarity search (brute-force + LSH/IVF scale
+paths), text analysis (token counting, language ID, quality scoring,
+fingerprinting), and multimodal binary-column plumbing.
+
+Everything is built from Spark higher-order array functions (transform /
+aggregate / zip_with — JVM-side, codegen'd); Python appears only in the
+clearly-marked multimodal decode stubs (mapInPandas, Arrow-batched).
+"""
+
+from apache_nifi_spark.llm.dedup import (  # noqa: F401
+    exact_dedup,
+    char_shingles,
+    minhash_signatures,
+    lsh_candidate_pairs,
+    minhash_near_duplicates,
+    simhash,
+    ngram_jaccard_pairs,
+)
+from apache_nifi_spark.llm.similarity import (  # noqa: F401
+    dot_product,
+    l2_norm,
+    cosine_similarity,
+    cosine_topk_bruteforce,
+    srp_signature,
+    cosine_topk_lsh,
+    ivf_assign,
+    ivf_topk,
+)
+from apache_nifi_spark.llm.text import (  # noqa: F401
+    token_stats,
+    bpe_ish_tokens,
+    language_id,
+    quality_score,
+    rolling_fingerprint,
+)
+from apache_nifi_spark.llm.multimodal import (  # noqa: F401
+    attach_binary_content,
+    identify_mime_type,
+    decode_image_features,
+    sample_video_frames,
+)

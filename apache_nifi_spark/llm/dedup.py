@@ -1,0 +1,259 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Scale design (the whole point of these over naive pairwise):
+- Exact dedup is one hash-groupBy — a single shuffle on the digest.
+- MinHash-LSH turns O(n²) near-dup detection into: per-row signature
+  (narrow, JVM array ops) → band-bucket groupBy (shuffle on small keys)
+  → candidate pairs only within buckets → Jaccard verify on candidates.
+  At 100 TB the only quadratic term is within-bucket, bounded by band
+  tuning, and the signature pass is embarrassingly parallel.
+- SimHash gives a 64-bit sketch; near-dup candidates come from the
+  pigeonhole principle on 16-bit chunks (hamming ≤ 3 ⇒ one chunk equal),
+  again avoiding all-pairs.
+- n-gram Jaccard is the exact verifier, only ever run on blocked or
+  LSH-filtered candidate sets.
+
+No Python UDFs anywhere — signatures and sketches are Spark higher-order
+array expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_dedup",
+    "char_shingles",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "minhash_near_duplicates",
+    "simhash",
+    "ngram_jaccard_pairs",
+]
+
+# Mersenne prime 2^31-1: modulus for the universal hash family
+# h_i(x) = (a_i * x + b_i) mod P — standard MinHash construction.  31-bit
+# values keep a*h + b < 2^63, so the whole family runs in native long
+# arithmetic with no overflow (and no 128-bit emulation).
+_P = (1 << 31) - 1
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str, id_col: str, keep: str = "min"
+) -> DataFrame:
+    """Exact duplicate removal by content digest (DeduplicateRecord at
+    corpus scale): one row per distinct text, keeping the smallest id,
+    with the duplicate count.  One shuffle on sha256."""
+    keep_fn = F.min if keep == "min" else F.max
+    return (
+        df.groupBy(F.sha2(F.col(text_col).cast("binary"), 256).alias("text_sha256"))
+        .agg(
+            keep_fn(F.col(id_col)).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def char_shingles(text: Column, n: int = 5) -> Column:
+    """Distinct character n-grams (the MinHash input set), as an array.
+    Empty array for texts shorter than n."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(0))),
+            lambda i: F.substring(text, i, n),
+        )
+    )
+
+
+def _perm_constants(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family.  Plain
+    LCG expansion of the seed — reproducible across runs/engines."""
+    consts = []
+    state = seed
+    for _ in range(num_perm):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (_P - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _P
+        consts.append((a, b))
+    return consts
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    shingle_n: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per document: sig[i] = min over shingles s of
+    (a_i * h(s) + b_i) mod P, h = xxhash64 (unsigned via pmod).
+
+    Pure array expressions — each row is independent, no shuffle.  Keeps
+    the shingle set alongside for the later exact-Jaccard verify.
+    """
+    shingles = char_shingles(F.col(text_col), shingle_n)
+    hashes = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+    def _affine(a: int, b: int):
+        # closure factory: PySpark infers lambda arity from the signature,
+        # so captured constants must not appear as default parameters
+        return lambda h: F.pmod(a * h + b, F.lit(_P))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(hashes, _affine(a, b)))
+            for a, b in _perm_constants(num_perm, seed)
+        ]
+    )
+    return df.select(
+        F.col(id_col), shingles.alias("shingles"), sig.alias("signature")
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing any band bucket.
+
+    bands × rows_per_band must equal the signature length.  Shuffles on
+    (band, bucket-hash) — small keys — then self-joins only within
+    buckets; ``a.id < b.id`` dedups the pair space, and a distinct
+    collapses pairs that collide in several bands.
+    """
+    banded = sig_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.slice("signature", i * rows_per_band + 1, rows_per_band)
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    shingle_n: int = 5,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup pipeline: signatures → banded
+    candidates → exact Jaccard (on true shingle sets) ≥ threshold.
+
+    Output: (id_a, id_b, jaccard).  The exact verify runs only on LSH
+    candidates — the step that makes this viable at corpus scale.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n, seed)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, num_perm // bands)
+    sh = sigs.select(F.col(id_col), F.col("shingles"))
+    pairs = (
+        cands.join(sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"}), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.withColumn(
+            "jaccard",
+            F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+                F.lit(1.0)
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash64"
+) -> DataFrame:
+    """64-bit SimHash sketch: per-token xxhash64; each output bit is the
+    sign of the vote sum over tokens for that bit position.
+
+    Implemented as explode → one groupBy with 64 conditional-sum
+    aggregates → bit packing.  One shuffle on the id; everything else is
+    codegen'd.  Near-dup candidates: equi-join on any 16-bit chunk
+    (pigeonhole for hamming ≤ 3).
+    """
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), r"\s+", -1)).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = tokens.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    packed = F.lit(0).cast("long")
+    for i in range(64):
+        packed = packed.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (1 << i) if i < 63 else F.lit(-(1 << 63)).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select(F.col(id_col), packed.alias(out_col))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity within a blocking key (language,
+    length bucket, LSH bucket…).  The block join bounds the pair space —
+    never call this unblocked at scale.
+
+    Output: (id_a, id_b, jaccard ≥ threshold).
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("__blk"),
+        char_shingles(F.col(text_col), n).alias("grams"),
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.__blk") == F.col("b.__blk"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    inter = F.size(F.array_intersect("a.grams", "b.grams"))
+    union = F.size("a.grams") + F.size("b.grams") - inter
+    return (
+        pairs.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.when(union > 0, inter.cast("double") / union.cast("double"))
+            .otherwise(F.lit(1.0))
+            .alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,218 @@
+"""Embedding similarity search over ``array<float>`` columns.
+
+Three tiers, in increasing scale:
+- ``cosine_topk_bruteforce`` — exact: broadcast the (bounded) query set,
+  score every corpus vector, per-query top-k via window.  The baseline
+  and the verifier for the approximate paths.
+- ``cosine_topk_lsh`` — signed-random-projection LSH: deterministic
+  hash-derived hyperplanes → bucket equi-join → exact rescoring only
+  within buckets.  Candidate count drops exponentially with bits.
+- ``ivf_topk`` — inverted-file index: coarse centroids, vectors assigned
+  to nearest centroid (one narrow pass), queries probe only the nearest
+  ``nprobe`` centroid partitions.
+
+All scoring is double-precision left-fold ``aggregate(zip_with(...))`` —
+JVM-side, bit-identical to a sequential dot product (what the DuckDB
+oracle computes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "dot_product",
+    "l2_norm",
+    "cosine_similarity",
+    "cosine_topk_bruteforce",
+    "srp_signature",
+    "cosine_topk_lsh",
+    "ivf_assign",
+    "ivf_topk",
+]
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as a strict left fold in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    The query set is broadcast (bounded by contract — it's the "dimension"
+    side); the corpus scan stays partition-parallel and is scored in one
+    pass, then a per-query window keeps k rows.  Excludes self-matches.
+    Output: (query_id, neighbor_id, cosine, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def srp_signature(vec: Column, bits: int = 16, seed: int = 42) -> Column:
+    """Signed-random-projection signature: bit p = sign(w_p · vec) where
+    w_p components are ±1 derived from xxhash64(seed, p, i) — fully
+    deterministic, no stored projection matrix, computable inline.
+
+    Cosine-similar vectors agree on most bits (P[agree] = 1 - θ/π).
+    """
+    def _weight(p: int):
+        # closure factory (not default-arg capture: PySpark reads arity
+        # from the lambda signature)
+        return lambda x, i: x.cast("double") * (
+            F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(2)) * 2 - 1
+        ).cast("double")
+
+    bit_cols = []
+    for p in range(bits):
+        proj = F.aggregate(
+            F.zip_with(vec, F.sequence(F.lit(0), F.size(vec) - 1), _weight(p)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit_cols.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    sig = bit_cols[0]
+    for bc in bit_cols[1:]:
+        sig = sig.bitwiseOR(bc)
+    return sig
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: SRP bucket equi-join, exact cosine only within
+    the query's bucket.  Recall rises as ``bits`` falls (bigger buckets);
+    at scale, run multiple hash tables and union for recall — this is the
+    single-table variant.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        srp_signature(F.col(vec_col), bits, seed).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        srp_signature(F.col(vec_col), bits, seed).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (IVF coarse quantizer).
+
+    Centroids are broadcast; assignment is one argmax pass — at 100 TB
+    this is the index build, writable as a bucketed/partitioned table so
+    queries prune partitions.
+    Output: corpus columns + ``centroid_id``.
+    """
+    cent = centroids.select(
+        F.col("centroid_id"), F.col(vec_col).alias("cent_vec")
+    )
+    scored = corpus.join(F.broadcast(cent)).withColumn(
+        "cent_cos", cosine_similarity(F.col(vec_col), F.col("cent_vec"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cent_cos"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "cent_vec", "cent_cos")
+    )
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF search: each query probes its ``nprobe`` nearest centroids and
+    rescoring happens only inside those inverted lists."""
+    cent = centroids.select(F.col("centroid_id"), F.col(vec_col).alias("cent_vec"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    probes = q.join(F.broadcast(cent)).withColumn(
+        "cent_cos", cosine_similarity(F.col("q_vec"), F.col("cent_vec"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cent_cos"), F.asc("centroid_id"))
+    probes = (
+        probes.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "q_vec", "centroid_id")
+    )
+    cand = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "centroid_id"
+    ).join(F.broadcast(probes), on="centroid_id")
+    scored = cand.filter(F.col("query_id") != F.col("neighbor_id")).withColumn(
+        "cosine", cosine_similarity(F.col("q_vec"), F.col("c_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,149 @@
+"""Text analysis operators: token stats, language ID, quality scoring,
+document fingerprinting.
+
+All pure column expressions over the ``documents`` table shape
+(doc_id, text, lang, source, n_chars) — zero UDFs, so these run inside
+whole-stage codegen at full scan speed; at 100 TB they are
+scan-bandwidth-bound, which is the best possible shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "token_stats",
+    "bpe_ish_tokens",
+    "language_id",
+    "quality_score",
+    "rolling_fingerprint",
+    "STOPWORDS",
+]
+
+#: Tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic.  Deliberately small — the operator structure (broadcast map
+#: + argmax) is what matters; swap in real lists in production.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+    "fr": ["le", "la", "de", "et", "un", "en", "est", "que", "pour", "dans"],
+    "de": ["der", "die", "das", "und", "in", "von", "zu", "mit", "ist", "auf"],
+    "zh": ["的", "了", "是", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+#: BPE-ish pre-tokenization: letter runs | single digits | punctuation.
+#: (The GPT-2-style pattern family, simplified to RE2/Java-compatible.)
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def _ws_tokens(text: Column) -> Column:
+    """Whitespace tokens with no empty strings (leading/trailing safe)."""
+    return F.filter(F.split(text, r"\s+", -1), lambda t: t != "")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting + basic shape stats: whitespace tokens, BPE-ish
+    tokens, char length, mean token length."""
+    t = F.col(text_col)
+    toks = _ws_tokens(t)
+    return df.withColumns(
+        {
+            "n_tokens_ws": F.size(toks),
+            "n_tokens_bpe": F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_PATTERN), 0)),
+            "len_chars": F.length(t),
+            "mean_token_len": F.when(
+                F.size(toks) > 0,
+                F.aggregate(
+                    toks,
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + F.length(x),
+                ).cast("double")
+                / F.size(toks),
+            ),
+        }
+    )
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    return F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", out_col: str = "lang_pred"
+) -> DataFrame:
+    """Language identification by stopword-hit scoring: tokenize, count
+    hits against each language's (tiny, broadcast-literal) stopword set,
+    argmax with a deterministic tie-break on language code.
+
+    ``array_intersect`` keeps it set-based and JVM-side; scoring N
+    languages is N array ops per row, no shuffle.
+    """
+    toks = F.array_distinct(_ws_tokens(F.lower(F.col(text_col))))
+    scores = [
+        (lang, F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))))
+        for lang, words in STOPWORDS.items()
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.lit("unknown")
+    # reversed so the FIRST language in STOPWORDS wins ties deterministically
+    for lang, s in reversed(scores):
+        pred = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return df.withColumn(out_col, pred)
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", out_col: str = "quality"
+) -> DataFrame:
+    """Heuristic document quality in [0,1]: blend of length band, symbol
+    ratio, stopword presence, and mean-word-length sanity — the standard
+    pretraining-corpus filters (C4-style) as one pass of column math."""
+    t = F.col(text_col)
+    toks = _ws_tokens(t)
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    sym = n_chars - F.length(F.regexp_replace(t, r"[^A-Za-z0-9\s]", ""))
+    sym_ratio = F.when(n_chars > 0, sym.cast("double") / n_chars).otherwise(0.0)
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(toks), en_stop))
+    mean_wl = F.when(
+        n_tok > 0,
+        (n_chars - n_tok + 1).cast("double") / n_tok,
+    ).otherwise(0.0)
+    score = (
+        F.when((n_tok >= 10) & (n_tok <= 100000), 0.4).otherwise(0.0)
+        + F.when(sym_ratio < 0.1, 0.2).otherwise(0.0)
+        + F.when(stop_hits >= 2, 0.2).otherwise(0.0)
+        + F.when((mean_wl >= 2.0) & (mean_wl <= 12.0), 0.2).otherwise(0.0)
+    )
+    return df.withColumns(
+        {
+            "n_tokens": n_tok,
+            "symbol_ratio": sym_ratio,
+            "stopword_hits": stop_hits,
+            "mean_word_len": mean_wl,
+            out_col: score,
+        }
+    )
+
+
+def rolling_fingerprint(
+    df: DataFrame, text_col: str = "text", out_col: str = "fingerprint", mod: int = 1 << 31
+) -> DataFrame:
+    """Polynomial rolling-hash fingerprint over BPE-ish tokens:
+    fp = fold(tokens, 0, (acc, tok) → (acc·1315423911 + xxhash64(tok)) mod m).
+
+    Order-sensitive (unlike MinHash) — detects exact-prefix/reordering
+    differences; used as a cheap content-identity for provenance.
+    """
+    toks = bpe_ish_tokens(F.col(text_col))
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, tok: F.pmod(
+            F.pmod(acc * F.lit(1315423911 % mod), F.lit(mod))
+            + F.pmod(F.xxhash64(tok), F.lit(mod)),
+            F.lit(mod),
+        ),
+    )
+    return df.withColumn(out_col, fp)

@@ -727,3 +727,632 @@ def rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         _dsum(F.col("o_totalprice"), "total"),
     )
+
+
+# =====================================================================
+# EL scalar function families (§2.9) — SURVEY.md §7 step 2
+# =====================================================================
+
+@register(
+    "el_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name)                   AS name_upper,
+           lower(c_mktsegment)             AS seg_lower,
+           substr(c_name, 1, 8)            AS name_prefix,
+           split_part(c_name, '#', 1)      AS name_before_hash,
+           CAST(strpos(c_name, '#') - 1 AS INT) AS hash_idx,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+           concat(c_mktsegment, ':', c_name) AS seg_name,
+           CAST(length(c_name) AS INT)     AS name_len,
+           reverse(c_mktsegment)           AS seg_rev,
+           c_name LIKE 'Customer%'         AS is_customer,
+           contains(c_name, '00')          AS has_00
+    FROM customer
+    """,
+)
+def el_string_funcs_q(spark, sf_dir):
+    """EL string family: toUpper/toLower/substring/substringBefore/indexOf/
+    padLeft/append/length + matches/contains — all codegen'd, no UDFs."""
+    from apache_nifi_spark.functions import el
+
+    c = _t(spark, sf_dir, "customer")
+    name, seg = F.col("c_name"), F.col("c_mktsegment")
+    return c.select(
+        "c_custkey",
+        el.to_upper(name).alias("name_upper"),
+        el.to_lower(seg).alias("seg_lower"),
+        el.substring(name, 0, 8).alias("name_prefix"),
+        el.substring_before(name, "#").alias("name_before_hash"),
+        el.index_of(name, "#").alias("hash_idx"),
+        el.pad_left(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.concat(seg, F.lit(":"), name).alias("seg_name"),
+        el.length(name).alias("name_len"),
+        F.reverse(seg).alias("seg_rev"),
+        name.like("Customer%").alias("is_customer"),
+        el.contains(name, "00").alias("has_00"),
+    )
+
+
+@register(
+    "el_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * 0.1                 AS price_tenth,
+           round(l_extendedprice)                AS price_round,
+           abs(l_discount - 0.05)                AS disc_dev,
+           CAST(ceil(l_quantity / 7) AS BIGINT)  AS qty_ceil7,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
+           l_orderkey % 7                        AS key_mod7,
+           pow(l_quantity, 2)                    AS qty_sq,
+           sqrt(l_extendedprice)                 AS price_sqrt,
+           greatest(l_discount, l_tax)           AS max_rate
+    FROM lineitem
+    WHERE l_orderkey < 500
+    """,
+)
+def el_math_funcs_q(spark, sf_dir):
+    """EL math family: plus/minus/divide/mod/abs/ceil/floor/round/pow/sqrt."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * 0.1).alias("price_tenth"),
+        # integer-scale round only: fractional-scale rounding of doubles
+        # diverges between engines (decimal-string HALF_UP vs binary)
+        F.round("l_extendedprice", 0).alias("price_round"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil(F.col("l_quantity") / 7).alias("qty_ceil7"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_k"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        F.pow("l_quantity", 2).alias("qty_sq"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+    )
+
+
+@register(
+    "el_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)       AS order_year,
+           CAST(month(o_orderdate) AS INT)      AS order_month,
+           CAST(day(o_orderdate) AS INT)        AS order_day,
+           strftime(o_orderdate, '%Y-%m')       AS year_month,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           o_orderdate + INTERVAL 30 DAY        AS due_date,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since_95,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+           CAST(quarter(o_orderdate) AS INT)    AS qtr
+    FROM orders
+    WHERE o_orderkey < 1000
+    """,
+)
+def el_date_funcs_q(spark, sf_dir):
+    """EL date family: format/toDate/now-arithmetic → Spark datetime fns.
+    (Spark dayofweek is 1=Sunday; DuckDB is 0=Sunday — oracle shifts.)"""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("order_year"),
+        F.month(d).alias("order_month"),
+        F.dayofmonth(d).alias("order_day"),
+        F.date_format(d, "yyyy-MM").alias("year_month"),
+        F.date_trunc("month", d).alias("month_start"),
+        (d + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(d, F.lit("1995-01-01").cast("timestamp_ntz")).alias("days_since_95"),
+        F.dayofweek(d).alias("dow"),
+        F.quarter(d).alias("qtr"),
+    )
+
+
+@register(
+    "el_hash_encode",
+    oracle="""
+    SELECT doc_id,
+           md5(text)                          AS text_md5,
+           sha256(text)                       AS text_sha256,
+           to_base64(source::BLOB)            AS source_b64,
+           hex(doc_id)                        AS id_hex
+    FROM documents
+    """,
+)
+def el_hash_encode_q(spark, sf_dir):
+    """EL encode/hash family: hash(), base64Encode(), CryptographicHash*."""
+    from apache_nifi_spark.functions import el
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        el.hash_md5(F.col("text")).alias("text_md5"),
+        el.hash_sha256(F.col("text")).alias("text_sha256"),
+        el.base64_encode(F.col("source")).alias("source_b64"),
+        el.hex_encode(F.col("doc_id")).alias("id_hex"),
+    )
+
+
+@register(
+    "el_json_props",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k')                  AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT)  AS k_num,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS k_doubled,
+           json_extract_string(props, '$.missing')            AS k_missing
+    FROM events
+    WHERE event_id < 2000
+    """,
+)
+def el_json_props_q(spark, sf_dir):
+    """EL jsonPath family over the FlowFile-attributes analog (props)."""
+    from apache_nifi_spark.operators import evaluate_json_path
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    out = evaluate_json_path(
+        ev, "props", {"k_str": "$.k", "k_missing": "$.missing"}
+    )
+    return out.select(
+        "event_id",
+        "k_str",
+        F.col("k_str").cast("long").alias("k_num"),
+        (F.col("k_str").cast("long") * 2).alias("k_doubled"),
+        "k_missing",
+    )
+
+
+@register(
+    "el_conditional_coercion",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'standard'
+                ELSE 'premium' END                    AS tier,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           TRY_CAST(split_part(c_name, '#', 2) AS BIGINT) AS name_num,
+           c_acctbal > 0 AND c_nationkey < 13        AS flag
+    FROM customer
+    """,
+)
+def el_conditional_q(spark, sf_dir):
+    """EL ifElse/isNull/toNumber coercion semantics (try_cast totality)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+        .alias("tier"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        F.substring_index("c_name", "#", -1).try_cast("long").alias("name_num"),
+        ((F.col("c_acctbal") > 0) & (F.col("c_nationkey") < 13)).alias("flag"),
+    )
+
+
+# =====================================================================
+# Transform operators (§2.4)
+# =====================================================================
+
+@register(
+    "transform_extract_text",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+) data', 1)  AS word_before_data,
+           CAST(length(regexp_extract_all(text, 'data')) AS INT) AS data_count
+    FROM documents
+    WHERE regexp_matches(text, 'data')
+    """,
+)
+def transform_extract_text_q(spark, sf_dir):
+    """ExtractText: regex capture groups → columns (+ occurrence count)."""
+    from apache_nifi_spark.operators import extract_text
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").rlike("data"))
+    out = extract_text(d, "text", {"word_before_data": ("([a-z]+) data", 1)})
+    return out.select(
+        "doc_id",
+        "word_before_data",
+        F.regexp_count("text", F.lit("data")).alias("data_count"),
+    )
+
+
+@register(
+    "transform_replace_mapping",
+    oracle="""
+    SELECT doc_id,
+           replace(replace(replace(lang, 'en', 'english'), 'fr', 'french'),
+                   'de', 'german') AS lang_full,
+           regexp_replace(text, '[0-9]+', '#', 'g') AS text_nonum
+    FROM documents
+    WHERE doc_id < 50
+    """,
+)
+def transform_replace_q(spark, sf_dir):
+    """ReplaceTextWithMapping (dictionary) + ReplaceText (regex, global)."""
+    from apache_nifi_spark.operators import replace_text, replace_text_with_mapping
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    out = replace_text_with_mapping(
+        d, "lang", {"en": "english", "fr": "french", "de": "german"}, out_col="lang_full"
+    )
+    out = replace_text(out, "text", "[0-9]+", "#", out_col="text_nonum")
+    return out.select("doc_id", "lang_full", "text_nonum")
+
+
+@register(
+    "transform_attrs_to_json",
+    oracle="""
+    SELECT event_id,
+           to_json(struct_pack(event_id := event_id, event_type := event_type)) AS json,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE event_id < 1000
+    """,
+)
+def transform_attrs_json_q(spark, sf_dir):
+    """AttributesToJSON (serialize) + FlattenJson (parse→flatten)."""
+    from apache_nifi_spark.operators import attributes_to_json
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    out = attributes_to_json(ev, ["event_id", "event_type"], out_col="json")
+    parsed = out.withColumn("parsed", F.from_json("props", "k long"))
+    return parsed.select("event_id", "json", F.col("parsed.k").alias("k"))
+
+
+# =====================================================================
+# Aggregation extensions: pivot, cube, distinct counts (§2.5)
+# =====================================================================
+
+@register(
+    "pivot_events_by_type",
+    oracle="""
+    SELECT user_id,
+           CAST(COALESCE(SUM(CASE WHEN event_type='click'    THEN 1 END), 0) AS BIGINT) AS click,
+           CAST(COALESCE(SUM(CASE WHEN event_type='error'    THEN 1 END), 0) AS BIGINT) AS error,
+           CAST(COALESCE(SUM(CASE WHEN event_type='purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+           CAST(COALESCE(SUM(CASE WHEN event_type='signup'   THEN 1 END), 0) AS BIGINT) AS signup,
+           CAST(COALESCE(SUM(CASE WHEN event_type='view'     THEN 1 END), 0) AS BIGINT) AS view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def pivot_q(spark, sf_dir):
+    """Pivot (PartitionRecord + MergeContent idiom made columnar).
+    Explicit pivot values → no extra distinct-scan job."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@register(
+    "cube_returnflag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_q(spark, sf_dir):
+    """CUBE: all grouping-set combinations (superset of QueryRecord)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), _dsum(F.col("l_quantity"), "qty")
+    )
+
+
+@register(
+    "distinct_parts_per_supplier",
+    oracle="""
+    SELECT l_suppkey,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+)
+def distinct_count_q(spark, sf_dir):
+    """COUNT(DISTINCT) — expand+two-phase agg planned by Catalyst."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register("approx_distinct_users")  # rows-only: HLL estimates are engine-specific
+def approx_distinct_q(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) — the scale path for distinct
+    counts at 100 TB; estimates differ per engine so no value oracle."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.expr("percentile_approx(value, 0.5)").alias("median_value_approx"),
+    )
+
+
+# =====================================================================
+# LLM-data-pipeline operators (§2.12) — dedup, similarity, text analysis
+# =====================================================================
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS INT) AS n_tokens_ws,
+           CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INT)    AS n_tokens_bpe,
+           CAST(length(text) AS INT) AS len_chars,
+           CAST(list_sum(list_transform(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''),
+                                        x -> length(x))) AS DOUBLE)
+             / length(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS mean_token_len
+    FROM documents
+    """,
+)
+def text_token_stats_q(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex pre-tokenization
+    (SURVEY.md §2.12 text analysis) — codegen'd, scan-bandwidth-bound."""
+    from apache_nifi_spark.llm import token_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return token_stats(d).select(
+        "doc_id", "n_tokens_ws", "n_tokens_bpe", "len_chars", "mean_token_len"
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS toks,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS sym
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CAST(length(toks) AS INT) AS n_tokens,
+             CASE WHEN n_chars > 0 THEN CAST(sym AS DOUBLE) / n_chars ELSE 0.0 END AS symbol_ratio,
+             CAST(length(list_intersect(list_distinct(toks),
+               ['the','and','of','to','a','in','is','it','that','for'])) AS INT) AS stopword_hits,
+             CASE WHEN length(toks) > 0
+                  THEN CAST(n_chars - length(toks) + 1 AS DOUBLE) / length(toks)
+                  ELSE 0.0 END AS mean_word_len
+      FROM t
+    )
+    SELECT doc_id, n_tokens, symbol_ratio, stopword_hits, mean_word_len,
+           (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END
+            + CASE WHEN symbol_ratio < 0.1 THEN 0.2 ELSE 0.0 END
+            + CASE WHEN stopword_hits >= 2 THEN 0.2 ELSE 0.0 END
+            + CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 0.2 ELSE 0.0 END) AS quality
+    FROM s
+    """,
+)
+def text_quality_q(spark, sf_dir):
+    """C4-style quality filters as one pass of column math."""
+    from apache_nifi_spark.llm import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_score(d).select(
+        "doc_id", "n_tokens", "symbol_ratio", "stopword_hits", "mean_word_len", "quality"
+    )
+
+
+@register(
+    "text_language_id",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')) AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+             length(list_intersect(toks, ['the','and','of','to','a','in','is','it','that','for'])) AS s_en,
+             length(list_intersect(toks, ['el','la','de','que','y','en','un','es','por','con'])) AS s_es,
+             length(list_intersect(toks, ['le','la','de','et','un','en','est','que','pour','dans'])) AS s_fr,
+             length(list_intersect(toks, ['der','die','das','und','in','von','zu','mit','ist','auf'])) AS s_de,
+             length(list_intersect(toks, ['的','了','是','在','我','有','和','就','不','人'])) AS s_zh
+      FROM t
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(s_en,s_es,s_fr,s_de,s_zh) = 0 THEN 'unknown'
+                WHEN s_en = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'en'
+                WHEN s_es = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'es'
+                WHEN s_fr = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'fr'
+                WHEN s_de = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'de'
+                ELSE 'zh' END AS lang_pred
+    FROM s
+    """,
+)
+def text_language_id_q(spark, sf_dir):
+    """Language-ID heuristic: stopword-hit argmax (first language wins
+    ties, matching the oracle's CASE order)."""
+    from apache_nifi_spark.llm import language_id
+
+    d = _t(spark, sf_dir, "documents")
+    return language_id(d).select("doc_id", "lang", "lang_pred")
+
+
+@register(
+    "dedup_exact_sha",
+    oracle="""
+    SELECT sha256(text) AS text_sha256,
+           min(doc_id)  AS doc_id,
+           COUNT(*)     AS dup_count
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+)
+def dedup_exact_q(spark, sf_dir):
+    """Exact corpus dedup: one shuffle on the content digest."""
+    from apache_nifi_spark.llm import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d, "text", "doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(generate_series(1, greatest(length(text)-2, 0)),
+                                          i -> substr(text, i, 3))) AS grams
+      FROM documents WHERE doc_id < 60
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))) AS jaccard
+    FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard_q(spark, sf_dir):
+    """Exact 3-gram Jaccard within a language block — the verifier tier
+    of the dedup stack (always blocked, never all-pairs)."""
+    from apache_nifi_spark.llm import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    return ngram_jaccard_pairs(d, "doc_id", "text", "lang", n=3, threshold=0.5)
+
+
+@register("dedup_minhash_lsh")  # rows-only: banded-LSH output; xxhash64 has no DuckDB twin
+def dedup_minhash_q(spark, sf_dir):
+    """MinHash-LSH near-dup pipeline (signatures → bands → verify)."""
+    from apache_nifi_spark.llm import minhash_near_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_near_duplicates(d, "doc_id", "text", num_perm=64, bands=16, threshold=0.6)
+
+
+@register("dedup_simhash")  # rows-only: xxhash64-based sketch
+def dedup_simhash_q(spark, sf_dir):
+    """64-bit SimHash sketch per document."""
+    from apache_nifi_spark.llm import simhash
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return simhash(d, "doc_id", "text")
+
+
+@register("text_fingerprint")  # rows-only: xxhash64-based rolling hash
+def text_fingerprint_q(spark, sf_dir):
+    """Order-sensitive rolling-hash fingerprint."""
+    from apache_nifi_spark.llm import rolling_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return rolling_fingerprint(d).select("doc_id", "fingerprint")
+
+
+@register(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id, label,
+           CAST(len(embedding) AS INT) AS dims,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS l2
+    FROM embeddings
+    """,
+)
+def embedding_norms_q(spark, sf_dir):
+    """Array-column plumbing: dimensions + L2 norm (double left-fold)."""
+    from apache_nifi_spark.llm import l2_norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dims"),
+        l2_norm(F.col("embedding")).alias("l2"),
+    )
+
+
+@register(
+    "similarity_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine,
+             CAST(row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_dot_product(q.v, c.v)
+                             / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+                             c.vec_id) AS INT) AS rank
+      FROM q JOIN c ON q.vec_id != c.vec_id
+    ) WHERE rank <= 5
+    """,
+)
+def similarity_cosine_topk_q(spark, sf_dir):
+    """Brute-force cosine top-k: broadcast query side, one scoring pass,
+    per-query window — the exact baseline for the ANN tiers."""
+    from apache_nifi_spark.llm import cosine_topk_bruteforce
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_bruteforce(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+@register("similarity_lsh_topk")  # rows-only: SRP bucketing is engine-specific
+def similarity_lsh_q(spark, sf_dir):
+    """SRP-LSH approximate top-k (bucket join + exact rescoring)."""
+    from apache_nifi_spark.llm import cosine_topk_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh(e, e.filter(F.col("vec_id") < 10), k=5, bits=4)
+
+
+@register("similarity_ivf_topk")  # rows-only: centroid assignment is engine-specific
+def similarity_ivf_q(spark, sf_dir):
+    """IVF approximate top-k: coarse centroids (first 8 vectors as a
+    deterministic quantizer), nprobe=2."""
+    from apache_nifi_spark.llm import ivf_assign, ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = (
+        e.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    )
+    assigned = ivf_assign(e, centroids)
+    return ivf_topk(assigned, centroids, e.filter(F.col("vec_id") < 10), k=5, nprobe=2)
+
+
+@register(
+    "multimodal_binary_content",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS INT) AS content_len,
+           sha256(text) AS content_sha,
+           'application/octet-stream' AS mime_type
+    FROM documents
+    """,
+)
+def multimodal_binary_q(spark, sf_dir):
+    """FlowFile-shaped binary plumbing: content BINARY + attributes map +
+    magic-byte mime sniffing (IdentifyMimeType) — all JVM-side."""
+    from apache_nifi_spark.llm import attach_binary_content, identify_mime_type
+
+    d = _t(spark, sf_dir, "documents")
+    wrapped = attach_binary_content(d, "text", attrs={"origin": "documents"})
+    sniffed = identify_mime_type(wrapped)
+    return sniffed.select(
+        "doc_id",
+        F.length("content").alias("content_len"),
+        F.sha2("content", 256).alias("content_sha"),
+        "mime_type",
+    )
+
+
+@register("multimodal_image_features")  # rows-only: stubbed decoder (mapInPandas)
+def multimodal_image_q(spark, sf_dir):
+    """Arrow-batched mapInPandas decode seam (deterministic fake)."""
+    from apache_nifi_spark.llm import attach_binary_content, decode_image_features, identify_mime_type
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    wrapped = identify_mime_type(attach_binary_content(d, "text"))
+    return decode_image_features(wrapped)

@@ -1,0 +1,148 @@
+"""LLM-data operator tests: semantic properties the SQL oracle can't check
+(near-dup recall, sketch locality, ANN-vs-exact agreement, decode plumbing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apache_nifi_spark import io
+from apache_nifi_spark.llm import (
+    attach_binary_content,
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    decode_image_features,
+    exact_dedup,
+    identify_mime_type,
+    ivf_assign,
+    ivf_topk,
+    minhash_near_duplicates,
+    minhash_signatures,
+    sample_video_frames,
+    simhash,
+)
+
+
+def _docs_with_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("lazy", "sleepy")),  # near dup of 1
+        (4, "completely different content about spark query engines and shuffles"),
+        (5, "another unrelated text on minhash signatures and lsh banding theory"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups_identical_texts(spark):
+    d = _docs_with_dups(spark)
+    out = exact_dedup(d, "text", "doc_id")
+    assert out.count() == 4  # 5 docs, one exact pair
+    dup = out.filter(F.col("dup_count") == 2).first()
+    assert dup["doc_id"] == 1  # keeps min id
+
+
+def test_minhash_finds_near_and_exact_dups_only(spark):
+    d = _docs_with_dups(spark)
+    pairs = minhash_near_duplicates(
+        d, "doc_id", "text", num_perm=64, bands=16, threshold=0.6
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # exact dup: jaccard 1.0
+    assert (1, 3) in got and (2, 3) in got  # near dup
+    assert all(4 not in p and 5 not in p for p in got)  # unrelated stay out
+
+
+def test_minhash_signature_shape_and_determinism(spark):
+    d = _docs_with_dups(spark)
+    s1 = minhash_signatures(d, "doc_id", "text", num_perm=32).collect()
+    s2 = minhash_signatures(d, "doc_id", "text", num_perm=32).collect()
+    sigs1 = {r["doc_id"]: r["signature"] for r in s1}
+    sigs2 = {r["doc_id"]: r["signature"] for r in s2}
+    assert sigs1 == sigs2  # deterministic across runs
+    assert all(len(v) == 32 for v in sigs1.values())
+    assert sigs1[1] == sigs1[2]  # identical text → identical signature
+
+
+def test_simhash_locality(spark):
+    d = _docs_with_dups(spark)
+    out = {r["doc_id"]: r["simhash64"] for r in simhash(d, "doc_id", "text").collect()}
+    assert out[1] == out[2]  # identical text → identical sketch
+
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(out[1], out[3]) < hamming(out[1], out[4])  # near < far
+
+
+def test_cosine_topk_exact_and_ann_agree(spark, sf_dir):
+    e = io.load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = cosine_topk_bruteforce(e, q, k=3)
+    assert exact.groupBy("query_id").count().filter("count != 3").count() == 0
+    # cosine is bounded
+    assert exact.filter((F.col("cosine") > 1.0001) | (F.col("cosine") < -1.0001)).count() == 0
+
+
+def test_lsh_finds_scaled_duplicates(spark, sf_dir):
+    """θ=0 vectors (scaled copies) land in the same SRP bucket by
+    construction, so LSH must return them as top-1 — the mechanism test
+    that doesn't depend on random-data recall."""
+    e = io.load_table(spark, sf_dir, "embeddings")
+    dups = (
+        e.filter(F.col("vec_id") < 5)
+        .select(
+            (F.col("vec_id") + 10000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+            "label",
+        )
+    )
+    corpus = e.unionByName(dups)
+    approx = cosine_topk_lsh(corpus, corpus.filter(F.col("vec_id") >= 10000), k=1, bits=8)
+    top1 = {r["query_id"]: r["neighbor_id"] for r in approx.filter("rank = 1").collect()}
+    assert top1 == {10000 + i: i for i in range(5)}
+
+
+def test_ivf_assigns_every_vector_once(spark, sf_dir):
+    e = io.load_table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = ivf_assign(e, cents)
+    assert assigned.count() == e.count()  # exactly one centroid per vector
+    out = ivf_topk(assigned, cents, e.filter(F.col("vec_id") < 3), k=3, nprobe=2)
+    assert out.groupBy("query_id").count().filter("count > 3").count() == 0
+
+
+def test_mime_sniffing_magic_bytes(spark):
+    rows = [
+        (1, bytearray(b"\x89PNG\r\n\x1a\nrest")),
+        (2, bytearray(b"\xff\xd8\xff\xe0jpeg")),
+        (3, bytearray(b"plain text")),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    got = {r["id"]: r["mime_type"] for r in identify_mime_type(df).collect()}
+    assert got == {1: "image/png", 2: "image/jpeg", 3: "application/octet-stream"}
+
+
+def test_image_decode_plumbing(spark, sf_dir):
+    d = io.load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    wrapped = identify_mime_type(attach_binary_content(d, "text"))
+    feats = decode_image_features(wrapped, dim=8)
+    rows = feats.collect()
+    assert len(rows) == 10
+    assert all(len(r["features"]) == 8 for r in rows)
+    assert all(r["width"] >= 64 and r["height"] >= 64 for r in rows)
+    # deterministic: same bytes → same features
+    again = {r["doc_id"]: r["features"] for r in decode_image_features(wrapped, dim=8).collect()}
+    assert all(again[r["doc_id"]] == r["features"] for r in rows)
+
+
+def test_video_frame_sampling_fanout(spark, sf_dir):
+    d = io.load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 5)
+    wrapped = attach_binary_content(d, "text")
+    frames = sample_video_frames(wrapped, max_frames=3)
+    assert frames.count() == 15  # 5 docs × 3 frames
+    per = frames.groupBy("doc_id").agg(F.collect_set("frame_index").alias("idx"))
+    assert all(sorted(r["idx"]) == [0, 1, 2] for r in per.collect())

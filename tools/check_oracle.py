@@ -89,9 +89,13 @@ def main() -> int:
         if only and name not in only:
             continue
         if name not in ORACLES:
-            n = fn(spark, sf_dir).count()
-            print(f"  ~ {name}: rows-only check, {n} rows")
-            skipped.append(name)
+            try:
+                n = fn(spark, sf_dir).count()
+                print(f"  ~ {name}: rows-only check, {n} rows")
+                skipped.append(name)
+            except Exception as e:  # noqa: BLE001
+                failed.append(name)
+                print(f"  ✗ {name} (rows-only) EXCEPTION {type(e).__name__}: {str(e)[:300]}")
             continue
         try:
             sdf = fn(spark, sf_dir).toPandas()
