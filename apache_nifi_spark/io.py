@@ -46,7 +46,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         df = df.withColumn(
             "ts",
-            F.timestamp_micros((F.col("ts") / 1000).cast("long")).cast("timestamp_ntz"),
+            # integer div truncates ns→µs exactly like DuckDB/pandas; a
+            # double division would lose precision (ns epochs > 2^53)
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
         )
     return df
 

@@ -1356,3 +1356,128 @@ def multimodal_image_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     wrapped = identify_mime_type(attach_binary_content(d, "text"))
     return decode_image_features(wrapped)
+
+
+# =====================================================================
+# Streaming (§2.11): real Structured Streaming runs, batch-parity oracles
+# =====================================================================
+
+@register(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start,
+           time_bucket(INTERVAL 6 HOUR, ts) + INTERVAL 6 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumbling_q(spark, sf_dir):
+    """REAL streaming run: file stream source → watermark → tumbling
+    window agg → availableNow drain to memory sink.  The oracle is the
+    batch-equivalent SQL (SURVEY.md §5.2 streaming strategy)."""
+    from apache_nifi_spark.streaming import run_to_memory, stream_events, tumbling_agg
+
+    sdf = stream_events(spark, sf_dir)
+    agg = tumbling_agg(sdf, "ts", "event_type", window="6 hours")
+    return run_to_memory(agg, output_mode="complete")
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+    WITH k AS (SELECT * FROM (VALUES (0), (1)) t(i))
+    SELECT time_bucket(INTERVAL 3 HOUR, ts) - i * INTERVAL 3 HOUR AS window_start,
+           time_bucket(INTERVAL 3 HOUR, ts) - i * INTERVAL 3 HOUR + INTERVAL 6 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM events CROSS JOIN k
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_sliding_q(spark, sf_dir):
+    """Sliding 6h/3h window (AttributeRollingWindow analog): every event
+    contributes to two overlapping windows."""
+    from apache_nifi_spark.streaming import run_to_memory, sliding_agg, stream_events
+
+    sdf = stream_events(spark, sf_dir)
+    agg = sliding_agg(sdf, "ts", "event_type", window="6 hours", slide="3 hours")
+    return run_to_memory(agg, output_mode="complete")
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session_q(spark, sf_dir):
+    """Session windows (30-min idle gap per user) — MergeContent bins
+    closing on idle; oracle is the gaps-and-islands SQL formulation."""
+    from apache_nifi_spark.streaming import run_to_memory, session_agg, stream_events
+
+    sdf = stream_events(spark, sf_dir)
+    agg = session_agg(sdf, "ts", "user_id", gap="30 minutes")
+    return run_to_memory(agg, output_mode="complete")
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT event_id, event_type FROM events
+    """,
+)
+def stream_dedup_q(spark, sf_dir):
+    """DetectDuplicate: the stream unioned with itself (every row arrives
+    twice) → dropDuplicatesWithinWatermark restores exactly-once — output
+    equals the plain table."""
+    from apache_nifi_spark.streaming import dedup_within_watermark, run_to_memory, stream_events
+
+    sdf = stream_events(spark, sf_dir)
+    doubled = sdf.union(stream_events(spark, sf_dir))
+    deduped = dedup_within_watermark(doubled, ["event_id"], "ts", delay="1 hour")
+    return run_to_memory(deduped.select("event_id", "event_type"), output_mode="append")
+
+
+@register(
+    "stream_stateful_running_totals",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(row_number() OVER w AS BIGINT) AS seen_so_far,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w2 AS BIGINT) AS cents_so_far
+    FROM events
+    WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id),
+           w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def stream_stateful_q(spark, sf_dir):
+    """Wait/Notify-style keyed state (applyInPandasWithState): per-user
+    running count + running value-in-cents, oracle-checked against the
+    SQL window cumsum."""
+    from apache_nifi_spark.streaming import run_to_memory, running_totals_per_key, stream_events
+
+    sdf = stream_events(spark, sf_dir)
+    return run_to_memory(running_totals_per_key(sdf), output_mode="append")

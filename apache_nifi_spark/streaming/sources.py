@@ -1,0 +1,80 @@
+"""Streaming sources & the drain-to-memory test/verify harness.
+
+``stream_events`` is the ListFile/FetchFile + TailFile analog: the file
+stream source keeps seen-file state exactly where NiFi's ListFile keeps
+its cluster state (SURVEY.md §2.1 row 1).  ``max_files_per_trigger``
+is the back-pressure/ControlRate knob.
+
+At scale the same code reads a landing-zone directory or (swapping the
+format string) a Kafka topic; nothing here is test-only except
+``run_to_memory``.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_events(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Open the events fixture (or any directory of same-schema parquet)
+    as a stream, normalizing the nanos timestamp exactly like the batch
+    loader so batch-parity oracles line up."""
+    src = path or f"{sf_dir}/events.parquet"
+    if os.path.isfile(src):
+        # FileStreamSource wants a directory (the landing zone, §3.2); a
+        # single-file fixture is staged via symlink — zero data copy.
+        landing = tempfile.mkdtemp(prefix="anspark_landing_")
+        os.symlink(src, os.path.join(landing, os.path.basename(src)))
+        src = landing
+    schema = spark.read.parquet(src).schema  # footer read only
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    sdf = reader.load(src)
+    if dict(sdf.dtypes).get("ts") == "bigint":  # nanosAsLong fixture shape
+        # Watermarks require TIMESTAMP (not NTZ); session tz is UTC, so the
+        # instant is identical — run_to_memory casts back to NTZ for the
+        # oracle-parity comparison.
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return sdf
+
+
+def run_to_memory(
+    sdf: DataFrame,
+    output_mode: str = "append",
+    query_name: str | None = None,
+) -> DataFrame:
+    """Drain a streaming DataFrame synchronously: availableNow trigger →
+    memory sink → return the materialized table.
+
+    The checkpoint directory plays the FlowFile-repository role
+    (SURVEY.md §1.1); a fresh one per run keeps invocations independent.
+    """
+    name = query_name or f"q_{uuid.uuid4().hex[:12]}"
+    cp = tempfile.mkdtemp(prefix="anspark_cp_")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = sdf.sparkSession.table(name)
+    # Oracle parity: DuckDB TIMESTAMP is tz-naive; with a UTC session tz the
+    # instants match, only the Spark-side type differs — normalize it.
+    ts_cols = [c for c, t in out.dtypes if t == "timestamp"]
+    for c in ts_cols:
+        out = out.withColumn(c, F.col(c).cast("timestamp_ntz"))
+    return out
