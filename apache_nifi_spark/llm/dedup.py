@@ -94,22 +94,32 @@ def minhash_signatures(
     Pure array expressions — each row is independent, no shuffle.  Keeps
     the shingle set alongside for the later exact-Jaccard verify.
     """
-    shingles = char_shingles(F.col(text_col), shingle_n)
-    hashes = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
     def _affine(a: int, b: int):
         # closure factory: PySpark infers lambda arity from the signature,
         # so captured constants must not appear as default parameters
         return lambda h: F.pmod(a * h + b, F.lit(_P))
 
+    # Staged projections: shingles → hashes → signature.  Each stage
+    # references the previous alias many times (64× for the perms), which
+    # keeps CollapseProject from re-inlining the expensive subtree — the
+    # shingle/hash arrays are computed ONCE per row, not once per perm.
+    shingled = df.select(
+        F.col(id_col), char_shingles(F.col(text_col), shingle_n).alias("shingles")
+    )
+    hashed = shingled.select(
+        id_col,
+        "shingles",
+        F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_P))).alias(
+            "__mh"
+        ),
+    )
     sig = F.array(
         *[
-            F.array_min(F.transform(hashes, _affine(a, b)))
+            F.array_min(F.transform("__mh", _affine(a, b)))
             for a, b in _perm_constants(num_perm, seed)
         ]
     )
-    return df.select(
-        F.col(id_col), shingles.alias("shingles"), sig.alias("signature")
-    )
+    return hashed.select(F.col(id_col), F.col("shingles"), sig.alias("signature"))
 
 
 def lsh_candidate_pairs(
@@ -167,8 +177,29 @@ def minhash_near_duplicates(
     Output: (id_a, id_b, jaccard).  The exact verify runs only on LSH
     candidates — the step that makes this viable at corpus scale.
     """
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n, seed)
-    cands = lsh_candidate_pairs(sigs, id_col, bands, num_perm // bands)
+    # Signature work is CPU-bound per row; a small single-file input would
+    # otherwise pin it to one task.  At corpus scale the scan already has
+    # enough splits and this rebalance is a cheap narrow-ish shuffle.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
+    # The signature table is reused three times (both sides of the bucket
+    # self-join + the verify joins); persist it so signatures are computed
+    # exactly once.  It is narrow — id + 64 longs + shingle array — and
+    # spills to disk at corpus scale (MEMORY_AND_DISK default).
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n, seed).persist()
+    # Eager materialization: the downstream branches (bucket join a/b sides,
+    # two verify joins) otherwise race to compute signatures concurrently
+    # before the cache is populated.  At corpus scale this is where the
+    # signature table would be written out as its own artifact.
+    sigs.count()
+    # The candidate table is byte-tiny (pairs of ids) but each pair costs a
+    # full shingle-set intersection downstream; AQE's size-based coalescing
+    # would fold it into one partition and serialize the verify.  Explicit
+    # round-robin repartition keeps the CPU-bound verify wide.
+    cands = lsh_candidate_pairs(sigs, id_col, bands, num_perm // bands).repartition(
+        parallelism
+    )
     sh = sigs.select(F.col(id_col), F.col("shingles"))
     pairs = (
         cands.join(sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}), "id_a")
