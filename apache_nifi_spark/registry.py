@@ -1481,3 +1481,84 @@ def stream_stateful_q(spark, sf_dir):
 
     sdf = stream_events(spark, sf_dir)
     return run_to_memory(running_totals_per_key(sdf), output_mode="append")
+
+
+# =====================================================================
+# Sources & sinks (§2.1, §2.2, §2.4 ConvertRecord): format bridge,
+# binary source, partitioned file sink
+# =====================================================================
+
+@register(
+    "convert_record_csv",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def convert_record_csv_q(spark, sf_dir):
+    """ConvertRecord parquet→CSV→records: write with the CSV
+    RecordSetWriter, read back with the CSV RecordReader under the SOURCE
+    schema — the round-trip must be lossless (header names, typed parse,
+    round-trippable float serialization)."""
+    import tempfile
+
+    from apache_nifi_spark.sources import convert_record
+
+    sup = _t(spark, sf_dir, "supplier")
+    out = tempfile.mkdtemp(prefix="anspark_convert_csv_")
+    return convert_record(spark, sup, "csv", out)
+
+
+@register(
+    "convert_record_json",
+    oracle="SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,"
+    "       o_orderdate, o_orderpriority FROM orders",
+)
+def convert_record_json_q(spark, sf_dir):
+    """ConvertRecord parquet→JSON-lines→records, including timestamp
+    fidelity through ISO-8601 text."""
+    import tempfile
+
+    from apache_nifi_spark.sources import convert_record
+
+    orders = _t(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="anspark_convert_json_")
+    return convert_record(spark, orders, "json", out)
+
+
+@register("source_binary_file")  # rows-only: file metadata has no DuckDB table twin
+def source_binary_file_q(spark, sf_dir):
+    """GetFile over opaque payloads (§2.1): binaryFile source on the
+    fixture directory — one FlowFile-shaped row per file with content
+    bytes + metadata, no content parsing."""
+    from apache_nifi_spark.sources import read_binary_files
+
+    files = read_binary_files(spark, sf_dir, glob="*.parquet")
+    return files.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        "length",
+        F.length("content").alias("content_bytes"),
+    ).orderBy("file_name")
+
+
+@register(
+    "put_file_partitioned",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def put_file_partitioned_q(spark, sf_dir):
+    """PartitionRecord + PutFile (§2.2/§2.5): write orders partitioned by
+    status (one directory per key), then aggregate per partition on
+    read-back — the scan prunes to partition directories."""
+    import tempfile
+
+    from apache_nifi_spark.sources import read_records, write_records
+
+    orders = _t(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="anspark_putfile_")
+    write_records(orders, out, "parquet", partition_by=["o_orderstatus"])
+    back = read_records(spark, out, "parquet")
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice"), "total_price"),
+    )

@@ -1,0 +1,23 @@
+"""Sources & sinks: NiFi's Get*/List*/Fetch*/Put* processor families and
+the RecordReader/RecordSetWriter controller services (SURVEY.md §2.1, §2.2),
+re-expressed as Spark DataFrameReader/Writer plumbing.
+
+Batch file IO lives in :mod:`formats`; continuous ingestion is
+:mod:`apache_nifi_spark.streaming.sources` (the List+Fetch stateful pair).
+"""
+
+from apache_nifi_spark.sources.formats import (
+    convert_record,
+    jdbc_read,
+    read_binary_files,
+    read_records,
+    write_records,
+)
+
+__all__ = [
+    "convert_record",
+    "jdbc_read",
+    "read_binary_files",
+    "read_records",
+    "write_records",
+]

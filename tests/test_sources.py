@@ -1,0 +1,82 @@
+"""Source/sink unit tests (SURVEY.md §2.1/§2.2): PutFile conflict
+strategies, format round-trips, binary source, JDBC option validation."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from apache_nifi_spark import io
+from apache_nifi_spark.sources import (
+    convert_record,
+    jdbc_read,
+    read_binary_files,
+    read_records,
+    write_records,
+)
+
+
+def test_convert_record_csv_roundtrip_preserves_types(spark, sf_dir):
+    sup = io.load_table(spark, sf_dir, "supplier")
+    out = tempfile.mkdtemp(prefix="t_csv_")
+    back = convert_record(spark, sup, "csv", out)
+    assert back.schema == sup.schema
+    assert sorted(back.collect()) == sorted(sup.collect())
+
+
+def test_put_file_conflict_strategies(spark, sf_dir):
+    nation = io.load_table(spark, sf_dir, "nation")
+    out = tempfile.mkdtemp(prefix="t_modes_")
+    write_records(nation, out, "parquet")  # initial write
+    n = nation.count()
+
+    # replace: overwrites in full
+    write_records(nation.limit(5), out, "parquet", mode="overwrite")
+    assert read_records(spark, out, "parquet").count() == 5
+    # ignore: silently keeps existing content
+    write_records(nation, out, "parquet", mode="ignore")
+    assert read_records(spark, out, "parquet").count() == 5
+    # fail: raises on existing target
+    with pytest.raises(AnalysisException):
+        write_records(nation, out, "parquet", mode="error")
+    # append: adds
+    write_records(nation, out, "parquet", mode="append")
+    assert read_records(spark, out, "parquet").count() == 5 + n
+
+
+def test_partitioned_write_prunes_directories(spark, sf_dir):
+    orders = io.load_table(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="t_part_")
+    write_records(orders, out, "parquet", partition_by=["o_orderstatus"])
+    back = read_records(spark, out, "parquet").filter(F.col("o_orderstatus") == "F")
+    assert back.count() == orders.filter(F.col("o_orderstatus") == "F").count()
+    # partition pruning: the filter lands in PartitionFilters, not Filter
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan
+
+
+def test_binary_file_source_is_opaque(spark, sf_dir):
+    files = read_binary_files(spark, sf_dir, glob="nation.parquet")
+    row = files.select("path", "length", F.length("content").alias("n")).first()
+    assert row["path"].endswith("nation.parquet")
+    assert row["length"] == row["n"] > 0
+
+
+def test_unknown_format_rejected(spark, sf_dir):
+    nation = io.load_table(spark, sf_dir, "nation")
+    with pytest.raises(ValueError, match="unsupported record format"):
+        write_records(nation, "/tmp/x", "avro3000")
+
+
+def test_jdbc_partition_options_validated(spark):
+    with pytest.raises(ValueError, match="partitioned JDBC read"):
+        jdbc_read(
+            spark,
+            "jdbc:postgresql://nowhere/db",
+            "SELECT 1",
+            partition_column="id",  # missing bounds
+        )
