@@ -1562,3 +1562,320 @@ def put_file_partitioned_q(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         _dsum(F.col("o_totalprice"), "total_price"),
     )
+
+
+# =====================================================================
+# Coverage widening: MergeContent bins, JSON props, Jolt reshape, grok,
+# UpdateAttribute rules, prioritizers, ControlRate, window frames,
+# multi-attribute EL, distinct union  (§2.3–§2.9)
+# =====================================================================
+
+@register(
+    "merge_content_bins",
+    oracle="""
+    SELECT o_custkey,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS merged,
+           COUNT(*) AS record_count
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def merge_content_bins_q(spark, sf_dir):
+    """MergeContent/MergeRecord (§2.5): bin orders by the correlation
+    attribute (custkey); the bin payload is serialized sorted (registry
+    determinism rule for collect_list)."""
+    from apache_nifi_spark.operators import merge_record
+
+    orders = _t(spark, sf_dir, "orders")
+    bins = merge_record(orders, "o_custkey", F.col("o_orderkey"))
+    return bins.select(
+        "o_custkey",
+        F.concat_ws(",", F.transform(F.sort_array("records"), lambda r: r.cast("string"))).alias(
+            "merged"
+        ),
+        "record_count",
+    )
+
+
+@register(
+    "flatten_event_props",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def flatten_event_props_q(spark, sf_dir):
+    """EvaluateJsonPath/FlattenJson (§2.4): pull a key out of the JSON
+    props payload into a typed column, then aggregate on it."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_events"), _dsum(F.col("value"), "total_value"))
+    )
+
+
+@register(
+    "jolt_shift_restructure",
+    oracle="""
+    SELECT o_orderkey,
+           to_json(struct_pack(
+             "order" := struct_pack(id := o_orderkey, status := o_orderstatus),
+             meta := struct_pack(priority := o_orderpriority))) AS doc
+    FROM orders
+    """,
+)
+def jolt_shift_q(spark, sf_dir):
+    """JoltTransformJSON shift spec (§2.4): restructure flat records into
+    a nested document — select of named structs, serialized compact."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.col("o_orderkey").alias("id"), F.col("o_orderstatus").alias("status")
+                ).alias("order"),
+                F.struct(F.col("o_orderpriority").alias("priority")).alias("meta"),
+            )
+        ).alias("doc"),
+    )
+
+
+@register(
+    "extract_grok_log",
+    oracle="""
+    WITH lines AS (
+      SELECT concat('evt=', event_type, ' user=', CAST(user_id AS VARCHAR),
+                    ' id=', CAST(event_id AS VARCHAR)) AS line
+      FROM events
+    )
+    SELECT regexp_extract(line, 'evt=(\\w+) user=(\\d+) id=(\\d+)', 1) AS evt,
+           CAST(regexp_extract(line, 'evt=(\\w+) user=(\\d+) id=(\\d+)', 2) AS BIGINT) AS user_id,
+           CAST(regexp_extract(line, 'evt=(\\w+) user=(\\d+) id=(\\d+)', 3) AS BIGINT) AS event_id
+    FROM lines
+    """,
+)
+def extract_grok_q(spark, sf_dir):
+    """ExtractGrok (§2.4): structured fields out of log lines — the grok
+    pattern compiled to a regex with capture groups, one regexp_extract
+    per field (all JVM-side, codegen'd)."""
+    ev = _t(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("evt="), F.col("event_type"),
+        F.lit(" user="), F.col("user_id").cast("string"),
+        F.lit(" id="), F.col("event_id").cast("string"),
+    )
+    pat = r"evt=(\w+) user=(\d+) id=(\d+)"
+    lines = ev.select(line.alias("line"))
+    return lines.select(
+        F.regexp_extract("line", pat, 1).alias("evt"),
+        F.regexp_extract("line", pat, 2).cast("long").alias("user_id"),
+        F.regexp_extract("line", pat, 3).cast("long").alias("event_id"),
+    )
+
+
+@register(
+    "update_attribute_rules",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000 THEN 'platinum'
+                WHEN o_totalprice >= 150000 THEN 'gold'
+                WHEN o_totalprice >= 50000  THEN 'silver'
+                ELSE 'bronze' END AS tier,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     AND o_orderstatus = 'O'
+                THEN 'expedite' ELSE 'standard' END AS handling
+    FROM orders
+    """,
+)
+def update_attribute_rules_q(spark, sf_dir):
+    """UpdateAttribute advanced mode (§2.4): the rule/condition engine as
+    a when/otherwise chain — first matching rule wins, explicit default."""
+    orders = _t(spark, sf_dir, "orders")
+    tier = (
+        F.when(F.col("o_totalprice") >= 300000, "platinum")
+        .when(F.col("o_totalprice") >= 150000, "gold")
+        .when(F.col("o_totalprice") >= 50000, "silver")
+        .otherwise("bronze")
+    )
+    handling = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH") & (F.col("o_orderstatus") == "O"),
+        "expedite",
+    ).otherwise("standard")
+    return orders.select("o_orderkey", tier.alias("tier"), handling.alias("handling"))
+
+
+@register(
+    "prioritizer_queue",
+    oracle="""
+    SELECT event_id, event_type, ts
+    FROM events
+    ORDER BY CASE event_type WHEN 'error' THEN 0 WHEN 'purchase' THEN 1 ELSE 2 END,
+             ts, event_id
+    LIMIT 200
+    """,
+)
+def prioritizer_queue_q(spark, sf_dir):
+    """Queue prioritizers (§2.8): PriorityAttributePrioritizer then
+    OldestFlowFileFirst — total order with key tie-break, then the head of
+    the queue (TakeOrderedAndProject, no full sort materialization)."""
+    ev = _t(spark, sf_dir, "events")
+    prio = (
+        F.when(F.col("event_type") == "error", 0)
+        .when(F.col("event_type") == "purchase", 1)
+        .otherwise(2)
+    )
+    return (
+        ev.orderBy(prio.asc(), F.col("ts").asc(), F.col("event_id").asc())
+        .select("event_id", "event_type", "ts")
+        .limit(200)
+    )
+
+
+@register(
+    "control_rate_first3",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM (
+      SELECT event_id, user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events) WHERE rn <= 3
+    """,
+)
+def control_rate_first3_q(spark, sf_dir):
+    """ControlRate with a grouping attribute (§2.3): at most 3 records per
+    user in arrival order."""
+    from apache_nifi_spark.operators import control_rate_limit
+
+    ev = _t(spark, sf_dir, "events")
+    limited = control_rate_limit(
+        ev, F.col("user_id"), F.struct(F.col("ts"), F.col("event_id")), 3
+    )
+    return limited.select("event_id", "user_id", "event_type")
+
+
+@register(
+    "ntile_customer_quartiles",
+    oracle="""
+    SELECT c_custkey,
+           CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS quartile
+    FROM customer
+    """,
+)
+def ntile_quartiles_q(spark, sf_dir):
+    """Ranking windows (§2.7): ntile quartiles over a total order."""
+    from apache_nifi_spark.operators import rank_records
+
+    cust = _t(spark, sf_dir, "customer")
+    ranked = rank_records(
+        cust, [], F.struct(F.col("c_acctbal"), F.col("c_custkey")), "ntile:4", "quartile"
+    )
+    return ranked.select("c_custkey", "quartile")
+
+
+@register(
+    "percent_rank_nth_supplier",
+    oracle="""
+    SELECT s_suppkey,
+           percent_rank() OVER w AS pr,
+           nth_value(s_name, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND UNBOUNDED FOLLOWING) AS second_supplier
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    """,
+)
+def percent_rank_nth_q(spark, sf_dir):
+    """Analytic windows (§2.7): percent_rank + nth_value with an explicit
+    whole-partition frame, per nation."""
+    sup = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal"), F.col("s_suppkey"))
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return sup.select(
+        "s_suppkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.nth_value("s_name", 2).over(wf).alias("second_supplier"),
+    )
+
+
+@register(
+    "rolling_1h_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS cents_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_range_frame_q(spark, sf_dir):
+    """AttributeRollingWindow time frame (§2.5/§2.7): per-user stats over
+    the trailing hour — a RANGE frame on epoch seconds, the batch twin of
+    the streaming sliding window."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        # NTZ → epoch seconds: via TIMESTAMP under the UTC session tz
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(cents).over(w).cast("long").alias("cents_last_hour"),
+    )
+
+
+@register(
+    "el_any_all_attributes",
+    oracle="""
+    SELECT event_id,
+           (event_type = 'error' OR CAST(user_id AS VARCHAR) LIKE '1%') AS any_flagged,
+           (length(event_type) > 3 AND length(CAST(user_id AS VARCHAR)) > 0) AS all_nonempty
+    FROM events
+    """,
+)
+def el_any_all_attributes_q(spark, sf_dir):
+    """EL multi-attribute functions (§2.9): anyMatchingAttribute /
+    allAttributes over the FlowFile attributes map — exists/forall on a
+    real MAP<STRING,STRING> column."""
+    ev = _t(spark, sf_dir, "events")
+    attrs = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("user"), F.col("user_id").cast("string"),
+    )
+    with_map = ev.select("event_id", attrs.alias("attributes"))
+    any_flagged = F.exists(
+        F.map_entries("attributes"),
+        lambda e: ((e["key"] == "type") & (e["value"] == "error"))
+        | ((e["key"] == "user") & e["value"].startswith("1")),
+    )
+    all_nonempty = F.forall(
+        F.map_entries("attributes"),
+        lambda e: F.when(e["key"] == "type", F.length(e["value"]) > 3).otherwise(
+            F.length(e["value"]) > 0
+        ),
+    )
+    return with_map.select(
+        "event_id", any_flagged.alias("any_flagged"), all_nonempty.alias("all_nonempty")
+    )
+
+
+@register(
+    "distinct_union_nationkeys",
+    oracle="""
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+    UNION
+    SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+    """,
+)
+def distinct_union_q(spark, sf_dir):
+    """Distinct UNION (§2.8): funnel + dropDuplicates."""
+    from apache_nifi_spark.operators import distinct_union
+
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("long").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("long").alias("nationkey"))
+    return distinct_union(c, s)
