@@ -1879,3 +1879,62 @@ def distinct_union_q(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("long").alias("nationkey"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("long").alias("nationkey"))
     return distinct_union(c, s)
+
+
+# =====================================================================
+# Provenance (§2.11): observe()-based lineage accounting over the
+# flagship flow — one action, metrics ride the task results
+# =====================================================================
+
+@register(
+    "provenance_flagship_trail",
+    oracle="""
+    WITH routed AS (
+      SELECT l.* FROM lineitem l
+      WHERE l.l_shipdate >= TIMESTAMP '1998-01-01' AND l.l_shipdate < TIMESTAMP '2000-01-01'
+    ), joined AS (
+      SELECT n.n_name, o.o_orderdate FROM routed l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey  = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT 0 AS hop, 'CREATE' AS stage, (SELECT COUNT(*) FROM lineitem) AS n_rows
+    UNION ALL SELECT 1, 'ROUTE', (SELECT COUNT(*) FROM routed)
+    UNION ALL SELECT 2, 'JOIN', (SELECT COUNT(*) FROM joined)
+    UNION ALL SELECT 3, 'AGGREGATE',
+      (SELECT COUNT(*) FROM (SELECT n_name, year(o_orderdate), month(o_orderdate)
+                             FROM joined GROUP BY 1, 2, 3))
+    """,
+)
+def provenance_trail_q(spark, sf_dir):
+    """Provenance repository analog: the flagship flow instrumented with a
+    per-hop observation (CREATE → ROUTE → JOIN → AGGREGATE); the returned
+    lineage table is populated by ONE pipeline action — metrics ride the
+    task results, no extra passes over the data."""
+    from apache_nifi_spark.plans import ProvenanceTrail
+
+    trail = ProvenanceTrail()
+    li = trail.stage(_t(spark, sf_dir, "lineitem"), "CREATE")
+    routed = trail.stage(
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp_ntz"))
+        ),
+        "ROUTE",
+    )
+    joined = trail.stage(
+        routed.join(_t(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(_t(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(_t(spark, sf_dir, "nation")), F.col("c_nationkey") == F.col("n_nationkey")),
+        "JOIN",
+    )
+    agg = trail.stage(
+        joined.groupBy(
+            "n_name",
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        ).agg(F.count(F.lit(1)).alias("n_items")),
+        "AGGREGATE",
+    )
+    agg.collect()  # the single action that populates every observation
+    return trail.snapshot(spark)
