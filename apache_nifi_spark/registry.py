@@ -1938,3 +1938,74 @@ def provenance_trail_q(spark, sf_dir):
     )
     agg.collect()  # the single action that populates every observation
     return trail.snapshot(spark)
+
+
+@register(
+    "stream_wait_notify_join",
+    oracle="""
+    SELECT w.event_id AS w_event_id, s.event_id AS s_event_id, w.user_id AS w_user_id
+    FROM (SELECT * FROM events WHERE event_type = 'signup')  w
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') s
+      ON w.user_id = s.user_id
+     AND s.ts >= w.ts AND s.ts <= w.ts + INTERVAL 24 HOUR
+    """,
+)
+def stream_wait_notify_q(spark, sf_dir):
+    """Wait/Notify (§2.6): watermarked stream-stream join — signups wait
+    for a purchase signal from the same user within 24h; join state
+    evicts at the watermark (= signal expiration)."""
+    from apache_nifi_spark.streaming import correlate_streams, run_to_memory, stream_events
+
+    signups = stream_events(spark, sf_dir).filter(F.col("event_type") == "signup")
+    purchases = stream_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    joined = correlate_streams(signups, purchases, ["user_id"], "ts", within="24 hours")
+    return run_to_memory(
+        joined.select("w_event_id", "s_event_id", "w_user_id"), output_mode="append"
+    )
+
+
+@register(
+    "stream_multi_route",
+    oracle="""
+    SELECT route, COUNT(*) AS n FROM (
+      SELECT CASE WHEN event_type = 'error' THEN 'errors'
+                  WHEN event_type = 'purchase' AND value >= 50 THEN 'big_purchases'
+                  ELSE 'unmatched' END AS route
+      FROM events) GROUP BY route
+    """,
+)
+def stream_multi_route_q(spark, sf_dir):
+    """RouteOnAttribute in a stream (§2.3/§4.2): foreachBatch caches each
+    micro-batch once and appends every route's rows to its own directory;
+    read-back counts per route are the oracle check.  (Routes here are
+    disjoint so 'all matching' equals 'first matching'.)"""
+    import tempfile
+
+    from apache_nifi_spark.streaming import route_stream_to_files, stream_events
+
+    base = tempfile.mkdtemp(prefix="anspark_routes_")
+    cp = tempfile.mkdtemp(prefix="anspark_routes_cp_")
+    sdf = stream_events(spark, sf_dir)
+    q = route_stream_to_files(
+        sdf,
+        {
+            "errors": F.col("event_type") == "error",
+            "big_purchases": (F.col("event_type") == "purchase") & (F.col("value") >= 50),
+        },
+        base,
+        cp,
+    )
+    q.awaitTermination()
+    import os
+
+    parts = []
+    for route in ["errors", "big_purchases", "unmatched"]:
+        path = os.path.join(base, route)
+        if os.path.isdir(path):
+            parts.append(
+                spark.read.parquet(path).select(F.lit(route).alias("route"))
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("route").agg(F.count(F.lit(1)).alias("n"))

@@ -21,3 +21,6 @@ from apache_nifi_spark.streaming.windows import (  # noqa: F401
 )
 from apache_nifi_spark.streaming.dedup import dedup_within_watermark  # noqa: F401
 from apache_nifi_spark.streaming.stateful import running_totals_per_key  # noqa: F401
+from apache_nifi_spark.streaming.joins import correlate_streams  # noqa: F401
+from apache_nifi_spark.streaming.routes import route_stream_to_files  # noqa: F401
+from apache_nifi_spark.streaming.backpressure import BackpressureMonitor  # noqa: F401

@@ -1,0 +1,62 @@
+"""Streaming semantics tests (SURVEY.md §2.11): batch/stream parity of
+the correlation join, multi-batch rate capping (ControlRate), and the
+back-pressure monitor."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from apache_nifi_spark import io
+from apache_nifi_spark.streaming import (
+    BackpressureMonitor,
+    correlate_streams,
+    run_to_memory,
+    stream_events,
+)
+
+
+def test_correlate_streams_batch_parity(spark, sf_dir):
+    ev = io.load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    batch = correlate_streams(signups, purchases, ["user_id"], "ts", within="24 hours")
+
+    s_sign = stream_events(spark, sf_dir).filter(F.col("event_type") == "signup")
+    s_purch = stream_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    streamed = run_to_memory(
+        correlate_streams(s_sign, s_purch, ["user_id"], "ts", within="24 hours").select(
+            "w_event_id", "s_event_id"
+        )
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.select("w_event_id", "s_event_id").collect())
+    )
+
+
+def test_max_files_per_trigger_multi_batch_and_backpressure(spark, sf_dir):
+    # stage the same fixture as three files → three micro-batches at cap 1
+    src = f"{sf_dir}/events.parquet"
+    landing = tempfile.mkdtemp(prefix="t_landing_")
+    for i in range(3):
+        os.symlink(src, os.path.join(landing, f"events_{i}.parquet"))
+
+    monitor = BackpressureMonitor()
+    spark.streams.addListener(monitor)
+    try:
+        sdf = stream_events(spark, sf_dir, path=landing, max_files_per_trigger=1)
+        total = run_to_memory(sdf.select("event_id"), query_name="t_rate_cap")
+        n_one = spark.read.parquet(src).count()
+        assert total.count() == 3 * n_one
+        # listener saw one progress event per micro-batch
+        deadline = time.time() + 10
+        while len(monitor.history) < 3 and time.time() < deadline:
+            time.sleep(0.2)
+        assert len(monitor.history) >= 3
+        assert isinstance(monitor.pressure_slope(), float)
+        assert isinstance(monitor.backlog_pressure(), float)
+    finally:
+        spark.streams.removeListener(monitor)
