@@ -55,3 +55,9 @@ from apache_nifi_spark.operators.sample import (  # noqa: F401
     sample_reservoir,
     control_rate_limit,
 )
+from apache_nifi_spark.operators.scripted import (  # noqa: F401
+    flowfile_transform,
+    record_transform,
+    scripted_aggregate,
+    execute_stream_command,
+)

@@ -2009,3 +2009,93 @@ def stream_multi_route_q(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.groupBy("route").agg(F.count(F.lit(1)).alias("n"))
+
+
+# =====================================================================
+# UDF surface (§2.10): NiFi 2.x Python-processor analogs — the slow
+# path, Arrow-batched, oracle-checked against SQL equivalents
+# =====================================================================
+
+@register(
+    "scripted_transform_record",
+    oracle="""
+    SELECT doc_id,
+           length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+           upper(lang) AS lang_uc
+    FROM documents
+    """,
+)
+def scripted_transform_q(spark, sf_dir):
+    """FlowFileTransform (§2.10): a pandas batch-in/batch-out transform —
+    token count + case normalization done in pandas, oracle-checked
+    against the SQL formulation.  (Fixture text is single-space
+    separated, so count = spaces + 1 on both sides.)"""
+    import pandas as pd
+
+    from apache_nifi_spark.operators import flowfile_transform
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+
+    def transform(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": batch["text"].str.count(" ").astype("int64") + 1,
+                "lang_uc": batch["lang"].str.upper(),
+            }
+        )
+
+    return flowfile_transform(
+        docs, transform, "doc_id BIGINT, n_tokens BIGINT, lang_uc STRING"
+    )
+
+
+@register(
+    "scripted_aggregate_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def scripted_aggregate_q(spark, sf_dir):
+    """Scripted aggregation / UDAF (§2.10): applyInPandas grouped map —
+    per-language corpus stats reduced in pandas (exact int sums, one
+    double division — the registry determinism rule)."""
+    import pandas as pd
+
+    from apache_nifi_spark.operators import scripted_aggregate
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+
+    def agg(group: pd.DataFrame) -> pd.DataFrame:
+        total = int(group["n_chars"].sum())
+        n = len(group)
+        return pd.DataFrame(
+            {
+                "lang": [group["lang"].iloc[0]],
+                "n_docs": [n],
+                "total_chars": [total],
+                "avg_chars": [total / n],
+            }
+        )
+
+    return scripted_aggregate(
+        docs, ["lang"], agg, "lang STRING, n_docs BIGINT, total_chars BIGINT, avg_chars DOUBLE"
+    )
+
+
+@register(
+    "execute_stream_command_tr",
+    oracle="SELECT doc_id, upper(lang) AS stdout FROM documents",
+)
+def execute_stream_command_q(spark, sf_dir):
+    """ExecuteStreamCommand (§2.10): rows piped through an external
+    executable (`tr a-z A-Z`), one process per Arrow batch."""
+    from apache_nifi_spark.operators import execute_stream_command
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = execute_stream_command(docs, "lang", ["tr", "a-z", "A-Z"])
+    return out.select("doc_id", "stdout")
