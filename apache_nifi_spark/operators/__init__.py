@@ -61,3 +61,7 @@ from apache_nifi_spark.operators.scripted import (  # noqa: F401
     scripted_aggregate,
     execute_stream_command,
 )
+from apache_nifi_spark.operators.skew import (  # noqa: F401
+    salted_join,
+    salted_aggregate,
+)

@@ -1,0 +1,82 @@
+"""Skew handling (SURVEY.md §2.11 load-balanced connections, §4.2):
+salting for hot keys in joins and aggregations.
+
+NiFi's load-balanced connections hash-partition a queue across nodes; a
+hot correlation key saturates one node, and NiFi has no answer beyond
+back pressure.  At 100 TB a hot join/group key does the same to one
+executor.  AQE's skew-join split handles most cases at runtime
+(``spark.sql.adaptive.skewJoin.enabled``, on in session.py); explicit
+salting below is the deterministic fallback for pathological keys and
+for aggregations (AQE only splits joins).
+
+Salting trades a bounded replication of the small side (×salt) for an
+even spread of the hot side — the standard cure when broadcast is too big
+and one key dominates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["salted_join", "salted_aggregate"]
+
+_SALT = "__salt"
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Equi-join where ``skewed``'s key distribution is pathological:
+    spread the hot side over ``salt`` sub-keys, replicate ``other``
+    (the bounded side) once per sub-key, join on (keys + salt).
+
+    Each (skewed row, other row) pair matches exactly one salt value, so
+    the result equals the plain join for ``inner`` and ``left`` — the
+    only hows accepted (an outer ``other`` side would surface its
+    replicas).  Shuffle volume: skewed side unchanged, other side ×salt —
+    pick ``salt`` ≈ executor-count / hot-key-count.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner'|'left' only")
+    keys = list(on)
+    hot = skewed.withColumn(_SALT, (F.rand(42) * salt).cast("int"))
+    replicated = other.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return hot.join(replicated, keys + [_SALT], how).drop(_SALT)
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Mapping[str, tuple[Column, str]],
+    salt: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for hot group keys: partial agg on
+    (keys + salt), final agg on keys.  ``aggs`` maps output alias →
+    (column, fn) with fn in sum/count/min/max (the decomposable set).
+
+    Catalyst already does map-side partial aggregation; explicit salting
+    additionally spreads the *reduce* of a hot key over ``salt`` tasks —
+    for when one key's partial states still swamp a single reducer.
+    """
+    partial_fns = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    final_fns = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    for alias, (_, fn) in aggs.items():
+        if fn not in partial_fns:
+            raise ValueError(f"{alias}: {fn!r} is not decomposable (sum/count/min/max)")
+
+    salted = df.withColumn(_SALT, (F.rand(7) * salt).cast("int"))
+    partial = salted.groupBy(*keys, _SALT).agg(
+        *[partial_fns[fn](col).alias(alias) for alias, (col, fn) in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[final_fns[fn](alias).alias(alias) for alias, (_, fn) in aggs.items()]
+    )

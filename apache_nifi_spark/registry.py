@@ -2099,3 +2099,65 @@ def execute_stream_command_q(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     out = execute_stream_command(docs, "lang", ["tr", "a-z", "A-Z"])
     return out.select("doc_id", "stdout")
+
+
+# =====================================================================
+# Skew handling (§4.2): salting — deterministic results, redistributed
+# physical plan; oracles are the plain join/agg
+# =====================================================================
+
+@register(
+    "skew_salted_join",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS total_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def skew_salted_join_q(spark, sf_dir):
+    """Salted equi-join (§4.2): the fact side spread over 16 sub-keys,
+    the other side replicated — result identical to the plain join, hot
+    keys no longer land on one reducer."""
+    from apache_nifi_spark.operators import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    dim = o.select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    joined = salted_join(li, dim, ["l_orderkey"], salt=16)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _dsum(F.col("l_quantity"), "total_qty"),
+    )
+
+
+@register(
+    "skew_salted_aggregate",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(MAX(user_id) AS BIGINT) AS max_user
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_aggregate_q(spark, sf_dir):
+    """Two-phase salted aggregation (§4.2): 5 hot group keys spread over
+    16 salt buckets before the final reduce — same result as the plain
+    GROUP BY."""
+    from apache_nifi_spark.operators import salted_aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    out = salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n": (F.lit(1), "count"),
+            "cents": (cents, "sum"),
+            "max_user": (F.col("user_id"), "max"),
+        },
+        salt=16,
+    )
+    return out.select("event_type", F.col("n").cast("long"), F.col("cents").cast("long"), "max_user")

@@ -6,6 +6,7 @@ Batch file IO lives in :mod:`formats`; continuous ingestion is
 :mod:`apache_nifi_spark.streaming.sources` (the List+Fetch stateful pair).
 """
 
+from apache_nifi_spark.sources.bucketed import bucketed_table, write_bucketed
 from apache_nifi_spark.sources.formats import (
     convert_record,
     jdbc_read,
@@ -15,6 +16,8 @@ from apache_nifi_spark.sources.formats import (
 )
 
 __all__ = [
+    "bucketed_table",
+    "write_bucketed",
     "convert_record",
     "jdbc_read",
     "read_binary_files",

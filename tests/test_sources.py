@@ -80,3 +80,50 @@ def test_jdbc_partition_options_validated(spark):
             "SELECT 1",
             partition_column="id",  # missing bounds
         )
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    import tempfile
+
+    from apache_nifi_spark import io
+    from apache_nifi_spark.plans import count_exchanges
+    from apache_nifi_spark.sources import bucketed_table, write_bucketed
+
+    li = io.load_table(spark, sf_dir, "lineitem")
+    orders = io.load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="t_bucketed_")
+    write_bucketed(li, "t_li_bucketed", ["l_orderkey"], 8, path=f"{base}/li")
+    write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "t_o_bucketed",
+        ["l_orderkey"],
+        8,
+        path=f"{base}/o",
+    )
+    joined = bucketed_table(spark, "t_li_bucketed").join(
+        bucketed_table(spark, "t_o_bucketed"), "l_orderkey"
+    )
+    # co-located layout: the sort-merge join needs no Exchange at all
+    assert count_exchanges(joined) == 0, count_exchanges(joined)
+    assert joined.count() == li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).count()
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from apache_nifi_spark import io
+    from apache_nifi_spark.operators import salted_join
+
+    ev = io.load_table(spark, sf_dir, "events")
+    dim = (
+        io.load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    plain = ev.join(dim, "user_id").count()
+    salted = salted_join(ev, dim, ["user_id"], salt=8).count()
+    assert plain == salted
+    left_plain = ev.join(dim, "user_id", "left").count()
+    left_salted = salted_join(ev, dim, ["user_id"], how="left", salt=8).count()
+    assert left_plain == left_salted
