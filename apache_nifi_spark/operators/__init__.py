@@ -20,6 +20,7 @@ from apache_nifi_spark.operators.transform import (  # noqa: F401
     flatten_json,
     attributes_to_json,
     evaluate_json_path,
+    evaluate_xpath,
 )
 from apache_nifi_spark.operators.join import (  # noqa: F401
     lookup_record,
@@ -28,6 +29,7 @@ from apache_nifi_spark.operators.join import (  # noqa: F401
     join_enrichment_sql,
     range_join,
     asof_join,
+    join_zip,
 )
 from apache_nifi_spark.operators.aggregate import (  # noqa: F401
     merge_record,

@@ -30,6 +30,7 @@ __all__ = [
     "join_enrichment_sql",
     "range_join",
     "asof_join",
+    "join_zip",
 ]
 
 
@@ -149,3 +150,29 @@ def asof_join(
         {c: F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True).over(w) for c in right_cols}
     )
     return filled.filter(F.col("__side") == 1).drop("__ts", "__side")
+
+
+def join_zip(
+    original: DataFrame,
+    enrichment: DataFrame,
+    group: Sequence[str],
+    order: Column,
+    enrich_order: Column,
+    enrich_cols: Sequence[str],
+) -> DataFrame:
+    """JoinEnrichment Insert/Wrapper strategies (SURVEY.md §2.6): positional
+    zip of two equal-length record sets.
+
+    NiFi aligns the original and enriched FlowFiles record-by-record; the
+    distributed equivalent numbers both sides *within a partition key* and
+    equi-joins on (key, position) — one shuffle per side, no global
+    ordering bottleneck (a bare global row_number would serialize on a
+    single reducer at 100 TB).
+    """
+    wl = Window.partitionBy(*group).orderBy(order)
+    wr = Window.partitionBy(*group).orderBy(enrich_order)
+    left = original.withColumn("__pos", F.row_number().over(wl))
+    right = enrichment.withColumn("__pos", F.row_number().over(wr)).select(
+        *group, "__pos", *enrich_cols
+    )
+    return left.join(right, on=[*group, "__pos"], how="inner").drop("__pos")

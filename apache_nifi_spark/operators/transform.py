@@ -28,6 +28,7 @@ __all__ = [
     "flatten_json",
     "attributes_to_json",
     "evaluate_json_path",
+    "evaluate_xpath",
 ]
 
 
@@ -118,4 +119,22 @@ def evaluate_json_path(
     """EvaluateJsonPath: JSONPath extraction into columns (attributes)."""
     return df.withColumns(
         {out: F.get_json_object(F.col(json_col), p) for out, p in paths.items()}
+    )
+
+
+def evaluate_xpath(
+    df: DataFrame, xml_col: str, paths: Mapping[str, str]
+) -> DataFrame:
+    """EvaluateXPath (SURVEY.md §2.4): XPath expressions over an XML
+    content column → new string columns.
+
+    Uses Spark's built-in ``xpath_string`` (JVM-side javax.xml, codegen'd
+    call — no Python UDF); one output column per path, same shape as
+    NiFi's attribute-destination mode.
+    """
+    return df.withColumns(
+        {
+            out: F.expr(f"xpath_string({xml_col}, '{path}')")
+            for out, path in paths.items()
+        }
     )

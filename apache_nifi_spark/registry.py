@@ -2161,3 +2161,506 @@ def skew_salted_aggregate_q(spark, sf_dir):
         salt=16,
     )
     return out.select("event_type", F.col("n").cast("long"), F.col("cents").cast("long"), "max_user")
+
+
+# =====================================================================
+# Coverage round 3 (§2.1–§2.9): nested UpdateRecord, rename/remove,
+# URL/radix EL, RecordPath array functions, deterministic uuid5,
+# hash-Bernoulli sampling, FlowFile expiration, positional zip join,
+# theta join, GenerateFlowFile, SplitText fragments, EvaluateXPath,
+# ScanContent semi-join, ModifyBytes, bucketed co-located join,
+# first/last ignore-nulls windows, extended date math
+# =====================================================================
+
+@register(
+    "transform_update_nested",
+    oracle="""
+    SELECT o_orderkey,
+           to_json(struct_pack(status := o_orderstatus,
+                               priority := o_orderpriority,
+                               big := o_totalprice > 100000)) AS doc
+    FROM orders
+    """,
+)
+def transform_update_nested_q(spark, sf_dir):
+    """UpdateRecord on a nested RecordPath (§2.4): build a record struct,
+    then set a new nested field with ``withField`` — one projection."""
+    from apache_nifi_spark.operators import update_record
+
+    o = _t(spark, sf_dir, "orders")
+    rec = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        ).alias("rec"),
+        "o_totalprice",
+    )
+    updated = update_record(
+        rec, {"rec": F.col("rec").withField("big", F.col("o_totalprice") > 100000)}
+    )
+    return updated.select("o_orderkey", F.to_json("rec").alias("doc"))
+
+
+@register(
+    "transform_rename_remove",
+    oracle="""
+    SELECT c_custkey, c_name AS customer_name, c_acctbal AS balance
+    FROM customer
+    """,
+)
+def transform_rename_remove_q(spark, sf_dir):
+    """RenameRecordField + RemoveRecordField (§2.4)."""
+    from apache_nifi_spark.operators import remove_fields, rename_fields
+
+    c = _t(spark, sf_dir, "customer")
+    renamed = rename_fields(c, {"c_name": "customer_name", "c_acctbal": "balance"})
+    keep = {"c_custkey", "customer_name", "balance"}
+    return remove_fields(renamed, [col for col in renamed.columns if col not in keep])
+
+
+@register(
+    "el_url_radix_funcs",
+    oracle="""
+    SELECT c_custkey,
+           replace(c_name, '#', '%23')          AS name_url,
+           c_name                               AS name_roundtrip,
+           to_base(c_custkey, 16)               AS key_hex,
+           CAST(c_custkey AS BIGINT)            AS key_radix_rt,
+           repeat('*', CAST(c_nationkey % 5 AS INT)) AS stars,
+           translate(c_name, '0#', 'O-')        AS name_translated
+    FROM customer
+    """,
+)
+def el_url_radix_q(spark, sf_dir):
+    """EL urlEncode/urlDecode + toRadix/fromRadix + repeat + translate
+    (§2.9) — all JVM built-ins; radix round-trips through base 16."""
+    from apache_nifi_spark.functions import el
+
+    c = _t(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return c.select(
+        "c_custkey",
+        el.url_encode(name).alias("name_url"),
+        el.url_decode(el.url_encode(name)).alias("name_roundtrip"),
+        el.to_radix(F.col("c_custkey"), 16).alias("key_hex"),
+        el.from_radix(el.to_radix(F.col("c_custkey"), 16), 16)
+        .cast("long")
+        .alias("key_radix_rt"),
+        el.repeat(F.lit("*"), (F.col("c_nationkey") % 5).cast("int")).alias("stars"),
+        F.translate(name, "0#", "O-").alias("name_translated"),
+    )
+
+
+@register(
+    "el_recordpath_arrays",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INT)                             AS n_toks,
+           array_to_string(toks[1:3], ' ')                    AS first3,
+           CAST(len(list_distinct(toks)) AS INT)              AS n_uniq,
+           array_to_string(list_slice(list_sort(list_distinct(toks)), 1, 5), ',') AS top5_sorted,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_len,
+           list_contains(toks, 'data')                        AS has_data
+    FROM t
+    """,
+)
+def el_recordpath_arrays_q(spark, sf_dir):
+    """RecordPath array surface (§2.9): filter/transform/aggregate/slice/
+    distinct/sort/contains over a tokenized column — codegen'd lambdas."""
+    from apache_nifi_spark.functions import recordpath as rp
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ", -1)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.array_join(rp.slice_array(toks, 1, 3), " ").alias("first3"),
+        F.size(rp.distinct_array(toks)).alias("n_uniq"),
+        F.array_join(
+            rp.slice_array(rp.sort_array_asc(rp.distinct_array(toks)), 1, 5), ","
+        ).alias("top5_sorted"),
+        rp.aggregate_array(
+            toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("total_len"),
+        rp.array_contains_value(toks, "data").alias("has_data"),
+    )
+
+
+@register(
+    "el_uuid5_deterministic",
+    oracle="""
+    WITH h AS (SELECT o_orderkey, md5('order:' || CAST(o_orderkey AS VARCHAR)) AS x
+               FROM orders)
+    SELECT o_orderkey,
+           concat(substr(x,1,8),'-',substr(x,9,4),'-',substr(x,13,4),'-',
+                  substr(x,17,4),'-',substr(x,21,12)) AS det_uuid
+    FROM h
+    """,
+)
+def el_uuid5_q(spark, sf_dir):
+    """EL uuid3/uuid5-style deterministic ids (§2.9): an md5-derived
+    name-based UUID — stable across engines and runs (never uuid())."""
+    o = _t(spark, sf_dir, "orders")
+    x = F.md5(F.concat(F.lit("order:"), F.col("o_orderkey").cast("string")))
+    det = F.concat_ws(
+        "-",
+        F.substring(x, 1, 8),
+        F.substring(x, 9, 4),
+        F.substring(x, 13, 4),
+        F.substring(x, 17, 4),
+        F.substring(x, 21, 12),
+    )
+    return o.select("o_orderkey", det.alias("det_uuid"))
+
+
+@register(
+    "sample_hash_bernoulli",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+)
+def sample_hash_bernoulli_q(spark, sf_dir):
+    """SampleRecord probabilistic strategy (§2.3), made deterministic: a
+    content-hash Bernoulli sample (~2/16) — the reproducible variant of
+    rand()-sampling, identical on any partitioning/engine."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.substring(F.md5(F.col("event_id").cast("string")), 1, 1)
+    return ev.filter(bucket.isin("0", "1")).select("event_id", "user_id", "event_type")
+
+
+@register("sample_reservoir_k")  # rows-only: xxhash64 scoring has no DuckDB twin
+def sample_reservoir_q(spark, sf_dir):
+    """SampleRecord reservoir strategy (§2.3): uniform K-without-replacement
+    via hash scoring — TakeOrderedAndProject, no global sort."""
+    from apache_nifi_spark.operators import sample_reservoir
+
+    ev = _t(spark, sf_dir, "events")
+    return sample_reservoir(ev, 100, order_key=F.col("event_id")).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+@register(
+    "flowfile_expiration_ttl",
+    oracle="""
+    SELECT event_id, user_id, ts
+    FROM events
+    WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+    """,
+)
+def flowfile_expiration_q(spark, sf_dir):
+    """Connection FlowFile-expiration (§2.8): drop rows older than a TTL
+    relative to the newest event — the 1-row max rides a broadcast, the
+    fact side never shuffles."""
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("__mx"))
+    return (
+        ev.join(F.broadcast(mx))
+        .filter(F.col("ts") >= F.col("__mx") - F.expr("INTERVAL 7 DAYS"))
+        .select("event_id", "user_id", "ts")
+    )
+
+
+@register(
+    "join_zip_positional",
+    oracle="""
+    WITH l AS (
+      SELECT user_id, event_id AS p_event,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+      FROM events WHERE event_type = 'purchase'
+    ), r AS (
+      SELECT user_id, event_id AS v_event,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT l.user_id, l.p_event, r.v_event
+    FROM l JOIN r ON l.user_id = r.user_id AND l.pos = r.pos
+    """,
+)
+def join_zip_q(spark, sf_dir):
+    """JoinEnrichment Insert/Wrapper (§2.6): positional zip per key — the
+    i-th purchase aligned with the i-th view of the same user."""
+    from apache_nifi_spark.operators import join_zip
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_event"), "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("v_event"), "ts"
+    )
+    zipped = join_zip(
+        purchases,
+        views,
+        group=["user_id"],
+        order=F.struct(F.col("ts"), F.col("p_event")),
+        enrich_order=F.struct(F.col("ts"), F.col("v_event")),
+        enrich_cols=["v_event"],
+    )
+    return zipped.select("user_id", "p_event", "v_event")
+
+
+@register(
+    "theta_join_richer_customers",
+    oracle="""
+    SELECT s.s_suppkey, COUNT(*) AS n_richer
+    FROM supplier s
+    JOIN customer c ON c.c_nationkey = s.s_nationkey AND c.c_acctbal > s.s_acctbal
+    GROUP BY s.s_suppkey
+    """,
+)
+def theta_join_q(spark, sf_dir):
+    """Theta join (§2.6): equi component (nation) + inequality residual —
+    Catalyst joins on the equi key and filters the residual, so this stays
+    a hash/sort-merge join, not a cross product."""
+    from apache_nifi_spark.operators import join_enrichment
+
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    joined = join_enrichment(
+        s,
+        c,
+        on=(F.col("c_nationkey") == F.col("s_nationkey"))
+        & (F.col("c_acctbal") > F.col("s_acctbal")),
+        how="inner",
+    )
+    return joined.groupBy("s_suppkey").agg(F.count(F.lit(1)).alias("n_richer"))
+
+
+@register(
+    "generate_flowfile_synthetic",
+    oracle="""
+    SELECT i AS id,
+           CAST(i % 10 AS BIGINT) AS batch_id,
+           repeat('x', 8) AS payload,
+           TIMESTAMP '2024-01-01' + i * INTERVAL 1 SECOND AS synth_ts
+    FROM range(1000) t(i)
+    """,
+)
+def generate_flowfile_q(spark, sf_dir):
+    """GenerateFlowFile (§2.1): distributed synthetic data — spark.range
+    partitions across executors; no driver-side row construction."""
+    return spark.range(0, 1000).select(
+        F.col("id"),
+        (F.col("id") % 10).alias("batch_id"),
+        F.lit("x" * 8).alias("payload"),
+        F.expr(
+            "timestamp_ntz'2024-01-01' + make_interval(0,0,0,0,0,0,id)"
+        ).alias("synth_ts"),
+    )
+
+
+@register(
+    "split_text_fragments",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS arr
+               FROM documents WHERE doc_id < 20)
+    SELECT doc_id,
+           CAST(len(arr) AS INT) AS fragment_count,
+           CAST(unnest(generate_series(0, len(arr) - 1)) AS INT) AS fragment_index,
+           unnest(arr) AS token
+    FROM t
+    """,
+)
+def split_text_fragments_q(spark, sf_dir):
+    """SplitText/SplitRecord with NiFi's fragment attributes (§2.5):
+    posexplode emits fragment.index; fragment.count rides alongside."""
+    from apache_nifi_spark.operators import split_record
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    arr = d.select(
+        "doc_id",
+        F.split("text", " ", -1).alias("toks"),
+    ).withColumn("fragment_count", F.size("toks"))
+    return split_record(arr, "toks", out_col="token", with_index=True)
+
+
+@register(
+    "evaluate_xpath_xml",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS BIGINT) AS id_back,
+           o_orderstatus AS status_back
+    FROM orders
+    """,
+)
+def evaluate_xpath_q(spark, sf_dir):
+    """EvaluateXPath (§2.4): XML content → fields via Spark's built-in
+    xpath_string (JVM javax.xml; no Python).  The XML is constructed from
+    the fixture so the oracle is the identity projection."""
+    from apache_nifi_spark.operators import evaluate_xpath
+
+    o = _t(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit("<order><id>"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</id><status>"),
+        F.col("o_orderstatus"),
+        F.lit("</status></order>"),
+    )
+    doc = o.select("o_orderkey", xml.alias("xml"))
+    out = evaluate_xpath(
+        doc, "xml", {"id_str": "/order/id/text()", "status_back": "/order/status/text()"}
+    )
+    return out.select(
+        "o_orderkey",
+        F.col("id_str").cast("long").alias("id_back"),
+        "status_back",
+    )
+
+
+@register(
+    "scan_content_semi",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events e
+    WHERE EXISTS (SELECT 1 FROM events x
+                  WHERE x.user_id = e.user_id AND x.event_type = 'error')
+    """,
+)
+def scan_content_semi_q(spark, sf_dir):
+    """ScanContent/DetectDuplicate routing idiom (§2.3/§2.8): membership
+    against a derived dictionary → broadcast left-semi join (the dictionary
+    is the bounded side; the fact stream never shuffles)."""
+    ev = _t(spark, sf_dir, "events")
+    err_users = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return ev.join(F.broadcast(err_users), on="user_id", how="left_semi").select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+@register(
+    "modify_bytes_trim",
+    oracle="""
+    SELECT doc_id,
+           substr(text, 11, greatest(length(text) - 20, 0)) AS trimmed,
+           CAST(greatest(length(text) - 20, 0) AS INT) AS trimmed_len
+    FROM documents
+    """,
+)
+def modify_bytes_q(spark, sf_dir):
+    """ModifyBytes (§2.4): drop 10 leading + 10 trailing bytes of the
+    content blob.  Operates on BinaryType; fixture text is ASCII so the
+    string oracle sees identical bytes."""
+    d = _t(spark, sf_dir, "documents")
+    content = F.col("text").cast("binary")
+    keep = F.greatest(F.length(content) - 20, F.lit(0))
+    trimmed = F.expr("substring(cast(text as binary), 11, greatest(octet_length(cast(text as binary)) - 20, 0))")
+    return d.select(
+        "doc_id",
+        trimmed.cast("string").alias("trimmed"),
+        keep.cast("int").alias("trimmed_len"),
+    )
+
+
+@register(
+    "window_first_last_ignorenulls",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER w AS first_purchase,
+           last_value(CASE WHEN event_type = 'error' THEN value END IGNORE NULLS)
+             OVER w AS last_error
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last_q(spark, sf_dir):
+    """Analytic first/last with ignore-nulls (§2.7): each user's first
+    purchase value and last error value attached to every row."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    first_p = F.first(
+        F.when(F.col("event_type") == "purchase", F.col("value")), ignorenulls=True
+    ).over(w)
+    last_e = F.last(
+        F.when(F.col("event_type") == "error", F.col("value")), ignorenulls=True
+    ).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        first_p.alias("first_purchase"),
+        last_e.alias("last_error"),
+    )
+
+
+@register(
+    "el_date_advanced",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 2 MONTH AS plus2m,
+           CAST(date_diff('month', DATE '1995-01-01',
+                          CAST(date_trunc('month', o_orderdate) AS DATE)) AS INT) AS months_since_95,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+           CAST(make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT), 1) AS TIMESTAMP) AS month_first,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                          CAST(o_orderdate AS DATE) + INTERVAL 90 DAY) AS INT) AS delta90
+    FROM orders
+    WHERE o_orderkey < 2000
+    """,
+)
+def el_date_advanced_q(spark, sf_dir):
+    """EL date family round 2 (§2.9): add_months, month arithmetic,
+    last_day, epoch seconds, make_date, datediff."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    d = F.col("o_orderdate")
+    dd = d.cast("date")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 2).cast("timestamp_ntz").alias("plus2m"),
+        F.months_between(F.date_trunc("month", d), F.lit("1995-01-01").cast("timestamp_ntz"))
+        .cast("int")
+        .alias("months_since_95"),
+        F.last_day(dd).cast("timestamp_ntz").alias("month_end"),
+        F.unix_timestamp(d.cast("timestamp")).alias("epoch_s"),
+        F.make_date(F.year(d), F.month(d), F.lit(1)).cast("timestamp_ntz").alias("month_first"),
+        F.datediff(F.date_add(dd, 90), dd).alias("delta90"),
+    )
+
+
+@register(
+    "bucketed_colocated_join",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def bucketed_colocated_join_q(spark, sf_dir):
+    """Bucketed co-located join (§2.11 load-balanced-connection analog,
+    §4 scale rules): both sides written with bucketBy(16, orderkey) +
+    sortBy, then joined — the sort-merge join compiles with ZERO Exchange
+    (verified in tests/test_sources.py).  At 100 TB this turns every
+    recurring fact-fact join on the same key into a local merge instead of
+    a full network shuffle; the one-time bucketed write amortizes across
+    all downstream joins."""
+    import tempfile
+
+    from apache_nifi_spark.sources import bucketed_table, write_bucketed
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    base = tempfile.mkdtemp(prefix="anspark_bucketed_")
+    write_bucketed(li, "reg_li_bucketed", ["l_orderkey"], 16, path=f"{base}/li")
+    write_bucketed(o, "reg_o_bucketed", ["l_orderkey"], 16, path=f"{base}/o")
+    joined = bucketed_table(spark, "reg_li_bucketed").join(
+        bucketed_table(spark, "reg_o_bucketed"), "l_orderkey"
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _dsum(F.col("l_extendedprice"), "total_price"),
+    )

@@ -209,3 +209,36 @@ def test_sample_interval_deterministic(spark, sf_dir):
     a = sample_interval(ev, F.col("event_id"), 7).count()
     b = sample_interval(ev, F.col("event_id"), 7).count()
     assert a == b > 0
+
+
+def test_join_zip_truncates_to_shorter_side(spark):
+    from apache_nifi_spark.operators import join_zip
+
+    left = spark.createDataFrame(
+        [("a", 1, "p1"), ("a", 2, "p2"), ("a", 3, "p3"), ("b", 1, "p4")],
+        "k string, seq int, payload string",
+    )
+    right = spark.createDataFrame(
+        [("a", 10, "e1"), ("a", 20, "e2"), ("b", 5, "e3"), ("b", 6, "e4")],
+        "k string, seq int, enriched string",
+    )
+    out = join_zip(
+        left, right, group=["k"], order=F.col("seq"),
+        enrich_order=F.col("seq"), enrich_cols=["enriched"],
+    )
+    rows = {(r.k, r.payload, r.enriched) for r in out.collect()}
+    # zip is positional per key; extra rows on either side drop out
+    assert rows == {("a", "p1", "e1"), ("a", "p2", "e2"), ("b", "p4", "e3")}
+
+
+def test_evaluate_xpath_extracts_fields(spark):
+    from apache_nifi_spark.operators import evaluate_xpath
+
+    df = spark.createDataFrame(
+        [(1, "<r><name>x</name><v>7</v></r>"), (2, "<r><name>y</name></r>")],
+        "id int, xml string",
+    )
+    out = evaluate_xpath(df, "xml", {"name": "/r/name/text()", "v": "/r/v/text()"})
+    rows = {(r.id, r.name, r.v) for r in out.collect()}
+    # missing elements come back as empty string (javax.xml xpath_string)
+    assert rows == {(1, "x", "7"), (2, "y", "")}
