@@ -1556,7 +1556,7 @@ def put_file_partitioned_q(spark, sf_dir):
 
     orders = _t(spark, sf_dir, "orders")
     out = tempfile.mkdtemp(prefix="anspark_putfile_")
-    write_records(orders, out, "parquet", partition_by=["o_orderstatus"])
+    write_records(orders.repartition("o_orderstatus"), out, "parquet", partition_by=["o_orderstatus"])
     back = read_records(spark, out, "parquet")
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -2125,7 +2125,7 @@ def skew_salted_join_q(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     dim = o.select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
-    joined = salted_join(li, dim, ["l_orderkey"], salt=16)
+    joined = salted_join(li, dim, ["l_orderkey"], salt=8)
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
         _dsum(F.col("l_quantity"), "total_qty"),
@@ -2486,6 +2486,7 @@ def split_text_fragments_q(spark, sf_dir):
            CAST(o_orderkey AS BIGINT) AS id_back,
            o_orderstatus AS status_back
     FROM orders
+    WHERE o_orderkey % 8 = 0
     """,
 )
 def evaluate_xpath_q(spark, sf_dir):
@@ -2494,7 +2495,7 @@ def evaluate_xpath_q(spark, sf_dir):
     the fixture so the oracle is the identity projection."""
     from apache_nifi_spark.operators import evaluate_xpath
 
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 8 == 0)
     xml = F.concat(
         F.lit("<order><id>"),
         F.col("o_orderkey").cast("string"),
@@ -2640,7 +2641,7 @@ def el_date_advanced_q(spark, sf_dir):
 )
 def bucketed_colocated_join_q(spark, sf_dir):
     """Bucketed co-located join (§2.11 load-balanced-connection analog,
-    §4 scale rules): both sides written with bucketBy(16, orderkey) +
+    §4 scale rules): both sides written with bucketBy(8, orderkey) +
     sortBy, then joined — the sort-merge join compiles with ZERO Exchange
     (verified in tests/test_sources.py).  At 100 TB this turns every
     recurring fact-fact join on the same key into a local merge instead of
@@ -2655,8 +2656,8 @@ def bucketed_colocated_join_q(spark, sf_dir):
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )
     base = tempfile.mkdtemp(prefix="anspark_bucketed_")
-    write_bucketed(li, "reg_li_bucketed", ["l_orderkey"], 16, path=f"{base}/li")
-    write_bucketed(o, "reg_o_bucketed", ["l_orderkey"], 16, path=f"{base}/o")
+    write_bucketed(li, "reg_li_bucketed", ["l_orderkey"], 8, path=f"{base}/li")
+    write_bucketed(o, "reg_o_bucketed", ["l_orderkey"], 8, path=f"{base}/o")
     joined = bucketed_table(spark, "reg_li_bucketed").join(
         bucketed_table(spark, "reg_o_bucketed"), "l_orderkey"
     )

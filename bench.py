@@ -29,7 +29,12 @@ COLLECT_MAX_COLS = 64
 
 
 def run_bench(sf_dir: str) -> dict:
-    spark = get_spark(app_name="bench")
+    # BASELINE.md §B measurement contract: small-SF runs use a low shuffle
+    # partition count (task-scheduling overhead would otherwise dominate
+    # sub-second queries); AQE re-splits at real scale, so this is config,
+    # not a code-path difference.
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8"))
+    spark = get_spark(app_name="bench", shuffle_partitions=shuffle)
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
