@@ -19,6 +19,7 @@ from apache_nifi_spark.llm.dedup import (  # noqa: F401
     minhash_near_duplicates,
     simhash,
     ngram_jaccard_pairs,
+    embedding_cosine_duplicates,
 )
 from apache_nifi_spark.llm.similarity import (  # noqa: F401
     dot_product,

@@ -30,6 +30,7 @@ __all__ = [
     "minhash_near_duplicates",
     "simhash",
     "ngram_jaccard_pairs",
+    "embedding_cosine_duplicates",
 ]
 
 # Mersenne prime 2^31-1: modulus for the universal hash family
@@ -287,4 +288,43 @@ def ngram_jaccard_pairs(
             .alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_cosine_duplicates(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking key.
+
+    The semantic tier of the dedup stack: two documents are near-dups when
+    their embeddings' cosine similarity ≥ threshold.  Blocked self-join
+    (block key = cluster label / SRP bucket / IVF cell at scale — never
+    unblocked all-pairs), cosine as a double left-fold over ``zip_with`` —
+    all JVM-side, no UDF.
+
+    Output: (id_a, id_b, cosine ≥ threshold), id_a < id_b.
+    """
+    from apache_nifi_spark.llm.similarity import cosine_similarity
+
+    side = embeddings.select(
+        F.col(id_col), F.col(block_col).alias("__blk"), F.col(vec_col).alias("__v")
+    )
+    a, b = side.alias("a"), side.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.__blk") == F.col("b.__blk"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    cos = cosine_similarity(F.col("a.__v"), F.col("b.__v"))
+    return (
+        pairs.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
     )

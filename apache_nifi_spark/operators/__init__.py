@@ -19,8 +19,12 @@ from apache_nifi_spark.operators.transform import (  # noqa: F401
     replace_text_with_mapping,
     flatten_json,
     attributes_to_json,
+    attributes_to_csv,
     evaluate_json_path,
     evaluate_xpath,
+    filter_attributes,
+    convert_character_set,
+    split_json,
 )
 from apache_nifi_spark.operators.join import (  # noqa: F401
     lookup_record,
@@ -44,6 +48,7 @@ from apache_nifi_spark.operators.window import (  # noqa: F401
     rolling_window,
     top_k_per_group,
     rank_records,
+    monitor_activity,
 )
 from apache_nifi_spark.operators.setops import (  # noqa: F401
     funnel,
@@ -66,4 +71,8 @@ from apache_nifi_spark.operators.scripted import (  # noqa: F401
 from apache_nifi_spark.operators.skew import (  # noqa: F401
     salted_join,
     salted_aggregate,
+)
+from apache_nifi_spark.operators.content import (  # noqa: F401
+    pack_content_zip,
+    unpack_content_zip,
 )

@@ -27,8 +27,12 @@ __all__ = [
     "replace_text_with_mapping",
     "flatten_json",
     "attributes_to_json",
+    "attributes_to_csv",
     "evaluate_json_path",
     "evaluate_xpath",
+    "filter_attributes",
+    "convert_character_set",
+    "split_json",
 ]
 
 
@@ -137,4 +141,77 @@ def evaluate_xpath(
             out: F.expr(f"xpath_string({xml_col}, '{path}')")
             for out, path in paths.items()
         }
+    )
+
+
+def attributes_to_csv(
+    df: DataFrame, cols: Sequence[str], out_col: str = "csv", sep: str = ","
+) -> DataFrame:
+    """AttributesToCSV (SURVEY.md §2.4): serialize selected columns into one
+    delimited line, in the caller's column order (NiFi's ``Attribute List``
+    ordering).  Nulls render as empty fields, matching NiFi's
+    ``Null Value`` default of empty-string."""
+    fields = [F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]
+    return df.withColumn(out_col, F.concat_ws(sep, *fields))
+
+
+def filter_attributes(
+    df: DataFrame,
+    attr_col: str,
+    pattern: str,
+    mode: str = "retain",
+    out_col: str | None = None,
+) -> DataFrame:
+    """FilterAttribute (SURVEY.md §2.3): keep or remove entries of a
+    ``MAP<STRING,STRING>`` attributes column whose KEY matches a regex.
+
+    Pure ``map_filter`` lambda — stays inside codegen, no shuffle, no UDF.
+    ``mode='retain'`` keeps matching keys; ``'remove'`` drops them.
+    """
+    key_match = lambda k: k.rlike(pattern)  # noqa: E731
+    pred = (
+        (lambda k, v: key_match(k))
+        if mode == "retain"
+        else (lambda k, v: ~key_match(k))
+    )
+    return df.withColumn(out_col or attr_col, F.map_filter(F.col(attr_col), pred))
+
+
+def convert_character_set(
+    df: DataFrame, col: str, src: str, dst: str, out_col: str | None = None
+) -> DataFrame:
+    """ConvertCharacterSet (SURVEY.md §2.4): re-encode string content from
+    ``src`` charset bytes to ``dst``.  ``encode`` → ``decode`` round-trips
+    through ``BinaryType`` entirely JVM-side."""
+    return df.withColumn(
+        out_col or col, F.decode(F.encode(F.col(col), src), dst)
+    )
+
+
+def split_json(
+    df: DataFrame,
+    json_col: str,
+    element_schema: str,
+    keep: Sequence[str] = (),
+) -> DataFrame:
+    """SplitJson (SURVEY.md §2.5): one row per element of a JSON-array
+    content column, with NiFi's fragment provenance attributes
+    (``fragment_index`` / ``fragment_count``; the parent row key(s) in
+    ``keep`` play ``fragment.identifier``).
+
+    ``from_json`` to ``ARRAY<element_schema>`` then ``posexplode`` — the
+    row multiplication happens inside the generate node, pipelined with the
+    scan (no shuffle).
+    """
+    arr = F.from_json(F.col(json_col), f"array<{element_schema}>")
+    exploded = df.select(
+        *[F.col(c) for c in keep],
+        F.size(arr).alias("fragment_count"),
+        F.posexplode(arr).alias("fragment_index", "element"),
+    )
+    return exploded.select(
+        *[F.col(c) for c in keep],
+        "fragment_index",
+        "fragment_count",
+        F.col("element.*"),
     )

@@ -17,7 +17,13 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
-__all__ = ["enforce_order", "rolling_window", "top_k_per_group", "rank_records"]
+__all__ = [
+    "enforce_order",
+    "rolling_window",
+    "top_k_per_group",
+    "rank_records",
+    "monitor_activity",
+]
 
 
 def enforce_order(
@@ -96,3 +102,34 @@ def rank_records(
     else:
         raise ValueError(f"unknown rank kind: {kind}")
     return df.withColumn(out_col, expr.over(w))
+
+
+def monitor_activity(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: Sequence[str],
+    threshold_seconds: int,
+):
+    """MonitorActivity (SURVEY.md §2.3-adjacent): flag inactivity gaps.
+
+    NiFi's MonitorActivity emits an 'inactive' marker when no FlowFile
+    arrives for a threshold; the batch analog reports, per group, every
+    inter-event gap exceeding the threshold (lag over an ordered window —
+    one shuffle on the group key, no UDF).
+    """
+    w = Window.partitionBy(*group_cols).orderBy(F.col(ts_col))
+    prev = F.lag(F.col(ts_col)).over(w)
+    # integer-microsecond subtraction then one double division: identical
+    # IEEE result to DuckDB's (epoch_us(a)-epoch_us(b))/1e6 oracle form
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev_micros = F.lag(micros).over(w)
+    gap = (micros - prev_micros) / F.lit(1000000.0)
+    return (
+        df.select(
+            *group_cols,
+            prev.alias("inactive_since"),
+            F.col(ts_col).alias("active_again"),
+            gap.alias("gap_seconds"),
+        )
+        .filter(F.col("gap_seconds") > threshold_seconds)
+    )

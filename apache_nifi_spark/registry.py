@@ -2665,3 +2665,322 @@ def bucketed_colocated_join_q(spark, sf_dir):
         F.count(F.lit(1)).alias("n_items"),
         _dsum(F.col("l_extendedprice"), "total_price"),
     )
+
+
+# =====================================================================
+# Coverage round 3: attribute-map ops, charset, JSON split, grouping
+# sets, percentiles, activity monitoring, embedding-cosine dedup
+# =====================================================================
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+    """,
+)
+def dedup_embedding_cosine_q(spark, sf_dir):
+    """Embedding-cosine near-dup (§2.12 semantic dedup tier): blocked
+    self-join on the cluster label (IVF cell / SRP bucket at corpus
+    scale), cosine as a JVM double left-fold — never unblocked all-pairs."""
+    from apache_nifi_spark.llm import embedding_cosine_duplicates
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_cosine_duplicates(e, "vec_id", "embedding", "label", threshold=0.3)
+
+
+@register(
+    "grouping_sets_priority_status",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), (o_orderpriority, o_orderstatus))
+    """,
+)
+def grouping_sets_q(spark, sf_dir):
+    """Explicit GROUPING SETS (§2.5 superset of QueryRecord GROUP BY,
+    completing the cube/rollup family): one shuffle, Catalyst expands the
+    sets into a single Expand + hash-agg — not one pass per set."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderpriority"], ["o_orderstatus"], ["o_orderpriority", "o_orderstatus"]],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice"), "total_price"),
+    )
+
+
+@register(
+    "agg_quantiles_quantity",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE) AS q25,
+           CAST(median(l_quantity) AS DOUBLE)              AS q50,
+           CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE) AS q75,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_quantiles_q(spark, sf_dir):
+    """Exact interpolated percentiles per group (QueryRecord/Calcite
+    percentile surface §2.5): Spark's exact ``percentile``/``median``
+    aggregate — partial+final agg, no sort of the whole table."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile(q, F.lit(0.25)).alias("q25"),
+        F.median(q).alias("q50"),
+        F.percentile(q, F.lit(0.75)).alias("q75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "convert_charset_roundtrip",
+    oracle="""
+    SELECT doc_id, text AS text_rt, CAST(length(text) AS INT) AS n_chars
+    FROM documents
+    """,
+)
+def convert_charset_q(spark, sf_dir):
+    """ConvertCharacterSet (§2.4): UTF-8 encode→decode round-trip through
+    BinaryType, all JVM-side; the oracle is the identity projection."""
+    from apache_nifi_spark.operators import convert_character_set
+
+    d = _t(spark, sf_dir, "documents")
+    out = convert_character_set(d, "text", "UTF-8", "UTF-8", out_col="text_rt")
+    return out.select("doc_id", "text_rt", F.length("text_rt").alias("n_chars"))
+
+
+@register(
+    "transform_attrs_to_csv",
+    oracle="""
+    SELECT o_orderkey,
+           concat_ws(',', CAST(o_orderkey AS VARCHAR), o_orderstatus,
+                     o_orderpriority, CAST(o_custkey AS VARCHAR)) AS csv
+    FROM orders WHERE o_orderkey < 5000
+    """,
+)
+def attrs_to_csv_q(spark, sf_dir):
+    """AttributesToCSV (§2.4): attribute list → one delimited line in
+    declared order."""
+    from apache_nifi_spark.operators import attributes_to_csv
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    return attributes_to_csv(
+        o, ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_custkey"]
+    ).select("o_orderkey", "csv")
+
+
+@register(
+    "split_json_fragments",
+    oracle="""
+    SELECT o_orderkey, 0 AS fragment_index, 2 AS fragment_count,
+           'head' AS kind, CAST(o_orderkey AS BIGINT) AS k
+    FROM orders WHERE o_orderkey < 3000
+    UNION ALL
+    SELECT o_orderkey, 1, 2, 'tail', CAST(o_custkey AS BIGINT)
+    FROM orders WHERE o_orderkey < 3000
+    """,
+)
+def split_json_q(spark, sf_dir):
+    """SplitJson (§2.5): JSON-array content → row per element with
+    fragment.index/count provenance; from_json + posexplode pipelined
+    with the scan (no shuffle)."""
+    from apache_nifi_spark.operators import split_json
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    payload = F.concat(
+        F.lit('[{"kind":"head","k":'),
+        F.col("o_orderkey").cast("string"),
+        F.lit('},{"kind":"tail","k":'),
+        F.col("o_custkey").cast("string"),
+        F.lit("}]"),
+    )
+    with_json = o.select("o_orderkey", payload.alias("body"))
+    return split_json(
+        with_json, "body", "struct<kind:string,k:bigint>", keep=["o_orderkey"]
+    )
+
+
+@register(
+    "filter_attribute_keys",
+    oracle="""
+    SELECT event_id,
+           'evt_type,evt_value' AS kept_keys,
+           event_type AS evt_type
+    FROM events WHERE event_id < 3000
+    """,
+)
+def filter_attribute_q(spark, sf_dir):
+    """FilterAttribute (§2.3): regex key-retention over the
+    MAP<STRING,STRING> attributes column via map_filter — codegen'd
+    lambda, no UDF.  Attributes built from event fields; the oracle
+    checks kept-key set + a retained value."""
+    from apache_nifi_spark.operators import filter_attributes
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    with_attrs = e.select(
+        "event_id",
+        F.create_map(
+            F.lit("evt_type"), F.col("event_type"),
+            F.lit("evt_value"), F.col("value").cast("string"),
+            F.lit("sys_node"), F.lit("n1"),
+            F.lit("sys_uuid"), F.col("event_id").cast("string"),
+        ).alias("attributes"),
+    )
+    kept = filter_attributes(with_attrs, "attributes", r"^evt_", mode="retain")
+    return kept.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys("attributes")), ",").alias("kept_keys"),
+        F.element_at("attributes", "evt_type").alias("evt_type"),
+    )
+
+
+@register(
+    "monitor_activity_gaps",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events
+    )
+    SELECT user_id, prev_ts AS inactive_since, ts AS active_again,
+           (epoch_us(ts) - epoch_us(prev_ts)) / 1000000.0 AS gap_seconds
+    FROM g
+    WHERE (epoch_us(ts) - epoch_us(prev_ts)) / 1000000.0 > 14400
+    """,
+)
+def monitor_activity_q(spark, sf_dir):
+    """MonitorActivity (§2.3-adjacent): per-user inactivity gaps above a
+    4 h threshold — lag over one keyed window, single shuffle on user_id."""
+    from apache_nifi_spark.operators import monitor_activity
+
+    e = _t(spark, sf_dir, "events")
+    return monitor_activity(e, "ts", ["user_id"], threshold_seconds=14400)
+
+
+@register(
+    "compress_content_gzip",
+    oracle="""
+    SELECT doc_id, lang, CAST(length(text) AS INT) AS n_chars
+    FROM documents
+    """,
+)
+def compress_content_q(spark, sf_dir):
+    """CompressContent (§2.4): gzip is a codec option on the writer, not
+    an operator — write json.gz, read it back through the same record
+    bridge.  Splittable formats + zstd would be the 100 TB choice; gzip
+    here matches NiFi's default codec."""
+    import tempfile
+
+    from apache_nifi_spark.sources import read_records, write_records
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    out = tempfile.mkdtemp(prefix="anspark_gzip_")
+    write_records(d, out, "json", options={"compression": "gzip"})
+    back = read_records(
+        spark, out, "json", schema="doc_id bigint, lang string, text string"
+    )
+    return back.select("doc_id", "lang", F.length("text").alias("n_chars"))
+
+
+@register(
+    "unpack_content_zip",
+    oracle="""
+    SELECT doc_id, 'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS entry_name,
+           text AS payload_text
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def unpack_content_zip_q(spark, sf_dir):
+    """MergeContent(zip) → UnpackContent round-trip (§2.4/§2.5): each
+    document packed into a one-entry STORED zip and unpacked back — the
+    sanctioned Arrow-batched Python seam (archives are byte-imperative).
+    Oracle is the identity projection."""
+    from apache_nifi_spark.operators import pack_content_zip, unpack_content_zip
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.concat(F.lit("doc_"), F.col("doc_id").cast("string"), F.lit(".txt"))
+            .alias("fname"),
+            "text",
+        )
+    )
+    packed = pack_content_zip(d, "doc_id", "fname", "text")
+    unpacked = unpack_content_zip(packed, "id", "archive")
+    return unpacked.select(
+        F.col("id").alias("doc_id"),
+        "entry_name",
+        F.col("payload").cast("string").alias("payload_text"),
+    )
+
+
+@register(
+    "generate_table_fetch_plan",
+    oracle="""
+    WITH b AS (SELECT CAST(min(o_orderkey) AS BIGINT) AS lo,
+                      CAST(max(o_orderkey) AS BIGINT) AS hi FROM orders),
+         s AS (SELECT lo, hi, CAST(ceil((hi - lo + 1) / 8.0) AS BIGINT) AS stride FROM b)
+    SELECT CAST(p AS INT) AS partition_id,
+           lo + p * stride AS lower_bound,
+           least(lo + p * stride + stride - 1, hi) AS upper_bound,
+           'SELECT * FROM orders WHERE o_orderkey >= ' || CAST(lo + p * stride AS VARCHAR)
+             || ' AND o_orderkey <= '
+             || CAST(least(lo + p * stride + stride - 1, hi) AS VARCHAR) AS fetch_sql
+    FROM s, generate_series(0, 7) t(p)
+    WHERE lo + p * stride <= hi
+    """,
+)
+def generate_table_fetch_q(spark, sf_dir):
+    """GenerateTableFetch (§2.1): partitioned-extraction planning — one
+    min/max aggregate, then 8 range predicates generated declaratively
+    (sequence+explode, no collect)."""
+    from apache_nifi_spark.sources import generate_table_fetch
+
+    o = _t(spark, sf_dir, "orders")
+    return generate_table_fetch(o, "o_orderkey", 8, "orders")
+
+
+@register(
+    "el_string_funcs2",
+    oracle="""
+    SELECT doc_id,
+           translate(lang, 'aeiou', 'AEIOU')        AS lang_tr,
+           split_part(source, '-', 1)               AS src_head,
+           left(text, 12)                           AS head12,
+           right(text, 8)                           AS tail8,
+           reverse(lang)                            AS lang_rev,
+           CAST(ascii(substr(text, 1, 1)) AS INT)   AS first_cp,
+           chr(65 + CAST(doc_id % 26 AS INT))       AS bucket_chr
+    FROM documents
+    """,
+)
+def el_string_funcs2_q(spark, sf_dir):
+    """EL string family round 2 (§2.9): translate, split_part
+    (substringBefore analog), left/right, reverse, ascii, chr — all
+    JVM built-ins inside one codegen'd projection."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.translate("lang", "aeiou", "AEIOU").alias("lang_tr"),
+        F.split_part(F.col("source"), F.lit("-"), F.lit(1)).alias("src_head"),
+        F.left(F.col("text"), F.lit(12)).alias("head12"),
+        F.right(F.col("text"), F.lit(8)).alias("tail8"),
+        F.reverse("lang").alias("lang_rev"),
+        F.ascii(F.substring("text", 1, 1)).alias("first_cp"),
+        F.char(F.lit(65) + (F.col("doc_id") % 26).cast("int")).alias("bucket_chr"),
+    )

@@ -14,12 +14,14 @@ from apache_nifi_spark.sources.formats import (
     read_records,
     write_records,
 )
+from apache_nifi_spark.sources.jdbc import generate_table_fetch
 
 __all__ = [
     "bucketed_table",
     "write_bucketed",
     "convert_record",
     "jdbc_read",
+    "generate_table_fetch",
     "read_binary_files",
     "read_records",
     "write_records",

@@ -146,3 +146,20 @@ def test_video_frame_sampling_fanout(spark, sf_dir):
     assert frames.count() == 15  # 5 docs × 3 frames
     per = frames.groupBy("doc_id").agg(F.collect_set("frame_index").alias("idx"))
     assert all(sorted(r["idx"]) == [0, 1, 2] for r in per.collect())
+
+
+def test_embedding_cosine_duplicates_blocked(spark):
+    from apache_nifi_spark.llm import embedding_cosine_duplicates
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "a"),
+            (2, [2.0, 0.0], "a"),     # same direction as 1 → cosine 1.0
+            (3, [0.0, 1.0], "a"),     # orthogonal
+            (4, [1.0, 0.0], "b"),     # identical to 1 but different block
+        ],
+        "id bigint, v array<double>, blk string",
+    )
+    rows = embedding_cosine_duplicates(df, "id", "v", "blk", threshold=0.9).collect()
+    assert [(r.id_a, r.id_b) for r in rows] == [(1, 2)]
+    assert abs(rows[0].cosine - 1.0) < 1e-12

@@ -242,3 +242,85 @@ def test_evaluate_xpath_extracts_fields(spark):
     rows = {(r.id, r.name, r.v) for r in out.collect()}
     # missing elements come back as empty string (javax.xml xpath_string)
     assert rows == {(1, "x", "7"), (2, "y", "")}
+
+
+def test_filter_attributes_retain_and_remove(spark):
+    from apache_nifi_spark.operators import filter_attributes
+
+    df = spark.createDataFrame([(1,)], "id int").select(
+        "id",
+        F.create_map(
+            F.lit("evt_a"), F.lit("1"),
+            F.lit("sys_b"), F.lit("2"),
+            F.lit("evt_c"), F.lit("3"),
+        ).alias("attributes"),
+    )
+    kept = filter_attributes(df, "attributes", r"^evt_").collect()[0].attributes
+    assert sorted(kept) == ["evt_a", "evt_c"]
+    removed = (
+        filter_attributes(df, "attributes", r"^evt_", mode="remove")
+        .collect()[0]
+        .attributes
+    )
+    assert sorted(removed) == ["sys_b"]
+
+
+def test_attributes_to_csv_order_and_nulls(spark):
+    from apache_nifi_spark.operators import attributes_to_csv
+
+    df = spark.createDataFrame([(1, None, "x")], "a int, b string, c string")
+    out = attributes_to_csv(df, ["c", "a", "b"]).collect()[0].csv
+    # caller's column order; nulls render as empty fields
+    assert out == "x,1,"
+
+
+def test_convert_character_set_roundtrip(spark):
+    from apache_nifi_spark.operators import convert_character_set
+
+    df = spark.createDataFrame([(1, "héllo wörld")], "id int, t string")
+    out = convert_character_set(df, "t", "UTF-8", "UTF-8").collect()[0].t
+    assert out == "héllo wörld"
+
+
+def test_split_json_fragment_provenance(spark):
+    from apache_nifi_spark.operators import split_json
+
+    df = spark.createDataFrame(
+        [(7, '[{"k":1},{"k":2},{"k":3}]')], "pid int, body string"
+    )
+    rows = split_json(df, "body", "struct<k:bigint>", keep=["pid"]).collect()
+    assert [(r.pid, r.fragment_index, r.fragment_count, r.k) for r in rows] == [
+        (7, 0, 3, 1),
+        (7, 1, 3, 2),
+        (7, 2, 3, 3),
+    ]
+
+
+def test_monitor_activity_flags_only_gaps(spark):
+    from apache_nifi_spark.operators import monitor_activity
+
+    df = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01 00:00:00"),
+            ("u1", "2024-01-01 00:10:00"),  # 600 s gap — below threshold
+            ("u1", "2024-01-01 02:10:00"),  # 7200 s gap — flagged
+            ("u2", "2024-01-01 05:00:00"),  # first event: no gap
+        ],
+        "user string, ts string",
+    ).select("user", F.col("ts").cast("timestamp_ntz").alias("ts"))
+    rows = monitor_activity(df, "ts", ["user"], threshold_seconds=3600).collect()
+    assert len(rows) == 1
+    assert rows[0].user == "u1" and rows[0].gap_seconds == 7200.0
+
+
+def test_zip_pack_unpack_roundtrip(spark):
+    from apache_nifi_spark.operators import pack_content_zip, unpack_content_zip
+
+    df = spark.createDataFrame(
+        [(1, "a.txt", "alpha"), (2, "b.txt", "bravo")],
+        "doc_id bigint, fname string, text string",
+    )
+    packed = pack_content_zip(df, "doc_id", "fname", "text")
+    out = unpack_content_zip(packed, "id", "archive").collect()
+    got = {(r.id, r.entry_name, bytes(r.payload).decode()) for r in out}
+    assert got == {(1, "a.txt", "alpha"), (2, "b.txt", "bravo")}

@@ -127,3 +127,17 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     left_plain = ev.join(dim, "user_id", "left").count()
     left_salted = salted_join(ev, dim, ["user_id"], how="left", salt=8).count()
     assert left_plain == left_salted
+
+
+def test_generate_table_fetch_covers_range_exactly(spark):
+    from apache_nifi_spark.sources import generate_table_fetch
+
+    df = spark.range(100, 201).withColumnRenamed("id", "k")  # 101 values
+    plan = generate_table_fetch(df, "k", 4, "t").orderBy("partition_id").collect()
+    assert [r.partition_id for r in plan] == [0, 1, 2, 3]
+    # contiguous, non-overlapping, clamped to true max
+    assert plan[0].lower_bound == 100
+    assert plan[-1].upper_bound == 200
+    for prev, cur in zip(plan, plan[1:]):
+        assert cur.lower_bound == prev.upper_bound + 1
+    assert "WHERE k >= 100" in plan[0].fetch_sql
