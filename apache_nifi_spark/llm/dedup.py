@@ -303,15 +303,19 @@ def embedding_cosine_duplicates(
     The semantic tier of the dedup stack: two documents are near-dups when
     their embeddings' cosine similarity ≥ threshold.  Blocked self-join
     (block key = cluster label / SRP bucket / IVF cell at scale — never
-    unblocked all-pairs), cosine as a double left-fold over ``zip_with`` —
-    all JVM-side, no UDF.
+    unblocked all-pairs).  Norms and the array<double> precast are
+    computed once per ROW before the join; the pair loop is a single
+    left-fold dot product (similarity.py hot-path rules), no UDF.
 
     Output: (id_a, id_b, cosine ≥ threshold), id_a < id_b.
     """
-    from apache_nifi_spark.llm.similarity import cosine_similarity
+    from apache_nifi_spark.llm.similarity import _dvec, dot_product, l2_norm
 
     side = embeddings.select(
-        F.col(id_col), F.col(block_col).alias("__blk"), F.col(vec_col).alias("__v")
+        F.col(id_col),
+        F.col(block_col).alias("__blk"),
+        _dvec(F.col(vec_col)).alias("__v"),
+        l2_norm(_dvec(F.col(vec_col))).alias("__n"),
     )
     a, b = side.alias("a"), side.alias("b")
     pairs = a.join(
@@ -319,7 +323,9 @@ def embedding_cosine_duplicates(
         (F.col("a.__blk") == F.col("b.__blk"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     )
-    cos = cosine_similarity(F.col("a.__v"), F.col("b.__v"))
+    cos = dot_product(F.col("a.__v"), F.col("b.__v")) / (
+        F.col("a.__n") * F.col("b.__n")
+    )
     return (
         pairs.select(
             F.col(f"a.{id_col}").alias("id_a"),

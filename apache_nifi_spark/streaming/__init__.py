@@ -24,3 +24,4 @@ from apache_nifi_spark.streaming.stateful import running_totals_per_key  # noqa:
 from apache_nifi_spark.streaming.joins import correlate_streams  # noqa: F401
 from apache_nifi_spark.streaming.routes import route_stream_to_files  # noqa: F401
 from apache_nifi_spark.streaming.backpressure import BackpressureMonitor  # noqa: F401
+from apache_nifi_spark.streaming.site_to_site import s2s_push, s2s_pull  # noqa: F401

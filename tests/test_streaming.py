@@ -60,3 +60,13 @@ def test_max_files_per_trigger_multi_batch_and_backpressure(spark, sf_dir):
         assert isinstance(monitor.backlog_pressure(), float)
     finally:
         spark.streams.removeListener(monitor)
+
+
+def test_site_to_site_relay_lossless(spark, sf_dir):
+    from apache_nifi_spark.streaming import run_to_memory, s2s_pull, s2s_push, stream_events
+
+    producer = stream_events(spark, sf_dir)
+    bus = s2s_push(producer)
+    relayed = run_to_memory(s2s_pull(spark, bus).groupBy().count(), output_mode="complete")
+    direct = io.load_table(spark, sf_dir, "events").count()
+    assert relayed.collect()[0]["count"] == direct
