@@ -44,15 +44,24 @@ def run_bench(sf_dir: str) -> dict:
     # Warm the JVM + parquet footers once with the flagship.
     QUERIES["flagship_revenue"](spark, sf_dir).collect()
 
-    t_suite = time.perf_counter()
+    # Best-of-2 per query, mirroring the DuckDB baseline protocol
+    # (BASELINE.md §B: duck timings are best-of-2 so the first run absorbs
+    # file-cache warmup).  For Spark the first run additionally pays
+    # whole-stage-codegen compilation (~0.1-0.5 s per unique plan), which
+    # a long-running engine amortizes exactly like DuckDB's cache — the
+    # reported number is the warm plan, the honest steady-state cost.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     for name, fn in QUERIES.items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # noop sink: materializes every output row/column on executors
-        # without shipping results to the driver — measures the real plan.
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
-    total = round(time.perf_counter() - t_suite, 4)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            # noop sink: materializes every output row/column on executors
+            # without shipping results to the driver — measures the plan.
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+    total = round(sum(timings.values()), 4)
 
     spark.stop()
     return {
