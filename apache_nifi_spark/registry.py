@@ -3021,3 +3021,95 @@ def stream_site_to_site_q(spark, sf_dir):
         _dsum(F.col("value"), "total_value"),
     )
     return run_to_memory(agg, output_mode="complete")
+
+
+@register(
+    "split_xml_elements",
+    oracle="""
+    SELECT o_orderkey, CAST(item_pos AS INT) AS fragment_index, item
+    FROM (
+      SELECT o_orderkey,
+             generate_series AS item_pos,
+             CASE generate_series
+               WHEN 0 THEN o_orderstatus
+               WHEN 1 THEN o_orderpriority
+             END AS item
+      FROM orders, generate_series(0, 1)
+      WHERE o_orderkey < 3000
+    )
+    """,
+)
+def split_xml_q(spark, sf_dir):
+    """SplitXml (§2.5): one row per repeated XML element.  Built-in
+    ``xpath`` returns ARRAY<STRING> (JVM javax.xml, no UDF); posexplode
+    supplies NiFi's fragment.index."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    items = o.select(
+        "o_orderkey",
+        F.expr(
+            "xpath(concat('<o><i>', o_orderstatus, '</i><i>', o_orderpriority,"
+            " '</i></o>'), '/o/i/text()')"
+        ).alias("items"),
+    )
+    return items.select(
+        "o_orderkey", F.posexplode("items").alias("fragment_index", "item")
+    )
+
+
+@register(
+    "python_udtf_ngrams",
+    oracle="""
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos, substr(text, i, 4) AS gram
+    FROM (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text) - 3, 0))) AS i
+      FROM documents WHERE doc_id < 50
+    )
+    """,
+)
+def python_udtf_q(spark, sf_dir):
+    """Python UDTF (§2.10, Spark 4 ``udtf`` decorator): the one-to-many
+    scripted-split shape — each document yields its character 4-grams with
+    positions.  Arrow-batched lateral join; the UDTF registry path is the
+    NiFi 2.x Python-processor analog for row-multiplying scripts."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="doc_id bigint, pos int, gram string")
+    class NGrams:
+        def eval(self, doc_id: int, text: str, n: int):
+            if text is None:
+                return
+            for i in range(max(len(text) - n + 1, 0)):
+                yield doc_id, i, text[i : i + n]
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    spark.udtf.register("ngrams_udtf", NGrams)
+    d.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        "SELECT g.doc_id, g.pos, g.gram "
+        "FROM udtf_docs d, LATERAL ngrams_udtf(d.doc_id, d.text, 4) g"
+    )
+
+
+@register(
+    "stream_tail_file",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_tail_file_q(spark, sf_dir):
+    """TailFile (§2.1): a directory of rolling files consumed
+    incrementally — maxFilesPerTrigger=1 forces one micro-batch per file
+    (the tail cadence); the file-stream source's seen-files log is
+    ListFile/TailFile state.  Oracle: batch agg over the same rows."""
+    import tempfile
+
+    from apache_nifi_spark.streaming import run_to_memory, stream_events
+
+    rolling = tempfile.mkdtemp(prefix="anspark_tail_")
+    _t(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(rolling)
+    sdf = stream_events(spark, sf_dir, path=rolling, max_files_per_trigger=1)
+    agg = sdf.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return run_to_memory(agg, output_mode="complete")
