@@ -181,8 +181,14 @@ def minhash_near_duplicates(
     # Signature work is CPU-bound per row; a small single-file input would
     # otherwise pin it to one task.  At corpus scale the scan already has
     # enough splits and this rebalance is a cheap narrow-ish shuffle.
+    # (inputFiles() is a metadata probe; .rdd.getNumPartitions() would
+    # force a full plan conversion.)
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
+    try:
+        n_splits = len(df.inputFiles())
+    except Exception:
+        n_splits = parallelism
+    if n_splits < parallelism:
         df = df.repartition(parallelism)
     # The signature table is reused three times (both sides of the bucket
     # self-join + the verify joins); persist it so signatures are computed

@@ -203,11 +203,16 @@ def split_json(
     row multiplication happens inside the generate node, pipelined with the
     scan (no shuffle).
     """
-    arr = F.from_json(F.col(json_col), f"array<{element_schema}>")
-    exploded = df.select(
+    parsed = df.select(
         *[F.col(c) for c in keep],
-        F.size(arr).alias("fragment_count"),
-        F.posexplode(arr).alias("fragment_index", "element"),
+        F.from_json(F.col(json_col), f"array<{element_schema}>").alias("__arr"),
+    )
+    # size() and posexplode() reference the SAME materialized column, so
+    # the JSON parse runs once per row (not once per consumer expression)
+    exploded = parsed.select(
+        *[F.col(c) for c in keep],
+        F.size("__arr").alias("fragment_count"),
+        F.posexplode("__arr").alias("fragment_index", "element"),
     )
     return exploded.select(
         *[F.col(c) for c in keep],
