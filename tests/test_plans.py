@@ -56,3 +56,34 @@ def test_provenance_trail_counts(spark, sf_dir):
     assert events["ROUTE"] == ev.filter(F.col("event_type") == "purchase").count()
     snap = trail.snapshot(spark)
     assert [r["stage"] for r in snap.orderBy("hop").collect()] == ["CREATE", "ROUTE"]
+
+
+def test_no_accidental_cartesian_products(spark, sf_dir):
+    """Sweep every batch query's physical plan: no CartesianProduct
+    anywhere; BroadcastNestedLoop only for genuinely non-equi joins
+    (range/theta/TTL/scoring).  Guards the 100 TB rule that every join is
+    either keyed (hash/sort-merge) or a bounded broadcast."""
+    from apache_nifi_spark.registry import QUERIES
+
+    # excluded: streaming drains and queries that execute side effects
+    # (writes/UDF pipelines) at plan-build time
+    skip = {
+        "bucketed_colocated_join", "put_file_partitioned",
+        "compress_content_gzip", "unpack_content_zip", "convert_record_csv",
+        "convert_record_json", "source_binary_file",
+        "multimodal_image_features", "dedup_minhash_lsh",
+    }
+    bnlj_ok = {
+        "range_join_price_bands", "theta_join_richer_customers",
+        "flowfile_expiration_ttl", "similarity_cosine_topk",
+        "similarity_ivf_topk", "similarity_lsh_topk", "asof_signup_before_purchase",
+        "join_zip_positional", "scan_content_semi", "dedup_embedding_cosine",
+        "dedup_ngram_jaccard",
+    }
+    for name, fn in QUERIES.items():
+        if name.startswith("stream_") or name in skip:
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
+        if "BroadcastNestedLoop" in plan:
+            assert name in bnlj_ok, f"{name} unexpectedly uses BroadcastNestedLoopJoin"
