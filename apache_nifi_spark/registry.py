@@ -3113,3 +3113,106 @@ def stream_tail_file_q(spark, sf_dir):
     sdf = stream_events(spark, sf_dir, path=rolling, max_files_per_trigger=1)
     agg = sdf.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
     return run_to_memory(agg, output_mode="complete")
+
+
+@register(
+    "el_recordpath_maps",
+    oracle="""
+    SELECT event_id,
+           CAST(cardinality(m) AS INT)            AS n_keys,
+           array_to_string(map_keys(m), ',')      AS keys_csv,
+           m['t'][1]                              AS t_val,
+           array_to_string(map_values(m), '|')    AS vals_joined,
+           event_type                             AS rec_type
+    FROM (
+      SELECT event_id, event_type,
+             MAP(['t','u'], [event_type, CAST(user_id AS VARCHAR)]) AS m
+      FROM events WHERE event_id < 3000
+    )
+    """,
+)
+def el_recordpath_maps_q(spark, sf_dir):
+    """RecordPath map/record family (§2.9): mapOf → keys/values/lookup,
+    recordOf → field access — one codegen'd projection, insertion-ordered
+    maps on both engines."""
+    from apache_nifi_spark.functions.recordpath import (
+        element_at_path,
+        map_keys_of,
+        map_of,
+        map_values_of,
+        record_of,
+    )
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    m = map_of(
+        F.lit("t"), F.col("event_type"), F.lit("u"), F.col("user_id").cast("string")
+    )
+    rec = record_of(t=F.col("event_type"), u=F.col("user_id"))
+    return e.select(
+        "event_id",
+        F.size(m).alias("n_keys"),
+        F.array_join(map_keys_of(m), ",").alias("keys_csv"),
+        element_at_path(m, F.lit("t")).alias("t_val"),
+        F.array_join(map_values_of(m), "|").alias("vals_joined"),
+        rec.getField("t").alias("rec_type"),
+    )
+
+
+@register(
+    "llm_corpus_prep",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS toks,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS sym
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang, text,
+             CAST(length(toks) AS INT) AS n_tokens,
+             CASE WHEN n_chars > 0 THEN CAST(sym AS DOUBLE) / n_chars ELSE 0.0 END AS symbol_ratio,
+             CAST(length(list_intersect(list_distinct(toks),
+               ['the','and','of','to','a','in','is','it','that','for'])) AS INT) AS stopword_hits,
+             CASE WHEN length(toks) > 0
+                  THEN CAST(n_chars - length(toks) + 1 AS DOUBLE) / length(toks)
+                  ELSE 0.0 END AS mean_word_len
+      FROM t
+    ), scored AS (
+      SELECT doc_id, lang, text, n_tokens,
+             (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END
+              + CASE WHEN symbol_ratio < 0.1 THEN 0.2 ELSE 0.0 END
+              + CASE WHEN stopword_hits >= 2 THEN 0.2 ELSE 0.0 END
+              + CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 0.2 ELSE 0.0 END) AS quality
+      FROM s
+    ), kept AS (
+      SELECT * FROM scored WHERE quality >= 0.6
+    ), ded AS (
+      SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+      FROM kept
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(quality AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_quality
+    FROM ded WHERE rn = 1
+    GROUP BY lang
+    """,
+)
+def llm_corpus_prep_q(spark, sf_dir):
+    """End-to-end training-data prep pipeline (§2.12 flagship): quality
+    scoring → threshold filter → exact dedup (first-id-wins within each
+    content hash) → per-language corpus summary.  One scan, one window
+    shuffle on the digest, one agg shuffle — the minimal shape for a
+    corpus-prep pass at 100 TB (near-dup tiers chain after the exact
+    stage, see dedup_minhash_lsh / dedup_embedding_cosine)."""
+    from apache_nifi_spark.llm import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    scored = quality_score(d).filter(F.col("quality") >= 0.6)
+    w = Window.partitionBy(F.sha2(F.col("text").cast("binary"), 256)).orderBy("doc_id")
+    deduped = scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        _davg(F.col("quality"), "avg_quality"),
+    )

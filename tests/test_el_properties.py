@@ -34,9 +34,17 @@ def _run(spark, values: list[str], col):
     return [r.out for r in df.select(col(F.col("s")).alias("out")).collect()]
 
 
-@given(st.lists(TEXT, min_size=1, max_size=24))
+LATIN1 = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0xFF), max_size=40
+)
+
+
+@given(st.lists(LATIN1, min_size=1, max_size=24))
 @settings(**SETTINGS)
 def test_upper_lower_roundtrip_semantics(spark, values):
+    # Latin-1 only: beyond it the JVM and CPython ship different Unicode
+    # case-table versions (e.g. U+0264 ɤ→U+A7CB exists in one, not the
+    # other) — a platform skew, not an engine bug.
     got = _run(spark, values, el.to_upper)
     assert got == [v.upper() for v in values]
     got = _run(spark, values, el.to_lower)
