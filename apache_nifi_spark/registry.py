@@ -3232,3 +3232,32 @@ def llm_corpus_prep_q(spark, sf_dir):
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         _davg(F.col("quality"), "avg_quality"),
     )
+
+
+@register("stream_backpressure_monitor")  # rows-only: rates are run-dependent
+def stream_backpressure_q(spark, sf_dir):
+    """Back-pressure prediction (§2.11, reference NIFI_ANALYTICS_PREDICT
+    nifi2/nifi-deployment3-working.yaml:22): a StreamingQueryListener
+    collects per-batch input/processed rates over a multi-batch drain and
+    fits the backlog-growth slope — the saturation predictor.  Output is
+    one summary row (batches observed + fitted slope sign)."""
+    from apache_nifi_spark.streaming import (
+        BackpressureMonitor,
+        run_to_memory,
+        stream_events,
+    )
+
+    monitor = BackpressureMonitor()
+    spark.streams.addListener(monitor)
+    try:
+        rolling = _staged_rolling_dir(spark, sf_dir)
+        sdf = stream_events(spark, sf_dir, path=rolling, max_files_per_trigger=1)
+        agg = sdf.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        run_to_memory(agg, output_mode="complete")
+    finally:
+        spark.streams.removeListener(monitor)
+    slope = monitor.pressure_slope()
+    return spark.createDataFrame(
+        [(len(monitor.history), float(slope), slope > 0.0)],
+        "n_batches int, backlog_slope double, predicts_saturation boolean",
+    )
