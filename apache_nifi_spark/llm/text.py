@@ -131,18 +131,22 @@ def rolling_fingerprint(
     df: DataFrame, text_col: str = "text", out_col: str = "fingerprint", mod: int = 1 << 31
 ) -> DataFrame:
     """Polynomial rolling-hash fingerprint over BPE-ish tokens:
-    fp = fold(tokens, 0, (acc, tok) → (acc·1315423911 + xxhash64(tok)) mod m).
+    fp = fold(tokens, 0, (acc, tok) → (acc·1315423911 + h(tok)) mod m),
+    h(tok) = first 32 bits of md5(tok) — portable across engines (DuckDB
+    computes the identical fold, so this is value-oracled).
 
     Order-sensitive (unlike MinHash) — detects exact-prefix/reordering
     differences; used as a cheap content-identity for provenance.
     """
     toks = bpe_ish_tokens(F.col(text_col))
+    tok_hash = lambda tok: F.pmod(
+        F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long"), F.lit(mod)
+    )
     fp = F.aggregate(
         toks,
         F.lit(0).cast("long"),
         lambda acc, tok: F.pmod(
-            F.pmod(acc * F.lit(1315423911 % mod), F.lit(mod))
-            + F.pmod(F.xxhash64(tok), F.lit(mod)),
+            F.pmod(acc * F.lit(1315423911 % mod), F.lit(mod)) + tok_hash(tok),
             F.lit(mod),
         ),
     )

@@ -34,10 +34,11 @@ def sample_reservoir(df: DataFrame, k: int, order_key: Column | None = None, see
     """SampleRecord reservoir strategy: uniform-without-replacement K rows.
 
     Implemented as top-K by a per-row hash of a stable key (deterministic
-    when ``order_key`` given) or by rand(seed).  Spark plans this as
-    TakeOrderedAndProject — no global sort materialization.
+    when ``order_key`` given — md5 hex, identical ordering in any engine)
+    or by rand(seed).  Spark plans this as TakeOrderedAndProject — no
+    global sort materialization.
     """
-    score = F.xxhash64(order_key) if order_key is not None else F.rand(seed)
+    score = F.md5(order_key.cast("string")) if order_key is not None else F.rand(seed)
     return df.orderBy(score).limit(k)
 
 

@@ -1249,9 +1249,22 @@ def dedup_simhash_q(spark, sf_dir):
     return simhash(d, "doc_id", "text")
 
 
-@register("text_fingerprint")  # rows-only: xxhash64-based rolling hash
+@register(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'),
+                              t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 2147483648)),
+             (acc, h) -> (acc * 1315423911 % 2147483648 + h) % 2147483648
+           ) AS fingerprint
+    FROM documents
+    """,
+)
 def text_fingerprint_q(spark, sf_dir):
-    """Order-sensitive rolling-hash fingerprint."""
+    """Order-sensitive rolling-hash fingerprint (portable md5 token hash —
+    DuckDB runs the identical fold, see llm/text.rolling_fingerprint)."""
     from apache_nifi_spark.llm import rolling_fingerprint
 
     d = _t(spark, sf_dir, "documents")
@@ -2340,10 +2353,19 @@ def sample_hash_bernoulli_q(spark, sf_dir):
     return ev.filter(bucket.isin("0", "1")).select("event_id", "user_id", "event_type")
 
 
-@register("sample_reservoir_k")  # rows-only: xxhash64 scoring has no DuckDB twin
+@register(
+    "sample_reservoir_k",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events
+    ORDER BY md5(CAST(event_id AS VARCHAR))
+    LIMIT 100
+    """,
+)
 def sample_reservoir_q(spark, sf_dir):
     """SampleRecord reservoir strategy (§2.3): uniform K-without-replacement
-    via hash scoring — TakeOrderedAndProject, no global sort."""
+    via md5-hex hash scoring (portable: DuckDB orders the same lowercase
+    hex identically) — TakeOrderedAndProject, no global sort."""
     from apache_nifi_spark.operators import sample_reservoir
 
     ev = _t(spark, sf_dir, "events")
