@@ -37,6 +37,12 @@ from apache_nifi_spark.llm.text import (  # noqa: F401
     language_id,
     quality_score,
     rolling_fingerprint,
+    chunk_sliding,
+    pii_redact,
+)
+from apache_nifi_spark.llm.cluster import (  # noqa: F401
+    connected_components,
+    near_dup_clusters,
 )
 from apache_nifi_spark.llm.multimodal import (  # noqa: F401
     attach_binary_content,

@@ -1,0 +1,124 @@
+"""Near-duplicate clustering: connected components over candidate-pair
+edges, and the full dedup-cluster pipeline built on it.
+
+Pair detectors (``ngram_jaccard_pairs``, ``lsh_candidate_pairs``,
+``embedding_cosine_duplicates``) emit an EDGE LIST; turning edges into
+dedup decisions ("keep one representative per duplicate *cluster*")
+needs connected components — A~B and B~C must collapse A,B,C together
+even though A,C were never compared.
+
+Algorithm: iterative min-label propagation entirely in DataFrame ops
+(union + groupBy-min per round, lineage cut with ``localCheckpoint``
+each iteration so plans stay bounded).  Converges to
+``component = min(reachable node id)`` in O(graph diameter) rounds —
+near-dup graphs are unions of small cliques, so diameter is tiny
+(2–4) in practice.  At 100 TB scale the same loop holds: each round is
+one shuffle on the edge list, no driver-side data, no collect; for
+pathological long-chain graphs switch to the large-star/small-star
+variant (Kiveris et al., "Connected Components in MapReduce and
+Beyond") which squares the convergence rate — same join/groupBy
+primitives, noted here as the escalation path.
+
+NiFi parity: the reference engine has no graph operator at all
+(SURVEY.md §2 — `DetectDuplicate` is exact-key only); this is a
+beyond-reference operator mandated by the LLM-data-pipeline surface
+(SURVEY.md §2.12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "near_dup_clusters"]
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label each node with ``min(id)`` of its connected component.
+
+    ``nodes``: one column ``node_col`` (every node gets a label —
+    isolated nodes become singleton components).  ``edges``: undirected
+    pairs ``(src_col, dst_col)``.  Returns ``(id, component)``.
+
+    Deterministic fixpoint (min reachable id), so the result is
+    engine-portable: DuckDB reaches the identical fixpoint with a
+    recursive CTE, which is how the registry value-oracles this.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .distinct()
+    )
+    labels = nodes.select(F.col(node_col).alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # Each node offers its current label to every neighbor; take the
+        # min of (own label, neighbor labels).  One shuffle per round.
+        offers = sym.join(labels, sym["dst"] == labels["id"]).select(
+            sym["src"].alias("id"), "component"
+        )
+        new_labels = (
+            labels.select("id", "component")
+            .union(offers)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dup_clusters(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str = "lang",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Full near-dup clustering: blocked n-gram Jaccard pairs →
+    connected components → per-doc ``(doc_id, cluster_id, is_rep)``.
+
+    ``is_rep`` marks the canonical survivor (min doc_id per cluster) —
+    ``filter(is_rep)`` IS the dedup; the full mapping preserves
+    provenance of what collapsed into what.
+    """
+    from apache_nifi_spark.llm.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        documents, id_col, text_col, block_col, n=n, threshold=threshold
+    )
+    comp = connected_components(
+        documents.select(F.col(id_col).alias("id")),
+        pairs,
+        node_col="id",
+        src_col="id_a",
+        dst_col="id_b",
+        max_iter=max_iter,
+    )
+    return comp.select(
+        F.col("id").alias(id_col),
+        F.col("component").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("is_rep"),
+    )

@@ -18,7 +18,10 @@ __all__ = [
     "language_id",
     "quality_score",
     "rolling_fingerprint",
+    "chunk_sliding",
+    "pii_redact",
     "STOPWORDS",
+    "PII_PATTERNS",
 ]
 
 #: Tiny per-language stopword lists for the n-gram/stopword language-ID
@@ -125,6 +128,61 @@ def quality_score(
             out_col: score,
         }
     )
+
+
+def chunk_sliding(
+    df: DataFrame,
+    text_col: str = "text",
+    size: int = 50,
+    stride: int = 25,
+    start_col: str = "chunk_start",
+    chunk_col: str = "chunk_text",
+) -> DataFrame:
+    """Sliding-window chunking: split a document into overlapping
+    ``size``-token windows every ``stride`` tokens — the standard
+    context-window prep for training/embedding pipelines.
+
+    Pure array ops (split → sequence of starts → explode → slice), so
+    the fan-out happens JVM-side inside codegen; at 100 TB the explode
+    multiplies rows ~(n_tokens/stride)× with zero shuffle — chunk rows
+    stay in their parent's partition until a downstream op needs a
+    repartition.  1-based ``chunk_start`` (token index) is part of the
+    output so chunks are traceable back to their source span.
+    """
+    toks = _ws_tokens(F.col(text_col))
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride))
+    return (
+        df.withColumn("__toks", toks)
+        .withColumn(start_col, F.explode(starts))
+        .withColumn(
+            chunk_col,
+            F.concat_ws(" ", F.slice(F.col("__toks"), F.col(start_col), size)),
+        )
+        .drop("__toks")
+    )
+
+
+#: PII patterns, constrained to the RE2 ∩ Java-regex common dialect so
+#: the identical pattern runs on Spark and the DuckDB oracle.  Order
+#: matters: emails first (contain digits/dots), then IPv4 (dotted
+#: digits), then phone runs (plain digit runs with separators).
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    (r"\+?\d[\d .-]{7,}\d", "[PHONE]"),
+]
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Redact emails / IPv4s / phone-number runs with typed placeholders —
+    the pretraining-corpus PII scrub as a chain of ``regexp_replace``
+    (JVM-side, scan-bandwidth-bound; no UDF)."""
+    out = F.col(text_col)
+    for pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return df.withColumn(out_col, out)
 
 
 def rolling_fingerprint(

@@ -15,6 +15,7 @@ __all__ = [
     "sample_interval",
     "sample_probabilistic",
     "sample_reservoir",
+    "sample_stratified_hash",
     "control_rate_limit",
 ]
 
@@ -40,6 +41,37 @@ def sample_reservoir(df: DataFrame, k: int, order_key: Column | None = None, see
     """
     score = F.md5(order_key.cast("string")) if order_key is not None else F.rand(seed)
     return df.orderBy(score).limit(k)
+
+
+def sample_stratified_hash(
+    df: DataFrame,
+    key: Column,
+    stratum: Column,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum Bernoulli keep-rates
+    keyed on a stable row id — the corpus-mixture operator ("keep 75% of
+    en, 25% of code, 5% of low-quality") of a training-data pipeline.
+
+    Keep iff the first two hex chars of ``md5(key)`` fall below the
+    stratum's threshold (rate quantized to 1/256).  Hash-based rather
+    than ``rand()`` so the decision is a pure function of the row —
+    reproducible across runs, engines (DuckDB computes the identical
+    md5 prefix, so this is value-oracled), partitionings, and restarts;
+    at 100 TB it is a codegen'd filter pushed at scan speed with no
+    shuffle and no seed-state coordination across executors.
+    """
+    def _thr(rate: float) -> str:
+        # "zz" sorts above every hex prefix → keep-all; quantized hex
+        # threshold otherwise.  (A "100" threshold would compare
+        # lexicographically against 2-char prefixes and break.)
+        return "zz" if rate >= 1.0 else format(max(int(rate * 256), 0), "02x")
+
+    thr = F.lit(_thr(default_rate))
+    for name, rate in sorted(rates.items()):
+        thr = F.when(stratum == name, F.lit(_thr(rate))).otherwise(thr)
+    return df.filter(F.substring(F.md5(key.cast("string")), 1, 2) < thr)
 
 
 def control_rate_limit(df: DataFrame, group: Column, order: Column, per_group: int) -> DataFrame:

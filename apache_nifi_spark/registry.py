@@ -1231,6 +1231,139 @@ def dedup_ngram_jaccard_q(spark, sf_dir):
     return ngram_jaccard_pairs(d, "doc_id", "text", "lang", n=3, threshold=0.5)
 
 
+@register(
+    "dedup_cluster_components",
+    oracle="""
+    WITH RECURSIVE g AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(generate_series(1, greatest(length(text)-2, 0)),
+                                          i -> substr(text, i, 3))) AS grams
+      FROM documents WHERE doc_id < 60
+    ), e0 AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))) >= 0.5
+    ), e AS (
+      SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+    ), walk(id, r) AS (
+      SELECT doc_id, doc_id FROM g
+      UNION
+      SELECT w.id, e.dst FROM walk w JOIN e ON w.r = e.src
+    )
+    SELECT id AS doc_id, MIN(r) AS cluster_id,
+           CAST(id = MIN(r) AS INTEGER) AS is_rep
+    FROM walk GROUP BY id
+    """,
+)
+def dedup_cluster_components_q(spark, sf_dir):
+    """Near-dup CLUSTERING (beyond-reference, SURVEY.md §2.12): blocked
+    3-gram Jaccard pairs → connected components (min-label propagation,
+    one shuffle per round, lineage cut per iteration) → per-doc
+    (cluster_id, is_rep).  The oracle reaches the identical fixpoint —
+    min reachable doc_id — via a recursive CTE."""
+    from apache_nifi_spark.llm import near_dup_clusters
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    out = near_dup_clusters(d, "doc_id", "text", "lang", n=3, threshold=0.5)
+    return out.withColumn("is_rep", F.col("is_rep").cast("int"))
+
+
+@register(
+    "text_chunk_sliding",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS toks
+      FROM documents WHERE doc_id < 40
+    )
+    SELECT doc_id, s AS chunk_start,
+           array_to_string(list_slice(toks, s, s + 19), ' ') AS chunk_text
+    FROM t, unnest(generate_series(1, greatest(length(toks), 1), 10)) AS u(s)
+    """,
+)
+def text_chunk_sliding_q(spark, sf_dir):
+    """Sliding-window chunking (beyond-reference, SURVEY.md §2.12):
+    20-token windows every 10 tokens — explode fan-out stays in the
+    parent partition, zero shuffle."""
+    from apache_nifi_spark.llm import chunk_sliding
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    out = chunk_sliding(d, "text", size=20, stride=10)
+    return out.select(
+        "doc_id", F.col("chunk_start").cast("long").alias("chunk_start"), "chunk_text"
+    )
+
+
+@register(
+    "text_pii_redact",
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id,
+             substr(text, 1, 40) || ' mail user' || CAST(doc_id AS VARCHAR)
+               || '@example.com ip 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+               || ' tel +1 415 555 01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+               AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g'),
+             '\\+?\\d[\\d .-]{7,}\\d', '[PHONE]', 'g') AS redacted
+    FROM planted
+    """,
+)
+def text_pii_redact_q(spark, sf_dir):
+    """PII scrub (beyond-reference, SURVEY.md §2.12): plant synthetic
+    email/IP/phone per doc, then redact via the shared RE2∩Java pattern
+    chain — pure regexp_replace, scan-bandwidth-bound."""
+    from apache_nifi_spark.llm import pii_redact
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" mail user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" tel +1 415 555 01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ).alias("text"),
+    )
+    return pii_redact(d).select("doc_id", "redacted")
+
+
+@register(
+    "sample_stratified_mixture",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+          CASE lang WHEN 'en' THEN 'c0' WHEN 'es' THEN '80'
+                    WHEN 'fr' THEN '40' WHEN 'de' THEN '19'
+                    WHEN 'zh' THEN 'zz' ELSE '0c' END
+    """,
+)
+def sample_stratified_mixture_q(spark, sf_dir):
+    """Corpus-mixture sampling (beyond-reference, SURVEY.md §2.12):
+    per-language deterministic hash-Bernoulli keep rates (en .75,
+    es .5, fr .25, de .1, zh 1.0, default .05) — reproducible across
+    engines/partitionings, pushed as a codegen'd scan filter."""
+    from apache_nifi_spark.operators.sample import sample_stratified_hash
+
+    d = _t(spark, sf_dir, "documents")
+    return sample_stratified_hash(
+        d,
+        F.col("doc_id"),
+        F.col("lang"),
+        {"en": 0.75, "es": 0.5, "fr": 0.25, "de": 0.1, "zh": 1.0},
+        default_rate=0.05,
+    ).select("doc_id", "lang")
+
+
 @register("dedup_minhash_lsh")  # rows-only: banded-LSH output; xxhash64 has no DuckDB twin
 def dedup_minhash_q(spark, sf_dir):
     """MinHash-LSH near-dup pipeline (signatures → bands → verify)."""

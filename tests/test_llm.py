@@ -163,3 +163,86 @@ def test_embedding_cosine_duplicates_blocked(spark):
     rows = embedding_cosine_duplicates(df, "id", "v", "blk", threshold=0.9).collect()
     assert [(r.id_a, r.id_b) for r in rows] == [(1, 2)]
     assert abs(rows[0].cosine - 1.0) < 1e-12
+
+
+def test_connected_components_merges_transitive_chains(spark):
+    from apache_nifi_spark.llm import connected_components
+
+    # chain 1-2-3 (1,3 never directly compared) + pair 10-11 + isolate 20
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 20]], "id long")
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r["id"]: r["component"] for r in connected_components(nodes, edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_near_dup_clusters_reps_cover_all_clusters(spark):
+    from apache_nifi_spark.llm import near_dup_clusters
+
+    d = _docs_with_dups(spark).withColumn("lang", F.lit("en"))
+    out = near_dup_clusters(d, "doc_id", "text", "lang", n=3, threshold=0.5)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 5  # every doc labeled, including singletons
+    # docs 1,2,3 collapse to one cluster with representative 1
+    assert rows[1]["cluster_id"] == rows[2]["cluster_id"] == rows[3]["cluster_id"] == 1
+    assert rows[1]["is_rep"] and not rows[2]["is_rep"] and not rows[3]["is_rep"]
+    # unrelated docs are their own representatives
+    assert rows[4]["is_rep"] and rows[5]["is_rep"]
+
+
+def test_chunk_sliding_covers_every_token_with_overlap(spark):
+    from apache_nifi_spark.llm import chunk_sliding
+
+    text = " ".join(f"w{i}" for i in range(1, 26))  # 25 tokens
+    d = spark.createDataFrame([(1, text), (2, "short text"), (3, "")],
+                              "doc_id long, text string")
+    out = chunk_sliding(d, "text", size=10, stride=5).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_start"], r["chunk_text"]))
+    # 25 tokens, stride 5 → starts 1,6,11,16,21
+    assert [s for s, _ in sorted(by_doc[1])] == [1, 6, 11, 16, 21]
+    assert sorted(by_doc[1])[0][1].split() == [f"w{i}" for i in range(1, 11)]
+    assert sorted(by_doc[1])[-1][1].split() == [f"w{i}" for i in range(21, 26)]
+    assert by_doc[2] == [(1, "short text")]   # shorter than window → one chunk
+    assert by_doc[3] == [(1, "")]             # empty doc → one empty chunk
+    # consecutive chunks overlap by size - stride tokens
+    c1, c2 = sorted(by_doc[1])[0][1].split(), sorted(by_doc[1])[1][1].split()
+    assert c1[5:] == c2[:5]
+
+
+def test_pii_redact_scrubs_all_three_kinds(spark):
+    from apache_nifi_spark.llm import pii_redact
+
+    d = spark.createDataFrame(
+        [(1, "write bob.smith+x@corp.example.co from 192.168.1.250 or +1 415-555-0199 ok")],
+        "doc_id long, text string",
+    )
+    red = pii_redact(d).first()["redacted"]
+    assert red == "write [EMAIL] from [IP] or [PHONE] ok"
+
+
+def test_stratified_hash_rates_and_determinism(spark):
+    from apache_nifi_spark.operators.sample import sample_stratified_hash
+
+    d = spark.range(0, 4000).withColumn(
+        "grp", F.when(F.col("id") % 2 == 0, "a").otherwise("b")
+    )
+    rates = {"a": 0.5, "b": 1.0}
+    out = sample_stratified_hash(d, F.col("id"), F.col("grp"), rates)
+    counts = {r["grp"]: r["count"] for r in out.groupBy("grp").count().collect()}
+    assert counts["b"] == 2000            # rate 1.0 keeps everything
+    assert 800 < counts["a"] < 1200       # ~50% of 2000
+    # deterministic: identical row set on re-run
+    ids1 = sorted(r["id"] for r in out.collect())
+    ids2 = sorted(
+        r["id"]
+        for r in sample_stratified_hash(d, F.col("id"), F.col("grp"), rates).collect()
+    )
+    assert ids1 == ids2
+    # default rate 0.0 drops strata not in the map
+    none = sample_stratified_hash(
+        d, F.col("id"), F.lit("zz"), rates, default_rate=0.0
+    )
+    assert none.count() == 0
