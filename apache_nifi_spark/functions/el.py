@@ -181,7 +181,10 @@ def url_decode(c: Column) -> Column:
 
 
 def base64_encode(c: Column) -> Column:
-    return F.base64(c.cast("binary"))
+    # Spark's base64 MIME-chunks output ≥ 76 chars with CRLF (Java
+    # Base64.getMimeEncoder heritage); NiFi's EL (and RFC 4648) is
+    # unchunked — strip the line breaks so round-trips are identity.
+    return F.regexp_replace(F.base64(c.cast("binary")), "\r\n", "")
 
 
 def base64_decode(c: Column) -> Column:

@@ -38,10 +38,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table (GetFile/FetchFile analog, SURVEY.md §2.1).
 
     ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark reads as a long
-    (``spark.sql.legacy.parquet.nanosAsLong``, set in session.py); convert
-    to microsecond TIMESTAMP_NTZ in the scan projection — DuckDB's naive
-    microsecond timestamp semantics, zero driver involvement.
+    (``spark.sql.legacy.parquet.nanosAsLong``); convert to microsecond
+    TIMESTAMP_NTZ in the scan projection — DuckDB's naive microsecond
+    timestamp semantics, zero driver involvement.
+
+    The conf is set here (runtime-settable, idempotent) rather than only at
+    session build so callers with their own SparkSession — including the
+    correctness driver — read events.parquet without PARQUET_TYPE_ILLEGAL.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = df.withColumn(

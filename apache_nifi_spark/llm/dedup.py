@@ -58,13 +58,20 @@ def exact_dedup(
 
 def char_shingles(text: Column, n: int = 5) -> Column:
     """Distinct character n-grams (the MinHash input set), as an array.
-    Empty array for texts shorter than n."""
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(0))),
-            lambda i: F.substring(text, i, n),
-        )
-    )
+    Empty array for texts shorter than n — guarded explicitly, because
+    ``sequence(1, 0)`` in Spark is the DESCENDING [1, 0] (default step
+    -1 when start > stop), which would hand sub-n texts a bogus
+    non-empty shingle set (and diverge from DuckDB's empty
+    ``generate_series(1, 0)``)."""
+    return F.when(
+        F.length(text) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(text) - (n - 1)),
+                lambda i: F.substring(text, i, n),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def _perm_constants(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -88,9 +95,12 @@ def minhash_signatures(
     num_perm: int = 64,
     shingle_n: int = 5,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per document: sig[i] = min over shingles s of
-    (a_i * h(s) + b_i) mod P, h = xxhash64 (unsigned via pmod).
+    (a_i * h(s) + b_i) mod P, h = xxhash64 (unsigned via pmod) or, with
+    ``hash_fn="md5"``, the first 60 bits of md5(s) — engine-portable, so
+    the whole signature (and everything downstream) value-oracles.
 
     Pure array expressions — each row is independent, no shuffle.  Keeps
     the shingle set alongside for the later exact-Jaccard verify.
@@ -117,12 +127,20 @@ def minhash_signatures(
     shingled = df.select(
         F.col(id_col), char_shingles(F.col(text_col), shingle_n).alias("shingles")
     )
+    if hash_fn == "xxhash64":
+        shingle_hash = lambda s: F.pmod(F.xxhash64(s), F.lit(_P))
+    elif hash_fn == "md5":
+        # 15 hex chars = 60 bits < 2^63: conv's decimal string casts to
+        # long losslessly; identical value via hex-cast in any engine.
+        shingle_hash = lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"), F.lit(_P)
+        )
+    else:
+        raise ValueError("hash_fn must be 'xxhash64' or 'md5'")
     hashed = shingled.select(
         id_col,
         "shingles",
-        F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_P))).alias(
-            "__mh"
-        ),
+        F.transform("shingles", shingle_hash).alias("__mh"),
     )
     sig = F.aggregate(
         "__mh",
@@ -135,27 +153,37 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, id_col: str, bands: int = 16, rows_per_band: int = 4
+    sig_df: DataFrame,
+    id_col: str,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    band_hash: str = "xxhash64",
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs sharing any band bucket.
 
     bands × rows_per_band must equal the signature length.  Shuffles on
-    (band, bucket-hash) — small keys — then self-joins only within
+    (band, bucket) — small keys — then self-joins only within
     buckets; ``a.id < b.id`` dedups the pair space, and a distinct
     collapses pairs that collide in several bands.
+
+    ``band_hash="xxhash64"`` compresses each band slice to one long (the
+    scale path: 8-byte shuffle keys); ``"raw"`` buckets on the slice
+    array itself — bigger keys, but bit-identical in any engine, which
+    is what lets the full LSH pipeline value-oracle.
     """
+    if band_hash == "xxhash64":
+        bucket_of = lambda i: F.xxhash64(
+            F.slice("signature", i * rows_per_band + 1, rows_per_band)
+        )
+    elif band_hash == "raw":
+        bucket_of = lambda i: F.slice("signature", i * rows_per_band + 1, rows_per_band)
+    else:
+        raise ValueError("band_hash must be 'xxhash64' or 'raw'")
     banded = sig_df.select(
         F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.slice("signature", i * rows_per_band + 1, rows_per_band)
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
+        F.posexplode(F.array(*[bucket_of(i) for i in range(bands)])).alias(
+            "band", "bucket"
+        ),
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -182,12 +210,15 @@ def minhash_near_duplicates(
     bands: int = 16,
     threshold: float = 0.7,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pipeline: signatures → banded
     candidates → exact Jaccard (on true shingle sets) ≥ threshold.
 
     Output: (id_a, id_b, jaccard).  The exact verify runs only on LSH
     candidates — the step that makes this viable at corpus scale.
+    ``hash_fn="md5"`` switches both the shingle hash and the band
+    buckets to the engine-portable forms (value-oracle mode).
     """
     # Signature work is CPU-bound per row; a small single-file input would
     # otherwise pin it to one task.  At corpus scale the scan already has
@@ -205,7 +236,9 @@ def minhash_near_duplicates(
     # self-join + the verify joins); persist it so signatures are computed
     # exactly once.  It is narrow — id + 64 longs + shingle array — and
     # spills to disk at corpus scale (MEMORY_AND_DISK default).
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n, seed).persist()
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_perm, shingle_n, seed, hash_fn
+    ).persist()
     # Eager materialization: the downstream branches (bucket join a/b sides,
     # two verify joins) otherwise race to compute signatures concurrently
     # before the cache is populated.  At corpus scale this is where the
@@ -215,9 +248,13 @@ def minhash_near_duplicates(
     # full shingle-set intersection downstream; AQE's size-based coalescing
     # would fold it into one partition and serialize the verify.  Explicit
     # round-robin repartition keeps the CPU-bound verify wide.
-    cands = lsh_candidate_pairs(sigs, id_col, bands, num_perm // bands).repartition(
-        parallelism
-    )
+    cands = lsh_candidate_pairs(
+        sigs,
+        id_col,
+        bands,
+        num_perm // bands,
+        band_hash="raw" if hash_fn == "md5" else "xxhash64",
+    ).repartition(parallelism)
     sh = sigs.select(F.col(id_col), F.col("shingles"))
     pairs = (
         cands.join(sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}), "id_a")
@@ -228,9 +265,9 @@ def minhash_near_duplicates(
     return (
         pairs.withColumn(
             "jaccard",
-            F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
-                F.lit(1.0)
-            ),
+            # union == 0 (both texts sub-n) → NULL → dropped: gram-less
+            # docs have no defined similarity; exact dedup owns them.
+            F.when(union > 0, inter.cast("double") / union.cast("double")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -238,25 +275,54 @@ def minhash_near_duplicates(
 
 
 def simhash(
-    df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash64"
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_col: str = "simhash64",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash sketch: per-token xxhash64; each output bit is the
+    """64-bit SimHash sketch: per-token hash; each output bit is the
     sign of the vote sum over tokens for that bit position.
 
     Implemented as explode → one groupBy with 64 conditional-sum
     aggregates → bit packing.  One shuffle on the id; everything else is
     codegen'd.  Near-dup candidates: equi-join on any 16-bit chunk
     (pigeonhole for hamming ≤ 3).
+
+    ``hash_fn="xxhash64"`` (default) is the scale path — one native
+    64-bit hash per token.  ``hash_fn="md5"`` derives the 64 bits from
+    the md5 hex digits (bit i = bit i%4 of digit 16 - i//4), which any
+    engine reproduces exactly — the value-oracle-able variant.
     """
     tokens = df.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), r"\s+", -1)).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    )
+    if hash_fn == "xxhash64":
+        tokens = tokens.withColumn("h", F.xxhash64("tok"))
+
+        def bit_is_set(i: int):
+            return F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1
+    elif hash_fn == "md5":
+        tokens = tokens.withColumn("hx", F.md5("tok"))
+        tokens = tokens.withColumns(
+            {
+                f"__d{j}": F.conv(F.substring("hx", j, 1), 16, 10).cast("int")
+                for j in range(1, 17)
+            }
+        )
+
+        def bit_is_set(i: int):
+            # low-order bit of the hash = low bit of the LAST hex digit
+            return (
+                F.shiftright(F.col(f"__d{16 - i // 4}"), i % 4).bitwiseAND(F.lit(1))
+                == 1
+            )
+    else:
+        raise ValueError("hash_fn must be 'xxhash64' or 'md5'")
     votes = tokens.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
+            F.sum(F.when(bit_is_set(i), 1).otherwise(-1)).alias(f"b{i}")
             for i in range(64)
         ]
     )
@@ -300,8 +366,11 @@ def ngram_jaccard_pairs(
         pairs.select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
+            # union == 0 (both sub-n/empty) → NULL → dropped by the
+            # filter: gram-less docs have no defined n-gram similarity
+            # (exact-dedup already collapses identical empties), and
+            # this matches the oracle's empty generate_series semantics.
             F.when(union > 0, inter.cast("double") / union.cast("double"))
-            .otherwise(F.lit(1.0))
             .alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)

@@ -118,19 +118,45 @@ def cosine_topk_bruteforce(
     )
 
 
-def srp_signature(vec: Column, bits: int = 16, seed: int = 42) -> Column:
+def srp_signature(
+    vec: Column, bits: int = 16, seed: int = 42, hash_fn: str = "xxhash64"
+) -> Column:
     """Signed-random-projection signature: bit p = sign(w_p · vec) where
-    w_p components are ±1 derived from xxhash64(seed, p, i) — fully
+    w_p components are ±1 derived from hash(seed, p, i) — fully
     deterministic, no stored projection matrix, computable inline.
 
     Cosine-similar vectors agree on most bits (P[agree] = 1 - θ/π).
+
+    ``hash_fn="xxhash64"`` (default) is the scale path.
+    ``hash_fn="md5"`` takes the sign from the parity of the first hex
+    digit of ``md5("seed:p:i")`` — reproducible in any engine, which is
+    what makes the LSH tier value-oracle-able.
     """
-    def _weight(p: int):
-        # closure factory (not default-arg capture: PySpark reads arity
-        # from the lambda signature)
-        return lambda x, i: x.cast("double") * (
-            F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(2)) * 2 - 1
-        ).cast("double")
+    if hash_fn == "xxhash64":
+        def _weight(p: int):
+            # closure factory (not default-arg capture: PySpark reads arity
+            # from the lambda signature)
+            return lambda x, i: x.cast("double") * (
+                F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(2)) * 2 - 1
+            ).cast("double")
+    elif hash_fn == "md5":
+        def _weight(p: int):
+            return lambda x, i: x.cast("double") * F.when(
+                F.lit("13579bdf").contains(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":", F.lit(str(seed)), F.lit(str(p)), i.cast("string")
+                            )
+                        ),
+                        1,
+                        1,
+                    )
+                ),
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0))
+    else:
+        raise ValueError("hash_fn must be 'xxhash64' or 'md5'")
 
     bit_cols = []
     for p in range(bits):
@@ -154,6 +180,7 @@ def cosine_topk_lsh(
     k: int = 5,
     bits: int = 8,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Approximate top-k: SRP bucket equi-join, exact cosine only within
     the query's bucket.  Recall rises as ``bits`` falls (bigger buckets);
@@ -164,13 +191,13 @@ def cosine_topk_lsh(
         F.col(id_col).alias("neighbor_id"),
         _dvec(F.col(vec_col)).alias("c_vec"),
         l2_norm(_dvec(F.col(vec_col))).alias("__cn"),
-        srp_signature(F.col(vec_col), bits, seed).alias("bucket"),
+        srp_signature(F.col(vec_col), bits, seed, hash_fn).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _dvec(F.col(vec_col)).alias("q_vec"),
         l2_norm(_dvec(F.col(vec_col))).alias("__qn"),
-        srp_signature(F.col(vec_col), bits, seed).alias("bucket"),
+        srp_signature(F.col(vec_col), bits, seed, hash_fn).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), on="bucket")

@@ -165,11 +165,17 @@ def chunk_sliding(
 #: PII patterns, constrained to the RE2 ∩ Java-regex common dialect so
 #: the identical pattern runs on Spark and the DuckDB oracle.  Order
 #: matters: emails first (contain digits/dots), then IPv4 (dotted
-#: digits), then phone runs (plain digit runs with separators).
+#: digits), then phone runs.  The phone pattern requires a short lead
+#: group plus 3–5 separator-delimited digit groups (word-bounded), so
+#: long decimals (3.141592653), ISO timestamps, and bare ID/order
+#: numbers survive — only separator-grouped phone-shaped runs redact.
+#: (A space-separated numeric table row can still look phone-shaped;
+#: that residual over-redaction is the accepted tradeoff of a
+#: lookahead-free dialect.)
 PII_PATTERNS: list[tuple[str, str]] = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
     (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
-    (r"\+?\d[\d .-]{7,}\d", "[PHONE]"),
+    (r"\+?\b\d{1,3}(?:[ .-]\d{1,4}){3,5}\b", "[PHONE]"),
 ]
 
 

@@ -71,6 +71,8 @@ from apache_nifi_spark.operators.scripted import (  # noqa: F401
 from apache_nifi_spark.operators.skew import (  # noqa: F401
     salted_join,
     salted_aggregate,
+    salted_join_auto,
+    detect_join_skew,
 )
 from apache_nifi_spark.operators.content import (  # noqa: F401
     pack_content_zip,

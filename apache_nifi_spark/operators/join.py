@@ -122,13 +122,15 @@ def asof_join(
     """As-of join (beyond-reference; NiFi correlates only by exact key).
 
     For each left row, attach the latest right row with
-    ``right.ts <= left.ts`` (backward) within the same key — implemented as
-    union + partitioned window ``last(..., ignorenulls=True)``: ONE shuffle
-    on (key), no cross product, linear within partitions.  This survives
-    100× scale-up where a range cross-join would not.
+    ``right.ts <= left.ts`` (``direction="backward"``) or the earliest
+    right row with ``right.ts >= left.ts`` (``"forward"``) within the
+    same key — implemented as union + partitioned window
+    ``last/first(..., ignorenulls=True)``: ONE shuffle on (key), no
+    cross product, linear within partitions.  This survives 100×
+    scale-up where a range cross-join would not.
     """
-    if direction != "backward":
-        raise NotImplementedError("forward as-of: reverse the ordering")
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
 
     lt = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
     rt = (
@@ -140,14 +142,27 @@ def asof_join(
         .withColumn("__side", F.lit(0))
     )
     unioned = lt.unionByName(rt, allowMissingColumns=True)
-    # right rows sort before left rows at the same timestamp: as-of is <=
-    w = (
-        Window.partitionBy(on)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        # right rows sort before left rows at the same timestamp
+        # (as-of is <=); carry the last right value seen so far forward.
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = F.last
+    else:
+        # forward: left rows sort before right rows at the same timestamp
+        # (side desc) so a right row at exactly left.ts falls inside the
+        # FOLLOWING frame — as-of-forward is >=, inclusive.
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col("__ts").asc(), F.col("__side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = F.first
     filled = unioned.withColumns(
-        {c: F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True).over(w) for c in right_cols}
+        {c: pick(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True).over(w) for c in right_cols}
     )
     return filled.filter(F.col("__side") == 1).drop("__ts", "__side")
 

@@ -55,23 +55,29 @@ def sample_stratified_hash(
     en, 25% of code, 5% of low-quality") of a training-data pipeline.
 
     Keep iff the first two hex chars of ``md5(key)`` fall below the
-    stratum's threshold (rate quantized to 1/256).  Hash-based rather
-    than ``rand()`` so the decision is a pure function of the row —
-    reproducible across runs, engines (DuckDB computes the identical
-    md5 prefix, so this is value-oracled), partitionings, and restarts;
-    at 100 TB it is a codegen'd filter pushed at scan speed with no
-    shuffle and no seed-state coordination across executors.
+    stratum's threshold (rate quantized to nearest 1/256 — round, not
+    truncate, so e.g. rate 0.1 keeps 26/256 = 0.1016 rather than the
+    always-low 25/256).  Hash-based rather than ``rand()`` so the
+    decision is a pure function of the row — reproducible across runs,
+    engines (DuckDB computes the identical md5 prefix, so this is
+    value-oracled), partitionings, and restarts; at 100 TB it is a
+    codegen'd filter pushed at scan speed with no shuffle and no
+    seed-state coordination across executors.
+
+    A NULL ``key`` hashes as the empty string (md5('') = 'd4...'), so
+    NULL-key rows sample deterministically instead of being dropped.
     """
     def _thr(rate: float) -> str:
         # "zz" sorts above every hex prefix → keep-all; quantized hex
         # threshold otherwise.  (A "100" threshold would compare
         # lexicographically against 2-char prefixes and break.)
-        return "zz" if rate >= 1.0 else format(max(int(rate * 256), 0), "02x")
+        return "zz" if rate >= 1.0 else format(max(round(rate * 256), 0), "02x")
 
     thr = F.lit(_thr(default_rate))
     for name, rate in sorted(rates.items()):
         thr = F.when(stratum == name, F.lit(_thr(rate))).otherwise(thr)
-    return df.filter(F.substring(F.md5(key.cast("string")), 1, 2) < thr)
+    hashed = F.md5(F.coalesce(key.cast("string"), F.lit("")))
+    return df.filter(F.substring(hashed, 1, 2) < thr)
 
 
 def control_rate_limit(df: DataFrame, group: Column, order: Column, per_group: int) -> DataFrame:

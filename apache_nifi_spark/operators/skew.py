@@ -21,7 +21,7 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_join", "salted_aggregate"]
+__all__ = ["salted_join", "salted_aggregate", "detect_join_skew", "salted_join_auto"]
 
 _SALT = "__salt"
 
@@ -51,6 +51,56 @@ def salted_join(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
     return hot.join(replicated, keys + [_SALT], how).drop(_SALT)
+
+
+def detect_join_skew(
+    df: DataFrame,
+    on: Sequence[str],
+    skew_factor: float = 4.0,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> bool:
+    """Cheap key-histogram probe: True iff the hottest join key's
+    frequency exceeds ``skew_factor`` × the mean key frequency.
+
+    One aggregate returning a single row — at 100 TB run it on a sample
+    (``sample_fraction``) or, better, off the table's stored statistics;
+    the probe's cost is noise next to a mis-planned shuffle of the
+    full fact table.
+    """
+    probe = df.select(*on)
+    if sample_fraction is not None:
+        probe = probe.sample(fraction=sample_fraction, seed=seed)
+    row = (
+        probe.groupBy(*on)
+        .count()
+        .agg(F.max("count").alias("mx"), F.avg("count").alias("mean"))
+        .first()
+    )
+    if row is None or row["mean"] is None or row["mean"] <= 0:
+        return False
+    return row["mx"] / row["mean"] >= skew_factor
+
+
+def salted_join_auto(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    salt: int = 16,
+    skew_factor: float = 4.0,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Salt only when the key histogram says so; otherwise emit the plain
+    join and let AQE's runtime skew split handle residual hotspots.
+
+    Unconditional salting multiplies the dim side ``salt``× for nothing
+    on evenly-keyed data — the probe makes the cure conditional on the
+    disease.  Results are identical either way.
+    """
+    if detect_join_skew(skewed, on, skew_factor, sample_fraction):
+        return salted_join(skewed, other, on, how=how, salt=salt)
+    return skewed.join(other, list(on), how)
 
 
 def salted_aggregate(

@@ -25,3 +25,7 @@ from apache_nifi_spark.streaming.joins import correlate_streams  # noqa: F401
 from apache_nifi_spark.streaming.routes import route_stream_to_files  # noqa: F401
 from apache_nifi_spark.streaming.backpressure import BackpressureMonitor  # noqa: F401
 from apache_nifi_spark.streaming.site_to_site import s2s_push, s2s_pull  # noqa: F401
+from apache_nifi_spark.streaming.listen import (  # noqa: F401
+    HttpLandingListener,
+    stream_json_landing,
+)

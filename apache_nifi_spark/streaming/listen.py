@@ -1,0 +1,103 @@
+"""ListenHTTP / HandleHttpRequest analog (SURVEY.md §2.1): an HTTP
+endpoint whose POST bodies land as files in a landing-zone directory,
+drained by a Structured Streaming file source.
+
+This is the reference system's most-exercised entry point (the demo flow
+ingests via ``curl -X POST http://NODE:30075/...`` —
+/root/reference/updated.sh:241-243, ListenHTTP on a NodePort).  The
+Spark-first shape splits it in two, which is exactly how a NiFi →
+landing-zone → engine deployment works at scale:
+
+- **Listener (this module)**: a tiny HTTP front end that appends each
+  POST body as one durable file.  In production this tier is nginx /
+  an object-store gateway / Kafka REST — anything that turns requests
+  into durable landed objects; it is intentionally NOT a Spark concern,
+  so losing an executor never loses an in-flight request.
+- **Drain (`stream_json_landing`)**: ``readStream.format("json")`` over
+  the landing dir — exactly-once via checkpoint + the file source's
+  seen-files log, back-pressure via ``maxFilesPerTrigger``.
+
+The listener here is stdlib ``http.server`` (threaded) — enough to make
+the pattern REAL and e2e-testable in-process; swap the front end
+freely, the landing-dir contract is the interface.
+"""
+
+from __future__ import annotations
+
+import http.server
+import os
+import threading
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["HttpLandingListener", "stream_json_landing"]
+
+
+class HttpLandingListener:
+    """Threaded HTTP server writing one landing file per POST body.
+
+    Files are written to ``<landing_dir>/<seq>_<uuid>.json`` via a
+    temp-name + ``os.rename`` so the streaming file source never sees a
+    half-written file (the landing-zone atomicity contract).
+    """
+
+    def __init__(self, landing_dir: str, host: str = "127.0.0.1", port: int = 0):
+        self.landing_dir = landing_dir
+        os.makedirs(landing_dir, exist_ok=True)
+        listener = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):  # noqa: N802 (stdlib API name)
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length)
+                listener._land(body)
+                self.send_response(200)
+                self.end_headers()
+                self.wfile.write(b"ok")
+
+            def log_message(self, *args):  # silence per-request stderr
+                pass
+
+        self._server = http.server.ThreadingHTTPServer((host, port), Handler)
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._seq = 0
+        self._lock = threading.Lock()
+
+    def _land(self, body: bytes) -> None:
+        with self._lock:
+            self._seq += 1
+            seq = self._seq
+        name = f"{seq:08d}_{uuid.uuid4().hex[:8]}.json"
+        tmp = os.path.join(self.landing_dir, f".tmp_{name}")
+        with open(tmp, "wb") as f:
+            f.write(body)
+        os.rename(tmp, os.path.join(self.landing_dir, name))
+
+    @property
+    def url(self) -> str:
+        host, port = self._server.server_address[:2]
+        return f"http://{host}:{port}/"
+
+    def __enter__(self) -> "HttpLandingListener":
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+
+
+def stream_json_landing(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Drain a JSON landing zone as a stream (the ListenHTTP consumer
+    half).  Explicit schema — a streaming source must not infer — and
+    ``maxFilesPerTrigger`` as the ControlRate/back-pressure knob."""
+    reader = spark.readStream.schema(schema).format("json")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(landing_dir)

@@ -29,6 +29,10 @@ def stream_events(
     """Open the events fixture (or any directory of same-schema parquet)
     as a stream, normalizing the nanos timestamp exactly like the batch
     loader so batch-parity oracles line up."""
+    # Self-contained nanos handling (same rationale as io.load_table): the
+    # schema sniff below reads the parquet footer and fails on
+    # TIMESTAMP(NANOS) unless the legacy conf is on in *this* session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = path or f"{sf_dir}/events.parquet"
     if os.path.isfile(src):
         # FileStreamSource wants a directory (the landing zone, §3.2); a

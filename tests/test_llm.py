@@ -177,6 +177,39 @@ def test_connected_components_merges_transitive_chains(spark):
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
 
 
+def test_connected_components_long_chain_converges(spark):
+    """A 1000-node path graph: plain min-label propagation would need
+    ~1000 rounds; the pointer-jump shortcut must converge within the
+    default 25-round budget (O(log n))."""
+    from apache_nifi_spark.llm import connected_components
+
+    n = 1000
+    nodes = spark.range(1, n + 1).toDF("id")
+    edges = (
+        spark.range(1, n)
+        .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    )
+    out = connected_components(nodes, edges)
+    comps = out.select("component").distinct().collect()
+    assert [r["component"] for r in comps] == [1]
+    assert out.count() == n
+
+
+def test_connected_components_raises_on_exhaustion(spark):
+    import pytest
+
+    from apache_nifi_spark.llm import connected_components
+
+    n = 64
+    nodes = spark.range(1, n + 1).toDF("id")
+    edges = (
+        spark.range(1, n)
+        .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iter=2)
+
+
 def test_near_dup_clusters_reps_cover_all_clusters(spark):
     from apache_nifi_spark.llm import near_dup_clusters
 

@@ -132,6 +132,22 @@ def test_asof_join_backward_semantics(spark):
     assert got == {"L1": 100.0, "L2": 150.0, "L3": None}
 
 
+def test_asof_join_forward_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "L1"), (1, 20, "L2"), (2, 5, "L3")], "k int, t int, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 3, 900.0)], "k int, t int, v double"
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="t", right_ts="t", right_cols=["v"],
+        direction="forward",
+    )
+    got = {r["tag"]: r["v"] for r in out.collect()}
+    # equal timestamps match (>=); earlier right rows don't leak forward
+    assert got == {"L1": 100.0, "L2": None, "L3": None}
+
+
 def test_merge_record_bins_and_cap(spark, sf_dir):
     ev = io.load_table(spark, sf_dir, "events")
     bins = merge_record(ev, "user_id", F.col("event_id"), max_entries=5)

@@ -58,6 +58,28 @@ def test_provenance_trail_counts(spark, sf_dir):
     assert [r["stage"] for r in snap.orderBy("hop").collect()] == ["CREATE", "ROUTE"]
 
 
+def test_no_driver_side_collect_in_library_source():
+    """Static audit of the 100 TB rule that no operator ships rows to the
+    driver: no ``.collect()`` / ``.toPandas()`` call anywhere in library
+    source (AST walk, so docstrings don't count).  ``first()``/``count()``
+    returning O(1) rows are fine and excluded."""
+    import ast
+    import pathlib
+
+    root = pathlib.Path(io.__file__).parent
+    offenders = []
+    for path in root.rglob("*.py"):
+        tree = ast.parse(path.read_text())
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr in ("collect", "toPandas")
+            ):
+                offenders.append(f"{path.relative_to(root)}:{node.lineno}")
+    assert not offenders, f"driver-side row transfer in library code: {offenders}"
+
+
 def test_no_accidental_cartesian_products(spark, sf_dir):
     """Sweep every batch query's physical plan: no CartesianProduct
     anywhere; BroadcastNestedLoop only for genuinely non-equi joins

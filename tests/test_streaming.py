@@ -62,6 +62,43 @@ def test_max_files_per_trigger_multi_batch_and_backpressure(spark, sf_dir):
         spark.streams.removeListener(monitor)
 
 
+def test_listen_http_landing_zone(spark, sf_dir):
+    """E2E ListenHTTP analog (the reference's curl-POST entry point):
+    POST JSON events to a live local HTTP listener → landing files →
+    streaming drain → aggregate matches what was sent."""
+    import json
+    import urllib.request
+
+    from apache_nifi_spark.streaming import HttpLandingListener, stream_json_landing
+
+    landing = tempfile.mkdtemp(prefix="t_http_landing_")
+    events = [
+        {"event_id": i, "event_type": "purchase" if i % 2 else "error", "value": float(i)}
+        for i in range(10)
+    ]
+    with HttpLandingListener(landing) as listener:
+        for ev in events:
+            req = urllib.request.Request(
+                listener.url, data=json.dumps(ev).encode(), method="POST"
+            )
+            with urllib.request.urlopen(req, timeout=10) as resp:
+                assert resp.status == 200
+    sdf = stream_json_landing(
+        spark, landing, "event_id BIGINT, event_type STRING, value DOUBLE"
+    )
+    out = run_to_memory(
+        sdf.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+        ),
+        output_mode="complete",
+    )
+    got = {r["event_type"]: (r["n"], r["total"]) for r in out.collect()}
+    assert got == {
+        "purchase": (5, float(sum(i for i in range(10) if i % 2))),
+        "error": (5, float(sum(i for i in range(10) if not i % 2))),
+    }
+
+
 def test_site_to_site_relay_lossless(spark, sf_dir):
     from apache_nifi_spark.streaming import run_to_memory, s2s_pull, s2s_push, stream_events
 
