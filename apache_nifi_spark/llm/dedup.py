@@ -248,8 +248,13 @@ def minhash_near_duplicates(
     # full shingle-set intersection downstream; AQE's size-based coalescing
     # would fold it into one partition and serialize the verify.  Explicit
     # round-robin repartition keeps the CPU-bound verify wide.
+    # Shingle-less docs (shorter than shingle_n) all carry the identity
+    # signature [P, P, …] and would land in ONE band bucket — O(k²)
+    # candidate pairs among k short/empty docs before the jaccard-NULL
+    # filter drops every one of them.  Exact dedup owns those docs;
+    # exclude them from banding entirely.
     cands = lsh_candidate_pairs(
-        sigs,
+        sigs.filter(F.size("shingles") > 0),
         id_col,
         bands,
         num_perm // bands,

@@ -166,16 +166,18 @@ def chunk_sliding(
 #: the identical pattern runs on Spark and the DuckDB oracle.  Order
 #: matters: emails first (contain digits/dots), then IPv4 (dotted
 #: digits), then phone runs.  The phone pattern requires a short lead
-#: group plus 3–5 separator-delimited digit groups (word-bounded), so
-#: long decimals (3.141592653), ISO timestamps, and bare ID/order
-#: numbers survive — only separator-grouped phone-shaped runs redact.
+#: group plus 2–5 separator-delimited digit groups (word-bounded) — this
+#: covers the common 3-group forms (415-555-0199, 415.555.0199,
+#: 555 123 4567) as well as +CC 4-group internationals, while long
+#: decimals (3.141592653), ISO timestamps, and bare ID/order numbers
+#: survive because they lack a separator between every group.
 #: (A space-separated numeric table row can still look phone-shaped;
 #: that residual over-redaction is the accepted tradeoff of a
 #: lookahead-free dialect.)
 PII_PATTERNS: list[tuple[str, str]] = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
     (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
-    (r"\+?\b\d{1,3}(?:[ .-]\d{1,4}){3,5}\b", "[PHONE]"),
+    (r"\+?\b\d{1,3}(?:[ .-]\d{1,4}){2,5}\b", "[PHONE]"),
 ]
 
 

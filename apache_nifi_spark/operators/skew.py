@@ -25,6 +25,19 @@ __all__ = ["salted_join", "salted_aggregate", "detect_join_skew", "salted_join_a
 
 _SALT = "__salt"
 
+#: Above this estimated input size the auto-join probe defaults to a 1%
+#: sample rather than a full key scan.
+_PROBE_FULL_SCAN_BYTES = 1 << 30
+
+
+def _is_large(df: DataFrame) -> bool:
+    """Catalyst size estimate ≥ 1 GiB → sample the skew probe."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        return plan.stats().sizeInBytes().longValue() >= _PROBE_FULL_SCAN_BYTES
+    except Exception:
+        return False
+
 
 def salted_join(
     skewed: DataFrame,
@@ -67,7 +80,14 @@ def detect_join_skew(
     (``sample_fraction``) or, better, off the table's stored statistics;
     the probe's cost is noise next to a mis-planned shuffle of the
     full fact table.
+
+    NOTE: this is an EAGER Spark action (a full groupBy-count job) fired
+    at plan-construction time — not lazy like the rest of the operator
+    surface.  Streaming DataFrames don't support ``first()``; callers
+    (``salted_join_auto``) skip the probe for them.
     """
+    if df.isStreaming:
+        return False
     probe = df.select(*on)
     if sample_fraction is not None:
         probe = probe.sample(fraction=sample_fraction, seed=seed)
@@ -97,7 +117,17 @@ def salted_join_auto(
     Unconditional salting multiplies the dim side ``salt``× for nothing
     on evenly-keyed data — the probe makes the cure conditional on the
     disease.  Results are identical either way.
+
+    COST: the probe is an eager groupBy-count job at DataFrame-BUILD
+    time (see ``detect_join_skew``) — one extra scan of the join keys.
+    On large inputs pass ``sample_fraction`` (e.g. 0.01) to bound it;
+    streaming inputs skip the probe and fall through to the plain join
+    (AQE / watermark state handles them).
     """
+    if skewed.isStreaming:
+        return skewed.join(other, list(on), how)
+    if sample_fraction is None and _is_large(skewed):
+        sample_fraction = 0.01
     if detect_join_skew(skewed, on, skew_factor, sample_fraction):
         return salted_join(skewed, other, on, how=how, salt=salt)
     return skewed.join(other, list(on), how)

@@ -1345,7 +1345,7 @@ def text_chunk_sliding_q(spark, sf_dir):
                regexp_replace(text,
                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
                '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g'),
-             '\\+?\\b\\d{1,3}(?:[ .-]\\d{1,4}){3,5}\\b', '[PHONE]', 'g') AS redacted
+             '\\+?\\b\\d{1,3}(?:[ .-]\\d{1,4}){2,5}\\b', '[PHONE]', 'g') AS redacted
     FROM planted
     """,
 )
@@ -2987,15 +2987,26 @@ def el_date_advanced_q(spark, sf_dir):
     )
 
 
-_BUCKETED_STAGED: dict[str, bool] = {}
+def _bucketed_names(sf_dir: str) -> tuple[str, str]:
+    """Per-sf_dir catalog table names: two sf_dirs in one process must not
+    collide on a global name, and the suffix makes the pair self-describing."""
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"reg_li_bucketed_{tag}", f"reg_o_bucketed_{tag}"
 
 
-def _staged_bucketed_tables(spark, sf_dir: str) -> None:
+def _staged_bucketed_tables(spark, sf_dir: str) -> tuple[str, str]:
     """One-time bucketed-layout build for ``bucketed_colocated_join``
     (fixture/index prep, not part of the measured join — the amortization
-    the operator's whole point rests on)."""
-    if _BUCKETED_STAGED.get(sf_dir):
-        return
+    the operator's whole point rests on).
+
+    Staleness is decided by the CATALOG (``tableExists``), not a module
+    flag: a fresh SparkSession in the same process gets its own build,
+    and a second sf_dir gets its own table names."""
+    li_name, o_name = _bucketed_names(sf_dir)
+    if spark.catalog.tableExists(li_name) and spark.catalog.tableExists(o_name):
+        return li_name, o_name
     import tempfile
 
     from apache_nifi_spark.sources import write_bucketed
@@ -3005,9 +3016,9 @@ def _staged_bucketed_tables(spark, sf_dir: str) -> None:
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )
     base = tempfile.mkdtemp(prefix="anspark_bucketed_")
-    write_bucketed(li, "reg_li_bucketed", ["l_orderkey"], 8, path=f"{base}/li")
-    write_bucketed(o, "reg_o_bucketed", ["l_orderkey"], 8, path=f"{base}/o")
-    _BUCKETED_STAGED[sf_dir] = True
+    write_bucketed(li, li_name, ["l_orderkey"], 8, path=f"{base}/li")
+    write_bucketed(o, o_name, ["l_orderkey"], 8, path=f"{base}/o")
+    return li_name, o_name
 
 
 @register(
@@ -3034,9 +3045,9 @@ def bucketed_colocated_join_q(spark, sf_dir):
     ``_staged_rolling_dir``)."""
     from apache_nifi_spark.sources import bucketed_table
 
-    _staged_bucketed_tables(spark, sf_dir)
-    joined = bucketed_table(spark, "reg_li_bucketed").join(
-        bucketed_table(spark, "reg_o_bucketed"), "l_orderkey"
+    li_name, o_name = _staged_bucketed_tables(spark, sf_dir)
+    joined = bucketed_table(spark, li_name).join(
+        bucketed_table(spark, o_name), "l_orderkey"
     )
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),

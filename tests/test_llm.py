@@ -256,6 +256,27 @@ def test_pii_redact_scrubs_all_three_kinds(spark):
     assert red == "write [EMAIL] from [IP] or [PHONE] ok"
 
 
+def test_pii_redact_common_phone_formats(spark):
+    """3-group US formats (dash / dot / space) must redact; decimals,
+    ISO dates, and bare order numbers must survive."""
+    from apache_nifi_spark.llm import pii_redact
+
+    rows = [
+        (1, "call 415-555-0199 now", "call [PHONE] now"),
+        (2, "call 415.555.0199 now", "call [PHONE] now"),
+        (3, "call 555 123 4567 now", "call [PHONE] now"),
+        (4, "intl +44 20 7946 0958 ok", "intl [PHONE] ok"),
+        (5, "pi is 3.141592653 exactly", "pi is 3.141592653 exactly"),
+        (6, "order 982734982 shipped", "order 982734982 shipped"),
+    ]
+    d = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["redacted"] for r in pii_redact(d).collect()}
+    for i, _, want in rows:
+        assert got[i] == want, f"doc {i}: {got[i]!r} != {want!r}"
+
+
 def test_stratified_hash_rates_and_determinism(spark):
     from apache_nifi_spark.operators.sample import sample_stratified_hash
 
