@@ -17,7 +17,14 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["TABLES", "load_table", "load_all", "register_views", "convert_record"]
+__all__ = [
+    "TABLES",
+    "load_table",
+    "load_all",
+    "register_views",
+    "convert_record",
+    "widen_if_narrow",
+]
 
 #: Fixture tables the driver materializes (TESTDATA.md).
 TABLES = (
@@ -55,6 +62,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # double division would lose precision (ns epochs > 2^53)
             F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
         )
+    return df
+
+
+def widen_if_narrow(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to ``defaultParallelism`` when the input has
+    fewer splittable units (files) than cores.
+
+    The test fixtures are single-file, single-row-group parquet, so any
+    CPU-heavy per-row work downstream of the scan (decimal aggregation,
+    XPath parsing, regex extraction) would otherwise pin to ONE task while
+    31 cores idle.  At real scale a 100 TB table has thousands of row
+    groups and this is a no-op — the guard makes the exchange a
+    small-input-only cost, mirroring the probe `minhash_near_duplicates`
+    already uses.
+
+    Apply AFTER pushed-down filters (a repartition above the scan would
+    block predicate pushdown), BEFORE the expensive projection/agg.
+    """
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    try:
+        n_splits = len(df.inputFiles())
+    except Exception:
+        n_splits = par
+    if n_splits < par:
+        return df.repartition(par)
     return df
 
 

@@ -299,7 +299,11 @@ def simhash(
     the md5 hex digits (bit i = bit i%4 of digit 16 - i//4), which any
     engine reproduces exactly — the value-oracle-able variant.
     """
-    tokens = df.select(
+    from apache_nifi_spark.io import widen_if_narrow
+
+    # Widen BEFORE the explode: per-token hashing + 64 bit-votes are the
+    # CPU cost, and shuffling whole docs is cheaper than shuffling tokens.
+    tokens = widen_if_narrow(df).select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), r"\s+", -1)).alias("tok"),
     )
@@ -408,7 +412,13 @@ def embedding_cosine_duplicates(
         _dvec(F.col(vec_col)).alias("__v"),
         l2_norm(_dvec(F.col(vec_col))).alias("__n"),
     )
-    a, b = side.alias("a"), side.alias("b")
+    from apache_nifi_spark.io import widen_if_narrow
+
+    # The pair-level dot-product fold is the CPU cost; when the probe side
+    # comes from a single-split fixture Catalyst broadcasts the other side
+    # and the whole pair loop runs in ONE task.  Widening the probe side
+    # spreads it; no-op when the scan already has enough splits.
+    a, b = widen_if_narrow(side).alias("a"), side.alias("b")
     pairs = a.join(
         b,
         (F.col("a.__blk") == F.col("b.__blk"))

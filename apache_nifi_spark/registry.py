@@ -161,7 +161,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     here it is one distributed hash aggregate with map-side partials)."""
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp_ntz"))
+        # widen: 7 decimal aggregates over the full fact table are the CPU
+        # cost here; on a single-row-group fixture they'd run in one task.
+        io.widen_if_narrow(
+            li.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp_ntz"))
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _dsum(F.col("l_quantity"), "sum_qty"),
@@ -1083,7 +1087,9 @@ def pivot_q(spark, sf_dir):
 )
 def cube_q(spark, sf_dir):
     """CUBE: all grouping-set combinations (superset of QueryRecord)."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = io.widen_if_narrow(_t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    ))
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"), _dsum(F.col("l_quantity"), "qty")
     )
@@ -2853,7 +2859,9 @@ def evaluate_xpath_q(spark, sf_dir):
     the fixture so the oracle is the identity projection."""
     from apache_nifi_spark.operators import evaluate_xpath
 
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 8 == 0)
+    o = io.widen_if_narrow(
+        _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 8 == 0)
+    )
     xml = F.concat(
         F.lit("<order><id>"),
         F.col("o_orderkey").cast("string"),

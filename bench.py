@@ -16,12 +16,27 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from apache_nifi_spark.registry import QUERIES  # noqa: E402
 from apache_nifi_spark.session import get_spark  # noqa: E402
+
+
+def _use_tmpfs() -> dict[str, str]:
+    """Stage scratch (stream checkpoints/landing dirs, shuffle spill) on
+    tmpfs when available.  /tmp here is disk-backed ext4; streaming
+    checkpoints are fsync-heavy small-file writes that pay disk latency
+    for no durability the bench needs.  On a real cluster the equivalents
+    are local NVMe spill dirs + an object-store checkpoint — a deployment
+    mount choice, not a code path."""
+    if not os.path.isdir("/dev/shm"):
+        return {}
+    shm = tempfile.mkdtemp(prefix="anspark_bench_", dir="/dev/shm")
+    tempfile.tempdir = shm
+    return {"spark.local.dir": shm}
 
 #: Queries whose result is small (agg/limit) are collected; wide row-level
 #: results are counted (driver transfer would otherwise dominate timing).
@@ -34,7 +49,9 @@ def run_bench(sf_dir: str) -> dict:
     # sub-second queries); AQE re-splits at real scale, so this is config,
     # not a code-path difference.
     shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "4"))
-    spark = get_spark(app_name="bench", shuffle_partitions=shuffle)
+    spark = get_spark(
+        app_name="bench", shuffle_partitions=shuffle, extra_conf=_use_tmpfs()
+    )
     # Small-SF scan config: every fixture at sf0.1 is < 100 MB, so one task
     # per scan removes per-task scheduling overhead.  At real scale the
     # default 128 MB split size re-applies — config, not a code path.
