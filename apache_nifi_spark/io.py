@@ -41,6 +41,10 @@ TABLES = (
 )
 
 
+#: (applicationId, sf_dir, table) → lazy scan DataFrame; see load_table.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table (GetFile/FetchFile analog, SURVEY.md §2.1).
 
@@ -52,8 +56,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     The conf is set here (runtime-settable, idempotent) rather than only at
     session build so callers with their own SparkSession — including the
     correctness driver — read events.parquet without PARQUET_TYPE_ILLEGAL.
+
+    The returned DataFrame is cached per (application, sf_dir, table):
+    ``spark.read.parquet`` costs a ~120 ms schema-inference round-trip,
+    and a DataFrame is an immutable lazy plan, so handing back the same
+    scan node to every query is free — Catalyst re-optimizes per query
+    regardless.  The fixtures are read-only, so the plan can't go stale.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = df.withColumn(
@@ -62,6 +76,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # double division would lose precision (ns epochs > 2^53)
             F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
         )
+    _TABLE_CACHE[key] = df
     return df
 
 

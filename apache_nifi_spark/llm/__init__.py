@@ -39,7 +39,10 @@ from apache_nifi_spark.llm.text import (  # noqa: F401
     rolling_fingerprint,
     chunk_sliding,
     pii_redact,
+    repetition_scores,
+    decontaminate,
 )
+from apache_nifi_spark.llm.pack import pack_greedy  # noqa: F401
 from apache_nifi_spark.llm.cluster import (  # noqa: F401
     connected_components,
     near_dup_clusters,

@@ -72,6 +72,31 @@ def connected_components(
     labels = labels.localCheckpoint(eager=True)
     sym = sym.localCheckpoint(eager=True)
 
+    # AQE re-plans every stage of every round; for this loop the label
+    # table's shape is known and stable (|V| rows, two columns), so the
+    # runtime re-optimization is pure per-round overhead (~30% of loop
+    # wall here).  Scope it off for the loop and restore after — the
+    # measured tradeoff only reverses when a single round's shuffle is
+    # big enough to need skew handling, which the edge-list dedup
+    # upstream already bounds.
+    spark = nodes.sparkSession
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        converged, labels = _propagate(sym, labels, max_iter)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "labels would be silently wrong — raise max_iter"
+        )
+    return labels
+
+
+def _propagate(
+    sym: DataFrame, labels: DataFrame, max_iter: int
+) -> tuple[bool, DataFrame]:
     converged = False
     for _ in range(max_iter):
         # Each node offers its current label to every neighbor; the
@@ -108,12 +133,7 @@ def connected_components(
         if changed == 0:
             converged = True
             break
-    if not converged:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds; "
-            "labels would be silently wrong — raise max_iter"
-        )
-    return labels
+    return converged, labels
 
 
 def near_dup_clusters(

@@ -114,11 +114,15 @@ def minhash_signatures(
     (shorter than ``shingle_n``) get the identity signature [P, P, …]
     (min over the empty set), which collides only with other empty docs.
     """
-    consts = F.array(
-        *[
-            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+    # One JVM-side parse instead of num_perm×3 Py4J Column constructions
+    # (driver plan-build latency, not executor cost).
+    consts = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('a', {a}L, 'b', {b}L)"
             for a, b in _perm_constants(num_perm, seed)
-        ]
+        )
+        + ")"
     )
     # Staged projections: shingles → hashes → signature.  Each stage
     # references the previous alias, which keeps CollapseProject from
@@ -307,40 +311,46 @@ def simhash(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), r"\s+", -1)).alias("tok"),
     )
+    # All 64-way expressions below are built as SQL strings parsed JVM-side
+    # in a handful of calls: constructing them with Column operators costs
+    # ~650 Py4J round-trips (~2 s of DRIVER latency per plan build) for the
+    # identical Catalyst tree.
     if hash_fn == "xxhash64":
         tokens = tokens.withColumn("h", F.xxhash64("tok"))
 
-        def bit_is_set(i: int):
-            return F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1
+        def bit_sql(i: int) -> str:
+            return f"(shiftright(h, {i}) & 1) = 1"
     elif hash_fn == "md5":
-        tokens = tokens.withColumn("hx", F.md5("tok"))
-        tokens = tokens.withColumns(
+        # Two 32-bit conv halves instead of 16 per-digit convs (8× less
+        # per-token prep, same bit mapping): the first 16 hex chars are a
+        # 64-bit value H1:H2; bit i of the sketch = bit (i%4) of hex digit
+        # (16 - i//4), which is exactly bit i of H2 for i < 32 and bit
+        # (i - 32) of H1 otherwise.
+        tokens = tokens.withColumn("hx", F.md5("tok")).withColumns(
             {
-                f"__d{j}": F.conv(F.substring("hx", j, 1), 16, 10).cast("int")
-                for j in range(1, 17)
+                "__h1": F.expr("CAST(conv(substring(hx, 1, 8), 16, 10) AS BIGINT)"),
+                "__h2": F.expr("CAST(conv(substring(hx, 9, 8), 16, 10) AS BIGINT)"),
             }
         )
 
-        def bit_is_set(i: int):
-            # low-order bit of the hash = low bit of the LAST hex digit
-            return (
-                F.shiftright(F.col(f"__d{16 - i // 4}"), i % 4).bitwiseAND(F.lit(1))
-                == 1
-            )
+        def bit_sql(i: int) -> str:
+            half, off = ("__h2", i) if i < 32 else ("__h1", i - 32)
+            return f"(shiftright({half}, {off}) & 1) = 1"
     else:
         raise ValueError("hash_fn must be 'xxhash64' or 'md5'")
     votes = tokens.groupBy(id_col).agg(
         *[
-            F.sum(F.when(bit_is_set(i), 1).otherwise(-1)).alias(f"b{i}")
+            F.expr(f"sum(IF({bit_sql(i)}, 1, -1)) AS b{i}")
             for i in range(64)
         ]
     )
-    packed = F.lit(0).cast("long")
-    for i in range(64):
-        packed = packed.bitwiseOR(
-            F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (1 << i) if i < 63 else F.lit(-(1 << 63)).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-        )
+    # Disjoint powers of two, so addition == bitwise OR; bit 63 is the
+    # long sign bit.
+    terms = [
+        f"IF(b{i} > 0, CAST({(1 << i) if i < 63 else -(1 << 63)} AS BIGINT), CAST(0 AS BIGINT))"
+        for i in range(64)
+    ]
+    packed = F.expr(" + ".join(terms))
     return votes.select(F.col(id_col), packed.alias(out_col))
 
 

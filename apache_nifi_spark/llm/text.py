@@ -20,6 +20,8 @@ __all__ = [
     "rolling_fingerprint",
     "chunk_sliding",
     "pii_redact",
+    "repetition_scores",
+    "decontaminate",
     "STOPWORDS",
     "PII_PATTERNS",
 ]
@@ -191,6 +193,107 @@ def pii_redact(
     for pattern, token in PII_PATTERNS:
         out = F.regexp_replace(out, pattern, token)
     return df.withColumn(out_col, out)
+
+
+def repetition_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1
+    quality filters): the fraction of tokens taken by the single most
+    frequent token, and the fraction of 2-grams that are repeats.
+    Machine-generated / boilerplate text scores high on both; a
+    pretraining filter drops rows above thresholds.
+
+    Shape: explode → two (id, gram) aggregations → join back.  Two
+    shuffles keyed on (doc, gram) — scale-safe (an all-HOF variant would
+    be O(tokens²) per row).  Division is exact-int → double, so the
+    scores value-oracle bit-for-bit.
+    """
+    base = df.select(F.col(id_col), _ws_tokens(F.col(text_col)).alias("__t"))
+    uni = (
+        base.select(id_col, F.explode("__t").alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.max("c").alias("__top"),
+            F.sum("c").alias("n_tokens"),
+        )
+    )
+    # NB: guard the sequence bound — sequence(1, 0) counts DOWN in Spark,
+    # which would fabricate out-of-range indices on 0/1-token docs.
+    bigrams = base.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "IF(size(__t) >= 2,"
+                " transform(sequence(1, size(__t) - 1),"
+                "           i -> concat(__t[i - 1], ' ', __t[i])),"
+                " array())"
+            )
+        ).alias("bg"),
+    )
+    big = bigrams.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__nbg"),
+        F.count_distinct(F.col("bg")).alias("__dbg"),
+    )
+    return (
+        uni.join(big, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("__top").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "top_unigram_frac"
+            ),
+            F.coalesce(
+                (F.col("__nbg") - F.col("__dbg")).cast("double")
+                / F.col("__nbg").cast("double"),
+                F.lit(0.0),
+            ).alias("dup_bigram_frac"),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    ``n``-gram (token-level) with a held-out benchmark/eval set — the
+    standard pre-training hygiene pass (GPT-3 appendix C shape).
+
+    Both sides explode to distinct n-grams and meet in ONE equi-join on
+    the gram; corpus docs with ≥1 hit are ``contaminated``.  At 100 TB
+    the gram key would be xxhash64-compressed and the benchmark side
+    (small by construction) broadcast — expressed here as a plain join so
+    Catalyst picks broadcast from size.
+    Output: corpus (id, contaminated boolean).
+    """
+
+    def grams(d: DataFrame, out: str) -> DataFrame:
+        return d.withColumn("__t", _ws_tokens(F.col(text_col))).select(
+            F.col(id_col).alias(out),
+            F.explode(
+                F.expr(
+                    f"IF(size(__t) >= {n},"
+                    f" array_distinct(transform(sequence(1, size(__t) - {n - 1}),"
+                    f"   i -> concat_ws(' ', slice(__t, i, {n})))),"
+                    " array())"
+                )
+            ).alias("gram"),
+        )
+
+    c = grams(corpus, "cid")
+    b = grams(benchmark, "bid").select("gram").distinct()
+    hits = c.join(b, "gram").select("cid").distinct()
+    return corpus.select(id_col).join(
+        hits.withColumnRenamed("cid", id_col).withColumn("contaminated", F.lit(True)),
+        id_col,
+        "left",
+    ).select(id_col, F.coalesce("contaminated", F.lit(False)).alias("contaminated"))
 
 
 def rolling_fingerprint(

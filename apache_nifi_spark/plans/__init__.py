@@ -16,8 +16,10 @@ from apache_nifi_spark.plans.introspect import (
     pushed_filters,
 )
 from apache_nifi_spark.plans.provenance import ProvenanceTrail
+from apache_nifi_spark.plans.flow_registry import FlowRegistry
 
 __all__ = [
+    "FlowRegistry",
     "ProvenanceTrail",
     "count_codegen_spans",
     "count_exchanges",

@@ -1872,7 +1872,20 @@ def convert_record_json_q(spark, sf_dir):
     return convert_record(spark, orders, "json", out)
 
 
-@register("source_binary_file")  # rows-only: file metadata has no DuckDB table twin
+@register(
+    "source_binary_file",
+    # The correctness gate always runs at sf0.01 (BASELINE.md §B), and the
+    # oracle dialect has no sf_dir parameter, so the blob glob is pinned to
+    # that fixture dir; DuckDB's read_blob supplies the same
+    # (file_name, size, content bytes) triple the binaryFile source emits.
+    oracle="""
+    SELECT parse_filename(filename) AS file_name,
+           size AS length,
+           CAST(octet_length(content) AS INT) AS content_bytes
+    FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    ORDER BY file_name
+    """,
+)
 def source_binary_file_q(spark, sf_dir):
     """GetFile over opaque payloads (§2.1): binaryFile source on the
     fixture directory — one FlowFile-shaped row per file with content
@@ -3649,3 +3662,174 @@ def stream_backpressure_q(spark, sf_dir):
         [(len(monitor.history), float(slope), slope > 0.0)],
         "n_batches int, backlog_slope double, predicts_saturation boolean",
     )
+
+
+# =====================================================================
+# Round 3: repetition filtering, decontamination, context packing,
+# flow version control (§2.12 additions + NiFi Registry analog)
+# =====================================================================
+
+@register(
+    "text_repetition_scores",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS toks
+      FROM documents
+    ),
+    u AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2
+    ),
+    ua AS (SELECT doc_id, max(c) AS top, sum(c) AS n_tokens FROM u GROUP BY 1),
+    b AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS bgm
+      FROM t
+    ),
+    ba AS (SELECT doc_id, count(*) AS nbg, count(DISTINCT bgm) AS dbg FROM b GROUP BY 1)
+    SELECT ua.doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(top AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_unigram_frac,
+           COALESCE(CAST(nbg - dbg AS DOUBLE) / CAST(nbg AS DOUBLE), 0.0) AS dup_bigram_frac
+    FROM ua LEFT JOIN ba USING (doc_id)
+    """,
+)
+def text_repetition_q(spark, sf_dir):
+    """Gopher-style repetition quality signals (§2.12): top-unigram
+    fraction + duplicate-bigram fraction per document — the standard
+    machine-generated/boilerplate filter for pretraining corpora."""
+    from apache_nifi_spark.llm import repetition_scores
+
+    return repetition_scores(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_decontaminate",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(toks) - 6, 1)),
+               i -> array_to_string(list_slice(toks, i, i + 7), ' ')))) AS gram
+      FROM t
+    ),
+    hits AS (
+      SELECT DISTINCT c.doc_id
+      FROM g c JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0) b USING (gram)
+    )
+    SELECT t.doc_id, (hits.doc_id IS NOT NULL) AS contaminated
+    FROM t LEFT JOIN hits ON t.doc_id = hits.doc_id
+    """,
+)
+def text_decontaminate_q(spark, sf_dir):
+    """Benchmark decontamination (§2.12): flag corpus docs sharing any
+    8-token gram with the held-out eval slice (doc_id % 97 = 0 stands in
+    for the benchmark set) — one gram equi-join, benchmark side broadcast
+    by size at scale."""
+    from apache_nifi_spark.llm import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    return decontaminate(d, d.filter(F.col("doc_id") % 97 == 0), n=8)
+
+
+@register(
+    "pack_chunks_greedy",
+    oracle=r"""
+    WITH RECURSIVE d AS (
+      SELECT source, doc_id,
+             len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    walk AS (
+      SELECT source, doc_id, n_tokens, rn,
+             0 AS pack_id, n_tokens AS acc
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+             CASE WHEN w.acc + d.n_tokens <= 512 THEN w.pack_id ELSE w.pack_id + 1 END,
+             CASE WHEN w.acc + d.n_tokens <= 512 THEN w.acc + d.n_tokens ELSE d.n_tokens END
+      FROM walk w JOIN d ON d.source = w.source AND d.rn = w.rn + 1
+    )
+    SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(pack_id AS BIGINT) AS pack_id
+    FROM walk
+    """,
+)
+def pack_chunks_q(spark, sf_dir):
+    """Context-window packing (§2.12): greedy 512-token sequential bins
+    per source shard via applyInPandas (parallel across shards, exact
+    fold within) — value-oracled against a recursive-CTE fold, the same
+    check pattern as connected components."""
+    from apache_nifi_spark.llm import pack_greedy
+    from apache_nifi_spark.llm.text import _ws_tokens
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(_ws_tokens(F.col("text"))).alias("n_tokens")
+    )
+    return pack_greedy(d, budget=512, group_col="source", id_col="doc_id")
+
+
+_FLOW_V1 = (
+    "SELECT n_name, COUNT(*) AS n_customers FROM customer "
+    "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+)
+_FLOW_V2 = (
+    "SELECT n_name, COUNT(*) AS n_customers, "
+    "CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_bal "
+    "FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+)
+_FLOW_EVENTS = (
+    "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type"
+)
+
+
+@register(
+    "flow_registry_versions",
+    oracle=f"""
+    SELECT * FROM (VALUES
+      ('etl', 'customer_by_nation', 1, sha256('{_FLOW_V1}'), {len(_FLOW_V1)}),
+      ('etl', 'customer_by_nation', 2, sha256('{_FLOW_V2}'), {len(_FLOW_V2)}),
+      ('etl', 'event_counts', 1, sha256('{_FLOW_EVENTS}'), {len(_FLOW_EVENTS)})
+    ) AS t(bucket, flow, version, digest, def_chars)
+    """,
+)
+def flow_registry_versions_q(spark, sf_dir):
+    """Flow version control (NiFi Registry analog — reference
+    nifi-registry/deployement.yaml:13-16,51): buckets → flows → immutable
+    monotonically-versioned snapshots, content-addressed by sha256."""
+    from apache_nifi_spark.plans import FlowRegistry
+
+    reg = FlowRegistry()
+    reg.publish("etl", "customer_by_nation", _FLOW_V1, "initial")
+    reg.publish("etl", "customer_by_nation", _FLOW_V2, "add balances")
+    reg.publish("etl", "event_counts", _FLOW_EVENTS, "initial")
+    return reg.snapshot(spark).select(
+        "bucket", "flow", "version", "digest", "def_chars"
+    )
+
+
+@register(
+    "flow_registry_run_pinned",
+    oracle=f"""
+    SELECT n_name, CAST(n_customers AS BIGINT) AS n_customers FROM ({_FLOW_V1})
+    """,
+)
+def flow_registry_run_q(spark, sf_dir):
+    """Run a PINNED flow version from the registry (version 1, while
+    latest is 2) — the reproducibility contract flow version control
+    exists for."""
+    from apache_nifi_spark.plans import FlowRegistry
+
+    io.register_views(spark, sf_dir)
+    reg = FlowRegistry()
+    reg.publish("etl", "customer_by_nation", _FLOW_V1, "initial")
+    reg.publish("etl", "customer_by_nation", _FLOW_V2, "add balances")
+    return reg.run(spark, "etl", "customer_by_nation", version=1)

@@ -20,6 +20,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+#: file path → (landing dir, schema); see stream_events staging note.
+_LANDING_CACHE: dict[str, tuple[str, "object"]] = {}
+
+
 def stream_events(
     spark: SparkSession,
     sf_dir: str,
@@ -37,10 +41,18 @@ def stream_events(
     if os.path.isfile(src):
         # FileStreamSource wants a directory (the landing zone, §3.2); a
         # single-file fixture is staged via symlink — zero data copy.
-        landing = tempfile.mkdtemp(prefix="anspark_landing_")
-        os.symlink(src, os.path.join(landing, os.path.basename(src)))
-        src = landing
-    schema = spark.read.parquet(src).schema  # footer read only
+        # Staged once per source file: queries that open the same stream
+        # twice (self-union dedup, stream-stream joins) and repeated bench
+        # runs reuse the landing dir and the footer-read schema.
+        cached = _LANDING_CACHE.get(src)
+        if cached is None or not os.path.isdir(cached[0]):
+            landing = tempfile.mkdtemp(prefix="anspark_landing_")
+            os.symlink(src, os.path.join(landing, os.path.basename(src)))
+            cached = (landing, spark.read.parquet(landing).schema)
+            _LANDING_CACHE[src] = cached
+        src, schema = cached
+    else:
+        schema = spark.read.parquet(src).schema  # footer read only
     reader = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

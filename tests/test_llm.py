@@ -300,3 +300,78 @@ def test_stratified_hash_rates_and_determinism(spark):
         d, F.col("id"), F.lit("zz"), rates, default_rate=0.0
     )
     assert none.count() == 0
+
+
+def test_repetition_scores_flags_repeats(spark):
+    from apache_nifi_spark.llm import repetition_scores
+
+    d = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),           # 1 unigram, 1 distinct bigram of 3
+            (2, "all words here are distinct"),   # no repeats
+            (3, "one"),                           # single token, no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_scores(d).collect()}
+    assert got[1]["top_unigram_frac"] == 1.0
+    assert got[1]["dup_bigram_frac"] == 2 / 3          # 3 bigrams, 1 distinct
+    assert got[2]["top_unigram_frac"] == 1 / 5
+    assert got[2]["dup_bigram_frac"] == 0.0
+    assert got[3]["n_tokens"] == 1 and got[3]["dup_bigram_frac"] == 0.0
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    from apache_nifi_spark.llm import decontaminate
+
+    bench_text = "a b c d e f g h unique tail"
+    corpus = spark.createDataFrame(
+        [
+            (1, bench_text),                       # identical -> contaminated
+            (2, "x a b c d e f g h y"),            # shares the 8-gram a..h
+            (3, "totally different words with no overlap at all here"),
+            (4, "short doc"),                      # < 8 tokens, can't overlap
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(99, bench_text)], "doc_id long, text string")
+    got = {r["doc_id"]: r["contaminated"] for r in decontaminate(corpus, bench).collect()}
+    assert got == {1: True, 2: True, 3: False, 4: False}
+
+
+def test_pack_greedy_bins_and_oversize(spark):
+    from apache_nifi_spark.llm import pack_greedy
+
+    d = spark.createDataFrame(
+        [
+            ("s1", 1, 300), ("s1", 2, 200),                  # 500 <= 512 fit
+            ("s1", 3, 20),                                   # 520 > 512 -> pack 1
+            ("s1", 4, 400),                                  # 420 fits pack 1
+            ("s1", 5, 9000),                                 # oversize -> own pack 2
+            ("s1", 6, 10),                                   # pack 3
+            ("s2", 7, 512),                                  # exactly budget -> pack 0
+        ],
+        "source string, doc_id long, n_tokens long",
+    )
+    got = {r["doc_id"]: r["pack_id"] for r in pack_greedy(d, budget=512).collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 3, 7: 0}
+
+
+def test_flow_registry_versions_and_pinning(spark):
+    from apache_nifi_spark.plans import FlowRegistry
+
+    reg = FlowRegistry()
+    v1 = reg.publish("b", "f", "SELECT 1 AS x")
+    v2 = reg.publish("b", "f", "SELECT 2 AS x")
+    assert (v1, v2) == (1, 2)
+    assert reg.run(spark, "b", "f", version=1).first()["x"] == 1
+    assert reg.run(spark, "b", "f").first()["x"] == 2   # latest
+    snap = reg.snapshot(spark).collect()
+    assert [r["version"] for r in snap] == [1, 2]
+    assert snap[0]["digest"] != snap[1]["digest"]
+    # round-trip through the parquet catalog (the PVC analog)
+    import tempfile
+    path = tempfile.mkdtemp(prefix="anspark_flowreg_") + "/cat"
+    reg.save(spark, path)
+    reg2 = FlowRegistry.load(spark, path)
+    assert reg2.get("b", "f", 1) == "SELECT 1 AS x"
