@@ -207,13 +207,18 @@ def split_json(
         *[F.col(c) for c in keep],
         F.from_json(F.col(json_col), f"array<{element_schema}>").alias("__arr"),
     )
-    # size() and posexplode() reference the SAME materialized column, so
-    # the JSON parse runs once per row (not once per consumer expression)
+    # posexplode_OUTER, then drop the null-index rows.  A non-outer
+    # Generate injects a `size(arr) > 0 AND arr IS NOT NULL` pre-filter
+    # in which Catalyst INLINES the from_json subtree — the interpreted
+    # (CodegenFallback) parse then runs 2 extra times per row, below the
+    # projection, over every scanned row.  The outer form skips that
+    # pre-filter; the post-filter below is a plain int null-check with
+    # identical semantics (empty/null arrays emit no fragments).
     exploded = parsed.select(
         *[F.col(c) for c in keep],
         F.size("__arr").alias("fragment_count"),
-        F.posexplode("__arr").alias("fragment_index", "element"),
-    )
+        F.posexplode_outer("__arr").alias("fragment_index", "element"),
+    ).filter(F.col("fragment_index").isNotNull())
     return exploded.select(
         *[F.col(c) for c in keep],
         "fragment_index",

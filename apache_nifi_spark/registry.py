@@ -114,9 +114,14 @@ def flagship_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     return (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
-            & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp_ntz"))
+        # widen: the dim sides broadcast (o/c/n under the 64 MB threshold
+        # at this SF), so without it the probe-side join+agg would run
+        # inside the single-split scan task.
+        io.widen_if_narrow(
+            li.filter(
+                (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+                & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp_ntz"))
+            )
         )
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
@@ -1106,7 +1111,9 @@ def cube_q(spark, sf_dir):
     """,
 )
 def distinct_count_q(spark, sf_dir):
-    """COUNT(DISTINCT) — expand+two-phase agg planned by Catalyst."""
+    """COUNT(DISTINCT) — expand+two-phase agg planned by Catalyst.
+    (No widen: measured, the extra exchange costs more than the
+    single-task Expand+partial-agg saves on this narrow 2-column input.)"""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_suppkey").agg(
         F.countDistinct("l_partkey").alias("n_parts"),
@@ -3456,9 +3463,12 @@ def split_xml_q(spark, sf_dir):
             " '</i></o>'), '/o/i/text()')"
         ).alias("items"),
     )
+    # posexplode_outer + null-index drop: the non-outer Generate would
+    # inline the (CodegenFallback) xpath call into its size()>0 pre-filter
+    # and re-parse the XML twice per scanned row (same fix as split_json).
     return items.select(
-        "o_orderkey", F.posexplode("items").alias("fragment_index", "item")
-    )
+        "o_orderkey", F.posexplode_outer("items").alias("fragment_index", "item")
+    ).filter(F.col("fragment_index").isNotNull())
 
 
 @register(
@@ -3833,3 +3843,114 @@ def flow_registry_run_q(spark, sf_dir):
     reg.publish("etl", "customer_by_nation", _FLOW_V1, "initial")
     reg.publish("etl", "customer_by_nation", _FLOW_V2, "add balances")
     return reg.run(spark, "etl", "customer_by_nation", version=1)
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def stream_static_enrich_q(spark, sf_dir):
+    """LookupRecord inside a stream (§2.6 × §2.11): stream-static join —
+    each micro-batch broadcast-joins the bounded customer dim; no state
+    store, no watermark (the static side is a lookup table, not a stream).
+    At 100 TB the dim refreshes by re-reading the table per batch — the
+    exact NiFi enrichment-in-flow shape."""
+    from apache_nifi_spark.streaming import run_to_memory, stream_events
+
+    sdf = stream_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = sdf.join(F.broadcast(dim), sdf["user_id"] == dim["c_custkey"])
+    return run_to_memory(
+        joined.select("event_id", "user_id", "c_mktsegment"), output_mode="append"
+    )
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, unnest(list_transform(range(1, length(text) - 1),
+                                           i -> substr(text, i, 3))) AS gram
+      FROM documents WHERE length(text) >= 3
+    ),
+    c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_grams,
+           round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+    FROM c GROUP BY doc_id
+    """,
+)
+def text_char_entropy_q(spark, sf_dir):
+    """Character 3-gram Shannon entropy (§2.12 quality tier): low entropy
+    flags repetitive/degenerate text, high flags noise/binary junk — a
+    standard cheap perplexity proxy.  Uses H = ln(T) − Σ c·ln(c)/T so one
+    grouped aggregate suffices; rounded to 6 dp because double addition
+    order is partition-dependent (the only nondeterminism in the whole
+    expression)."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.round(
+            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 6
+        ).alias("entropy"),
+    )
+
+
+_PRUNED_DIR: dict[str, str] = {}
+
+
+def _staged_partitioned_orders(spark, sf_dir: str) -> str:
+    """One-time partitioned layout (hive-style dirs by o_orderstatus) for
+    the partition-pruning read demo — the write is the amortized layout
+    build, mirroring `_staged_bucketed_tables`."""
+    path = _PRUNED_DIR.get(sf_dir)
+    import os as _os
+    if path and _os.path.isdir(path):
+        return path
+    import tempfile
+
+    from apache_nifi_spark.sources import write_records
+
+    orders = _t(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="anspark_pruned_")
+    write_records(
+        orders.repartition("o_orderstatus"), path, "parquet",
+        partition_by=["o_orderstatus"],
+    )
+    _PRUNED_DIR[sf_dir] = path
+    return path
+
+
+@register(
+    "partition_pruned_read",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def partition_pruned_read_q(spark, sf_dir):
+    """Partition pruning (§4 scale rule): the o_orderstatus='F' predicate
+    is satisfied by DIRECTORY listing on the hive-partitioned layout —
+    the scan never opens the other partitions' files (PartitionFilters in
+    the plan; asserted in tests/test_plans.py).  At 100 TB this is the
+    difference between reading one partition and reading everything."""
+    path = _staged_partitioned_orders(spark, sf_dir)
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice"), "total_price"),
+    )

@@ -40,6 +40,19 @@ def test_flagship_plan_shape(spark, sf_dir):
     assert count_codegen_spans(df) >= 2
 
 
+def test_widen_preserves_pushdown_and_noops_when_wide(spark, sf_dir):
+    """widen_if_narrow sits ABOVE the filter, so predicate pushdown to the
+    scan must survive it (q1 uses this shape); and a DataFrame that
+    already has >= parallelism input splits must pass through untouched."""
+    q1 = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    assert any("l_shipdate" in f for f in pushed_filters(q1)), pushed_filters(q1)
+    # the contract that matters: widening never changes results
+    narrow = io.load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    a = {tuple(r) for r in narrow.collect()}
+    b = {tuple(r) for r in io.widen_if_narrow(narrow).collect()}
+    assert a == b
+
+
 def test_lookup_is_broadcast_not_shuffle(spark, sf_dir):
     df = QUERIES["lookup_customer_nation"](spark, sf_dir)
     assert has_broadcast_join(df)
@@ -115,3 +128,13 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
         assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
         if "BroadcastNestedLoop" in plan:
             assert name in bnlj_ok, f"{name} unexpectedly uses BroadcastNestedLoopJoin"
+
+
+def test_partition_pruning_reaches_directory_listing(spark, sf_dir):
+    """The hive-partitioned read must show the status predicate as a
+    PartitionFilter (directory pruning), not just a data filter."""
+    df = QUERIES["partition_pruned_read"](spark, sf_dir)
+    plan = formatted_explain(df)
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "o_orderstatus" in seg, seg
