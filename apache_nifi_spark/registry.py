@@ -3954,3 +3954,30 @@ def partition_pruned_read_q(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         _dsum(F.col("o_totalprice"), "total_price"),
     )
+
+
+@register(
+    "encrypt_content_roundtrip",
+    oracle="SELECT s_suppkey, s_name, CAST(s_nationkey AS VARCHAR) AS nation_str FROM supplier",
+)
+def encrypt_content_q(spark, sf_dir):
+    """EncryptContent → DecryptContent (§2.4, NiFi's AES content
+    protection): built-in aes_encrypt/aes_decrypt (AES-128-GCM, random
+    IV per row, JVM-side).  Ciphertext is intentionally nondeterministic;
+    the DECRYPTED roundtrip is the oracle-checkable identity — same
+    contract as NiFi (decrypt(encrypt(x)) == x), and the plan stays one
+    codegen'd projection, no shuffle."""
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", F.col("s_nationkey").cast("string").alias("nation_str")
+    )
+    key = "0123456789abcdef"  # demo key; a KMS-injected secret in production
+    enc = sup.select(
+        "s_suppkey",
+        F.expr(f"aes_encrypt(s_name, '{key}')").alias("name_ct"),
+        F.expr(f"aes_encrypt(nation_str, '{key}')").alias("nat_ct"),
+    )
+    return enc.select(
+        "s_suppkey",
+        F.expr(f"CAST(aes_decrypt(name_ct, '{key}') AS STRING)").alias("s_name"),
+        F.expr(f"CAST(aes_decrypt(nat_ct, '{key}') AS STRING)").alias("nation_str"),
+    )
