@@ -25,6 +25,7 @@ from apache_nifi_spark.operators.transform import (  # noqa: F401
     filter_attributes,
     convert_character_set,
     split_json,
+    transform_xml,
 )
 from apache_nifi_spark.operators.join import (  # noqa: F401
     lookup_record,

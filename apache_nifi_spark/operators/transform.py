@@ -33,6 +33,7 @@ __all__ = [
     "filter_attributes",
     "convert_character_set",
     "split_json",
+    "transform_xml",
 ]
 
 
@@ -225,3 +226,39 @@ def split_json(
         "fragment_count",
         F.col("element.*"),
     )
+
+
+def transform_xml(
+    df: DataFrame,
+    xml_col: str,
+    transformer,
+    out_col: str = "transformed",
+) -> DataFrame:
+    """TransformXml (SURVEY.md §2.4) — scoped analog.
+
+    NiFi applies an XSLT stylesheet per FlowFile; no XSLT engine exists
+    in this environment (stdlib has none, lxml is absent), so the
+    "stylesheet" here is a Python callable ``Element -> Element`` over
+    the stdlib-parsed tree — the same reshape/rename/drop transformations
+    XSLT is used for in NiFi flows, minus the XSLT language itself
+    (documented scope reduction).
+
+    Runs as ``mapInPandas`` (Arrow batches, parse+rebuild per row inside
+    the worker) — the NiFi-2.x-Python-processor execution shape; at
+    100 TB it scales with partitions like any scripted transform.
+    """
+    from pyspark.sql.types import StringType
+
+    schema = StructType(list(df.schema.fields)).add(out_col, StringType())
+
+    def _run(batches):
+        import xml.etree.ElementTree as ET
+
+        for pdf in batches:
+            pdf[out_col] = [
+                ET.tostring(transformer(ET.fromstring(x)), encoding="unicode")
+                for x in pdf[xml_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(_run, schema)

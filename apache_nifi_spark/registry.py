@@ -3981,3 +3981,38 @@ def encrypt_content_q(spark, sf_dir):
         F.expr(f"CAST(aes_decrypt(name_ct, '{key}') AS STRING)").alias("s_name"),
         F.expr(f"CAST(aes_decrypt(nat_ct, '{key}') AS STRING)").alias("nation_str"),
     )
+
+
+@register(
+    "transform_xml_restyle",
+    oracle="""
+    SELECT o_orderkey,
+           '<order id="' || o_orderkey || '"><st>' || o_orderstatus
+             || '</st></order>' AS transformed
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def transform_xml_q(spark, sf_dir):
+    """TransformXml (§2.4, scoped: callable stylesheet over the parsed
+    tree — no XSLT engine in env, see operators.transform_xml): reshape
+    <o><id/><status/></o> into <order id=".."><st/></order> per row via
+    mapInPandas; the oracle rebuilds the expected serialization in SQL."""
+    from apache_nifi_spark.operators import transform_xml
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    doc = o.select(
+        "o_orderkey",
+        F.concat(
+            F.lit("<o><id>"), F.col("o_orderkey").cast("string"),
+            F.lit("</id><status>"), F.col("o_orderstatus"), F.lit("</status></o>"),
+        ).alias("xml"),
+    )
+
+    def restyle(root):
+        import xml.etree.ElementTree as ET
+
+        out = ET.Element("order", {"id": root.findtext("id")})
+        ET.SubElement(out, "st").text = root.findtext("status")
+        return out
+
+    return transform_xml(doc, "xml", restyle).select("o_orderkey", "transformed")
