@@ -375,3 +375,50 @@ def test_flow_registry_versions_and_pinning(spark):
     reg.save(spark, path)
     reg2 = FlowRegistry.load(spark, path)
     assert reg2.get("b", "f", 1) == "SELECT 1 AS x"
+
+
+def test_pack_greedy_invariants(spark):
+    """Property: within every pack except a single-oversize-doc pack, the
+    token sum never exceeds the budget; pack ids are contiguous from 0 in
+    doc order; every input row appears exactly once."""
+    from apache_nifi_spark.llm import pack_greedy
+
+    import random
+    rng = random.Random(7)
+    rows = [
+        (f"s{g}", i, rng.choice([5, 50, 120, 300, 700]))
+        for g in range(4)
+        for i in range(g * 100, g * 100 + 40)
+    ]
+    d = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    out = pack_greedy(d, budget=256).collect()
+    assert len(out) == len(rows)
+    by_group: dict = {}
+    for r in out:
+        by_group.setdefault(r["source"], []).append(r)
+    for g, rs in by_group.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        # contiguous non-decreasing pack ids starting at 0
+        ids = [r["pack_id"] for r in rs]
+        assert ids[0] == 0
+        assert all(b - a in (0, 1) for a, b in zip(ids, ids[1:]))
+        # budget invariant
+        sums: dict = {}
+        for r in rs:
+            sums[r["pack_id"]] = sums.get(r["pack_id"], 0) + r["n_tokens"]
+        for pid, tot in sums.items():
+            n_docs = sum(1 for r in rs if r["pack_id"] == pid)
+            assert tot <= 256 or n_docs == 1, (g, pid, tot)
+
+
+def test_repetition_scores_bounds(spark):
+    """Property: both fractions live in [0, 1]; top_unigram_frac >= 1/n."""
+    from apache_nifi_spark.llm import repetition_scores
+
+    d = io.load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = repetition_scores(d).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["top_unigram_frac"] <= 1.0
+        assert 0.0 <= r["dup_bigram_frac"] < 1.0
+        assert r["top_unigram_frac"] >= 1.0 / r["n_tokens"]
