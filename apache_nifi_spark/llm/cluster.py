@@ -103,8 +103,7 @@ def _propagate(
         # pointer jump additionally offers component[component] (label
         # of the label node — always in the same component, so the
         # fixpoint is unchanged, only reached quadratically faster).
-        # Take the min of (own, neighbors', jumped).  One edge shuffle
-        # + one |V|-row label self-join per round.
+        # One edge shuffle + one |V|-row label self-join per round.
         offers = sym.join(labels, sym["dst"] == labels["id"]).select(
             sym["src"].alias("id"), "component"
         )
@@ -114,22 +113,29 @@ def _propagate(
         jumped = labels.join(hop, labels["component"] == hop["__cid"]).select(
             "id", F.col("__ccomp").alias("component")
         )
-        new_labels = (
-            labels.select("id", "component")
-            .union(offers)
-            .union(jumped)
+        # min over external candidates, LEFT-joined back onto the label
+        # table so new = least(own, candidates) — labels only decrease,
+        # so `cand < own` IS the per-node change flag, computed in the
+        # same pass (the old formulation spent an extra join + shuffle
+        # per round re-deriving it from old-vs-new).
+        mins = (
+            offers.union(jumped)
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
+            .agg(F.min("component").alias("__cand"))
+        )
+        new_labels = (
+            labels.join(mins, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("__cand", "component")
+                ).alias("component"),
+                (F.col("__cand") < F.col("component")).alias("__chg"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("__chg").limit(1).count()
+        labels = new_labels.select("id", "component")
         if changed == 0:
             converged = True
             break
