@@ -4016,3 +4016,88 @@ def transform_xml_q(spark, sf_dir):
         return out
 
     return transform_xml(doc, "xml", restyle).select("o_orderkey", "transformed")
+
+
+@register(
+    "corpus_pipeline_full",
+    oracle=r"""
+    WITH en AS (
+      SELECT doc_id, text FROM documents WHERE lang = 'en'
+    ),
+    tok AS (
+      SELECT doc_id, text,
+             len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS nt
+      FROM en
+    ),
+    q AS (SELECT doc_id, text FROM tok WHERE nt >= 50),
+    bgr AS (
+      SELECT doc_id,
+             1.0 - CAST(count(DISTINCT bgm) AS DOUBLE) / count(*) AS dup_frac
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS bgm
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS toks
+              FROM q)
+      ) GROUP BY doc_id
+    ),
+    keep AS (
+      SELECT q.doc_id, q.text FROM q JOIN bgr USING (doc_id) WHERE bgr.dup_frac < 0.5
+    ),
+    red AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+               '\+?\b\d{1,3}(?:[ .-]\d{1,4}){2,5}\b', '[PHONE]', 'g') AS redacted
+      FROM keep
+    ),
+    ded AS (
+      SELECT doc_id, redacted FROM (
+        SELECT doc_id, redacted,
+               row_number() OVER (PARTITION BY redacted ORDER BY doc_id) AS rn
+        FROM red
+      ) WHERE rn = 1
+    ),
+    t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(redacted, '\s+'), x -> x != '') AS toks
+      FROM ded
+    )
+    SELECT doc_id, s AS chunk_start,
+           array_to_string(list_slice(toks, s, s + 19), ' ') AS chunk_text
+    FROM t, unnest(generate_series(1, greatest(len(toks), 1), 10)) AS u(s)
+    """,
+)
+def corpus_pipeline_full_q(spark, sf_dir):
+    """The end-to-end pretraining-data pipeline as ONE declarative plan
+    (§2.12 composition): language filter → min-length gate → repetition
+    filter (dup-bigram < 0.5) → PII redaction → exact dedup on redacted
+    content (sha-keyed shuffle, min doc_id survives) → 20/10 sliding
+    chunks.  Every stage is a stage this registry oracles individually;
+    the composition value-oracles as a single 6-CTE chain.  At 100 TB
+    this whole flow is two shuffles (repetition agg join, dedup) — all
+    other stages are projections fused by Catalyst."""
+    from apache_nifi_spark.llm import chunk_sliding, pii_redact, repetition_scores
+    from apache_nifi_spark.llm.text import _ws_tokens
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    q = d.filter(F.size(_ws_tokens(F.col("text"))) >= 50)
+    rep = repetition_scores(q).select("doc_id", "dup_bigram_frac")
+    keep = q.join(rep, "doc_id").filter(F.col("dup_bigram_frac") < 0.5)
+    red = pii_redact(keep, "text", "redacted").select("doc_id", "redacted")
+    w = Window.partitionBy("redacted").orderBy("doc_id")
+    ded = (
+        red.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    chunks = chunk_sliding(ded, text_col="redacted", size=20, stride=10)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        "chunk_text",
+    )
