@@ -209,6 +209,9 @@ def repetition_scores(
     be O(tokens²) per row).  Division is exact-int → double, so the
     scores value-oracle bit-for-bit.
     """
+    # No widen: both downstream aggregations shuffle on (doc, gram),
+    # which already spreads the heavy phase; measured, an extra exchange
+    # above the explode costs more than it saves here.
     base = df.select(F.col(id_col), _ws_tokens(F.col(text_col)).alias("__t"))
     uni = (
         base.select(id_col, F.explode("__t").alias("tok"))

@@ -3891,7 +3891,9 @@ def text_char_entropy_q(spark, sf_dir):
     grouped aggregate suffices; rounded to 6 dp because double addition
     order is partition-dependent (the only nondeterminism in the whole
     expression)."""
-    d = _t(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    d = io.widen_if_narrow(
+        _t(spark, sf_dir, "documents").filter(F.length("text") >= 3).select("doc_id", "text")
+    )
     grams = d.select(
         "doc_id",
         F.explode(
@@ -4100,4 +4102,43 @@ def corpus_pipeline_full_q(spark, sf_dir):
         "doc_id",
         F.col("chunk_start").cast("long").alias("chunk_start"),
         "chunk_text",
+    )
+
+
+@register(
+    "retry_flowfile_route",
+    oracle="""
+    SELECT event_id,
+           attempts + 1 AS attempts,
+           CASE WHEN NOT (value < 10) THEN 'success'
+                WHEN attempts + 1 <= 3 THEN 'retry'
+                ELSE 'retries_exceeded' END AS relationship,
+           CASE WHEN value < 10 AND attempts + 1 <= 3
+                THEN ts + INTERVAL 30 SECOND END AS penalized_until
+    FROM (SELECT event_id, ts, value, event_id % 5 AS attempts FROM events)
+    """,
+)
+def retry_flowfile_q(spark, sf_dir):
+    """RetryFlowFile + PenalizeFlowFile (§2.3): failed records get an
+    incremented retry counter and route to `retry` (with a penalty
+    not-before timestamp — NiFi's penalization) until the max-attempts
+    cap flips them to `retries_exceeded`.  Pure column expressions —
+    the retry queue at scale is just a partition of the routed output
+    re-read after `penalized_until`.  (Failure predicate stands in for a
+    downstream error: value < 10; the synthetic prior-attempt count is
+    event_id % 5.)"""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "value", (F.col("event_id") % 5).alias("attempts")
+    )
+    failed = F.col("value") < 10
+    bumped = F.col("attempts") + 1
+    return ev.select(
+        "event_id",
+        bumped.alias("attempts"),
+        F.when(~failed, "success")
+        .when(bumped <= 3, "retry")
+        .otherwise("retries_exceeded")
+        .alias("relationship"),
+        F.when(failed & (bumped <= 3), F.col("ts") + F.expr("INTERVAL 30 SECOND"))
+        .alias("penalized_until"),
     )
