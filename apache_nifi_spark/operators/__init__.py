@@ -79,3 +79,4 @@ from apache_nifi_spark.operators.content import (  # noqa: F401
     pack_content_zip,
     unpack_content_zip,
 )
+from apache_nifi_spark.operators.http import invoke_http  # noqa: F401,E402

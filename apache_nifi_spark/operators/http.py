@@ -1,0 +1,79 @@
+"""InvokeHTTP analog (SURVEY.md §2.1): per-record outbound HTTP
+enrichment.
+
+NiFi's InvokeHTTP calls an endpoint per FlowFile and routes on the
+response.  Spark-first shape: an Arrow-batched ``mapInPandas`` stage
+holding ONE pooled ``http.client`` connection per partition — requests
+amortize TCP/TLS setup across the batch, partitions fan out across
+executors, and the operator stays a plain DataFrame transform (routing
+on ``status`` composes with RouteOnAttribute downstream).
+
+At 100 TB the same shape holds: concurrency = partitions, per-partition
+keep-alive connections, and rate control via ``ControlRate`` upstream or
+``maxRecordsPerBatch`` — never a per-row connection, never driver-side
+requests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+__all__ = ["invoke_http"]
+
+
+def invoke_http(
+    df: DataFrame,
+    url_col: str,
+    out_col: str = "response",
+    status_col: str = "status",
+    timeout: float = 10.0,
+) -> DataFrame:
+    """GET each row's ``url_col``; append the response body (string) and
+    HTTP status.  One keep-alive connection per (host, partition).
+
+    Failure semantics mirror InvokeHTTP's relationships: transport
+    errors yield status -1 and empty body (the ``failure`` route) rather
+    than failing the task — retry policy belongs to RetryFlowFile
+    downstream, not to the transform.
+    """
+    import pandas as pd  # noqa: F401 (worker-side)
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField(out_col, StringType()), StructField(status_col, IntegerType())]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import http.client
+        import urllib.parse
+
+        conns: dict[tuple[str, int], http.client.HTTPConnection] = {}
+
+        def fetch(url: str) -> tuple[str, int]:
+            u = urllib.parse.urlsplit(url)
+            key = (u.hostname or "", u.port or 80)
+            try:
+                conn = conns.get(key)
+                if conn is None:
+                    conn = http.client.HTTPConnection(
+                        key[0], key[1], timeout=timeout
+                    )
+                    conns[key] = conn
+                path = u.path + (f"?{u.query}" if u.query else "")
+                conn.request("GET", path)
+                resp = conn.getresponse()
+                return resp.read().decode("utf-8", "replace"), resp.status
+            except Exception:
+                conns.pop(key, None)  # drop the broken keep-alive
+                return "", -1
+
+        for pdf in batches:
+            results = [fetch(u) for u in pdf[url_col]]
+            pdf[out_col] = [r[0] for r in results]
+            pdf[status_col] = [r[1] for r in results]
+            yield pdf
+
+    return df.mapInPandas(run, schema)

@@ -4142,3 +4142,67 @@ def retry_flowfile_q(spark, sf_dir):
         F.when(failed & (bumped <= 3), F.col("ts") + F.expr("INTERVAL 30 SECOND"))
         .alias("penalized_until"),
     )
+
+
+_ECHO_PORT: list[int] = []
+
+
+def _staged_echo_server() -> int:
+    """Process-lifetime deterministic echo endpoint for the InvokeHTTP
+    demo: GET /rev?x=<s> → reverse(<s>).  Stands in for the enrichment
+    service a real flow would call; daemon-threaded stdlib server, same
+    staging pattern as the rolling-log/bucketed fixtures."""
+    if _ECHO_PORT:
+        return _ECHO_PORT[0]
+    import http.server
+    import threading
+    import urllib.parse
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            q = urllib.parse.urlsplit(self.path).query
+            x = urllib.parse.parse_qs(q).get("x", [""])[0]
+            body = x[::-1].encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    _ECHO_PORT.append(srv.server_address[1])
+    return _ECHO_PORT[0]
+
+
+@register(
+    "invoke_http_enrich",
+    oracle="""
+    SELECT c_custkey, c_name,
+           reverse(c_name) AS response,
+           200 AS status
+    FROM customer WHERE c_custkey <= 200
+    """,
+)
+def invoke_http_enrich_q(spark, sf_dir):
+    """InvokeHTTP (§2.1): per-record outbound GET against a deterministic
+    echo service (reverse of the query param), pooled keep-alive
+    connection per partition via mapInPandas — see operators/http.py.
+    The oracle recomputes the enrichment function in SQL."""
+    from apache_nifi_spark.operators import invoke_http
+
+    port = _staged_echo_server()
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200).select(
+        "c_custkey", "c_name"
+    )
+    with_url = c.withColumn(
+        "__url",
+        F.concat(
+            F.lit(f"http://127.0.0.1:{port}/rev?x="),
+            F.url_encode("c_name"),
+        ),
+    )
+    out = invoke_http(with_url, "__url")
+    return out.select("c_custkey", "c_name", "response", "status")

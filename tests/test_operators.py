@@ -340,3 +340,40 @@ def test_zip_pack_unpack_roundtrip(spark):
     out = unpack_content_zip(packed, "id", "archive").collect()
     got = {(r.id, r.entry_name, bytes(r.payload).decode()) for r in out}
     assert got == {(1, "a.txt", "alpha"), (2, "b.txt", "bravo")}
+
+
+def test_invoke_http_pools_and_routes_failures(spark):
+    """InvokeHTTP analog: live enrichment against a local echo server;
+    transport failures yield status -1 (the `failure` relationship),
+    never a task error."""
+    import http.server
+    import threading
+    import urllib.parse
+
+    from apache_nifi_spark.operators import invoke_http
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            q = urllib.parse.urlsplit(self.path).query
+            x = urllib.parse.parse_qs(q).get("x", [""])[0]
+            body = x.upper().encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+
+    rows = [(i, f"http://127.0.0.1:{port}/u?x=word{i}") for i in range(10)]
+    rows.append((99, "http://127.0.0.1:1/unreachable"))  # refused port
+    df = spark.createDataFrame(rows, "id long, url string").repartition(3)
+    got = {r["id"]: (r["response"], r["status"]) for r in invoke_http(df, "url").collect()}
+    for i in range(10):
+        assert got[i] == (f"WORD{i}", 200)
+    assert got[99] == ("", -1)
+    srv.shutdown()
