@@ -26,6 +26,7 @@ from apache_nifi_spark.operators.transform import (  # noqa: F401
     convert_character_set,
     split_json,
     transform_xml,
+    parse_syslog,
 )
 from apache_nifi_spark.operators.join import (  # noqa: F401
     lookup_record,

@@ -34,6 +34,7 @@ __all__ = [
     "convert_character_set",
     "split_json",
     "transform_xml",
+    "parse_syslog",
 ]
 
 
@@ -262,3 +263,29 @@ def transform_xml(
             yield pdf
 
     return df.mapInPandas(_run, schema)
+
+
+#: RFC3164 shape: <PRI>MMM dd HH:mm:ss host tag[pid]: msg
+SYSLOG_3164_RX = (
+    r"^<(\d{1,3})>([A-Z][a-z]{2} \d{2} \d{2}:\d{2}:\d{2}) "
+    r"(\S+) ([^\[\s]+)\[(\d+)\]: (.*)$"
+)
+
+
+def parse_syslog(df: DataFrame, col: str = "line") -> DataFrame:
+    """ParseSyslog / ListenSyslog's parse half (SURVEY.md §2.1): RFC3164
+    lines → typed columns (priority → facility/severity, timestamp text,
+    host, tag, pid, message).  One regexp per field, all codegen'd —
+    the transport half is ``streaming/listen.TcpLandingListener`` +
+    the landing-zone stream drain."""
+    line = F.col(col)
+    pri = F.regexp_extract(line, SYSLOG_3164_RX, 1).cast("int")
+    return df.select(
+        (pri / 8).cast("int").alias("facility"),
+        F.pmod(pri, F.lit(8)).cast("int").alias("severity"),
+        F.regexp_extract(line, SYSLOG_3164_RX, 2).alias("ts_text"),
+        F.regexp_extract(line, SYSLOG_3164_RX, 3).alias("host"),
+        F.regexp_extract(line, SYSLOG_3164_RX, 4).alias("tag"),
+        F.regexp_extract(line, SYSLOG_3164_RX, 5).cast("long").alias("pid"),
+        F.regexp_extract(line, SYSLOG_3164_RX, 6).alias("message"),
+    )

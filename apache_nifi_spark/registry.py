@@ -4206,3 +4206,39 @@ def invoke_http_enrich_q(spark, sf_dir):
     )
     out = invoke_http(with_url, "__url")
     return out.select("c_custkey", "c_name", "response", "status")
+
+
+@register(
+    "parse_syslog_events",
+    oracle="""
+    SELECT CAST(1 AS INT) AS facility,
+           CAST(CASE WHEN event_type = 'error' THEN 3 ELSE 6 END AS INT) AS severity,
+           strftime(ts, '%b %d %H:%M:%S') AS ts_text,
+           'host' || CAST(user_id % 10 AS VARCHAR) AS host,
+           'engine' AS tag,
+           CAST(event_id AS BIGINT) AS pid,
+           event_type || ' value=' || CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR)
+             AS message
+    FROM events WHERE event_id < 4000
+    """,
+)
+def parse_syslog_q(spark, sf_dir):
+    """ListenSyslog's parse half (§2.1): RFC3164 lines are SYNTHESIZED
+    from the events fixture (pri = facility·8+severity, %b-month
+    timestamp, host/tag[pid]: msg), then parsed back with
+    operators.parse_syslog — a true round-trip through the wire format;
+    the oracle computes the expected fields directly.  Transport half:
+    streaming/listen.TcpLandingListener (e2e in tests/test_streaming.py)."""
+    from apache_nifi_spark.operators import parse_syslog
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 4000)
+    sev = F.when(F.col("event_type") == "error", 3).otherwise(6)
+    line = F.concat(
+        F.lit("<"), (F.lit(8) + sev).cast("string"), F.lit(">"),
+        F.date_format("ts", "MMM dd HH:mm:ss"), F.lit(" "),
+        F.lit("host"), (F.col("user_id") % 10).cast("string"), F.lit(" "),
+        F.lit("engine["), F.col("event_id").cast("string"), F.lit("]: "),
+        F.col("event_type"), F.lit(" value="),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").cast("string"),
+    )
+    return parse_syslog(ev.select(line.alias("line")), "line")

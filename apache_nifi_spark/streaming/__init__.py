@@ -26,6 +26,6 @@ from apache_nifi_spark.streaming.routes import route_stream_to_files  # noqa: F4
 from apache_nifi_spark.streaming.backpressure import BackpressureMonitor  # noqa: F401
 from apache_nifi_spark.streaming.site_to_site import s2s_push, s2s_pull  # noqa: F401
 from apache_nifi_spark.streaming.listen import (  # noqa: F401
-    HttpLandingListener,
+    HttpLandingListener, TcpLandingListener,
     stream_json_landing,
 )

@@ -31,7 +31,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["HttpLandingListener", "stream_json_landing"]
+__all__ = ["HttpLandingListener", "TcpLandingListener", "stream_json_landing"]
 
 
 class HttpLandingListener:
@@ -101,3 +101,45 @@ def stream_json_landing(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.load(landing_dir)
+
+
+class TcpLandingListener:
+    """ListenTCP / ListenSyslog transport half: a threaded TCP server
+    appending each newline-delimited record batch as one landing file —
+    the same durable landing-zone contract as `HttpLandingListener`
+    (atomic temp-name + rename per connection's payload)."""
+
+    def __init__(self, landing_dir: str, host: str = "127.0.0.1", port: int = 0):
+        import socketserver
+
+        self.landing_dir = landing_dir
+        os.makedirs(landing_dir, exist_ok=True)
+        listener = self
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self):
+                data = self.rfile.read()
+                if data.strip():
+                    listener._land(data)
+
+        self._srv = socketserver.ThreadingTCPServer((host, port), Handler)
+        self._srv.daemon_threads = True
+        self._seq = 0
+        self._thread = threading.Thread(target=self._srv.serve_forever, daemon=True)
+        self._thread.start()
+
+    @property
+    def port(self) -> int:
+        return self._srv.server_address[1]
+
+    def _land(self, body: bytes) -> None:
+        self._seq += 1
+        name = f"{self._seq:06d}_{uuid.uuid4().hex}.log"
+        tmp = os.path.join(self.landing_dir, f".{name}.tmp")
+        with open(tmp, "wb") as f:
+            f.write(body if body.endswith(b"\n") else body + b"\n")
+        os.rename(tmp, os.path.join(self.landing_dir, name))
+
+    def stop(self) -> None:
+        self._srv.shutdown()
+        self._srv.server_close()

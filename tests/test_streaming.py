@@ -107,3 +107,50 @@ def test_site_to_site_relay_lossless(spark, sf_dir):
     relayed = run_to_memory(s2s_pull(spark, bus).groupBy().count(), output_mode="complete")
     direct = io.load_table(spark, sf_dir, "events").count()
     assert relayed.collect()[0]["count"] == direct
+
+
+def test_listen_tcp_landing_zone_e2e(spark, tmp_path):
+    """ListenTCP transport → landing dir → text-stream drain → syslog
+    parse: the full wire-to-columns path."""
+    import socket
+
+    from apache_nifi_spark.operators import parse_syslog
+    from apache_nifi_spark.streaming import TcpLandingListener
+
+    landing = str(tmp_path / "tcp_landing")
+    listener = TcpLandingListener(landing)
+    try:
+        lines = [
+            f"<{8 + (3 if i % 2 else 6)}>Jan 0{i + 1} 01:02:0{i} host{i} app[{i}]: msg {i}"
+            for i in range(4)
+        ]
+        for chunk in (lines[:2], lines[2:]):  # two connections → two files
+            with socket.create_connection(("127.0.0.1", listener.port)) as s:
+                s.sendall(("\n".join(chunk) + "\n").encode())
+        import time
+
+        for _ in range(50):  # wait for both landed files
+            if len([f for f in os.listdir(landing) if not f.startswith(".")]) >= 2:
+                break
+            time.sleep(0.1)
+        sdf = (
+            spark.readStream.format("text")
+            .schema("value string")
+            .load(landing)
+        )
+        cp = str(tmp_path / "cp")
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName("tcp_syslog")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        parsed = parse_syslog(spark.table("tcp_syslog"), "value").collect()
+        assert len(parsed) == 4
+        by_pid = {r["pid"]: r for r in parsed}
+        assert by_pid[2]["severity"] == 6 and by_pid[1]["severity"] == 3
+        assert by_pid[3]["message"] == "msg 3" and by_pid[0]["host"] == "host0"
+    finally:
+        listener.stop()
