@@ -40,6 +40,7 @@ from apache_nifi_spark.llm.text import (  # noqa: F401
     chunk_sliding,
     pii_redact,
     repetition_scores,
+    normalize_urls,
     decontaminate,
 )
 from apache_nifi_spark.llm.pack import pack_greedy  # noqa: F401

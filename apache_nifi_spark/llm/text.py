@@ -21,6 +21,7 @@ __all__ = [
     "chunk_sliding",
     "pii_redact",
     "repetition_scores",
+    "normalize_urls",
     "decontaminate",
     "STOPWORDS",
     "PII_PATTERNS",
@@ -323,3 +324,28 @@ def rolling_fingerprint(
         ),
     )
     return df.withColumn(out_col, fp)
+
+
+def normalize_urls(df: DataFrame, url_col: str = "url", out_col: str = "url_norm") -> DataFrame:
+    """URL canonicalization for web-corpus dedup (§2.12): lowercase
+    scheme+host, strip default ports, drop tracking params (utm_*,
+    fbclid, gclid), drop fragments, collapse trailing slash on bare
+    paths.  All regexp_replace — engine-portable, codegen'd; the
+    canonical URL is the key exact/near dedup groups on for web data.
+    """
+    u = F.col(url_col)
+    # lowercase scheme://host (up to first /, ? or #)
+    u = F.concat(
+        F.lower(F.regexp_extract(u, r"^([^/?#]*://[^/?#]*)", 1)),
+        F.regexp_replace(u, r"^[^/?#]*://[^/?#]*", ""),
+    )
+    u = F.regexp_replace(u, r"^(https?://[^/?#]*):(80|443)(?=[/?#]|$)", r"$1")
+    u = F.regexp_replace(u, r"#.*$", "")                       # fragment
+    # tracking params: when the dropped param is FIRST and others follow,
+    # the next param inherits the '?'
+    tracker = r"(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*"
+    u = F.regexp_replace(u, r"\?" + tracker + r"&", "?")
+    u = F.regexp_replace(u, r"[?&]" + tracker, "")
+    u = F.regexp_replace(u, r"\?$", "")                        # empty query
+    u = F.regexp_replace(u, r"^(https?://[^/?#]+)/$", r"$1")   # bare trailing /
+    return df.withColumn(out_col, u)

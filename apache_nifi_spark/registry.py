@@ -4242,3 +4242,40 @@ def parse_syslog_q(spark, sf_dir):
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").cast("string"),
     )
     return parse_syslog(ev.select(line.alias("line")), "line")
+
+
+@register(
+    "url_normalize_dedup_keys",
+    oracle="""
+    SELECT doc_id,
+           'https://' || source || '.example.com'
+             || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '/d/' || CAST(doc_id AS VARCHAR) END
+             || CASE WHEN doc_id % 2 = 0 THEN '?q=' || CAST(doc_id AS VARCHAR) ELSE '' END
+             AS url_norm
+    FROM documents
+    """,
+)
+def url_normalize_q(spark, sf_dir):
+    """URL canonicalization (§2.12 web-corpus dedup keys): messy URLs —
+    uppercased scheme/host, explicit :443, tracking params in first and
+    non-first position, fragments, bare trailing slash — normalize to
+    the canonical form the oracle constructs directly from the fixture
+    columns.  llm/text.normalize_urls; all codegen'd regexp_replace."""
+    from apache_nifi_spark.llm import normalize_urls
+
+    d = _t(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("HTTPS://"), F.upper("source"), F.lit(".Example.COM:443"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/")).otherwise(
+            F.concat(F.lit("/d/"), F.col("doc_id").cast("string"))
+        ),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&q="), F.col("doc_id").cast("string")
+            ),
+        ).otherwise(F.lit("?utm_campaign=x")),
+        F.lit("#frag"),
+    )
+    out = normalize_urls(d.select("doc_id", messy.alias("url")), "url")
+    return out.select("doc_id", "url_norm")
