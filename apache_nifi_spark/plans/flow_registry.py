@@ -58,12 +58,29 @@ class FlowRegistry:
         bucket: str,
         flow: str,
         version: int | None = None,
+        parameters: dict[str, str] | None = None,
     ) -> DataFrame:
         """Materialize a pinned flow version as a DataFrame.  The caller
         registers whatever views the flow references (io.register_views
         for the fixture tables) — the registry stores definitions, not
-        data, exactly like the reference service."""
-        return spark.sql(self.get(bucket, flow, version))
+        data, exactly like the reference service.
+
+        ``parameters`` is the NiFi Parameter-Context analog: ``#{name}``
+        placeholders in the stored definition resolve at RUN time, so one
+        versioned flow serves several environments.  Values are
+        SQL-escaped as string literals; a missing parameter raises."""
+        sql_text = self.get(bucket, flow, version)
+        if parameters or "#{" in sql_text:
+            import re
+
+            def sub(m: "re.Match[str]") -> str:
+                name = m.group(1)
+                if not parameters or name not in parameters:
+                    raise KeyError(f"unbound flow parameter #{{{name}}}")
+                return "'" + str(parameters[name]).replace("'", "''") + "'"
+
+            sql_text = re.sub(r"#\{([A-Za-z0-9_.-]+)\}", sub, sql_text)
+        return spark.sql(sql_text)
 
     # -- catalog ----------------------------------------------------------
 

@@ -4081,8 +4081,10 @@ def corpus_pipeline_full_q(spark, sf_dir):
     content (sha-keyed shuffle, min doc_id survives) → 20/10 sliding
     chunks.  Every stage is a stage this registry oracles individually;
     the composition value-oracles as a single 6-CTE chain.  At 100 TB
-    this whole flow is two shuffles (repetition agg join, dedup) — all
-    other stages are projections fused by Catalyst."""
+    the only shuffles are the repetition (doc,gram) aggregation pair,
+    the repetition join (broadcastable — its output is one row/doc), and
+    the dedup window's hash partitioning; every other stage is a
+    projection fused by Catalyst (4 exchanges total in SCALE_AUDIT.md)."""
     from apache_nifi_spark.llm import chunk_sliding, pii_redact, repetition_scores
     from apache_nifi_spark.llm.text import _ws_tokens
 

@@ -422,3 +422,20 @@ def test_repetition_scores_bounds(spark):
         assert 0.0 < r["top_unigram_frac"] <= 1.0
         assert 0.0 <= r["dup_bigram_frac"] < 1.0
         assert r["top_unigram_frac"] >= 1.0 / r["n_tokens"]
+
+
+def test_flow_registry_parameter_context(spark):
+    """NiFi Parameter-Context analog: #{name} placeholders resolve at run
+    time with SQL-literal escaping; unbound parameters raise."""
+    import pytest
+
+    from apache_nifi_spark.plans import FlowRegistry
+
+    reg = FlowRegistry()
+    reg.publish("b", "param_flow", "SELECT #{greeting} AS msg, #{n} AS n_str")
+    row = reg.run(
+        spark, "b", "param_flow", parameters={"greeting": "it's here", "n": 7}
+    ).first()
+    assert row["msg"] == "it's here" and row["n_str"] == "7"
+    with pytest.raises(KeyError):
+        reg.run(spark, "b", "param_flow", parameters={"greeting": "x"})
