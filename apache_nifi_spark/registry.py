@@ -4283,3 +4283,66 @@ def url_normalize_q(spark, sf_dir):
     )
     out = normalize_urls(d.select("doc_id", messy.alias("url")), "url")
     return out.select("doc_id", "url_norm")
+
+
+_DERBY_URL: dict[str, str] = {}
+
+#: Spark bundles embedded Derby (its Hive-metastore store); it doubles as
+#: a REAL JDBC endpoint for the ExecuteSQL/PutDatabaseRecord path in this
+#: single-JVM environment.  On a cluster the url swaps to any networked
+#: JDBC store — the code path is identical.
+_DERBY_DRIVER = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+
+def _staged_derby_supplier(spark, sf_dir: str) -> str:
+    """One-time PutDatabaseRecord staging: supplier → embedded Derby
+    (same amortized-fixture pattern as the bucketed/rolling stagers)."""
+    url = _DERBY_URL.get(sf_dir)
+    if url:
+        return url
+    import tempfile
+
+    from apache_nifi_spark.sources import jdbc_write
+
+    db = tempfile.mkdtemp(prefix="anspark_derby_") + "/db"
+    url = f"jdbc:derby:{db};create=true"
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    jdbc_write(sup, url, "supplier_db", options=_DERBY_DRIVER)
+    _DERBY_URL[sf_dir] = url
+    return url
+
+
+@register(
+    "execute_sql_jdbc",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier WHERE s_nationkey < 13
+    """,
+)
+def execute_sql_jdbc_q(spark, sf_dir):
+    """ExecuteSQL / QueryDatabaseTable over a REAL JDBC database (§2.1):
+    supplier is PutDatabaseRecord-staged into embedded Derby once, then
+    range-partition-fetched back (partitionColumn quadruple → 4 parallel
+    connections, the GenerateTableFetch execution half) with the filter
+    running in the database.  Round-trip must be value-exact vs the
+    parquet fixture."""
+    from apache_nifi_spark.sources import jdbc_read
+
+    url = _staged_derby_supplier(spark, sf_dir)
+    # Spark's Derby dialect creates case-preserving QUOTED columns; Derby
+    # folds unquoted references to upper case, so the query (and the
+    # partition column handed to Spark's range-predicate builder) must
+    # quote them.
+    return jdbc_read(
+        spark,
+        url,
+        'SELECT "s_suppkey", "s_name", "s_nationkey", "s_acctbal"'
+        ' FROM supplier_db WHERE "s_nationkey" < 13',
+        partition_column='"s_suppkey"',
+        lower_bound=1,
+        upper_bound=100000,
+        num_partitions=4,
+        options=_DERBY_DRIVER,
+    )

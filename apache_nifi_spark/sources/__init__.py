@@ -9,7 +9,7 @@ Batch file IO lives in :mod:`formats`; continuous ingestion is
 from apache_nifi_spark.sources.bucketed import bucketed_table, write_bucketed
 from apache_nifi_spark.sources.formats import (
     convert_record,
-    jdbc_read,
+    jdbc_read, jdbc_write,
     read_binary_files,
     read_records,
     write_records,

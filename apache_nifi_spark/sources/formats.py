@@ -136,19 +136,44 @@ def jdbc_read(
 
     With the partition quadruple set this is GenerateTableFetch — the
     executor-parallel range fetch; without it, a single-connection
-    ExecuteSQL.  No JDBC driver ships in this environment, so tests gate
-    on driver availability; the option surface is the real one.
+    ExecuteSQL.  Exercised for real against the embedded Derby engine
+    Spark ships (see registry `execute_sql_jdbc`); any networked
+    JDBC-compliant store swaps in via ``url``.
+
+    Spark's JDBC source rejects ``query`` + ``partitionColumn`` together,
+    so a partitioned read wraps the query as a derived table.
     """
-    reader = spark.read.format("jdbc").option("url", url).option("query", query)
+    reader = spark.read.format("jdbc").option("url", url)
     if partition_column is not None:
         if None in (lower_bound, upper_bound, num_partitions):
             raise ValueError("partitioned JDBC read needs lower/upper bound and numPartitions")
         reader = (
-            reader.option("partitionColumn", partition_column)
+            reader.option("dbtable", f"({query}) fetch_sub")
+            .option("partitionColumn", partition_column)
             .option("lowerBound", lower_bound)
             .option("upperBound", upper_bound)
             .option("numPartitions", num_partitions)
         )
+    else:
+        reader = reader.option("query", query)
     for k, v in dict(options or {}).items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def jdbc_write(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    options: Mapping[str, str] | None = None,
+) -> None:
+    """PutDatabaseRecord / PutSQL: executor-parallel JDBC insert — each
+    partition opens one connection and batches its rows (Spark's
+    ``batchsize``, default 1000).  ``mode="overwrite"`` recreates the
+    table (NiFi's truncate-and-load recipe); ``append`` is the incremental
+    put."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in dict(options or {}).items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()

@@ -141,3 +141,34 @@ def test_generate_table_fetch_covers_range_exactly(spark):
     for prev, cur in zip(plan, plan[1:]):
         assert cur.lower_bound == prev.upper_bound + 1
     assert "WHERE k >= 100" in plan[0].fetch_sql
+
+
+def test_jdbc_derby_roundtrip_partitioned(spark, sf_dir):
+    """PutDatabaseRecord → partitioned QueryDatabaseTable against the
+    embedded Derby engine: values round-trip exactly and the range fetch
+    really produces numPartitions JDBC partitions."""
+    import tempfile
+
+    from apache_nifi_spark.sources import jdbc_read, jdbc_write
+
+    drv = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    url = f"jdbc:derby:{tempfile.mkdtemp(prefix='anspark_derbyt_')}/db;create=true"
+    nat = io.load_table(spark, sf_dir, "nation")
+    jdbc_write(nat, url, "nation_db", options=drv)
+    back = jdbc_read(
+        spark,
+        url,
+        'SELECT "n_nationkey", "n_name", "n_regionkey" FROM nation_db',
+        partition_column='"n_nationkey"',
+        lower_bound=0,
+        upper_bound=24,
+        num_partitions=4,
+        options=drv,
+    )
+    assert back.rdd.getNumPartitions() == 4
+    a = {(r["n_nationkey"], r["n_name"], r["n_regionkey"]) for r in back.collect()}
+    b = {
+        (r["n_nationkey"], r["n_name"], r["n_regionkey"])
+        for r in nat.select("n_nationkey", "n_name", "n_regionkey").collect()
+    }
+    assert a == b
