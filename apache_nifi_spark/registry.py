@@ -4346,3 +4346,43 @@ def execute_sql_jdbc_q(spark, sf_dir):
         num_partitions=4,
         options=_DERBY_DRIVER,
     )
+
+
+@register(
+    "query_db_incremental",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def query_db_incremental_q(spark, sf_dir):
+    """QueryDatabaseTable incremental semantics (§2.1), exercised for
+    real: batch 1 (orderkey < 1000) is PutDatabaseRecord-staged into
+    Derby and fetched with no state; batch 2 (1000-1999) is appended and
+    fetched with last_max = max(batch 1) — the second poll reads ONLY
+    the delta (predicate pushed into the database).  The union of both
+    polls must equal the full slice, value-exact.  State here is the
+    returned max; NiFi keeps the same value in its state manager."""
+    import tempfile
+
+    from apache_nifi_spark.sources import incremental_fetch, jdbc_write
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+    db = tempfile.mkdtemp(prefix="anspark_derby_inc_") + "/db"
+    url = f"jdbc:derby:{db};create=true"
+    jdbc_write(o.filter(F.col("o_orderkey") < 1000), url, "orders_inc", options=_DERBY_DRIVER)
+    # Each poll MATERIALIZES when it runs (in NiFi the processor executes,
+    # then state advances) — without the eager checkpoint the lazy plan
+    # would re-read the table after batch 2 lands and double-count.
+    poll1 = incremental_fetch(
+        spark, url, "orders_inc", '"o_orderkey"', None, options=_DERBY_DRIVER
+    ).localCheckpoint(eager=True)
+    # state the caller would persist: max of poll 1 (< 1000 by construction)
+    jdbc_write(
+        o.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)),
+        url, "orders_inc", mode="append", options=_DERBY_DRIVER,
+    )
+    poll2 = incremental_fetch(
+        spark, url, "orders_inc", '"o_orderkey"', 999, options=_DERBY_DRIVER
+    )
+    return poll1.unionByName(poll2)

@@ -14,7 +14,7 @@ from apache_nifi_spark.sources.formats import (
     read_records,
     write_records,
 )
-from apache_nifi_spark.sources.jdbc import generate_table_fetch
+from apache_nifi_spark.sources.jdbc import generate_table_fetch, incremental_fetch
 
 __all__ = [
     "bucketed_table",

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["generate_table_fetch"]
+__all__ = ["generate_table_fetch", "incremental_fetch"]
 
 
 def generate_table_fetch(
@@ -55,3 +55,29 @@ def generate_table_fetch(
             p_hi.cast("string"),
         ).alias("fetch_sql"),
     ).filter(F.col("lower_bound") <= F.col("hi"))
+
+
+def incremental_fetch(
+    spark,
+    url: str,
+    table: str,
+    max_value_column: str,
+    last_max: int | None,
+    options=None,
+) -> "DataFrame":
+    """QueryDatabaseTable's incremental contract (SURVEY.md §2.1): fetch
+    only rows whose ``max_value_column`` exceeds the last observed
+    maximum; the caller persists the new maximum as state (NiFi keeps it
+    in its state manager; a Spark pipeline keeps it in the checkpoint /
+    a control table).
+
+    The predicate runs IN the database (JDBC pushdown), so each poll
+    reads only the delta — the pattern that turns a JDBC table into an
+    incremental source without CDC infrastructure.
+    """
+    from apache_nifi_spark.sources.formats import jdbc_read
+
+    where = f' WHERE {max_value_column} > {int(last_max)}' if last_max is not None else ""
+    return jdbc_read(
+        spark, url, f"SELECT * FROM {table}{where}", options=options
+    )
