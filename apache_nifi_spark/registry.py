@@ -4386,3 +4386,37 @@ def query_db_incremental_q(spark, sf_dir):
         spark, url, "orders_inc", '"o_orderkey"', 999, options=_DERBY_DRIVER
     )
     return poll1.unionByName(poll2)
+
+
+@register(
+    "stream_put_database",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def stream_put_database_q(spark, sf_dir):
+    """Streaming PutDatabaseRecord (§2.2 × §2.11): the purchase stream
+    drains into embedded Derby via foreachBatch with per-batch
+    delete-then-insert idempotency (checkpoint + idempotent sink =
+    exactly-once; see streaming/jdbc_sink).  The read-back over JDBC
+    must match the batch slice value-exactly."""
+    import tempfile
+
+    from apache_nifi_spark.sources import jdbc_read
+    from apache_nifi_spark.streaming import stream_events, stream_to_jdbc
+
+    db = tempfile.mkdtemp(prefix="anspark_derby_sink_") + "/db"
+    url = f"jdbc:derby:{db};create=true"
+    sdf = stream_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "user_id", "event_type")
+    cp = tempfile.mkdtemp(prefix="anspark_derby_sink_cp_")
+    stream_to_jdbc(sdf, url, "purchases_db", cp, options=_DERBY_DRIVER)
+    back = jdbc_read(
+        spark,
+        url,
+        'SELECT "event_id", "user_id", "event_type" FROM purchases_db',
+        options=_DERBY_DRIVER,
+    )
+    return back

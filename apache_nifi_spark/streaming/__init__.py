@@ -29,3 +29,4 @@ from apache_nifi_spark.streaming.listen import (  # noqa: F401
     HttpLandingListener, TcpLandingListener,
     stream_json_landing,
 )
+from apache_nifi_spark.streaming.jdbc_sink import stream_to_jdbc  # noqa: F401,E402
