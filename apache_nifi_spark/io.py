@@ -24,6 +24,7 @@ __all__ = [
     "register_views",
     "convert_record",
     "widen_if_narrow",
+    "normalize_events_ts",
 ]
 
 #: Fixture tables the driver materializes (TESTDATA.md).
@@ -45,17 +46,46 @@ TABLES = (
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def normalize_events_ts(df: DataFrame, target: str = "timestamp_ntz") -> DataFrame:
+    """Dtype-adaptive ``ts`` normalization — never assume the fixture's
+    physical parquet type.
+
+    The fixtures have shipped ``events.ts`` as both TIMESTAMP(NANOS)
+    (read as BIGINT via ``spark.sql.legacy.parquet.nanosAsLong``) and
+    TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ) across rounds; branching on
+    the *read* dtype makes every loader correct under either:
+
+    - ``bigint`` → nanos epoch; integer ``div 1000`` truncates ns→µs
+      exactly like DuckDB/pandas (a double division would lose precision,
+      ns epochs exceed 2^53).
+    - any timestamp flavor → already µs-resolution; just cast to
+      ``target``.
+
+    ``target`` is ``timestamp_ntz`` for batch (DuckDB's naive-timestamp
+    oracle semantics) and ``timestamp`` for streaming (watermarks require
+    TIMESTAMP; the session tz is UTC so the instant is identical).
+    """
+    dtype = dict(df.dtypes).get("ts")
+    if dtype is None:
+        return df
+    if dtype == "bigint":
+        col = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        col = F.col("ts")
+    return df.withColumn("ts", col.cast(target))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table (GetFile/FetchFile analog, SURVEY.md §2.1).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark reads as a long
-    (``spark.sql.legacy.parquet.nanosAsLong``); convert to microsecond
-    TIMESTAMP_NTZ in the scan projection — DuckDB's naive microsecond
-    timestamp semantics, zero driver involvement.
+    ``events.ts`` is normalized to microsecond TIMESTAMP_NTZ whatever the
+    parquet physical type is — see :func:`normalize_events_ts`.
 
-    The conf is set here (runtime-settable, idempotent) rather than only at
-    session build so callers with their own SparkSession — including the
-    correctness driver — read events.parquet without PARQUET_TYPE_ILLEGAL.
+    The ``nanosAsLong`` conf is set here (runtime-settable, idempotent)
+    rather than only at session build so callers with their own
+    SparkSession — including the correctness driver — read a
+    TIMESTAMP(NANOS) events.parquet without PARQUET_TYPE_ILLEGAL; it is
+    a no-op for µs fixtures.
 
     The returned DataFrame is cached per (application, sf_dir, table):
     ``spark.read.parquet`` costs a ~120 ms schema-inference round-trip,
@@ -70,12 +100,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        df = df.withColumn(
-            "ts",
-            # integer div truncates ns→µs exactly like DuckDB/pandas; a
-            # double division would lose precision (ns epochs > 2^53)
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-        )
+        df = normalize_events_ts(df, "timestamp_ntz")
     _TABLE_CACHE[key] = df
     return df
 

@@ -57,11 +57,13 @@ def stream_events(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     sdf = reader.load(src)
-    if dict(sdf.dtypes).get("ts") == "bigint":  # nanosAsLong fixture shape
-        # Watermarks require TIMESTAMP (not NTZ); session tz is UTC, so the
-        # instant is identical — run_to_memory casts back to NTZ for the
-        # oracle-parity comparison.
-        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Watermarks require TIMESTAMP (not NTZ); session tz is UTC, so the
+    # instant is identical — run_to_memory casts back to NTZ for the
+    # oracle-parity comparison.  Dtype-adaptive: handles both the nanos
+    # (bigint) and µs (timestamp_ntz) fixture shapes.
+    from apache_nifi_spark.io import normalize_events_ts
+
+    sdf = normalize_events_ts(sdf, "timestamp")
     return sdf
 
 
