@@ -1,0 +1,448 @@
+"""NiFi Expression Language *string* compiler → Spark Column.
+
+NiFi users write flows with EL text like ``${attr:toUpper():substring(0,3)}``
+(the 2.7.2 engine's scalar language; SURVEY.md §2.9).  ``functions/el.py``
+already provides the function *surface* as Column wrappers; this module adds
+the missing front end — a parser from EL source text to a Spark Column —
+so routing predicates, UpdateAttribute rules, and flow definitions can be
+given as the strings a NiFi user actually writes.
+
+Grammar (subset of the public NiFi EL guide — Apache NiFi docs,
+"Expression Language Guide"):
+
+    text     := (literal | '$$' | expr)*          # embedded expressions
+    expr     := '${' subject (':' call)* '}'
+    subject  := attrName | 'quoted attr' | "quoted attr" | call | multiAttr
+    call     := name '(' [arg (',' arg)*] ')'
+    multiAttr:= anyAttribute(...) | allAttributes(...)
+    arg      := 'string' | "string" | number | true | false | expr
+
+Everything compiles to built-in Spark SQL expressions (whole-stage
+codegen); the parser runs once on the driver at plan-build time, so EL
+adds zero per-row cost.  Attribute references resolve through a
+``resolver`` callable (default ``F.col``) — pass e.g.
+``lambda n: F.col("attrs").getItem(n)`` to read a NiFi-style attributes
+map column.
+
+Unsupported (documented gaps): ``anyMatchingAttribute``/regex multi-attr
+(needs the attribute universe, i.e. a DataFrame schema — use
+``compile_el_for`` which has one), state/variable registry scopes, and
+the ``getDelimitedField`` family.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from apache_nifi_spark.functions import el as E
+
+__all__ = ["compile_el", "ELSyntaxError", "el_predicate", "el_select"]
+
+
+class ELSyntaxError(ValueError):
+    """Raised on malformed EL text, with position context."""
+
+
+# ------------------------------------------------------------------ lexer ---
+
+class _Scanner:
+    def __init__(self, s: str, offset: int = 0):
+        self.s = s
+        self.i = 0
+        self.offset = offset  # for error messages relative to full text
+
+    def err(self, msg: str) -> ELSyntaxError:
+        return ELSyntaxError(f"{msg} at position {self.offset + self.i}: {self.s!r}")
+
+    def peek(self) -> str:
+        return self.s[self.i] if self.i < len(self.s) else ""
+
+    def skip_ws(self) -> None:
+        while self.i < len(self.s) and self.s[self.i].isspace():
+            self.i += 1
+
+    def expect(self, ch: str) -> None:
+        self.skip_ws()
+        if self.peek() != ch:
+            raise self.err(f"expected {ch!r}, found {self.peek()!r}")
+        self.i += 1
+
+    def match(self, ch: str) -> bool:
+        self.skip_ws()
+        if self.peek() == ch:
+            self.i += 1
+            return True
+        return False
+
+    def ident(self) -> str:
+        self.skip_ws()
+        j = self.i
+        while self.i < len(self.s) and (self.s[self.i].isalnum() or self.s[self.i] in "_."):
+            self.i += 1
+        if j == self.i:
+            raise self.err("expected identifier")
+        return self.s[j : self.i]
+
+    def quoted(self) -> str:
+        q = self.peek()
+        assert q in "'\""
+        self.i += 1
+        out = []
+        while True:
+            if self.i >= len(self.s):
+                raise self.err("unterminated string literal")
+            ch = self.s[self.i]
+            if ch == "\\" and self.i + 1 < len(self.s):
+                out.append(self.s[self.i + 1])
+                self.i += 2
+                continue
+            if ch == q:
+                self.i += 1
+                return "".join(out)
+            out.append(ch)
+            self.i += 1
+
+    def balanced_expr(self) -> str:
+        """Consume a nested ``${...}`` starting at ``${``; return the inside."""
+        assert self.s[self.i : self.i + 2] == "${"
+        start = self.i + 2
+        depth = 1
+        self.i += 2
+        while self.i < len(self.s):
+            ch = self.s[self.i]
+            if ch in "'\"":
+                self.quoted()
+                continue
+            if self.s[self.i : self.i + 2] == "${":
+                depth += 1
+                self.i += 2
+                continue
+            if ch == "}":
+                depth -= 1
+                self.i += 1
+                if depth == 0:
+                    return self.s[start : self.i - 1]
+                continue
+            self.i += 1
+        raise self.err("unterminated ${ expression")
+
+
+# ------------------------------------------------------------------- AST ----
+# subject node: ("attr", name) | ("call", name, [args]) | ("multi", op, names)
+# arg node:     ("lit", python value) | ("expr", exprnode)
+# expr node:    (subject, [(funcname, [args]), ...])
+
+_MULTI = {"anyAttribute": "any", "allAttributes": "all"}
+
+
+def _parse_expr(sc: _Scanner):
+    sc.skip_ws()
+    ch = sc.peek()
+    if ch in "'\"":
+        subject = ("attr", sc.quoted())
+    else:
+        name = sc.ident()
+        sc.skip_ws()
+        if sc.peek() == "(":
+            args = _parse_args(sc)
+            if name in _MULTI:
+                names = []
+                for a in args:
+                    if a[0] != "lit" or not isinstance(a[1], str):
+                        raise sc.err(f"{name}() takes quoted attribute names")
+                    names.append(a[1])
+                subject = ("multi", _MULTI[name], names)
+            else:
+                subject = ("call", name, args)
+        else:
+            subject = ("attr", name)
+    calls = []
+    while sc.match(":"):
+        fname = sc.ident()
+        sc.skip_ws()
+        if sc.peek() == "(":
+            args = _parse_args(sc)
+        else:
+            args = []
+        calls.append((fname, args))
+    sc.skip_ws()
+    if sc.i < len(sc.s):
+        raise sc.err(f"unexpected trailing input {sc.s[sc.i:]!r}")
+    return subject, calls
+
+
+def _parse_args(sc: _Scanner) -> list:
+    sc.expect("(")
+    args: list = []
+    sc.skip_ws()
+    if sc.match(")"):
+        return args
+    while True:
+        sc.skip_ws()
+        ch = sc.peek()
+        if ch in "'\"":
+            args.append(("lit", sc.quoted()))
+        elif sc.s[sc.i : sc.i + 2] == "${":
+            inner = sc.balanced_expr()
+            args.append(("expr", _parse_expr(_Scanner(inner, sc.offset + sc.i))))
+        else:
+            j = sc.i
+            while sc.i < len(sc.s) and sc.s[sc.i] not in ",)":
+                sc.i += 1
+            tok = sc.s[j : sc.i].strip()
+            if tok == "true":
+                args.append(("lit", True))
+            elif tok == "false":
+                args.append(("lit", False))
+            else:
+                try:
+                    args.append(("lit", int(tok)))
+                except ValueError:
+                    try:
+                        args.append(("lit", float(tok)))
+                    except ValueError:
+                        raise sc.err(f"bad argument {tok!r}") from None
+        sc.skip_ws()
+        if sc.match(","):
+            continue
+        sc.expect(")")
+        return args
+
+
+# ------------------------------------------------------------ evaluation ----
+
+def _lit(v) -> Column:
+    return v if isinstance(v, Column) else F.lit(v)
+
+
+def _req_str(v, fname: str) -> str:
+    if isinstance(v, Column) or not isinstance(v, str):
+        raise ELSyntaxError(f"{fname}() requires a string literal argument")
+    return v
+
+
+def _req_int(v, fname: str) -> int:
+    if not isinstance(v, int) or isinstance(v, bool):
+        raise ELSyntaxError(f"{fname}() requires an integer literal argument")
+    return v
+
+
+def _el_substring(s: Column, *args) -> Column:
+    # EL substring(start[, end]): 0-based, end-exclusive.
+    start = _req_int(args[0], "substring")
+    if len(args) == 1:
+        return F.substring(s, start + 1, 2**31 - 1)
+    end = _req_int(args[1], "substring")
+    return F.substring(s, start + 1, end - start)
+
+
+def _el_if_else(s: Column, a, b) -> Column:
+    return F.when(s, _lit(a)).otherwise(_lit(b))
+
+
+#: EL function name → handler(subject Column, *evaluated args) → Column.
+#: Reuses functions/el.py wherever the wrapper signature lines up.
+FUNCS: dict[str, Callable[..., Column]] = {
+    # string
+    "toUpper": E.to_upper,
+    "toLower": E.to_lower,
+    "trim": E.trim,
+    "substring": _el_substring,
+    "substringBefore": lambda s, a: E.substring_before(s, _req_str(a, "substringBefore")),
+    "substringAfter": lambda s, a: E.substring_after(s, _req_str(a, "substringAfter")),
+    "substringBeforeLast": lambda s, a: E.substring_before_last(
+        s, _req_str(a, "substringBeforeLast")
+    ),
+    "substringAfterLast": lambda s, a: E.substring_after_last(
+        s, _req_str(a, "substringAfterLast")
+    ),
+    "indexOf": lambda s, a: E.index_of(s, _req_str(a, "indexOf")),
+    "lastIndexOf": lambda s, a: E.last_index_of(s, _req_str(a, "lastIndexOf")),
+    "replace": lambda s, a, b: F.replace(s, _lit(a), _lit(b)),
+    "replaceAll": lambda s, a, b: E.replace_all(
+        s, _req_str(a, "replaceAll"), _req_str(b, "replaceAll")
+    ),
+    "replaceNull": lambda s, a: E.replace_null(s, _lit(a)),
+    "replaceEmpty": lambda s, a: E.replace_empty(s, _lit(a)),
+    "append": lambda s, a: F.concat(s, _lit(a).cast("string")),
+    "prepend": lambda s, a: F.concat(_lit(a).cast("string"), s),
+    "length": E.length,
+    "startsWith": lambda s, a: F.startswith(s, _lit(a)),
+    "endsWith": lambda s, a: F.endswith(s, _lit(a)),
+    "contains": lambda s, a: F.contains(s, _lit(a)),
+    "matches": lambda s, a: E.matches(s, _req_str(a, "matches")),
+    "find": lambda s, a: E.find(s, _req_str(a, "find")),
+    "padLeft": lambda s, *a: E.pad_left(
+        s, _req_int(a[0], "padLeft"), _req_str(a[1], "padLeft") if len(a) > 1 else "_"
+    ),
+    "padRight": lambda s, *a: E.pad_right(
+        s, _req_int(a[0], "padRight"), _req_str(a[1], "padRight") if len(a) > 1 else "_"
+    ),
+    "getDelimitedField": lambda s, idx, *a: F.split(
+        s, "[" + (_req_str(a[0], "getDelimitedField") if a else ",") + "]"
+    ).getItem(_req_int(idx, "getDelimitedField") - 1),
+    # encode / decode / hash
+    "urlEncode": E.url_encode,
+    "urlDecode": E.url_decode,
+    "base64Encode": E.base64_encode,
+    "base64Decode": E.base64_decode,
+    "hash": lambda s, a: E.hash_content(s, _req_str(a, "hash")),
+    # math
+    "plus": lambda s, a: s + _lit(a),
+    "minus": lambda s, a: s - _lit(a),
+    "multiply": lambda s, a: s * _lit(a),
+    "divide": lambda s, a: s / _lit(a),
+    "mod": lambda s, a: s % _lit(a),
+    "toRadix": lambda s, a: E.to_radix(s, _req_int(a, "toRadix")),
+    "fromRadix": lambda s, a: E.from_radix(s, _req_int(a, "fromRadix")),
+    # date/time
+    "format": lambda s, a: E.format_ts(s, _req_str(a, "format")),
+    "toDate": lambda s, *a: E.to_date_el(s, _req_str(a[0], "toDate") if a else None),
+    # boolean / conditional
+    "isNull": E.is_null,
+    "notNull": E.not_null,
+    "isEmpty": E.is_empty,
+    "equals": lambda s, a: s == _lit(a),
+    "equalsIgnoreCase": lambda s, a: F.upper(s) == F.upper(_lit(a)),
+    "gt": lambda s, a: s > _lit(a),
+    "ge": lambda s, a: s >= _lit(a),
+    "lt": lambda s, a: s < _lit(a),
+    "le": lambda s, a: s <= _lit(a),
+    "and": lambda s, a: s & _as_bool(a),
+    "or": lambda s, a: s | _as_bool(a),
+    "not": lambda s: ~s,
+    "ifElse": _el_if_else,
+    # coercion
+    "toNumber": E.to_number,
+    "toDecimal": E.to_decimal,
+    "toString": E.to_string,
+    # JSON
+    "jsonPath": lambda s, a: E.json_path(s, _req_str(a, "jsonPath")),
+}
+
+#: subject-position functions (``${literal(5)}``, ``${UUID()}``, ``${now()}``)
+SUBJECT_FUNCS: dict[str, Callable[..., Column]] = {
+    "literal": lambda *a: _lit(a[0]),
+    "UUID": lambda: E.new_uuid(),
+    "now": lambda: E.now(),
+}
+
+
+def _as_bool(v) -> Column:
+    if isinstance(v, Column):
+        return v
+    if isinstance(v, bool):
+        return F.lit(v)
+    raise ELSyntaxError("and()/or() take a nested ${...} expression or boolean")
+
+
+def _eval_arg(arg, resolver) -> object:
+    kind, val = arg
+    if kind == "lit":
+        return val
+    return _eval_expr(val, resolver)
+
+
+def _apply_chain(col: Column, calls, resolver) -> Column:
+    for fname, raw_args in calls:
+        fn = FUNCS.get(fname)
+        if fn is None:
+            raise ELSyntaxError(
+                f"unknown EL function {fname!r} (supported: {sorted(FUNCS)})"
+            )
+        args = [_eval_arg(a, resolver) for a in raw_args]
+        col = fn(col, *args)
+    return col
+
+
+def _eval_expr(node, resolver) -> Column:
+    subject, calls = node
+    if subject[0] == "attr":
+        return _apply_chain(resolver(subject[1]), calls, resolver)
+    if subject[0] == "call":
+        _, name, raw_args = subject
+        fn = SUBJECT_FUNCS.get(name)
+        if fn is None:
+            raise ELSyntaxError(f"unknown subjectless EL function {name!r}")
+        base = fn(*[_eval_arg(a, resolver) for a in raw_args])
+        return _apply_chain(base, calls, resolver)
+    # multi-attribute: apply the chain per attribute, then OR/AND-reduce —
+    # NiFi's anyAttribute/allAttributes semantics.
+    _, op, names = subject
+    parts = [_apply_chain(resolver(n), calls, resolver) for n in names]
+    out = parts[0]
+    for p in parts[1:]:
+        out = (out | p) if op == "any" else (out & p)
+    return out
+
+
+# -------------------------------------------------------------- front end ---
+
+def _split_top(text: str) -> list:
+    """Split full EL text into ('lit', str) / ('expr', node) parts,
+    honouring ``$$`` escapes and nested/quoted braces."""
+    parts: list = []
+    buf: list[str] = []
+    i = 0
+    while i < len(text):
+        if text[i : i + 2] == "$$":
+            buf.append("$")
+            i += 2
+            continue
+        if text[i : i + 2] == "${":
+            if buf:
+                parts.append(("lit", "".join(buf)))
+                buf = []
+            sc = _Scanner(text)
+            sc.i = i
+            inner = sc.balanced_expr()
+            parts.append(("expr", _parse_expr(_Scanner(inner, i + 2))))
+            i = sc.i
+            continue
+        buf.append(text[i])
+        i += 1
+    if buf:
+        parts.append(("lit", "".join(buf)))
+    return parts
+
+
+def compile_el(text: str, resolver: Callable[[str], Column] | None = None) -> Column:
+    """Compile NiFi EL source text to a Spark Column.
+
+    A lone ``${...}`` keeps its natural type (boolean for predicates,
+    numeric for math chains); text with embedded expressions concatenates
+    as string, exactly like NiFi property evaluation.
+
+    >>> df.filter(compile_el("${event_type:equals('click')}"))
+    >>> df.withColumn("tag", compile_el("c-${c_custkey}-${c_mktsegment:toLower()}"))
+    """
+    resolver = resolver or F.col
+    parts = _split_top(text)
+    if not parts:
+        return F.lit("")
+    if len(parts) == 1:
+        kind, val = parts[0]
+        return F.lit(val) if kind == "lit" else _eval_expr(val, resolver)
+    cols = [
+        F.lit(val) if kind == "lit" else _eval_expr(val, resolver).cast("string")
+        for kind, val in parts
+    ]
+    return F.concat(*cols)
+
+
+def el_predicate(text: str, resolver: Callable[[str], Column] | None = None) -> Column:
+    """Compile EL text that must evaluate to a boolean (RouteOnAttribute
+    property semantics): non-boolean results error at analysis, like
+    NiFi's 'expression must return a boolean' validation."""
+    return compile_el(text, resolver).cast("boolean")
+
+
+def el_select(df, exprs: dict[str, str], keep: list[str] | None = None):
+    """UpdateAttribute analog driven entirely by EL strings: each value in
+    ``exprs`` is EL source evaluated against the DataFrame's columns."""
+    cols = [F.col(c) for c in (keep or df.columns)]
+    cols += [compile_el(src).alias(name) for name, src in exprs.items()]
+    return df.select(*cols)

@@ -4432,3 +4432,93 @@ def stream_put_database_q(spark, sf_dir):
         options=_DERBY_DRIVER,
     )
     return back
+
+
+# =====================================================================
+# Expression Language string compiler (§2.9 front end) — round-4 ADVICE #2:
+# the predicates/projections below are given as the EL *strings* a NiFi
+# user writes, compiled by functions/el_parser.compile_el at plan time.
+# =====================================================================
+
+@register(
+    "el_parsed_expression_route",
+    oracle="""
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE event_type = 'click' OR value > 90
+    """,
+)
+def el_parsed_route_q(spark, sf_dir):
+    """RouteOnAttribute with the property value as EL source text —
+    ``${event_type:equals('click'):or(${value:gt(90)})}`` — compiled to a
+    boolean Column (whole-stage codegen; the parse runs once on the
+    driver).  [2.7.2-surface; SURVEY.md §2.3 + §2.9]"""
+    from apache_nifi_spark.functions.el_parser import el_predicate
+
+    ev = _t(spark, sf_dir, "events")
+    pred = el_predicate("${event_type:equals('click'):or(${value:gt(90)})}")
+    return ev.filter(pred).select("event_id", "event_type", "value")
+
+
+@register(
+    "el_parsed_projection",
+    oracle="""
+    SELECT c_custkey,
+           substr(upper(c_name), 1, 8)                          AS name_prefix,
+           concat(lower(c_mktsegment), '-seg')                  AS seg_tag,
+           concat('cust-', c_custkey, '-', lower(c_mktsegment)) AS ident,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0')            AS key_padded,
+           TRY_CAST(split_part(c_name, '#', 2) AS BIGINT) + 7   AS num_plus7,
+           CASE WHEN c_acctbal > 0 THEN 'pos' ELSE 'neg' END    AS bal_sign
+    FROM customer
+    """,
+)
+def el_parsed_projection_q(spark, sf_dir):
+    """UpdateAttribute rules as EL strings: every derived column below is
+    compiled from the exact text a NiFi property would hold, including an
+    embedded-expression template (``cust-${...}-${...}``)."""
+    from apache_nifi_spark.functions.el_parser import el_select
+
+    c = _t(spark, sf_dir, "customer")
+    return el_select(
+        c,
+        {
+            "name_prefix": "${c_name:toUpper():substring(0, 8)}",
+            "seg_tag": "${c_mktsegment:toLower():append('-seg')}",
+            "ident": "cust-${c_custkey}-${c_mktsegment:toLower()}",
+            "key_padded": "${c_custkey:toString():padLeft(10, '0')}",
+            "num_plus7": "${c_name:substringAfter('#'):toNumber():plus(7)}",
+            "bal_sign": "${c_acctbal:gt(0):ifElse('pos', 'neg')}",
+        },
+        keep=["c_custkey"],
+    )
+
+
+@register(
+    "el_parsed_multiattr_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) * 3 AS k_tripled,
+           CASE WHEN json_extract_string(props, '$.source') IS NULL
+                THEN 'none' ELSE json_extract_string(props, '$.source')
+           END AS source_or_none
+    FROM events
+    WHERE contains(event_type, 'ick') OR contains(props, 'ick')
+    """,
+)
+def el_parsed_multiattr_q(spark, sf_dir):
+    """anyAttribute multi-attribute predicate + jsonPath chains, all from
+    EL source text (NiFi EL guide's multi-attribute family)."""
+    from apache_nifi_spark.functions.el_parser import compile_el, el_predicate
+
+    ev = _t(spark, sf_dir, "events")
+    pred = el_predicate("${anyAttribute('event_type', 'props'):contains('ick')}")
+    return ev.filter(pred).select(
+        "event_id",
+        compile_el("${props:jsonPath('$.k'):toNumber():multiply(3)}").alias(
+            "k_tripled"
+        ),
+        compile_el("${props:jsonPath('$.source'):replaceNull('none')}").alias(
+            "source_or_none"
+        ),
+    )
