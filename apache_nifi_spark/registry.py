@@ -4522,3 +4522,127 @@ def el_parsed_multiattr_q(spark, sf_dir):
             "source_or_none"
         ),
     )
+
+
+# =====================================================================
+# RecordPath string parser (§2.4/§2.9 front end) — round-4 ADVICE #4:
+# nested navigation / update / remove driven by RecordPath *text*.
+# =====================================================================
+
+def _events_rec(spark, sf_dir):
+    """Nested-record shape for RecordPath queries: the flat events fixture
+    re-nested into struct/array fields (the record-aware processor view)."""
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    return ev.select(
+        "event_id",
+        F.struct(
+            F.struct(
+                uid.alias("id"), F.col("event_type").alias("etype")
+            ).alias("user"),
+            F.array(uid, uid * 2, uid * 3).alias("vals"),
+        ).alias("rec"),
+        "value",
+    )
+
+
+@register(
+    "recordpath_navigate_nested",
+    oracle="""
+    SELECT event_id,
+           user_id                                  AS uid,
+           event_type                               AS etype,
+           user_id * 2                              AS v2,
+           user_id * 3                              AS v_last,
+           concat(user_id, ',', user_id * 2)        AS first2,
+           CAST(len(list_filter([user_id, user_id * 2, user_id * 3],
+                                x -> x > 100)) AS INT) AS n_big
+    FROM events
+    """,
+)
+def recordpath_navigate_q(spark, sf_dir):
+    """RecordPath navigation from path strings: child steps, 0-based and
+    negative indices, inclusive ranges, element predicates — all compiled
+    to getField/get/element_at/slice/filter (JVM lambdas, no Python)."""
+    from apache_nifi_spark.functions.recordpath_parser import compile_record_path as rp
+
+    df = _events_rec(spark, sf_dir)
+    first2 = rp("/rec/vals[0..1]")
+    return df.select(
+        "event_id",
+        rp("/rec/user/id").alias("uid"),
+        rp("/rec/user/etype").alias("etype"),
+        rp("/rec/vals[1]").alias("v2"),
+        rp("/rec/vals[-1]").alias("v_last"),
+        F.array_join(F.transform(first2, lambda x: x.cast("string")), ",").alias(
+            "first2"
+        ),
+        F.size(rp("/rec/vals[. > 100]")).alias("n_big"),
+    )
+
+
+@register(
+    "recordpath_update_remove",
+    oracle="""
+    SELECT event_id,
+           upper(event_type)                                       AS etype_upper,
+           concat(user_id * 10, ',', user_id * 20, ',', user_id * 30) AS vals10,
+           concat('{"etype":"', upper(event_type), '"}')           AS user_json
+    FROM events
+    """,
+)
+def recordpath_update_remove_q(spark, sf_dir):
+    """UpdateRecord/RemoveRecordField from RecordPath strings: nested
+    withField update, [*] per-element transform, nested dropFields —
+    then serialized back out (record writer view)."""
+    from apache_nifi_spark.functions.recordpath_parser import (
+        record_path_remove,
+        record_path_update,
+    )
+
+    df = _events_rec(spark, sf_dir)
+    df = record_path_update(df, "/rec/user/etype", F.upper)
+    df = record_path_update(df, "/rec/vals[*]", lambda c: c * 10)
+    df = record_path_remove(df, "/rec/user/id")
+    vals = F.col("rec.vals")
+    return df.select(
+        "event_id",
+        F.col("rec.user.etype").alias("etype_upper"),
+        F.array_join(F.transform(vals, lambda x: x.cast("string")), ",").alias(
+            "vals10"
+        ),
+        F.to_json(F.col("rec.user")).alias("user_json"),
+    )
+
+
+@register(
+    "recordpath_filter_items",
+    oracle="""
+    SELECT event_id,
+           coalesce(array_to_string(
+             list_transform(
+               list_filter([{'tag': 'small', 'v': value},
+                            {'tag': 'med',   'v': value * 2},
+                            {'tag': 'big',   'v': value * 4}],
+                           x -> x.v > 150),
+               x -> x.tag), ','), '')               AS big_tags
+    FROM events
+    """,
+)
+def recordpath_filter_items_q(spark, sf_dir):
+    """Predicate paths over array-of-struct (``/items[./v > 150]/tag``) —
+    the RecordPath filter family on record collections."""
+    from apache_nifi_spark.functions.recordpath_parser import compile_record_path as rp
+
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    items = F.array(
+        F.struct(F.lit("small").alias("tag"), v.alias("v")),
+        F.struct(F.lit("med").alias("tag"), (v * 2).alias("v")),
+        F.struct(F.lit("big").alias("tag"), (v * 4).alias("v")),
+    )
+    df = ev.select("event_id", items.alias("items"))
+    return df.select(
+        "event_id",
+        F.array_join(rp("/items[./v > 150]/tag"), ",").alias("big_tags"),
+    )
