@@ -4646,3 +4646,67 @@ def recordpath_filter_items_q(spark, sf_dir):
         "event_id",
         F.array_join(rp("/items[./v > 150]/tag"), ",").alias("big_tags"),
     )
+
+
+# =====================================================================
+# flow.json import (§1/§2 composition) — round-4 ADVICE #5: a versioned
+# NiFi flow snapshot ingested onto the engine's own operators.
+# Reference anchor: nifi-registry/deployement.yaml:14-16 (flow
+# persistence is the reference deployment's core workflow).
+# =====================================================================
+
+_GOLDEN_FLOW_PATH = __file__.rsplit("/", 2)[0] + "/tests/fixtures/golden_flow.json"
+
+
+def _run_golden_flow(spark, sf_dir):
+    """Publish the golden flow.json through FlowRegistry (immutable
+    versioned snapshot), resolve the pinned version back out, and compile
+    it onto DataFrame operators — the reference's registry→deploy cycle."""
+    from apache_nifi_spark.plans.flow_import import run_flow_json
+    from apache_nifi_spark.plans.flow_registry import FlowRegistry
+
+    with open(_GOLDEN_FLOW_PATH) as f:
+        text = f.read()
+    reg = FlowRegistry()
+    v = reg.publish("pipelines", "click-revenue", text, comment="golden import")
+    pinned = reg.get("pipelines", "click-revenue", v)
+    return run_flow_json(spark, sf_dir, pinned)
+
+
+@register(
+    "flow_import_roundtrip",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           COUNT(*) AS n_clicks,
+           CAST(SUM(CAST(value * 2 AS DECIMAL(18,6))) AS DOUBLE) AS sum_value2
+    FROM events
+    WHERE event_type = 'click'
+    GROUP BY 1
+    """,
+)
+def flow_import_roundtrip_q(spark, sf_dir):
+    """GetFile → RouteOnAttribute(EL strings) → UpdateAttribute(EL
+    strings) → QueryRecord(SQL) — imported from flow.json text, versioned
+    through FlowRegistry, executed as ONE Catalyst plan (routes push down
+    into the scan; no per-processor materialization)."""
+    outs = _run_golden_flow(spark, sf_dir)
+    return outs["DailyAgg.daily"]
+
+
+@register(
+    "flow_import_lookup_branch",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.value > 300 AND NOT e.event_type = 'click'
+    """,
+)
+def flow_import_lookup_q(spark, sf_dir):
+    """The same imported flow's LookupRecord side branch: the 'big' route
+    (first-matching semantics exclude clicks) broadcast-enriched against
+    the customer fixture."""
+    outs = _run_golden_flow(spark, sf_dir)
+    return outs["EnrichBig.matched"].select(
+        "event_id", "user_id", "c_name", "c_mktsegment"
+    )
