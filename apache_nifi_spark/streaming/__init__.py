@@ -26,7 +26,7 @@ from apache_nifi_spark.streaming.routes import route_stream_to_files  # noqa: F4
 from apache_nifi_spark.streaming.backpressure import BackpressureMonitor  # noqa: F401
 from apache_nifi_spark.streaming.site_to_site import s2s_push, s2s_pull  # noqa: F401
 from apache_nifi_spark.streaming.listen import (  # noqa: F401
-    HttpLandingListener, TcpLandingListener,
+    HttpLandingListener, TcpLandingListener, UdpLandingListener,
     stream_json_landing,
 )
 from apache_nifi_spark.streaming.jdbc_sink import stream_to_jdbc  # noqa: F401,E402

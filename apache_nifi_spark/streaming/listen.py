@@ -31,7 +31,12 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["HttpLandingListener", "TcpLandingListener", "stream_json_landing"]
+__all__ = [
+    "HttpLandingListener",
+    "TcpLandingListener",
+    "UdpLandingListener",
+    "stream_json_landing",
+]
 
 
 class HttpLandingListener:
@@ -143,3 +148,79 @@ class TcpLandingListener:
     def stop(self) -> None:
         self._srv.shutdown()
         self._srv.server_close()
+
+
+class UdpLandingListener:
+    """ListenUDP transport half [2.7.2-surface; SURVEY.md §2.1]: a
+    threaded UDP server landing datagrams as durable files.
+
+    NiFi's ListenUDP batches datagrams into FlowFiles via Max Batch Size;
+    ``batch_size`` mirrors that — datagrams buffer in arrival order and
+    flush to ONE newline-delimited landing file per batch (atomic
+    temp-name + rename, same contract as the TCP/HTTP listeners).
+    ``flush()`` drains a partial batch (NiFi's batching window close);
+    ``stop()`` flushes implicitly so no datagram is ever dropped.
+
+    Datagrams are unordered/unreliable by nature — the landing filename
+    carries an arrival sequence so downstream EnforceOrder-style
+    operators can reconstruct order where the payload allows.
+    """
+
+    def __init__(
+        self,
+        landing_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        batch_size: int = 1,
+    ):
+        import socketserver
+
+        self.landing_dir = landing_dir
+        os.makedirs(landing_dir, exist_ok=True)
+        self.batch_size = max(1, batch_size)
+        self._buf: list[bytes] = []
+        self._seq = 0
+        self._lock = threading.Lock()
+        listener = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                data = self.request[0]  # (datagram bytes, socket)
+                if data.strip():
+                    listener._datagram(data)
+
+        self._srv = socketserver.ThreadingUDPServer((host, port), Handler)
+        self._srv.daemon_threads = True
+        self._thread = threading.Thread(target=self._srv.serve_forever, daemon=True)
+        self._thread.start()
+
+    @property
+    def port(self) -> int:
+        return self._srv.server_address[1]
+
+    def _datagram(self, data: bytes) -> None:
+        with self._lock:
+            self._buf.append(data.rstrip(b"\n"))
+            if len(self._buf) >= self.batch_size:
+                self._flush_locked()
+
+    def _flush_locked(self) -> None:
+        if not self._buf:
+            return
+        self._seq += 1
+        body = b"\n".join(self._buf) + b"\n"
+        self._buf = []
+        name = f"{self._seq:06d}_{uuid.uuid4().hex}.log"
+        tmp = os.path.join(self.landing_dir, f".{name}.tmp")
+        with open(tmp, "wb") as f:
+            f.write(body)
+        os.rename(tmp, os.path.join(self.landing_dir, name))
+
+    def flush(self) -> None:
+        with self._lock:
+            self._flush_locked()
+
+    def stop(self) -> None:
+        self._srv.shutdown()
+        self._srv.server_close()
+        self.flush()

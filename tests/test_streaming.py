@@ -154,3 +154,43 @@ def test_listen_tcp_landing_zone_e2e(spark, tmp_path):
         assert by_pid[3]["message"] == "msg 3" and by_pid[0]["host"] == "host0"
     finally:
         listener.stop()
+
+
+def test_udp_listener_lands_datagrams_e2e(spark, tmp_path):
+    """ListenUDP e2e: datagrams → batched landing files → streaming drain.
+
+    batch_size=3 over 7 datagrams → two full batch files + one flushed
+    partial, all drained exactly-once by the file source."""
+    import socket
+    import time
+
+    from apache_nifi_spark.streaming import UdpLandingListener
+
+    landing = str(tmp_path / "udp_landing")
+    listener = UdpLandingListener(landing, batch_size=3)
+    try:
+        sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        msgs = [f"dgram-{i}|value={i * 10}" for i in range(7)]
+        for m in msgs:
+            sock.sendto(m.encode(), ("127.0.0.1", listener.port))
+        for _ in range(50):  # two full batches land async
+            if len([f for f in os.listdir(landing) if not f.startswith(".")]) >= 2:
+                break
+            time.sleep(0.1)
+    finally:
+        listener.stop()  # flushes the partial third batch
+    files = [f for f in os.listdir(landing) if not f.startswith(".")]
+    assert len(files) == 3
+
+    sdf = spark.readStream.format("text").schema("value string").load(landing)
+    cp = str(tmp_path / "udp_cp")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("udp_drain")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r.value for r in spark.table("udp_drain").collect())
+    assert got == sorted(msgs)
