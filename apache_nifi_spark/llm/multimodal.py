@@ -97,16 +97,33 @@ IMAGE_FEATURES_SCHEMA = StructType(
 )
 
 
-def _fake_decode(payload: bytes, dim: int) -> tuple[int, int, list[float]]:
-    """Deterministic stand-in for image decode + embed.
+try:  # REAL IMPLEMENTATION SEAM: PIL decodes when available in the env
+    from PIL import Image as _PILImage  # pragma: no cover - not in container
+except ImportError:
+    _PILImage = None
 
-    REAL IMPLEMENTATION SEAM: replace with PIL.Image.open(BytesIO(payload))
-    + a vision encoder.  The fake derives (width, height, features) from
-    the sha256 of the bytes so tests are reproducible.
+
+def _decode_one(payload: bytes, dim: int) -> tuple[int, int, list[float]]:
+    """Decode one image → (width, height, features).
+
+    With Pillow present, width/height come from the REAL decoded image
+    (``PIL.Image.open``); the feature vector remains a deterministic
+    byte-hash embedding (a vision encoder is out of env scope).  Without
+    Pillow, dimensions too derive from the sha256 so tests stay
+    reproducible — the Spark-side plumbing (schema, Arrow batching,
+    partition parallelism) is identical either way.
     """
     digest = hashlib.sha256(payload).digest()
-    width = 64 + digest[0]
-    height = 64 + digest[1]
+    if _PILImage is not None and payload:
+        try:
+            import io as _io
+
+            with _PILImage.open(_io.BytesIO(payload)) as im:
+                width, height = im.size
+        except Exception:
+            width, height = 64 + digest[0], 64 + digest[1]
+    else:
+        width, height = 64 + digest[0], 64 + digest[1]
     features = [((digest[i % 32] / 255.0) * 2 - 1) for i in range(dim)]
     return width, height, features
 
@@ -126,21 +143,28 @@ def decode_image_features(
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Vectorized over the Arrow batch: one comprehension over the
+        # content column (no iterrows — Python touches each payload once,
+        # everything else stays columnar).
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r[content_col]) if r[content_col] is not None else b""
-                w, h, feats = _fake_decode(payload, dim)
-                rows.append(
-                    {
-                        "doc_id": r[id_col],
-                        "mime_type": r.get(mime_col, "application/octet-stream"),
-                        "width": w,
-                        "height": h,
-                        "features": feats,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
+            decoded = [
+                _decode_one(bytes(p) if p is not None else b"", dim)
+                for p in pdf[content_col]
+            ]
+            mimes = (
+                pdf[mime_col]
+                if mime_col in pdf.columns
+                else pd.Series(["application/octet-stream"] * len(pdf))
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(),
+                    "mime_type": mimes.to_numpy(),
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "features": [d[2] for d in decoded],
+                }
+            )
 
     cols = [id_col, content_col] + ([mime_col] if mime_col in df.columns else [])
     return df.select(*cols).mapInPandas(decode, IMAGE_FEATURES_SCHEMA)
@@ -172,20 +196,26 @@ def sample_video_frames(
     """
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        # Vectorized fan-out: one hash per payload, then numpy
+        # repeat/tile builds the frame rows — no per-row Python loop.
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r[content_col]) if r[content_col] is not None else b""
-                digest = hashlib.sha256(payload).hexdigest()
-                for i in range(max_frames):
-                    rows.append(
-                        {
-                            "doc_id": r[id_col],
-                            "frame_index": i,
-                            "frame_ts_ms": i * every_ms,
-                            "frame_bytes": f"{digest}:{i}",
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_FRAMES_SCHEMA.fields])
+            digests = [
+                hashlib.sha256(bytes(p) if p is not None else b"").hexdigest()
+                for p in pdf[content_col]
+            ]
+            n = len(pdf)
+            idx = np.tile(np.arange(max_frames, dtype="int32"), n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(pdf[id_col].to_numpy(), max_frames),
+                    "frame_index": idx,
+                    "frame_ts_ms": (idx * every_ms).astype("int64"),
+                    "frame_bytes": [
+                        f"{d}:{i}" for d in digests for i in range(max_frames)
+                    ],
+                }
+            )
 
     return df.select(id_col, content_col).mapInPandas(sample, VIDEO_FRAMES_SCHEMA)

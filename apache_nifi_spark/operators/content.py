@@ -35,21 +35,22 @@ def pack_content_zip(
     into a single-entry zip archive (STORED — deterministic bytes, no
     deflate timestamp drift).  Output: (id, archive binary)."""
 
-    cols = [id_col, name_col, payload_col]
+    def _one(name, payload) -> bytes:
+        buf = _io.BytesIO()
+        if isinstance(payload, str):
+            payload = payload.encode("utf-8")
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+            # fixed date_time keeps archive bytes reproducible
+            info = zipfile.ZipInfo(str(name), (1980, 1, 1, 0, 0, 0))
+            zf.writestr(info, bytes(payload))
+        return buf.getvalue()
 
     def _pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            blobs = []
-            for _, row in pdf[cols].iterrows():
-                buf = _io.BytesIO()
-                payload = row[payload_col]
-                if isinstance(payload, str):
-                    payload = payload.encode("utf-8")
-                with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
-                    # fixed date_time keeps archive bytes reproducible
-                    info = zipfile.ZipInfo(str(row[name_col]), (1980, 1, 1, 0, 0, 0))
-                    zf.writestr(info, bytes(payload))
-                blobs.append(buf.getvalue())
+            # columnar zip over the two columns — no iterrows
+            blobs = [
+                _one(n, p) for n, p in zip(pdf[name_col], pdf[payload_col])
+            ]
             yield pd.DataFrame({"id": pdf[id_col].astype("int64"), "archive": blobs})
 
     return df.mapInPandas(_pack, _PACKED_SCHEMA)
@@ -62,10 +63,10 @@ def unpack_content_zip(df: DataFrame, id_col: str, archive_col: str) -> DataFram
     def _unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, names, payloads = [], [], []
-            for _, row in pdf[[id_col, archive_col]].iterrows():
-                with zipfile.ZipFile(_io.BytesIO(bytes(row[archive_col]))) as zf:
+            for rid, blob in zip(pdf[id_col], pdf[archive_col]):
+                with zipfile.ZipFile(_io.BytesIO(bytes(blob))) as zf:
                     for entry in zf.namelist():
-                        ids.append(int(row[id_col]))
+                        ids.append(int(rid))
                         names.append(entry)
                         payloads.append(zf.read(entry))
             yield pd.DataFrame(

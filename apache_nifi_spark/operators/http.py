@@ -29,9 +29,16 @@ def invoke_http(
     out_col: str = "response",
     status_col: str = "status",
     timeout: float = 10.0,
+    concurrency: int = 8,
 ) -> DataFrame:
     """GET each row's ``url_col``; append the response body (string) and
-    HTTP status.  One keep-alive connection per (host, partition).
+    HTTP status.
+
+    A bounded thread pool (``concurrency``) per partition overlaps
+    request latency — one slow endpoint no longer pins the partition at
+    RTT × rows — while each worker thread keeps its own keep-alive
+    connection per host (``threading.local``), so TCP setup still
+    amortizes across the batch.  Results stay in row order.
 
     Failure semantics mirror InvokeHTTP's relationships: transport
     errors yield status -1 and empty body (the ``failure`` route) rather
@@ -48,11 +55,15 @@ def invoke_http(
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import http.client
+        import threading
         import urllib.parse
+        from concurrent.futures import ThreadPoolExecutor
 
-        conns: dict[tuple[str, int], http.client.HTTPConnection] = {}
+        tls = threading.local()  # per-thread keep-alive connection cache
 
         def fetch(url: str) -> tuple[str, int]:
+            conns: dict = getattr(tls, "conns", None) or {}
+            tls.conns = conns
             u = urllib.parse.urlsplit(url)
             key = (u.hostname or "", u.port or 80)
             try:
@@ -70,10 +81,11 @@ def invoke_http(
                 conns.pop(key, None)  # drop the broken keep-alive
                 return "", -1
 
-        for pdf in batches:
-            results = [fetch(u) for u in pdf[url_col]]
-            pdf[out_col] = [r[0] for r in results]
-            pdf[status_col] = [r[1] for r in results]
-            yield pdf
+        with ThreadPoolExecutor(max_workers=concurrency) as pool:
+            for pdf in batches:
+                results = list(pool.map(fetch, pdf[url_col]))  # ordered
+                pdf[out_col] = [r[0] for r in results]
+                pdf[status_col] = [r[1] for r in results]
+                yield pdf
 
     return df.mapInPandas(run, schema)

@@ -377,3 +377,70 @@ def test_invoke_http_pools_and_routes_failures(spark):
         assert got[i] == (f"WORD{i}", 200)
     assert got[99] == ("", -1)
     srv.shutdown()
+
+
+def test_invoke_http_overlaps_slow_endpoint(spark, tmp_path):
+    """The bounded per-partition thread pool must overlap request latency:
+    16 requests against a 0.25 s-sleep endpoint in ONE partition finish
+    in ~ceil(16/8)*0.25 s of request time, not 16*0.25 s.
+
+    The input is a single-file parquet (one natural partition): a
+    ``coalesce(1)`` over a driver-local relation stalls the first Arrow
+    batch by several seconds in this Spark build, which would swamp the
+    timing signal.  The server also records per-request (start, end)
+    intervals so overlap is asserted directly, independent of job
+    overhead.
+    """
+    import http.server
+    import threading
+    import time
+
+    from apache_nifi_spark.operators import invoke_http
+
+    intervals: list[tuple[float, float]] = []
+    ilock = threading.Lock()
+
+    class SlowHandler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            t0 = time.monotonic()
+            time.sleep(0.25)
+            body = b"slow"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            with ilock:
+                intervals.append((t0, time.monotonic()))
+
+        def log_message(self, *args):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), SlowHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+
+    src = str(tmp_path / "urls")
+    spark.createDataFrame(
+        [(i, f"http://127.0.0.1:{port}/s?i={i}") for i in range(16)],
+        "id long, url string",
+    ).coalesce(1).write.parquet(src)
+    df = spark.read.parquet(src)
+    assert df.rdd.getNumPartitions() == 1
+
+    t0 = time.monotonic()
+    out = invoke_http(df, "url", concurrency=8).collect()
+    wall = time.monotonic() - t0
+    assert all(r["status"] == 200 and r["response"] == "slow" for r in out)
+    # rows keep input order through pool.map
+    assert sorted(r["id"] for r in out) == list(range(16))
+
+    # direct overlap evidence: some request began before another finished
+    assert len(intervals) == 16
+    max_concurrent = max(
+        sum(1 for s, e in intervals if s <= t < e)
+        for t, _ in intervals
+    )
+    assert max_concurrent >= 4, f"requests did not overlap: {intervals}"
+    # and the wall stays far under the 4 s serial floor
+    assert wall < 3.0, f"no overlap: {wall:.2f}s for 16 x 0.25s requests"
+    srv.shutdown()
