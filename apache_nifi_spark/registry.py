@@ -1894,6 +1894,46 @@ def convert_record_json_q(spark, sf_dir):
 
 
 @register(
+    "convert_record_avro",
+    oracle="SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,"
+    "       o_orderdate, o_orderpriority FROM orders",
+)
+def convert_record_avro_q(spark, sf_dir):
+    """ConvertRecord parquet→Avro→records — NiFi's DEFAULT wire format
+    (SURVEY.md §2.2), served by the dependency-free Object Container File
+    codec in sources/avro_codec.py (spark-avro jar absent from this env).
+
+    Write is one container per partition (mapInPandas, executor-side);
+    read is a binaryFile scan fanned out per file.  The round-trip must be
+    value-exact through zigzag longs, IEEE doubles, UTF-8 strings, and
+    timestamp-micros logicals."""
+    import tempfile
+
+    from apache_nifi_spark.sources import convert_record
+
+    orders = _t(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="anspark_convert_avro_")
+    return convert_record(spark, orders, "avro", out)
+
+
+@register(
+    "convert_record_avro_nested",
+    oracle="SELECT vec_id, embedding, label FROM embeddings",
+)
+def convert_record_avro_nested_q(spark, sf_dir):
+    """Avro round-trip of a NESTED schema (array<float> embeddings) —
+    exercises the block-encoded Avro array path and float32 bit-exactness
+    (struct '<f' both ways, so no precision drift)."""
+    import tempfile
+
+    from apache_nifi_spark.sources import convert_record
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="anspark_convert_avro_emb_")
+    return convert_record(spark, emb, "avro", out)
+
+
+@register(
     "source_binary_file",
     # The correctness gate always runs at sf0.01 (BASELINE.md §B), and the
     # oracle dialect has no sf_dir parameter, so the blob glob is pinned to

@@ -25,11 +25,13 @@ from __future__ import annotations
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 from pyspark.sql.types import StructType
 
-# Formats with a native DataFrame reader/writer in this build (avro/xml
-# would need their packages on the classpath; gate at call time).
-_FORMATS = {"parquet", "csv", "json", "text", "orc"}
+# Formats with a native DataFrame reader/writer in this build, plus
+# "avro" via the dependency-free container codec in avro_codec.py (the
+# spark-avro jar is absent from this env; XML still gated).
+_FORMATS = {"parquet", "csv", "json", "text", "orc", "avro"}
 
 _DEFAULT_READ_OPTIONS: dict[str, dict[str, str]] = {
     # header carries names; types come from the explicit schema, never
@@ -62,6 +64,12 @@ def read_records(
     malformed rows routable via validate_record, §2.3).
     """
     fmt = _check_format(fmt)
+    if fmt == "avro":
+        from .avro_codec import read_avro
+
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        return read_avro(spark, path, schema=schema)
     reader = spark.read.format(fmt)
     for k, v in {**_DEFAULT_READ_OPTIONS.get(fmt, {}), **dict(options or {})}.items():
         reader = reader.option(k, v)
@@ -85,6 +93,13 @@ def write_records(
     layout (one subdir per key value → partition pruning on read-back).
     """
     fmt = _check_format(fmt)
+    if fmt == "avro":
+        from .avro_codec import write_avro
+
+        if partition_by:
+            raise ValueError("partition_by is not supported for the avro codec path")
+        write_avro(df, path, mode=mode, codec=dict(options or {}).get("codec", "deflate"))
+        return
     writer = df.write.format(fmt).mode(mode)
     for k, v in {**_DEFAULT_WRITE_OPTIONS.get(fmt, {}), **dict(options or {})}.items():
         writer = writer.option(k, v)
