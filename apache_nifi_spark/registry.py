@@ -4265,6 +4265,55 @@ def invoke_http_enrich_q(spark, sf_dir):
 
 
 @register(
+    "handle_http_request_response",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM events WHERE event_id % 100 = 0
+    GROUP BY event_type
+    """,
+)
+def handle_http_request_response_q(spark, sf_dir):
+    """Synchronous HandleHttpRequest→HandleHttpResponse cycle (§2.1):
+    a REAL HTTP round-trip — the client POSTs JSON-lines events, the
+    service parks the connection in the context map, runs a DataFrame
+    aggregation pipeline, and answers on the SAME connection
+    (streaming/web_service.py).  The oracle recomputes the aggregate
+    directly; equality proves request parse → pipeline → response
+    serialize is lossless (doubles survive via Jackson shortest
+    round-trip JSON)."""
+    import json
+    import urllib.request
+
+    from apache_nifi_spark.streaming.web_service import HttpRequestResponseService
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 100 == 0)
+    payload = (
+        "\n".join(ev.select("event_id", "event_type", "value").toJSON().collect()) + "\n"
+    ).encode()
+
+    def pipeline(df):
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+        )
+
+    with HttpRequestResponseService(
+        spark, pipeline, "event_id bigint, event_type string, value double"
+    ) as svc:
+        req = urllib.request.Request(svc.url, data=payload, method="POST")
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            assert resp.status == 200
+            body = resp.read().decode()
+    rows = [json.loads(ln) for ln in body.splitlines() if ln.strip()]
+    return spark.createDataFrame(
+        [(r["event_type"], r["n"], r["sum_value"]) for r in rows],
+        "event_type string, n bigint, sum_value double",
+    )
+
+
+@register(
     "parse_syslog_events",
     oracle="""
     SELECT CAST(1 AS INT) AS facility,
