@@ -3490,6 +3490,60 @@ def stream_site_to_site_q(spark, sf_dir):
 
 
 @register(
+    "publish_consume_kafka_bus",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE event_id % 20 = 0
+    GROUP BY event_type
+    """,
+)
+def publish_consume_kafka_bus_q(spark, sf_dir):
+    """PublishKafka → ConsumeKafka closed for real (§2.1/§2.11): the
+    file-backed bus in streaming/kafka_bus.py carries Kafka's EXACT
+    source schema (key/value binary, partition, contiguous per-partition
+    offsets) — events publish keyed by user_id with JSON values, an
+    independent streaming consumer parses and aggregates, and the oracle
+    recomputes straight from the fixture.  Equality proves the bus is
+    lossless and duplicate-free; broker invariants (offset monotonicity,
+    sticky keys, checkpointed resume) are pinned in
+    tests/test_kafka_bus.py."""
+    import tempfile
+
+    from apache_nifi_spark.streaming import run_to_memory
+    from apache_nifi_spark.streaming.kafka_bus import FileKafkaBus
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
+    bus = FileKafkaBus(tempfile.mkdtemp(prefix="anspark_kbus_"), num_partitions=4)
+    bus.publish(
+        ev.select(
+            F.col("user_id").alias("k"),
+            F.to_json(F.struct("event_id", "event_type", "value")).alias("v"),
+        ),
+        "events",
+        key_col="k",
+        value_col="v",
+    )
+    parsed = (
+        bus.consume(spark, "events")
+        .select(
+            F.from_json(
+                F.col("value").cast("string"),
+                "event_id bigint, event_type string, value double",
+            ).alias("r")
+        )
+        .select("r.*")
+    )
+    agg = parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("value"), "total_value"),
+    )
+    return run_to_memory(agg, output_mode="complete")
+
+
+@register(
     "split_xml_elements",
     oracle="""
     SELECT o_orderkey, CAST(item_pos AS INT) AS fragment_index, item
