@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "token_stats",
     "bpe_ish_tokens",
+    "vocab_topk",
     "language_id",
     "quality_score",
     "rolling_fingerprint",
@@ -73,6 +74,38 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def bpe_ish_tokens(text: Column) -> Column:
     return F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def vocab_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 100,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary: top-k lowercased word tokens by document-wide
+    frequency — the vocabulary/frequency-table pass of a tokenizer-
+    training or corpus-analysis pipeline (SURVEY.md §2.12 class).
+
+    Shape at 100 TB: explode → two-stage hash agg (partial map-side
+    combine collapses each partition's counts to its distinct tokens
+    before the single shuffle; vocabulary cardinality ≪ token count, so
+    the exchange carries the small side) → TakeOrdered for the top-k
+    (no global sort materialization).  Ties break lexicographically so
+    the result is total-ordered and oracle-exact.
+    """
+    tokens = F.explode(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"[^a-z0-9']+", -1), lambda t: t != ""
+        )
+    ).alias("token")
+    return (
+        df.select(tokens)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= min_count)
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(k)
+    )
 
 
 def language_id(

@@ -16,8 +16,45 @@ __all__ = [
     "sample_probabilistic",
     "sample_reservoir",
     "sample_stratified_hash",
+    "assign_split",
     "control_rate_limit",
 ]
+
+
+def assign_split(
+    df: DataFrame,
+    key: Column,
+    splits: dict[str, float] | None = None,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the dataset-split
+    operator every training-data pipeline needs (SURVEY.md §2.12 class).
+
+    Buckets ``md5(key)``'s first 8 hex chars into [0, 100) and walks the
+    cumulative split boundaries (default train .9 / val .05 / test .05).
+    Hash-based, not ``rand()``: the assignment is a pure function of the
+    row key, so it is stable across runs, engines, partitionings, and
+    incremental re-ingests (a re-crawled document keeps its split —
+    the leakage-safety property rand() cannot give).  At scale this is
+    one codegen'd expression, no shuffle, no state.
+
+    DuckDB computes the identical bucket via
+    ``('0x' || substring(md5(k),1,8))::UBIGINT % 100`` — value-oracled.
+    """
+    splits = splits or {"train": 0.90, "val": 0.05, "test": 0.05}
+    bucket = (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long") % 100
+    )
+    expr = None
+    cum = 0.0
+    items = list(splits.items())
+    for name, frac in items[:-1]:
+        cum += frac * 100
+        cond = bucket < F.lit(int(round(cum)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
 
 
 def sample_interval(df: DataFrame, key: Column, n: int) -> DataFrame:

@@ -1410,6 +1410,65 @@ def sample_stratified_mixture_q(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+@register(
+    "split_train_val_test",
+    oracle="""
+    SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT lang, n_chars,
+             CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 90
+                    THEN 'train'
+                  WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 95
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    GROUP BY split, lang
+    """,
+)
+def split_train_val_test_q(spark, sf_dir):
+    """Deterministic train/val/test split (beyond-reference §2.12): the
+    leakage-safe dataset-split operator — assignment is a pure function
+    of doc_id (md5-bucket, not rand()), so re-ingests keep their split
+    across runs/engines/partitionings.  One codegen'd expression, no
+    shuffle for the assignment itself; the oracle recomputes the same
+    bucket in DuckDB, proving cross-engine determinism."""
+    from apache_nifi_spark.operators.sample import assign_split
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        assign_split(d, F.col("doc_id"))
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@register(
+    "corpus_vocab_topk",
+    oracle=r"""
+    SELECT token, freq FROM (
+      SELECT t.token, COUNT(*) AS freq
+      FROM documents d,
+           unnest(list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9'']+'),
+                              x -> x != '')) AS t(token)
+      GROUP BY t.token
+    )
+    ORDER BY freq DESC, token
+    LIMIT 100
+    """,
+)
+def corpus_vocab_topk_q(spark, sf_dir):
+    """Corpus vocabulary top-k (beyond-reference §2.12): lowercased word
+    frequency table over the documents corpus — the vocabulary pass of
+    tokenizer training.  explode → partial+final hash agg (map-side
+    combine carries only distinct tokens into the one shuffle) →
+    TakeOrderedAndProject; ties break lexicographically for a total
+    order both engines agree on."""
+    from apache_nifi_spark.llm.text import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents"), k=100)
+
+
 def _minhash_lsh_oracle(num_perm: int = 64, bands: int = 16, threshold: float = 0.6) -> str:
     """Generate the full MinHash-LSH oracle: DuckDB rebuilds identical
     5-char shingles, 60-bit md5 shingle hashes, the 64-perm signature
@@ -1931,6 +1990,25 @@ def convert_record_avro_nested_q(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     out = tempfile.mkdtemp(prefix="anspark_convert_avro_emb_")
     return convert_record(spark, emb, "avro", out)
+
+
+@register(
+    "convert_record_xml",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def convert_record_xml_q(spark, sf_dir):
+    """ConvertRecord parquet→XML→records: the XMLReader /
+    XMLRecordSetWriter pairing (§2.2), dependency-free stdlib codec
+    (`sources/xml_codec.py` — spark-xml jar absent).  Round-trip must be
+    value-exact through element escaping and typed re-parse under the
+    source schema."""
+    import tempfile
+
+    from apache_nifi_spark.sources import convert_record
+
+    sup = _t(spark, sf_dir, "supplier")
+    out = tempfile.mkdtemp(prefix="anspark_convert_xml_")
+    return convert_record(spark, sup, "xml", out)
 
 
 @register(

@@ -62,6 +62,12 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Broadcast joins for bounded dimension tables (LookupRecord analog).
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Driver heap: Spark's 1g default is sized for a thin cluster
+        # driver; in local mode the driver JVM *is* every executor, so
+        # broadcast builds + 32 concurrent tasks need real heap (1g OOMs
+        # broadcast construction at sf≥1).  Honored only at JVM launch —
+        # a getOrCreate against a live session keeps its existing heap.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         # Keep driver result transfers bounded — no huge collects by design.
         .config("spark.driver.maxResultSize", "2g")
         .config("spark.ui.enabled", "false")

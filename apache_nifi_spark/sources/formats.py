@@ -29,9 +29,9 @@ from pyspark.sql import types as T
 from pyspark.sql.types import StructType
 
 # Formats with a native DataFrame reader/writer in this build, plus
-# "avro" via the dependency-free container codec in avro_codec.py (the
-# spark-avro jar is absent from this env; XML still gated).
-_FORMATS = {"parquet", "csv", "json", "text", "orc", "avro"}
+# "avro"/"xml" via the dependency-free codecs in avro_codec.py /
+# xml_codec.py (the spark-avro / spark-xml jars are absent in this env).
+_FORMATS = {"parquet", "csv", "json", "text", "orc", "avro", "xml"}
 
 _DEFAULT_READ_OPTIONS: dict[str, dict[str, str]] = {
     # header carries names; types come from the explicit schema, never
@@ -70,6 +70,12 @@ def read_records(
         if isinstance(schema, str):
             schema = T.StructType.fromDDL(schema)
         return read_avro(spark, path, schema=schema)
+    if fmt == "xml":
+        from .xml_codec import read_xml
+
+        if schema is None:
+            raise ValueError("xml reader requires an explicit schema")
+        return read_xml(spark, path, schema)
     reader = spark.read.format(fmt)
     for k, v in {**_DEFAULT_READ_OPTIONS.get(fmt, {}), **dict(options or {})}.items():
         reader = reader.option(k, v)
@@ -99,6 +105,13 @@ def write_records(
         if partition_by:
             raise ValueError("partition_by is not supported for the avro codec path")
         write_avro(df, path, mode=mode, codec=dict(options or {}).get("codec", "deflate"))
+        return
+    if fmt == "xml":
+        from .xml_codec import write_xml
+
+        if partition_by:
+            raise ValueError("partition_by is not supported for the xml codec path")
+        write_xml(df, path, mode=mode)
         return
     writer = df.write.format(fmt).mode(mode)
     for k, v in {**_DEFAULT_WRITE_OPTIONS.get(fmt, {}), **dict(options or {})}.items():

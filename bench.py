@@ -73,7 +73,12 @@ def run_bench(sf_dir: str) -> dict:
     # a long-running engine amortizes exactly like DuckDB's cache — the
     # reported number is the warm plan, the honest steady-state cost.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # Optional subset (comma-separated names) — the BASELINE.md §D
+    # floor-separation run times the top-20 at a larger SF.
+    only = {n for n in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if n}
     for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()

@@ -439,3 +439,50 @@ def test_flow_registry_parameter_context(spark):
     assert row["msg"] == "it's here" and row["n_str"] == "7"
     with pytest.raises(KeyError):
         reg.run(spark, "b", "param_flow", parameters={"greeting": "x"})
+
+
+def test_assign_split_deterministic_and_partition_invariant(spark):
+    """Split assignment is a pure function of the key: same result across
+    runs and partition layouts, fractions roughly honored, every row
+    assigned exactly one split."""
+    from pyspark.sql import functions as F
+
+    from apache_nifi_spark.operators.sample import assign_split
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = assign_split(df, F.col("doc_id")).collect()
+    b = assign_split(df.repartition(13), F.col("doc_id")).collect()
+    assert {r.doc_id: r.split for r in a} == {r.doc_id: r.split for r in b}
+    counts = {s: sum(1 for r in a if r.split == s) for s in ("train", "val", "test")}
+    assert sum(counts.values()) == 2000
+    assert 0.85 <= counts["train"] / 2000 <= 0.95
+    assert 0.02 <= counts["val"] / 2000 <= 0.08
+    assert 0.02 <= counts["test"] / 2000 <= 0.08
+
+
+def test_assign_split_custom_fractions(spark):
+    from pyspark.sql import functions as F
+
+    from apache_nifi_spark.operators.sample import assign_split
+
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    out = assign_split(df, F.col("k"), {"a": 0.5, "b": 0.5}).groupBy("split").count()
+    counts = {r.split: r["count"] for r in out.collect()}
+    assert set(counts) == {"a", "b"}
+    assert 400 <= counts["a"] <= 600
+
+
+def test_vocab_topk_counts_and_tiebreak(spark):
+    from apache_nifi_spark.llm.text import vocab_topk
+
+    df = spark.createDataFrame(
+        [("the cat the dog",), ("THE Cat runs",), ("dog's day",)], "text string"
+    )
+    rows = vocab_topk(df, k=10).collect()
+    freq = {r.token: r.freq for r in rows}
+    assert freq["the"] == 3  # case-folded
+    assert freq["cat"] == 2
+    assert freq["dog's"] == 1  # apostrophe kept inside token
+    # ties (freq 1) are lexicographic
+    ones = [r.token for r in rows if r.freq == 1]
+    assert ones == sorted(ones)

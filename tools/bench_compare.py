@@ -32,7 +32,10 @@ def duck_timings(sf_dir: str) -> dict[str, float]:
     for t in io.TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     out: dict[str, float] = {}
+    only = {n for n in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if n}
     for name, sql in ORACLES.items():
+        if only and name not in only:
+            continue
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
