@@ -192,6 +192,48 @@ class FileKafkaBus:
             "key", "value", "topic", "partition", "offset", "timestamp", "timestampType"
         )
 
+    def publish_stream(
+        self,
+        sdf: DataFrame,
+        topic: str,
+        producer_id: str,
+        checkpoint_dir: str,
+        key_col: str | None = None,
+        value_col: str = "value",
+    ):
+        """Streaming PublishKafka with the idempotent-producer contract.
+
+        ``foreachBatch`` + a per-producer batch ledger = Kafka's
+        ``transactional.id`` sequence dedup: a replayed micro-batch
+        (restart between publish and checkpoint commit) is recognized by
+        its batchId and skipped, so the log never double-appends —
+        exactly-once from the stream into the topic.  The ledger is one
+        tiny JSON per producer (control plane, like the broker's
+        producer-epoch state).
+        """
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            led = os.path.join(self.root, topic, f"_producer_{producer_id}.json")
+            try:
+                with open(led) as fh:
+                    done = json.load(fh)["last_batch"]
+            except FileNotFoundError:
+                done = -1
+            if batch_id <= done:
+                return  # replayed batch — idempotent skip
+            self.publish(batch_df, topic, key_col=key_col, value_col=value_col)
+            tmp = led + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"last_batch": batch_id}, fh)
+            os.replace(tmp, led)
+
+        return (
+            sdf.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
     def read_batch(self, spark: SparkSession, topic: str) -> DataFrame:
         """The batch twin (``spark.read.format("kafka")`` analog) for
         differential checks and catch-up reads."""

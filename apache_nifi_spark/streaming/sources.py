@@ -47,7 +47,9 @@ def stream_events(
         cached = _LANDING_CACHE.get(src)
         if cached is None or not os.path.isdir(cached[0]):
             landing = tempfile.mkdtemp(prefix="anspark_landing_")
-            os.symlink(src, os.path.join(landing, os.path.basename(src)))
+            # abspath: a relative sf_dir would otherwise create a symlink
+            # resolved relative to the LANDING dir — silently broken
+            os.symlink(os.path.abspath(src), os.path.join(landing, os.path.basename(src)))
             cached = (landing, spark.read.parquet(landing).schema)
             _LANDING_CACHE[src] = cached
         src, schema = cached

@@ -155,3 +155,39 @@ def test_null_key_round_robins_all_partitions(spark, bus):
     bus.publish(df, "nk", key_col=None, value_col="v")
     parts = {r["partition"] for r in bus.read_batch(spark, "nk").select("partition").distinct().collect()}
     assert parts == {0, 1, 2, 3}
+
+
+def test_streaming_publish_idempotent_producer(spark, bus, tmp_path):
+    """foreachBatch publisher with the transactional.id ledger: a stream
+    drains into the topic exactly once, and a REPLAYED micro-batch (same
+    batchId redelivered after a simulated restart) does not double-append."""
+    src_dir = str(tmp_path / "src")
+    _events(spark, 40).write.parquet(src_dir)
+    sdf = spark.readStream.schema(
+        "event_id bigint, user_id string, event_type string, value double"
+    ).parquet(src_dir).select(
+        F.col("user_id").alias("k"),
+        F.to_json(F.struct("event_id", "event_type", "value")).alias("v"),
+    )
+    q = bus.publish_stream(
+        sdf, "st", "producer-1", str(tmp_path / "cp"), key_col="k", value_col="v"
+    )
+    q.awaitTermination()
+    assert bus.read_batch(spark, "st").count() == 40
+
+    import json as _json
+    import os as _os
+    import shutil
+
+    led = _os.path.join(bus.root, "st", "_producer_producer-1.json")
+    assert _json.load(open(led))["last_batch"] == 0
+
+    # simulate a post-publish, pre-checkpoint crash: wipe the CHECKPOINT
+    # (but keep the producer ledger) so the engine redelivers batch 0 —
+    # the ledger must recognize the replay and skip the append
+    shutil.rmtree(str(tmp_path / "cp"))
+    q2 = bus.publish_stream(
+        sdf, "st", "producer-1", str(tmp_path / "cp"), key_col="k", value_col="v"
+    )
+    q2.awaitTermination()
+    assert bus.read_batch(spark, "st").count() == 40  # no double-append
