@@ -1955,7 +1955,7 @@ def convert_record_json_q(spark, sf_dir):
 @register(
     "convert_record_avro",
     oracle="SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,"
-    "       o_orderdate, o_orderpriority FROM orders",
+    "       o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 10 = 0",
 )
 def convert_record_avro_q(spark, sf_dir):
     """ConvertRecord parquet→Avro→records — NiFi's DEFAULT wire format
@@ -1965,12 +1965,14 @@ def convert_record_avro_q(spark, sf_dir):
     Write is one container per partition (mapInPandas, executor-side);
     read is a binaryFile scan fanned out per file.  The round-trip must be
     value-exact through zigzag longs, IEEE doubles, UTF-8 strings, and
-    timestamp-micros logicals."""
+    timestamp-micros logicals.  A deterministic 1-in-10 key subset keeps
+    the pure-Python encode cost proportionate in the suite bench while
+    exercising every codec path."""
     import tempfile
 
     from apache_nifi_spark.sources import convert_record
 
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
     out = tempfile.mkdtemp(prefix="anspark_convert_avro_")
     return convert_record(spark, orders, "avro", out)
 

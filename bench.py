@@ -52,15 +52,23 @@ def run_bench(sf_dir: str) -> dict:
     spark = get_spark(
         app_name="bench", shuffle_partitions=shuffle, extra_conf=_use_tmpfs()
     )
-    # Small-SF scan config: every fixture at sf0.1 is < 100 MB, so one task
-    # per scan removes per-task scheduling overhead.  At real scale the
-    # default 128 MB split size re-applies — config, not a code path.
-    spark.conf.set("spark.sql.files.maxPartitionBytes", "512m")
-    spark.conf.set("spark.sql.files.openCostInBytes", "64m")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = -1.0  # non-standard dir name; timings still valid
+    if sf < 0.5:
+        # Small-SF scan config: every fixture at sf0.1 is < 100 MB, so one
+        # task per scan removes per-task scheduling overhead.  At real
+        # scale the default 128 MB split size re-applies — config, not a
+        # code path.
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "512m")
+        spark.conf.set("spark.sql.files.openCostInBytes", "64m")
+    else:
+        # Floor-separation SF (BASELINE.md §D): fixtures are one ~70 MB
+        # file per table, so split DOWN to row-group granularity — the
+        # multi-task scan a many-file 100 TB table gets for free.
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+        spark.conf.set("spark.sql.files.openCostInBytes", "1m")
 
     timings: dict[str, float] = {}
     # Warm the JVM + parquet footers once with the flagship.
