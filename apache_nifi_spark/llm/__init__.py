@@ -53,4 +53,6 @@ from apache_nifi_spark.llm.multimodal import (  # noqa: F401
     identify_mime_type,
     decode_image_features,
     sample_video_frames,
+    parse_image_dimensions,
+    png_header_bytes,
 )

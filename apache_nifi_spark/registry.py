@@ -1765,14 +1765,43 @@ def multimodal_binary_q(spark, sf_dir):
     )
 
 
-@register("multimodal_image_features")  # rows-only: stubbed decoder (mapInPandas)
+@register(
+    "multimodal_image_features",
+    oracle="""
+    SELECT doc_id,
+           'image/png' AS mime_type,
+           CAST(1 + doc_id % 640 AS INT) AS width,
+           CAST(1 + (doc_id * 7) % 480 AS INT) AS height
+    FROM documents WHERE doc_id < 500
+    """,
+)
 def multimodal_image_q(spark, sf_dir):
-    """Arrow-batched mapInPandas decode seam (deterministic fake)."""
-    from apache_nifi_spark.llm import attach_binary_content, decode_image_features, identify_mime_type
+    """REAL image decode, value-oracled: structurally valid PNGs are
+    synthesized executor-side as column expressions (signature + IHDR
+    with a correct crc32 + IEND — `llm/multimodal.png_header_bytes`),
+    then the Arrow-batched mapInPandas decoder parses width/height back
+    out of the actual container bytes (stdlib PNG/GIF/BMP/JPEG header
+    parser; Pillow takes over when present).  The oracle recomputes the
+    dimensions arithmetically — equality proves build→sniff→decode is a
+    true byte-level round trip, not a stub."""
+    from apache_nifi_spark.llm import (
+        decode_image_features,
+        identify_mime_type,
+        png_header_bytes,
+    )
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    wrapped = identify_mime_type(attach_binary_content(d, "text"))
-    return decode_image_features(wrapped)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select(
+            "doc_id",
+            (F.lit(1) + F.col("doc_id") % 640).cast("int").alias("w"),
+            (F.lit(1) + (F.col("doc_id") * 7) % 480).cast("int").alias("h"),
+        )
+    )
+    img = d.withColumn("content", png_header_bytes(F.col("w"), F.col("h")))
+    wrapped = identify_mime_type(img)
+    return decode_image_features(wrapped).select("doc_id", "mime_type", "width", "height")
 
 
 # =====================================================================
