@@ -55,4 +55,7 @@ from apache_nifi_spark.llm.multimodal import (  # noqa: F401
     sample_video_frames,
     parse_image_dimensions,
     png_header_bytes,
+    parse_wav_metadata,
+    wav_header_bytes,
+    decode_audio_metadata,
 )

@@ -2,11 +2,14 @@
 
 The FlowFile shape (SURVEY.md §1.1): ``content BINARY`` + ``attributes
 MAP<STRING,STRING>``.  Spark-side plumbing — schema, partitioning, Arrow
-batch shape, UDF signatures — is real and tested; the actual media
-decoding is STUBBED (image/audio libraries are not in this container):
-``decode_image_features`` / ``sample_video_frames`` produce deterministic
-fake features derived from the bytes, behind a clearly-marked seam where
-PIL/ffmpeg calls would go.
+batch shape, UDF signatures — is real and tested.  Container-level
+decoding is REAL from the stdlib against the public format specs:
+``parse_image_dimensions`` (PNG/GIF/BMP/JPEG headers) and
+``parse_wav_metadata`` (RIFF/WAVE chunk walk); Pillow takes over image
+decode when importable.  Only pixel/sample-level work (feature vectors,
+``sample_video_frames``) remains a deterministic byte-hash stub behind a
+clearly-marked seam where a vision encoder / ffmpeg would go (those
+libraries are not in this container).
 
 Scale notes: binary payloads ride in parquet/``binaryFile`` columns;
 decode runs in ``mapInPandas`` (Arrow-batched, per-partition iterator) so
@@ -40,6 +43,9 @@ __all__ = [
     "sample_video_frames",
     "parse_image_dimensions",
     "png_header_bytes",
+    "parse_wav_metadata",
+    "wav_header_bytes",
+    "decode_audio_metadata",
 ]
 
 #: magic-byte prefixes → mime type (IdentifyMimeType analog, §2.3)
@@ -170,6 +176,107 @@ def png_header_bytes(width, height):
         be32(F.crc32(ihdr_body)),
         F.lit(b"\x00\x00\x00\x00IEND\xaeB`\x82"),
     )
+
+
+def parse_wav_metadata(payload: bytes) -> tuple[int, int, int, int] | None:
+    """REAL stdlib audio metadata decode: (channels, sample_rate_hz,
+    bits_per_sample, n_frames) from a RIFF/WAVE container, walking the
+    chunk list per the public spec.  None for non-WAV payloads.
+    """
+    import struct as _struct
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    channels = rate = bits = block_align = None
+    data_size = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        size = _struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        if tag == b"fmt " and pos + 24 <= len(payload):
+            channels, rate = _struct.unpack("<HI", payload[pos + 10 : pos + 16])
+            block_align, bits = _struct.unpack("<HH", payload[pos + 20 : pos + 24])
+        elif tag == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if None in (channels, rate, bits, block_align) or data_size is None or block_align == 0:
+        return None
+    return channels, rate, bits, data_size // block_align
+
+
+def wav_header_bytes(channels, sample_rate, n_frames, bits: int = 16):
+    """Column expression building a spec-valid WAV (RIFF) header from
+    integer columns — the audio twin of :func:`png_header_bytes` (pure
+    built-ins; little-endian ints via hex byte-swap).  The data chunk
+    declares its size but carries no samples (metadata-complete, the
+    shape a header-sniffing pipeline stage consumes)."""
+
+    def le(col, nbytes: int) -> F.Column:
+        hx = F.lpad(F.conv(col.cast("string"), 10, 16), nbytes * 2, "0")
+        swapped = F.concat(
+            *[F.substring(hx, (nbytes - 1 - i) * 2 + 1, 2) for i in range(nbytes)]
+        )
+        return F.unhex(swapped)
+
+    block_align = (channels * F.lit(bits // 8)).cast("long")
+    byte_rate = (sample_rate * block_align).cast("long")
+    data_size = (n_frames * block_align).cast("long")
+    return F.concat(
+        F.lit(b"RIFF"),
+        le(data_size + 36, 4),
+        F.lit(b"WAVEfmt "),
+        le(F.lit(16), 4),
+        le(F.lit(1), 2),  # PCM
+        le(channels.cast("long"), 2),
+        le(sample_rate.cast("long"), 4),
+        le(byte_rate, 4),
+        le(block_align, 2),
+        le(F.lit(bits), 2),
+        F.lit(b"data"),
+        le(data_size, 4),
+    )
+
+
+#: output schema of the audio metadata extractor
+AUDIO_METADATA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate_hz", IntegerType()),
+        StructField("bits_per_sample", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def decode_audio_metadata(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """Audio metadata extraction over binary payloads (mapInPandas,
+    Arrow-batched) — REAL RIFF/WAVE chunk-walk; non-WAV rows yield nulls.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [
+                parse_wav_metadata(bytes(p) if p is not None else b"")
+                for p in pdf[content_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(),
+                    "channels": [m[0] if m else None for m in metas],
+                    "sample_rate_hz": [m[1] if m else None for m in metas],
+                    "bits_per_sample": [m[2] if m else None for m in metas],
+                    "n_frames": [m[3] if m else None for m in metas],
+                    "duration_ms": [
+                        (m[3] * 1000) // m[1] if m and m[1] else None for m in metas
+                    ],
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(decode, AUDIO_METADATA_SCHEMA)
 
 
 def _decode_one(payload: bytes, dim: int) -> tuple[int, int, list[float]]:

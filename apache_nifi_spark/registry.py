@@ -1804,6 +1804,49 @@ def multimodal_image_q(spark, sf_dir):
     return decode_image_features(wrapped).select("doc_id", "mime_type", "width", "height")
 
 
+@register(
+    "multimodal_audio_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                ELSE 44100 END AS INT) AS sample_rate_hz,
+           CAST(16 AS INT) AS bits_per_sample,
+           CAST(100 + doc_id % 1000 AS BIGINT) AS n_frames,
+           CAST((100 + doc_id % 1000) * 1000 //
+                CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                ELSE 44100 END AS BIGINT) AS duration_ms
+    FROM documents WHERE doc_id < 500
+    """,
+)
+def multimodal_audio_q(spark, sf_dir):
+    """REAL audio metadata decode, value-oracled: spec-valid RIFF/WAVE
+    headers are built as column expressions (little-endian ints via hex
+    byte-swap — `llm/multimodal.wav_header_bytes`), then the mapInPandas
+    decoder walks the actual chunk list back out (channels, sample rate,
+    bit depth, frame count, duration).  Oracle recomputes the fields
+    arithmetically — a true byte-level round trip."""
+    from apache_nifi_spark.llm import decode_audio_metadata, wav_header_bytes
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select(
+            "doc_id",
+            (F.lit(1) + F.col("doc_id") % 2).alias("ch"),
+            F.when(F.col("doc_id") % 3 == 0, 8000)
+            .when(F.col("doc_id") % 3 == 1, 16000)
+            .otherwise(44100)
+            .alias("rate"),
+            (F.lit(100) + F.col("doc_id") % 1000).alias("frames"),
+        )
+    )
+    wav = d.withColumn(
+        "content", wav_header_bytes(F.col("ch"), F.col("rate"), F.col("frames"))
+    )
+    return decode_audio_metadata(wav)
+
+
 # =====================================================================
 # Streaming (§2.11): real Structured Streaming runs, batch-parity oracles
 # =====================================================================

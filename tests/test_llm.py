@@ -556,3 +556,37 @@ def test_png_header_bytes_column_expression_roundtrip(spark):
         body = payload[12:29]  # IHDR tag + 13-byte body
         crc = struct.unpack(">I", payload[29:33])[0]
         assert crc == zlib.crc32(body)
+
+
+def test_parse_wav_metadata_real_container():
+    """WAV parser vs a real container produced by the stdlib wave writer."""
+    import io
+    import wave
+
+    from apache_nifi_spark.llm.multimodal import parse_wav_metadata
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(b"\x00\x00" * 2 * 441)  # 441 stereo frames
+    meta = parse_wav_metadata(buf.getvalue())
+    assert meta == (2, 44100, 16, 441)
+    assert parse_wav_metadata(b"RIFFxxxxWAVE") is None  # truncated
+    assert parse_wav_metadata(b"not audio at all, just text") is None
+
+
+def test_wav_header_bytes_column_expression_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from apache_nifi_spark.llm.multimodal import parse_wav_metadata, wav_header_bytes
+
+    df = spark.range(4).select(
+        (1 + F.col("id") % 2).alias("ch"),
+        (8000 * (F.col("id") + 1)).alias("rate"),
+        (100 + F.col("id") * 13).alias("frames"),
+    )
+    rows = df.withColumn("wav", wav_header_bytes(F.col("ch"), F.col("rate"), F.col("frames"))).collect()
+    for r in rows:
+        assert parse_wav_metadata(bytes(r.wav)) == (r.ch, r.rate, 16, r.frames)
