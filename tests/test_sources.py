@@ -172,3 +172,18 @@ def test_jdbc_derby_roundtrip_partitioned(spark, sf_dir):
         for r in nat.select("n_nationkey", "n_name", "n_regionkey").collect()
     }
     assert a == b
+
+
+def test_read_write_records_dispatch_codec_formats(spark, sf_dir, tmp_path):
+    """The RecordReader/Writer surface routes avro and xml through the
+    dependency-free codecs (formats._FORMATS gate) with the same
+    read_records/write_records API as native formats."""
+    from apache_nifi_spark.io import load_table
+    from apache_nifi_spark.sources import read_records, write_records
+
+    nation = load_table(spark, sf_dir, "nation")
+    for fmt in ("avro", "xml"):
+        out = str(tmp_path / fmt)
+        write_records(nation, out, fmt=fmt)
+        back = read_records(spark, out, fmt=fmt, schema=nation.schema)
+        assert sorted(nation.collect()) == sorted(back.collect()), fmt
