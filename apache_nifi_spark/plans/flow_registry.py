@@ -118,7 +118,7 @@ class FlowRegistry:
         for r in (
             spark.read.parquet(path)
             .orderBy("bucket", "flow", "version")
-            .collect()
+            .collect()  # control-plane: versioned-flow CATALOG rows, never table data
         ):
             reg._flows.setdefault((r["bucket"], r["flow"]), []).append(
                 (r["version"], r["sql_text"], r["digest"], r["comment"])

@@ -698,7 +698,7 @@ def write_avro(
         yield pd.DataFrame({"file": [fname], "rows": [n]})
 
     manifest = df.mapInPandas(write_partition, schema="file string, rows long")
-    manifest.collect()  # control-plane action: one row per partition
+    manifest.collect()  # control-plane: one manifest row per partition
 
 
 def read_avro(

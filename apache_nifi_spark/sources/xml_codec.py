@@ -111,7 +111,7 @@ def write_xml(
             os.unlink(tmp)
         yield pd.DataFrame({"file": [fname], "rows": [n]})
 
-    df.mapInPandas(write_partition, schema="file string, rows long").collect()
+    df.mapInPandas(write_partition, schema="file string, rows long").collect()  # control-plane: one manifest row per partition
 
 
 def _parse_value(el_list: list, dt: T.DataType) -> Any:

@@ -143,7 +143,7 @@ class FileKafkaBus:
         # one tiny row per partition, not a data-path collect
         counts = {
             int(r["partition"]): r["n"]
-            for r in seq.groupBy("partition").agg(F.count("*").alias("n")).collect()
+            for r in seq.groupBy("partition").agg(F.count("*").alias("n")).collect()  # control-plane: O(partitions) offset metadata
         }
         total = sum(counts.values())
         if total == 0:
