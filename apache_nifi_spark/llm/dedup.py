@@ -103,7 +103,8 @@ def minhash_signatures(
     the whole signature (and everything downstream) value-oracles.
 
     Pure array expressions — each row is independent, no shuffle.  Keeps
-    the shingle set alongside for the later exact-Jaccard verify.
+    the distinct per-shingle hash set (``shingle_hashes``) alongside for
+    the later exact-Jaccard verify.
 
     The signature is ONE ``aggregate`` fold over the hashed shingles with
     an array<long> accumulator: per shingle, ``zip_with(acc, consts,
@@ -128,32 +129,40 @@ def minhash_signatures(
     # references the previous alias, which keeps CollapseProject from
     # re-inlining the expensive subtree — the shingle/hash arrays are
     # computed ONCE per row.
+    #
+    # The RAW shingle strings never leave this function: downstream
+    # (banding, exact-Jaccard verify) works on the per-shingle hash set.
+    # Jaccard over distinct 60-bit hashes equals Jaccard over the strings
+    # up to a 2^-60-per-pair collision — and both engines derive the same
+    # hashes, so value parity holds regardless.  The payoff is the verify
+    # intersecting long arrays (primitive hash sets) instead of re-hashing
+    # n-char strings for every candidate pair.
     shingled = df.select(
         F.col(id_col), char_shingles(F.col(text_col), shingle_n).alias("shingles")
     )
     if hash_fn == "xxhash64":
-        shingle_hash = lambda s: F.pmod(F.xxhash64(s), F.lit(_P))
+        full_hash = lambda s: F.xxhash64(s)
     elif hash_fn == "md5":
         # 15 hex chars = 60 bits < 2^63: conv's decimal string casts to
         # long losslessly; identical value via hex-cast in any engine.
-        shingle_hash = lambda s: F.pmod(
-            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"), F.lit(_P)
-        )
+        full_hash = lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
     else:
         raise ValueError("hash_fn must be 'xxhash64' or 'md5'")
     hashed = shingled.select(
         id_col,
-        "shingles",
-        F.transform("shingles", shingle_hash).alias("__mh"),
+        F.transform("shingles", full_hash).alias("shingle_hashes"),
     )
+    # Fold input: hashes reduced mod P so a·h+b stays under 2^62.
     sig = F.aggregate(
-        "__mh",
+        F.transform("shingle_hashes", lambda h: F.pmod(h, F.lit(_P))),
         F.array_repeat(F.lit(_P).cast("long"), num_perm),
         lambda acc, h: F.zip_with(
             acc, consts, lambda m, c: F.least(m, F.pmod(c["a"] * h + c["b"], F.lit(_P)))
         ),
     )
-    return hashed.select(F.col(id_col), F.col("shingles"), sig.alias("signature"))
+    return hashed.select(
+        F.col(id_col), F.col("shingle_hashes"), sig.alias("signature")
+    )
 
 
 def lsh_candidate_pairs(
@@ -217,7 +226,7 @@ def minhash_near_duplicates(
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pipeline: signatures → banded
-    candidates → exact Jaccard (on true shingle sets) ≥ threshold.
+    candidates → exact Jaccard (on distinct shingle-hash sets) ≥ threshold.
 
     Output: (id_a, id_b, jaccard).  The exact verify runs only on LSH
     candidates — the step that makes this viable at corpus scale.
@@ -238,7 +247,7 @@ def minhash_near_duplicates(
         df = df.repartition(parallelism)
     # The signature table is reused three times (both sides of the bucket
     # self-join + the verify joins); persist it so signatures are computed
-    # exactly once.  It is narrow — id + 64 longs + shingle array — and
+    # exactly once.  It is narrow — id + 64 longs + shingle-hash array — and
     # spills to disk at corpus scale (MEMORY_AND_DISK default).
     sigs = minhash_signatures(
         df, id_col, text_col, num_perm, shingle_n, seed, hash_fn
@@ -258,16 +267,19 @@ def minhash_near_duplicates(
     # filter drops every one of them.  Exact dedup owns those docs;
     # exclude them from banding entirely.
     cands = lsh_candidate_pairs(
-        sigs.filter(F.size("shingles") > 0),
+        sigs.filter(F.size("shingle_hashes") > 0),
         id_col,
         bands,
         num_perm // bands,
         band_hash="raw" if hash_fn == "md5" else "xxhash64",
     ).repartition(parallelism)
-    sh = sigs.select(F.col(id_col), F.col("shingles"))
+    sh = sigs.select(F.col(id_col), F.col("shingle_hashes"))
     pairs = (
-        cands.join(sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"}), "id_b")
+        cands.join(
+            sh.withColumnsRenamed({id_col: "id_a", "shingle_hashes": "sh_a"}), "id_a"
+        ).join(
+            sh.withColumnsRenamed({id_col: "id_b", "shingle_hashes": "sh_b"}), "id_b"
+        )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter

@@ -1481,8 +1481,11 @@ def _minhash_lsh_oracle(num_perm: int = 64, bands: int = 16, threshold: float = 
         f"COALESCE(list_min(list_transform(mh, x -> ({a} * x + {b}) % 2147483647)), 2147483647)"
         for a, b in _perm_constants(num_perm, 42)
     )
-    inter = "length(list_intersect(sa.sh, sb.sh))"
-    jac = f"CAST({inter} AS DOUBLE) / (length(sa.sh) + length(sb.sh) - {inter})"
+    # Verify runs on the distinct 60-bit hash sets, mirroring the engine
+    # (dedup.minhash_signatures): Jaccard over hashes == Jaccard over the
+    # raw shingles up to a 2^-60 collision, derived identically here.
+    inter = "length(list_intersect(sa.h60, sb.h60))"
+    jac = f"CAST({inter} AS DOUBLE) / (length(sa.h60) + length(sb.h60) - {inter})"
     return f"""
     WITH g AS (
       SELECT doc_id,
@@ -1490,14 +1493,13 @@ def _minhash_lsh_oracle(num_perm: int = 64, bands: int = 16, threshold: float = 
                                           i -> substr(text, i, 5))) AS sh
       FROM documents
     ), h AS (
-      SELECT doc_id, sh,
-             list_transform(sh, s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
-                                     % 2147483647) AS mh
+      SELECT doc_id,
+             list_transform(sh, s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)) AS h60
       FROM g
     ), sig AS (
-      SELECT doc_id, sh,
+      SELECT doc_id, h60,
            [{sig_exprs}] AS sig
-      FROM h
+      FROM (SELECT doc_id, h60, list_transform(h60, x -> x % 2147483647) AS mh FROM h)
     ), band AS (
       SELECT doc_id, p AS band, sig[(p * {rows} + 1):(p * {rows} + {rows})] AS bucket
       FROM sig, generate_series(0, {bands - 1}) t(p)
@@ -1507,7 +1509,7 @@ def _minhash_lsh_oracle(num_perm: int = 64, bands: int = 16, threshold: float = 
         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     )
     SELECT c.id_a, c.id_b, {jac} AS jaccard
-    FROM cand c JOIN g sa ON c.id_a = sa.doc_id JOIN g sb ON c.id_b = sb.doc_id
+    FROM cand c JOIN h sa ON c.id_a = sa.doc_id JOIN h sb ON c.id_b = sb.doc_id
     WHERE {jac} >= {threshold}
     """
 
