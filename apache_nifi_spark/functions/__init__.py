@@ -7,3 +7,9 @@ Python UDFs anywhere in this layer.
 
 from apache_nifi_spark.functions.el import *  # noqa: F401,F403
 from apache_nifi_spark.functions.recordpath import *  # noqa: F401,F403
+from apache_nifi_spark.functions.selectors import (  # noqa: F401
+    compile_mongo_query,
+    jms_selector,
+    mqtt_filter_regex,
+    mqtt_topic_matches,
+)

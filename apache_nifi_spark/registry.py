@@ -5010,3 +5010,281 @@ def flow_import_lookup_q(spark, sf_dir):
     return outs["EnrichBig.matched"].select(
         "event_id", "user_id", "c_name", "c_mktsegment"
     )
+
+
+# =====================================================================
+# Connector-semantics closure (SURVEY.md §2.1/§2.2 final rows): the
+# document-store / notification sinks render their exact wire payloads
+# (sinks/wire.py), and the consumer-side predicate languages (MQTT topic
+# filters, JMS selectors, Mongo query documents) compile to Catalyst
+# predicates (functions/selectors.py).  The socket/client half of each
+# connector is commodity I/O; the record-level semantics live here and
+# are value-oracled.
+# =====================================================================
+
+@register(
+    "put_elasticsearch_bulk",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           concat('{"index":{"_index":"orders","_id":"', CAST(o_orderkey AS VARCHAR), '"}}',
+                  chr(10),
+                  '{"orderkey":', CAST(CAST(o_orderkey AS BIGINT) AS VARCHAR),
+                  ',"status":"', o_orderstatus,
+                  '","totalprice":', CAST(CAST(o_totalprice AS DECIMAL(27,2)) AS VARCHAR),
+                  ',"priority":"', o_orderpriority, '"}') AS bulk
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def put_elasticsearch_bulk_q(spark, sf_dir):
+    """PutElasticsearchRecord (§2.2): render the exact ``_bulk`` NDJSON
+    entry per record — action-and-metadata line + source line — as one
+    codegen'd string expression (sinks/wire.es_bulk).  POSTing the
+    concatenated lines is commodity HTTP (operators/http.py); the render
+    IS the record-level work, and it is value-oracled byte-for-byte."""
+    from apache_nifi_spark.sinks import wire
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        wire.es_bulk(
+            "orders",
+            F.col("o_orderkey"),
+            [
+                ("orderkey", wire.json_number(F.col("o_orderkey"))),
+                ("status", wire.json_string(F.col("o_orderstatus"))),
+                ("totalprice", wire.json_number(F.col("o_totalprice"), 2)),
+                ("priority", wire.json_string(F.col("o_orderpriority"))),
+            ],
+        ).alias("bulk"),
+    )
+
+
+@register(
+    "put_mongo_extended_json",
+    oracle="""
+    SELECT c_custkey AS custkey,
+           concat('{"_id":{"$numberLong":"', CAST(CAST(c_custkey AS BIGINT) AS VARCHAR), '"}',
+                  ',"name":"', c_name,
+                  '","nationkey":{"$numberLong":"', CAST(CAST(c_nationkey AS BIGINT) AS VARCHAR), '"}',
+                  ',"acctbal":{"$numberDouble":"', CAST(CAST(c_acctbal AS DECIMAL(27,2)) AS VARCHAR), '"}',
+                  ',"segment":"', c_mktsegment, '"}') AS doc
+    FROM customer
+    """,
+)
+def put_mongo_extended_json_q(spark, sf_dir):
+    """PutMongoRecord (§2.2): canonical MongoDB Extended JSON v2 per
+    record — the lossless BSON text form a Mongo client ingests —
+    rendered columnar (sinks/wire.mongo_extended_json), typed per field
+    exactly like a RecordSetWriter schema."""
+    from apache_nifi_spark.sinks import wire
+
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        wire.mongo_extended_json(
+            F.col("c_custkey"),
+            [
+                ("name", "string", F.col("c_name"), None),
+                ("nationkey", "long", F.col("c_nationkey"), None),
+                ("acctbal", "double", F.col("c_acctbal"), 2),
+                ("segment", "string", F.col("c_mktsegment"), None),
+            ],
+        ).alias("doc"),
+    )
+
+
+@register(
+    "put_email_render",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           concat('From: noreply@engine.local', chr(13), chr(10),
+                  'To: customer', CAST(o_custkey AS VARCHAR), '@example.com', chr(13), chr(10),
+                  'Subject: Order ', CAST(o_orderkey AS VARCHAR), ' ', o_orderstatus, chr(13), chr(10),
+                  'Date: ', strftime(o_orderdate, '%a, %-d %b %Y %H:%M:%S +0000'), chr(13), chr(10),
+                  'MIME-Version: 1.0', chr(13), chr(10),
+                  'Content-Type: text/plain; charset=utf-8', chr(13), chr(10),
+                  'Content-Transfer-Encoding: base64', chr(13), chr(10), chr(13), chr(10),
+                  -- body stays < 57 bytes so unchunked to_base64 equals Spark's
+                  -- MIME encoder (which inserts CRLF every 76 output chars)
+                  to_base64(encode(concat('Total ', CAST(CAST(o_totalprice AS DECIMAL(27,2)) AS VARCHAR),
+                                          ' priority ', o_orderpriority))),
+                  chr(13), chr(10)) AS message
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def put_email_render_q(spark, sf_dir):
+    """PutEmail (§2.2): the full RFC 5322 message (headers + RFC 2045
+    base64 body) per record — what the processor hands its SMTP client —
+    as one string expression (sinks/wire.email_mime), value-oracled
+    including the RFC 5322 date render and the base64 transfer coding."""
+    from apache_nifi_spark.sinks import wire
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    to = F.concat(F.lit("customer"), F.col("o_custkey").cast("string"), F.lit("@example.com"))
+    subject = F.concat(
+        F.lit("Order "), F.col("o_orderkey").cast("string"), F.lit(" "), F.col("o_orderstatus")
+    )
+    body = F.concat(
+        F.lit("Total "),
+        F.col("o_totalprice").cast("decimal(27,2)").cast("string"),
+        F.lit(" priority "),
+        F.col("o_orderpriority"),
+    )
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        wire.email_mime(
+            "noreply@engine.local", to, subject, F.col("o_orderdate"), body
+        ).alias("message"),
+    )
+
+
+@register(
+    "put_slack_payload",
+    oracle="""
+    WITH esc AS (
+      SELECT event_id,
+             concat('Event ', CAST(event_id AS VARCHAR), ': ', event_type,
+                    ' value=', CAST(CAST(value AS DECIMAL(27,2)) AS VARCHAR)) AS txt,
+             replace(replace(replace(replace(replace(props,
+                     chr(92), chr(92)||chr(92)), '"', chr(92)||'"'),
+                     chr(10), chr(92)||'n'), chr(13), chr(92)||'r'),
+                     chr(9), chr(92)||'t') AS ctx
+      FROM events WHERE event_id < 2000
+    )
+    SELECT event_id,
+           concat('{"channel":"#ops","text":"', txt,
+                  '","blocks":[{"type":"section","text":{"type":"mrkdwn","text":"', txt,
+                  '"}},{"type":"context","elements":[{"type":"plain_text","text":"', ctx,
+                  '"}]}]}') AS payload
+    FROM esc
+    """,
+)
+def put_slack_payload_q(spark, sf_dir):
+    """PutSlack (§2.2): the ``chat.postMessage`` Block Kit JSON body per
+    record (sinks/wire.slack_post_payload) — channel, mrkdwn section,
+    context block carrying the raw props JSON (exercises the full
+    JSON-string escaping chain, oracled byte-for-byte)."""
+    from apache_nifi_spark.sinks import wire
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    text = F.concat(
+        F.lit("Event "),
+        F.col("event_id").cast("string"),
+        F.lit(": "),
+        F.col("event_type"),
+        F.lit(" value="),
+        F.col("value").cast("decimal(27,2)").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        wire.slack_post_payload("#ops", text, F.col("props")).alias("payload"),
+    )
+
+
+@register(
+    "mqtt_topic_filter_route",
+    oracle="""
+    WITH t AS (
+      SELECT event_id,
+             CASE WHEN event_type = 'error'
+                  THEN concat('$SYS/broker/', CAST(user_id % 10 AS VARCHAR))
+                  ELSE concat('telemetry/', event_type, '/', CAST(user_id % 10 AS VARCHAR))
+             END AS topic
+      FROM events WHERE event_id < 3000
+    )
+    SELECT event_id, topic,
+           regexp_matches(topic, '^telemetry/[^/]*/3$')                AS m_one_level,
+           regexp_matches(topic, '^telemetry/purchase(/.*)?$')         AS m_subtree,
+           (regexp_matches(topic, '^.*$') AND NOT starts_with(topic, '$')) AS m_all
+    FROM t
+    """,
+)
+def mqtt_topic_filter_route_q(spark, sf_dir):
+    """ConsumeMQTT (§2.1): MQTT 5.0 topic-filter matching — ``+`` one
+    level, trailing ``#`` subtree-with-parent, and the ``$``-prefix guard
+    (wildcard-leading filters skip ``$SYS`` topics) — compiled to
+    RE2-safe rlike predicates (functions/selectors.mqtt_topic_matches).
+    The broker socket is commodity I/O; subscription semantics are the
+    engine's job and are value-oracled here."""
+    from apache_nifi_spark.functions import mqtt_topic_matches
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    topic = F.when(
+        F.col("event_type") == "error",
+        F.concat(F.lit("$SYS/broker/"), (F.col("user_id") % 10).cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit("telemetry/"),
+            F.col("event_type"),
+            F.lit("/"),
+            (F.col("user_id") % 10).cast("string"),
+        )
+    )
+    out = ev.select("event_id", topic.alias("topic"))
+    return out.select(
+        "event_id",
+        "topic",
+        mqtt_topic_matches(F.col("topic"), "telemetry/+/3").alias("m_one_level"),
+        mqtt_topic_matches(F.col("topic"), "telemetry/purchase/#").alias("m_subtree"),
+        mqtt_topic_matches(F.col("topic"), "#").alias("m_all"),
+    )
+
+
+@register(
+    "mongo_query_filter",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+    FROM orders
+    WHERE o_orderkey < 30000
+      AND (o_totalprice > 400000
+           OR (o_orderstatus = 'F' AND o_orderpriority IN ('1-URGENT', '2-HIGH')))
+    """,
+)
+def mongo_query_filter_q(spark, sf_dir):
+    """GetMongo (§2.1): the processor's Query property is a MongoDB query
+    document; functions/selectors.compile_mongo_query compiles it to ONE
+    Catalyst predicate ($or/$and/$in/$gt/... surface), so the filter is
+    pushdown-eligible and codegen'd — no per-row evaluation engine."""
+    from apache_nifi_spark.functions import compile_mongo_query
+
+    q = {
+        "o_orderkey": {"$lt": 30000},
+        "$or": [
+            {"o_totalprice": {"$gt": 400000}},
+            {
+                "o_orderstatus": "F",
+                "o_orderpriority": {"$in": ["1-URGENT", "2-HIGH"]},
+            },
+        ],
+    }
+    return _t(spark, sf_dir, "orders").filter(compile_mongo_query(q))
+
+
+@register(
+    "jms_selector_consume",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+      AND value BETWEEN 50 AND 300
+      AND NOT (user_id = 7)
+      AND props IS NOT NULL
+    """,
+)
+def jms_selector_consume_q(spark, sf_dir):
+    """ConsumeJMS (§2.1): JMS message selectors are the SQL-92
+    conditional subset; functions/selectors.jms_selector validates the
+    selector against that grammar (rejecting function calls/SQL
+    extensions) and compiles it via Spark's expression parser — a strict
+    superset of the selector language, so semantics match the JMS spec
+    construct-for-construct."""
+    from apache_nifi_spark.functions import jms_selector
+
+    sel = (
+        "event_type IN ('click', 'purchase') AND value BETWEEN 50 AND 300"
+        " AND NOT (user_id = 7) AND props IS NOT NULL"
+    )
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(jms_selector(sel)).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )

@@ -1,0 +1,164 @@
+"""Wire-format sink renderers + connector predicate compilers
+(sinks/wire.py, functions/selectors.py).
+
+The registry queries value-oracle the renders byte-for-byte vs DuckDB;
+these tests pin the semantics that the oracle can't see — spec shapes
+(valid JSON, decodable base64, header order) and the selector languages'
+edge rules (MQTT `$` guard, Mongo $nin-null, JMS grammar rejection).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from apache_nifi_spark.functions.selectors import (
+    compile_mongo_query,
+    jms_selector,
+    mqtt_filter_regex,
+    mqtt_topic_matches,
+)
+from apache_nifi_spark.sinks import wire
+
+
+def test_es_bulk_lines_are_valid_ndjson(spark):
+    df = spark.createDataFrame([Row(id=1, s='say "hi"\nok', x=2.5)])
+    out = df.select(
+        wire.es_bulk(
+            "idx",
+            F.col("id"),
+            [("s", wire.json_string(F.col("s"))), ("x", wire.json_number(F.col("x"), 2))],
+        ).alias("bulk")
+    ).first()["bulk"]
+    action, source = out.split("\n")
+    assert json.loads(action) == {"index": {"_index": "idx", "_id": "1"}}
+    assert json.loads(source) == {"s": 'say "hi"\nok', "x": 2.50}
+
+
+def test_mongo_extended_json_shape(spark):
+    df = spark.createDataFrame([Row(id=7, name="a\\b", bal=-3.5)])
+    doc = df.select(
+        wire.mongo_extended_json(
+            F.col("id"),
+            [("name", "string", F.col("name"), None), ("bal", "double", F.col("bal"), 2)],
+        ).alias("d")
+    ).first()["d"]
+    parsed = json.loads(doc)
+    assert parsed["_id"] == {"$numberLong": "7"}
+    assert parsed["name"] == "a\\b"
+    assert parsed["bal"] == {"$numberDouble": "-3.50"}
+
+
+def test_email_mime_headers_and_body_decode(spark):
+    df = spark.createDataFrame(
+        [Row(to="x@y.z", subj="hello", ts="2024-05-06 07:08:09", body="line one")]
+    )
+    msg = df.select(
+        wire.email_mime(
+            "noreply@engine.local",
+            F.col("to"),
+            F.col("subj"),
+            F.col("ts").cast("timestamp_ntz"),
+            F.col("body"),
+        ).alias("m")
+    ).first()["m"]
+    headers, b64 = msg.split("\r\n\r\n")
+    lines = headers.split("\r\n")
+    assert lines[0] == "From: noreply@engine.local"
+    assert lines[1] == "To: x@y.z"
+    assert lines[2] == "Subject: hello"
+    assert lines[3] == "Date: Mon, 6 May 2024 07:08:09 +0000"
+    assert "Content-Transfer-Encoding: base64" in lines
+    assert base64.b64decode(b64.strip()).decode() == "line one"
+
+
+def test_slack_payload_parses_and_escapes(spark):
+    df = spark.createDataFrame([Row(t='alert "x"', c="k\tv")])
+    payload = df.select(
+        wire.slack_post_payload("#ops", F.col("t"), F.col("c")).alias("p")
+    ).first()["p"]
+    parsed = json.loads(payload)
+    assert parsed["channel"] == "#ops"
+    assert parsed["text"] == 'alert "x"'
+    assert parsed["blocks"][0]["text"]["text"] == 'alert "x"'
+    assert parsed["blocks"][1]["elements"][0]["text"] == "k\tv"
+
+
+# ---------------------------------------------------------------------
+# MQTT topic filters
+# ---------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "flt,topic,expect",
+    [
+        ("sport/tennis/+", "sport/tennis/player1", True),
+        ("sport/tennis/+", "sport/tennis/player1/ranking", False),
+        ("sport/+", "sport", False),          # + needs a (possibly empty) level
+        ("sport/+", "sport/", True),          # empty level matches +
+        ("sport/#", "sport", True),           # parent level matches trailing #
+        ("sport/#", "sport/tennis/player1", True),
+        ("#", "a/b/c", True),
+        ("#", "$SYS/broker", False),          # $-guard on wildcard-leading filter
+        ("+/monitor", "$SYS/monitor", False),
+        ("$SYS/#", "$SYS/broker", True),      # explicit $ level is fine
+    ],
+)
+def test_mqtt_matching_spec_cases(spark, flt, topic, expect):
+    df = spark.createDataFrame([Row(t=topic)])
+    got = df.select(mqtt_topic_matches(F.col("t"), flt).alias("m")).first()["m"]
+    assert got == expect, (flt, topic)
+
+
+def test_mqtt_filter_regex_rejects_inner_hash():
+    with pytest.raises(ValueError):
+        mqtt_filter_regex("a/#/b")
+    with pytest.raises(ValueError):
+        mqtt_filter_regex("a/b+c")
+
+
+# ---------------------------------------------------------------------
+# Mongo query documents
+# ---------------------------------------------------------------------
+
+def test_mongo_query_operators(spark):
+    df = spark.createDataFrame(
+        [Row(a=1, b="x", c=None), Row(a=5, b="y", c="z"), Row(a=9, b="x", c="w")],
+        "a int, b string, c string",
+    )
+    def ids(q):
+        return sorted(r["a"] for r in df.filter(compile_mongo_query(q)).collect())
+
+    assert ids({"a": {"$gte": 5}}) == [5, 9]
+    assert ids({"b": "x"}) == [1, 9]
+    assert ids({"$or": [{"a": 1}, {"b": "y"}]}) == [1, 5]
+    assert ids({"$nor": [{"a": 1}, {"b": "y"}]}) == [9]
+    assert ids({"c": {"$exists": False}}) == [1]
+    assert ids({"a": {"$nin": [1, 5]}}) == [9]
+    assert ids({"b": {"$regex": "^x"}}) == [1, 9]
+    assert ids({"a": {"$not": {"$lt": 5}}}) == [5, 9]
+    with pytest.raises(ValueError):
+        compile_mongo_query({"a": {"$near": [0, 0]}})
+
+
+# ---------------------------------------------------------------------
+# JMS selectors
+# ---------------------------------------------------------------------
+
+def test_jms_selector_grammar(spark):
+    df = spark.createDataFrame(
+        [Row(kind="click", v=10.0, note=None), Row(kind="view", v=99.0, note="hot")],
+        "kind string, v double, note string",
+    )
+    sel = "kind = 'view' AND v BETWEEN 50 AND 100 AND note IS NOT NULL"
+    assert df.filter(jms_selector(sel)).count() == 1
+    # LIKE with escape, <>, NOT
+    assert df.filter(jms_selector("kind LIKE 'cl%' AND v <> 99")).count() == 1
+    # Function application is NOT selector syntax
+    with pytest.raises(ValueError):
+        jms_selector("upper(kind) = 'VIEW'")
+    with pytest.raises(ValueError):
+        jms_selector("kind = 'x'; DROP TABLE t")
