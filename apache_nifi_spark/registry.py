@@ -1121,14 +1121,89 @@ def distinct_count_q(spark, sf_dir):
     )
 
 
-@register("approx_distinct_users")  # rows-only: HLL estimates are engine-specific
+@register(
+    "approx_distinct_users",
+    oracle="""
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM hashed
+    ),
+    sketch AS (
+      SELECT event_type, COUNT(*) AS n_kept, MAX(h) AS kth
+      FROM ranked WHERE rn <= 64
+      GROUP BY event_type
+    ),
+    med AS (
+      SELECT event_type,
+             CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS DOUBLE)
+               AS median_value
+      FROM events GROUP BY event_type
+    )
+    SELECT s.event_type,
+           CASE WHEN s.n_kept < 64 THEN CAST(s.n_kept AS DOUBLE)
+                ELSE CAST(63 AS DOUBLE)
+                     / (CAST(s.kth AS DOUBLE) / 4503599627370496.0)
+           END AS approx_users,
+           m.median_value
+    FROM sketch s JOIN med m USING (event_type)
+    """,
+)
 def approx_distinct_q(spark, sf_dir):
-    """approx_count_distinct (HyperLogLog++) — the scale path for distinct
-    counts at 100 TB; estimates differ per engine so no value oracle."""
+    """Approximate distinct count as a deterministic KMV (k-minimum-values)
+    sketch — the value-oracle-able alternative to HyperLogLog (engine HLL
+    estimates differ, KMV over md5 doesn't; SURVEY.md §2.5 approx-distinct).
+
+    h = first 13 hex chars of md5(user_id) as an integer: 52 bits, exact in
+    a double, uniform on [0, 2^52).  Estimate = (k-1) / U_(k) with
+    U_(k) = kth-smallest h / 2^52; exact count when a group has < k distinct
+    hashes.  Median is percentile_disc — an actual data value, so no
+    interpolation arithmetic to diverge between engines.
+
+    Scale shape: the global per-group sort input is capped by a map-side
+    prune — per-partition k-smallest first (union of local top-k is a
+    superset of the global top-k), so the final window sees at most
+    k × n_partitions rows per group regardless of distinct-user count.
+    """
+    K = 64
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.expr("percentile_approx(value, 0.5)").alias("median_value_approx"),
+    hashed = ev.select(
+        "event_type",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
+        ).cast("bigint").alias("h"),
+    ).distinct()
+    local_w = Window.partitionBy(F.spark_partition_id(), "event_type").orderBy("h")
+    pruned = (
+        hashed.withColumn("lrn", F.row_number().over(local_w))
+        .where(F.col("lrn") <= K)
+        .drop("lrn")
+    )
+    global_w = Window.partitionBy("event_type").orderBy("h")
+    sketch = (
+        pruned.withColumn("rn", F.row_number().over(global_w))
+        .where(F.col("rn") <= K)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("kth"))
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+        .cast("double")
+        .alias("median_value")
+    )
+    est = F.when(
+        F.col("n_kept") < K, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(K - 1))
+        / (F.col("kth").cast("double") / F.lit(4503599627370496.0))
+    )
+    return sketch.join(med, "event_type").select(
+        "event_type", est.alias("approx_users"), "median_value"
     )
 
 

@@ -444,3 +444,31 @@ def test_invoke_http_overlaps_slow_endpoint(spark, tmp_path):
     # and the wall stays far under the 4 s serial floor
     assert wall < 3.0, f"no overlap: {wall:.2f}s for 16 x 0.25s requests"
     srv.shutdown()
+
+
+def test_kmv_approx_distinct_accuracy(spark, sf_dir):
+    """KMV sketch (approx_distinct_users): exact below k, bounded error
+    above, and deterministic across runs (the property that makes it
+    value-oracle-able, unlike HLL)."""
+    from apache_nifi_spark.registry import QUERIES
+
+    out = {r["event_type"]: r for r in QUERIES["approx_distinct_users"](spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(out) == set(exact)
+    for et, row in out.items():
+        n, est = exact[et], row["approx_users"]
+        if n < 64:
+            assert est == float(n), f"{et}: below-k groups must be exact"
+        else:
+            # KMV relative std error ~ 1/sqrt(k-2) ~= 12.7%; allow 4 sigma
+            assert abs(est - n) / n < 0.51, f"{et}: est={est} exact={n}"
+    # determinism: identical on a re-run (no RNG, no HLL registers)
+    again = {r["event_type"]: r["approx_users"]
+             for r in QUERIES["approx_distinct_users"](spark, sf_dir).collect()}
+    assert again == {et: r["approx_users"] for et, r in out.items()}
