@@ -29,6 +29,15 @@ _SALT = "__salt"
 #: sample rather than a full key scan.
 _PROBE_FULL_SCAN_BYTES = 1 << 30
 
+#: Probe-verdict memo keyed by (analyzed-plan semanticHash, join keys) —
+#: a skew verdict is a property of the INPUT, so re-planning the same
+#: join (bench iterations, retried stages, fan-out of the same pipeline)
+#: must not re-fire the eager key-scan job.  semanticHash covers the
+#: source relation (including its file listing), so a changed input
+#: yields a fresh probe.  Unbounded but tiny: one bool per distinct
+#: (plan, keys, params) tuple per driver process.
+_PROBE_CACHE: dict[tuple, bool] = {}
+
 
 def _is_large(df: DataFrame) -> bool:
     """Catalyst size estimate ≥ 1 GiB → sample the skew probe."""
@@ -69,12 +78,30 @@ def salted_join(
 def detect_join_skew(
     df: DataFrame,
     on: Sequence[str],
-    skew_factor: float = 4.0,
+    hot_share: float | None = None,
     sample_fraction: float | None = None,
     seed: int = 42,
+    min_hot_rows: int = 8,
 ) -> bool:
-    """Cheap key-histogram probe: True iff the hottest join key's
-    frequency exceeds ``skew_factor`` × the mean key frequency.
+    """Key-histogram probe: True iff the hottest join key's SHARE of the
+    input (``max_count / total_rows``) reaches ``hot_share`` — by default
+    ``4 / spark.sql.shuffle.partitions``, i.e. the hottest key alone
+    carries at least four average reduce partitions' worth of rows.
+
+    Share, not max/mean: the old ``max/mean ≥ k`` statistic false-fired on
+    healthy high-cardinality keys — with many singleton keys the mean
+    collapses toward 1 (and row-sampling thins it further, flipping the
+    verdict as SF grows), while the max is just the largest group.  A key
+    whose share is small cannot overload one reduce task no matter what
+    the mean is; a key whose share is large always will.  The share is
+    also sample-invariant by construction — numerator and denominator
+    shrink by the same fraction, so no sample-rate correction is needed.
+
+    ``min_hot_rows`` guards the underpowered-sample corner: with very few
+    sampled rows every count is ~1 and ``1/total`` can exceed the
+    threshold by accident; a genuinely hot key at any realistic sample
+    rate appears many times.  Below the guard the probe answers False and
+    AQE's runtime skew split stays the backstop.
 
     One aggregate returning a single row — at 100 TB run it on a sample
     (``sample_fraction``) or, better, off the table's stored statistics;
@@ -88,18 +115,40 @@ def detect_join_skew(
     """
     if df.isStreaming:
         return False
+    cache_key = None
+    try:
+        cache_key = (
+            df._jdf.queryExecution().analyzed().semanticHash(),
+            tuple(on),
+            hot_share,
+            sample_fraction,
+            min_hot_rows,
+        )
+    except Exception:
+        pass
+    if cache_key is not None and cache_key in _PROBE_CACHE:
+        return _PROBE_CACHE[cache_key]
     probe = df.select(*on)
     if sample_fraction is not None:
         probe = probe.sample(fraction=sample_fraction, seed=seed)
     row = (
         probe.groupBy(*on)
         .count()
-        .agg(F.max("count").alias("mx"), F.avg("count").alias("mean"))
+        .agg(F.max("count").alias("mx"), F.sum("count").alias("total"))
         .first()
     )
-    if row is None or row["mean"] is None or row["mean"] <= 0:
-        return False
-    return row["mx"] / row["mean"] >= skew_factor
+    if row is None or not row["total"] or row["mx"] < min_hot_rows:
+        verdict = False
+    else:
+        if hot_share is None:
+            parallelism = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+            hot_share = 4.0 / max(parallelism, 1)
+        verdict = row["mx"] / row["total"] >= hot_share
+    if cache_key is not None:
+        _PROBE_CACHE[cache_key] = verdict
+    return verdict
 
 
 def salted_join_auto(
@@ -108,7 +157,7 @@ def salted_join_auto(
     on: Sequence[str],
     how: str = "inner",
     salt: int = 16,
-    skew_factor: float = 4.0,
+    hot_share: float | None = None,
     sample_fraction: float | None = None,
 ) -> DataFrame:
     """Salt only when the key histogram says so; otherwise emit the plain
@@ -116,7 +165,9 @@ def salted_join_auto(
 
     Unconditional salting multiplies the dim side ``salt``× for nothing
     on evenly-keyed data — the probe makes the cure conditional on the
-    disease.  Results are identical either way.
+    disease (and the share-based probe never salts when the hottest key
+    is below ``hot_share`` of the rows — default 4/shuffle-parallelism).
+    Results are identical either way.
 
     COST: the probe is an eager groupBy-count job at DataFrame-BUILD
     time (see ``detect_join_skew``) — one extra scan of the join keys.
@@ -128,7 +179,7 @@ def salted_join_auto(
         return skewed.join(other, list(on), how)
     if sample_fraction is None and _is_large(skewed):
         sample_fraction = 0.01
-    if detect_join_skew(skewed, on, skew_factor, sample_fraction):
+    if detect_join_skew(skewed, on, hot_share, sample_fraction):
         return salted_join(skewed, other, on, how=how, salt=salt)
     return skewed.join(other, list(on), how)
 

@@ -2774,16 +2774,17 @@ def execute_stream_command_q(spark, sf_dir):
 def skew_salted_join_q(spark, sf_dir):
     """Conditionally salted equi-join (§4.2): a key-histogram probe
     decides whether to spread the fact side over salt sub-keys; the
-    TPC-H orderkey distribution is even (≤7 items/order vs mean ~4,
-    under the 4× skew factor), so this falls through to the plain join
-    and AQE's runtime skew split stays the backstop — identical results
+    TPC-H orderkey distribution is even (≤7 items/order, so the hottest
+    key's share of rows is far below the 4/shuffle-parallelism hot-share
+    threshold at every SF), so this falls through to the plain join and
+    AQE's runtime skew split stays the backstop — identical results
     either way, no 8× dim replication on healthy data."""
     from apache_nifi_spark.operators import salted_join_auto
 
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     dim = o.select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
-    joined = salted_join_auto(li, dim, ["l_orderkey"], salt=8, sample_fraction=0.05)
+    joined = salted_join_auto(li, dim, ["l_orderkey"], salt=8, sample_fraction=0.01)
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
         _dsum(F.col("l_quantity"), "total_qty"),
