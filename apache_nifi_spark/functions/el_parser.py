@@ -24,10 +24,11 @@ adds zero per-row cost.  Attribute references resolve through a
 ``lambda n: F.col("attrs").getItem(n)`` to read a NiFi-style attributes
 map column.
 
-Unsupported (documented gaps): ``anyMatchingAttribute``/regex multi-attr
-(needs the attribute universe, i.e. a DataFrame schema — use
-``compile_el_for`` which has one), state/variable registry scopes, and
-the ``getDelimitedField`` family.
+``anyMatchingAttribute``/``allMatchingAttributes`` resolve their regex
+against the attribute universe — compile with ``compile_el_for(df, text)``
+so the DataFrame schema provides it.  ``getDelimitedField`` implements the
+full quote/escape-aware 2.7.2 signature.  Remaining documented gap:
+state/variable registry scopes (no cluster state store in this engine).
 """
 
 from __future__ import annotations
@@ -39,7 +40,13 @@ from pyspark.sql import functions as F
 
 from apache_nifi_spark.functions import el as E
 
-__all__ = ["compile_el", "ELSyntaxError", "el_predicate", "el_select"]
+__all__ = [
+    "compile_el",
+    "compile_el_for",
+    "ELSyntaxError",
+    "el_predicate",
+    "el_select",
+]
 
 
 class ELSyntaxError(ValueError):
@@ -137,6 +144,10 @@ class _Scanner:
 
 _MULTI = {"anyAttribute": "any", "allAttributes": "all"}
 
+#: regex multi-attribute forms — expanded against the attribute UNIVERSE
+#: (a DataFrame schema) at compile time via ``compile_el_for``.
+_MULTI_RE = {"anyMatchingAttribute": "any", "allMatchingAttributes": "all"}
+
 
 def _parse_expr(sc: _Scanner):
     sc.skip_ws()
@@ -155,6 +166,13 @@ def _parse_expr(sc: _Scanner):
                         raise sc.err(f"{name}() takes quoted attribute names")
                     names.append(a[1])
                 subject = ("multi", _MULTI[name], names)
+            elif name in _MULTI_RE:
+                pats = []
+                for a in args:
+                    if a[0] != "lit" or not isinstance(a[1], str):
+                        raise sc.err(f"{name}() takes quoted regex patterns")
+                    pats.append(a[1])
+                subject = ("multire", _MULTI_RE[name], pats)
             else:
                 subject = ("call", name, args)
         else:
@@ -243,6 +261,30 @@ def _el_if_else(s: Column, a, b) -> Column:
     return F.when(s, _lit(a)).otherwise(_lit(b))
 
 
+def _el_get_delimited_field(s: Column, *args) -> Column:
+    """NiFi getDelimitedField(index[, delim[, quote[, escape[, strip]]]]):
+    1-based field extraction that respects quoted fields (delimiters
+    inside quotes don't split) and escape characters — the full 2.7.2
+    signature, not a naive split.  Compiles to one regexp_extract: field
+    := (quoted-run | escaped-char | non-delim)*, Nth field anchored by
+    N-1 (field delim) repetitions.  Java regex, whole-stage codegen."""
+    import re as _re
+
+    idx = _req_int(args[0], "getDelimitedField")
+    delim = _req_str(args[1], "getDelimitedField") if len(args) > 1 else ","
+    quote = _req_str(args[2], "getDelimitedField") if len(args) > 2 else '"'
+    escape = _req_str(args[3], "getDelimitedField") if len(args) > 3 else "\\"
+    strip = bool(args[4]) if len(args) > 4 else False
+    if idx < 1:
+        raise ELSyntaxError("getDelimitedField index is 1-based")
+    D, Q, E = _re.escape(delim), _re.escape(quote), _re.escape(escape)
+    field = f"(?:{Q}(?:{E}.|[^{Q}])*{Q}|{E}.|[^{D}])*"
+    out = F.regexp_extract(s, f"^(?:{field}{D}){{{idx - 1}}}({field})", 1)
+    if strip:
+        out = F.translate(out, quote + escape, "")
+    return out
+
+
 #: EL function name → handler(subject Column, *evaluated args) → Column.
 #: Reuses functions/el.py wherever the wrapper signature lines up.
 FUNCS: dict[str, Callable[..., Column]] = {
@@ -281,9 +323,7 @@ FUNCS: dict[str, Callable[..., Column]] = {
     "padRight": lambda s, *a: E.pad_right(
         s, _req_int(a[0], "padRight"), _req_str(a[1], "padRight") if len(a) > 1 else "_"
     ),
-    "getDelimitedField": lambda s, idx, *a: F.split(
-        s, "[" + (_req_str(a[0], "getDelimitedField") if a else ",") + "]"
-    ).getItem(_req_int(idx, "getDelimitedField") - 1),
+    "getDelimitedField": _el_get_delimited_field,
     # encode / decode / hash
     "urlEncode": E.url_encode,
     "urlDecode": E.url_decode,
@@ -339,40 +379,65 @@ def _as_bool(v) -> Column:
     raise ELSyntaxError("and()/or() take a nested ${...} expression or boolean")
 
 
-def _eval_arg(arg, resolver) -> object:
+def _eval_arg(arg, resolver, universe=None) -> object:
     kind, val = arg
     if kind == "lit":
         return val
-    return _eval_expr(val, resolver)
+    return _eval_expr(val, resolver, universe)
 
 
-def _apply_chain(col: Column, calls, resolver) -> Column:
+def _apply_chain(col: Column, calls, resolver, universe=None) -> Column:
     for fname, raw_args in calls:
         fn = FUNCS.get(fname)
         if fn is None:
             raise ELSyntaxError(
                 f"unknown EL function {fname!r} (supported: {sorted(FUNCS)})"
             )
-        args = [_eval_arg(a, resolver) for a in raw_args]
+        args = [_eval_arg(a, resolver, universe) for a in raw_args]
         col = fn(col, *args)
     return col
 
 
-def _eval_expr(node, resolver) -> Column:
+def _eval_expr(node, resolver, universe=None) -> Column:
     subject, calls = node
     if subject[0] == "attr":
-        return _apply_chain(resolver(subject[1]), calls, resolver)
+        return _apply_chain(resolver(subject[1]), calls, resolver, universe)
     if subject[0] == "call":
         _, name, raw_args = subject
         fn = SUBJECT_FUNCS.get(name)
         if fn is None:
             raise ELSyntaxError(f"unknown subjectless EL function {name!r}")
-        base = fn(*[_eval_arg(a, resolver) for a in raw_args])
-        return _apply_chain(base, calls, resolver)
+        base = fn(*[_eval_arg(a, resolver, universe) for a in raw_args])
+        return _apply_chain(base, calls, resolver, universe)
+    if subject[0] == "multire":
+        # regex multi-attribute: expand patterns against the attribute
+        # universe (the DataFrame schema) at COMPILE time — NiFi matches
+        # against the flowfile's attribute map the same way; here the
+        # schema is the attribute map's key set.  Driver-side regex,
+        # zero per-row cost.
+        import re
+
+        _, op, pats = subject
+        if universe is None:
+            raise ELSyntaxError(
+                "anyMatchingAttribute/allMatchingAttributes need the attribute "
+                "universe — compile with compile_el_for(df, text)"
+            )
+        names = [
+            n for n in universe if any(re.fullmatch(p, n) for p in pats)
+        ]
+        if not names:
+            # NiFi: any-quantifier over zero attributes is false, all- is true
+            return F.lit(op == "all")
+        parts = [_apply_chain(resolver(n), calls, resolver, universe) for n in names]
+        out = parts[0]
+        for p in parts[1:]:
+            out = (out | p) if op == "any" else (out & p)
+        return out
     # multi-attribute: apply the chain per attribute, then OR/AND-reduce —
     # NiFi's anyAttribute/allAttributes semantics.
     _, op, names = subject
-    parts = [_apply_chain(resolver(n), calls, resolver) for n in names]
+    parts = [_apply_chain(resolver(n), calls, resolver, universe) for n in names]
     out = parts[0]
     for p in parts[1:]:
         out = (out | p) if op == "any" else (out & p)
@@ -409,12 +474,19 @@ def _split_top(text: str) -> list:
     return parts
 
 
-def compile_el(text: str, resolver: Callable[[str], Column] | None = None) -> Column:
+def compile_el(
+    text: str,
+    resolver: Callable[[str], Column] | None = None,
+    universe: list[str] | None = None,
+) -> Column:
     """Compile NiFi EL source text to a Spark Column.
 
     A lone ``${...}`` keeps its natural type (boolean for predicates,
     numeric for math chains); text with embedded expressions concatenates
-    as string, exactly like NiFi property evaluation.
+    as string, exactly like NiFi property evaluation.  ``universe`` is
+    the attribute-name universe for ``anyMatchingAttribute`` /
+    ``allMatchingAttributes`` — usually ``df.columns``; use
+    ``compile_el_for`` to pass it from a DataFrame.
 
     >>> df.filter(compile_el("${event_type:equals('click')}"))
     >>> df.withColumn("tag", compile_el("c-${c_custkey}-${c_mktsegment:toLower()}"))
@@ -425,12 +497,22 @@ def compile_el(text: str, resolver: Callable[[str], Column] | None = None) -> Co
         return F.lit("")
     if len(parts) == 1:
         kind, val = parts[0]
-        return F.lit(val) if kind == "lit" else _eval_expr(val, resolver)
+        return F.lit(val) if kind == "lit" else _eval_expr(val, resolver, universe)
     cols = [
-        F.lit(val) if kind == "lit" else _eval_expr(val, resolver).cast("string")
+        F.lit(val)
+        if kind == "lit"
+        else _eval_expr(val, resolver, universe).cast("string")
         for kind, val in parts
     ]
     return F.concat(*cols)
+
+
+def compile_el_for(df, text: str) -> Column:
+    """Schema-aware EL compile: the DataFrame's columns are the attribute
+    universe, so regex multi-attribute forms (``anyMatchingAttribute``)
+    resolve — NiFi evaluates them against the flowfile's attribute map;
+    a record's schema is that map here."""
+    return compile_el(text, universe=df.columns)
 
 
 def el_predicate(text: str, resolver: Callable[[str], Column] | None = None) -> Column:

@@ -106,8 +106,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def widen_if_narrow(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to ``defaultParallelism`` when the input has
-    fewer splittable units (files) than cores.
+    """Round-robin repartition to ``defaultParallelism`` when the scan has
+    fewer split tasks than HALF the cores.
 
     The test fixtures are single-file, single-row-group parquet, so any
     CPU-heavy per-row work downstream of the scan (decimal aggregation,
@@ -117,16 +117,24 @@ def widen_if_narrow(df: DataFrame) -> DataFrame:
     small-input-only cost, mirroring the probe `minhash_near_duplicates`
     already uses.
 
+    Two lessons measured at sf1 (BASELINE.md §D): count SPLITS, not
+    files — ``inputFiles()`` says 1 for a 135 MB file that
+    maxPartitionBytes already splits into 34 scan tasks, which made the
+    old guard fire a full 6M-row exchange under an already-parallel
+    scan; and only widen below par/2 — at 17 of 32 tasks the exchange
+    costs more than the extra parallelism repays (q1 1.42 s plain vs
+    1.85 s widened).
+
     Apply AFTER pushed-down filters (a repartition above the scan would
     block predicate pushdown), BEFORE the expensive projection/agg.
     """
     sc = df.sparkSession.sparkContext
     par = sc.defaultParallelism
     try:
-        n_splits = len(df.inputFiles())
+        n_splits = df.rdd.getNumPartitions()
     except Exception:
         n_splits = par
-    if n_splits < par:
+    if n_splits < max(par // 2, 1):
         return df.repartition(par)
     return df
 

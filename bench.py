@@ -64,10 +64,12 @@ def run_bench(sf_dir: str) -> dict:
         spark.conf.set("spark.sql.files.maxPartitionBytes", "512m")
         spark.conf.set("spark.sql.files.openCostInBytes", "64m")
     else:
-        # Floor-separation SF (BASELINE.md §D): fixtures are one ~70 MB
-        # file per table, so split DOWN to row-group granularity — the
-        # multi-task scan a many-file 100 TB table gets for free.
-        spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+        # Floor-separation SF (BASELINE.md §D): fixtures are one big file
+        # per table, so split DOWN to row-group granularity — the
+        # multi-task scan a many-file 100 TB table gets for free.  4 MB
+        # measured best at sf1 (vs 8 MB: q1 2.20→1.68 s, suite −18%;
+        # 2 MB over-splits — scheduling overhead returns).
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
         spark.conf.set("spark.sql.files.openCostInBytes", "1m")
 
     timings: dict[str, float] = {}
@@ -115,7 +117,12 @@ if __name__ == "__main__":
     result = run_bench(sf_dir)
     # Full per-query timings go to a file; the printed line stays compact
     # (driver keeps only a bounded tail of stdout — BENCH_r01 lesson).
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json")
+    # Subset runs (SPARK_GRAFT_ONLY) go to a SEPARATE file so a probe run
+    # can never clobber the committed full-suite artifact (ADVICE r4 #1).
+    artifact = (
+        "BENCH_subset.json" if os.environ.get("SPARK_GRAFT_ONLY") else "BENCH_full.json"
+    )
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), artifact)
     with open(full_path, "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
     headline = dict(
@@ -132,7 +139,7 @@ if __name__ == "__main__":
                 "queries": headline,
                 "sf": result["sf"],
                 "n_queries": len(result["queries"]),
-                "full": "BENCH_full.json",
+                "full": artifact,
             }
         )
     )

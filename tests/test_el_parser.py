@@ -131,3 +131,61 @@ def test_literal_only_text():
     # no expressions at all → constant string
     from pyspark.sql import Column
     assert isinstance(compile_el("plain text"), Column)
+
+
+def test_any_matching_attribute_expands_schema(spark, sf_dir):
+    """anyMatchingAttribute(regex) over the schema universe equals the
+    hand-written OR; allMatchingAttributes equals the AND; zero matches
+    yield the quantifier identities (false / true)."""
+    from apache_nifi_spark.functions.el_parser import compile_el_for
+
+    d = io.load_table(spark, sf_dir, "documents")
+    got = d.filter(
+        compile_el_for(d, "${anyMatchingAttribute('lang|source'):equals('en')}")
+    ).count()
+    want = d.filter((F.col("lang") == "en") | (F.col("source") == "en")).count()
+    assert got == want and got > 0
+
+    got_all = d.filter(
+        compile_el_for(d, "${allMatchingAttributes('lang|source'):notNull()}")
+    ).count()
+    want_all = d.filter(F.col("lang").isNotNull() & F.col("source").isNotNull()).count()
+    assert got_all == want_all
+
+    # zero-match identities
+    assert d.filter(
+        compile_el_for(d, "${anyMatchingAttribute('nope_.*'):notNull()}")
+    ).count() == 0
+    assert d.filter(
+        compile_el_for(d, "${allMatchingAttributes('nope_.*'):notNull()}")
+    ).count() == d.count()
+
+    # without a universe the regex form must fail loudly
+    with pytest.raises(ELSyntaxError):
+        compile_el("${anyMatchingAttribute('x.*'):notNull()}")
+
+
+def test_get_delimited_field_quote_aware(spark):
+    """The 2.7.2 getDelimitedField signature: delimiters inside quoted
+    fields don't split; escape chars pass through; strip removes quotes."""
+    rows = [
+        ('"a,b",c,d', "a,b", "c", "d"),          # comma inside quotes
+        ('x,"y",z', "x", '"y"', "z"),            # quoted middle, unstripped
+        ("p,q,r", "p", "q", "r"),                # plain
+        ('"",m,n', "", "m", "n"),                # empty quoted field
+    ]
+    df = spark.createDataFrame(
+        [(r[0],) for r in rows], "line string"
+    )
+    out = df.select(
+        "line",
+        compile_el("${line:getDelimitedField(1, ',', '\"', '~', true)}").alias("f1"),
+        compile_el("${line:getDelimitedField(2)}").alias("f2"),
+        compile_el("${line:getDelimitedField(3)}").alias("f3"),
+    ).collect()
+    by_line = {r["line"]: r for r in out}
+    for line, f1, f2, f3 in rows:
+        r = by_line[line]
+        assert r["f1"] == f1, (line, r["f1"])
+        assert r["f2"] == f2, (line, r["f2"])
+        assert r["f3"] == f3, (line, r["f3"])

@@ -82,9 +82,31 @@ def scale(src: str, dst: str, factor: int) -> None:
             if c in offs:
                 sel.append(f"{c} + r.i * {strides[offs[c]]} AS {c}")
             elif t == "documents" and c == "text":
-                # distinct docs per replica (suffix changes the content
-                # hash but keeps length/stats realistic)
-                sel.append("CASE WHEN r.i = 0 THEN text ELSE text || ' r' || r.i END AS text")
+                # Replicas must be distinct in SHINGLE space, not just by
+                # content hash, and WITHOUT adding any shingles shared
+                # across a replica.  Two failed designs, both measured at
+                # sf1 (BASELINE.md §D): a ' r<i>' suffix left every doc
+                # ~95% Jaccard-similar to its 9 cross-replica siblings
+                # (10× the corpus's near-dup density → 225k candidate
+                # pairs, 115 s); inserting a replica token between words
+                # created a boundary-shingle pool common to ALL docs of a
+                # replica, which captured the minhash minima and
+                # collapsed LSH bands into thousand-doc buckets (98M
+                # candidate pairs).  A per-replica Caesar cipher is the
+                # clean transform: bijective on shingles, so every
+                # within-replica Jaccard is EXACTLY the original corpus's
+                # (near-dup rate scales linearly) while cross-replica
+                # shingle sets are disjoint (text is pure [a-z ]).
+                az = "abcdefghijklmnopqrstuvwxyz"
+                rot = (
+                    "CASE r.i % 26 "
+                    + " ".join(
+                        f"WHEN {k} THEN translate(text, '{az}', '{az[k:] + az[:k]}')"
+                        for k in range(1, 26)
+                    )
+                    + " ELSE text END"
+                )
+                sel.append(f"{rot} AS text")
             else:
                 sel.append(c)
         q = (
