@@ -20,8 +20,10 @@ function surface; this module adds the front end that parses the path
 Everything compiles to built-in complex-type expressions
 (``getField``/``get``/``element_at``/``slice``/``transform``/``filter``)
 — JVM lambdas, no Python in the data path; parsing happens once on the
-driver.  Descendant search (``//name``) and parent (``..``) need schema
-reflection and are not supported (documented gap).
+driver.  Descendant search (``//name``) and parent (``..``) resolve by
+StructType reflection — use ``compile_record_path_for(df, path)``, which
+has the schema; the schemaless ``compile_record_path`` rejects those
+axes with a pointer to it.
 """
 
 from __future__ import annotations
@@ -36,6 +38,7 @@ from apache_nifi_spark.functions.el_parser import ELSyntaxError, _Scanner
 
 __all__ = [
     "compile_record_path",
+    "compile_record_path_for",
     "record_path_update",
     "record_path_remove",
     "RecordPathError",
@@ -62,12 +65,23 @@ def _parse_steps(sc: _Scanner) -> list:
         if sc.peek() != "/":
             break
         sc.i += 1
-        name = sc.ident()
+        if sc.peek() == "/":
+            # descendant axis //name — resolved by schema reflection in
+            # compile_record_path_for; marker name keeps the tuple shape
+            sc.i += 1
+            name = "//" + sc.ident()
+        elif sc.s.startswith("..", sc.i):
+            sc.i += 2
+            name = ".."
+        else:
+            name = sc.ident()
         sels = []
         sc.skip_ws()
         while sc.peek() == "[":
             sels.append(_parse_selector(sc))
             sc.skip_ws()
+        if name == ".." and sels:
+            raise sc.err("'..' takes no selectors")
         steps.append((name, sels))
     if not steps:
         raise sc.err("RecordPath must start with '/'")
@@ -273,8 +287,113 @@ def _parse_fn_args(sc: _Scanner) -> list:
 
 def _compile_steps(sc: _Scanner) -> Column:
     steps = _parse_steps(sc)
+    for name, _ in steps:
+        if name == ".." or name.startswith("//"):
+            raise RecordPathError(
+                f"axis {name!r} needs the record schema — use "
+                "compile_record_path_for(df, path)"
+            )
     name, sels = steps[0]
     return _apply_sels(F.col(name), sels, steps[1:])
+
+
+# ------------------------------------------------- schema-aware axes --------
+
+def _descend_paths(dtype, name: str) -> list[list[str]]:
+    """Depth-first child-step chains from ``dtype`` to every struct field
+    named ``name`` (descendant axis).  Descends through structs and
+    through array<struct> ELEMENT types (the nav layer's per-element
+    ``transform`` handles the mapping); map value types are opaque."""
+    from pyspark.sql.types import ArrayType, StructType
+
+    if isinstance(dtype, ArrayType):
+        return _descend_paths(dtype.elementType, name)
+    out: list[list[str]] = []
+    if isinstance(dtype, StructType):
+        for f in dtype.fields:
+            if f.name == name:
+                out.append([f.name])
+            inner = f.dataType
+            if isinstance(inner, ArrayType):
+                inner = inner.elementType
+            if isinstance(inner, StructType):
+                out.extend([f.name] + p for p in _descend_paths(inner, name))
+    return out
+
+
+def _dtype_at(root, chain: list) -> object:
+    """Data type after walking ``chain`` of (name, sels) from the root
+    schema — selectors unwrap array/map element types."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    dt = root
+    for name, sels in chain:
+        if isinstance(dt, ArrayType):
+            dt = dt.elementType
+        if not isinstance(dt, StructType) or name not in dt.fieldNames():
+            raise RecordPathError(f"no field {name!r} at /{'/'.join(n for n, _ in chain)}")
+        dt = dt[name].dataType
+        for _ in sels:
+            if isinstance(dt, ArrayType):
+                dt = dt.elementType
+            elif isinstance(dt, MapType):
+                dt = dt.valueType
+    return dt
+
+
+def compile_record_path_for(df: DataFrame, path: str) -> Column:
+    """Schema-aware RecordPath compile: additionally resolves the
+    descendant (``//name``) and parent (``..``) axes by StructType
+    reflection — NiFi walks the record's schema the same way; here the
+    DataFrame schema IS that schema.  ``//name`` expands depth-first to
+    every matching field (through structs and array<struct> elements);
+    one match compiles to its value, several to an array of them.
+    ``..`` pops one step (the parent of an array element is the array's
+    parent record, matching the nav layer's per-element view).
+    Resolution is all driver-side; the emitted Columns are the same
+    complex-type expressions the plain compiler produces."""
+    try:
+        sc = _Scanner(path)
+        sc.skip_ws()
+        if sc.peek() != "/":
+            raise RecordPathError("schema-aware RecordPath must start with '/'")
+        steps = _parse_steps(sc)
+        sc.skip_ws()
+        if sc.i < len(sc.s):
+            raise sc.err(f"unexpected trailing input {sc.s[sc.i:]!r}")
+        chains: list[list] = [[]]
+        for name, sels in steps:
+            if name == "..":
+                for ch in chains:
+                    if not ch:
+                        raise RecordPathError("'..' above the record root")
+                    ch.pop()
+            elif name.startswith("//"):
+                target = name[2:]
+                new_chains: list[list] = []
+                for ch in chains:
+                    dt = _dtype_at(df.schema, ch) if ch else df.schema
+                    for desc in _descend_paths(dt, target):
+                        new_chains.append(
+                            ch + [(n, []) for n in desc[:-1]] + [(desc[-1], sels)]
+                        )
+                if not new_chains:
+                    raise RecordPathError(f"descendant axis //{target} matched nothing")
+                chains = new_chains
+            else:
+                for ch in chains:
+                    ch.append((name, sels))
+        cols = []
+        for ch in chains:
+            if not ch:
+                raise RecordPathError("path resolved to the record root")
+            (n0, s0), rest = ch[0], ch[1:]
+            cols.append(_apply_sels(F.col(n0), s0, rest))
+        return cols[0] if len(cols) == 1 else F.array(*cols)
+    except RecordPathError:
+        raise
+    except ELSyntaxError as e:
+        raise RecordPathError(str(e)) from None
 
 
 def compile_record_path(path: str) -> Column:

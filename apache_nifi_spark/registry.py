@@ -5007,6 +5007,57 @@ def recordpath_navigate_q(spark, sf_dir):
 
 
 @register(
+    "recordpath_descendant_axes",
+    oracle="""
+    SELECT event_id,
+           [user_id, user_id % 100, event_id * 7]  AS all_ids,
+           event_type || '-z'                      AS zone,
+           event_type                              AS etype_via_parent,
+           [value * 2, value * 3]                  AS scores
+    FROM events
+    """,
+)
+def recordpath_descendant_q(spark, sf_dir):
+    """Round-4 verdict item #6: descendant (``//name``) and parent
+    (``..``) axes resolved by StructType reflection
+    (``compile_record_path_for``).  ``//id`` matches at three depths
+    (depth-first order → array), ``//zone``/``//score`` descend through
+    a nested struct and an array<struct>, and ``..`` pops from geo back
+    to user.  All resolution is driver-side; the emitted plan is plain
+    getField/array expressions."""
+    from apache_nifi_spark.functions.recordpath_parser import (
+        compile_record_path_for as rpf,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    uid, et, val = F.col("user_id"), F.col("event_type"), F.col("value")
+    df = ev.select(
+        "event_id",
+        F.struct(
+            F.struct(
+                uid.alias("id"),
+                et.alias("etype"),
+                F.struct(
+                    (uid % 100).alias("id"), F.concat(et, F.lit("-z")).alias("zone")
+                ).alias("geo"),
+            ).alias("user"),
+            F.struct((F.col("event_id") * 7).alias("id")).alias("meta"),
+            F.array(
+                F.struct((val * 2).alias("score")),
+                F.struct((val * 3).alias("score")),
+            ).alias("items"),
+        ).alias("rec"),
+    )
+    return df.select(
+        "event_id",
+        rpf(df, "//id").alias("all_ids"),
+        rpf(df, "//zone").alias("zone"),
+        rpf(df, "/rec/user/geo/../etype").alias("etype_via_parent"),
+        rpf(df, "//score").alias("scores"),
+    )
+
+
+@register(
     "recordpath_update_remove",
     oracle="""
     SELECT event_id,

@@ -131,3 +131,41 @@ def test_errors(bad):
 def test_update_rejects_non_star_selector(nested):
     with pytest.raises(RecordPathError):
         record_path_update(nested, "/vals[0]", lambda c: c)
+
+
+def test_descendant_axis_expands_schema(spark):
+    from apache_nifi_spark.functions.recordpath_parser import (
+        compile_record_path_for as rpf,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, {"id": 10, "geo": {"id": 7, "zone": "z1"}}, {"id": 99},
+             [{"score": 1.0}, {"score": 2.0}]),
+            (2, {"id": 20, "geo": {"id": 8, "zone": "z2"}}, {"id": 88},
+             [{"score": 3.0}]),
+        ],
+        "event_id int, user struct<id:int,geo:struct<id:int,zone:string>>, "
+        "meta struct<id:int>, items array<struct<score:double>>",
+    )
+    rows = df.select(
+        "event_id",
+        rpf(df, "//id").alias("ids"),        # 3 matches, depth-first
+        rpf(df, "//zone").alias("zone"),     # single match → value
+        rpf(df, "//score").alias("scores"),  # through array<struct>
+        rpf(df, "/user/geo/../id").alias("uid"),  # parent pops geo
+    ).orderBy("event_id").collect()
+    assert rows[0].ids == [10, 7, 99] and rows[1].ids == [20, 8, 88]
+    assert [r.zone for r in rows] == ["z1", "z2"]
+    assert rows[0].scores == [1.0, 2.0] and rows[1].scores == [3.0]
+    assert [r.uid for r in rows] == [10, 20]
+
+    # axis errors: no match, parent above root, schemaless compile
+    with pytest.raises(RecordPathError):
+        rpf(df, "//nothere")
+    with pytest.raises(RecordPathError):
+        rpf(df, "/..")
+    with pytest.raises(RecordPathError):
+        rp("//id")
+    with pytest.raises(RecordPathError):
+        rp("/user/../id")
