@@ -90,7 +90,13 @@ def mqtt_topic_matches(topic: Column, topic_filter: str) -> Column:
 
 _CMP = {
     "$eq": lambda c, v: c.eqNullSafe(F.lit(v)) if v is None else (c == F.lit(v)),
-    "$ne": lambda c, v: ~c.eqNullSafe(F.lit(v)) if v is None else (c != F.lit(v)),
+    # Mongo's $ne matches documents where the field is ABSENT or null —
+    # under Spark's three-valued logic `c != lit(v)` is NULL there and
+    # the row would be dropped, so the null case is explicit (same
+    # reasoning as $nin below; ADVICE r4 #2).
+    "$ne": lambda c, v: ~c.eqNullSafe(F.lit(v))
+    if v is None
+    else ((c != F.lit(v)) | c.isNull()),
     "$gt": lambda c, v: c > F.lit(v),
     "$gte": lambda c, v: c >= F.lit(v),
     "$lt": lambda c, v: c < F.lit(v),
@@ -117,7 +123,10 @@ def _field_predicate(field: str, cond: Any) -> Column:
         elif op == "$regex":
             preds.append(col.rlike(v))
         elif op == "$not":
-            preds.append(~_field_predicate(field, v))
+            # $not matches when the inner predicate does NOT — including
+            # absent/null fields, where the inner predicate is NULL and
+            # bare `~pred` would drop the row (ADVICE r4 #2).
+            preds.append(~_field_predicate(field, v) | col.isNull())
         else:
             raise ValueError(f"unsupported operator {op!r}")
     out = preds[0]
@@ -170,6 +179,24 @@ _JMS_KEYWORDS = {
     "true", "false",
 }
 
+#: SQL reserved words that are NOT part of the JMS selector grammar but
+#: would parse in Spark SQL — rejecting them closes the smuggling
+#: channels the token scan alone missed (ADVICE r4 #3): scalar/IN
+#: subqueries (`x IN (SELECT ...)` — '(' follows the keyword IN, so the
+#: function-call check never fires) and niladic functions
+#: (`current_date`).  JMS 3.1 §3.8 technically allows such words as
+#: property names; this compiler rejects them — rename or quote the
+#: property upstream (documented divergence, the safe default).
+_JMS_FORBIDDEN = {
+    "select", "from", "where", "group", "having", "order", "by", "union",
+    "intersect", "except", "join", "inner", "outer", "left", "right",
+    "cross", "lateral", "case", "when", "then", "else", "end", "cast",
+    "exists", "all", "any", "some", "distinct", "as", "interval", "with",
+    "values", "limit", "window", "over", "partition",
+    "current_date", "current_timestamp", "current_time", "current_user",
+    "session_user", "user", "now", "rand", "random", "uuid", "pi", "e",
+}
+
 _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<str>'(?:[^']|'')*')            # SQL string literal
@@ -203,6 +230,10 @@ def jms_selector(selector: str) -> Column:
             raise ValueError(f"illegal token at {selector[pos:pos+20]!r}")
         if m.group("ident"):
             word = m.group("ident").lower()
+            if word in _JMS_FORBIDDEN:
+                raise ValueError(
+                    f"{word!r} is not JMS selector syntax (SQL reserved word)"
+                )
             prev_ident = word not in _JMS_KEYWORDS
         elif m.group("op"):
             if m.group("op") == "(" and prev_ident:

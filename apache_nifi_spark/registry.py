@@ -4584,10 +4584,9 @@ def handle_http_request_response_q(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 100 == 0)
     payload = (
-        # control-plane: the HTTP *client* half of the differential test —
-        # a request body is driver-side by nature, and the input is subset
-        # to O(100) rows before serialization.
-        "\n".join(ev.select("event_id", "event_type", "value").toJSON().collect()) + "\n"
+        # The HTTP *client* half of the differential test — a request body
+        # is driver-side by nature; input subset to O(100) rows first.
+        "\n".join(ev.select("event_id", "event_type", "value").toJSON().collect()) + "\n"  # control-plane: HTTP request body, O(100) rows
     ).encode()
 
     def pipeline(df):

@@ -43,15 +43,18 @@ def json_escape(c: Column) -> Column:
     """Escape a string for a JSON string context.
 
     Backslash first (so later escapes aren't double-escaped), then the
-    quote and the whitespace control characters that occur in text
-    columns.  Other C0 controls don't appear in the fixtures and would
-    need a per-char fallback; the renderers are documented ASCII-safe.
+    quote and the whitespace control characters; any REMAINING C0
+    control is stripped (ADVICE r4 #5 — a stray control byte previously
+    passed through and produced invalid JSON).  Stripping, not \\u
+    escaping: these bytes are noise in text columns, and the strip keeps
+    the renderer a pure column expression.
     """
     c = F.replace(c, F.lit("\\"), F.lit("\\\\"))
     c = F.replace(c, F.lit('"'), F.lit('\\"'))
     c = F.replace(c, F.lit("\n"), F.lit("\\n"))
     c = F.replace(c, F.lit("\r"), F.lit("\\r"))
     c = F.replace(c, F.lit("\t"), F.lit("\\t"))
+    c = F.regexp_replace(c, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", "")
     return c
 
 
@@ -125,7 +128,11 @@ def mongo_extended_json(
         if btype == "long":
             v = F.concat(F.lit('{"$numberLong":"'), col.cast("bigint").cast("string"), F.lit('"}'))
         elif btype == "double":
-            v = F.concat(F.lit('{"$numberDouble":"'), json_number(col, scale or 6), F.lit('"}'))
+            v = F.concat(
+                F.lit('{"$numberDouble":"'),
+                json_number(col, 6 if scale is None else scale),
+                F.lit('"}'),
+            )
         elif btype == "string":
             v = json_string(col)
         elif btype == "date":

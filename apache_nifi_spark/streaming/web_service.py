@@ -181,10 +181,10 @@ class HttpRequestResponseService:
             if first is not None and first[0] is not None:
                 status = int(first[0])
             out = out.drop("http_status_code")
-        # control-plane: an HTTP response body answered on ONE parked
-        # connection is driver-side by nature (HandleHttpResponse semantics);
-        # pipelines here return aggregates, not table scans.
-        payload = ("\n".join(out.toJSON().collect()) + "\n").encode()
+        # An HTTP response body answered on ONE parked connection is
+        # driver-side by nature (HandleHttpResponse semantics); pipelines
+        # here return aggregates, not table scans.
+        payload = ("\n".join(out.toJSON().collect()) + "\n").encode()  # control-plane: single parked-connection HTTP response
         return status, payload
 
     @property

@@ -81,7 +81,9 @@ def test_no_driver_side_collect_in_library_source():
 
     root = pathlib.Path(io.__file__).parent
     # A call site may opt out ONLY by carrying a visible `# control-plane`
-    # justification comment on the call's own lines — O(partitions) manifest
+    # justification comment on the call's OWN line span (lineno..end_lineno
+    # — ADVICE r4 #4: a lookback window let one marker silently exempt a
+    # different, unmarked collect below it) — O(partitions) manifest
     # actions, catalog/offset metadata, or an HTTP response body that is
     # driver-side by nature.  Unmarked data-plane collects stay banned, and
     # every exception is auditable in source at the site itself.
@@ -96,7 +98,7 @@ def test_no_driver_side_collect_in_library_source():
                 and node.func.attr in ("collect", "toPandas")
             ):
                 span = src_lines[
-                    max(0, node.lineno - 4) : (node.end_lineno or node.lineno)
+                    node.lineno - 1 : (node.end_lineno or node.lineno)
                 ]
                 if any("control-plane" in ln for ln in span):
                     continue

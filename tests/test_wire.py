@@ -142,6 +142,15 @@ def test_mongo_query_operators(spark):
     assert ids({"a": {"$not": {"$lt": 5}}}) == [5, 9]
     with pytest.raises(ValueError):
         compile_mongo_query({"a": {"$near": [0, 0]}})
+    # Mongo null semantics (ADVICE r4 #2): $ne and $not match documents
+    # where the field is absent/null, consistent with $nin
+    def cids(q):
+        return sorted(r["a"] for r in df.filter(compile_mongo_query(q)).collect())
+
+    assert cids({"c": {"$ne": "z"}}) == [1, 9]          # null c matches
+    assert cids({"c": {"$not": {"$eq": "z"}}}) == [1, 9]
+    assert cids({"c": {"$not": {"$regex": "^z"}}}) == [1, 9]
+    assert cids({"c": {"$ne": None}}) == [5, 9]          # $ne null = exists
 
 
 # ---------------------------------------------------------------------
@@ -162,3 +171,13 @@ def test_jms_selector_grammar(spark):
         jms_selector("upper(kind) = 'VIEW'")
     with pytest.raises(ValueError):
         jms_selector("kind = 'x'; DROP TABLE t")
+    # SQL reserved words are not selector syntax (ADVICE r4 #3): no
+    # smuggled subqueries or niladic functions
+    with pytest.raises(ValueError):
+        jms_selector("v IN (SELECT 1)")
+    with pytest.raises(ValueError):
+        jms_selector("kind = CAST(1 AS STRING)")
+    with pytest.raises(ValueError):
+        jms_selector("note = current_date")
+    with pytest.raises(ValueError):
+        jms_selector("CASE WHEN v > 0 THEN true ELSE false END")
