@@ -3784,6 +3784,75 @@ def publish_consume_kafka_bus_q(spark, sf_dir):
 
 
 @register(
+    "amqp_exchange_route",
+    oracle="""
+    WITH src AS (
+      SELECT event_type, user_id, value
+      FROM events WHERE event_id % 10 = 0
+    )
+    SELECT 'q_click' AS queue, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM src WHERE event_type = 'click'
+                OR (event_type = 'purchase' AND user_id % 2 = 0)
+    UNION ALL
+    SELECT 'q_even', COUNT(*),
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+    FROM src WHERE user_id % 2 = 0
+    UNION ALL
+    SELECT 'q_all', COUNT(*),
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+    FROM src
+    """,
+)
+def amqp_exchange_route_q(spark, sf_dir):
+    """ConsumeAMQP/PublishAMQP wire semantics (§2.1, round-4 verdict
+    item #9 — the last closable connector partial): a topic exchange
+    routes events by ``<type>.<parity>`` routing keys onto
+    FileKafkaBus-backed queues.  q_click holds TWO bindings
+    (``click.#`` + ``purchase.even``) so the oracle equality also proves
+    AMQP's deliver-once-per-queue rule (OR-combined predicate, not a
+    union of copies); routing itself is a codegen'd Catalyst filter —
+    see streaming/amqp_bus.py."""
+    import tempfile
+
+    from apache_nifi_spark.streaming.amqp_bus import AmqpExchange
+    from apache_nifi_spark.streaming.kafka_bus import FileKafkaBus
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
+    msgs = ev.select(
+        F.concat(
+            F.col("event_type"),
+            F.lit("."),
+            F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd"),
+        ).alias("rk"),
+        F.to_json(F.struct("event_id", "value")).alias("v"),
+    )
+    bus = FileKafkaBus(tempfile.mkdtemp(prefix="anspark_amqp_"), num_partitions=4)
+    ex = AmqpExchange(bus, "ev", kind="topic")
+    ex.bind("q_click", "click.#").bind("q_click", "purchase.even")
+    ex.bind("q_even", "*.even")
+    ex.bind("q_all", "#")
+    ex.publish(msgs, routing_key_col="rk", value_col="v")
+
+    outs = []
+    for q in ("q_click", "q_even", "q_all"):
+        parsed = ex.read_batch(spark, q).select(
+            F.from_json(
+                F.col("value").cast("string"), "event_id bigint, value double"
+            ).alias("r")
+        )
+        outs.append(
+            parsed.agg(
+                F.count(F.lit(1)).alias("n"), _dsum(F.col("r.value"), "total_value")
+            ).select(F.lit(q).alias("queue"), "n", "total_value")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+@register(
     "split_xml_elements",
     oracle="""
     SELECT o_orderkey, CAST(item_pos AS INT) AS fragment_index, item

@@ -191,3 +191,77 @@ def test_streaming_publish_idempotent_producer(spark, bus, tmp_path):
     )
     q2.awaitTermination()
     assert bus.read_batch(spark, "st").count() == 40  # no double-append
+
+
+# ---------------------------------------------------------------------
+# AMQP exchange semantics over the bus (streaming/amqp_bus.py)
+# ---------------------------------------------------------------------
+
+def test_amqp_topic_regex_translation():
+    import re
+
+    from apache_nifi_spark.streaming.amqp_bus import amqp_topic_regex
+
+    cases = {
+        "a.b": {"a.b": True, "a.b.c": False, "a": False},
+        "*.b": {"a.b": True, "x.b": True, "a.c": False, "b": False},
+        "a.#": {"a": True, "a.b": True, "a.b.c": True, "b.a": False},
+        "#.b": {"b": True, "a.b": True, "x.y.b": True, "b.a": False},
+        "a.#.b": {"a.b": True, "a.x.b": True, "a.x.y.b": True, "a.bc": False},
+        "#": {"a": True, "a.b.c": True, "": True},
+        "*": {"a": True, "a.b": False},
+    }
+    for pattern, checks in cases.items():
+        rx = amqp_topic_regex(pattern)
+        for key, want in checks.items():
+            got = re.fullmatch(rx.strip("^$"), key) is not None
+            assert got is want, (pattern, rx, key, want, got)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        amqp_topic_regex("a.b#")
+
+
+def test_amqp_exchange_kinds_and_deliver_once(spark, tmp_path):
+    from apache_nifi_spark.streaming.amqp_bus import AmqpExchange
+    from apache_nifi_spark.streaming.kafka_bus import FileKafkaBus
+
+    df = spark.createDataFrame(
+        [("order.eu", "a"), ("order.us", "b"), ("cancel.eu", "c"), ("order", "d")],
+        "rk string, v string",
+    )
+    bus = FileKafkaBus(str(tmp_path / "bus"), num_partitions=2)
+
+    topic = AmqpExchange(bus, "t", kind="topic")
+    # two overlapping bindings on ONE queue: order.eu matches both but
+    # must be delivered once (AMQP rule)
+    topic.bind("q1", "order.#").bind("q1", "*.eu")
+    n = topic.publish(df, "rk", "v")
+    got = sorted(
+        r["key"].decode() for r in topic.read_batch(spark, "q1").collect()
+    )
+    assert got == ["cancel.eu", "order", "order.eu", "order.us"]
+    assert n["q1"] == 4
+
+    direct = AmqpExchange(bus, "d", kind="direct")
+    direct.bind("qd", "order.eu")
+    direct.publish(df, "rk", "v")
+    assert [r["key"].decode() for r in direct.read_batch(spark, "qd").collect()] == ["order.eu"]
+
+    fan = AmqpExchange(bus, "f", kind="fanout")
+    fan.bind("qa").bind("qb")
+    fan.publish(df, "rk", "v")
+    assert fan.read_batch(spark, "qa").count() == 4
+    assert fan.read_batch(spark, "qb").count() == 4
+
+    # differential: exchange-routed queue == plain batch filter
+    import pyspark.sql.functions as F
+
+    want = sorted(
+        r["v"] for r in df.filter(
+            F.col("rk").rlike("^order(?:\\.[^.]+)*$") | F.col("rk").rlike("^[^.]+\\.eu$")
+        ).collect()
+    )
+    assert sorted(
+        r["value"].decode() for r in topic.read_batch(spark, "q1").collect()
+    ) == want
