@@ -99,3 +99,102 @@ def test_binary_hex_roundtrip(spark, tmp_path):
     write_xml(df, out)
     back = read_xml(spark, out, df.schema)
     assert bytes(back.first().raw) == b"\x00\xff<&>"
+
+
+# ---------------------------------------------------------------------
+# XSLT subset compiler (functions/xslt.py)
+# ---------------------------------------------------------------------
+
+def _xf(xsl, doc):
+    import xml.etree.ElementTree as ET
+
+    from apache_nifi_spark.functions.xslt import xslt_compile
+
+    return ET.tostring(xslt_compile(xsl)(ET.fromstring(doc)), encoding="unicode")
+
+
+_XSLNS = 'xmlns:xsl="http://www.w3.org/1999/XSL/Transform"'
+
+
+def test_xslt_template_value_of_avt():
+    xsl = f'''<xsl:stylesheet version="1.0" {_XSLNS}>
+      <xsl:template match="o">
+        <order id="{{id}}"><st><xsl:value-of select="status"/></st></order>
+      </xsl:template>
+    </xsl:stylesheet>'''
+    assert _xf(xsl, "<o><id>7</id><status>F</status></o>") == \
+        '<order id="7"><st>F</st></order>'
+
+
+def test_xslt_for_each_if_choose_attribute():
+    xsl = f'''<xsl:stylesheet version="1.0" {_XSLNS}>
+      <xsl:template match="/">
+        <report>
+          <xsl:attribute name="kind"><xsl:value-of select="@kind"/></xsl:attribute>
+          <xsl:for-each select="item">
+            <xsl:if test="@qty != '0'">
+              <line sku="{{@sku}}"><xsl:value-of select="name"/></line>
+            </xsl:if>
+          </xsl:for-each>
+          <xsl:choose>
+            <xsl:when test="@kind = 'big'"><k>B</k></xsl:when>
+            <xsl:otherwise><k>S</k></xsl:otherwise>
+          </xsl:choose>
+        </report>
+      </xsl:template>
+    </xsl:stylesheet>'''
+    doc = ('<cart kind="small"><item sku="a" qty="2"><name>Ax</name></item>'
+           '<item sku="b" qty="0"><name>Bx</name></item></cart>')
+    assert _xf(xsl, doc) == \
+        '<report kind="small"><line sku="a">Ax</line><k>S</k></report>'
+
+
+def test_xslt_apply_templates_and_builtin_rules():
+    xsl = f'''<xsl:stylesheet version="1.0" {_XSLNS}>
+      <xsl:template match="doc">
+        <out><xsl:apply-templates select="sec"/></out>
+      </xsl:template>
+      <xsl:template match="sec">
+        <s n="{{@n}}"><xsl:value-of select="."/></s>
+      </xsl:template>
+    </xsl:stylesheet>'''
+    doc = '<doc><sec n="1">alpha</sec><sec n="2">beta</sec></doc>'
+    assert _xf(xsl, doc) == '<out><s n="1">alpha</s><s n="2">beta</s></out>'
+
+
+def test_xslt_element_copy_of_and_errors():
+    import pytest
+
+    from apache_nifi_spark.functions.xslt import XsltError, xslt_compile
+
+    xsl = f'''<xsl:stylesheet version="1.0" {_XSLNS}>
+      <xsl:template match="r">
+        <xsl:element name="{{@tag}}"><xsl:copy-of select="keep"/></xsl:element>
+      </xsl:template>
+    </xsl:stylesheet>'''
+    assert _xf(xsl, '<r tag="w"><keep a="1">x</keep></r>') == \
+        '<w><keep a="1">x</keep></w>'
+    with pytest.raises(XsltError):
+        xslt_compile("<notxsl/>")
+    with pytest.raises(XsltError):
+        xslt_compile(
+            f'<xsl:stylesheet version="1.0" {_XSLNS}>'
+            '<xsl:template match="a"><xsl:sort/></xsl:template>'
+            "</xsl:stylesheet>"
+        )(__import__("xml.etree.ElementTree", fromlist=["ET"]).fromstring("<a/>"))
+
+
+def test_xslt_drives_spark_transform(spark):
+    from apache_nifi_spark.functions.xslt import xslt_compile
+    from apache_nifi_spark.operators import transform_xml
+
+    xsl = f'''<xsl:stylesheet version="1.0" {_XSLNS}>
+      <xsl:template match="p">
+        <q v="{{n}}"/>
+      </xsl:template>
+    </xsl:stylesheet>'''
+    df = spark.createDataFrame(
+        [(i, f"<p><n>{i}</n></p>") for i in range(10)], "i int, xml string"
+    )
+    out = transform_xml(df, "xml", xslt_compile(xsl)).orderBy("i").collect()
+    assert [r["transformed"] for r in out] == [f'<q v="{i}" />' for i in range(10)]
