@@ -3783,6 +3783,70 @@ def publish_consume_kafka_bus_q(spark, sf_dir):
     return run_to_memory(agg, output_mode="complete")
 
 
+_FTP_STAGE: dict[str, tuple] = {}
+
+
+def _staged_ftp(spark, sf_dir):
+    """Process-lifetime FTP server over a CSV export of the events subset
+    (same staging pattern as the echo/JDBC fixtures): Spark writes the
+    CSVs, MiniFtpServer serves them, the query re-ingests over the wire."""
+    if sf_dir in _FTP_STAGE:
+        return _FTP_STAGE[sf_dir]
+    import tempfile
+
+    from apache_nifi_spark.sources.ftp import MiniFtpServer
+
+    root = tempfile.mkdtemp(prefix="anspark_ftp_")
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 50 == 0)
+    (
+        ev.select("event_id", "event_type", "value")
+        .coalesce(4)
+        .write.mode("overwrite")
+        .csv(f"{root}/data")
+    )
+    srv = MiniFtpServer(root)
+    _FTP_STAGE[sf_dir] = (srv, "127.0.0.1", srv.port)
+    return _FTP_STAGE[sf_dir]
+
+
+@register(
+    "ftp_list_fetch_records",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM events WHERE event_id % 50 = 0
+    GROUP BY event_type
+    """,
+)
+def ftp_list_fetch_q(spark, sf_dir):
+    """ListFTP → FetchFTP closed for real (§2.1 — previously
+    pattern-only): a control-plane FTP listing manifests the remote CSVs,
+    fetch_ftp RETRs them with one ftplib connection per partition
+    (distributed data plane, stdlib client ↔ sources/ftp.MiniFtpServer
+    over real RFC 959 passive-mode wire bytes), and the records parse and
+    aggregate downstream.  Oracle equality proves the transfer is
+    lossless byte-for-byte."""
+    from apache_nifi_spark.sources.ftp import fetch_ftp, list_ftp
+
+    srv, host, port = _staged_ftp(spark, sf_dir)
+    listing = list_ftp(spark, host, port, "/data").filter(
+        F.col("filename").startswith("part-")
+    )
+    fetched = fetch_ftp(listing, host, port, "/data")
+    lines = fetched.select(
+        F.explode(F.split(F.col("content").cast("string"), "\n")).alias("line")
+    ).filter(F.length("line") > 0)
+    rec = lines.select(
+        F.from_csv(
+            F.col("line"), "event_id bigint, event_type string, value double"
+        ).alias("r")
+    ).select("r.*")
+    return rec.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), _dsum(F.col("value"), "total_value")
+    )
+
+
 @register(
     "amqp_exchange_route",
     oracle="""

@@ -223,3 +223,55 @@ def test_read_write_records_dispatch_codec_formats(spark, sf_dir, tmp_path):
         write_records(nation, out, fmt=fmt)
         back = read_records(spark, out, fmt=fmt, schema=nation.schema)
         assert sorted(nation.collect()) == sorted(back.collect()), fmt
+
+
+def test_ftp_store_list_fetch_roundtrip(spark, tmp_path):
+    """MiniFtpServer speaks enough RFC 959 for stdlib ftplib: STOR files
+    in, list_ftp manifests them, fetch_ftp RETRs bytes back identical —
+    and failures (missing file) surface as NULL content, not task death."""
+    import ftplib
+    import io as _io
+
+    from pyspark.sql import functions as F
+
+    from apache_nifi_spark.sources.ftp import MiniFtpServer, fetch_ftp, list_ftp
+
+    srv = MiniFtpServer(str(tmp_path / "ftp"))
+    try:
+        payloads = {f"f{i}.bin": bytes([i]) * (10 + i) for i in range(5)}
+        ftp = ftplib.FTP()
+        ftp.connect("127.0.0.1", srv.port, timeout=5)
+        ftp.login()
+        for name, data in payloads.items():
+            ftp.storbinary(f"STOR {name}", _io.BytesIO(data))
+        ftp.quit()
+
+        listing = list_ftp(spark, "127.0.0.1", srv.port)
+        got_sizes = {r["filename"]: r["size"] for r in listing.collect()}
+        assert got_sizes == {n: len(b) for n, b in payloads.items()}
+
+        # add a phantom row: fetch must yield NULL content for it
+        phantom = listing.unionAll(
+            listing.sparkSession.createDataFrame(
+                [("missing.bin", 0)], "filename string, size long"
+            )
+        )
+        fetched = {
+            r["filename"]: r["content"]
+            for r in fetch_ftp(phantom.repartition(3), "127.0.0.1", srv.port).collect()
+        }
+        for name, data in payloads.items():
+            assert fetched[name] == data, name
+        assert fetched["missing.bin"] is None
+
+        # path traversal is refused by the server
+        ftp2 = ftplib.FTP()
+        ftp2.connect("127.0.0.1", srv.port, timeout=5)
+        ftp2.login()
+        import pytest as _pytest
+
+        with _pytest.raises(ftplib.error_perm):
+            ftp2.size("../../etc/passwd")
+        ftp2.quit()
+    finally:
+        srv.close()
