@@ -30,12 +30,15 @@ from apache_nifi_spark.llm.similarity import (  # noqa: F401
     cosine_topk_lsh,
     ivf_assign,
     ivf_topk,
+    quantize_int8,
+    dequantize_int8,
 )
 from apache_nifi_spark.llm.text import (  # noqa: F401
     token_stats,
     bpe_ish_tokens,
     language_id,
     quality_score,
+    quality_logit,
     rolling_fingerprint,
     chunk_sliding,
     pii_redact,

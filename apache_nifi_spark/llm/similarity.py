@@ -39,6 +39,8 @@ __all__ = [
     "cosine_topk_lsh",
     "ivf_assign",
     "ivf_topk",
+    "quantize_int8",
+    "dequantize_int8",
 ]
 
 
@@ -345,3 +347,37 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric per-vector int8 quantization:
+    ``struct(scale double, codes array<tinyint>)`` with
+    ``scale = max|x|/127`` and ``code = clamp(floor(x/scale + 0.5))``.
+
+    The memory tier for ANN at 100 TB — 4× smaller than float32 (8× vs
+    the double scoring form), so shuffles and the broadcast query side
+    shrink accordingly; rescoring dequantizes on the fly.  ``floor(x/s
+    + 0.5)`` instead of ``round``: the two engines' round() disagree on
+    tie-breaking, floor is IEEE-exact in both, so codes (and everything
+    scored from them) value-oracle.  Zero vectors quantize to all-zero
+    codes with scale 0.
+    """
+    dv = _dvec(vec)
+    scale = F.array_max(F.transform(dv, lambda x: F.abs(x))) / F.lit(127.0)
+    codes = F.transform(
+        dv,
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.floor(x / scale + F.lit(0.5)).cast("int")),
+        ).cast("tinyint"),
+    )
+    zeros = F.transform(dv, lambda x: F.lit(0).cast("tinyint"))
+    return F.struct(
+        scale.alias("scale"),
+        F.when(scale == 0, zeros).otherwise(codes).alias("codes"),
+    )
+
+
+def dequantize_int8(q: Column) -> Column:
+    """Reconstruct ``array<double>`` from an int8 struct: code × scale."""
+    return F.transform(q["codes"], lambda c: c.cast("double") * q["scale"])

@@ -166,6 +166,41 @@ def quality_score(
     )
 
 
+def quality_logit(
+    df: DataFrame, text_col: str = "text", out_col: str = "quality_logit"
+) -> DataFrame:
+    """Continuous quality score: a fixed-weight linear model over the
+    one-pass features (the fasttext-style quality-classifier stand-in a
+    pretraining pipeline thresholds on, vs ``quality_score``'s coarse
+    bands).  Emits the LOGIT and ``keep = logit > 0`` rather than the
+    sigmoid: ordering and thresholding are identical, and the linear
+    form uses only IEEE-exact ops (mul/add/sqrt/abs — no exp/log, whose
+    last-ulp behavior differs between Java's Math and libm), so the
+    score value-oracles bit-for-bit.  Weights are fixed constants of the
+    operator: length (diminishing via sqrt, capped), symbol density,
+    stopword evidence (capped), and word-length deviation from English's
+    ~5.5-char mean."""
+    t = F.col(text_col)
+    toks = _ws_tokens(t)
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    sym = n_chars - F.length(F.regexp_replace(t, r"[^A-Za-z0-9\s]", ""))
+    sym_ratio = F.when(n_chars > 0, sym.cast("double") / n_chars).otherwise(0.0)
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(toks), en_stop))
+    mean_wl = F.when(
+        n_tok > 0, (n_chars - n_tok + 1).cast("double") / n_tok
+    ).otherwise(0.0)
+    logit = (
+        F.lit(-0.8)
+        + F.lit(0.14) * F.sqrt(F.least(n_tok, F.lit(10000)).cast("double"))
+        - F.lit(6.0) * sym_ratio
+        + F.lit(0.18) * F.least(stop_hits, F.lit(20)).cast("double")
+        - F.lit(0.35) * F.abs(mean_wl - F.lit(5.5))
+    )
+    return df.withColumns({out_col: logit, "keep": logit > 0})
+
+
 def chunk_sliding(
     df: DataFrame,
     text_col: str = "text",

@@ -1722,6 +1722,101 @@ def similarity_cosine_topk_q(spark, sf_dir):
     return cosine_topk_bruteforce(e, e.filter(F.col("vec_id") < 10), k=5)
 
 
+@register(
+    "similarity_quantized_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    qz AS (
+      SELECT vec_id,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS s,
+             v
+      FROM e
+    ),
+    dq AS (
+      SELECT vec_id,
+             CASE WHEN s = 0 THEN list_transform(v, x -> 0.0)
+                  ELSE list_transform(v, x ->
+                    CAST(greatest(-127, least(127,
+                         CAST(floor(x / s + 0.5) AS INT))) AS DOUBLE) * s)
+             END AS v
+      FROM qz
+    ),
+    q AS (SELECT * FROM dq WHERE vec_id < 10)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine,
+             CAST(row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_dot_product(q.v, c.v)
+                             / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+                             c.vec_id) AS INT) AS rank
+      FROM q JOIN dq c ON q.vec_id != c.vec_id
+    ) WHERE rank <= 5
+    """,
+)
+def similarity_quantized_topk_q(spark, sf_dir):
+    """Int8-quantized ANN memory tier (§2.12): vectors quantize to
+    scale+codes (4× smaller than float32 — the shuffle/broadcast budget
+    at 100 TB), dequantize on the fly, and the exact top-k runs on the
+    reconstruction.  floor(x/s + 0.5) codes are engine-portable, so the
+    whole quantize→dequantize→score→rank pipeline value-oracles."""
+    from apache_nifi_spark.llm import (
+        cosine_topk_bruteforce,
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", quantize_int8(F.col("embedding")).alias("q8")
+    )
+    dq = e.select("vec_id", dequantize_int8(F.col("q8")).alias("embedding"))
+    return cosine_topk_bruteforce(dq, dq.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "text_quality_logistic",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS toks,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS sym
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             length(toks) AS n_tok,
+             CASE WHEN n_chars > 0 THEN CAST(sym AS DOUBLE) / n_chars ELSE 0.0 END AS sym_ratio,
+             length(list_intersect(list_distinct(toks),
+               ['the','and','of','to','a','in','is','it','that','for'])) AS stop_hits,
+             CASE WHEN length(toks) > 0
+                  THEN CAST(n_chars - length(toks) + 1 AS DOUBLE) / length(toks)
+                  ELSE 0.0 END AS mean_wl
+      FROM f
+    )
+    SELECT doc_id,
+           -0.8 + 0.14 * sqrt(CAST(least(n_tok, 10000) AS DOUBLE))
+                - 6.0 * sym_ratio
+                + 0.18 * CAST(least(stop_hits, 20) AS DOUBLE)
+                - 0.35 * abs(mean_wl - 5.5) AS quality_logit,
+           (-0.8 + 0.14 * sqrt(CAST(least(n_tok, 10000) AS DOUBLE))
+                - 6.0 * sym_ratio
+                + 0.18 * CAST(least(stop_hits, 20) AS DOUBLE)
+                - 0.35 * abs(mean_wl - 5.5)) > 0 AS keep
+    FROM g
+    """,
+)
+def text_quality_logit_q(spark, sf_dir):
+    """Continuous quality scoring (§2.12): fixed-weight linear model over
+    one-pass text features — the fasttext-style classifier stand-in a
+    pipeline thresholds on.  IEEE-exact ops only (sqrt/abs, no exp/log),
+    so the logit value-oracles bit-for-bit; see llm/text.quality_logit."""
+    from apache_nifi_spark.llm import quality_logit
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_logit(d).select("doc_id", "quality_logit", "keep")
+
+
 def _srp_lsh_oracle(bits: int = 4, seed: int = 42) -> str:
     """Generate the SRP-LSH oracle: DuckDB rebuilds the identical
     hyperplane signs (parity of md5('seed:p:i') first hex digit), the

@@ -590,3 +590,69 @@ def test_wav_header_bytes_column_expression_roundtrip(spark):
     rows = df.withColumn("wav", wav_header_bytes(F.col("ch"), F.col("rate"), F.col("frames"))).collect()
     for r in rows:
         assert parse_wav_metadata(bytes(r.wav)) == (r.ch, r.rate, 16, r.frames)
+
+
+def test_quantize_int8_roundtrip_error_bound(spark, sf_dir):
+    """Per-element reconstruction error of symmetric int8 is bounded by
+    scale/2 (+1 ulp slack), codes stay in [-127,127], zero vectors get
+    scale 0 / all-zero codes, and the quantized top-1 neighbor mostly
+    agrees with the exact top-1 (the recall property that makes the
+    memory tier usable)."""
+    import pyspark.sql.functions as F
+
+    from apache_nifi_spark import io
+    from apache_nifi_spark.llm import (
+        cosine_topk_bruteforce,
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    e = io.load_table(spark, sf_dir, "embeddings")
+    q = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"),
+                 quantize_int8(F.col("embedding")).alias("q8"))
+    stats = q.select(
+        F.col("q8.scale").alias("s"),
+        F.array_max(F.transform("q8.codes", lambda c: F.abs(c.cast("int")))).alias("max_code"),
+        F.array_max(
+            F.zip_with("v", dequantize_int8(F.col("q8")), lambda x, r: F.abs(x - r))
+        ).alias("max_err"),
+    ).collect()
+    for r in stats:
+        assert r["max_code"] <= 127
+        assert r["max_err"] <= r["s"] / 2 + 1e-12, (r["max_err"], r["s"])
+
+    zero = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<double>")
+    zr = zero.select(quantize_int8(F.col("embedding")).alias("q8")).first()
+    assert zr["q8"]["scale"] == 0.0 and list(zr["q8"]["codes"]) == [0, 0, 0]
+
+    dq = e.select("vec_id", dequantize_int8(quantize_int8(F.col("embedding"))).alias("embedding"))
+    queries = e.filter(F.col("vec_id") < 20)
+    exact1 = {r["query_id"]: r["neighbor_id"]
+              for r in cosine_topk_bruteforce(e, queries, k=1).collect()}
+    quant1 = {r["query_id"]: r["neighbor_id"]
+              for r in cosine_topk_bruteforce(dq, queries.select(
+                  "vec_id", dequantize_int8(quantize_int8(F.col("embedding"))).alias("embedding")
+              ), k=1).collect()}
+    agree = sum(exact1[k] == quant1.get(k) for k in exact1)
+    assert agree / len(exact1) >= 0.8, (agree, len(exact1))
+
+
+def test_quality_logit_orders_quality(spark):
+    """Clean English text scores above symbol soup and above one-word
+    fragments; keep is exactly logit > 0."""
+    from apache_nifi_spark.llm import quality_logit
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and runs to the hills in a day that is long"),
+            (2, "@@@ ### $$$ %%% ^^^ &&& *** ((( ))) !!!"),
+            (3, "word"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_logit(df).collect()}
+    assert rows[1]["quality_logit"] > rows[2]["quality_logit"]
+    assert rows[1]["quality_logit"] > rows[3]["quality_logit"]
+    assert rows[1]["keep"] and not rows[2]["keep"]
+    for r in rows.values():
+        assert r["keep"] == (r["quality_logit"] > 0)
