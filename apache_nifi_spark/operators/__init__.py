@@ -27,6 +27,7 @@ from apache_nifi_spark.operators.transform import (  # noqa: F401
     split_json,
     transform_xml,
     parse_syslog,
+    parse_syslog_5424,
 )
 from apache_nifi_spark.operators.join import (  # noqa: F401
     lookup_record,

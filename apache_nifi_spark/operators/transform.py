@@ -265,6 +265,55 @@ def transform_xml(
     return df.mapInPandas(_run, schema)
 
 
+#: RFC 5424 shape: <PRI>VERSION TS HOST APP PROCID MSGID SD MSG
+#: SD = '-' or one-or-more [id k="v" ...] blocks; '-' is the nil value.
+SYSLOG_5424_RX = (
+    r"^<(\d{1,3})>(\d) (\S+) (\S+) (\S+) (\S+) (\S+) "
+    r"(-|(?:\[[^\]]*\])+)(?: (.*))?$"
+)
+
+
+def parse_syslog_5424(df: DataFrame, col: str = "line") -> DataFrame:
+    """ParseSyslog / ListenSyslog, RFC 5424 half (SURVEY.md §2.1 —
+    complements the RFC 3164 parser below; NiFi's SyslogReader handles
+    both).  Header fields split by position, PRI decoded to
+    facility/severity, nils ('-') nulled, and the FIRST structured-data
+    block's ``k="v"`` params lifted into a ``map<string,string>`` via
+    ``map_from_entries ∘ regexp_extract_all`` — all codegen'd, no UDF."""
+    line = F.col(col)
+
+    def grp(i: int) -> Column:
+        return F.regexp_extract(line, SYSLOG_5424_RX, i)
+
+    def nil(c: Column) -> Column:
+        return F.when(c == "-", F.lit(None)).otherwise(c)
+
+    pri = grp(1).cast("int")
+    sd = grp(8)
+    params = F.map_from_entries(
+        F.transform(
+            F.regexp_extract_all(sd, F.lit(r'(\w+)="([^"]*)"'), 0),
+            lambda kv: F.struct(
+                F.regexp_extract(kv, r'(\w+)=', 1).alias("key"),
+                F.regexp_extract(kv, r'"([^"]*)"', 1).alias("value"),
+            ),
+        )
+    )
+    return df.select(
+        (pri / 8).cast("int").alias("facility"),
+        F.pmod(pri, F.lit(8)).cast("int").alias("severity"),
+        grp(2).cast("int").alias("version"),
+        nil(grp(3)).alias("ts_text"),
+        nil(grp(4)).alias("host"),
+        nil(grp(5)).alias("app"),
+        nil(grp(6)).cast("long").alias("procid"),
+        nil(grp(7)).alias("msgid"),
+        F.when(sd == "-", F.lit(None)).otherwise(sd).alias("structured_data"),
+        F.when(sd == "-", None).otherwise(params).alias("sd_params"),
+        nil(grp(9)).alias("message"),
+    )
+
+
 #: RFC3164 shape: <PRI>MMM dd HH:mm:ss host tag[pid]: msg
 SYSLOG_3164_RX = (
     r"^<(\d{1,3})>([A-Z][a-z]{2} \d{2} \d{2}:\d{2}:\d{2}) "

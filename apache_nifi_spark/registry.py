@@ -4881,6 +4881,63 @@ def parse_syslog_q(spark, sf_dir):
 
 
 @register(
+    "parse_syslog5424_events",
+    oracle="""
+    SELECT CAST(16 AS INT) AS facility,
+           CAST(CASE WHEN event_type = 'error' THEN 3 ELSE 6 END AS INT) AS severity,
+           CAST(1 AS INT) AS version,
+           strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS ts_text,
+           'host' || CAST(user_id % 10 AS VARCHAR) AS host,
+           'app-' || event_type AS app,
+           CAST(event_id AS BIGINT) AS procid,
+           CASE WHEN event_id % 3 = 0 THEN NULL ELSE 'ID' || CAST(event_id AS VARCHAR) END AS msgid,
+           '[ev@1 type="' || event_type || '" cents="'
+             || CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR) || '"]'
+             AS structured_data,
+           event_type AS sd_type,
+           CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR) AS sd_cents,
+           'event ' || CAST(event_id AS VARCHAR) AS message
+    FROM events WHERE event_id < 4000
+    """,
+)
+def parse_syslog_5424_q(spark, sf_dir):
+    """ParseSyslog, RFC 5424 half (§2.1; complements the 3164 query):
+    lines synthesized with version, nil msgids, a structured-data block,
+    and a free-text message, parsed back with
+    operators.parse_syslog_5424 — the SD params land in a
+    map<string,string> via map_from_entries, all codegen'd.  The oracle
+    computes every expected field directly."""
+    from apache_nifi_spark.operators import parse_syslog_5424
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 4000)
+    sev = F.when(F.col("event_type") == "error", 3).otherwise(6)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").cast("string")
+    line = F.concat(
+        F.lit("<"), (F.lit(128) + sev).cast("string"), F.lit(">1 "),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"), F.lit(" "),
+        F.lit("host"), (F.col("user_id") % 10).cast("string"), F.lit(" "),
+        F.lit("app-"), F.col("event_type"), F.lit(" "),
+        F.col("event_id").cast("string"), F.lit(" "),
+        F.when(F.col("event_id") % 3 == 0, F.lit("-")).otherwise(
+            F.concat(F.lit("ID"), F.col("event_id").cast("string"))
+        ),
+        F.lit(' [ev@1 type="'), F.col("event_type"),
+        F.lit('" cents="'), cents, F.lit('"]'),
+        F.lit(" event "), F.col("event_id").cast("string"),
+    )
+    parsed = parse_syslog_5424(ev.select(line.alias("line")), "line")
+    # project the lifted SD map as scalar lookups (the checker's
+    # row-sort can't order map values)
+    return parsed.select(
+        "facility", "severity", "version", "ts_text", "host", "app",
+        "procid", "msgid", "structured_data",
+        F.element_at("sd_params", "type").alias("sd_type"),
+        F.element_at("sd_params", "cents").alias("sd_cents"),
+        "message",
+    )
+
+
+@register(
     "url_normalize_dedup_keys",
     oracle="""
     SELECT doc_id,
@@ -4977,6 +5034,57 @@ def execute_sql_jdbc_q(spark, sf_dir):
         upper_bound=100000,
         num_partitions=4,
         options=_DERBY_DRIVER,
+    )
+
+
+@register(
+    "update_database_table_evolve",
+    oracle="""
+    WITH v1 AS (SELECT p_partkey FROM part WHERE p_partkey < 100),
+         v2 AS (SELECT p_partkey, p_retailprice FROM part
+                WHERE p_partkey >= 100 AND p_partkey < 200)
+    SELECT (SELECT COUNT(*) FROM v1) + (SELECT COUNT(*) FROM v2) AS n_rows,
+           (SELECT COUNT(*) FROM v1) AS n_null_price,
+           (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(30,6))) AS DOUBLE)
+            FROM v2) AS total_price
+    """,
+)
+def update_database_table_q(spark, sf_dir):
+    """UpdateDatabaseTable (NiFi 2.x, §2.2): additive schema evolution
+    against a live JDBC table — v1 records CREATE the table, a widened
+    v2 schema diff emits ALTER TABLE ADD COLUMN, and both generations
+    land via executor-parallel PutDatabaseRecord appends.  The read-back
+    aggregate proves the evolution: v1 rows carry NULL in the new
+    column, v2 rows carry values — value-exact vs the fixture.  DDL is
+    O(new columns) driver-side control-plane, like the NiFi processor;
+    data writes stay parallel (sources/jdbc.update_database_table)."""
+    import tempfile
+
+    from apache_nifi_spark.sources import jdbc_read, jdbc_write, update_database_table
+
+    url = f"jdbc:derby:{tempfile.mkdtemp(prefix='anspark_ddl_')}/evolve;create=true"
+    p = _t(spark, sf_dir, "part")
+    v1 = p.filter(F.col("p_partkey") < 100).select("p_partkey")
+    v2 = p.filter((F.col("p_partkey") >= 100) & (F.col("p_partkey") < 200)).select(
+        "p_partkey", "p_retailprice"
+    )
+    stmts1 = update_database_table(spark, url, "part_evolve", v1.schema)
+    jdbc_write(v1, url, "part_evolve", mode="append", options=_DERBY_DRIVER)
+    stmts2 = update_database_table(spark, url, "part_evolve", v2.schema)
+    assert any(s.startswith("CREATE") for s in stmts1)
+    assert any("ADD COLUMN" in s for s in stmts2)
+    jdbc_write(v2, url, "part_evolve", mode="append", options=_DERBY_DRIVER)
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("query", 'SELECT "p_partkey", "p_retailprice" FROM part_evolve')
+        .option("driver", _DERBY_DRIVER["driver"])
+        .load()
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("p_retailprice").isNull()).alias("n_null_price"),
+        _dsum(F.col("p_retailprice"), "total_price"),
     )
 
 

@@ -14,7 +14,12 @@ from apache_nifi_spark.sources.formats import (
     read_records,
     write_records,
 )
-from apache_nifi_spark.sources.jdbc import generate_table_fetch, incremental_fetch
+from apache_nifi_spark.sources.jdbc import (
+    generate_table_fetch,
+    incremental_fetch,
+    plan_table_ddl,
+    update_database_table,
+)
 
 __all__ = [
     "bucketed_table",
@@ -22,6 +27,8 @@ __all__ = [
     "convert_record",
     "jdbc_read",
     "generate_table_fetch",
+    "plan_table_ddl",
+    "update_database_table",
     "read_binary_files",
     "read_records",
     "write_records",

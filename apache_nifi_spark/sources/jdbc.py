@@ -17,7 +17,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["generate_table_fetch", "incremental_fetch"]
+__all__ = [
+    "generate_table_fetch",
+    "incremental_fetch",
+    "plan_table_ddl",
+    "update_database_table",
+]
 
 
 def generate_table_fetch(
@@ -81,3 +86,91 @@ def incremental_fetch(
     return jdbc_read(
         spark, url, f"SELECT * FROM {table}{where}", options=options
     )
+
+
+#: Spark simpleString type → ANSI SQL DDL type (the NiFi
+#: StandardColumnTypeMap equivalent; VARCHAR sized for record columns).
+_DDL_TYPES = {
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "smallint": "SMALLINT",
+    "tinyint": "SMALLINT",
+    "double": "DOUBLE",
+    "float": "REAL",
+    "string": "VARCHAR(4000)",
+    "boolean": "BOOLEAN",
+    "timestamp": "TIMESTAMP",
+    "date": "DATE",
+}
+
+
+def plan_table_ddl(
+    schema,
+    table: str,
+    existing_columns: dict[str, str] | None,
+) -> list[str]:
+    """UpdateDatabaseTable's planning half (NiFi 2.x §2.2): diff a record
+    schema against the live table and emit the DDL that reconciles them —
+    CREATE TABLE when the table is absent, one ALTER TABLE ADD COLUMN per
+    missing field otherwise.  Existing columns are never dropped or
+    retyped (NiFi's behavior: additive evolution only).  Pure planning —
+    returns statements; ``update_database_table`` executes them.
+
+    ``existing_columns`` maps lower-cased column name → DDL type (None =
+    table absent).  Column names are emitted QUOTED, matching the
+    case-preserving quoting Spark's JDBC writer uses.
+    """
+    def ddl_type(f) -> str:
+        t = f.dataType.simpleString()
+        if t.startswith("decimal"):
+            return t.upper()
+        if t not in _DDL_TYPES:
+            raise ValueError(f"no DDL mapping for column {f.name!r}: {t}")
+        return _DDL_TYPES[t]
+
+    if existing_columns is None:
+        cols = ", ".join(f'"{f.name}" {ddl_type(f)}' for f in schema.fields)
+        return [f"CREATE TABLE {table} ({cols})"]
+    return [
+        f'ALTER TABLE {table} ADD COLUMN "{f.name}" {ddl_type(f)}'
+        for f in schema.fields
+        if f.name.lower() not in existing_columns
+    ]
+
+
+def update_database_table(
+    spark, url: str, table: str, schema, driver_options: dict | None = None
+) -> list[str]:
+    """UpdateDatabaseTable (NiFi 2.x): make the live table's shape match
+    the record schema before a PutDatabaseRecord write — create it if
+    absent, add any missing columns (additive-only, like NiFi).
+
+    Control-plane by nature: one JDBC metadata read + O(new columns) DDL
+    statements on the driver, exactly what the single-threaded NiFi
+    processor does; the subsequent data write stays executor-parallel.
+    Returns the statements it executed (empty = already in sync).
+    """
+    jvm = spark.sparkContext._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        meta = conn.getMetaData()
+        existing: dict[str, str] | None = None
+        for name_case in (table, table.upper(), table.lower()):
+            rs = meta.getColumns(None, None, name_case, None)
+            cols: dict[str, str] = {}
+            while rs.next():
+                cols[rs.getString("COLUMN_NAME").lower()] = rs.getString("TYPE_NAME")
+            rs.close()
+            if cols:
+                existing = cols
+                break
+        stmts = plan_table_ddl(schema, table, existing)
+        st = conn.createStatement()
+        try:
+            for s in stmts:
+                st.executeUpdate(s)
+        finally:
+            st.close()
+        return stmts
+    finally:
+        conn.close()

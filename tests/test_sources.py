@@ -275,3 +275,40 @@ def test_ftp_store_list_fetch_roundtrip(spark, tmp_path):
         ftp2.quit()
     finally:
         srv.close()
+
+
+def test_plan_table_ddl_create_and_evolve():
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+    )
+
+    from apache_nifi_spark.sources import plan_table_ddl
+
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("name", StringType()),
+        StructField("price", DoubleType()),
+        StructField("ts", TimestampType()),
+    ])
+    create = plan_table_ddl(schema, "t", None)
+    assert create == [
+        'CREATE TABLE t ("id" BIGINT, "name" VARCHAR(4000), '
+        '"price" DOUBLE, "ts" TIMESTAMP)'
+    ]
+    # live table already has id+name → only the two new columns are added
+    alters = plan_table_ddl(schema, "t", {"id": "BIGINT", "name": "VARCHAR"})
+    assert alters == [
+        'ALTER TABLE t ADD COLUMN "price" DOUBLE',
+        'ALTER TABLE t ADD COLUMN "ts" TIMESTAMP',
+    ]
+    # in sync → no statements; unmappable types refuse loudly
+    assert plan_table_ddl(
+        schema, "t",
+        {"id": "BIGINT", "name": "VARCHAR", "price": "DOUBLE", "ts": "TIMESTAMP"},
+    ) == []
+    import pytest as _p
+    from pyspark.sql.types import ArrayType
+
+    bad = StructType([StructField("v", ArrayType(LongType()))])
+    with _p.raises(ValueError, match="no DDL mapping"):
+        plan_table_ddl(bad, "t", None)
