@@ -56,6 +56,8 @@ from apache_nifi_spark.llm.multimodal import (  # noqa: F401
     identify_mime_type,
     decode_image_features,
     sample_video_frames,
+    parse_gif_frames,
+    gif_animation_bytes,
     parse_image_dimensions,
     png_header_bytes,
     parse_wav_metadata,

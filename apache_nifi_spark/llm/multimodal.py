@@ -6,10 +6,13 @@ batch shape, UDF signatures — is real and tested.  Container-level
 decoding is REAL from the stdlib against the public format specs:
 ``parse_image_dimensions`` (PNG/GIF/BMP/JPEG headers) and
 ``parse_wav_metadata`` (RIFF/WAVE chunk walk); Pillow takes over image
-decode when importable.  Only pixel/sample-level work (feature vectors,
-``sample_video_frames``) remains a deterministic byte-hash stub behind a
-clearly-marked seam where a vision encoder / ffmpeg would go (those
-libraries are not in this container).
+decode when importable.  Video frame SELECTION is
+real for animated GIFs (``parse_gif_frames`` walks the container; the
+sampler emits actual frame byte ranges + presentation timestamps); only
+pixel/sample-level work (feature vectors, non-GIF containers) remains a
+deterministic byte-hash stub behind a clearly-marked seam where a
+vision encoder / ffmpeg would go (those libraries are not in this
+container).
 
 Scale notes: binary payloads ride in parquet/``binaryFile`` columns;
 decode runs in ``mapInPandas`` (Arrow-batched, per-partition iterator) so
@@ -28,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     LongType,
@@ -41,6 +45,8 @@ __all__ = [
     "identify_mime_type",
     "decode_image_features",
     "sample_video_frames",
+    "parse_gif_frames",
+    "gif_animation_bytes",
     "parse_image_dimensions",
     "png_header_bytes",
     "parse_wav_metadata",
@@ -351,15 +357,75 @@ def decode_image_features(
     return df.select(*cols).mapInPandas(decode, IMAGE_FEATURES_SCHEMA)
 
 
-#: output schema of the (stubbed) video frame sampler — one row per frame
+#: output schema of the video frame sampler — one row per frame
 VIDEO_FRAMES_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("frame_index", IntegerType()),
         StructField("frame_ts_ms", LongType()),
-        StructField("frame_bytes", StringType()),  # stub: hex digest, not pixels
+        StructField("frame_bytes", BinaryType()),
     ]
 )
+
+
+def parse_gif_frames(payload: bytes) -> list[tuple[int, bytes]] | None:
+    """Walk an animated GIF's block stream (GIF89a spec, public):
+    header + logical screen descriptor (skipping a global color table if
+    flagged), then Graphic Control Extensions (per-frame delay,
+    centiseconds) and Image Descriptors (frame: descriptor + optional
+    local color table + LZW sub-blocks).  Returns
+    ``[(presentation_ts_ms, frame_bytes), …]`` where ``frame_bytes`` is
+    the frame's REAL byte range (its GCE + descriptor + pixel data) and
+    ts is the cumulative delay before the frame — or None when the
+    payload isn't a GIF.  Pure byte arithmetic, no decode of the LZW
+    pixel stream (frame selection doesn't need pixels)."""
+    if payload is None or payload[:4] != b"GIF8":
+        return None
+    n = len(payload)
+    i = 6 + 7  # header + logical screen descriptor
+    if n < i:
+        return None
+    flags = payload[10]
+    if flags & 0x80:  # global color table: 3 × 2^(depth+1) bytes
+        i += 3 * (2 << (flags & 0x07))
+
+    def skip_subblocks(j: int) -> int:
+        while j < n and payload[j] != 0:
+            j += 1 + payload[j]
+        return j + 1  # the 0x00 terminator
+
+    frames: list[tuple[int, bytes]] = []
+    ts_ms = 0
+    pending_delay = 0
+    pending_gce_start: int | None = None
+    while i < n:
+        b = payload[i]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = payload[i + 1] if i + 1 < n else 0
+            start = i
+            i += 2
+            if label == 0xF9 and i + 5 <= n:  # GCE: len=4, flags, delay LE
+                pending_delay = payload[i + 2] | (payload[i + 3] << 8)
+                pending_gce_start = start
+            i = skip_subblocks(i)
+        elif b == 0x2C:  # image descriptor
+            start = pending_gce_start if pending_gce_start is not None else i
+            j = i + 10
+            lflags = payload[i + 9]
+            if lflags & 0x80:
+                j += 3 * (2 << (lflags & 0x07))
+            j += 1  # LZW minimum code size
+            j = skip_subblocks(j)
+            frames.append((ts_ms, payload[start:j]))
+            ts_ms += pending_delay * 10
+            pending_delay = 0
+            pending_gce_start = None
+            i = j
+        else:  # corrupt stream — stop at what we have
+            break
+    return frames
 
 
 def sample_video_frames(
@@ -372,31 +438,82 @@ def sample_video_frames(
     """Sample frames from video bytes — one output row per sampled frame
     (a one-to-many mapInPandas, the UDTF shape of SURVEY.md §2.10).
 
-    REAL IMPLEMENTATION SEAM: ffmpeg/pyav per batch.  The stub emits
-    ``max_frames`` rows per input with deterministic pseudo-frames.
-    """
+    REAL for animated GIFs: ``parse_gif_frames`` walks the container and
+    the sampler keeps the first frame at-or-after each ``every_ms``
+    boundary (up to ``max_frames``), emitting the frame's actual byte
+    range and presentation timestamp.  Other containers (mp4/webm) need
+    ffmpeg/pyav, absent here — they fall back to deterministic
+    digest-stamped pseudo-frames at the sample cadence (the documented
+    seam; the Spark-side shape — schema, fan-out, batching — is
+    identical either way)."""
+
+    def pick(frames: list[tuple[int, bytes]]) -> list[tuple[int, int, bytes]]:
+        out: list[tuple[int, int, bytes]] = []
+        next_ts = 0
+        for idx, (ts, fb) in enumerate(frames):
+            if ts >= next_ts:
+                out.append((idx, ts, fb))
+                next_ts = ts + every_ms
+                if len(out) >= max_frames:
+                    break
+        return out
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        # Vectorized fan-out: one hash per payload, then numpy
-        # repeat/tile builds the frame rows — no per-row Python loop.
         for pdf in batches:
-            digests = [
-                hashlib.sha256(bytes(p) if p is not None else b"").hexdigest()
-                for p in pdf[content_col]
-            ]
-            n = len(pdf)
-            idx = np.tile(np.arange(max_frames, dtype="int32"), n)
+            ids: list = []
+            idxs: list[int] = []
+            tss: list[int] = []
+            fbs: list[bytes] = []
+            for doc, payload in zip(pdf[id_col], pdf[content_col]):
+                raw = bytes(payload) if payload is not None else b""
+                frames = parse_gif_frames(raw)
+                if frames is not None:
+                    chosen = pick(frames)
+                else:
+                    d = hashlib.sha256(raw).digest()
+                    chosen = [
+                        (i, i * every_ms, d + bytes([i]))
+                        for i in range(max_frames)
+                    ]
+                for idx, ts, fb in chosen:
+                    ids.append(doc)
+                    idxs.append(idx)
+                    tss.append(ts)
+                    fbs.append(fb)
             yield pd.DataFrame(
                 {
-                    "doc_id": np.repeat(pdf[id_col].to_numpy(), max_frames),
-                    "frame_index": idx,
-                    "frame_ts_ms": (idx * every_ms).astype("int64"),
-                    "frame_bytes": [
-                        f"{d}:{i}" for d in digests for i in range(max_frames)
-                    ],
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_index": pd.Series(idxs, dtype="int32"),
+                    "frame_ts_ms": pd.Series(tss, dtype="int64"),
+                    "frame_bytes": fbs,
                 }
             )
 
     return df.select(id_col, content_col).mapInPandas(sample, VIDEO_FRAMES_SCHEMA)
+
+
+def gif_animation_bytes(delay_cs, n_frames: int = 4, width: int = 2, height: int = 2):
+    """Column expression building a structurally valid ANIMATED GIF89a
+    from an integer per-frame-delay column (centiseconds) — the video
+    twin of :func:`png_header_bytes` / :func:`wav_header_bytes` (pure
+    built-ins, executor-side, zero Python in the loop).  Each of the
+    ``n_frames`` frames is a Graphic Control Extension carrying the
+    delay + an image descriptor + one pixel-data sub-block (LZW bytes
+    are present-but-undecodable filler: frame SELECTION walks block
+    lengths, never pixels).  Used to synthesize honest video fixtures
+    for ``sample_video_frames``."""
+
+    def le16(col) -> F.Column:
+        hx = F.lpad(F.conv(col.cast("string"), 10, 16), 4, "0")
+        return F.unhex(F.concat(F.substring(hx, 3, 2), F.substring(hx, 1, 2)))
+
+    wh = width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    parts = [F.lit(b"GIF89a" + wh + b"\x00\x00\x00")]
+    for k in range(n_frames):
+        parts.append(F.lit(b"\x21\xf9\x04\x00"))
+        parts.append(le16(delay_cs))
+        parts.append(F.lit(b"\x00\x00"))
+        parts.append(F.lit(b"\x2c\x00\x00\x00\x00" + wh + b"\x00"))
+        parts.append(F.lit(b"\x02\x04" + bytes([k, k + 1, k + 2, k + 3]) + b"\x00"))
+    parts.append(F.lit(b"\x3b"))
+    return F.concat(*parts)

@@ -2029,6 +2029,41 @@ def multimodal_audio_q(spark, sf_dir):
     return decode_audio_metadata(wav)
 
 
+@register(
+    "multimodal_video_frames",
+    oracle="""
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_index,
+           CAST(i * (1 + doc_id % 3) * 100 AS BIGINT) AS frame_ts_ms,
+           CAST(25 AS INT) AS frame_len
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 500),
+         generate_series(0, 3) t(i)
+    """,
+)
+def multimodal_video_q(spark, sf_dir):
+    """REAL video frame selection, value-oracled: structurally valid
+    animated GIF89a containers are built as column expressions
+    (`llm/multimodal.gif_animation_bytes` — per-frame Graphic Control
+    delays derived from doc_id), then `sample_video_frames` walks the
+    actual block stream back out, emitting each frame's byte range and
+    cumulative presentation timestamp.  Oracle recomputes index/ts/len
+    arithmetically — a true byte-level round trip (the former pseudo-
+    frame stub now only covers non-GIF containers, the ffmpeg seam)."""
+    from apache_nifi_spark.llm import gif_animation_bytes, sample_video_frames
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500).select(
+        "doc_id",
+        gif_animation_bytes((F.lit(1) + F.col("doc_id") % 3) * 10).alias("content"),
+    )
+    frames = sample_video_frames(d, every_ms=1, max_frames=4)
+    return frames.select(
+        "doc_id",
+        "frame_index",
+        "frame_ts_ms",
+        F.length("frame_bytes").cast("int").alias("frame_len"),
+    )
+
+
 # =====================================================================
 # Streaming (§2.11): real Structured Streaming runs, batch-parity oracles
 # =====================================================================

@@ -656,3 +656,35 @@ def test_quality_logit_orders_quality(spark):
     assert rows[1]["keep"] and not rows[2]["keep"]
     for r in rows.values():
         assert r["keep"] == (r["quality_logit"] > 0)
+
+
+def test_gif_frame_walk_and_sampling_cadence(spark):
+    """parse_gif_frames returns real byte ranges + cumulative timestamps;
+    the sampler keeps the first frame at-or-after each every_ms boundary
+    and caps at max_frames; non-GIF payloads fall back to the seam."""
+    from apache_nifi_spark.llm import gif_animation_bytes, parse_gif_frames, sample_video_frames
+
+    # column-built GIF parses identically driver-side
+    df = spark.createDataFrame([(1, 10), (2, 20)], "doc_id long, delay_cs int")
+    gifs = df.select("doc_id", gif_animation_bytes(F.col("delay_cs"), n_frames=6).alias("content"))
+    raw = {r["doc_id"]: bytes(r["content"]) for r in gifs.collect()}
+    fr1 = parse_gif_frames(raw[1])
+    assert [ts for ts, _ in fr1] == [0, 100, 200, 300, 400, 500]
+    assert all(fb.startswith(b"\x21\xf9") and len(fb) == 25 for _, fb in fr1)
+    # frames are the REAL byte ranges: concatenation reassembles the stream
+    assert b"".join(fb for _, fb in fr1) in raw[1]
+
+    # cadence: every 250 ms over 100 ms frames → indices 0, 3 (ts 0, 300)
+    out = sample_video_frames(gifs, every_ms=250, max_frames=10)
+    got = {(r["doc_id"], r["frame_index"]): r["frame_ts_ms"] for r in out.collect()}
+    assert {k: v for k, v in got.items() if k[0] == 1} == {
+        (1, 0): 0, (1, 3): 300,  # next_ts 250 → ts 300 qualifies, then 550 → none ≤ 500
+    }
+    # doc 2: 200 ms frames → 0,200,400,600,800,1000 with every 250:
+    # keep 0 (next 250), 400 (next 650), 800 (next 1050) → indices 0,2,4
+    assert {k[1] for k in got if k[0] == 2} == {0, 2, 4}
+
+    # non-GIF bytes: deterministic pseudo-frames, same schema
+    junk = spark.createDataFrame([(9, bytearray(b"not a video"))], "doc_id long, content binary")
+    rows = sample_video_frames(junk, every_ms=100, max_frames=2).collect()
+    assert [(r["frame_index"], r["frame_ts_ms"]) for r in rows] == [(0, 0), (1, 100)]
