@@ -27,8 +27,14 @@ map column.
 ``anyMatchingAttribute``/``allMatchingAttributes`` resolve their regex
 against the attribute universe — compile with ``compile_el_for(df, text)``
 so the DataFrame schema provides it.  ``getDelimitedField`` implements the
-full quote/escape-aware 2.7.2 signature.  Remaining documented gap:
-state/variable registry scopes (no cluster state store in this engine).
+full quote/escape-aware 2.7.2 signature.  Parameter contexts (NiFi 2.x
+``#{param}`` references, resolved BEFORE EL evaluation per the admin
+guide, ``##{`` escaping a literal) substitute from the ``parameters``
+mapping; ``${getStateValue('key')}`` reads the ``state`` mapping — the
+processor-local state map a stateful UpdateAttribute accumulates (state
+WRITES happen through the engine's stateful operators, registry §2.11;
+this is the read scope).  Both resolve at compile time: parameters and
+state are driver-side scalars in NiFi too, never per-row data.
 """
 
 from __future__ import annotations
@@ -46,6 +52,7 @@ __all__ = [
     "ELSyntaxError",
     "el_predicate",
     "el_select",
+    "resolve_parameters",
 ]
 
 
@@ -379,36 +386,48 @@ def _as_bool(v) -> Column:
     raise ELSyntaxError("and()/or() take a nested ${...} expression or boolean")
 
 
-def _eval_arg(arg, resolver, universe=None) -> object:
+def _eval_arg(arg, resolver, universe=None, state=None) -> object:
     kind, val = arg
     if kind == "lit":
         return val
-    return _eval_expr(val, resolver, universe)
+    return _eval_expr(val, resolver, universe, state)
 
 
-def _apply_chain(col: Column, calls, resolver, universe=None) -> Column:
+def _apply_chain(col: Column, calls, resolver, universe=None, state=None) -> Column:
     for fname, raw_args in calls:
         fn = FUNCS.get(fname)
         if fn is None:
             raise ELSyntaxError(
                 f"unknown EL function {fname!r} (supported: {sorted(FUNCS)})"
             )
-        args = [_eval_arg(a, resolver, universe) for a in raw_args]
+        args = [_eval_arg(a, resolver, universe, state) for a in raw_args]
         col = fn(col, *args)
     return col
 
 
-def _eval_expr(node, resolver, universe=None) -> Column:
+def _eval_expr(node, resolver, universe=None, state=None) -> Column:
     subject, calls = node
     if subject[0] == "attr":
-        return _apply_chain(resolver(subject[1]), calls, resolver, universe)
+        return _apply_chain(resolver(subject[1]), calls, resolver, universe, state)
     if subject[0] == "call":
         _, name, raw_args = subject
+        if name == "getStateValue":
+            # processor-local state read (NiFi stateful UpdateAttribute):
+            # a driver-side scalar, resolved at compile time
+            if state is None:
+                raise ELSyntaxError(
+                    "getStateValue needs a state mapping — pass state= to compile_el"
+                )
+            args = [_eval_arg(a, resolver, universe, state) for a in raw_args]
+            if len(args) != 1 or not isinstance(args[0], str):
+                raise ELSyntaxError("getStateValue takes one quoted key")
+            base = _lit(state.get(args[0]))
+            return _apply_chain(base, calls, resolver, universe, state)
         fn = SUBJECT_FUNCS.get(name)
         if fn is None:
             raise ELSyntaxError(f"unknown subjectless EL function {name!r}")
-        base = fn(*[_eval_arg(a, resolver, universe) for a in raw_args])
-        return _apply_chain(base, calls, resolver, universe)
+        base = fn(*[_eval_arg(a, resolver, universe, state) for a in raw_args])
+        return _apply_chain(base, calls, resolver, universe, state)
     if subject[0] == "multire":
         # regex multi-attribute: expand patterns against the attribute
         # universe (the DataFrame schema) at COMPILE time — NiFi matches
@@ -429,7 +448,10 @@ def _eval_expr(node, resolver, universe=None) -> Column:
         if not names:
             # NiFi: any-quantifier over zero attributes is false, all- is true
             return F.lit(op == "all")
-        parts = [_apply_chain(resolver(n), calls, resolver, universe) for n in names]
+        parts = [
+            _apply_chain(resolver(n), calls, resolver, universe, state)
+            for n in names
+        ]
         out = parts[0]
         for p in parts[1:]:
             out = (out | p) if op == "any" else (out & p)
@@ -437,7 +459,9 @@ def _eval_expr(node, resolver, universe=None) -> Column:
     # multi-attribute: apply the chain per attribute, then OR/AND-reduce —
     # NiFi's anyAttribute/allAttributes semantics.
     _, op, names = subject
-    parts = [_apply_chain(resolver(n), calls, resolver, universe) for n in names]
+    parts = [
+        _apply_chain(resolver(n), calls, resolver, universe, state) for n in names
+    ]
     out = parts[0]
     for p in parts[1:]:
         out = (out | p) if op == "any" else (out & p)
@@ -474,10 +498,40 @@ def _split_top(text: str) -> list:
     return parts
 
 
+def resolve_parameters(text: str, parameters: dict[str, str]) -> str:
+    """NiFi 2.x parameter-context substitution: ``#{name}`` → the
+    parameter's value, applied to the property text BEFORE EL parsing
+    (parameters may thus contribute EL fragments, as in NiFi);
+    ``##{`` escapes a literal ``#{``.  Unknown parameters raise — a
+    flow referencing an unassigned parameter fails validation in NiFi
+    too."""
+    out: list[str] = []
+    i = 0
+    while i < len(text):
+        if text[i : i + 3] == "##{":
+            out.append("#{")
+            i += 3
+        elif text[i : i + 2] == "#{":
+            j = text.find("}", i)
+            if j < 0:
+                raise ELSyntaxError(f"unterminated parameter reference at {i}")
+            name = text[i + 2 : j].strip()
+            if name not in parameters:
+                raise ELSyntaxError(f"unassigned parameter {name!r}")
+            out.append(str(parameters[name]))
+            i = j + 1
+        else:
+            out.append(text[i])
+            i += 1
+    return "".join(out)
+
+
 def compile_el(
     text: str,
     resolver: Callable[[str], Column] | None = None,
     universe: list[str] | None = None,
+    parameters: dict[str, str] | None = None,
+    state: dict[str, object] | None = None,
 ) -> Column:
     """Compile NiFi EL source text to a Spark Column.
 
@@ -492,16 +546,22 @@ def compile_el(
     >>> df.withColumn("tag", compile_el("c-${c_custkey}-${c_mktsegment:toLower()}"))
     """
     resolver = resolver or F.col
+    if parameters is not None:
+        text = resolve_parameters(text, parameters)
     parts = _split_top(text)
     if not parts:
         return F.lit("")
     if len(parts) == 1:
         kind, val = parts[0]
-        return F.lit(val) if kind == "lit" else _eval_expr(val, resolver, universe)
+        return (
+            F.lit(val)
+            if kind == "lit"
+            else _eval_expr(val, resolver, universe, state)
+        )
     cols = [
         F.lit(val)
         if kind == "lit"
-        else _eval_expr(val, resolver, universe).cast("string")
+        else _eval_expr(val, resolver, universe, state).cast("string")
         for kind, val in parts
     ]
     return F.concat(*cols)

@@ -5288,6 +5288,43 @@ def el_parsed_multiattr_q(spark, sf_dir):
 
 
 @register(
+    "el_parameter_context_route",
+    oracle="""
+    SELECT event_id, event_type, value,
+           'ev-' || upper(event_type) AS tag
+    FROM events
+    WHERE value > 75.5 AND event_type = 'purchase' AND event_id >= 1000
+    """,
+)
+def el_parameter_context_q(spark, sf_dir):
+    """NiFi 2.x parameter contexts + processor state scope (§2.9):
+    the routing predicate and tag template below are the literal
+    property text a flow would hold — ``#{param}`` references resolve
+    from the parameter context BEFORE EL parsing (so a parameter can
+    contribute an EL fragment), and ``getStateValue`` reads the
+    processor-local state map.  Both are driver-side scalars, resolved
+    at compile time — zero per-row cost."""
+    from apache_nifi_spark.functions.el_parser import compile_el
+
+    params = {"min_value": "75.5", "target_type": "purchase", "tag_prefix": "ev-"}
+    state = {"min_id": 1000}
+    ev = _t(spark, sf_dir, "events")
+    pred = compile_el(
+        "${value:gt(#{min_value})"
+        ":and(${event_type:equals('#{target_type}')})"
+        ":and(${event_id:ge(${getStateValue('min_id')})})}",
+        parameters=params,
+        state=state,
+    ).cast("boolean")
+    tag = compile_el(
+        "#{tag_prefix}${event_type:toUpper()}", parameters=params
+    )
+    return ev.filter(pred).select(
+        "event_id", "event_type", "value", tag.alias("tag")
+    )
+
+
+@register(
     "el_matching_attr_delimited",
     oracle="""
     SELECT doc_id,

@@ -189,3 +189,36 @@ def test_get_delimited_field_quote_aware(spark):
         assert r["f1"] == f1, (line, r["f1"])
         assert r["f2"] == f2, (line, r["f2"])
         assert r["f3"] == f3, (line, r["f3"])
+
+
+def test_parameter_context_substitution(spark, sf_dir):
+    """#{param} resolves before EL parsing (so parameters can carry EL
+    fragments), ##{ escapes, unknown parameters fail validation-style,
+    and getStateValue reads the driver-side state map."""
+    from apache_nifi_spark.functions.el_parser import resolve_parameters
+
+    assert resolve_parameters("x ##{a} #{p}!", {"p": "V"}) == "x #{a} V!"
+    with pytest.raises(ELSyntaxError):
+        resolve_parameters("#{missing}", {})
+    with pytest.raises(ELSyntaxError):
+        resolve_parameters("#{unterminated", {"unterminated": "v"})
+
+    c = io.load_table(spark, sf_dir, "customer")
+    # a parameter that contributes an EL fragment, like NiFi allows
+    got = c.select(
+        compile_el(
+            "#{expr}", parameters={"expr": "${c_name:toUpper()}"}
+        ).alias("u")
+    ).first()["u"]
+    assert got == c.first()["c_name"].upper()
+
+    # state scope: compile-time scalar comparison
+    n_all = c.count()
+    n = c.filter(
+        compile_el(
+            "${c_custkey:lt(${getStateValue('cap')})}", state={"cap": 10}
+        ).cast("boolean")
+    ).count()
+    assert 0 < n < n_all
+    with pytest.raises(ELSyntaxError):
+        compile_el("${getStateValue('k')}")  # no state mapping provided
