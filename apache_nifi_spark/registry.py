@@ -5124,6 +5124,28 @@ def update_database_table_q(spark, sf_dir):
 
 
 @register(
+    "list_database_tables",
+    oracle="""
+    SELECT * FROM (VALUES ('T_ALPHA'), ('T_BETA')) t(table_name)
+    """,
+)
+def list_database_tables_q(spark, sf_dir):
+    """ListDatabaseTables (§2.1): a JDBC metadata session manifests the
+    catalog — here a fresh Derby with two staged tables — into the
+    listing DataFrame that downstream per-table fetch plans fan out
+    over (sources/jdbc.list_database_tables)."""
+    import tempfile
+
+    from apache_nifi_spark.sources import list_database_tables, update_database_table
+
+    url = f"jdbc:derby:{tempfile.mkdtemp(prefix='anspark_lst_')}/cat;create=true"
+    ev = _t(spark, sf_dir, "events").select("event_id").limit(1)
+    update_database_table(spark, url, "t_alpha", ev.schema)
+    update_database_table(spark, url, "t_beta", ev.schema)
+    return list_database_tables(spark, url).select("table_name")
+
+
+@register(
     "query_db_incremental",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderstatus

@@ -17,6 +17,7 @@ from apache_nifi_spark.sources.formats import (
 from apache_nifi_spark.sources.jdbc import (
     generate_table_fetch,
     incremental_fetch,
+    list_database_tables,
     plan_table_ddl,
     update_database_table,
 )
@@ -27,6 +28,7 @@ __all__ = [
     "convert_record",
     "jdbc_read",
     "generate_table_fetch",
+    "list_database_tables",
     "plan_table_ddl",
     "update_database_table",
     "read_binary_files",

@@ -22,6 +22,7 @@ __all__ = [
     "incremental_fetch",
     "plan_table_ddl",
     "update_database_table",
+    "list_database_tables",
 ]
 
 
@@ -174,3 +175,32 @@ def update_database_table(
         return stmts
     finally:
         conn.close()
+
+
+def list_database_tables(
+    spark, url: str, types: tuple[str, ...] = ("TABLE",)
+) -> "DataFrame":
+    """ListDatabaseTables (§2.1): one JDBC metadata session manifests the
+    catalog's tables into a (table_schema, table_name, table_type)
+    DataFrame — the primary-node listing that fans out into per-table
+    GenerateTableFetch / QueryDatabaseTable work downstream.  O(tables)
+    control-plane, like every List* manifest."""
+    jvm = spark.sparkContext._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        arr = spark.sparkContext._gateway.new_array(jvm.java.lang.String, len(types))
+        for i, t in enumerate(types):
+            arr[i] = t
+        rs = conn.getMetaData().getTables(None, None, "%", arr)
+        rows = []
+        while rs.next():
+            rows.append(
+                (rs.getString("TABLE_SCHEM"), rs.getString("TABLE_NAME"),
+                 rs.getString("TABLE_TYPE"))
+            )
+        rs.close()
+    finally:
+        conn.close()
+    return spark.createDataFrame(
+        rows, "table_schema string, table_name string, table_type string"
+    )
