@@ -46,7 +46,7 @@ from apache_nifi_spark.llm.text import (  # noqa: F401
     normalize_urls,
     decontaminate,
 )
-from apache_nifi_spark.llm.pack import pack_greedy  # noqa: F401
+from apache_nifi_spark.llm.pack import pack_greedy, shard_layout  # noqa: F401
 from apache_nifi_spark.llm.cluster import (  # noqa: F401
     connected_components,
     near_dup_clusters,

@@ -14,10 +14,10 @@ exceeds one shard.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pack_greedy"]
+__all__ = ["pack_greedy", "shard_layout"]
 
 
 def pack_greedy(
@@ -59,4 +59,34 @@ def pack_greedy(
         df.select(group_col, id_col, F.col(token_col).cast("long").alias(token_col))
         .groupBy(group_col)
         .applyInPandas(_pack, out_schema)
+    )
+
+
+def shard_layout(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Deterministic global shuffle for training-data layout: every
+    document gets a shard and a position, both pure functions of its id —
+    the reproducible "shuffled" order a pretraining run needs (re-running
+    the pipeline, resuming mid-epoch, or regenerating one lost shard
+    yields byte-identical layout; a random shuffle can't promise any of
+    that).
+
+    shard = md5-derived uniform hash mod n_shards; position = rank of the
+    hash within the shard (ties broken by id — md5 collisions at 52 bits
+    are ~2^-52 but the layout must be total-ordered regardless).  One
+    shuffle on shard + a per-shard sort, exactly the write path of a
+    sharded training-set export; the md5 derivation value-oracles.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    return (
+        df.select(F.col(id_col), h.alias("h"))
+        .withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards)).cast("int"))
+        .withColumn("position", F.row_number().over(w))
+        .select(id_col, "shard", "position")
     )

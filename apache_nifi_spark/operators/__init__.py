@@ -80,5 +80,7 @@ from apache_nifi_spark.operators.skew import (  # noqa: F401
 from apache_nifi_spark.operators.content import (  # noqa: F401
     pack_content_zip,
     unpack_content_zip,
+    compress_content,
+    decompress_content,
 )
 from apache_nifi_spark.operators.http import invoke_http  # noqa: F401,E402

@@ -22,7 +22,12 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-__all__ = ["pack_content_zip", "unpack_content_zip"]
+__all__ = [
+    "pack_content_zip",
+    "unpack_content_zip",
+    "compress_content",
+    "decompress_content",
+]
 
 _PACKED_SCHEMA = "id bigint, archive binary"
 _UNPACKED_SCHEMA = "id bigint, entry_name string, payload binary"
@@ -75,3 +80,60 @@ def unpack_content_zip(df: DataFrame, id_col: str, archive_col: str) -> DataFram
             )
 
     return df.mapInPandas(_unpack, _UNPACKED_SCHEMA)
+
+
+#: codec name → (compress, decompress) over bytes — the stdlib half of
+#: NiFi CompressContent's codec menu (snappy/lz4 need external libs and
+#: already ride Spark's writer `compression` option at the FILE level).
+def _codecs():
+    import bz2
+    import gzip as _gzip
+    import lzma
+    import zlib
+
+    return {
+        "gzip": (lambda b: _gzip.compress(b, mtime=0), _gzip.decompress),
+        "bzip2": (bz2.compress, bz2.decompress),
+        "xz": (lzma.compress, lzma.decompress),
+        "deflate": (zlib.compress, zlib.decompress),
+    }
+
+
+def compress_content(
+    df: DataFrame, content_col: str, codec: str = "gzip", out_col: str | None = None
+) -> DataFrame:
+    """CompressContent, per-RECORD (NiFi compresses each FlowFile's
+    content; the writer-level ``compression`` option covers whole
+    files).  Stdlib codecs gzip/bzip2/xz/deflate over Arrow batches —
+    gzip with ``mtime=0`` so output bytes are deterministic.
+    ``out_col`` defaults to replacing the content column."""
+    return _recode(df, content_col, codec, out_col, mode=0)
+
+
+def decompress_content(
+    df: DataFrame, content_col: str, codec: str = "gzip", out_col: str | None = None
+) -> DataFrame:
+    """CompressContent's decompress mode — the inverse per-record codec."""
+    return _recode(df, content_col, codec, out_col, mode=1)
+
+
+def _recode(df, content_col, codec, out_col, mode):
+    if codec not in _codecs():
+        raise ValueError(f"unsupported codec {codec!r} (have {sorted(_codecs())})")
+    from pyspark.sql.types import BinaryType, StructType
+
+    out_col = out_col or content_col
+    if out_col == content_col:
+        schema = df.schema
+    else:
+        schema = StructType(list(df.schema.fields)).add(out_col, BinaryType())
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fn = _codecs()[codec][mode]
+        for pdf in batches:
+            pdf[out_col] = [
+                fn(bytes(p)) if p is not None else None for p in pdf[content_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(run, schema)

@@ -3736,6 +3736,65 @@ def compress_content_q(spark, sf_dir):
 
 
 @register(
+    "shard_layout_deterministic",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS hv
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(hv % 64 AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hv % 64 ORDER BY hv, doc_id) AS INT)
+             AS position
+    FROM h
+    """,
+)
+def shard_layout_q(spark, sf_dir):
+    """Deterministic training-shard layout (§2.12): every doc's shard and
+    in-shard position are pure functions of its id (md5-derived), so the
+    'shuffled' training order is reproducible — re-runs, mid-epoch
+    resume, and single-shard regeneration all yield byte-identical
+    layout, which a random shuffle cannot promise.  One shuffle + one
+    per-shard sort, the write path of a sharded export
+    (llm/pack.shard_layout)."""
+    from apache_nifi_spark.llm import shard_layout
+
+    return shard_layout(_t(spark, sf_dir, "documents"), "doc_id", 64)
+
+
+@register(
+    "compress_content_per_record",
+    oracle="""
+    SELECT doc_id, text,
+           TRUE AS bzip2_magic_ok,
+           TRUE AS xz_magic_ok
+    FROM documents WHERE doc_id < 1000
+    """,
+)
+def compress_content_per_record_q(spark, sf_dir):
+    """CompressContent per RECORD (§2.4 — NiFi compresses each FlowFile's
+    content; the writer `compression` option above covers whole files):
+    bzip2 and xz round trips through stdlib codecs in Arrow batches,
+    with container magic bytes verified columnar (BZh / 0xFD'7zXZ').
+    Oracle equality on the recovered text proves losslessness."""
+    from apache_nifi_spark.operators import compress_content, decompress_content
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000).select(
+        "doc_id", F.col("text").cast("binary").alias("content")
+    )
+    bz = compress_content(d, "content", codec="bzip2", out_col="bz")
+    both = compress_content(bz, "content", codec="xz", out_col="xzb")
+    back = decompress_content(both, "bz", codec="bzip2", out_col="content2")
+    return back.select(
+        "doc_id",
+        F.col("content2").cast("string").alias("text"),
+        F.hex(F.substring("bz", 1, 3)).eqNullSafe("425A68").alias("bzip2_magic_ok"),
+        F.hex(F.substring("xzb", 1, 6)).eqNullSafe("FD377A585A00").alias("xz_magic_ok"),
+    )
+
+
+@register(
     "unpack_content_zip",
     oracle="""
     SELECT doc_id, 'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS entry_name,

@@ -688,3 +688,54 @@ def test_gif_frame_walk_and_sampling_cadence(spark):
     junk = spark.createDataFrame([(9, bytearray(b"not a video"))], "doc_id long, content binary")
     rows = sample_video_frames(junk, every_ms=100, max_frames=2).collect()
     assert [(r["frame_index"], r["frame_ts_ms"]) for r in rows] == [(0, 0), (1, 100)]
+
+
+def test_shard_layout_properties(spark, sf_dir):
+    """Shard layout is a deterministic bijection: every doc appears once,
+    positions are 1..len(shard) contiguous per shard, balanced-ish
+    across shards, and a re-run (or a one-shard regeneration) is
+    byte-identical."""
+    from apache_nifi_spark.llm import shard_layout
+
+    d = io.load_table(spark, sf_dir, "documents")
+    n = d.count()
+    lay = shard_layout(d, "doc_id", 16)
+    rows = lay.collect()
+    assert len(rows) == n and len({r["doc_id"] for r in rows}) == n
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["position"])
+    assert set(by_shard) <= set(range(16))
+    for shard, pos in by_shard.items():
+        assert sorted(pos) == list(range(1, len(pos) + 1)), shard
+    # balance: no shard more than 3x the mean (md5 uniformity)
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) <= 3 * (n / 16)
+    # reproducibility, including on a subset (single-shard regeneration)
+    again = {(r["doc_id"], r["shard"], r["position"]) for r in shard_layout(d, "doc_id", 16).collect()}
+    assert again == {(r["doc_id"], r["shard"], r["position"]) for r in rows}
+
+
+def test_compress_content_codecs_roundtrip(spark):
+    import bz2 as _bz2
+
+    from apache_nifi_spark.operators import compress_content, decompress_content
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"hello world" * 50)), (2, bytearray(b"")), (3, None)],
+        "id long, content binary",
+    )
+    for codec in ("gzip", "bzip2", "xz", "deflate"):
+        rt = decompress_content(
+            compress_content(df, "content", codec=codec), "content", codec=codec
+        )
+        got = {r["id"]: (bytes(r["content"]) if r["content"] is not None else None)
+               for r in rt.collect()}
+        assert got == {1: b"hello world" * 50, 2: b"", 3: None}, codec
+    # the compressed bytes are the stdlib's exact output (deterministic)
+    one = compress_content(df.filter("id = 1"), "content", codec="bzip2").first()
+    assert bytes(one["content"]) == _bz2.compress(b"hello world" * 50)
+    import pytest as _p
+
+    with _p.raises(ValueError, match="unsupported codec"):
+        compress_content(df, "content", codec="zstd9000")
