@@ -124,6 +124,7 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
     bnlj_ok = {
         "range_join_price_bands", "theta_join_richer_customers",
         "flowfile_expiration_ttl", "similarity_cosine_topk",
+        "similarity_quantized_topk",  # same bounded-broadcast != shape
         "similarity_ivf_topk", "similarity_lsh_topk", "asof_signup_before_purchase",
         "join_zip_positional", "scan_content_semi", "dedup_embedding_cosine",
         "dedup_ngram_jaccard",
