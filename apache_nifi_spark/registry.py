@@ -3736,6 +3736,47 @@ def compress_content_q(spark, sf_dir):
 
 
 @register(
+    "infer_avro_schema_json",
+    oracle="""
+    SELECT '{"type": "record", "name": "event_record", "fields": '
+        || '[{"name": "event_id", "type": ["null", "long"], "default": null}, '
+        || '{"name": "event_type", "type": ["null", "string"], "default": null}, '
+        || '{"name": "meta", "type": ["null", {"type": "record", "name": "meta_meta", '
+        || '"fields": [{"name": "even", "type": ["null", "boolean"], "default": null}, '
+        || '{"name": "uid", "type": ["null", "long"], "default": null}]}], "default": null}, '
+        || '{"name": "value", "type": ["null", "double"], "default": null}]}'
+        AS avro_schema
+    """,
+)
+def infer_avro_schema_q(spark, sf_dir):
+    """InferAvroSchema (§2.4): Spark's JSON schema inference over a
+    bounded, deterministic sample, mapped to an Avro record schema via
+    the codec's type table (sources/avro_codec.infer_avro_schema) —
+    nested structs become nested records, everything inferred from JSON
+    is nullable (["null", T] unions with null defaults), fields come
+    out in Spark's alphabetical inference order.  The oracle pins the
+    exact schema document."""
+    from apache_nifi_spark.sources.avro_codec import infer_avro_schema
+
+    ev = _t(spark, sf_dir, "events").orderBy("event_id").limit(200)
+    j = ev.select(
+        F.to_json(
+            F.struct(
+                "event_id",
+                "event_type",
+                "value",
+                F.struct(
+                    (F.col("user_id") % 2 == 0).alias("even"),
+                    F.col("user_id").alias("uid"),
+                ).alias("meta"),
+            )
+        ).alias("doc")
+    )
+    schema_json = infer_avro_schema(spark, j, "doc", "event_record")
+    return spark.createDataFrame([(schema_json,)], "avro_schema string")
+
+
+@register(
     "shard_layout_deterministic",
     oracle="""
     WITH h AS (

@@ -58,6 +58,7 @@ from pyspark.sql import types as T
 
 __all__ = [
     "spark_to_avro_schema",
+    "infer_avro_schema",
     "avro_to_spark_schema",
     "encode_container",
     "decode_container",
@@ -748,3 +749,26 @@ def read_avro(
         .select("content")
     )
     return files.mapInPandas(decode_files, schema=schema)
+
+
+def infer_avro_schema(
+    spark, df, json_col: str, record_name: str = "inferred", sample: int = 1000
+) -> str:
+    """InferAvroSchema (SURVEY.md §2.4): derive an Avro record schema
+    from a column of JSON documents — Spark's JSON schema inference over
+    a bounded sample, mapped through :func:`spark_to_avro_schema`.
+
+    Sampling mirrors the NiFi processor (it reads N records to infer);
+    the sample collect is control-plane by size contract — O(sample)
+    strings, never the table.  Inference is deterministic: Spark orders
+    inferred JSON fields alphabetically, and the sample is taken in a
+    deterministic id-free ``limit`` over the input as given (pass a
+    sorted input for full determinism across engines).
+    """
+    rows = [
+        r[0]
+        for r in df.select(json_col).limit(sample).collect()  # control-plane: bounded O(sample) schema-inference strings
+        if r[0] is not None
+    ]
+    inferred = spark.read.json(spark.sparkContext.parallelize(rows or ["{}"]))
+    return json.dumps(spark_to_avro_schema(inferred.schema, record_name))
