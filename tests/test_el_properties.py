@@ -140,3 +140,40 @@ def test_math_plus_minus_mod_integer_semantics(spark, values):
     assert got == [v + 7 for v in values]
     got = [r.o for r in df().select(el.multiply(F.col("n"), 3).alias("o")).collect()]
     assert got == [v * 3 for v in values]
+
+
+@given(
+    st.lists(
+        st.lists(st.text(alphabet="ab,x ", max_size=8), min_size=1, max_size=5),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_get_delimited_field_matches_csv_module(spark, rows):
+    """Differential vs Python's csv writer: build quote-when-needed CSV
+    lines (fields may contain the delimiter), then getDelimitedField(i)
+    must recover each field with strip=true — the quote-awareness a
+    naive split lacks."""
+    import csv
+    import io as _io
+
+    from apache_nifi_spark.functions.el_parser import compile_el
+
+    lines = []
+    for fields in rows:
+        buf = _io.StringIO()
+        csv.writer(buf, quoting=csv.QUOTE_MINIMAL, lineterminator="").writerow(fields)
+        lines.append((buf.getvalue(), fields))
+    df = spark.createDataFrame([(ln,) for ln, _ in lines], "line string")
+    width = max(len(f) for _, f in lines)
+    cols = [
+        compile_el(f"${{line:getDelimitedField({i + 1}, ',', '\"', '~', true)}}").alias(f"f{i}")
+        for i in range(width)
+    ]
+    got = df.select(*cols).collect()
+    for row, (_, fields) in zip(got, lines):
+        for i, want in enumerate(fields):
+            # csv QUOTE_MINIMAL doubles embedded quotes; our fields have
+            # none by alphabet, so strip=true equals the raw field
+            assert row[f"f{i}"] == want, (fields, i, row[f"f{i}"])
