@@ -2064,6 +2064,71 @@ def multimodal_video_q(spark, sf_dir):
     )
 
 
+@register(
+    "multimodal_pipeline_route",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                           WHEN 1 THEN 'audio/wav-or-avi'
+                           ELSE 'image/gif' END AS mime_type,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 64 + doc_id % 100
+                     WHEN doc_id % 3 = 2 THEN 2 END AS INT) AS width,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 32 + doc_id % 50
+                     WHEN doc_id % 3 = 2 THEN 2 END AS INT) AS height,
+           CAST(CASE WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2 END AS INT) AS channels,
+           CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 END AS INT) AS sample_rate_hz,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN 4 END AS BIGINT) AS n_video_frames
+    FROM documents WHERE doc_id < 900
+    """,
+)
+def multimodal_pipeline_q(spark, sf_dir):
+    """End-to-end multimodal pipeline (§2.12 flagship for the tier):
+    a mixed binary corpus (PNG / WAV / animated GIF containers, all
+    column-synthesized spec-valid) is MIME-routed by magic bytes, then
+    each modality flows through its REAL stdlib decoder — image headers,
+    RIFF chunk walk, GIF frame walk — and the branches join back into
+    one typed record per document.  One scan, three filtered branch
+    pipelines, left joins on the id: the RouteOnAttribute→decoder fan
+    of a production ingest, value-oracled end to end."""
+    from apache_nifi_spark.llm import (
+        decode_audio_metadata,
+        decode_image_features,
+        gif_animation_bytes,
+        identify_mime_type,
+        png_header_bytes,
+        sample_video_frames,
+        wav_header_bytes,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 900)
+    doc = F.col("doc_id")
+    content = (
+        F.when(doc % 3 == 0, png_header_bytes(64 + doc % 100, 32 + doc % 50))
+        .when(doc % 3 == 1, wav_header_bytes(1 + doc % 2, F.lit(16000), 100 + doc % 100))
+        .otherwise(gif_animation_bytes(F.lit(10)))
+    )
+    mimed = identify_mime_type(d.select("doc_id", content.alias("content")))
+    imgs = decode_image_features(
+        mimed.filter(F.col("mime_type").startswith("image/"))
+    ).select("doc_id", "width", "height")
+    auds = decode_audio_metadata(
+        mimed.filter(F.col("mime_type") == "audio/wav-or-avi")
+    ).select("doc_id", "channels", "sample_rate_hz")
+    vids = (
+        sample_video_frames(
+            mimed.filter(F.col("mime_type") == "image/gif"), every_ms=1, max_frames=8
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_video_frames"))
+    )
+    return (
+        mimed.select("doc_id", "mime_type")
+        .join(imgs, "doc_id", "left")
+        .join(auds, "doc_id", "left")
+        .join(vids, "doc_id", "left")
+    )
+
+
 # =====================================================================
 # Streaming (§2.11): real Structured Streaming runs, batch-parity oracles
 # =====================================================================
