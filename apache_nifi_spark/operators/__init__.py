@@ -5,6 +5,8 @@ operator-at-a-time execution."""
 
 from apache_nifi_spark.operators.route import (  # noqa: F401
     route_on_attribute,
+    distribute_load,
+    duplicate_flowfile,
     route_text,
     query_record,
     scan_attribute,
@@ -28,6 +30,7 @@ from apache_nifi_spark.operators.transform import (  # noqa: F401
     transform_xml,
     parse_syslog,
     parse_syslog_5424,
+    convert_json_to_sql,
 )
 from apache_nifi_spark.operators.join import (  # noqa: F401
     lookup_record,

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -27,6 +27,8 @@ __all__ = [
     "query_record",
     "scan_attribute",
     "validate_record",
+    "distribute_load",
+    "duplicate_flowfile",
 ]
 
 
@@ -121,3 +123,45 @@ def validate_record(
         "valid": annotated.filter(F.size("violations") == 0).drop("violations"),
         "invalid": annotated.filter(F.size("violations") > 0),
     }
+
+
+def distribute_load(
+    df: DataFrame,
+    weights: Mapping[str, int],
+    order_col: str,
+) -> DataFrame:
+    """DistributeLoad (§2.3): weighted round-robin relationship
+    assignment — relationship ``r`` with weight ``w`` receives ``w`` of
+    every ``sum(weights)`` records, in a deterministic cycle over the
+    total order ``order_col`` gives.
+
+    Pure column math (global row_number → modulo slot → range lookup);
+    downstream consumers filter their relationship, which is exactly a
+    NiFi connection.  NOTE the global row_number is a single-partition
+    window — DistributeLoad is an ordered round-robin by definition; at
+    scale prefer hash/range distribution (PartitionRecord) unless the
+    strict cycle is the requirement.
+    """
+    total = sum(weights.values())
+    if total <= 0 or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative with a positive sum")
+    w = Window.orderBy(order_col)
+    slot = F.pmod(F.row_number().over(w) - 1, F.lit(total))
+    rel = F.lit(None).cast("string")
+    lo = 0
+    for name, wt in weights.items():
+        if wt:
+            rel = F.when((slot >= lo) & (slot < lo + wt), F.lit(name)).otherwise(rel)
+            lo += wt
+    return df.withColumn("relationship", rel)
+
+
+def duplicate_flowfile(df: DataFrame, copies: int | Column) -> DataFrame:
+    """DuplicateFlowFile (§2.3, test-fan-out utility): emit the original
+    plus ``copies`` clones, each stamped with ``copy_index`` (0 = the
+    original — NiFi sets ``copy.index`` the same way).  ``sequence`` +
+    ``explode``: the fan-out happens executor-side, no driver loop."""
+    n = F.lit(copies) if isinstance(copies, int) else copies
+    return df.withColumn(
+        "copy_index", F.explode(F.sequence(F.lit(0), n.cast("int")))
+    )

@@ -35,6 +35,8 @@ __all__ = [
     "split_json",
     "transform_xml",
     "parse_syslog",
+    "parse_syslog_5424",
+    "convert_json_to_sql",
 ]
 
 
@@ -337,4 +339,28 @@ def parse_syslog(df: DataFrame, col: str = "line") -> DataFrame:
         F.regexp_extract(line, SYSLOG_3164_RX, 4).alias("tag"),
         F.regexp_extract(line, SYSLOG_3164_RX, 5).cast("long").alias("pid"),
         F.regexp_extract(line, SYSLOG_3164_RX, 6).alias("message"),
+    )
+
+
+def convert_json_to_sql(
+    df: DataFrame,
+    json_col: str,
+    table: str,
+    columns: Sequence[str],
+) -> DataFrame:
+    """ConvertJSONToSQL (SURVEY.md §2.4): each JSON document becomes a
+    parameterized INSERT plus its positional argument values — NiFi
+    emits the statement with ``?`` placeholders and the values as
+    ``sql.args.N.value`` attributes; here the statement is one constant
+    column and the args ride as ``array<string>`` (absent JSON fields →
+    NULL args, exactly the processor's behavior).  All
+    ``get_json_object`` columnar extraction — the downstream executor
+    is PutSQL / ``jdbc_write``."""
+    placeholders = ", ".join(["?"] * len(columns))
+    stmt = f'INSERT INTO {table} ({", ".join(columns)}) VALUES ({placeholders})'
+    args = F.array(
+        *[F.get_json_object(F.col(json_col), f"$.{c}") for c in columns]
+    )
+    return df.withColumns(
+        {"sql_statement": F.lit(stmt), "sql_args": args}
     )

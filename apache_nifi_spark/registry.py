@@ -2065,6 +2065,147 @@ def multimodal_video_q(spark, sf_dir):
 
 
 @register(
+    "convert_json_to_sql_args",
+    oracle="""
+    SELECT event_id,
+           'INSERT INTO events_tbl (event_id, event_type, value, source) VALUES (?, ?, ?, ?)'
+             AS sql_statement,
+           [CAST(event_id AS VARCHAR), event_type,
+            CAST(value AS VARCHAR),
+            CASE WHEN event_id % 2 = 0 THEN 'web' END] AS sql_args
+    FROM events WHERE event_id < 3000
+    """,
+)
+def convert_json_to_sql_q(spark, sf_dir):
+    """ConvertJSONToSQL (§2.4): JSON documents become parameterized
+    INSERTs + positional args (NiFi's sql.args.N.value attributes ride
+    as an array column; absent fields → NULL args).  Columnar
+    get_json_object extraction; PutSQL/jdbc_write executes downstream."""
+    from apache_nifi_spark.operators import convert_json_to_sql
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    j = ev.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                "event_id",
+                "event_type",
+                "value",
+                F.when(F.col("event_id") % 2 == 0, "web").alias("source"),
+            )
+        ).alias("doc"),
+    )
+    out = convert_json_to_sql(
+        j, "doc", "events_tbl", ["event_id", "event_type", "value", "source"]
+    )
+    return out.select("event_id", "sql_statement", "sql_args")
+
+
+@register(
+    "distribute_duplicate_flow",
+    oracle="""
+    WITH seq AS (
+      SELECT event_id,
+             row_number() OVER (ORDER BY event_id) - 1 AS slot0
+      FROM events WHERE event_id < 2000
+    ),
+    rel AS (
+      SELECT event_id,
+             CASE WHEN slot0 % 5 < 3 THEN 'primary'
+                  WHEN slot0 % 5 < 4 THEN 'secondary'
+                  ELSE 'spare' END AS relationship
+      FROM seq
+    )
+    SELECT event_id, relationship, CAST(i AS INT) AS copy_index
+    FROM rel, generate_series(0, 2) t(i)
+    WHERE relationship = 'primary' OR i = 0
+    """,
+)
+def distribute_duplicate_q(spark, sf_dir):
+    """DistributeLoad + DuplicateFlowFile (§2.3): weighted round-robin
+    relationship assignment (3:1:1 over the event_id order), then the
+    'primary' relationship fans out 2 extra copies per record
+    (copy_index 0 = original, NiFi's copy.index).  Both pure column
+    math — the fan-out is a Generate, no driver loop."""
+    from apache_nifi_spark.operators import distribute_load, duplicate_flowfile
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000).select("event_id")
+    routed = distribute_load(
+        ev, {"primary": 3, "secondary": 1, "spare": 1}, "event_id"
+    )
+    primary = duplicate_flowfile(routed.filter("relationship = 'primary'"), 2)
+    rest = routed.filter("relationship != 'primary'").withColumn(
+        "copy_index", F.lit(0)
+    )
+    return primary.unionByName(rest).select("event_id", "relationship", "copy_index")
+
+
+@register(
+    "put_tcp_listen_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM events WHERE event_id % 40 = 0
+    GROUP BY event_type
+    """,
+)
+def put_tcp_roundtrip_q(spark, sf_dir):
+    """PutTCP → ListenTCP closed end-to-end (§2.2/§2.1): executor
+    partitions each open one real TCP connection and ship newline-framed
+    CSV records (sinks/socket.put_tcp) into TcpLandingListener, which
+    lands them durably; the landing zone is read back, parsed, and
+    aggregated.  Oracle equality proves the socket hop is lossless.
+    The send is forced eagerly (a sink is an action by nature) before
+    the read half scans the landing dir."""
+    import tempfile
+
+    from apache_nifi_spark.sinks import put_tcp
+    from apache_nifi_spark.streaming.listen import TcpLandingListener
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 40 == 0)
+    lines = ev.select(
+        F.concat_ws(
+            ",",
+            F.col("event_id").cast("string"),
+            "event_type",
+            F.col("value").cast("string"),
+        ).alias("content")
+    )
+    landing = tempfile.mkdtemp(prefix="anspark_puttcp_")
+    listener = TcpLandingListener(landing)
+    sent = put_tcp(lines, "127.0.0.1", listener.port, "content")
+    n_sent = sent.filter("sent").count()  # the sink action; all-or-nothing per partition
+    assert n_sent == ev.count()
+    # sendall returning doesn't mean the handler thread has landed the
+    # file yet — poll the landing zone until every line is durable (the
+    # at-least-once handoff a real landing tier gives the drain).
+    import glob
+    import time
+
+    deadline = time.monotonic() + 15
+    while time.monotonic() < deadline:
+        landed = sum(
+            sum(1 for ln in open(p, "rb").read().splitlines() if ln.strip())
+            for p in glob.glob(f"{landing}/*")
+        )
+        if landed >= n_sent:
+            break
+        time.sleep(0.05)
+    else:
+        raise TimeoutError(f"landing zone has {landed} of {n_sent} lines")
+    back = spark.read.text(landing)
+    rec = back.select(
+        F.from_csv(
+            F.col("value"), "event_id bigint, event_type string, value double"
+        ).alias("r")
+    ).select("r.*")
+    return rec.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), _dsum(F.col("value"), "total_value")
+    )
+
+
+@register(
     "multimodal_pipeline_route",
     oracle="""
     SELECT doc_id,

@@ -9,6 +9,7 @@ receive — distributed render, then any sink (`df.write`, foreachBatch →
 HTTP/SMTP client) ships them.
 """
 
+from apache_nifi_spark.sinks.socket import put_tcp, put_udp  # noqa: F401
 from apache_nifi_spark.sinks.wire import (
     email_mime,
     es_bulk,

@@ -1,0 +1,95 @@
+"""PutTCP / PutUDP (SURVEY.md §2.2): per-record socket delivery.
+
+NiFi writes each FlowFile's content to a TCP endpoint (newline-framed)
+or as one UDP datagram.  Spark-first shape: ``mapInPandas`` with ONE
+socket per PARTITION — connection setup amortizes across the batch,
+partitions fan out across executors (the InvokeHTTP/FetchFTP pattern),
+and the transform appends a ``sent`` status column instead of failing
+the task, so delivery failures route like any other relationship.
+
+The receiving half already exists: ``streaming/listen.TcpLandingListener``
+and ``UdpLandingListener`` land payloads durably for the streaming drain
+— together they close the loop the registry query proves end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+__all__ = ["put_tcp", "put_udp"]
+
+
+def _with_sent(df: DataFrame, run) -> DataFrame:
+    from pyspark.sql.types import BooleanType, StructType
+
+    schema = StructType(list(df.schema.fields)).add("sent", BooleanType())
+    return df.mapInPandas(run, schema)
+
+
+def put_tcp(
+    df: DataFrame,
+    host: str,
+    port: int,
+    content_col: str = "content",
+    timeout: float = 10.0,
+) -> DataFrame:
+    """Newline-framed TCP delivery: one connection per partition, every
+    row's content + ``\\n``.  The whole partition's batch ships on one
+    stream — the framing NiFi's PutTCP uses with the default delimiter."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import socket
+
+        for pdf in batches:
+            try:
+                with socket.create_connection((host, port), timeout=timeout) as s:
+                    payload = b"".join(
+                        (v if isinstance(v, bytes) else str(v).encode()) + b"\n"
+                        for v in pdf[content_col]
+                        if v is not None
+                    )
+                    s.sendall(payload)
+                ok = True
+            except OSError:
+                ok = False
+            pdf["sent"] = [ok and v is not None for v in pdf[content_col]]
+            yield pdf
+
+    return _with_sent(df, run)
+
+
+def put_udp(
+    df: DataFrame, host: str, port: int, content_col: str = "content"
+) -> DataFrame:
+    """One datagram per record (UDP has no framing to share), one socket
+    per partition.  Delivery is fire-and-forget — ``sent`` reflects the
+    local send() only, exactly UDP's contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import socket
+
+        sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        try:
+            for pdf in batches:
+                sent = []
+                for v in pdf[content_col]:
+                    if v is None:
+                        sent.append(False)
+                        continue
+                    try:
+                        sock.sendto(
+                            v if isinstance(v, bytes) else str(v).encode(),
+                            (host, port),
+                        )
+                        sent.append(True)
+                    except OSError:
+                        sent.append(False)
+                pdf["sent"] = sent
+                yield pdf
+        finally:
+            sock.close()
+
+    return _with_sent(df, run)

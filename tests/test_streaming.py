@@ -194,3 +194,66 @@ def test_udp_listener_lands_datagrams_e2e(spark, tmp_path):
     q.awaitTermination()
     got = sorted(r.value for r in spark.table("udp_drain").collect())
     assert got == sorted(msgs)
+
+
+def test_put_tcp_udp_socket_delivery(spark, tmp_path):
+    """PutTCP/PutUDP against the landing listeners: every record arrives
+    byte-identical; a dead endpoint yields sent=false rows, not task
+    death; UDP delivers one datagram per record."""
+    import glob
+    import time
+
+    from apache_nifi_spark.sinks import put_tcp, put_udp
+    from apache_nifi_spark.streaming.listen import TcpLandingListener, UdpLandingListener
+
+    df = spark.createDataFrame(
+        [(i, f"rec-{i}") for i in range(20)], "id long, content string"
+    ).repartition(3)
+
+    tcp_dir = str(tmp_path / "tcp")
+    tl = TcpLandingListener(tcp_dir)
+    out = put_tcp(df, "127.0.0.1", tl.port, "content").collect()
+    assert all(r["sent"] for r in out)
+
+    def landed_lines(d):
+        return sorted(
+            ln.decode()
+            for p in glob.glob(f"{d}/*")
+            for ln in open(p, "rb").read().splitlines()
+            if ln.strip()
+        )
+
+    deadline = time.monotonic() + 10
+    while time.monotonic() < deadline and len(landed_lines(tcp_dir)) < 20:
+        time.sleep(0.05)
+    assert landed_lines(tcp_dir) == sorted(f"rec-{i}" for i in range(20))
+
+    udp_dir = str(tmp_path / "udp")
+    ul = UdpLandingListener(udp_dir, batch_size=1)
+    out = put_udp(df, "127.0.0.1", ul.port, "content").collect()
+    assert all(r["sent"] for r in out)
+    deadline = time.monotonic() + 10
+    while time.monotonic() < deadline and len(landed_lines(udp_dir)) < 20:
+        time.sleep(0.05)
+    assert landed_lines(udp_dir) == sorted(f"rec-{i}" for i in range(20))
+
+    # dead endpoint: routed, not raised
+    dead = put_tcp(df, "127.0.0.1", 1, "content").collect()  # port 1: refused
+    assert all(not r["sent"] for r in dead)
+
+
+def test_distribute_load_weighted_cycle(spark):
+    from apache_nifi_spark.operators import distribute_load, duplicate_flowfile
+
+    df = spark.range(10).withColumnRenamed("id", "k")
+    out = distribute_load(df, {"a": 2, "b": 1}, "k").orderBy("k").collect()
+    # cycle of 3: slots 0,1 -> a; 2 -> b
+    assert [r["relationship"] for r in out] == ["a", "a", "b"] * 3 + ["a"]
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        distribute_load(df, {"a": 0}, "k")
+
+    dup = duplicate_flowfile(df.limit(2), 3).collect()
+    assert len(dup) == 8  # 2 rows x (1 original + 3 copies)
+    assert sorted({r["copy_index"] for r in dup}) == [0, 1, 2, 3]
