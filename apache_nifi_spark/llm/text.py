@@ -274,9 +274,14 @@ def repetition_scores(
     pretraining filter drops rows above thresholds.
 
     Shape: explode → two (id, gram) aggregations → join back.  Two
-    shuffles keyed on (doc, gram) — scale-safe (an all-HOF variant would
-    be O(tokens²) per row).  Division is exact-int → double, so the
-    scores value-oracle bit-for-bit.
+    shuffles keyed on (doc, gram).  MEASURED ALTERNATIVE (round 5,
+    sf1): a zero-shuffle all-array variant (run-length fold over
+    sort_array + array_distinct bigrams) is SLOWER — 5.6 s vs 5.0 s —
+    because higher-order-function lambdas evaluate interpreted
+    per-element while the explode path stays whole-stage-codegen'd
+    through both aggregations; the shuffles are not the bottleneck.
+    Division is exact-int → double, so the scores value-oracle
+    bit-for-bit.
     """
     # No widen: both downstream aggregations shuffle on (doc, gram),
     # which already spreads the heavy phase; measured, an extra exchange
