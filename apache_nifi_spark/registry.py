@@ -2065,6 +2065,59 @@ def multimodal_video_q(spark, sf_dir):
 
 
 @register(
+    "stream_quality_gate",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS toks,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS sym
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, lang,
+             -0.8 + 0.14 * sqrt(CAST(least(length(toks), 10000) AS DOUBLE))
+                  - 6.0 * (CASE WHEN n_chars > 0 THEN CAST(sym AS DOUBLE)/n_chars ELSE 0.0 END)
+                  + 0.18 * CAST(least(length(list_intersect(list_distinct(toks),
+                      ['the','and','of','to','a','in','is','it','that','for'])), 20) AS DOUBLE)
+                  - 0.35 * abs((CASE WHEN length(toks) > 0
+                                THEN CAST(n_chars - length(toks) + 1 AS DOUBLE)/length(toks)
+                                ELSE 0.0 END) - 5.5) AS logit
+      FROM f
+    )
+    SELECT lang, COUNT(*) AS n_kept,
+           CAST(SUM(CAST(logit AS DECIMAL(30,6))) AS DOUBLE) AS sum_logit
+    FROM g WHERE logit > 0 GROUP BY lang
+    """,
+)
+def stream_quality_gate_q(spark, sf_dir):
+    """Streaming LLM-tier composition (§2.11 × §2.12): the corpus
+    arrives as a STREAM (the landing-zone ingest shape) and flows
+    through the continuous quality gate — quality_logit is pure column
+    math, so the same operator body runs unchanged under Structured
+    Streaming — with a per-language keep summary.  Batch-parity oracle:
+    the drain must equal DuckDB computing the gate over the table."""
+    import glob
+    import os
+    import tempfile
+
+    from apache_nifi_spark.llm import quality_logit
+    from apache_nifi_spark.streaming import run_to_memory
+
+    src = f"{sf_dir}/documents.parquet"
+    landing = tempfile.mkdtemp(prefix="anspark_qgate_")
+    os.symlink(os.path.abspath(src), os.path.join(landing, "documents.parquet"))
+    schema = spark.read.parquet(landing).schema
+    sdf = spark.readStream.schema(schema).parquet(landing)
+    gated = quality_logit(sdf).filter("keep")
+    agg = gated.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        _dsum(F.col("quality_logit"), "sum_logit"),
+    )
+    return run_to_memory(agg, output_mode="complete")
+
+
+@register(
     "convert_json_to_sql_args",
     oracle="""
     SELECT event_id,
