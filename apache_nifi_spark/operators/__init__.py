@@ -31,6 +31,8 @@ from apache_nifi_spark.operators.transform import (  # noqa: F401
     parse_syslog,
     parse_syslog_5424,
     convert_json_to_sql,
+    render_syslog_3164,
+    render_syslog_5424,
 )
 from apache_nifi_spark.operators.join import (  # noqa: F401
     lookup_record,

@@ -36,6 +36,8 @@ __all__ = [
     "transform_xml",
     "parse_syslog",
     "parse_syslog_5424",
+    "render_syslog_3164",
+    "render_syslog_5424",
     "convert_json_to_sql",
 ]
 
@@ -363,4 +365,42 @@ def convert_json_to_sql(
     )
     return df.withColumns(
         {"sql_statement": F.lit(stmt), "sql_args": args}
+    )
+
+
+def render_syslog_3164(
+    pri: Column, ts: Column, host: Column, tag: Column, pid: Column, msg: Column
+) -> Column:
+    """PutSyslog's message builder, RFC 3164 flavor: the exact line shape
+    ``parse_syslog`` consumes — pure concat, so render → transport →
+    parse round-trips value-exactly."""
+    return F.concat(
+        F.lit("<"), pri.cast("string"), F.lit(">"),
+        F.date_format(ts, "MMM dd HH:mm:ss"), F.lit(" "),
+        host, F.lit(" "), tag, F.lit("["), pid.cast("string"), F.lit("]: "), msg,
+    )
+
+
+def render_syslog_5424(
+    pri: Column,
+    ts: Column,
+    host: Column,
+    app: Column,
+    procid: Column,
+    msgid: Column,
+    sd: Column,
+    msg: Column,
+) -> Column:
+    """PutSyslog, RFC 5424 flavor (version 1; nil fields via coalesce to
+    '-') — the inverse of ``parse_syslog_5424``."""
+    dash = F.lit("-")
+    return F.concat(
+        F.lit("<"), pri.cast("string"), F.lit(">1 "),
+        F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'"), F.lit(" "),
+        F.coalesce(host, dash), F.lit(" "),
+        F.coalesce(app, dash), F.lit(" "),
+        F.coalesce(procid.cast("string"), dash), F.lit(" "),
+        F.coalesce(msgid, dash), F.lit(" "),
+        F.coalesce(sd, dash),
+        F.when(msg.isNotNull(), F.concat(F.lit(" "), msg)).otherwise(F.lit("")),
     )

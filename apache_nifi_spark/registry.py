@@ -2065,6 +2065,63 @@ def multimodal_video_q(spark, sf_dir):
 
 
 @register(
+    "put_syslog_udp_roundtrip",
+    oracle="""
+    SELECT CAST(16 AS INT) AS facility,
+           CAST(CASE WHEN event_type = 'error' THEN 3 ELSE 6 END AS INT) AS severity,
+           'h' || CAST(user_id % 5 AS VARCHAR) AS host,
+           'engine' AS tag,
+           CAST(event_id AS BIGINT) AS pid,
+           event_type AS message
+    FROM events WHERE event_id % 60 = 0
+    """,
+)
+def put_syslog_udp_q(spark, sf_dir):
+    """PutSyslog → ListenSyslog over the REAL transport (§2.2/§2.1):
+    records render to RFC 3164 lines (render_syslog_3164, the exact
+    inverse of the parser), ship executor-side as one UDP datagram each
+    (syslog's native transport — sinks/socket.put_udp), land via
+    UdpLandingListener, and parse back.  Oracle equality proves
+    render → datagram → land → parse is lossless."""
+    import glob
+    import tempfile
+    import time
+
+    from apache_nifi_spark.operators import parse_syslog, render_syslog_3164
+    from apache_nifi_spark.sinks import put_udp
+    from apache_nifi_spark.streaming.listen import UdpLandingListener
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 60 == 0)
+    sev = F.when(F.col("event_type") == "error", 3).otherwise(6)
+    lines = ev.select(
+        render_syslog_3164(
+            F.lit(128) + sev,
+            F.col("ts"),
+            F.concat(F.lit("h"), (F.col("user_id") % 5).cast("string")),
+            F.lit("engine"),
+            F.col("event_id"),
+            F.col("event_type"),
+        ).alias("content")
+    )
+    landing = tempfile.mkdtemp(prefix="anspark_putsyslog_")
+    listener = UdpLandingListener(landing, batch_size=1)
+    n_sent = put_udp(lines, "127.0.0.1", listener.port, "content").filter("sent").count()
+    deadline = time.monotonic() + 15
+    while time.monotonic() < deadline:
+        landed = sum(
+            sum(1 for ln in open(p, "rb").read().splitlines() if ln.strip())
+            for p in glob.glob(f"{landing}/*")
+        )
+        if landed >= n_sent:
+            break
+        time.sleep(0.05)
+    else:
+        raise TimeoutError(f"landing zone has {landed} of {n_sent} datagrams")
+    parsed = parse_syslog(spark.read.text(landing).withColumnRenamed("value", "line"))
+    return parsed.select("facility", "severity", "host", "tag", "pid", "message")
+
+
+@register(
     "stream_quality_gate",
     oracle="""
     WITH f AS (
