@@ -6210,6 +6210,43 @@ def put_slack_payload_q(spark, sf_dir):
 
 
 @register(
+    "put_splunk_hec",
+    oracle="""
+    SELECT event_id,
+           concat('{"time":', CAST(CAST(CAST(epoch_ms(ts) AS DECIMAL(20,0)) / 1000
+                              AS DECIMAL(20,3)) AS VARCHAR),
+                  ',"host":"h', CAST(user_id % 5 AS VARCHAR),
+                  '","source":"engine","sourcetype":"_json","index":"events",',
+                  '"event":{"type":"', event_type,
+                  '","value":', CAST(CAST(value AS DECIMAL(27,3)) AS VARCHAR),
+                  '}}') AS payload
+    FROM events WHERE event_id < 2000
+    """,
+)
+def put_splunk_hec_q(spark, sf_dir):
+    """PutSplunkHTTP (§2.2): the HTTP Event Collector envelope per record
+    (sinks/wire.splunk_hec_payload) — fractional epoch time at
+    millisecond precision via decimal rendering, routing metadata, and
+    the event as a nested JSON object; byte-exact oracle like every
+    wire sink.  POST = operators/http."""
+    from apache_nifi_spark.sinks import wire
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    payload = wire.splunk_hec_payload(
+        F.col("ts"),
+        F.concat(F.lit("h"), (F.col("user_id") % 5).cast("string")),
+        "engine",
+        "_json",
+        [
+            ("type", wire.json_string(F.col("event_type"))),
+            ("value", wire.json_number(F.col("value"), 3)),
+        ],
+        index="events",
+    )
+    return ev.select("event_id", payload.alias("payload"))
+
+
+@register(
     "mqtt_topic_filter_route",
     oracle="""
     WITH t AS (

@@ -18,6 +18,7 @@ from apache_nifi_spark.sinks.wire import (
     json_string,
     mongo_extended_json,
     slack_post_payload,
+    splunk_hec_payload,
 )
 
 __all__ = [

@@ -36,6 +36,7 @@ __all__ = [
     "mongo_extended_json",
     "email_mime",
     "slack_post_payload",
+    "splunk_hec_payload",
 ]
 
 
@@ -205,3 +206,37 @@ def slack_post_payload(
             ("blocks", F.concat(*blocks)),
         ]
     )
+
+
+def splunk_hec_payload(
+    time_col: Column,
+    host_col: Column,
+    source: str,
+    sourcetype: str,
+    event_fields: list[tuple[str, Column]],
+    index: str | None = None,
+) -> Column:
+    """Splunk HTTP Event Collector envelope (PutSplunkHTTP): the
+    ``/services/collector/event`` JSON body — epoch time with millisecond
+    precision, host/source/sourcetype routing metadata, and the event as
+    a nested JSON object.  Same byte-exact columnar rendering contract
+    as the other wire sinks; POST = ``operators/http``.
+    """
+    # epoch.millis as a fixed-point decimal string (Splunk accepts
+    # fractional epoch).  Millis are TRUNCATED from micros (floor), not
+    # rounded — DuckDB's epoch_ms truncates, and a direct
+    # timestamp→decimal(.,3) cast in Spark rounds HALF_UP, which
+    # diverged on ~half the rows; the exact-decimal division renders
+    # identically in both engines.
+    ms = F.floor(F.unix_micros(time_col.cast("timestamp")) / 1000)
+    t = (ms.cast("decimal(20,0)") / 1000).cast("decimal(20,3)").cast("string")
+    fields: list[tuple[str, Column]] = [
+        ("time", t),
+        ("host", json_string(host_col)),
+        ("source", F.lit(f'"{source}"')),
+        ("sourcetype", F.lit(f'"{sourcetype}"')),
+    ]
+    if index is not None:
+        fields.append(("index", F.lit(f'"{index}"')))
+    fields.append(("event", _json_object(event_fields)))
+    return _json_object(fields)
