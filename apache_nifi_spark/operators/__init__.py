@@ -44,6 +44,7 @@ from apache_nifi_spark.operators.join import (  # noqa: F401
     join_zip,
 )
 from apache_nifi_spark.operators.aggregate import (  # noqa: F401
+    cdc_apply_changes,
     merge_record,
     defragment,
     calculate_record_stats,

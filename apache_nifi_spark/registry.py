@@ -2065,6 +2065,44 @@ def multimodal_video_q(spark, sf_dir):
 
 
 @register(
+    "cdc_apply_changes_state",
+    oracle="""
+    WITH log AS (
+      SELECT event_id % 500 AS k, event_id AS seq, value,
+             CASE WHEN event_id % 11 = 0 THEN 'D'
+                  WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS op
+      FROM events WHERE event_id < 6000
+    ),
+    ranked AS (
+      SELECT k, seq, value, op,
+             row_number() OVER (PARTITION BY k ORDER BY seq DESC, op DESC) AS rn
+      FROM log
+    )
+    SELECT k, seq, value FROM ranked WHERE rn = 1 AND op != 'D'
+    """,
+)
+def cdc_apply_changes_q(spark, sf_dir):
+    """CDC apply-changes (§2.12 incremental refresh): an I/U/D change
+    log collapses to final table state — highest sequence per key wins,
+    trailing deletes vanish.  One shuffle (window over the key), no
+    join, no driver state; in foreachBatch the same operator maintains
+    a serving table incrementally (operators/aggregate.cdc_apply_changes)."""
+    from apache_nifi_spark.operators import cdc_apply_changes
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 6000)
+    log = ev.select(
+        (F.col("event_id") % 500).alias("k"),
+        F.col("event_id").alias("seq"),
+        "value",
+        F.when(F.col("event_id") % 11 == 0, "D")
+        .when(F.col("event_id") % 3 == 0, "U")
+        .otherwise("I")
+        .alias("op"),
+    )
+    return cdc_apply_changes(log, ["k"], "seq")
+
+
+@register(
     "put_syslog_udp_roundtrip",
     oracle="""
     SELECT CAST(16 AS INT) AS facility,
