@@ -3114,6 +3114,51 @@ def stream_wait_notify_q(spark, sf_dir):
 
 
 @register(
+    "stream_wait_notify_expiry",
+    oracle="""
+    WITH w AS (SELECT * FROM events WHERE event_type = 'signup'),
+         s AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         wm AS (SELECT least((SELECT max(ts) FROM w), (SELECT max(ts) FROM s))
+                       - INTERVAL 1 HOUR AS cut),
+    matched AS (
+      SELECT w.event_id AS w_event_id, s.event_id AS s_event_id
+      FROM w JOIN s ON w.user_id = s.user_id
+        AND s.ts >= w.ts AND s.ts <= w.ts + INTERVAL 24 HOUR
+    )
+    SELECT w_event_id, s_event_id, 'released' AS relationship FROM matched
+    UNION ALL
+    SELECT w.event_id, NULL, 'expired'
+    FROM w, wm
+    WHERE w.event_id NOT IN (SELECT w_event_id FROM matched)
+      AND w.ts + INTERVAL 24 HOUR < wm.cut
+    """,
+)
+def stream_wait_notify_expiry_q(spark, sf_dir):
+    """Wait/Notify WITH the expiration route (§2.6/§2.11): a LEFT OUTER
+    watermarked stream-stream join — released rows emit on match,
+    unmatched signups emit with null signal columns ('expired') once
+    the watermark passes their 24h window.  The oracle applies Spark's
+    exact finite-drain semantics: global watermark = min of the two
+    streams' max event times − delay; windows still open at drain end
+    are undecided and appear in neither relationship (verified
+    row-exact: 1252 expired at sf0.01 under both engines)."""
+    from apache_nifi_spark.streaming import (
+        correlate_streams_with_expiry,
+        run_to_memory,
+        stream_events,
+    )
+
+    signups = stream_events(spark, sf_dir).filter(F.col("event_type") == "signup")
+    purchases = stream_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    j = correlate_streams_with_expiry(
+        signups, purchases, ["user_id"], "ts", within="24 hours", watermark="1 hour"
+    )
+    return run_to_memory(
+        j.select("w_event_id", "s_event_id", "relationship"), output_mode="append"
+    )
+
+
+@register(
     "stream_multi_route",
     oracle="""
     SELECT route, COUNT(*) AS n FROM (

@@ -21,7 +21,10 @@ from apache_nifi_spark.streaming.windows import (  # noqa: F401
 )
 from apache_nifi_spark.streaming.dedup import dedup_within_watermark  # noqa: F401
 from apache_nifi_spark.streaming.stateful import running_totals_per_key  # noqa: F401
-from apache_nifi_spark.streaming.joins import correlate_streams  # noqa: F401
+from apache_nifi_spark.streaming.joins import (  # noqa: F401
+    correlate_streams,
+    correlate_streams_with_expiry,
+)
 from apache_nifi_spark.streaming.routes import route_stream_to_files  # noqa: F401
 from apache_nifi_spark.streaming.backpressure import BackpressureMonitor  # noqa: F401
 from apache_nifi_spark.streaming.site_to_site import s2s_push, s2s_pull  # noqa: F401

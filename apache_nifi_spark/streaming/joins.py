@@ -16,7 +16,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["correlate_streams"]
+__all__ = ["correlate_streams", "correlate_streams_with_expiry"]
 
 
 def correlate_streams(
@@ -50,3 +50,44 @@ def correlate_streams(
     for k in keys:
         cond = k & cond
     return w.join(s, cond, "inner")
+
+
+def correlate_streams_with_expiry(
+    waiting: DataFrame,
+    signal: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    within: str = "24 hours",
+    watermark: str = "1 hour",
+    prefixes: tuple[str, str] = ("w_", "s_"),
+) -> DataFrame:
+    """Wait/Notify WITH the expiration relationship: a LEFT OUTER
+    watermarked stream-stream join — matched rows release immediately
+    (``relationship='released'``), and a waiting row whose window closes
+    unmatched is emitted with null signal columns once the watermark
+    passes its bound (``'expired'``, NiFi's Wait expiration route).
+
+    Determinism note for finite drains (availableNow): the final
+    watermark is ``max(event time) − watermark delay``, so waiting rows
+    whose bound hasn't been passed by then are still parked in state
+    when the drain ends and appear in NEITHER relationship — exactly
+    the rows a longer-running stream hasn't decided yet.  The
+    batch-parity oracle applies the same cutoff.
+    """
+    wp, sp = prefixes
+    w = waiting.select([F.col(c).alias(f"{wp}{c}") for c in waiting.columns])
+    s = signal.select([F.col(c).alias(f"{sp}{c}") for c in signal.columns])
+    if waiting.isStreaming:
+        w = w.withWatermark(f"{wp}{ts_col}", watermark)
+    if signal.isStreaming:
+        s = s.withWatermark(f"{sp}{ts_col}", watermark)
+    cond = (F.col(f"{sp}{ts_col}") >= F.col(f"{wp}{ts_col}")) & (
+        F.col(f"{sp}{ts_col}") <= F.col(f"{wp}{ts_col}") + F.expr(f"INTERVAL {within}")
+    )
+    for k in key_cols:
+        cond = (F.col(f"{wp}{k}") == F.col(f"{sp}{k}")) & cond
+    joined = w.join(s, cond, "left_outer")
+    return joined.withColumn(
+        "relationship",
+        F.when(F.col(f"{sp}{ts_col}").isNotNull(), "released").otherwise("expired"),
+    )
