@@ -25,6 +25,13 @@ Funnel                       implicit — multiple connections into one
 PutFile                      terminal pass-through (optionally writes
                              parquet when ``Directory`` is an absolute
                              path) (§2.2)
+ReplaceText / ExtractText    regex replace / capture-to-attributes (§2.4)
+RouteText / RouteOnContent   content-regex matched/unmatched split (§2.3)
+DistributeLoad               weighted round-robin → one output per
+                             relationship (§2.3)
+DuplicateFlowFile            copy.index fan-out (§2.3)
+TransformXml                 inline ``XSLT Stylesheet`` property compiled
+                             by functions/xslt (§2.4)
 =====================  ====================================================
 
 Composition is purely declarative: the importer never executes anything —
@@ -206,6 +213,72 @@ def _apply(
         matched = df.join(F.broadcast(lookup), on=cond, how="inner")
         unmatched = df.join(F.broadcast(lookup), on=cond, how="left_anti")
         return {"matched": matched, "unmatched": unmatched}
+
+    if ptype == "ReplaceText":
+        col = props.get("Column", "text")
+        pattern = props.get("Regular Expression")
+        repl = props.get("Replacement Value", "")
+        if pattern is None:
+            raise FlowImportError(f"{name}: ReplaceText needs 'Regular Expression'")
+        from apache_nifi_spark.operators.transform import replace_text
+
+        return {"success": replace_text(df, col, pattern, repl)}
+
+    if ptype == "ExtractText":
+        col = props.get("Column", "text")
+        from apache_nifi_spark.operators.transform import extract_text
+
+        pats = {out: (rx, 1) for out, rx in _dynamic(props).items()}
+        if not pats:
+            raise FlowImportError(f"{name}: ExtractText needs regex properties")
+        return {"matched": extract_text(df, col, pats)}
+
+    if ptype in ("RouteText", "RouteOnContent"):
+        col = props.get("Column", "text")
+        rx = props.get("Regular Expression") or props.get(
+            "Matching Expression"
+        )
+        if rx is None:
+            raise FlowImportError(f"{name}: {ptype} needs a regex property")
+        matched = df.filter(F.col(col).rlike(rx))
+        return {"matched": matched, "unmatched": df.filter(~F.col(col).rlike(rx))}
+
+    if ptype == "DistributeLoad":
+        from apache_nifi_spark.operators.route import distribute_load
+
+        weights = {
+            rel: int(w)
+            for rel, w in _dynamic(props).items()
+            if rel != "Order Column"
+        }
+        order = props.get("Order Column")
+        if not weights or not order:
+            raise FlowImportError(
+                f"{name}: DistributeLoad needs weight properties + 'Order Column'"
+            )
+        routed = distribute_load(df, weights, order)
+        return {
+            rel: routed.filter(F.col("relationship") == rel).drop("relationship")
+            for rel in weights
+        }
+
+    if ptype == "DuplicateFlowFile":
+        from apache_nifi_spark.operators.route import duplicate_flowfile
+
+        n = int(props.get("Number of Copies", "1"))
+        return {"success": duplicate_flowfile(df, n)}
+
+    if ptype == "TransformXml":
+        from apache_nifi_spark.functions.xslt import xslt_compile
+        from apache_nifi_spark.operators.transform import transform_xml
+
+        xsl = props.get("XSLT Stylesheet")
+        col = props.get("Column", "xml")
+        if not xsl:
+            raise FlowImportError(
+                f"{name}: TransformXml needs the inline 'XSLT Stylesheet' property"
+            )
+        return {"success": transform_xml(df, col, xslt_compile(xsl))}
 
     if ptype == "PutFile":
         directory = props.get("Directory", "")

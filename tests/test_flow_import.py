@@ -152,3 +152,85 @@ def test_bad_source_table_raises(spark, sf_dir):
     }
     with pytest.raises(FlowImportError, match="fixture table"):
         run_flow(spark, sf_dir, flow)
+
+
+def test_extended_processor_types(spark, sf_dir):
+    """The round-5 importer additions: content regex route, text
+    extract/replace, weighted distribution, fan-out, and an inline-XSLT
+    TransformXml — all composed in one flow graph."""
+    from apache_nifi_spark import io
+
+    xsl = (
+        '<xsl:stylesheet version="1.0" '
+        'xmlns:xsl="http://www.w3.org/1999/XSL/Transform">'
+        '<xsl:template match="d"><r id="{i}"/></xsl:template>'
+        "</xsl:stylesheet>"
+    )
+    flow = {
+        "flowContents": {
+            "processors": [
+                {"identifier": "src", "name": "Src", "type": "x.GetFile",
+                 "properties": {"Input Directory": "documents"}},
+                {"identifier": "route", "name": "Route", "type": "x.RouteText",
+                 "properties": {"Column": "lang", "Regular Expression": "^en$"}},
+                {"identifier": "ext", "name": "Ext", "type": "x.ExtractText",
+                 "properties": {"Column": "text", "first_word": r"^(\S+)"}},
+                {"identifier": "rep", "name": "Rep", "type": "x.ReplaceText",
+                 "properties": {"Column": "first_word",
+                                "Regular Expression": "[aeiou]",
+                                "Replacement Value": "_"}},
+                {"identifier": "dist", "name": "Dist", "type": "x.DistributeLoad",
+                 "properties": {"Order Column": "doc_id", "hot": "2", "cold": "1"}},
+                {"identifier": "dup", "name": "Dup", "type": "x.DuplicateFlowFile",
+                 "properties": {"Number of Copies": "2"}},
+            ],
+            "connections": [
+                {"source": {"id": "src"}, "destination": {"id": "route"},
+                 "selectedRelationships": ["success"]},
+                {"source": {"id": "route"}, "destination": {"id": "ext"},
+                 "selectedRelationships": ["matched"]},
+                {"source": {"id": "ext"}, "destination": {"id": "rep"},
+                 "selectedRelationships": ["matched"]},
+                {"source": {"id": "rep"}, "destination": {"id": "dist"},
+                 "selectedRelationships": ["success"]},
+                {"source": {"id": "dist"}, "destination": {"id": "dup"},
+                 "selectedRelationships": ["hot"]},
+            ],
+        }
+    }
+    outs = run_flow(spark, sf_dir, flow)
+    docs = io.load_table(spark, sf_dir, "documents")
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert outs["Route.unmatched"].count() == docs.count() - n_en
+    hot = (n_en * 2 + 2) // 3  # ceil of the 2-of-3 weighted share
+    assert outs["Dup.success"].count() == hot * 3  # original + 2 copies
+    assert outs["Dist.cold"].count() == n_en - hot
+    row = outs["Dup.success"].first()
+    assert "_" in row["first_word"] or row["first_word"].isalpha()
+
+    # inline-XSLT TransformXml
+    flow2 = {
+        "flowContents": {
+            "processors": [
+                {"identifier": "g", "name": "G", "type": "x.GetFile",
+                 "properties": {"Input Directory": "nation"}},
+                {"identifier": "u", "name": "U", "type": "x.UpdateAttribute",
+                 "properties": {"xml": "<d><i>${n_nationkey}</i></d>"}},
+                {"identifier": "t", "name": "T", "type": "x.TransformXml",
+                 "properties": {"Column": "xml", "XSLT Stylesheet": (
+                     '<xsl:stylesheet version="1.0" '
+                     'xmlns:xsl="http://www.w3.org/1999/XSL/Transform">'
+                     '<xsl:template match="d"><r id="{i}"/></xsl:template>'
+                     "</xsl:stylesheet>")}},
+            ],
+            "connections": [
+                {"source": {"id": "g"}, "destination": {"id": "u"},
+                 "selectedRelationships": ["success"]},
+                {"source": {"id": "u"}, "destination": {"id": "t"},
+                 "selectedRelationships": ["success"]},
+            ],
+        }
+    }
+    outs2 = run_flow(spark, sf_dir, flow2)
+    r = outs2["T.success"].orderBy("n_nationkey").first()
+    assert r["transformed"] == f'<r id="{r["n_nationkey"]}" />'
