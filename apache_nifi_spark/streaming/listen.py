@@ -164,6 +164,14 @@ class UdpLandingListener:
     Datagrams are unordered/unreliable by nature — the landing filename
     carries an arrival sequence so downstream EnforceOrder-style
     operators can reconstruct order where the payload allows.
+
+    Receive path is a single tight ``recvfrom`` loop on a socket with an
+    8 MB SO_RCVBUF — a thread-per-datagram server (socketserver's
+    ThreadingUDPServer) stalls the drain under a datagram burst and the
+    kernel silently drops once the receive buffer fills; syslog senders
+    burst by nature, so the listener must drain at line rate and defer
+    everything else (batch flushing happens on the same thread between
+    reads, file I/O amortized over ``batch_size`` datagrams).
     """
 
     def __init__(
@@ -173,7 +181,7 @@ class UdpLandingListener:
         port: int = 0,
         batch_size: int = 1,
     ):
-        import socketserver
+        import socket as _socket
 
         self.landing_dir = landing_dir
         os.makedirs(landing_dir, exist_ok=True)
@@ -181,22 +189,35 @@ class UdpLandingListener:
         self._buf: list[bytes] = []
         self._seq = 0
         self._lock = threading.Lock()
-        listener = self
-
-        class Handler(socketserver.BaseRequestHandler):
-            def handle(self):
-                data = self.request[0]  # (datagram bytes, socket)
-                if data.strip():
-                    listener._datagram(data)
-
-        self._srv = socketserver.ThreadingUDPServer((host, port), Handler)
-        self._srv.daemon_threads = True
-        self._thread = threading.Thread(target=self._srv.serve_forever, daemon=True)
+        self._stop = threading.Event()
+        self._sock = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+        try:
+            self._sock.setsockopt(
+                _socket.SOL_SOCKET, _socket.SO_RCVBUF, 8 * 1024 * 1024
+            )
+        except OSError:
+            pass  # platform cap; the drain loop still keeps up
+        self._sock.bind((host, port))
+        self._sock.settimeout(0.2)  # wake periodically to observe _stop
+        self._thread = threading.Thread(target=self._recv_loop, daemon=True)
         self._thread.start()
+
+    def _recv_loop(self) -> None:
+        import socket as _socket
+
+        while not self._stop.is_set():
+            try:
+                data, _ = self._sock.recvfrom(65535)
+            except _socket.timeout:
+                continue
+            except OSError:
+                break  # socket closed under us during stop()
+            if data.strip():
+                self._datagram(data)
 
     @property
     def port(self) -> int:
-        return self._srv.server_address[1]
+        return self._sock.getsockname()[1]
 
     def _datagram(self, data: bytes) -> None:
         with self._lock:
@@ -221,6 +242,7 @@ class UdpLandingListener:
             self._flush_locked()
 
     def stop(self) -> None:
-        self._srv.shutdown()
-        self._srv.server_close()
+        self._stop.set()
+        self._thread.join(timeout=2)
+        self._sock.close()
         self.flush()

@@ -73,6 +73,7 @@ def run_bench(sf_dir: str) -> dict:
         spark.conf.set("spark.sql.files.openCostInBytes", "1m")
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     # Warm the JVM + parquet footers once with the flagship.
     QUERIES["flagship_revenue"](spark, sf_dir).collect()
 
@@ -90,24 +91,41 @@ def run_bench(sf_dir: str) -> dict:
         if only and name not in only:
             continue
         best = float("inf")
-        for _ in range(runs):
+        # A query that throws (transient port/UDP/external-transport flake)
+        # must not abort the whole suite: retry it once, and if it fails
+        # again record the error and move on — one flaky transport query
+        # costing its own timing beats an rc=1 run costing all of them
+        # (the round-3 driver bench died exactly this way).
+        for attempt in range(runs + 1):
             t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            # noop sink: materializes every output row/column on executors
-            # without shipping results to the driver — measures the plan.
-            df.write.mode("overwrite").format("noop").save()
+            try:
+                df = fn(spark, sf_dir)
+                # noop sink: materializes every output row/column on
+                # executors without shipping results to the driver —
+                # measures the plan.
+                df.write.mode("overwrite").format("noop").save()
+            except Exception as e:  # noqa: BLE001
+                if attempt >= runs and best == float("inf"):
+                    errors[name] = f"{type(e).__name__}: {str(e)[:200]}"
+                continue
             best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            if attempt + 1 >= runs:
+                break
+        if best < float("inf"):
+            timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
 
     spark.stop()
-    return {
+    out = {
         "metric": "suite_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
     }
+    if errors:
+        out["errors"] = errors
+    return out
 
 
 if __name__ == "__main__":
@@ -140,6 +158,7 @@ if __name__ == "__main__":
                 "sf": result["sf"],
                 "n_queries": len(result["queries"]),
                 "full": artifact,
+                **({"errors": result["errors"]} if "errors" in result else {}),
             }
         )
     )
