@@ -39,6 +39,7 @@ from apache_nifi_spark.llm.text import (  # noqa: F401
     language_id,
     quality_score,
     quality_logit,
+    unigram_logprob,
     rolling_fingerprint,
     chunk_sliding,
     pii_redact,

@@ -18,6 +18,7 @@ __all__ = [
     "vocab_topk",
     "language_id",
     "quality_score",
+    "unigram_logprob",
     "rolling_fingerprint",
     "chunk_sliding",
     "pii_redact",
@@ -199,6 +200,63 @@ def quality_logit(
         - F.lit(0.35) * F.abs(mean_wl - F.lit(5.5))
     )
     return df.withColumns({out_col: logit, "keep": logit > 0})
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: DataFrame | None = None,
+    out_col: str = "mean_logprob",
+) -> DataFrame:
+    """Corpus-trained unigram language-model scoring (the CCNet/KenLM-style
+    perplexity filter of a pretraining pipeline, §2.12 quality tier):
+    train token frequencies on the corpus itself (or score against a
+    ``vocab`` trained elsewhere — the cross-corpus filtering setup), then
+    score each document by its mean token log-probability under Laplace
+    smoothing: p(t) = (c(t)+1) / (T+V).  Out-of-vocabulary tokens get the
+    smoothed floor 1/(T+V).  Low scores flag gibberish/boilerplate; the
+    companion ``ppl = exp(-mean_logprob)`` is the familiar perplexity.
+
+    Shape at 100 TB: training is a two-stage hash agg (map-side combine
+    collapses each partition to its distinct tokens before one small
+    exchange — vocabulary ≪ token count); scoring joins the exploded
+    token stream to the vocabulary BROADCAST (no shuffle on the 100 TB
+    side), then one partial/final agg back to doc grain.  Both rounded
+    to 6 dp — double addition order is partition-dependent, same policy
+    as text_char_entropy.
+    """
+    from pyspark.sql import functions as _F  # local alias keeps Column algebra clear
+
+    tokens = df.select(
+        id_col,
+        _F.explode(
+            _F.filter(
+                _F.split(_F.lower(_F.col(text_col)), r"[^a-z0-9']+", -1),
+                lambda t: t != "",
+            )
+        ).alias("token"),
+    )
+    if vocab is None:
+        vocab = tokens.groupBy("token").agg(_F.count(_F.lit(1)).alias("c"))
+    stats = vocab.agg(
+        _F.sum("c").alias("t_total"), _F.count(_F.lit(1)).alias("v_size")
+    )
+    denom = (_F.col("t_total") + _F.col("v_size")).cast("double")
+    scored = (
+        tokens.join(F.broadcast(vocab), "token", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            _F.log((_F.coalesce(_F.col("c"), _F.lit(0)) + 1).cast("double") / denom)
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        _F.count(_F.lit(1)).alias("n_tokens"),
+        _F.round(_F.sum("lp") / _F.count(_F.lit(1)), 6).alias(out_col),
+        _F.round(_F.exp(-_F.sum("lp") / _F.count(_F.lit(1))), 6).alias("ppl"),
+    )
 
 
 def chunk_sliding(

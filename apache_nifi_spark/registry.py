@@ -1544,6 +1544,42 @@ def corpus_vocab_topk_q(spark, sf_dir):
     return vocab_topk(_t(spark, sf_dir, "documents"), k=100)
 
 
+@register(
+    "text_unigram_logprob",
+    oracle=r"""
+    WITH tok AS (
+      SELECT d.doc_id, t.token
+      FROM documents d,
+           unnest(list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9'']+'),
+                              x -> x != '')) AS t(token)
+    ),
+    v AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+    s AS (SELECT SUM(c) AS t_total, COUNT(*) AS v_size FROM v)
+    SELECT tok.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(SUM(ln(CAST(v.c + 1 AS DOUBLE)
+                        / CAST(s.t_total + s.v_size AS DOUBLE))) / COUNT(*), 6)
+             AS mean_logprob,
+           round(exp(-SUM(ln(CAST(v.c + 1 AS DOUBLE)
+                             / CAST(s.t_total + s.v_size AS DOUBLE))) / COUNT(*)), 6)
+             AS ppl
+    FROM tok JOIN v USING (token), s
+    GROUP BY tok.doc_id
+    """,
+)
+def text_unigram_logprob_q(spark, sf_dir):
+    """Unigram LM document scoring (§2.12 quality tier): the CCNet/KenLM-
+    style perplexity filter — train token frequencies on the corpus, score
+    each doc by mean Laplace-smoothed token log-prob (+ perplexity).
+    Training = two-stage hash agg; scoring = broadcast vocab join (no
+    shuffle on the corpus side) + one partial/final agg back to doc
+    grain; see llm/text.unigram_logprob."""
+    from apache_nifi_spark.llm import unigram_logprob
+
+    d = io.widen_if_narrow(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return unigram_logprob(d)
+
+
 def _minhash_lsh_oracle(num_perm: int = 64, bands: int = 16, threshold: float = 0.6) -> str:
     """Generate the full MinHash-LSH oracle: DuckDB rebuilds identical
     5-char shingles, 60-bit md5 shingle hashes, the 64-perm signature

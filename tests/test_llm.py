@@ -277,6 +277,40 @@ def test_pii_redact_common_phone_formats(spark):
         assert got[i] == want, f"doc {i}: {got[i]!r} != {want!r}"
 
 
+def test_unigram_logprob_smoothing_and_oov(spark):
+    """Cross-corpus scoring: OOV tokens get the smoothed floor 1/(T+V);
+    a doc made of common tokens scores strictly higher than one of OOV
+    gibberish, and a hand-computed tiny case is exact."""
+    import math
+
+    from apache_nifi_spark.llm import unigram_logprob
+
+    corpus = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b b c")], "doc_id long, text string"
+    )
+    # vocab: a=4, b=3, c=1 → T=8, V=3, denom=11
+    vocab = (
+        corpus.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    new_docs = spark.createDataFrame(
+        [(10, "a a"), (11, "zz qq")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in unigram_logprob(new_docs, vocab=vocab).collect()
+    }
+    # doc 10: two 'a' tokens → mean ln(5/11)
+    assert out[10]["n_tokens"] == 2
+    assert abs(out[10]["mean_logprob"] - round(math.log(5 / 11), 6)) < 1e-9
+    # doc 11: two OOV tokens → mean ln(1/11), strictly lower
+    assert abs(out[11]["mean_logprob"] - round(math.log(1 / 11), 6)) < 1e-9
+    assert out[10]["mean_logprob"] > out[11]["mean_logprob"]
+    # perplexity inverts the mean: exp(-mean)
+    assert abs(out[11]["ppl"] - round(math.exp(-math.log(1 / 11)), 6)) < 1e-5
+
+
 def test_stratified_hash_rates_and_determinism(spark):
     from apache_nifi_spark.operators.sample import sample_stratified_hash
 
