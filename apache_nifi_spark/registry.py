@@ -410,6 +410,50 @@ def join_enrichment_sql_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _geohash_oracle() -> str:
+    """Build the GeohashRecord oracle from the engine's own closed-form
+    SQL fragments (functions/geo.geohash_oracle_sql) — both engines run
+    the SAME arithmetic, so the check is of the pipeline, not of two
+    geohash implementations agreeing by luck."""
+    from apache_nifi_spark.functions.geo import geohash_oracle_sql
+
+    x, y, z, digits = geohash_oracle_sql(8)
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             (c_custkey % 17000) / 100.0 - 85.0  AS lat,
+             ((c_custkey * 7) % 35000) / 100.0 - 175.0 AS lon
+      FROM customer
+    ),
+    b AS (SELECT c_custkey, lat, lon, {x} AS gx, {y} AS gy FROM pts),
+    w AS (SELECT c_custkey, lat, lon, {z} AS gz FROM b)
+    SELECT c_custkey, round(lat, 6) AS lat, round(lon, 6) AS lon,
+           {digits} AS geohash
+    FROM w
+    """
+
+
+@register("geohash_record_encode", oracle=_geohash_oracle())
+def geohash_record_q(spark, sf_dir):
+    """GeohashRecord (§2.4 [2.7.2-surface, nifi-geohash bundle]): encode
+    each record's (lat, lon) to a precision-8 geohash — closed-form bit
+    arithmetic, no UDF, map-only (functions/geo).  Coordinates derive
+    deterministically from c_custkey so the fixture needs no geo column."""
+    from apache_nifi_spark.functions.geo import geohash_record
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") % 17000) / F.lit(100.0) - F.lit(85.0)).alias("lat"),
+        ((F.col("c_custkey") * 7 % 35000) / F.lit(100.0) - F.lit(175.0)).alias("lon"),
+    )
+    return geohash_record(c).select(
+        "c_custkey",
+        F.round("lat", 6).alias("lat"),
+        F.round("lon", 6).alias("lon"),
+        "geohash",
+    )
+
+
 @register(
     "range_join_price_bands",
     oracle="""

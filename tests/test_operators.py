@@ -472,3 +472,29 @@ def test_kmv_approx_distinct_accuracy(spark, sf_dir):
     again = {r["event_type"]: r["approx_users"]
              for r in QUERIES["approx_distinct_users"](spark, sf_dir).collect()}
     assert again == {et: r["approx_users"] for et, r in out.items()}
+
+
+def test_geohash_known_value_and_roundtrip(spark):
+    """The canonical example (lat 42.6, lon -5.6 → 'ezs42' at precision 5,
+    from the public geohash spec), plus decode(encode(p)) lands within
+    half a cell of p for a grid of points including the ±edges."""
+    from apache_nifi_spark.functions.geo import geohash_decode, geohash_encode
+
+    known = spark.createDataFrame([(42.6, -5.6)], "lat double, lon double")
+    got = known.select(geohash_encode(F.col("lat"), F.col("lon"), 5).alias("g")).head()
+    assert got["g"] == "ezs42"
+
+    pts = [
+        (la, lo)
+        for la in (-90.0, -45.5, 0.0, 37.7749, 89.999)
+        for lo in (-180.0, -122.4194, 0.0, 139.6917, 179.999)
+    ]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    lat_c, lon_c = geohash_decode(
+        geohash_encode(F.col("lat"), F.col("lon"), 8), 8
+    )
+    out = df.select("lat", "lon", lat_c.alias("dlat"), lon_c.alias("dlon")).collect()
+    # precision 8 → lat cell 180/2^20 deg, lon cell 360/2^20 deg
+    for r in out:
+        assert abs(r["dlat"] - r["lat"]) <= 180.0 / (1 << 20) / 2 + 1e-12
+        assert abs(r["dlon"] - r["lon"]) <= 360.0 / (1 << 20) / 2 + 1e-12
