@@ -1,0 +1,287 @@
+"""ValidateJson (§2.3 [2.7.2-surface]: validate raw JSON documents
+against a JSON Schema, route valid/invalid with the first violation).
+
+A JSON-Schema SUBSET compiles to column predicates in ONE traversal that
+emits BOTH backends — a Spark ``Column`` over the variant encoding
+(``try_parse_json`` + ``try_variant_get`` + ``schema_of_variant``) and
+the equivalent DuckDB SQL over ``json_type``/``json_extract`` — so the
+oracle checks the pipeline, not two independent validator
+implementations agreeing by luck.  The SQL backend is generated without
+touching the Spark session (oracle strings are built at registry import
+time, before any SparkContext exists).
+
+Supported keywords (the record-validation core): ``type`` (object,
+array, string, number, integer, boolean, null), ``required``,
+``properties`` (recursive), ``enum`` (strings), ``minimum``/``maximum``,
+``minLength``/``maxLength``, ``pattern``, ``minItems``/``maxItems``.
+Deliberate gaps (documented): per-element ``items`` schemas (variant
+paths are literals — no dynamic index), ``allOf``/``anyOf``/``$ref``.
+
+Semantics notes:
+- ``integer`` means zero-fractional-part number (draft 2020-12): Spark's
+  variant canonicalizes ``1.0`` to DECIMAL(1,0) and the DuckDB side
+  mirrors with ``floor(x) = x`` on DOUBLE.
+- keyword checks are vacuous on the wrong type (spec behavior): e.g.
+  ``minimum`` passes for strings; ``required`` inside a nested object
+  applies only when that object exists and is an object.
+- validation order is schema-document order, so "first error" is
+  deterministic and engine-identical.
+- well-formedness on the Spark side is variant leniency: a LEADING valid
+  JSON value parses even with trailing garbage (Spark's try_parse_json),
+  where DuckDB's TRY_CAST rejects the whole document — keep malformed
+  fixtures structural (truncation) if oracle parity matters.
+
+Scale: map-only column expressions, no UDF, no shuffle — validation of
+100 TB of raw JSON runs at scan bandwidth inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+
+__all__ = ["compile_json_schema", "json_schema_sql", "validate_json"]
+
+#: JSON types a ``type:`` keyword may name.
+_TYPES = {"object", "array", "string", "number", "integer", "boolean", "null"}
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+class _Rule:
+    """One compiled check: label + an ok-predicate per backend.  The
+    Spark side is a thunk so SQL-only compilation never imports a live
+    session's functions."""
+
+    __slots__ = ("label", "ok_col", "ok_sql")
+
+    def __init__(self, label: str, ok_col: Callable[[], Column] | None, ok_sql: str):
+        self.label = label
+        self.ok_col = ok_col
+        self.ok_sql = ok_sql
+
+
+def _canon_sql(doc: str, path: str) -> str:
+    """Canonical JSON type name of a field (DuckDB backend)."""
+    jt = f"json_type({doc}, {_sql_quote(path)})"
+    num = f"TRY_CAST(json_extract({doc}, {_sql_quote(path)}) AS DOUBLE)"
+    return f"""(CASE
+        WHEN {jt} IS NULL THEN 'missing'
+        WHEN {jt} = 'NULL' THEN 'null'
+        WHEN {jt} IN ('BIGINT', 'UBIGINT') THEN 'integer'
+        WHEN {jt} = 'DOUBLE' THEN CASE WHEN floor({num}) = {num}
+                                       THEN 'integer' ELSE 'number' END
+        WHEN {jt} = 'VARCHAR' THEN 'string'
+        WHEN {jt} = 'BOOLEAN' THEN 'boolean'
+        WHEN {jt} = 'ARRAY' THEN 'array'
+        ELSE 'object' END)"""
+
+
+class _SparkSide:
+    """Lazy builders over one document column (imported only when the
+    Spark backend is actually requested)."""
+
+    def __init__(self, doc_col: str):
+        from pyspark.sql import functions as F
+
+        self.F = F
+        self.root = F.try_parse_json(F.col(doc_col))
+
+    def var(self, path: str) -> Column:
+        return self.F.try_variant_get(self.root, path, "variant")
+
+    def canon(self, path: str) -> Column:
+        F, var = self.F, self.var(path)
+        t = F.schema_of_variant(var)
+        return (
+            F.when(var.isNull(), F.lit("missing"))
+            .when(F.is_variant_null(var), F.lit("null"))
+            .when(t == "BIGINT", F.lit("integer"))
+            .when(t.rlike(r"^DECIMAL\(\d+,0\)$"), F.lit("integer"))
+            .when(t.startswith("DECIMAL") | (t == "DOUBLE"), F.lit("number"))
+            .when(t == "STRING", F.lit("string"))
+            .when(t == "BOOLEAN", F.lit("boolean"))
+            .when(t.startswith("ARRAY"), F.lit("array"))
+            .otherwise(F.lit("object"))
+        )
+
+    def num(self, path: str) -> Column:
+        F = self.F
+        return F.when(
+            self.canon(path).isin("integer", "number"),
+            F.try_variant_get(self.root, path, "double"),
+        )
+
+    def s(self, path: str) -> Column:
+        return self.F.try_variant_get(self.root, path, "string")
+
+    def arr_len(self, path: str) -> Column:
+        F = self.F
+        return F.json_array_length(
+            F.when(self.canon(path) == "array", F.to_json(self.var(path)))
+        )
+
+
+def _compile(
+    schema: dict,
+    sp: _SparkSide | None,
+    doc_sql: str,
+    path: str,
+    rules: list[_Rule],
+) -> None:
+    canon_sql = _canon_sql(doc_sql, path)
+    qp = _sql_quote(path)
+    num_sql = (
+        f"(CASE WHEN {canon_sql} IN ('integer', 'number')"
+        f" THEN TRY_CAST(json_extract({doc_sql}, {qp}) AS DOUBLE) END)"
+    )
+    str_sql = f"json_extract_string({doc_sql}, {qp})"
+    is_str_sql = f"{canon_sql} = 'string'"
+    arr_len_sql = (
+        f"(CASE WHEN {canon_sql} = 'array'"
+        f" THEN json_array_length({doc_sql}, {qp}) END)"
+    )
+
+    def add(label: str, col_thunk: Callable[[], Column] | None, sql: str) -> None:
+        rules.append(_Rule(f"{label}:{path}", col_thunk if sp else None, sql))
+
+    typ = schema.get("type")
+    if typ is not None:
+        if typ not in _TYPES:
+            raise ValueError(f"unsupported type {typ!r} at {path}")
+        accepted = sorted({"integer", "number"} if typ == "number" else {typ})
+        add(
+            "type",
+            lambda accepted=tuple(accepted): sp.canon(path).isin(*accepted)
+            | (sp.canon(path) == "missing"),
+            f"({canon_sql} IN ({', '.join(_sql_quote(a) for a in accepted)})"
+            f" OR {canon_sql} = 'missing')",
+        )
+
+    for name in schema.get("required", ()):
+        sub = f"{path}.{name}" if path != "$" else f"$.{name}"
+        # present = key exists (a JSON null VALUE still counts as
+        # present); vacuous unless this node exists and is an object.
+        rules.append(
+            _Rule(
+                f"required:{sub}",
+                (lambda sub=sub: (sp.canon(path) != "object") | sp.var(sub).isNotNull())
+                if sp
+                else None,
+                f"({canon_sql} <> 'object'"
+                f" OR json_type({doc_sql}, {_sql_quote(sub)}) IS NOT NULL)",
+            )
+        )
+
+    if "minimum" in schema:
+        m = float(schema["minimum"])
+        add(
+            "minimum",
+            lambda m=m: ~sp.canon(path).isin("integer", "number") | (sp.num(path) >= m),
+            f"({canon_sql} NOT IN ('integer', 'number') OR {num_sql} >= {m})",
+        )
+    if "maximum" in schema:
+        m = float(schema["maximum"])
+        add(
+            "maximum",
+            lambda m=m: ~sp.canon(path).isin("integer", "number") | (sp.num(path) <= m),
+            f"({canon_sql} NOT IN ('integer', 'number') OR {num_sql} <= {m})",
+        )
+    if "minLength" in schema:
+        n = int(schema["minLength"])
+        add(
+            "minLength",
+            lambda n=n: (sp.canon(path) != "string") | (sp.F.length(sp.s(path)) >= n),
+            f"(NOT {is_str_sql} OR length({str_sql}) >= {n})",
+        )
+    if "maxLength" in schema:
+        n = int(schema["maxLength"])
+        add(
+            "maxLength",
+            lambda n=n: (sp.canon(path) != "string") | (sp.F.length(sp.s(path)) <= n),
+            f"(NOT {is_str_sql} OR length({str_sql}) <= {n})",
+        )
+    if "pattern" in schema:
+        pat = schema["pattern"]
+        add(
+            "pattern",
+            lambda pat=pat: (sp.canon(path) != "string") | sp.s(path).rlike(pat),
+            f"(NOT {is_str_sql} OR regexp_matches({str_sql}, {_sql_quote(pat)}))",
+        )
+    if "enum" in schema:
+        vals = schema["enum"]
+        if not all(isinstance(v, str) for v in vals):
+            raise ValueError(f"enum at {path}: only string enums supported")
+        add(
+            "enum",
+            lambda vals=tuple(vals): (sp.canon(path) != "string") | sp.s(path).isin(*vals),
+            f"(NOT {is_str_sql} OR {str_sql} IN"
+            f" ({', '.join(_sql_quote(v) for v in vals)}))",
+        )
+    if "minItems" in schema:
+        n = int(schema["minItems"])
+        add(
+            "minItems",
+            lambda n=n: (sp.canon(path) != "array") | (sp.arr_len(path) >= n),
+            f"({canon_sql} <> 'array' OR {arr_len_sql} >= {n})",
+        )
+    if "maxItems" in schema:
+        n = int(schema["maxItems"])
+        add(
+            "maxItems",
+            lambda n=n: (sp.canon(path) != "array") | (sp.arr_len(path) <= n),
+            f"({canon_sql} <> 'array' OR {arr_len_sql} <= {n})",
+        )
+
+    for name, sub_schema in schema.get("properties", {}).items():
+        sub = f"{path}.{name}" if path != "$" else f"$.{name}"
+        _compile(sub_schema, sp, doc_sql, sub, rules)
+
+
+def json_schema_sql(schema: dict, doc_sql: str) -> tuple[str, str]:
+    """DuckDB backend only: ``(valid_sql, error_sql)`` over ``doc_sql``.
+    Safe to call with no SparkContext (registry oracles are built at
+    import time)."""
+    rules: list[_Rule] = []
+    # All field accesses go through the TRY_CAST so malformed documents
+    # yield SQL NULLs ('missing' everywhere) instead of a hard
+    # Malformed JSON error — DuckDB's json_type throws on raw text.
+    jdoc = f"TRY_CAST({doc_sql} AS JSON)"
+    _compile(schema, None, jdoc, "$", rules)
+    well_sql = f"({jdoc} IS NOT NULL)"
+    valid_sql = " AND ".join([well_sql] + [r.ok_sql for r in rules])
+    err_parts = [f"WHEN NOT {well_sql} THEN 'malformed'"] + [
+        f"WHEN NOT {r.ok_sql} THEN {_sql_quote(r.label)}" for r in rules
+    ]
+    return f"({valid_sql})", "(CASE " + " ".join(err_parts) + " ELSE NULL END)"
+
+
+def compile_json_schema(schema: dict, doc_col: str = "content") -> tuple[Column, Column]:
+    """Spark backend: ``(valid_col, error_col)`` over the JSON string
+    column ``doc_col`` — validity boolean + first-violation label (null
+    when valid, 'malformed' when unparseable)."""
+    from pyspark.sql import functions as F
+
+    sp = _SparkSide(doc_col)
+    rules: list[_Rule] = []
+    _compile(schema, sp, "ignored", "$", rules)
+
+    well_col = sp.root.isNotNull()
+    valid_col = well_col
+    for r in rules:
+        valid_col = valid_col & r.ok_col()
+    err_col = F.when(~well_col, F.lit("malformed"))
+    for r in rules:
+        err_col = err_col.when(~r.ok_col(), F.lit(r.label))
+    return valid_col, err_col
+
+
+def validate_json(df: DataFrame, schema: dict, doc_col: str = "content") -> DataFrame:
+    """The processor surface: append ``valid`` and ``validation_error``
+    and route like NiFi's valid/invalid relationships
+    (``df.filter("valid")`` / ``df.filter("NOT valid")``)."""
+    valid_col, err_col = compile_json_schema(schema, doc_col)
+    return df.withColumns({"valid": valid_col, "validation_error": err_col})

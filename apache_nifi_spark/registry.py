@@ -333,6 +333,120 @@ def validate_record_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: ValidateJson fixture schema — exercises type/required/range/length/
+#: pattern/enum and a nested object with its own required.
+_VALIDATE_JSON_SCHEMA = {
+    "type": "object",
+    "required": ["event_id", "user_id", "event_type", "value"],
+    "properties": {
+        "event_id": {"type": "integer", "minimum": 0},
+        "user_id": {"type": "integer"},
+        "event_type": {
+            "type": "string",
+            "minLength": 3,
+            "maxLength": 24,
+            "pattern": "^[a-z_]+$",
+        },
+        "value": {"type": "number", "minimum": 0.0, "maximum": 100000.0},
+        "meta": {
+            "type": "object",
+            "required": ["src"],
+            "properties": {"src": {"type": "string", "enum": ["events", "backfill"]}},
+        },
+    },
+}
+
+
+def _validate_json_oracle() -> str:
+    """Oracle from the SAME compiled schema (functions/json_schema): the
+    doc-building CTE mirrors the Spark-side string construction
+    (integer-cents arithmetic, engine-identical), then valid/error come
+    from the compiler's DuckDB backend."""
+    from apache_nifi_spark.functions.json_schema import json_schema_sql
+
+    valid_sql, err_sql = json_schema_sql(_VALIDATE_JSON_SCHEMA, "doc")
+    return f"""
+    WITH c AS (
+      SELECT event_id, user_id, event_type,
+             CAST(floor(abs(value) * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    whole_docs AS (
+      SELECT event_id,
+             '{{"event_id": ' || CAST(event_id AS VARCHAR)
+             || CASE WHEN event_id % 7 = 0 THEN ''
+                     ELSE ', "user_id": ' || CAST(user_id AS VARCHAR) END
+             || ', "event_type": "' || event_type || '"'
+             || ', "value": '
+             || CASE WHEN event_id % 11 = 0 THEN '"' ELSE '' END
+             || CASE WHEN event_id % 13 = 0 THEN '-' ELSE '' END
+             || CAST(cents // 100 AS VARCHAR) || '.'
+             || lpad(CAST(cents % 100 AS VARCHAR), 2, '0')
+             || CASE WHEN event_id % 11 = 0 THEN '"' ELSE '' END
+             || ', "meta": {{'
+             || CASE WHEN event_id % 19 = 0 THEN ''
+                     ELSE '"src": "events"' END
+             || '}}}}' AS whole
+      FROM c
+    ),
+    built AS (
+      SELECT event_id,
+             CASE WHEN event_id % 17 = 0
+                  THEN substr(whole, 1, length(whole) - 1)
+                  ELSE whole END AS doc
+      FROM whole_docs
+    )
+    SELECT event_id, doc, {valid_sql} AS valid, {err_sql} AS validation_error
+    FROM built
+    """
+
+
+@register("validate_json_schema", oracle=_validate_json_oracle())
+def validate_json_schema_q(spark, sf_dir):
+    """ValidateJson (§2.3 [2.7.2-surface]): JSON-Schema-subset validation
+    of raw JSON documents, first violation labeled, valid/invalid
+    routable.  Docs derive from events with deterministically injected
+    defects (dropped required key, wrong type, range violation, nested
+    required, malformed tail); the schema compiles ONCE for both engines
+    (functions/json_schema)."""
+    from apache_nifi_spark.functions.json_schema import validate_json
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.abs(F.col("value")) * 100).cast("bigint")
+    mod = lambda n: F.col("event_id") % n == 0  # noqa: E731
+    val_str = F.concat(
+        (cents / 100).cast("bigint").cast("string"),
+        F.lit("."),
+        F.lpad((cents % 100).cast("string"), 2, "0"),
+    )
+    doc = F.concat(
+        F.lit('{"event_id": '),
+        F.col("event_id").cast("string"),
+        F.when(mod(7), F.lit("")).otherwise(
+            F.concat(F.lit(', "user_id": '), F.col("user_id").cast("string"))
+        ),
+        F.lit(', "event_type": "'),
+        F.col("event_type"),
+        F.lit('"'),
+        F.lit(', "value": '),
+        F.when(mod(11), F.lit('"')).otherwise(F.lit("")),
+        F.when(mod(13), F.lit("-")).otherwise(F.lit("")),
+        val_str,
+        F.when(mod(11), F.lit('"')).otherwise(F.lit("")),
+        F.lit(', "meta": {'),
+        F.when(mod(19), F.lit("")).otherwise(F.lit('"src": "events"')),
+        F.lit("}}"),
+    )
+    # Malformed injection by TRUNCATION (drop the closing brace): both
+    # engines reject a truncated value, where trailing garbage splits
+    # them (Spark's variant parser accepts a leading valid value).
+    doc = F.when(mod(17), doc.substr(F.lit(1), F.length(doc) - 1)).otherwise(doc)
+    built = ev.select("event_id", doc.alias("doc"))
+    return validate_json(built, _VALIDATE_JSON_SCHEMA, doc_col="doc").select(
+        "event_id", "doc", "valid", "validation_error"
+    )
+
+
 # =====================================================================
 # Joins & enrichment (§2.6)
 # =====================================================================

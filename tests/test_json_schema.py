@@ -1,0 +1,85 @@
+"""ValidateJson compiler tests: keyword semantics the registry fixture
+doesn't reach (arrays, enum misses, vacuous checks, first-error order).
+"""
+
+from __future__ import annotations
+
+from apache_nifi_spark.functions.json_schema import json_schema_sql, validate_json
+
+SCHEMA = {
+    "type": "object",
+    "required": ["id"],
+    "properties": {
+        "id": {"type": "integer", "minimum": 1},
+        "tags": {"type": "array", "minItems": 1, "maxItems": 3},
+        "kind": {"type": "string", "enum": ["a", "b"]},
+        "score": {"type": "number", "maximum": 10},
+        "name": {"type": "string", "minLength": 2, "pattern": "^[A-Z]"},
+        "flag": {"type": "boolean"},
+    },
+}
+
+DOCS = {
+    "ok": '{"id": 3, "tags": ["x"], "kind": "a", "score": 9.5, "name": "Bo", "flag": true}',
+    "int_as_float": '{"id": 4.0}',  # 4.0 IS an integer (zero fraction)
+    "id_frac": '{"id": 4.5}',
+    "id_low": '{"id": 0}',
+    "no_id": '{"kind": "a"}',
+    "too_many_tags": '{"id": 1, "tags": [1, 2, 3, 4]}',
+    "empty_tags": '{"id": 1, "tags": []}',
+    "bad_enum": '{"id": 1, "kind": "z"}',
+    "bad_pattern": '{"id": 1, "name": "bo"}',
+    "short_name": '{"id": 1, "name": "B"}',
+    "flag_str": '{"id": 1, "flag": "true"}',
+    "vacuous_nonstring_enum": '{"id": 1, "kind": 7}',  # enum vacuous; type fails
+    "null_id": '{"id": null}',  # present (required ok) but type fails
+    "truncated": '{"id": 1',
+}
+
+EXPECTED = {
+    "ok": (True, None),
+    "int_as_float": (True, None),
+    "id_frac": (False, "type:$.id"),
+    "id_low": (False, "minimum:$.id"),
+    "no_id": (False, "required:$.id"),
+    "too_many_tags": (False, "maxItems:$.tags"),
+    "empty_tags": (False, "minItems:$.tags"),
+    "bad_enum": (False, "enum:$.kind"),
+    "bad_pattern": (False, "pattern:$.name"),
+    "short_name": (False, "minLength:$.name"),
+    "flag_str": (False, "type:$.flag"),
+    "vacuous_nonstring_enum": (False, "type:$.kind"),
+    "null_id": (False, "type:$.id"),
+    "truncated": (False, "malformed"),
+}
+
+
+def test_validate_json_keyword_matrix(spark):
+    df = spark.createDataFrame(list(DOCS.items()), "k string, content string")
+    out = {
+        r["k"]: (r["valid"], r["validation_error"])
+        for r in validate_json(df, SCHEMA).collect()
+    }
+    assert out == EXPECTED
+
+
+def test_sql_backend_agrees_on_matrix():
+    import duckdb
+
+    valid_sql, err_sql = json_schema_sql(SCHEMA, "content")
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT k, " + valid_sql + ", " + err_sql + " FROM (VALUES "
+        + ", ".join(f"('{k}', '{v}')" for k, v in DOCS.items())
+        + ") t(k, content)"
+    ).fetchall()
+    assert {k: (v, e) for k, v, e in rows} == EXPECTED
+
+
+def test_unsupported_keywords_raise():
+    import pytest
+
+    with pytest.raises(ValueError):
+        json_schema_sql({"type": "tuple"}, "c")
+    with pytest.raises(ValueError):
+        json_schema_sql({"enum": [1, 2]}, "c")
