@@ -2548,6 +2548,72 @@ def put_tcp_roundtrip_q(spark, sf_dir):
 
 
 @register(
+    "put_websocket_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM events WHERE event_id % 45 = 0
+    GROUP BY event_type
+    """,
+)
+def put_websocket_roundtrip_q(spark, sf_dir):
+    """PutWebSocket → ListenWebSocket over real RFC 6455 frames
+    (§2.1/§2.2): executor partitions each open one connection, run the
+    actual Upgrade handshake, and ship every record as a masked text
+    frame; WebSocketLandingServer reassembles and lands messages
+    durably; the landing zone reads back and aggregates.  Oracle
+    equality proves handshake → mask → frame → land is lossless
+    (streaming/websocket.py)."""
+    import glob
+    import tempfile
+    import time
+
+    from apache_nifi_spark.streaming.websocket import (
+        WebSocketLandingServer,
+        put_websocket,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 45 == 0)
+    lines = ev.select(
+        F.concat_ws(
+            ",",
+            F.col("event_id").cast("string"),
+            "event_type",
+            F.col("value").cast("string"),
+        ).alias("content")
+    )
+    landing = tempfile.mkdtemp(prefix="anspark_putws_")
+    server = WebSocketLandingServer(landing)
+    n_sent = (
+        put_websocket(lines, "127.0.0.1", server.port, "content")
+        .filter("sent")
+        .count()
+    )
+    assert n_sent == ev.count()
+    deadline = time.monotonic() + 15
+    while time.monotonic() < deadline:
+        landed = sum(
+            sum(1 for ln in open(p, "rb").read().splitlines() if ln.strip())
+            for p in glob.glob(f"{landing}/*")
+        )
+        if landed >= n_sent:
+            break
+        time.sleep(0.05)
+    else:
+        raise TimeoutError(f"landing zone has {landed} of {n_sent} messages")
+    back = spark.read.text(landing)
+    rec = back.select(
+        F.from_csv(
+            F.col("value"), "event_id bigint, event_type string, value double"
+        ).alias("r")
+    ).select("r.*")
+    return rec.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), _dsum(F.col("value"), "total_value")
+    )
+
+
+@register(
     "multimodal_pipeline_route",
     oracle="""
     SELECT doc_id,

@@ -33,6 +33,10 @@ from apache_nifi_spark.streaming.listen import (  # noqa: F401
     stream_json_landing,
 )
 from apache_nifi_spark.streaming.jdbc_sink import stream_to_jdbc  # noqa: F401,E402
+from apache_nifi_spark.streaming.websocket import (  # noqa: F401,E402
+    WebSocketLandingServer,
+    put_websocket,
+)
 from apache_nifi_spark.streaming.web_service import (  # noqa: F401
     HttpContextMap,
     HttpRequestResponseService,
