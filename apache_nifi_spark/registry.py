@@ -2548,6 +2548,50 @@ def put_tcp_roundtrip_q(spark, sf_dir):
 
 
 @register(
+    "convert_excel_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 50 = 0
+    """,
+)
+def convert_excel_roundtrip_q(spark, sf_dir):
+    """ExcelReader / ConvertExcelToCSV (§2.2 [nifi-poi surface]) with a
+    dependency-free xlsx codec (sources/excel_codec): orders serialize
+    to one real SpreadsheetML workbook per priority (applyInPandas),
+    then the workbooks parse back to records (mapInPandas over binary
+    content, shared-string table resolved, cell refs aligning columns).
+    Oracle identity over the original rows proves the round trip is
+    lossless, numbers bit-exact via repr round-tripping."""
+    from apache_nifi_spark.sources.excel_codec import (
+        excel_to_records,
+        records_to_excel,
+    )
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    # The group key rides INSIDE the workbook as a column, so the parse
+    # needs no re-join to make the output whole.
+    books = records_to_excel(
+        o,
+        "o_orderpriority",
+        ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"],
+    )
+    parsed = excel_to_records(
+        books.select("workbook"),
+        "workbook",
+        "o_orderkey double, o_custkey double, o_totalprice double,"
+        " o_orderpriority string",
+    )
+    return parsed.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("o_custkey").cast("bigint").alias("o_custkey"),
+        "o_totalprice",
+        "o_orderpriority",
+    )
+
+
+@register(
     "put_websocket_roundtrip",
     oracle="""
     SELECT event_type,
