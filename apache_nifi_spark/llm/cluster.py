@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "near_dup_clusters"]
+__all__ = ["connected_components", "near_dup_clusters", "kmeans_fixed_point"]
 
 
 def connected_components(
@@ -175,4 +175,89 @@ def near_dup_clusters(
         F.col("id").alias(id_col),
         F.col("component").alias("cluster_id"),
         (F.col("id") == F.col("component")).alias("is_rep"),
+    )
+
+
+def kmeans_fixed_point(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+    scale: int = 1000,
+) -> DataFrame:
+    """Semantic corpus clustering (SemDeDup-style curation, SURVEY.md
+    §2.12): Lloyd's k-means over an embedding column, made
+    ENGINE-DETERMINISTIC by fixed-point arithmetic — embeddings quantize
+    to integers (``floor(x * scale)``), distances are integer squared
+    L2, and centroid updates are ``floor(sum / count)`` per dimension.
+    Integer sums are addition-order-independent, so the result is
+    bit-identical on any engine and any partitioning — which is what
+    makes the operator value-oracle-able (float k-means is not: its
+    mean reductions drift by partition order) and its runs reproducible
+    (a data-curation requirement: re-clustering the same corpus must
+    yield the same shards).
+
+    Ties (equidistant centroids) break toward the lower cluster id;
+    initial centroids are the ``k`` lowest-id vectors (deterministic
+    init — swap in k-means|| sampling at scale if desired, determinism
+    then costs a seed).
+
+    Scale shape: the assignment step is a BROADCAST join (K×dim
+    integers), map-side only; the update step shuffles K×dim partial
+    sums (two-stage agg), not the data.  Iterations unroll into one
+    lazy plan — nothing is collected to the driver.
+
+    Returns (id, cluster, dist) — dist is the final integer squared
+    distance, the SemDeDup "keep nearest to centroid" signal.
+    """
+    q = df.select(
+        F.col(id_col).alias("_id"),
+        F.expr(
+            f"transform({vec_col}, x -> cast(floor(cast(x as double) * {scale})"
+            " as bigint))"
+        ).alias("qv"),
+    )
+    from pyspark.sql import Window
+
+    init_w = Window.orderBy("_id")
+    centroids = (
+        q.orderBy("_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(init_w) - 1).cast("bigint").alias("cluster"),
+            F.col("qv").alias("cv"),
+        )
+    )
+    dist_expr = (
+        "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)),"
+        " cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    assigned = None
+    for _ in range(iters):
+        scored = q.crossJoin(F.broadcast(centroids)).withColumn(
+            "dist", F.expr(dist_expr)
+        )
+        pick_w = Window.partitionBy("_id").orderBy("dist", "cluster")
+        assigned = (
+            scored.withColumn("_rn", F.row_number().over(pick_w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "cv")
+        )
+        dims = assigned.select(
+            "cluster", F.posexplode("qv").alias("pos", "val")
+        )
+        means = dims.groupBy("cluster", "pos").agg(
+            F.floor(
+                F.sum("val").cast("double") / F.count(F.lit(1))
+            ).cast("bigint").alias("m")
+        )
+        centroids = means.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cv")
+        )
+    return assigned.select(
+        F.col("_id").alias(id_col), "cluster", "dist"
     )

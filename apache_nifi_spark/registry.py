@@ -1738,6 +1738,73 @@ def text_unigram_logprob_q(spark, sf_dir):
     return unigram_logprob(d)
 
 
+def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64, scale: int = 1000) -> str:
+    """Unrolled fixed-point k-means oracle: the same integer arithmetic
+    (quantize → integer squared L2 → floor-mean centroids) as
+    llm/cluster.kmeans_fixed_point, one CTE block per Lloyd iteration.
+    Integer sums are order-independent, so both engines agree exactly."""
+    dist = (
+        "list_reduce(list_transform(generate_series(1, len(q.qv)),"
+        " i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])), (a, b) -> a + b)"
+    )
+    blocks = [
+        f"""q AS (
+      SELECT vec_id AS id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY id) - 1 AS cluster, qv AS cv
+      FROM (SELECT * FROM q ORDER BY id LIMIT {k})
+    )"""
+    ]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        blocks.append(
+            f"""s{it} AS (
+      SELECT q.id, q.qv, c.cluster, {dist} AS dist
+      FROM q, {prev} c
+    ),
+    a{it} AS (
+      SELECT id, qv, cluster, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, cluster) AS rn
+        FROM s{it}
+      ) WHERE rn = 1
+    ),
+    e{it} AS (
+      SELECT cluster, i AS pos, qv[i] AS val
+      FROM a{it}, generate_series(1, {dim}) t(i)
+    ),
+    m{it} AS (
+      SELECT cluster, pos,
+             CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS m
+      FROM e{it} GROUP BY cluster, pos
+    ),
+    c{it} AS (
+      SELECT cluster, list(m ORDER BY pos) AS cv FROM m{it} GROUP BY cluster
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + f"\n    SELECT id AS vec_id, cluster, dist FROM a{iters}"
+    )
+
+
+@register("cluster_kmeans_embeddings", oracle=_kmeans_oracle())
+def cluster_kmeans_q(spark, sf_dir):
+    """Deterministic k-means over the embeddings table (§2.12 semantic
+    curation tier): fixed-point arithmetic makes Lloyd's algorithm
+    bit-identical across engines and partitionings — see
+    llm/cluster.kmeans_fixed_point.  Broadcast assignment + K×dim
+    partial-sum update, iterations unrolled lazily, zero collects."""
+    from apache_nifi_spark.llm import kmeans_fixed_point
+
+    e = _t(spark, sf_dir, "embeddings")
+    return kmeans_fixed_point(e, id_col="vec_id", vec_col="embedding")
+
+
 def _minhash_lsh_oracle(num_perm: int = 64, bands: int = 16, threshold: float = 0.6) -> str:
     """Generate the full MinHash-LSH oracle: DuckDB rebuilds identical
     5-char shingles, 60-bit md5 shingle hashes, the 64-perm signature

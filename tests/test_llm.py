@@ -773,3 +773,23 @@ def test_compress_content_codecs_roundtrip(spark):
 
     with _p.raises(ValueError, match="unsupported codec"):
         compress_content(df, "content", codec="zstd9000")
+
+
+def test_kmeans_fixed_point_partition_invariance_and_blobs(spark):
+    """Fixed-point k-means must be bit-identical under any partitioning
+    (integer sums are order-free), and must separate two obvious blobs."""
+    from apache_nifi_spark.llm import kmeans_fixed_point
+
+    rows = []
+    for i in range(40):
+        base = 0.0 if i % 2 == 0 else 5.0  # two well-separated blobs
+        rows.append((i, [base + ((i * 7 + d) % 10) * 0.01 for d in range(8)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = {r["vec_id"]: (r["cluster"], r["dist"])
+         for r in kmeans_fixed_point(df, k=2, iters=3).collect()}
+    b = {r["vec_id"]: (r["cluster"], r["dist"])
+         for r in kmeans_fixed_point(df.repartition(13), k=2, iters=3).collect()}
+    assert a == b
+    evens = {a[i][0] for i in range(0, 40, 2)}
+    odds = {a[i][0] for i in range(1, 40, 2)}
+    assert len(evens) == 1 and len(odds) == 1 and evens != odds
