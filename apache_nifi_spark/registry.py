@@ -6621,6 +6621,53 @@ def put_email_render_q(spark, sf_dir):
 
 
 @register(
+    "extract_email_headers",
+    oracle="""
+    SELECT o_orderkey AS mid,
+           'noreply@engine.local' AS from_addr,
+           'customer' || CAST(o_custkey AS VARCHAR) || '@example.com' AS to_addr,
+           'Order ' || CAST(o_orderkey AS VARCHAR) || ' ' || o_orderstatus AS subject,
+           CAST(o_orderdate AS TIMESTAMP) AS date_ts,
+           'Total ' || CAST(CAST(o_totalprice AS DECIMAL(27,2)) AS VARCHAR)
+             || ' priority ' || o_orderpriority AS body_text,
+           CAST(0 AS INT) AS n_attachments
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def extract_email_headers_q(spark, sf_dir):
+    """ExtractEmailHeaders (§2.4 [nifi-email bundle]): the render half
+    (sinks/wire.email_mime, byte-exact RFC 5322) feeds the stdlib MIME
+    parser (sources/email_codec) — headers, RFC 5322 date, and the
+    base64 transfer-decoded body all recover exactly; oracle states the
+    expected values directly from the source rows, proving the
+    render → parse cycle is lossless."""
+    from apache_nifi_spark.sinks import wire
+    from apache_nifi_spark.sources.email_codec import parse_email_headers
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    to = F.concat(
+        F.lit("customer"), F.col("o_custkey").cast("string"), F.lit("@example.com")
+    )
+    subject = F.concat(
+        F.lit("Order "), F.col("o_orderkey").cast("string"), F.lit(" "),
+        F.col("o_orderstatus"),
+    )
+    body = F.concat(
+        F.lit("Total "),
+        F.col("o_totalprice").cast("decimal(27,2)").cast("string"),
+        F.lit(" priority "),
+        F.col("o_orderpriority"),
+    )
+    rendered = o.select(
+        F.col("o_orderkey").alias("mid"),
+        wire.email_mime(
+            "noreply@engine.local", to, subject, F.col("o_orderdate"), body
+        ).cast("binary").alias("message"),
+    )
+    return parse_email_headers(rendered, "message", id_col="mid")
+
+
+@register(
     "put_slack_payload",
     oracle="""
     WITH esc AS (

@@ -181,3 +181,43 @@ def test_jms_selector_grammar(spark):
         jms_selector("note = current_date")
     with pytest.raises(ValueError):
         jms_selector("CASE WHEN v > 0 THEN true ELSE false END")
+
+
+def test_extract_email_attachments_multipart(spark):
+    """A real multipart message (stdlib-built, base64 attachments) fans
+    out one row per attachment with decoded payloads; headers parse
+    alongside with the right attachment count."""
+    from email.mime.application import MIMEApplication
+    from email.mime.multipart import MIMEMultipart
+    from email.mime.text import MIMEText
+
+    from apache_nifi_spark.sources.email_codec import (
+        extract_email_attachments,
+        parse_email_headers,
+    )
+
+    def build(mid: int) -> bytes:
+        m = MIMEMultipart()
+        m["From"] = "a@x"
+        m["To"] = "b@y"
+        m["Subject"] = f"msg {mid}"
+        m["Date"] = "Tue, 1 Jul 2025 12:00:00 +0000"
+        m.attach(MIMEText(f"body {mid}", "plain"))
+        for j in range(2):
+            att = MIMEApplication(bytes([mid, j]) * 10, Name=f"f{mid}_{j}.bin")
+            att["Content-Disposition"] = f'attachment; filename="f{mid}_{j}.bin"'
+            m.attach(att)
+        return m.as_bytes()
+
+    df = spark.createDataFrame(
+        [(i, bytearray(build(i))) for i in (1, 2)], "id long, message binary"
+    )
+    heads = {r["id"]: r for r in parse_email_headers(df, "message", id_col="id").collect()}
+    assert heads[1]["subject"] == "msg 1"
+    assert heads[1]["body_text"].strip() == "body 1"
+    assert heads[1]["n_attachments"] == 2
+    atts = extract_email_attachments(df, "message", id_col="id").collect()
+    assert len(atts) == 4
+    got = {(r["id"], r["filename"]): bytes(r["payload"]) for r in atts}
+    assert got[(2, "f2_1.bin")] == bytes([2, 1]) * 10
+    assert all(r["mime_type"] == "application/octet-stream" for r in atts)
