@@ -6620,6 +6620,66 @@ def put_email_render_q(spark, sf_dir):
     )
 
 
+def _parse_cef_oracle() -> str:
+    from apache_nifi_spark.functions.cef import cef_oracle_exprs
+
+    return f"""
+    WITH built AS (
+      SELECT event_id,
+             CASE WHEN event_id % 23 = 0 THEN 'not a cef line'
+                  ELSE 'CEF:0|Engine\\|Corp|anspark|1.0|' || event_type || '|'
+                       || event_type || ' event|'
+                       || CAST(CASE WHEN event_type = 'error' THEN 9 ELSE 3 END
+                               AS VARCHAR)
+                       || '|src=10.0.' || CAST(user_id % 256 AS VARCHAR) || '.5'
+                       || ' spt=' || CAST(1024 + event_id % 40000 AS VARCHAR)
+                       || CASE WHEN event_id % 3 = 0 THEN ' act=allow' ELSE '' END
+                       || ' msg=v=1 ' || event_type || ' observed'
+             END AS content
+      FROM events
+    )
+    SELECT event_id,
+           {cef_oracle_exprs('content')}
+    FROM built
+    """
+
+
+@register("parse_cef_events", oracle=_parse_cef_oracle())
+def parse_cef_q(spark, sf_dir):
+    """ParseCEF (§2.4): ArcSight CEF lines — escaped-pipe header fields,
+    token extensions, trailing free-text msg (which itself contains an
+    '=') — parsed columnar; non-CEF lines yield all-NULL fields.  The
+    oracle shares the module's regex constants (functions/cef), one
+    semantic source for both engines."""
+    from apache_nifi_spark.functions.cef import parse_cef
+
+    ev = _t(spark, sf_dir, "events")
+    sev = F.when(F.col("event_type") == "error", F.lit("9")).otherwise(F.lit("3"))
+    line = F.concat(
+        F.lit("CEF:0|Engine\\|Corp|anspark|1.0|"),
+        F.col("event_type"),
+        F.lit("|"),
+        F.col("event_type"),
+        F.lit(" event|"),
+        sev,
+        F.lit("|src=10.0."),
+        (F.col("user_id") % 256).cast("string"),
+        F.lit(".5 spt="),
+        (F.lit(1024) + F.col("event_id") % 40000).cast("string"),
+        F.when(F.col("event_id") % 3 == 0, F.lit(" act=allow")).otherwise(F.lit("")),
+        F.lit(" msg=v=1 "),
+        F.col("event_type"),
+        F.lit(" observed"),
+    )
+    built = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 23 == 0, F.lit("not a cef line"))
+        .otherwise(line)
+        .alias("content"),
+    )
+    return parse_cef(built).drop("content")
+
+
 @register(
     "extract_email_headers",
     oracle="""

@@ -498,3 +498,25 @@ def test_geohash_known_value_and_roundtrip(spark):
     for r in out:
         assert abs(r["dlat"] - r["lat"]) <= 180.0 / (1 << 20) / 2 + 1e-12
         assert abs(r["dlon"] - r["lon"]) <= 360.0 / (1 << 20) / 2 + 1e-12
+
+
+def test_parse_cef_escapes_and_nulls(spark):
+    from apache_nifi_spark.functions.cef import parse_cef
+
+    rows = [
+        (1, r"CEF:0|Sec\|Vendor|prod\\x|2.1|sig9|Port \| scan|7|src=1.2.3.4 msg=hello = world"),
+        (2, "garbage"),
+        (3, "CEF:1|v|p|1|s|n|5|dst=9.9.9.9"),
+    ]
+    df = spark.createDataFrame(rows, "id long, content string")
+    out = {r["id"]: r for r in parse_cef(df).collect()}
+    r1 = out[1]
+    assert r1["vendor"] == "Sec|Vendor"
+    assert r1["product"] == "prod\\x"
+    assert r1["event_name"] == "Port | scan"
+    assert r1["severity"] == "7" and r1["cef_version"] == 0
+    assert r1["src"] == "1.2.3.4" and r1["dst"] is None
+    assert r1["msg"] == "hello = world"
+    assert all(out[2][c] is None for c in
+               ("cef_version", "src", "dst", "msg")) and out[2]["vendor"] == ""
+    assert out[3]["dst"] == "9.9.9.9" and out[3]["msg"] is None
