@@ -3009,6 +3009,169 @@ def convert_record_avro_nested_q(spark, sf_dir):
 
 
 @register(
+    "split_avro_datum",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def split_avro_datum_q(spark, sf_dir):
+    """SplitAvro (§2.5 [2.7.2-surface]): multi-record containers explode
+    into one VALID single-datum Avro file each (same writer schema), the
+    per-datum FlowFile fan-out — then every little container decodes
+    standalone and the union must equal the source rows
+    (sources/avro_codec.split_avro_column)."""
+    import tempfile
+
+    from apache_nifi_spark.sources import read_binary_files
+    from apache_nifi_spark.sources.avro_codec import (
+        decode_container,
+        split_avro_column,
+        write_avro,
+    )
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    out = tempfile.mkdtemp(prefix="anspark_splitavro_")
+    write_avro(o, out)
+    containers = read_binary_files(spark, out, glob="*.avro").select("content")
+    split = split_avro_column(containers)
+
+    def decode_each(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf["datum_container"]:
+                _, rs = decode_container(bytes(blob))
+                assert len(rs) == 1  # datum split contract
+                rows.extend(rs)
+            yield pd.DataFrame(
+                rows, columns=["o_orderkey", "o_orderstatus", "o_totalprice"]
+            )
+
+    return split.mapInPandas(
+        decode_each, "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    )
+
+
+@register(
+    "convert_avro_to_json",
+    oracle="""
+    SELECT o_orderkey,
+           '{"o_orderkey":' || CAST(o_orderkey AS VARCHAR)
+           || ',"o_orderpriority":"' || o_orderpriority || '"}' AS json
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def convert_avro_to_json_q(spark, sf_dir):
+    """ConvertAvroToJSON (§2.4 [2.7.2-surface]): container decode
+    (sources/avro_codec.read_avro) straight into JSON text per datum —
+    the processor's FlowFile content transform — via to_json over the
+    decoded record struct."""
+    import tempfile
+
+    from apache_nifi_spark.sources.avro_codec import read_avro, write_avro
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    out = tempfile.mkdtemp(prefix="anspark_avrojson_")
+    write_avro(o, out)
+    back = read_avro(spark, out)
+    return back.select(
+        "o_orderkey",
+        F.to_json(F.struct("o_orderkey", "o_orderpriority")).alias("json"),
+    )
+
+
+@register(
+    "count_text_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, replace(text, 'e ', 'e' || chr(10)) AS body FROM documents
+    )
+    SELECT doc_id,
+           CAST(1 + length(body) - length(replace(body, chr(10), '')) AS INT)
+             AS line_count,
+           CAST(length(list_filter(regexp_split_to_array(body, '\\s+'),
+                                   x -> x != '')) AS INT) AS word_count,
+           CAST(length(body) AS INT) AS char_count,
+           CAST(length(list_filter(string_split(body, chr(10)),
+                                   x -> trim(x) != '')) AS INT)
+             AS nonempty_line_count
+    FROM t
+    """,
+)
+def count_text_q(spark, sf_dir):
+    """CountText (§2.4 [2.7.2-surface]): line/word/character counts per
+    FlowFile (newlines injected deterministically so the line counter
+    has lines to count) — pure column expressions, the processor's four
+    standard counters."""
+    d = _t(spark, sf_dir, "documents")
+    body = F.replace(F.col("text"), F.lit("e "), F.concat(F.lit("e"), F.lit("\n")))
+    lines = F.split(body, "\n", -1)
+    words = F.filter(F.split(body, r"\s+", -1), lambda t: t != "")
+    return d.select(
+        "doc_id",
+        F.size(lines).cast("int").alias("line_count"),
+        F.size(words).cast("int").alias("word_count"),
+        F.length(body).cast("int").alias("char_count"),
+        F.size(F.filter(lines, lambda x: F.trim(x) != "")).cast("int")
+        .alias("nonempty_line_count"),
+    )
+
+
+@register(
+    "update_counter_totals",
+    oracle="""
+    SELECT event_type AS counter,
+           CAST(COUNT(*) AS BIGINT) AS increments,
+           CAST(SUM(CAST(CASE WHEN value > 100 THEN 2 ELSE 1 END
+                         AS BIGINT)) AS BIGINT) AS counter_value
+    FROM events GROUP BY event_type
+    """,
+)
+def update_counter_q(spark, sf_dir):
+    """UpdateCounter (§2.4 [2.7.2-surface]): named counters incremented
+    per FlowFile with an EL-derived delta — as a grouped aggregate
+    (NiFi's counters ARE a distributed sum; here the delta expression is
+    value-dependent exactly like a '${...:gt(100):ifElse(2,1)}' Delta
+    property)."""
+    ev = _t(spark, sf_dir, "events")
+    delta = F.when(F.col("value") > 100, F.lit(2)).otherwise(F.lit(1)).cast("bigint")
+    return ev.groupBy(F.col("event_type").alias("counter")).agg(
+        F.count(F.lit(1)).alias("increments"),
+        F.sum(delta).alias("counter_value"),
+    )
+
+
+@register(
+    "fork_record_extract",
+    oracle="""
+    SELECT p_partkey, p_retailprice,
+           CAST(unnest(range(len(parts))) AS INT) AS pos,
+           unnest(parts) AS word
+    FROM (SELECT p_partkey, p_retailprice,
+                 string_split(p_name, ' ') AS parts
+          FROM part)
+    """,
+)
+def fork_record_q(spark, sf_dir):
+    """ForkRecord (§2.5 [2.7.2-surface], extract mode): each element of
+    a record's array forks to a child record that KEEPS the parent
+    fields (vs SplitRecord, which drops them) plus its element index —
+    posexplode with the parent projection."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        "p_retailprice",
+        F.posexplode(F.split("p_name", " ")).alias("pos", "word"),
+    )
+
+
+@register(
     "convert_record_xml",
     oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
 )

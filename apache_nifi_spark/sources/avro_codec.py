@@ -64,6 +64,7 @@ __all__ = [
     "decode_container",
     "write_avro",
     "read_avro",
+    "split_avro_column",
 ]
 
 _MAGIC = b"Obj\x01"
@@ -772,3 +773,31 @@ def infer_avro_schema(
     ]
     inferred = spark.read.json(spark.sparkContext.parallelize(rows or ["{}"]))
     return json.dumps(spark_to_avro_schema(inferred.schema, record_name))
+
+
+def split_avro_column(
+    df: DataFrame, content_col: str = "content", out_col: str = "datum_container"
+) -> DataFrame:
+    """SplitAvro [2.7.2-surface] in its Record-split mode: each input
+    Object Container File explodes into one VALID single-datum container
+    per record (same writer schema, null codec — the smallest standalone
+    Avro file), exactly NiFi's one-FlowFile-per-datum fan-out.
+
+    mapInPandas over binary content: per-file state is one decode + N
+    small re-encodes, fanned out across executors by the binaryFile
+    scan's file-per-task split."""
+
+    def split(batches: Iterator[Any]) -> Iterator[Any]:
+        import pandas as pd
+
+        for pdf in batches:
+            out: list[bytes] = []
+            for blob in pdf[content_col]:
+                schema, rows = decode_container(bytes(blob))
+                for r in rows:
+                    out.append(
+                        b"".join(encode_container(iter([r]), schema, codec="null"))
+                    )
+            yield pd.DataFrame({out_col: out})
+
+    return df.mapInPandas(split, f"{out_col} binary")
