@@ -6783,6 +6783,82 @@ def put_email_render_q(spark, sf_dir):
     )
 
 
+@register(
+    "parse_netflow5_flows",
+    oracle="""
+    SELECT event_id,
+           CAST(event_id % 100000 AS BIGINT) AS sys_uptime,
+           CAST(1700000000 + event_id AS BIGINT) AS unix_secs,
+           CAST(event_id AS BIGINT) AS flow_sequence,
+           '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.'
+                   || CAST(event_id % 256 AS VARCHAR) AS src_ip,
+           '192.168.1.' || CAST(user_id % 200 AS VARCHAR) AS dst_ip,
+           CAST(0 AS BIGINT) AS nexthop,
+           CAST(1 AS BIGINT) AS input_if,
+           CAST(2 AS BIGINT) AS output_if,
+           CAST(1 + event_id % 1000 AS BIGINT) AS d_pkts,
+           CAST(CAST(floor(abs(value) * 100) AS BIGINT) AS BIGINT) AS d_octets,
+           CAST(event_id % 100000 AS BIGINT) AS first_ms,
+           CAST(event_id % 100000 + 1000 AS BIGINT) AS last_ms,
+           CAST(1024 + event_id % 40000 AS BIGINT) AS srcport,
+           CAST(CASE WHEN event_type = 'error' THEN 443 ELSE 80 END AS BIGINT)
+             AS dstport,
+           CAST(27 AS BIGINT) AS tcp_flags,
+           CAST(CASE WHEN event_type = 'click' THEN 17 ELSE 6 END AS BIGINT)
+             AS proto,
+           CAST(0 AS BIGINT) AS tos,
+           CAST(64500 AS BIGINT) AS src_as,
+           CAST(64501 AS BIGINT) AS dst_as,
+           CAST(24 AS BIGINT) AS src_mask,
+           CAST(24 AS BIGINT) AS dst_mask
+    FROM events WHERE event_id % 5 = 0
+    """,
+)
+def parse_netflow5_q(spark, sf_dir):
+    """ParseNetflowv5 (§2.4 [nifi-network bundle]): v5 packets built
+    columnar from events (hex-concat → unhex — no UDF) and parsed back
+    columnar (count-driven record explode, conv(hex(substring)) reads,
+    dotted-quad IPs).  The oracle states every expected field directly
+    from the source rows, proving encode → parse is the identity over
+    real big-endian packet bytes (functions/netflow.py)."""
+    from apache_nifi_spark.functions.netflow import netflow5_packet, parse_netflow5
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    fields = {
+        "srcaddr": F.lit(10).cast("bigint") * 16777216
+        + (uid % 256) * 256 + eid % 256,
+        "dstaddr": F.lit(192).cast("bigint") * 16777216
+        + F.lit(168) * 65536 + F.lit(1) * 256 + uid % 200,
+        "nexthop": F.lit(0),
+        "input_if": F.lit(1),
+        "output_if": F.lit(2),
+        "d_pkts": F.lit(1) + eid % 1000,
+        "d_octets": F.floor(F.abs(F.col("value")) * 100).cast("bigint"),
+        "first_ms": eid % 100000,
+        "last_ms": eid % 100000 + 1000,
+        "srcport": F.lit(1024) + eid % 40000,
+        "dstport": F.when(F.col("event_type") == "error", 443).otherwise(80),
+        "tcp_flags": F.lit(27),
+        "proto": F.when(F.col("event_type") == "click", 17).otherwise(6),
+        "tos": F.lit(0),
+        "src_as": F.lit(64500),
+        "dst_as": F.lit(64501),
+        "src_mask": F.lit(24),
+        "dst_mask": F.lit(24),
+    }
+    built = ev.select(
+        "event_id",
+        netflow5_packet(
+            fields,
+            sys_uptime=eid % 100000,
+            unix_secs=F.lit(1700000000) + eid,
+            flow_sequence=eid,
+        ).alias("packet"),
+    )
+    return parse_netflow5(built, "packet")
+
+
 def _parse_cef_oracle() -> str:
     from apache_nifi_spark.functions.cef import cef_oracle_exprs
 

@@ -520,3 +520,43 @@ def test_parse_cef_escapes_and_nulls(spark):
     assert all(out[2][c] is None for c in
                ("cef_version", "src", "dst", "msg")) and out[2]["vendor"] == ""
     assert out[3]["dst"] == "9.9.9.9" and out[3]["msg"] is None
+
+
+def test_parse_netflow5_multi_record_packet(spark):
+    """A hand-packed two-flow packet (struct big-endian, the reference
+    byte layout) explodes into two aligned rows — the parser's count
+    field and offset arithmetic, independent of the columnar encoder."""
+    import struct
+
+    from apache_nifi_spark.functions.netflow import parse_netflow5
+
+    def rec(src, dst, pkts, sport, dport):
+        return struct.pack(
+            ">IIIHHIIIIHHBBBBHHBBH",
+            src, dst, 0,          # addrs + nexthop
+            1, 2,                 # in/out if
+            pkts, pkts * 100,     # pkts, octets
+            5, 6,                 # first/last
+            sport, dport,
+            0, 27, 6, 0,          # pad, flags, proto, tos
+            64500, 64501, 24, 24, 0,  # AS, masks, pad2
+        )
+
+    header = struct.pack(">HHIIIIBBH", 5, 2, 99, 1700000007, 0, 42, 0, 0, 0)
+    pkt = header + rec(0x0A000001, 0xC0A80101, 7, 1000, 80) + rec(
+        0x0A000002, 0xC0A80102, 9, 2000, 443
+    )
+    bad = b"\x00\x09" + pkt[2:]  # version 9 → filtered out
+    df = spark.createDataFrame(
+        [(1, bytearray(pkt)), (2, bytearray(bad))], "id long, packet binary"
+    )
+    rows = sorted(
+        parse_netflow5(df, "packet").collect(), key=lambda r: r["srcport"]
+    )
+    assert len(rows) == 2 and {r["id"] for r in rows} == {1}
+    assert rows[0]["src_ip"] == "10.0.0.1" and rows[1]["src_ip"] == "10.0.0.2"
+    assert rows[0]["dst_ip"] == "192.168.1.1"
+    assert [r["d_pkts"] for r in rows] == [7, 9]
+    assert [r["d_octets"] for r in rows] == [700, 900]
+    assert [r["dstport"] for r in rows] == [80, 443]
+    assert all(r["unix_secs"] == 1700000007 and r["flow_sequence"] == 42 for r in rows)

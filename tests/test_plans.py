@@ -128,6 +128,12 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
         "similarity_ivf_topk", "similarity_lsh_topk", "asof_signup_before_purchase",
         "join_zip_positional", "scan_content_semi", "dedup_embedding_cosine",
         "dedup_ngram_jaccard",
+        # 1-row global-stats broadcast (T+V smoothing constants): keyless
+        # by nature, bounded by construction
+        "text_unigram_logprob",
+        # K-row centroid broadcast per Lloyd iteration: keyless scoring
+        # against every centroid, bounded by k
+        "cluster_kmeans_embeddings",
     }
     for name, fn in QUERIES.items():
         if name.startswith("stream_") or name in skip:
