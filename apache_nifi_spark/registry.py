@@ -1705,7 +1705,7 @@ def corpus_vocab_topk_q(spark, sf_dir):
 @register(
     "text_unigram_logprob",
     oracle=r"""
-    WITH tok AS (
+    WITH tok AS MATERIALIZED (
       SELECT d.doc_id, t.token
       FROM documents d,
            unnest(list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9'']+'),
@@ -1736,6 +1736,111 @@ def text_unigram_logprob_q(spark, sf_dir):
 
     d = io.widen_if_narrow(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return unigram_logprob(d)
+
+
+def _bpe_chain_sql(merges: int = 8, top: int = 200) -> str:
+    """The shared DuckDB training chain for the BPE oracles: vocabulary →
+    char pieces → one (pairs, winner, re-pieced) CTE block per merge —
+    the same space-joined-string algebra as llm/bpe.py."""
+    arr = "string_split(pieces, ' ')"
+    blocks = [
+        f"""tok AS MATERIALIZED (
+      SELECT d.doc_id, t.word
+      FROM documents d,
+           unnest(list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9'']+'),
+                              x -> x != '')) AS t(word)
+    ),
+    v AS MATERIALIZED (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word
+          ORDER BY cnt DESC, word LIMIT {top}),
+    s0 AS MATERIALIZED (SELECT word, cnt,
+                  trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' _' AS pieces
+           FROM v)"""
+    ]
+    for i in range(1, merges + 1):
+        blocks.append(
+            f"""p{i} AS MATERIALIZED (
+      SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_cnt FROM (
+        SELECT cnt,
+               unnest(list_transform(generate_series(1, len({arr}) - 1),
+                      j -> {arr}[j] || ' ' || {arr}[j + 1])) AS pair
+        FROM s{i - 1})
+      GROUP BY pair),
+    t{i} AS MATERIALIZED (SELECT {i} AS step, pair, replace(pair, ' ', '') AS merged, pair_cnt
+             FROM p{i} ORDER BY pair_cnt DESC, pair LIMIT 1),
+    s{i} AS MATERIALIZED (SELECT word, cnt,
+                    trim(replace(' ' || pieces || ' ',
+                                 ' ' || (SELECT pair FROM t{i}) || ' ',
+                                 ' ' || (SELECT merged FROM t{i}) || ' ')) AS pieces
+             FROM s{i - 1})"""
+        )
+    return ",\n    ".join(blocks)
+
+
+def _bpe_train_oracle(merges: int = 8) -> str:
+    union = "\n    UNION ALL ".join(
+        f"SELECT step, pair, merged, pair_cnt FROM t{i}" for i in range(1, merges + 1)
+    )
+    return f"WITH {_bpe_chain_sql(merges)}\n    {union}"
+
+
+def _bpe_encode_oracle(merges: int = 8) -> str:
+    chain = [_bpe_chain_sql(merges)]
+    chain.append(
+        """e0 AS MATERIALIZED (SELECT doc_id, word,
+                  trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' _' AS pieces
+           FROM tok)"""
+    )
+    for i in range(1, merges + 1):
+        chain.append(
+            f"""e{i} AS MATERIALIZED (SELECT doc_id, word,
+                    trim(replace(' ' || pieces || ' ',
+                                 ' ' || (SELECT pair FROM t{i}) || ' ',
+                                 ' ' || (SELECT merged FROM t{i}) || ' ')) AS pieces
+             FROM e{i - 1})"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(chain)
+        + f"""
+    SELECT doc_id,
+           CAST(SUM(len(string_split(pieces, ' '))) AS BIGINT) AS total_pieces,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(length(word)) AS BIGINT) AS total_chars
+    FROM e{merges} GROUP BY doc_id"""
+    )
+
+
+@register("bpe_train_merges", oracle=_bpe_train_oracle())
+def bpe_train_q(spark, sf_dir):
+    """BPE tokenizer TRAINING on the corpus (§2.12 tokenizer tier):
+    8 merge rules learned from the top-200 word vocabulary — each step
+    one explode + two-stage agg + 1-row broadcast, the whole schedule a
+    single lazy plan (llm/bpe.bpe_train).  The oracle replays the same
+    space-joined-piece algebra as unrolled CTEs; ties and replace
+    semantics are total-ordered, so the learned schedule is
+    engine-identical."""
+    from apache_nifi_spark.llm.bpe import bpe_train, word_vocab
+
+    d = io.widen_if_narrow(_t(spark, sf_dir, "documents").select("text"))
+    return bpe_train(word_vocab(d), merges=8)
+
+
+@register("bpe_encode_corpus", oracle=_bpe_encode_oracle())
+def bpe_encode_q(spark, sf_dir):
+    """BPE ENCODING with the learned schedule (§2.12): the merge table
+    ships as K literal strings (how production tokenizers deploy —
+    the collect is the control-plane rule fetch, K tiny rows), then
+    tokenization is map-only replace algebra + one agg to doc grain.
+    Value-oracled per document against the full train+encode replay."""
+    from apache_nifi_spark.llm.bpe import bpe_encode, bpe_train, word_vocab
+
+    d = io.widen_if_narrow(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    rules = bpe_train(word_vocab(d.select("text")), merges=8)
+    pairs = [
+        r["pair"]
+        for r in rules.orderBy("step").collect()  # control-plane: K merge rules
+    ]
+    return bpe_encode(d, pairs)
 
 
 def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64, scale: int = 1000) -> str:
@@ -1891,7 +1996,7 @@ def _simhash_md5_oracle() -> str:
         + [f"CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END" for i in range(63)]
     )
     return f"""
-    WITH tok AS (
+    WITH tok AS MATERIALIZED (
       SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS t
       FROM documents WHERE doc_id < 100
     ), h AS (SELECT doc_id, md5(t) AS hx FROM tok),
@@ -5677,7 +5782,7 @@ def transform_xml_q(spark, sf_dir):
     WITH en AS (
       SELECT doc_id, text FROM documents WHERE lang = 'en'
     ),
-    tok AS (
+    tok AS MATERIALIZED (
       SELECT doc_id, text,
              len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS nt
       FROM en

@@ -793,3 +793,56 @@ def test_kmeans_fixed_point_partition_invariance_and_blobs(spark):
     evens = {a[i][0] for i in range(0, 40, 2)}
     odds = {a[i][0] for i in range(1, 40, 2)}
     assert len(evens) == 1 and len(odds) == 1 and evens != odds
+
+
+def _bpe_reference(word_counts, merges):
+    """Pure-Python replay of the module's BPE semantics (space-joined
+    pieces, left-to-right non-overlapping str.replace), independent of
+    both engines."""
+    state = {w: " ".join(list(w)) + " _" for w in word_counts}
+    rules = []
+    for step in range(1, merges + 1):
+        counts = {}
+        for w, pieces in state.items():
+            parts = pieces.split(" ")
+            for a, b in zip(parts, parts[1:]):
+                counts[f"{a} {b}"] = counts.get(f"{a} {b}", 0) + word_counts[w]
+        pair = min(counts, key=lambda p: (-counts[p], p))
+        rules.append((step, pair, pair.replace(" ", ""), counts[pair]))
+        state = {
+            w: (" " + p + " ").replace(
+                " " + pair + " ", " " + pair.replace(" ", "") + " "
+            ).strip()
+            for w, p in state.items()
+        }
+    return rules, state
+
+
+def test_bpe_train_matches_pure_python_reference(spark):
+    from apache_nifi_spark.llm.bpe import bpe_encode, bpe_train, word_vocab
+
+    docs = [
+        (1, "low lower lowest low low"),
+        (2, "new newer newest new lower"),
+        (3, "wide wider widest new low"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    vocab = word_vocab(df, top=50)
+    wc = {r["word"]: r["cnt"] for r in vocab.collect()}
+    want_rules, want_state = _bpe_reference(wc, merges=6)
+
+    got = [
+        (r["step"], r["pair"], r["merged"], r["pair_cnt"])
+        for r in bpe_train(vocab, merges=6).orderBy("step").collect()
+    ]
+    assert got == want_rules
+
+    # encode reproduces the trainer's final piece counts per doc
+    pairs = [p for _, p, _, _ in want_rules]
+    enc = {r["doc_id"]: r for r in bpe_encode(df, pairs).collect()}
+    for doc_id, text in docs:
+        exp_pieces = sum(
+            len(want_state[w].split(" ")) for w in text.split(" ")
+        )
+        assert enc[doc_id]["total_pieces"] == exp_pieces
+        assert enc[doc_id]["n_words"] == len(text.split(" "))
