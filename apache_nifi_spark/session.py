@@ -71,6 +71,12 @@ def get_spark(
         # Keep driver result transfers bounded — no huge collects by design.
         .config("spark.driver.maxResultSize", "2g")
         .config("spark.ui.enabled", "false")
+        # ContextCleaner frees broadcasts/shuffles only when the driver
+        # GCs; the default periodic GC (30 min) never fires inside a
+        # minutes-long local run, so a 200-query session accumulates
+        # executor-side state and slows tail queries.  1 min keeps the
+        # steady state flat; on a real cluster this conf is standard.
+        .config("spark.cleaner.periodicGC.interval", "1min")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -87,9 +87,17 @@ def run_bench(sf_dir: str) -> dict:
     # Optional subset (comma-separated names) — the BASELINE.md §D
     # floor-separation run times the top-20 at a larger SF.
     only = {n for n in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if n}
+    n_run = 0
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
+        # Long-session hygiene: nudge the driver GC periodically so the
+        # ContextCleaner actually releases accumulated broadcasts and
+        # shuffle state — without it, tail queries in a 200-query session
+        # measure the JVM's garbage, not their plans.
+        n_run += 1
+        if n_run % 40 == 0:
+            spark.sparkContext._jvm.System.gc()
         best = float("inf")
         # A query that throws (transient port/UDP/external-transport flake)
         # must not abort the whole suite: retry it once, and if it fails
