@@ -40,6 +40,7 @@ from apache_nifi_spark.llm.text import (  # noqa: F401
     quality_score,
     quality_logit,
     unigram_logprob,
+    c4_line_filter,
     rolling_fingerprint,
     chunk_sliding,
     pii_redact,

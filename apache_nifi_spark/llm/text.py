@@ -19,6 +19,7 @@ __all__ = [
     "language_id",
     "quality_score",
     "unigram_logprob",
+    "c4_line_filter",
     "rolling_fingerprint",
     "chunk_sliding",
     "pii_redact",
@@ -490,3 +491,50 @@ def normalize_urls(df: DataFrame, url_col: str = "url", out_col: str = "url_norm
     u = F.regexp_replace(u, r"\?$", "")                        # empty query
     u = F.regexp_replace(u, r"^(https?://[^/?#]+)/$", r"$1")   # bare trailing /
     return df.withColumn(out_col, u)
+
+
+#: C4-style line-level blocklist (Raffel et al. 2020 §2.2, public rules):
+#: lines carrying boilerplate markers are dropped wholesale.
+C4_LINE_BLOCKLIST = ["javascript", "cookie", "lorem ipsum", "terms of use",
+                     "privacy policy", "all rights reserved"]
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+    min_kept_lines: int = 1,
+) -> DataFrame:
+    """The C4 line-level cleaning pass (Raffel et al. 2020, public
+    heuristics): keep only lines that end in terminal punctuation, have
+    at least ``min_words`` words, and carry no boilerplate marker; then
+    reassemble the document from its surviving lines and drop documents
+    left with fewer than ``min_kept_lines``.
+
+    Entirely columnar — split → per-line predicates inside a single
+    ``filter`` lambda → ``array_join`` — so the whole pass is one
+    map-only projection + one filter at scan bandwidth; no explode, no
+    shuffle, no UDF.  Emits (id, clean_text, n_lines, n_kept).
+    """
+    lines = F.split(F.col(text_col), r"\n", -1)
+
+    def keep(line: Column) -> Column:
+        t = F.trim(line)
+        lower = F.lower(t)
+        ends_ok = t.rlike(r'[.!?"”]$')
+        words_ok = F.size(F.filter(F.split(t, r"\s+", -1), lambda w: w != "")) >= min_words
+        block_hit = None
+        for marker in C4_LINE_BLOCKLIST:
+            hit = lower.contains(marker)
+            block_hit = hit if block_hit is None else (block_hit | hit)
+        return ends_ok & words_ok & ~block_hit
+
+    kept = F.filter(lines, keep)
+    out = df.select(
+        id_col,
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+    )
+    return out.filter(F.col("n_kept") >= min_kept_lines)

@@ -1738,6 +1738,63 @@ def text_unigram_logprob_q(spark, sf_dir):
     return unigram_logprob(d)
 
 
+def _c4_oracle() -> str:
+    from apache_nifi_spark.llm.text import C4_LINE_BLOCKLIST
+
+    block = " OR ".join(
+        f"contains(lower(trim(x)), '{m}')" for m in C4_LINE_BLOCKLIST
+    )
+    keep = (
+        "x -> regexp_matches(trim(x), '[.!?\"”]$')"
+        " AND len(list_filter(regexp_split_to_array(trim(x), '\\s+'),"
+        " w -> w != '')) >= 3"
+        f" AND NOT ({block})"
+    )
+    return f"""
+    WITH lined AS (
+      SELECT doc_id,
+             replace(replace(text, ' agg ', ' javascript '),
+                     ' table ', '.' || chr(10)) AS body
+      FROM documents
+    ),
+    split AS (
+      SELECT doc_id, string_split(body, chr(10)) AS lines FROM lined
+    ),
+    kept AS (
+      SELECT doc_id,
+             list_filter(lines, {keep}) AS keep_lines,
+             len(lines) AS n_lines
+      FROM split
+    )
+    SELECT doc_id,
+           array_to_string(keep_lines, chr(10)) AS clean_text,
+           CAST(n_lines AS INT) AS n_lines,
+           CAST(len(keep_lines) AS INT) AS n_kept
+    FROM kept WHERE len(keep_lines) >= 1
+    """
+
+
+@register("text_c4_line_filter", oracle=_c4_oracle())
+def text_c4_line_filter_q(spark, sf_dir):
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2, §2.12 quality
+    tier): terminal-punctuation / min-words / boilerplate-blocklist line
+    predicates inside one array `filter` lambda, document reassembled
+    from survivors — map-only, no explode, no shuffle
+    (llm/text.c4_line_filter).  Newlines injected deterministically so
+    the fixture has lines to judge."""
+    from apache_nifi_spark.llm import c4_line_filter
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(
+            F.replace(F.col("text"), F.lit(" agg "), F.lit(" javascript ")),
+            F.lit(" table "),
+            F.concat(F.lit("."), F.lit("\n")),
+        ).alias("text"),
+    )
+    return c4_line_filter(d)
+
+
 def _bpe_chain_sql(merges: int = 8, top: int = 200) -> str:
     """The shared DuckDB training chain for the BPE oracles: vocabulary →
     char pieces → one (pairs, winner, re-pieced) CTE block per merge —

@@ -846,3 +846,26 @@ def test_bpe_train_matches_pure_python_reference(spark):
         )
         assert enc[doc_id]["total_pieces"] == exp_pieces
         assert enc[doc_id]["n_words"] == len(text.split(" "))
+
+
+def test_c4_line_filter_rules(spark):
+    from apache_nifi_spark.llm import c4_line_filter
+
+    doc = "\n".join([
+        "This line ends properly and has many words.",   # keep
+        "too short.",                                    # < 3 words
+        "This line does not end with punctuation",       # no terminal punct
+        "Please accept our cookie policy to continue.",  # blocklist
+        'He said "stop right there."',                   # ends with quote? ends '."' -> '"' ok
+        "Fine ending with a question mark?",             # keep
+    ])
+    df = spark.createDataFrame([(1, doc), (2, "no lines here at all")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_line_filter(df).collect()}
+    assert 2 not in out  # nothing survives → document dropped
+    r = out[1]
+    assert r["n_lines"] == 6 and r["n_kept"] == 3
+    kept = r["clean_text"].split("\n")
+    assert kept[0].startswith("This line ends")
+    assert kept[1] == 'He said "stop right there."'
+    assert kept[2].endswith("?")
