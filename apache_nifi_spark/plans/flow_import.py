@@ -32,6 +32,14 @@ DistributeLoad               weighted round-robin → one output per
 DuplicateFlowFile            copy.index fan-out (§2.3)
 TransformXml                 inline ``XSLT Stylesheet`` property compiled
                              by functions/xslt (§2.4)
+ValidateJson                 inline ``Schema Text`` compiled by
+                             functions/json_schema → valid/invalid (§2.3)
+GeohashRecord                lat/lon record paths → geohash column
+                             (functions/geo, §2.4)
+ParseCEF                     CEF header/extension parse (functions/cef)
+CountText                    line/word/char counter columns (§2.4)
+ForkRecord                   array record-path → per-element child rows
+                             keeping parent fields (§2.5)
 =====================  ====================================================
 
 Composition is purely declarative: the importer never executes anything —
@@ -139,6 +147,9 @@ _STATIC_PROPS = {
     "Record Reader", "Record Writer", "record-reader", "record-writer",
     "Lookup Table", "Lookup Key", "Lookup Field", "Result Key", "Lookup Columns",
     "Delete Attributes Expression", "Store State",
+    "Schema Text", "JSON Schema", "Column", "Latitude Record Path",
+    "Longitude Record Path", "Geohash Level", "Geohash Record Path",
+    "Record Path", "Fork Path",
     "include-zero-record-flowfiles", "Cache Schema",
 }
 
@@ -279,6 +290,64 @@ def _apply(
                 f"{name}: TransformXml needs the inline 'XSLT Stylesheet' property"
             )
         return {"success": transform_xml(df, col, xslt_compile(xsl))}
+
+    if ptype == "ValidateJson":
+        from apache_nifi_spark.functions.json_schema import validate_json
+
+        schema_text = props.get("Schema Text") or props.get("JSON Schema")
+        col = props.get("Column", "content")
+        if not schema_text:
+            raise FlowImportError(f"{name}: ValidateJson needs 'Schema Text'")
+        out_df = validate_json(df, json.loads(schema_text), doc_col=col)
+        return {
+            "valid": out_df.filter(F.col("valid")).drop("valid", "validation_error"),
+            "invalid": out_df.filter(~F.col("valid")).drop("valid"),
+        }
+
+    if ptype == "GeohashRecord":
+        from apache_nifi_spark.functions.geo import geohash_record
+
+        lat = props.get("Latitude Record Path", "lat")
+        lon = props.get("Longitude Record Path", "lon")
+        precision = int(props.get("Geohash Level", "8"))
+        out_col = props.get("Geohash Record Path", "geohash")
+        return {
+            "success": geohash_record(
+                df, lat_col=lat, lon_col=lon, precision=precision, out_col=out_col
+            )
+        }
+
+    if ptype == "ParseCEF":
+        from apache_nifi_spark.functions.cef import parse_cef
+
+        col = props.get("Column", "content")
+        return {"success": parse_cef(df, content_col=col)}
+
+    if ptype == "CountText":
+        col = props.get("Column", "text")
+        body = F.col(col)
+        lines = F.split(body, "\n", -1)
+        words = F.filter(F.split(body, r"\s+", -1), lambda t: t != "")
+        return {
+            "success": df.withColumns(
+                {
+                    "text.line.count": F.size(lines).cast("int"),
+                    "text.word.count": F.size(words).cast("int"),
+                    "text.character.count": F.length(body).cast("int"),
+                }
+            )
+        }
+
+    if ptype == "ForkRecord":
+        col = props.get("Record Path") or props.get("Fork Path")
+        if not col:
+            raise FlowImportError(f"{name}: ForkRecord needs 'Record Path'")
+        keep = [c for c in df.columns if c != col]
+        return {
+            "fork": df.select(
+                *keep, F.posexplode(F.col(col)).alias("pos", "element")
+            )
+        }
 
     if ptype == "PutFile":
         directory = props.get("Directory", "")

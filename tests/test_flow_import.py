@@ -234,3 +234,67 @@ def test_extended_processor_types(spark, sf_dir):
     outs2 = run_flow(spark, sf_dir, flow2)
     r = outs2["T.success"].orderBy("n_nationkey").first()
     assert r["transformed"] == f'<r id="{r["n_nationkey"]}" />'
+
+
+def test_session2_processor_types(spark, sf_dir):
+    """The session-2 additions compile onto the new operators:
+    QueryRecord → ValidateJson valid/invalid branch, QueryRecord →
+    GeohashRecord, ParseCEF, CountText, ForkRecord."""
+    from apache_nifi_spark.plans.flow_import import run_flow
+
+    def conn(src, dst, rels):
+        return {"source": {"id": src}, "destination": {"id": dst},
+                "selectedRelationships": rels}
+
+    flow = {
+        "flowContents": {
+            "processors": [
+                {"identifier": "g", "name": "G", "type": "x.GetFile",
+                 "properties": {"Input Directory": "nation"}},
+                {"identifier": "q", "name": "Q", "type": "x.QueryRecord",
+                 "properties": {"docs": (
+                     "SELECT n_nationkey, to_json(named_struct("
+                     "'id', n_nationkey, 'name', n_name)) AS content,"
+                     " CAST(n_nationkey AS DOUBLE) AS lat,"
+                     " CAST(n_regionkey * 30 - 60 AS DOUBLE) AS lon,"
+                     " split(n_name, 'A') AS parts,"
+                     " concat('CEF:0|v|p|1|s', CAST(n_nationkey AS STRING),"
+                     "        '|evt|3|src=1.2.3.4 msg=hi') AS cef"
+                     " FROM FLOWFILE")}},
+                {"identifier": "v", "name": "V", "type": "x.ValidateJson",
+                 "properties": {"Column": "content", "Schema Text": (
+                     '{"type": "object", "required": ["id", "name"],'
+                     ' "properties": {"id": {"type": "integer", "maximum": 20}}}')}},
+                {"identifier": "geo", "name": "Geo", "type": "x.GeohashRecord",
+                 "properties": {"Latitude Record Path": "lat",
+                                "Longitude Record Path": "lon",
+                                "Geohash Level": "6"}},
+                {"identifier": "cef", "name": "Cef", "type": "x.ParseCEF",
+                 "properties": {"Column": "cef"}},
+                {"identifier": "cnt", "name": "Cnt", "type": "x.CountText",
+                 "properties": {"Column": "content"}},
+                {"identifier": "fork", "name": "Fork", "type": "x.ForkRecord",
+                 "properties": {"Record Path": "parts"}},
+            ],
+            "connections": [
+                conn("g", "q", ["success"]),
+                conn("q", "v", ["docs"]),
+                conn("v", "geo", ["valid"]),
+                conn("v", "cnt", ["invalid"]),
+                conn("geo", "cef", ["success"]),
+                conn("cef", "fork", ["success"]),
+            ],
+        }
+    }
+    outs = run_flow(spark, sf_dir, flow)
+    forks = outs["Fork.fork"].collect()
+    assert forks, "valid branch should survive to the fork"
+    sample = outs["Fork.fork"].orderBy("n_nationkey", "pos").first()
+    assert len(sample["geohash"]) == 6
+    assert sample["signature_id"].startswith("s")
+    assert sample["msg"] == "hi"
+    # ids > 20 fail the maximum rule and take the invalid branch
+    inv = outs["Cnt.success"].collect()
+    assert {r["n_nationkey"] for r in inv} == {21, 22, 23, 24}
+    assert all(r["validation_error"] == "maximum:$.id" for r in inv)
+    assert inv[0]["text.character.count"] > 0
