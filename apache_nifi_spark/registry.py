@@ -2821,6 +2821,44 @@ def convert_excel_roundtrip_q(spark, sf_dir):
 
 
 @register(
+    "map_cache_put_fetch",
+    oracle="""
+    SELECT c_custkey, c_nationkey, n.n_name AS cache_value
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c_custkey % 7 = 0
+    """,
+)
+def map_cache_put_fetch_q(spark, sf_dir):
+    """PutDistributedMapCache → FetchDistributedMapCache (§2.6
+    [nifi-distributed-cache-services]): nation names PUT over the real
+    DataStream-framed TCP protocol (streaming/map_cache.MapCacheServer,
+    one connection per partition), then customers enriched by per-record
+    GETs — LookupRecord against live out-of-band state.  Oracle is the
+    equivalent static join, proving the cache hop is lossless.  The
+    cache tier is for bounded correlation state; a bulk join this size
+    would use broadcast (see module doc)."""
+    from apache_nifi_spark.streaming.map_cache import (
+        MapCacheServer,
+        fetch_map_cache,
+        put_map_cache,
+    )
+
+    server = MapCacheServer()
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("string").alias("k"), F.col("n_name").alias("v")
+    )
+    n_put = put_map_cache(nation, "127.0.0.1", server.port, "k", "v").filter(
+        "cached"
+    ).count()
+    assert n_put == 25
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", F.col("c_nationkey").cast("string").alias("nk"), "c_nationkey"
+    )
+    fetched = fetch_map_cache(cust, "127.0.0.1", server.port, "nk")
+    return fetched.select("c_custkey", "c_nationkey", "cache_value")
+
+
+@register(
     "put_websocket_roundtrip",
     oracle="""
     SELECT event_type,

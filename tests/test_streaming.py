@@ -257,3 +257,40 @@ def test_distribute_load_weighted_cycle(spark):
     dup = duplicate_flowfile(df.limit(2), 3).collect()
     assert len(dup) == 8  # 2 rows x (1 original + 3 copies)
     assert sorted({r["copy_index"] for r in dup}) == [0, 1, 2, 3]
+
+
+def test_map_cache_protocol_ops():
+    """Wire-level invariants of the DataStream-framed cache protocol:
+    put/get/containsKey/remove/keySet round-trip, misses signal cleanly,
+    and a wrong protocol version is refused at handshake."""
+    import socket
+    import struct
+
+    from apache_nifi_spark.streaming.map_cache import MapCacheClient, MapCacheServer
+
+    srv = MapCacheServer()
+    try:
+        c = MapCacheClient("127.0.0.1", srv.port)
+        assert c.get(b"missing") is None
+        c.put(b"k1", b"v1")
+        c.put(b"k2", b"x" * 70000)  # > 64 KiB value: 4-byte length framing
+        assert c.get(b"k1") == b"v1"
+        assert c.get(b"k2") == b"x" * 70000
+        assert c.contains_key(b"k1") and not c.contains_key(b"zz")
+        assert c.key_set() == [b"k1", b"k2"]
+        assert c.remove(b"k1") and not c.remove(b"k1")
+        assert c.get(b"k1") is None
+        c.close()
+
+        # a second client sees the first's state (shared tier)
+        c2 = MapCacheClient("127.0.0.1", srv.port)
+        assert c2.get(b"k2") == b"x" * 70000
+        c2.close()
+
+        # version handshake rejection
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=5)
+        s.sendall(struct.pack(">I", 99))
+        assert s.recv(1) == b"\x00"
+        s.close()
+    finally:
+        srv.stop()
