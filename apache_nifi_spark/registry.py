@@ -2821,6 +2821,49 @@ def convert_excel_roundtrip_q(spark, sf_dir):
 
 
 @register(
+    "get_html_element",
+    oracle="""
+    SELECT event_id,
+           CAST(0 AS INT) AS element_index,
+           'p' AS tag,
+           CAST(NULL AS VARCHAR) AS attr_id,
+           'val' AS attr_class,
+           CAST(CAST(floor(abs(value) * 100) AS BIGINT) // 100 AS VARCHAR) || '.'
+             || lpad(CAST(CAST(floor(abs(value) * 100) AS BIGINT) % 100
+                          AS VARCHAR), 2, '0') AS inner_text
+    FROM events WHERE event_id % 9 = 0
+    """,
+)
+def get_html_element_q(spark, sf_dir):
+    """GetHTMLElement (§2.4 [nifi-html bundle]): documents built
+    columnar, elements extracted by a CSS-selector subset over the
+    stdlib HTML parser (functions/html_elements) — one row per match
+    with tag/attrs/inner text.  Oracle states the expected extraction
+    directly from the source rows (build → parse identity)."""
+    from apache_nifi_spark.functions.html_elements import extract_html_elements
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 9 == 0)
+    cents = F.floor(F.abs(F.col("value")) * 100).cast("bigint")
+    val_str = F.concat(
+        (cents / 100).cast("bigint").cast("string"),
+        F.lit("."),
+        F.lpad((cents % 100).cast("string"), 2, "0"),
+    )
+    html = F.concat(
+        F.lit('<div class="event"><span id="e'),
+        F.col("event_id").cast("string"),
+        F.lit('">'),
+        F.col("event_type"),
+        F.lit('</span><p class="val">'),
+        val_str,
+        F.lit("</p></div>"),
+    )
+    built = ev.select(F.col("event_id").alias("id"), html.alias("html"))
+    out = extract_html_elements(built, ".val", content_col="html", id_col="id")
+    return out.withColumnRenamed("id", "event_id")
+
+
+@register(
     "map_cache_put_fetch",
     oracle="""
     SELECT c_custkey, c_nationkey, n.n_name AS cache_value

@@ -560,3 +560,44 @@ def test_parse_netflow5_multi_record_packet(spark):
     assert [r["d_octets"] for r in rows] == [700, 900]
     assert [r["dstport"] for r in rows] == [80, 443]
     assert all(r["unix_secs"] == 1700000007 and r["flow_sequence"] == 42 for r in rows)
+
+
+def test_html_extract_and_modify(spark):
+    from apache_nifi_spark.functions.html_elements import (
+        extract_html_elements,
+        modify_html_elements,
+    )
+
+    doc = (
+        '<html><body>'
+        '<div class="item" id="a">Alpha <b>bold</b> tail</div>'
+        '<div class="item other">Beta</div>'
+        '<div class="misc"><div class="item" id="n">Nested</div></div>'
+        '<img class="item" src="x.png">'
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(1, doc)], "id long, html string")
+
+    got = extract_html_elements(df, ".item").orderBy("element_index").collect()
+    assert [r["attr_id"] for r in got] == ["a", None, "n", None]
+    assert got[0]["inner_text"] == "Alpha bold tail"
+    assert got[1]["inner_text"] == "Beta"
+    assert got[2]["inner_text"] == "Nested"
+    assert got[3]["tag"] == "img" and got[3]["inner_text"] == ""
+
+    # selector variants
+    assert extract_html_elements(df, "#n").count() == 1
+    assert extract_html_elements(df, "div.other").count() == 1
+    assert extract_html_elements(df, "b").first()["inner_text"] == "bold"
+
+    # modify: set an attribute on every match, keep the rest verbatim
+    out = modify_html_elements(
+        df, "div.item", set_attr=("data-x", "1")
+    ).first()["html"]
+    assert out.count('data-x="1"') == 3
+    assert "<b>bold</b>" in out and '<div class="misc">' in out
+
+    # modify: replace inner text (nested matches are subsumed)
+    out2 = modify_html_elements(df, ".item", set_text="GONE").first()["html"]
+    assert out2.count(">GONE<") == 3  # img is void: no inner rewrite
+    assert "Alpha" not in out2 and "Nested" not in out2
