@@ -3300,6 +3300,69 @@ def split_avro_datum_q(spark, sf_dir):
 
 
 @register(
+    "avro_schema_evolution_read",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_custkey AS DOUBLE) AS o_custkey,
+           o_totalprice AS total,
+           'unknown' AS region
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def avro_schema_evolution_q(spark, sf_dir):
+    """Avro SCHEMA RESOLUTION (§2.2 record readers — the Avro spec's
+    reader-vs-writer rules, the evolution contract NiFi's Avro readers
+    honor): containers written under schema v1 read under a v2 reader
+    that (a) matches a renamed field through ``aliases``
+    (total ← o_totalprice), (b) promotes long → double (o_custkey),
+    (c) fills a reader-only field from its default (region), and
+    (d) skips a writer-only field (o_orderstatus).  Decode fans out per
+    file via binaryFile + mapInPandas
+    (sources/avro_codec.decode_container_resolved)."""
+    import tempfile
+
+    from apache_nifi_spark.sources import read_binary_files
+    from apache_nifi_spark.sources.avro_codec import (
+        decode_container_resolved,
+        write_avro,
+    )
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    out = tempfile.mkdtemp(prefix="anspark_avroevo_")
+    write_avro(o, out)
+    reader_schema = {
+        "type": "record",
+        "name": "orders_v2",
+        "fields": [
+            {"name": "o_orderkey", "type": ["null", "long"], "default": None},
+            {"name": "o_custkey", "type": ["null", "double"], "default": None},
+            {"name": "total", "aliases": ["o_totalprice"],
+             "type": ["null", "double"], "default": None},
+            {"name": "region", "type": "string", "default": "unknown"},
+        ],
+    }
+    containers = read_binary_files(spark, out, glob="*.avro").select("content")
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                rows.extend(decode_container_resolved(bytes(blob), reader_schema))
+            yield pd.DataFrame(
+                rows, columns=["o_orderkey", "o_custkey", "total", "region"]
+            )
+
+    return containers.mapInPandas(
+        decode,
+        "o_orderkey bigint, o_custkey double, total double, region string",
+    )
+
+
+@register(
     "convert_avro_to_json",
     oracle="""
     SELECT o_orderkey,

@@ -65,6 +65,8 @@ __all__ = [
     "write_avro",
     "read_avro",
     "split_avro_column",
+    "resolve_decoder",
+    "decode_container_resolved",
 ]
 
 _MAGIC = b"Obj\x01"
@@ -801,3 +803,178 @@ def split_avro_column(
             yield pd.DataFrame({out_col: out})
 
     return df.mapInPandas(split, f"{out_col} binary")
+
+
+# ---------------------------------------------------------------------------
+# Schema resolution (Avro spec "Schema Resolution": reader vs writer)
+# ---------------------------------------------------------------------------
+
+#: writer primitive → reader primitives it may promote to (Avro spec).
+_PROMOTIONS = {
+    "int": {"long", "float", "double"},
+    "long": {"float", "double"},
+    "float": {"double"},
+    "string": {"bytes"},
+    "bytes": {"string"},
+}
+
+
+def _type_name(schema: Any) -> str:
+    if isinstance(schema, str):
+        return schema
+    if isinstance(schema, list):
+        return "union"
+    return schema["type"]
+
+
+def resolve_decoder(writer: Any, reader: Any) -> Callable[[_Reader], Any]:
+    """A decoder for data WRITTEN with ``writer`` but READ as ``reader``
+    (Avro spec schema resolution): record fields match by name with
+    reader ``aliases``; writer-only fields decode and drop; reader-only
+    fields take their ``default``; primitives follow the promotion
+    table; a writer union decodes its branch then resolves it against
+    the reader (or the reader union's matching branch)."""
+    # unions first: writer union → per-branch resolution
+    if isinstance(writer, list):
+        branch_decs = []
+        for b in writer:
+            branch_decs.append(_resolve_branch(b, reader))
+
+        def dec_wunion(r: _Reader) -> Any:
+            return branch_decs[r.read_long()](r)
+
+        return dec_wunion
+    if isinstance(reader, list):
+        return _resolve_branch(writer, reader)
+
+    wt, rt = _type_name(writer), _type_name(reader)
+    if wt == rt and isinstance(writer, str):
+        return _compile_decoder(writer)
+    if isinstance(writer, str) and isinstance(reader, str):
+        if rt in _PROMOTIONS.get(wt, ()):
+            base = _compile_decoder(writer)
+            if rt in ("float", "double"):
+                return lambda r: float(base(r))
+            if rt == "long":
+                return base
+            if rt == "bytes":
+                return lambda r: base(r).encode("utf-8")
+            if rt == "string":
+                return lambda r: bytes(base(r)).decode("utf-8")
+        raise TypeError(f"cannot resolve writer {writer!r} as reader {reader!r}")
+
+    if wt != rt:
+        raise TypeError(f"cannot resolve writer {wt!r} as reader {rt!r}")
+    if wt == "array":
+        item = resolve_decoder(writer["items"], reader["items"])
+
+        def dec_array(r: _Reader) -> list:
+            out: list = []
+            while True:
+                n = r.read_long()
+                if n == 0:
+                    return out
+                if n < 0:
+                    r.read_long()  # block byte size, unused
+                    n = -n
+                for _ in range(n):
+                    out.append(item(r))
+
+        return dec_array
+    if wt == "map":
+        val = resolve_decoder(writer["values"], reader["values"])
+
+        def dec_map(r: _Reader) -> dict:
+            out: dict = {}
+            while True:
+                n = r.read_long()
+                if n == 0:
+                    return out
+                if n < 0:
+                    r.read_long()
+                    n = -n
+                for _ in range(n):
+                    k = r.read_bytes().decode("utf-8")
+                    out[k] = val(r)
+
+        return dec_map
+    if wt == "record":
+        reader_fields = reader["fields"]
+        by_name: dict[str, int] = {}
+        for idx, f in enumerate(reader_fields):
+            by_name[f["name"]] = idx
+            for alias in f.get("aliases", ()):
+                by_name.setdefault(alias, idx)
+        slots: list[tuple[int | None, Callable[[_Reader], Any]]] = []
+        matched: set[int] = set()
+        for wf in writer["fields"]:
+            idx = by_name.get(wf["name"])
+            if idx is None:
+                skipper = _compile_decoder(wf["type"])
+                slots.append((None, skipper))  # decode & drop
+            else:
+                matched.add(idx)
+                slots.append(
+                    (idx, resolve_decoder(wf["type"], reader_fields[idx]["type"]))
+                )
+        defaults: list[tuple[int, Any]] = []
+        for idx, rf in enumerate(reader_fields):
+            if idx not in matched:
+                if "default" not in rf:
+                    raise TypeError(
+                        f"reader field {rf['name']!r} absent from writer and has"
+                        " no default"
+                    )
+                defaults.append((idx, rf["default"]))
+
+        def dec_record(r: _Reader) -> tuple:
+            out: list = [None] * len(reader_fields)
+            for idx, dec in slots:
+                v = dec(r)
+                if idx is not None:
+                    out[idx] = v
+            for idx, dv in defaults:
+                out[idx] = dv
+            return tuple(out)
+
+        return dec_record
+    raise TypeError(f"unsupported resolution for writer type {wt!r}")
+
+
+def _resolve_branch(writer_branch: Any, reader: Any) -> Callable[[_Reader], Any]:
+    """Resolve one writer branch against a reader that may be a union:
+    first reader branch that resolves wins (spec behavior)."""
+    if isinstance(reader, list):
+        for rb in reader:
+            try:
+                return resolve_decoder(writer_branch, rb)
+            except TypeError:
+                continue
+        raise TypeError(
+            f"no reader union branch accepts writer branch {writer_branch!r}"
+        )
+    return resolve_decoder(writer_branch, reader)
+
+
+def decode_container_resolved(data: bytes, reader_schema: Any) -> list[tuple]:
+    """Container bytes decoded under ``reader_schema`` resolution rules."""
+    writer_schema, codec, sync, pos = read_header(data)
+    dec = resolve_decoder(writer_schema, reader_schema)
+    rows: list[tuple] = []
+    r = _Reader(data)
+    r.pos = pos
+    total = len(data)
+    while r.pos < total:
+        n = r.read_long()
+        size = r.read_long()
+        block = r.read_fixed(size)
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)
+        elif codec != "null":
+            raise ValueError(f"unsupported Avro codec {codec!r}")
+        if r.read_fixed(16) != sync:
+            raise ValueError("sync marker mismatch (corrupt container)")
+        br = _Reader(block)
+        for _ in range(n):
+            rows.append(dec(br))
+    return rows

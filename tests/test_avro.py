@@ -205,3 +205,54 @@ def test_write_modes(spark, tmp_path):
     assert read_avro(spark, out).count() == n  # untouched
     write_avro(sup, out, mode="overwrite")
     assert read_avro(spark, out).count() == n
+
+
+def test_schema_resolution_paths():
+    """Spec resolution paths beyond the registry query: string<->bytes
+    promotion, array/map recursion, reader-only without default raising,
+    and union branch matching."""
+    import io as _io
+
+    import pytest
+
+    from apache_nifi_spark.sources.avro_codec import (
+        _Reader,
+        decode_container_resolved,
+        encode_container,
+        resolve_decoder,
+    )
+
+    writer = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "nums", "type": {"type": "array", "items": "int"}},
+            {"name": "m", "type": {"type": "map", "values": "long"}},
+            {"name": "gone", "type": "string"},
+        ],
+    }
+    rows = [("hi", [1, 2, 3], {"a": 7}, "drop-me"), ("yo", [], {}, "x")]
+    blob = b"".join(encode_container(iter(rows), writer, codec="null"))
+
+    reader = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "s", "type": "bytes"},                       # string→bytes
+            {"name": "nums", "type": {"type": "array", "items": "double"}},
+            {"name": "m", "type": {"type": "map", "values": "double"}},
+            {"name": "added", "type": "long", "default": 42},
+        ],
+    }
+    got = decode_container_resolved(blob, reader)
+    assert got[0] == (b"hi", [1.0, 2.0, 3.0], {"a": 7.0}, 42)
+    assert got[1] == (b"yo", [], {}, 42)
+
+    bad = {
+        "type": "record", "name": "r",
+        "fields": [{"name": "brand_new", "type": "string"}],  # no default
+    }
+    with pytest.raises(TypeError, match="no default"):
+        decode_container_resolved(blob, bad)
+
+    with pytest.raises(TypeError):
+        resolve_decoder("double", "int")  # demotion is not promotion
