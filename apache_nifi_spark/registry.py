@@ -2583,6 +2583,68 @@ def put_syslog_udp_q(spark, sf_dir):
 
 
 @register(
+    "put_syslog_tcp_octet",
+    oracle="""
+    SELECT CAST(16 AS INT) AS facility,
+           CAST(CASE WHEN event_type = 'error' THEN 3 ELSE 6 END AS INT) AS severity,
+           'h' || CAST(user_id % 5 AS VARCHAR) AS host,
+           'engine' AS tag,
+           CAST(event_id AS BIGINT) AS pid,
+           event_type AS message
+    FROM events WHERE event_id % 70 = 0
+    """,
+)
+def put_syslog_tcp_octet_q(spark, sf_dir):
+    """Syslog over TCP with OCTET-COUNTING framing (RFC 6587 §3.4.1 —
+    the transport ListenSyslog/PutSyslog negotiate for reliable
+    delivery): records render to RFC 3164, frame as '<len> <msg>' on one
+    connection per partition (sinks/socket.put_tcp_octet_counted), land
+    through the frame parser (TcpLandingListener framing='octet'), and
+    parse back.  Oracle equality proves the framed hop is lossless."""
+    import glob
+    import tempfile
+    import time
+
+    from apache_nifi_spark.operators import parse_syslog, render_syslog_3164
+    from apache_nifi_spark.sinks import put_tcp_octet_counted
+    from apache_nifi_spark.streaming.listen import TcpLandingListener
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 70 == 0)
+    sev = F.when(F.col("event_type") == "error", 3).otherwise(6)
+    lines = ev.select(
+        render_syslog_3164(
+            F.lit(128) + sev,
+            F.col("ts"),
+            F.concat(F.lit("h"), (F.col("user_id") % 5).cast("string")),
+            F.lit("engine"),
+            F.col("event_id"),
+            F.col("event_type"),
+        ).alias("content")
+    )
+    landing = tempfile.mkdtemp(prefix="anspark_syslogtcp_")
+    listener = TcpLandingListener(landing, framing="octet")
+    n_sent = (
+        put_tcp_octet_counted(lines, "127.0.0.1", listener.port, "content")
+        .filter("sent")
+        .count()
+    )
+    assert n_sent == ev.count()
+    deadline = time.monotonic() + 15
+    while time.monotonic() < deadline:
+        landed = sum(
+            sum(1 for ln in open(p, "rb").read().splitlines() if ln.strip())
+            for p in glob.glob(f"{landing}/*")
+        )
+        if landed >= n_sent:
+            break
+        time.sleep(0.05)
+    else:
+        raise TimeoutError(f"landing zone has {landed} of {n_sent} messages")
+    parsed = parse_syslog(spark.read.text(landing).withColumnRenamed("value", "line"))
+    return parsed.select("facility", "severity", "host", "tag", "pid", "message")
+
+
+@register(
     "stream_quality_gate",
     oracle="""
     WITH f AS (
@@ -3297,6 +3359,25 @@ def split_avro_datum_q(spark, sf_dir):
     return split.mapInPandas(
         decode_each, "o_orderkey bigint, o_orderstatus string, o_totalprice double"
     )
+
+
+@register(
+    "convert_record_orc",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def convert_record_orc_q(spark, sf_dir):
+    """ConvertRecord parquet→ORC→records (§2.2): the ORC record
+    reader/writer pairing on Spark's native columnar ORC path —
+    round-trip must be value-exact under the source schema."""
+    import tempfile
+
+    from apache_nifi_spark.sources import convert_record
+
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    out = tempfile.mkdtemp(prefix="anspark_convert_orc_")
+    return convert_record(spark, sup, "orc", out)
 
 
 @register(

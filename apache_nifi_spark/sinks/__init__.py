@@ -9,7 +9,11 @@ receive — distributed render, then any sink (`df.write`, foreachBatch →
 HTTP/SMTP client) ships them.
 """
 
-from apache_nifi_spark.sinks.socket import put_tcp, put_udp  # noqa: F401
+from apache_nifi_spark.sinks.socket import (  # noqa: F401
+    put_tcp,
+    put_tcp_octet_counted,
+    put_udp,
+)
 from apache_nifi_spark.sinks.wire import (
     email_mime,
     es_bulk,

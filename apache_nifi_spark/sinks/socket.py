@@ -19,7 +19,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-__all__ = ["put_tcp", "put_udp"]
+__all__ = ["put_tcp", "put_udp", "put_tcp_octet_counted"]
 
 
 def _with_sent(df: DataFrame, run) -> DataFrame:
@@ -91,5 +91,43 @@ def put_udp(
                 yield pdf
         finally:
             sock.close()
+
+    return _with_sent(df, run)
+
+
+def put_tcp_octet_counted(
+    df: DataFrame,
+    host: str,
+    port: int,
+    content_col: str = "content",
+    timeout: float = 10.0,
+) -> DataFrame:
+    """Syslog-over-TCP octet-counting transport (RFC 6587 §3.4.1): each
+    record ships as ``"<len> <msg>"`` on one connection per partition —
+    the framing that lets messages carry embedded newlines, which
+    non-transparent (newline) framing cannot."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import socket
+
+        for pdf in batches:
+            try:
+                with socket.create_connection((host, port), timeout=timeout) as s:
+                    frames = []
+                    sent = []
+                    for v in pdf[content_col]:
+                        if v is None:
+                            sent.append(False)
+                            continue
+                        b = v if isinstance(v, bytes) else str(v).encode()
+                        frames.append(str(len(b)).encode() + b" " + b)
+                        sent.append(True)
+                    s.sendall(b"".join(frames))
+                ok = True
+            except OSError:
+                ok = False
+                sent = [False] * len(pdf)
+            pdf["sent"] = [a and ok for a in sent]
+            yield pdf
 
     return _with_sent(df, run)

@@ -110,13 +110,28 @@ def stream_json_landing(
 
 class TcpLandingListener:
     """ListenTCP / ListenSyslog transport half: a threaded TCP server
-    appending each newline-delimited record batch as one landing file —
-    the same durable landing-zone contract as `HttpLandingListener`
-    (atomic temp-name + rename per connection's payload)."""
+    appending each record batch as one landing file — the same durable
+    landing-zone contract as `HttpLandingListener` (atomic temp-name +
+    rename per connection's payload).
 
-    def __init__(self, landing_dir: str, host: str = "127.0.0.1", port: int = 0):
+    ``framing`` selects the syslog-over-TCP transport mode (RFC 6587):
+    ``"newline"`` (non-transparent framing, the default) lands the byte
+    stream as-is; ``"octet"`` (octet-counting, ``"<len> <msg>"``) parses
+    each length-prefixed frame and lands the messages newline-joined, so
+    downstream parsing is framing-agnostic — messages may then contain
+    embedded newlines on the wire without splitting."""
+
+    def __init__(
+        self,
+        landing_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        framing: str = "newline",
+    ):
         import socketserver
 
+        if framing not in ("newline", "octet"):
+            raise ValueError(f"unknown framing {framing!r}")
         self.landing_dir = landing_dir
         os.makedirs(landing_dir, exist_ok=True)
         listener = self
@@ -124,6 +139,14 @@ class TcpLandingListener:
         class Handler(socketserver.StreamRequestHandler):
             def handle(self):
                 data = self.rfile.read()
+                if framing == "octet":
+                    msgs, pos = [], 0
+                    while pos < len(data):
+                        sp = data.index(b" ", pos)
+                        n = int(data[pos:sp])
+                        msgs.append(data[sp + 1 : sp + 1 + n])
+                        pos = sp + 1 + n
+                    data = b"\n".join(m.replace(b"\n", b"\\n") for m in msgs)
                 if data.strip():
                     listener._land(data)
 

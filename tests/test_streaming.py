@@ -294,3 +294,37 @@ def test_map_cache_protocol_ops():
         s.close()
     finally:
         srv.stop()
+
+
+def test_octet_counted_framing_carries_embedded_newlines(spark):
+    """RFC 6587 octet-counting must deliver messages containing raw
+    newlines intact (escaped in the landing file), which the newline
+    framing cannot do."""
+    import glob
+    import tempfile
+    import time
+
+    from apache_nifi_spark.sinks import put_tcp_octet_counted
+    from apache_nifi_spark.streaming.listen import TcpLandingListener
+
+    landing = tempfile.mkdtemp(prefix="octet_test_")
+    lst = TcpLandingListener(landing, framing="octet")
+    try:
+        df = spark.createDataFrame(
+            [("one line",), ("two\nlines",), ("",)], "content string"
+        ).coalesce(1)
+        sent = put_tcp_octet_counted(df, "127.0.0.1", lst.port, "content")
+        assert sent.filter("sent").count() == 3
+        deadline = time.monotonic() + 10
+        body = b""
+        while time.monotonic() < deadline:
+            files = glob.glob(f"{landing}/*")
+            if files:
+                body = b"".join(open(p, "rb").read() for p in sorted(files))
+                if body.count(b"\n") >= 2:
+                    break
+            time.sleep(0.05)
+        lines = [ln for ln in body.split(b"\n") if ln != b""]
+        assert lines == [b"one line", b"two\\nlines"]
+    finally:
+        lst.stop()
