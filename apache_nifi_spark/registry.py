@@ -2883,6 +2883,54 @@ def convert_excel_roundtrip_q(spark, sf_dir):
 
 
 @register(
+    "prometheus_exposition",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DECIMAL(30,6)) AS total
+      FROM events GROUP BY event_type
+    ),
+    samples AS (
+      SELECT 'engine_events_total{event_type="' || event_type || '"} '
+             || CAST(n AS VARCHAR) AS line
+      FROM agg
+    ),
+    numbered AS (
+      SELECT 2 + row_number() OVER (ORDER BY line) AS line_no, line FROM samples
+    )
+    SELECT CAST(1 AS INT) AS line_no,
+           '# HELP engine_events_total Events processed per type' AS line
+    UNION ALL
+    SELECT 2, '# TYPE engine_events_total counter'
+    UNION ALL
+    SELECT CAST(line_no AS INT), line FROM numbered
+    """,
+)
+def prometheus_exposition_q(spark, sf_dir):
+    """PrometheusReportingTask (§2.11 [nifi-prometheus bundle]): the
+    engine's aggregates rendered as EXACT Prometheus text-exposition
+    bytes — HELP/TYPE headers + label-escaped samples, deterministic
+    order — the format a scraper ingests (plans/prometheus; the live
+    /metrics endpoint is exercised in tests/test_streaming.py)."""
+    from apache_nifi_spark.plans.prometheus import render_exposition
+
+    agg = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return render_exposition(
+        agg,
+        family="engine_events_total",
+        metric_type="counter",
+        help_text="Events processed per type",
+        labels={"event_type": F.col("event_type")},
+        value=F.col("n").cast("string"),
+    )
+
+
+@register(
     "get_html_element",
     oracle="""
     SELECT event_id,

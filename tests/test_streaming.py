@@ -328,3 +328,46 @@ def test_octet_counted_framing_carries_embedded_newlines(spark):
         assert lines == [b"one line", b"two\\nlines"]
     finally:
         lst.stop()
+
+
+def test_prometheus_endpoint_scrape(spark):
+    """The /metrics endpoint serves the rendered exposition with the
+    standard content type; label escaping survives a real HTTP scrape."""
+    import urllib.request
+
+    from pyspark.sql import functions as F
+
+    from apache_nifi_spark.plans.prometheus import (
+        CONTENT_TYPE,
+        MetricsEndpoint,
+        render_exposition,
+    )
+
+    df = spark.createDataFrame(
+        [('path "a"\nweird', 3), ("plain", 5)], "proc string, n long"
+    )
+    expo = render_exposition(
+        df, "flow_items_total", "counter", "Items per processor",
+        labels={"processor": F.col("proc")}, value=F.col("n").cast("string"),
+    )
+    ep = MetricsEndpoint()
+    try:
+        ep.publish(expo)
+        with urllib.request.urlopen(ep.url, timeout=5) as resp:
+            assert resp.headers["Content-Type"] == CONTENT_TYPE
+            body = resp.read().decode()
+        lines = body.strip().split("\n")
+        assert lines[0] == "# HELP flow_items_total Items per processor"
+        assert lines[1] == "# TYPE flow_items_total counter"
+        assert 'flow_items_total{processor="plain"} 5' in lines
+        assert 'flow_items_total{processor="path \\"a\\"\\nweird"} 3' in lines
+        # non-metrics path 404s
+        import urllib.error
+
+        try:
+            urllib.request.urlopen(ep.url.replace("/metrics", "/other"), timeout=5)
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        ep.stop()
