@@ -102,6 +102,9 @@ class MapCacheServer:
                 continue
             except OSError:
                 break
+            # Small request/response frames: without NODELAY, Nagle +
+            # delayed ACK serialize every op into a ~40 ms stall.
+            conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
             threading.Thread(target=self._serve, args=(conn,), daemon=True).start()
 
     def _serve(self, conn: socket.socket) -> None:
@@ -164,6 +167,7 @@ class MapCacheClient:
 
     def __init__(self, host: str, port: int, timeout: float = 10.0):
         self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         self._sock.sendall(struct.pack(">I", _PROTOCOL_VERSION))
         (ok,) = struct.unpack(">b", _read_exact(self._sock, 1))
         if ok != 1:
