@@ -2883,6 +2883,40 @@ def convert_excel_roundtrip_q(spark, sf_dir):
 
 
 @register(
+    "verify_content_mac",
+    oracle="""
+    SELECT event_id, (event_id % 5 <> 0) AS mac_ok
+    FROM events WHERE event_id % 6 = 0
+    """,
+)
+def verify_content_mac_q(spark, sf_dir):
+    """VerifyContentMAC (§2.4): HMAC-SHA256 as pure column expressions —
+    the RFC 2104 construction over Spark's sha2 with the key pads as
+    byte literals (functions/mac).  A fifth of the fixture presents a
+    MAC computed over TAMPERED content; the oracle pins the resulting
+    success/failure routing, and the MAC VALUES themselves are pinned to
+    the RFC 4231 published vectors plus a stdlib hmac differential in
+    tests/test_operators.py (DuckDB's sha256 cannot hash raw bytes, so
+    the hex digests are not SQL-replayable — the routing is)."""
+    from apache_nifi_spark.functions.mac import hmac_sha256_col, verify_content_mac
+
+    key = b"engine-secret"
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 6 == 0)
+    doc = F.concat(F.col("event_type"), F.lit(":"), F.col("event_id").cast("string"))
+    built = ev.select("event_id", doc.alias("doc"))
+    presented = built.withColumn(
+        "mac",
+        F.when(
+            F.col("event_id") % 5 == 0,
+            hmac_sha256_col(F.concat(F.col("doc"), F.lit("x")), key),
+        ).otherwise(hmac_sha256_col(F.col("doc"), key)),
+    )
+    return verify_content_mac(presented, key, content_col="doc").select(
+        "event_id", "mac_ok"
+    )
+
+
+@register(
     "prometheus_exposition",
     oracle="""
     WITH agg AS (

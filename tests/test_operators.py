@@ -601,3 +601,36 @@ def test_html_extract_and_modify(spark):
     out2 = modify_html_elements(df, ".item", set_text="GONE").first()["html"]
     assert out2.count(">GONE<") == 3  # img is void: no inner rewrite
     assert "Alpha" not in out2 and "Nested" not in out2
+
+
+def test_hmac_sha256_rfc4231_vectors(spark):
+    """The columnar HMAC must reproduce the RFC 4231 published test
+    vectors (cases 1, 2, and the >block-size-key case 6)."""
+    import hashlib
+    import hmac as hmaclib
+
+    from pyspark.sql import functions as F
+
+    from apache_nifi_spark.functions.mac import hmac_sha256_col
+
+    cases = [
+        (b"\x0b" * 20, b"Hi There",
+         "b0344c61d8db38535ca8afceaf0bf12b881dc200c9833da726e9376c2e32cff7"),
+        (b"Jefe", b"what do ya want for nothing?",
+         "5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964ec3843"),
+        (b"\xaa" * 131, b"Test Using Larger Than Block-Size Key - Hash Key First",
+         "60e431591ee0b67f0d8a26aacbf5b77f8e0bc6213728c5140546040f0ee37f54"),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(msg)) for i, (_, msg, _) in enumerate(cases)],
+        "i long, content binary",
+    )
+    for i, (key, msg, want) in enumerate(cases):
+        got = (
+            df.filter(F.col("i") == i)
+            .select(hmac_sha256_col(F.col("content"), key).alias("m"))
+            .first()["m"]
+        )
+        assert got == want
+        # and the construction agrees with the stdlib for arbitrary input
+        assert got == hmaclib.new(key, msg, hashlib.sha256).hexdigest()
