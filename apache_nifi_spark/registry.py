@@ -2883,6 +2883,54 @@ def convert_excel_roundtrip_q(spark, sf_dir):
 
 
 @register(
+    "validate_xml_structure",
+    oracle="""
+    SELECT event_id,
+           (event_id % 13 <> 0 AND event_id % 11 <> 0 AND event_id % 7 <> 0)
+             AS valid,
+           CASE WHEN event_id % 13 = 0 THEN 'malformed'
+                WHEN event_id % 11 = 0 THEN 'root:record'
+                WHEN event_id % 7 = 0 THEN 'missing:user'
+           END AS validation_error
+    FROM events WHERE event_id % 4 = 0
+    """,
+)
+def validate_xml_q(spark, sf_dir):
+    """ValidateXml (§2.3 [2.7.2-surface], non-XSD mode): documents built
+    columnar with deterministically injected defects — truncated markup,
+    wrong root tag, missing required child — judged by a REAL XML parser
+    (sources/xml_codec.validate_xml, stdlib ElementTree); the oracle
+    pins the resulting valid/invalid routing and first-error labels."""
+    from apache_nifi_spark.sources.xml_codec import validate_xml
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 4 == 0)
+    mod = lambda n: F.col("event_id") % n == 0  # noqa: E731
+    root_open = F.when(mod(11), F.lit("<record>")).otherwise(F.lit("<event>"))
+    root_close = F.when(mod(11), F.lit("</record>")).otherwise(F.lit("</event>"))
+    user_el = F.when(mod(7), F.lit("")).otherwise(
+        F.concat(F.lit("<user>"), F.col("user_id").cast("string"), F.lit("</user>"))
+    )
+    doc = F.concat(
+        root_open,
+        F.lit("<id>"),
+        F.col("event_id").cast("string"),
+        F.lit("</id>"),
+        user_el,
+        F.lit("<type>"),
+        F.col("event_type"),
+        F.lit("</type>"),
+        root_close,
+    )
+    # malformed injection: drop the last two chars (truncated close tag)
+    doc = F.when(mod(13), doc.substr(F.lit(1), F.length(doc) - 2)).otherwise(doc)
+    built = ev.select("event_id", doc.alias("content"))
+    out = validate_xml(
+        built, root_tag="event", required_elements=("user", "type")
+    )
+    return out.select("event_id", "valid", "validation_error")
+
+
+@register(
     "verify_content_mac",
     oracle="""
     SELECT event_id, (event_id % 5 <> 0) AS mac_ok

@@ -34,7 +34,7 @@ from xml.sax.saxutils import escape
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-__all__ = ["write_xml", "read_xml"]
+__all__ = ["write_xml", "read_xml", "validate_xml"]
 
 
 def _serialize_value(name: str, value: Any, dt: T.DataType, out: list[str]) -> None:
@@ -191,3 +191,56 @@ def read_xml(
         .select("content")
     )
     return files.mapInPandas(decode_files, schema=schema)
+
+
+def validate_xml(
+    df,
+    content_col: str = "content",
+    root_tag: str | None = None,
+    required_elements: tuple[str, ...] = (),
+):
+    """ValidateXml (§2.3 [2.7.2-surface]): route documents by
+    well-formedness plus a structural contract — expected root tag and
+    required child elements (the schema-lite checks the processor's
+    non-XSD mode performs; full XSD needs a schema engine this
+    environment doesn't carry, documented).
+
+    mapInPandas over the content column with the stdlib parser (a REAL
+    XML parser decides well-formedness, not a regex); emits ``valid``
+    and the first ``validation_error`` label ('malformed', 'root:<tag>',
+    or 'missing:<element>')."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            valid, errs = [], []
+            for doc in pdf[content_col]:
+                err = None
+                try:
+                    root = ET.fromstring(doc if doc is not None else "")
+                except ET.ParseError:
+                    err = "malformed"
+                else:
+                    if root_tag is not None and root.tag != root_tag:
+                        err = f"root:{root.tag}"
+                    else:
+                        for req in required_elements:
+                            if root.find(req) is None:
+                                err = f"missing:{req}"
+                                break
+                valid.append(err is None)
+                errs.append(err)
+            pdf["valid"] = valid
+            pdf["validation_error"] = errs
+            yield pdf
+
+    from pyspark.sql.types import BooleanType, StringType, StructType
+
+    schema = (
+        StructType(list(df.schema.fields))
+        .add("valid", BooleanType())
+        .add("validation_error", StringType())
+    )
+    return df.mapInPandas(run, schema)
