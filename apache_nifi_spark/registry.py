@@ -2883,6 +2883,63 @@ def convert_excel_roundtrip_q(spark, sf_dir):
 
 
 @register(
+    "consume_imap_mailbox",
+    oracle="""
+    SELECT 'noreply@engine.local' AS from_addr,
+           'customer' || CAST(o_custkey AS VARCHAR) || '@example.com' AS to_addr,
+           'Order ' || CAST(o_orderkey AS VARCHAR) || ' ' || o_orderstatus AS subject,
+           CAST(o_orderdate AS TIMESTAMP) AS date_ts,
+           'Total ' || CAST(CAST(o_totalprice AS DECIMAL(27,2)) AS VARCHAR)
+             || ' priority ' || o_orderpriority AS body_text,
+           CAST(0 AS INT) AS n_attachments
+    FROM orders WHERE o_orderkey % 90 = 0
+    """,
+)
+def consume_imap_q(spark, sf_dir):
+    """ConsumeIMAP (§2.1 [nifi-email bundle]) over real IMAP4rev1 wire
+    bytes: rendered RFC 5322 messages APPEND per partition (stdlib
+    imaplib ↔ sources/imap.MiniImapServer, literal continuation), one
+    driver-side SEARCH lists sequence numbers (control-plane manifest),
+    partitions FETCH their ids distributed, and the stdlib MIME parser
+    recovers every field — oracle identity against the source rows
+    proves deliver → list → fetch → parse is lossless."""
+    from apache_nifi_spark.sinks import wire
+    from apache_nifi_spark.sources.email_codec import parse_email_headers
+    from apache_nifi_spark.sources.imap import (
+        MiniImapServer,
+        append_imap,
+        consume_imap,
+        list_imap_ids,
+    )
+
+    srv = MiniImapServer()
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 90 == 0)
+    to = F.concat(
+        F.lit("customer"), F.col("o_custkey").cast("string"), F.lit("@example.com")
+    )
+    subject = F.concat(
+        F.lit("Order "), F.col("o_orderkey").cast("string"), F.lit(" "),
+        F.col("o_orderstatus"),
+    )
+    body = F.concat(
+        F.lit("Total "),
+        F.col("o_totalprice").cast("decimal(27,2)").cast("string"),
+        F.lit(" priority "),
+        F.col("o_orderpriority"),
+    )
+    rendered = o.select(
+        wire.email_mime(
+            "noreply@engine.local", to, subject, F.col("o_orderdate"), body
+        ).cast("binary").alias("message")
+    )
+    n = append_imap(rendered, "127.0.0.1", srv.port).filter("delivered").count()
+    assert n == o.count()
+    ids = list_imap_ids(spark, "127.0.0.1", srv.port)
+    fetched = consume_imap(ids, "127.0.0.1", srv.port)
+    return parse_email_headers(fetched, "message")
+
+
+@register(
     "validate_xml_structure",
     oracle="""
     SELECT event_id,

@@ -312,3 +312,50 @@ def test_plan_table_ddl_create_and_evolve():
     bad = StructType([StructField("v", ArrayType(LongType()))])
     with _p.raises(ValueError, match="no DDL mapping"):
         plan_table_ddl(bad, "t", None)
+
+
+def test_imap_wire_protocol_invariants(spark):
+    """Protocol-level checks the registry cycle doesn't isolate: bad
+    credentials are refused, unauthenticated commands are rejected, the
+    mailbox count matches appends, and a message with 8-bit bytes
+    survives the literal framing byte-exact."""
+    import imaplib
+
+    from apache_nifi_spark.sources.imap import MiniImapServer
+
+    srv = MiniImapServer()
+    try:
+        bad = imaplib.IMAP4("127.0.0.1", srv.port)
+        try:
+            bad.login("engine", "wrong")
+            raise AssertionError("expected login failure")
+        except imaplib.IMAP4.error:
+            pass
+        bad.logout()
+
+        # unauthenticated SELECT is refused (raw bytes — client-side
+        # imaplib enforces its own state machine and won't send it)
+        import socket
+
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=5)
+        f = s.makefile("rwb")
+        assert f.readline().startswith(b"* OK")
+        f.write(b"A1 SELECT INBOX\r\n")
+        f.flush()
+        assert f.readline().startswith(b"A1 NO")
+        s.close()
+
+        c = imaplib.IMAP4("127.0.0.1", srv.port)
+        c.login("engine", "secret")
+        payload = b"From: a@x\r\n\r\nbody \xc3\xa9 bytes \x00\x01"
+        typ, _ = c.append("INBOX", None, None, payload)
+        assert typ == "OK"
+        assert srv.message_count() == 1
+        c.select("INBOX")
+        _, data = c.search(None, "ALL")
+        assert data[0].split() == [b"1"]
+        _, fdata = c.fetch("1", "(RFC822)")
+        assert fdata[0][1] == payload
+        c.logout()
+    finally:
+        srv.stop()
