@@ -114,14 +114,18 @@ def bpe_train(vocab: DataFrame, merges: int = 8) -> DataFrame:
             .localCheckpoint()
         )
         rules = top if rules is None else rules.unionByName(top)
-        state = (
-            state.crossJoin(F.broadcast(top.select(F.col("pair").alias("_p"))))
-            .select(
-                "word", "cnt",
-                _apply_merge(F.col("pieces"), F.col("_p")).alias("pieces"),
-            )
-            .localCheckpoint()
+        state = state.crossJoin(
+            F.broadcast(top.select(F.col("pair").alias("_p")))
+        ).select(
+            "word", "cnt",
+            _apply_merge(F.col("pieces"), F.col("_p")).alias("pieces"),
         )
+        # Cut lineage every OTHER step: the un-cut chain doubles per
+        # merge (state feeds both the pair counts and the re-piecing),
+        # but two uncut steps only quadruple the node count while
+        # halving the checkpoint job overhead — measured best.
+        if step % 2 == 0 or step == merges:
+            state = state.localCheckpoint()
     return rules
 
 
