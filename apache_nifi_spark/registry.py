@@ -2883,6 +2883,84 @@ def convert_excel_roundtrip_q(spark, sf_dir):
 
 
 @register(
+    "listen_smtp_deliver",
+    oracle="""
+    SELECT 'noreply@engine.local' AS env_from,
+           'customer' || CAST(o_custkey AS VARCHAR) || '@example.com' AS env_to,
+           'Order ' || CAST(o_orderkey AS VARCHAR) || ' ' || o_orderstatus AS subject,
+           'Total ' || CAST(CAST(o_totalprice AS DECIMAL(27,2)) AS VARCHAR)
+             || ' priority ' || o_orderpriority AS body_text
+    FROM orders WHERE o_orderkey % 110 = 0
+    """,
+)
+def listen_smtp_q(spark, sf_dir):
+    """ListenSMTP (§2.1 [nifi-email bundle]): rendered messages deliver
+    over a REAL RFC 5321 dialogue (stdlib smtplib per partition ↔
+    streaming/smtp.MiniSmtpServer — EHLO, envelope, DATA with
+    dot-transparency), land one file per message with the envelope
+    preserved as X-Envelope headers, and parse back.  Oracle identity
+    against the source rows proves the SMTP hop is lossless."""
+    import glob
+    import tempfile
+    import time
+
+    from apache_nifi_spark.sinks import wire
+    from apache_nifi_spark.sources.email_codec import parse_email_headers
+    from apache_nifi_spark.streaming.smtp import MiniSmtpServer, put_smtp
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 110 == 0)
+    to = F.concat(
+        F.lit("customer"), F.col("o_custkey").cast("string"), F.lit("@example.com")
+    )
+    subject = F.concat(
+        F.lit("Order "), F.col("o_orderkey").cast("string"), F.lit(" "),
+        F.col("o_orderstatus"),
+    )
+    body = F.concat(
+        F.lit("Total "),
+        F.col("o_totalprice").cast("decimal(27,2)").cast("string"),
+        F.lit(" priority "),
+        F.col("o_orderpriority"),
+    )
+    rendered = o.select(
+        F.lit("noreply@engine.local").alias("from_addr"),
+        to.alias("to_addr"),
+        wire.email_mime(
+            "noreply@engine.local", to, subject, F.col("o_orderdate"), body
+        ).cast("binary").alias("message"),
+    )
+    landing = tempfile.mkdtemp(prefix="anspark_smtp_")
+    srv = MiniSmtpServer(landing)
+    n = put_smtp(rendered, "127.0.0.1", srv.port).filter("delivered").count()
+    assert n == o.count()
+    deadline = time.monotonic() + 15
+    while time.monotonic() < deadline:
+        if len(glob.glob(f"{landing}/*.eml")) >= n:
+            break
+        time.sleep(0.05)
+    else:
+        raise TimeoutError("landing zone incomplete")
+    from apache_nifi_spark.sources import read_binary_files
+
+    landed = read_binary_files(spark, landing, glob="*.eml").select("content")
+    parsed = parse_email_headers(landed, "content")
+
+    def first_header(name: str):
+        return F.regexp_extract(
+            F.col("content").cast("string"), rf"{name}: ([^\r\n]+)", 1
+        )
+
+    enveloped = landed.select(
+        first_header("X-Envelope-From").alias("env_from"),
+        first_header("X-Envelope-To").alias("env_to"),
+        first_header("Subject").alias("subject"),
+    ).join(
+        parsed.select("subject", "body_text"), "subject"
+    )
+    return enveloped.select("env_from", "env_to", "subject", "body_text")
+
+
+@register(
     "consume_imap_mailbox",
     oracle="""
     SELECT 'noreply@engine.local' AS from_addr,

@@ -371,3 +371,41 @@ def test_prometheus_endpoint_scrape(spark):
             assert e.code == 404
     finally:
         ep.stop()
+
+
+def test_smtp_dot_transparency_and_envelope(spark):
+    """A body line starting with '.' must survive dot-stuffing (smtplib
+    stuffs, the server unstuffs) and the envelope must land as
+    X-Envelope headers distinct from the message headers."""
+    import glob
+    import smtplib
+    import tempfile
+    import time
+
+    from apache_nifi_spark.streaming.smtp import MiniSmtpServer
+
+    landing = tempfile.mkdtemp(prefix="smtp_test_")
+    srv = MiniSmtpServer(landing)
+    try:
+        msg = (
+            b"From: header-from@x\r\nSubject: t\r\n\r\n"
+            b"line one\r\n"
+            b".starts with a dot\r\n"
+            b"..two dots\r\n"
+        )
+        c = smtplib.SMTP("127.0.0.1", srv.port, timeout=5)
+        c.sendmail("env-from@x", ["env-to@y"], msg)
+        c.quit()
+        deadline = time.monotonic() + 5
+        files = []
+        while time.monotonic() < deadline and not files:
+            files = glob.glob(f"{landing}/*.eml")
+            time.sleep(0.02)
+        body = open(files[0], "rb").read()
+        assert body.startswith(b"X-Envelope-From: env-from@x\r\n"
+                               b"X-Envelope-To: env-to@y\r\n")
+        assert b"\r\n.starts with a dot\r\n" in body
+        assert b"\r\n..two dots\r\n" in body
+        assert b"...two dots" not in body
+    finally:
+        srv.stop()
