@@ -3708,6 +3708,61 @@ def avro_schema_evolution_q(spark, sf_dir):
     )
 
 
+def _avro_metadata_oracle() -> str:
+    """Expected metadata computed from the SAME canonical-form +
+    fingerprint code the operator uses (absolute correctness of the
+    fingerprint is pinned separately by the spec's published '"int"'
+    vector in tests/test_avro.py)."""
+    from pyspark.sql import types as T
+
+    from apache_nifi_spark.sources.avro_codec import (
+        canonical_form,
+        rabin_fingerprint,
+        spark_to_avro_schema,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+        ]
+    )
+    fp = rabin_fingerprint(canonical_form(spark_to_avro_schema(schema)).encode())
+    return f"""
+    SELECT 'topLevelRecord' AS schema_name,
+           '{fp:016x}' AS schema_fingerprint,
+           'deflate' AS codec,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 100 = 0) AS n_records
+    """
+
+
+@register("extract_avro_metadata_info", oracle=_avro_metadata_oracle())
+def extract_avro_metadata_q(spark, sf_dir):
+    """ExtractAvroMetadata (§2.4 [2.7.2-surface]): schema fullname, the
+    spec's CRC-64-AVRO fingerprint over the Parsing Canonical Form, the
+    codec, and the datum count read from block headers alone (no datum
+    decode) — sources/avro_codec.extract_avro_metadata; the fingerprint
+    implementation is pinned to the spec's published '"int"' vector."""
+    import tempfile
+
+    from apache_nifi_spark.sources import read_binary_files
+    from apache_nifi_spark.sources.avro_codec import (
+        extract_avro_metadata,
+        write_avro,
+    )
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select("o_orderkey", "o_orderstatus")
+        .coalesce(1)
+    )
+    out = tempfile.mkdtemp(prefix="anspark_avrometa_")
+    write_avro(o, out)
+    containers = read_binary_files(spark, out, glob="*.avro").select("content")
+    return extract_avro_metadata(containers)
+
+
 @register(
     "convert_avro_to_json",
     oracle="""

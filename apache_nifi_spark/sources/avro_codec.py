@@ -67,6 +67,9 @@ __all__ = [
     "split_avro_column",
     "resolve_decoder",
     "decode_container_resolved",
+    "canonical_form",
+    "rabin_fingerprint",
+    "extract_avro_metadata",
 ]
 
 _MAGIC = b"Obj\x01"
@@ -978,3 +981,101 @@ def decode_container_resolved(data: bytes, reader_schema: Any) -> list[tuple]:
         for _ in range(n):
             rows.append(dec(br))
     return rows
+
+
+# ---------------------------------------------------------------------------
+# ExtractAvroMetadata: Parsing Canonical Form + CRC-64-AVRO fingerprint
+# ---------------------------------------------------------------------------
+
+_CRC64_EMPTY = 0xC15D213AA4D7A795
+_CRC64_TABLE: list[int] = []
+
+
+def _crc64_table() -> list[int]:
+    if not _CRC64_TABLE:
+        for i in range(256):
+            fp = i
+            for _ in range(8):
+                fp = (fp >> 1) ^ (_CRC64_EMPTY & -(fp & 1))
+            _CRC64_TABLE.append(fp)
+    return _CRC64_TABLE
+
+
+def rabin_fingerprint(data: bytes) -> int:
+    """CRC-64-AVRO (the Avro spec's 64-bit schema fingerprint)."""
+    table = _crc64_table()
+    fp = _CRC64_EMPTY
+    for b in data:
+        fp = (fp >> 8) ^ table[(fp ^ b) & 0xFF]
+    return fp
+
+
+def canonical_form(schema: Any) -> str:
+    """Avro Parsing Canonical Form (spec): strip everything but the
+    parsing-relevant attributes, fullnames, minimal JSON with fields in
+    the prescribed order, no whitespace."""
+    if isinstance(schema, str):
+        return f'"{schema}"'
+    if isinstance(schema, list):
+        return "[" + ",".join(canonical_form(b) for b in schema) + "]"
+    t = schema["type"]
+    if t in ("record", "error"):
+        fields = ",".join(
+            '{"name":"%s","type":%s}' % (f["name"], canonical_form(f["type"]))
+            for f in schema["fields"]
+        )
+        return '{"name":"%s","type":"record","fields":[%s]}' % (
+            schema["name"], fields,
+        )
+    if t == "enum":
+        syms = ",".join(f'"{s}"' for s in schema["symbols"])
+        return '{"name":"%s","type":"enum","symbols":[%s]}' % (schema["name"], syms)
+    if t == "fixed":
+        return '{"name":"%s","type":"fixed","size":%d}' % (
+            schema["name"], schema["size"],
+        )
+    if t == "array":
+        return '{"type":"array","items":%s}' % canonical_form(schema["items"])
+    if t == "map":
+        return '{"type":"map","values":%s}' % canonical_form(schema["values"])
+    # logical types etc. reduce to their underlying primitive
+    return canonical_form(t)
+
+
+def extract_avro_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """ExtractAvroMetadata [2.7.2-surface]: per container — the record
+    schema's fullname, its CRC-64-AVRO fingerprint (hex), the compression
+    codec, and the datum count (decoded block headers, not a full datum
+    decode)."""
+
+    def run(batches: Iterator[Any]) -> Iterator[Any]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf[content_col]:
+                data = bytes(blob)
+                schema, codec, sync, pos = read_header(data)
+                fp = rabin_fingerprint(canonical_form(schema).encode())
+                r = _Reader(data)
+                r.pos = pos
+                count = 0
+                while r.pos < len(data):
+                    n = r.read_long()
+                    size = r.read_long()
+                    r.read_fixed(size)
+                    r.read_fixed(16)
+                    count += n
+                rows.append(
+                    (schema.get("name", "?"), f"{fp:016x}", codec, count)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["schema_name", "schema_fingerprint", "codec", "n_records"],
+            )
+
+    return df.mapInPandas(
+        run,
+        "schema_name string, schema_fingerprint string, codec string,"
+        " n_records bigint",
+    )

@@ -256,3 +256,35 @@ def test_schema_resolution_paths():
 
     with pytest.raises(TypeError):
         resolve_decoder("double", "int")  # demotion is not promotion
+
+
+def test_fingerprint_spec_vector_and_canonical_rules():
+    """CRC-64-AVRO pinned to the spec's published value for '"int"';
+    canonical form must ignore docs/aliases/defaults but not field
+    order."""
+    from apache_nifi_spark.sources.avro_codec import (
+        canonical_form,
+        rabin_fingerprint,
+    )
+
+    assert rabin_fingerprint(b'"int"') == 0x7275D51A3F395C8F
+
+    base = {
+        "type": "record", "name": "r",
+        "fields": [{"name": "a", "type": "int"}, {"name": "b", "type": "string"}],
+    }
+    noisy = {
+        "type": "record", "name": "r", "doc": "ignored", "namespace-free": 1,
+        "fields": [
+            {"name": "a", "type": "int", "doc": "x", "aliases": ["old_a"],
+             "default": 0},
+            {"name": "b", "type": "string"},
+        ],
+    }
+    reordered = {
+        "type": "record", "name": "r",
+        "fields": [{"name": "b", "type": "string"}, {"name": "a", "type": "int"}],
+    }
+    fp = lambda s: rabin_fingerprint(canonical_form(s).encode())  # noqa: E731
+    assert fp(base) == fp(noisy)
+    assert fp(base) != fp(reordered)
