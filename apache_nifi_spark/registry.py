@@ -2883,6 +2883,55 @@ def convert_excel_roundtrip_q(spark, sf_dir):
 
 
 @register(
+    "generate_record_synthetic",
+    oracle="""
+    SELECT CAST(i AS BIGINT) AS rec_id,
+           CAST(('0x' || substr(md5('gr:' || CAST(i AS VARCHAR)), 1, 8))
+                AS BIGINT) % 10000 AS amount,
+           substr('abcdefghijklmnopqrstuvwxyz',
+                  1 + CAST(('0x' || substr(md5('gr:' || CAST(i AS VARCHAR)), 9, 2))
+                           AS BIGINT) % 26, 8) AS name_frag,
+           CASE CAST(('0x' || substr(md5('gr:' || CAST(i AS VARCHAR)), 11, 2))
+                     AS BIGINT) % 3
+                WHEN 0 THEN 'red' WHEN 1 THEN 'green' ELSE 'blue' END AS color,
+           CAST('2025-01-01' AS TIMESTAMP)
+             + INTERVAL (CAST(('0x' || substr(md5('gr:' || CAST(i AS VARCHAR)), 13, 4))
+                              AS BIGINT) % 86400) SECOND AS ts
+    FROM generate_series(0, 4999) t(i)
+    """,
+)
+def generate_record_q(spark, sf_dir):
+    """GenerateRecord (§2.1 [NiFi 2.x nifi-standard]): schema-driven
+    synthetic records with DETERMINISTIC per-field strategies — every
+    value a pure function of the record index via md5, so test datasets
+    regenerate byte-identical anywhere (the reproducibility GenerateRecord's
+    seeded mode promises).  range → map-only column math, no shuffle."""
+    base = spark.range(0, 5000).select(F.col("id").alias("rec_id"))
+    h = F.md5(F.concat(F.lit("gr:"), F.col("rec_id").cast("string")))
+
+    def hslice(a: int, b: int) -> F.Column:
+        return F.conv(F.substring(h, a, b), 16, 10).cast("bigint")
+
+    return base.select(
+        "rec_id",
+        (hslice(1, 8) % 10000).alias("amount"),
+        F.substring(
+            F.lit("abcdefghijklmnopqrstuvwxyz"),
+            (1 + hslice(9, 2) % 26).cast("int"),
+            8,
+        ).alias("name_frag"),
+        F.when(hslice(11, 2) % 3 == 0, "red")
+        .when(hslice(11, 2) % 3 == 1, "green")
+        .otherwise("blue")
+        .alias("color"),
+        (
+            F.lit("2025-01-01").cast("timestamp")
+            + F.make_interval(secs=(hslice(13, 4) % 86400).cast("double"))
+        ).cast("timestamp_ntz").alias("ts"),
+    )
+
+
+@register(
     "listen_smtp_deliver",
     oracle="""
     SELECT 'noreply@engine.local' AS env_from,
