@@ -164,6 +164,9 @@ def _connect(host: str, port: int, user: str, password: str):
     import imaplib
 
     client = imaplib.IMAP4(host, port)
+    # imaplib never sets NODELAY; per-message round-trips would
+    # otherwise stall ~40 ms each under Nagle + delayed ACK.
+    client.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
     client.login(user, password)
     client.select("INBOX")
     return client
@@ -184,6 +187,7 @@ def append_imap(
         import imaplib
 
         client = imaplib.IMAP4(host, port)
+        client.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         client.login(user, password)
         try:
             for pdf in batches:

@@ -164,6 +164,7 @@ def put_smtp(
         import smtplib
 
         client = smtplib.SMTP(host, port, timeout=10)
+        client.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         try:
             for pdf in batches:
                 ok = []
