@@ -88,5 +88,6 @@ from apache_nifi_spark.operators.content import (  # noqa: F401
     unpack_content_zip,
     compress_content,
     decompress_content,
+    merge_content_text,
 )
 from apache_nifi_spark.operators.http import invoke_http  # noqa: F401,E402

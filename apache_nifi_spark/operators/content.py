@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 __all__ = [
+    "merge_content_text",
     "pack_content_zip",
     "unpack_content_zip",
     "compress_content",
@@ -137,3 +138,44 @@ def _recode(df, content_col, codec, out_col, mode):
             yield pdf
 
     return df.mapInPandas(run, schema)
+
+
+def merge_content_text(
+    df,
+    group_col: str,
+    content_col: str,
+    order_col: str,
+    header: str = "",
+    demarcator: str = "\n",
+    footer: str = "",
+):
+    """MergeContent's Binary-Concatenation mode with Header/Demarcator/
+    Footer [2.7.2-surface]: each bin (group) merges its members' content
+    in a TOTAL order into one payload framed by the configured strings.
+
+    Columnar: sort_array over (order, content) structs keeps the merge
+    deterministic, array_join applies the demarcator, concat frames it —
+    one shuffle on the bin key with map-side partial collect.  Bin size
+    is the operator's own bound (NiFi bins cap at Max Group Size); a bin
+    must fit an executor, same contract as the zip packer above.
+    """
+    from pyspark.sql import functions as F
+
+    merged = F.concat(
+        F.lit(header),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(order_col).alias("o"),
+                                            F.col(content_col).alias("c")))
+                ),
+                lambda s: s["c"],
+            ),
+            demarcator,
+        ),
+        F.lit(footer),
+    )
+    return df.groupBy(group_col).agg(
+        merged.alias("merged_content"),
+        F.count(F.lit(1)).alias("fragment_count"),
+    )

@@ -5729,6 +5729,88 @@ def _staged_ftp(spark, sf_dir):
 
 
 @register(
+    "merge_content_demarcator",
+    oracle="""
+    SELECT event_type,
+           '== begin ==' || chr(10)
+             || string_agg(CAST(event_id AS VARCHAR) || ':'
+                           || CAST(user_id AS VARCHAR),
+                           '|' ORDER BY event_id)
+             || chr(10) || '== end ==' AS merged_content,
+           CAST(COUNT(*) AS BIGINT) AS fragment_count
+    FROM events WHERE event_id % 40 = 0
+    GROUP BY event_type
+    """,
+)
+def merge_content_demarcator_q(spark, sf_dir):
+    """MergeContent Binary-Concatenation mode (§2.5): bins merge their
+    members in total order into one payload framed by Header/Demarcator/
+    Footer — sort_array over (order, content) structs + array_join, one
+    shuffle with map-side partial collect
+    (operators/content.merge_content_text)."""
+    from apache_nifi_spark.operators import merge_content_text
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 40 == 0).select(
+        "event_type",
+        "event_id",
+        F.concat(
+            F.col("event_id").cast("string"), F.lit(":"),
+            F.col("user_id").cast("string"),
+        ).alias("content"),
+    )
+    return merge_content_text(
+        ev,
+        group_col="event_type",
+        content_col="content",
+        order_col="event_id",
+        header="== begin ==\n",
+        demarcator="|",
+        footer="\n== end ==",
+    )
+
+
+@register(
+    "put_ftp_roundtrip",
+    oracle="""
+    SELECT 'n_' || CAST(n_nationkey AS VARCHAR) || '.csv' AS filename,
+           CAST(n_nationkey AS VARCHAR) || ',' || n_name AS line
+    FROM nation
+    """,
+)
+def put_ftp_roundtrip_q(spark, sf_dir):
+    """PutFTP (§2.2 [2.7.2-surface]): records STOR per partition over
+    the real RFC 959 wire (sources/ftp.put_ftp, one ftplib connection
+    per partition), then the uploaded tree lists and fetches back —
+    write and read directions closing over the same protocol server.
+    Oracle identity proves the STOR hop is byte-lossless."""
+    import tempfile
+
+    from apache_nifi_spark.sources.ftp import (
+        MiniFtpServer,
+        fetch_ftp,
+        list_ftp,
+        put_ftp,
+    )
+
+    root = tempfile.mkdtemp(prefix="anspark_putftp_")
+    srv = MiniFtpServer(root)
+    nation = _t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("n_"), F.col("n_nationkey").cast("string"), F.lit(".csv"))
+        .alias("filename"),
+        F.concat(F.col("n_nationkey").cast("string"), F.lit(","), F.col("n_name"))
+        .cast("binary")
+        .alias("content"),
+    )
+    n = put_ftp(nation, "127.0.0.1", srv.port).filter("stored").count()
+    assert n == 25
+    listing = list_ftp(spark, "127.0.0.1", srv.port, "/")
+    back = fetch_ftp(listing, "127.0.0.1", srv.port, "/")
+    return back.select(
+        "filename", F.col("content").cast("string").alias("line")
+    )
+
+
+@register(
     "ftp_list_fetch_records",
     oracle="""
     SELECT event_type,

@@ -34,7 +34,7 @@ import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["MiniFtpServer", "list_ftp", "fetch_ftp"]
+__all__ = ["MiniFtpServer", "list_ftp", "fetch_ftp", "put_ftp"]
 
 
 # ------------------------------------------------------------- server ------
@@ -227,3 +227,50 @@ def fetch_ftp(
                 pass
 
     return listing.mapInPandas(run, schema)
+
+
+def put_ftp(
+    df: DataFrame,
+    host: str,
+    port: int,
+    path: str = "/",
+    name_col: str = "filename",
+    content_col: str = "content",
+) -> DataFrame:
+    """PutFTP [2.7.2-surface]: STOR each record's bytes as one remote
+    file, one ftplib connection per PARTITION (the FetchFTP shape in the
+    write direction).  Appends ``stored``; failures route instead of
+    failing the task."""
+    from pyspark.sql.types import BooleanType, StructType
+
+    schema = StructType(list(df.schema.fields)).add("stored", BooleanType())
+
+    def run(batches):
+        import ftplib
+
+        ftp = ftplib.FTP()
+        ftp.connect(host, port, timeout=10)
+        ftp.login()
+        ftp.cwd(path)
+        try:
+            for pdf in batches:
+                ok = []
+                for name, blob in zip(pdf[name_col], pdf[content_col]):
+                    if name is None or blob is None:
+                        ok.append(False)
+                        continue
+                    data = blob if isinstance(blob, bytes) else str(blob).encode()
+                    try:
+                        ftp.storbinary(f"STOR {name}", _io.BytesIO(bytes(data)))
+                        ok.append(True)
+                    except ftplib.all_errors:
+                        ok.append(False)
+                pdf["stored"] = ok
+                yield pdf
+        finally:
+            try:
+                ftp.quit()
+            except Exception:
+                pass
+
+    return df.mapInPandas(run, schema)
