@@ -3067,6 +3067,65 @@ def consume_imap_q(spark, sf_dir):
 
 
 @register(
+    "consume_pop3_mailbox",
+    oracle="""
+    SELECT 'noreply@engine.local' AS from_addr,
+           'customer' || CAST(o_custkey AS VARCHAR) || '@example.com' AS to_addr,
+           'Order ' || CAST(o_orderkey AS VARCHAR) || ' ' || o_orderstatus AS subject,
+           CAST(o_orderdate AS TIMESTAMP) AS date_ts,
+           'Total ' || CAST(CAST(o_totalprice AS DECIMAL(27,2)) AS VARCHAR)
+             || ' priority ' || o_orderpriority AS body_text,
+           CAST(0 AS INT) AS n_attachments
+    FROM orders WHERE o_orderkey % 130 = 0
+    """,
+)
+def consume_pop3_q(spark, sf_dir):
+    """ConsumePOP3 (§2.1 [nifi-email bundle]): the same mailbox store
+    exposed over TWO real protocols — messages delivered via IMAP APPEND
+    (per partition), then consumed via RFC 1939 POP3 (stdlib poplib,
+    byte-stuffed RETR, distributed per-partition pulls) and MIME-parsed.
+    Oracle identity proves the cross-protocol cycle is lossless
+    (sources/imap.MiniPop3Server shares MiniImapServer's store)."""
+    from apache_nifi_spark.sinks import wire
+    from apache_nifi_spark.sources.email_codec import parse_email_headers
+    from apache_nifi_spark.sources.imap import (
+        MiniImapServer,
+        MiniPop3Server,
+        append_imap,
+        consume_pop3,
+    )
+
+    imap_srv = MiniImapServer()
+    pop_srv = MiniPop3Server(messages=imap_srv)
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 130 == 0)
+    to = F.concat(
+        F.lit("customer"), F.col("o_custkey").cast("string"), F.lit("@example.com")
+    )
+    subject = F.concat(
+        F.lit("Order "), F.col("o_orderkey").cast("string"), F.lit(" "),
+        F.col("o_orderstatus"),
+    )
+    body = F.concat(
+        F.lit("Total "),
+        F.col("o_totalprice").cast("decimal(27,2)").cast("string"),
+        F.lit(" priority "),
+        F.col("o_orderpriority"),
+    )
+    rendered = o.select(
+        wire.email_mime(
+            "noreply@engine.local", to, subject, F.col("o_orderdate"), body
+        ).cast("binary").alias("message")
+    )
+    n = append_imap(rendered, "127.0.0.1", imap_srv.port).filter("delivered").count()
+    assert n == o.count()
+    ids = spark.createDataFrame(
+        [(i + 1,) for i in range(imap_srv.message_count())], "msg_id int"
+    ).repartition(4)
+    fetched = consume_pop3(ids, "127.0.0.1", pop_srv.port)
+    return parse_email_headers(fetched, "message")
+
+
+@register(
     "validate_xml_structure",
     oracle="""
     SELECT event_id,

@@ -32,7 +32,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["MiniImapServer", "append_imap", "list_imap_ids", "consume_imap"]
+__all__ = ["MiniImapServer", "append_imap", "list_imap_ids", "consume_imap",
+           "MiniPop3Server", "consume_pop3"]
 
 
 class MiniImapServer:
@@ -252,5 +253,164 @@ def consume_imap(
                 yield pd.DataFrame({"msg_id": pdf["msg_id"], "message": msgs})
         finally:
             client.logout()
+
+    return ids.mapInPandas(run, "msg_id int, message binary")
+
+
+class MiniPop3Server:
+    """ConsumePOP3's counterpart [2.7.2-surface]: the RFC 1939 subset a
+    consume cycle needs — USER/PASS, STAT, LIST, RETR with byte-stuffed
+    multiline termination, DELE, QUIT — sharing the IMAP server's
+    mailbox model (one shared store, thread per connection).  The client
+    side is stdlib ``poplib``, so the wire bytes are genuine."""
+
+    def __init__(self, messages: "MiniImapServer | None" = None,
+                 host: str = "127.0.0.1", port: int = 0,
+                 user: str = "engine", password: str = "secret"):
+        self.user, self.password = user, password
+        self._store = messages  # share an IMAP server's mailbox if given
+        self._local: list[bytes] = []
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind((host, port))
+        self._srv.listen(32)
+        self._srv.settimeout(0.2)
+        self._thread = threading.Thread(target=self._accept_loop, daemon=True)
+        self._thread.start()
+
+    @property
+    def port(self) -> int:
+        return self._srv.getsockname()[1]
+
+    def load(self, message: bytes) -> None:
+        with self._lock:
+            self._local.append(message)
+
+    def _messages(self) -> list[bytes]:
+        if self._store is not None:
+            return self._store._mailbox
+        return self._local
+
+    def _accept_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._srv.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            threading.Thread(target=self._serve, args=(conn,), daemon=True).start()
+
+    def _serve(self, conn: socket.socket) -> None:
+        f = conn.makefile("rwb")
+
+        def send(line: str) -> None:
+            f.write(line.encode() + b"\r\n")
+            f.flush()
+
+        user_seen, authed = None, False
+        deleted: set[int] = set()
+        try:
+            send("+OK MiniPop3Server ready")
+            while True:
+                line = f.readline()
+                if not line:
+                    return
+                parts = line.rstrip(b"\r\n").decode("utf-8", "replace").split(" ")
+                cmd = parts[0].upper()
+                if cmd == "USER":
+                    user_seen = parts[1] if len(parts) > 1 else None
+                    send("+OK user accepted")
+                elif cmd == "PASS":
+                    if user_seen == self.user and len(parts) > 1 \
+                            and parts[1] == self.password:
+                        authed = True
+                        send("+OK mailbox open")
+                    else:
+                        send("-ERR authentication failed")
+                elif not authed:
+                    send("-ERR not authenticated")
+                elif cmd == "STAT":
+                    with self._lock:
+                        msgs = [m for i, m in enumerate(self._messages())
+                                if i not in deleted]
+                    send(f"+OK {len(msgs)} {sum(len(m) for m in msgs)}")
+                elif cmd == "LIST":
+                    with self._lock:
+                        msgs = list(enumerate(self._messages()))
+                    send("+OK scan listing follows")
+                    for i, m in msgs:
+                        if i not in deleted:
+                            send(f"{i + 1} {len(m)}")
+                    send(".")
+                elif cmd == "RETR":
+                    idx = int(parts[1]) - 1
+                    with self._lock:
+                        msgs = self._messages()
+                        if idx < 0 or idx >= len(msgs) or idx in deleted:
+                            send("-ERR no such message")
+                            continue
+                        m = msgs[idx]
+                    send(f"+OK {len(m)} octets")
+                    for ln in m.split(b"\r\n"):
+                        if ln.startswith(b"."):
+                            ln = b"." + ln  # byte-stuffing
+                        f.write(ln + b"\r\n")
+                    f.write(b".\r\n")
+                    f.flush()
+                elif cmd == "DELE":
+                    deleted.add(int(parts[1]) - 1)
+                    send("+OK marked for deletion")
+                elif cmd == "NOOP":
+                    send("+OK")
+                elif cmd == "QUIT":
+                    send("+OK bye")
+                    return
+                else:
+                    send(f"-ERR unknown command {cmd}")
+        except (ConnectionError, OSError, ValueError, IndexError):
+            return
+        finally:
+            try:
+                f.close()
+            except OSError:
+                pass
+            conn.close()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=2)
+        self._srv.close()
+
+
+def consume_pop3(
+    ids: DataFrame,
+    host: str,
+    port: int,
+    user: str = "engine",
+    password: str = "secret",
+) -> DataFrame:
+    """ConsumePOP3: distributed RETR — each partition opens one poplib
+    connection and pulls its message numbers → (msg_id, message)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import poplib
+
+        client = poplib.POP3(host, port, timeout=10)
+        client.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        client.user(user)
+        client.pass_(password)
+        try:
+            for pdf in batches:
+                msgs = []
+                for mid in pdf["msg_id"]:
+                    _, lines, _ = client.retr(int(mid))
+                    msgs.append(b"\r\n".join(lines) + b"\r\n")
+                yield pd.DataFrame({"msg_id": pdf["msg_id"], "message": msgs})
+        finally:
+            client.quit()
 
     return ids.mapInPandas(run, "msg_id int, message binary")

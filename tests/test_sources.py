@@ -359,3 +359,29 @@ def test_imap_wire_protocol_invariants(spark):
         c.logout()
     finally:
         srv.stop()
+
+
+def test_pop3_byte_stuffing_and_deletion(spark):
+    """RETR must byte-stuff dot-leading lines (poplib unstuffs) and DELE
+    must hide messages from STAT within the session."""
+    import poplib
+
+    from apache_nifi_spark.sources.imap import MiniPop3Server
+
+    srv = MiniPop3Server()
+    try:
+        srv.load(b"Subject: a\r\n\r\n.leading dot\r\n..double\r\nplain\r\n")
+        srv.load(b"Subject: b\r\n\r\nbody\r\n")
+        c = poplib.POP3("127.0.0.1", srv.port, timeout=5)
+        c.user("engine")
+        c.pass_("secret")
+        count, _ = c.stat()
+        assert count == 2
+        _, lines, _ = c.retr(1)
+        assert b".leading dot" in lines and b"..double" in lines
+        c.dele(2)
+        count2, _ = c.stat()
+        assert count2 == 1
+        c.quit()
+    finally:
+        srv.stop()
