@@ -40,6 +40,9 @@ ParseCEF                     CEF header/extension parse (functions/cef)
 CountText                    line/word/char counter columns (§2.4)
 ForkRecord                   array record-path → per-element child rows
                              keeping parent fields (§2.5)
+GenerateRecord               deterministic synthetic source (§2.1)
+ValidateXml                  structural contract → valid/invalid (§2.3)
+VerifyContentMAC             HMAC route → success/failure (§2.4)
 =====================  ====================================================
 
 Composition is purely declarative: the importer never executes anything —
@@ -149,7 +152,8 @@ _STATIC_PROPS = {
     "Delete Attributes Expression", "Store State",
     "Schema Text", "JSON Schema", "Column", "Latitude Record Path",
     "Longitude Record Path", "Geohash Level", "Geohash Record Path",
-    "Record Path", "Fork Path",
+    "Record Path", "Fork Path", "Number of Records", "Root Tag",
+    "Required Elements", "MAC Key", "MAC Column",
     "include-zero-record-flowfiles", "Cache Schema",
 }
 
@@ -172,6 +176,19 @@ def _apply(
                 f"{name}: 'Input Directory' must name a fixture table, got {table!r}"
             )
         return {"success": io.load_table(spark, sf_dir, table)}
+
+    if ptype == "GenerateRecord":
+        n = int(props.get("Number of Records", "100"))
+        base = spark.range(0, n).select(F.col("id").alias("rec_id"))
+        h = F.md5(F.concat(F.lit("gr:"), F.col("rec_id").cast("string")))
+        return {
+            "success": base.select(
+                "rec_id",
+                (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 10000)
+                .alias("amount"),
+                F.substring(h, 9, 8).alias("token"),
+            )
+        }
 
     if df is None:
         raise FlowImportError(f"{name}: non-source processor has no input")
@@ -347,6 +364,39 @@ def _apply(
             "fork": df.select(
                 *keep, F.posexplode(F.col(col)).alias("pos", "element")
             )
+        }
+
+    if ptype == "ValidateXml":
+        from apache_nifi_spark.sources.xml_codec import validate_xml
+
+        col = props.get("Column", "content")
+        root = props.get("Root Tag")
+        req = tuple(
+            s.strip()
+            for s in (props.get("Required Elements") or "").split(",")
+            if s.strip()
+        )
+        out_df = validate_xml(df, content_col=col, root_tag=root,
+                              required_elements=req)
+        return {
+            "valid": out_df.filter(F.col("valid")).drop("valid", "validation_error"),
+            "invalid": out_df.filter(~F.col("valid")).drop("valid"),
+        }
+
+    if ptype == "VerifyContentMAC":
+        from apache_nifi_spark.functions.mac import verify_content_mac
+
+        key = (props.get("MAC Key") or "").encode()
+        if not key:
+            raise FlowImportError(f"{name}: VerifyContentMAC needs 'MAC Key'")
+        out_df = verify_content_mac(
+            df, key,
+            content_col=props.get("Column", "content"),
+            mac_col=props.get("MAC Column", "mac"),
+        )
+        return {
+            "success": out_df.filter(F.col("mac_ok")).drop("mac_ok", "computed_mac"),
+            "failure": out_df.filter(~F.col("mac_ok")).drop("mac_ok"),
         }
 
     if ptype == "PutFile":

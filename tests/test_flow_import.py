@@ -298,3 +298,69 @@ def test_session2_processor_types(spark, sf_dir):
     assert {r["n_nationkey"] for r in inv} == {21, 22, 23, 24}
     assert all(r["validation_error"] == "maximum:$.id" for r in inv)
     assert inv[0]["text.character.count"] > 0
+
+
+def test_generate_validate_mac_flow(spark, sf_dir):
+    """GenerateRecord source → QueryRecord builds XML + MAC columns →
+    ValidateXml and VerifyContentMAC branch."""
+    from apache_nifi_spark.plans.flow_import import run_flow
+
+    def conn(src, dst, rels):
+        return {"source": {"id": src}, "destination": {"id": dst},
+                "selectedRelationships": rels}
+
+    flow = {
+        "flowContents": {
+            "processors": [
+                {"identifier": "g", "name": "Gen", "type": "x.GenerateRecord",
+                 "properties": {"Number of Records": "50"}},
+                {"identifier": "q", "name": "Q", "type": "x.QueryRecord",
+                 "properties": {"out": (
+                     "SELECT rec_id, amount, token,"
+                     " CASE WHEN rec_id % 5 = 0"
+                     "   THEN '<row><amount>' || amount || '</amount>'"
+                     "   ELSE '<row><amount>' || amount || '</amount></row>' END"
+                     " AS content FROM FLOWFILE")}},
+                {"identifier": "v", "name": "V", "type": "x.ValidateXml",
+                 "properties": {"Root Tag": "row",
+                                "Required Elements": "amount"}},
+            ],
+            "connections": [conn("g", "q", ["success"]), conn("q", "v", ["out"])],
+        }
+    }
+    outs = run_flow(spark, sf_dir, flow)
+    assert outs["V.valid"].count() == 40
+    inv = outs["V.invalid"].collect()
+    assert len(inv) == 10
+    assert all(r["validation_error"] == "malformed" for r in inv)
+
+    # MAC branch: compute a mac column for half the rows correctly
+    from apache_nifi_spark.functions.mac import hmac_sha256_col
+    from pyspark.sql import functions as F
+
+    base = spark.range(20).select(
+        F.col("id"),
+        F.concat(F.lit("doc-"), F.col("id").cast("string")).alias("content"),
+    )
+    presented = base.withColumn(
+        "mac",
+        F.when(F.col("id") % 2 == 0, hmac_sha256_col(F.col("content"), b"k1"))
+        .otherwise(F.lit("deadbeef")),
+    )
+    presented.createOrReplaceTempView("mac_input")
+    flow2 = {
+        "flowContents": {
+            "processors": [
+                {"identifier": "s", "name": "S", "type": "x.GenerateRecord",
+                 "properties": {"Number of Records": "1"}},
+                {"identifier": "q", "name": "Q2", "type": "x.QueryRecord",
+                 "properties": {"rows": "SELECT * FROM mac_input"}},
+                {"identifier": "m", "name": "M", "type": "x.VerifyContentMAC",
+                 "properties": {"MAC Key": "k1"}},
+            ],
+            "connections": [conn("s", "q", ["success"]), conn("q", "m", ["rows"])],
+        }
+    }
+    outs2 = run_flow(spark, sf_dir, flow2)
+    assert outs2["M.success"].count() == 10
+    assert outs2["M.failure"].count() == 10
