@@ -2645,6 +2645,67 @@ def put_syslog_tcp_octet_q(spark, sf_dir):
 
 
 @register(
+    "put_relp_roundtrip",
+    oracle="""
+    SELECT CAST(16 AS INT) AS facility,
+           CAST(CASE WHEN event_type = 'error' THEN 3 ELSE 6 END AS INT) AS severity,
+           'h' || CAST(user_id % 5 AS VARCHAR) AS host,
+           'engine' AS tag,
+           CAST(event_id AS BIGINT) AS pid,
+           event_type AS message
+    FROM events WHERE event_id % 55 = 0
+    """,
+)
+def put_relp_roundtrip_q(spark, sf_dir):
+    """ListenRELP (§2.1): syslog over RELP — the reliable transport with
+    per-transaction ACKs.  Records render to RFC 3164, frame as RELP
+    ``syslog`` commands after the ``open`` capability handshake (one
+    connection per partition, each ACK awaited), land batched, and parse
+    back.  Oracle equality proves the ACKed hop is lossless
+    (streaming/relp.py)."""
+    import glob
+    import tempfile
+    import time
+
+    from apache_nifi_spark.operators import parse_syslog, render_syslog_3164
+    from apache_nifi_spark.streaming.relp import RelpLandingListener, put_relp
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 55 == 0)
+    sev = F.when(F.col("event_type") == "error", 3).otherwise(6)
+    lines = ev.select(
+        render_syslog_3164(
+            F.lit(128) + sev,
+            F.col("ts"),
+            F.concat(F.lit("h"), (F.col("user_id") % 5).cast("string")),
+            F.lit("engine"),
+            F.col("event_id"),
+            F.col("event_type"),
+        ).alias("content")
+    )
+    landing = tempfile.mkdtemp(prefix="anspark_relp_")
+    listener = RelpLandingListener(landing)
+    n_sent = (
+        put_relp(lines, "127.0.0.1", listener.port, "content")
+        .filter("sent")
+        .count()
+    )
+    assert n_sent == ev.count()
+    deadline = time.monotonic() + 15
+    while time.monotonic() < deadline:
+        landed = sum(
+            sum(1 for ln in open(p, "rb").read().splitlines() if ln.strip())
+            for p in glob.glob(f"{landing}/*")
+        )
+        if landed >= n_sent:
+            break
+        time.sleep(0.05)
+    else:
+        raise TimeoutError(f"landing zone has {landed} of {n_sent} messages")
+    parsed = parse_syslog(spark.read.text(landing).withColumnRenamed("value", "line"))
+    return parsed.select("facility", "severity", "host", "tag", "pid", "message")
+
+
+@register(
     "stream_quality_gate",
     oracle="""
     WITH f AS (

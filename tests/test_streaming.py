@@ -409,3 +409,37 @@ def test_smtp_dot_transparency_and_envelope(spark):
         assert b"...two dots" not in body
     finally:
         srv.stop()
+
+
+def test_relp_frame_acks_and_newline_escape(spark):
+    """Every syslog txnr must be individually ACKed (200), embedded
+    newlines survive escaped, and the partial batch flushes on close."""
+    import glob
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from apache_nifi_spark.streaming.relp import RelpLandingListener, put_relp
+
+    landing = tempfile.mkdtemp(prefix="relp_test_")
+    lst = RelpLandingListener(landing, batch_size=100)  # > n: close must flush
+    try:
+        df = spark.createDataFrame(
+            [("plain msg",), ("multi\nline msg",)], "content string"
+        ).coalesce(1)
+        out = put_relp(df, "127.0.0.1", lst.port, "content")
+        assert out.filter("sent").count() == 2  # sent == ACKed, not written
+        deadline = time.monotonic() + 10
+        body = b""
+        while time.monotonic() < deadline:
+            files = glob.glob(f"{landing}/*")
+            if files:
+                body = b"".join(open(p, "rb").read() for p in sorted(files))
+                if body.count(b"\n") >= 2:
+                    break
+            time.sleep(0.05)
+        lines = [ln for ln in body.split(b"\n") if ln]
+        assert lines == [b"plain msg", b"multi\\nline msg"]
+    finally:
+        lst.stop()
