@@ -3235,6 +3235,62 @@ def validate_xml_q(spark, sf_dir):
 
 
 @register(
+    "extract_hl7_attributes_msg",
+    oracle=r"""
+    SELECT event_id,
+           CASE WHEN event_id % 3 = 0 THEN 'ORU' ELSE 'ADT' END AS message_code,
+           CASE WHEN event_id % 3 = 0 THEN 'R01' ELSE 'A01' END AS trigger_event,
+           'CTRL' || CAST(event_id AS VARCHAR) AS message_control_id,
+           'P' || CAST(user_id AS VARCHAR) AS patient_id,
+           'DOE' AS patient_family_name,
+           'J' || CAST(user_id % 7 AS VARCHAR) AS patient_given_name,
+           CASE WHEN event_id % 3 = 0 THEN 'HR' ELSE '' END AS observation_id,
+           CASE WHEN event_id % 3 = 0
+                THEN CAST(CAST(floor(abs(value) * 100) AS BIGINT) AS VARCHAR)
+                ELSE '' END AS observation_value,
+           CASE WHEN event_id % 3 = 0 THEN 'bpm' ELSE '' END AS observation_units
+    FROM events WHERE event_id % 8 = 0
+    """,
+)
+def extract_hl7_q(spark, sf_dir):
+    """ExtractHL7Attributes (§2.4 [nifi-hl7 bundle]): HL7 v2 pipe-and-hat
+    messages built columnar (MSH with the spec's shifted field numbering,
+    PID, and an OBX only on result messages) and the standard attribute
+    set extracted columnar — segment-prefix filters + positional
+    field/component splits, no UDF (functions/hl7.py).  Oracle states
+    the expected attributes directly from the source rows."""
+    from apache_nifi_spark.functions.hl7 import extract_hl7_attributes
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 8 == 0)
+    is_oru = F.col("event_id") % 3 == 0
+    cents = F.floor(F.abs(F.col("value")) * 100).cast("bigint")
+    msh = F.concat(
+        F.lit("MSH|^~\\&|ENGINE|SITE|||20250101||"),
+        F.when(is_oru, F.lit("ORU^R01")).otherwise(F.lit("ADT^A01")),
+        F.lit("|CTRL"),
+        F.col("event_id").cast("string"),
+        F.lit("|P|2.5"),
+    )
+    pid = F.concat(
+        F.lit("PID|1||P"),
+        F.col("user_id").cast("string"),
+        F.lit("^^^HOSP||DOE^J"),
+        (F.col("user_id") % 7).cast("string"),
+    )
+    obx = F.concat(
+        F.lit("OBX|1|NM|HR^HeartRate||"),
+        cents.cast("string"),
+        F.lit("|bpm^beats"),
+    )
+    msg = F.concat(
+        msh, F.lit("\r"), pid,
+        F.when(is_oru, F.concat(F.lit("\r"), obx)).otherwise(F.lit("")),
+    )
+    built = ev.select("event_id", msg.alias("content"))
+    return extract_hl7_attributes(built).drop("content")
+
+
+@register(
     "verify_content_mac",
     oracle="""
     SELECT event_id, (event_id % 5 <> 0) AS mac_ok

@@ -634,3 +634,37 @@ def test_hmac_sha256_rfc4231_vectors(spark):
         assert got == want
         # and the construction agrees with the stdlib for arbitrary input
         assert got == hmaclib.new(key, msg, hashlib.sha256).hexdigest()
+
+
+def test_hl7_msh_numbering_and_missing_segments(spark):
+    """MSH field numbering is shifted per the spec (MSH-1 is the field
+    separator itself); missing segments yield empty attributes."""
+    from apache_nifi_spark.functions.hl7 import (
+        extract_hl7_attributes,
+        hl7_field,
+        hl7_segment,
+    )
+
+    msg = (
+        "MSH|^~\\&|APP|FAC|||20250101||ADT^A04|MSG001|P|2.5\r"
+        "PID|1||12345^^^H||SMITH^JANE"
+    )
+    df = spark.createDataFrame([(1, msg), (2, "PID|1||X^^^H||Y^Z")],
+                               "id long, content string")
+    out = {r["id"]: r for r in extract_hl7_attributes(df).collect()}
+    assert out[1]["message_code"] == "ADT"
+    assert out[1]["trigger_event"] == "A04"
+    assert out[1]["message_control_id"] == "MSG001"
+    assert out[1]["patient_id"] == "12345"
+    assert out[1]["patient_family_name"] == "SMITH"
+    assert out[1]["observation_value"] == ""  # no OBX segment
+    # message 2 has no MSH: all MSH-derived attributes empty
+    assert out[2]["message_code"] == "" and out[2]["message_control_id"] == ""
+    assert out[2]["patient_family_name"] == "Y"
+
+    # MSH-1 is the separator itself, MSH-2 the encoding characters
+    row = df.filter("id = 1").select(
+        hl7_field(hl7_segment(F.col("content"), "MSH"), 1, msh=True).alias("f1"),
+        hl7_field(hl7_segment(F.col("content"), "MSH"), 2, msh=True).alias("f2"),
+    ).first()
+    assert row["f1"] == "|" and row["f2"] == "^~\\&"
