@@ -174,8 +174,12 @@ def modify_html_elements(
             tag_src = doc[start : gt + 1]
             if set_attr is not None:
                 name, value = set_attr
+                # Strip double-quoted, single-quoted, and unquoted forms of
+                # an existing attribute so the rewrite never duplicates it.
                 stripped = re.sub(
-                    rf'\s{re.escape(name)}="[^"]*"', "", tag_src[:-1]
+                    rf'\s{re.escape(name)}=("[^"]*"|\'[^\']*\'|[^\s>]*)',
+                    "",
+                    tag_src[:-1],
                 )
                 tag_src = f'{stripped} {name}="{value}">'
             out.append(tag_src)

@@ -105,7 +105,9 @@ def parse_netflow5(df: DataFrame, content_col: str = "packet") -> DataFrame:
     c = F.col(content_col)
     version = _read_int(c, F.lit(1), 2)
     count = _read_int(c, F.lit(3), 2)
-    base = df.filter(version == 5).select(
+    # count > 0 guard: sequence(0, -1) in Spark steps backwards, so a
+    # zero-record packet would explode two phantom rows of garbage offsets.
+    base = df.filter((version == 5) & (count > 0)).select(
         "*",
         _read_int(c, F.lit(5), 4).alias("sys_uptime"),
         _read_int(c, F.lit(9), 4).alias("unix_secs"),

@@ -1715,13 +1715,13 @@ def corpus_vocab_topk_q(spark, sf_dir):
     s AS (SELECT SUM(c) AS t_total, COUNT(*) AS v_size FROM v)
     SELECT tok.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           round(SUM(ln(CAST(v.c + 1 AS DOUBLE)
+           round(SUM(ln(CAST(COALESCE(v.c, 0) + 1 AS DOUBLE)
                         / CAST(s.t_total + s.v_size AS DOUBLE))) / COUNT(*), 6)
              AS mean_logprob,
-           round(exp(-SUM(ln(CAST(v.c + 1 AS DOUBLE)
+           round(exp(-SUM(ln(CAST(COALESCE(v.c, 0) + 1 AS DOUBLE)
                              / CAST(s.t_total + s.v_size AS DOUBLE))) / COUNT(*)), 6)
              AS ppl
-    FROM tok JOIN v USING (token), s
+    FROM tok LEFT JOIN v USING (token), s
     GROUP BY tok.doc_id
     """,
 )

@@ -13,6 +13,7 @@ bounded by the message itself.
 
 from __future__ import annotations
 
+from datetime import timezone
 from email import message_from_bytes
 from email.utils import parsedate_to_datetime
 from typing import Iterator
@@ -50,7 +51,14 @@ def parse_email_headers(
                 ts = None
                 if d:
                     dt = parsedate_to_datetime(d)
-                    ts = dt.astimezone(tz=None).replace(tzinfo=None) if dt.tzinfo else dt
+                    # Pin to UTC explicitly: astimezone(None) would use the
+                    # HOST timezone (Python workers ignore the Spark session
+                    # tz), diverging from the UTC-fixed renderer and oracles.
+                    ts = (
+                        dt.astimezone(timezone.utc).replace(tzinfo=None)
+                        if dt.tzinfo
+                        else dt
+                    )
                 out["date_ts"].append(ts)
                 body, n_att = None, 0
                 if msg.is_multipart():

@@ -140,13 +140,26 @@ class TcpLandingListener:
             def handle(self):
                 data = self.rfile.read()
                 if framing == "octet":
+                    # Frames parsed before a malformed tail still land —
+                    # a garbage length prefix must not discard valid frames.
                     msgs, pos = [], 0
                     while pos < len(data):
-                        sp = data.index(b" ", pos)
-                        n = int(data[pos:sp])
+                        try:
+                            sp = data.index(b" ", pos)
+                            n = int(data[pos:sp])
+                            if n < 0:
+                                break
+                        except ValueError:
+                            break
                         msgs.append(data[sp + 1 : sp + 1 + n])
                         pos = sp + 1 + n
-                    data = b"\n".join(m.replace(b"\n", b"\\n") for m in msgs)
+                    # Injective landing encoding: escape the escape char
+                    # first so payloads containing literal "\n" sequences
+                    # remain losslessly recoverable.
+                    data = b"\n".join(
+                        m.replace(b"\\", b"\\\\").replace(b"\n", b"\\n")
+                        for m in msgs
+                    )
                 if data.strip():
                     listener._land(data)
 
