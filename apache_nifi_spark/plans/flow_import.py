@@ -84,6 +84,14 @@ def run_flow(spark: SparkSession, sf_dir: str, flow: dict) -> dict[str, DataFram
     """
     contents = flow.get("flowContents", flow)
     procs = {p["identifier"]: p for p in contents.get("processors", [])}
+    # Funnel nodes are identity processors: many-in, one unioned output.
+    for fn in contents.get("funnels", []):
+        procs[fn["identifier"]] = {
+            "identifier": fn["identifier"],
+            "name": fn.get("name") or fn["identifier"],
+            "type": "Funnel",
+            "properties": {},
+        }
     if not procs:
         raise FlowImportError("flow has no processors")
     conns = contents.get("connections", [])
@@ -123,14 +131,20 @@ def run_flow(spark: SparkSession, sf_dir: str, flow: dict) -> dict[str, DataFram
     outputs: dict[str, dict[str, DataFrame]] = {}
     for pid in order:
         proc = procs[pid]
-        ins = [outputs[src][rel] for src, rel in incoming.get(pid, [])
-               if rel in outputs.get(src, {})]
+        named_ins = [
+            (rel, outputs[src][rel])
+            for src, rel in incoming.get(pid, [])
+            if rel in outputs.get(src, {})
+        ]
         df = None
-        if ins:
-            df = ins[0]
-            for other in ins[1:]:  # Funnel semantics: UNION ALL by name
+        two_sided = proc.get("type", "").rsplit(".", 1)[-1] == "JoinEnrichment"
+        if named_ins and not two_sided:
+            df = named_ins[0][1]
+            for _, other in named_ins[1:]:  # Funnel semantics: UNION ALL by name
                 df = df.unionByName(other)
-        outputs[pid] = _apply(spark, sf_dir, proc, df)
+        elif named_ins:
+            df = named_ins[0][1]  # placeholder; JoinEnrichment uses named_ins
+        outputs[pid] = _apply(spark, sf_dir, proc, df, named_ins)
 
     result: dict[str, DataFrame] = {}
     for pid, rels in outputs.items():
@@ -155,6 +169,22 @@ _STATIC_PROPS = {
     "Record Path", "Fork Path", "Number of Records", "Root Tag",
     "Required Elements", "MAC Key", "MAC Column",
     "include-zero-record-flowfiles", "Cache Schema",
+    "Merge Strategy", "Correlation Attribute Name", "Order Attribute",
+    "Fragment Identifier", "Fragment Index", "Header", "Demarcator",
+    "Footer", "Maximum Number of Entries", "Payload Column",
+    "Element Schema", "Keep Columns", "Line Split Count", "Byte Sequence",
+    "Segment Size", "Record Writer Format", "Partition Columns",
+    "Group Identifier", "Order Column", "Deduplication Keys",
+    "Sampling Strategy", "Sampling Interval", "Sampling Probability",
+    "Reservoir Size", "Maximum Rate", "Rate Controlled Attribute",
+    "Attributes List", "Destination Attribute", "Compression Format",
+    "Mode", "Encoding", "Hash Algorithm", "Hash Attribute",
+    "Grok Expression", "Categories", "Fields",
+    "Input Character Set", "Output Character Set",
+    "Attribute Pattern", "Filter Mode", "Attribute", "Dictionary",
+    "Start Offset", "End Offset", "Bus Directory", "Topic Name",
+    "Message Key Field", "JDBC URL", "Table Name", "SQL",
+    "Join Strategy", "Join Key", "Jolt Specification",
 }
 
 
@@ -163,11 +193,16 @@ def _dynamic(props: dict) -> dict:
 
 
 def _apply(
-    spark: SparkSession, sf_dir: str, proc: dict, df: DataFrame | None
+    spark: SparkSession,
+    sf_dir: str,
+    proc: dict,
+    df: DataFrame | None,
+    named_ins: list[tuple[str, DataFrame]] | None = None,
 ) -> dict[str, DataFrame]:
     ptype = proc.get("type", "").rsplit(".", 1)[-1]
     props = proc.get("properties") or {}
     name = proc.get("name") or proc.get("identifier")
+    named_ins = named_ins or []
 
     if ptype in ("GetFile", "GenerateFlowFile", "ListFile", "FetchFile"):
         table = props.get("Input Directory")
@@ -405,6 +440,528 @@ def _apply(
             df.write.mode("overwrite").parquet(directory)
         return {"success": df}
 
+    if ptype == "Funnel":
+        return {"success": df}
+
+    # ----------------------------------------------------- enrichment ---
+    if ptype == "ForkEnrichment":
+        # Both relationships carry the same records; downstream
+        # JoinEnrichment distinguishes them by connection relationship.
+        return {"original": df, "enrichment": df}
+
+    if ptype == "JoinEnrichment":
+        sides = {rel: d for rel, d in named_ins}
+        orig = sides.get("original")
+        enr = sides.get("enrichment")
+        if (orig is None or enr is None) and len(named_ins) == 2:
+            # Positional fallback when the upstream relationships are not
+            # literally named original/enrichment (e.g. a QueryRecord on
+            # the enrichment branch): first connection = original.
+            orig, enr = named_ins[0][1], named_ins[1][1]
+        if orig is None or enr is None:
+            raise FlowImportError(
+                f"{name}: JoinEnrichment needs 'original' and 'enrichment' inputs"
+            )
+        sql_text = props.get("SQL")
+        if sql_text:  # SQL strategy: Calcite in NiFi, Catalyst here
+            from apache_nifi_spark.operators.join import join_enrichment_sql
+
+            return {"joined": join_enrichment_sql(spark, orig, enr, sql_text)}
+        key = props.get("Join Key")
+        if not key:
+            raise FlowImportError(f"{name}: JoinEnrichment needs 'SQL' or 'Join Key'")
+        from apache_nifi_spark.operators.join import join_enrichment
+
+        how = {"Wrapper": "left", "Insert": "inner"}.get(
+            props.get("Join Strategy", "Wrapper"), "left"
+        )
+        return {"joined": join_enrichment(orig, enr, on=key, how=how)}
+
+    # -------------------------------------------------- merge / split ---
+    if ptype == "MergeContent":
+        from apache_nifi_spark.operators.aggregate import defragment
+        from apache_nifi_spark.operators.content import merge_content_text
+
+        if props.get("Merge Strategy") == "Defragment":
+            frag_id = props.get("Fragment Identifier", "fragment_id")
+            frag_ix = props.get("Fragment Index", "fragment_index")
+            payload = F.col(props.get("Payload Column", "content"))
+            return {"merged": defragment(df, frag_id, frag_ix, payload)}
+        group = props.get("Correlation Attribute Name")
+        content = props.get("Payload Column", "content")
+        order = props.get("Order Attribute", content)
+        if not group:
+            raise FlowImportError(
+                f"{name}: MergeContent needs 'Correlation Attribute Name'"
+            )
+        return {
+            "merged": merge_content_text(
+                df, group, content, order,
+                header=props.get("Header", ""),
+                demarcator=props.get("Demarcator", "\n"),
+                footer=props.get("Footer", ""),
+            )
+        }
+
+    if ptype == "MergeRecord":
+        from apache_nifi_spark.operators.aggregate import merge_record
+
+        corr = props.get("Correlation Attribute Name")
+        payload = F.col(props.get("Payload Column", "content"))
+        if not corr:
+            raise FlowImportError(
+                f"{name}: MergeRecord needs 'Correlation Attribute Name'"
+            )
+        max_entries = props.get("Maximum Number of Entries")
+        return {
+            "merged": merge_record(
+                df, corr, payload,
+                max_entries=int(max_entries) if max_entries else None,
+            )
+        }
+
+    if ptype in ("SplitRecord", "SplitAvro"):
+        from apache_nifi_spark.operators.aggregate import split_record
+
+        col = props.get("Record Path")
+        if not col:
+            raise FlowImportError(f"{name}: {ptype} needs 'Record Path'")
+        return {"splits": split_record(df, col)}
+
+    if ptype == "SplitJson":
+        from apache_nifi_spark.operators.transform import split_json
+
+        col = props.get("Column", "content")
+        schema = props.get("Element Schema")
+        keep = [
+            c.strip()
+            for c in (props.get("Keep Columns") or "").split(",")
+            if c.strip()
+        ]
+        if not schema:
+            raise FlowImportError(f"{name}: SplitJson needs 'Element Schema'")
+        return {"split": split_json(df, col, schema, keep=keep)}
+
+    if ptype == "SplitText":
+        col = props.get("Column", "text")
+        lines = F.split(F.col(col), "\n", -1)
+        return {
+            "splits": df.select(
+                "*", F.posexplode(lines).alias("fragment_index", "line")
+            ).drop(col)
+        }
+
+    if ptype == "SplitContent":
+        col = props.get("Column", "content")
+        seq = props.get("Byte Sequence")
+        if not seq:
+            raise FlowImportError(f"{name}: SplitContent needs 'Byte Sequence'")
+        import re as _re
+
+        parts = F.split(F.col(col), _re.escape(seq), -1)
+        return {
+            "splits": df.select(
+                "*", F.posexplode(parts).alias("fragment_index", "fragment")
+            ).drop(col)
+        }
+
+    if ptype == "SegmentContent":
+        col = props.get("Column", "content")
+        size = int(props.get("Segment Size", "1024"))
+        n_seg = F.ceil(F.length(F.col(col)) / F.lit(size)).cast("int")
+        idx = F.sequence(F.lit(0), F.greatest(n_seg, F.lit(1)) - 1)
+        return {
+            "segments": df.select(
+                "*", F.explode(idx).alias("segment_index")
+            ).withColumn(
+                "segment",
+                F.expr(f"substring({col}, segment_index * {size} + 1, {size})"),
+            ).drop(col)
+        }
+
+    # ------------------------------------------------- record plumbing ---
+    if ptype == "ConvertRecord":
+        fmt = (props.get("Record Writer Format") or "json").lower()
+        if fmt == "json":
+            out = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+        elif fmt == "csv":
+            out = F.concat_ws(
+                ",", *[F.col(c).cast("string") for c in df.columns]
+            )
+        else:
+            raise FlowImportError(
+                f"{name}: ConvertRecord writer {fmt!r} not in scoped import"
+            )
+        return {"success": df.withColumn("content", out)}
+
+    if ptype == "PartitionRecord":
+        from apache_nifi_spark.operators.aggregate import partition_record
+
+        keys = [
+            c.strip()
+            for c in (props.get("Partition Columns") or "").split(",")
+            if c.strip()
+        ]
+        if not keys:
+            raise FlowImportError(f"{name}: PartitionRecord needs 'Partition Columns'")
+        return {"success": partition_record(df, keys)}
+
+    if ptype == "EnforceOrder":
+        from apache_nifi_spark.operators.window import enforce_order
+
+        group = props.get("Group Identifier")
+        order = props.get("Order Column")
+        if not group or not order:
+            raise FlowImportError(
+                f"{name}: EnforceOrder needs 'Group Identifier' + 'Order Column'"
+            )
+        return {"success": enforce_order(df, group, order)}
+
+    if ptype == "DeduplicateRecord":
+        from apache_nifi_spark.operators.aggregate import deduplicate_record
+
+        keys = [
+            c.strip()
+            for c in (props.get("Deduplication Keys") or "").split(",")
+            if c.strip()
+        ]
+        if not keys:
+            raise FlowImportError(f"{name}: DeduplicateRecord needs 'Deduplication Keys'")
+        return {
+            "success": deduplicate_record(
+                df, keys, keep_order_col=props.get("Order Column")
+            )
+        }
+
+    if ptype == "SampleRecord":
+        from apache_nifi_spark.operators import sample as _sample
+
+        strategy = props.get("Sampling Strategy", "Interval Sampling")
+        order = props.get("Order Column")
+        if "Interval" in strategy:
+            if not order:
+                raise FlowImportError(f"{name}: interval sampling needs 'Order Column'")
+            n = int(props.get("Sampling Interval", "10"))
+            return {"success": _sample.sample_interval(df, F.col(order), n)}
+        if "Probabilistic" in strategy:
+            frac = float(props.get("Sampling Probability", "0.1"))
+            return {"success": _sample.sample_probabilistic(df, frac)}
+        if "Reservoir" in strategy:
+            k = int(props.get("Reservoir Size", "100"))
+            key = F.col(order) if order else None
+            return {"success": _sample.sample_reservoir(df, k, order_key=key)}
+        raise FlowImportError(f"{name}: unknown sampling strategy {strategy!r}")
+
+    if ptype == "ControlRate":
+        from apache_nifi_spark.operators.sample import control_rate_limit
+
+        group = props.get("Rate Controlled Attribute")
+        order = props.get("Order Column")
+        per = int(props.get("Maximum Rate", "3"))
+        if not group or not order:
+            raise FlowImportError(
+                f"{name}: ControlRate needs 'Rate Controlled Attribute' + 'Order Column'"
+            )
+        return {"success": control_rate_limit(df, F.col(group), F.col(order), per)}
+
+    # ------------------------------------------------ attribute / json ---
+    if ptype == "FlattenJson":
+        from apache_nifi_spark.operators.transform import flatten_json
+
+        return {"success": flatten_json(df)}
+
+    if ptype == "EvaluateJsonPath":
+        col = props.get("Column", "content")
+        derived = {
+            out: F.get_json_object(F.col(col), path)
+            for out, path in _dynamic(props).items()
+        }
+        if not derived:
+            raise FlowImportError(f"{name}: EvaluateJsonPath needs JSONPath properties")
+        return {"matched": df.withColumns(derived)}
+
+    if ptype == "AttributesToJSON":
+        from apache_nifi_spark.operators.transform import attributes_to_json
+
+        cols = [
+            c.strip()
+            for c in (props.get("Attributes List") or "").split(",")
+            if c.strip()
+        ] or df.columns
+        return {
+            "success": attributes_to_json(
+                df, cols, out_col=props.get("Destination Attribute", "json")
+            )
+        }
+
+    if ptype == "AttributesToCSV":
+        from apache_nifi_spark.operators.transform import attributes_to_csv
+
+        cols = [
+            c.strip()
+            for c in (props.get("Attributes List") or "").split(",")
+            if c.strip()
+        ] or df.columns
+        return {
+            "success": attributes_to_csv(
+                df, cols, out_col=props.get("Destination Attribute", "csv")
+            )
+        }
+
+    if ptype == "FilterAttribute":
+        from apache_nifi_spark.operators.transform import filter_attributes
+
+        col = props.get("Column", "attributes")
+        pattern = props.get("Attribute Pattern")
+        if not pattern:
+            raise FlowImportError(f"{name}: FilterAttribute needs 'Attribute Pattern'")
+        return {
+            "success": filter_attributes(
+                df, col, pattern, mode=props.get("Filter Mode", "retain")
+            )
+        }
+
+    # --------------------------------------------------- content codecs ---
+    if ptype == "CompressContent":
+        from apache_nifi_spark.operators.content import (
+            compress_content,
+            decompress_content,
+        )
+
+        col = props.get("Column", "content")
+        codec = props.get("Compression Format", "gzip")
+        fn = (
+            decompress_content
+            if props.get("Mode", "compress") == "decompress"
+            else compress_content
+        )
+        return {"success": fn(df, col, codec)}
+
+    if ptype == "EncodeContent":
+        col = props.get("Column", "content")
+        enc = props.get("Encoding", "base64")
+        mode = props.get("Mode", "encode")
+        c = F.col(col)
+        if enc == "base64":
+            # Spark's base64 may emit MIME-chunked output (CRLF every 76
+            # chars, SPARK-47307); strip to canonical RFC 4648 form.
+            out = (
+                F.regexp_replace(F.base64(c.cast("binary")), "\r\n", "")
+                if mode == "encode"
+                else F.unbase64(c).cast("string")
+            )
+        elif enc in ("hex", "base16"):
+            out = (
+                F.hex(c.cast("binary"))
+                if mode == "encode"
+                else F.unhex(c).cast("string")
+            )
+        else:
+            raise FlowImportError(f"{name}: unsupported encoding {enc!r}")
+        return {"success": df.withColumn(col, out)}
+
+    if ptype in ("CryptographicHashContent", "HashContent", "HashAttribute"):
+        col = props.get("Column", "content")
+        algo = props.get("Hash Algorithm", "SHA-256").upper().replace("-", "")
+        c = F.col(col).cast("binary")
+        if algo == "MD5":
+            out = F.md5(c)
+        elif algo in ("SHA256", "SHA512", "SHA224", "SHA384"):
+            out = F.sha2(c, int(algo[3:]))
+        else:
+            raise FlowImportError(f"{name}: unsupported hash {algo!r}")
+        dest = props.get("Hash Attribute", f"{col}_hash")
+        return {"success": df.withColumn(dest, out)}
+
+    if ptype == "ModifyBytes":
+        col = props.get("Column", "content")
+        start = int(props.get("Start Offset", "0"))
+        end = int(props.get("End Offset", "0"))
+        c = F.col(col).cast("binary")
+        keep = F.greatest(F.length(c) - F.lit(start + end), F.lit(0))
+        return {
+            "success": df.withColumn(
+                col, F.expr(
+                    f"substring(cast({col} as binary), {start + 1}, "
+                    f"greatest(octet_length(cast({col} as binary)) - {start + end}, 0))"
+                ).cast("string"),
+            ).withColumn(f"{col}_len", keep.cast("int"))
+        }
+
+    if ptype == "ConvertCharacterSet":
+        from apache_nifi_spark.operators.transform import convert_character_set
+
+        return {
+            "success": convert_character_set(
+                df,
+                props.get("Column", "content"),
+                props.get("Input Character Set", "UTF-8"),
+                props.get("Output Character Set", "UTF-8"),
+            )
+        }
+
+    # -------------------------------------------------- parse / extract ---
+    if ptype == "JoltTransformJSON":
+        spec = json.loads(props.get("Jolt Specification") or "{}")
+        if not spec:
+            raise FlowImportError(f"{name}: JoltTransformJSON needs 'Jolt Specification'")
+        # Scoped shift: {"outField": "sourceColumn"} → nested via dots.
+        fields = [F.col(src).alias(out) for out, src in spec.items()]
+        return {"success": df.withColumn("content", F.to_json(F.struct(*fields)))}
+
+    if ptype == "ExtractGrok":
+        col = props.get("Column", "line")
+        grok = props.get("Grok Expression")
+        if not grok:
+            raise FlowImportError(f"{name}: ExtractGrok needs 'Grok Expression'")
+        regex, groups = _compile_grok(grok)
+        derived = {}
+        for i, (gname, cast) in enumerate(groups, start=1):
+            c = F.regexp_extract(F.col(col), regex, i)
+            derived[gname] = c.cast(cast) if cast else c
+        return {"matched": df.withColumns(derived)}
+
+    if ptype == "ParseSyslog":
+        from apache_nifi_spark.operators.transform import parse_syslog
+
+        return {"success": parse_syslog(df, col=props.get("Column", "line"))}
+
+    if ptype == "ParseSyslog5424":
+        from apache_nifi_spark.operators.transform import parse_syslog_5424
+
+        return {"success": parse_syslog_5424(df, col=props.get("Column", "line"))}
+
+    if ptype == "CalculateRecordStats":
+        from apache_nifi_spark.operators.aggregate import calculate_record_stats
+
+        cats = [
+            c.strip()
+            for c in (props.get("Categories") or "").split(",")
+            if c.strip()
+        ]
+        if not cats:
+            raise FlowImportError(f"{name}: CalculateRecordStats needs 'Categories'")
+        return {"success": calculate_record_stats(df, cats)}
+
+    if ptype == "RenameRecordField":
+        from apache_nifi_spark.operators.transform import rename_fields
+
+        renames = _dynamic(props)
+        if not renames:
+            raise FlowImportError(f"{name}: RenameRecordField needs rename properties")
+        return {"success": rename_fields(df, renames)}
+
+    if ptype == "RemoveRecordField":
+        from apache_nifi_spark.operators.transform import remove_fields
+
+        fields = [
+            c.strip() for c in (props.get("Fields") or "").split(",") if c.strip()
+        ]
+        if not fields:
+            raise FlowImportError(f"{name}: RemoveRecordField needs 'Fields'")
+        return {"success": remove_fields(df, fields)}
+
+    if ptype == "UpdateRecord":
+        from apache_nifi_spark.functions.el_parser import el_select
+
+        exprs = dict(_dynamic(props))
+        if not exprs:
+            raise FlowImportError(f"{name}: UpdateRecord needs EL properties")
+        return {"success": el_select(df, exprs)}
+
+    # ------------------------------------------------------- scan / log ---
+    if ptype == "ScanAttribute":
+        attr = props.get("Attribute")
+        terms = [
+            t.strip() for t in (props.get("Dictionary") or "").split(",") if t.strip()
+        ]
+        if not attr or not terms:
+            raise FlowImportError(f"{name}: ScanAttribute needs 'Attribute' + 'Dictionary'")
+        hit = F.col(attr).cast("string").isin(terms)
+        return {"matched": df.filter(hit), "unmatched": df.filter(~hit)}
+
+    if ptype == "ScanContent":
+        col = props.get("Column", "content")
+        terms = [
+            t.strip() for t in (props.get("Dictionary") or "").split(",") if t.strip()
+        ]
+        if not terms:
+            raise FlowImportError(f"{name}: ScanContent needs 'Dictionary'")
+        hit = None
+        for t in terms:
+            p = F.col(col).contains(t)
+            hit = p if hit is None else (hit | p)
+        return {"matched": df.filter(hit), "unmatched": df.filter(~hit)}
+
+    if ptype == "IdentifyMimeType":
+        from apache_nifi_spark.llm.multimodal import identify_mime_type
+
+        return {"success": identify_mime_type(df, props.get("Column", "content"))}
+
+    if ptype in ("LogAttribute", "LogMessage"):
+        return {"success": df}
+
+    # ------------------------------------------------------------- sinks ---
+    if ptype in ("PublishKafka", "PublishKafkaRecord"):
+        bus_dir = props.get("Bus Directory")
+        topic = props.get("Topic Name", "flow-out")
+        if bus_dir:
+            from apache_nifi_spark.streaming.kafka_bus import FileKafkaBus
+
+            key_field = props.get("Message Key Field")
+            bus = FileKafkaBus(bus_dir)
+            rendered = df.select(
+                *([F.col(key_field)] if key_field else []),
+                F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value"),
+            )
+            bus.publish(rendered, topic, key_col=key_field, value_col="value")
+        return {"success": df}
+
+    if ptype in ("PutDatabaseRecord", "PutSQL"):
+        url = props.get("JDBC URL")
+        table = props.get("Table Name")
+        if url and table:
+            from apache_nifi_spark.sources.formats import jdbc_write
+
+            jdbc_write(df, url, table)
+        return {"success": df}
+
     raise FlowImportError(
         f"{name}: unsupported processor type {ptype!r} (scoped import; see module doc)"
     )
+
+
+#: grok pattern → (regex fragment, spark cast type or None)
+_GROK_PATTERNS = {
+    "WORD": (r"\w+", None),
+    "NOTSPACE": (r"\S+", None),
+    "DATA": (r".*?", None),
+    "GREEDYDATA": (r".*", None),
+    "INT": (r"[+-]?\d+", "long"),
+    "NUMBER": (r"[+-]?\d+(?:\.\d+)?", "double"),
+    "IP": (r"\d{1,3}(?:\.\d{1,3}){3}", None),
+    "LOGLEVEL": (r"TRACE|DEBUG|INFO|WARN|ERROR|FATAL", None),
+    "UUID": (r"[0-9a-fA-F-]{36}", None),
+}
+
+
+def _compile_grok(expr: str) -> tuple[str, list[tuple[str, str | None]]]:
+    """Compile a ``%{PATTERN:name}`` grok expression to one regex with
+    ordered capture groups (public grok semantics; each named pattern
+    becomes a capturing group, literals pass through escaped)."""
+    import re as _re
+
+    groups: list[tuple[str, str | None]] = []
+    out: list[str] = []
+    pos = 0
+    for m in _re.finditer(r"%\{(\w+):(\w+)\}", expr):
+        out.append(_re.escape(expr[pos:m.start()]))
+        pat, gname = m.group(1), m.group(2)
+        if pat not in _GROK_PATTERNS:
+            raise FlowImportError(f"unknown grok pattern %{{{pat}}}")
+        rx, cast = _GROK_PATTERNS[pat]
+        out.append(f"({rx})")
+        groups.append((gname, cast))
+        pos = m.end()
+    out.append(_re.escape(expr[pos:]))
+    return "".join(out), groups

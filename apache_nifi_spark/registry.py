@@ -7672,6 +7672,272 @@ def flow_import_lookup_q(spark, sf_dir):
 
 
 # =====================================================================
+# Mega flow import (round-6 item #1): tests/fixtures/mega_flow.json
+# exercises 44 DISTINCT processor types (63 processors) through the
+# widened plans/flow_import.py — every terminal output below is
+# value-oracled against DuckDB recreating the full chain in SQL.
+# Reference anchor: the reference deployment exists to run authored
+# flows (nifi-registry/deployement.yaml:14-16); this is the migration
+# path for a real NiFi user's flow.json.
+# =====================================================================
+
+_MEGA_FLOW_PATH = __file__.rsplit("/", 2)[0] + "/tests/fixtures/mega_flow.json"
+_MEGA_CACHE: dict = {}
+
+
+def _mega(spark, sf_dir, output):
+    """Compile the mega flow once per (session, sf_dir) — compilation is
+    driver-side plan building only (lazy DataFrames), so the cache just
+    avoids re-running the importer's eager SQL analysis 13×."""
+    key = (id(spark), sf_dir)
+    if key not in _MEGA_CACHE:
+        from apache_nifi_spark.plans.flow_import import run_flow_json
+
+        with open(_MEGA_FLOW_PATH) as f:
+            _MEGA_CACHE[key] = run_flow_json(spark, sf_dir, f.read())
+    return _MEGA_CACHE[key][output]
+
+
+@register(
+    "mega_flow_orders_pipeline",
+    oracle="""
+    WITH sampled AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+    seqd AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS seq FROM sampled),
+    lim AS (SELECT * FROM seqd WHERE seq <= 50),
+    ded AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn FROM lim) WHERE rn = 1)
+    SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(seq) AS BIGINT) AS sum_seq,
+           CAST(SUM(o_orderkey * 2) AS BIGINT) AS sum_key2,
+           MIN(md5(concat_ws(',', CAST(o_orderkey AS VARCHAR), o_orderstatus))) AS min_md5
+    FROM ded GROUP BY o_orderstatus
+    """,
+)
+def mega_flow_orders_q(spark, sf_dir):
+    """Mega-flow S1: GetFile → SampleRecord(interval) → EnforceOrder →
+    ControlRate → DeduplicateRecord → RenameRecordField →
+    RemoveRecordField → UpdateRecord(EL) → AttributesToCSV →
+    CryptographicHashContent(MD5) → QueryRecord — ten processor types
+    composed into ONE Catalyst plan by the importer."""
+    return _mega(spark, sf_dir, "OrdersAgg.byStatus")
+
+
+@register(
+    "mega_flow_docs_content",
+    oracle=r"""
+    WITH trimmed AS (
+      SELECT doc_id, lang, substr(text, 6, greatest(length(text) - 10, 0)) AS text
+      FROM documents
+    ),
+    counted AS (
+      SELECT *, len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS wc
+      FROM trimmed
+    ),
+    scanned AS (SELECT * FROM counted WHERE contains(text, 'data') OR contains(text, 'the')),
+    hashed AS (
+      SELECT lang, wc,
+             sha256(to_base64(encode(regexp_replace(text, '[aeiou]', '', 'g')))) AS th
+      FROM scanned
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(wc) AS BIGINT) AS sum_words, MIN(th) AS min_hash
+    FROM hashed GROUP BY lang
+    """,
+)
+def mega_flow_docs_q(spark, sf_dir):
+    """Mega-flow S2: ModifyBytes → CountText → ScanContent → ReplaceText →
+    EncodeContent(base64) → CryptographicHashContent(SHA-256) →
+    QueryRecord over the documents corpus."""
+    return _mega(spark, sf_dir, "DocsAgg.byLang")
+
+
+@register(
+    "mega_flow_json_validate",
+    oracle="""
+    SELECT event_type AS kind, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sumk
+    FROM events GROUP BY event_type
+    """,
+)
+def mega_flow_json_q(spark, sf_dir):
+    """Mega-flow S3: FlattenJson → EvaluateJsonPath → JoltTransformJSON →
+    ValidateJson(schema) → QueryRecord; the schema admits every rendered
+    document, so the valid branch is the whole stream."""
+    return _mega(spark, sf_dir, "JsonAgg.agg")
+
+
+@register(
+    "mega_flow_grok_generate",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(i AS BIGINT) AS rec_id,
+             CAST(('0x' || substr(md5('gr:' || CAST(i AS VARCHAR)), 1, 8))::UBIGINT % 10000 AS BIGINT) AS amount
+      FROM range(500) t(i)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(rec_id) AS BIGINT) AS sum_rid,
+           CAST(SUM(amount) AS BIGINT) AS sum_amt
+    FROM g
+    """,
+)
+def mega_flow_grok_q(spark, sf_dir):
+    """Mega-flow S4: GenerateRecord → UpdateAttribute(EL string build) →
+    ExtractGrok(%{INT}/%{WORD} compiled to regex captures) → QueryRecord."""
+    return _mega(spark, sf_dir, "GrokAgg.agg")
+
+
+@register(
+    "mega_flow_fork_join",
+    oracle="""
+    SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(c_acctbal * 2 AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal2
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def mega_flow_fork_join_q(spark, sf_dir):
+    """Mega-flow S5: ForkEnrichment → (enrichment: QueryRecord calc) →
+    JoinEnrichment SQL strategy rejoining original+enrichment views →
+    QueryRecord aggregate."""
+    return _mega(spark, sf_dir, "JoinAgg.agg")
+
+
+@register(
+    "mega_flow_merge_split",
+    oracle="""
+    WITH m AS (SELECT o_custkey, COUNT(*) AS cnt, SUM(o_orderkey) AS sk FROM orders GROUP BY o_custkey)
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n, CAST(SUM(sk) AS BIGINT) AS sum_keys,
+           CAST(SUM(cnt * (cnt - 1) / 2) AS BIGINT) AS sum_idx
+    FROM m
+    """,
+)
+def mega_flow_merge_split_q(spark, sf_dir):
+    """Mega-flow S6: MergeRecord(bin by o_custkey) → SplitRecord(explode
+    back with fragment_index) → QueryRecord; sum of fragment indexes per
+    bin is n(n-1)/2 — deterministic despite unordered bins."""
+    return _mega(spark, sf_dir, "MergeSplitAgg.agg")
+
+
+@register(
+    "mega_flow_record_stats",
+    oracle="""
+    SELECT '<total>' AS category, '<total>' AS value,
+           CAST(COUNT(*) AS BIGINT) AS record_count FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment' AS category, c_mktsegment AS value,
+           CAST(COUNT(*) AS BIGINT) AS record_count
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def mega_flow_record_stats_q(spark, sf_dir):
+    """Mega-flow S7: PartitionRecord(hash co-locate) →
+    CalculateRecordStats(per-category counts + total)."""
+    return _mega(spark, sf_dir, "CustStats.success")
+
+
+@register(
+    "mega_flow_scan_funnel",
+    oracle="""
+    WITH mtch AS (SELECT n_nationkey FROM nation WHERE n_name IN ('NATION_3','NATION_7','NATION_11')),
+    dup AS (SELECT n_nationkey FROM mtch, range(3)),
+    unioned AS (
+      SELECT n_nationkey FROM dup
+      UNION ALL
+      SELECT n_nationkey FROM nation WHERE n_name NOT IN ('NATION_3','NATION_7','NATION_11')
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS s FROM unioned
+    """,
+)
+def mega_flow_scan_funnel_q(spark, sf_dir):
+    """Mega-flow S8: ScanAttribute(dictionary route) →
+    DuplicateFlowFile(×3) → RemoveRecordField → Funnel(union with the
+    unmatched branch) → LogAttribute → QueryRecord."""
+    return _mega(spark, sf_dir, "NationAgg.agg")
+
+
+@register(
+    "mega_flow_merge_digest",
+    oracle="""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           md5(string_agg(text, '' ORDER BY doc_id)) AS digest
+    FROM documents GROUP BY source
+    """,
+)
+def mega_flow_merge_digest_q(spark, sf_dir):
+    """Mega-flow S9a: MergeContent(bin-pack by source, doc_id order,
+    empty demarcator) → QueryRecord digesting each merged payload —
+    byte-exact reassembly proof."""
+    return _mega(spark, sf_dir, "SrcDigest.agg")
+
+
+@register(
+    "mega_flow_line_split",
+    oracle="""
+    WITH l AS (
+      SELECT unnest(string_split(regexp_replace(text, ' ', chr(10), 'g'), chr(10))) AS line
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines, CAST(SUM(length(line)) AS BIGINT) AS sum_len FROM l
+    """,
+)
+def mega_flow_line_split_q(spark, sf_dir):
+    """Mega-flow S9b: ReplaceText(space→newline) → SplitText(posexplode
+    lines) → QueryRecord."""
+    return _mega(spark, sf_dir, "LineAgg.agg")
+
+
+@register(
+    "mega_flow_segments",
+    oracle="""
+    SELECT CAST(SUM(greatest(CAST(ceil(length(text) / 200.0) AS BIGINT), 1)) AS BIGINT) AS n_seg,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_seg_len
+    FROM documents
+    """,
+)
+def mega_flow_segments_q(spark, sf_dir):
+    """Mega-flow S9c: SegmentContent(200-char windows, explode inside the
+    generate node) → QueryRecord; segment lengths must re-sum to the
+    source lengths exactly."""
+    return _mega(spark, sf_dir, "SegAgg.agg")
+
+
+@register(
+    "mega_flow_csv_frags",
+    oracle="""
+    WITH c AS (
+      SELECT concat_ws(',', CAST(n_nationkey AS VARCHAR), n_name, CAST(n_regionkey AS VARCHAR)) AS content
+      FROM nation
+    )
+    SELECT CAST(SUM(length(content) - length(replace(content, ',', '')) + 1) AS BIGINT) AS n_frags,
+           CAST(SUM(length(replace(content, ',', ''))) AS BIGINT) AS sum_flen,
+           'application/octet-stream' AS mime
+    FROM c
+    """,
+)
+def mega_flow_csv_frags_q(spark, sf_dir):
+    """Mega-flow S9d: ConvertCharacterSet(noop roundtrip) →
+    ConvertRecord(csv writer) → IdentifyMimeType → SplitContent(split on
+    the byte sequence) → QueryRecord."""
+    return _mega(spark, sf_dir, "CsvAgg.agg")
+
+
+@register(
+    "mega_flow_route_distribute",
+    oracle=r"""
+    WITH m AS (SELECT doc_id, text FROM documents WHERE regexp_matches(text, 'data')),
+    e AS (SELECT doc_id, regexp_extract(text, '^(\w+)', 1) AS firstword FROM m),
+    r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn FROM e),
+    a AS (SELECT doc_id, firstword FROM r WHERE (rn - 1) % 3 < 2)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(doc_id) AS BIGINT) AS s,
+           MIN(to_json(struct_pack(doc_id := doc_id, firstword := firstword))) AS mj
+    FROM a
+    """,
+)
+def mega_flow_route_distribute_q(spark, sf_dir):
+    """Mega-flow S10: RouteText(matched) → ExtractText(capture) →
+    DistributeLoad(2:1 round-robin on doc_id order) → AttributesToJSON →
+    QueryRecord on the 'a' relationship."""
+    return _mega(spark, sf_dir, "RouteAgg.agg")
+
+
+# =====================================================================
 # Connector-semantics closure (SURVEY.md §2.1/§2.2 final rows): the
 # document-store / notification sinks render their exact wire payloads
 # (sinks/wire.py), and the consumer-side predicate languages (MQTT topic
