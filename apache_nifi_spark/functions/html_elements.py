@@ -151,6 +151,31 @@ def extract_html_elements(
     )
 
 
+#: one attribute token: leading whitespace, a name, optionally =value in
+#: double-quoted / single-quoted / unquoted form
+_ATTR_RX = re.compile(r"\s+([^\s=/>]+)(\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]*))?")
+
+
+def _strip_attr(tag_body: str, name: str) -> str:
+    """Remove attribute ``name`` from a start-tag body (the tag source
+    without the closing ``>``) by scanning attribute tokens
+    left-to-right, so a match can only START at an attribute-name
+    position — never inside another attribute's quoted value (a plain
+    ``re.sub`` corrupted ``<a title="x href=y" href="z">`` by stripping
+    `` href=y"`` out of the title)."""
+    m = re.match(r"<\s*[^\s>]+", tag_body)
+    pos = m.end() if m else 0
+    out = [tag_body[:pos]]
+    for am in _ATTR_RX.finditer(tag_body, pos):
+        if am.start() != pos:
+            out.append(tag_body[pos : am.start()])  # malformed gap: verbatim
+        if am.group(1) != name:
+            out.append(am.group(0))
+        pos = am.end()
+    out.append(tag_body[pos:])
+    return "".join(out)
+
+
 def modify_html_elements(
     df: DataFrame,
     selector: str,
@@ -174,13 +199,7 @@ def modify_html_elements(
             tag_src = doc[start : gt + 1]
             if set_attr is not None:
                 name, value = set_attr
-                # Strip double-quoted, single-quoted, and unquoted forms of
-                # an existing attribute so the rewrite never duplicates it.
-                stripped = re.sub(
-                    rf'\s{re.escape(name)}=("[^"]*"|\'[^\']*\'|[^\s>]*)',
-                    "",
-                    tag_src[:-1],
-                )
+                stripped = _strip_attr(tag_src[:-1], name)
                 tag_src = f'{stripped} {name}="{value}">'
             out.append(tag_src)
             if rec.get("end") is None:  # void element: no inner content

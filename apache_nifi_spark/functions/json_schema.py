@@ -307,6 +307,32 @@ def json_schema_sql(schema: dict, doc_sql: str) -> tuple[str, str]:
     return f"({valid_sql})", "(CASE " + " ".join(err_parts) + " ELSE NULL END)"
 
 
+def _optimizer_fence(F) -> Column:
+    """A non-deterministic, ALWAYS-TRUE boolean term.
+
+    Why it exists: Catalyst's ``PushPredicateThroughNonJoin`` pushes a
+    downstream ``Filter`` through a ``Project`` by substituting every
+    referenced alias into the filter condition — *without* the
+    duplicate-expensive-expression guard that ``CollapseProject`` has.
+    A consumer doing ``validate_json(df, s).filter("valid")`` therefore
+    used to get the whole staged rule pipeline re-inlined into ONE
+    filter predicate: the executed plan held ~75 copies of the JSON
+    parse per row, all interpreted (variant expressions don't
+    whole-stage-codegen) — measured 24 s for 100k rows at sf0.1 vs
+    ~0.6 s with staging intact.
+
+    The fence blocks that: the pushdown rule requires
+    ``fields.forall(_.deterministic)`` on the Project, so one
+    non-deterministic field pins every downstream filter above the
+    staged projections.  ``spark_partition_id() >= -1`` is always true
+    (partition ids are non-negative) and survives the optimizer —
+    unlike ``rand()``-based terms, which Spark 4.1's rand-predicate
+    rewrite folds away, re-enabling the pushdown.  Cost: one
+    TaskContext read per row, JVM-side — nothing shuffles, nothing
+    leaves the executor."""
+    return F.spark_partition_id() >= F.lit(-1)
+
+
 def validate_json(df: DataFrame, schema: dict, doc_col: str = "content") -> DataFrame:
     """The processor surface: append ``valid`` and ``validation_error``
     and route like NiFi's valid/invalid relationships
@@ -315,7 +341,9 @@ def validate_json(df: DataFrame, schema: dict, doc_col: str = "content") -> Data
     Staged evaluation: parse root → per-path variant/string columns →
     per-path canonical types → one boolean per rule → valid + first
     violation.  Each stage is a real projection, so every shared
-    subexpression evaluates once per row."""
+    subexpression evaluates once per row — and ``valid`` carries an
+    optimizer fence (see ``_optimizer_fence``) so a downstream filter
+    can't collapse the stages back into one interpreted predicate."""
     from pyspark.sql import functions as F
 
     sp = _SparkSide(doc_col)
@@ -334,6 +362,7 @@ def validate_json(df: DataFrame, schema: dict, doc_col: str = "content") -> Data
     valid = well
     for i in range(len(rules)):
         valid = valid & F.col(f"_ok{i}")
+    valid = valid & _optimizer_fence(F)
     err = F.when(~well, F.lit("malformed"))
     for i, r in enumerate(rules):
         err = err.when(~F.col(f"_ok{i}"), F.lit(r.label))

@@ -128,11 +128,25 @@ def run_flow(spark: SparkSession, sf_dir: str, flow: dict) -> dict[str, DataFram
     if len(order) != len(procs):
         raise FlowImportError("flow graph has a cycle")
 
+    # ForkEnrichment lineage: which branch ('original'/'enrichment') each
+    # processor's output descends from.  Connection array order in an
+    # exported flow.json is arbitrary serialization order, so
+    # JoinEnrichment must NOT pick sides positionally — it resolves by
+    # relationship name first, then by this lineage tag.
+    branch: dict[str, str | None] = {}
+
+    def _tag(src: str, rel: str) -> str | None:
+        if procs[src].get("type", "").rsplit(".", 1)[-1] == "ForkEnrichment":
+            return rel if rel in ("original", "enrichment") else None
+        return branch.get(src)
+
     outputs: dict[str, dict[str, DataFrame]] = {}
     for pid in order:
         proc = procs[pid]
+        tags = {t for src, rel in incoming.get(pid, []) if (t := _tag(src, rel))}
+        branch[pid] = tags.pop() if len(tags) == 1 else None
         named_ins = [
-            (rel, outputs[src][rel])
+            (rel, outputs[src][rel], _tag(src, rel))
             for src, rel in incoming.get(pid, [])
             if rel in outputs.get(src, {})
         ]
@@ -140,7 +154,7 @@ def run_flow(spark: SparkSession, sf_dir: str, flow: dict) -> dict[str, DataFram
         two_sided = proc.get("type", "").rsplit(".", 1)[-1] == "JoinEnrichment"
         if named_ins and not two_sided:
             df = named_ins[0][1]
-            for _, other in named_ins[1:]:  # Funnel semantics: UNION ALL by name
+            for _, other, _ in named_ins[1:]:  # Funnel semantics: UNION ALL
                 df = df.unionByName(other)
         elif named_ins:
             df = named_ins[0][1]  # placeholder; JoinEnrichment uses named_ins
@@ -157,39 +171,34 @@ def run_flow(spark: SparkSession, sf_dir: str, flow: dict) -> dict[str, DataFram
 
 # ------------------------------------------------------------- processors ---
 
-#: properties that are configuration, not dynamic user expressions
-_STATIC_PROPS = {
-    "Routing Strategy", "routing-strategy",
-    "Input Directory", "Directory", "Keep Source File",
+#: configuration properties (never user dynamic expressions), SCOPED PER
+#: PROCESSOR TYPE — one global set silently swallowed dynamic properties
+#: whose names happened to collide with another processor's config keys
+#: ('Attribute', 'Mode', 'SQL', 'Header', ...).  Only types that read
+#: dynamic properties need an entry; everything else reads config by key.
+_COMMON_STATIC = {
     "Record Reader", "Record Writer", "record-reader", "record-writer",
-    "Lookup Table", "Lookup Key", "Lookup Field", "Result Key", "Lookup Columns",
-    "Delete Attributes Expression", "Store State",
-    "Schema Text", "JSON Schema", "Column", "Latitude Record Path",
-    "Longitude Record Path", "Geohash Level", "Geohash Record Path",
-    "Record Path", "Fork Path", "Number of Records", "Root Tag",
-    "Required Elements", "MAC Key", "MAC Column",
-    "include-zero-record-flowfiles", "Cache Schema",
-    "Merge Strategy", "Correlation Attribute Name", "Order Attribute",
-    "Fragment Identifier", "Fragment Index", "Header", "Demarcator",
-    "Footer", "Maximum Number of Entries", "Payload Column",
-    "Element Schema", "Keep Columns", "Line Split Count", "Byte Sequence",
-    "Segment Size", "Record Writer Format", "Partition Columns",
-    "Group Identifier", "Order Column", "Deduplication Keys",
-    "Sampling Strategy", "Sampling Interval", "Sampling Probability",
-    "Reservoir Size", "Maximum Rate", "Rate Controlled Attribute",
-    "Attributes List", "Destination Attribute", "Compression Format",
-    "Mode", "Encoding", "Hash Algorithm", "Hash Attribute",
-    "Grok Expression", "Categories", "Fields",
-    "Input Character Set", "Output Character Set",
-    "Attribute Pattern", "Filter Mode", "Attribute", "Dictionary",
-    "Start Offset", "End Offset", "Bus Directory", "Topic Name",
-    "Message Key Field", "JDBC URL", "Table Name", "SQL",
-    "Join Strategy", "Join Key", "Jolt Specification",
+}
+_STATIC_BY_TYPE: dict[str, set[str]] = {
+    "RouteOnAttribute": {"Routing Strategy", "routing-strategy"},
+    "UpdateAttribute": {"Delete Attributes Expression", "Store State"},
+    "QueryRecord": {"include-zero-record-flowfiles", "Cache Schema"},
+    "ExtractText": {"Column"},
+    "DistributeLoad": {
+        "Order Column", "Distribution Strategy", "Number of Relationships",
+    },
+    "EvaluateJsonPath": {
+        "Column", "Destination", "Return Type",
+        "Path Not Found Behavior", "Null Value Representation",
+    },
+    "RenameRecordField": set(),
+    "UpdateRecord": {"Replacement Value Strategy"},
 }
 
 
-def _dynamic(props: dict) -> dict:
-    return {k: v for k, v in (props or {}).items() if k not in _STATIC_PROPS}
+def _dynamic(props: dict, ptype: str) -> dict:
+    static = _COMMON_STATIC | _STATIC_BY_TYPE.get(ptype, set())
+    return {k: v for k, v in (props or {}).items() if k not in static}
 
 
 def _apply(
@@ -197,7 +206,7 @@ def _apply(
     sf_dir: str,
     proc: dict,
     df: DataFrame | None,
-    named_ins: list[tuple[str, DataFrame]] | None = None,
+    named_ins: list[tuple[str, DataFrame, str | None]] | None = None,
 ) -> dict[str, DataFrame]:
     ptype = proc.get("type", "").rsplit(".", 1)[-1]
     props = proc.get("properties") or {}
@@ -231,7 +240,7 @@ def _apply(
     if ptype == "RouteOnAttribute":
         from apache_nifi_spark.operators.route import route_on_attribute
 
-        routes = {rel: el_predicate(src) for rel, src in _dynamic(props).items()}
+        routes = {rel: el_predicate(src) for rel, src in _dynamic(props, ptype).items()}
         if not routes:
             raise FlowImportError(f"{name}: RouteOnAttribute needs EL properties")
         strategy = props.get("Routing Strategy", "Route to Property name")
@@ -245,12 +254,12 @@ def _apply(
     if ptype == "UpdateAttribute":
         from apache_nifi_spark.functions.el_parser import el_select
 
-        exprs = {k: v for k, v in _dynamic(props).items()}
+        exprs = {k: v for k, v in _dynamic(props, ptype).items()}
         return {"success": el_select(df, exprs)}
 
     if ptype == "QueryRecord":
         out: dict[str, DataFrame] = {}
-        for rel, sql_text in _dynamic(props).items():
+        for rel, sql_text in _dynamic(props, ptype).items():
             # spark.sql analyzes eagerly, so the view binding is captured
             # per-statement — later FLOWFILE rebinds don't disturb it.
             df.createOrReplaceTempView("FLOWFILE")
@@ -291,7 +300,7 @@ def _apply(
         col = props.get("Column", "text")
         from apache_nifi_spark.operators.transform import extract_text
 
-        pats = {out: (rx, 1) for out, rx in _dynamic(props).items()}
+        pats = {out: (rx, 1) for out, rx in _dynamic(props, ptype).items()}
         if not pats:
             raise FlowImportError(f"{name}: ExtractText needs regex properties")
         return {"matched": extract_text(df, col, pats)}
@@ -311,7 +320,7 @@ def _apply(
 
         weights = {
             rel: int(w)
-            for rel, w in _dynamic(props).items()
+            for rel, w in _dynamic(props, ptype).items()
             if rel != "Order Column"
         }
         order = props.get("Order Column")
@@ -450,17 +459,23 @@ def _apply(
         return {"original": df, "enrichment": df}
 
     if ptype == "JoinEnrichment":
-        sides = {rel: d for rel, d in named_ins}
+        sides = {rel: d for rel, d, _ in named_ins}
         orig = sides.get("original")
         enr = sides.get("enrichment")
-        if (orig is None or enr is None) and len(named_ins) == 2:
-            # Positional fallback when the upstream relationships are not
-            # literally named original/enrichment (e.g. a QueryRecord on
-            # the enrichment branch): first connection = original.
-            orig, enr = named_ins[0][1], named_ins[1][1]
+        if orig is None or enr is None:
+            # Relationship names are not literally original/enrichment
+            # (e.g. a QueryRecord on the enrichment branch emits 'sql').
+            # Resolve by ForkEnrichment lineage — NOT by connection array
+            # position, which is arbitrary serialization order in an
+            # exported flow.json and would silently swap join sides.
+            by_tag = {tag: d for _, d, tag in named_ins if tag}
+            orig = orig if orig is not None else by_tag.get("original")
+            enr = enr if enr is not None else by_tag.get("enrichment")
         if orig is None or enr is None:
             raise FlowImportError(
-                f"{name}: JoinEnrichment needs 'original' and 'enrichment' inputs"
+                f"{name}: cannot identify JoinEnrichment 'original' vs "
+                "'enrichment' inputs — name the incoming relationships or "
+                "route both branches through a ForkEnrichment"
             )
         sql_text = props.get("SQL")
         if sql_text:  # SQL strategy: Calcite in NiFi, Catalyst here
@@ -674,7 +689,7 @@ def _apply(
         col = props.get("Column", "content")
         derived = {
             out: F.get_json_object(F.col(col), path)
-            for out, path in _dynamic(props).items()
+            for out, path in _dynamic(props, ptype).items()
         }
         if not derived:
             raise FlowImportError(f"{name}: EvaluateJsonPath needs JSONPath properties")
@@ -846,7 +861,7 @@ def _apply(
     if ptype == "RenameRecordField":
         from apache_nifi_spark.operators.transform import rename_fields
 
-        renames = _dynamic(props)
+        renames = _dynamic(props, ptype)
         if not renames:
             raise FlowImportError(f"{name}: RenameRecordField needs rename properties")
         return {"success": rename_fields(df, renames)}
@@ -864,7 +879,7 @@ def _apply(
     if ptype == "UpdateRecord":
         from apache_nifi_spark.functions.el_parser import el_select
 
-        exprs = dict(_dynamic(props))
+        exprs = dict(_dynamic(props, ptype))
         if not exprs:
             raise FlowImportError(f"{name}: UpdateRecord needs EL properties")
         return {"success": el_select(df, exprs)}
@@ -948,20 +963,26 @@ _GROK_PATTERNS = {
 def _compile_grok(expr: str) -> tuple[str, list[tuple[str, str | None]]]:
     """Compile a ``%{PATTERN:name}`` grok expression to one regex with
     ordered capture groups (public grok semantics; each named pattern
-    becomes a capturing group, literals pass through escaped)."""
+    becomes a capturing group, literals pass through escaped).  An
+    unnamed ``%{PATTERN}`` token — common as a separator — compiles to a
+    NON-capturing group instead of being escaped into literal text
+    (which would silently never match)."""
     import re as _re
 
     groups: list[tuple[str, str | None]] = []
     out: list[str] = []
     pos = 0
-    for m in _re.finditer(r"%\{(\w+):(\w+)\}", expr):
+    for m in _re.finditer(r"%\{(\w+)(?::(\w+))?\}", expr):
         out.append(_re.escape(expr[pos:m.start()]))
         pat, gname = m.group(1), m.group(2)
         if pat not in _GROK_PATTERNS:
             raise FlowImportError(f"unknown grok pattern %{{{pat}}}")
         rx, cast = _GROK_PATTERNS[pat]
-        out.append(f"({rx})")
-        groups.append((gname, cast))
+        if gname:
+            out.append(f"({rx})")
+            groups.append((gname, cast))
+        else:
+            out.append(f"(?:{rx})")
         pos = m.end()
     out.append(_re.escape(expr[pos:]))
     return "".join(out), groups

@@ -7688,8 +7688,10 @@ _MEGA_CACHE: dict = {}
 def _mega(spark, sf_dir, output):
     """Compile the mega flow once per (session, sf_dir) — compilation is
     driver-side plan building only (lazy DataFrames), so the cache just
-    avoids re-running the importer's eager SQL analysis 13×."""
-    key = (id(spark), sf_dir)
+    avoids re-running the importer's eager SQL analysis 13×.  Keyed on
+    applicationId, not ``id(spark)`` — a GC'd session's id can be reused
+    by a new session, which would serve stale plans."""
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _MEGA_CACHE:
         from apache_nifi_spark.plans.flow_import import run_flow_json
 

@@ -36,7 +36,21 @@ __all__ = [
     "TcpLandingListener",
     "UdpLandingListener",
     "stream_json_landing",
+    "unescape_landed",
 ]
+
+
+def unescape_landed(line: str) -> str:
+    """Invert the injective landing escape shared by the octet-framing
+    TCP listener and the RELP listener (``\\`` → ``\\\\`` first, then
+    newline → ``\\n``): one landed line = one wire message, with any
+    embedded newlines/backslashes recoverable.  Splitting on the escaped
+    backslash keeps a literal ``\\n`` byte pair distinct from an escaped
+    newline.  Spark-side equivalent of this helper:
+    ``F.replace(F.replace(col, lit('\\\\n'), lit('\\n')), ...)`` is NOT
+    injective — use this in a batch-parse UDF only if payloads may embed
+    newlines; plain syslog lines never do."""
+    return "\\".join(p.replace("\\n", "\n") for p in line.split("\\\\"))
 
 
 class HttpLandingListener:
@@ -150,6 +164,11 @@ class TcpLandingListener:
                             if n < 0:
                                 break
                         except ValueError:
+                            break
+                        if sp + 1 + n > len(data):
+                            # truncated final frame: the declared length
+                            # runs past the received bytes — never land a
+                            # silently-partial message
                             break
                         msgs.append(data[sp + 1 : sp + 1 + n])
                         pos = sp + 1 + n

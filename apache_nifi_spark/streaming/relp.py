@@ -117,7 +117,10 @@ class RelpLandingListener:
                     f.write(_frame(txnr, "rsp", b"200 OK\n" + data))
                     f.flush()
                 elif cmd == "syslog":
-                    buf.append(data.replace(b"\n", b"\\n"))
+                    # Injective landing escape — same contract as the
+                    # octet-framing TCP listener; invert with
+                    # streaming.listen.unescape_landed.
+                    buf.append(data.replace(b"\\", b"\\\\").replace(b"\n", b"\\n"))
                     if len(buf) >= self.batch_size:
                         self._land(buf)
                         buf = []

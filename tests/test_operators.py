@@ -602,6 +602,18 @@ def test_html_extract_and_modify(spark):
     assert out2.count(">GONE<") == 3  # img is void: no inner rewrite
     assert "Alpha" not in out2 and "Nested" not in out2
 
+    # attribute strip must never match INSIDE another attribute's quoted
+    # value: 'href=y' inside title is data, not an attribute position
+    tricky = spark.createDataFrame(
+        [(1, '<a class="item" title="x href=y" href="z">L</a>')],
+        "id long, html string",
+    )
+    out3 = modify_html_elements(
+        tricky, ".item", set_attr=("href", "new")
+    ).first()["html"]
+    assert 'title="x href=y"' in out3
+    assert 'href="new"' in out3 and 'href="z"' not in out3
+
 
 def test_hmac_sha256_rfc4231_vectors(spark):
     """The columnar HMAC must reproduce the RFC 4231 published test

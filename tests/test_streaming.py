@@ -330,6 +330,44 @@ def test_octet_counted_framing_carries_embedded_newlines(spark):
         lst.stop()
 
 
+def test_octet_truncated_frame_and_unescape_roundtrip():
+    """A final frame whose declared length runs past the received bytes
+    must be dropped, not landed partially; and the landing escape must
+    be injective (round-trips payloads with backslashes AND newlines)."""
+    import glob
+    import socket
+    import tempfile
+    import time
+
+    from apache_nifi_spark.streaming.listen import (
+        TcpLandingListener,
+        unescape_landed,
+    )
+
+    # unescape inverts the escape for adversarial payloads
+    for payload in ["a\\nb", "a\nb", "a\\\nb", "\\\\", "\\n\n\\"]:
+        escaped = payload.replace("\\", "\\\\").replace("\n", "\\n")
+        assert unescape_landed(escaped) == payload, payload
+
+    landing = tempfile.mkdtemp(prefix="octet_trunc_")
+    lst = TcpLandingListener(landing, framing="octet")
+    try:
+        with socket.create_connection(("127.0.0.1", lst.port)) as s:
+            # one good frame, then a frame declaring 50 bytes but sending 4
+            s.sendall(b"4 good" + b"50 oops")
+        deadline = time.monotonic() + 10
+        body = b""
+        while time.monotonic() < deadline:
+            files = glob.glob(f"{landing}/*")
+            if files:
+                body = b"".join(open(p, "rb").read() for p in sorted(files))
+                break
+            time.sleep(0.05)
+        assert body == b"good\n"  # partial 'oops' frame never landed
+    finally:
+        lst.stop()
+
+
 def test_prometheus_endpoint_scrape(spark):
     """The /metrics endpoint serves the rendered exposition with the
     standard content type; label escaping survives a real HTTP scrape."""
