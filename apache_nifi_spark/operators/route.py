@@ -135,25 +135,57 @@ def distribute_load(
     every ``sum(weights)`` records, in a deterministic cycle over the
     total order ``order_col`` gives.
 
-    Pure column math (global row_number → modulo slot → range lookup);
-    downstream consumers filter their relationship, which is exactly a
-    NiFi connection.  NOTE the global row_number is a single-partition
-    window — DistributeLoad is an ordered round-robin by definition; at
-    scale prefer hash/range distribution (PartitionRecord) unless the
-    strict cycle is the requirement.
+    Scale-safe global cycle (no single-partition window over data rows):
+
+    1. ``repartitionByRange(order_col)`` + ``sortWithinPartitions`` —
+       partition *i*'s rows all precede partition *i+1*'s, so a global
+       index decomposes into (partition offset + local index).
+    2. ``monotonically_increasing_id`` encodes exactly that pair
+       (partition id in the high bits, 0-based row-in-partition in the
+       low 33) — assigned in the sorted row order, no WindowExec at all
+       on the data side.
+    3. Per-partition counts → cumulative offsets: an aggregate of
+       O(shuffle partitions) rows, cumulated with a one-group window
+       over that TINY side only, then broadcast-joined back.
+
+    The result is value-identical to ``row_number() OVER (ORDER BY
+    order_col)`` (the DuckDB oracle form) while every data-row stage
+    stays partition-parallel; downstream consumers filter their
+    relationship, which is exactly a NiFi connection.
     """
     total = sum(weights.values())
     if total <= 0 or any(w < 0 for w in weights.values()):
         raise ValueError("weights must be non-negative with a positive sum")
-    w = Window.orderBy(order_col)
-    slot = F.pmod(F.row_number().over(w) - 1, F.lit(total))
+    parted = df.repartitionByRange(F.col(order_col)).sortWithinPartitions(order_col)
+    mid = F.monotonically_increasing_id()
+    stamped = parted.withColumns(
+        {
+            "_dl_pid": F.shiftright(mid, 33).cast("int"),
+            "_dl_local": (mid.bitwiseAND(F.lit((1 << 33) - 1))).cast("bigint"),
+        }
+    )
+    sizes = stamped.groupBy("_dl_pid").agg(F.count(F.lit(1)).alias("_dl_n"))
+    # one-group cumulative sum over ≤ shuffle-partition-count rows —
+    # control-plane sized; the partitionBy expression is constant-valued
+    # (pid % 1 == 0) but not foldable, keeping an explicit single group
+    # without WindowExec's no-partition warning (a literal would be
+    # optimized out of the partition spec)
+    w_off = Window.partitionBy(F.pmod(F.col("_dl_pid"), F.lit(1))).orderBy("_dl_pid")
+    offs = sizes.select(
+        "_dl_pid",
+        (F.sum("_dl_n").over(w_off) - F.col("_dl_n")).alias("_dl_off"),
+    )
+    joined = stamped.join(F.broadcast(offs), "_dl_pid")
+    slot = F.pmod(F.col("_dl_off") + F.col("_dl_local"), F.lit(total))
     rel = F.lit(None).cast("string")
     lo = 0
     for name, wt in weights.items():
         if wt:
             rel = F.when((slot >= lo) & (slot < lo + wt), F.lit(name)).otherwise(rel)
             lo += wt
-    return df.withColumn("relationship", rel)
+    return joined.withColumn("relationship", rel).drop(
+        "_dl_pid", "_dl_local", "_dl_off"
+    )
 
 
 def duplicate_flowfile(df: DataFrame, copies: int | Column) -> DataFrame:

@@ -95,6 +95,11 @@ def run_flow(spark: SparkSession, sf_dir: str, flow: dict) -> dict[str, DataFram
     if not procs:
         raise FlowImportError("flow has no processors")
     conns = contents.get("connections", [])
+    # NiFi flows routinely contain retry loops (failure → RetryFlowFile →
+    # back to the same processor).  Batch compilation needs a DAG, so
+    # bounded retry cycles are UNROLLED (one copy of the loop body per
+    # attempt) before scheduling; any other cycle still errors below.
+    procs, conns = _unroll_retry_cycles(procs, conns)
 
     incoming: dict[str, list[tuple[str, str]]] = defaultdict(list)
     outgoing: dict[str, set[str]] = defaultdict(set)  # pid → rels consumed
@@ -154,8 +159,13 @@ def run_flow(spark: SparkSession, sf_dir: str, flow: dict) -> dict[str, DataFram
         two_sided = proc.get("type", "").rsplit(".", 1)[-1] == "JoinEnrichment"
         if named_ins and not two_sided:
             df = named_ins[0][1]
-            for _, other, _ in named_ins[1:]:  # Funnel semantics: UNION ALL
-                df = df.unionByName(other)
+            for _, other, _ in named_ins[1:]:
+                # Funnel semantics: UNION ALL.  allowMissingColumns
+                # mirrors NiFi queues, where FlowFiles from different
+                # branches may carry different attribute sets (e.g. a
+                # retry branch adds flowfile.retries) — absent columns
+                # null-fill.
+                df = df.unionByName(other, allowMissingColumns=True)
         elif named_ins:
             df = named_ins[0][1]  # placeholder; JoinEnrichment uses named_ins
         outputs[pid] = _apply(spark, sf_dir, proc, df, named_ins)
@@ -167,6 +177,126 @@ def run_flow(spark: SparkSession, sf_dir: str, flow: dict) -> dict[str, DataFram
             if rel not in outgoing.get(pid, set()):
                 result[f"{name}.{rel}"] = df
     return result
+
+
+# ---------------------------------------------------- retry-cycle unroll ---
+
+
+def _find_back_edge(procs: dict, conns: list) -> dict | None:
+    """First connection that closes a cycle (DFS back-edge), or None."""
+    adj: dict[str, list[dict]] = defaultdict(list)
+    for c in conns:
+        adj[c["source"]["id"]].append(c)
+    state: dict[str, int] = {}  # 0 unvisited / 1 on-stack / 2 done
+
+    def dfs(u: str) -> dict | None:
+        state[u] = 1
+        for c in adj.get(u, ()):
+            v = c["destination"]["id"]
+            s = state.get(v, 0)
+            if s == 1:
+                return c
+            if s == 0:
+                hit = dfs(v)
+                if hit is not None:
+                    return hit
+        state[u] = 2
+        return None
+
+    for pid in procs:
+        if state.get(pid, 0) == 0:
+            hit = dfs(pid)
+            if hit is not None:
+                return hit
+    return None
+
+
+def _reachable(start: str, conns: list, forward: bool) -> set[str]:
+    adj: dict[str, set[str]] = defaultdict(set)
+    for c in conns:
+        a, b = c["source"]["id"], c["destination"]["id"]
+        adj[a if forward else b].add(b if forward else a)
+    seen, stack = set(), [start]
+    while stack:
+        n = stack.pop()
+        for m in adj.get(n, ()):
+            if m not in seen:
+                seen.add(m)
+                stack.append(m)
+    return seen
+
+
+def _unroll_retry_cycles(procs: dict, conns: list) -> tuple[dict, list]:
+    """Rewrite bounded retry loops into an acyclic graph.
+
+    NiFi's canonical loop is ``body --failure--> RetryFlowFile --retry-->
+    body`` with 'retries_exceeded' exiting when ``Maximum Retries`` is
+    spent [2.7.2-surface].  Batch semantics: the loop body is replicated
+    once per attempt (1 + max retries copies); attempt *i*'s retry
+    relationship feeds attempt *i+1*'s loop entry; every copy's exit
+    relationships union into the original downstream consumers; the last
+    copy's RetryFlowFile routes everything to 'retries_exceeded'.  The
+    unroll is a pure graph rewrite — the attempt copies compile into ONE
+    Catalyst plan like any other processors.  Cycles that do not pass a
+    'retry' back-edge of a RetryFlowFile are unsupported and error."""
+    import copy as _copy
+
+    def mk_conn(a: str, b: str, template: dict) -> dict:
+        c = _copy.deepcopy(template)
+        c["source"] = {"id": a}
+        c["destination"] = {"id": b}
+        return c
+
+    for _ in range(8):  # bound for nested/multiple loops
+        be = _find_back_edge(procs, conns)
+        if be is None:
+            return procs, conns
+        u, v = be["source"]["id"], be["destination"]["id"]
+        rels = be.get("selectedRelationships") or ["success"]
+        if procs[u].get("type", "").rsplit(".", 1)[-1] != "RetryFlowFile" or rels != [
+            "retry"
+        ]:
+            raise FlowImportError(
+                "flow graph has a cycle that is not a RetryFlowFile retry "
+                f"loop (back-edge {procs[u].get('name', u)} -{rels}-> "
+                f"{procs[v].get('name', v)}); only bounded retry loops "
+                "can be unrolled"
+            )
+        k = int((procs[u].get("properties") or {}).get("Maximum Retries", "3"))
+        if not 0 < k <= 64:
+            raise FlowImportError(f"Maximum Retries must be in 1..64, got {k}")
+        rest = [c for c in conns if c is not be]
+        cycle = (_reachable(v, rest, forward=True) | {v}) & (
+            _reachable(u, rest, forward=False) | {u}
+        )
+
+        def cid(n: str, i: int) -> str:
+            return n if i == 1 else f"{n}__retry{i}"
+
+        new_procs = dict(procs)
+        for i in range(1, k + 2):
+            for n in cycle:
+                if i == 1:
+                    p = new_procs[n] = _copy.deepcopy(procs[n])
+                else:
+                    p = _copy.deepcopy(procs[n])
+                    p["identifier"] = cid(n, i)
+                    p["name"] = f"{p.get('name') or n}~retry{i}"
+                    new_procs[cid(n, i)] = p
+                if n == u:  # stamp the attempt number on each RetryFlowFile
+                    p.setdefault("properties", {})["_unroll_attempt"] = str(i)
+        new_conns: list[dict] = []
+        for c in rest:
+            a, b = c["source"]["id"], c["destination"]["id"]
+            if a in cycle:  # in-cycle and exit edges replicate per attempt
+                for i in range(1, k + 2):
+                    new_conns.append(mk_conn(cid(a, i), cid(b, i) if b in cycle else b, c))
+            else:  # entry edges (and unrelated edges) feed attempt 1 only
+                new_conns.append(c)
+        for i in range(1, k + 1):  # the back-edge becomes attempt chaining
+            new_conns.append(mk_conn(cid(u, i), cid(v, i + 1), be))
+        procs, conns = new_procs, new_conns
+    raise FlowImportError("too many retry loops to unroll (max 8)")
 
 
 # ------------------------------------------------------------- processors ---
@@ -339,6 +469,23 @@ def _apply(
 
         n = int(props.get("Number of Copies", "1"))
         return {"success": duplicate_flowfile(df, n)}
+
+    if ptype == "RetryFlowFile":
+        # Inside an unrolled retry loop (see _unroll_retry_cycles) the
+        # attempt number is static per copy: records arriving here have
+        # failed the loop body exactly `attempt` times.  Within budget →
+        # everything re-enters the loop on 'retry'; the final copy sends
+        # everything to 'retries_exceeded' with the spent counter, the
+        # attribute NiFi's RetryFlowFile maintains.
+        attempt = int(props.get("_unroll_attempt", "1"))
+        kmax = int(props.get("Maximum Retries", "3"))
+        counted = df.withColumn("flowfile.retries", F.lit(attempt).cast("int"))
+        if attempt <= kmax:
+            return {
+                "retry": counted,
+                "retries_exceeded": counted.filter(F.lit(False)),
+            }
+        return {"retries_exceeded": counted}
 
     if ptype == "TransformXml":
         from apache_nifi_spark.functions.xslt import xslt_compile

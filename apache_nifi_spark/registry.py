@@ -7940,6 +7940,61 @@ def mega_flow_route_distribute_q(spark, sf_dir):
 
 
 # =====================================================================
+# Cyclic-flow import (round-7 item #3): tests/fixtures/retry_flow.json
+# contains a real back-edge — ValidateJson --invalid--> RetryFlowFile
+# --retry--> ValidateJson — which the importer unrolls into one acyclic
+# Catalyst plan (plans/flow_import._unroll_retry_cycles).  NiFi flows
+# routinely carry such loops; pre-unroll the importer rejected them.
+# =====================================================================
+
+_RETRY_FLOW_PATH = __file__.rsplit("/", 2)[0] + "/tests/fixtures/retry_flow.json"
+_RETRY_CACHE: dict = {}
+
+
+def _retry_flow(spark, sf_dir, output):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _RETRY_CACHE:
+        from apache_nifi_spark.plans.flow_import import run_flow_json
+
+        with open(_RETRY_FLOW_PATH) as f:
+            _RETRY_CACHE[key] = run_flow_json(spark, sf_dir, f.read())
+    return _RETRY_CACHE[key][output]
+
+
+@register(
+    "retry_loop_flow_valid",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(event_id) AS BIGINT) AS s
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) <= 60
+    """,
+)
+def retry_loop_valid_q(spark, sf_dir):
+    """Imported retry loop, success path: records passing ValidateJson on
+    any attempt reach the OkAgg consumer (deterministic validation passes
+    on attempt 1; the attempt-2/3 copies contribute empty legs that the
+    union null-fills)."""
+    return _retry_flow(spark, sf_dir, "OkAgg.agg")
+
+
+@register(
+    "retry_loop_flow_exhausted",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(event_id) AS BIGINT) AS s,
+           CAST(3 AS INT) AS attempts
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 60
+    """,
+)
+def retry_loop_exhausted_q(spark, sf_dir):
+    """Imported retry loop, dead-letter path: records failing ValidateJson
+    on every attempt exhaust Maximum Retries=2 (3 attempts total) and exit
+    retries_exceeded carrying flowfile.retries=3 — the unrolled graph's
+    final RetryFlowFile copy."""
+    return _retry_flow(spark, sf_dir, "DeadLetter.agg")
+
+
+# =====================================================================
 # Connector-semantics closure (SURVEY.md §2.1/§2.2 final rows): the
 # document-store / notification sinks render their exact wire payloads
 # (sinks/wire.py), and the consumer-side predicate languages (MQTT topic

@@ -121,6 +121,55 @@ def test_cycle_detection(spark, sf_dir):
         run_flow(spark, sf_dir, flow)
 
 
+def test_retry_cycle_unrolls(spark, sf_dir):
+    """A RetryFlowFile retry back-edge must import (bounded unroll), and
+    the unrolled attempts must route exactly: pass rows exit on attempt
+    1; fail rows exhaust Maximum Retries and exit retries_exceeded with
+    the spent counter."""
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures", "retry_flow.json")
+    with open(fixture) as f:
+        outs = run_flow_json(spark, sf_dir, f.read())
+    assert set(outs) == {"OkAgg.agg", "DeadLetter.agg"}
+    ok = outs["OkAgg.agg"].first()
+    dead = outs["DeadLetter.agg"].first()
+    from apache_nifi_spark import io
+
+    ev = io.load_table(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("bigint")
+    )
+    n_ok = ev.filter("k <= 60").count()
+    n_bad = ev.filter("k > 60").count()
+    assert (ok["n"], dead["n"]) == (n_ok, n_bad)
+    assert dead["attempts"] == 3  # Maximum Retries=2 → 3 attempts total
+
+
+def test_non_retry_cycle_still_raises(spark, sf_dir):
+    """Cycles that aren't RetryFlowFile retry loops are unsupported and
+    must error with a diagnostic naming the back-edge."""
+    flow = {
+        "flowContents": {
+            "processors": [
+                {"identifier": "g", "name": "G", "type": "x.GetFile",
+                 "properties": {"Input Directory": "events"}},
+                {"identifier": "a", "name": "A", "type": "x.UpdateAttribute",
+                 "properties": {"z": "${event_type}"}},
+                {"identifier": "b", "name": "B", "type": "x.UpdateAttribute",
+                 "properties": {"z": "${event_type}"}},
+            ],
+            "connections": [
+                {"source": {"id": "g"}, "destination": {"id": "a"},
+                 "selectedRelationships": ["success"]},
+                {"source": {"id": "a"}, "destination": {"id": "b"},
+                 "selectedRelationships": ["success"]},
+                {"source": {"id": "b"}, "destination": {"id": "a"},
+                 "selectedRelationships": ["success"]},
+            ],
+        }
+    }
+    with pytest.raises(FlowImportError, match="not a RetryFlowFile"):
+        run_flow(spark, sf_dir, flow)
+
+
 def test_unsupported_processor_raises(spark, sf_dir):
     flow = {
         "flowContents": {
