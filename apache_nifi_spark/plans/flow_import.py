@@ -43,6 +43,17 @@ ForkRecord                   array record-path → per-element child rows
 GenerateRecord               deterministic synthetic source (§2.1)
 ValidateXml                  structural contract → valid/invalid (§2.3)
 VerifyContentMAC             HMAC route → success/failure (§2.4)
+RetryFlowFile                bounded retry-loop unroll (see
+                             ``_unroll_retry_cycles``) (§2.3)
+LookupAttribute              broadcast dim join → matched/unmatched (§2.6)
+EvaluateXPath / XQuery       JVM xpath_* columns (§2.4)
+GeoEnrichIP                  broadcast range join over a bands table (§2.6)
+Encrypt/DecryptContent       aes_encrypt/aes_decrypt column ops (§2.4)
+ParseNetflowv5 / HL7 / HTML / email / Excel / Unpack
+                             binary-content codecs (§2.4)
+MonitorActivity / AttributeRollingWindow
+                             keyed windows (§2.5/§2.7)
+Listen* / TailFile           landing-directory batch drain (§2.1)
 =====================  ====================================================
 
 Composition is purely declarative: the importer never executes anything —
@@ -363,6 +374,23 @@ def _apply(
                 F.substring(h, 9, 8).alias("token"),
             )
         }
+
+    if ptype in ("ListenHTTP", "ListenTCP", "ListenUDP", "ListenSyslog", "TailFile"):
+        # Landing-zone sources: the listener tier (streaming/listen.py)
+        # lands wire payloads as durable files; an imported flow starts
+        # from that directory.  Batch import = drain what has landed
+        # (the streaming drain of the same dir is stream_json_landing).
+        directory = props.get("Landing Directory") or props.get("File to Tail")
+        if not directory or not directory.startswith("/"):
+            raise FlowImportError(
+                f"{name}: {ptype} needs an absolute 'Landing Directory'"
+            )
+        landed = spark.read.text(directory).withColumnRenamed("value", "line")
+        if ptype == "ListenSyslog":
+            from apache_nifi_spark.operators.transform import parse_syslog
+
+            return {"success": parse_syslog(landed)}
+        return {"success": landed}
 
     if df is None:
         raise FlowImportError(f"{name}: non-source processor has no input")
@@ -1087,6 +1115,210 @@ def _apply(
 
             jdbc_write(df, url, table)
         return {"success": df}
+
+    # ------------------------------------- round-7 importer widening ---
+    # Close the gap between "implemented in the engine" and "importable
+    # from a flow.json": each branch below wires an existing operator.
+    if ptype == "LookupAttribute":
+        from apache_nifi_spark.operators.join import lookup_record
+
+        table = props.get("Lookup Table")
+        key = props.get("Lookup Key")
+        if table not in io.TABLES or not key:
+            raise FlowImportError(
+                f"{name}: LookupAttribute needs 'Lookup Table' (fixture) + 'Lookup Key'"
+            )
+        dim = io.load_table(spark, sf_dir, table)
+        cols = [
+            c.strip()
+            for c in (props.get("Lookup Columns") or "").split(",")
+            if c.strip()
+        ]
+        if cols:
+            dim = dim.select(key, *cols)
+        src = props.get("Source Column", key)
+        joined = lookup_record(
+            df, dim.withColumnRenamed(key, src), on=src, how="left"
+        )
+        probe = cols[0] if cols else src
+        return {
+            "matched": joined.filter(F.col(probe).isNotNull()),
+            "unmatched": joined.filter(F.col(probe).isNull()),
+        }
+
+    if ptype == "EvaluateXPath":
+        from apache_nifi_spark.operators.transform import evaluate_xpath
+
+        col = props.get("Column", "content")
+        paths = {
+            k: v
+            for k, v in props.items()
+            if k not in ("Column", "Destination", "Return Type")
+        }
+        if not paths:
+            raise FlowImportError(f"{name}: EvaluateXPath needs XPath properties")
+        return {"matched": evaluate_xpath(df, col, paths)}
+
+    if ptype == "EvaluateXQuery":
+        from apache_nifi_spark.functions.xquery import evaluate_xquery
+
+        col = props.get("Column", "content")
+        queries = {k: v for k, v in props.items() if k != "Column"}
+        if not queries:
+            raise FlowImportError(f"{name}: EvaluateXQuery needs XQuery properties")
+        return {"matched": evaluate_xquery(df, col, queries)}
+
+    if ptype == "GeoEnrichIP":
+        from apache_nifi_spark.operators.join import range_join
+
+        table = props.get("Range Table")
+        point = props.get("Point Column")
+        lo = props.get("Range Lo")
+        hi = props.get("Range Hi")
+        if table not in io.TABLES or not (point and lo and hi):
+            raise FlowImportError(
+                f"{name}: GeoEnrichIP needs 'Range Table' (fixture) + "
+                "'Point Column'/'Range Lo'/'Range Hi'"
+            )
+        dim = io.load_table(spark, sf_dir, table)
+        # lo/hi/point accept SQL expressions (MaxMind-style range tables
+        # rarely store bounds in final form)
+        return {
+            "found": range_join(df, dim, F.expr(point), F.expr(lo), F.expr(hi))
+        }
+
+    if ptype == "EncryptContent":
+        key = props.get("Key")
+        col = props.get("Column", "content")
+        mode = props.get("Cipher Mode", "GCM")
+        if not key:
+            raise FlowImportError(f"{name}: EncryptContent needs 'Key'")
+        ct = F.expr(
+            f"aes_encrypt(cast(`{col}` as binary), '{key}', '{mode}')"
+        )
+        return {"success": df.withColumn(col, ct)}
+
+    if ptype == "DecryptContent":
+        key = props.get("Key")
+        col = props.get("Column", "content")
+        mode = props.get("Cipher Mode", "GCM")
+        if not key:
+            raise FlowImportError(f"{name}: DecryptContent needs 'Key'")
+        pt = F.expr(f"aes_decrypt(`{col}`, '{key}', '{mode}')").cast("string")
+        return {"success": df.withColumn(col, pt)}
+
+    if ptype == "ParseNetflowv5":
+        from apache_nifi_spark.functions.netflow import parse_netflow5
+
+        return {"success": parse_netflow5(df, props.get("Column", "packet"))}
+
+    if ptype == "ExtractHL7Attributes":
+        from apache_nifi_spark.functions.hl7 import extract_hl7_attributes
+
+        return {"success": extract_hl7_attributes(df, props.get("Column", "content"))}
+
+    if ptype == "GetHTMLElement":
+        from apache_nifi_spark.functions.html_elements import extract_html_elements
+
+        selector = props.get("CSS Selector")
+        if not selector:
+            raise FlowImportError(f"{name}: GetHTMLElement needs 'CSS Selector'")
+        return {
+            "element": extract_html_elements(
+                df,
+                selector,
+                content_col=props.get("Column", "html"),
+                id_col=props.get("Id Column", "id"),
+            )
+        }
+
+    if ptype == "ModifyHTMLElement":
+        from apache_nifi_spark.functions.html_elements import modify_html_elements
+
+        selector = props.get("CSS Selector")
+        if not selector:
+            raise FlowImportError(f"{name}: ModifyHTMLElement needs 'CSS Selector'")
+        set_attr = None
+        if props.get("Attribute Name"):
+            set_attr = (props["Attribute Name"], props.get("Attribute Value", ""))
+        return {
+            "success": modify_html_elements(
+                df,
+                selector,
+                content_col=props.get("Column", "html"),
+                set_attr=set_attr,
+                set_text=props.get("Modified Value"),
+            )
+        }
+
+    if ptype == "ExtractEmailHeaders":
+        from apache_nifi_spark.sources.email_codec import parse_email_headers
+
+        return {
+            "success": parse_email_headers(
+                df,
+                content_col=props.get("Column", "message"),
+                id_col=props.get("Id Column"),
+            )
+        }
+
+    if ptype == "ExtractEmailAttachments":
+        from apache_nifi_spark.sources.email_codec import extract_email_attachments
+
+        return {
+            "attachments": extract_email_attachments(
+                df,
+                content_col=props.get("Column", "message"),
+                id_col=props.get("Id Column", "id"),
+            )
+        }
+
+    if ptype == "ConvertExcelToCSVProcessor":
+        from apache_nifi_spark.sources.excel_codec import excel_to_records
+
+        schema = props.get("Element Schema")
+        if not schema:
+            raise FlowImportError(
+                f"{name}: ConvertExcelToCSVProcessor needs 'Element Schema' (DDL)"
+            )
+        return {
+            "success": excel_to_records(df, props.get("Column", "content"), schema)
+        }
+
+    if ptype == "UnpackContent":
+        from apache_nifi_spark.operators.content import unpack_content_zip
+
+        return {
+            "success": unpack_content_zip(
+                df,
+                id_col=props.get("Id Column", "id"),
+                archive_col=props.get("Column", "content"),
+            )
+        }
+
+    if ptype == "MonitorActivity":
+        from apache_nifi_spark.operators.window import monitor_activity
+
+        ts = props.get("Timestamp Column", "ts")
+        groups = [
+            g.strip() for g in (props.get("Group Columns") or "").split(",") if g.strip()
+        ]
+        threshold = int(props.get("Threshold Duration Seconds", "300"))
+        return {"inactive": monitor_activity(df, ts, groups, threshold)}
+
+    if ptype == "AttributeRollingWindow":
+        from apache_nifi_spark.operators.window import rolling_window
+
+        group = props.get("Group Column")
+        order = props.get("Order Column")
+        value = props.get("Value to Track")
+        if not (group and order and value):
+            raise FlowImportError(
+                f"{name}: AttributeRollingWindow needs "
+                "'Group Column'/'Order Column'/'Value to Track'"
+            )
+        n = int(props.get("Window Size", "10"))
+        return {"success": rolling_window(df, group, order, value, preceding=n - 1)}
 
     raise FlowImportError(
         f"{name}: unsupported processor type {ptype!r} (scoped import; see module doc)"

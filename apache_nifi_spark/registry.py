@@ -5190,6 +5190,55 @@ def evaluate_xpath_q(spark, sf_dir):
 
 
 @register(
+    "evaluate_xquery_xml",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR) AS id_back,
+           CAST(2 AS BIGINT) AS n_lines,
+           CAST(o_orderkey % 7 + o_orderkey % 11 AS DOUBLE) AS total,
+           CAST(o_orderkey > 1000 AS INT) AS is_big
+    FROM orders
+    WHERE o_orderkey % 9 = 0
+    """,
+)
+def evaluate_xquery_q(spark, sf_dir):
+    """EvaluateXQuery (§2.4): the FLWOR-less XQuery core — data()
+    atomization, count()/sum() aggregation over repeated elements, and a
+    path comparison — compiled onto Spark's xpath_* family
+    (functions/xquery; JVM javax.xml, no Python).  XML constructed from
+    the fixture so the oracle recreates each value directly."""
+    from apache_nifi_spark.functions.xquery import evaluate_xquery
+
+    o = io.widen_if_narrow(
+        _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 9 == 0)
+    )
+    xml = F.concat(
+        F.lit("<order><id>"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</id><lines><l>"),
+        (F.col("o_orderkey") % 7).cast("string"),
+        F.lit("</l><l>"),
+        (F.col("o_orderkey") % 11).cast("string"),
+        F.lit("</l></lines></order>"),
+    )
+    doc = o.select("o_orderkey", xml.alias("xml"))
+    out = evaluate_xquery(
+        doc,
+        "xml",
+        {
+            "id_back": "data(/order/id)",
+            "n_lines": "count(/order/lines/l)",
+            "total": "sum(/order/lines/l)",
+            "is_big": "/order/id > 1000",
+        },
+    )
+    return out.select(
+        "o_orderkey", "id_back", "n_lines", "total",
+        F.col("is_big").cast("int").alias("is_big"),
+    )
+
+
+@register(
     "scan_content_semi",
     oracle="""
     SELECT event_id, user_id, event_type
@@ -7937,6 +7986,204 @@ def mega_flow_route_distribute_q(spark, sf_dir):
     DistributeLoad(2:1 round-robin on doc_id order) → AttributesToJSON →
     QueryRecord on the 'a' relationship."""
     return _mega(spark, sf_dir, "RouteAgg.agg")
+
+
+# =====================================================================
+# Mega flow 2 (round-7 item #2): tests/fixtures/mega_flow2.json widens
+# the importable surface by 15+ processor types that the engine already
+# implemented but the importer could not compile — LookupAttribute,
+# EvaluateXPath/XQuery, Encrypt/DecryptContent, ExtractHL7Attributes,
+# Modify/GetHTMLElement, ExtractEmailHeaders, AttributeRollingWindow,
+# MonitorActivity, GeoEnrichIP, and a ListenSyslog landing-dir source.
+# Reference anchor: flows are the unit the reference versions and
+# deploys (nifi-registry/deployement.yaml:14-16).
+# =====================================================================
+
+_MEGA2_FLOW_PATH = __file__.rsplit("/", 2)[0] + "/tests/fixtures/mega_flow2.json"
+_MEGA2_SYSLOG_DIR = "/tmp/anspark_mega2_syslog"
+_MEGA2_CACHE: dict = {}
+
+
+def _mega2(spark, sf_dir, output):
+    """Compile mega flow 2 once per (session, sf_dir).  The ListenSyslog
+    segment starts from a landing directory, so deterministic RFC 3164
+    lines are landed first (the listener tier's output contract) — the
+    flow then drains them like any landed stream."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _MEGA2_CACHE:
+        from apache_nifi_spark.operators import render_syslog_3164
+        from apache_nifi_spark.plans.flow_import import run_flow_json
+
+        ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 33 == 0)
+        lines = ev.select(
+            render_syslog_3164(
+                F.lit(134),
+                F.col("ts"),
+                F.concat(F.lit("h"), (F.col("user_id") % 5).cast("string")),
+                F.lit("engine"),
+                F.col("event_id"),
+                F.col("event_type"),
+            ).alias("value")
+        )
+        lines.coalesce(1).write.mode("overwrite").text(_MEGA2_SYSLOG_DIR)
+        with open(_MEGA2_FLOW_PATH) as f:
+            _MEGA2_CACHE[key] = run_flow_json(spark, sf_dir, f.read())
+    return _MEGA2_CACHE[key][output]
+
+
+@register(
+    "mega2_lookup_xpath_xquery",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_id,
+           CAST(SUM(c_nationkey + 7) AS DOUBLE) AS sum_x,
+           CAST(2 * COUNT(*) AS BIGINT) AS sum_cnt,
+           MIN(n_name) AS min_n
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def mega2_lookup_q(spark, sf_dir):
+    """Mega-flow-2 S1: LookupAttribute(broadcast nation) → UpdateAttribute
+    (EL XML build) → EvaluateXPath → EvaluateXQuery(sum/count) →
+    QueryRecord."""
+    return _mega2(spark, sf_dir, "LookupAgg.agg")
+
+
+@register(
+    "mega2_crypto_roundtrip",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(s_name) AS min_name, MAX(s_name) AS max_name
+    FROM supplier
+    """,
+)
+def mega2_crypto_q(spark, sf_dir):
+    """Mega-flow-2 S2: EncryptContent(AES-GCM) → DecryptContent →
+    QueryRecord — the round-trip proves ciphertext integrity end-to-end
+    (GCM IVs are random, so only the round-trip is value-stable)."""
+    return _mega2(spark, sf_dir, "CryptoAgg.agg")
+
+
+@register(
+    "mega2_hl7_extract",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           MIN('CTRL' || CAST(event_id AS VARCHAR)) AS min_ctrl,
+           MIN('K' || CAST(user_id AS VARCHAR)) AS min_given,
+           MAX('P' || CAST(user_id AS VARCHAR)) AS max_pid
+    FROM events WHERE event_id % 12 = 0
+    """,
+)
+def mega2_hl7_q(spark, sf_dir):
+    """Mega-flow-2 S3: QueryRecord(filter) → UpdateAttribute(EL HL7 v2
+    message build) → ExtractHL7Attributes → QueryRecord."""
+    return _mega2(spark, sf_dir, "Hl7Agg.agg")
+
+
+@register(
+    "mega2_html_modify_extract",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_id
+    FROM documents GROUP BY lang
+    """,
+)
+def mega2_html_q(spark, sf_dir):
+    """Mega-flow-2 S4: UpdateAttribute(EL HTML build) →
+    ModifyHTMLElement(retag class) → GetHTMLElement(select by the NEW
+    class — proves the modify ran) → QueryRecord."""
+    return _mega2(spark, sf_dir, "HtmlAgg.agg")
+
+
+@register(
+    "mega2_email_headers",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           MIN('S' || CAST(c_custkey AS VARCHAR)) AS min_subj,
+           'eng@example.com' AS from_a,
+           TIMESTAMP '2026-01-01 00:00:00' AS min_dt
+    FROM customer WHERE c_custkey % 10 = 0
+    """,
+)
+def mega2_email_q(spark, sf_dir):
+    """Mega-flow-2 S5: QueryRecord(filter) → UpdateAttribute(EL MIME
+    build) → ExtractEmailHeaders(stdlib parser in mapInPandas) →
+    QueryRecord."""
+    return _mega2(spark, sf_dir, "MailAgg.agg")
+
+
+@register(
+    "mega2_rolling_window",
+    oracle="""
+    WITH r AS (
+      SELECT SUM(event_id) OVER w AS rs, COUNT(event_id) OVER w AS rc
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(rs) AS BIGINT) AS s,
+           CAST(SUM(rc) AS BIGINT) AS c
+    FROM r
+    """,
+)
+def mega2_rolling_q(spark, sf_dir):
+    """Mega-flow-2 S6: AttributeRollingWindow(last-5 per user) →
+    QueryRecord — the ROWS-frame batch analog of NiFi's stateful rolling
+    window."""
+    return _mega2(spark, sf_dir, "RollAgg.agg")
+
+
+@register(
+    "mega2_monitor_gaps",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             (epoch_us(ts) - epoch_us(lag(ts) OVER
+                 (PARTITION BY user_id ORDER BY ts))) / 1000000.0 AS gap
+      FROM events
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(gap AS DECIMAL(20,6))) AS DOUBLE) AS total_gap
+    FROM g WHERE gap > 3600
+    """,
+)
+def mega2_monitor_q(spark, sf_dir):
+    """Mega-flow-2 S7: MonitorActivity(1 h threshold) → QueryRecord over
+    the inactivity gaps."""
+    return _mega2(spark, sf_dir, "GapAgg.agg")
+
+
+@register(
+    "mega2_geoenrich_bands",
+    oracle="""
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS s
+    FROM orders JOIN nation
+      ON o_custkey >= n_nationkey * 1000 AND o_custkey < (n_nationkey + 1) * 1000
+    WHERE o_orderkey % 15 = 0
+    GROUP BY n_name
+    """,
+)
+def mega2_geoenrich_q(spark, sf_dir):
+    """Mega-flow-2 S8: GeoEnrichIP-style broadcast range join (point ∈
+    [lo, hi) bands over the nation fixture) → QueryRecord."""
+    return _mega2(spark, sf_dir, "BandAgg.agg")
+
+
+@register(
+    "mega2_syslog_source",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS s,
+           MIN('h' || CAST(user_id % 5 AS VARCHAR)) AS min_host
+    FROM events WHERE event_id % 33 = 0
+    """,
+)
+def mega2_syslog_q(spark, sf_dir):
+    """Mega-flow-2 S9: a flow that STARTS from a listener landing
+    directory — ListenSyslog(drain + RFC 3164 parse) → QueryRecord.
+    The lines are landed by the listener-tier contract before import."""
+    return _mega2(spark, sf_dir, "SyslogAgg.agg")
 
 
 # =====================================================================

@@ -413,3 +413,124 @@ def test_generate_validate_mac_flow(spark, sf_dir):
     outs2 = run_flow(spark, sf_dir, flow2)
     assert outs2["M.success"].count() == 10
     assert outs2["M.failure"].count() == 10
+
+
+def test_round7_importer_types(spark, sf_dir):
+    """Round-7 widening for binary-content processors: ParseNetflowv5,
+    UnpackContent, ConvertExcelToCSVProcessor, ExtractEmailAttachments —
+    each imported through run_flow with the payloads staged in a temp
+    view (binary content can't be authored in flow.json properties)."""
+    from apache_nifi_spark.plans.flow_import import run_flow
+
+    def conn(src, dst, rels):
+        return {"source": {"id": src}, "destination": {"id": dst},
+                "selectedRelationships": rels}
+
+    def via_view(view_sql, proc):
+        return {
+            "flowContents": {
+                "processors": [
+                    {"identifier": "g", "name": "G", "type": "x.GenerateRecord",
+                     "properties": {"Number of Records": "1"}},
+                    {"identifier": "q", "name": "Q", "type": "x.QueryRecord",
+                     "properties": {"rows": view_sql}},
+                    dict(proc, identifier="p", name="P"),
+                ],
+                "connections": [conn("g", "q", ["success"]),
+                                conn("q", "p", ["rows"])],
+            }
+        }
+
+    # --- ParseNetflowv5: render 3 packets of 2 records each, parse back
+    from apache_nifi_spark.functions.netflow import netflow5_packet
+
+    fields = {
+        "srcaddr": F.lit(10 * 16777216 + 1), "dstaddr": F.lit(10 * 16777216 + 2),
+        "nexthop": F.lit(0), "input_if": F.lit(1), "output_if": F.lit(2),
+        "d_pkts": F.col("id") + 1, "d_octets": (F.col("id") + 1) * 100,
+        "first_ms": F.lit(0), "last_ms": F.lit(1000),
+        "srcport": F.lit(80), "dstport": F.lit(443),
+        "tcp_flags": F.lit(27), "proto": F.lit(6), "tos": F.lit(0),
+        "src_as": F.lit(0), "dst_as": F.lit(0),
+        "src_mask": F.lit(24), "dst_mask": F.lit(24),
+    }
+    base = spark.range(3).select(
+        F.col("id"),
+        netflow5_packet(
+            fields,
+            sys_uptime=F.lit(1000), unix_secs=F.lit(1700000000),
+            flow_sequence=F.col("id").cast("int"),
+        ).alias("packet"),
+    )
+    base.createOrReplaceTempView("nf_view")
+    outs = run_flow(spark, sf_dir, via_view(
+        "SELECT * FROM nf_view",
+        {"type": "x.ParseNetflowv5", "properties": {"Column": "packet"}},
+    ))
+    flows = outs["P.success"]
+    assert flows.count() == 3  # one flow record per single-record packet
+    assert {r["d_octets"] for r in flows.collect()} == {100, 200, 300}
+
+    # --- UnpackContent: zip each doc then unpack through the flow
+    from apache_nifi_spark.operators.content import pack_content_zip
+
+    docs = spark.createDataFrame(
+        [(1, "a.txt", "alpha"), (2, "b.txt", "beta")], "id long, name string, body string"
+    )
+    pack_content_zip(docs, "id", "name", "body").createOrReplaceTempView("zip_view")
+    outs = run_flow(spark, sf_dir, via_view(
+        "SELECT * FROM zip_view",
+        {"type": "x.UnpackContent",
+         "properties": {"Id Column": "id", "Column": "archive"}},
+    ))
+    got = {(r["id"], r["entry_name"]) for r in outs["P.success"].collect()}
+    assert got == {(1, "a.txt"), (2, "b.txt")}
+
+    # --- ConvertExcelToCSVProcessor: workbook -> records
+    from apache_nifi_spark.sources.excel_codec import records_to_excel
+
+    recs = spark.createDataFrame(
+        [("g1", 1, "x"), ("g1", 2, "y")], "grp string, k long, v string"
+    )
+    records_to_excel(recs, "grp").createOrReplaceTempView("xlsx_view")
+    outs = run_flow(spark, sf_dir, via_view(
+        "SELECT * FROM xlsx_view",
+        {"type": "x.ConvertExcelToCSVProcessor",
+         "properties": {"Column": "workbook", "Element Schema": "k long, v string"}},
+    ))
+    assert {(r["k"], r["v"]) for r in outs["P.success"].collect()} == {(1, "x"), (2, "y")}
+
+    # --- ExtractEmailAttachments: MIME with one attachment
+    mime = (
+        "From: a@x\nTo: b@y\nSubject: s\nMIME-Version: 1.0\n"
+        'Content-Type: multipart/mixed; boundary="B"\n\n'
+        "--B\nContent-Type: text/plain\n\nbody\n"
+        '--B\nContent-Type: application/octet-stream; name="f.bin"\n'
+        'Content-Disposition: attachment; filename="f.bin"\n'
+        "Content-Transfer-Encoding: base64\n\naGVsbG8=\n--B--\n"
+    )
+    spark.createDataFrame([(7, mime)], "id long, message string") \
+        .createOrReplaceTempView("mail_view")
+    outs = run_flow(spark, sf_dir, via_view(
+        "SELECT * FROM mail_view",
+        {"type": "x.ExtractEmailAttachments", "properties": {}},
+    ))
+    rows = outs["P.attachments"].collect()
+    assert len(rows) == 1
+    assert rows[0]["filename"] == "f.bin" and bytes(rows[0]["payload"]) == b"hello"
+
+
+def test_xquery_compile_forms():
+    """compile_xquery dispatch: numeric fns, boolean comparisons, data()
+    atomization, FLWOR rejection."""
+    import pytest as _pytest
+
+    from apache_nifi_spark.functions.xquery import compile_xquery
+
+    # dispatch is observable through the compiled expression string
+    assert "xpath_double" in str(compile_xquery("x", "sum(/a/b)").cast("string")._jc)
+    assert "xpath_boolean" in str(compile_xquery("x", "/a/b > 3")._jc)
+    assert "xpath_string" in str(compile_xquery("x", "data(/a/b)")._jc)
+    assert "xpath_string" in str(compile_xquery("x", "/a/b/text()")._jc)
+    with _pytest.raises(ValueError, match="FLWOR"):
+        compile_xquery("x", "for $i in /a/b return $i")
