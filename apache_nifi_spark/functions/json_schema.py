@@ -14,8 +14,15 @@ Supported keywords (the record-validation core): ``type`` (object,
 array, string, number, integer, boolean, null), ``required``,
 ``properties`` (recursive), ``enum`` (strings), ``minimum``/``maximum``,
 ``minLength``/``maxLength``, ``pattern``, ``minItems``/``maxItems``.
-Deliberate gaps (documented): per-element ``items`` schemas (variant
-paths are literals — no dynamic index), ``allOf``/``anyOf``/``$ref``.
+
+Composition keywords (round 7): local ``$ref`` (``#/$defs/...`` /
+``#/definitions/...``, depth-capped against recursive definitions),
+``allOf`` (conjunctive inline), ``anyOf``/``oneOf`` (each branch
+compiles to an AND-group; the composite is one rule — OR across groups,
+or exactly-one for ``oneOf``), and per-element ``items`` when the array
+also carries ``maxItems`` (variant/JSON paths are literal, so item
+checks compile per bounded index — spec-exact because longer arrays
+fail ``maxItems`` anyway).  Unbounded ``items`` raises (documented).
 
 Semantics notes:
 - ``integer`` means zero-fractional-part number (draft 2020-12): Spark's
@@ -173,13 +180,33 @@ class _SparkSide:
         )
 
 
+def _resolve_ref(root: dict, ref: str) -> dict:
+    """Local JSON-pointer ``$ref`` (``#/$defs/x``, ``#/definitions/x``)."""
+    if not ref.startswith("#/"):
+        raise ValueError(f"only local '#/' $refs supported, got {ref!r}")
+    node: object = root
+    for seg in ref[2:].split("/"):
+        seg = seg.replace("~1", "/").replace("~0", "~")
+        if not isinstance(node, dict) or seg not in node:
+            raise ValueError(f"unresolvable $ref {ref!r} at segment {seg!r}")
+        node = node[seg]
+    if not isinstance(node, dict):
+        raise ValueError(f"$ref {ref!r} must point at a schema object")
+    return node
+
+
 def _compile(
     schema: dict,
     sp: _SparkSide | None,
     doc_sql: str,
     path: str,
     rules: list[_Rule],
+    root: dict | None = None,
+    depth: int = 0,
 ) -> None:
+    root = root if root is not None else schema
+    if depth > 32:
+        raise ValueError("schema nesting/$ref depth exceeds 32 (recursive $ref?)")
     canon_sql = _canon_sql(doc_sql, path)
     qp = _sql_quote(path)
     num_sql = (
@@ -195,6 +222,15 @@ def _compile(
 
     def add(label: str, col_thunk: Callable[[], Column] | None, sql: str) -> None:
         rules.append(_Rule(f"{label}:{path}", col_thunk if sp else None, sql))
+
+    # --- composition: $ref / allOf apply in place (draft 2020-12 keeps
+    # sibling keywords alongside, so these simply prepend their rules)
+    if "$ref" in schema:
+        _compile(
+            _resolve_ref(root, schema["$ref"]), sp, doc_sql, path, rules, root, depth + 1
+        )
+    for sub in schema.get("allOf", ()):
+        _compile(sub, sp, doc_sql, path, rules, root, depth + 1)
 
     typ = schema.get("type")
     if typ is not None:
@@ -283,10 +319,71 @@ def _compile(
             lambda n=n: (sp.canon(path) != "array") | (sp.arr_len(path) <= n),
             f"({canon_sql} <> 'array' OR {arr_len_sql} <= {n})",
         )
+    if "items" in schema:
+        # Per-element schemas compile per bounded index (variant/JSON
+        # paths are literal).  Spec-exact when maxItems bounds the array:
+        # indexes past the actual length are 'missing' → every item
+        # check is vacuous there, and longer arrays fail maxItems.
+        if "maxItems" not in schema:
+            raise ValueError(
+                f"items at {path}: requires a sibling maxItems bound "
+                "(literal-index compilation; documented subset)"
+            )
+        for i in range(int(schema["maxItems"])):
+            _compile(
+                schema["items"], sp, doc_sql, f"{path}[{i}]", rules, root, depth + 1
+            )
+
+    for kw in ("anyOf", "oneOf"):
+        if kw not in schema:
+            continue
+        branches: list[list[_Rule]] = []
+        for sub in schema[kw]:
+            sub_rules: list[_Rule] = []
+            _compile(sub, sp, doc_sql, path, sub_rules, root, depth + 1)
+            branches.append(sub_rules)
+
+        def branch_col(sub_rules: list[_Rule]) -> Column:
+            g = None
+            for r in sub_rules:
+                c = r.ok_col()
+                g = c if g is None else g & c
+            return sp.F.lit(True) if g is None else g
+
+        def combined(branches=branches, kw=kw) -> Column:
+            # vacuous when the location doesn't exist (spec: validation
+            # applies to existing instances only — without this, a
+            # missing field would fail oneOf because several type-only
+            # branches pass vacuously)
+            vac = sp.canon(path) == "missing"
+            groups = [branch_col(b) for b in branches]
+            if kw == "anyOf":
+                acc = groups[0]
+                for g in groups[1:]:
+                    acc = acc | g
+                return vac | acc
+            total = groups[0].cast("int")
+            for g in groups[1:]:
+                total = total + g.cast("int")
+            return vac | (total == 1)
+
+        group_sqls = [
+            "(" + (" AND ".join(r.ok_sql for r in b) if b else "TRUE") + ")"
+            for b in branches
+        ]
+        if kw == "anyOf":
+            sql = "(" + " OR ".join(group_sqls) + ")"
+        else:
+            sql = (
+                "(("
+                + " + ".join(f"CAST({g} AS INT)" for g in group_sqls)
+                + ") = 1)"
+            )
+        add(kw, combined, f"({canon_sql} = 'missing' OR {sql})")
 
     for name, sub_schema in schema.get("properties", {}).items():
         sub = f"{path}.{name}" if path != "$" else f"$.{name}"
-        _compile(sub_schema, sp, doc_sql, sub, rules)
+        _compile(sub_schema, sp, doc_sql, sub, rules, root, depth + 1)
 
 
 def json_schema_sql(schema: dict, doc_sql: str) -> tuple[str, str]:

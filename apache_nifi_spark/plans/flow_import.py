@@ -586,17 +586,23 @@ def _apply(
         }
 
     if ptype == "ValidateXml":
-        from apache_nifi_spark.sources.xml_codec import validate_xml
-
         col = props.get("Column", "content")
-        root = props.get("Root Tag")
-        req = tuple(
-            s.strip()
-            for s in (props.get("Required Elements") or "").split(",")
-            if s.strip()
-        )
-        out_df = validate_xml(df, content_col=col, root_tag=root,
-                              required_elements=req)
+        xsd = props.get("Schema Text") or props.get("XSD Text")
+        if xsd:  # XSD mode: inline schema, sequence/occurs/type checks
+            from apache_nifi_spark.functions.xsd import validate_xml_xsd
+
+            out_df = validate_xml_xsd(df, xsd, content_col=col)
+        else:  # structural mode: root tag + required children
+            from apache_nifi_spark.sources.xml_codec import validate_xml
+
+            root = props.get("Root Tag")
+            req = tuple(
+                s.strip()
+                for s in (props.get("Required Elements") or "").split(",")
+                if s.strip()
+            )
+            out_df = validate_xml(df, content_col=col, root_tag=root,
+                                  required_elements=req)
         return {
             "valid": out_df.filter(F.col("valid")).drop("valid", "validation_error"),
             "invalid": out_df.filter(~F.col("valid")).drop("valid"),

@@ -401,6 +401,78 @@ def _validate_json_oracle() -> str:
     """
 
 
+_VALIDATE_COMPOSED_SCHEMA = {
+    "$defs": {"etype": {"type": "string", "pattern": "^[a-z_]+$", "minLength": 3}},
+    "type": "object",
+    "required": ["event_id", "event_type"],
+    "properties": {
+        "event_type": {"$ref": "#/$defs/etype"},
+        "value": {
+            "anyOf": [
+                {"type": "number", "minimum": 0},
+                {"type": "string", "maxLength": 8},
+            ]
+        },
+        "tags": {"maxItems": 2, "items": {"type": "integer", "minimum": 0}},
+    },
+}
+
+
+def _validate_composed_oracle() -> str:
+    from apache_nifi_spark.functions.json_schema import json_schema_sql
+
+    valid_sql, err_sql = json_schema_sql(_VALIDATE_COMPOSED_SCHEMA, "doc")
+    return f"""
+    WITH built AS (
+      SELECT event_id,
+             '{{"event_id": ' || CAST(event_id AS VARCHAR)
+             || ', "event_type": "' || event_type || '"'
+             || ', "value": '
+             || CASE WHEN event_id % 9 = 0
+                     THEN '-' || CAST(event_id % 5 + 1 AS VARCHAR)
+                     ELSE CAST(event_id % 5 AS VARCHAR) END
+             || ', "tags": [0, '
+             || CASE WHEN event_id % 13 = 0 THEN '-1' ELSE '1' END
+             || ']}}' AS doc
+      FROM events
+    )
+    SELECT event_id, {valid_sql} AS valid, {err_sql} AS validation_error
+    FROM built
+    """
+
+
+@register("validate_json_composed", oracle=_validate_composed_oracle())
+def validate_json_composed_q(spark, sf_dir):
+    """ValidateJson with composition keywords (§2.3, round-7 item #6):
+    a schema using local $ref, anyOf (number-with-minimum OR short
+    string), and bounded per-element items — compiled ONCE for both
+    engines (functions/json_schema).  Defects injected deterministically:
+    negative value fails both anyOf branches; a negative tag fails the
+    per-index item check."""
+    from apache_nifi_spark.functions.json_schema import validate_json
+
+    ev = _t(spark, sf_dir, "events")
+    mod = lambda n: F.col("event_id") % n == 0  # noqa: E731
+    doc = F.concat(
+        F.lit('{"event_id": '),
+        F.col("event_id").cast("string"),
+        F.lit(', "event_type": "'),
+        F.col("event_type"),
+        F.lit('", "value": '),
+        F.when(
+            mod(9),
+            F.concat(F.lit("-"), (F.col("event_id") % 5 + 1).cast("string")),
+        ).otherwise((F.col("event_id") % 5).cast("string")),
+        F.lit(', "tags": [0, '),
+        F.when(mod(13), F.lit("-1")).otherwise(F.lit("1")),
+        F.lit("]}"),
+    )
+    built = ev.select("event_id", doc.alias("doc"))
+    return validate_json(built, _VALIDATE_COMPOSED_SCHEMA, doc_col="doc").select(
+        "event_id", "valid", "validation_error"
+    )
+
+
 @register("validate_json_schema", oracle=_validate_json_oracle())
 def validate_json_schema_q(spark, sf_dir):
     """ValidateJson (§2.3 [2.7.2-surface]): JSON-Schema-subset validation
@@ -3232,6 +3304,82 @@ def validate_xml_q(spark, sf_dir):
         built, root_tag="event", required_elements=("user", "type")
     )
     return out.select("event_id", "valid", "validation_error")
+
+
+_EVENT_XSD = """
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="event">
+    <xs:complexType>
+      <xs:sequence>
+        <xs:element name="id" type="xs:long"/>
+        <xs:element name="user" type="xs:string"/>
+        <xs:element name="type" type="xs:string"/>
+        <xs:element name="score" type="xs:decimal" minOccurs="0" maxOccurs="2"/>
+      </xs:sequence>
+    </xs:complexType>
+  </xs:element>
+</xs:schema>
+"""
+
+
+@register(
+    "validate_xml_xsd",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_id % 13 = 0 THEN 'malformed'
+                WHEN event_id % 11 = 0 THEN 'root:record'
+                WHEN event_id % 7 = 0 THEN 'occurs:user'
+                WHEN event_id % 5 = 0 THEN 'type:id'
+                WHEN event_id % 3 = 0 THEN 'occurs:score'
+           END AS validation_error,
+           (event_id % 13 <> 0 AND event_id % 11 <> 0 AND event_id % 7 <> 0
+            AND event_id % 5 <> 0 AND event_id % 3 <> 0) AS valid
+    FROM events WHERE event_id % 2 = 0
+    """,
+)
+def validate_xml_xsd_q(spark, sf_dir):
+    """ValidateXml XSD mode (§2.3, round-7 item #5): documents validated
+    against an inline XML Schema — sequence order, min/maxOccurs, and
+    simple-type value checks (functions/xsd).  Defects injected with
+    strict precedence: truncation → malformed, wrong root, dropped
+    required child → occurs, non-numeric id → type, a third score
+    element → maxOccurs; the oracle pins the routing and first-error
+    labels."""
+    from apache_nifi_spark.functions.xsd import validate_xml_xsd
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 2 == 0)
+    mod = lambda n: F.col("event_id") % n == 0  # noqa: E731
+    defect = (
+        F.when(mod(13), F.lit("trunc"))
+        .when(mod(11), F.lit("root"))
+        .when(mod(7), F.lit("nouser"))
+        .when(mod(5), F.lit("badid"))
+        .when(mod(3), F.lit("3scores"))
+        .otherwise(F.lit("ok"))
+    )
+    score = F.concat(
+        F.lit("<score>"), (F.col("event_id") % 9).cast("string"), F.lit("</score>")
+    )
+    doc = F.concat(
+        F.when(defect == "root", F.lit("<record>")).otherwise(F.lit("<event>")),
+        F.lit("<id>"),
+        F.when(defect == "badid", F.concat(F.lit("x"), F.col("event_id").cast("string")))
+        .otherwise(F.col("event_id").cast("string")),
+        F.lit("</id>"),
+        F.when(defect == "nouser", F.lit("")).otherwise(
+            F.concat(F.lit("<user>u"), F.col("user_id").cast("string"), F.lit("</user>"))
+        ),
+        F.lit("<type>"),
+        F.col("event_type"),
+        F.lit("</type>"),
+        score,
+        F.when(defect == "3scores", F.concat(score, score)).otherwise(F.lit("")),
+        F.when(defect == "root", F.lit("</record>")).otherwise(F.lit("</event>")),
+    )
+    doc = F.when(mod(13), doc.substr(F.lit(1), F.length(doc) - 2)).otherwise(doc)
+    built = ev.select("event_id", doc.alias("content"))
+    out = validate_xml_xsd(built, _EVENT_XSD)
+    return out.select("event_id", "validation_error", "valid")
 
 
 @register(

@@ -76,6 +76,86 @@ def test_sql_backend_agrees_on_matrix():
     assert {k: (v, e) for k, v, e in rows} == EXPECTED
 
 
+COMPOSED = {
+    "$defs": {"pid": {"type": "string", "pattern": "^P[0-9]+$"}},
+    "type": "object",
+    "required": ["id"],
+    "properties": {
+        "id": {"$ref": "#/$defs/pid"},
+        "v": {"anyOf": [{"type": "integer", "minimum": 0}, {"type": "string"}]},
+        "mode": {
+            "oneOf": [
+                {"type": "string", "enum": ["a"]},
+                {"type": "string", "minLength": 3},
+            ]
+        },
+        "tags": {"maxItems": 3, "items": {"type": "integer", "minimum": 1}},
+        "w": {"allOf": [{"type": "integer"}, {"minimum": 5}]},
+    },
+}
+
+COMPOSED_DOCS = {
+    "ok": '{"id": "P1", "v": 3, "mode": "a", "tags": [1, 2], "w": 9}',
+    "ok_v_str": '{"id": "P2", "v": "x"}',
+    "ok_missing_optional": '{"id": "P3"}',
+    "ref_fail": '{"id": "Q1"}',
+    "anyof_fail": '{"id": "P4", "v": -2}',
+    "oneof_both_true": '{"id": "P5", "mode": "alpha"}',  # one branch only → ok
+    "oneof_fail_neither": '{"id": "P6", "mode": "zz"}',
+    "items_fail": '{"id": "P7", "tags": [1, 0]}',
+    "items_past_len_vacuous": '{"id": "P8", "tags": [5]}',
+    "allof_fail": '{"id": "P9", "w": 2}',
+}
+
+COMPOSED_EXPECTED = {
+    "ok": True,
+    "ok_v_str": True,
+    "ok_missing_optional": True,
+    "ref_fail": False,
+    "anyof_fail": False,
+    "oneof_both_true": True,
+    "oneof_fail_neither": False,
+    "items_fail": False,
+    "items_past_len_vacuous": True,
+    "allof_fail": False,
+}
+
+
+def test_composition_keywords_both_backends(spark):
+    """$ref / allOf / anyOf / oneOf / bounded items: the same compiled
+    schema must agree with itself across the Spark and DuckDB backends
+    AND with the expected spec outcomes."""
+    import duckdb
+
+    df = spark.createDataFrame(list(COMPOSED_DOCS.items()), "k string, content string")
+    got = {
+        r["k"]: r["valid"] for r in validate_json(df, COMPOSED).collect()
+    }
+    assert got == COMPOSED_EXPECTED
+
+    valid_sql, _ = json_schema_sql(COMPOSED, "content")
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT k, " + valid_sql + " FROM (VALUES "
+        + ", ".join(f"('{k}', '{v}')" for k, v in COMPOSED_DOCS.items())
+        + ") t(k, content)"
+    ).fetchall()
+    assert {k: v for k, v in rows} == COMPOSED_EXPECTED
+
+
+def test_composition_guards():
+    import pytest
+
+    with pytest.raises(ValueError, match="maxItems"):
+        json_schema_sql({"items": {"type": "integer"}}, "c")
+    with pytest.raises(ValueError, match="unresolvable"):
+        json_schema_sql({"$ref": "#/$defs/nope"}, "c")
+    with pytest.raises(ValueError, match="depth"):
+        json_schema_sql(
+            {"$defs": {"a": {"$ref": "#/$defs/a"}}, "$ref": "#/$defs/a"}, "c"
+        )
+
+
 def test_filter_does_not_collapse_staged_projections(spark):
     """Optimizer-fence regression guard (round-6 verdict #1): a consumer
     filtering on ``valid`` must NOT get the staged rule pipeline

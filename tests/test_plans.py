@@ -123,6 +123,7 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
     }
     bnlj_ok = {
         "range_join_price_bands", "theta_join_richer_customers",
+        "mega2_geoenrich_bands",  # GeoEnrichIP range join: bounded broadcast
         "flowfile_expiration_ttl", "similarity_cosine_topk",
         "similarity_quantized_topk",  # same bounded-broadcast != shape
         "similarity_ivf_topk", "similarity_lsh_topk", "asof_signup_before_purchase",
@@ -142,6 +143,45 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
         assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
         if "BroadcastNestedLoop" in plan:
             assert name in bnlj_ok, f"{name} unexpectedly uses BroadcastNestedLoopJoin"
+
+
+def test_jvm_queries_keep_wholestage_codegen(spark, sf_dir):
+    """Codegen regression guard (round-6 verdict #8): every batch query
+    that executes purely JVM-side must retain at least one
+    WholeStageCodegen span after execution.  This is the tripwire for
+    interpreted-fallback regressions like the round-6
+    ``mega_flow_json_validate`` collapse, where an optimizer rewrite
+    inlined non-codegen expressions into the whole stage.  Queries with
+    Python-eval nodes (mapInPandas/UDTF/Arrow) are exempt — those stages
+    can't codegen by construction — as are build-time side-effect
+    queries."""
+    from apache_nifi_spark.plans import count_codegen_spans
+
+    skip = {
+        "bucketed_colocated_join", "put_file_partitioned",
+        "compress_content_gzip", "unpack_content_zip", "convert_record_csv",
+        "convert_record_json", "source_binary_file",
+        "multimodal_image_features", "dedup_minhash_lsh",
+        # file-bus consumer: plan is a bare landed-file scan whose work
+        # happened at publish time — nothing left to codegen
+        "publish_consume_kafka_bus",
+    }
+    py_nodes = (
+        "MapInPandas", "ArrowEvalPython", "BatchEvalPython",
+        "FlatMapGroupsInPandas", "MapInArrow", "PythonUDTF", "EvalPython",
+    )
+    offenders = []
+    for name, fn in QUERIES.items():
+        if name.startswith("stream_") or name in skip:
+            continue
+        df = fn(spark, sf_dir)
+        df.collect()  # finalize the adaptive plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if any(p in plan for p in py_nodes):
+            continue
+        if count_codegen_spans(df) == 0:
+            offenders.append(name)
+    assert not offenders, f"JVM-only queries running fully interpreted: {offenders}"
 
 
 def test_partition_pruning_reaches_directory_listing(spark, sf_dir):
