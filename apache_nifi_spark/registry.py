@@ -2972,6 +2972,74 @@ def put_tcp_roundtrip_q(spark, sf_dir):
 
 
 @register(
+    "put_tls_listen_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM events WHERE event_id % 44 = 0
+    GROUP BY event_type
+    """,
+)
+def put_tls_roundtrip_q(spark, sf_dir):
+    """Secured PutTCP → ListenTCP over REAL TLS (§2.1/§2.2; the
+    reference deployment is TLS-first, kustomization.yaml:21-26):
+    executor connections complete an actual handshake against the
+    listener's cert — trusted via truststore semantics, hostname
+    verified (streaming/tls.py) — before any byte ships; plaintext
+    clients are rejected at the handshake (tests/test_tls.py).  Oracle
+    equality proves the encrypted hop is lossless."""
+    import glob
+    import tempfile
+    import time
+
+    from apache_nifi_spark.sinks import put_tcp
+    from apache_nifi_spark.streaming.listen import TcpLandingListener
+    from apache_nifi_spark.streaming.tls import (
+        generate_self_signed,
+        server_context,
+        wrap_listener,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 44 == 0)
+    lines = ev.select(
+        F.concat_ws(
+            ",",
+            F.col("event_id").cast("string"),
+            "event_type",
+            F.col("value").cast("string"),
+        ).alias("content")
+    )
+    cert, key = generate_self_signed()
+    landing = tempfile.mkdtemp(prefix="anspark_puttls_")
+    listener = TcpLandingListener(landing)
+    wrap_listener(listener, server_context(cert, key))
+    sent = put_tcp(lines, "127.0.0.1", listener.port, "content", tls_cert=cert)
+    n_sent = sent.filter("sent").count()
+    assert n_sent == ev.count()
+    deadline = time.monotonic() + 15
+    while time.monotonic() < deadline:
+        landed = sum(
+            sum(1 for ln in open(p, "rb").read().splitlines() if ln.strip())
+            for p in glob.glob(f"{landing}/*")
+        )
+        if landed >= n_sent:
+            break
+        time.sleep(0.05)
+    else:
+        raise TimeoutError(f"landing zone has {landed} of {n_sent} lines")
+    back = spark.read.text(landing)
+    rec = back.select(
+        F.from_csv(
+            F.col("value"), "event_id bigint, event_type string, value double"
+        ).alias("r")
+    ).select("r.*")
+    return rec.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), _dsum(F.col("value"), "total_value")
+    )
+
+
+@register(
     "convert_excel_roundtrip",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority

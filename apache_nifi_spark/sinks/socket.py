@@ -35,25 +35,46 @@ def put_tcp(
     port: int,
     content_col: str = "content",
     timeout: float = 10.0,
+    tls_cert: str | None = None,
 ) -> DataFrame:
     """Newline-framed TCP delivery: one connection per partition, every
     row's content + ``\\n``.  The whole partition's batch ships on one
-    stream — the framing NiFi's PutTCP uses with the default delimiter."""
+    stream — the framing NiFi's PutTCP uses with the default delimiter.
+
+    ``tls_cert``: path to a PEM the executor trusts (truststore
+    semantics — ONLY this cert, hostname verified); the connection then
+    completes a real TLS handshake before any byte ships, mirroring the
+    reference's secured listeners (streaming/tls.py).  On a multi-node
+    cluster distribute the PEM via ``spark.files``."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import socket
+        import ssl
 
+        ctx = None
+        if tls_cert is not None:
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+            ctx.load_verify_locations(tls_cert)
         for pdf in batches:
             try:
-                with socket.create_connection((host, port), timeout=timeout) as s:
+                with socket.create_connection((host, port), timeout=timeout) as raw:
+                    s = (
+                        ctx.wrap_socket(raw, server_hostname=host)
+                        if ctx is not None
+                        else raw
+                    )
                     payload = b"".join(
                         (v if isinstance(v, bytes) else str(v).encode()) + b"\n"
                         for v in pdf[content_col]
                         if v is not None
                     )
                     s.sendall(payload)
+                    # no unwrap(): the landing server reads to EOF and
+                    # closes without answering close_notify; its
+                    # wrap_socket keeps suppress_ragged_eofs, so a plain
+                    # close after sendall is the clean shutdown here
                 ok = True
-            except OSError:
+            except (OSError, ssl.SSLError):
                 ok = False
             pdf["sent"] = [ok and v is not None for v in pdf[content_col]]
             yield pdf
