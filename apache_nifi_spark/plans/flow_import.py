@@ -1001,6 +1001,19 @@ def _apply(
         spec = json.loads(props.get("Jolt Specification") or "{}")
         if not spec:
             raise FlowImportError(f"{name}: JoltTransformJSON needs 'Jolt Specification'")
+        if isinstance(spec, list):
+            # The real NiFi spec shape: an operations chain
+            # ([{"operation": "shift"|"default"|"remove", "spec": ...}])
+            # applied to the JSON content column — columnar when the
+            # spec is literal-path, interpreter for wildcards
+            # (functions/jolt.py).
+            from apache_nifi_spark.functions.jolt import jolt_transform_json
+
+            return {
+                "success": jolt_transform_json(
+                    df, spec, props.get("Column", "content")
+                )
+            }
         # Scoped shift: {"outField": "sourceColumn"} → nested via dots.
         fields = [F.col(src).alias(out) for out, src in spec.items()]
         return {"success": df.withColumn("content", F.to_json(F.struct(*fields)))}

@@ -4472,6 +4472,85 @@ def jolt_shift_q(spark, sf_dir):
 
 
 @register(
+    "jolt_chain_columnar",
+    oracle="""
+    SELECT o_orderkey,
+           to_json(struct_pack(
+             "order" := struct_pack(key := o_orderkey, state := o_orderstatus,
+                                    source := 'import'),
+             who := struct_pack(name := c_name),
+             tag := 1)) AS doc
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey % 21 = 0
+    """,
+)
+def jolt_chain_columnar_q(spark, sf_dir):
+    """JoltTransformJSON operations chain (§2.4, real NiFi spec shape):
+    shift (incl. a multi-output leaf) → default (never overwrites) →
+    remove, compiled COLUMNAR (functions/jolt.jolt_columnar: one
+    try_parse_json → per-leaf variant-gets → nested struct → to_json,
+    map-only).  The interpreter-tier differential lives in
+    tests/test_jolt.py."""
+    from apache_nifi_spark.functions.jolt import jolt_transform_json
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 21 == 0)
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    doc = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_orderstatus").alias("status"),
+            F.struct(F.col("c_name").alias("name")).alias("cust"),
+        )
+    )
+    built = joined.select("o_orderkey", doc.alias("content"))
+    ops = [
+        {"operation": "shift", "spec": {
+            "id": "order.key",
+            "status": ["order.state", "audit.state"],
+            "cust": {"name": "who.name"},
+        }},
+        {"operation": "default", "spec": {"order": {"source": "import"}, "tag": 1}},
+        {"operation": "remove", "spec": {"audit": ""}},
+    ]
+    return jolt_transform_json(built, ops, "content").select(
+        "o_orderkey", F.col("content").alias("doc")
+    )
+
+
+@register(
+    "jolt_wildcard_shift",
+    oracle="""
+    SELECT event_id,
+           to_json(struct_pack(
+             flat := struct_pack(eid := event_id, etype := event_type),
+             key := event_id)) AS doc
+    FROM events WHERE event_id % 27 = 0
+    """,
+)
+def jolt_wildcard_q(spark, sf_dir):
+    """JoltTransformJSON wildcard shift (§2.4): ``*`` key match with
+    ``&`` back-reference plus a literal override (literal beats the
+    wildcard, Jolt precedence) — the interpreter tier in mapInPandas
+    (functions/jolt.jolt_reference), value-oracled."""
+    from apache_nifi_spark.functions.jolt import jolt_transform_json
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 27 == 0)
+    doc = F.to_json(
+        F.struct(
+            F.col("event_id").alias("eid"), F.col("event_type").alias("etype")
+        )
+    )
+    built = ev.select("event_id", doc.alias("content"))
+    ops = [
+        {"operation": "shift", "spec": {"*": "flat.&", "eid": ["flat.eid", "key"]}}
+    ]
+    return jolt_transform_json(built, ops, "content").select(
+        "event_id", F.col("content").alias("doc")
+    )
+
+
+@register(
     "extract_grok_log",
     oracle="""
     WITH lines AS (
