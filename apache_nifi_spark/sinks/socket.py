@@ -57,12 +57,14 @@ def put_tcp(
             ctx.load_verify_locations(tls_cert)
         for pdf in batches:
             try:
-                with socket.create_connection((host, port), timeout=timeout) as raw:
-                    s = (
-                        ctx.wrap_socket(raw, server_hostname=host)
-                        if ctx is not None
-                        else raw
-                    )
+                s = socket.create_connection((host, port), timeout=timeout)
+                try:
+                    if ctx is not None:
+                        # wrap_socket DETACHES the raw socket — the
+                        # SSLSocket must be closed explicitly (closing
+                        # the detached original is a no-op; relying on
+                        # GC leaves the server's EOF-read hanging)
+                        s = ctx.wrap_socket(s, server_hostname=host)
                     payload = b"".join(
                         (v if isinstance(v, bytes) else str(v).encode()) + b"\n"
                         for v in pdf[content_col]
@@ -73,6 +75,8 @@ def put_tcp(
                     # closes without answering close_notify; its
                     # wrap_socket keeps suppress_ragged_eofs, so a plain
                     # close after sendall is the clean shutdown here
+                finally:
+                    s.close()
                 ok = True
             except (OSError, ssl.SSLError):
                 ok = False

@@ -61,6 +61,13 @@ def generate_self_signed(directory: str | None = None) -> tuple[str, str]:
 def server_context(cert_path: str, key_path: str) -> ssl.SSLContext:
     ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
     ctx.load_cert_chain(cert_path, key_path)
+    # TLS 1.3 servers push NewSessionTicket messages after the
+    # handshake.  A send-only client (PutTCP) never reads them, so its
+    # close() fires an RST (unread data in the receive queue) instead
+    # of FIN — and the RST DISCARDS the in-flight tail of the payload
+    # on the server, surfacing as a silent ragged-EOF truncation.
+    # Landing listeners don't need resumption; turn tickets off.
+    ctx.num_tickets = 0
     return ctx
 
 
@@ -95,6 +102,12 @@ def wrap_listener(listener, ctx: ssl.SSLContext) -> None:
 
     def get_request():
         sock, addr = plain_get_request()
-        return ctx.wrap_socket(sock, server_side=True), addr
+        # handshake deferred to the HANDLER thread (first read), not the
+        # single accept thread — N concurrent executor connections would
+        # otherwise serialize their handshakes behind accept()
+        return (
+            ctx.wrap_socket(sock, server_side=True, do_handshake_on_connect=False),
+            addr,
+        )
 
     srv.get_request = get_request

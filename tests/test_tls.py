@@ -74,6 +74,49 @@ def test_tls_tcp_listener_roundtrip_and_plaintext_rejected(spark, certs):
         lst.stop()
 
 
+def test_tls_large_payload_not_truncated_by_ticket_rst(certs):
+    """Regression: TLS 1.3 session tickets left unread by a send-only
+    client turn its close() into an RST, which discards the in-flight
+    payload tail server-side (observed as a silent ~64 KB truncation).
+    server_context disables tickets; a >200 KB single-connection payload
+    must land byte-complete."""
+    import ssl
+    import socket as socketmod
+
+    from apache_nifi_spark.streaming.listen import TcpLandingListener
+
+    cert, key = certs
+    landing = tempfile.mkdtemp(prefix="tls_big_")
+    lst = TcpLandingListener(landing)
+    wrap_listener(lst, server_context(cert, key))
+    try:
+        lines = [f"line-{i:06d}".encode() for i in range(20000)]
+        payload = b"\n".join(lines) + b"\n"
+        assert len(payload) > 200_000
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+        ctx.load_verify_locations(cert)
+        s = ctx.wrap_socket(
+            socketmod.create_connection(("127.0.0.1", lst.port), timeout=10),
+            server_hostname="127.0.0.1",
+        )
+        s.sendall(payload)
+        s.close()
+        body = _wait_for(
+            lambda: (
+                b"".join(
+                    open(p, "rb").read()
+                    for p in sorted(glob.glob(f"{landing}/*"))
+                )
+                or None
+            )
+        )
+        got = [ln for ln in body.split(b"\n") if ln]
+        assert len(got) == 20000, f"landed only {len(got)} of 20000 lines"
+        assert got[0] == b"line-000000" and got[-1] == b"line-019999"
+    finally:
+        lst.stop()
+
+
 def test_tls_http_listener_roundtrip_and_untrusted_rejected(certs):
     from apache_nifi_spark.streaming.listen import HttpLandingListener
 
