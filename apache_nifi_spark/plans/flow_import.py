@@ -360,7 +360,11 @@ def _apply(
             raise FlowImportError(
                 f"{name}: 'Input Directory' must name a fixture table, got {table!r}"
             )
-        return {"success": io.load_table(spark, sf_dir, table)}
+        # Imported flows routinely chain CPU-heavy per-row work (XPath,
+        # validation, HL7/CEF parsing) straight onto the scan; widen a
+        # single-split source so that work spreads across cores.  No-op
+        # when the scan already has enough splits (real-scale tables).
+        return {"success": io.widen_if_narrow(io.load_table(spark, sf_dir, table))}
 
     if ptype == "GenerateRecord":
         n = int(props.get("Number of Records", "100"))

@@ -451,7 +451,7 @@ def validate_json_composed_q(spark, sf_dir):
     per-index item check."""
     from apache_nifi_spark.functions.json_schema import validate_json
 
-    ev = _t(spark, sf_dir, "events")
+    ev = io.widen_if_narrow(_t(spark, sf_dir, "events"))
     mod = lambda n: F.col("event_id") % n == 0  # noqa: E731
     doc = F.concat(
         F.lit('{"event_id": '),
@@ -483,7 +483,9 @@ def validate_json_schema_q(spark, sf_dir):
     (functions/json_schema)."""
     from apache_nifi_spark.functions.json_schema import validate_json
 
-    ev = _t(spark, sf_dir, "events")
+    # variant rule evaluation is interpreted CPU-per-row work — spread
+    # the single parquet split across cores before it
+    ev = io.widen_if_narrow(_t(spark, sf_dir, "events"))
     cents = F.floor(F.abs(F.col("value")) * 100).cast("bigint")
     mod = lambda n: F.col("event_id") % n == 0  # noqa: E731
     val_str = F.concat(
@@ -3415,7 +3417,7 @@ def validate_xml_xsd_q(spark, sf_dir):
     labels."""
     from apache_nifi_spark.functions.xsd import validate_xml_xsd
 
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 2 == 0)
+    ev = io.widen_if_narrow(_t(spark, sf_dir, "events").filter(F.col("event_id") % 2 == 0))
     mod = lambda n: F.col("event_id") % n == 0  # noqa: E731
     defect = (
         F.when(mod(13), F.lit("trunc"))
@@ -3610,7 +3612,7 @@ def get_html_element_q(spark, sf_dir):
     directly from the source rows (build → parse identity)."""
     from apache_nifi_spark.functions.html_elements import extract_html_elements
 
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 9 == 0)
+    ev = io.widen_if_narrow(_t(spark, sf_dir, "events").filter(F.col("event_id") % 9 == 0))
     cents = F.floor(F.abs(F.col("value")) * 100).cast("bigint")
     val_str = F.concat(
         (cents / 100).cast("bigint").cast("string"),
@@ -6030,9 +6032,9 @@ def compress_content_per_record_q(spark, sf_dir):
     Oracle equality on the recovered text proves losslessness."""
     from apache_nifi_spark.operators import compress_content, decompress_content
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000).select(
-        "doc_id", F.col("text").cast("binary").alias("content")
-    )
+    d = io.widen_if_narrow(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    ).select("doc_id", F.col("text").cast("binary").alias("content"))
     bz = compress_content(d, "content", codec="bzip2", out_col="bz")
     both = compress_content(bz, "content", codec="xz", out_col="xzb")
     back = decompress_content(both, "bz", codec="bzip2", out_col="content2")
@@ -8771,7 +8773,7 @@ def parse_cef_q(spark, sf_dir):
     semantic source for both engines."""
     from apache_nifi_spark.functions.cef import parse_cef
 
-    ev = _t(spark, sf_dir, "events")
+    ev = io.widen_if_narrow(_t(spark, sf_dir, "events"))
     sev = F.when(F.col("event_type") == "error", F.lit("9")).otherwise(F.lit("3"))
     line = F.concat(
         F.lit("CEF:0|Engine\\|Corp|anspark|1.0|"),
