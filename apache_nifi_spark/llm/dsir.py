@@ -1,0 +1,125 @@
+"""DSIR-style importance resampling (§2.12 data-selection tier).
+
+Data Selection for Language Models via Importance Resampling (Xie et
+al., NeurIPS 2023, public paper): score every raw document by how much
+more likely its hashed-n-gram bag is under a TARGET distribution than
+under the RAW distribution, then keep the highest-weight documents.
+This is the standard cheap proxy for "select web documents that look
+like the high-quality target corpus" in pretraining pipelines.
+
+Pipeline shape (all columnar, 100 TB-ready):
+
+1. **Features**: lowercase whitespace-ish tokens → unigrams + bigrams →
+   hash into ``buckets`` via the first 8 hex chars of md5 (portable to
+   the DuckDB oracle — the engine-agnostic hash used across this repo).
+   One explode, map-only.
+2. **Distributions**: bucket-count aggregates over the target subset
+   and the full raw corpus — two hash aggs whose outputs are bounded by
+   ``buckets`` (≤ tens of thousands of rows), never corpus-sized.
+3. **Per-bucket log ratio**: ``ln((ct+1)/(Nt+B)) − ln((cr+1)/(Nr+B))``
+   (Laplace-smoothed), a broadcast-sized weight table.
+4. **Scores**: exploded grams broadcast-join the weight table, one
+   partial/final agg back to document grain.  Rounded to 6 dp — double
+   addition order is partition-dependent, same policy as
+   ``unigram_logprob``.
+5. **Selection**: deterministic top-k by (weight, id) — the resampling
+   step with the temperature-0 / argmax convention; Gumbel sampling is
+   a one-line variant the caller can seed.
+
+Nothing here shuffles the corpus except the final doc-grain agg; the
+weight table rides to every executor once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hashed_gram_buckets", "dsir_importance", "dsir_select"]
+
+
+def _tokens(text: Column) -> Column:
+    return F.filter(
+        F.split(F.lower(text), r"[^a-z0-9']+", -1), lambda t: t != ""
+    )
+
+
+def _bucket(gram: Column, buckets: int) -> Column:
+    # engine-portable hash: first 8 hex chars of md5 → int → mod B
+    return F.pmod(
+        F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("bigint"),
+        F.lit(buckets),
+    )
+
+
+def hashed_gram_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+) -> DataFrame:
+    """(id, bucket) — one row per unigram AND bigram occurrence."""
+    toks = _tokens(F.col(text_col))
+    bigrams = F.zip_with(
+        F.expr(f"slice({'_toks'}, 1, greatest(size(_toks) - 1, 0))"),
+        F.expr(f"slice({'_toks'}, 2, greatest(size(_toks) - 1, 0))"),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        df.select(id_col, toks.alias("_toks"))
+        .select(id_col, F.explode(F.concat(F.col("_toks"), bigrams)).alias("_gram"))
+        .select(id_col, _bucket(F.col("_gram"), buckets).alias("bucket"))
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+) -> DataFrame:
+    """(id, n_grams, log_weight): per-document importance log-weight of
+    the hashed-n-gram model, target vs raw."""
+    grams = hashed_gram_buckets(df, text_col, id_col, buckets)
+    target_ids = df.filter(target_pred).select(id_col)
+    t_counts = (
+        grams.join(F.broadcast(target_ids), id_col, "left_semi")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    r_counts = grams.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    t_tot = t_counts.agg(F.sum("ct").alias("nt"))
+    r_tot = r_counts.agg(F.sum("cr").alias("nr"))
+    weights = (
+        r_counts.join(t_counts, "bucket", "left")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                    / (F.col("nt") + buckets).cast("double")
+                )
+                - F.log(
+                    (F.col("cr") + 1).cast("double")
+                    / (F.col("nr") + buckets).cast("double")
+                )
+            ).alias("lw"),
+        )
+    )
+    return (
+        grams.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(F.sum("lw"), 6).alias("log_weight"),
+        )
+    )
+
+
+def dsir_select(scored: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic resampling: the k highest log-weight documents
+    (ties broken by id) — TakeOrdered, no global sort materialization."""
+    return scored.orderBy(F.col("log_weight").desc(), F.col(id_col)).limit(k)

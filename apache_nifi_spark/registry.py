@@ -1812,6 +1812,63 @@ def text_unigram_logprob_q(spark, sf_dir):
     return unigram_logprob(d)
 
 
+@register(
+    "dsir_importance_scores",
+    oracle=r"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                         x -> x != '') AS t
+      FROM documents
+    ),
+    grams AS MATERIALIZED (
+      SELECT doc_id, lang, gram FROM (
+        SELECT doc_id, lang, unnest(t) AS gram FROM toks
+        UNION ALL
+        SELECT doc_id, lang,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i+1])) AS gram
+        FROM toks
+      )
+    ),
+    b AS MATERIALIZED (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(gram), 1, 8))::UBIGINT % 4096 AS BIGINT)
+               AS bucket
+      FROM grams
+    ),
+    tc AS (SELECT bucket, COUNT(*) AS ct FROM b WHERE lang = 'en' GROUP BY bucket),
+    rc AS (SELECT bucket, COUNT(*) AS cr FROM b GROUP BY bucket),
+    tt AS (SELECT SUM(ct) AS nt FROM tc),
+    rt AS (SELECT SUM(cr) AS nr FROM rc),
+    w AS (
+      SELECT rc.bucket,
+             ln(CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE)
+                / CAST(tt.nt + 4096 AS DOUBLE))
+             - ln(CAST(rc.cr + 1 AS DOUBLE) / CAST(rt.nr + 4096 AS DOUBLE)) AS lw
+      FROM rc LEFT JOIN tc USING (bucket), tt, rt
+    )
+    SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           round(SUM(w.lw), 6) AS log_weight
+    FROM b JOIN w USING (bucket)
+    GROUP BY b.doc_id
+    """,
+)
+def dsir_importance_q(spark, sf_dir):
+    """DSIR importance resampling (§2.12 data-selection tier; Xie et
+    al. 2023): hashed unigram+bigram bag-of-features log-likelihood
+    ratio of the English-target distribution vs the raw corpus, scored
+    per document.  One explode, two bucket-bounded aggs, a broadcast
+    weight join, one doc-grain agg — the corpus never shuffles except
+    at doc grain (llm/dsir.py)."""
+    from apache_nifi_spark.llm.dsir import dsir_importance
+
+    d = io.widen_if_narrow(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
+    return dsir_importance(d, F.col("lang") == "en")
+
+
 def _c4_oracle() -> str:
     from apache_nifi_spark.llm.text import C4_LINE_BLOCKLIST
 

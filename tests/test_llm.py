@@ -869,3 +869,32 @@ def test_c4_line_filter_rules(spark):
     assert kept[0].startswith("This line ends")
     assert kept[1] == 'He said "stop right there."'
     assert kept[2].endswith("?")
+
+
+def test_dsir_importance_and_selection(spark, sf_dir):
+    """DSIR scores: English-target docs must on average carry higher
+    log-weights than non-English ones (the whole point of the filter),
+    and deterministic top-k selection must be stable across runs."""
+    from apache_nifi_spark import io as _io
+    from apache_nifi_spark.llm.dsir import dsir_importance, dsir_select
+    from pyspark.sql import functions as F
+
+    d = _io.load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    scored = dsir_importance(d, F.col("lang") == "en", buckets=1024)
+    joined = scored.join(d.select("doc_id", "lang"), "doc_id")
+    means = {
+        r["is_en"]: r["m"]
+        for r in joined.groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("log_weight").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False], means
+
+    top1 = [r["doc_id"] for r in dsir_select(scored, 25).collect()]
+    top2 = [r["doc_id"] for r in dsir_select(scored, 25).collect()]
+    assert top1 == top2 and len(top1) == 25
+    # selection is genuinely weight-ordered
+    w = {r["doc_id"]: r["log_weight"] for r in scored.collect()}
+    assert min(w[i] for i in top1) >= max(
+        v for k, v in w.items() if k not in set(top1)
+    )
