@@ -132,6 +132,8 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
         # 1-row global-stats broadcast (T+V smoothing constants): keyless
         # by nature, bounded by construction
         "text_unigram_logprob",
+        # same shape: Nt/Nr one-row total broadcasts for the DSIR weights
+        "dsir_importance_scores",
         # K-row centroid broadcast per Lloyd iteration: keyless scoring
         # against every centroid, bounded by k
         "cluster_kmeans_embeddings",
@@ -178,6 +180,11 @@ def test_jvm_queries_keep_wholestage_codegen(spark, sf_dir):
         df.collect()  # finalize the adaptive plan
         plan = df._jdf.queryExecution().executedPlan().toString()
         if any(p in plan for p in py_nodes):
+            continue
+        if "EmptyRelation" in plan:
+            # AQE collapsed a zero-row stage to EmptyRelation (tiny-SF
+            # filters can match nothing) — nothing executed, nothing to
+            # codegen; not an interpreted fallback
             continue
         if count_codegen_spans(df) == 0:
             offenders.append(name)
