@@ -73,7 +73,12 @@ def _put(out: dict, path: str, value: Any, matched: list[str]) -> None:
     segs = [resolve(s) for s in path.split(".")]
     node = out
     for s in segs[:-1]:
-        node = node.setdefault(s, {})
+        nxt = node.setdefault(s, {})
+        if not isinstance(nxt, dict):
+            # a scalar was written here by an earlier leaf; descending
+            # wins (last-writer semantics) rather than raising mid-batch
+            node[s] = nxt = {}
+        node = nxt
     node[segs[-1]] = value
 
 
