@@ -1210,25 +1210,25 @@ def _apply(
             "found": range_join(df, dim, F.expr(point), F.expr(lo), F.expr(hi))
         }
 
-    if ptype == "EncryptContent":
+    if ptype in ("EncryptContent", "DecryptContent"):
         key = props.get("Key")
         col = props.get("Column", "content")
         mode = props.get("Cipher Mode", "GCM")
         if not key:
-            raise FlowImportError(f"{name}: EncryptContent needs 'Key'")
-        ct = F.expr(
-            f"aes_encrypt(cast(`{col}` as binary), '{key}', '{mode}')"
-        )
-        return {"success": df.withColumn(col, ct)}
-
-    if ptype == "DecryptContent":
-        key = props.get("Key")
-        col = props.get("Column", "content")
-        mode = props.get("Cipher Mode", "GCM")
-        if not key:
-            raise FlowImportError(f"{name}: DecryptContent needs 'Key'")
-        pt = F.expr(f"aes_decrypt(`{col}`, '{key}', '{mode}')").cast("string")
-        return {"success": df.withColumn(col, pt)}
+            raise FlowImportError(f"{name}: {ptype} needs 'Key'")
+        if mode not in ("GCM", "CBC", "ECB"):
+            raise FlowImportError(f"{name}: unsupported 'Cipher Mode' {mode!r}")
+        # key/mode pass as literal Columns, never spliced into SQL text —
+        # a key containing a quote must not break (or rewrite) the plan
+        if ptype == "EncryptContent":
+            out_col = F.call_function(
+                "aes_encrypt", F.col(col).cast("binary"), F.lit(key), F.lit(mode)
+            )
+        else:
+            out_col = F.call_function(
+                "aes_decrypt", F.col(col), F.lit(key), F.lit(mode)
+            ).cast("string")
+        return {"success": df.withColumn(col, out_col)}
 
     if ptype == "ParseNetflowv5":
         from apache_nifi_spark.functions.netflow import parse_netflow5
