@@ -13,6 +13,8 @@ time, before any SparkContext exists).
 Supported keywords (the record-validation core): ``type`` (object,
 array, string, number, integer, boolean, null), ``required``,
 ``properties`` (recursive), ``enum`` (strings), ``minimum``/``maximum``,
+``exclusiveMinimum``/``exclusiveMaximum``, ``multipleOf``, ``const``
+(string/number, with an implied type check), ``uniqueItems``,
 ``minLength``/``maxLength``, ``pattern``, ``minItems``/``maxItems``.
 
 Composition keywords (round 7): local ``$ref`` (``#/$defs/...`` /
@@ -273,6 +275,85 @@ def _compile(
             "maximum",
             lambda m=m: ~sp.canon(path).isin("integer", "number") | (sp.num(path) <= m),
             f"({canon_sql} NOT IN ('integer', 'number') OR {num_sql} <= {m})",
+        )
+    if "exclusiveMinimum" in schema:
+        m = float(schema["exclusiveMinimum"])
+        add(
+            "exclusiveMinimum",
+            lambda m=m: ~sp.canon(path).isin("integer", "number") | (sp.num(path) > m),
+            f"({canon_sql} NOT IN ('integer', 'number') OR {num_sql} > {m})",
+        )
+    if "exclusiveMaximum" in schema:
+        m = float(schema["exclusiveMaximum"])
+        add(
+            "exclusiveMaximum",
+            lambda m=m: ~sp.canon(path).isin("integer", "number") | (sp.num(path) < m),
+            f"({canon_sql} NOT IN ('integer', 'number') OR {num_sql} < {m})",
+        )
+    if "multipleOf" in schema:
+        m = float(schema["multipleOf"])
+        if m <= 0:
+            raise ValueError(f"multipleOf at {path}: must be > 0")
+        # draft 2020-12: value / m is an integer; fmod==0 is the exact
+        # check both engines share (the common integral-divisor case)
+        add(
+            "multipleOf",
+            lambda m=m: ~sp.canon(path).isin("integer", "number")
+            | (sp.num(path) % m == 0.0),
+            f"({canon_sql} NOT IN ('integer', 'number') OR fmod({num_sql}, {m}) = 0)",
+        )
+    if "const" in schema:
+        cv = schema["const"]
+        if isinstance(cv, str):
+            add(
+                "const",
+                lambda cv=cv: (sp.canon(path) != "string") | (sp.s(path) == cv),
+                f"(NOT {is_str_sql} OR {str_sql} = {_sql_quote(cv)})",
+            )
+        elif isinstance(cv, bool) or not isinstance(cv, (int, float)):
+            raise ValueError(f"const at {path}: only string/number consts supported")
+        else:
+            add(
+                "const",
+                lambda cv=float(cv): ~sp.canon(path).isin("integer", "number")
+                | (sp.num(path) == cv),
+                f"({canon_sql} NOT IN ('integer', 'number')"
+                f" OR {num_sql} = {float(cv)})",
+            )
+        # const also implies the TYPE must match (a const can't be
+        # vacuous on the wrong present type, unlike range keywords)
+        expected = "string" if isinstance(cv, str) else "number"
+        accepted = ("string",) if expected == "string" else ("integer", "number")
+        add(
+            "const-type",
+            lambda accepted=accepted: sp.canon(path).isin(*accepted)
+            | (sp.canon(path) == "missing"),
+            f"({canon_sql} IN ({', '.join(_sql_quote(a) for a in accepted)})"
+            f" OR {canon_sql} = 'missing')",
+        )
+    if schema.get("uniqueItems"):
+        # vacuous off-array; distinct-count vs length over the CANONICAL
+        # JSON text of each element ('"1"' and '1' stay distinct — an
+        # array<string> parse would conflate them)
+        add(
+            "uniqueItems",
+            lambda: (sp.canon(path) != "array")
+            | (
+                sp.F.size(
+                    sp.F.array_distinct(
+                        sp.F.transform(
+                            sp.F.from_json(
+                                sp.F.to_json(sp.var(path)), "array<variant>"
+                            ),
+                            lambda v: sp.F.to_json(v),
+                        )
+                    )
+                )
+                == sp.arr_len(path)
+            ),
+            f"({canon_sql} <> 'array' OR"
+            f" len(list_distinct(CAST(json_extract({doc_sql}, {qp})"
+            f" AS JSON[]))) = {arr_len_sql})",
         )
     if "minLength" in schema:
         n = int(schema["minLength"])

@@ -143,6 +143,70 @@ def test_composition_keywords_both_backends(spark):
     assert {k: v for k, v in rows} == COMPOSED_EXPECTED
 
 
+EXTENDED = {
+    "type": "object",
+    "properties": {
+        "n": {"multipleOf": 5, "exclusiveMinimum": 0, "exclusiveMaximum": 100},
+        "kind": {"const": "order"},
+        "ver": {"const": 2},
+        "tags": {"uniqueItems": True},
+    },
+}
+
+EXTENDED_DOCS = {
+    "ok": '{"n": 25, "kind": "order", "ver": 2, "tags": [1, 2, "1"]}',
+    "not_multiple": '{"n": 7}',
+    "at_excl_min": '{"n": 0}',
+    "at_excl_max": '{"n": 100}',
+    "bad_const_str": '{"kind": "refund"}',
+    "bad_const_num": '{"ver": 3}',
+    "const_wrong_type": '{"kind": 5}',
+    "dup_items": '{"tags": [1, 2, 1]}',
+    "dup_str_items": '{"tags": ["a", "a"]}',
+    "mixed_not_dup": '{"tags": ["1", 1]}',  # string "1" != number 1
+    "all_missing": "{}",
+}
+
+EXTENDED_EXPECTED = {
+    "ok": (True, None),
+    "not_multiple": (False, "multipleOf:$.n"),
+    "at_excl_min": (False, "exclusiveMinimum:$.n"),
+    "at_excl_max": (False, "exclusiveMaximum:$.n"),
+    "bad_const_str": (False, "const:$.kind"),
+    "bad_const_num": (False, "const:$.ver"),
+    "const_wrong_type": (False, "const-type:$.kind"),
+    "dup_items": (False, "uniqueItems:$.tags"),
+    "dup_str_items": (False, "uniqueItems:$.tags"),
+    "mixed_not_dup": (True, None),
+    "all_missing": (True, None),
+}
+
+
+def test_extended_keywords_both_backends(spark):
+    """const / multipleOf / exclusiveMin/Max / uniqueItems agree across
+    backends and match spec outcomes (incl. the '\"1\"' vs 1 distinction
+    uniqueItems must preserve)."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        list(EXTENDED_DOCS.items()), "k string, content string"
+    )
+    got = {
+        r["k"]: (r["valid"], r["validation_error"])
+        for r in validate_json(df, EXTENDED).collect()
+    }
+    assert got == EXTENDED_EXPECTED
+
+    valid_sql, err_sql = json_schema_sql(EXTENDED, "content")
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT k, " + valid_sql + ", " + err_sql + " FROM (VALUES "
+        + ", ".join(f"('{k}', '{v}')" for k, v in EXTENDED_DOCS.items())
+        + ") t(k, content)"
+    ).fetchall()
+    assert {k: (v, e) for k, v, e in rows} == EXTENDED_EXPECTED
+
+
 def test_composition_guards():
     import pytest
 
