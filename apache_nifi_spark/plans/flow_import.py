@@ -379,6 +379,31 @@ def _apply(
             )
         }
 
+    if ptype in ("ExecuteSQL", "ExecuteSQLRecord", "QueryDatabaseTable"):
+        from apache_nifi_spark.sources import jdbc_read
+
+        url = props.get("Database Connection URL") or props.get("JDBC URL")
+        sql_text = props.get("SQL select query") or props.get("SQL")
+        if not (url and sql_text):
+            raise FlowImportError(
+                f"{name}: {ptype} needs 'Database Connection URL' + "
+                "'SQL select query'"
+            )
+        opts = {"driver": props["Driver"]} if props.get("Driver") else {}
+        part = props.get("Partition Column")
+        if part:  # GenerateTableFetch execution half: parallel range fetch
+            return {
+                "success": jdbc_read(
+                    spark, url, sql_text,
+                    partition_column=part,
+                    lower_bound=int(props.get("Lower Bound", "0")),
+                    upper_bound=int(props.get("Upper Bound", "1000000")),
+                    num_partitions=int(props.get("Fetch Partitions", "4")),
+                    options=opts,
+                )
+            }
+        return {"success": jdbc_read(spark, url, sql_text, options=opts)}
+
     if ptype in ("ListenHTTP", "ListenTCP", "ListenUDP", "ListenSyslog", "TailFile"):
         # Landing-zone sources: the listener tier (streaming/listen.py)
         # lands wire payloads as durable files; an imported flow starts

@@ -534,3 +534,51 @@ def test_xquery_compile_forms():
     assert "xpath_string" in str(compile_xquery("x", "/a/b/text()")._jc)
     with _pytest.raises(ValueError, match="FLWOR"):
         compile_xquery("x", "for $i in /a/b return $i")
+
+
+def test_execute_sql_source_imports(spark, sf_dir):
+    """ExecuteSQL as a flow SOURCE: the imported flow reads from a real
+    JDBC database (embedded Derby) and chains a QueryRecord aggregate —
+    closing the 'flow starts from a database' migration path."""
+    import tempfile
+
+    from apache_nifi_spark import io
+    from apache_nifi_spark.plans.flow_import import run_flow
+    from apache_nifi_spark.sources import jdbc_write
+
+    db = tempfile.mkdtemp(prefix="flow_derby_") + "/db"
+    url = f"jdbc:derby:{db};create=true"
+    sup = io.load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    jdbc_write(sup, url, "sup_t",
+               options={"driver": "org.apache.derby.jdbc.EmbeddedDriver"})
+
+    flow = {
+        "flowContents": {
+            "processors": [
+                {"identifier": "sql", "name": "Db", "type": "x.ExecuteSQL",
+                 "properties": {
+                     "Database Connection URL": url,
+                     "Driver": "org.apache.derby.jdbc.EmbeddedDriver",
+                     "SQL select query":
+                         'SELECT "s_suppkey", "s_nationkey" FROM sup_t'
+                         ' WHERE "s_nationkey" < 10',
+                 }},
+                {"identifier": "q", "name": "Agg", "type": "x.QueryRecord",
+                 "properties": {"agg": (
+                     "SELECT CAST(COUNT(*) AS BIGINT) AS n,"
+                     " CAST(SUM(s_suppkey) AS BIGINT) AS s FROM FLOWFILE")}},
+            ],
+            "connections": [
+                {"source": {"id": "sql"}, "destination": {"id": "q"},
+                 "selectedRelationships": ["success"]},
+            ],
+        }
+    }
+    outs = run_flow(spark, sf_dir, flow)
+    got = outs["Agg.agg"].first()
+    exp = sup.filter("s_nationkey < 10").agg(
+        F.count(F.lit(1)), F.sum("s_suppkey")
+    ).first()
+    assert (got["n"], got["s"]) == (exp[0], exp[1])
