@@ -20,7 +20,7 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 
-__all__ = ["invoke_http"]
+__all__ = ["invoke_http", "post_http"]
 
 
 def invoke_http(
@@ -118,5 +118,73 @@ def invoke_http(
         finally:
             if pool is not None:
                 pool.shutdown(wait=False)
+
+    return df.mapInPandas(run, schema)
+
+
+def post_http(
+    df: DataFrame,
+    url: str,
+    body_col: str,
+    content_type: str = "application/json",
+    status_col: str = "status",
+    timeout: float = 10.0,
+) -> DataFrame:
+    """POST each row's ``body_col`` to ``url`` — the delivery half of
+    PutSlack (webhook/chat.postMessage) and InvokeHTTP's POST mode.
+
+    One keep-alive connection per partition (the ``put_tcp`` pattern:
+    connection setup amortizes across the batch, partitions fan out
+    across executors); appends the HTTP status per row, transport
+    errors → -1 so failures route downstream instead of failing the
+    task.
+    """
+    import pandas as pd  # noqa: F401 (worker-side)
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType(
+        list(df.schema.fields) + [StructField(status_col, IntegerType())]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import http.client
+        import urllib.parse
+
+        u = urllib.parse.urlsplit(url)
+        host, port = u.hostname or "", u.port or 80
+        path = u.path or "/"
+        conn: "http.client.HTTPConnection | None" = None
+
+        def post(body: str) -> int:
+            nonlocal conn
+            try:
+                if conn is None:
+                    conn = http.client.HTTPConnection(host, port, timeout=timeout)
+                conn.request(
+                    "POST",
+                    path,
+                    body=body.encode("utf-8"),
+                    headers={"Content-Type": content_type},
+                )
+                resp = conn.getresponse()
+                resp.read()  # drain so the keep-alive connection reuses
+                return resp.status
+            except Exception:
+                try:
+                    if conn is not None:
+                        conn.close()
+                finally:
+                    conn = None
+                return -1
+
+        try:
+            for pdf in batches:
+                pdf[status_col] = [
+                    post(b) if b is not None else -1 for b in pdf[body_col]
+                ]
+                yield pdf
+        finally:
+            if conn is not None:
+                conn.close()
 
     return df.mapInPandas(run, schema)

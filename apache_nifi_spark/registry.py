@@ -8948,6 +8948,66 @@ def put_slack_payload_q(spark, sf_dir):
 
 
 @register(
+    "put_slack_webhook_post",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id,
+           MIN(event_type) AS min_type
+    FROM events WHERE event_id % 60 = 0
+    """,
+)
+def put_slack_webhook_post_q(spark, sf_dir):
+    """PutSlack delivered over the WIRE (§2.2): rendered chat.postMessage
+    bodies POST per partition to a real HTTP webhook endpoint (the
+    landing listener standing in for hooks.slack.com), which lands each
+    body durably; the landed JSON parses back and must aggregate
+    value-exact — the render+transport hop is lossless.  All 200s are
+    asserted (operators/http.post_http)."""
+    import glob as _glob
+    import tempfile
+    import time as _time
+
+    from apache_nifi_spark.operators.http import post_http
+    from apache_nifi_spark.sinks import wire
+    from apache_nifi_spark.streaming.listen import HttpLandingListener
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 60 == 0)
+    text = F.concat(
+        F.lit("Event "),
+        F.col("event_id").cast("string"),
+        F.lit(": "),
+        F.col("event_type"),
+    )
+    bodies = ev.select(
+        wire.slack_post_payload("#ops", text).alias("payload")
+    )
+    landing = tempfile.mkdtemp(prefix="anspark_slack_")
+    with HttpLandingListener(landing) as lst:
+        sent = post_http(bodies, lst.url + "services/hook", "payload")
+        n_ok = sent.filter(F.col("status") == 200).count()
+        assert n_ok == ev.count()
+        deadline = _time.monotonic() + 15
+        while _time.monotonic() < deadline:
+            if len(_glob.glob(f"{landing}/*")) >= n_ok:
+                break
+            _time.sleep(0.05)
+    back = spark.read.json(landing)
+    parsed = back.select(
+        F.regexp_extract(
+            F.col("text"), r"^Event (\d+): ([a-z_]+)$", 1
+        ).cast("bigint").alias("event_id"),
+        F.regexp_extract(F.col("text"), r"^Event (\d+): ([a-z_]+)$", 2).alias(
+            "event_type"
+        ),
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("sum_id"),
+        F.min("event_type").alias("min_type"),
+    )
+
+
+@register(
     "put_splunk_hec",
     oracle="""
     SELECT event_id,
