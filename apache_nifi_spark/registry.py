@@ -8953,7 +8953,7 @@ def put_slack_payload_q(spark, sf_dir):
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(event_id) AS BIGINT) AS sum_id,
            MIN(event_type) AS min_type
-    FROM events WHERE event_id % 60 = 0
+    FROM events WHERE event_id % 150 = 0
     """,
 )
 def put_slack_webhook_post_q(spark, sf_dir):
@@ -8971,14 +8971,16 @@ def put_slack_webhook_post_q(spark, sf_dir):
     from apache_nifi_spark.sinks import wire
     from apache_nifi_spark.streaming.listen import HttpLandingListener
 
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 60 == 0)
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 150 == 0)
     text = F.concat(
         F.lit("Event "),
         F.col("event_id").cast("string"),
         F.lit(": "),
         F.col("event_type"),
     )
-    bodies = ev.select(
+    # widen: delivery wall is per-request RTT × rows ÷ connections — one
+    # keep-alive connection per partition, so spread the single split
+    bodies = io.widen_if_narrow(ev).select(
         wire.slack_post_payload("#ops", text).alias("payload")
     )
     landing = tempfile.mkdtemp(prefix="anspark_slack_")
@@ -8991,7 +8993,9 @@ def put_slack_webhook_post_q(spark, sf_dir):
             if len(_glob.glob(f"{landing}/*")) >= n_ok:
                 break
             _time.sleep(0.05)
-    back = spark.read.json(landing)
+    # explicit schema: inference would re-read every landed one-body
+    # file a second time
+    back = spark.read.schema("channel string, text string").json(landing)
     parsed = back.select(
         F.regexp_extract(
             F.col("text"), r"^Event (\d+): ([a-z_]+)$", 1

@@ -78,7 +78,13 @@ class HttpLandingListener:
             def log_message(self, *args):  # silence per-request stderr
                 pass
 
-        self._server = http.server.ThreadingHTTPServer((host, port), Handler)
+        class _Server(http.server.ThreadingHTTPServer):
+            # landing tier: executor partitions connect in bursts (one
+            # per partition, simultaneously) — the default accept
+            # backlog of 5 refuses part of a 32-way burst under load
+            request_queue_size = 128
+
+        self._server = _Server((host, port), Handler)
         self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
         self._seq = 0
         self._lock = threading.Lock()
@@ -182,7 +188,10 @@ class TcpLandingListener:
                 if data.strip():
                     listener._land(data)
 
-        self._srv = socketserver.ThreadingTCPServer((host, port), Handler)
+        class _Server(socketserver.ThreadingTCPServer):
+            request_queue_size = 128  # burst-safe accept backlog
+
+        self._srv = _Server((host, port), Handler)
         self._srv.daemon_threads = True
         self._seq = 0
         self._thread = threading.Thread(target=self._srv.serve_forever, daemon=True)
