@@ -8643,6 +8643,72 @@ def put_elasticsearch_bulk_q(spark, sf_dir):
 
 
 @register(
+    "put_elasticsearch_live",
+    oracle="""
+    SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price
+    FROM orders WHERE o_orderkey % 90 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def put_elasticsearch_live_q(spark, sf_dir):
+    """PutElasticsearchRecord delivered over the WIRE (§2.2): rendered
+    ``_bulk`` NDJSON batches (one batched POST per partition, the real
+    processor's batching shape) index into an Elasticsearch-compatible
+    endpoint (streaming/elastic_store.MiniElasticServer) which lands
+    each document durably; ``_count`` must equal the sent total and the
+    landed documents must aggregate value-exact — render + bulk-POST +
+    index is lossless end-to-end."""
+    import json as _json
+    import tempfile
+    import urllib.request
+
+    from apache_nifi_spark.operators.http import post_http
+    from apache_nifi_spark.sinks import wire
+    from apache_nifi_spark.streaming.elastic_store import MiniElasticServer
+
+    o = io.widen_if_narrow(
+        _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 90 == 0)
+    )
+    rendered = o.select(
+        wire.es_bulk(
+            "orders",
+            F.col("o_orderkey"),
+            [
+                ("orderkey", wire.json_number(F.col("o_orderkey"))),
+                ("status", wire.json_string(F.col("o_orderstatus"))),
+                ("totalprice", wire.json_number(F.col("o_totalprice"), 2)),
+            ],
+        ).alias("bulk")
+    )
+    # the processor's batching shape: ONE _bulk body per partition
+    bodies = rendered.groupBy(F.spark_partition_id().alias("p")).agg(
+        F.concat_ws("\n", F.collect_list("bulk")).alias("payload")
+    )
+    landing = tempfile.mkdtemp(prefix="anspark_es_")
+    srv = MiniElasticServer(landing)
+    try:
+        sent = post_http(bodies, srv.url + "/_bulk", "payload")
+        assert sent.filter(F.col("status") != 200).count() == 0
+        n_docs = o.count()
+        with urllib.request.urlopen(  # control-plane delivery assertion
+            srv.url + "/orders/_count", timeout=10
+        ) as r:
+            assert _json.load(r)["count"] == n_docs
+    finally:
+        srv.stop()
+    back = spark.read.schema(
+        "orderkey bigint, status string, totalprice double"
+    ).json(landing)
+    return back.groupBy(F.col("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("orderkey").alias("sum_key"),
+        _dsum(F.col("totalprice"), "sum_price"),
+    )
+
+
+@register(
     "put_mongo_extended_json",
     oracle="""
     SELECT c_custkey AS custkey,

@@ -481,3 +481,51 @@ def test_relp_frame_acks_and_newline_escape(spark):
         assert lines == [b"plain msg", b"multi\\nline msg"]
     finally:
         lst.stop()
+
+
+def test_mini_elastic_bulk_protocol():
+    """MiniElasticServer speaks the _bulk contract: per-item results,
+    malformed pairs flagged without poisoning the batch, _count and
+    _search answer the standard shapes, and every accepted document
+    lands durably."""
+    import glob
+    import json
+    import tempfile
+    import urllib.request
+
+    from apache_nifi_spark.streaming.elastic_store import MiniElasticServer
+
+    landing = tempfile.mkdtemp(prefix="es_proto_")
+    srv = MiniElasticServer(landing)
+    try:
+        body = "\n".join([
+            '{"index":{"_index":"t","_id":"1"}}', '{"k":1}',
+            '{"create":{"_index":"t","_id":"2"}}', '{"k":2}',
+            "not json", '{"k":3}',
+            '{"delete":{"_index":"t","_id":"9"}}',
+            '{"index":{"_index":"u"}}', '{"k":4}',
+        ])
+        req = urllib.request.Request(
+            srv.url + "/_bulk", data=body.encode(), method="POST",
+            headers={"Content-Type": "application/x-ndjson"},
+        )
+        with urllib.request.urlopen(req, timeout=10) as r:
+            resp = json.load(r)
+        assert resp["errors"] is True
+        ok = [i for i in resp["items"]
+              for v in i.values() if v.get("status") == 201]
+        assert len(ok) == 3  # two into t, auto-id into u
+
+        with urllib.request.urlopen(srv.url + "/t/_count", timeout=10) as r:
+            assert json.load(r)["count"] == 2
+        with urllib.request.urlopen(srv.url + "/t/_search", timeout=10) as r:
+            hits = json.load(r)["hits"]
+        assert hits["total"]["value"] == 2
+        assert {h["_source"]["k"] for h in hits["hits"]} == {1, 2}
+
+        landed = [json.load(open(p)) for p in glob.glob(f"{landing}/*.json")]
+        assert {(d["_index"], d["k"]) for d in landed} == {
+            ("t", 1), ("t", 2), ("u", 4)
+        }
+    finally:
+        srv.stop()
