@@ -8709,6 +8709,54 @@ def put_elasticsearch_live_q(spark, sf_dir):
 
 
 @register(
+    "put_mongo_wire_roundtrip",
+    oracle="""
+    SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+    FROM customer WHERE c_custkey % 25 = 0
+    GROUP BY c_mktsegment
+    """,
+)
+def put_mongo_wire_q(spark, sf_dir):
+    """PutMongoRecord / GetMongo over the REAL MongoDB wire protocol
+    (§2.1/§2.2): executor partitions each open one OP_MSG connection and
+    batch-insert BSON documents (sources/mongo_wire — dependency-free
+    BSON codec + OP_MSG client against the in-process server); the wire
+    ``count`` must equal the sent total, a wire ``find`` smoke-reads,
+    and the landed documents aggregate value-exact — the BSON encode →
+    wire → decode → land loop is lossless."""
+    import tempfile
+
+    from apache_nifi_spark.sources.mongo_wire import (
+        MiniMongoServer,
+        MongoWireClient,
+        put_mongo_records,
+    )
+
+    c = io.widen_if_narrow(
+        _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 25 == 0)
+    ).select("c_custkey", "c_mktsegment")
+    landing = tempfile.mkdtemp(prefix="anspark_mongo_")
+    srv = MiniMongoServer(landing)
+    try:
+        sent = put_mongo_records(c, "127.0.0.1", srv.port, "customers")
+        assert sent.filter(~F.col("inserted")).count() == 0
+        probe = MongoWireClient("127.0.0.1", srv.port)  # control-plane
+        try:
+            assert probe.count("customers") == c.count()
+            smoke = probe.find("customers", limit=3)
+            assert len(smoke) == 3 and all("c_custkey" in d for d in smoke)
+        finally:
+            probe.close()
+    finally:
+        srv.stop()
+    back = spark.read.schema("c_custkey bigint, c_mktsegment string").json(landing)
+    return back.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c_custkey").alias("sum_key")
+    )
+
+
+@register(
     "put_mongo_extended_json",
     oracle="""
     SELECT c_custkey AS custkey,
