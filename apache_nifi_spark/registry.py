@@ -8643,6 +8643,81 @@ def put_elasticsearch_bulk_q(spark, sf_dir):
 
 
 @register(
+    "publish_mqtt_wire_roundtrip",
+    oracle="""
+    SELECT event_type AS etype, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id
+    FROM events
+    WHERE event_id % 120 = 0 AND user_id % 4 = 1
+    GROUP BY event_type
+    """,
+)
+def publish_mqtt_wire_q(spark, sf_dir):
+    """PublishMQTT → broker → ConsumeMQTT over the REAL 3.1.1 wire
+    (§2.1/§2.2): executor partitions each CONNECT once and PUBLISH QoS1
+    per record with the PUBACK awaited (streaming/mqtt); the broker
+    lands topic+payload batches durably; the consumer side drains the
+    landing dir and applies the ``sensors/+/u1`` topic FILTER exactly as
+    ConsumeMQTT's subscription does (functions/selectors), aggregating
+    value-exact — frame encode → wire → land → filter is lossless."""
+    import glob as _glob
+    import tempfile
+    import time as _time
+
+    from apache_nifi_spark.functions.selectors import mqtt_topic_matches
+    from apache_nifi_spark.streaming.mqtt import MiniMqttBroker, publish_mqtt
+
+    ev = io.widen_if_narrow(
+        _t(spark, sf_dir, "events").filter(F.col("event_id") % 120 == 0)
+    )
+    msgs = ev.select(
+        F.concat(
+            F.lit("sensors/"),
+            F.col("event_type"),
+            F.lit("/u"),
+            (F.col("user_id") % 4).cast("string"),
+        ).alias("topic"),
+        F.concat(
+            F.col("event_id").cast("string"), F.lit(","), F.col("event_type")
+        ).alias("payload"),
+    )
+    landing = tempfile.mkdtemp(prefix="anspark_mqtt_")
+    broker = MiniMqttBroker(landing)
+    try:
+        sent = publish_mqtt(msgs, "127.0.0.1", broker.port, "topic", "payload")
+        n_sent = sent.filter("published").count()
+        assert n_sent == ev.count()
+        deadline = _time.monotonic() + 15
+        while _time.monotonic() < deadline:
+            landed = sum(
+                sum(1 for ln in open(p, "rb") if ln.strip())
+                for p in _glob.glob(f"{landing}/*")
+            )
+            if landed >= n_sent:
+                break
+            _time.sleep(0.05)
+        else:
+            raise TimeoutError(f"broker landed {landed} of {n_sent}")
+    finally:
+        broker.stop()
+    back = spark.read.text(landing).select(
+        F.split("value", "\t", 2).alias("p")
+    ).select(
+        F.col("p")[0].alias("topic"), F.col("p")[1].alias("payload")
+    )
+    consumed = back.filter(mqtt_topic_matches(F.col("topic"), "sensors/+/u1"))
+    parsed = consumed.select(
+        F.split("payload", ",", 2).alias("v")
+    ).select(
+        F.col("v")[0].cast("bigint").alias("event_id"),
+        F.col("v")[1].alias("etype"),
+    )
+    return parsed.groupBy("etype").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("sum_id")
+    )
+
+
+@register(
     "put_elasticsearch_live",
     oracle="""
     SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n,
