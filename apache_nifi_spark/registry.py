@@ -8643,6 +8643,78 @@ def put_elasticsearch_bulk_q(spark, sf_dir):
 
 
 @register(
+    "publish_amqp_wire_roundtrip",
+    oracle="""
+    SELECT event_type AS etype, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id
+    FROM events
+    WHERE event_id % 110 = 0 AND user_id % 3 = 1
+    GROUP BY event_type
+    """,
+)
+def publish_amqp_wire_q(spark, sf_dir):
+    """PublishAMQP → broker → ConsumeAMQP over the REAL 0-9-1 wire
+    (§2.1/§2.2): the full handshake (Start/Tune/Open/Channel/
+    Confirm.Select), Basic.Publish with content header+body frames and
+    every Basic.Ack confirm awaited (streaming/amqp_wire); the broker
+    lands exchange/routing-key/payload batches durably; the consumer
+    drains the landing dir and applies the ``region.*.u1`` TOPIC BINDING
+    exactly as the exchange routes (streaming/amqp_bus.binding_matches),
+    aggregating value-exact."""
+    import glob as _glob
+    import tempfile
+    import time as _time
+
+    from apache_nifi_spark.streaming.amqp_bus import binding_matches
+    from apache_nifi_spark.streaming.amqp_wire import MiniAmqpBroker, publish_amqp
+
+    ev = io.widen_if_narrow(
+        _t(spark, sf_dir, "events").filter(F.col("event_id") % 110 == 0)
+    )
+    msgs = ev.select(
+        F.concat(
+            F.lit("region."),
+            F.col("event_type"),
+            F.lit(".u"),
+            (F.col("user_id") % 3).cast("string"),
+        ).alias("rkey"),
+        F.concat(
+            F.col("event_id").cast("string"), F.lit(","), F.col("event_type")
+        ).alias("payload"),
+    )
+    landing = tempfile.mkdtemp(prefix="anspark_amqp_")
+    broker = MiniAmqpBroker(landing)
+    try:
+        sent = publish_amqp(msgs, "127.0.0.1", broker.port, "events", "rkey", "payload")
+        n_sent = sent.filter("published").count()
+        assert n_sent == ev.count()
+        deadline = _time.monotonic() + 15
+        while _time.monotonic() < deadline:
+            landed = sum(
+                sum(1 for ln in open(p, "rb") if ln.strip())
+                for p in _glob.glob(f"{landing}/*")
+            )
+            if landed >= n_sent:
+                break
+            _time.sleep(0.05)
+        else:
+            raise TimeoutError(f"broker landed {landed} of {n_sent}")
+    finally:
+        broker.stop()
+    back = spark.read.text(landing).select(
+        F.split("value", "\t", 3).alias("p")
+    ).select(F.col("p")[1].alias("rkey"), F.col("p")[2].alias("payload"))
+    consumed = back.filter(binding_matches(F.col("rkey"), "topic", "region.*.u1"))
+    parsed = consumed.select(F.split("payload", ",", 2).alias("v")).select(
+        F.col("v")[0].cast("bigint").alias("event_id"),
+        F.col("v")[1].alias("etype"),
+    )
+    return parsed.groupBy("etype").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("sum_id")
+    )
+
+
+@register(
     "publish_mqtt_wire_roundtrip",
     oracle="""
     SELECT event_type AS etype, CAST(COUNT(*) AS BIGINT) AS n,
