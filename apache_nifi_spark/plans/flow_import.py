@@ -1155,6 +1155,39 @@ def _apply(
             bus.publish(rendered, topic, key_col=key_field, value_col="value")
         return {"success": df}
 
+    if ptype == "PublishMQTT":
+        broker = props.get("Broker URI", "")
+        topic_col = props.get("Topic Column")
+        payload_col = props.get("Payload Column", "content")
+        if broker.startswith("tcp://") and topic_col:
+            from apache_nifi_spark.streaming.mqtt import publish_mqtt
+
+            host, _, port = broker[len("tcp://"):].partition(":")
+            out = publish_mqtt(df, host, int(port or "1883"), topic_col, payload_col)
+            return {
+                "success": out.filter(F.col("published")).drop("published"),
+                "failure": out.filter(~F.col("published")).drop("published"),
+            }
+        return {"success": df}
+
+    if ptype == "PublishAMQP":
+        broker = props.get("Broker URI", "")
+        exchange = props.get("Exchange Name", "")
+        rk_col = props.get("Routing Key Column")
+        payload_col = props.get("Payload Column", "content")
+        if broker.startswith("amqp://") and rk_col:
+            from apache_nifi_spark.streaming.amqp_wire import publish_amqp
+
+            host, _, port = broker[len("amqp://"):].partition(":")
+            out = publish_amqp(
+                df, host, int(port or "5672"), exchange, rk_col, payload_col
+            )
+            return {
+                "success": out.filter(F.col("published")).drop("published"),
+                "failure": out.filter(~F.col("published")).drop("published"),
+            }
+        return {"success": df}
+
     if ptype in ("PutDatabaseRecord", "PutSQL"):
         url = props.get("JDBC URL")
         table = props.get("Table Name")

@@ -582,3 +582,65 @@ def test_execute_sql_source_imports(spark, sf_dir):
         F.count(F.lit(1)), F.sum("s_suppkey")
     ).first()
     assert (got["n"], got["s"]) == (exp[0], exp[1])
+
+
+def test_publish_mqtt_amqp_flow_sinks(spark, sf_dir):
+    """PublishMQTT / PublishAMQP as flow sinks: the imported flow
+    delivers over the real wire to in-process brokers; failures route
+    to 'failure' instead of failing the plan."""
+    import glob
+    import tempfile
+    import time
+
+    from apache_nifi_spark.plans.flow_import import run_flow
+    from apache_nifi_spark.streaming.amqp_wire import MiniAmqpBroker
+    from apache_nifi_spark.streaming.mqtt import MiniMqttBroker
+
+    def conn(src, dst, rels):
+        return {"source": {"id": src}, "destination": {"id": dst},
+                "selectedRelationships": rels}
+
+    mq_land = tempfile.mkdtemp(prefix="flow_mqtt_")
+    am_land = tempfile.mkdtemp(prefix="flow_amqp_")
+    mq = MiniMqttBroker(mq_land)
+    am = MiniAmqpBroker(am_land)
+    try:
+        flow = {
+            "flowContents": {
+                "processors": [
+                    {"identifier": "g", "name": "G", "type": "x.GetFile",
+                     "properties": {"Input Directory": "nation"}},
+                    {"identifier": "q", "name": "Q", "type": "x.QueryRecord",
+                     "properties": {"rows": (
+                         "SELECT concat('n/', CAST(n_nationkey AS STRING)) AS t,"
+                         " n_name AS content FROM FLOWFILE")}},
+                    {"identifier": "m", "name": "M", "type": "x.PublishMQTT",
+                     "properties": {"Broker URI": f"tcp://127.0.0.1:{mq.port}",
+                                    "Topic Column": "t"}},
+                    {"identifier": "a", "name": "A", "type": "x.PublishAMQP",
+                     "properties": {"Broker URI": f"amqp://127.0.0.1:{am.port}",
+                                    "Exchange Name": "ex",
+                                    "Routing Key Column": "t"}},
+                ],
+                "connections": [
+                    conn("g", "q", ["success"]),
+                    conn("q", "m", ["rows"]),
+                    conn("m", "a", ["success"]),
+                ],
+            }
+        }
+        outs = run_flow(spark, sf_dir, flow)
+        assert outs["A.success"].count() == 25  # nation has 25 rows
+        deadline = time.monotonic() + 10
+        while time.monotonic() < deadline:
+            mq_n = sum(len(open(p, "rb").read().splitlines())
+                       for p in glob.glob(f"{mq_land}/*"))
+            am_n = sum(len(open(p, "rb").read().splitlines())
+                       for p in glob.glob(f"{am_land}/*"))
+            if mq_n >= 25 and am_n >= 25:
+                break
+            time.sleep(0.05)
+        assert mq_n == 25 and am_n == 25
+    finally:
+        mq.stop()
+        am.stop()
