@@ -225,11 +225,20 @@ def jolt_columnar(doc_col: str, operations: list[dict]) -> Column | None:
                 if "*" in k or "&" in k:
                     raise _Fallback()
                 if isinstance(v, dict):
+                    if isinstance(node.get(k), _Leaf):
+                        # the shifted value's runtime type is unknown at
+                        # compile time; the interpreter descends when it
+                        # turns out to be a dict — cannot express columnar
+                        raise _Fallback()
                     sub = node.setdefault(k, {})
                     if isinstance(sub, dict):
                         walk_default(sub, v)
                 elif k not in node:
                     node[k] = _Lit(v)
+                elif isinstance(node[k], _Leaf):
+                    # shifted key may be absent at runtime, in which case
+                    # the default fills it — presence unknown columnar
+                    raise _Fallback()
 
         def walk_remove(node: dict, s: dict) -> None:
             for k, v in s.items():
@@ -238,6 +247,8 @@ def jolt_columnar(doc_col: str, operations: list[dict]) -> Column | None:
                 if k not in node:
                     continue
                 if isinstance(v, dict):
+                    if isinstance(node[k], _Leaf):
+                        raise _Fallback()  # runtime type unknown, see above
                     if isinstance(node[k], dict):
                         walk_remove(node[k], v)
                 else:

@@ -139,9 +139,15 @@ def post_http(
     errors → -1 so failures route downstream instead of failing the
     task.
     """
+    import urllib.parse
+
     import pandas as pd  # noqa: F401 (worker-side)
     from pyspark.sql.types import IntegerType, StructField, StructType
 
+    if urllib.parse.urlsplit(url).scheme not in ("http", "https"):
+        raise ValueError(
+            f"post_http: unsupported URL scheme in {url!r} (http/https only)"
+        )
     schema = StructType(
         list(df.schema.fields) + [StructField(status_col, IntegerType())]
     )
@@ -151,7 +157,8 @@ def post_http(
         import urllib.parse
 
         u = urllib.parse.urlsplit(url)
-        host, port = u.hostname or "", u.port or 80
+        secure = u.scheme == "https"
+        host, port = u.hostname or "", u.port or (443 if secure else 80)
         path = u.path or "/"
         conn: "http.client.HTTPConnection | None" = None
 
@@ -159,7 +166,12 @@ def post_http(
             nonlocal conn
             try:
                 if conn is None:
-                    conn = http.client.HTTPConnection(host, port, timeout=timeout)
+                    cls = (
+                        http.client.HTTPSConnection
+                        if secure
+                        else http.client.HTTPConnection
+                    )
+                    conn = cls(host, port, timeout=timeout)
                 conn.request(
                     "POST",
                     path,

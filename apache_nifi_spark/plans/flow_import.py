@@ -263,6 +263,25 @@ def _unroll_retry_cycles(procs: dict, conns: list) -> tuple[dict, list]:
         if be is None:
             return procs, conns
         u, v = be["source"]["id"], be["destination"]["id"]
+        # The DFS-discovered back-edge depends on serialization order and
+        # may be ANY edge of the cycle (e.g. the body's failure edge when
+        # the RetryFlowFile precedes its sources in the processors array).
+        # Canonicalize: search the cycle for the RetryFlowFile 'retry'
+        # edge and unroll on that one.
+        scc = (_reachable(v, conns, forward=True) | {v}) & (
+            _reachable(u, conns, forward=False) | {u}
+        )
+        for c in conns:
+            a, b = c["source"]["id"], c["destination"]["id"]
+            if (
+                a in scc
+                and b in scc
+                and procs[a].get("type", "").rsplit(".", 1)[-1] == "RetryFlowFile"
+                and (c.get("selectedRelationships") or ["success"]) == ["retry"]
+            ):
+                be = c
+                u, v = a, b
+                break
         rels = be.get("selectedRelationships") or ["success"]
         if procs[u].get("type", "").rsplit(".", 1)[-1] != "RetryFlowFile" or rels != [
             "retry"
@@ -1159,34 +1178,42 @@ def _apply(
         broker = props.get("Broker URI", "")
         topic_col = props.get("Topic Column")
         payload_col = props.get("Payload Column", "content")
-        if broker.startswith("tcp://") and topic_col:
-            from apache_nifi_spark.streaming.mqtt import publish_mqtt
+        if not broker.startswith("tcp://"):
+            raise FlowImportError(
+                f"{name}: PublishMQTT needs a tcp:// Broker URI, got {broker!r}"
+            )
+        if not topic_col:
+            raise FlowImportError(f"{name}: PublishMQTT needs 'Topic Column'")
+        from apache_nifi_spark.streaming.mqtt import publish_mqtt
 
-            host, _, port = broker[len("tcp://"):].partition(":")
-            out = publish_mqtt(df, host, int(port or "1883"), topic_col, payload_col)
-            return {
-                "success": out.filter(F.col("published")).drop("published"),
-                "failure": out.filter(~F.col("published")).drop("published"),
-            }
-        return {"success": df}
+        host, _, port = broker[len("tcp://"):].partition(":")
+        out = publish_mqtt(df, host, int(port or "1883"), topic_col, payload_col)
+        return {
+            "success": out.filter(F.col("published")).drop("published"),
+            "failure": out.filter(~F.col("published")).drop("published"),
+        }
 
     if ptype == "PublishAMQP":
         broker = props.get("Broker URI", "")
         exchange = props.get("Exchange Name", "")
         rk_col = props.get("Routing Key Column")
         payload_col = props.get("Payload Column", "content")
-        if broker.startswith("amqp://") and rk_col:
-            from apache_nifi_spark.streaming.amqp_wire import publish_amqp
-
-            host, _, port = broker[len("amqp://"):].partition(":")
-            out = publish_amqp(
-                df, host, int(port or "5672"), exchange, rk_col, payload_col
+        if not broker.startswith("amqp://"):
+            raise FlowImportError(
+                f"{name}: PublishAMQP needs an amqp:// Broker URI, got {broker!r}"
             )
-            return {
-                "success": out.filter(F.col("published")).drop("published"),
-                "failure": out.filter(~F.col("published")).drop("published"),
-            }
-        return {"success": df}
+        if not rk_col:
+            raise FlowImportError(f"{name}: PublishAMQP needs 'Routing Key Column'")
+        from apache_nifi_spark.streaming.amqp_wire import publish_amqp
+
+        host, _, port = broker[len("amqp://"):].partition(":")
+        out = publish_amqp(
+            df, host, int(port or "5672"), exchange, rk_col, payload_col
+        )
+        return {
+            "success": out.filter(F.col("published")).drop("published"),
+            "failure": out.filter(~F.col("published")).drop("published"),
+        }
 
     if ptype in ("PutDatabaseRecord", "PutSQL"):
         url = props.get("JDBC URL")

@@ -1,0 +1,535 @@
+"""REST flow-authoring control plane: the /nifi-api facade.
+
+The reference deployment's PRIMARY entry point is the NiFi REST API —
+flows are authored and operated by ``POST /nifi-api/...`` calls over
+HTTP (/root/reference/scripts.sh:89-98, updated.sh:241-243; SURVEY.md
+§3.1).  This module puts the same control surface in front of this
+engine's compiler: components are created/updated/deleted through the
+documented endpoint shapes, and scheduling a process group RUNNING
+compiles its graph through ``plans.flow_import.run_flow`` into lazy
+DataFrames — one Catalyst plan per dangling output relationship.
+
+Endpoint subset (paths and entity shapes follow the public NiFi 2.x
+REST API):
+
+==========================================================  ============
+``POST   /nifi-api/process-groups/{id}/process-groups``      create group
+``POST   /nifi-api/process-groups/{id}/processors``          create processor
+``GET    /nifi-api/processors/{id}``                         fetch entity
+``PUT    /nifi-api/processors/{id}``                         update (revision-checked)
+``DELETE /nifi-api/processors/{id}?version=N``               delete (revision-checked)
+``POST   /nifi-api/process-groups/{id}/connections``         create connection
+``DELETE /nifi-api/connections/{id}?version=N``              delete connection
+``GET    /nifi-api/flow/process-groups/{id}``                flow snapshot
+``PUT    /nifi-api/flow/process-groups/{id}``                schedule state
+``POST   /nifi-api/versions/process-groups/{id}``            commit to registry
+``GET    /nifi-api/versions/process-groups/{id}``            version history
+``GET    /nifi-api/flow/about``                              version info
+==========================================================  ============
+
+Semantics carried over from NiFi:
+
+- **Optimistic locking**: every component carries a revision
+  ``{version, clientId}``.  Creates must present version 0; updates and
+  deletes must present the CURRENT version or the call answers **409
+  Conflict** — the exact contract NiFi uses to serialize concurrent
+  editors.
+- **Compile-on-start**: ``PUT .../flow/process-groups/{id}`` with
+  ``{"state": "RUNNING"}`` validates and compiles the group; a graph
+  the importer rejects (unsupported cycle, missing property) answers
+  **400** with the compiler's diagnostic, mirroring NiFi's validation
+  errors at start time.
+- **Version control**: ``POST /nifi-api/versions/process-groups/{id}``
+  snapshots the group's flow definition into a
+  ``plans.flow_registry.FlowRegistry`` (the NiFi Registry analog) —
+  append-only, monotonic versions.
+
+Scale notes: this is a pure control plane — entities are processor
+DESCRIPTIONS, never data.  Compilation builds lazy plans; the data path
+(parquet scans → the compiled Catalyst plan) never touches this server,
+so a 100 TB run costs the same handful of driver-side HTTP calls as the
+fixtures here.
+"""
+
+from __future__ import annotations
+
+import http.client
+import http.server
+import json
+import re
+import threading
+import urllib.parse
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from apache_nifi_spark.plans.flow_import import FlowImportError, run_flow
+from apache_nifi_spark.plans.flow_registry import FlowRegistry
+
+__all__ = ["NiFiApiServer", "author_flow_via_api", "start_group_via_api"]
+
+
+class _ApiError(Exception):
+    def __init__(self, status: int, message: str):
+        super().__init__(message)
+        self.status = status
+
+
+class NiFiApiServer:
+    """In-process /nifi-api control plane over the flow compiler."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        registry: FlowRegistry | None = None,
+    ):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.registry = registry or FlowRegistry()
+        self._lock = threading.Lock()
+        # component stores — all control-plane metadata, never data
+        self._groups: dict[str, dict] = {
+            "root": {"name": "NiFi Flow", "processors": {}, "connections": {}}
+        }
+        self._revisions: dict[str, int] = {"root": 0}
+        self._owner: dict[str, str] = {}  # component id → group id
+        self._state: dict[str, str] = {"root": "STOPPED"}
+        self._outputs: dict[str, dict[str, DataFrame]] = {}
+
+        api = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _body(self) -> dict:
+                n = int(self.headers.get("Content-Length") or 0)
+                raw = self.rfile.read(n) if n else b""
+                if not raw:
+                    return {}
+                try:
+                    return json.loads(raw)
+                except ValueError as e:
+                    raise _ApiError(400, f"malformed JSON body: {e}")
+
+            def _answer(self, status: int, payload: dict) -> None:
+                data = json.dumps(payload).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def _route(self, method: str) -> None:
+                try:
+                    parsed = urllib.parse.urlsplit(self.path)
+                    q = dict(urllib.parse.parse_qsl(parsed.query))
+                    status, payload = api._dispatch(
+                        method, parsed.path, q, self._body()
+                    )
+                    self._answer(status, payload)
+                except _ApiError as e:
+                    self._answer(e.status, {"error": str(e)})
+                except FlowImportError as e:
+                    self._answer(400, {"error": str(e)})
+                except Exception as e:  # compiler/internal
+                    self._answer(500, {"error": f"{type(e).__name__}: {e}"})
+
+            def do_GET(self):
+                self._route("GET")
+
+            def do_POST(self):
+                self._route("POST")
+
+            def do_PUT(self):
+                self._route("PUT")
+
+            def do_DELETE(self):
+                self._route("DELETE")
+
+        self._server = http.server.ThreadingHTTPServer((host, port), Handler)
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------ control --
+
+    @property
+    def url(self) -> str:
+        host, port = self._server.server_address[:2]
+        return f"http://{host}:{port}"
+
+    def outputs(self, group_id: str = "root") -> dict[str, DataFrame]:
+        """Compiled output DataFrames of a RUNNING group (lazy plans)."""
+        with self._lock:
+            if group_id not in self._outputs:
+                raise KeyError(f"group {group_id!r} is not running")
+            return dict(self._outputs[group_id])
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+
+    # ---------------------------------------------------------- revisions --
+
+    def _check_revision(self, cid: str, presented: Any) -> None:
+        current = self._revisions.get(cid)
+        if current is None:
+            raise _ApiError(404, f"unknown component {cid!r}")
+        if int(presented if presented is not None else -1) != current:
+            raise _ApiError(
+                409,
+                f"revision mismatch for {cid!r}: presented {presented}, "
+                f"current {current} (NiFi optimistic-locking contract)",
+            )
+
+    def _entity(self, cid: str, component: dict) -> dict:
+        return {
+            "id": cid,
+            "revision": {"version": self._revisions[cid]},
+            "component": dict(component, id=cid),
+        }
+
+    # ----------------------------------------------------------- dispatch --
+
+    def _dispatch(
+        self, method: str, path: str, query: dict, body: dict
+    ) -> tuple[int, dict]:
+        with self._lock:
+            m = re.fullmatch(r"/nifi-api/process-groups/([^/]+)/processors", path)
+            if m and method == "POST":
+                return self._create_processor(m.group(1), body)
+            m = re.fullmatch(r"/nifi-api/process-groups/([^/]+)/connections", path)
+            if m and method == "POST":
+                return self._create_connection(m.group(1), body)
+            m = re.fullmatch(r"/nifi-api/process-groups/([^/]+)/process-groups", path)
+            if m and method == "POST":
+                return self._create_group(m.group(1), body)
+            m = re.fullmatch(r"/nifi-api/process-groups/([^/]+)/funnels", path)
+            if m and method == "POST":
+                # funnels are identity many-in/one-out nodes; the importer
+                # models them as a processor of type "Funnel"
+                body = dict(body)
+                body["component"] = dict(body.get("component") or {}, type="Funnel")
+                return self._create_processor(m.group(1), body)
+            m = re.fullmatch(r"/nifi-api/processors/([^/]+)", path)
+            if m:
+                if method == "GET":
+                    return self._get_processor(m.group(1))
+                if method == "PUT":
+                    return self._update_processor(m.group(1), body)
+                if method == "DELETE":
+                    return self._delete_component(m.group(1), "processors", query)
+            m = re.fullmatch(r"/nifi-api/connections/([^/]+)", path)
+            if m and method == "DELETE":
+                return self._delete_component(m.group(1), "connections", query)
+            m = re.fullmatch(r"/nifi-api/flow/process-groups/([^/]+)", path)
+            if m:
+                if method == "GET":
+                    return self._get_flow(m.group(1))
+                if method == "PUT":
+                    return self._schedule(m.group(1), body)
+            m = re.fullmatch(r"/nifi-api/versions/process-groups/([^/]+)", path)
+            if m:
+                if method == "POST":
+                    return self._commit_version(m.group(1), body)
+                if method == "GET":
+                    return self._version_history(m.group(1))
+            if path == "/nifi-api/flow/about" and method == "GET":
+                return 200, {
+                    "about": {
+                        "title": "apache_nifi_spark",
+                        "version": "2.7.2-surface/pyspark",
+                    }
+                }
+            raise _ApiError(404, f"no route for {method} {path}")
+
+    # ------------------------------------------------------------- groups --
+
+    def _group(self, gid: str) -> dict:
+        g = self._groups.get(gid)
+        if g is None:
+            raise _ApiError(404, f"unknown process group {gid!r}")
+        return g
+
+    def _create_group(self, parent: str, body: dict) -> tuple[int, dict]:
+        self._group(parent)
+        comp = body.get("component") or {}
+        if int((body.get("revision") or {}).get("version", -1)) != 0:
+            raise _ApiError(400, "create requires revision.version == 0")
+        gid = comp.get("id") or f"pg-{uuid.uuid4().hex[:12]}"
+        if gid in self._revisions:
+            raise _ApiError(400, f"component id {gid!r} already exists")
+        self._groups[gid] = {
+            "name": comp.get("name") or gid,
+            "processors": {},
+            "connections": {},
+        }
+        self._revisions[gid] = 0
+        self._state[gid] = "STOPPED"
+        return 201, self._entity(gid, {"name": self._groups[gid]["name"]})
+
+    # --------------------------------------------------------- processors --
+
+    def _create_processor(self, gid: str, body: dict) -> tuple[int, dict]:
+        g = self._group(gid)
+        comp = body.get("component") or {}
+        if int((body.get("revision") or {}).get("version", -1)) != 0:
+            raise _ApiError(400, "create requires revision.version == 0")
+        if not comp.get("type"):
+            raise _ApiError(400, "processor create needs component.type")
+        pid = comp.get("id") or f"p-{uuid.uuid4().hex[:12]}"
+        if pid in self._revisions:
+            raise _ApiError(400, f"component id {pid!r} already exists")
+        props = dict(((comp.get("config") or {}).get("properties")) or {})
+        g["processors"][pid] = {
+            "identifier": pid,
+            "name": comp.get("name") or pid,
+            "type": comp["type"],
+            "properties": props,
+        }
+        self._revisions[pid] = 0
+        self._owner[pid] = gid
+        return 201, self._entity(pid, self._proc_component(g["processors"][pid]))
+
+    @staticmethod
+    def _proc_component(p: dict) -> dict:
+        return {
+            "name": p["name"],
+            "type": p["type"],
+            "config": {"properties": dict(p["properties"])},
+        }
+
+    def _find_processor(self, pid: str) -> tuple[dict, dict]:
+        gid = self._owner.get(pid)
+        if gid is None or pid not in self._groups[gid]["processors"]:
+            raise _ApiError(404, f"unknown processor {pid!r}")
+        return self._groups[gid], self._groups[gid]["processors"][pid]
+
+    def _get_processor(self, pid: str) -> tuple[int, dict]:
+        _, p = self._find_processor(pid)
+        return 200, self._entity(pid, self._proc_component(p))
+
+    def _update_processor(self, pid: str, body: dict) -> tuple[int, dict]:
+        _, p = self._find_processor(pid)
+        self._check_revision(pid, (body.get("revision") or {}).get("version"))
+        comp = body.get("component") or {}
+        if "name" in comp:
+            p["name"] = comp["name"]
+        new_props = (comp.get("config") or {}).get("properties")
+        if new_props is not None:
+            # NiFi merge semantics: present keys update, explicit null deletes
+            for k, v in new_props.items():
+                if v is None:
+                    p["properties"].pop(k, None)
+                else:
+                    p["properties"][k] = v
+        self._revisions[pid] += 1
+        return 200, self._entity(pid, self._proc_component(p))
+
+    def _delete_component(
+        self, cid: str, kind: str, query: dict
+    ) -> tuple[int, dict]:
+        gid = self._owner.get(cid)
+        if gid is None or cid not in self._groups[gid][kind]:
+            raise _ApiError(404, f"unknown component {cid!r}")
+        self._check_revision(cid, query.get("version"))
+        comp = self._groups[gid][kind].pop(cid)
+        del self._revisions[cid]
+        del self._owner[cid]
+        if kind == "processors":
+            # NiFi refuses to delete a connected processor
+            for c in self._groups[gid]["connections"].values():
+                if cid in (c["source"]["id"], c["destination"]["id"]):
+                    self._groups[gid][kind][cid] = comp
+                    self._revisions[cid] = int(query.get("version", 0))
+                    self._owner[cid] = gid
+                    raise _ApiError(
+                        409, f"processor {cid!r} still has connections"
+                    )
+        return 200, {"id": cid}
+
+    # -------------------------------------------------------- connections --
+
+    def _create_connection(self, gid: str, body: dict) -> tuple[int, dict]:
+        g = self._group(gid)
+        comp = body.get("component") or {}
+        if int((body.get("revision") or {}).get("version", -1)) != 0:
+            raise _ApiError(400, "create requires revision.version == 0")
+        src = (comp.get("source") or {}).get("id")
+        dst = (comp.get("destination") or {}).get("id")
+        if not src or not dst:
+            raise _ApiError(400, "connection needs source.id and destination.id")
+        for endpoint in (src, dst):
+            if endpoint not in g["processors"]:
+                raise _ApiError(
+                    400, f"connection endpoint {endpoint!r} not in group {gid!r}"
+                )
+        cid = comp.get("id") or f"c-{uuid.uuid4().hex[:12]}"
+        if cid in self._revisions:
+            raise _ApiError(400, f"component id {cid!r} already exists")
+        conn = {"source": {"id": src}, "destination": {"id": dst}}
+        rels = comp.get("selectedRelationships")
+        if rels:
+            conn["selectedRelationships"] = list(rels)
+        g["connections"][cid] = conn
+        self._revisions[cid] = 0
+        self._owner[cid] = gid
+        return 201, self._entity(cid, dict(conn))
+
+    # ------------------------------------------------------ flow + running --
+
+    def _flow_contents(self, gid: str) -> dict:
+        g = self._group(gid)
+        return {
+            "name": g["name"],
+            "processors": [dict(p) for p in g["processors"].values()],
+            "connections": [
+                dict(c, identifier=cid) for cid, c in g["connections"].items()
+            ],
+        }
+
+    def _get_flow(self, gid: str) -> tuple[int, dict]:
+        return 200, {
+            "processGroupFlow": {
+                "id": gid,
+                "state": self._state.get(gid, "STOPPED"),
+                "flowContents": self._flow_contents(gid),
+            }
+        }
+
+    def _schedule(self, gid: str, body: dict) -> tuple[int, dict]:
+        state = (body.get("state") or "").upper()
+        if state not in ("RUNNING", "STOPPED"):
+            raise _ApiError(400, f"state must be RUNNING or STOPPED, got {state!r}")
+        contents = self._flow_contents(gid)
+        if state == "RUNNING":
+            # compile-on-start: validation errors answer 400 (see _route)
+            outs = run_flow(self.spark, self.sf_dir, {"flowContents": contents})
+            self._outputs[gid] = outs
+            self._state[gid] = "RUNNING"
+            return 200, {
+                "id": gid,
+                "state": "RUNNING",
+                "outputs": sorted(outs),
+            }
+        self._outputs.pop(gid, None)
+        self._state[gid] = "STOPPED"
+        return 200, {"id": gid, "state": "STOPPED"}
+
+    # ---------------------------------------------------- version control --
+
+    def _commit_version(self, gid: str, body: dict) -> tuple[int, dict]:
+        contents = self._flow_contents(gid)
+        text = json.dumps({"flowContents": contents}, sort_keys=True)
+        version = self.registry.publish(
+            bucket=body.get("bucket") or "default",
+            flow=self._group(gid)["name"],
+            sql_text=text,
+            comment=body.get("comment") or "",
+        )
+        return 201, {"id": gid, "version": version}
+
+    def _version_history(self, gid: str) -> tuple[int, dict]:
+        name = self._group(gid)["name"]
+        versions = self.registry._flows.get(("default", name), [])
+        return 200, {
+            "id": gid,
+            "versions": [
+                {"version": v, "digest": d, "comment": c}
+                for (v, _s, d, c) in versions
+            ],
+        }
+
+
+# ------------------------------------------------------------ API client ---
+
+
+def _call(
+    conn: http.client.HTTPConnection, method: str, path: str, body: dict | None = None
+) -> dict:
+    payload = json.dumps(body).encode() if body is not None else None
+    conn.request(
+        method,
+        path,
+        body=payload,
+        headers={"Content-Type": "application/json"} if payload else {},
+    )
+    resp = conn.getresponse()
+    data = json.loads(resp.read() or b"{}")
+    if resp.status >= 400:
+        raise FlowImportError(
+            f"{method} {path} → {resp.status}: {data.get('error')}"
+        )
+    return data
+
+
+def author_flow_via_api(base_url: str, contents: dict) -> str:
+    """Replay a flow.json ``flowContents`` snapshot as REST authoring
+    calls — the migration path a NiFi operator's deploy scripts take
+    (reference scripts.sh drives exactly these endpoints).  Returns the
+    created process-group id."""
+    u = urllib.parse.urlsplit(base_url)
+    conn = http.client.HTTPConnection(u.hostname, u.port, timeout=30)
+    try:
+        gid = _call(
+            conn,
+            "POST",
+            "/nifi-api/process-groups/root/process-groups",
+            {
+                "revision": {"version": 0},
+                "component": {"name": contents.get("name") or "authored-flow"},
+            },
+        )["id"]
+        for p in contents.get("processors", []):
+            _call(
+                conn,
+                "POST",
+                f"/nifi-api/process-groups/{gid}/processors",
+                {
+                    "revision": {"version": 0},
+                    "component": {
+                        "id": p["identifier"],
+                        "name": p.get("name"),
+                        "type": p["type"],
+                        "config": {"properties": p.get("properties") or {}},
+                    },
+                },
+            )
+        for c in contents.get("connections", []):
+            _call(
+                conn,
+                "POST",
+                f"/nifi-api/process-groups/{gid}/connections",
+                {
+                    "revision": {"version": 0},
+                    "component": {
+                        "source": {"id": c["source"]["id"]},
+                        "destination": {"id": c["destination"]["id"]},
+                        "selectedRelationships": c.get("selectedRelationships"),
+                    },
+                },
+            )
+        return gid
+    finally:
+        conn.close()
+
+
+def start_group_via_api(base_url: str, gid: str) -> list[str]:
+    """Schedule a group RUNNING; returns the compiled output names."""
+    u = urllib.parse.urlsplit(base_url)
+    conn = http.client.HTTPConnection(u.hostname, u.port, timeout=60)
+    try:
+        return _call(
+            conn,
+            "PUT",
+            f"/nifi-api/flow/process-groups/{gid}",
+            {"id": gid, "state": "RUNNING"},
+        )["outputs"]
+    finally:
+        conn.close()

@@ -7034,15 +7034,21 @@ def encrypt_content_q(spark, sf_dir):
         "s_suppkey", "s_name", F.col("s_nationkey").cast("string").alias("nation_str")
     )
     key = "0123456789abcdef"  # demo key; a KMS-injected secret in production
+    # key passed as a bound literal (never spliced into SQL text) — the
+    # same form plans/flow_import.py uses for user-supplied keys
     enc = sup.select(
         "s_suppkey",
-        F.expr(f"aes_encrypt(s_name, '{key}')").alias("name_ct"),
-        F.expr(f"aes_encrypt(nation_str, '{key}')").alias("nat_ct"),
+        F.call_function("aes_encrypt", F.col("s_name"), F.lit(key)).alias("name_ct"),
+        F.call_function("aes_encrypt", F.col("nation_str"), F.lit(key)).alias("nat_ct"),
     )
     return enc.select(
         "s_suppkey",
-        F.expr(f"CAST(aes_decrypt(name_ct, '{key}') AS STRING)").alias("s_name"),
-        F.expr(f"CAST(aes_decrypt(nat_ct, '{key}') AS STRING)").alias("nation_str"),
+        F.call_function("aes_decrypt", F.col("name_ct"), F.lit(key))
+        .cast("string")
+        .alias("s_name"),
+        F.call_function("aes_decrypt", F.col("nat_ct"), F.lit(key))
+        .cast("string")
+        .alias("nation_str"),
     )
 
 
@@ -8187,6 +8193,68 @@ def mega_flow_grok_q(spark, sf_dir):
     """Mega-flow S4: GenerateRecord → UpdateAttribute(EL string build) →
     ExtractGrok(%{INT}/%{WORD} compiled to regex captures) → QueryRecord."""
     return _mega(spark, sf_dir, "GrokAgg.agg")
+
+
+@register(
+    "rest_flow_author_run",
+    oracle="""
+    WITH sampled AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+    seqd AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS seq FROM sampled),
+    lim AS (SELECT * FROM seqd WHERE seq <= 50),
+    ded AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn FROM lim) WHERE rn = 1)
+    SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(seq) AS BIGINT) AS sum_seq,
+           CAST(SUM(o_orderkey * 2) AS BIGINT) AS sum_key2,
+           MIN(md5(concat_ws(',', CAST(o_orderkey AS VARCHAR), o_orderstatus))) AS min_md5
+    FROM ded GROUP BY o_orderstatus
+    """,
+)
+def rest_flow_author_q(spark, sf_dir):
+    """REST flow-authoring control plane (§3.1 [2.7.2-surface]; the
+    reference's primary entry point — its deploy scripts drive flows
+    entirely through POST /nifi-api/... calls, scripts.sh:89-98): the
+    63-processor mega flow is authored component-by-component over live
+    HTTP (create group → 63 processor creates → 59 connection creates,
+    each revision-checked), scheduled RUNNING (compile-on-start through
+    plans/flow_import), committed to the FlowRegistry, and its
+    OrdersAgg output returned.  Same oracle as the direct-import
+    mega_flow_orders_pipeline — authoring over the API must be
+    semantically invisible.  Control-plane only: the compiled Catalyst
+    plan reads parquet directly; no data crosses the HTTP surface."""
+    import json as _json
+
+    from apache_nifi_spark.plans.rest_api import (
+        NiFiApiServer,
+        author_flow_via_api,
+        start_group_via_api,
+    )
+
+    server = NiFiApiServer(spark, sf_dir)
+    try:
+        with open(_MEGA_FLOW_PATH) as f:
+            contents = _json.load(f)["flowContents"]
+        gid = author_flow_via_api(server.url, contents)
+        start_group_via_api(server.url, gid)
+        import http.client
+        import urllib.parse
+
+        u = urllib.parse.urlsplit(server.url)
+        conn = http.client.HTTPConnection(u.hostname, u.port, timeout=30)
+        try:  # snapshot the authored group into the version registry
+            conn.request(
+                "POST",
+                f"/nifi-api/versions/process-groups/{gid}",
+                body=b"{}",
+                headers={"Content-Type": "application/json"},
+            )
+            assert conn.getresponse().status == 201
+        finally:
+            conn.close()
+        # lazy plan; safe to serve after server.stop() — the data path
+        # never touches the control plane
+        return server.outputs(gid)["OrdersAgg.byStatus"]
+    finally:
+        server.stop()
 
 
 @register(

@@ -141,11 +141,14 @@ class MiniElasticServer:
         index = path.strip("/").split("/")[0]
         hits = []
         prefix = f"{index}__"
-        for fname in sorted(os.listdir(self.landing_dir))[:10]:
-            if fname.startswith(prefix):
-                with open(os.path.join(self.landing_dir, fname)) as f:
-                    src = json.load(f)
-                hits.append({"_index": index, "_id": src.get("_id"), "_source": src})
+        matching = [
+            f for f in sorted(os.listdir(self.landing_dir))
+            if f.startswith(prefix)
+        ]
+        for fname in matching[:10]:  # ES default page size
+            with open(os.path.join(self.landing_dir, fname)) as f:
+                src = json.load(f)
+            hits.append({"_index": index, "_id": src.get("_id"), "_source": src})
         return {
             "hits": {
                 "total": {"value": self._counts.get(index, 0), "relation": "eq"},

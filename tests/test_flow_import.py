@@ -143,6 +143,24 @@ def test_retry_cycle_unrolls(spark, sf_dir):
     assert dead["attempts"] == 3  # Maximum Retries=2 → 3 attempts total
 
 
+def test_retry_cycle_unroll_is_order_independent(spark, sf_dir):
+    """The DFS back-edge depends on processors[] serialization order;
+    when the RetryFlowFile comes FIRST, DFS discovers the body's
+    failure edge as the back-edge — the importer must still locate the
+    'retry' edge in the cycle and unroll on it."""
+    import json as _json
+
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures", "retry_flow.json")
+    with open(fixture) as f:
+        flow = _json.load(f)
+    fc = flow["flowContents"]
+    fc["processors"].sort(key=lambda p: p["identifier"] != "rty")  # rty first
+    assert fc["processors"][0]["identifier"] == "rty"
+    outs = run_flow_json(spark, sf_dir, _json.dumps(flow))
+    assert set(outs) == {"OkAgg.agg", "DeadLetter.agg"}
+    assert outs["DeadLetter.agg"].first()["attempts"] == 3
+
+
 def test_non_retry_cycle_still_raises(spark, sf_dir):
     """Cycles that aren't RetryFlowFile retry loops are unsupported and
     must error with a diagnostic naming the back-edge."""

@@ -75,6 +75,32 @@ def test_remove_wildcard_and_default_no_overwrite():
     ) == {"k": "keep"}
 
 
+def test_default_remove_into_shifted_leaf_falls_back(spark):
+    """A default/remove spec that descends into (or scalar-defaults over)
+    a shifted LEAF cannot be compiled — the leaf's runtime type/presence
+    is unknown — so the chain must route to the interpreter tier and the
+    tiers must agree."""
+    cases = [
+        # default descends into a leaf that is a dict at runtime
+        ([{"operation": "shift", "spec": {"a": "x"}},
+          {"operation": "default", "spec": {"x": {"b": 1}}}],
+         {"a": {"c": 2}}),
+        # remove descends into a leaf that is a dict at runtime
+        ([{"operation": "shift", "spec": {"a": "x"}},
+          {"operation": "remove", "spec": {"x": {"c": ""}}}],
+         {"a": {"c": 2, "d": 3}}),
+        # scalar default fills a shifted key absent at runtime
+        ([{"operation": "shift", "spec": {"a": "x"}},
+          {"operation": "default", "spec": {"x": 5}}],
+         {}),
+    ]
+    for ops, doc in cases:
+        assert jolt_columnar("content", ops) is None, ops
+        df = spark.createDataFrame([(json.dumps(doc),)], "content string")
+        out = json.loads(jolt_transform_json(df, ops).first()["content"])
+        assert out == jolt_reference(json.loads(json.dumps(doc)), ops), ops
+
+
 def test_unsupported_operation_raises():
     with pytest.raises(ValueError, match="unsupported Jolt operation"):
         jolt_reference({}, [{"operation": "cardinality", "spec": {}}])
