@@ -6206,25 +6206,91 @@ def el_string_funcs2_q(spark, sf_dir):
     """,
 )
 def stream_site_to_site_q(spark, sf_dir):
-    """Site-to-site transfer (§2.11/§3.3): producer stream routes +
-    pushes to a shared parquet bus (own checkpoint), an independent
-    consumer stream pulls from the bus and aggregates — two pipelines,
-    two checkpoints, lossless hand-off.  Oracle: the same filter+agg in
-    batch SQL (the relay must not lose or duplicate rows)."""
-    from apache_nifi_spark.streaming import run_to_memory, s2s_pull, s2s_push, stream_events
+    """Site-to-site transfer over the REAL wire (§2.11/§3.3; reference
+    scripts.sh:72-98 runs exactly this two-cluster exchange on TLS port
+    10000): producer stream routes purchase/error events and pushes them
+    through streaming/s2s_wire — peer-list bootstrap, then per-partition
+    TLS connections each carrying ONE two-phase transaction (receiver
+    announces CRC-32, sender confirms, receiver commits atomically) —
+    into the peer cluster's input port; an INDEPENDENT consumer stream
+    (own checkpoint) reads the landed transactions and aggregates.
+    Oracle: the same filter+agg in batch SQL — the protocol hop must be
+    lossless and duplicate-free."""
+    import tempfile
 
-    # route only the relationships the peer subscribes to — S2S relays a
-    # routed subset, not the firehose
-    producer = stream_events(spark, sf_dir).filter(
-        F.col("event_type").isin("purchase", "error")
+    from apache_nifi_spark.streaming import run_to_memory, stream_events
+    from apache_nifi_spark.streaming.s2s_wire import (
+        SiteToSiteServer,
+        s2s_peers,
+        s2s_send,
     )
-    bus = s2s_push(producer)
-    consumer = s2s_pull(spark, bus)
-    agg = consumer.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        _dsum(F.col("value"), "total_value"),
-    )
-    return run_to_memory(agg, output_mode="complete")
+    from apache_nifi_spark.streaming.tls import generate_self_signed
+
+    certdir = tempfile.mkdtemp(prefix="anspark_s2s_tls_")
+    cert, key = generate_self_signed(certdir)
+    landing = tempfile.mkdtemp(prefix="anspark_s2s_land_")
+    server = SiteToSiteServer(landing, cert, key)
+    try:
+        # bootstrap: ask the peer for the cluster's peer list and pick
+        # the least-loaded peer (NiFi's S2S load-balancing step)
+        peer = min(
+            s2s_peers("127.0.0.1", server.port, cert),
+            key=lambda p: p["flowFileCount"],
+        )
+        # route only the relationships the peer subscribes to — S2S
+        # relays a routed subset, not the firehose
+        producer = (
+            stream_events(spark, sf_dir)
+            .filter(F.col("event_type").isin("purchase", "error"))
+            .select(
+                "event_type",
+                # double → string is Java shortest-repr (round-trips
+                # exactly); the consumer casts back to double, so the
+                # decimal aggregation sees bit-identical values
+                F.to_json(
+                    F.struct(
+                        F.col("event_type"),
+                        F.col("value").cast("string").alias("value"),
+                    )
+                ).alias("content"),
+            )
+        )
+        cp = tempfile.mkdtemp(prefix="anspark_s2s_cp_")
+
+        def push(bdf, _bid):
+            # one transaction per partition; summary=True keeps the
+            # Arrow return path to one audit row per partition
+            sent = s2s_send(
+                bdf, peer["host"], peer["port"], cert,
+                "events-in", ["event_type"], "content", summary=True,
+            )
+            failed = sent.filter(~F.col("delivered")).count()
+            if failed:  # foreachBatch retry = transaction redelivery
+                raise RuntimeError(f"{failed} partitions failed S2S delivery")
+
+        q = (
+            producer.writeStream.foreachBatch(push)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        consumer = spark.readStream.schema(
+            "attributes map<string,string>, content string"
+        ).json(landing)
+        parsed = consumer.select(
+            F.from_json("content", "event_type string, value string").alias("r")
+        ).select(
+            F.col("r.event_type").alias("event_type"),
+            F.col("r.value").cast("double").alias("value"),
+        )
+        agg = parsed.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value"), "total_value"),
+        )
+        return run_to_memory(agg, output_mode="complete")
+    finally:
+        server.stop()
 
 
 @register(
