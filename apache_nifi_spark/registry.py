@@ -9523,6 +9523,72 @@ def mongo_query_filter_q(spark, sf_dir):
 
 
 @register(
+    "publish_jms_wire_roundtrip",
+    oracle="""
+    SELECT event_id, event_type, user_id, value
+    FROM events
+    WHERE event_id % 10 = 0
+      AND event_type IN ('click', 'purchase')
+      AND value > 100
+      AND NOT (user_id = 7)
+    """,
+)
+def publish_jms_wire_q(spark, sf_dir):
+    """PublishJMS → broker → ConsumeJMS closed over the REAL wire
+    (§2.1/§2.2): STOMP 1.2 — the interoperable protocol every open JMS
+    broker exposes — via streaming/stomp.py.  Executors publish one
+    pipelined connection per partition (JMS properties ride as STOMP
+    headers, delivery confirmed by ONE receipt at DISCONNECT: in-order
+    frame processing makes it cover every prior SEND); the consumer
+    side is a distributed JSON scan of the landed batches with the
+    functions/selectors JMS message selector compiled onto it — the
+    full ConsumeJMS contract, selector included.  Oracle recomputes the
+    published-subset + selector directly on the fixture: equality
+    proves the wire hop is lossless, duplicate-free, and type-exact
+    (double properties round-trip via shortest-repr strings)."""
+    import tempfile
+
+    from apache_nifi_spark.functions import jms_selector
+    from apache_nifi_spark.streaming.stomp import MiniStompBroker, publish_stomp
+
+    landing = tempfile.mkdtemp(prefix="anspark_stomp_land_")
+    broker = MiniStompBroker(landing)
+    try:
+        ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
+        rendered = ev.select(
+            F.lit("/queue/events").alias("dest"),
+            F.col("event_type"),
+            F.col("user_id").cast("string").alias("user_id"),
+            # shortest-repr double → exact round-trip on re-cast
+            F.col("value").cast("string").alias("value"),
+            F.to_json(F.struct("event_id")).alias("body"),
+        )
+        sent = publish_stomp(
+            rendered, "127.0.0.1", broker.port, "dest", "body",
+            header_cols=["event_type", "user_id", "value"],
+        )
+        n_failed = sent.filter(~F.col("published")).count()
+        if n_failed:
+            raise RuntimeError(f"{n_failed} rows failed STOMP publish")
+        landed = spark.read.schema(
+            "destination string, headers map<string,string>, body string"
+        ).json(landing)
+        typed = landed.select(
+            F.from_json("body", "event_id bigint").getField("event_id").alias("event_id"),
+            F.col("headers")["event_type"].alias("event_type"),
+            F.col("headers")["user_id"].cast("bigint").alias("user_id"),
+            F.col("headers")["value"].cast("double").alias("value"),
+        )
+        selector = (
+            "event_type IN ('click', 'purchase') AND value > 100"
+            " AND NOT (user_id = 7)"
+        )
+        return typed.filter(jms_selector(selector))
+    finally:
+        broker.stop()
+
+
+@register(
     "jms_selector_consume",
     oracle="""
     SELECT event_id, ts, user_id, event_type, value
