@@ -66,4 +66,8 @@ from apache_nifi_spark.llm.multimodal import (  # noqa: F401
     parse_wav_metadata,
     wav_header_bytes,
     decode_audio_metadata,
+    png_pixel_rows,
+    png_pixel_stats,
+    encode_png,
+    decode_image_pixel_stats,
 )

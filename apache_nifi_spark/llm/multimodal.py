@@ -8,11 +8,13 @@ decoding is REAL from the stdlib against the public format specs:
 ``parse_wav_metadata`` (RIFF/WAVE chunk walk); Pillow takes over image
 decode when importable.  Video frame SELECTION is
 real for animated GIFs (``parse_gif_frames`` walks the container; the
-sampler emits actual frame byte ranges + presentation timestamps); only
-pixel/sample-level work (feature vectors, non-GIF containers) remains a
-deterministic byte-hash stub behind a clearly-marked seam where a
-vision encoder / ffmpeg would go (those libraries are not in this
-container).
+sampler emits actual frame byte ranges + presentation timestamps).
+PIXEL-level decode is REAL for 8-bit non-interlaced PNG (zlib IDAT
+inflate + full five-filter unfilter pass — ``png_pixel_rows`` /
+``png_pixel_stats``); only learned feature vectors and non-GIF video
+containers remain deterministic stubs behind a clearly-marked seam
+where a vision encoder / ffmpeg would go (those libraries are not in
+this container).
 
 Scale notes: binary payloads ride in parquet/``binaryFile`` columns;
 decode runs in ``mapInPandas`` (Arrow-batched, per-partition iterator) so
@@ -52,6 +54,10 @@ __all__ = [
     "parse_wav_metadata",
     "wav_header_bytes",
     "decode_audio_metadata",
+    "png_pixel_rows",
+    "png_pixel_stats",
+    "encode_png",
+    "decode_image_pixel_stats",
 ]
 
 #: magic-byte prefixes → mime type (IdentifyMimeType analog, §2.3)
@@ -291,9 +297,12 @@ def _decode_one(payload: bytes, dim: int) -> tuple[int, int, list[float]]:
     Dimension ladder: Pillow when present (full decode, any format) →
     stdlib header parse (:func:`parse_image_dimensions` — REAL for
     PNG/GIF/BMP/JPEG) → deterministic sha256 fallback for payloads that
-    are not images at all.  The feature vector remains a deterministic
-    byte-hash embedding (a vision encoder is out of env scope) — the
-    REAL IMPLEMENTATION SEAM for one sits exactly here.
+    are not images at all.  Features: for decodable PNGs the leading
+    entries are REAL pixel statistics (channel means + luma mean from
+    :func:`png_pixel_stats`, scaled to [-1, 1]); the tail (and the
+    whole vector for other formats) is the deterministic byte-hash
+    embedding — a learned vision encoder is out of env scope, and its
+    IMPLEMENTATION SEAM sits exactly here.
     """
     digest = hashlib.sha256(payload).digest()
     width = height = None
@@ -312,6 +321,16 @@ def _decode_one(payload: bytes, dim: int) -> tuple[int, int, list[float]]:
         else:
             width, height = 64 + digest[0], 64 + digest[1]
     features = [((digest[i % 32] / 255.0) * 2 - 1) for i in range(dim)]
+    stats = png_pixel_stats(payload)
+    if stats is not None:
+        _w, _h, _ch, n, sr, sg, sb, sl = stats
+        real = [
+            sr / n / 127.5 - 1.0,
+            sg / n / 127.5 - 1.0,
+            sb / n / 127.5 - 1.0,
+            sl / n / 127500.0 - 1.0,
+        ]
+        features[: min(dim, 4)] = real[: min(dim, 4)]
     return width, height, features
 
 
@@ -517,3 +536,235 @@ def gif_animation_bytes(delay_cs, n_frames: int = 4, width: int = 2, height: int
         parts.append(F.lit(b"\x02\x04" + bytes([k, k + 1, k + 2, k + 3]) + b"\x00"))
     parts.append(F.lit(b"\x3b"))
     return F.concat(*parts)
+
+
+# ------------------------------------------------------ PNG pixel tier ---
+#
+# Full pixel-level PNG decode from the stdlib: chunk walk (CRC-verified),
+# zlib inflate of the IDAT stream, and per-scanline UNFILTERING of all
+# five filter types (none/sub/up/average/paeth) per the PNG spec §9 —
+# no imaging library.  This replaces the former byte-hash feature stub
+# for PNG payloads; the seam for a learned vision encoder remains where
+# the derived statistics are turned into a feature vector.
+
+#: output schema of the pixel-statistics decoder; sums are EXACT
+#: integers so differential oracles need no float tolerance.
+IMAGE_PIXEL_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_pixels", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("sum_luma_milli", LongType()),
+    ]
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_BPP = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, rgb, gray+alpha, rgba
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def png_pixel_rows(payload: bytes):
+    """Decode a non-interlaced 8-bit PNG to reconstructed scanlines.
+
+    Returns ``(width, height, color_type, [bytes scanline, ...])`` or
+    ``None`` when the payload is not a decodable PNG in scope (wrong
+    magic, CRC mismatch, interlaced, bit depth != 8, palette).  The
+    unfilter pass implements all five PNG filter types.
+    """
+    import struct as _struct
+    import zlib as _zlib
+
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        return None
+    pos = 8
+    width = height = None
+    color_type = None
+    idat = bytearray()
+    try:
+        while pos + 8 <= len(payload):
+            (clen,) = _struct.unpack(">I", payload[pos : pos + 4])
+            ctype = payload[pos + 4 : pos + 8]
+            body = payload[pos + 8 : pos + 8 + clen]
+            if len(body) != clen:
+                return None
+            (crc,) = _struct.unpack(
+                ">I", payload[pos + 8 + clen : pos + 12 + clen]
+            )
+            if _zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+                return None  # corrupted chunk
+            if ctype == b"IHDR":
+                width, height = _struct.unpack(">II", body[0:8])
+                bit_depth, color_type, _comp, _filt, interlace = body[8:13]
+                if bit_depth != 8 or interlace != 0 or color_type not in _PNG_BPP:
+                    return None
+            elif ctype == b"IDAT":
+                idat += body
+            elif ctype == b"IEND":
+                break
+            pos += 12 + clen
+        if width is None or not idat or width == 0 or height == 0:
+            return None
+        bpp = _PNG_BPP[color_type]
+        stride = width * bpp
+        raw = _zlib.decompress(bytes(idat))
+        if len(raw) != height * (stride + 1):
+            return None
+        rows: list[bytes] = []
+        prev = bytes(stride)
+        for y in range(height):
+            base = y * (stride + 1)
+            ft = raw[base]
+            line = bytearray(raw[base + 1 : base + 1 + stride])
+            if ft == 0:
+                pass
+            elif ft == 1:  # sub
+                for i in range(bpp, stride):
+                    line[i] = (line[i] + line[i - bpp]) & 0xFF
+            elif ft == 2:  # up
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif ft == 3:  # average
+                for i in range(stride):
+                    a = line[i - bpp] if i >= bpp else 0
+                    line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+            elif ft == 4:  # paeth
+                for i in range(stride):
+                    a = line[i - bpp] if i >= bpp else 0
+                    c = prev[i - bpp] if i >= bpp else 0
+                    line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+            else:
+                return None
+            prev = bytes(line)
+            rows.append(prev)
+        return width, height, color_type, rows
+    except (_zlib.error, _struct.error, IndexError):
+        return None
+
+
+def png_pixel_stats(payload: bytes):
+    """(width, height, channels, n_pixels, sum_r, sum_g, sum_b,
+    sum_luma_milli) from a real pixel decode, or None.  Luma uses the
+    integer ITU-R BT.601 weights ×1000 (299/587/114) so every field is
+    an exact integer — differential-oracle friendly."""
+    import numpy as _np
+
+    decoded = png_pixel_rows(payload)
+    if decoded is None:
+        return None
+    width, height, color_type, rows = decoded
+    bpp = _PNG_BPP[color_type]
+    px = _np.frombuffer(b"".join(rows), dtype=_np.uint8).reshape(
+        height * width, bpp
+    )
+    if color_type in (0, 4):  # grayscale (+alpha): r = g = b = gray
+        s = int(px[:, 0].astype(_np.int64).sum())
+        sum_r = sum_g = sum_b = s
+        channels = bpp
+    else:
+        sums = px[:, :3].astype(_np.int64).sum(axis=0)
+        sum_r, sum_g, sum_b = (int(v) for v in sums)
+        channels = bpp
+    n = width * height
+    return (
+        width, height, channels, n,
+        sum_r, sum_g, sum_b,
+        299 * sum_r + 587 * sum_g + 114 * sum_b,
+    )
+
+
+def encode_png(rows: list[bytes], width: int, height: int, color_type: int = 2) -> bytes:
+    """Build a spec-valid PNG from raw scanlines, FILTERING each line
+    with the full cycle of filter types (y % 5) — the encoder-side
+    inverse of the unfilter pass, so a decode differential exercises
+    sub/up/average/paeth, not just 'none'.  Fixture-synthesis helper."""
+    import struct as _struct
+    import zlib as _zlib
+
+    bpp = _PNG_BPP[color_type]
+    stride = width * bpp
+    raw = bytearray()
+    prev = bytes(stride)
+    for y, row in enumerate(rows):
+        assert len(row) == stride
+        ft = y % 5
+        filt = bytearray(stride)
+        for i in range(stride):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:
+                pred = _paeth(a, b, c)
+            filt[i] = (row[i] - pred) & 0xFF
+        raw.append(ft)
+        raw += filt
+        prev = row
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(body))
+            + ctype
+            + body
+            + _struct.pack(">I", _zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_image_pixel_stats(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """Pixel-statistics decode over a binary column, Arrow-batched
+    (mapInPandas — executor-parallel, bounded batch memory).  Rows whose
+    payload is not a decodable in-scope PNG are dropped (the
+    undecodable→failure route)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in IMAGE_PIXEL_STATS_SCHEMA.fields}
+            for doc_id, payload in zip(pdf[id_col], pdf[content_col]):
+                stats = png_pixel_stats(bytes(payload) if payload is not None else b"")
+                if stats is None:
+                    continue
+                w, h, ch, n, sr, sg, sb, sl = stats
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["n_pixels"].append(n)
+                out["sum_r"].append(sr)
+                out["sum_g"].append(sg)
+                out["sum_b"].append(sb)
+                out["sum_luma_milli"].append(sl)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(
+        decode, IMAGE_PIXEL_STATS_SCHEMA
+    )

@@ -898,3 +898,90 @@ def test_dsir_importance_and_selection(spark, sf_dir):
     assert min(w[i] for i in top1) >= max(
         v for k, v in w.items() if k not in set(top1)
     )
+
+
+# ------------------------------------------------------ PNG pixel tier ---
+
+
+def test_png_pixel_roundtrip_all_filters():
+    """encode (filters cycling 0..4) → decode must reproduce the exact
+    scanlines; ≥5 rows guarantees every filter type is exercised."""
+    import random
+
+    from apache_nifi_spark.llm.multimodal import encode_png, png_pixel_rows
+
+    rng = random.Random(42)
+    for w, h, ct in [(7, 9, 2), (1, 5, 2), (16, 1, 2), (4, 6, 0), (3, 8, 6)]:
+        bpp = {0: 1, 2: 3, 6: 4}[ct]
+        rows = [bytes(rng.randrange(256) for _ in range(w * bpp)) for _ in range(h)]
+        payload = encode_png(rows, w, h, color_type=ct)
+        decoded = png_pixel_rows(payload)
+        assert decoded is not None, (w, h, ct)
+        dw, dh, dct, drows = decoded
+        assert (dw, dh, dct) == (w, h, ct)
+        assert drows == rows, (w, h, ct)
+
+
+def test_png_pixel_stats_exact():
+    import numpy as np
+
+    from apache_nifi_spark.llm.multimodal import encode_png, png_pixel_stats
+
+    w, h = 5, 7
+    rows = [
+        bytes(b for x in range(w) for b in (x, 2 * y, 100)) for y in range(h)
+    ]
+    stats = png_pixel_stats(encode_png(rows, w, h))
+    assert stats is not None
+    gw, gh, ch, n, sr, sg, sb, sl = stats
+    px = np.frombuffer(b"".join(rows), np.uint8).reshape(-1, 3).astype(int)
+    assert (gw, gh, ch, n) == (w, h, 3, w * h)
+    assert (sr, sg, sb) == tuple(px.sum(axis=0))
+    assert sl == 299 * sr + 587 * sg + 114 * sb
+
+
+def test_png_pixel_rejects_corruption():
+    from apache_nifi_spark.llm.multimodal import encode_png, png_pixel_rows
+
+    good = encode_png([b"\x01\x02\x03"], 1, 1)
+    assert png_pixel_rows(good) is not None
+    # flip one IDAT byte → chunk CRC mismatch → None, not garbage pixels
+    bad = bytearray(good)
+    bad[len(bad) - 20] ^= 0xFF
+    assert png_pixel_rows(bytes(bad)) is None
+    assert png_pixel_rows(b"not a png") is None
+    assert png_pixel_rows(b"") is None
+
+
+def test_png_grayscale_stats_fold_to_rgb():
+    from apache_nifi_spark.llm.multimodal import encode_png, png_pixel_stats
+
+    rows = [bytes([10, 20, 30]), bytes([40, 50, 60])]  # 3x2 gray
+    stats = png_pixel_stats(encode_png(rows, 3, 2, color_type=0))
+    assert stats is not None
+    _, _, ch, n, sr, sg, sb, sl = stats
+    assert (ch, n) == (1, 6)
+    assert sr == sg == sb == 210
+    assert sl == (299 + 587 + 114) * 210
+
+
+def test_decode_image_pixel_stats_spark(spark):
+    from pyspark.sql import functions as F
+
+    from apache_nifi_spark.llm.multimodal import decode_image_pixel_stats, encode_png
+
+    import pandas as pd
+
+    payloads = []
+    for d in range(6):
+        w, h = 2 + d, 3 + d
+        rows = [bytes((x + y + d) % 256 for x in range(w * 3)) for y in range(h)]
+        payloads.append((d, encode_png(rows, w, h)))
+    payloads.append((99, b"junk bytes"))  # undecodable → dropped
+    df = spark.createDataFrame(payloads, "doc_id long, content binary")
+    out = decode_image_pixel_stats(df)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == set(range(6))  # junk row dropped
+    for d in range(6):
+        assert (got[d]["width"], got[d]["height"]) == (2 + d, 3 + d)
+        assert got[d]["n_pixels"] == (2 + d) * (3 + d)
