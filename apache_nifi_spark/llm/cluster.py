@@ -205,8 +205,14 @@ def kmeans_fixed_point(
 
     Scale shape: the assignment step is a BROADCAST join (K×dim
     integers), map-side only; the update step shuffles K×dim partial
-    sums (two-stage agg), not the data.  Iterations unroll into one
-    lazy plan — nothing is collected to the driver.
+    sums (two-stage agg), not the data.  Each iteration's centroid
+    table is pinned with ``localCheckpoint`` (the bpe.py precedent):
+    the K×dim checkpoint is trivially small, and it cuts the lineage so
+    iteration *i* starts from materialized centroids instead of an
+    *i*-deep plan that re-derives every earlier pass — corpus scans
+    stay O(iters), not O(iters²), and the final plan depth is constant
+    in ``iters`` (asserted in tests/test_plans.py).  Nothing is
+    collected to the driver.
 
     Returns (id, cluster, dist) — dist is the final integer squared
     distance, the SemDeDup "keep nearest to centroid" signal.
@@ -220,12 +226,17 @@ def kmeans_fixed_point(
     )
     from pyspark.sql import Window
 
-    init_w = Window.orderBy("_id")
+    # Deterministic init ids without an unpartitioned window: the k-row
+    # limit output is bounded by construction, so one sorted partition +
+    # monotonically_increasing_id numbers it 0..k-1 in _id order (and
+    # keeps WindowExec's single-partition warning out of every run).
     centroids = (
         q.orderBy("_id")
         .limit(k)
+        .repartition(1)
+        .sortWithinPartitions("_id")
         .select(
-            (F.row_number().over(init_w) - 1).cast("bigint").alias("cluster"),
+            F.monotonically_increasing_id().cast("bigint").alias("cluster"),
             F.col("qv").alias("cv"),
         )
     )
@@ -257,7 +268,7 @@ def kmeans_fixed_point(
                 F.array_sort(F.collect_list(F.struct("pos", "m"))),
                 lambda s: s["m"],
             ).alias("cv")
-        )
+        ).localCheckpoint()  # K×dim rows: pin per-iteration state
     return assigned.select(
         F.col("_id").alias(id_col), "cluster", "dist"
     )

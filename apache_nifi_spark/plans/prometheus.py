@@ -59,12 +59,17 @@ def render_exposition(
     sample = F.concat(
         F.lit(family + "{"), *label_parts, F.lit("} "), value
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy("line")
+    # The exposition page is bounded (one line per family×label-set), so
+    # sequence it with one sorted partition + monotonically_increasing_id
+    # — same determinism as an unpartitioned row_number window without
+    # WindowExec's all-data-to-one-partition scare warning per scrape.
     samples = (
         df.select(sample.alias("line"))
-        .withColumn("line_no", F.row_number().over(w) + 2)
+        .repartition(1)
+        .sortWithinPartitions("line")
+        .withColumn(
+            "line_no", (F.monotonically_increasing_id() + 3).cast("int")
+        )
         .select("line_no", "line")
     )
     headers = df.sparkSession.createDataFrame(

@@ -199,3 +199,23 @@ def test_partition_pruning_reaches_directory_listing(spark, sf_dir):
     assert "PartitionFilters: [" in plan
     seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "o_orderstatus" in seg, seg
+
+
+def test_kmeans_plan_depth_constant_in_iterations(spark):
+    """The per-iteration localCheckpoint must pin centroid state so the
+    FINAL plan depth does not grow with the iteration count (without it,
+    iteration i re-derives all i-1 earlier passes)."""
+    from pyspark.sql import functions as F
+
+    from apache_nifi_spark.llm import kmeans_fixed_point
+
+    df = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("float"), (F.col("id") % 11).cast("float")
+        ).alias("embedding"),
+    )
+    p2 = formatted_explain(kmeans_fixed_point(df, k=3, iters=2))
+    p6 = formatted_explain(kmeans_fixed_point(df, k=3, iters=6))
+    n2, n6 = p2.count("\n"), p6.count("\n")
+    assert n6 <= n2 + 5, (n2, n6)  # constant depth, not O(iters)
