@@ -6631,6 +6631,119 @@ def ftp_list_fetch_q(spark, sf_dir):
     )
 
 
+_SFTP_STAGE: dict[str, tuple] = {}
+
+
+def _staged_sftp(spark, sf_dir):
+    """Process-lifetime SFTP server over a CSV export of the events
+    subset (the _staged_ftp pattern on the SSH wire)."""
+    if sf_dir in _SFTP_STAGE:
+        return _SFTP_STAGE[sf_dir]
+    import tempfile
+
+    from apache_nifi_spark.sources.sftp import MiniSftpServer
+
+    root = tempfile.mkdtemp(prefix="anspark_sftp_")
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 50 == 0)
+    (
+        ev.select("event_id", "event_type", "value")
+        .coalesce(4)
+        .write.mode("overwrite")
+        .csv(f"{root}/data")
+    )
+    srv = MiniSftpServer(root)
+    _SFTP_STAGE[sf_dir] = (srv, "127.0.0.1", srv.port)
+    return _SFTP_STAGE[sf_dir]
+
+
+@register(
+    "sftp_list_fetch_records",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM events WHERE event_id % 50 = 0
+    GROUP BY event_type
+    """,
+)
+def sftp_list_fetch_q(spark, sf_dir):
+    """ListSFTP → FetchSFTP closed over a REAL SSH-2 wire (§2.1 row 2 —
+    the inventory's last partial): sources/ssh_transport speaks
+    curve25519-sha256 kex (RFC 8731), an ssh-ed25519 host key the
+    client verifies against its PINNED public key (known_hosts
+    semantics), aes128-ctr + hmac-sha2-256 packets — all three
+    primitives implemented from their public specs (RFC 7748/8032,
+    FIPS 197; validated against the RFCs' own vectors in
+    tests/test_ssh.py) because the environment ships no crypto library.
+    The SFTP v3 subsystem lists the staged CSVs (control-plane
+    manifest), fetch_sftp reads them with one SSH connection per
+    partition (distributed data plane), and the records parse and
+    aggregate downstream.  Oracle equality proves the encrypted hop is
+    lossless byte-for-byte."""
+    from apache_nifi_spark.sources.sftp import fetch_sftp, list_sftp
+
+    srv, host, port = _staged_sftp(spark, sf_dir)
+    listing = list_sftp(
+        spark, host, port, srv.user, srv.password, srv.host_pub, "/data"
+    ).filter(F.col("filename").endswith(".csv"))
+    fetched = fetch_sftp(
+        listing, host, port, srv.user, srv.password, srv.host_pub, "/data"
+    )
+    lines = fetched.select(
+        F.explode(F.split(F.col("content").cast("string"), "\n")).alias("line")
+    ).filter(F.length("line") > 0)
+    rec = lines.select(
+        F.from_csv(
+            F.col("line"), "event_id bigint, event_type string, value double"
+        ).alias("r")
+    ).select("r.*")
+    return rec.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), _dsum(F.col("value"), "total_value")
+    )
+
+
+@register(
+    "put_sftp_roundtrip",
+    oracle="""
+    SELECT 'n_' || CAST(n_nationkey AS VARCHAR) || '.csv' AS filename,
+           CAST(n_nationkey AS VARCHAR) || ',' || n_name AS line
+    FROM nation
+    """,
+)
+def put_sftp_roundtrip_q(spark, sf_dir):
+    """PutSFTP (§2.2): records WRITE per partition over the encrypted
+    SSH wire (one connection per partition, OPEN CREAT|TRUNC + chunked
+    WRITEs), then the uploaded tree lists and fetches back — both
+    directions closing over the same SSH server.  Oracle identity
+    proves the encrypt → MAC → decrypt hop is byte-lossless."""
+    import tempfile
+
+    from apache_nifi_spark.sources.sftp import (
+        MiniSftpServer,
+        fetch_sftp,
+        list_sftp,
+        put_sftp,
+    )
+
+    root = tempfile.mkdtemp(prefix="anspark_putsftp_")
+    srv = MiniSftpServer(root)
+    nation = _t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("n_"), F.col("n_nationkey").cast("string"), F.lit(".csv"))
+        .alias("filename"),
+        F.concat(F.col("n_nationkey").cast("string"), F.lit(","), F.col("n_name"))
+        .cast("binary")
+        .alias("content"),
+    )
+    args = ("127.0.0.1", srv.port, srv.user, srv.password, srv.host_pub)
+    n = put_sftp(nation, *args).filter("stored").count()
+    assert n == 25
+    listing = list_sftp(spark, *args, "/")
+    back = fetch_sftp(listing, *args, "/")
+    return back.select(
+        "filename", F.col("content").cast("string").alias("line")
+    )
+
+
 @register(
     "amqp_exchange_route",
     oracle="""
