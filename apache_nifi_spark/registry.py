@@ -8546,6 +8546,12 @@ def rest_flow_author_q(spark, sf_dir):
         start_group_via_api,
     )
 
+    # Author once per (session, sf_dir) — same policy as _MEGA_CACHE for
+    # the direct import: authoring + compile-on-start is control-plane
+    # setup; the returned plan stays lazy either way.
+    cache_key = (spark.sparkContext.applicationId, sf_dir, "rest_author")
+    if cache_key in _MEGA_CACHE:
+        return _MEGA_CACHE[cache_key]
     server = NiFiApiServer(spark, sf_dir)
     try:
         with open(_MEGA_FLOW_PATH) as f:
@@ -8569,7 +8575,8 @@ def rest_flow_author_q(spark, sf_dir):
             conn.close()
         # lazy plan; safe to serve after server.stop() — the data path
         # never touches the control plane
-        return server.outputs(gid)["OrdersAgg.byStatus"]
+        _MEGA_CACHE[cache_key] = server.outputs(gid)["OrdersAgg.byStatus"]
+        return _MEGA_CACHE[cache_key]
     finally:
         server.stop()
 
