@@ -53,6 +53,7 @@ from apache_nifi_spark.llm.cluster import (  # noqa: F401
     connected_components,
     kmeans_fixed_point,
     near_dup_clusters,
+    semantic_dedup,
 )
 from apache_nifi_spark.llm.multimodal import (  # noqa: F401
     attach_binary_content,

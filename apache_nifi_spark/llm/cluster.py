@@ -34,7 +34,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "near_dup_clusters", "kmeans_fixed_point"]
+__all__ = [
+    "connected_components",
+    "near_dup_clusters",
+    "kmeans_fixed_point",
+    "semantic_dedup",
+]
 
 
 def connected_components(
@@ -271,4 +276,78 @@ def kmeans_fixed_point(
         ).localCheckpoint()  # K×dim rows: pin per-iteration state
     return assigned.select(
         F.col("_id").alias(id_col), "cluster", "dist"
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+    eps: float = 0.3,
+    scale: int = 1000,
+) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space with k-means, then
+    prune WITHIN each cluster any document whose cosine similarity to
+    an already-kept cluster-mate reaches ``eps``.  Cross-cluster pairs
+    are never compared — that is the whole point: the k-means blocking
+    turns an O(N²) semantic-similarity sweep into K equi-join cells.
+
+    Determinism: clustering is the fixed-point ``kmeans_fixed_point``
+    (bit-identical on any engine/partitioning); the keep rule is
+    order-free — a document is dropped iff SOME lower-id document in
+    its cluster is ``eps``-close (the paper keeps one representative
+    per ε-ball; lowest-id is our total-ordered choice, where the paper
+    uses "closest to centroid" — swap the ordering key for ``dist`` to
+    get that exactly).  Cosine is the strict left-fold double dot
+    product, so the decision boundary is IEEE-identical to the SQL
+    oracle.
+
+    Scale shape: one broadcast-assign k-means pass (see
+    ``kmeans_fixed_point``), then a self-equi-join ON cluster — the
+    shuffle moves each vector K-partition-local once, and cell size is
+    bounded by cluster granularity (at 100 TB you raise ``k`` so cells
+    stay ~10⁴-10⁵ rows; the paper itself also caps cluster size).  No
+    all-pairs, no collect, no Python in the pair loop.
+
+    Returns (id, cluster, dist, kept) — one row per input document,
+    ``kept = false`` for pruned near-duplicates.
+    """
+    from apache_nifi_spark.llm.similarity import cosine_similarity
+
+    assigned = kmeans_fixed_point(df, id_col, vec_col, k, iters, scale)
+    vecs = df.select(
+        F.col(id_col).alias("_vid"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    d = assigned.join(vecs, F.col(id_col) == F.col("_vid")).select(
+        id_col, "cluster", "dist", "_v"
+    )
+    later = d.select(
+        F.col(id_col).alias("_id_l"), F.col("cluster").alias("_cl_l"),
+        F.col("_v").alias("_v_l"),
+    )
+    earlier = d.select(
+        F.col(id_col).alias("_id_e"), F.col("cluster").alias("_cl_e"),
+        F.col("_v").alias("_v_e"),
+    )
+    dropped = (
+        later.join(
+            earlier,
+            (F.col("_cl_l") == F.col("_cl_e")) & (F.col("_id_e") < F.col("_id_l")),
+        )
+        .filter(cosine_similarity(F.col("_v_l"), F.col("_v_e")) >= F.lit(eps))
+        .select(F.col("_id_l").alias("_dropped_id"))
+        .distinct()
+    )
+    return (
+        d.join(dropped, F.col(id_col) == F.col("_dropped_id"), "left")
+        .select(
+            id_col,
+            "cluster",
+            "dist",
+            F.col("_dropped_id").isNull().alias("kept"),
+        )
     )

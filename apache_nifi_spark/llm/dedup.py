@@ -31,6 +31,7 @@ __all__ = [
     "simhash",
     "ngram_jaccard_pairs",
     "embedding_cosine_duplicates",
+    "substring_span_dedup",
 ]
 
 # Mersenne prime 2^31-1: modulus for the universal hash family
@@ -486,4 +487,95 @@ def embedding_cosine_duplicates(
             cos.alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def substring_span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 32,
+    stride: int = 8,
+    drop_ratio: float = 0.5,
+) -> DataFrame:
+    """Exact-substring repetition dedup (the distributed approximation
+    of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", which finds ≥50-token repeats with a suffix array):
+    slide a ``window``-char window at ``stride`` over every document,
+    hash each span, and count how many DISTINCT documents share each
+    span.  A document whose shared-window fraction reaches
+    ``drop_ratio`` is flagged as a substring-level duplicate (boiler-
+    plate, mirrored articles, licence blocks).
+
+    Where the suffix array finds exact maximal repeats on one machine,
+    the windowed formulation is embarrassingly parallel: the span frame
+    is one explode (``len/stride`` rows per doc), the cross-doc count
+    is one groupBy on a 60-bit md5 span key (8-byte shuffle rows — the
+    span TEXT never shuffles), and the verdict is one doc-grain agg.
+    At 100 TB nothing is pairwise: cost is linear in corpus size, the
+    only quadratic-looking step (span → docs) is bounded by true span
+    multiplicity.  Collision odds on the 60-bit key are the documented
+    minhash convention (≪ 2⁻³⁰ for any realistic corpus).
+
+    Documents shorter than ``window`` have no spans and are always
+    kept (n_windows = 0, share_ratio = 0.0) — sequence() is guarded the
+    same way as char_shingles (Spark's descending-sequence footgun).
+
+    Returns (id, n_windows, n_shared, share_ratio, kept), one row per
+    input document.
+    """
+    spans = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.length(text_col) >= window,
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.length(text_col) - (window - 1),
+                        F.lit(stride),
+                    ),
+                    lambda p: F.substring(F.col(text_col), p, window),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_span"),
+    ).select(
+        id_col,
+        F.conv(F.substring(F.md5("_span"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("_h60"),
+    )
+    shared = (
+        spans.groupBy("_h60")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("_h60")
+    )
+    per_doc = (
+        spans.join(shared.withColumn("_is_shared", F.lit(1)), "_h60", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce(F.col("_is_shared"), F.lit(0))).alias("n_shared"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_windows", F.lit(0)).cast("bigint").alias("n_windows"),
+            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+            F.when(
+                F.coalesce("n_windows", F.lit(0)) > 0,
+                F.col("n_shared").cast("double") / F.col("n_windows").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("share_ratio"),
+            F.coalesce(
+                F.col("n_shared").cast("double") / F.col("n_windows").cast("double")
+                < F.lit(drop_ratio),
+                F.lit(True),
+            ).alias("kept"),
+        )
     )

@@ -2085,6 +2085,48 @@ def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64, scale: int = 1000)
     )
 
 
+def _semdedup_oracle(
+    k: int = 8, iters: int = 3, dim: int = 64, scale: int = 1000, eps: float = 0.3
+) -> str:
+    """SemDeDup oracle: the unrolled fixed-point k-means CTEs (identical
+    to _kmeans_oracle) + the within-cluster lowest-id-representative
+    prune as a correlated EXISTS over the strict left-fold cosine —
+    the same IEEE arithmetic as llm/cluster.semantic_dedup."""
+    km = _kmeans_oracle(k, iters, dim, scale)
+    body = km.rsplit("SELECT id AS vec_id", 1)[0]
+    cos = (
+        "list_dot_product(e.v, d.v)"
+        " / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(d.v, d.v)))"
+    )
+    return (
+        body
+        + f""", asn AS (SELECT id AS vec_id, cluster, dist FROM a{iters}),
+    ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    d AS (SELECT asn.vec_id, asn.cluster, asn.dist, ev.v
+          FROM asn JOIN ev USING (vec_id))
+    SELECT d.vec_id, d.cluster, d.dist,
+           NOT EXISTS (SELECT 1 FROM d e
+                       WHERE e.cluster = d.cluster AND e.vec_id < d.vec_id
+                         AND {cos} >= {eps}) AS kept
+    FROM d"""
+    )
+
+
+@register("dedup_semantic_semdedup", oracle=_semdedup_oracle())
+def dedup_semantic_q(spark, sf_dir):
+    """SemDeDup semantic dedup (§2.12 curation tier; Abbas et al. 2023):
+    fixed-point k-means blocks the embedding space, then each cluster
+    cell prunes ε-close near-duplicates against the lowest-id
+    representative.  The pair sweep is an equi-join ON cluster — K
+    bounded cells, never all-pairs (tests/test_plans.py's no-cartesian
+    gate covers it); cosine is the strict left-fold double dot product
+    so the keep/drop boundary is IEEE-identical to the oracle."""
+    from apache_nifi_spark.llm import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, id_col="vec_id", vec_col="embedding", eps=0.3)
+
+
 @register("cluster_kmeans_embeddings", oracle=_kmeans_oracle())
 def cluster_kmeans_q(spark, sf_dir):
     """Deterministic k-means over the embeddings table (§2.12 semantic
