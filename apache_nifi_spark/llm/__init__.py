@@ -20,6 +20,7 @@ from apache_nifi_spark.llm.dedup import (  # noqa: F401
     simhash,
     ngram_jaccard_pairs,
     embedding_cosine_duplicates,
+    substring_span_dedup,
 )
 from apache_nifi_spark.llm.similarity import (  # noqa: F401
     dot_product,

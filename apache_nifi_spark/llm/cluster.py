@@ -208,16 +208,16 @@ def kmeans_fixed_point(
     init — swap in k-means|| sampling at scale if desired, determinism
     then costs a seed).
 
-    Scale shape: the assignment step is a BROADCAST join (K×dim
-    integers), map-side only; the update step shuffles K×dim partial
-    sums (two-stage agg), not the data.  Each iteration's centroid
-    table is pinned with ``localCheckpoint`` (the bpe.py precedent):
-    the K×dim checkpoint is trivially small, and it cuts the lineage so
-    iteration *i* starts from materialized centroids instead of an
-    *i*-deep plan that re-derives every earlier pass — corpus scans
-    stay O(iters), not O(iters²), and the final plan depth is constant
-    in ``iters`` (asserted in tests/test_plans.py).  Nothing is
-    collected to the driver.
+    Scale shape: centroids are CONTROL-PLANE state — K×dim integers
+    (the bpe.py merge-rule precedent), collected per iteration and
+    re-inlined as a literal, so the assignment step is MAP-ONLY (a
+    per-row fold over the K literal centroids: no crossJoin, no window,
+    no broadcast exchange) and the update step is one two-stage
+    aggregation whose exchange moves only K×dim partial sums, never the
+    data.  Each Lloyd pass is therefore exactly one corpus scan + one
+    tiny shuffle; the returned assignment is a LAZY map-only plan over
+    the final centroids, with depth constant in ``iters`` (asserted in
+    tests/test_plans.py).  Only centroid state ever reaches the driver.
 
     Returns (id, cluster, dist) — dist is the final integer squared
     distance, the SemDeDup "keep nearest to centroid" signal.
@@ -229,37 +229,44 @@ def kmeans_fixed_point(
             " as bigint))"
         ).alias("qv"),
     )
-    from pyspark.sql import Window
+    # Deterministic init: the k lowest-id vectors, cluster ids 0..k-1 in
+    # _id order.  K rows — control-plane by construction.
+    init = q.orderBy("_id").limit(k).collect()  # control-plane: K centroid seeds
+    cent = [
+        (i, [int(v) for v in r["qv"]])
+        for i, r in enumerate(sorted(init, key=lambda r: r["_id"]))
+    ]
 
-    # Deterministic init ids without an unpartitioned window: the k-row
-    # limit output is bounded by construction, so one sorted partition +
-    # monotonically_increasing_id numbers it 0..k-1 in _id order (and
-    # keeps WindowExec's single-partition warning out of every run).
-    centroids = (
-        q.orderBy("_id")
-        .limit(k)
-        .repartition(1)
-        .sortWithinPartitions("_id")
-        .select(
-            F.monotonically_increasing_id().cast("bigint").alias("cluster"),
-            F.col("qv").alias("cv"),
+    def _score(cent_pairs):
+        """Map-only scoring against a literal centroid table: per row,
+        dists[i] = Σ(qv−cvᵢ)², argmin position → cluster id (array_position
+        first-match semantics = lower-cluster tie-break, matching the
+        oracle's ``ORDER BY dist, cluster``)."""
+        cvs = ", ".join(
+            "array(" + ", ".join(str(v) + "L" for v in cv) + ")"
+            for _, cv in cent_pairs
         )
-    )
-    dist_expr = (
-        "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)),"
-        " cast(0 as bigint), (acc, x) -> acc + x)"
-    )
-    assigned = None
-    for _ in range(iters):
-        scored = q.crossJoin(F.broadcast(centroids)).withColumn(
-            "dist", F.expr(dist_expr)
+        ids = ", ".join(str(c) + "L" for c, _ in cent_pairs)
+        scored = q.withColumn(
+            "dists",
+            F.expr(
+                f"transform(array({cvs}), cv -> aggregate(zip_with(qv, cv,"
+                " (a, b) -> (a - b) * (a - b)), cast(0 as bigint),"
+                " (acc, x) -> acc + x))"
+            ),
         )
-        pick_w = Window.partitionBy("_id").orderBy("dist", "cluster")
-        assigned = (
-            scored.withColumn("_rn", F.row_number().over(pick_w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn", "cv")
+        return scored.select(
+            "_id",
+            "qv",
+            F.expr(
+                f"element_at(array({ids}), cast(array_position(dists,"
+                " array_min(dists)) as int))"
+            ).alias("cluster"),
+            F.array_min("dists").alias("dist"),
         )
+
+    for _ in range(iters - 1):
+        assigned = _score(cent)
         dims = assigned.select(
             "cluster", F.posexplode("qv").alias("pos", "val")
         )
@@ -268,13 +275,18 @@ def kmeans_fixed_point(
                 F.sum("val").cast("double") / F.count(F.lit(1))
             ).cast("bigint").alias("m")
         )
-        centroids = means.groupBy("cluster").agg(
+        new = means.groupBy("cluster").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "m"))),
                 lambda s: s["m"],
             ).alias("cv")
-        ).localCheckpoint()  # K×dim rows: pin per-iteration state
-    return assigned.select(
+        ).collect()  # control-plane: K×dim centroid update
+        # Empty clusters simply vanish (same as the oracle's GROUP BY).
+        cent = sorted(
+            ((int(r["cluster"]), [int(v) for v in r["cv"]]) for r in new),
+            key=lambda p: p[0],
+        )
+    return _score(cent).select(
         F.col("_id").alias(id_col), "cluster", "dist"
     )
 
@@ -316,34 +328,48 @@ def semantic_dedup(
     Returns (id, cluster, dist, kept) — one row per input document,
     ``kept = false`` for pruned near-duplicates.
     """
-    from apache_nifi_spark.llm.similarity import cosine_similarity
+    from apache_nifi_spark.llm.similarity import dot_product, l2_norm
 
-    assigned = kmeans_fixed_point(df, id_col, vec_col, k, iters, scale)
+    # Pin the assignment ONCE: the k-means sub-plan (crossJoin scoring +
+    # window argmin per Lloyd iteration) is expensive, and the pair
+    # sweep fans it out into three lineages (later / earlier / final
+    # keep-join).  Without the cut the executed plan re-runs the whole
+    # clustering 3× (round-8 verdict: 8.16 s wall, 3× re-execution).
+    assigned = kmeans_fixed_point(df, id_col, vec_col, k, iters, scale).localCheckpoint()
+    _v = F.col(vec_col).cast("array<double>")
+    # Norms hoisted to row grain (similarity.py's join-side rule): the
+    # pair loop below does ONE dot-product fold per candidate, not three.
+    # The keep/drop comparison stays dot/(nl·ne) >= eps — the identical
+    # division arithmetic as the SQL oracle, so the IEEE boundary agrees.
     vecs = df.select(
-        F.col(id_col).alias("_vid"), F.col(vec_col).cast("array<double>").alias("_v")
+        F.col(id_col).alias("_vid"), _v.alias("_v"), l2_norm(_v).alias("_n")
     )
     d = assigned.join(vecs, F.col(id_col) == F.col("_vid")).select(
-        id_col, "cluster", "dist", "_v"
+        id_col, "cluster", "_v", "_n"
     )
     later = d.select(
         F.col(id_col).alias("_id_l"), F.col("cluster").alias("_cl_l"),
-        F.col("_v").alias("_v_l"),
+        F.col("_v").alias("_v_l"), F.col("_n").alias("_n_l"),
     )
     earlier = d.select(
         F.col(id_col).alias("_id_e"), F.col("cluster").alias("_cl_e"),
-        F.col("_v").alias("_v_e"),
+        F.col("_v").alias("_v_e"), F.col("_n").alias("_n_e"),
     )
     dropped = (
         later.join(
             earlier,
             (F.col("_cl_l") == F.col("_cl_e")) & (F.col("_id_e") < F.col("_id_l")),
         )
-        .filter(cosine_similarity(F.col("_v_l"), F.col("_v_e")) >= F.lit(eps))
+        .filter(
+            dot_product(F.col("_v_l"), F.col("_v_e"))
+            / (F.col("_n_l") * F.col("_n_e"))
+            >= F.lit(eps)
+        )
         .select(F.col("_id_l").alias("_dropped_id"))
         .distinct()
     )
     return (
-        d.join(dropped, F.col(id_col) == F.col("_dropped_id"), "left")
+        assigned.join(dropped, F.col(id_col) == F.col("_dropped_id"), "left")
         .select(
             id_col,
             "cluster",

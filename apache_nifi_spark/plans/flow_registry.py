@@ -45,6 +45,13 @@ class FlowRegistry:
         versions.append((version, sql_text, digest, comment))
         return version
 
+    def history(self, bucket: str, flow: str) -> list[tuple[int, str, str]]:
+        """Commit history of a flow as (version, digest, comment) tuples,
+        oldest first; empty when the flow was never published."""
+        return [
+            (v, d, c) for (v, _s, d, c) in self._flows.get((bucket, flow), [])
+        ]
+
     def get(self, bucket: str, flow: str, version: int | None = None) -> str:
         """SQL text of a pinned version (None → latest)."""
         versions = self._flows[(bucket, flow)]

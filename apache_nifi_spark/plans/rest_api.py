@@ -99,6 +99,7 @@ class NiFiApiServer:
         self._owner: dict[str, str] = {}  # component id → group id
         self._state: dict[str, str] = {"root": "STOPPED"}
         self._outputs: dict[str, dict[str, DataFrame]] = {}
+        self._version_buckets: dict[str, str] = {}  # group id → registry bucket
 
         api = self
 
@@ -427,22 +428,24 @@ class NiFiApiServer:
     def _commit_version(self, gid: str, body: dict) -> tuple[int, dict]:
         contents = self._flow_contents(gid)
         text = json.dumps({"flowContents": contents}, sort_keys=True)
+        bucket = body.get("bucket") or "default"
         version = self.registry.publish(
-            bucket=body.get("bucket") or "default",
+            bucket=bucket,
             flow=self._group(gid)["name"],
             sql_text=text,
             comment=body.get("comment") or "",
         )
+        self._version_buckets[gid] = bucket
         return 201, {"id": gid, "version": version}
 
     def _version_history(self, gid: str) -> tuple[int, dict]:
         name = self._group(gid)["name"]
-        versions = self.registry._flows.get(("default", name), [])
+        bucket = self._version_buckets.get(gid, "default")
         return 200, {
             "id": gid,
             "versions": [
                 {"version": v, "digest": d, "comment": c}
-                for (v, _s, d, c) in versions
+                for (v, d, c) in self.registry.history(bucket, name)
             ],
         }
 

@@ -2249,6 +2249,50 @@ def dedup_simhash_q(spark, sf_dir):
 
 
 @register(
+    "dedup_substring_spans",
+    oracle="""
+    WITH spans AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(substring(text, p, 32)), 1, 15)) AS BIGINT) AS h60
+      FROM documents,
+           LATERAL unnest(generate_series(1, CAST(length(text) AS BIGINT) - 31, 8)) t(p)
+      WHERE length(text) >= 32
+    ),
+    shared AS (
+      SELECT h60 FROM spans GROUP BY h60 HAVING count(DISTINCT doc_id) >= 2
+    ),
+    per_doc AS (
+      SELECT s.doc_id,
+             count(*) AS n_windows,
+             CAST(sum(CASE WHEN sh.h60 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+      FROM spans s LEFT JOIN shared sh USING (h60)
+      GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_windows, 0) AS n_windows,
+           COALESCE(p.n_shared, 0) AS n_shared,
+           CASE WHEN COALESCE(p.n_windows, 0) > 0
+                THEN CAST(p.n_shared AS DOUBLE) / CAST(p.n_windows AS DOUBLE)
+                ELSE 0.0 END AS share_ratio,
+           COALESCE(CAST(p.n_shared AS DOUBLE) / CAST(p.n_windows AS DOUBLE) < 0.5,
+                    TRUE) AS kept
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def dedup_substring_spans_q(spark, sf_dir):
+    """Exact-substring span dedup (§2.12 curation tier; the distributed
+    approximation of Lee et al. 2022's suffix-array repeat finder): hash
+    a sliding 32-char window at stride 8 per document, count cross-doc
+    shared spans, flag documents whose shared-window fraction reaches
+    0.5.  Linear, never pairwise: one explode + one 8-byte-key groupBy +
+    one doc-grain agg — see llm/dedup.substring_span_dedup."""
+    from apache_nifi_spark.llm import substring_span_dedup
+
+    d = io.widen_if_narrow(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return substring_span_dedup(d)
+
+
+@register(
     "text_fingerprint",
     oracle=r"""
     SELECT doc_id,
@@ -6769,21 +6813,27 @@ def put_sftp_roundtrip_q(spark, sf_dir):
 
     root = tempfile.mkdtemp(prefix="anspark_putsftp_")
     srv = MiniSftpServer(root)
-    nation = _t(spark, sf_dir, "nation").select(
-        F.concat(F.lit("n_"), F.col("n_nationkey").cast("string"), F.lit(".csv"))
-        .alias("filename"),
-        F.concat(F.col("n_nationkey").cast("string"), F.lit(","), F.col("n_name"))
-        .cast("binary")
-        .alias("content"),
-    )
-    args = ("127.0.0.1", srv.port, srv.user, srv.password, srv.host_pub)
-    n = put_sftp(nation, *args).filter("stored").count()
-    assert n == 25
-    listing = list_sftp(spark, *args, "/")
-    back = fetch_sftp(listing, *args, "/")
-    return back.select(
-        "filename", F.col("content").cast("string").alias("line")
-    )
+    try:
+        nation = _t(spark, sf_dir, "nation").select(
+            F.concat(F.lit("n_"), F.col("n_nationkey").cast("string"), F.lit(".csv"))
+            .alias("filename"),
+            F.concat(F.col("n_nationkey").cast("string"), F.lit(","), F.col("n_name"))
+            .cast("binary")
+            .alias("content"),
+        )
+        args = ("127.0.0.1", srv.port, srv.user, srv.password, srv.host_pub)
+        n = put_sftp(nation, *args).filter("stored").count()
+        assert n == 25
+        listing = list_sftp(spark, *args, "/")
+        back = fetch_sftp(listing, *args, "/")
+        # materialize while the server is up, then release its socket +
+        # accept thread (round-8 advice: this fixture leaked one server
+        # per invocation)
+        return back.select(
+            "filename", F.col("content").cast("string").alias("line")
+        ).localCheckpoint()
+    finally:
+        srv.stop()
 
 
 @register(

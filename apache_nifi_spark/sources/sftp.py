@@ -181,8 +181,19 @@ class _SftpServerHandler:
                 flags = r.u32()
                 _skip_attrs(r)
                 if flags & _FLAG_WRITE:
-                    mode = "wb" if flags & _FLAG_TRUNC else "ab"
-                    f = open(path, mode)
+                    if flags & _FLAG_TRUNC:
+                        f = open(path, "wb")
+                    else:
+                        # SFTP v3 writes are random-access at the packet's
+                        # 64-bit offset; POSIX append mode would silently
+                        # pin every write to EOF, so open read-write
+                        # (creating first if the file is absent).
+                        if not os.path.isfile(path):
+                            if not flags & _FLAG_CREAT:
+                                self._status(rid, _NO_SUCH_FILE, "no such file")
+                                return
+                            open(path, "wb").close()
+                        f = open(path, "r+b")
                 elif os.path.isfile(path):
                     f = open(path, "rb")
                 else:

@@ -346,6 +346,10 @@ class SshServer:
             q_c = _Reader(pkt[1:]).string()
             eph_priv, q_s = x25519_keypair()
             shared = x25519(eph_priv, q_c)
+            if shared == b"\x00" * 32:
+                # RFC 8731 §3.1: MUST abort on an all-zero shared secret
+                # (peer sent a low-order public key)
+                raise ConnectionError("all-zero X25519 shared secret")
             k = int.from_bytes(shared, "big")
             k_s = host_key_blob(self.host_pub)
             h = hashlib.sha256(
@@ -446,6 +450,8 @@ class SshServer:
                 local_id = r.u32()
                 rtype = r.string()
                 want_reply = r.byte()
+                if local_id not in peer_ids:
+                    continue  # request on a channel that was never opened
                 if rtype == b"subsystem":
                     name = r.string().decode()
                     factory = self.subsystems.get(name)
@@ -466,6 +472,8 @@ class SshServer:
                 r = _Reader(pkt[1:])
                 local_id = r.u32()
                 data = r.string()
+                if local_id not in peer_ids:
+                    continue  # data on a channel that was never opened
                 handler = handlers.get(local_id)
                 if handler is not None:
                     handler(data)  # type: ignore[operator]
@@ -536,6 +544,9 @@ class SshClientConnection:
         if host_pub != pinned_host_pub:
             raise ConnectionError("host key does not match the pinned key")
         shared = x25519(eph_priv, q_s)
+        if shared == b"\x00" * 32:
+            # RFC 8731 §3.1: MUST abort on an all-zero shared secret
+            raise ConnectionError("all-zero X25519 shared secret")
         k = int.from_bytes(shared, "big")
         h = hashlib.sha256(
             _string(_VERSION.encode())

@@ -985,3 +985,30 @@ def test_decode_image_pixel_stats_spark(spark):
     for d in range(6):
         assert (got[d]["width"], got[d]["height"]) == (2 + d, 3 + d)
         assert got[d]["n_pixels"] == (2 + d) * (3 + d)
+
+
+def test_substring_span_dedup_flags_boilerplate(spark):
+    """A document that is mostly shared boilerplate must be dropped; a
+    unique document kept; a document shorter than the window has zero
+    spans and is always kept (Lee et al. 2022-style span dedup)."""
+    from apache_nifi_spark.llm import substring_span_dedup
+
+    boiler = "LICENSE TERMS: " + "you may redistribute this text freely. " * 4
+    uniq = "".join(chr(97 + (i * 13 + 5) % 26) for i in range(200))
+    rows = [
+        (0, boiler + " tail zero"),
+        (1, boiler + " tail one!"),
+        (2, uniq),
+        (3, "short doc"),  # < 32 chars: no spans
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in substring_span_dedup(df).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    # the two boilerplate docs share almost every window
+    for d in (0, 1):
+        assert got[d]["share_ratio"] >= 0.5 and got[d]["kept"] is False
+    assert got[2]["n_shared"] == 0 and got[2]["kept"] is True
+    assert got[3]["n_windows"] == 0 and got[3]["share_ratio"] == 0.0
+    assert got[3]["kept"] is True
+    # shared-count algebra: n_shared <= n_windows everywhere
+    assert all(r["n_shared"] <= r["n_windows"] for r in got.values())

@@ -137,6 +137,11 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
         # K-row centroid broadcast per Lloyd iteration: keyless scoring
         # against every centroid, bounded by k
         "cluster_kmeans_embeddings",
+        # same bounded K-row centroid broadcast inside the k-means
+        # blocking pass (the pair sweep itself is an equi-join ON
+        # cluster); normally invisible here because the assignment is
+        # localCheckpoint'ed, listed for robustness
+        "dedup_semantic_semdedup",
     }
     for name, fn in QUERIES.items():
         if name.startswith("stream_") or name in skip:

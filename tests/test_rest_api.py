@@ -166,5 +166,17 @@ def test_version_control_commit_history(spark, sf_dir, server):
         text = server.registry.get("default", "vc", 1)
         outs = run_flow_json(spark, sf_dir, text)
         assert outs["src.success"].count() == 5  # region table
+        # committing to a NON-default bucket must still show up in the
+        # group's version history (round-8 advice: history hardcoded
+        # 'default')
+        status, v3 = _call(conn, "POST", f"/nifi-api/versions/process-groups/{gid}",
+                           {"bucket": "prod", "comment": "promoted"})
+        assert (status, v3["version"]) == (201, 1)  # first version IN prod
+        status, hist = _call(conn, "GET", f"/nifi-api/versions/process-groups/{gid}")
+        assert status == 200
+        assert [(h["version"], h["comment"]) for h in hist["versions"]] == [
+            (1, "promoted")
+        ]
+        assert server.registry.history("prod", "vc")[0][0] == 1
     finally:
         conn.close()

@@ -182,3 +182,36 @@ def test_spark_operators_roundtrip(spark, sftp_server):
         r["filename"]: bytes(r["content"]).decode() for r in rows
     }
     assert got == {f"rec_{i}.csv": f"{i},payload" for i in range(12)}
+
+
+def test_sftp_random_access_write_honors_offset(sftp_server):
+    """SFTP v3 WRITE is random-access at the packet's 64-bit offset even
+    WITHOUT TRUNC (round-8 advice: the server's append-mode open pinned
+    every write to EOF)."""
+    import struct as _struct
+
+    from apache_nifi_spark.sources.sftp import (
+        _CLOSE, _FLAG_CREAT, _FLAG_WRITE, _HANDLE, _OPEN, _R, _WRITE, _string,
+    )
+
+    c = _client(sftp_server)
+    try:
+        c.write_file("/rw.bin", b"AAAAAAAAAA")  # 10 bytes
+        # re-open WRITE|CREAT (no TRUNC) and overwrite the middle
+        rtype, body = c._call(
+            _OPEN,
+            _string(b"/rw.bin")
+            + _struct.pack(">I", _FLAG_WRITE | _FLAG_CREAT)
+            + b"\x00" * 4,
+        )
+        assert rtype == _HANDLE
+        handle = _R(body).s()
+        rtype, body = c._call(
+            _WRITE, _string(handle) + _struct.pack(">Q", 3) + _string(b"XY")
+        )
+        c._expect_status_ok(rtype, body)
+        rtype, body = c._call(_CLOSE, _string(handle))
+        c._expect_status_ok(rtype, body)
+        assert c.read_file("/rw.bin") == b"AAAXYAAAAA"  # not AAAAAAAAAAXY
+    finally:
+        c.close()
