@@ -82,16 +82,33 @@ class FlowImportError(ValueError):
     """Unsupported or malformed flow definition."""
 
 
-def run_flow_json(spark: SparkSession, sf_dir: str, text: str) -> dict[str, DataFrame]:
+def run_flow_json(
+    spark: SparkSession,
+    sf_dir: str,
+    text: str,
+    port_sources: dict[str, DataFrame] | None = None,
+) -> dict[str, DataFrame]:
     """Parse flow.json text (e.g. a FlowRegistry-pinned snapshot) and run it."""
-    return run_flow(spark, sf_dir, json.loads(text))
+    return run_flow(spark, sf_dir, json.loads(text), port_sources=port_sources)
 
 
-def run_flow(spark: SparkSession, sf_dir: str, flow: dict) -> dict[str, DataFrame]:
+def run_flow(
+    spark: SparkSession,
+    sf_dir: str,
+    flow: dict,
+    port_sources: dict[str, DataFrame] | None = None,
+) -> dict[str, DataFrame]:
     """Compile a flow snapshot to DataFrames.
 
     Returns ``{"<processor name>.<relationship>": DataFrame}`` for every
     relationship that has no outgoing connection (the flow's outputs).
+
+    ``port_sources`` binds ingress DataFrames to INPUT PORTS by port
+    name: in NiFi, data crosses a process-group boundary only through
+    ports, so an input port with no upstream connection inside the group
+    is fed from outside — a parent-group queue or a site-to-site
+    transfer.  The REST facade uses this to bind a remote-accessible
+    port to the S2S landing scan.
     """
     contents = flow.get("flowContents", flow)
     procs = {p["identifier"]: p for p in contents.get("processors", [])}
@@ -103,8 +120,41 @@ def run_flow(spark: SparkSession, sf_dir: str, flow: dict) -> dict[str, DataFram
             "type": "Funnel",
             "properties": {},
         }
+    # Ports are group-boundary identity nodes.
+    for kind, ptype in (("inputPorts", "InputPort"), ("outputPorts", "OutputPort")):
+        for pt in contents.get(kind, []):
+            procs[pt["identifier"]] = {
+                "identifier": pt["identifier"],
+                "name": pt.get("name") or pt["identifier"],
+                "type": ptype,
+                "properties": {},
+            }
     if not procs:
         raise FlowImportError("flow has no processors")
+    # Controller-service indirection (NiFi shared config): a processor
+    # property whose VALUE names a controller service pulls the service's
+    # properties in at compile time; explicit processor properties win.
+    # Referencing a DISABLED service is a validation error — NiFi refuses
+    # to start a processor whose service is not ENABLED.
+    services = {
+        s["identifier"]: s for s in contents.get("controllerServices", [])
+    }
+    if services:
+        for pid, p in list(procs.items()):
+            merged = dict(p.get("properties") or {})
+            for prop_name, v in list(merged.items()):
+                svc = services.get(v)
+                if svc is None:
+                    continue
+                if (svc.get("state") or "ENABLED").upper() != "ENABLED":
+                    raise FlowImportError(
+                        f"{p.get('name') or pid}: property {prop_name!r} "
+                        f"references controller service "
+                        f"{svc.get('name') or v!r} which is not ENABLED"
+                    )
+                for sk, sv in (svc.get("properties") or {}).items():
+                    merged.setdefault(sk, sv)
+            procs[pid] = dict(p, properties=merged)
     conns = contents.get("connections", [])
     # NiFi flows routinely contain retry loops (failure → RetryFlowFile →
     # back to the same processor).  Batch compilation needs a DAG, so
@@ -179,6 +229,15 @@ def run_flow(spark: SparkSession, sf_dir: str, flow: dict) -> dict[str, DataFram
                 df = df.unionByName(other, allowMissingColumns=True)
         elif named_ins:
             df = named_ins[0][1]  # placeholder; JoinEnrichment uses named_ins
+        if df is None and proc.get("type") == "InputPort":
+            # ingress: no upstream inside the group — bind from outside
+            pname = proc.get("name") or pid
+            df = (port_sources or {}).get(pname)
+            if df is None:
+                raise FlowImportError(
+                    f"input port {pname!r} has no upstream connection and "
+                    "no bound external source"
+                )
         outputs[pid] = _apply(spark, sf_dir, proc, df, named_ins)
 
     result: dict[str, DataFrame] = {}
@@ -679,6 +738,13 @@ def _apply(
         return {"success": df}
 
     if ptype == "Funnel":
+        return {"success": df}
+
+    if ptype in ("InputPort", "OutputPort"):
+        # group-boundary pass-through; an output port's unconsumed
+        # "success" IS the group's exposed output
+        if df is None:
+            raise FlowImportError(f"{name}: {ptype} has no incoming data")
         return {"success": df}
 
     # ----------------------------------------------------- enrichment ---

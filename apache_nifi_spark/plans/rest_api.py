@@ -25,7 +25,25 @@ REST API):
 ``POST   /nifi-api/versions/process-groups/{id}``            commit to registry
 ``GET    /nifi-api/versions/process-groups/{id}``            version history
 ``GET    /nifi-api/flow/about``                              version info
+``GET    /nifi-api/site-to-site``                            S2S discovery
+``GET    /nifi-api/site-to-site/peers``                      live S2S peer list
+``POST   /nifi-api/process-groups/{id}/input-ports``         create input port
+``POST   /nifi-api/process-groups/{id}/output-ports``        create output port
+``GET/DELETE /nifi-api/{input,output}-ports/{id}``           port entity
+``POST   /nifi-api/process-groups/{id}/controller-services`` create service
+``GET/PUT/DELETE /nifi-api/controller-services/{id}``        service entity
+``PUT    /nifi-api/controller-services/{id}/run-status``     enable / disable
 ==========================================================  ============
+
+Ports are group-boundary identity nodes (data crosses process-group
+boundaries only through ports); a remote-accessible input port bound to
+an attached site-to-site server becomes live ingress — scheduling the
+group RUNNING compiles the port to a distributed JSON-lines scan of its
+landed transactions.  Controller services are NiFi's shared-config
+indirection: a processor property that names a service pulls the
+service's properties in at compile time; services are created DISABLED,
+must be ENABLED before a referencing group starts (400 otherwise), and
+refuse edits while ENABLED — the NiFi lifecycle contract.
 
 Semantics carried over from NiFi:
 
@@ -93,13 +111,20 @@ class NiFiApiServer:
         self._lock = threading.Lock()
         # component stores — all control-plane metadata, never data
         self._groups: dict[str, dict] = {
-            "root": {"name": "NiFi Flow", "processors": {}, "connections": {}}
+            "root": {
+                "name": "NiFi Flow",
+                "processors": {},
+                "connections": {},
+                "ports": {},
+                "services": {},
+            }
         }
         self._revisions: dict[str, int] = {"root": 0}
         self._owner: dict[str, str] = {}  # component id → group id
         self._state: dict[str, str] = {"root": "STOPPED"}
         self._outputs: dict[str, dict[str, DataFrame]] = {}
         self._version_buckets: dict[str, str] = {}  # group id → registry bucket
+        self._s2s: dict[str, Any] | None = None  # attached S2S wire endpoint
 
         api = self
 
@@ -211,6 +236,33 @@ class NiFiApiServer:
             m = re.fullmatch(r"/nifi-api/process-groups/([^/]+)/process-groups", path)
             if m and method == "POST":
                 return self._create_group(m.group(1), body)
+            m = re.fullmatch(
+                r"/nifi-api/process-groups/([^/]+)/(input|output)-ports", path
+            )
+            if m and method == "POST":
+                return self._create_port(m.group(1), m.group(2).upper(), body)
+            m = re.fullmatch(r"/nifi-api/(?:input|output)-ports/([^/]+)", path)
+            if m:
+                if method == "GET":
+                    return self._get_port(m.group(1))
+                if method == "DELETE":
+                    return self._delete_component(m.group(1), "ports", query)
+            m = re.fullmatch(
+                r"/nifi-api/process-groups/([^/]+)/controller-services", path
+            )
+            if m and method == "POST":
+                return self._create_service(m.group(1), body)
+            m = re.fullmatch(r"/nifi-api/controller-services/([^/]+)/run-status", path)
+            if m and method == "PUT":
+                return self._service_run_status(m.group(1), body)
+            m = re.fullmatch(r"/nifi-api/controller-services/([^/]+)", path)
+            if m:
+                if method == "GET":
+                    return self._get_service(m.group(1))
+                if method == "PUT":
+                    return self._update_service(m.group(1), body)
+                if method == "DELETE":
+                    return self._delete_component(m.group(1), "services", query)
             m = re.fullmatch(r"/nifi-api/process-groups/([^/]+)/funnels", path)
             if m and method == "POST":
                 # funnels are identity many-in/one-out nodes; the importer
@@ -241,6 +293,10 @@ class NiFiApiServer:
                     return self._commit_version(m.group(1), body)
                 if method == "GET":
                     return self._version_history(m.group(1))
+            if path == "/nifi-api/site-to-site" and method == "GET":
+                return self._s2s_controller()
+            if path == "/nifi-api/site-to-site/peers" and method == "GET":
+                return self._s2s_peer_list()
             if path == "/nifi-api/flow/about" and method == "GET":
                 return 200, {
                     "about": {
@@ -249,6 +305,83 @@ class NiFiApiServer:
                     }
                 }
             raise _ApiError(404, f"no route for {method} {path}")
+
+    # ------------------------------------------------------- site-to-site --
+
+    def attach_site_to_site(
+        self,
+        host: str,
+        port: int,
+        cert_path: str,
+        landing_dir: str | None = None,
+    ) -> None:
+        """Expose a running ``streaming.s2s_wire.SiteToSiteServer`` through
+        the REST discovery endpoints — the reference's S2S bootstrap is
+        literally ``GET /nifi-api/site-to-site`` answering
+        ``remoteSiteListeningPort`` + ``siteToSiteSecure``
+        (/root/reference/scripts.sh:89-98).  With ``landing_dir`` set (the
+        wire server's committed-transaction directory), remote-accessible
+        INPUT PORTS become live ingress: scheduling a group RUNNING binds
+        each such port to a distributed JSON-lines scan of its landed
+        transactions."""
+        with self._lock:
+            self._s2s = {
+                "host": host,
+                "port": port,
+                "cert": cert_path,
+                "landing": landing_dir,
+            }
+
+    def _s2s_port_sources(self, gid: str) -> dict[str, DataFrame]:
+        """Ingress bindings for remote-accessible input ports: each reads
+        the S2S landing files committed for that port name (splittable
+        JSON-lines — a distributed scan, not a driver read)."""
+        landing = (self._s2s or {}).get("landing")
+        if not landing:
+            return {}
+        import glob as _glob
+        import os as _os
+
+        out: dict[str, DataFrame] = {}
+        for p in self._group(gid)["ports"].values():
+            if p["type"] == "INPUT_PORT" and p.get("allowRemoteAccess"):
+                pattern = _os.path.join(landing, f"{p['name']}_*.jsonl")
+                if _glob.glob(pattern):  # control-plane manifest probe
+                    out[p["name"]] = self.spark.read.schema(
+                        "attributes map<string,string>, content string"
+                    ).json(pattern)
+        return out
+
+    def _s2s_controller(self) -> tuple[int, dict]:
+        ctl: dict[str, Any] = {"id": "root", "name": self._groups["root"]["name"]}
+        if self._s2s is None:
+            # NiFi with S2S disabled: port absent, secure false
+            ctl.update(remoteSiteListeningPort=None, siteToSiteSecure=False)
+        else:
+            ctl.update(
+                remoteSiteListeningPort=self._s2s["port"], siteToSiteSecure=True
+            )
+        return 200, {"controller": ctl}
+
+    def _s2s_peer_list(self) -> tuple[int, dict]:
+        """Live peer list, fetched over the S2S wire itself so the REST
+        answer and the socket protocol can never disagree."""
+        if self._s2s is None:
+            raise _ApiError(404, "site-to-site is not enabled")
+        from apache_nifi_spark.streaming.s2s_wire import s2s_peers
+
+        peers = s2s_peers(self._s2s["host"], self._s2s["port"], self._s2s["cert"])
+        return 200, {
+            "peers": [
+                {
+                    "hostname": p["host"],
+                    "port": p["port"],
+                    "secure": p["secure"],
+                    "flowFileCount": p["flowFileCount"],
+                }
+                for p in peers
+            ]
+        }
 
     # ------------------------------------------------------------- groups --
 
@@ -270,6 +403,8 @@ class NiFiApiServer:
             "name": comp.get("name") or gid,
             "processors": {},
             "connections": {},
+            "ports": {},
+            "services": {},
         }
         self._revisions[gid] = 0
         self._state[gid] = "STOPPED"
@@ -343,17 +478,112 @@ class NiFiApiServer:
         comp = self._groups[gid][kind].pop(cid)
         del self._revisions[cid]
         del self._owner[cid]
-        if kind == "processors":
-            # NiFi refuses to delete a connected processor
+        if kind in ("processors", "ports"):
+            # NiFi refuses to delete a connected component
             for c in self._groups[gid]["connections"].values():
                 if cid in (c["source"]["id"], c["destination"]["id"]):
                     self._groups[gid][kind][cid] = comp
                     self._revisions[cid] = int(query.get("version", 0))
                     self._owner[cid] = gid
                     raise _ApiError(
-                        409, f"processor {cid!r} still has connections"
+                        409, f"component {cid!r} still has connections"
+                    )
+        if kind == "services":
+            # NiFi refuses to delete a referenced controller service
+            for p in self._groups[gid]["processors"].values():
+                if cid in p["properties"].values():
+                    self._groups[gid][kind][cid] = comp
+                    self._revisions[cid] = int(query.get("version", 0))
+                    self._owner[cid] = gid
+                    raise _ApiError(
+                        409, f"controller service {cid!r} is still referenced"
                     )
         return 200, {"id": cid}
+
+    # -------------------------------------------------- ports + services --
+
+    def _create_port(self, gid: str, kind: str, body: dict) -> tuple[int, dict]:
+        g = self._group(gid)
+        comp = body.get("component") or {}
+        if int((body.get("revision") or {}).get("version", -1)) != 0:
+            raise _ApiError(400, "create requires revision.version == 0")
+        pid = comp.get("id") or f"port-{uuid.uuid4().hex[:12]}"
+        if pid in self._revisions:
+            raise _ApiError(400, f"component id {pid!r} already exists")
+        g["ports"][pid] = {
+            "identifier": pid,
+            "name": comp.get("name") or pid,
+            "type": f"{kind}_PORT",
+            # NiFi 2.x: a root-group port reachable over site-to-site
+            "allowRemoteAccess": bool(comp.get("allowRemoteAccess")),
+        }
+        self._revisions[pid] = 0
+        self._owner[pid] = gid
+        return 201, self._entity(pid, dict(g["ports"][pid]))
+
+    def _get_port(self, pid: str) -> tuple[int, dict]:
+        gid = self._owner.get(pid)
+        if gid is None or pid not in self._groups[gid]["ports"]:
+            raise _ApiError(404, f"unknown port {pid!r}")
+        return 200, self._entity(pid, dict(self._groups[gid]["ports"][pid]))
+
+    def _create_service(self, gid: str, body: dict) -> tuple[int, dict]:
+        g = self._group(gid)
+        comp = body.get("component") or {}
+        if int((body.get("revision") or {}).get("version", -1)) != 0:
+            raise _ApiError(400, "create requires revision.version == 0")
+        if not comp.get("type"):
+            raise _ApiError(400, "controller service create needs component.type")
+        sid = comp.get("id") or f"cs-{uuid.uuid4().hex[:12]}"
+        if sid in self._revisions:
+            raise _ApiError(400, f"component id {sid!r} already exists")
+        g["services"][sid] = {
+            "identifier": sid,
+            "name": comp.get("name") or sid,
+            "type": comp["type"],
+            "properties": dict(((comp.get("config") or {}).get("properties")) or {}),
+            "state": "DISABLED",  # NiFi creates services disabled
+        }
+        self._revisions[sid] = 0
+        self._owner[sid] = gid
+        return 201, self._entity(sid, dict(g["services"][sid]))
+
+    def _find_service(self, sid: str) -> dict:
+        gid = self._owner.get(sid)
+        if gid is None or sid not in self._groups[gid]["services"]:
+            raise _ApiError(404, f"unknown controller service {sid!r}")
+        return self._groups[gid]["services"][sid]
+
+    def _get_service(self, sid: str) -> tuple[int, dict]:
+        return 200, self._entity(sid, dict(self._find_service(sid)))
+
+    def _update_service(self, sid: str, body: dict) -> tuple[int, dict]:
+        s = self._find_service(sid)
+        self._check_revision(sid, (body.get("revision") or {}).get("version"))
+        if s["state"] == "ENABLED":
+            raise _ApiError(409, "controller service must be DISABLED to edit")
+        comp = body.get("component") or {}
+        if "name" in comp:
+            s["name"] = comp["name"]
+        new_props = (comp.get("config") or {}).get("properties")
+        if new_props is not None:
+            for k, v in new_props.items():
+                if v is None:
+                    s["properties"].pop(k, None)
+                else:
+                    s["properties"][k] = v
+        self._revisions[sid] += 1
+        return 200, self._entity(sid, dict(s))
+
+    def _service_run_status(self, sid: str, body: dict) -> tuple[int, dict]:
+        s = self._find_service(sid)
+        self._check_revision(sid, (body.get("revision") or {}).get("version"))
+        state = (body.get("state") or "").upper()
+        if state not in ("ENABLED", "DISABLED"):
+            raise _ApiError(400, f"state must be ENABLED or DISABLED, got {state!r}")
+        s["state"] = state
+        self._revisions[sid] += 1
+        return 200, self._entity(sid, dict(s))
 
     # -------------------------------------------------------- connections --
 
@@ -367,7 +597,7 @@ class NiFiApiServer:
         if not src or not dst:
             raise _ApiError(400, "connection needs source.id and destination.id")
         for endpoint in (src, dst):
-            if endpoint not in g["processors"]:
+            if endpoint not in g["processors"] and endpoint not in g["ports"]:
                 raise _ApiError(
                     400, f"connection endpoint {endpoint!r} not in group {gid!r}"
                 )
@@ -393,6 +623,13 @@ class NiFiApiServer:
             "connections": [
                 dict(c, identifier=cid) for cid, c in g["connections"].items()
             ],
+            "inputPorts": [
+                dict(p) for p in g["ports"].values() if p["type"] == "INPUT_PORT"
+            ],
+            "outputPorts": [
+                dict(p) for p in g["ports"].values() if p["type"] == "OUTPUT_PORT"
+            ],
+            "controllerServices": [dict(s) for s in g["services"].values()],
         }
 
     def _get_flow(self, gid: str) -> tuple[int, dict]:
@@ -411,7 +648,12 @@ class NiFiApiServer:
         contents = self._flow_contents(gid)
         if state == "RUNNING":
             # compile-on-start: validation errors answer 400 (see _route)
-            outs = run_flow(self.spark, self.sf_dir, {"flowContents": contents})
+            outs = run_flow(
+                self.spark,
+                self.sf_dir,
+                {"flowContents": contents},
+                port_sources=self._s2s_port_sources(gid),
+            )
             self._outputs[gid] = outs
             self._state[gid] = "RUNNING"
             return 200, {
@@ -489,6 +731,45 @@ def author_flow_via_api(base_url: str, contents: dict) -> str:
                 "component": {"name": contents.get("name") or "authored-flow"},
             },
         )["id"]
+        for s in contents.get("controllerServices", []):
+            _call(
+                conn,
+                "POST",
+                f"/nifi-api/process-groups/{gid}/controller-services",
+                {
+                    "revision": {"version": 0},
+                    "component": {
+                        "id": s["identifier"],
+                        "name": s.get("name"),
+                        "type": s["type"],
+                        "config": {"properties": s.get("properties") or {}},
+                    },
+                },
+            )
+            # snapshots carry config, not runtime state: default ENABLED
+            if (s.get("state") or "ENABLED").upper() == "ENABLED":
+                _call(
+                    conn,
+                    "PUT",
+                    f"/nifi-api/controller-services/{s['identifier']}/run-status",
+                    {"revision": {"version": 0}, "state": "ENABLED"},
+                )
+        for kind, path_kind in (("inputPorts", "input-ports"),
+                                ("outputPorts", "output-ports")):
+            for pt in contents.get(kind, []):
+                _call(
+                    conn,
+                    "POST",
+                    f"/nifi-api/process-groups/{gid}/{path_kind}",
+                    {
+                        "revision": {"version": 0},
+                        "component": {
+                            "id": pt["identifier"],
+                            "name": pt.get("name"),
+                            "allowRemoteAccess": pt.get("allowRemoteAccess"),
+                        },
+                    },
+                )
         for p in contents.get("processors", []):
             _call(
                 conn,

@@ -6365,16 +6365,23 @@ def el_string_funcs2_q(spark, sf_dir):
 def stream_site_to_site_q(spark, sf_dir):
     """Site-to-site transfer over the REAL wire (§2.11/§3.3; reference
     scripts.sh:72-98 runs exactly this two-cluster exchange on TLS port
-    10000): producer stream routes purchase/error events and pushes them
-    through streaming/s2s_wire — peer-list bootstrap, then per-partition
-    TLS connections each carrying ONE two-phase transaction (receiver
-    announces CRC-32, sender confirms, receiver commits atomically) —
-    into the peer cluster's input port; an INDEPENDENT consumer stream
-    (own checkpoint) reads the landed transactions and aggregates.
-    Oracle: the same filter+agg in batch SQL — the protocol hop must be
-    lossless and duplicate-free."""
+    10000): bootstrap starts with the reference's own discovery call —
+    ``GET /nifi-api/site-to-site`` on the REST facade answering
+    ``remoteSiteListeningPort`` + ``siteToSiteSecure``
+    (scripts.sh:89-98) — then the producer stream routes purchase/error
+    events through streaming/s2s_wire: peer-list on the discovered
+    port, per-partition TLS connections each carrying ONE two-phase
+    transaction (receiver announces CRC-32, sender confirms, receiver
+    commits atomically) into the peer cluster's input port; an
+    INDEPENDENT consumer stream (own checkpoint) reads the landed
+    transactions and aggregates.  Oracle: the same filter+agg in batch
+    SQL — the protocol hop must be lossless and duplicate-free."""
+    import http.client
+    import json as _json
     import tempfile
+    import urllib.parse
 
+    from apache_nifi_spark.plans.rest_api import NiFiApiServer
     from apache_nifi_spark.streaming import run_to_memory, stream_events
     from apache_nifi_spark.streaming.s2s_wire import (
         SiteToSiteServer,
@@ -6387,11 +6394,23 @@ def stream_site_to_site_q(spark, sf_dir):
     cert, key = generate_self_signed(certdir)
     landing = tempfile.mkdtemp(prefix="anspark_s2s_land_")
     server = SiteToSiteServer(landing, cert, key)
+    api = NiFiApiServer(spark, sf_dir)
     try:
-        # bootstrap: ask the peer for the cluster's peer list and pick
-        # the least-loaded peer (NiFi's S2S load-balancing step)
+        # discovery: the reference's first S2S step is this REST call
+        api.attach_site_to_site("127.0.0.1", server.port, cert)
+        u = urllib.parse.urlsplit(api.url)
+        conn = http.client.HTTPConnection(u.hostname, u.port, timeout=10)
+        try:
+            conn.request("GET", "/nifi-api/site-to-site")
+            ctl = _json.loads(conn.getresponse().read())["controller"]
+        finally:
+            conn.close()
+        assert ctl["siteToSiteSecure"] is True
+        s2s_port = ctl["remoteSiteListeningPort"]
+        # bootstrap: ask the discovered peer for the cluster's peer list
+        # and pick the least-loaded peer (NiFi's S2S load-balancing step)
         peer = min(
-            s2s_peers("127.0.0.1", server.port, cert),
+            s2s_peers("127.0.0.1", s2s_port, cert),
             key=lambda p: p["flowFileCount"],
         )
         # route only the relationships the peer subscribes to — S2S
@@ -6447,6 +6466,7 @@ def stream_site_to_site_q(spark, sf_dir):
         )
         return run_to_memory(agg, output_mode="complete")
     finally:
+        api.stop()
         server.stop()
 
 
@@ -8669,6 +8689,70 @@ def rest_flow_author_q(spark, sf_dir):
         # never touches the control plane
         _MEGA_CACHE[cache_key] = server.outputs(gid)["OrdersAgg.byStatus"]
         return _MEGA_CACHE[cache_key]
+    finally:
+        server.stop()
+
+
+@register(
+    "rest_ports_service_flow",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_nationkey, n.n_name
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def rest_ports_service_flow_q(spark, sf_dir):
+    """Ports + controller services over the REST control plane
+    (§3.1 [2.7.2-surface]; S2S input ports implied by reference
+    scripts.sh:89-98): a flow with a CONTROLLER SERVICE carrying the
+    shared lookup config (NiFi service indirection — the LookupRecord
+    processor names the service, the compiler pulls its properties in),
+    enabled via /run-status, and an OUTPUT PORT exposing the group's
+    result, authored entirely over /nifi-api and scheduled RUNNING.
+    Oracle: the customer×nation broadcast-lookup join the flow
+    declares.  Control-plane only — the compiled plan scans parquet
+    directly."""
+    from apache_nifi_spark.plans.rest_api import (
+        NiFiApiServer,
+        author_flow_via_api,
+        start_group_via_api,
+    )
+
+    cache_key = (spark.sparkContext.applicationId, sf_dir, "rest_ports_svc")
+    if cache_key in _MEGA_CACHE:
+        return _MEGA_CACHE[cache_key]
+    contents = {
+        "name": "ports-svc",
+        "controllerServices": [{
+            "identifier": "svc-lookup",
+            "name": "nation-lookup",
+            "type": "x.CSVRecordLookupService",
+            "properties": {"Lookup Table": "nation", "Lookup Columns": "n_name"},
+        }],
+        "outputPorts": [{"identifier": "out", "name": "enriched"}],
+        "processors": [
+            {"identifier": "src", "name": "Customers", "type": "x.GetFile",
+             "properties": {"Input Directory": "customer"}},
+            {"identifier": "lk", "name": "NationLookup", "type": "x.LookupRecord",
+             "properties": {"Lookup Service": "svc-lookup",
+                            "Lookup Key": "c_nationkey",
+                            "Lookup Field": "n_nationkey"}},
+        ],
+        "connections": [
+            {"source": {"id": "src"}, "destination": {"id": "lk"},
+             "selectedRelationships": ["success"]},
+            {"source": {"id": "lk"}, "destination": {"id": "out"},
+             "selectedRelationships": ["matched"]},
+        ],
+    }
+    server = NiFiApiServer(spark, sf_dir)
+    try:
+        gid = author_flow_via_api(server.url, contents)
+        start_group_via_api(server.url, gid)
+        out = server.outputs(gid)["enriched.success"].select(
+            "c_custkey", "c_name", "c_nationkey", "n_name"
+        )
+        _MEGA_CACHE[cache_key] = out
+        return out
     finally:
         server.stop()
 

@@ -180,3 +180,166 @@ def test_version_control_commit_history(spark, sf_dir, server):
         assert server.registry.history("prod", "vc")[0][0] == 1
     finally:
         conn.close()
+
+
+def test_site_to_site_discovery(server, tmp_path):
+    """GET /nifi-api/site-to-site is the reference's S2S bootstrap call
+    (scripts.sh:89-98): it must answer the wire server's listening port
+    and siteToSiteSecure=true, and /peers must serve the live peer list
+    fetched over the wire itself."""
+    from apache_nifi_spark.streaming.s2s_wire import SiteToSiteServer, s2s_peers
+    from apache_nifi_spark.streaming.tls import generate_self_signed
+
+    conn = _conn(server)
+    try:
+        # before attach: discovery answers "S2S disabled", peers 404
+        status, ent = _call(conn, "GET", "/nifi-api/site-to-site")
+        assert status == 200
+        assert ent["controller"]["remoteSiteListeningPort"] is None
+        assert ent["controller"]["siteToSiteSecure"] is False
+        status, _ = _call(conn, "GET", "/nifi-api/site-to-site/peers")
+        assert status == 404
+
+        cert, key = generate_self_signed(str(tmp_path))
+        s2s = SiteToSiteServer(str(tmp_path / "landing"), cert, key)
+        try:
+            server.attach_site_to_site("127.0.0.1", s2s.port, cert)
+            status, ent = _call(conn, "GET", "/nifi-api/site-to-site")
+            assert status == 200
+            assert ent["controller"]["remoteSiteListeningPort"] == s2s.port
+            assert ent["controller"]["siteToSiteSecure"] is True
+            status, peers = _call(conn, "GET", "/nifi-api/site-to-site/peers")
+            assert status == 200
+            wire = s2s_peers("127.0.0.1", s2s.port, cert)
+            assert [(p["hostname"], p["port"], p["secure"]) for p in peers["peers"]] \
+                == [(p["host"], p["port"], p["secure"]) for p in wire]
+            assert peers["peers"][0]["port"] == s2s.port
+        finally:
+            s2s.stop()
+    finally:
+        conn.close()
+
+
+def test_ports_and_controller_service_flow(spark, sf_dir, server):
+    """A flow authored over REST with an output port and a controller
+    service (NiFi's shared-config indirection) must compile to the same
+    result as the direct flow.json import of its committed snapshot."""
+    conn = _conn(server)
+    try:
+        _, g = _call(conn, "POST", "/nifi-api/process-groups/root/process-groups",
+                     {"revision": {"version": 0}, "component": {"name": "psvc"}})
+        gid = g["id"]
+        # controller service carrying the lookup config
+        status, svc = _call(conn, "POST",
+                            f"/nifi-api/process-groups/{gid}/controller-services",
+                            {"revision": {"version": 0},
+                             "component": {"type": "x.CSVRecordLookupService",
+                                           "name": "nation-lookup",
+                                           "config": {"properties": {
+                                               "Lookup Table": "nation",
+                                               "Lookup Columns": "n_name,n_regionkey",
+                                           }}}})
+        assert status == 201 and svc["component"]["state"] == "DISABLED"
+        sid = svc["id"]
+        for pid, ptype, props in (
+            ("src", "x.GetFile", {"Input Directory": "customer"}),
+            ("lk", "x.LookupRecord",
+             {"Lookup Service": sid, "Lookup Key": "c_nationkey",
+              "Lookup Field": "n_nationkey"}),
+        ):
+            _call(conn, "POST", f"/nifi-api/process-groups/{gid}/processors",
+                  {"revision": {"version": 0},
+                   "component": {"id": pid, "type": ptype,
+                                 "config": {"properties": props}}})
+        status, port = _call(conn, "POST",
+                             f"/nifi-api/process-groups/{gid}/output-ports",
+                             {"revision": {"version": 0},
+                              "component": {"id": "out", "name": "enriched"}})
+        assert status == 201 and port["component"]["type"] == "OUTPUT_PORT"
+        for s, d, rels in (("src", "lk", ["success"]), ("lk", "out", ["matched"])):
+            _call(conn, "POST", f"/nifi-api/process-groups/{gid}/connections",
+                  {"revision": {"version": 0},
+                   "component": {"source": {"id": s}, "destination": {"id": d},
+                                 "selectedRelationships": rels}})
+        # starting with the service DISABLED must fail validation (NiFi
+        # refuses to start a processor whose service is not ENABLED)
+        status, payload = _call(conn, "PUT", f"/nifi-api/flow/process-groups/{gid}",
+                                {"state": "RUNNING"})
+        assert status == 400 and "not ENABLED" in payload["error"]
+        # editing while DISABLED is allowed; then enable
+        status, _ = _call(conn, "PUT", f"/nifi-api/controller-services/{sid}",
+                          {"revision": {"version": 0},
+                           "component": {"config": {"properties": {
+                               "Lookup Columns": "n_name"}}}})
+        assert status == 200
+        status, _ = _call(conn, "PUT", f"/nifi-api/controller-services/{sid}/run-status",
+                          {"revision": {"version": 1}, "state": "ENABLED"})
+        assert status == 200
+        # enabled services refuse edits (NiFi lifecycle contract)
+        status, _ = _call(conn, "PUT", f"/nifi-api/controller-services/{sid}",
+                          {"revision": {"version": 2},
+                           "component": {"name": "nope"}})
+        assert status == 409
+        status, run = _call(conn, "PUT", f"/nifi-api/flow/process-groups/{gid}",
+                            {"state": "RUNNING"})
+        assert status == 200 and "enriched.success" in run["outputs"]
+        got = server.outputs(gid)["enriched.success"]
+        # direct import of the committed snapshot value-matches
+        _call(conn, "POST", f"/nifi-api/versions/process-groups/{gid}", {})
+        text = server.registry.get("default", "psvc", 1)
+        want = run_flow_json(spark, sf_dir, text)["enriched.success"]
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+        assert "n_name" in got.columns and "n_regionkey" not in got.columns
+    finally:
+        conn.close()
+
+
+def test_s2s_input_port_ingress(spark, sf_dir, server, tmp_path):
+    """Data pushed over the site-to-site wire into a remote-accessible
+    input port must surface as the port's DataFrame when the group is
+    scheduled RUNNING — the full reference path: REST discovery → wire
+    transaction → landed batch → distributed scan."""
+    import pandas as pd
+
+    from apache_nifi_spark.streaming.s2s_wire import SiteToSiteServer, s2s_send
+    from apache_nifi_spark.streaming.tls import generate_self_signed
+
+    cert, key = generate_self_signed(str(tmp_path))
+    s2s = SiteToSiteServer(str(tmp_path / "landing"), cert, key)
+    conn = _conn(server)
+    try:
+        server.attach_site_to_site(
+            "127.0.0.1", s2s.port, cert, landing_dir=str(tmp_path / "landing")
+        )
+        # push 40 flowfiles over the wire into port "ingest"
+        src = spark.createDataFrame(
+            [(f"k{i}", f"payload-{i}") for i in range(40)], "tag string, content string"
+        ).repartition(4)
+        sent = s2s_send(src, "127.0.0.1", s2s.port, cert, "ingest",
+                        ["tag"], "content", summary=True)
+        assert sent.filter("delivered").count() == 4  # one tx per partition
+        # author: input port "ingest" → output port "landed"
+        _, g = _call(conn, "POST", "/nifi-api/process-groups/root/process-groups",
+                     {"revision": {"version": 0}, "component": {"name": "s2sgrp"}})
+        gid = g["id"]
+        _call(conn, "POST", f"/nifi-api/process-groups/{gid}/input-ports",
+              {"revision": {"version": 0},
+               "component": {"id": "in", "name": "ingest",
+                             "allowRemoteAccess": True}})
+        _call(conn, "POST", f"/nifi-api/process-groups/{gid}/output-ports",
+              {"revision": {"version": 0},
+               "component": {"id": "out", "name": "landed"}})
+        _call(conn, "POST", f"/nifi-api/process-groups/{gid}/connections",
+              {"revision": {"version": 0},
+               "component": {"source": {"id": "in"}, "destination": {"id": "out"}}})
+        status, run = _call(conn, "PUT", f"/nifi-api/flow/process-groups/{gid}",
+                            {"state": "RUNNING"})
+        assert status == 200
+        df = server.outputs(gid)["landed.success"]
+        rows = df.collect()
+        assert len(rows) == 40
+        assert {r["attributes"]["tag"] for r in rows} == {f"k{i}" for i in range(40)}
+        assert {r["content"] for r in rows} == {f"payload-{i}" for i in range(40)}
+    finally:
+        conn.close()
+        s2s.stop()
