@@ -72,4 +72,11 @@ from apache_nifi_spark.llm.multimodal import (  # noqa: F401
     png_pixel_stats,
     encode_png,
     decode_image_pixel_stats,
+    encode_wav,
+    wav_pcm_samples,
+    wav_pcm_stats,
+    decode_audio_pcm_stats,
+    encode_mp4,
+    parse_mp4_metadata,
+    decode_video_mp4_meta,
 )

@@ -768,3 +768,321 @@ def decode_image_pixel_stats(
     return df.select(id_col, content_col).mapInPandas(
         decode, IMAGE_PIXEL_STATS_SCHEMA
     )
+
+
+# ------------------------------------------------------- audio PCM tier ---
+#
+# The sample-level twin of the PNG pixel tier above: REAL 8/16-bit PCM
+# decode from a RIFF/WAVE container — stdlib struct only, the same
+# dependency-free playbook (reference ships stock NiFi 2.7.2, whose
+# media story is content-type routing + external tooling; sample decode
+# is the §2.12 training-pipeline surface).
+
+
+def encode_wav(
+    channel_samples: list[list[int]], sample_rate: int, bits: int = 16
+) -> bytes:
+    """Build a spec-valid PCM WAV from per-channel integer sample lists
+    (16-bit signed little-endian or 8-bit unsigned — the two canonical
+    PCM encodings).  Fixture-synthesis helper, the audio twin of
+    :func:`encode_png`."""
+    import struct as _struct
+
+    nch = len(channel_samples)
+    n = len(channel_samples[0]) if channel_samples else 0
+    assert all(len(ch) == n for ch in channel_samples)
+    if bits == 16:
+        frames = b"".join(
+            _struct.pack("<%dh" % nch, *(ch[i] for ch in channel_samples))
+            for i in range(n)
+        )
+    elif bits == 8:
+        frames = bytes(ch[i] & 0xFF for i in range(n) for ch in channel_samples)
+    else:
+        raise ValueError(f"unsupported bits per sample: {bits}")
+    block_align = nch * (bits // 8)
+    fmt = _struct.pack(
+        "<HHIIHH", 1, nch, sample_rate, sample_rate * block_align, block_align, bits
+    )
+    return (
+        b"RIFF"
+        + _struct.pack("<I", 36 + len(frames))
+        + b"WAVEfmt "
+        + _struct.pack("<I", 16)
+        + fmt
+        + b"data"
+        + _struct.pack("<I", len(frames))
+        + frames
+    )
+
+
+def wav_pcm_samples(payload: bytes):
+    """REAL sample-level PCM decode: (channels, sample_rate_hz,
+    bits_per_sample, per_channel_samples) from a RIFF/WAVE payload, or
+    None when the payload is not decodable in-scope PCM (non-RIFF,
+    compressed codec, or an unsupported bit depth).
+
+    16-bit samples are signed little-endian, 8-bit unsigned 0..255 —
+    both per the public WAV spec.  De-interleaving is exact: frame i,
+    channel c is sample ``i*nch + c``."""
+    import struct as _struct
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt_tag = channels = rate = bits = block_align = None
+    data: bytes | None = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        size = _struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        if tag == b"fmt " and pos + 24 <= len(payload):
+            fmt_tag, channels, rate = _struct.unpack(
+                "<HHI", payload[pos + 8 : pos + 16]
+            )
+            block_align, bits = _struct.unpack("<HH", payload[pos + 20 : pos + 24])
+        elif tag == b"data":
+            data = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if (
+        fmt_tag != 1  # PCM only; compressed codecs are out of scope
+        or not channels
+        or not rate
+        or bits not in (8, 16)
+        or data is None
+        or block_align != channels * (bits // 8)
+    ):
+        return None
+    n_frames = len(data) // block_align
+    data = data[: n_frames * block_align]
+    if bits == 16:
+        flat = _struct.unpack("<%dh" % (n_frames * channels), data)
+    else:
+        flat = data  # bytes: unsigned 8-bit
+    per_channel = [list(flat[c :: channels]) for c in range(channels)]
+    return channels, rate, bits, per_channel
+
+
+def wav_pcm_stats(payload: bytes):
+    """(channels, sample_rate_hz, n_frames, sum_ch0, sumsq_amp,
+    peak_amp) from a real sample decode, or None.  All fields are exact
+    integers — differential-oracle friendly: ``sum_ch0`` (first-channel
+    sum) proves the de-interleave, ``sumsq_amp``/``peak_amp`` fold every
+    channel."""
+    decoded = wav_pcm_samples(payload)
+    if decoded is None:
+        return None
+    channels, rate, _bits, per_channel = decoded
+    n = len(per_channel[0]) if per_channel else 0
+    sum_ch0 = sum(per_channel[0]) if per_channel else 0
+    sumsq = sum(v * v for ch in per_channel for v in ch)
+    peak = max((abs(v) for ch in per_channel for v in ch), default=0)
+    return channels, rate, n, sum_ch0, sumsq, peak
+
+
+#: output schema of the PCM sample-statistics decoder
+AUDIO_PCM_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate_hz", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("sum_ch0", LongType()),
+        StructField("sumsq_amp", LongType()),
+        StructField("peak_amp", IntegerType()),
+    ]
+)
+
+
+def decode_audio_pcm_stats(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """Sample-statistics decode over a binary audio column, Arrow-batched
+    (mapInPandas — executor-parallel, bounded batch memory).  Rows whose
+    payload is not decodable in-scope PCM are dropped (the
+    undecodable→failure route), mirroring
+    :func:`decode_image_pixel_stats`."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_PCM_STATS_SCHEMA.fields}
+            for doc_id, payload in zip(pdf[id_col], pdf[content_col]):
+                stats = wav_pcm_stats(bytes(payload) if payload is not None else b"")
+                if stats is None:
+                    continue
+                ch, rate, n, s0, ssq, pk = stats
+                out["doc_id"].append(doc_id)
+                out["channels"].append(ch)
+                out["sample_rate_hz"].append(rate)
+                out["n_frames"].append(n)
+                out["sum_ch0"].append(s0)
+                out["sumsq_amp"].append(ssq)
+                out["peak_amp"].append(pk)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(
+        decode, AUDIO_PCM_STATS_SCHEMA
+    )
+
+
+# ------------------------------------------------- video container tier ---
+#
+# MP4 / ISO-BMFF (ISO/IEC 14496-12) box walk — the container-level
+# metadata tier for non-GIF video: brand, movie timescale/duration,
+# track table with handler types.  Pure stdlib struct, same playbook as
+# the RIFF/PNG walkers above.  Frame PIXEL decode (codec territory)
+# remains the documented external-tooling seam.
+
+
+def encode_mp4(
+    brand: bytes, timescale: int, duration: int, tracks: list[bytes]
+) -> bytes:
+    """Build a minimal spec-valid ISO-BMFF metadata skeleton:
+    ftyp + moov(mvhd + trak(tkhd + mdia(hdlr))*).  ``tracks`` is a list
+    of 4-byte handler types (b'vide'/b'soun').  Fixture-synthesis
+    helper, the video twin of :func:`encode_wav`."""
+    import struct as _struct
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return _struct.pack(">I", 8 + len(body)) + btype + body
+
+    ftyp = box(b"ftyp", brand + _struct.pack(">I", 0) + brand)
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + _struct.pack(">II", 0, 0)  # creation/modification
+        + _struct.pack(">II", timescale, duration)
+        + _struct.pack(">I", 0x00010000)  # rate 1.0
+        + _struct.pack(">H", 0x0100)  # volume 1.0
+        + b"\x00" * 10  # reserved
+        + b"\x00" * 36  # matrix
+        + b"\x00" * 24  # pre_defined
+        + _struct.pack(">I", len(tracks) + 1),  # next_track_ID
+    )
+    traks = b""
+    for i, handler in enumerate(tracks):
+        tkhd = box(
+            b"tkhd",
+            b"\x00\x00\x00\x07"  # version 0, flags: enabled|in-movie|in-preview
+            + _struct.pack(">II", 0, 0)
+            + _struct.pack(">I", i + 1)  # track_ID
+            + b"\x00" * 4
+            + _struct.pack(">I", duration)
+            + b"\x00" * 60,
+        )
+        hdlr = box(
+            b"hdlr",
+            b"\x00\x00\x00\x00" + b"\x00" * 4 + handler + b"\x00" * 12 + b"\x00",
+        )
+        traks += box(b"trak", tkhd + box(b"mdia", hdlr))
+    return ftyp + box(b"moov", mvhd + traks)
+
+
+def _bmff_boxes(payload: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) walking a box list — handles
+    the spec's three size encodings (32-bit, 64-bit largesize, 0 = to
+    end of enclosing box)."""
+    import struct as _struct
+
+    pos = start
+    while pos + 8 <= end:
+        size = _struct.unpack(">I", payload[pos : pos + 4])[0]
+        btype = payload[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize follows the type
+            if body + 8 > end:
+                return
+            size = _struct.unpack(">Q", payload[body : body + 8])[0]
+            body += 8
+            box_end = pos + size
+        elif size == 0:  # box extends to the end of its container
+            box_end = end
+        else:
+            box_end = pos + size
+        if box_end < body or box_end > end:
+            return  # malformed size: stop cleanly
+        yield btype, body, box_end
+        pos = box_end
+
+
+def parse_mp4_metadata(payload: bytes):
+    """Container-level MP4/ISO-BMFF metadata: (major_brand, timescale,
+    duration_ms, track handler list) from the box tree, or None when the
+    payload is not ISO-BMFF (no leading ftyp) or carries no movie
+    header.  Handler types outside vide/soun pass through verbatim
+    (e.g. 'text', 'meta')."""
+    import struct as _struct
+
+    top = list(_bmff_boxes(payload, 0, len(payload)))
+    if not top or top[0][0] != b"ftyp":
+        return None
+    brand = payload[top[0][1] : top[0][1] + 4].decode("latin-1")
+    timescale = duration = None
+    handlers: list[str] = []
+    for btype, b0, b1 in top:
+        if btype != b"moov":
+            continue
+        for mtype, m0, m1 in _bmff_boxes(payload, b0, b1):
+            if mtype == b"mvhd" and m0 + 20 <= m1:
+                version = payload[m0]
+                if version == 1:  # 64-bit creation/modification/duration
+                    timescale = _struct.unpack(">I", payload[m0 + 20 : m0 + 24])[0]
+                    duration = _struct.unpack(">Q", payload[m0 + 24 : m0 + 32])[0]
+                else:
+                    timescale, duration = _struct.unpack(
+                        ">II", payload[m0 + 12 : m0 + 20]
+                    )
+            elif mtype == b"trak":
+                handler = "?"
+                for ttype, t0, t1 in _bmff_boxes(payload, m0, m1):
+                    if ttype != b"mdia":
+                        continue
+                    for dtype, d0, _d1 in _bmff_boxes(payload, t0, t1):
+                        if dtype == b"hdlr" and d0 + 12 <= t1:
+                            handler = payload[d0 + 8 : d0 + 12].decode("latin-1")
+                handlers.append(handler)
+    if timescale in (None, 0):
+        return None
+    return brand, timescale, duration * 1000 // timescale, handlers
+
+
+#: output schema of the MP4 metadata extractor
+VIDEO_MP4_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("brand", StringType()),
+        StructField("timescale", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("n_tracks", IntegerType()),
+        StructField("n_video", IntegerType()),
+        StructField("n_audio", IntegerType()),
+    ]
+)
+
+
+def decode_video_mp4_meta(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """MP4 container metadata over a binary column, Arrow-batched
+    (mapInPandas).  Non-ISO-BMFF rows are dropped (the
+    undecodable→failure route)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in VIDEO_MP4_META_SCHEMA.fields}
+            for doc_id, payload in zip(pdf[id_col], pdf[content_col]):
+                meta = parse_mp4_metadata(
+                    bytes(payload) if payload is not None else b""
+                )
+                if meta is None:
+                    continue
+                brand, timescale, duration_ms, handlers = meta
+                out["doc_id"].append(doc_id)
+                out["brand"].append(brand)
+                out["timescale"].append(timescale)
+                out["duration_ms"].append(duration_ms)
+                out["n_tracks"].append(len(handlers))
+                out["n_video"].append(sum(1 for h in handlers if h == "vide"))
+                out["n_audio"].append(sum(1 for h in handlers if h == "soun"))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(decode, VIDEO_MP4_META_SCHEMA)

@@ -1012,3 +1012,103 @@ def test_substring_span_dedup_flags_boilerplate(spark):
     assert got[3]["kept"] is True
     # shared-count algebra: n_shared <= n_windows everywhere
     assert all(r["n_shared"] <= r["n_windows"] for r in got.values())
+
+
+def test_wav_pcm_roundtrip_16_and_8_bit():
+    """encode→decode must be sample-exact for both canonical PCM
+    encodings, with exact de-interleave; non-PCM and truncated payloads
+    are rejected."""
+    from apache_nifi_spark.llm import encode_wav, wav_pcm_samples, wav_pcm_stats
+
+    stereo = [[-1024, 0, 1023, -7, 300], [5, -5, 900, -900, 0]]
+    payload = encode_wav(stereo, 16000)
+    ch, rate, bits, got = wav_pcm_samples(payload)
+    assert (ch, rate, bits) == (2, 16000, 16)
+    assert got == stereo
+    stats = wav_pcm_stats(payload)
+    assert stats == (
+        2, 16000, 5,
+        sum(stereo[0]),
+        sum(v * v for c in stereo for v in c),
+        1024,
+    )
+    mono8 = [[0, 128, 255, 17]]
+    ch, rate, bits, got = wav_pcm_samples(encode_wav(mono8, 8000, bits=8))
+    assert (ch, rate, bits) == (1, 8000, 8) and got == mono8
+    assert wav_pcm_samples(b"not a wav at all, nope" * 3) is None
+    # compressed codec (fmt tag != 1) must be rejected, not mis-decoded
+    import struct
+    bad = bytearray(encode_wav(mono8, 8000, bits=8))
+    struct.pack_into("<H", bad, 20, 85)  # fmt tag = MP3
+    assert wav_pcm_samples(bytes(bad)) is None
+
+
+def test_decode_audio_pcm_stats_spark(spark):
+    from apache_nifi_spark.llm import decode_audio_pcm_stats, encode_wav
+
+    rows = []
+    for d in range(5):
+        chans = [[(d * 31 + i * 3 - 40) for i in range(8)] for _ in range(1 + d % 2)]
+        rows.append((d, encode_wav(chans, 44100)))
+    rows.append((99, b"junk"))  # undecodable → dropped
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r["doc_id"]: r for r in decode_audio_pcm_stats(df).collect()}
+    assert set(got) == set(range(5))
+    for d in range(5):
+        base = [(d * 31 + i * 3 - 40) for i in range(8)]
+        nch = 1 + d % 2
+        assert got[d]["channels"] == nch and got[d]["n_frames"] == 8
+        assert got[d]["sum_ch0"] == sum(base)
+        assert got[d]["sumsq_amp"] == nch * sum(v * v for v in base)
+        assert got[d]["peak_amp"] == max(abs(v) for v in base)
+
+
+def test_mp4_box_walk_roundtrip_and_edge_sizes():
+    """encode→parse must round-trip brand/timescale/duration/tracks;
+    the walker must also handle the spec's 64-bit largesize and
+    size=0 (to-end) encodings, mvhd version 1, and reject non-BMFF."""
+    import struct
+
+    from apache_nifi_spark.llm import encode_mp4, parse_mp4_metadata
+
+    p = encode_mp4(b"isom", 600, 6000, [b"vide", b"soun"])
+    brand, ts, ms, handlers = parse_mp4_metadata(p)
+    assert (brand, ts, ms, handlers) == ("isom", 600, 10000, ["vide", "soun"])
+    assert parse_mp4_metadata(b"\x00\x00\x00\x08free" + p) is None  # no leading ftyp
+    assert parse_mp4_metadata(b"RIFF....WAVE") is None
+
+    # rebuild moov with a 64-bit largesize header: size=1 + 8-byte size
+    ftyp_len = struct.unpack(">I", p[:4])[0]
+    ftyp, moov = p[:ftyp_len], p[ftyp_len:]
+    body = moov[8:]
+    large = struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 16 + len(body)) + body
+    assert parse_mp4_metadata(ftyp + large)[1:3] == (600, 10000)
+    # size=0: moov extends to end of file
+    tail = struct.pack(">I", 0) + b"moov" + body
+    assert parse_mp4_metadata(ftyp + tail)[3] == ["vide", "soun"]
+
+    # mvhd version 1 (64-bit times): timescale at +20, duration 64-bit
+    mvhd_v1 = (
+        b"\x01\x00\x00\x00" + struct.pack(">QQ", 0, 0)
+        + struct.pack(">I", 90000) + struct.pack(">Q", 450000)
+        + b"\x00" * 80
+    )
+    mvhd_box = struct.pack(">I", 8 + len(mvhd_v1)) + b"mvhd" + mvhd_v1
+    moov_v1 = struct.pack(">I", 8 + len(mvhd_box)) + b"moov" + mvhd_box
+    brand, ts, ms, handlers = parse_mp4_metadata(ftyp + moov_v1)
+    assert (ts, ms, handlers) == (90000, 5000, [])
+
+
+def test_decode_video_mp4_meta_spark(spark):
+    from apache_nifi_spark.llm import decode_video_mp4_meta, encode_mp4
+
+    rows = [
+        (0, encode_mp4(b"mp42", 1000, 2500, [b"vide"])),
+        (1, encode_mp4(b"isom", 600, 1200, [b"vide", b"soun", b"text"])),
+        (9, b"not an mp4"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r["doc_id"]: r for r in decode_video_mp4_meta(df).collect()}
+    assert set(got) == {0, 1}
+    assert got[0]["brand"] == "mp42" and got[0]["duration_ms"] == 2500
+    assert (got[1]["n_tracks"], got[1]["n_video"], got[1]["n_audio"]) == (3, 1, 1)
