@@ -2123,7 +2123,11 @@ def dedup_semantic_q(spark, sf_dir):
     so the keep/drop boundary is IEEE-identical to the oracle."""
     from apache_nifi_spark.llm import semantic_dedup
 
-    e = _t(spark, sf_dir, "embeddings")
+    # widen: the embeddings fixture is a near-single-split parquet, and
+    # both the literal-centroid scoring fold and the pair sweep are
+    # CPU-bound per row (fixed-point arithmetic is partition-invariant,
+    # so the widening cannot change a single bit of the result)
+    e = io.widen_if_narrow(_t(spark, sf_dir, "embeddings"))
     return semantic_dedup(e, id_col="vec_id", vec_col="embedding", eps=0.3)
 
 
@@ -2136,7 +2140,7 @@ def cluster_kmeans_q(spark, sf_dir):
     partial-sum update, iterations unrolled lazily, zero collects."""
     from apache_nifi_spark.llm import kmeans_fixed_point
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = io.widen_if_narrow(_t(spark, sf_dir, "embeddings"))
     return kmeans_fixed_point(e, id_col="vec_id", vec_col="embedding")
 
 

@@ -74,8 +74,19 @@ def run_bench(sf_dir: str) -> dict:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    # Warm the JVM + parquet footers once with the flagship.
-    QUERIES["flagship_revenue"](spark, sf_dir).collect()
+    # Warm the JVM + parquet footers + JIT: C2 compilation is
+    # asynchronous, so back-to-back best-of-2 runs at session start still
+    # measure interpreter-tier codegen — the first half-dozen registered
+    # queries (q1/flagship/route_*) were drifting 2-3× for exactly this
+    # reason.  A few seconds of representative execution (scan + join +
+    # agg + decimal paths) before the loop absorbs it.
+    for _ in range(2):
+        QUERIES["flagship_revenue"](spark, sf_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        QUERIES["q1_pricing_summary"](spark, sf_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
 
     # Best-of-2 per query, mirroring the DuckDB baseline protocol
     # (BASELINE.md §B: duck timings are best-of-2 so the first run absorbs

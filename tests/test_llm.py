@@ -1112,3 +1112,27 @@ def test_decode_video_mp4_meta_spark(spark):
     assert set(got) == {0, 1}
     assert got[0]["brand"] == "mp42" and got[0]["duration_ms"] == 2500
     assert (got[1]["n_tracks"], got[1]["n_video"], got[1]["n_audio"]) == (3, 1, 1)
+
+
+def test_semantic_dedup_auto_k(spark):
+    """k='auto' sizes the blocking to ceil(n/target_cell) with a floor of
+    8 — on a small corpus it must reproduce the k=8 result exactly, and
+    on a larger-than-target corpus it must pick more cells."""
+    from apache_nifi_spark.llm import semantic_dedup
+
+    # + i/1000 keeps every vector DISTINCT after the engine's ×1000
+    # quantization (vectors would otherwise repeat with period 13 and the
+    # singleton-cell case below would legitimately drop duplicates)
+    rows = [
+        (i, [(i * 7 + d) % 13 + i / 1000 for d in range(4)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    fixed = {tuple(r) for r in semantic_dedup(df, k=8, iters=2).collect()}
+    auto = {tuple(r) for r in semantic_dedup(df, k="auto", iters=2).collect()}
+    assert auto == fixed  # 60 docs / 10k target → floor k=8
+    # target_cell=1 → k=n: every doc seeds its own singleton cell, so no
+    # pairs exist and everything is kept — fully deterministic
+    solo = semantic_dedup(df, k="auto", iters=2, target_cell=1)
+    got = solo.collect()
+    assert len(got) == 60 and all(r["kept"] for r in got)
+    assert len({r["cluster"] for r in got}) == 60
