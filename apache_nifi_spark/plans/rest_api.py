@@ -33,7 +33,19 @@ REST API):
 ``POST   /nifi-api/process-groups/{id}/controller-services`` create service
 ``GET/PUT/DELETE /nifi-api/controller-services/{id}``        service entity
 ``PUT    /nifi-api/controller-services/{id}/run-status``     enable / disable
+``POST   /nifi-api/parameter-contexts``                      create context
+``GET/PUT/DELETE /nifi-api/parameter-contexts/{id}``         context entity
+``PUT    /nifi-api/process-groups/{id}``                     rename / bind context
+``GET    /nifi-api/flow/status``                             component counts
+``GET    /nifi-api/system-diagnostics``                      live JVM snapshot
 ==========================================================  ============
+
+Parameter contexts are NiFi's flow/config separation: ``#{name}``
+placeholders in processor and controller-service properties bind through
+the group's assigned context at compile-on-start (unresolvable → 400);
+version-control snapshots carry the placeholders and the context NAME,
+never the values; sensitive parameter values are write-only (reads
+answer null).
 
 Ports are group-boundary identity nodes (data crosses process-group
 boundaries only through ports); a remote-accessible input port bound to
@@ -125,6 +137,8 @@ class NiFiApiServer:
         self._outputs: dict[str, dict[str, DataFrame]] = {}
         self._version_buckets: dict[str, str] = {}  # group id → registry bucket
         self._s2s: dict[str, Any] | None = None  # attached S2S wire endpoint
+        self._param_contexts: dict[str, dict] = {}  # id → {name, parameters}
+        self._group_context: dict[str, str] = {}  # group id → context id
 
         api = self
 
@@ -263,6 +277,23 @@ class NiFiApiServer:
                     return self._update_service(m.group(1), body)
                 if method == "DELETE":
                     return self._delete_component(m.group(1), "services", query)
+            if path == "/nifi-api/parameter-contexts" and method == "POST":
+                return self._create_param_context(body)
+            m = re.fullmatch(r"/nifi-api/parameter-contexts/([^/]+)", path)
+            if m:
+                if method == "GET":
+                    return self._get_param_context(m.group(1))
+                if method == "PUT":
+                    return self._update_param_context(m.group(1), body)
+                if method == "DELETE":
+                    return self._delete_param_context(m.group(1), query)
+            m = re.fullmatch(r"/nifi-api/process-groups/([^/]+)", path)
+            if m and method == "PUT":
+                return self._update_group(m.group(1), body)
+            if path == "/nifi-api/flow/status" and method == "GET":
+                return self._flow_status()
+            if path == "/nifi-api/system-diagnostics" and method == "GET":
+                return self._system_diagnostics()
             m = re.fullmatch(r"/nifi-api/process-groups/([^/]+)/funnels", path)
             if m and method == "POST":
                 # funnels are identity many-in/one-out nodes; the importer
@@ -585,6 +616,210 @@ class NiFiApiServer:
         self._revisions[sid] += 1
         return 200, self._entity(sid, dict(s))
 
+    # -------------------------------------------------- parameter contexts --
+
+    def _pc_entity(self, pcid: str) -> dict:
+        """Context entity with NiFi's sensitive-value contract: sensitive
+        parameter VALUES are write-only — reads answer null."""
+        pc = self._param_contexts[pcid]
+        return self._entity(
+            pcid,
+            {
+                "name": pc["name"],
+                "parameters": [
+                    {
+                        "parameter": {
+                            "name": n,
+                            "value": None if p["sensitive"] else p["value"],
+                            "sensitive": p["sensitive"],
+                        }
+                    }
+                    for n, p in sorted(pc["parameters"].items())
+                ],
+            },
+        )
+
+    @staticmethod
+    def _parse_params(comp: dict) -> dict[str, dict]:
+        out = {}
+        for entry in comp.get("parameters") or []:
+            p = entry.get("parameter") or {}
+            if not p.get("name"):
+                raise _ApiError(400, "parameter without a name")
+            out[p["name"]] = {
+                "value": p.get("value"),
+                "sensitive": bool(p.get("sensitive")),
+            }
+        return out
+
+    def _create_param_context(self, body: dict) -> tuple[int, dict]:
+        comp = body.get("component") or {}
+        if int((body.get("revision") or {}).get("version", -1)) != 0:
+            raise _ApiError(400, "create requires revision.version == 0")
+        if not comp.get("name"):
+            raise _ApiError(400, "parameter context needs component.name")
+        pcid = comp.get("id") or f"pc-{uuid.uuid4().hex[:12]}"
+        if pcid in self._revisions:
+            raise _ApiError(400, f"component id {pcid!r} already exists")
+        self._param_contexts[pcid] = {
+            "name": comp["name"],
+            "parameters": self._parse_params(comp),
+        }
+        self._revisions[pcid] = 0
+        return 201, self._pc_entity(pcid)
+
+    def _get_param_context(self, pcid: str) -> tuple[int, dict]:
+        if pcid not in self._param_contexts:
+            raise _ApiError(404, f"unknown parameter context {pcid!r}")
+        return 200, self._pc_entity(pcid)
+
+    def _update_param_context(self, pcid: str, body: dict) -> tuple[int, dict]:
+        if pcid not in self._param_contexts:
+            raise _ApiError(404, f"unknown parameter context {pcid!r}")
+        self._check_revision(pcid, (body.get("revision") or {}).get("version"))
+        comp = body.get("component") or {}
+        pc = self._param_contexts[pcid]
+        if "name" in comp:
+            pc["name"] = comp["name"]
+        # merge semantics mirror processor properties: present names
+        # update/add, an explicit null VALUE removes the parameter
+        for entry in comp.get("parameters") or []:
+            p = entry.get("parameter") or {}
+            if not p.get("name"):
+                raise _ApiError(400, "parameter without a name")
+            if p.get("value") is None:
+                pc["parameters"].pop(p["name"], None)
+            else:
+                pc["parameters"][p["name"]] = {
+                    "value": p.get("value"),
+                    "sensitive": bool(p.get("sensitive")),
+                }
+        self._revisions[pcid] += 1
+        return 200, self._pc_entity(pcid)
+
+    def _delete_param_context(self, pcid: str, query: dict) -> tuple[int, dict]:
+        if pcid not in self._param_contexts:
+            raise _ApiError(404, f"unknown parameter context {pcid!r}")
+        self._check_revision(pcid, query.get("version"))
+        bound = [g for g, c in self._group_context.items() if c == pcid]
+        if bound:
+            raise _ApiError(
+                409, f"parameter context {pcid!r} is bound to groups {bound}"
+            )
+        del self._param_contexts[pcid]
+        del self._revisions[pcid]
+        return 200, {"id": pcid}
+
+    def _update_group(self, gid: str, body: dict) -> tuple[int, dict]:
+        g = self._group(gid)
+        self._check_revision(gid, (body.get("revision") or {}).get("version"))
+        comp = body.get("component") or {}
+        if "name" in comp:
+            g["name"] = comp["name"]
+        pc_ref = comp.get("parameterContext")
+        if pc_ref is not None:
+            pcid = (pc_ref or {}).get("id")
+            if pcid is None:  # explicit null reference unbinds
+                self._group_context.pop(gid, None)
+            elif pcid not in self._param_contexts:
+                raise _ApiError(400, f"unknown parameter context {pcid!r}")
+            else:
+                self._group_context[gid] = pcid
+        self._revisions[gid] += 1
+        ent = {"name": g["name"]}
+        if gid in self._group_context:
+            pcid = self._group_context[gid]
+            ent["parameterContext"] = {
+                "id": pcid, "name": self._param_contexts[pcid]["name"]
+            }
+        return 200, self._entity(gid, ent)
+
+    def _resolve_parameters(self, gid: str, contents: dict) -> dict:
+        """Bind ``#{name}`` placeholders in processor/service properties
+        through the group's parameter context at compile time — NiFi's
+        start-time parameter resolution.  An unresolvable reference is a
+        validation error (400), same as NiFi's invalid state."""
+        import re as _re
+
+        pcid = self._group_context.get(gid)
+        params = (
+            self._param_contexts[pcid]["parameters"] if pcid is not None else {}
+        )
+
+        def sub(value: str, where: str) -> str:
+            def repl(m: "_re.Match[str]") -> str:
+                name = m.group(1)
+                if name not in params:
+                    raise _ApiError(
+                        400,
+                        f"{where}: unresolvable parameter reference "
+                        f"#{{{name}}} (no parameter context bound)"
+                        if pcid is None
+                        else f"{where}: parameter {name!r} is not defined in "
+                        f"context {self._param_contexts[pcid]['name']!r}",
+                    )
+                return str(params[name]["value"])
+
+            return _re.sub(r"#\{([A-Za-z0-9_.\- ]+)\}", repl, value)
+
+        out = dict(contents)
+        for kind in ("processors", "controllerServices"):
+            rows = []
+            for p in contents.get(kind, []):
+                props = {
+                    k: sub(v, p.get("name") or p["identifier"])
+                    if isinstance(v, str) and "#{" in v
+                    else v
+                    for k, v in (p.get("properties") or {}).items()
+                }
+                rows.append(dict(p, properties=props))
+            out[kind] = rows
+        return out
+
+    # ------------------------------------------------------- flow status --
+
+    def _flow_status(self) -> tuple[int, dict]:
+        running = sum(1 for s in self._state.values() if s == "RUNNING")
+        stopped = sum(1 for s in self._state.values() if s == "STOPPED")
+        return 200, {
+            "controllerStatus": {
+                "activeThreadCount": 0,
+                "runningCount": running,
+                "stoppedCount": stopped,
+                "invalidCount": 0,
+                "flowFilesQueued": 0,  # compiled plans hold no queues
+                "componentCounts": {
+                    "processors": sum(
+                        len(g["processors"]) for g in self._groups.values()
+                    ),
+                    "connections": sum(
+                        len(g["connections"]) for g in self._groups.values()
+                    ),
+                    "ports": sum(len(g["ports"]) for g in self._groups.values()),
+                    "controllerServices": sum(
+                        len(g["services"]) for g in self._groups.values()
+                    ),
+                    "processGroups": len(self._groups) - 1,  # minus root
+                },
+            }
+        }
+
+    def _system_diagnostics(self) -> tuple[int, dict]:
+        """Live engine diagnostics off the actual Spark driver JVM."""
+        sc = self.spark.sparkContext
+        rt = sc._jvm.Runtime.getRuntime()  # type: ignore[union-attr]
+        return 200, {
+            "systemDiagnostics": {
+                "aggregateSnapshot": {
+                    "availableProcessors": sc.defaultParallelism,
+                    "maxHeapBytes": int(rt.maxMemory()),
+                    "totalHeapBytes": int(rt.totalMemory()),
+                    "freeHeapBytes": int(rt.freeMemory()),
+                    "engine": f"spark-{self.spark.version}",
+                }
+            }
+        }
+
     # -------------------------------------------------------- connections --
 
     def _create_connection(self, gid: str, body: dict) -> tuple[int, dict]:
@@ -617,8 +852,17 @@ class NiFiApiServer:
 
     def _flow_contents(self, gid: str) -> dict:
         g = self._group(gid)
+        pcid = self._group_context.get(gid)
         return {
             "name": g["name"],
+            # snapshots carry the context NAME and raw #{...} placeholders
+            # (values live in the context, never in version control —
+            # NiFi's parameter/flow separation)
+            **(
+                {"parameterContextName": self._param_contexts[pcid]["name"]}
+                if pcid is not None
+                else {}
+            ),
             "processors": [dict(p) for p in g["processors"].values()],
             "connections": [
                 dict(c, identifier=cid) for cid, c in g["connections"].items()
@@ -647,7 +891,10 @@ class NiFiApiServer:
             raise _ApiError(400, f"state must be RUNNING or STOPPED, got {state!r}")
         contents = self._flow_contents(gid)
         if state == "RUNNING":
-            # compile-on-start: validation errors answer 400 (see _route)
+            # compile-on-start: validation errors answer 400 (see _route);
+            # #{param} references bind through the group's parameter
+            # context here — NiFi's start-time resolution
+            contents = self._resolve_parameters(gid, contents)
             outs = run_flow(
                 self.spark,
                 self.sf_dir,

@@ -8883,6 +8883,95 @@ def rest_ports_service_flow_q(spark, sf_dir):
 
 
 @register(
+    "rest_parameter_context_flow",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer WHERE c_acctbal > 5000 GROUP BY c_mktsegment
+    """,
+)
+def rest_parameter_context_q(spark, sf_dir):
+    """Parameter contexts over the REST control plane (§2.13/§3.1
+    [2.7.2-surface]): the flow's table name and filter threshold live in
+    a parameter context — ``#{src.table}`` / ``#{min.balance}``
+    placeholders in the processor properties bind through the group's
+    bound context at compile-on-start (NiFi's flow/config separation;
+    snapshots carry placeholders, values never enter version control).
+    Oracle: the parameter-resolved aggregation itself."""
+    import http.client
+    import json as _json
+    import urllib.parse
+
+    from apache_nifi_spark.plans.rest_api import NiFiApiServer
+
+    cache_key = (spark.sparkContext.applicationId, sf_dir, "rest_param_ctx")
+    if cache_key in _MEGA_CACHE:
+        return _MEGA_CACHE[cache_key]
+    server = NiFiApiServer(spark, sf_dir)
+    try:
+        u = urllib.parse.urlsplit(server.url)
+        conn = http.client.HTTPConnection(u.hostname, u.port, timeout=30)
+
+        def call(method, path, body=None):
+            payload = _json.dumps(body).encode() if body is not None else None
+            conn.request(
+                method, path, body=payload,
+                headers={"Content-Type": "application/json"} if payload else {},
+            )
+            resp = conn.getresponse()
+            out = _json.loads(resp.read() or b"{}")
+            assert resp.status < 300, (resp.status, out)
+            return out
+
+        try:
+            pc = call("POST", "/nifi-api/parameter-contexts",
+                      {"revision": {"version": 0},
+                       "component": {"name": "bench-env", "parameters": [
+                           {"parameter": {"name": "src.table",
+                                          "value": "customer"}},
+                           {"parameter": {"name": "min.balance",
+                                          "value": "5000"}},
+                       ]}})
+            g = call("POST", "/nifi-api/process-groups/root/process-groups",
+                     {"revision": {"version": 0}, "component": {"name": "pctx"}})
+            gid = g["id"]
+            call("PUT", f"/nifi-api/process-groups/{gid}",
+                 {"revision": {"version": 0},
+                  "component": {"parameterContext": {"id": pc["id"]}}})
+            call("POST", f"/nifi-api/process-groups/{gid}/processors",
+                 {"revision": {"version": 0},
+                  "component": {"id": "src", "type": "x.GetFile",
+                                "config": {"properties": {
+                                    "Input Directory": "#{src.table}"}}}})
+            call("POST", f"/nifi-api/process-groups/{gid}/processors",
+                 {"revision": {"version": 0},
+                  "component": {"id": "agg", "type": "x.QueryRecord",
+                                "config": {"properties": {
+                                    "by_segment":
+                                    "SELECT c_mktsegment,"
+                                    " CAST(COUNT(*) AS BIGINT) AS n,"
+                                    " CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))"
+                                    "  AS DOUBLE) AS total_bal"
+                                    " FROM FLOWFILE"
+                                    " WHERE c_acctbal > #{min.balance}"
+                                    " GROUP BY c_mktsegment"}}}})
+            call("POST", f"/nifi-api/process-groups/{gid}/connections",
+                 {"revision": {"version": 0},
+                  "component": {"source": {"id": "src"},
+                                "destination": {"id": "agg"},
+                                "selectedRelationships": ["success"]}})
+            call("PUT", f"/nifi-api/flow/process-groups/{gid}",
+                 {"state": "RUNNING"})
+        finally:
+            conn.close()
+        _MEGA_CACHE[cache_key] = server.outputs(gid)["agg.by_segment"]
+        return _MEGA_CACHE[cache_key]
+    finally:
+        server.stop()
+
+
+@register(
     "mega_flow_fork_join",
     oracle="""
     SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n,

@@ -343,3 +343,96 @@ def test_s2s_input_port_ingress(spark, sf_dir, server, tmp_path):
     finally:
         conn.close()
         s2s.stop()
+
+
+def test_parameter_contexts_bind_at_start(spark, sf_dir, server):
+    """NiFi's flow/config separation over REST: #{param} placeholders in
+    processor properties resolve through the group's bound parameter
+    context at compile-on-start; unresolvable references answer 400;
+    sensitive values are write-only; snapshots carry placeholders."""
+    conn = _conn(server)
+    try:
+        status, pc = _call(conn, "POST", "/nifi-api/parameter-contexts",
+                           {"revision": {"version": 0},
+                            "component": {"name": "env",
+                                          "parameters": [
+                                              {"parameter": {"name": "src.table",
+                                                             "value": "region"}},
+                                              {"parameter": {"name": "api.key",
+                                                             "value": "s3cr3t",
+                                                             "sensitive": True}},
+                                          ]}})
+        assert status == 201
+        pcid = pc["id"]
+        # sensitive values never read back
+        _, got = _call(conn, "GET", f"/nifi-api/parameter-contexts/{pcid}")
+        vals = {p["parameter"]["name"]: p["parameter"]["value"]
+                for p in got["component"]["parameters"]}
+        assert vals == {"src.table": "region", "api.key": None}
+
+        _, g = _call(conn, "POST", "/nifi-api/process-groups/root/process-groups",
+                     {"revision": {"version": 0}, "component": {"name": "par"}})
+        gid = g["id"]
+        _call(conn, "POST", f"/nifi-api/process-groups/{gid}/processors",
+              {"revision": {"version": 0},
+               "component": {"id": "src", "type": "x.GetFile",
+                             "config": {"properties":
+                                        {"Input Directory": "#{src.table}"}}}})
+        # start WITHOUT a bound context → 400 unresolvable
+        status, payload = _call(conn, "PUT", f"/nifi-api/flow/process-groups/{gid}",
+                                {"state": "RUNNING"})
+        assert status == 400 and "src.table" in payload["error"]
+        # bind the context (group entity PUT), then start resolves
+        status, ent = _call(conn, "PUT", f"/nifi-api/process-groups/{gid}",
+                            {"revision": {"version": 0},
+                             "component": {"parameterContext": {"id": pcid}}})
+        assert status == 200 and ent["component"]["parameterContext"]["name"] == "env"
+        status, run = _call(conn, "PUT", f"/nifi-api/flow/process-groups/{gid}",
+                            {"state": "RUNNING"})
+        assert status == 200
+        assert server.outputs(gid)["src.success"].count() == 5  # region rows
+        # snapshot carries the placeholder + context name, not the value
+        _, flow = _call(conn, "GET", f"/nifi-api/flow/process-groups/{gid}")
+        contents = flow["processGroupFlow"]["flowContents"]
+        assert contents["parameterContextName"] == "env"
+        assert contents["processors"][0]["properties"]["Input Directory"] \
+            == "#{src.table}"
+        # a context bound to a group refuses deletion
+        status, _ = _call(conn, "DELETE",
+                          f"/nifi-api/parameter-contexts/{pcid}?version=0")
+        assert status == 409
+        # update merge: change a value, delete via explicit null
+        status, _ = _call(conn, "PUT", f"/nifi-api/parameter-contexts/{pcid}",
+                          {"revision": {"version": 0},
+                           "component": {"parameters": [
+                               {"parameter": {"name": "src.table",
+                                              "value": "nation"}},
+                               {"parameter": {"name": "api.key", "value": None}},
+                           ]}})
+        assert status == 200
+        status, run = _call(conn, "PUT", f"/nifi-api/flow/process-groups/{gid}",
+                            {"state": "RUNNING"})
+        assert status == 200
+        assert server.outputs(gid)["src.success"].count() == 25  # nation rows
+    finally:
+        conn.close()
+
+
+def test_flow_status_and_system_diagnostics(server):
+    conn = _conn(server)
+    try:
+        _, ent = _call(conn, "POST", "/nifi-api/process-groups/root/processors",
+                       {"revision": {"version": 0},
+                        "component": {"type": "x.UpdateAttribute",
+                                      "config": {"properties": {"z": "1"}}}})
+        status, st = _call(conn, "GET", "/nifi-api/flow/status")
+        assert status == 200
+        cs = st["controllerStatus"]
+        assert cs["componentCounts"]["processors"] >= 1
+        assert cs["stoppedCount"] >= 1 and cs["flowFilesQueued"] == 0
+        status, diag = _call(conn, "GET", "/nifi-api/system-diagnostics")
+        snap = diag["systemDiagnostics"]["aggregateSnapshot"]
+        assert snap["availableProcessors"] >= 1
+        assert snap["maxHeapBytes"] > 0 and snap["engine"].startswith("spark-")
+    finally:
+        conn.close()
