@@ -21,6 +21,7 @@ from apache_nifi_spark.llm.dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     embedding_cosine_duplicates,
     substring_span_dedup,
+    substring_span_clean,
 )
 from apache_nifi_spark.llm.similarity import (  # noqa: F401
     dot_product,

@@ -2297,6 +2297,81 @@ def dedup_substring_spans_q(spark, sf_dir):
 
 
 @register(
+    "dedup_substring_clean",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, CAST(p AS INT) AS p,
+             CAST(concat('0x', substr(md5(substring(text, p, 32)), 1, 15)) AS BIGINT) AS h60
+      FROM base,
+           LATERAL unnest(generate_series(1, len - 31, 8)) t(p)
+      WHERE len >= 32
+    ),
+    shared AS (
+      SELECT h60 FROM pos GROUP BY h60 HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT doc_id, p FROM pos JOIN shared USING (h60)),
+    marks AS (
+      SELECT doc_id, p,
+             CASE WHEN p > COALESCE(
+                   MAX(p + 32) OVER (PARTITION BY doc_id ORDER BY p
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                 THEN 1 ELSE 0 END AS new_island
+      FROM hits
+    ),
+    isl AS (
+      SELECT doc_id, p,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY p) AS island
+      FROM marks
+    ),
+    merged AS (
+      SELECT doc_id, island, MIN(p) AS s, MAX(p) + 32 AS e
+      FROM isl GROUP BY doc_id, island
+    ),
+    allint AS (
+      SELECT doc_id, s, e FROM merged
+      UNION ALL
+      SELECT b.doc_id, CAST(b.len + 1 AS INT), CAST(b.len + 1 AS INT)
+      FROM base b WHERE b.doc_id IN (SELECT DISTINCT doc_id FROM merged)
+    ),
+    segs AS (
+      SELECT a.doc_id, a.s, a.e,
+             COALESCE(LAG(a.e) OVER (PARTITION BY a.doc_id ORDER BY a.s), 1)
+               AS seg_start,
+             b.text
+      FROM allint a JOIN base b USING (doc_id)
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             string_agg(substring(text, seg_start, s - seg_start), ''
+                        ORDER BY s) AS clean_text,
+             CAST(SUM(e - s) AS BIGINT) AS removed_chars,
+             CAST(COUNT(*) - 1 AS INT) AS n_islands
+      FROM segs GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           COALESCE(r.clean_text, b.text) AS clean_text,
+           COALESCE(r.removed_chars, 0) AS removed_chars,
+           COALESCE(r.n_islands, 0) AS n_islands
+    FROM base b LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def dedup_substring_clean_q(spark, sf_dir):
+    """Exact-substring span REMOVAL (§2.12; the actual Lee et al. 2022
+    output — repeated spans excised, surrounding text kept): 60-bit
+    window hashes shared across ≥2 documents become removal intervals,
+    merged gaps-and-islands style and excised with one lag pass — all
+    standard window functions both engines run identically; see
+    llm/dedup.substring_span_clean."""
+    from apache_nifi_spark.llm import substring_span_clean
+
+    d = io.widen_if_narrow(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return substring_span_clean(d)
+
+
+@register(
     "text_fingerprint",
     oracle=r"""
     SELECT doc_id,

