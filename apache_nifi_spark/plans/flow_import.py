@@ -30,6 +30,9 @@ RouteText / RouteOnContent   content-regex matched/unmatched split (§2.3)
 DistributeLoad               weighted round-robin → one output per
                              relationship (§2.3)
 DuplicateFlowFile            copy.index fan-out (§2.3)
+UpdateCounter                identity hop whose traffic ticks a named
+                             counter (Observation aggregate riding the
+                             action; served by /nifi-api/counters)
 TransformXml                 inline ``XSLT Stylesheet`` property compiled
                              by functions/xslt (§2.4)
 ValidateJson                 inline ``Schema Text`` compiled by
@@ -66,11 +69,19 @@ hand-written pipeline (broadcast lookups, pushed-down routes), because it
 
 from __future__ import annotations
 
+import contextvars
 import json
 from collections import defaultdict
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: active counter sink for the compile in progress (run_flow(counters=...)):
+#: UpdateCounter registers its Observation here — a side-channel because
+#: _apply's return contract is relationship → DataFrame only
+_ACTIVE_COUNTERS: contextvars.ContextVar[dict | None] = contextvars.ContextVar(
+    "nifi_flow_counters", default=None
+)
 
 from apache_nifi_spark import io
 from apache_nifi_spark.functions.el_parser import compile_el, el_predicate
@@ -97,6 +108,7 @@ def run_flow(
     sf_dir: str,
     flow: dict,
     port_sources: dict[str, DataFrame] | None = None,
+    counters: dict[str, list] | None = None,
 ) -> dict[str, DataFrame]:
     """Compile a flow snapshot to DataFrames.
 
@@ -109,7 +121,27 @@ def run_flow(
     is fed from outside — a parent-group queue or a site-to-site
     transfer.  The REST facade uses this to bind a remote-accessible
     port to the S2S landing scan.
+
+    ``counters``, when supplied, collects each UpdateCounter processor's
+    ``Observation`` under its counter name (list — several processors may
+    feed one counter).  Observation metrics ride the plan's first action
+    with zero extra passes; values become readable once the flow's
+    outputs materialize (NiFi's counters likewise only tick when data
+    actually flows).
     """
+    token = _ACTIVE_COUNTERS.set(counters)
+    try:
+        return _run_flow_inner(spark, sf_dir, flow, port_sources)
+    finally:
+        _ACTIVE_COUNTERS.reset(token)
+
+
+def _run_flow_inner(
+    spark: SparkSession,
+    sf_dir: str,
+    flow: dict,
+    port_sources: dict[str, DataFrame] | None = None,
+) -> dict[str, DataFrame]:
     contents = flow.get("flowContents", flow)
     procs = {p["identifier"]: p for p in contents.get("processors", [])}
     # Funnel nodes are identity processors: many-in, one unioned output.
@@ -739,6 +771,26 @@ def _apply(
 
     if ptype == "Funnel":
         return {"success": df}
+
+    if ptype == "UpdateCounter":
+        # NiFi ops counter: identity pass-through whose traffic increments
+        # a named counter.  Spark-first: an Observation aggregate rides
+        # the plan's action — zero extra passes/shuffles; the counter is
+        # rows × delta of whatever actually flows.
+        from pyspark.sql import Observation
+
+        cname = props.get("Counter Name")
+        if not cname:
+            raise FlowImportError(f"{name}: UpdateCounter needs 'Counter Name'")
+        delta = int(props.get("Delta", "1"))
+        import uuid as _uuid
+
+        obs = Observation(f"counter_{cname}_{_uuid.uuid4().hex[:8]}")
+        out = df.observe(obs, F.coalesce(F.sum(F.lit(delta)), F.lit(0)).alias("value"))
+        sink = _ACTIVE_COUNTERS.get()
+        if sink is not None:
+            sink.setdefault(cname, []).append(obs)
+        return {"success": out}
 
     if ptype in ("InputPort", "OutputPort"):
         # group-boundary pass-through; an output port's unconsumed

@@ -38,6 +38,7 @@ REST API):
 ``PUT    /nifi-api/process-groups/{id}``                     rename / bind context
 ``GET    /nifi-api/flow/status``                             component counts
 ``GET    /nifi-api/system-diagnostics``                      live JVM snapshot
+``GET    /nifi-api/counters``                                UpdateCounter totals
 ==========================================================  ============
 
 Parameter contexts are NiFi's flow/config separation: ``#{name}``
@@ -139,6 +140,7 @@ class NiFiApiServer:
         self._s2s: dict[str, Any] | None = None  # attached S2S wire endpoint
         self._param_contexts: dict[str, dict] = {}  # id → {name, parameters}
         self._group_context: dict[str, str] = {}  # group id → context id
+        self._counters: dict[str, dict[str, list]] = {}  # gid → name → [Observation]
 
         api = self
 
@@ -292,6 +294,8 @@ class NiFiApiServer:
                 return self._update_group(m.group(1), body)
             if path == "/nifi-api/flow/status" and method == "GET":
                 return self._flow_status()
+            if path == "/nifi-api/counters" and method == "GET":
+                return self._get_counters()
             if path == "/nifi-api/system-diagnostics" and method == "GET":
                 return self._system_diagnostics()
             m = re.fullmatch(r"/nifi-api/process-groups/([^/]+)/funnels", path)
@@ -804,6 +808,43 @@ class NiFiApiServer:
             }
         }
 
+    @staticmethod
+    def _observation_value(obs: Any) -> int | None:
+        """Non-blocking Observation read: the counter has a value once
+        the observed plan's first action finished; before that it is
+        pending (None).  Uses the JVM Observation's getRowOrEmpty so an
+        un-materialized flow can never hang the endpoint."""
+        jo = getattr(obs, "_jo", None)
+        if jo is None:
+            return None
+        try:
+            opt = jo.getRowOrEmpty()
+            # py4j surfaces scala None as Python None pre-materialization
+            if opt is None or not opt.isDefined():
+                return None
+            return int(opt.get().getLong(0))
+        except Exception:  # pragma: no cover - py4j surface drift
+            return None
+
+    def _get_counters(self) -> tuple[int, dict]:
+        """NiFi's counters endpoint: one row per UpdateCounter counter
+        name, summed across all processors feeding it; flows whose plans
+        haven't materialized yet report pending (null) — counters only
+        tick when data actually flows, same as NiFi."""
+        rows = []
+        agg: dict[str, int | None] = {}
+        for counters in self._counters.values():
+            for cname, obs_list in counters.items():
+                for obs in obs_list:
+                    v = self._observation_value(obs)
+                    if cname not in agg:
+                        agg[cname] = v
+                    elif v is not None:
+                        agg[cname] = (agg[cname] or 0) + v
+        for cname in sorted(agg):
+            rows.append({"name": cname, "value": agg[cname]})
+        return 200, {"counters": {"aggregateSnapshot": {"counters": rows}}}
+
     def _system_diagnostics(self) -> tuple[int, dict]:
         """Live engine diagnostics off the actual Spark driver JVM."""
         sc = self.spark.sparkContext
@@ -895,12 +936,15 @@ class NiFiApiServer:
             # #{param} references bind through the group's parameter
             # context here — NiFi's start-time resolution
             contents = self._resolve_parameters(gid, contents)
+            counters: dict[str, list] = {}
             outs = run_flow(
                 self.spark,
                 self.sf_dir,
                 {"flowContents": contents},
                 port_sources=self._s2s_port_sources(gid),
+                counters=counters,
             )
+            self._counters[gid] = counters
             self._outputs[gid] = outs
             self._state[gid] = "RUNNING"
             return 200, {

@@ -9047,6 +9047,62 @@ def rest_parameter_context_q(spark, sf_dir):
 
 
 @register(
+    "flow_update_counter",
+    oracle="""
+    SELECT 'orders.seen' AS counter,
+           CAST(2 * (SELECT COUNT(*) FROM orders) AS BIGINT) AS value
+    UNION ALL
+    SELECT 'orders.open',
+           CAST((SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'O') AS BIGINT)
+    ORDER BY counter
+    """,
+)
+def flow_update_counter_q(spark, sf_dir):
+    """UpdateCounter (§2.10 ops surface [2.7.2-surface]): two counter
+    hops in one imported flow — delta-2 on the full orders scan, delta-1
+    on the open-status route — tick Observation aggregates that ride the
+    plan's single materializing action (zero extra passes/shuffles; see
+    plans/flow_import.py's UpdateCounter handler).  The counter table
+    itself is O(counters) control-plane rows; the oracle recomputes both
+    totals from the data."""
+    from apache_nifi_spark.plans.flow_import import run_flow
+
+    flow = {
+        "flowContents": {
+            "name": "counters",
+            "processors": [
+                {"identifier": "src", "name": "Orders", "type": "x.GetFile",
+                 "properties": {"Input Directory": "orders"}},
+                {"identifier": "seen", "name": "Seen", "type": "x.UpdateCounter",
+                 "properties": {"Counter Name": "orders.seen", "Delta": "2"}},
+                {"identifier": "route", "name": "OpenOnly",
+                 "type": "x.RouteOnAttribute",
+                 "properties": {"open": "${o_orderstatus:equals('O')}"}},
+                {"identifier": "open", "name": "Open", "type": "x.UpdateCounter",
+                 "properties": {"Counter Name": "orders.open"}},
+            ],
+            "connections": [
+                {"source": {"id": "src"}, "destination": {"id": "seen"},
+                 "selectedRelationships": ["success"]},
+                {"source": {"id": "seen"}, "destination": {"id": "route"},
+                 "selectedRelationships": ["success"]},
+                {"source": {"id": "route"}, "destination": {"id": "open"},
+                 "selectedRelationships": ["open"]},
+            ],
+        }
+    }
+    counters: dict[str, list] = {}
+    outs = run_flow(spark, sf_dir, flow, counters=counters)
+    # one action materializes the whole graph; every observation ticks
+    outs["Open.success"].write.mode("overwrite").format("noop").save()
+    rows = sorted(
+        (cname, sum(int(o.get["value"]) for o in obs_list))  # control-plane: O(counters)
+        for cname, obs_list in counters.items()
+    )
+    return spark.createDataFrame(rows, "counter string, value bigint")
+
+
+@register(
     "mega_flow_fork_join",
     oracle="""
     SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n,

@@ -436,3 +436,44 @@ def test_flow_status_and_system_diagnostics(server):
         assert snap["maxHeapBytes"] > 0 and snap["engine"].startswith("spark-")
     finally:
         conn.close()
+
+
+def test_update_counter_and_counters_endpoint(server):
+    """UpdateCounter rides the plan as an Observation: pending until the
+    flow's outputs materialize, then rows x delta, summed across
+    processors feeding the same counter name."""
+    conn = _conn(server)
+    try:
+        _, g = _call(conn, "POST", "/nifi-api/process-groups/root/process-groups",
+                     {"revision": {"version": 0}, "component": {"name": "cnt"}})
+        gid = g["id"]
+        for pid, props in (
+            ("src", {"Input Directory": "nation"}),
+            ("c1", {"Counter Name": "records.seen", "Delta": "2"}),
+            ("c2", {"Counter Name": "records.seen"}),  # same counter, delta 1
+        ):
+            ptype = "x.GetFile" if pid == "src" else "x.UpdateCounter"
+            _call(conn, "POST", f"/nifi-api/process-groups/{gid}/processors",
+                  {"revision": {"version": 0},
+                   "component": {"id": pid, "type": ptype,
+                                 "config": {"properties": props}}})
+        for s, d in (("src", "c1"), ("c1", "c2")):
+            _call(conn, "POST", f"/nifi-api/process-groups/{gid}/connections",
+                  {"revision": {"version": 0},
+                   "component": {"source": {"id": s}, "destination": {"id": d}}})
+        status, run = _call(conn, "PUT", f"/nifi-api/flow/process-groups/{gid}",
+                            {"state": "RUNNING"})
+        assert status == 200
+        # lazy plan: counters exist but are pending
+        _, ent = _call(conn, "GET", "/nifi-api/counters")
+        counters = {c["name"]: c["value"]
+                    for c in ent["counters"]["aggregateSnapshot"]["counters"]}
+        assert counters == {"records.seen": None}
+        # materialize → both observations tick: 25*2 + 25*1
+        server.outputs(gid)["c2.success"].count()
+        _, ent = _call(conn, "GET", "/nifi-api/counters")
+        counters = {c["name"]: c["value"]
+                    for c in ent["counters"]["aggregateSnapshot"]["counters"]}
+        assert counters == {"records.seen": 75}
+    finally:
+        conn.close()
