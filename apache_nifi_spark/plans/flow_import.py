@@ -109,6 +109,7 @@ def run_flow(
     flow: dict,
     port_sources: dict[str, DataFrame] | None = None,
     counters: dict[str, list] | None = None,
+    provenance: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Compile a flow snapshot to DataFrames.
 
@@ -128,10 +129,17 @@ def run_flow(
     with zero extra passes; values become readable once the flow's
     outputs materialize (NiFi's counters likewise only tick when data
     actually flows).
+
+    ``provenance``, when supplied, instruments EVERY processor output
+    relationship with a hop Observation and fills the dict with
+    ``(component, relationship) → (event_type, Observation)`` — the
+    NiFi provenance-repository analog at aggregate grain (CREATE for
+    sources, SEND/RECEIVE for ports, ROUTE for everything else).  Same
+    zero-extra-pass transport as counters.
     """
     token = _ACTIVE_COUNTERS.set(counters)
     try:
-        return _run_flow_inner(spark, sf_dir, flow, port_sources)
+        return _run_flow_inner(spark, sf_dir, flow, port_sources, provenance)
     finally:
         _ACTIVE_COUNTERS.reset(token)
 
@@ -141,6 +149,7 @@ def _run_flow_inner(
     sf_dir: str,
     flow: dict,
     port_sources: dict[str, DataFrame] | None = None,
+    provenance: dict | None = None,
 ) -> dict[str, DataFrame]:
     contents = flow.get("flowContents", flow)
     procs = {p["identifier"]: p for p in contents.get("processors", [])}
@@ -271,6 +280,28 @@ def _run_flow_inner(
                     "no bound external source"
                 )
         outputs[pid] = _apply(spark, sf_dir, proc, df, named_ins)
+        if provenance is not None:
+            # hop accounting: one Observation per output relationship —
+            # the provenance-repository analog at aggregate grain
+            from pyspark.sql import Observation
+
+            ptype_short = proc.get("type", "").rsplit(".", 1)[-1]
+            etype = (
+                "CREATE" if not incoming.get(pid)
+                else "RECEIVE" if ptype_short == "InputPort"
+                else "SEND" if ptype_short == "OutputPort"
+                else "ROUTE"
+            )
+            import uuid as _uuid
+
+            instrumented = {}
+            for rel, rel_df in outputs[pid].items():
+                obs = Observation(f"prov_{pid}_{rel}_{_uuid.uuid4().hex[:8]}")
+                instrumented[rel] = rel_df.observe(
+                    obs, F.count(F.lit(1)).alias("rows")
+                )
+                provenance[(procs[pid].get("name") or pid, rel)] = (etype, obs)
+            outputs[pid] = instrumented
 
     result: dict[str, DataFrame] = {}
     for pid, rels in outputs.items():

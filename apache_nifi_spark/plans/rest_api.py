@@ -39,6 +39,8 @@ REST API):
 ``GET    /nifi-api/flow/status``                             component counts
 ``GET    /nifi-api/system-diagnostics``                      live JVM snapshot
 ``GET    /nifi-api/counters``                                UpdateCounter totals
+``POST   /nifi-api/provenance``                              submit prov query
+``GET/DELETE /nifi-api/provenance/{id}``                     poll / drop query
 ==========================================================  ============
 
 Parameter contexts are NiFi's flow/config separation: ``#{name}``
@@ -141,6 +143,8 @@ class NiFiApiServer:
         self._param_contexts: dict[str, dict] = {}  # id → {name, parameters}
         self._group_context: dict[str, str] = {}  # group id → context id
         self._counters: dict[str, dict[str, list]] = {}  # gid → name → [Observation]
+        self._provenance: dict[str, dict] = {}  # gid → (component, rel) → (etype, obs)
+        self._prov_queries: dict[str, dict] = {}  # query id → filter
 
         api = self
 
@@ -296,6 +300,15 @@ class NiFiApiServer:
                 return self._flow_status()
             if path == "/nifi-api/counters" and method == "GET":
                 return self._get_counters()
+            if path == "/nifi-api/provenance" and method == "POST":
+                return self._submit_provenance(body)
+            m = re.fullmatch(r"/nifi-api/provenance/([^/]+)", path)
+            if m:
+                if method == "GET":
+                    return self._get_provenance(m.group(1))
+                if method == "DELETE":
+                    self._prov_queries.pop(m.group(1), None)
+                    return 200, {"id": m.group(1)}
             if path == "/nifi-api/system-diagnostics" and method == "GET":
                 return self._system_diagnostics()
             m = re.fullmatch(r"/nifi-api/process-groups/([^/]+)/funnels", path)
@@ -845,6 +858,46 @@ class NiFiApiServer:
             rows.append({"name": cname, "value": agg[cname]})
         return 200, {"counters": {"aggregateSnapshot": {"counters": rows}}}
 
+    def _submit_provenance(self, body: dict) -> tuple[int, dict]:
+        """NiFi's async provenance-query shape: POST registers the query
+        (optional componentName search term), GET polls for results."""
+        req = (body.get("provenance") or {}).get("request") or body.get("request") or {}
+        qid = f"prov-{uuid.uuid4().hex[:12]}"
+        terms = req.get("searchTerms") or {}
+        self._prov_queries[qid] = {"component": terms.get("componentName")}
+        return 201, {"provenance": {"id": qid, "finished": False}}
+
+    def _get_provenance(self, qid: str) -> tuple[int, dict]:
+        q = self._prov_queries.get(qid)
+        if q is None:
+            raise _ApiError(404, f"unknown provenance query {qid!r}")
+        events = []
+        finished = True
+        for gid, prov in self._provenance.items():
+            for (component, rel), (etype, obs) in prov.items():
+                if q["component"] and component != q["component"]:
+                    continue
+                v = self._observation_value(obs)
+                if v is None:
+                    finished = False
+                events.append(
+                    {
+                        "groupId": gid,
+                        "componentName": component,
+                        "relationship": rel,
+                        "eventType": etype,
+                        "rows": v,
+                    }
+                )
+        events.sort(key=lambda e: (e["groupId"], e["componentName"], e["relationship"]))
+        return 200, {
+            "provenance": {
+                "id": qid,
+                "finished": finished,
+                "results": {"provenanceEvents": events},
+            }
+        }
+
     def _system_diagnostics(self) -> tuple[int, dict]:
         """Live engine diagnostics off the actual Spark driver JVM."""
         sc = self.spark.sparkContext
@@ -937,14 +990,17 @@ class NiFiApiServer:
             # context here — NiFi's start-time resolution
             contents = self._resolve_parameters(gid, contents)
             counters: dict[str, list] = {}
+            provenance: dict = {}
             outs = run_flow(
                 self.spark,
                 self.sf_dir,
                 {"flowContents": contents},
                 port_sources=self._s2s_port_sources(gid),
                 counters=counters,
+                provenance=provenance,
             )
             self._counters[gid] = counters
+            self._provenance[gid] = provenance
             self._outputs[gid] = outs
             self._state[gid] = "RUNNING"
             return 200, {

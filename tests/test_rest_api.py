@@ -477,3 +477,62 @@ def test_update_counter_and_counters_endpoint(server):
         assert counters == {"records.seen": 75}
     finally:
         conn.close()
+
+
+def test_provenance_query_over_rest(server):
+    """NiFi's async provenance-query API backed by per-hop Observations:
+    pending before the plan materializes, then CREATE/ROUTE events with
+    exact per-relationship row counts."""
+    conn = _conn(server)
+    try:
+        _, g = _call(conn, "POST", "/nifi-api/process-groups/root/process-groups",
+                     {"revision": {"version": 0}, "component": {"name": "prov"}})
+        gid = g["id"]
+        _call(conn, "POST", f"/nifi-api/process-groups/{gid}/processors",
+              {"revision": {"version": 0},
+               "component": {"id": "src", "name": "Nations", "type": "x.GetFile",
+                             "config": {"properties": {"Input Directory": "nation"}}}})
+        _call(conn, "POST", f"/nifi-api/process-groups/{gid}/processors",
+              {"revision": {"version": 0},
+               "component": {"id": "rt", "name": "Zone", "type": "x.RouteOnAttribute",
+                             "config": {"properties": {
+                                 "low": "${n_regionkey:lt(2)}"}}}})
+        _call(conn, "POST", f"/nifi-api/process-groups/{gid}/connections",
+              {"revision": {"version": 0},
+               "component": {"source": {"id": "src"}, "destination": {"id": "rt"},
+                             "selectedRelationships": ["success"]}})
+        status, _ = _call(conn, "PUT", f"/nifi-api/flow/process-groups/{gid}",
+                          {"state": "RUNNING"})
+        assert status == 200
+        status, sub = _call(conn, "POST", "/nifi-api/provenance", {})
+        assert status == 201
+        qid = sub["provenance"]["id"]
+        _, got = _call(conn, "GET", f"/nifi-api/provenance/{qid}")
+        assert got["provenance"]["finished"] is False  # plans are lazy
+        # materialize BOTH routed branches so every hop observation ticks
+        outs = server.outputs(gid)
+        for df in outs.values():
+            df.count()
+        _, got = _call(conn, "GET", f"/nifi-api/provenance/{qid}")
+        assert got["provenance"]["finished"] is True
+        ev = {(e["componentName"], e["relationship"]):
+              (e["eventType"], e["rows"])
+              for e in got["provenance"]["results"]["provenanceEvents"]}
+        assert ev[("Nations", "success")] == ("CREATE", 25)
+        assert ev[("Zone", "low")] == ("ROUTE", 10)   # regionkey 0,1 → 5 each
+        assert ev[("Zone", "unmatched")] == ("ROUTE", 15)
+        # componentName search term filters
+        status, sub2 = _call(conn, "POST", "/nifi-api/provenance",
+                             {"provenance": {"request": {"searchTerms":
+                                 {"componentName": "Zone"}}}})
+        _, got2 = _call(conn, "GET", f"/nifi-api/provenance/{sub2['provenance']['id']}")
+        names = {e["componentName"]
+                 for e in got2["provenance"]["results"]["provenanceEvents"]}
+        assert names == {"Zone"}
+        # delete the query handle
+        status, _ = _call(conn, "DELETE", f"/nifi-api/provenance/{qid}")
+        assert status == 200
+        status, _ = _call(conn, "GET", f"/nifi-api/provenance/{qid}")
+        assert status == 404
+    finally:
+        conn.close()
