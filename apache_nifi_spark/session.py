@@ -77,6 +77,20 @@ def get_spark(
         # executor-side state and slows tail queries.  1 min keeps the
         # steady state flat; on a real cluster this conf is standard.
         .config("spark.cleaner.periodicGC.interval", "1min")
+        # Whole-stage codegen compiles one or more Janino classes per
+        # unique plan; a long session over hundreds of distinct queries
+        # fills Java 17's default 240 MB reserved code cache, after which
+        # the JIT stops compiling and tail queries run interpreter-tier
+        # (diffuse 20-40 % slowdowns late in a suite).  512 MB keeps the
+        # full registry hot; extra flags (profiling, GC logs) pass through
+        # $SPARK_GRAFT_JAVA_OPTS.  Standard long-running-engine JVM conf.
+        .config(
+            "spark.driver.extraJavaOptions",
+            (
+                "-XX:ReservedCodeCacheSize=512m "
+                + os.environ.get("SPARK_GRAFT_JAVA_OPTS", "")
+            ).strip(),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

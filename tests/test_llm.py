@@ -1175,3 +1175,84 @@ def test_substring_span_clean_excises_shared_spans(spark):
         assert "Z" not in ct
         assert ct.startswith("left flank " + suffix[:0]) or True
         assert got2[d]["removed_chars"] > 32
+
+
+def _pca_reference(vecs, dim, iters=3, scale=1000, uscale=10_000):
+    """Pure-Python replay of llm/pca.dominant_direction's fixed-point
+    algebra — exact integer sums everywhere, the one float step (the
+    per-iteration normalization) in the same left-fold order and IEEE
+    double ops as both the Spark driver step and the DuckDB oracle."""
+    import math
+
+    q = [[math.floor(float(v) * scale) for v in vec] for vec in vecs]
+    n = len(q)
+    m = [int(math.floor(float(sum(col)) / n)) for col in zip(*q)]
+    c = [[qj - mj for qj, mj in zip(row, m)] for row in q]
+    u = [uscale] * dim
+    for _ in range(iters):
+        s = [sum(cj * uj for cj, uj in zip(row, u)) for row in c]
+        w = [sum(c[i][j] * s[i] for i in range(n)) for j in range(dim)]
+        wd = [float(x) for x in w]
+        sq = [x * x for x in wd]
+        acc = sq[0]
+        for v in sq[1:]:
+            acc = acc + v
+        norm = math.sqrt(acc)
+        u = [int(math.floor(uscale * x / norm)) for x in wd]
+    un2 = sum(x * x for x in u)
+    out = {}
+    for i, row in enumerate(c):
+        proj = sum(cj * uj for cj, uj in zip(row, u))
+        cn2 = sum(cj * cj for cj in row)
+        frac = (
+            float(proj) * float(proj) / (float(cn2) * float(un2))
+            if cn2 > 0
+            else None
+        )
+        out[i] = (proj, cn2, frac)
+    return out
+
+
+def test_dominant_direction_matches_reference_and_partition_invariant(spark):
+    """Fixed-point power iteration must be bit-identical to the pure
+    reference AND under any repartitioning (integer sums are order-free);
+    on data built as t·d + noise, the dominant direction must capture
+    most of the energy of strongly-aligned vectors."""
+    from apache_nifi_spark.llm.pca import dominant_direction
+
+    dim = 8
+    d = [1.0 if j % 2 == 0 else -0.5 for j in range(dim)]
+    rows = []
+    for i in range(30):
+        t = (i - 15) * 0.03  # spread along the direction
+        rows.append(
+            (
+                i,
+                [
+                    t * d[j] + ((i * 13 + j * 7) % 11 - 5) * 0.003
+                    for j in range(dim)
+                ],
+            )
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["proj"], r["cnorm2"], r["dom_frac"])
+        for r in dominant_direction(df, dim=dim).collect()
+    }
+    rep = {
+        r["vec_id"]: (r["proj"], r["cnorm2"], r["dom_frac"])
+        for r in dominant_direction(df.repartition(7), dim=dim).collect()
+    }
+    assert got == rep
+    ref = _pca_reference([v for _, v in rows], dim)
+    for i in range(30):
+        assert got[i][0] == ref[i][0], f"proj mismatch at {i}"
+        assert got[i][1] == ref[i][1], f"cnorm2 mismatch at {i}"
+        if ref[i][2] is None:
+            assert got[i][2] is None
+        else:
+            assert abs(got[i][2] - ref[i][2]) <= 5e-7, f"dom_frac at {i}"
+    # semantic: the extreme vectors lie almost exactly on the planted
+    # direction — nearly all of their centered energy must be captured
+    for i in (0, 29):
+        assert got[i][2] is not None and got[i][2] > 0.9, got[i]
