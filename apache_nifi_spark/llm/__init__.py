@@ -42,6 +42,7 @@ from apache_nifi_spark.llm.text import (  # noqa: F401
     quality_score,
     quality_logit,
     unigram_logprob,
+    bigram_logprob,
     c4_line_filter,
     rolling_fingerprint,
     chunk_sliding,

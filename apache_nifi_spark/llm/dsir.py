@@ -39,7 +39,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hashed_gram_buckets", "dsir_importance", "dsir_select"]
+__all__ = [
+    "hashed_gram_buckets",
+    "dsir_importance",
+    "dsir_select",
+    "hashed_linear_score",
+]
 
 
 def _tokens(text: Column) -> Column:
@@ -154,3 +159,74 @@ def dsir_select(scored: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
     """Deterministic resampling: the k highest log-weight documents
     (ties broken by id) — TakeOrdered, no global sort materialization."""
     return scored.orderBy(F.col("log_weight").desc(), F.col(id_col)).limit(k)
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    bias: float = 0.0,
+    weight_salt: str = "w:",
+) -> DataFrame:
+    """FastText-style linear classifier INFERENCE over hashed gram
+    features (Joulin et al. 2017, "Bag of Tricks for Efficient Text
+    Classification") — the architecture of every production quality /
+    toxicity / language filter in a pretraining pipeline: unigram +
+    bigram features hashed into ``buckets``, a per-bucket weight, mean
+    pooling, sigmoid.
+
+    The weight table here is a DETERMINISTIC STAND-IN — ``w(b)`` derives
+    from ``md5(weight_salt || b)``, mapped to [-1, 1] — because no
+    trained model ships with this repo; deployment swaps the inline
+    ``w`` expression for a broadcast join against a real trained
+    (bucket, weight) table with the SAME plan shape.  What this operator
+    exercises for real is everything around the weights: tokenization,
+    gram construction (columnar, map-only), engine-portable hashing,
+    mean pooling and the sigmoid head, all value-oracled.
+
+    Shape at 100 TB: one explode + one doc-grain agg; weights are
+    computed inline per gram (zero joins, zero shuffles besides the
+    final agg).  Score/prob rounded to 6 dp — double addition order is
+    partition-dependent, same policy as ``unigram_logprob``.
+
+    Returns (id, n_grams, score, prob, keep) with ``keep = prob ≥ 0.5``.
+    """
+    grams = hashed_gram_buckets(df, text_col, id_col, buckets)
+    w = (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(weight_salt), F.col("bucket").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(2001),
+        )
+        - F.lit(1000)
+    ).cast("double") / F.lit(1000.0)
+    pooled = (
+        grams.select(id_col, w.alias("_w"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(
+                F.sum("_w") / F.count(F.lit(1)) + F.lit(bias), 6
+            ).alias("score"),
+        )
+    )
+    return pooled.select(
+        id_col,
+        "n_grams",
+        "score",
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score"))), 6
+        ).alias("prob"),
+    ).withColumn("keep", F.col("prob") >= F.lit(0.5))

@@ -19,6 +19,7 @@ __all__ = [
     "language_id",
     "quality_score",
     "unigram_logprob",
+    "bigram_logprob",
     "c4_line_filter",
     "rolling_fingerprint",
     "chunk_sliding",
@@ -257,6 +258,98 @@ def unigram_logprob(
         _F.count(_F.lit(1)).alias("n_tokens"),
         _F.round(_F.sum("lp") / _F.count(_F.lit(1)), 6).alias(out_col),
         _F.round(_F.exp(-_F.sum("lp") / _F.count(_F.lit(1))), 6).alias("ppl"),
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+    out_col: str = "mean_logprob",
+) -> DataFrame:
+    """Interpolated bigram language-model scoring — the next tier above
+    ``unigram_logprob`` on the KenLM/CCNet quality ladder (§2.12): train
+    unigram AND bigram counts on the corpus, then score each document by
+    its mean token log-probability under Jelinek-Mercer interpolation
+
+        p(wᵢ|wᵢ₋₁) = λ·p_bi + (1−λ)·p_uni
+        p_bi  = (c(wᵢ₋₁wᵢ)+1) / (c(wᵢ₋₁)+V)      (Laplace per history)
+        p_uni = (c(wᵢ)+1) / (T+V)
+
+    with the first token of a document scored by the unigram term alone.
+    A bigram model separates fluent text from shuffled-word salad that a
+    unigram filter scores identically — the standard next signal a
+    pretraining pipeline adds.
+
+    Shape at 100 TB: the (prev, cur) stream is built COLUMNAR with an
+    index-aware ``transform`` over the token array (map-only — no window
+    over doc partitions, no O(len²) array copying), so training is two
+    hash aggs and scoring is the token stream joined to the two count
+    tables (vocabulary broadcast; the bigram table broadcasts while it
+    fits and degrades to a hash join beyond — Catalyst's call via AQE).
+    Mean rounded to 6 dp — double addition order is partition-dependent,
+    same policy as ``unigram_logprob``.
+    """
+    from pyspark.sql import functions as _F
+
+    toks = df.select(
+        id_col,
+        _F.filter(
+            _F.split(_F.lower(_F.col(text_col)), r"[^a-z0-9']+", -1),
+            lambda t: t != "",
+        ).alias("t"),
+    )
+    # (pos, cur, prev) stream, columnar: element_at is 1-based, the
+    # transform index 0-based, so prev of the i-th element is t[i].
+    stream = toks.select(
+        id_col,
+        _F.explode(
+            _F.expr(
+                "transform(t, (x, i) -> struct("
+                "i + 1 as pos, x as cur,"
+                " case when i = 0 then null else element_at(t, i) end as prev))"
+            )
+        ).alias("u"),
+    ).select(id_col, "u.pos", "u.cur", "u.prev")
+    uni = stream.groupBy(_F.col("cur").alias("token")).agg(
+        _F.count(_F.lit(1)).alias("c")
+    )
+    stats = uni.agg(
+        _F.sum("c").alias("t_total"), _F.count(_F.lit(1)).alias("v_size")
+    )
+    bi = (
+        stream.filter(_F.col("prev").isNotNull())
+        .groupBy(_F.col("prev").alias("bp"), _F.col("cur").alias("bc"))
+        .agg(_F.count(_F.lit(1)).alias("cb"))
+    )
+    up = uni.select(_F.col("token").alias("ptoken"), _F.col("c").alias("pc"))
+    scored = (
+        stream.join(F.broadcast(uni), stream["cur"] == uni["token"], "left")
+        .join(F.broadcast(up), stream["prev"] == _F.col("ptoken"), "left")
+        .join(
+            bi,
+            (stream["prev"] == _F.col("bp")) & (stream["cur"] == _F.col("bc")),
+            "left",
+        )
+        .crossJoin(F.broadcast(stats))
+    )
+    denom_u = (_F.col("t_total") + _F.col("v_size")).cast("double")
+    p_uni = (_F.coalesce(_F.col("c"), _F.lit(0)) + 1).cast("double") / denom_u
+    p_bi = (_F.coalesce(_F.col("cb"), _F.lit(0)) + 1).cast("double") / (
+        _F.coalesce(_F.col("pc"), _F.lit(0)) + _F.col("v_size")
+    ).cast("double")
+    lp = _F.when(_F.col("prev").isNull(), _F.log(p_uni)).otherwise(
+        _F.log(_F.lit(lam) * p_bi + (_F.lit(1.0) - _F.lit(lam)) * p_uni)
+    )
+    return (
+        scored.select(id_col, lp.alias("lp"))
+        .groupBy(id_col)
+        .agg(
+            _F.count(_F.lit(1)).alias("n_tokens"),
+            _F.round(_F.sum("lp") / _F.count(_F.lit(1)), 6).alias(out_col),
+            _F.round(_F.exp(-_F.sum("lp") / _F.count(_F.lit(1))), 6).alias("ppl"),
+        )
     )
 
 

@@ -1813,6 +1813,116 @@ def text_unigram_logprob_q(spark, sf_dir):
 
 
 @register(
+    "text_bigram_logprob",
+    oracle=r"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                         x -> x != '') AS t
+      FROM documents
+    ),
+    stream AS MATERIALIZED (
+      SELECT doc_id, i AS pos, t[i] AS cur,
+             CASE WHEN i = 1 THEN NULL ELSE t[i-1] END AS prev
+      FROM toks, unnest(range(1, len(t) + 1)) AS r(i)
+    ),
+    uni AS (SELECT cur AS token, COUNT(*) AS c FROM stream GROUP BY cur),
+    s AS (SELECT SUM(c) AS t_total, COUNT(*) AS v_size FROM uni),
+    bi AS (SELECT prev AS bp, cur AS bc, COUNT(*) AS cb
+           FROM stream WHERE prev IS NOT NULL GROUP BY prev, cur)
+    SELECT st.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(SUM(CASE WHEN st.prev IS NULL
+                 THEN ln(CAST(COALESCE(u.c, 0) + 1 AS DOUBLE)
+                         / CAST(s.t_total + s.v_size AS DOUBLE))
+                 ELSE ln(0.7 * (CAST(COALESCE(b.cb, 0) + 1 AS DOUBLE)
+                                / CAST(COALESCE(up.c, 0) + s.v_size AS DOUBLE))
+                         + (1.0 - 0.7) * (CAST(COALESCE(u.c, 0) + 1 AS DOUBLE)
+                                / CAST(s.t_total + s.v_size AS DOUBLE)))
+                 END) / COUNT(*), 6) AS mean_logprob,
+           round(exp(-SUM(CASE WHEN st.prev IS NULL
+                 THEN ln(CAST(COALESCE(u.c, 0) + 1 AS DOUBLE)
+                         / CAST(s.t_total + s.v_size AS DOUBLE))
+                 ELSE ln(0.7 * (CAST(COALESCE(b.cb, 0) + 1 AS DOUBLE)
+                                / CAST(COALESCE(up.c, 0) + s.v_size AS DOUBLE))
+                         + (1.0 - 0.7) * (CAST(COALESCE(u.c, 0) + 1 AS DOUBLE)
+                                / CAST(s.t_total + s.v_size AS DOUBLE)))
+                 END) / COUNT(*)), 6) AS ppl
+    FROM stream st
+    LEFT JOIN uni u ON u.token = st.cur
+    LEFT JOIN uni up ON up.token = st.prev
+    LEFT JOIN bi b ON b.bp = st.prev AND b.bc = st.cur, s
+    GROUP BY st.doc_id
+    """,
+)
+def text_bigram_logprob_q(spark, sf_dir):
+    """Interpolated bigram LM scoring (§2.12 quality tier, the KenLM
+    ladder's next rung above text_unigram_logprob): Jelinek-Mercer
+    λ·p_bi + (1−λ)·p_uni with Laplace smoothing, first token unigram-
+    only.  The (prev, cur) stream is columnar (index-aware transform —
+    no window, no shuffle to build it); scoring joins the broadcast
+    count tables and aggregates back to doc grain;
+    see llm/text.bigram_logprob."""
+    from apache_nifi_spark.llm import bigram_logprob
+
+    d = io.widen_if_narrow(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return bigram_logprob(d)
+
+
+@register(
+    "text_hashed_classifier",
+    oracle=r"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                         x -> x != '') AS t
+      FROM documents
+    ),
+    grams AS MATERIALIZED (
+      SELECT doc_id, gram FROM (
+        SELECT doc_id, unnest(t) AS gram FROM toks
+        UNION ALL
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i+1])) AS gram
+        FROM toks
+      )
+    ),
+    b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(gram), 1, 8))::UBIGINT % 1024 AS BIGINT)
+               AS bucket
+      FROM grams
+    ),
+    sc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             round(SUM((CAST(('0x' || substr(md5('w:' || CAST(bucket AS VARCHAR)), 1, 8))::UBIGINT
+                             % 2001 AS BIGINT) - 1000) / 1000.0)
+                   / COUNT(*) + 0.0, 6) AS score
+      FROM b GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, score,
+           round(1.0 / (1.0 + exp(-score)), 6) AS prob,
+           round(1.0 / (1.0 + exp(-score)), 6) >= 0.5 AS keep
+    FROM sc
+    """,
+)
+def text_hashed_classifier_q(spark, sf_dir):
+    """FastText-style hashed linear classifier inference (§2.12 quality
+    tier; Joulin et al. 2017): unigram+bigram grams hashed to 1024
+    buckets, per-bucket weight, mean pooling, sigmoid — the plan shape
+    of every production quality/toxicity filter.  Weights are the
+    documented deterministic stand-in (md5-derived; deployment swaps in
+    a trained broadcast table, same plan); everything else — columnar
+    gram build, portable hashing, pooling — is real and value-oracled.
+    See llm/dsir.hashed_linear_score."""
+    from apache_nifi_spark.llm.dsir import hashed_linear_score
+
+    d = io.widen_if_narrow(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return hashed_linear_score(d)
+
+
+@register(
     "dsir_importance_scores",
     oracle=r"""
     WITH toks AS MATERIALIZED (

@@ -1256,3 +1256,45 @@ def test_dominant_direction_matches_reference_and_partition_invariant(spark):
     # direction — nearly all of their centered energy must be captured
     for i in (0, 29):
         assert got[i][2] is not None and got[i][2] > 0.9, got[i]
+
+
+def test_bigram_logprob_prefers_fluent_order(spark):
+    """With several fluent documents sharing phrasing and one word-salad
+    shuffle of the same tokens, the interpolated bigram model must score
+    the fluent ordering higher (a unigram model cannot tell them apart);
+    first tokens score unigram-only so single-token docs still work."""
+    from apache_nifi_spark.llm import bigram_logprob
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    salad = "mat the and sat dog the on rug cat the sat on the"
+    docs = [(i, fluent) for i in range(4)] + [(9, salad), (10, "single")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    assert got[0]["n_tokens"] == 13 and got[10]["n_tokens"] == 1
+    assert got[0]["mean_logprob"] > got[9]["mean_logprob"]
+    assert got[0]["ppl"] < got[9]["ppl"]
+    # identical docs score identically (determinism at doc grain)
+    assert got[0]["mean_logprob"] == got[3]["mean_logprob"]
+
+
+def test_hashed_linear_classifier_shape_and_determinism(spark):
+    """Gram arithmetic (n_grams = 2L-1), determinism across partitionings,
+    sigmoid head consistency, and the zero-join plan (weights inline)."""
+    from apache_nifi_spark.llm.dsir import hashed_linear_score
+
+    docs = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+            (3, "one"), (4, "totally different words here now")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in hashed_linear_score(df).collect()}
+    rep = {r["doc_id"]: r for r in
+           hashed_linear_score(df.repartition(5)).collect()}
+    assert {k: tuple(v) for k, v in got.items()} == {
+        k: tuple(v) for k, v in rep.items()}
+    assert got[1]["n_grams"] == 7 and got[3]["n_grams"] == 1
+    assert tuple(got[1])[1:] == tuple(got[2])[1:]  # identical text, identical scores
+    for r in got.values():
+        expect = 1.0 / (1.0 + __import__("math").exp(-r["score"]))
+        assert abs(r["prob"] - expect) <= 5e-7
+        assert r["keep"] == (r["prob"] >= 0.5)
+    plan = hashed_linear_score(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
