@@ -41,7 +41,17 @@ REST API):
 ``GET    /nifi-api/counters``                                UpdateCounter totals
 ``POST   /nifi-api/provenance``                              submit prov query
 ``GET/DELETE /nifi-api/provenance/{id}``                     poll / drop query
+``POST   /nifi-api/access/token``                            single-user login
 ==========================================================  ============
+
+Auth: constructed with ``credentials=(user, password)`` the facade runs
+the single-user profile the reference deploys (its nifi-auth Secret sets
+``SINGLE_USER_CREDENTIALS_USERNAME/PASSWORD`` for the stock image —
+nifi-secret-volume/nifi-auth.yaml:8-9): every request must carry
+``Authorization: Bearer <jwt>`` obtained from the form-encoded login
+endpoint (HS256-signed, TTL-bounded); bad credentials and bad/expired
+tokens answer 401.  Without ``credentials`` the facade stays open (the
+unsecured dev profile).
 
 Parameter contexts are NiFi's flow/config separation: ``#{name}``
 placeholders in processor and controller-service properties bind through
@@ -86,9 +96,11 @@ fixtures here.
 
 from __future__ import annotations
 
+import functools
 import http.client
 import http.server
 import json
+import os
 import re
 import threading
 import urllib.parse
@@ -100,13 +112,70 @@ from pyspark.sql import DataFrame, SparkSession
 from apache_nifi_spark.plans.flow_import import FlowImportError, run_flow
 from apache_nifi_spark.plans.flow_registry import FlowRegistry
 
-__all__ = ["NiFiApiServer", "author_flow_via_api", "start_group_via_api"]
+__all__ = [
+    "NiFiApiServer",
+    "author_flow_via_api",
+    "start_group_via_api",
+    "fetch_token",
+]
 
 
 class _ApiError(Exception):
     def __init__(self, status: int, message: str):
         super().__init__(message)
         self.status = status
+
+
+def _b64url(raw: bytes) -> str:
+    import base64
+
+    return base64.urlsafe_b64encode(raw).rstrip(b"=").decode()
+
+
+def _b64url_dec(s: str) -> bytes:
+    import base64
+
+    return base64.urlsafe_b64decode(s + "=" * (-len(s) % 4))
+
+
+def _jwt_issue(secret: bytes, sub: str, ttl: int) -> str:
+    """Compact HS256 JWT (RFC 7519) — what NiFi's single-user login
+    returns from POST /nifi-api/access/token."""
+    import hmac
+    import time as _time
+
+    header = _b64url(json.dumps({"alg": "HS256", "typ": "JWT"}).encode())
+    now = int(_time.time())
+    payload = _b64url(
+        json.dumps({"sub": sub, "iat": now, "exp": now + ttl}).encode()
+    )
+    sig = _b64url(
+        hmac.new(secret, f"{header}.{payload}".encode(), "sha256").digest()
+    )
+    return f"{header}.{payload}.{sig}"
+
+
+def _jwt_verify(secret: bytes, token: str) -> str:
+    """Return the subject of a valid unexpired token, else _ApiError 401."""
+    import hmac
+    import time as _time
+
+    parts = token.split(".")
+    if len(parts) != 3:
+        raise _ApiError(401, "malformed bearer token")
+    header, payload, sig = parts
+    want = _b64url(
+        hmac.new(secret, f"{header}.{payload}".encode(), "sha256").digest()
+    )
+    if not hmac.compare_digest(want, sig):
+        raise _ApiError(401, "invalid token signature")
+    try:
+        claims = json.loads(_b64url_dec(payload))
+    except ValueError:
+        raise _ApiError(401, "malformed token payload")
+    if int(claims.get("exp") or 0) < int(_time.time()):
+        raise _ApiError(401, "token expired")
+    return str(claims.get("sub") or "")
 
 
 class NiFiApiServer:
@@ -119,10 +188,20 @@ class NiFiApiServer:
         host: str = "127.0.0.1",
         port: int = 0,
         registry: FlowRegistry | None = None,
+        credentials: tuple[str, str] | None = None,
+        token_ttl: int = 3600,
     ):
         self.spark = spark
         self.sf_dir = sf_dir
         self.registry = registry or FlowRegistry()
+        # Single-user auth (the reference deploys the stock image's
+        # single-user-provider: SINGLE_USER_CREDENTIALS_USERNAME/PASSWORD
+        # env from its nifi-auth Secret — nifi-secret-volume/
+        # nifi-auth.yaml:8-9).  credentials=None keeps the facade open
+        # (the unsecured dev profile).
+        self._credentials = credentials
+        self._token_ttl = token_ttl
+        self._jwt_secret = os.urandom(32) if credentials else b""
         self._lock = threading.Lock()
         # component stores — all control-plane metadata, never data
         self._groups: dict[str, dict] = {
@@ -172,10 +251,36 @@ class NiFiApiServer:
                 self.end_headers()
                 self.wfile.write(data)
 
+            def _answer_text(self, status: int, text: str) -> None:
+                data = text.encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "text/plain")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
             def _route(self, method: str) -> None:
                 try:
                     parsed = urllib.parse.urlsplit(self.path)
                     q = dict(urllib.parse.parse_qsl(parsed.query))
+                    if parsed.path == "/nifi-api/access/token":
+                        # form-encoded credential exchange, text/plain JWT
+                        # back — the stock single-user login contract.
+                        if method != "POST":
+                            raise _ApiError(405, "POST only")
+                        n = int(self.headers.get("Content-Length") or 0)
+                        form = dict(
+                            urllib.parse.parse_qsl(
+                                (self.rfile.read(n) if n else b"").decode()
+                            )
+                        )
+                        self._answer_text(201, api._issue_token(form))
+                        return
+                    if api._credentials is not None:
+                        authz = self.headers.get("Authorization") or ""
+                        if not authz.startswith("Bearer "):
+                            raise _ApiError(401, "bearer token required")
+                        _jwt_verify(api._jwt_secret, authz[7:].strip())
                     status, payload = api._dispatch(
                         method, parsed.path, q, self._body()
                     )
@@ -204,6 +309,14 @@ class NiFiApiServer:
         self._thread.start()
 
     # ------------------------------------------------------------ control --
+
+    def _issue_token(self, form: dict) -> str:
+        if self._credentials is None:
+            raise _ApiError(409, "this instance is not configured for login")
+        user, pw = self._credentials
+        if form.get("username") != user or form.get("password") != pw:
+            raise _ApiError(401, "invalid credentials")
+        return _jwt_issue(self._jwt_secret, user, self._token_ttl)
 
     @property
     def url(self) -> str:
@@ -1042,15 +1155,47 @@ class NiFiApiServer:
 # ------------------------------------------------------------ API client ---
 
 
+def fetch_token(base_url: str, username: str, password: str) -> str:
+    """POST /nifi-api/access/token — the login call every secured-NiFi
+    automation script makes first (the reference's deployment is secured
+    single-user: nifi-secret-volume/nifi-auth.yaml)."""
+    u = urllib.parse.urlsplit(base_url)
+    conn = http.client.HTTPConnection(u.hostname, u.port, timeout=30)
+    try:
+        body = urllib.parse.urlencode(
+            {"username": username, "password": password}
+        ).encode()
+        conn.request(
+            "POST",
+            "/nifi-api/access/token",
+            body=body,
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+        )
+        resp = conn.getresponse()
+        data = resp.read().decode()
+        if resp.status >= 400:
+            raise FlowImportError(f"access/token → {resp.status}: {data}")
+        return data
+    finally:
+        conn.close()
+
+
 def _call(
-    conn: http.client.HTTPConnection, method: str, path: str, body: dict | None = None
+    conn: http.client.HTTPConnection,
+    method: str,
+    path: str,
+    body: dict | None = None,
+    token: str | None = None,
 ) -> dict:
     payload = json.dumps(body).encode() if body is not None else None
+    headers = {"Content-Type": "application/json"} if payload else {}
+    if token:
+        headers["Authorization"] = f"Bearer {token}"
     conn.request(
         method,
         path,
         body=payload,
-        headers={"Content-Type": "application/json"} if payload else {},
+        headers=headers,
     )
     resp = conn.getresponse()
     data = json.loads(resp.read() or b"{}")
@@ -1061,7 +1206,9 @@ def _call(
     return data
 
 
-def author_flow_via_api(base_url: str, contents: dict) -> str:
+def author_flow_via_api(
+    base_url: str, contents: dict, token: str | None = None
+) -> str:
     """Replay a flow.json ``flowContents`` snapshot as REST authoring
     calls — the migration path a NiFi operator's deploy scripts take
     (reference scripts.sh drives exactly these endpoints).  Returns the
@@ -1069,7 +1216,8 @@ def author_flow_via_api(base_url: str, contents: dict) -> str:
     u = urllib.parse.urlsplit(base_url)
     conn = http.client.HTTPConnection(u.hostname, u.port, timeout=30)
     try:
-        gid = _call(
+        _tcall = functools.partial(_call, token=token)
+        gid = _tcall(
             conn,
             "POST",
             "/nifi-api/process-groups/root/process-groups",
@@ -1079,7 +1227,7 @@ def author_flow_via_api(base_url: str, contents: dict) -> str:
             },
         )["id"]
         for s in contents.get("controllerServices", []):
-            _call(
+            _tcall(
                 conn,
                 "POST",
                 f"/nifi-api/process-groups/{gid}/controller-services",
@@ -1095,7 +1243,7 @@ def author_flow_via_api(base_url: str, contents: dict) -> str:
             )
             # snapshots carry config, not runtime state: default ENABLED
             if (s.get("state") or "ENABLED").upper() == "ENABLED":
-                _call(
+                _tcall(
                     conn,
                     "PUT",
                     f"/nifi-api/controller-services/{s['identifier']}/run-status",
@@ -1104,7 +1252,7 @@ def author_flow_via_api(base_url: str, contents: dict) -> str:
         for kind, path_kind in (("inputPorts", "input-ports"),
                                 ("outputPorts", "output-ports")):
             for pt in contents.get(kind, []):
-                _call(
+                _tcall(
                     conn,
                     "POST",
                     f"/nifi-api/process-groups/{gid}/{path_kind}",
@@ -1118,7 +1266,7 @@ def author_flow_via_api(base_url: str, contents: dict) -> str:
                     },
                 )
         for p in contents.get("processors", []):
-            _call(
+            _tcall(
                 conn,
                 "POST",
                 f"/nifi-api/process-groups/{gid}/processors",
@@ -1133,7 +1281,7 @@ def author_flow_via_api(base_url: str, contents: dict) -> str:
                 },
             )
         for c in contents.get("connections", []):
-            _call(
+            _tcall(
                 conn,
                 "POST",
                 f"/nifi-api/process-groups/{gid}/connections",
@@ -1151,12 +1299,15 @@ def author_flow_via_api(base_url: str, contents: dict) -> str:
         conn.close()
 
 
-def start_group_via_api(base_url: str, gid: str) -> list[str]:
+def start_group_via_api(
+    base_url: str, gid: str, token: str | None = None
+) -> list[str]:
     """Schedule a group RUNNING; returns the compiled output names."""
     u = urllib.parse.urlsplit(base_url)
     conn = http.client.HTTPConnection(u.hostname, u.port, timeout=60)
     try:
-        return _call(
+        _tcall = functools.partial(_call, token=token)
+        return _tcall(
             conn,
             "PUT",
             f"/nifi-api/flow/process-groups/{gid}",

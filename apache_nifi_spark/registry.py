@@ -9169,6 +9169,110 @@ def rest_ports_service_flow_q(spark, sf_dir):
 
 
 @register(
+    "rest_secured_token_flow",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority
+    """,
+)
+def rest_secured_token_q(spark, sf_dir):
+    """Single-user token auth on the REST control plane (§3.1
+    [2.7.2-surface]; the reference deploys the stock image SECURED —
+    its nifi-auth Secret sets SINGLE_USER_CREDENTIALS_USERNAME/PASSWORD,
+    nifi-secret-volume/nifi-auth.yaml:8-9, and scripts.sh curls the API
+    over https): POST /nifi-api/access/token exchanges the credentials
+    for an HS256 JWT, an unauthenticated call is REFUSED 401 (asserted
+    live), and the full author→run cycle executes over Bearer auth.
+    Oracle: the authored flow's aggregation."""
+    import http.client
+    import json as _json
+    import urllib.parse
+
+    from apache_nifi_spark.plans.rest_api import (
+        NiFiApiServer,
+        fetch_token,
+        start_group_via_api,
+    )
+
+    cache_key = (spark.sparkContext.applicationId, sf_dir, "rest_secured")
+    if cache_key in _MEGA_CACHE:
+        return _MEGA_CACHE[cache_key]
+    server = NiFiApiServer(
+        spark, sf_dir, credentials=("admin", "admin123456!")
+    )
+    try:
+        u = urllib.parse.urlsplit(server.url)
+        conn = http.client.HTTPConnection(u.hostname, u.port, timeout=30)
+        try:
+            # enforcement: no token → 401 before anything else happens
+            conn.request("GET", "/nifi-api/flow/about")
+            resp = conn.getresponse()
+            assert resp.status == 401, resp.status
+            resp.read()
+            token = fetch_token(server.url, "admin", "admin123456!")
+
+            def call(method, path, body=None):
+                payload = (
+                    _json.dumps(body).encode() if body is not None else None
+                )
+                headers = {"Authorization": f"Bearer {token}"}
+                if payload:
+                    headers["Content-Type"] = "application/json"
+                conn.request(method, path, body=payload, headers=headers)
+                r = conn.getresponse()
+                out = _json.loads(r.read() or b"{}")
+                assert r.status < 300, (r.status, out)
+                return out
+
+            g = call(
+                "POST",
+                "/nifi-api/process-groups/root/process-groups",
+                {"revision": {"version": 0}, "component": {"name": "sec"}},
+            )
+            gid = g["id"]
+            call(
+                "POST",
+                f"/nifi-api/process-groups/{gid}/processors",
+                {"revision": {"version": 0},
+                 "component": {"id": "src", "type": "x.GetFile",
+                               "config": {"properties": {
+                                   "Input Directory": "orders"}}}},
+            )
+            call(
+                "POST",
+                f"/nifi-api/process-groups/{gid}/processors",
+                {"revision": {"version": 0},
+                 "component": {"id": "agg", "type": "x.QueryRecord",
+                               "config": {"properties": {
+                                   "by_priority":
+                                   "SELECT o_orderpriority,"
+                                   " CAST(COUNT(*) AS BIGINT) AS n,"
+                                   " CAST(SUM(o_orderkey) AS BIGINT) AS sum_key"
+                                   " FROM FLOWFILE"
+                                   " WHERE o_orderstatus = 'F'"
+                                   " GROUP BY o_orderpriority"}}}},
+            )
+            call(
+                "POST",
+                f"/nifi-api/process-groups/{gid}/connections",
+                {"revision": {"version": 0},
+                 "component": {"source": {"id": "src"},
+                               "destination": {"id": "agg"},
+                               "selectedRelationships": ["success"]}},
+            )
+        finally:
+            conn.close()
+        outs = start_group_via_api(server.url, gid, token=token)
+        assert "agg.by_priority" in outs, outs
+        _MEGA_CACHE[cache_key] = server.outputs(gid)["agg.by_priority"]
+        return _MEGA_CACHE[cache_key]
+    finally:
+        server.stop()
+
+
+@register(
     "rest_parameter_context_flow",
     oracle="""
     SELECT c_mktsegment,

@@ -536,3 +536,57 @@ def test_provenance_query_over_rest(server):
         assert status == 404
     finally:
         conn.close()
+
+
+def test_single_user_token_auth(spark, sf_dir):
+    """Secured facade (the reference's single-user profile): login issues
+    an HS256 JWT, bad credentials and bad/expired tokens answer 401, and
+    the full author+run cycle works over Bearer auth."""
+    from apache_nifi_spark.plans.rest_api import fetch_token
+    from apache_nifi_spark.plans.flow_import import FlowImportError
+
+    s = NiFiApiServer(spark, sf_dir, credentials=("admin", "admin123456!"))
+    try:
+        # bad credentials -> 401 at login
+        with pytest.raises(FlowImportError, match="401"):
+            fetch_token(s.url, "admin", "wrong")
+        # no token -> 401 on any endpoint
+        conn = _conn(s)
+        status, body = _call(conn, "GET", "/nifi-api/flow/about")
+        assert status == 401, body
+        # tampered token -> 401
+        token = fetch_token(s.url, "admin", "admin123456!")
+        assert token.count(".") == 2
+        bad = token[:-2] + ("AA" if not token.endswith("AA") else "BB")
+        conn.request("GET", "/nifi-api/flow/about",
+                     headers={"Authorization": f"Bearer {bad}"})
+        resp = conn.getresponse()
+        assert resp.status == 401
+        resp.read()
+        # valid token -> full authoring cycle
+        conn.request("GET", "/nifi-api/flow/about",
+                     headers={"Authorization": f"Bearer {token}"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        json.loads(resp.read())
+        with open(os.path.join(FIXTURES, "mega_flow.json")) as f:
+            contents = json.load(f)["flowContents"]
+        gid = author_flow_via_api(s.url, contents, token=token)
+        outs = start_group_via_api(s.url, gid, token=token)
+        assert outs
+        # expired token -> 401 (issue with ttl in the past)
+        s2 = NiFiApiServer(
+            spark, sf_dir, credentials=("u", "p"), token_ttl=-5
+        )
+        try:
+            expired = fetch_token(s2.url, "u", "p")
+            c2 = _conn(s2)
+            c2.request("GET", "/nifi-api/flow/about",
+                       headers={"Authorization": f"Bearer {expired}"})
+            r2 = c2.getresponse()
+            assert r2.status == 401
+            r2.read()
+        finally:
+            s2.stop()
+    finally:
+        s.stop()
