@@ -28,6 +28,7 @@ from apache_nifi_spark.llm.similarity import (  # noqa: F401
     l2_norm,
     cosine_similarity,
     cosine_topk_bruteforce,
+    hard_negatives,
     srp_signature,
     cosine_topk_lsh,
     ivf_assign,
@@ -43,6 +44,7 @@ from apache_nifi_spark.llm.text import (  # noqa: F401
     quality_logit,
     unigram_logprob,
     bigram_logprob,
+    tfidf_keywords,
     c4_line_filter,
     rolling_fingerprint,
     chunk_sliding,

@@ -35,6 +35,7 @@ __all__ = [
     "l2_norm",
     "cosine_similarity",
     "cosine_topk_bruteforce",
+    "hard_negatives",
     "srp_signature",
     "cosine_topk_lsh",
     "ivf_assign",
@@ -121,6 +122,62 @@ def cosine_topk_bruteforce(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the in-batch/ANCE
+    family): for each query vector, the top-k most-similar corpus
+    vectors with a DIFFERENT label — the "confusable but wrong"
+    examples a retrieval/embedding trainer wants in its batches.
+
+    Same plan shape as ``cosine_topk_bruteforce`` (broadcast query side,
+    norms hoisted to row grain, one dot per pair, per-query window);
+    the label-mismatch predicate rides the join condition so positives
+    never materialize.  At corpus-×-corpus scale swap the query side
+    for the IVF-bucketed tier exactly as with top-k search.
+
+    Output: (query_id, query_label, neighbor_id, neighbor_label,
+    cosine, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        _dvec(F.col(vec_col)).alias("q_vec"),
+        l2_norm(_dvec(F.col(vec_col))).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        _dvec(F.col(vec_col)).alias("c_vec"),
+        l2_norm(_dvec(F.col(vec_col))).alias("__cn"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (F.col("query_label") != F.col("neighbor_label")),
+    ).withColumn(
+        "cosine",
+        dot_product(F.col("q_vec"), F.col("c_vec"))
+        / (F.col("__qn") * F.col("__cn")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label",
+            "cosine", "rank",
+        )
     )
 
 

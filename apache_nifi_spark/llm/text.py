@@ -20,6 +20,7 @@ __all__ = [
     "quality_score",
     "unigram_logprob",
     "bigram_logprob",
+    "tfidf_keywords",
     "c4_line_filter",
     "rolling_fingerprint",
     "chunk_sliding",
@@ -258,6 +259,62 @@ def unigram_logprob(
         _F.count(_F.lit(1)).alias("n_tokens"),
         _F.round(_F.sum("lp") / _F.count(_F.lit(1)), 6).alias(out_col),
         _F.round(_F.exp(-_F.sum("lp") / _F.count(_F.lit(1))), 6).alias("ppl"),
+    )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document tf-idf keyword extraction (§2.12 corpus-analysis
+    tier): the classic training-data signal for topic balance audits,
+    dedup explanation ("what is this cluster about"), and retrieval-
+    style filtering.  ``score = tf · (ln((N+1)/(df+1)) + 1)`` (smoothed
+    idf, sklearn's convention), top-``k`` terms per document.
+
+    Shape at 100 TB: one explode → doc-grain tf agg; df is a second agg
+    over the distinct (doc, term) pairs the first already produced;
+    idf joins back BROADCAST (vocabulary ≪ corpus); the top-k cut is a
+    window over the doc partition — hash-partitioned by document, no
+    global sort.  Ranking uses the 6-dp-ROUNDED score with a term
+    tie-break, so the cut is total-ordered and engine-exact (raw double
+    scores differ in last-ulp across engines; rounding first makes the
+    order — and therefore the top-k set — identical).
+
+    Returns (id, term, tf, score, rank), rank 1..k per document.
+    """
+    from pyspark.sql import Window, functions as _F
+
+    tokens = df.select(
+        id_col,
+        _F.explode(
+            _F.filter(
+                _F.split(_F.lower(_F.col(text_col)), r"[^a-z0-9']+", -1),
+                lambda t: t != "",
+            )
+        ).alias("term"),
+    )
+    tf = tokens.groupBy(id_col, "term").agg(_F.count(_F.lit(1)).alias("tf"))
+    n_docs = tf.select(id_col).distinct().count()  # control-plane: one scalar
+    dfreq = tf.groupBy("term").agg(_F.count(_F.lit(1)).alias("df"))
+    idf = _F.log(
+        (_F.lit(float(n_docs + 1))) / (_F.col("df") + 1).cast("double")
+    ) + _F.lit(1.0)
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        id_col,
+        "term",
+        "tf",
+        _F.round(_F.col("tf").cast("double") * idf, 6).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        _F.col("score").desc(), _F.col("term")
+    )
+    return (
+        scored.withColumn("rank", _F.row_number().over(w))
+        .filter(_F.col("rank") <= k)
+        .select(id_col, "term", "tf", "score", "rank")
     )
 
 

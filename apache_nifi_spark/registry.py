@@ -1813,6 +1813,44 @@ def text_unigram_logprob_q(spark, sf_dir):
 
 
 @register(
+    "text_tfidf_keywords",
+    oracle=r"""
+    WITH tok AS MATERIALIZED (
+      SELECT d.doc_id, t.term
+      FROM documents d,
+           unnest(list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9'']+'),
+                              x -> x != '')) AS t(term)
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+    dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    sc AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             round(CAST(tf.tf AS DOUBLE)
+                   * (ln(CAST(nd.n + 1 AS DOUBLE) / CAST(dfr.df + 1 AS DOUBLE))
+                      + 1.0), 6) AS score
+      FROM tf JOIN dfr USING (term), nd
+    )
+    SELECT doc_id, term, tf, score, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY score DESC, term) AS INTEGER) AS rank
+      FROM sc
+    ) WHERE rank <= 5
+    """,
+)
+def text_tfidf_keywords_q(spark, sf_dir):
+    """Per-document tf-idf keyword extraction (§2.12 corpus-analysis
+    tier): smoothed-idf tf·idf, top-5 terms per document ranked on the
+    6-dp-rounded score with a term tie-break (total-ordered, so the
+    top-k SET is engine-exact).  Explode → tf agg → broadcast idf join
+    → per-doc window; see llm/text.tfidf_keywords."""
+    from apache_nifi_spark.llm import tfidf_keywords
+
+    d = io.widen_if_narrow(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return tfidf_keywords(d, k=5)
+
+
+@register(
     "text_bigram_logprob",
     oracle=r"""
     WITH toks AS MATERIALIZED (
@@ -2650,6 +2688,37 @@ def similarity_cosine_topk_q(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     return cosine_topk_bruteforce(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "similarity_hard_negatives",
+    oracle="""
+    WITH q AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT query_id, query_label, neighbor_id, neighbor_label, cosine, rank FROM (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine,
+             CAST(row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_dot_product(q.v, c.v)
+                             / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+                             c.vec_id) AS INT) AS rank
+      FROM q JOIN c ON q.vec_id != c.vec_id AND q.label != c.label
+    ) WHERE rank <= 5
+    """,
+)
+def similarity_hard_negatives_q(spark, sf_dir):
+    """Hard-negative mining for contrastive training (§2.12 similarity
+    tier): per query, the top-5 most-cosine-similar corpus vectors with
+    a DIFFERENT label — confusable-but-wrong examples for retrieval/
+    embedding training batches.  Broadcast query side, label mismatch on
+    the join condition, per-query window; see llm/similarity.hard_negatives."""
+    from apache_nifi_spark.llm import hard_negatives
+
+    e = _t(spark, sf_dir, "embeddings")
+    return hard_negatives(e, e.filter(F.col("vec_id") < 10), k=5)
 
 
 @register(

@@ -1298,3 +1298,39 @@ def test_hashed_linear_classifier_shape_and_determinism(spark):
         assert r["keep"] == (r["prob"] >= 0.5)
     plan = hashed_linear_score(df)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
+
+
+def test_tfidf_keywords_rare_term_wins(spark):
+    """A term unique to one document must outrank corpus-wide terms in
+    that document; ranks are 1..k with the term tie-break."""
+    from apache_nifi_spark.llm import tfidf_keywords
+
+    docs = [(1, "common words everywhere plus zygote zygote"),
+            (2, "common words everywhere again and again"),
+            (3, "common words everywhere more common words")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = tfidf_keywords(df, k=3).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["score"]))
+    top1 = sorted(by_doc[1])[0]
+    assert top1[1] == "zygote", by_doc[1]
+    for rows in by_doc.values():
+        ranks = sorted(r for r, _, _ in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    """Every mined negative carries a different label than its query and
+    self-pairs never appear; ranks are dense from 1."""
+    from apache_nifi_spark.llm import hard_negatives
+
+    rows = [(i, [float((i * 3 + d) % 7) for d in range(4)], i % 2)
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = hard_negatives(df, df.filter("vec_id < 4"), k=3).collect()
+    assert got
+    for r in got:
+        assert r["query_label"] != r["neighbor_label"]
+        assert r["query_id"] != r["neighbor_id"]
+        assert 1 <= r["rank"] <= 3
