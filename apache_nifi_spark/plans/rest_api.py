@@ -42,6 +42,7 @@ REST API):
 ``POST   /nifi-api/provenance``                              submit prov query
 ``GET/DELETE /nifi-api/provenance/{id}``                     poll / drop query
 ``POST   /nifi-api/access/token``                            single-user login
+``GET    /nifi-api/flow/bulletin-board``                     flow-event bulletins
 ==========================================================  ============
 
 Auth: constructed with ``credentials=(user, password)`` the facade runs
@@ -221,6 +222,7 @@ class NiFiApiServer:
         self._s2s: dict[str, Any] | None = None  # attached S2S wire endpoint
         self._param_contexts: dict[str, dict] = {}  # id → {name, parameters}
         self._group_context: dict[str, str] = {}  # group id → context id
+        self._bulletins: list[dict] = []  # flow-event board, monotonic ids
         self._counters: dict[str, dict[str, list]] = {}  # gid → name → [Observation]
         self._provenance: dict[str, dict] = {}  # gid → (component, rel) → (etype, obs)
         self._prov_queries: dict[str, dict] = {}  # query id → filter
@@ -409,6 +411,8 @@ class NiFiApiServer:
             m = re.fullmatch(r"/nifi-api/process-groups/([^/]+)", path)
             if m and method == "PUT":
                 return self._update_group(m.group(1), body)
+            if path == "/nifi-api/flow/bulletin-board" and method == "GET":
+                return self._bulletin_board(query)
             if path == "/nifi-api/flow/status" and method == "GET":
                 return self._flow_status()
             if path == "/nifi-api/counters" and method == "GET":
@@ -1092,6 +1096,52 @@ class NiFiApiServer:
             }
         }
 
+    # -------------------------------------------------------- bulletins --
+
+    def _post_bulletin(self, source_id: str, level: str, message: str) -> None:
+        """Append a flow-event bulletin (NiFi's component warning/error
+        surface).  Board is bounded like NiFi's (most recent 1000).
+        Caller holds self._lock (all callers are _dispatch paths; the
+        lock is not reentrant, so no acquisition here)."""
+        import time as _time
+
+        self._bulletins.append(
+            {
+                "id": len(self._bulletins) + 1,
+                "sourceId": source_id,
+                "sourceName": self._groups.get(source_id, {}).get(
+                    "name", source_id
+                ),
+                "category": "Flow Controller",
+                "level": level,
+                "message": message,
+                "timestamp": _time.strftime("%H:%M:%S UTC", _time.gmtime()),
+            }
+        )
+
+    def _bulletin_board(self, q: dict) -> tuple[int, dict]:
+        """GET /nifi-api/flow/bulletin-board — ``after`` (bulletin id
+        floor), ``sourceId`` and ``limit`` filters, newest last, the
+        public endpoint's query contract."""
+        after = int(q.get("after") or 0)
+        limit = int(q.get("limit") or 1000)
+        src = q.get("sourceId")
+        # caller (_dispatch) holds self._lock — non-reentrant, don't take
+        rows = [
+            b
+            for b in self._bulletins[-1000:]
+            if b["id"] > after and (src is None or b["sourceId"] == src)
+        ]
+        return 200, {
+            "bulletinBoard": {
+                "bulletins": [
+                    {"id": b["id"], "canRead": True, "bulletin": b}
+                    for b in rows[-limit:]
+                ],
+                "generated": "now",
+            }
+        }
+
     def _schedule(self, gid: str, body: dict) -> tuple[int, dict]:
         state = (body.get("state") or "").upper()
         if state not in ("RUNNING", "STOPPED"):
@@ -1104,14 +1154,20 @@ class NiFiApiServer:
             contents = self._resolve_parameters(gid, contents)
             counters: dict[str, list] = {}
             provenance: dict = {}
-            outs = run_flow(
-                self.spark,
-                self.sf_dir,
-                {"flowContents": contents},
-                port_sources=self._s2s_port_sources(gid),
-                counters=counters,
-                provenance=provenance,
-            )
+            try:
+                outs = run_flow(
+                    self.spark,
+                    self.sf_dir,
+                    {"flowContents": contents},
+                    port_sources=self._s2s_port_sources(gid),
+                    counters=counters,
+                    provenance=provenance,
+                )
+            except FlowImportError as e:
+                # NiFi raises start-time validation failures onto the
+                # bulletin board; the API still answers 400 (re-raise).
+                self._post_bulletin(gid, "ERROR", str(e))
+                raise
             self._counters[gid] = counters
             self._provenance[gid] = provenance
             self._outputs[gid] = outs

@@ -590,3 +590,38 @@ def test_single_user_token_auth(spark, sf_dir):
             s2.stop()
     finally:
         s.stop()
+
+
+def test_bulletin_board_records_start_failures(server):
+    """A compile-on-start failure answers 400 AND lands on the bulletin
+    board with the compiler diagnostic; after/sourceId filters apply."""
+    # empty board initially
+    st, body = _call(_conn(server), "GET", "/nifi-api/flow/bulletin-board")
+    assert st == 200 and body["bulletinBoard"]["bulletins"] == []
+    conn = _conn(server)
+    st, g = _call(conn, "POST", "/nifi-api/process-groups/root/process-groups",
+                  {"revision": {"version": 0}, "component": {"name": "bad"}})
+    gid = g["id"]
+    # a processor type the compiler rejects
+    st, _ = _call(conn, "POST", f"/nifi-api/process-groups/{gid}/processors",
+                  {"revision": {"version": 0},
+                   "component": {"id": "x1", "type": "x.NoSuchProcessor",
+                                 "config": {"properties": {}}}})
+    assert st == 201
+    st, err = _call(conn, "PUT", f"/nifi-api/flow/process-groups/{gid}",
+                    {"id": gid, "state": "RUNNING"})
+    assert st == 400
+    st, body = _call(conn, "GET", "/nifi-api/flow/bulletin-board")
+    bulletins = body["bulletinBoard"]["bulletins"]
+    assert len(bulletins) == 1
+    b = bulletins[0]["bulletin"]
+    assert b["level"] == "ERROR" and b["sourceId"] == gid
+    assert b["message"] == err["error"]  # board mirrors the 400 diagnostic
+    # after-filter excludes it
+    st, body = _call(conn, "GET",
+                     f"/nifi-api/flow/bulletin-board?after={b['id']}")
+    assert body["bulletinBoard"]["bulletins"] == []
+    # sourceId filter
+    st, body = _call(conn, "GET",
+                     "/nifi-api/flow/bulletin-board?sourceId=nope")
+    assert body["bulletinBoard"]["bulletins"] == []
