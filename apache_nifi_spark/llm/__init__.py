@@ -78,6 +78,7 @@ from apache_nifi_spark.llm.multimodal import (  # noqa: F401
     encode_png,
     decode_image_pixel_stats,
     encode_wav,
+    decode_jpeg_gray_stats,
     wav_pcm_samples,
     wav_pcm_stats,
     decode_audio_pcm_stats,

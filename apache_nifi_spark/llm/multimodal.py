@@ -25,6 +25,7 @@ the 100 TB path is executor-parallel with bounded batch memory
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -1086,3 +1087,48 @@ def decode_video_mp4_meta(
             yield pd.DataFrame(out)
 
     return df.select(id_col, content_col).mapInPandas(decode, VIDEO_MP4_META_SCHEMA)
+
+
+# ----------------------------------------------------- JPEG gray tier ---
+
+JPEG_GRAY_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_pixels", LongType()),
+        StructField("sum_gray", LongType()),
+        StructField("min_gray", IntegerType()),
+        StructField("max_gray", IntegerType()),
+    ]
+)
+
+
+def decode_jpeg_gray_stats(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """Grayscale-JPEG pixel statistics over a binary column, Arrow-
+    batched (the PNG tier's playbook — llm/jpeg implements the full
+    baseline entropy/IDCT pipeline from ITU-T T.81).  Undecodable or
+    out-of-scope payloads are dropped (the undecodable→failure route)."""
+    from apache_nifi_spark.llm.jpeg import jpeg_gray_stats
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in JPEG_GRAY_STATS_SCHEMA.fields}
+            for doc_id, payload in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    s = jpeg_gray_stats(
+                        bytes(payload) if payload is not None else b""
+                    )
+                except (ValueError, IndexError, KeyError, struct.error):
+                    continue
+                out["doc_id"].append(doc_id)
+                for k in ("width", "height", "n_pixels",
+                          "sum_gray", "min_gray", "max_gray"):
+                    out[k].append(s[k])
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(
+        decode, JPEG_GRAY_STATS_SCHEMA
+    )

@@ -3057,6 +3057,70 @@ def multimodal_pixel_q(spark, sf_dir):
 
 
 @register(
+    "multimodal_image_jpeg_stats",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h
+      FROM documents WHERE doc_id < 300
+    ),
+    blk AS (
+      SELECT doc_id, w, h,
+             LEAST(255, GREATEST(0,
+               CAST(floor(((0.5000000000000001
+                            * (((doc_id * 5 + b * 11) % 65 - 32) * 16))
+                           * 0.25) + 0.5) AS INT) + 128)) AS v
+      FROM p, unnest(generate_series(0, (w // 8) * (h // 8) - 1)) AS t(b)
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(SUM(64 * v) AS BIGINT) AS sum_gray,
+           CAST(MIN(v) AS INT) AS min_gray,
+           CAST(MAX(v) AS INT) AS max_gray
+    FROM blk GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_jpeg_q(spark, sf_dir):
+    """REAL baseline-JPEG pixel decode, value-oracled on the DC tier
+    (§2.12 multimodal; the PNG pixel tier's playbook, llm/jpeg from
+    ITU-T T.81): spec-valid grayscale JPEGs are ENCODED executor-side
+    (custom canonical DHT tables, DC-difference Huffman coding, byte
+    stuffing), then decoded back through the full marker/DHT/bitstream/
+    dequant/IDCT pipeline and reduced to exact gray sums.  A DC-only
+    block's IDCT accumulates exactly one nonzero float term, so the
+    oracle reproduces the pixel values bit-exactly in closed form; the
+    general AC path (run/size RLE, ZRL, EOB) is covered by pytest
+    round-trips against an independent IDCT.  Arrow-batched both sides;
+    map-only at any scale."""
+    import pandas as pd  # noqa: F811
+
+    from apache_nifi_spark.llm import decode_jpeg_gray_stats
+    from apache_nifi_spark.llm.jpeg import encode_jpeg_gray
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            contents = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 * (1 + d % 3), 8 * (1 + d % 2)
+                nb = (w // 8) * (h // 8)
+                blocks = [
+                    [((d * 5 + b * 11) % 65) - 32] + [0] * 63
+                    for b in range(nb)
+                ]
+                contents.append(encode_jpeg_gray(blocks, w, h))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": contents})
+
+    img = base.mapInPandas(synth, "doc_id long, content binary")
+    return decode_jpeg_gray_stats(img)
+
+
+@register(
     "multimodal_audio_metadata",
     oracle="""
     SELECT doc_id,

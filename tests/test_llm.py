@@ -1334,3 +1334,60 @@ def test_hard_negatives_exclude_same_label(spark):
         assert r["query_label"] != r["neighbor_label"]
         assert r["query_id"] != r["neighbor_id"]
         assert 1 <= r["rank"] <= 3
+
+
+def test_jpeg_roundtrip_general_ac_path():
+    """Encode arbitrary quantized blocks (runs, ZRL, EOB, negative
+    coefficients, multi-block DC prediction) and decode back: pixels
+    must equal an independent direct-IDCT computation, and malformed
+    streams must raise, not return garbage."""
+    import math
+
+    from apache_nifi_spark.llm.jpeg import (
+        _ZZ, encode_jpeg_gray, jpeg_gray_pixels)
+
+    quant = [(i % 7) + 1 for i in range(64)]
+    blocks = []
+    for b in range(6):  # 24x16 image
+        zz = [0] * 64
+        zz[0] = (b * 37) % 50 - 25
+        for j in range(1, 64):
+            if (b * 31 + j * 17) % 9 == 0:   # sparse, varied runs
+                zz[j] = ((b * 13 + j * 7) % 21) - 10
+        blocks.append(zz)
+    data = encode_jpeg_gray(blocks, 24, 16, quant=quant)
+    w, h, rows = jpeg_gray_pixels(data)
+    assert (w, h) == (24, 16)
+
+    C = [1.0 / math.sqrt(2.0)] + [1.0] * 7
+
+    def ref_pixel(blk_zz, y, x):
+        coef = [0] * 64
+        for i, p in enumerate(_ZZ):
+            coef[p] = blk_zz[i] * quant[i]
+        a = 0.0
+        for u in range(8):
+            for v in range(8):
+                if coef[u * 8 + v]:
+                    a += (C[u] * C[v] * coef[u * 8 + v]
+                          * math.cos((2 * y + 1) * u * math.pi / 16)
+                          * math.cos((2 * x + 1) * v * math.pi / 16))
+        s = int(math.floor(a / 4 + 0.5)) + 128
+        return max(0, min(255, s))
+
+    bw = 3
+    for by in range(2):
+        for bx in range(bw):
+            blk = blocks[by * bw + bx]
+            for y in range(8):
+                for x in range(8):
+                    assert rows[by * 8 + y][bx * 8 + x] == ref_pixel(blk, y, x)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        jpeg_gray_pixels(b"\x89PNG not a jpeg")
+    with _pytest.raises(ValueError):
+        jpeg_gray_pixels(data[:40])  # truncated before SOS
+    trunc = data[:-20]  # truncated entropy stream
+    with _pytest.raises(ValueError):
+        jpeg_gray_pixels(trunc)
