@@ -45,6 +45,7 @@ from apache_nifi_spark.llm.text import (  # noqa: F401
     unigram_logprob,
     bigram_logprob,
     tfidf_keywords,
+    zipf_fit,
     c4_line_filter,
     rolling_fingerprint,
     chunk_sliding,

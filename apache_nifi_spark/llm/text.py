@@ -21,6 +21,7 @@ __all__ = [
     "unigram_logprob",
     "bigram_logprob",
     "tfidf_keywords",
+    "zipf_fit",
     "c4_line_filter",
     "rolling_fingerprint",
     "chunk_sliding",
@@ -259,6 +260,74 @@ def unigram_logprob(
         _F.count(_F.lit(1)).alias("n_tokens"),
         _F.round(_F.sum("lp") / _F.count(_F.lit(1)), 6).alias(out_col),
         _F.round(_F.exp(-_F.sum("lp") / _F.count(_F.lit(1))), 6).alias("ppl"),
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top: int = 100,
+) -> DataFrame:
+    """Corpus-level Zipf-law fit (§2.12 corpus-analysis tier): OLS of
+    ``ln(freq)`` against ``ln(rank)`` over the top-``top`` vocabulary
+    ranks.  Natural corpora fit α ≈ 1; a collapsed or synthetic corpus
+    (template spam, near-duplicate floods, truncated vocab) shows up as
+    an α far from 1 or a poor fit — a standard one-number health check
+    before committing tokenizer/mixture decisions.
+
+    Shape at 100 TB: vocabulary agg (two-stage, map-side combined), then
+    the top-``top`` cut is a TakeOrdered (no global sort) and the fit
+    runs over those ``top`` rows — bounded by construction, so the
+    final single-partition window/agg is control-plane-sized.  α and
+    intercept rounded to 6 dp (double sums over the rank rows are
+    partition-order-dependent — the unigram_logprob policy).
+
+    Returns ONE row: (n_types, n_tokens, alpha, intercept).
+    """
+    from pyspark.sql import Window, functions as _F
+
+    counts = (
+        df.select(
+            _F.explode(
+                _F.filter(
+                    _F.split(_F.lower(_F.col(text_col)), r"[^a-z0-9']+", -1),
+                    lambda t: t != "",
+                )
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(_F.count(_F.lit(1)).alias("freq"))
+    )
+    totals = counts.agg(
+        _F.count(_F.lit(1)).alias("n_types"),
+        _F.sum("freq").alias("n_tokens"),
+    )
+    topn = counts.orderBy(_F.col("freq").desc(), "token").limit(top)
+    # rank over the bounded top-N set (≤ `top` rows — the one-partition
+    # window is control-plane-sized by construction)
+    w = Window.orderBy(_F.col("freq").desc(), "token")
+    xy = topn.select(
+        _F.log(_F.row_number().over(w).cast("double")).alias("x"),
+        _F.log(_F.col("freq").cast("double")).alias("y"),
+    )
+    s = xy.agg(
+        _F.count(_F.lit(1)).cast("double").alias("n"),
+        _F.sum("x").alias("sx"),
+        _F.sum("y").alias("sy"),
+        _F.sum(_F.col("x") * _F.col("y")).alias("sxy"),
+        _F.sum(_F.col("x") * _F.col("x")).alias("sxx"),
+    )
+    slope = (_F.col("sxy") - _F.col("sx") * _F.col("sy") / _F.col("n")) / (
+        _F.col("sxx") - _F.col("sx") * _F.col("sx") / _F.col("n")
+    )
+    fitted = s.select(
+        _F.round(-slope, 6).alias("alpha"),
+        _F.round(
+            (_F.col("sy") - slope * _F.col("sx")) / _F.col("n"), 6
+        ).alias("intercept"),
+    )
+    return totals.crossJoin(F.broadcast(fitted)).select(
+        "n_types", "n_tokens", "alpha", "intercept"
     )
 
 

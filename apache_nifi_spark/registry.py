@@ -1851,6 +1851,43 @@ def text_tfidf_keywords_q(spark, sf_dir):
 
 
 @register(
+    "text_zipf_fit",
+    oracle=r"""
+    WITH tok AS MATERIALIZED (
+      SELECT t.token
+      FROM documents d,
+           unnest(list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9'']+'),
+                              x -> x != '')) AS t(token)
+    ),
+    v AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(SUM(freq) AS BIGINT) AS n_tokens FROM v),
+    topn AS (SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS r
+             FROM v ORDER BY freq DESC, token LIMIT 100),
+    xy AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+           FROM topn),
+    s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM xy)
+    SELECT tot.n_types, tot.n_tokens,
+           round(-((sxy - sx * sy / n) / (sxx - sx * sx / n)), 6) AS alpha,
+           round((sy - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx) / n, 6)
+             AS intercept
+    FROM tot, s
+    """,
+)
+def text_zipf_fit_q(spark, sf_dir):
+    """Corpus Zipf-law fit (§2.12 corpus-analysis tier): OLS of ln(freq)
+    on ln(rank) over the top-100 vocabulary ranks — the one-number
+    corpus-health diagnostic (natural text fits alpha ~ 1; template
+    floods and collapsed vocabularies do not).  Vocabulary agg →
+    TakeOrdered top-100 → bounded fit; see llm/text.zipf_fit."""
+    from apache_nifi_spark.llm import zipf_fit
+
+    d = io.widen_if_narrow(_t(spark, sf_dir, "documents").select("text"))
+    return zipf_fit(d)
+
+
+@register(
     "text_bigram_logprob",
     oracle=r"""
     WITH toks AS MATERIALIZED (

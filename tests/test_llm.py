@@ -1391,3 +1391,25 @@ def test_jpeg_roundtrip_general_ac_path():
     trunc = data[:-20]  # truncated entropy stream
     with _pytest.raises(ValueError):
         jpeg_gray_pixels(trunc)
+
+
+def test_zipf_fit_detects_natural_vs_uniform(spark):
+    """A Zipf-distributed corpus must fit alpha near its exponent; a
+    uniform-frequency corpus must fit alpha near 0."""
+    from apache_nifi_spark.llm import zipf_fit
+
+    # build ~zipfian text: word w_r appears ~ N/r times
+    words = []
+    for r in range(1, 60):
+        words += [f"w{r:02d}"] * (600 // r)
+    zipf_doc = " ".join(words)
+    uni_doc = (" ".join(f"u{r:02d}" for r in range(1, 60)) + " ") * 10
+    z = zipf_fit(
+        spark.createDataFrame([(1, zipf_doc)], "doc_id long, text string")
+    ).collect()[0]
+    u = zipf_fit(
+        spark.createDataFrame([(1, uni_doc)], "doc_id long, text string")
+    ).collect()[0]
+    assert 0.8 <= z["alpha"] <= 1.2, z
+    assert abs(u["alpha"]) < 0.05, u
+    assert z["n_types"] == 59 and u["n_types"] == 59
