@@ -132,6 +132,13 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
         # 1-row global-stats broadcast (T+V smoothing constants): keyless
         # by nature, bounded by construction
         "text_unigram_logprob",
+        # same 1-row smoothing-stats broadcast shape
+        "text_bigram_logprob",
+        # two 1-row sides (corpus totals × fitted coefficients)
+        "text_zipf_fit",
+        # bounded broadcast query side, non-equi (id != id, label != label)
+        # by nature — the similarity_cosine_topk shape with a label guard
+        "similarity_hard_negatives",
         # same shape: Nt/Nr one-row total broadcasts for the DSIR weights
         "dsir_importance_scores",
         # K-row centroid broadcast per Lloyd iteration: keyless scoring
