@@ -43,6 +43,8 @@ REST API):
 ``GET/DELETE /nifi-api/provenance/{id}``                     poll / drop query
 ``POST   /nifi-api/access/token``                            single-user login
 ``GET    /nifi-api/flow/bulletin-board``                     flow-event bulletins
+``POST   /nifi-api/process-groups/{id}/labels``              create label
+``GET/PUT/DELETE /nifi-api/labels/{id}``                     label entity
 ==========================================================  ============
 
 Auth: constructed with ``credentials=(user, password)`` the facade runs
@@ -435,6 +437,12 @@ class NiFiApiServer:
                 body = dict(body)
                 body["component"] = dict(body.get("component") or {}, type="Funnel")
                 return self._create_processor(m.group(1), body)
+            m = re.fullmatch(r"/nifi-api/process-groups/([^/]+)/labels", path)
+            if m and method == "POST":
+                return self._create_label(m.group(1), body)
+            m = re.fullmatch(r"/nifi-api/labels/([^/]+)", path)
+            if m:
+                return self._label_entity(m.group(1), method, body, query)
             m = re.fullmatch(r"/nifi-api/processors/([^/]+)", path)
             if m:
                 if method == "GET":
@@ -685,6 +693,49 @@ class NiFiApiServer:
         self._revisions[pid] = 0
         self._owner[pid] = gid
         return 201, self._entity(pid, dict(g["ports"][pid]))
+
+    def _create_label(self, gid: str, body: dict) -> tuple[int, dict]:
+        """Labels are the canvas annotation entity — no runtime effect,
+        but flow definitions carry them, so the model round-trips them."""
+        g = self._group(gid)
+        comp = body.get("component") or {}
+        if int((body.get("revision") or {}).get("version", -1)) != 0:
+            raise _ApiError(400, "create requires revision.version == 0")
+        lid = comp.get("id") or f"label-{uuid.uuid4().hex[:12]}"
+        if lid in self._revisions:
+            raise _ApiError(400, f"component id {lid!r} already exists")
+        g.setdefault("labels", {})[lid] = {
+            "identifier": lid,
+            "label": comp.get("label") or "",
+            "position": comp.get("position") or {"x": 0.0, "y": 0.0},
+            "width": comp.get("width") or 150.0,
+            "height": comp.get("height") or 150.0,
+        }
+        self._revisions[lid] = 0
+        self._owner[lid] = gid
+        return 201, self._entity(lid, dict(g["labels"][lid]))
+
+    def _label_entity(self, lid: str, method: str, body: dict, query: dict):
+        gid = self._owner.get(lid)
+        if gid is None or lid not in self._groups[gid].get("labels", {}):
+            raise _ApiError(404, f"unknown label {lid!r}")
+        labels = self._groups[gid]["labels"]
+        if method == "GET":
+            return 200, self._entity(lid, dict(labels[lid]))
+        if method == "PUT":
+            self._check_revision(lid, (body.get("revision") or {}).get("version"))
+            comp = body.get("component") or {}
+            for k in ("label", "position", "width", "height"):
+                if k in comp:
+                    labels[lid][k] = comp[k]
+            self._revisions[lid] += 1
+            return 200, self._entity(lid, dict(labels[lid]))
+        # DELETE
+        self._check_revision(lid, query.get("version"))
+        del labels[lid]
+        del self._revisions[lid]
+        del self._owner[lid]
+        return 200, {"id": lid}
 
     def _get_port(self, pid: str) -> tuple[int, dict]:
         gid = self._owner.get(pid)
@@ -1085,6 +1136,7 @@ class NiFiApiServer:
                 dict(p) for p in g["ports"].values() if p["type"] == "OUTPUT_PORT"
             ],
             "controllerServices": [dict(s) for s in g["services"].values()],
+            "labels": [dict(lb) for lb in g.get("labels", {}).values()],
         }
 
     def _get_flow(self, gid: str) -> tuple[int, dict]:

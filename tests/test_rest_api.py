@@ -625,3 +625,35 @@ def test_bulletin_board_records_start_failures(server):
     st, body = _call(conn, "GET",
                      "/nifi-api/flow/bulletin-board?sourceId=nope")
     assert body["bulletinBoard"]["bulletins"] == []
+
+
+def test_label_crud_and_snapshot(server):
+    """Labels round-trip through CRUD with the revision protocol and
+    appear in the flow snapshot (flow definitions carry annotations)."""
+    conn = _conn(server)
+    try:
+        st, ent = _call(conn, "POST", "/nifi-api/process-groups/root/labels",
+                        {"revision": {"version": 0},
+                         "component": {"label": "ingest zone",
+                                       "position": {"x": 10.0, "y": 20.0}}})
+        assert st == 201
+        lid = ent["id"]
+        st, got = _call(conn, "GET", f"/nifi-api/labels/{lid}")
+        assert st == 200 and got["component"]["label"] == "ingest zone"
+        # stale update refused, fresh accepted
+        st, _ = _call(conn, "PUT", f"/nifi-api/labels/{lid}",
+                      {"revision": {"version": 7}, "component": {"label": "x"}})
+        assert st == 409
+        st, got = _call(conn, "PUT", f"/nifi-api/labels/{lid}",
+                        {"revision": {"version": 0},
+                         "component": {"label": "landing zone"}})
+        assert st == 200 and got["revision"]["version"] == 1
+        st, flow = _call(conn, "GET", "/nifi-api/flow/process-groups/root")
+        labels = flow["processGroupFlow"]["flowContents"]["labels"]
+        assert [lb["label"] for lb in labels] == ["landing zone"]
+        st, _ = _call(conn, "DELETE", f"/nifi-api/labels/{lid}?version=1")
+        assert st == 200
+        st, _ = _call(conn, "GET", f"/nifi-api/labels/{lid}")
+        assert st == 404
+    finally:
+        conn.close()
