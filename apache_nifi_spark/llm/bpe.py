@@ -111,7 +111,13 @@ def bpe_train(vocab: DataFrame, merges: int = 8) -> DataFrame:
                 F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
                 "pair_cnt",
             )
-            .localCheckpoint()
+            # eager=False: the pin still cuts lineage, but materializes
+            # inside the NEXT job that consumes it (the every-other-step
+            # state checkpoint) instead of costing its own Spark job per
+            # merge step — 8 fewer jobs, warm wall 3.0 s → 2.5 s at
+            # sf0.1 (and the cold first run 8.1 s → 2.4 s: the per-step
+            # eager actions were also each paying plan-compile floors).
+            .localCheckpoint(eager=False)
         )
         rules = top if rules is None else rules.unionByName(top)
         state = state.crossJoin(

@@ -365,13 +365,28 @@ def tfidf_keywords(
             )
         ).alias("term"),
     )
-    tf = tokens.groupBy(id_col, "term").agg(_F.count(_F.lit(1)).alias("tf"))
-    n_docs = tf.select(id_col).distinct().count()  # control-plane: one scalar
+    # Pin (doc, term, tf) once: three consumers below (df counts, the
+    # doc-count scalar, the scoring join) would otherwise each replay
+    # the token explode.  eager=False folds materialization into the
+    # first consuming job — one corpus scan total, no standalone job.
+    tf = (
+        tokens.groupBy(id_col, "term")
+        .agg(_F.count(_F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    # N rides the plan as a 1-row broadcast (keyless by nature, bounded
+    # by construction) instead of a driver-side count job.
+    nd = tf.select(id_col).distinct().agg(
+        _F.count(_F.lit(1)).alias("__n_docs")
+    )
     dfreq = tf.groupBy("term").agg(_F.count(_F.lit(1)).alias("df"))
     idf = _F.log(
-        (_F.lit(float(n_docs + 1))) / (_F.col("df") + 1).cast("double")
+        (_F.col("__n_docs") + 1).cast("double")
+        / (_F.col("df") + 1).cast("double")
     ) + _F.lit(1.0)
-    scored = tf.join(F.broadcast(dfreq), "term").select(
+    scored = tf.join(F.broadcast(dfreq), "term").crossJoin(
+        F.broadcast(nd)
+    ).select(
         id_col,
         "term",
         "tf",

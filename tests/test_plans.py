@@ -136,6 +136,8 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
         "text_bigram_logprob",
         # two 1-row sides (corpus totals × fitted coefficients)
         "text_zipf_fit",
+        # 1-row doc-count broadcast for the smoothed idf
+        "text_tfidf_keywords",
         # bounded broadcast query side, non-equi (id != id, label != label)
         # by nature — the similarity_cosine_topk shape with a label guard
         "similarity_hard_negatives",
