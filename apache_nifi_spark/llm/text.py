@@ -443,16 +443,23 @@ def bigram_logprob(
     )
     # (pos, cur, prev) stream, columnar: element_at is 1-based, the
     # transform index 0-based, so prev of the i-th element is t[i].
-    stream = toks.select(
-        id_col,
-        _F.explode(
-            _F.expr(
-                "transform(t, (x, i) -> struct("
-                "i + 1 as pos, x as cur,"
-                " case when i = 0 then null else element_at(t, i) end as prev))"
-            )
-        ).alias("u"),
-    ).select(id_col, "u.pos", "u.cur", "u.prev")
+    # Pinned once (lazy — materializes inside the first consuming job):
+    # three consumers below (unigram counts, bigram counts, scoring)
+    # would otherwise each replay the tokenize+explode over the corpus.
+    stream = (
+        toks.select(
+            id_col,
+            _F.explode(
+                _F.expr(
+                    "transform(t, (x, i) -> struct("
+                    "i + 1 as pos, x as cur,"
+                    " case when i = 0 then null else element_at(t, i) end as prev))"
+                )
+            ).alias("u"),
+        )
+        .select(id_col, "u.pos", "u.cur", "u.prev")
+        .localCheckpoint(eager=False)
+    )
     uni = stream.groupBy(_F.col("cur").alias("token")).agg(
         _F.count(_F.lit(1)).alias("c")
     )
