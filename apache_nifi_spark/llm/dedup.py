@@ -632,6 +632,10 @@ def substring_span_clean(
         "p",
         F.conv(F.substring(F.md5(F.substring("_text", F.col("p"), F.lit(W))), 1, 15),
                16, 10).cast("long").alias("_h60"),
+        # NOT pinned: both the shared-hash agg and the hit join replay
+        # this explode+md5, but the pass is cheap codegen work — an A/B
+        # at sf1 measured the localCheckpoint variant SLOWER (4.7 s vs
+        # 3.8 s warm): caching ~1M small rows costs more than recompute.
     )
     shared = (
         pos.groupBy("_h60")
