@@ -1413,3 +1413,66 @@ def test_zipf_fit_detects_natural_vs_uniform(spark):
     assert 0.8 <= z["alpha"] <= 1.2, z
     assert abs(u["alpha"]) < 0.05, u
     assert z["n_types"] == 59 and u["n_types"] == 59
+
+
+def test_jpeg_roundtrip_hypothesis_fuzz():
+    """Property fuzz over the full encoder/decoder: arbitrary baseline
+    coefficient blocks (any run structure, max-category values, odd
+    image sizes with crop) must round-trip pixel-exactly against the
+    independent IDCT."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from apache_nifi_spark.llm.jpeg import (
+        _ZZ, encode_jpeg_gray, jpeg_gray_pixels)
+
+    C = [1.0 / math.sqrt(2.0)] + [1.0] * 7
+
+    def ref_block(blk_zz, quant):
+        coef = [0] * 64
+        for i, p in enumerate(_ZZ):
+            coef[p] = blk_zz[i] * quant[i]
+        out = []
+        for y in range(8):
+            for x in range(8):
+                a = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        if coef[u * 8 + v]:
+                            a += (C[u] * C[v] * coef[u * 8 + v]
+                                  * math.cos((2 * y + 1) * u * math.pi / 16)
+                                  * math.cos((2 * x + 1) * v * math.pi / 16))
+                s = int(math.floor(a / 4 + 0.5)) + 128
+                out.append(max(0, min(255, s)))
+        return out
+
+    coeff = st.integers(min_value=-1023, max_value=1023)  # category <= 10
+    block = st.lists(coeff, min_size=64, max_size=64)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        blocks=st.lists(block, min_size=1, max_size=4),
+        qseed=st.integers(min_value=1, max_value=7),
+        crop_w=st.integers(min_value=0, max_value=7),
+        crop_h=st.integers(min_value=0, max_value=7),
+    )
+    def roundtrip(blocks, qseed, crop_w, crop_h):
+        nb = len(blocks)
+        bw = nb  # one block row
+        width = bw * 8 - crop_w
+        height = 8 - crop_h
+        quant = [((i * qseed) % 13) + 1 for i in range(64)]
+        data = encode_jpeg_gray(blocks, width, height, quant=quant)
+        w, h, rows = jpeg_gray_pixels(data)
+        assert (w, h) == (width, height)
+        for bx, blk in enumerate(blocks):
+            px = ref_block(blk, quant)
+            for y in range(height):
+                for x in range(8):
+                    xx = bx * 8 + x
+                    if xx < width:
+                        assert rows[y][xx] == px[y * 8 + x]
+
+    roundtrip()
