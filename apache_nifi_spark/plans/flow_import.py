@@ -170,6 +170,27 @@ def _run_flow_inner(
                 "type": ptype,
                 "properties": {},
             }
+    # Remote process groups: each remote INPUT PORT becomes a synthetic
+    # egress node pushing its input over the site-to-site wire (see the
+    # RemoteInputPort branch in _apply).  NiFi serializes the RPG with
+    # its target URI and remote port descriptors; connections address
+    # the remote port identifiers directly.
+    for rpg in contents.get("remoteProcessGroups", []):
+        target = rpg.get("targetUri") or (
+            (rpg.get("targetUris") or "").split(",")[0]
+        )
+        ca = rpg.get("caFile") or ""
+        for rp in rpg.get("inputPorts", []):
+            procs[rp["identifier"]] = {
+                "identifier": rp["identifier"],
+                "name": rp.get("name") or rp["identifier"],
+                "type": "RemoteInputPort",
+                "properties": {
+                    "targetUri": target,
+                    "caFile": ca,
+                    "portName": rp.get("name") or rp["identifier"],
+                },
+            }
     if not procs:
         raise FlowImportError("flow has no processors")
     # Controller-service indirection (NiFi shared config): a processor
@@ -830,6 +851,75 @@ def _apply(
             raise FlowImportError(f"{name}: {ptype} has no incoming data")
         return {"success": df}
 
+    if ptype == "RemoteInputPort":
+        # Site-to-site EGRESS: a connection into a RemoteProcessGroup's
+        # input port pushes the records to the peer cluster over the
+        # real S2S wire.  Bootstrap is exactly the reference's sequence
+        # (scripts.sh:89-98): GET /nifi-api/site-to-site on the target
+        # for the listening port, then the peer list over the socket,
+        # least-loaded peer first (NiFi's load-balancing step).  Rows
+        # serialize as JSON flowfiles; one TLS two-phase transaction per
+        # partition (streaming/s2s_wire.s2s_send) — an aborted
+        # transaction routes its whole partition to "failure", NiFi's
+        # redelivery granularity.
+        if df is None:
+            raise FlowImportError(f"{name}: RemoteInputPort has no incoming data")
+        import http.client
+        import urllib.parse
+
+        from apache_nifi_spark.streaming.s2s_wire import s2s_peers, s2s_send
+
+        target = props.get("targetUri") or ""
+        ca = props.get("caFile") or ""
+        port_name = props.get("portName") or name
+        u = urllib.parse.urlsplit(target)
+        if u.scheme not in ("http", "https") or not u.hostname:
+            raise FlowImportError(
+                f"{name}: RemoteProcessGroup needs an http(s) targetUri,"
+                f" got {target!r}"
+            )
+        conn = http.client.HTTPConnection(u.hostname, u.port, timeout=10)
+        try:
+            conn.request("GET", "/nifi-api/site-to-site")
+            ctl = json.loads(conn.getresponse().read())["controller"]
+        except (OSError, ValueError, KeyError) as e:
+            raise FlowImportError(
+                f"{name}: S2S discovery against {target!r} failed: {e}"
+            )
+        finally:
+            conn.close()
+        s2s_port = ctl.get("remoteSiteListeningPort")
+        if not s2s_port:
+            raise FlowImportError(
+                f"{name}: target {target!r} has site-to-site disabled"
+            )
+        peer = min(
+            s2s_peers(u.hostname, s2s_port, ca),
+            key=lambda p: p["flowFileCount"],
+        )
+        content = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+        # Pinned: success and failure are two lineages of the SAME push;
+        # without the cut each consumer re-executes the mapInPandas and
+        # the peer receives every transaction twice.  eager=False folds
+        # the one wire execution into the first consuming action.
+        sent = (
+            s2s_send(
+                df.withColumn("__content", content),
+                peer["host"],
+                peer["port"],
+                ca,
+                port_name,
+                attr_cols=[],
+                content_col="__content",
+            )
+            .drop("__content")
+            .localCheckpoint(eager=False)
+        )
+        return {
+            "success": sent.filter(F.col("delivered")).drop("delivered"),
+            "failure": sent.filter(~F.col("delivered")).drop("delivered"),
+        }
+
     # ----------------------------------------------------- enrichment ---
     if ptype == "ForkEnrichment":
         # Both relationships carry the same records; downstream
@@ -1336,7 +1426,11 @@ def _apply(
         from apache_nifi_spark.streaming.mqtt import publish_mqtt
 
         host, _, port = broker[len("tcp://"):].partition(":")
-        out = publish_mqtt(df, host, int(port or "1883"), topic_col, payload_col)
+        # pinned: success/failure must share ONE broker publish (the
+        # RemoteInputPort lesson — two lineages would publish twice)
+        out = publish_mqtt(
+            df, host, int(port or "1883"), topic_col, payload_col
+        ).localCheckpoint(eager=False)
         return {
             "success": out.filter(F.col("published")).drop("published"),
             "failure": out.filter(~F.col("published")).drop("published"),
@@ -1356,9 +1450,11 @@ def _apply(
         from apache_nifi_spark.streaming.amqp_wire import publish_amqp
 
         host, _, port = broker[len("amqp://"):].partition(":")
+        # pinned: success/failure must share ONE broker publish (the
+        # RemoteInputPort lesson — two lineages would publish twice)
         out = publish_amqp(
             df, host, int(port or "5672"), exchange, rk_col, payload_col
-        )
+        ).localCheckpoint(eager=False)
         return {
             "success": out.filter(F.col("published")).drop("published"),
             "failure": out.filter(~F.col("published")).drop("published"),

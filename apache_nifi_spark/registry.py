@@ -7052,6 +7052,85 @@ def stream_site_to_site_q(spark, sf_dir):
 
 
 @register(
+    "flow_remote_s2s_egress",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id
+    FROM events WHERE event_type = 'purchase' GROUP BY event_type
+    """,
+)
+def flow_remote_s2s_egress_q(spark, sf_dir):
+    """RemoteProcessGroup EGRESS (§3.3 [2.7.2-surface]; the S2S half the
+    ingress port closed in r8/r9): a flow.json whose terminal connection
+    targets a RemoteProcessGroup input port compiles to a push over the
+    real site-to-site wire — discovery via GET /nifi-api/site-to-site
+    (the reference's bootstrap, scripts.sh:89-98), peer list over the
+    socket, one TLS two-phase transaction per partition.  The query then
+    reads the PEER'S landed transactions back and aggregates; the oracle
+    recomputes from the fixture — equality proves the egress hop is
+    lossless and duplicate-free end-to-end."""
+    import tempfile
+
+    from apache_nifi_spark.plans.flow_import import run_flow
+    from apache_nifi_spark.plans.rest_api import NiFiApiServer
+    from apache_nifi_spark.streaming.s2s_wire import SiteToSiteServer
+    from apache_nifi_spark.streaming.tls import generate_self_signed
+
+    certdir = tempfile.mkdtemp(prefix="anspark_rpg_tls_")
+    cert, key = generate_self_signed(certdir)
+    landing = tempfile.mkdtemp(prefix="anspark_rpg_land_")
+    server = SiteToSiteServer(landing, cert, key)
+    api = NiFiApiServer(spark, sf_dir)
+    try:
+        api.attach_site_to_site("127.0.0.1", server.port, cert)
+        flow = {
+            "flowContents": {
+                "name": "rpg-egress",
+                "processors": [
+                    {"identifier": "src", "type": "x.GetFile",
+                     "properties": {"Input Directory": "events"}},
+                    {"identifier": "sel", "type": "x.QueryRecord",
+                     "properties": {"purchases":
+                        "SELECT * FROM FLOWFILE"
+                        " WHERE event_type = 'purchase'"}},
+                ],
+                "remoteProcessGroups": [
+                    {"identifier": "rpg1", "targetUri": api.url,
+                     "caFile": cert,
+                     "inputPorts": [
+                         {"identifier": "rp1", "name": "events-in"}]}
+                ],
+                "connections": [
+                    {"source": {"id": "src"}, "destination": {"id": "sel"},
+                     "selectedRelationships": ["success"]},
+                    {"source": {"id": "sel"}, "destination": {"id": "rp1"},
+                     "selectedRelationships": ["purchases"]},
+                ],
+            }
+        }
+        outs = run_flow(spark, sf_dir, flow)
+        sent = outs["events-in.success"].localCheckpoint()  # executes the push
+        assert outs["events-in.failure"].count() == 0
+        assert sent.count() > 0
+    finally:
+        api.stop()
+        server.stop()
+    landed = spark.read.schema(
+        "attributes map<string,string>, content string"
+    ).json(landing)
+    parsed = landed.select(
+        F.from_json(
+            "content", "event_type string, event_id bigint"
+        ).alias("r")
+    ).select("r.event_type", "r.event_id")
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("sum_id"),
+    )
+
+
+@register(
     "publish_consume_kafka_bus",
     oracle="""
     SELECT event_type,

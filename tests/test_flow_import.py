@@ -662,3 +662,35 @@ def test_publish_mqtt_amqp_flow_sinks(spark, sf_dir):
     finally:
         mq.stop()
         am.stop()
+
+
+def test_remote_process_group_validation(spark, sf_dir):
+    """RemoteProcessGroup egress validates its bootstrap at compile time:
+    a non-http targetUri and an S2S-disabled target both fail fast with
+    the component named (NiFi's start-time validation contract)."""
+    import pytest
+
+    from apache_nifi_spark.plans.flow_import import FlowImportError, run_flow
+    from apache_nifi_spark.plans.rest_api import NiFiApiServer
+
+    def flow(target):
+        return {"flowContents": {
+            "name": "rpg-bad",
+            "processors": [{"identifier": "src", "type": "x.GetFile",
+                            "properties": {"Input Directory": "region"}}],
+            "remoteProcessGroups": [
+                {"identifier": "rpg", "targetUri": target,
+                 "inputPorts": [{"identifier": "rp", "name": "in"}]}],
+            "connections": [{"source": {"id": "src"},
+                             "destination": {"id": "rp"},
+                             "selectedRelationships": ["success"]}],
+        }}
+
+    with pytest.raises(FlowImportError, match="http"):
+        run_flow(spark, sf_dir, flow("ftp://nowhere:21"))
+    api = NiFiApiServer(spark, sf_dir)  # no S2S attached
+    try:
+        with pytest.raises(FlowImportError, match="site-to-site is? disabled|disabled"):
+            run_flow(spark, sf_dir, flow(api.url))
+    finally:
+        api.stop()
