@@ -1026,6 +1026,8 @@ def parse_mp4_metadata(payload: bytes):
             if mtype == b"mvhd" and m0 + 20 <= m1:
                 version = payload[m0]
                 if version == 1:  # 64-bit creation/modification/duration
+                    if m0 + 32 > m1:  # truncated v1 box: not a header
+                        continue
                     timescale = _struct.unpack(">I", payload[m0 + 20 : m0 + 24])[0]
                     duration = _struct.unpack(">Q", payload[m0 + 24 : m0 + 32])[0]
                 else:

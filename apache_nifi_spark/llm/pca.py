@@ -111,7 +111,14 @@ def dominant_direction(
         .orderBy("pos")
         .collect()  # control-plane: dim per-dimension sums
     )
-    m = [int(math.floor(float(r["s"]) / r["n"])) for r in mean_rows]
+    # Empty corpus: no mean to center on — the output is empty whatever
+    # direction we pick, so skip the power steps (they would collect an
+    # empty w vector and die in the norm fold).
+    if not mean_rows:
+        m = [0] * dim
+        iters = 0
+    else:
+        m = [int(math.floor(float(r["s"]) / r["n"])) for r in mean_rows]
     # One string literal, split/cast back (the kmeans _score encoding):
     # a single Literal AST node instead of ``dim`` of them keeps Catalyst
     # plan analysis O(1) in the vector width; ConstantFolding re-inlines
@@ -147,7 +154,14 @@ def dominant_direction(
             .collect()  # control-plane: dim matrix-vector sums
         )
         wd = [float(r["w"]) for r in w_rows]
-        norm = math.sqrt(_fold_norm2(wd))
+        norm = math.sqrt(_fold_norm2(wd)) if wd else 0.0
+        if norm == 0.0:
+            # Degenerate corpus (all embeddings equal → centered vectors
+            # zero → every matrix-vector product zero): the iterate
+            # collapsed; keep the previous non-zero u instead of
+            # dividing by zero.  dom_frac stays NULL row-wise via the
+            # cnorm2 > 0 guard below.
+            break
         u = [int(math.floor(uscale * w / norm)) for w in wd]
 
     un2 = sum(v * v for v in u)  # exact int — ‖u‖², literal below

@@ -878,7 +878,22 @@ def _apply(
                 f"{name}: RemoteProcessGroup needs an http(s) targetUri,"
                 f" got {target!r}"
             )
-        conn = http.client.HTTPConnection(u.hostname, u.port, timeout=10)
+        if u.scheme == "https":
+            import ssl
+
+            ctx = ssl.create_default_context(cafile=ca or None)
+            if not ca:
+                # Secured deployment without a pinned CA: discovery-only
+                # hop, identity is re-checked on the S2S data channel.
+                ctx.check_hostname = False
+                ctx.verify_mode = ssl.CERT_NONE
+            conn = http.client.HTTPSConnection(
+                u.hostname, u.port or 443, timeout=10, context=ctx
+            )
+        else:
+            conn = http.client.HTTPConnection(
+                u.hostname, u.port or 80, timeout=10
+            )
         try:
             conn.request("GET", "/nifi-api/site-to-site")
             ctl = json.loads(conn.getresponse().read())["controller"]

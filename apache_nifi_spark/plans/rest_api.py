@@ -100,6 +100,7 @@ fixtures here.
 from __future__ import annotations
 
 import functools
+import hmac
 import http.client
 import http.server
 import json
@@ -318,7 +319,16 @@ class NiFiApiServer:
         if self._credentials is None:
             raise _ApiError(409, "this instance is not configured for login")
         user, pw = self._credentials
-        if form.get("username") != user or form.get("password") != pw:
+        # Constant-time compares (same primitive as the token-signature
+        # check): & not `and`, so the password compare always runs — an
+        # early-exit would leak username validity through timing.
+        u_ok = hmac.compare_digest(
+            str(form.get("username", "")).encode(), user.encode()
+        )
+        p_ok = hmac.compare_digest(
+            str(form.get("password", "")).encode(), pw.encode()
+        )
+        if not (u_ok & p_ok):
             raise _ApiError(401, "invalid credentials")
         return _jwt_issue(self._jwt_secret, user, self._token_ttl)
 
@@ -363,6 +373,18 @@ class NiFiApiServer:
     def _dispatch(
         self, method: str, path: str, query: dict, body: dict
     ) -> tuple[int, dict]:
+        # Network-bound routes run OUTSIDE the global metadata lock: the
+        # S2S peer fetch is a TLS round-trip and run_flow's compile may
+        # perform S2S discovery — one slow/hung peer must not stall every
+        # other control-plane request.  _s2s is written once (attach) and
+        # only read here; _schedule scopes the lock itself.
+        if path == "/nifi-api/site-to-site" and method == "GET":
+            return self._s2s_controller()
+        if path == "/nifi-api/site-to-site/peers" and method == "GET":
+            return self._s2s_peer_list()
+        m = re.fullmatch(r"/nifi-api/flow/process-groups/([^/]+)", path)
+        if m and method == "PUT":
+            return self._schedule(m.group(1), body)
         with self._lock:
             m = re.fullmatch(r"/nifi-api/process-groups/([^/]+)/processors", path)
             if m and method == "POST":
@@ -455,21 +477,14 @@ class NiFiApiServer:
             if m and method == "DELETE":
                 return self._delete_component(m.group(1), "connections", query)
             m = re.fullmatch(r"/nifi-api/flow/process-groups/([^/]+)", path)
-            if m:
-                if method == "GET":
-                    return self._get_flow(m.group(1))
-                if method == "PUT":
-                    return self._schedule(m.group(1), body)
+            if m and method == "GET":
+                return self._get_flow(m.group(1))
             m = re.fullmatch(r"/nifi-api/versions/process-groups/([^/]+)", path)
             if m:
                 if method == "POST":
                     return self._commit_version(m.group(1), body)
                 if method == "GET":
                     return self._version_history(m.group(1))
-            if path == "/nifi-api/site-to-site" and method == "GET":
-                return self._s2s_controller()
-            if path == "/nifi-api/site-to-site/peers" and method == "GET":
-                return self._s2s_peer_list()
             if path == "/nifi-api/flow/about" and method == "GET":
                 return 200, {
                     "about": {
@@ -1195,43 +1210,51 @@ class NiFiApiServer:
         }
 
     def _schedule(self, gid: str, body: dict) -> tuple[int, dict]:
+        # Entered WITHOUT self._lock (see _dispatch): the lock scopes the
+        # metadata snapshot and the result store, while run_flow — whose
+        # compile may make S2S discovery round-trips to remote peers —
+        # runs unlocked so a slow peer can't stall the control plane.
         state = (body.get("state") or "").upper()
         if state not in ("RUNNING", "STOPPED"):
             raise _ApiError(400, f"state must be RUNNING or STOPPED, got {state!r}")
-        contents = self._flow_contents(gid)
-        if state == "RUNNING":
+        with self._lock:
+            contents = self._flow_contents(gid)
+            if state == "STOPPED":
+                self._outputs.pop(gid, None)
+                self._state[gid] = "STOPPED"
+                return 200, {"id": gid, "state": "STOPPED"}
             # compile-on-start: validation errors answer 400 (see _route);
             # #{param} references bind through the group's parameter
             # context here — NiFi's start-time resolution
             contents = self._resolve_parameters(gid, contents)
-            counters: dict[str, list] = {}
-            provenance: dict = {}
-            try:
-                outs = run_flow(
-                    self.spark,
-                    self.sf_dir,
-                    {"flowContents": contents},
-                    port_sources=self._s2s_port_sources(gid),
-                    counters=counters,
-                    provenance=provenance,
-                )
-            except FlowImportError as e:
-                # NiFi raises start-time validation failures onto the
-                # bulletin board; the API still answers 400 (re-raise).
+            port_sources = self._s2s_port_sources(gid)
+        counters: dict[str, list] = {}
+        provenance: dict = {}
+        try:
+            outs = run_flow(
+                self.spark,
+                self.sf_dir,
+                {"flowContents": contents},
+                port_sources=port_sources,
+                counters=counters,
+                provenance=provenance,
+            )
+        except FlowImportError as e:
+            # NiFi raises start-time validation failures onto the
+            # bulletin board; the API still answers 400 (re-raise).
+            with self._lock:
                 self._post_bulletin(gid, "ERROR", str(e))
-                raise
+            raise
+        with self._lock:
             self._counters[gid] = counters
             self._provenance[gid] = provenance
             self._outputs[gid] = outs
             self._state[gid] = "RUNNING"
-            return 200, {
-                "id": gid,
-                "state": "RUNNING",
-                "outputs": sorted(outs),
-            }
-        self._outputs.pop(gid, None)
-        self._state[gid] = "STOPPED"
-        return 200, {"id": gid, "state": "STOPPED"}
+        return 200, {
+            "id": gid,
+            "state": "RUNNING",
+            "outputs": sorted(outs),
+        }
 
     # ---------------------------------------------------- version control --
 

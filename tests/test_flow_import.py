@@ -694,3 +694,63 @@ def test_remote_process_group_validation(spark, sf_dir):
             run_flow(spark, sf_dir, flow(api.url))
     finally:
         api.stop()
+
+
+def test_remote_process_group_https_discovery(spark, sf_dir):
+    """An https targetUri must perform S2S discovery over TLS (ADVICE
+    round-9: HTTPConnection was used for both schemes, so a secured
+    deployment's discovery died on a plaintext request).  A minimal TLS
+    endpoint answering the discovery call with S2S disabled proves the
+    request completes over the wire: the compile must fail with the
+    protocol-level 'disabled' error, not a TLS/connection error."""
+    import http.server
+    import tempfile
+    import threading
+
+    import pytest
+
+    from apache_nifi_spark.plans.flow_import import FlowImportError, run_flow
+    from apache_nifi_spark.streaming.tls import (
+        generate_self_signed,
+        server_context,
+    )
+
+    cert, key = generate_self_signed(tempfile.mkdtemp(prefix="anspark_rpg_tls_"))
+
+    class Disco(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = json.dumps(
+                {"controller": {"remoteSiteListeningPort": None}}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Disco)
+    httpd.socket = server_context(cert, key).wrap_socket(
+        httpd.socket, server_side=True
+    )
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    port = httpd.server_address[1]
+    flow = {"flowContents": {
+        "name": "rpg-https",
+        "processors": [{"identifier": "src", "type": "x.GetFile",
+                        "properties": {"Input Directory": "region"}}],
+        "remoteProcessGroups": [
+            {"identifier": "rpg", "targetUri": f"https://127.0.0.1:{port}",
+             "caFile": cert,
+             "inputPorts": [{"identifier": "rp", "name": "in"}]}],
+        "connections": [{"source": {"id": "src"},
+                         "destination": {"id": "rp"},
+                         "selectedRelationships": ["success"]}],
+    }}
+    try:
+        with pytest.raises(FlowImportError, match="disabled"):
+            run_flow(spark, sf_dir, flow)
+    finally:
+        httpd.shutdown()
+        httpd.server_close()

@@ -1476,3 +1476,46 @@ def test_jpeg_roundtrip_hypothesis_fuzz():
                         assert rows[y][xx] == px[y * 8 + x]
 
     roundtrip()
+
+
+def test_mp4_truncated_mvhd_v1_is_dropped():
+    """A version-1 mvhd whose payload is cut short of the 64-bit
+    duration field must be skipped cleanly (ADVICE round-9: the v1
+    branch only guarded +20 bytes and raised struct.error at +32,
+    failing the whole Spark job on one malformed payload)."""
+    import struct
+
+    from apache_nifi_spark.llm import parse_mp4_metadata
+
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + b"\x00\x00\x02\x00"
+    # v1 mvhd truncated at 24 payload bytes: version + 16 bytes of
+    # times + timescale, but no 64-bit duration
+    mvhd_v1 = b"\x01\x00\x00\x00" + struct.pack(">QQ", 0, 0)[:16] + struct.pack(">I", 600)
+    mvhd_box = struct.pack(">I", 8 + len(mvhd_v1)) + b"mvhd" + mvhd_v1
+    moov = struct.pack(">I", 8 + len(mvhd_box)) + b"moov" + mvhd_box
+    assert parse_mp4_metadata(ftyp + moov) is None  # no usable header
+
+
+def test_dominant_direction_degenerate_and_empty_corpus(spark):
+    """All-identical embeddings collapse the centered corpus to zero:
+    the power iterate must not divide by zero (ADVICE round-9) and every
+    row's dom_frac is NULL (cnorm2 == 0).  An empty corpus must return
+    an empty frame rather than crash the norm fold."""
+    from pyspark.sql import types as T
+
+    from apache_nifi_spark.llm.pca import dominant_direction
+
+    dim = 8
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    same = spark.createDataFrame(
+        [(i, [0.25] * dim) for i in range(5)], schema
+    )
+    rows = dominant_direction(same, dim=dim).collect()
+    assert len(rows) == 5
+    assert all(r["cnorm2"] == 0 and r["dom_frac"] is None for r in rows)
+
+    empty = spark.createDataFrame([], schema)
+    assert dominant_direction(empty, dim=dim).collect() == []

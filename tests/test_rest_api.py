@@ -657,3 +657,27 @@ def test_label_crud_and_snapshot(server):
         assert st == 404
     finally:
         conn.close()
+
+
+def test_login_missing_fields_answer_401(spark, sf_dir):
+    """Login with absent username/password fields must answer 401, not
+    500 — the constant-time compare (ADVICE round-9) coerces missing
+    form fields before hashing."""
+    from apache_nifi_spark.plans.flow_import import FlowImportError
+    from apache_nifi_spark.plans.rest_api import fetch_token
+
+    s = NiFiApiServer(spark, sf_dir, credentials=("admin", "admin123456!"))
+    try:
+        conn = _conn(s)
+        for form in ("username=admin", "password=admin123456!", ""):
+            conn.request(
+                "POST", "/nifi-api/access/token", body=form,
+                headers={"Content-Type": "application/x-www-form-urlencoded"},
+            )
+            resp = conn.getresponse()
+            assert resp.status == 401, form
+            resp.read()
+        # and the happy path still issues a token afterwards
+        assert fetch_token(s.url, "admin", "admin123456!").count(".") == 2
+    finally:
+        s.stop()
