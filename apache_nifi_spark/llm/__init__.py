@@ -22,6 +22,7 @@ from apache_nifi_spark.llm.dedup import (  # noqa: F401
     embedding_cosine_duplicates,
     substring_span_dedup,
     substring_span_clean,
+    paragraph_dedup,
 )
 from apache_nifi_spark.llm.similarity import (  # noqa: F401
     dot_product,

@@ -33,6 +33,7 @@ __all__ = [
     "embedding_cosine_duplicates",
     "substring_span_dedup",
     "substring_span_clean",
+    "paragraph_dedup",
 ]
 
 # Mersenne prime 2^31-1: modulus for the universal hash family
@@ -701,4 +702,68 @@ def substring_span_clean(
             .alias("removed_chars"),
             F.coalesce("n_islands", F.lit(0)).cast("int").alias("n_islands"),
         )
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide exact paragraph/line dedup — the RefinedWeb /
+    MassiveText curation step (Penedo et al. 2023 §3; Rae et al. 2021
+    A.1.2): boilerplate lines repeated across pages (headers, cookie
+    banners, navigation) are removed EVERYWHERE except their first
+    occurrence, and documents are rebuilt from their surviving lines.
+
+    First occurrence is the corpus-global (id, position) minimum for
+    that exact line text — deterministic, partitioning-independent.
+
+    Scale shape (why this is not a window function): the natural
+    formulation is ``row_number() OVER (PARTITION BY para ORDER BY id,
+    pos) = 1``, but a window sorts every partition, and paragraph keys
+    are Zipf-skewed at corpus scale (empty lines / "Home" / cookie
+    banners are the hottest keys precisely because they are the
+    boilerplate being removed).  A ``min(struct(id, pos))`` aggregation
+    computes the same winner with map-side partial combine — the hot
+    key's billions of occurrences collapse to one candidate per input
+    partition before the exchange, so skew never concentrates on one
+    reducer.  Two shuffles total: by line text (winner agg) and by
+    document (reassembly).
+
+    Returns (id, clean_text, kept_paras) — documents whose every line
+    was claimed by an earlier document disappear (fully-boilerplate
+    pages), matching the reference pipelines' drop-empty behavior.
+    """
+    import re as _re
+
+    paras = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
+            "_pos", "_para"
+        ),
+    )
+    winners = (
+        paras.groupBy("_para")
+        .agg(F.min(F.struct("_id", "_pos")).alias("_w"))
+        .select(
+            F.col("_w._id").alias("_id"),
+            F.col("_w._pos").alias("_pos"),
+            "_para",
+        )
+    )
+    return (
+        winners.groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_para"))),
+                    lambda s: s["_para"],
+                ),
+                sep,
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("kept_paras"),
+        )
+        .select(F.col("_id").alias(id_col), "clean_text", "kept_paras")
     )

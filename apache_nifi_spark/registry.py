@@ -2658,6 +2658,56 @@ def dedup_substring_clean_q(spark, sf_dir):
 
 
 @register(
+    "dedup_paragraph_global",
+    oracle=r"""
+    WITH lined AS (
+      SELECT doc_id,
+             regexp_replace(text, '((?:\S+ ){9}\S+) ', '\1' || chr(10), 'g') AS t
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id,
+             unnest(string_split(t, chr(10))) AS para,
+             unnest(range(1, len(string_split(t, chr(10))) + 1)) AS pos
+      FROM lined
+    ),
+    kept AS (
+      SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+      FROM p
+    )
+    SELECT doc_id,
+           string_agg(para, chr(10) ORDER BY pos) AS clean_text,
+           count(*) AS kept_paras
+    FROM kept WHERE rn = 1
+    GROUP BY doc_id
+    """,
+)
+def dedup_paragraph_global_q(spark, sf_dir):
+    """Corpus-wide exact paragraph dedup (§2.12 curation tier; the
+    RefinedWeb/MassiveText boilerplate-line removal, Penedo et al. 2023
+    §3): documents are split into lines (synthesized here as 10-word
+    groups since the fixture text is single-line), every line repeated
+    anywhere in the corpus survives only at its globally-first
+    (doc_id, position), and documents are rebuilt from surviving lines.
+    Spark side uses min(struct(id,pos)) aggregation rather than the
+    oracle's row_number window — same winner, but map-side partial
+    combine so Zipf-hot boilerplate lines can't skew a sort partition;
+    see llm/dedup.paragraph_dedup."""
+    from apache_nifi_spark.llm import paragraph_dedup
+
+    d = io.widen_if_narrow(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.regexp_replace(
+                "text", r"((?:\S+ ){9}\S+) ", "$1\n"
+            ).alias("text"),
+        )
+    )
+    return paragraph_dedup(d)
+
+
+@register(
     "text_fingerprint",
     oracle=r"""
     SELECT doc_id,

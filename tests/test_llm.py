@@ -1519,3 +1519,34 @@ def test_dominant_direction_degenerate_and_empty_corpus(spark):
 
     empty = spark.createDataFrame([], schema)
     assert dominant_direction(empty, dim=dim).collect() == []
+
+
+def test_paragraph_dedup_keeps_first_occurrence_and_drops_empty_docs(spark):
+    """Corpus-global line dedup: a line repeated across documents
+    survives only at its smallest (doc_id, pos); within-doc repeats
+    collapse to the first position; a document made entirely of
+    already-seen lines disappears (RefinedWeb drop-empty behavior)."""
+    from apache_nifi_spark.llm import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nbanner\nbeta"),
+            (2, "banner\ngamma\nbanner"),   # banner claimed by doc 1
+            (3, "banner\nalpha"),           # fully boilerplate -> dropped
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["kept_paras"])
+        for r in paragraph_dedup(docs).collect()
+    }
+    assert out == {
+        1: ("alpha\nbanner\nbeta", 3),
+        2: ("gamma", 1),
+    }
+    # partitioning independence: same winners under a different layout
+    out7 = {
+        r["doc_id"]: (r["clean_text"], r["kept_paras"])
+        for r in paragraph_dedup(docs.repartition(7)).collect()
+    }
+    assert out7 == out
