@@ -24,6 +24,9 @@ from apache_nifi_spark.llm.dedup import (  # noqa: F401
     substring_span_clean,
     paragraph_dedup,
 )
+from apache_nifi_spark.llm.train import (  # noqa: F401
+    logreg_train_fixed_point,
+)
 from apache_nifi_spark.llm.similarity import (  # noqa: F401
     dot_product,
     l2_norm,

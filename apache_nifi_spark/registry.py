@@ -1997,6 +1997,125 @@ def text_hashed_classifier_q(spark, sf_dir):
     return hashed_linear_score(d)
 
 
+def _logreg_train_oracle(buckets: int = 64, iters: int = 3, lr: float = 64.0) -> str:
+    """Unrolled full-batch-descent oracle: hashed unigram count vectors →
+    ``iters`` class-balanced gradient steps whose per-document float
+    chain (rational sigmoid + residual quantization) uses the SAME IEEE
+    double operations in the same order as
+    llm/train.logreg_train_fixed_point, and whose gradient/weight
+    algebra is exact integer arithmetic."""
+    B = buckets
+    dot = (
+        f"list_reduce(list_transform(range(1, {B + 1}),"
+        " j -> cv[j] * u.w[j]), (a, b) -> a + b)"
+    )
+    blocks = [
+        f"""toks AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(len(list_filter(t, x -> x = 'spark'))
+                  > len(list_filter(t, x -> x = 'batch')) AS INT) AS y,
+             t
+      FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                           x -> x != '') AS t
+        FROM documents)
+    ),
+    cvt AS MATERIALIZED (
+      SELECT doc_id, y,
+             list_transform(range(0, {B}),
+               j -> CAST(len(list_filter(bs, x -> x = j)) AS BIGINT)) AS cv,
+             CAST(len(bs) AS BIGINT) AS n
+      FROM (
+        SELECT doc_id, y,
+               list_transform(t,
+                 g -> CAST(('0x' || substr(md5(g), 1, 8))::UBIGINT % {B}
+                           AS BIGINT)) AS bs
+        FROM toks)
+    ),
+    cls AS (
+      SELECT CAST(SUM(y) AS BIGINT) AS n1,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS n0,
+             CAST(COUNT(*) AS BIGINT) AS nn
+      FROM cvt
+    ),
+    cw AS (
+      SELECT CAST(nn AS DOUBLE) / (2.0 * GREATEST(n1, 1)) AS cw1,
+             CAST(nn AS DOUBLE) / (2.0 * GREATEST(n0, 1)) AS cw0,
+             nn
+      FROM cls
+    ),
+    u0 AS (SELECT list_transform(range(0, {B}), j -> CAST(0 AS BIGINT)) AS w)"""
+    ]
+    for t in range(1, iters + 1):
+        blocks.append(
+            f"""m{t} AS (
+      SELECT doc_id, y, cv, n,
+             CAST({dot} AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS m
+      FROM cvt, u{t - 1} u
+    ),
+    q{t} AS (
+      SELECT cv,
+             CAST(floor(((1000000.0 * ((0.5 + m / (2.0 * (1.0 + abs(m))))
+                                       - CAST(y AS DOUBLE)))
+                         * (CASE WHEN y = 1 THEN cw1 ELSE cw0 END))
+                        / CAST(n AS DOUBLE)) AS BIGINT) AS q
+      FROM m{t}, cw
+    ),
+    g{t} AS (
+      SELECT pos, SUM(cv[pos] * q) AS g
+      FROM q{t}, generate_series(1, {B}) t(pos) GROUP BY pos
+    ),
+    u{t} AS (
+      SELECT list(u.w[g.pos]
+                  - CAST(floor(({lr!r} * CAST(g.g AS DOUBLE)) / cw.nn)
+                         AS BIGINT) ORDER BY g.pos) AS w
+      FROM g{t} g, u{t - 1} u, cw
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + f""",
+    fin AS (
+      SELECT doc_id, n AS n_grams, y,
+             CAST({dot} AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS m
+      FROM cvt, u{iters} u
+    )
+    SELECT doc_id, n_grams, y,
+           round(m, 6) AS margin,
+           round(0.5 + m / (2.0 * (1.0 + abs(m))), 6) AS prob,
+           (0.5 + m / (2.0 * (1.0 + abs(m)))) >= 0.5 AS keep
+    FROM fin"""
+    )
+
+
+@register("text_classifier_train_gd", oracle=_logreg_train_oracle())
+def text_classifier_train_gd_q(spark, sf_dir):
+    """Quality-classifier TRAINING (§2.12 quality tier; the CCNet/LLaMA
+    pipeline step that text_hashed_classifier's inference half assumes):
+    class-balanced full-batch gradient descent over hashed unigram
+    features, label = doc mentions 'spark' more than 'batch'.  Every
+    gradient component is an exact decimal-integer sum
+    (partition-independent), the per-round weight vector is B
+    control-plane integers (kmeans-centroid precedent), and the per-doc
+    nonlinearity is the rational sigmoid — IEEE +,·,/,abs only, so both
+    engines train bit-identical weights.  See
+    llm/train.logreg_train_fixed_point (including the honest
+    weak-learner capability note)."""
+    from apache_nifi_spark.llm.dsir import _tokens
+    from apache_nifi_spark.llm.train import logreg_train_fixed_point
+
+    d = io.widen_if_narrow(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    toks = _tokens(F.col("text"))
+    label = F.size(F.filter(toks, lambda x: x == "spark")) > F.size(
+        F.filter(toks, lambda x: x == "batch")
+    )
+    return logreg_train_fixed_point(d, label=label)
+
+
 @register(
     "dsir_importance_scores",
     oracle=r"""

@@ -1550,3 +1550,40 @@ def test_paragraph_dedup_keeps_first_occurrence_and_drops_empty_docs(spark):
         for r in paragraph_dedup(docs.repartition(7)).collect()
     }
     assert out7 == out
+
+
+def test_logreg_train_learns_separable_signal(spark):
+    """On linearly-separable data the deterministic trainer converges:
+    docs dominated by 'good' tokens are labeled 1, by 'bad' tokens 0 —
+    after a few balanced full-batch steps the trained weights classify
+    the training set perfectly, and the result is partition-invariant."""
+    from pyspark.sql import functions as F
+
+    from apache_nifi_spark.llm import logreg_train_fixed_point
+
+    rows = []
+    for i in range(40):
+        if i % 3 == 0:
+            text = "good " * 8 + "noise filler word"
+            y = 1
+        else:
+            text = "bad " * 8 + "noise filler word"
+            y = 0
+        rows.append((i, text.strip(), y))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "y_true"])
+
+    out = logreg_train_fixed_point(
+        docs, label=F.col("y_true") == 1, iters=4, lr=64.0
+    )
+    got = {r["doc_id"]: (r["keep"], r["y"]) for r in out.collect()}
+    assert len(got) == 40
+    acc = sum(1 for keep, y in got.values() if keep == (y == 1))
+    assert acc == 40, f"separable data must fit exactly, got {acc}/40"
+
+    # partition invariance: exact integer algebra → identical margins
+    out7 = logreg_train_fixed_point(
+        docs.repartition(7), label=F.col("y_true") == 1, iters=4, lr=64.0
+    )
+    m1 = sorted((r["doc_id"], r["margin"]) for r in out.collect())
+    m7 = sorted((r["doc_id"], r["margin"]) for r in out7.collect())
+    assert m1 == m7
