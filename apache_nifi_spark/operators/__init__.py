@@ -86,6 +86,10 @@ from apache_nifi_spark.operators.skew import (  # noqa: F401
 from apache_nifi_spark.operators.content import (  # noqa: F401
     pack_content_zip,
     unpack_content_zip,
+    pack_content_tar,
+    unpack_content_tar,
+    pack_flowfile_v3,
+    unpack_flowfile_v3,
     compress_content,
     decompress_content,
     merge_content_text,

@@ -26,6 +26,10 @@ __all__ = [
     "merge_content_text",
     "pack_content_zip",
     "unpack_content_zip",
+    "pack_content_tar",
+    "unpack_content_tar",
+    "pack_flowfile_v3",
+    "unpack_flowfile_v3",
     "compress_content",
     "decompress_content",
 ]
@@ -179,3 +183,184 @@ def merge_content_text(
         merged.alias("merged_content"),
         F.count(F.lit(1)).alias("fragment_count"),
     )
+
+
+_TAR_PACKED_SCHEMA = "group_id bigint, archive binary"
+
+
+def pack_content_tar(
+    df: DataFrame, group_col: str, name_col: str, payload_col: str
+) -> DataFrame:
+    """MergeContent(tar strategy): all rows of a group packed into ONE
+    ustar archive, entries sorted by name (deterministic bytes: fixed
+    mtime/uid/gid/mode, USTAR format).  Unlike the zip packer this is a
+    many-rows→one-archive merge, so it runs as ``applyInPandas`` per
+    group — NiFi's bin-by-correlation-attribute shape.  Output:
+    (group_id, archive binary)."""
+    import tarfile
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        buf = _io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+            rows = sorted(
+                zip(pdf[name_col], pdf[payload_col]), key=lambda r: str(r[0])
+            )
+            for name, payload in rows:
+                if isinstance(payload, str):
+                    payload = payload.encode("utf-8")
+                info = tarfile.TarInfo(str(name))
+                info.size = len(payload)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                info.uname = info.gname = ""
+                info.mode = 0o644
+                tf.addfile(info, _io.BytesIO(bytes(payload)))
+        return pd.DataFrame(
+            {"group_id": [int(pdf[group_col].iloc[0])], "archive": [buf.getvalue()]}
+        )
+
+    return df.groupBy(group_col).applyInPandas(_pack, _TAR_PACKED_SCHEMA)
+
+
+_TAR_UNPACKED_SCHEMA = "group_id bigint, entry_name string, payload binary"
+
+
+def unpack_content_tar(df: DataFrame, id_col: str, archive_col: str) -> DataFrame:
+    """UnpackContent (tar): one output row per archive member, Arrow-
+    batched — the executor streams each archive's members without
+    touching the driver."""
+    import tarfile
+
+    def _unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, names, payloads = [], [], []
+            for rid, blob in zip(pdf[id_col], pdf[archive_col]):
+                with tarfile.open(fileobj=_io.BytesIO(bytes(blob))) as tf:
+                    for member in tf.getmembers():
+                        if not member.isfile():
+                            continue
+                        ids.append(int(rid))
+                        names.append(member.name)
+                        payloads.append(tf.extractfile(member).read())
+            yield pd.DataFrame(
+                {"group_id": pd.Series(ids, dtype="int64"),
+                 "entry_name": names, "payload": payloads}
+            )
+
+    return df.mapInPandas(_unpack, _TAR_UNPACKED_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# NiFi FlowFile Stream, v3 — the engine's own multi-flowfile packaging
+# (MergeContent "FlowFile Stream, v3" / UnpackContent "flowfile-stream-v3").
+# Framing implemented from the public format description: each record is
+#   7-byte magic "NiFiFF3"
+#   4-byte BE attribute count
+#   per attribute: length-prefixed UTF-8 key, then value (2-byte BE
+#     length; 0xFFFF escapes to a 4-byte BE length for long fields)
+#   8-byte BE content length, raw content bytes
+# records concatenate back-to-back into one stream.
+# --------------------------------------------------------------------------
+
+_FF3_MAGIC = b"NiFiFF3"
+
+
+def _ff3_field(data: bytes) -> bytes:
+    import struct as _struct
+
+    if len(data) < 0xFFFF:
+        return _struct.pack(">H", len(data)) + data
+    return b"\xff\xff" + _struct.pack(">I", len(data)) + data
+
+
+def _ff3_read_field(buf: bytes, off: int) -> tuple[bytes, int]:
+    import struct as _struct
+
+    n = _struct.unpack(">H", buf[off : off + 2])[0]
+    off += 2
+    if n == 0xFFFF:
+        n = _struct.unpack(">I", buf[off : off + 4])[0]
+        off += 4
+    return buf[off : off + n], off + n
+
+
+_FF3_PACKED_SCHEMA = "group_id bigint, stream binary, n_records int"
+
+
+def pack_flowfile_v3(
+    df: DataFrame, group_col: str, attr_cols: list[str], content_col: str
+) -> DataFrame:
+    """MergeContent(FlowFile Stream, v3): every row of a group becomes
+    one packaged flowfile (its attributes = the named columns, as
+    strings) and the group concatenates into a single v3 stream.
+    Records are ordered by the attribute tuple for deterministic bytes.
+    Output: (group_id, stream binary, n_records)."""
+    import struct as _struct
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = _io.BytesIO()
+        rows = pdf.sort_values(attr_cols, kind="mergesort")
+        for _, row in rows.iterrows():
+            content = row[content_col]
+            if isinstance(content, str):
+                content = content.encode("utf-8")
+            content = bytes(content)
+            out.write(_FF3_MAGIC)
+            out.write(_struct.pack(">I", len(attr_cols)))
+            for a in attr_cols:
+                out.write(_ff3_field(a.encode("utf-8")))
+                out.write(_ff3_field(str(row[a]).encode("utf-8")))
+            out.write(_struct.pack(">Q", len(content)))
+            out.write(content)
+        return pd.DataFrame(
+            {"group_id": [int(pdf[group_col].iloc[0])],
+             "stream": [out.getvalue()],
+             "n_records": [len(rows)]}
+        )
+
+    return df.groupBy(group_col).applyInPandas(_pack, _FF3_PACKED_SCHEMA)
+
+
+_FF3_UNPACKED_SCHEMA = (
+    "group_id bigint, attributes map<string,string>, content binary"
+)
+
+
+def unpack_flowfile_v3(df: DataFrame, id_col: str, stream_col: str) -> DataFrame:
+    """UnpackContent (flowfile-stream-v3): one row per packaged
+    flowfile with its attribute map and content restored.  A stream
+    whose framing is corrupt raises — packaging errors must fail loudly,
+    not land truncated records."""
+    import struct as _struct
+
+    def _unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, attrs, contents = [], [], []
+            for rid, blob in zip(pdf[id_col], pdf[stream_col]):
+                buf = bytes(blob)
+                off = 0
+                while off < len(buf):
+                    if buf[off : off + 7] != _FF3_MAGIC:
+                        raise ValueError(
+                            f"bad FlowFile v3 magic at offset {off}"
+                        )
+                    off += 7
+                    n_attrs = _struct.unpack(">I", buf[off : off + 4])[0]
+                    off += 4
+                    a = {}
+                    for _ in range(n_attrs):
+                        k, off = _ff3_read_field(buf, off)
+                        v, off = _ff3_read_field(buf, off)
+                        a[k.decode("utf-8")] = v.decode("utf-8")
+                    clen = _struct.unpack(">Q", buf[off : off + 8])[0]
+                    off += 8
+                    ids.append(int(rid))
+                    attrs.append(a)
+                    contents.append(buf[off : off + clen])
+                    off += clen
+            yield pd.DataFrame(
+                {"group_id": pd.Series(ids, dtype="int64"),
+                 "attributes": attrs, "content": contents}
+            )
+
+    return df.mapInPandas(_unpack, _FF3_UNPACKED_SCHEMA)

@@ -7045,6 +7045,84 @@ def unpack_content_zip_q(spark, sf_dir):
 
 
 @register(
+    "unpack_content_tar",
+    oracle="""
+    SELECT doc_id % 10 AS group_id,
+           'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS entry_name,
+           text AS payload_text
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def unpack_content_tar_q(spark, sf_dir):
+    """MergeContent(tar) → UnpackContent(tar) round-trip (§2.4/§2.5):
+    documents bin by correlation key (doc_id % 10) into ONE ustar
+    archive per bin — the many-rows→one-archive merge shape zip's
+    one-entry query doesn't exercise — then unpack back to rows.
+    Deterministic archive bytes (fixed mtime/uid/mode, sorted entries);
+    oracle is the identity projection."""
+    from apache_nifi_spark.operators import pack_content_tar, unpack_content_tar
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            (F.col("doc_id") % 10).alias("bin_id"),
+            F.concat(F.lit("doc_"), F.col("doc_id").cast("string"), F.lit(".txt"))
+            .alias("fname"),
+            "text",
+        )
+    )
+    packed = pack_content_tar(d, "bin_id", "fname", "text")
+    return unpack_content_tar(packed, "group_id", "archive").select(
+        "group_id",
+        "entry_name",
+        F.col("payload").cast("string").alias("payload_text"),
+    )
+
+
+@register(
+    "merge_flowfile_stream_v3",
+    oracle="""
+    SELECT doc_id % 8 AS group_id,
+           CAST(doc_id AS VARCHAR) AS attr_doc_id,
+           lang AS attr_lang,
+           source AS attr_source,
+           text AS content_text
+    FROM documents WHERE doc_id < 160
+    """,
+)
+def merge_flowfile_v3_q(spark, sf_dir):
+    """MergeContent(FlowFile Stream, v3) → UnpackContent
+    (flowfile-stream-v3) round-trip (§2.5 [2.7.2-surface]): NiFi's own
+    multi-flowfile packaging — attributes + content framed per record
+    (magic/length-prefixed fields, layout in operators/content.py),
+    groups concatenated into one stream, then unpacked with the
+    attribute map restored.  Oracle is the identity projection through
+    the attribute map."""
+    from apache_nifi_spark.operators import pack_flowfile_v3, unpack_flowfile_v3
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 160)
+        .select(
+            (F.col("doc_id") % 8).alias("bin_id"),
+            F.col("doc_id").cast("string").alias("doc_id_s"),
+            "lang",
+            "source",
+            "text",
+        )
+    )
+    packed = pack_flowfile_v3(d, "bin_id", ["doc_id_s", "lang", "source"], "text")
+    return unpack_flowfile_v3(packed, "group_id", "stream").select(
+        "group_id",
+        F.col("attributes")["doc_id_s"].alias("attr_doc_id"),
+        F.col("attributes")["lang"].alias("attr_lang"),
+        F.col("attributes")["source"].alias("attr_source"),
+        F.col("content").cast("string").alias("content_text"),
+    )
+
+
+@register(
     "generate_table_fetch_plan",
     oracle="""
     WITH b AS (SELECT CAST(min(o_orderkey) AS BIGINT) AS lo,

@@ -680,3 +680,47 @@ def test_hl7_msh_numbering_and_missing_segments(spark):
         hl7_field(hl7_segment(F.col("content"), "MSH"), 2, msh=True).alias("f2"),
     ).first()
     assert row["f1"] == "|" and row["f2"] == "^~\\&"
+
+
+def test_tar_pack_unpack_roundtrip_and_determinism(spark):
+    """Tar bins are many-rows→one-archive; bytes must be deterministic
+    (fixed mtime, sorted entries) so re-runs produce identical archives."""
+    from apache_nifi_spark.operators import pack_content_tar, unpack_content_tar
+
+    rows = [(i % 3, f"f{i}.txt", f"payload-{i}") for i in range(12)]
+    df = spark.createDataFrame(rows, ["bin_id", "fname", "text"])
+    packed = pack_content_tar(df, "bin_id", "fname", "text")
+    blobs1 = {r["group_id"]: bytes(r["archive"]) for r in packed.collect()}
+    blobs2 = {
+        r["group_id"]: bytes(r["archive"])
+        for r in pack_content_tar(df.repartition(5), "bin_id", "fname", "text").collect()
+    }
+    assert blobs1 == blobs2  # byte-identical under any partitioning
+    out = unpack_content_tar(packed, "group_id", "archive").collect()
+    got = {(r["group_id"], r["entry_name"]): bytes(r["payload"]) for r in out}
+    assert len(got) == 12
+    assert got[(1, "f1.txt")] == b"payload-1"
+
+
+def test_flowfile_v3_roundtrip_long_fields_and_bad_magic(spark):
+    """FlowFile v3 framing: the 0xFFFF long-field escape must round-trip
+    a >64 KiB value, empty content is legal, and a corrupt stream fails
+    loudly instead of landing truncated records."""
+    import pytest
+
+    from apache_nifi_spark.operators import pack_flowfile_v3, unpack_flowfile_v3
+
+    big = "x" * 70_000
+    rows = [(0, "a", big, "content-a"), (0, "b", "small", ""), (1, "c", "v", "zz")]
+    df = spark.createDataFrame(rows, ["bin_id", "k", "v", "text"])
+    packed = pack_flowfile_v3(df, "bin_id", ["k", "v"], "text")
+    out = unpack_flowfile_v3(packed, "group_id", "stream").collect()
+    by_k = {r["attributes"]["k"]: r for r in out}
+    assert by_k["a"]["attributes"]["v"] == big
+    assert bytes(by_k["b"]["content"]) == b""
+    assert bytes(by_k["c"]["content"]) == b"zz"
+
+    bad = spark.createDataFrame([(9, bytearray(b"NOTMAGIC" + b"\x00" * 16))],
+                                ["group_id", "stream"])
+    with pytest.raises(Exception, match="bad FlowFile v3 magic"):
+        unpack_flowfile_v3(bad, "group_id", "stream").collect()
