@@ -48,6 +48,7 @@ from apache_nifi_spark.llm.text import (  # noqa: F401
     quality_logit,
     unigram_logprob,
     bigram_logprob,
+    ccnet_buckets,
     tfidf_keywords,
     zipf_fit,
     c4_line_filter,

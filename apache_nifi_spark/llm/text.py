@@ -24,6 +24,7 @@ __all__ = [
     "zipf_fit",
     "c4_line_filter",
     "rolling_fingerprint",
+    "ccnet_buckets",
     "chunk_sliding",
     "pii_redact",
     "repetition_scores",
@@ -779,3 +780,55 @@ def c4_line_filter(
         F.size(kept).alias("n_kept"),
     )
     return out.filter(F.col("n_kept") >= min_kept_lines)
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    parts: int = 3,
+) -> DataFrame:
+    """CCNet's perplexity split (Wenzek et al. 2020 §4.3): score every
+    document with the corpus unigram LM (:func:`unigram_logprob`) and
+    cut the corpus into equal-size perplexity buckets — ``head`` (lowest
+    perplexity, highest quality), ``middle``, ``tail`` — the partition
+    CCNet publishes and pretraining recipes sample from at different
+    rates.
+
+    Bucketing is ntile ARITHMETIC on an exact total order
+    (``(parts·(rank-1)) div N``), not a float-boundary compare: ranks
+    order by the 6-dp-rounded perplexity with the document id as the
+    tie-break, so the cut is bit-identical on any engine and any
+    partitioning.
+
+    Scale note: the rank is a corpus-global window (a corpus split IS a
+    global sort).  On this engine it runs as one sort task — at real
+    scale swap the window for ``repartitionByRange(ppl)`` + partition
+    offsets (two-pass, same arithmetic), or accept approximate
+    boundaries from a quantile sketch; both are layout changes, not
+    algebra changes.
+
+    Returns (id, n_tokens, ppl, bucket ∈ {head, middle, tail, b<k>}).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as _F
+
+    scored = unigram_logprob(df, text_col=text_col, id_col=id_col)
+    w = Window.orderBy("ppl", id_col)
+    ranked = scored.select(
+        id_col,
+        "n_tokens",
+        "ppl",
+        _F.row_number().over(w).alias("_rn"),
+        _F.count(_F.lit(1)).over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_nn"),
+    )
+    tile = _F.expr(f"({parts} * (_rn - 1)) div _nn")
+    names = {0: "head", 1: "middle", parts - 1: "tail"}
+    label = _F.lit(None).cast("string")
+    for k in range(parts - 1, -1, -1):
+        label = _F.when(tile == k, _F.lit(names.get(k, f"b{k}"))).otherwise(label)
+    return ranked.select(id_col, "n_tokens", "ppl", label.alias("bucket"))

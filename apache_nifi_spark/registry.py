@@ -1813,6 +1813,53 @@ def text_unigram_logprob_q(spark, sf_dir):
 
 
 @register(
+    "text_ccnet_buckets",
+    oracle=r"""
+    WITH tok AS MATERIALIZED (
+      SELECT d.doc_id, t.token
+      FROM documents d,
+           unnest(list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9'']+'),
+                              x -> x != '')) AS t(token)
+    ),
+    v AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+    s AS (SELECT SUM(c) AS t_total, COUNT(*) AS v_size FROM v),
+    scored AS (
+      SELECT tok.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             round(exp(-SUM(ln(CAST(COALESCE(v.c, 0) + 1 AS DOUBLE)
+                               / CAST(s.t_total + s.v_size AS DOUBLE))) / COUNT(*)), 6)
+               AS ppl
+      FROM tok LEFT JOIN v USING (token), s
+      GROUP BY tok.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, n_tokens, ppl,
+             ROW_NUMBER() OVER (ORDER BY ppl, doc_id) AS rn,
+             COUNT(*) OVER () AS nn
+      FROM scored
+    )
+    SELECT doc_id, n_tokens, ppl,
+           CASE (3 * (rn - 1)) // nn
+             WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM ranked
+    """,
+)
+def text_ccnet_buckets_q(spark, sf_dir):
+    """CCNet perplexity split (§2.12 quality tier; Wenzek et al. 2020):
+    corpus unigram-LM perplexity → equal-size head/middle/tail buckets,
+    the partition pretraining recipes sample from at different rates.
+    The cut is ntile ARITHMETIC on an exact (rounded-ppl, doc_id) total
+    order — integer division, no float boundary — so it is bit-identical
+    cross-engine; see llm/text.ccnet_buckets (incl. the global-sort
+    scale note)."""
+    from apache_nifi_spark.llm import ccnet_buckets
+
+    d = io.widen_if_narrow(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return ccnet_buckets(d)
+
+
+@register(
     "text_tfidf_keywords",
     oracle=r"""
     WITH tok AS MATERIALIZED (

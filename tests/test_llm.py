@@ -1587,3 +1587,28 @@ def test_logreg_train_learns_separable_signal(spark):
     m1 = sorted((r["doc_id"], r["margin"]) for r in out.collect())
     m7 = sorted((r["doc_id"], r["margin"]) for r in out7.collect())
     assert m1 == m7
+
+
+def test_ccnet_buckets_equal_cut_and_partition_invariance(spark):
+    """The perplexity split must cut the corpus into (near-)equal thirds
+    in rank order — every head doc's (ppl, id) precedes every tail
+    doc's — and be invariant to input partitioning."""
+    import collections
+
+    from apache_nifi_spark.llm import ccnet_buckets
+
+    rows = [(i, ("common word " * 5 + f"rare{i} " * (i % 7)).strip())
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = ccnet_buckets(docs).collect()
+    sizes = collections.Counter(r["bucket"] for r in out)
+    assert sizes == {"head": 10, "middle": 10, "tail": 10}
+    order = {"head": 0, "middle": 1, "tail": 2}
+    ranked = sorted(out, key=lambda r: (r["ppl"], r["doc_id"]))
+    assert [order[r["bucket"]] for r in ranked] == sorted(
+        order[r["bucket"]] for r in ranked
+    )
+    out7 = ccnet_buckets(docs.repartition(7)).collect()
+    assert {r["doc_id"]: r["bucket"] for r in out7} == {
+        r["doc_id"]: r["bucket"] for r in out
+    }
