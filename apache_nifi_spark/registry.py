@@ -2578,6 +2578,77 @@ def _dominant_dir_oracle(
     )
 
 
+def _kcenter_oracle(k: int = 8, dim: int = 64, scale: int = 1000) -> str:
+    """Unrolled greedy k-center oracle: identical exact-integer distance
+    algebra and (distance DESC, id ASC) argmax tie-break as
+    llm/coreset.kcenter_coreset, one 1-row CTE per pick."""
+
+    def d2(qv: str, cv: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {dim + 1}),"
+            f" j -> ({qv}[j] - {cv}[j]) * ({qv}[j] - {cv}[j])),"
+            " (a, b) -> a + b)"
+        )
+
+    blocks = [
+        f"""q AS MATERIALIZED (
+      SELECT vec_id AS id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    c0 AS (SELECT id, qv FROM q ORDER BY id LIMIT 1)"""
+    ]
+    for t in range(1, k):
+        prev = ", ".join(f"c{i} AS s{i}" for i in range(t))
+        not_in = " AND ".join(f"q.id != s{i}.id" for i in range(t))
+        dists = [d2("q.qv", f"s{i}.qv") for i in range(t)]
+        dmin = dists[0] if t == 1 else "least(" + ", ".join(dists) + ")"
+        blocks.append(
+            f"""c{t} AS (
+      SELECT q.id, q.qv
+      FROM q, {prev}
+      WHERE {not_in}
+      ORDER BY {dmin} DESC, q.id ASC
+      LIMIT 1
+    )"""
+        )
+    all_c = ", ".join(f"c{i} AS s{i}" for i in range(k))
+    pairs = ", ".join(
+        "{'d': " + d2("q.qv", f"s{i}.qv") + f", 'cid': s{i}.id}}"
+        for i in range(k)
+    )
+    is_center = " OR ".join(f"q.id = s{i}.id" for i in range(k))
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + f"""
+    SELECT q.id AS vec_id,
+           list_sort([{pairs}])[1].cid AS center_id,
+           list_sort([{pairs}])[1].d AS d2,
+           ({is_center}) AS is_center
+    FROM q, {all_c}"""
+    )
+
+
+@register("embedding_kcenter_coreset", oracle=_kcenter_oracle())
+def kcenter_coreset_q(spark, sf_dir):
+    """Greedy k-center coreset selection (§2.12 semantic curation tier;
+    Sener & Savarese 2018): K maximally-spread documents by
+    farthest-point sampling — the diversity-selection/data-pruning stage
+    beside SemDeDup's near-dup prune.  Each round is ONE corpus scan
+    (map-only integer-distance fold over the literal picks + a
+    max(struct) argmax that carries the picked vector out), picks are
+    K×dim control-plane integers, ties break to the smaller id — the
+    whole selection is bit-identical cross-engine.  Output: every
+    document's nearest pick + exact distance (max d2 = covering
+    radius); see llm/coreset.kcenter_coreset."""
+    from apache_nifi_spark.llm.coreset import kcenter_coreset
+
+    e = io.widen_if_narrow(_t(spark, sf_dir, "embeddings"))
+    return kcenter_coreset(e, id_col="vec_id", vec_col="embedding")
+
+
 @register("embedding_dominant_direction", oracle=_dominant_dir_oracle())
 def dominant_direction_q(spark, sf_dir):
     """Top-principal-direction scoring over the embeddings table (§2.12

@@ -1612,3 +1612,37 @@ def test_ccnet_buckets_equal_cut_and_partition_invariance(spark):
     assert {r["doc_id"]: r["bucket"] for r in out7} == {
         r["doc_id"]: r["bucket"] for r in out
     }
+
+
+def test_kcenter_coreset_greedy_picks_and_invariance(spark):
+    """Farthest-point sampling on a known 1-D geometry: seed = smallest
+    id, then greedy max-min picks in the exact order the algorithm
+    prescribes; every row maps to its nearest pick; partition-invariant."""
+    from pyspark.sql import types as T
+
+    from apache_nifi_spark.llm import kcenter_coreset
+
+    dim = 4
+    # points at x = 0, 1, 10, 11, 100, 101 on the first axis
+    xs = [0.0, 1.0, 10.0, 11.0, 100.0, 101.0]
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    df = spark.createDataFrame(
+        [(i, [x] + [0.0] * (dim - 1)) for i, x in enumerate(xs)], schema
+    )
+    out = {r["vec_id"]: r for r in kcenter_coreset(df, k=3, scale=1000).collect()}
+    # greedy: seed id0 (x=0), then farthest = id5 (x=101), then id3 (x=11:
+    # min-dist 11^2 vs id2's 10^2, id4's 1^2 ... wait id4 x=100 is 1 from 101)
+    centers = sorted(cid for cid, r in out.items() if r["is_center"])
+    assert centers == [0, 3, 5]
+    # nearest assignments
+    assert out[1]["center_id"] == 0      # x=1 -> x=0
+    assert out[2]["center_id"] == 3      # x=10 -> x=11
+    assert out[4]["center_id"] == 5      # x=100 -> x=101
+    assert out[0]["d2"] == 0 and out[0]["is_center"]
+    assert out[1]["d2"] == 1000 * 1000   # quantized squared distance
+    out7 = {r["vec_id"]: (r["center_id"], r["d2"])
+            for r in kcenter_coreset(df.repartition(5), k=3, scale=1000).collect()}
+    assert out7 == {i: (r["center_id"], r["d2"]) for i, r in out.items()}
