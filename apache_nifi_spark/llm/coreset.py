@@ -70,7 +70,9 @@ def kcenter_coreset(
 
     # seed: smallest id (deterministic, no RNG) — min(struct) carries the
     # vector out in the same aggregation, one job
-    seed = q.select(F.min(F.struct("_id", "qv")).alias("m")).collect()
+    seed = q.select(
+        F.min(F.struct("_id", "qv")).alias("m")
+    ).collect()  # control-plane: 1 row, the seed pick
     if not seed or seed[0]["m"] is None:
         return q.select(
             F.col("_id").alias(id_col),
@@ -105,7 +107,7 @@ def kcenter_coreset(
                 (-F.col("m.nid")).alias("pick"),
                 F.col("m.qv").alias("qv"),
             )
-            .collect()
+            .collect()  # control-plane: 1 row per round, the next pick
         )
         if not far or far[0]["d"] is None:
             break  # fewer distinct points than k

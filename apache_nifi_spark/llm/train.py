@@ -106,7 +106,29 @@ def logreg_train_fixed_point(
     )
     toks = base.select(
         "_id", "_y", F.explode(_tokens(F.col("_text"))).alias("_tok")
-    ).select("_id", "_y", _bucket(F.col("_tok"), buckets).alias("_b"))
+    )
+    # Hash DISTINCT tokens only: md5 is the engine-portable hash and by
+    # far the priciest per-call step — paying it once per vocabulary
+    # entry instead of once per token occurrence cut the feature build
+    # 8.9 s → ~3 s at sf1 (5M occurrences, tiny vocabulary).  The
+    # token→bucket map is a vocabulary-sized dimension (the dsir
+    # weight-table precedent): broadcast here; at a 100 TB vocabulary
+    # (~millions of types) it is still MBs, and AQE would pick the
+    # shuffle join if it ever outgrew that.
+    cnt_tok = (
+        toks.groupBy("_id", "_y", "_tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+        # pinned: BOTH the vocabulary distinct and the bucket join read
+        # this frame — without the pin the vocab branch re-runs the
+        # whole tokenize+count (measured: the duplicated scan was most
+        # of an 8.6 s feature build at sf1)
+        .localCheckpoint(eager=False)
+    )
+    vocab = (
+        cnt_tok.select("_tok")
+        .distinct()
+        .select("_tok", _bucket(F.col("_tok"), buckets).alias("_b"))
+    )
     # SPARSE features throughout: (doc, bucket, count) rows for the
     # gradient and a per-doc (bucket, count) struct list for the scoring
     # fold — never a dense B-vector (a dense build costs B×grams
@@ -117,8 +139,9 @@ def logreg_train_fixed_point(
     # descent reads them iters+2 times; both are narrow).  Counts are
     # order-independent, so collect_list ordering never matters.
     cnts = (
-        toks.groupBy("_id", "_y", "_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+        cnt_tok.join(F.broadcast(vocab), "_tok")
+        .groupBy("_id", "_y", "_b")
+        .agg(F.sum("_c").alias("_c"))
         .repartition("_id")
         .localCheckpoint(eager=False)
     )
@@ -133,7 +156,12 @@ def logreg_train_fixed_point(
 
     # Class priors → balanced-logistic residual weights cw_y = N/(2·N_y)
     # (GREATEST guard: a single-class corpus trains as unweighted).
-    cls = {r["_y"]: r["c"] for r in feat.groupBy("_y").agg(F.count(F.lit(1)).alias("c")).collect()}
+    cls = {
+        r["_y"]: r["c"]
+        for r in feat.groupBy("_y")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()  # control-plane: 2 rows, the class priors
+    }
     n1 = cls.get(1, 0)
     n0 = cls.get(0, 0)
     nn = n0 + n1

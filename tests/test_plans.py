@@ -151,6 +151,9 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
         # cluster); normally invisible here because the assignment is
         # localCheckpoint'ed, listed for robustness
         "dedup_semantic_semdedup",
+        # wraps text_unigram_logprob: the same 1-row smoothing-stats
+        # broadcast (T+V), bounded by construction
+        "text_ccnet_buckets",
     }
     for name, fn in QUERIES.items():
         if name.startswith("stream_") or name in skip:
