@@ -4760,6 +4760,44 @@ def map_cache_put_fetch_q(spark, sf_dir):
 
 
 @register(
+    "redis_cache_put_fetch",
+    oracle="""
+    SELECT c_custkey, c_nationkey, n.n_name AS cache_value
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c_custkey % 9 = 0
+    """,
+)
+def redis_cache_put_fetch_q(spark, sf_dir):
+    """Redis-backed distributed map cache (§2.6 [nifi-redis bundle,
+    RedisDistributedMapCacheClientService]) over the REAL RESP2 wire:
+    nation names SET via one pipelined connection per partition
+    (streaming/redis_wire.MiniRedisServer — arrays-of-bulk-strings
+    requests, +OK/:n/$bulk replies), then customers enriched by
+    pipelined GETs.  Oracle is the equivalent static join, proving the
+    RESP hop is lossless.  Against a real Redis deployment only
+    host/port change — the protocol seam is the module."""
+    from apache_nifi_spark.streaming.redis_wire import (
+        MiniRedisServer,
+        fetch_redis_cache,
+        put_redis_cache,
+    )
+
+    server = MiniRedisServer()
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("string").alias("k"), F.col("n_name").alias("v")
+    )
+    n_put = put_redis_cache(nation, "127.0.0.1", server.port, "k", "v").filter(
+        "cached"
+    ).count()
+    assert n_put == 25
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 9 == 0).select(
+        "c_custkey", F.col("c_nationkey").cast("string").alias("nk"), "c_nationkey"
+    )
+    fetched = fetch_redis_cache(cust, "127.0.0.1", server.port, "nk")
+    return fetched.select("c_custkey", "c_nationkey", "cache_value")
+
+
+@register(
     "put_websocket_roundtrip",
     oracle="""
     SELECT event_type,
