@@ -8309,6 +8309,79 @@ def text_decontaminate_q(spark, sf_dir):
 
 
 @register(
+    "text_bloom_decontaminate",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(toks) - 6, 1)),
+               i -> array_to_string(list_slice(toks, i, i + 7), ' ')))) AS gram
+      FROM t
+    ),
+    bh AS (
+      SELECT md5(gram) AS mh
+      FROM (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+    ),
+    bits AS (
+      SELECT DISTINCT (CAST(('0x' || substr(mh, 1, 8))::UBIGINT AS BIGINT)
+              + j * CAST(('0x' || substr(mh, 9, 8))::UBIGINT AS BIGINT)) % 16384 AS bit
+      FROM bh, range(0, 3) r(j)
+    ),
+    bw AS (
+      SELECT CAST(bit // 32 AS INT) AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(bit % 32 AS INT)) AS bits
+      FROM bits GROUP BY 1
+    ),
+    wl AS (
+      SELECT list(COALESCE(bw.bits, 0) ORDER BY i) AS wlist
+      FROM range(0, 512) r(i) LEFT JOIN bw ON bw.w = i
+    ),
+    probe AS (
+      SELECT g.doc_id,
+             len(list_filter(range(0, 3), j ->
+               (wlist[CAST(((CAST(('0x' || substr(md5(gram), 1, 8))::UBIGINT AS BIGINT)
+                             + j * CAST(('0x' || substr(md5(gram), 9, 8))::UBIGINT AS BIGINT))
+                            % 16384) // 32 AS INT) + 1]
+                & (CAST(1 AS BIGINT)
+                   << CAST(((CAST(('0x' || substr(md5(gram), 1, 8))::UBIGINT AS BIGINT)
+                             + j * CAST(('0x' || substr(md5(gram), 9, 8))::UBIGINT AS BIGINT))
+                            % 16384) % 32 AS INT))) != 0)) = 3 AS hit
+      FROM g, wl
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM probe GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(a.n_grams, 0) AS n_grams,
+           COALESCE(a.n_hits, 0) AS n_hits,
+           COALESCE(a.n_hits, 0) > 0 AS flagged
+    FROM t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def text_bloom_decontaminate_q(spark, sf_dir):
+    """Bloom-filter decontamination (§2.12 hygiene tier; the scan-only
+    companion to text_decontaminate's exact gram equi-join): the
+    benchmark slice's 8-gram set compresses into a 16 Ki-bit filter
+    (k=3 double-hashed md5 probes) collected as 512 control-plane
+    words; the corpus is then ONE MAP-ONLY pass probing the literal
+    filter — no join, no shuffle.  The filter's bit pattern is
+    engine-deterministic, so the oracle reproduces every false positive
+    bit-for-bit and the differential is value-exact; see
+    llm/bloom.bloom_decontaminate."""
+    from apache_nifi_spark.llm.bloom import bloom_decontaminate
+
+    d = io.widen_if_narrow(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return bloom_decontaminate(d, d.filter(F.col("doc_id") % 97 == 0), n=8)
+
+
+@register(
     "pack_chunks_greedy",
     oracle=r"""
     WITH RECURSIVE d AS (

@@ -1646,3 +1646,42 @@ def test_kcenter_coreset_greedy_picks_and_invariance(spark):
     out7 = {r["vec_id"]: (r["center_id"], r["d2"])
             for r in kcenter_coreset(df.repartition(5), k=3, scale=1000).collect()}
     assert out7 == {i: (r["center_id"], r["d2"]) for i, r in out.items()}
+
+
+def test_bloom_decontaminate_superset_of_exact_and_invariant(spark):
+    """The Bloom pass must flag every exactly-contaminated document
+    (false positives allowed, false negatives never) and produce an
+    identical filter — hence identical flags — under any partitioning."""
+    from pyspark.sql import functions as F
+
+    from apache_nifi_spark.llm import bloom_decontaminate, decontaminate
+
+    base = "w%d " * 12
+    rows = []
+    for i in range(30):
+        if i % 5 == 0:  # shares an 8-gram run with the benchmark docs
+            text = ("common token stream alpha beta gamma delta epsilon "
+                    + (base % tuple(range(i, i + 12))))
+        else:
+            text = base % tuple(range(100 * i, 100 * i + 12))
+        rows.append((i, text.strip()))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = docs.filter(F.col("doc_id") % 5 == 0)
+
+    exact = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(docs, bench, n=8).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["flagged"]
+        for r in bloom_decontaminate(docs, bench, n=8).collect()
+    }
+    assert len(bloom) == 30
+    for i, cont in exact.items():
+        if cont:
+            assert bloom[i], f"false negative at doc {i}"
+    bloom7 = {
+        r["doc_id"]: r["flagged"]
+        for r in bloom_decontaminate(docs.repartition(7), bench, n=8).collect()
+    }
+    assert bloom7 == bloom
