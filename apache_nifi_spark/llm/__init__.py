@@ -63,6 +63,7 @@ from apache_nifi_spark.llm.pack import pack_greedy, shard_layout  # noqa: F401
 from apache_nifi_spark.llm.pca import dominant_direction  # noqa: F401
 from apache_nifi_spark.llm.coreset import kcenter_coreset  # noqa: F401
 from apache_nifi_spark.llm.bloom import bloom_decontaminate  # noqa: F401
+from apache_nifi_spark.llm.sketch import countmin_heavy_hitters  # noqa: F401
 from apache_nifi_spark.llm.cluster import (  # noqa: F401
     connected_components,
     kmeans_fixed_point,

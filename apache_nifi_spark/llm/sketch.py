@@ -1,0 +1,102 @@
+"""Count-min sketch heavy hitters (§2.12 corpus-statistics tier;
+Cormode & Muthukrishnan 2005): estimate token frequencies from a fixed
+d×w counter matrix instead of an exact (possibly enormous) frequency
+table — the constant-memory pass a 100 TB pipeline uses for frequency
+caps, stop-list discovery, and hot-key detection before an exact
+second pass over just the candidates.
+
+Determinism contract: row hashes are md5-derived (salted per sketch
+row, the repo's portable hash), counters are exact integer sums
+(addition-order-independent), and the estimate is an integer ``min``
+over the d probed counters — so the sketch, every estimate, and every
+OVERESTIMATE (the sketch's one-sided error) are bit-identical on any
+engine and any partitioning, which is what makes a sketch operator
+value-oracle-able at all.
+
+Scale shape (100 TB rules): token counting is one two-stage hash agg
+(map-side combine collapses each partition to its distinct tokens);
+the d×w counter matrix aggregates from the token-count table (counters
+are additive, so token grain loses nothing) and collects as
+CONTROL-PLANE state (d·w integers — the kmeans-centroid precedent);
+scoring is map-only probes of the literal counter rows.  The exact
+``true_count`` column in the output exists to CERTIFY the sketch
+(est ≥ true always; equality unless collisions) — a production run at
+scale drops it and keeps only the estimates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from apache_nifi_spark.llm.pca import _packed_arr
+
+__all__ = ["countmin_heavy_hitters"]
+
+
+def countmin_heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-``top_k`` tokens by count-min estimate.
+
+    Returns (token, est_count, true_count, overestimate) ordered by
+    (est_count DESC, token) — the deterministic heavy-hitter list with
+    the sketch's one-sided error made visible.
+    """
+
+    def col_for(tok: Column, r: int) -> Column:
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"cm{r}:"), tok)), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % width
+        )
+
+    toks = df.select(
+        F.explode(
+            F.filter(F.split(F.col(text_col), r"\s+", -1), lambda t: t != "")
+        ).alias("tok")
+    )
+    # token-grain counts once: feeds BOTH the sketch build (counters are
+    # additive) and the certifying true_count column
+    cnt = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+
+    rows = []
+    for r in range(depth):
+        got = {
+            x["col"]: x["s"]
+            for x in cnt.groupBy(col_for(F.col("tok"), r).alias("col"))
+            .agg(F.sum("c").alias("s"))
+            .collect()  # control-plane: ≤width counter sums for row r
+        }
+        rows.append([int(got.get(i, 0)) for i in range(width)])
+
+    est = F.least(
+        *[
+            F.element_at(
+                F.expr(_packed_arr(rows[r])),
+                (col_for(F.col("tok"), r)).cast("int") + 1,
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        cnt.select(
+            F.col("tok").alias("token"),
+            est.alias("est_count"),
+            F.col("c").alias("true_count"),
+            (est > F.col("c")).alias("overestimate"),
+        )
+        .orderBy(F.col("est_count").desc(), "token")
+        .limit(top_k)
+    )

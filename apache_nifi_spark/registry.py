@@ -8308,6 +8308,69 @@ def text_decontaminate_q(spark, sf_dir):
     return decontaminate(d, d.filter(F.col("doc_id") % 97 == 0), n=8)
 
 
+def _countmin_oracle(depth: int = 4, width: int = 1024, top_k: int = 20) -> str:
+    """Count-min oracle: identical md5-salted row hashes, exact-integer
+    counters, min-probe estimates as llm/sketch.countmin_heavy_hitters."""
+
+    def colx(r: int) -> str:
+        return (
+            f"CAST(('0x' || substr(md5('cm{r}:' || tok), 1, 8))::UBIGINT"
+            f" AS BIGINT) % {width}"
+        )
+
+    blocks = [
+        r"""tok AS MATERIALIZED (
+      SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                x -> x != '')) AS tok
+      FROM documents
+    ),
+    cnt AS MATERIALIZED (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY tok
+    )"""
+    ]
+    for r in range(depth):
+        blocks.append(
+            f"""cm{r} AS (
+      SELECT {colx(r)} AS col, SUM(c) AS s FROM cnt GROUP BY 1
+    ),
+    w{r} AS (
+      SELECT list(CAST(COALESCE(cm{r}.s, 0) AS BIGINT) ORDER BY i) AS l
+      FROM range(0, {width}) t(i) LEFT JOIN cm{r} ON cm{r}.col = i
+    )"""
+        )
+    probes = ", ".join(
+        f"w{r}.l[CAST({colx(r)} AS INT) + 1]" for r in range(depth)
+    )
+    froms = ", ".join(f"w{r}" for r in range(depth))
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + f"""
+    SELECT tok AS token,
+           least({probes}) AS est_count,
+           c AS true_count,
+           least({probes}) > c AS overestimate
+    FROM cnt, {froms}
+    ORDER BY est_count DESC, token
+    LIMIT {top_k}"""
+    )
+
+
+@register("text_countmin_heavy_hitters", oracle=_countmin_oracle())
+def text_countmin_q(spark, sf_dir):
+    """Count-min sketch heavy hitters (§2.12 corpus-statistics tier;
+    Cormode & Muthukrishnan 2005): token frequencies estimated from a
+    4×1024 exact-integer counter matrix (md5-salted row hashes,
+    control-plane state), top-20 by estimate with the exact count
+    alongside to certify the sketch's one-sided error (est ≥ true,
+    deterministic overestimates both engines reproduce bit-for-bit);
+    see llm/sketch.countmin_heavy_hitters."""
+    from apache_nifi_spark.llm.sketch import countmin_heavy_hitters
+
+    d = io.widen_if_narrow(_t(spark, sf_dir, "documents").select("text"))
+    return countmin_heavy_hitters(d)
+
+
 @register(
     "text_bloom_decontaminate",
     oracle=r"""

@@ -1685,3 +1685,22 @@ def test_bloom_decontaminate_superset_of_exact_and_invariant(spark):
         for r in bloom_decontaminate(docs.repartition(7), bench, n=8).collect()
     }
     assert bloom7 == bloom
+
+
+def test_countmin_never_underestimates_and_finds_heavy_hitter(spark):
+    """Count-min's one-sided error: est >= true for every token; the
+    planted heavy hitter tops the list with an exact estimate when the
+    sketch is wide relative to the vocabulary; partition-invariant."""
+    from apache_nifi_spark.llm import countmin_heavy_hitters
+
+    rows = [(i, "hot " * 50 + f"rare{i} other{i} filler{i}") for i in range(20)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = countmin_heavy_hitters(docs, top_k=5).collect()
+    assert out[0]["token"] == "hot"
+    assert out[0]["true_count"] == 1000
+    assert out[0]["est_count"] >= 1000
+    for r in out:
+        assert r["est_count"] >= r["true_count"]
+        assert r["overestimate"] == (r["est_count"] > r["true_count"])
+    out7 = countmin_heavy_hitters(docs.repartition(7), top_k=5).collect()
+    assert [tuple(r) for r in out7] == [tuple(r) for r in out]
