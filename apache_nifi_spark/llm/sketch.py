@@ -81,15 +81,15 @@ def countmin_heavy_hitters(
         }
         rows.append([int(got.get(i, 0)) for i in range(width)])
 
-    est = F.least(
-        *[
-            F.element_at(
-                F.expr(_packed_arr(rows[r])),
-                (col_for(F.col("tok"), r)).cast("int") + 1,
-            )
-            for r in range(depth)
-        ]
-    )
+    probes = [
+        F.element_at(
+            F.expr(_packed_arr(rows[r])),
+            (col_for(F.col("tok"), r)).cast("int") + 1,
+        )
+        for r in range(depth)
+    ]
+    # F.least needs ≥2 columns; a depth-1 sketch is just its one probe
+    est = F.least(*probes) if depth > 1 else probes[0]
     return (
         cnt.select(
             F.col("tok").alias("token"),
