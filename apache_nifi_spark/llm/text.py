@@ -801,12 +801,19 @@ def ccnet_buckets(
     tie-break, so the cut is bit-identical on any engine and any
     partitioning.
 
-    Scale note: the rank is a corpus-global window (a corpus split IS a
-    global sort).  On this engine it runs as one sort task — at real
-    scale swap the window for ``repartitionByRange(ppl)`` + partition
-    offsets (two-pass, same arithmetic), or accept approximate
-    boundaries from a quantile sketch; both are layout changes, not
-    algebra changes.
+    Scale shape (the two-pass distributed sort, not a global window):
+    a corpus split IS a global sort, but the sort never runs as one
+    task here.  Pass 1 ``repartitionByRange(R, ppl, id)`` range-shuffles
+    the doc-grain frame (3 narrow columns, far smaller than the corpus)
+    and counts rows per range partition — O(R) control-plane ints.
+    Pass 2 turns those counts into cumulative offsets and computes the
+    global rank as ``offset[pid] + row_number() over (partition by pid
+    order by ppl, id)`` — every sort task handles ~N/R rows, none sees
+    the whole corpus.  The range frame is localCheckpoint-pinned because
+    range boundaries are sampled per-execution: both passes must see the
+    SAME partition layout.  The rank (hence the cut) is exact and
+    boundary-independent because (ppl, id) is a total order, so the
+    arithmetic matches the single-window form bit-for-bit.
 
     Returns (id, n_tokens, ppl, bucket ∈ {head, middle, tail, b<k>}).
     """
@@ -814,19 +821,44 @@ def ccnet_buckets(
     from pyspark.sql import functions as _F
 
     scored = unigram_logprob(df, text_col=text_col, id_col=id_col)
-    w = Window.orderBy("ppl", id_col)
-    ranked = scored.select(
+    sess = df.sparkSession
+    try:
+        n_range = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # pragma: no cover - conf always present on real sessions
+        n_range = 32
+    n_range = max(1, n_range)
+    ranged = (
+        scored.repartitionByRange(n_range, _F.col("ppl"), _F.col(id_col))
+        .withColumn("_pid", _F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    counts = {
+        r["_pid"]: r["c"]
+        for r in ranged.groupBy("_pid")
+        .agg(_F.count(_F.lit(1)).alias("c"))
+        .collect()  # control-plane: O(range partitions) manifest rows
+    }
+    total = sum(counts.values())
+    if total == 0:
+        return scored.select(
+            id_col, "n_tokens", "ppl", _F.lit(None).cast("string").alias("bucket")
+        )
+    offsets, acc = [], 0
+    for pid in range(n_range):
+        offsets.append(acc)
+        acc += counts.get(pid, 0)
+    # one packed string literal, not n_range Literal AST nodes
+    off_col = _F.get(
+        _F.split(_F.lit(",".join(str(o) for o in offsets)), ",", -1), _F.col("_pid")
+    ).cast("long")
+    w = Window.partitionBy("_pid").orderBy("ppl", id_col)
+    ranked = ranged.select(
         id_col,
         "n_tokens",
         "ppl",
-        _F.row_number().over(w).alias("_rn"),
-        _F.count(_F.lit(1)).over(
-            Window.partitionBy().rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("_nn"),
+        (off_col + _F.row_number().over(w)).alias("_rn"),
     )
-    tile = _F.expr(f"({parts} * (_rn - 1)) div _nn")
+    tile = _F.expr(f"({parts} * (_rn - 1)) div {total}")
     names = {0: "head", 1: "middle", parts - 1: "tail"}
     label = _F.lit(None).cast("string")
     for k in range(parts - 1, -1, -1):

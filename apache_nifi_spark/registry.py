@@ -1851,8 +1851,9 @@ def text_ccnet_buckets_q(spark, sf_dir):
     the partition pretraining recipes sample from at different rates.
     The cut is ntile ARITHMETIC on an exact (rounded-ppl, doc_id) total
     order — integer division, no float boundary — so it is bit-identical
-    cross-engine; see llm/text.ccnet_buckets (incl. the global-sort
-    scale note)."""
+    cross-engine.  Scale shape: two-pass distributed sort
+    (repartitionByRange + per-partition offsets), never one sort task —
+    see llm/text.ccnet_buckets and the plan gate in tests/test_plans.py."""
     from apache_nifi_spark.llm import ccnet_buckets
 
     d = io.widen_if_narrow(_t(spark, sf_dir, "documents").select("doc_id", "text"))
