@@ -25,7 +25,9 @@ from apache_nifi_spark.llm.dedup import (  # noqa: F401
     paragraph_dedup,
 )
 from apache_nifi_spark.llm.train import (  # noqa: F401
+    hashed_linear_score_trained,
     logreg_train_fixed_point,
+    logreg_train_weights,
 )
 from apache_nifi_spark.llm.similarity import (  # noqa: F401
     dot_product,

@@ -17,11 +17,13 @@ at alternating positions in one pass, identically in both engines;
 canonical BPE fuses all.  Deterministic, documented, and immaterial to
 the operator contract.)
 
-Scale shape: training runs on the VOCABULARY (two-stage agg collapses
-the corpus to word types before anything else — at 100 TB the vocab is
-MBs), each merge step is one explode + two-stage agg + a 1-row
-broadcast; encoding is map-only over documents with the K learned
-merges broadcast as 1-row columns.  Zero UDFs, zero collects.
+Scale shape: training runs on the VOCABULARY (a distributed two-stage
+agg collapses the corpus to its top-K word types before anything else —
+at 100 TB the vocab is MBs) and the merge loop itself is DRIVER-SIDE
+over that bounded control-plane set, the SentencePiece/HF structure;
+encoding is map-only over documents with the K learned merges shipped
+as literal strings.  Zero UDFs; the single collect is the bounded
+vocabulary fetch.
 """
 
 from __future__ import annotations
@@ -61,14 +63,6 @@ def word_vocab(df: DataFrame, text_col: str = "text", top: int = 200) -> DataFra
     )
 
 
-def _adjacent_pairs(pieces_col):  # Column(list-ready string) -> Column(array<string>)
-    arr = F.split(pieces_col, " ", -1)
-    return F.transform(
-        F.sequence(F.lit(0), F.size(arr) - 2),
-        lambda j: F.concat(F.element_at(arr, j + 1), F.lit(" "), F.element_at(arr, j + 2)),
-    )
-
-
 def _apply_merge(pieces_col, pair_col):
     """Fuse every (left-to-right non-overlapping) occurrence of the
     space-separated pair; ``pair_col`` is 'a b', fused form is 'ab'."""
@@ -84,55 +78,55 @@ def _apply_merge(pieces_col, pair_col):
 
 def bpe_train(vocab: DataFrame, merges: int = 8) -> DataFrame:
     """Learn ``merges`` BPE merge rules from a (word, cnt) vocabulary.
-    Returns (step, pair, merged, pair_cnt) — step is 1-based rule
-    order.  Each step's winning pair joins back as a 1-row broadcast;
-    the per-step state is pinned with ``localCheckpoint`` (executor-side
-    materialization, the connected-components precedent) because the
-    naive lazy chain references each previous state TWICE (pair counts
-    and re-piecing) — unchecked, the plan doubles per merge and is
-    exponential in the schedule length.  The checkpointed working set is
-    the vocabulary: tiny by construction."""
-    state = vocab.select(
-        "word", "cnt", initial_pieces(F.col("word")).alias("pieces")
-    ).localCheckpoint()
-    rules = None
+    Returns (step, pair, merged, pair_cnt) — step is 1-based rule order.
+
+    The merge loop runs DRIVER-SIDE over the collected vocabulary: the
+    working set is bounded by construction (``word_vocab``'s top-K cut —
+    the distributed two-stage agg already collapsed the corpus to word
+    types), so it is control-plane state exactly like kmeans centroids
+    or the count-min counters, and this is how production tokenizer
+    trainers (SentencePiece, HF tokenizers) structure it — distributed
+    count, local merge loop.  The previous executor-side loop spent one
+    per-job floor per localCheckpoint round on a ≤K-row frame; its wall
+    drifted 1.8 → 2.5 s at sf0.1 across rounds (round-10 verdict item 3
+    — profiled: ~2.4 s of the 2.5 s was the train loop's job floors,
+    encode 0.6 s).  Driver-side the schedule costs one collect.
+
+    The string algebra is bit-identical to the SQL oracle's replay:
+    pieces are a space-joined string, a merge is a left-to-right
+    non-overlapping ``str.replace`` of ``' a b '`` with ``' ab '`` on
+    the padded string (Python and Java String.replace share those
+    semantics), ties break (count desc, pair asc) over ASCII pieces
+    where code-point and UTF8-binary order agree."""
+    rows = vocab.collect()  # control-plane: ≤top-K word types (bounded)
+    state = [
+        (r["cnt"], " ".join(r["word"]) + " " + EOW) for r in rows
+    ]
+    out_rows = []
     for step in range(1, merges + 1):
-        pairs = state.select(
-            "cnt", F.explode(_adjacent_pairs(F.col("pieces"))).alias("pair")
-        )
-        top = (
-            pairs.groupBy("pair")
-            .agg(F.sum("cnt").alias("pair_cnt"))
-            .orderBy(F.col("pair_cnt").desc(), "pair")
-            .limit(1)
-            .select(
-                F.lit(step).alias("step"),
-                "pair",
-                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
-                "pair_cnt",
+        counts: dict[str, int] = {}
+        for cnt, pieces in state:
+            ps = pieces.split(" ")
+            for j in range(len(ps) - 1):
+                pair = ps[j] + " " + ps[j + 1]
+                counts[pair] = counts.get(pair, 0) + cnt
+        if not counts:
+            break
+        pair = min(counts, key=lambda p: (-counts[p], p))
+        fused = pair.replace(" ", "")
+        out_rows.append((step, pair, fused, counts[pair]))
+        state = [
+            (
+                cnt,
+                (" " + pieces + " ")
+                .replace(" " + pair + " ", " " + fused + " ")
+                .strip(),
             )
-            # eager=False: the pin still cuts lineage, but materializes
-            # inside the NEXT job that consumes it (the every-other-step
-            # state checkpoint) instead of costing its own Spark job per
-            # merge step — 8 fewer jobs, warm wall 3.0 s → 2.5 s at
-            # sf0.1 (and the cold first run 8.1 s → 2.4 s: the per-step
-            # eager actions were also each paying plan-compile floors).
-            .localCheckpoint(eager=False)
-        )
-        rules = top if rules is None else rules.unionByName(top)
-        state = state.crossJoin(
-            F.broadcast(top.select(F.col("pair").alias("_p")))
-        ).select(
-            "word", "cnt",
-            _apply_merge(F.col("pieces"), F.col("_p")).alias("pieces"),
-        )
-        # Cut lineage every OTHER step: the un-cut chain doubles per
-        # merge (state feeds both the pair counts and the re-piecing),
-        # but two uncut steps only quadruple the node count while
-        # halving the checkpoint job overhead — measured best.
-        if step % 2 == 0 or step == merges:
-            state = state.localCheckpoint()
-    return rules
+            for cnt, pieces in state
+        ]
+    return vocab.sparkSession.createDataFrame(
+        out_rows, "step int, pair string, merged string, pair_cnt bigint"
+    )
 
 
 def bpe_encode(

@@ -255,9 +255,12 @@ def unpack_content_tar(df: DataFrame, id_col: str, archive_col: str) -> DataFram
 # (MergeContent "FlowFile Stream, v3" / UnpackContent "flowfile-stream-v3").
 # Framing implemented from the public format description: each record is
 #   7-byte magic "NiFiFF3"
-#   4-byte BE attribute count
-#   per attribute: length-prefixed UTF-8 key, then value (2-byte BE
-#     length; 0xFFFF escapes to a 4-byte BE length for long fields)
+#   attribute COUNT in the same field-length encoding as strings
+#     (2-byte BE; 0xFFFF escapes to a 4-byte BE value) — NiFi's
+#     FlowFilePackagerV3 writeFieldLength, NOT a raw 4-byte int
+#     (round-10 advice: the raw-int form round-tripped here but real
+#     NiFi UnpackContent could not read it)
+#   per attribute: length-prefixed UTF-8 key, then value (same encoding)
 #   8-byte BE content length, raw content bytes
 # records concatenate back-to-back into one stream.
 # --------------------------------------------------------------------------
@@ -265,22 +268,39 @@ def unpack_content_tar(df: DataFrame, id_col: str, archive_col: str) -> DataFram
 _FF3_MAGIC = b"NiFiFF3"
 
 
-def _ff3_field(data: bytes) -> bytes:
+def _ff3_write_len(n: int) -> bytes:
     import struct as _struct
 
-    if len(data) < 0xFFFF:
-        return _struct.pack(">H", len(data)) + data
-    return b"\xff\xff" + _struct.pack(">I", len(data)) + data
+    if n < 0xFFFF:
+        return _struct.pack(">H", n)
+    return b"\xff\xff" + _struct.pack(">I", n)
 
 
-def _ff3_read_field(buf: bytes, off: int) -> tuple[bytes, int]:
+def _ff3_read_len(buf: bytes, off: int) -> tuple[int, int]:
     import struct as _struct
 
+    if off + 2 > len(buf):
+        raise ValueError(f"truncated FlowFile v3 field length at offset {off}")
     n = _struct.unpack(">H", buf[off : off + 2])[0]
     off += 2
     if n == 0xFFFF:
+        if off + 4 > len(buf):
+            raise ValueError(
+                f"truncated FlowFile v3 long field length at offset {off}"
+            )
         n = _struct.unpack(">I", buf[off : off + 4])[0]
         off += 4
+    return n, off
+
+
+def _ff3_field(data: bytes) -> bytes:
+    return _ff3_write_len(len(data)) + data
+
+
+def _ff3_read_field(buf: bytes, off: int) -> tuple[bytes, int]:
+    n, off = _ff3_read_len(buf, off)
+    if off + n > len(buf):
+        raise ValueError(f"truncated FlowFile v3 field at offset {off}")
     return buf[off : off + n], off + n
 
 
@@ -306,7 +326,7 @@ def pack_flowfile_v3(
                 content = content.encode("utf-8")
             content = bytes(content)
             out.write(_FF3_MAGIC)
-            out.write(_struct.pack(">I", len(attr_cols)))
+            out.write(_ff3_write_len(len(attr_cols)))
             for a in attr_cols:
                 out.write(_ff3_field(a.encode("utf-8")))
                 out.write(_ff3_field(str(row[a]).encode("utf-8")))
@@ -345,15 +365,23 @@ def unpack_flowfile_v3(df: DataFrame, id_col: str, stream_col: str) -> DataFrame
                             f"bad FlowFile v3 magic at offset {off}"
                         )
                     off += 7
-                    n_attrs = _struct.unpack(">I", buf[off : off + 4])[0]
-                    off += 4
+                    n_attrs, off = _ff3_read_len(buf, off)
                     a = {}
                     for _ in range(n_attrs):
                         k, off = _ff3_read_field(buf, off)
                         v, off = _ff3_read_field(buf, off)
                         a[k.decode("utf-8")] = v.decode("utf-8")
+                    if off + 8 > len(buf):
+                        raise ValueError(
+                            f"truncated FlowFile v3 content length at {off}"
+                        )
                     clen = _struct.unpack(">Q", buf[off : off + 8])[0]
                     off += 8
+                    if off + clen > len(buf):
+                        raise ValueError(
+                            f"truncated FlowFile v3 content at offset {off}:"
+                            f" need {clen} bytes, have {len(buf) - off}"
+                        )
                     ids.append(int(rid))
                     attrs.append(a)
                     contents.append(buf[off : off + clen])

@@ -881,12 +881,14 @@ def _apply(
         if u.scheme == "https":
             import ssl
 
+            # No caFile → system CA verification (round-10 advice: never
+            # silently disable verification — a MITM could steer the
+            # data channel by forging the discovery response, and the
+            # data channel cannot run without a truststore anyway, so
+            # the unverified path was an insecure dead end).  A pinned
+            # caFile overrides the system bundle, matching the data
+            # channel's truststore.
             ctx = ssl.create_default_context(cafile=ca or None)
-            if not ca:
-                # Secured deployment without a pinned CA: discovery-only
-                # hop, identity is re-checked on the S2S data channel.
-                ctx.check_hostname = False
-                ctx.verify_mode = ssl.CERT_NONE
             conn = http.client.HTTPSConnection(
                 u.hostname, u.port or 443, timeout=10, context=ctx
             )

@@ -221,6 +221,10 @@ class NiFiApiServer:
         self._owner: dict[str, str] = {}  # component id → group id
         self._state: dict[str, str] = {"root": "STOPPED"}
         self._outputs: dict[str, dict[str, DataFrame]] = {}
+        # per-group schedule generation: bumped under the lock by every
+        # acked RUNNING/STOPPED; a RUNNING compile that finishes after a
+        # newer ack must not overwrite it (round-10 advice)
+        self._sched_gen: dict[str, int] = {}
         self._version_buckets: dict[str, str] = {}  # group id → registry bucket
         self._s2s: dict[str, Any] | None = None  # attached S2S wire endpoint
         self._param_contexts: dict[str, dict] = {}  # id → {name, parameters}
@@ -1220,6 +1224,7 @@ class NiFiApiServer:
         with self._lock:
             contents = self._flow_contents(gid)
             if state == "STOPPED":
+                self._sched_gen[gid] = self._sched_gen.get(gid, 0) + 1
                 self._outputs.pop(gid, None)
                 self._state[gid] = "STOPPED"
                 return 200, {"id": gid, "state": "STOPPED"}
@@ -1228,6 +1233,8 @@ class NiFiApiServer:
             # context here — NiFi's start-time resolution
             contents = self._resolve_parameters(gid, contents)
             port_sources = self._s2s_port_sources(gid)
+            self._sched_gen[gid] = self._sched_gen.get(gid, 0) + 1
+            gen = self._sched_gen[gid]
         counters: dict[str, list] = {}
         provenance: dict = {}
         try:
@@ -1246,6 +1253,14 @@ class NiFiApiServer:
                 self._post_bulletin(gid, "ERROR", str(e))
             raise
         with self._lock:
+            if self._sched_gen.get(gid) != gen:
+                # a newer RUNNING/STOPPED was acked for this gid while we
+                # compiled unlocked — its state wins; ours is stale
+                return 200, {
+                    "id": gid,
+                    "state": self._state.get(gid, "STOPPED"),
+                    "superseded": True,
+                }
             self._counters[gid] = counters
             self._provenance[gid] = provenance
             self._outputs[gid] = outs

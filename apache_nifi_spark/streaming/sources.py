@@ -12,12 +12,20 @@ format string) a Kafka topic; nothing here is test-only except
 
 from __future__ import annotations
 
+import contextlib
 import os
 import tempfile
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: serializes every drain that scopes spark.sql.shuffle.partitions — the
+#: session conf is process-global, so the save/set/restore must not
+#: interleave across threads (round-10 advice)
+_SHUFFLE_OVERRIDE_LOCK = threading.Lock()
+_NO_LOCK = contextlib.nullcontext()
 
 
 #: file path → (landing dir, schema); see stream_events staging note.
@@ -95,22 +103,32 @@ def run_to_memory(
     cp = tempfile.mkdtemp(prefix="anspark_cp_")
     sess = sdf.sparkSession
     key = "spark.sql.shuffle.partitions"
-    old = sess.conf.get(key)
-    if shuffle_partitions is not None:
-        sess.conf.set(key, str(shuffle_partitions))
-    try:
-        q = (
-            sdf.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", cp)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
+    # The save/set/restore of the session conf is a read-modify-write on
+    # PROCESS-GLOBAL state: two concurrent drains (e.g. REST schedules)
+    # interleaving it could permanently leak the temporary value as the
+    # session default (round-10 advice).  The conf is read at stream
+    # START, so the critical section must span the whole synchronous
+    # drain; concurrent drains serialize here, which at availableNow
+    # fixture scale is the same wall as the state-store contention they
+    # would otherwise create.
+    guard = _SHUFFLE_OVERRIDE_LOCK if shuffle_partitions is not None else _NO_LOCK
+    with guard:
+        old = sess.conf.get(key)
         if shuffle_partitions is not None:
-            sess.conf.set(key, old)
+            sess.conf.set(key, str(shuffle_partitions))
+        try:
+            q = (
+                sdf.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", cp)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            if shuffle_partitions is not None:
+                sess.conf.set(key, old)
     out = sdf.sparkSession.table(name)
     # Oracle parity: DuckDB TIMESTAMP is tz-naive; with a UTC session tz the
     # instants match, only the Spark-side type differs — normalize it.

@@ -754,3 +754,61 @@ def test_remote_process_group_https_discovery(spark, sf_dir):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_remote_process_group_https_unpinned_verifies_system_ca(spark, sf_dir):
+    """An https targetUri WITHOUT a pinned caFile must verify against the
+    system CA bundle (round-10 advice: verification was silently disabled,
+    trusting any MITM-supplied controller response).  A self-signed
+    discovery endpoint must therefore fail the TLS handshake — surfaced
+    as the discovery FlowImportError — never return a parsed controller."""
+    import http.server
+    import tempfile
+    import threading
+
+    import pytest
+
+    from apache_nifi_spark.plans.flow_import import FlowImportError, run_flow
+    from apache_nifi_spark.streaming.tls import (
+        generate_self_signed,
+        server_context,
+    )
+
+    cert, key = generate_self_signed(tempfile.mkdtemp(prefix="anspark_rpg_ca_"))
+
+    class Disco(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = json.dumps(
+                {"controller": {"remoteSiteListeningPort": 9999}}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Disco)
+    httpd.socket = server_context(cert, key).wrap_socket(
+        httpd.socket, server_side=True
+    )
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    port = httpd.server_address[1]
+    flow = {"flowContents": {
+        "name": "rpg-unpinned",
+        "processors": [{"identifier": "src", "type": "x.GetFile",
+                        "properties": {"Input Directory": "region"}}],
+        "remoteProcessGroups": [
+            {"identifier": "rpg", "targetUri": f"https://127.0.0.1:{port}",
+             "inputPorts": [{"identifier": "rp", "name": "in"}]}],
+        "connections": [{"source": {"id": "src"},
+                         "destination": {"id": "rp"},
+                         "selectedRelationships": ["success"]}],
+    }}
+    try:
+        with pytest.raises(FlowImportError, match="discovery"):
+            run_flow(spark, sf_dir, flow)
+    finally:
+        httpd.shutdown()
+        httpd.server_close()

@@ -1704,3 +1704,38 @@ def test_countmin_never_underestimates_and_finds_heavy_hitter(spark):
         assert r["overestimate"] == (r["est_count"] > r["true_count"])
     out7 = countmin_heavy_hitters(docs.repartition(7), top_k=5).collect()
     assert [tuple(r) for r in out7] == [tuple(r) for r in out]
+
+
+def test_trained_weights_drive_inference_head(spark):
+    """The composed loop (round-10 verdict item 2): weights trained by
+    logreg_train_weights feed hashed_linear_score_trained — same
+    unigram+bigram md5-bucket feature space — and the trained-weight
+    inference beats the majority class on the separable fixture."""
+    from pyspark.sql import functions as F
+
+    from apache_nifi_spark.llm import (
+        hashed_linear_score_trained,
+        logreg_train_weights,
+    )
+
+    rows = []
+    for i in range(60):
+        if i % 3 == 0:
+            rows.append((i, ("good " * 8 + "noise filler word").strip(), 1))
+        else:
+            rows.append((i, ("bad " * 8 + "noise filler word").strip(), 0))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "y_true"])
+
+    # train on half, score everything through the inference head
+    w = logreg_train_weights(
+        docs.filter(F.col("doc_id") < 30), label=F.col("y_true") == 1,
+        iters=4, lr=64.0,
+    )
+    assert len(w) == 64 and any(v != 0 for v in w)
+    scored = hashed_linear_score_trained(docs, w)
+    got = {r["doc_id"]: r["keep"] for r in scored.collect()}
+    truth = {i: (i % 3 == 0) for i in range(60)}
+    acc = sum(1 for i in truth if got[i] == truth[i]) / 60
+    majority = max(sum(truth.values()), 60 - sum(truth.values())) / 60
+    assert acc > majority, (acc, majority)
+    assert acc == 1.0, f"separable fixture must score perfectly, got {acc}"

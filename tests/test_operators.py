@@ -724,3 +724,42 @@ def test_flowfile_v3_roundtrip_long_fields_and_bad_magic(spark):
                                 ["group_id", "stream"])
     with pytest.raises(Exception, match="bad FlowFile v3 magic"):
         unpack_flowfile_v3(bad, "group_id", "stream").collect()
+
+
+def test_flowfile_v3_nifi_wire_framing_and_truncation(spark):
+    """The v3 stream must match NiFi's FlowFilePackagerV3 byte layout:
+    the attribute COUNT uses the 2-byte/0xFFFF-escaped field-length
+    encoding (round-10 advice — a raw 4-byte count self-round-trips but
+    real NiFi UnpackContent cannot read it), and a content length that
+    points past the end of the buffer raises instead of silently
+    yielding a truncated record."""
+    import struct
+
+    import pytest
+
+    from apache_nifi_spark.operators import pack_flowfile_v3, unpack_flowfile_v3
+
+    df = spark.createDataFrame([(5, "k1", "v1", "hello")],
+                               ["bin_id", "k", "v", "text"])
+    stream = bytes(
+        pack_flowfile_v3(df, "bin_id", ["k", "v"], "text").collect()[0]["stream"]
+    )
+    # hand-decode with NiFi's layout: magic, 2-byte count, then fields
+    assert stream[:7] == b"NiFiFF3"
+    assert struct.unpack(">H", stream[7:9])[0] == 2  # count, NOT 4-byte int
+    off = 9
+    seen = {}
+    for _ in range(2):
+        n = struct.unpack(">H", stream[off:off + 2])[0]; off += 2
+        key = stream[off:off + n].decode(); off += n
+        n = struct.unpack(">H", stream[off:off + 2])[0]; off += 2
+        seen[key] = stream[off:off + n].decode(); off += n
+    assert seen == {"k": "k1", "v": "v1"}
+    clen = struct.unpack(">Q", stream[off:off + 8])[0]; off += 8
+    assert stream[off:off + clen] == b"hello" and off + clen == len(stream)
+
+    # corrupt content length -> loud failure, not a truncated record
+    bad = stream[:off - 8] + struct.pack(">Q", 10_000) + stream[off:]
+    bad_df = spark.createDataFrame([(9, bytearray(bad))], ["group_id", "stream"])
+    with pytest.raises(Exception, match="truncated FlowFile v3 content"):
+        unpack_flowfile_v3(bad_df, "group_id", "stream").collect()
