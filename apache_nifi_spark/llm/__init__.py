@@ -96,4 +96,7 @@ from apache_nifi_spark.llm.multimodal import (  # noqa: F401
     encode_mp4,
     parse_mp4_metadata,
     decode_video_mp4_meta,
+    encode_webm,
+    parse_matroska_metadata,
+    decode_video_mkv_meta,
 )

@@ -781,29 +781,38 @@ def decode_image_pixel_stats(
 
 
 def encode_wav(
-    channel_samples: list[list[int]], sample_rate: int, bits: int = 16
+    channel_samples: list[list[int]],
+    sample_rate: int,
+    bits: int = 16,
+    fmt_tag: int = 1,
 ) -> bytes:
-    """Build a spec-valid PCM WAV from per-channel integer sample lists
-    (16-bit signed little-endian or 8-bit unsigned — the two canonical
-    PCM encodings).  Fixture-synthesis helper, the audio twin of
-    :func:`encode_png`."""
+    """Build a spec-valid WAV from per-channel integer sample lists:
+    PCM (``fmt_tag=1``, 16-bit signed little-endian or 8-bit unsigned)
+    or ITU-T G.711 companded audio (``fmt_tag=6`` A-law / ``7`` µ-law,
+    where the samples are the 8-bit CODE values 0..255).  Fixture-
+    synthesis helper, the audio twin of :func:`encode_png`."""
     import struct as _struct
 
     nch = len(channel_samples)
     n = len(channel_samples[0]) if channel_samples else 0
     assert all(len(ch) == n for ch in channel_samples)
-    if bits == 16:
+    if fmt_tag in (6, 7):
+        if bits != 8:
+            raise ValueError("G.711 WAV requires 8-bit code samples")
+        frames = bytes(ch[i] & 0xFF for i in range(n) for ch in channel_samples)
+    elif fmt_tag == 1 and bits == 16:
         frames = b"".join(
             _struct.pack("<%dh" % nch, *(ch[i] for ch in channel_samples))
             for i in range(n)
         )
-    elif bits == 8:
+    elif fmt_tag == 1 and bits == 8:
         frames = bytes(ch[i] & 0xFF for i in range(n) for ch in channel_samples)
     else:
-        raise ValueError(f"unsupported bits per sample: {bits}")
+        raise ValueError(f"unsupported format {fmt_tag}/{bits}")
     block_align = nch * (bits // 8)
     fmt = _struct.pack(
-        "<HHIIHH", 1, nch, sample_rate, sample_rate * block_align, block_align, bits
+        "<HHIIHH", fmt_tag, nch, sample_rate, sample_rate * block_align,
+        block_align, bits,
     )
     return (
         b"RIFF"
@@ -817,15 +826,43 @@ def encode_wav(
     )
 
 
-def wav_pcm_samples(payload: bytes):
-    """REAL sample-level PCM decode: (channels, sample_rate_hz,
-    bits_per_sample, per_channel_samples) from a RIFF/WAVE payload, or
-    None when the payload is not decodable in-scope PCM (non-RIFF,
-    compressed codec, or an unsupported bit depth).
+def g711_ulaw_to_linear(code: int) -> int:
+    """ITU-T G.711 µ-law expand: 8-bit code → 14-bit linear sample
+    (±8031 scaled ×4 per the CCITT reference decode: bias 0x84,
+    3-bit segment, 4-bit mantissa, all bits transmitted inverted)."""
+    u = ~code & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
 
-    16-bit samples are signed little-endian, 8-bit unsigned 0..255 —
-    both per the public WAV spec.  De-interleaving is exact: frame i,
-    channel c is sample ``i*nch + c``."""
+
+def g711_alaw_to_linear(code: int) -> int:
+    """ITU-T G.711 A-law expand: 8-bit code → 13-bit linear sample
+    (even bits inverted by the 0x55 mask; segment 0/1 are linear,
+    higher segments shift; sign bit SET means positive)."""
+    a = code ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
+def wav_pcm_samples(payload: bytes):
+    """REAL sample-level decode: (channels, sample_rate_hz,
+    bits_per_sample, per_channel_samples) from a RIFF/WAVE payload, or
+    None when the payload is not decodable in scope (non-RIFF, an
+    unsupported codec, or an unsupported bit depth).
+
+    In scope: linear PCM (fmt 1; 16-bit signed little-endian or 8-bit
+    unsigned 0..255) and ITU-T G.711 companded audio (fmt 6 A-law /
+    fmt 7 µ-law, 8-bit codes expanded to linear samples — closing the
+    round-10 "PCM only" seam with the public G.711 tables).
+    De-interleaving is exact: frame i, channel c is sample
+    ``i*nch + c``."""
     import struct as _struct
 
     if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -845,17 +882,23 @@ def wav_pcm_samples(payload: bytes):
             data = payload[pos + 8 : pos + 8 + size]
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if (
-        fmt_tag != 1  # PCM only; compressed codecs are out of scope
+        # linear PCM or G.711 µ/A-law; other codecs stay out of scope
+        fmt_tag not in (1, 6, 7)
         or not channels
         or not rate
         or bits not in (8, 16)
+        or (fmt_tag in (6, 7) and bits != 8)
         or data is None
         or block_align != channels * (bits // 8)
     ):
         return None
     n_frames = len(data) // block_align
     data = data[: n_frames * block_align]
-    if bits == 16:
+    if fmt_tag == 7:
+        flat = [g711_ulaw_to_linear(b) for b in data]
+    elif fmt_tag == 6:
+        flat = [g711_alaw_to_linear(b) for b in data]
+    elif bits == 16:
         flat = _struct.unpack("<%dh" % (n_frames * channels), data)
     else:
         flat = data  # bytes: unsigned 8-bit
@@ -1089,6 +1132,273 @@ def decode_video_mp4_meta(
             yield pd.DataFrame(out)
 
     return df.select(id_col, content_col).mapInPandas(decode, VIDEO_MP4_META_SCHEMA)
+
+
+# ------------------------------------------- Matroska / WebM meta tier ---
+#
+# EBML walk (RFC 8794 + the public Matroska element registry) — the
+# container-level metadata tier for WebM/MKV, closing the round-10
+# "non-MP4/GIF video containers" seam the same way the ISO-BMFF box walk
+# above closed MP4.  Pure stdlib struct; frame PIXEL decode (VP9/AV1
+# codec work) remains the documented external-tooling seam.
+
+_EBML_HEADER_ID = 0x1A45DFA3
+_MKV_SEGMENT_ID = 0x18538067
+_MKV_INFO_ID = 0x1549A966
+_MKV_TRACKS_ID = 0x1654AE6B
+_MKV_TRACK_ENTRY_ID = 0xAE
+_MKV_VIDEO_ID = 0xE0
+_MKV_AUDIO_ID = 0xE1
+
+
+def _ebml_write_vint(n: int) -> bytes:
+    """EBML data-size VINT: smallest width whose marker bit still fits."""
+    for length in range(1, 9):
+        if n < (1 << (7 * length)) - 1:
+            return (n | (1 << (7 * length))).to_bytes(length, "big")
+    raise ValueError(f"EBML size too large: {n}")
+
+
+def _ebml_read_vint(buf: bytes, off: int) -> tuple[int, int]:
+    """Decode a data-size VINT at ``off`` → (value, new offset)."""
+    if off >= len(buf):
+        raise ValueError(f"truncated EBML VINT at offset {off}")
+    first = buf[off]
+    for length in range(1, 9):
+        if first & (0x100 >> length):
+            if off + length > len(buf):
+                raise ValueError(f"truncated EBML VINT at offset {off}")
+            val = first & ((0x80 >> (length - 1)) - 1)
+            for b in buf[off + 1 : off + length]:
+                val = (val << 8) | b
+            return val, off + length
+    raise ValueError(f"invalid EBML VINT marker at offset {off}")
+
+
+def _ebml_read_id(buf: bytes, off: int) -> tuple[int, int]:
+    """Decode an element ID at ``off`` → (id WITH marker bits, new
+    offset) — Matroska IDs are conventionally quoted marker-inclusive."""
+    if off >= len(buf):
+        raise ValueError(f"truncated EBML ID at offset {off}")
+    first = buf[off]
+    for length in range(1, 5):
+        if first & (0x100 >> length):
+            if off + length > len(buf):
+                raise ValueError(f"truncated EBML ID at offset {off}")
+            return int.from_bytes(buf[off : off + length], "big"), off + length
+    raise ValueError(f"invalid EBML ID marker at offset {off}")
+
+
+def _ebml_elem(elem_id: int, body: bytes) -> bytes:
+    nbytes = max(1, (elem_id.bit_length() + 7) // 8)
+    return elem_id.to_bytes(nbytes, "big") + _ebml_write_vint(len(body)) + body
+
+
+def _ebml_uint(elem_id: int, v: int) -> bytes:
+    nbytes = max(1, (v.bit_length() + 7) // 8)
+    return _ebml_elem(elem_id, v.to_bytes(nbytes, "big"))
+
+
+def _ebml_float(elem_id: int, v: float) -> bytes:
+    import struct as _struct
+
+    return _ebml_elem(elem_id, _struct.pack(">d", v))
+
+
+def encode_webm(
+    doctype: str,
+    timescale_ns: int,
+    duration_units: int,
+    tracks: list[dict],
+) -> bytes:
+    """Build a minimal spec-valid Matroska/WebM metadata skeleton:
+    EBML header (DocType) + Segment(Info(TimestampScale, Duration) +
+    Tracks(TrackEntry(TrackNumber, TrackType, CodecID, Video/Audio)*)).
+    ``tracks`` dicts carry ``type`` ('video'|'audio'|'subtitle'),
+    ``codec``, and video ``w``/``h`` or audio ``rate``/``ch``.
+    Fixture-synthesis helper, the Matroska twin of :func:`encode_mp4`."""
+    header = _ebml_elem(
+        _EBML_HEADER_ID,
+        _ebml_uint(0x4286, 1)  # EBMLVersion
+        + _ebml_uint(0x42F7, 1)  # EBMLReadVersion
+        + _ebml_uint(0x42F2, 4)  # EBMLMaxIDLength
+        + _ebml_uint(0x42F3, 8)  # EBMLMaxSizeLength
+        + _ebml_elem(0x4282, doctype.encode("ascii"))  # DocType
+        + _ebml_uint(0x4287, 4)  # DocTypeVersion
+        + _ebml_uint(0x4285, 2),  # DocTypeReadVersion
+    )
+    info = _ebml_elem(
+        _MKV_INFO_ID,
+        _ebml_uint(0x2AD7B1, timescale_ns)  # TimestampScale
+        + _ebml_float(0x4489, float(duration_units)),  # Duration
+    )
+    ttype = {"video": 1, "audio": 2, "subtitle": 17}
+    entries = b""
+    for i, t in enumerate(tracks):
+        body = (
+            _ebml_uint(0xD7, i + 1)  # TrackNumber
+            + _ebml_uint(0x73C5, 1000 + i)  # TrackUID
+            + _ebml_uint(0x83, ttype[t["type"]])  # TrackType
+            + _ebml_elem(0x86, t["codec"].encode("ascii"))  # CodecID
+        )
+        if t["type"] == "video":
+            body += _ebml_elem(
+                _MKV_VIDEO_ID,
+                _ebml_uint(0xB0, t["w"]) + _ebml_uint(0xBA, t["h"]),
+            )
+        elif t["type"] == "audio":
+            body += _ebml_elem(
+                _MKV_AUDIO_ID,
+                _ebml_float(0xB5, float(t["rate"])) + _ebml_uint(0x9F, t["ch"]),
+            )
+        entries += _ebml_elem(_MKV_TRACK_ENTRY_ID, body)
+    segment = _ebml_elem(
+        _MKV_SEGMENT_ID, info + _ebml_elem(_MKV_TRACKS_ID, entries)
+    )
+    return header + segment
+
+
+def parse_matroska_metadata(payload: bytes):
+    """REAL EBML walk: (doctype, timescale_ns, duration_ms, tracks) from
+    a Matroska/WebM payload, or None when the payload is not EBML.
+    ``tracks`` is a list of (type, codec, width, height, rate_hz,
+    channels) with type ∈ {'video','audio','subtitle','other'} and
+    zeros for the fields the track kind lacks.  ``duration_ms`` is the
+    Duration float rescaled by TimestampScale (ns per unit) to integer
+    milliseconds."""
+    import struct as _struct
+
+    def children(buf: bytes, lo: int, hi: int):
+        off = lo
+        while off < hi:
+            eid, off = _ebml_read_id(buf, off)
+            size, off = _ebml_read_vint(buf, off)
+            if off + size > hi:
+                raise ValueError(f"EBML element overruns parent at {off}")
+            yield eid, off, off + size
+            off += size
+
+    def as_uint(buf: bytes, lo: int, hi: int) -> int:
+        return int.from_bytes(buf[lo:hi], "big")
+
+    def as_float(buf: bytes, lo: int, hi: int) -> float:
+        if hi - lo == 4:
+            return _struct.unpack(">f", buf[lo:hi])[0]
+        if hi - lo == 8:
+            return _struct.unpack(">d", buf[lo:hi])[0]
+        raise ValueError(f"bad EBML float width {hi - lo}")
+
+    if len(payload) < 4 or payload[:4] != b"\x1a\x45\xdf\xa3":
+        return None
+    doctype = ""
+    timescale = 1_000_000  # Matroska default: 1 ms units
+    duration = 0.0
+    tracks: list[tuple] = []
+    type_names = {1: "video", 2: "audio", 17: "subtitle"}
+    for eid, lo, hi in children(payload, 0, len(payload)):
+        if eid == _EBML_HEADER_ID:
+            for cid, clo, chi in children(payload, lo, hi):
+                if cid == 0x4282:
+                    doctype = payload[clo:chi].decode("ascii", "replace")
+        elif eid == _MKV_SEGMENT_ID:
+            for cid, clo, chi in children(payload, lo, hi):
+                if cid == _MKV_INFO_ID:
+                    for iid, ilo, ihi in children(payload, clo, chi):
+                        if iid == 0x2AD7B1:
+                            timescale = as_uint(payload, ilo, ihi)
+                        elif iid == 0x4489:
+                            duration = as_float(payload, ilo, ihi)
+                elif cid == _MKV_TRACKS_ID:
+                    for tid, tlo, thi in children(payload, clo, chi):
+                        if tid != _MKV_TRACK_ENTRY_ID:
+                            continue
+                        ttype, codec = 0, ""
+                        w = h = ch = 0
+                        rate = 0.0
+                        for fid, flo, fhi in children(payload, tlo, thi):
+                            if fid == 0x83:
+                                ttype = as_uint(payload, flo, fhi)
+                            elif fid == 0x86:
+                                codec = payload[flo:fhi].decode(
+                                    "ascii", "replace"
+                                )
+                            elif fid == _MKV_VIDEO_ID:
+                                for vid, vlo, vhi in children(
+                                    payload, flo, fhi
+                                ):
+                                    if vid == 0xB0:
+                                        w = as_uint(payload, vlo, vhi)
+                                    elif vid == 0xBA:
+                                        h = as_uint(payload, vlo, vhi)
+                            elif fid == _MKV_AUDIO_ID:
+                                for aid, alo, ahi in children(
+                                    payload, flo, fhi
+                                ):
+                                    if aid == 0xB5:
+                                        rate = as_float(payload, alo, ahi)
+                                    elif aid == 0x9F:
+                                        ch = as_uint(payload, alo, ahi)
+                        tracks.append(
+                            (type_names.get(ttype, "other"), codec,
+                             w, h, rate, ch)
+                        )
+    duration_ms = int(duration * timescale) // 1_000_000
+    return doctype, timescale, duration_ms, tracks
+
+
+VIDEO_MKV_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("doctype", StringType()),
+        StructField("timescale_ns", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("n_tracks", IntegerType()),
+        StructField("n_video", IntegerType()),
+        StructField("n_audio", IntegerType()),
+        StructField("max_width", IntegerType()),
+        StructField("total_channels", IntegerType()),
+    ]
+)
+
+
+def decode_video_mkv_meta(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """Matroska/WebM container metadata over a binary column,
+    Arrow-batched (mapInPandas).  Non-EBML rows are dropped (the
+    undecodable→failure route)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in VIDEO_MKV_META_SCHEMA.fields}
+            for doc_id, payload in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    meta = parse_matroska_metadata(
+                        bytes(payload) if payload is not None else b""
+                    )
+                except ValueError:
+                    meta = None  # corrupt EBML framing → failure route
+                if meta is None:
+                    continue
+                doctype, timescale, duration_ms, tracks = meta
+                out["doc_id"].append(doc_id)
+                out["doctype"].append(doctype)
+                out["timescale_ns"].append(timescale)
+                out["duration_ms"].append(duration_ms)
+                out["n_tracks"].append(len(tracks))
+                out["n_video"].append(
+                    sum(1 for t in tracks if t[0] == "video")
+                )
+                out["n_audio"].append(
+                    sum(1 for t in tracks if t[0] == "audio")
+                )
+                out["max_width"].append(max((t[2] for t in tracks), default=0))
+                out["total_channels"].append(sum(t[5] for t in tracks))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(
+        decode, VIDEO_MKV_META_SCHEMA
+    )
 
 
 # ----------------------------------------------------- JPEG gray tier ---

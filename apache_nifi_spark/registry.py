@@ -3655,6 +3655,92 @@ def multimodal_audio_samples_q(spark, sf_dir):
 
 
 @register(
+    "multimodal_audio_g711",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 2 AS INT) AS channels,
+             CAST(CASE doc_id % 2 WHEN 0 THEN 8000 ELSE 16000 END AS INT)
+               AS sample_rate_hz,
+             16 + doc_id % 40 AS n,
+             doc_id % 2 AS law
+      FROM documents WHERE doc_id >= 300 AND doc_id < 600
+    ), s AS (
+      SELECT doc_id, channels, sample_rate_hz, n, ch, law,
+             (doc_id * 31 + 17 * i + 5 * ch) % 256 AS c
+      FROM p,
+           LATERAL unnest(generate_series(0, n - 1)) t(i),
+           LATERAL unnest(generate_series(0, channels - 1)) u(ch)
+    ), d AS (
+      SELECT doc_id, channels, sample_rate_hz, n, ch,
+        CASE WHEN law = 0 THEN
+          CASE WHEN (255 - c) >= 128
+               THEN 132 - (((255 - c) % 16) * 8 + 132)
+                          * (1 << (((255 - c) // 16) % 8))
+               ELSE (((255 - c) % 16) * 8 + 132)
+                    * (1 << (((255 - c) // 16) % 8)) - 132 END
+        ELSE
+          (CASE WHEN (xor(c, 85) // 16) % 8 = 0
+                THEN (xor(c, 85) % 16) * 16 + 8
+                WHEN (xor(c, 85) // 16) % 8 = 1
+                THEN (xor(c, 85) % 16) * 16 + 264
+                ELSE ((xor(c, 85) % 16) * 16 + 264)
+                     * (1 << ((xor(c, 85) // 16) % 8 - 1)) END)
+          * (CASE WHEN xor(c, 85) >= 128 THEN 1 ELSE -1 END)
+        END AS v
+      FROM s
+    )
+    SELECT doc_id, channels, sample_rate_hz,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(sum(CASE WHEN ch = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_ch0,
+           CAST(sum(v * v) AS BIGINT) AS sumsq_amp,
+           CAST(max(abs(v)) AS INT) AS peak_amp
+    FROM d GROUP BY doc_id, channels, sample_rate_hz, n
+    """,
+)
+def multimodal_audio_g711_q(spark, sf_dir):
+    """ITU-T G.711 companded-audio decode (closing the round-10 "PCM
+    only" audio seam): spec-valid WAVs whose fmt tag is 7 (µ-law, even
+    doc ids) or 6 (A-law, odd), carrying a deterministic 8-bit code
+    ramp, are synthesized executor-side, expanded code→linear through
+    the real G.711 tables inside the WAV walker
+    (llm/multimodal.g711_ulaw_to_linear / g711_alaw_to_linear), and
+    reduced to exact integer stats.  The oracle regenerates the codes
+    with generate_series and applies the SAME expand arithmetic —
+    segment/mantissa/bias algebra straight from the public spec — so
+    equality proves the compand round trip sample-exactly.  Map-only,
+    Arrow-batched."""
+    import pandas as pd  # noqa: F811
+
+    from apache_nifi_spark.llm import decode_audio_pcm_stats, encode_wav
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 600))
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            contents = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nch = 1 + d % 2
+                rate = 8000 if d % 2 == 0 else 16000
+                n = 16 + d % 40
+                fmt_tag = 7 if d % 2 == 0 else 6
+                chans = [
+                    [(d * 31 + 17 * i + 5 * c) % 256 for i in range(n)]
+                    for c in range(nch)
+                ]
+                contents.append(encode_wav(chans, rate, bits=8, fmt_tag=fmt_tag))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": contents})
+
+    wav = base.mapInPandas(synth, "doc_id long, content binary")
+    return decode_audio_pcm_stats(wav)
+
+
+@register(
     "multimodal_video_mp4_meta",
     oracle="""
     SELECT doc_id,
@@ -3706,6 +3792,76 @@ def multimodal_video_mp4_q(spark, sf_dir):
 
     mp4 = base.mapInPandas(synth, "doc_id long, content binary")
     return decode_video_mp4_meta(mp4)
+
+
+@register(
+    "multimodal_video_webm_meta",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 2 WHEN 0 THEN 'webm' ELSE 'matroska' END AS doctype,
+           CAST(CASE doc_id % 2 WHEN 0 THEN 1000000 ELSE 500000 END AS BIGINT)
+             AS timescale_ns,
+           CAST((2000 + doc_id % 7000)
+                * CASE doc_id % 2 WHEN 0 THEN 1000000 ELSE 500000 END
+                // 1000000 AS BIGINT) AS duration_ms,
+           CAST(1 + doc_id % 3 AS INT) AS n_tracks,
+           CAST(1 AS INT) AS n_video,
+           CAST(CASE WHEN doc_id % 3 >= 1 THEN 1 ELSE 0 END AS INT) AS n_audio,
+           CAST(320 + doc_id % 1280 AS INT) AS max_width,
+           CAST(CASE WHEN doc_id % 3 >= 1 THEN 1 + doc_id % 2 ELSE 0 END
+                AS INT) AS total_channels
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def multimodal_video_webm_q(spark, sf_dir):
+    """REAL Matroska/WebM EBML walk, value-oracled (closing the round-10
+    non-MP4/GIF container seam): spec-valid metadata skeletons — EBML
+    header(DocType) + Segment(Info(TimestampScale, Duration) +
+    Tracks(TrackEntry(TrackType, CodecID, Video/Audio))) — are built
+    executor-side (llm/multimodal.encode_webm, RFC 8794 VINT framing),
+    then parse_matroska_metadata walks the element tree back out:
+    doctype, timestamp scale, Duration rescaled to ms, track mix, video
+    PixelWidth, audio channel total.  Track mix cycles video-only /
+    +audio / +audio+subtitle; doctype alternates webm/matroska with
+    different timescales so the rescale is exercised on both.  Oracle
+    recomputes every field arithmetically.  Frame pixel decode (VP9/AV1
+    codec work) remains the documented external seam."""
+    import pandas as pd  # noqa: F811
+
+    from apache_nifi_spark.llm import decode_video_mkv_meta, encode_webm
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            contents = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                doctype = "webm" if d % 2 == 0 else "matroska"
+                scale = 1_000_000 if d % 2 == 0 else 500_000
+                dur = 2000 + d % 7000
+                tracks = [{
+                    "type": "video",
+                    "codec": "V_VP9" if d % 2 == 0 else "V_MPEG4/ISO/AVC",
+                    "w": 320 + d % 1280, "h": 240 + d % 720,
+                }]
+                if d % 3 >= 1:
+                    tracks.append({
+                        "type": "audio",
+                        "codec": "A_OPUS" if d % 2 == 0 else "A_AAC",
+                        "rate": 48000.0, "ch": 1 + d % 2,
+                    })
+                if d % 3 == 2:
+                    tracks.append({"type": "subtitle", "codec": "S_TEXT/UTF8"})
+                contents.append(encode_webm(doctype, scale, dur, tracks))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": contents})
+
+    mkv = base.mapInPandas(synth, "doc_id long, content binary")
+    return decode_video_mkv_meta(mkv)
 
 
 @register(

@@ -1739,3 +1739,67 @@ def test_trained_weights_drive_inference_head(spark):
     majority = max(sum(truth.values()), 60 - sum(truth.values())) / 60
     assert acc > majority, (acc, majority)
     assert acc == 1.0, f"separable fixture must score perfectly, got {acc}"
+
+
+def test_g711_expand_reference_vectors_and_wav_roundtrip():
+    """G.711 expand must match the public CCITT reference values:
+    µ-law 0x00 is the most negative sample (-32124), 0xFF/0x7F are the
+    two zero codes; A-law 0x55 decodes to -8, 0xD5 to +8, 0x2A to the
+    most negative (-32256).  A fmt-7/fmt-6 WAV then round-trips the
+    codes through the container walker as expanded linear samples."""
+    from apache_nifi_spark.llm import encode_wav, wav_pcm_samples
+    from apache_nifi_spark.llm.multimodal import (
+        g711_alaw_to_linear,
+        g711_ulaw_to_linear,
+    )
+
+    assert g711_ulaw_to_linear(0x00) == -32124
+    assert g711_ulaw_to_linear(0x80) == 32124
+    assert g711_ulaw_to_linear(0xFF) == 0
+    assert g711_ulaw_to_linear(0x7F) == 0
+    assert g711_alaw_to_linear(0x55) == -8
+    assert g711_alaw_to_linear(0xD5) == 8
+    assert g711_alaw_to_linear(0x2A) == -32256
+    assert g711_alaw_to_linear(0xAA) == 32256
+
+    codes = [[0x00, 0xFF, 0x42, 0x80], [0x13, 0x7F, 0xC0, 0x01]]
+    ch, rate, bits, got = wav_pcm_samples(encode_wav(codes, 8000, bits=8,
+                                                     fmt_tag=7))
+    assert (ch, rate, bits) == (2, 8000, 8)
+    assert got == [[g711_ulaw_to_linear(c) for c in chan] for chan in codes]
+    ch, _, _, got = wav_pcm_samples(encode_wav(codes, 8000, bits=8, fmt_tag=6))
+    assert got == [[g711_alaw_to_linear(c) for c in chan] for chan in codes]
+    # G.711 with 16-bit depth is malformed -> undecodable, not garbage
+    bad = encode_wav([[0, 1]], 8000, bits=16).replace(
+        b"\x01\x00\x01\x00", b"\x07\x00\x01\x00", 1
+    )
+    assert wav_pcm_samples(bad) is None
+
+
+def test_matroska_ebml_walk_vints_and_corrupt_framing():
+    """EBML round trip: multi-byte VINT sizes (a >127-byte element body
+    forces the 2-byte size form), both float widths, default
+    TimestampScale when Info omits it, and corrupt framing (an element
+    overrunning its parent) raises rather than landing partial rows."""
+    import pytest
+
+    from apache_nifi_spark.llm import encode_webm, parse_matroska_metadata
+
+    long_codec = "V_" + "X" * 150  # >127-byte TrackEntry → 2-byte VINT
+    payload = encode_webm(
+        "matroska", 500_000, 3000,
+        [{"type": "video", "codec": long_codec, "w": 1920, "h": 1080},
+         {"type": "audio", "codec": "A_OPUS", "rate": 48000.0, "ch": 2},
+         {"type": "subtitle", "codec": "S_TEXT/UTF8"}],
+    )
+    doctype, scale, dur_ms, tracks = parse_matroska_metadata(payload)
+    assert (doctype, scale, dur_ms) == ("matroska", 500_000, 1500)
+    assert [t[0] for t in tracks] == ["video", "audio", "subtitle"]
+    assert tracks[0][1] == long_codec and tracks[0][2:4] == (1920, 1080)
+    assert tracks[1][4] == 48000.0 and tracks[1][5] == 2
+
+    assert parse_matroska_metadata(b"RIFF not ebml") is None
+    # corrupt: truncating the stream makes the Segment's declared size
+    # overrun the buffer — must raise, never land partial rows
+    with pytest.raises(ValueError, match="overruns|truncated"):
+        parse_matroska_metadata(payload[:-5])
