@@ -2,9 +2,21 @@
 
 ``kafka_bus.FileKafkaBus`` carries Kafka's *schema* (source columns,
 sticky partitioner, contiguous offsets); this module carries the
-*protocol* — the public Apache Kafka wire format, api versions 0, in
-the same dependency-free style as the Mongo OP_MSG / MQTT / AMQP / S2S
-tiers:
+*protocol* — the public Apache Kafka wire format, in the same
+dependency-free style as the Mongo OP_MSG / MQTT / AMQP / S2S tiers.
+Two generations are spoken, negotiated per connection via ApiVersions
+(key 18) exactly as modern clients do:
+
+- the LEGACY v0 path below (MessageSet, crc32, magic 0), kept for
+  old-broker interop, and
+- the MODERN path — Produce v3 / Fetch v4 carrying **v2 RecordBatches**
+  (magic 2, KIP-98): varint/zigzag record fields, CRC32C (Castagnoli,
+  implemented from the polynomial) over the batch body, per-batch gzip
+  compression attribute, producer-id/epoch fields.  The broker VERIFIES
+  the CRC32C and decompresses; fetches re-encode batches with the codec
+  the producer used.
+
+Legacy v0 details:
 
 - **framing**: ``int32 size`` + request header ``(api_key int16,
   api_version int16, correlation_id int32, client_id string)``;
@@ -40,6 +52,7 @@ import zlib
 __all__ = ["MiniKafkaBroker", "publish_kafka_wire", "consume_kafka_wire"]
 
 _API_PRODUCE, _API_FETCH, _API_METADATA = 0, 1, 3
+_API_API_VERSIONS = 18
 _ERR_NONE, _ERR_OFFSET_OUT_OF_RANGE, _ERR_CORRUPT = 0, 1, 2
 _ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
 
@@ -89,6 +102,165 @@ class _Cursor:
         return None if n < 0 else self.take(n)
 
 
+# ------------------------------------------------ RecordBatch v2 layer ---
+#
+# The modern wire (magic 2, Kafka 0.11+, the format every current broker
+# negotiates): varint/zigzag record fields, CRC32C over the batch body,
+# per-batch compression attribute.  Implemented from the public protocol
+# guide, closing the round-10 "oldest wire in the repo" note; the v0
+# MessageSet path above stays for legacy interop and the negotiation
+# fallback.
+
+_CRC32C_TABLE: list[int] = []
+
+
+def _crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli, reflected polynomial 0x82F63B78) — the batch
+    checksum mandated by the v2 record format (KIP-98), table-driven."""
+    if not _CRC32C_TABLE:
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            _CRC32C_TABLE.append(c)
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = (crc >> 8) ^ _CRC32C_TABLE[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
+def _vz(n: int) -> bytes:
+    """Zigzag varint (protobuf wire style), as the v2 record fields use."""
+    z = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _vz_read(buf: bytes, off: int) -> tuple[int, int]:
+    z, shift = 0, 0
+    while True:
+        if off >= len(buf):
+            raise ValueError("truncated varint in record batch")
+        b = buf[off]
+        off += 1
+        z |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint too long in record batch")
+    return (z >> 1) ^ -(z & 1), off
+
+
+#: v2 attributes bits 0-2: compression codec
+_CODEC_NONE, _CODEC_GZIP = 0, 1
+
+
+def _records_v2(entries: list[tuple[int, bytes | None, bytes | None]]) -> bytes:
+    out = bytearray()
+    for off_delta, key, value in entries:
+        body = bytearray(b"\x00")  # record attributes (unused)
+        body += _vz(0)  # timestampDelta
+        body += _vz(off_delta)
+        body += _vz(-1) if key is None else _vz(len(key)) + key
+        body += _vz(-1) if value is None else _vz(len(value)) + value
+        body += _vz(0)  # headers
+        out += _vz(len(body)) + body
+    return bytes(out)
+
+
+def _record_batch_v2(
+    base_offset: int,
+    entries: list[tuple[int, bytes | None, bytes | None]],
+    codec: int = _CODEC_NONE,
+) -> bytes:
+    """One spec-shaped v2 RecordBatch: 61-byte header + (optionally
+    gzip-compressed) varint records, CRC32C over attributes..records."""
+    recs = _records_v2(entries)
+    if codec == _CODEC_GZIP:
+        co = zlib.compressobj(wbits=31)  # gzip container
+        recs = co.compress(recs) + co.flush()
+    elif codec != _CODEC_NONE:
+        raise ValueError(f"unsupported compression codec {codec}")
+    last_delta = entries[-1][0] if entries else 0
+    body = (
+        struct.pack(
+            ">hiqqqhii",
+            codec,  # attributes: compression in bits 0-2
+            last_delta,
+            0,  # baseTimestamp
+            0,  # maxTimestamp
+            -1,  # producerId
+            -1,  # producerEpoch
+            -1,  # baseSequence
+            len(entries),
+        )
+        + recs
+    )
+    head = struct.pack(">ibI", 0, 2, _crc32c(body))  # leaderEpoch, magic, crc
+    return struct.pack(">qi", base_offset, len(head) + len(body)) + head + body
+
+
+def _parse_record_batches(
+    buf: bytes,
+) -> list[tuple[int, bytes | None, bytes | None]]:
+    """Decode concatenated v2 RecordBatches → [(offset, key, value)];
+    verifies magic, CRC32C, and the record count; decompresses gzip."""
+    out: list[tuple[int, bytes | None, bytes | None]] = []
+    pos = 0
+    while pos + 12 <= len(buf):
+        base_offset, batch_len = struct.unpack(">qi", buf[pos : pos + 12])
+        end = pos + 12 + batch_len
+        if end > len(buf):
+            break  # partial trailing batch: legal on the wire, skip
+        _epoch, magic, crc = struct.unpack(">ibI", buf[pos + 12 : pos + 21])
+        if magic != 2:
+            raise ValueError(f"unsupported record batch magic {magic}")
+        body = buf[pos + 21 : end]
+        if _crc32c(body) != crc:
+            raise ValueError("record batch CRC32C mismatch")
+        (codec, _last_delta, _bts, _mts, _pid, _pep, _bseq, n) = struct.unpack(
+            ">hiqqqhii", body[:40]
+        )
+        recs = body[40:]
+        codec &= 0x07
+        if codec == _CODEC_GZIP:
+            recs = zlib.decompress(recs, wbits=31)
+        elif codec != _CODEC_NONE:
+            raise ValueError(f"unsupported compression codec {codec}")
+        roff = 0
+        for _ in range(n):
+            rlen, roff = _vz_read(recs, roff)
+            rend = roff + rlen
+            roff += 1  # record attributes
+            _ts_delta, roff = _vz_read(recs, roff)
+            off_delta, roff = _vz_read(recs, roff)
+            klen, roff = _vz_read(recs, roff)
+            key = None if klen < 0 else recs[roff : roff + klen]
+            roff += max(klen, 0)
+            vlen, roff = _vz_read(recs, roff)
+            value = None if vlen < 0 else recs[roff : roff + vlen]
+            roff += max(vlen, 0)
+            n_hdrs, roff = _vz_read(recs, roff)
+            for _ in range(n_hdrs):
+                hk, roff = _vz_read(recs, roff)
+                roff += max(hk, 0)
+                hv, roff = _vz_read(recs, roff)
+                roff += max(hv, 0)
+            if roff != rend:
+                raise ValueError("record length mismatch in batch")
+            out.append((base_offset + off_delta, key, value))
+        pos = end
+    return out
+
+
 def _message_v0(key: bytes | None, value: bytes | None) -> bytes:
     body = b"\x00\x00" + _kbytes(key) + _kbytes(value)  # magic 0, attrs 0
     return struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF) + body
@@ -136,7 +308,8 @@ def _read_exact(f, n: int) -> bytes:
 
 
 class MiniKafkaBroker:
-    """Single-node broker speaking Metadata/Produce/Fetch v0."""
+    """Single-node broker speaking ApiVersions, Metadata v0,
+    Produce v0/v3, and Fetch v0/v4 (v2 RecordBatches + gzip)."""
 
     def __init__(
         self, host: str = "127.0.0.1", port: int = 0, num_partitions: int = 4
@@ -144,6 +317,9 @@ class MiniKafkaBroker:
         self.num_partitions = num_partitions
         # (topic, partition) → list of (key, value); index == offset
         self._log: dict[tuple[str, int], list[tuple[bytes | None, bytes | None]]] = {}
+        # (topic, partition) → last produce compression codec (fetch
+        # answers in kind, the simple stand-in for broker-side codecs)
+        self._codec: dict[tuple[str, int], int] = {}
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
@@ -186,16 +362,20 @@ class MiniKafkaBroker:
                 api_key, api_version = cur.i16(), cur.i16()
                 correlation_id = cur.i32()
                 _client_id = cur.string()
-                if api_version != 0:
-                    break  # only v0 spoken; a real broker answers 35
-                if api_key == _API_METADATA:
+                if api_key == _API_API_VERSIONS and api_version == 0:
+                    body = self._api_versions()
+                elif api_key == _API_METADATA and api_version == 0:
                     body = self._metadata(cur)
-                elif api_key == _API_PRODUCE:
+                elif api_key == _API_PRODUCE and api_version == 0:
                     body = self._produce(cur)
-                elif api_key == _API_FETCH:
+                elif api_key == _API_PRODUCE and api_version == 3:
+                    body = self._produce_v3(cur)
+                elif api_key == _API_FETCH and api_version == 0:
                     body = self._fetch(cur)
+                elif api_key == _API_FETCH and api_version == 4:
+                    body = self._fetch_v4(cur)
                 else:
-                    break
+                    break  # unadvertised version; a real broker answers 35
                 payload = struct.pack(">i", correlation_id) + body
                 f.write(struct.pack(">i", len(payload)) + payload)
                 f.flush()
@@ -284,6 +464,99 @@ class MiniKafkaBroker:
                 out += struct.pack(">i", len(mset)) + mset
         return bytes(out)
 
+    def _api_versions(self) -> bytes:
+        """ApiVersions v0 — the negotiation step every modern client
+        performs before speaking: error + (api_key, min, max) triples."""
+        ranges = [
+            (_API_PRODUCE, 0, 3),
+            (_API_FETCH, 0, 4),
+            (_API_METADATA, 0, 0),
+            (_API_API_VERSIONS, 0, 0),
+        ]
+        out = bytearray(struct.pack(">hi", _ERR_NONE, len(ranges)))
+        for key, lo, hi in ranges:
+            out += struct.pack(">hhh", key, lo, hi)
+        return bytes(out)
+
+    def _produce_v3(self, cur: _Cursor) -> bytes:
+        """Produce v3: transactional_id + v2 RecordBatches (CRC32C
+        verified, gzip decompressed); remembers the producer's codec per
+        partition so fetches answer in kind."""
+        _txn_id = cur.string()
+        _acks = cur.i16()
+        _timeout = cur.i32()
+        n_topics = cur.i32()
+        out = bytearray(struct.pack(">i", n_topics))
+        for _ in range(n_topics):
+            topic = cur.string() or ""
+            n_parts = cur.i32()
+            out += _kstr(topic) + struct.pack(">i", n_parts)
+            for _ in range(n_parts):
+                partition = cur.i32()
+                batches = cur.take(cur.i32())
+                try:
+                    codec = 0
+                    if len(batches) >= 23:
+                        codec = struct.unpack(">h", batches[21:23])[0] & 0x07
+                    entries = _parse_record_batches(batches)
+                    with self._lock:
+                        log = self._log.setdefault((topic, partition), [])
+                        base = len(log)
+                        log.extend((k, v) for (_o, k, v) in entries)
+                        self._codec[(topic, partition)] = codec
+                    err = _ERR_NONE
+                except ValueError:
+                    base, err = -1, _ERR_CORRUPT
+                # partition, error, base_offset, log_append_time (v2+)
+                out += struct.pack(">ihqq", partition, err, base, -1)
+        out += struct.pack(">i", 0)  # throttle_time_ms
+        return bytes(out)
+
+    def _fetch_v4(self, cur: _Cursor) -> bytes:
+        """Fetch v4: isolation level + last-stable-offset/aborted-txn
+        fields, log served as v2 RecordBatches (re-compressed with the
+        codec the producer used on that partition)."""
+        _replica = cur.i32()
+        _max_wait = cur.i32()
+        _min_bytes = cur.i32()
+        _max_bytes = cur.i32()
+        _isolation = cur.take(1)[0]
+        n_topics = cur.i32()
+        out = bytearray(struct.pack(">i", 0))  # throttle_time_ms
+        out += struct.pack(">i", n_topics)
+        for _ in range(n_topics):
+            topic = cur.string() or ""
+            n_parts = cur.i32()
+            out += _kstr(topic) + struct.pack(">i", n_parts)
+            for _ in range(n_parts):
+                partition = cur.i32()
+                fetch_offset = cur.i64()
+                _pmax_bytes = cur.i32()
+                with self._lock:
+                    log = list(self._log.get((topic, partition), []))
+                    codec = self._codec.get((topic, partition), 0)
+                hw = len(log)
+                if fetch_offset > hw:
+                    out += struct.pack(
+                        ">ihqqi", partition, _ERR_OFFSET_OUT_OF_RANGE, hw, hw, 0
+                    )
+                    out += struct.pack(">i", 0)
+                    continue
+                entries = [
+                    (i, k, v)
+                    for i, (k, v) in enumerate(log[fetch_offset:])
+                ]
+                recs = (
+                    _record_batch_v2(fetch_offset, entries, codec)
+                    if entries
+                    else b""
+                )
+                # partition, error, high_watermark, last_stable_offset,
+                # aborted_transactions (empty array)
+                out += struct.pack(">ihqqi", partition, _ERR_NONE, hw, hw, 0)
+                out += struct.pack(">i", len(recs)) + recs
+        return bytes(out)
+
     def stop(self) -> None:
         self._stop.set()
         self._thread.join(timeout=2)
@@ -300,11 +573,13 @@ class _KafkaClient:
         self._f = self._sock.makefile("rwb", buffering=1 << 16)
         self._client_id = client_id
         self._corr = 0
+        self._versions: dict[int, tuple[int, int]] | None = None
 
-    def _call(self, api_key: int, body: bytes) -> _Cursor:
+    def _call(self, api_key: int, body: bytes, version: int = 0) -> _Cursor:
         self._corr += 1
         header = (
-            struct.pack(">hhi", api_key, 0, self._corr) + _kstr(self._client_id)
+            struct.pack(">hhi", api_key, version, self._corr)
+            + _kstr(self._client_id)
         )
         frame = header + body
         self._f.write(struct.pack(">i", len(frame)) + frame)
@@ -336,25 +611,65 @@ class _KafkaClient:
             out["topics"][name] = parts
         return out
 
+    def api_versions(self) -> dict[int, tuple[int, int]]:
+        """ApiVersions v0 negotiation: api_key → (min, max), memoized."""
+        if self._versions is None:
+            resp = self._call(_API_API_VERSIONS, b"")
+            err = resp.i16()
+            if err != _ERR_NONE:
+                raise ConnectionError(f"ApiVersions error {err}")
+            self._versions = {}
+            for _ in range(resp.i32()):
+                key, lo, hi = resp.i16(), resp.i16(), resp.i16()
+                self._versions[key] = (lo, hi)
+        return self._versions
+
     def produce(
         self,
         topic: str,
         batches: dict[int, list[tuple[bytes | None, bytes | None]]],
+        compression: str | None = None,
+        force_v0: bool = False,
     ) -> dict[int, int]:
-        """partition → base offset; raises on broker error codes."""
-        body = bytearray(struct.pack(">hi", 1, 10000))  # acks=1
-        body += struct.pack(">i", 1) + _kstr(topic)
-        body += struct.pack(">i", len(batches))
-        for partition, records in sorted(batches.items()):
-            mset = _message_set([(0, k, v) for (k, v) in records])
-            body += struct.pack(">i", partition)
-            body += struct.pack(">i", len(mset)) + mset
-        resp = self._call(_API_PRODUCE, bytes(body))
+        """partition → base offset; raises on broker error codes.
+        Negotiates the wire: Produce v3 with v2 RecordBatches (and
+        optional gzip) when the broker advertises it, else the v0
+        MessageSet path (where ``compression`` raises — v0 here is the
+        uncompressed legacy seam)."""
+        use_v3 = (
+            not force_v0
+            and self.api_versions().get(_API_PRODUCE, (0, 0))[1] >= 3
+        )
+        if compression and not use_v3:
+            raise ConnectionError("broker too old for compressed batches")
+        codec = {None: _CODEC_NONE, "gzip": _CODEC_GZIP}[compression]
+        if use_v3:
+            body = bytearray(_kstr(None) + struct.pack(">hi", 1, 10000))
+            body += struct.pack(">i", 1) + _kstr(topic)
+            body += struct.pack(">i", len(batches))
+            for partition, records in sorted(batches.items()):
+                rb = _record_batch_v2(
+                    0, [(i, k, v) for i, (k, v) in enumerate(records)], codec
+                )
+                body += struct.pack(">i", partition)
+                body += struct.pack(">i", len(rb)) + rb
+            resp = self._call(_API_PRODUCE, bytes(body), version=3)
+        else:
+            body = bytearray(struct.pack(">hi", 1, 10000))  # acks=1
+            body += struct.pack(">i", 1) + _kstr(topic)
+            body += struct.pack(">i", len(batches))
+            for partition, records in sorted(batches.items()):
+                mset = _message_set([(0, k, v) for (k, v) in records])
+                body += struct.pack(">i", partition)
+                body += struct.pack(">i", len(mset)) + mset
+            resp = self._call(_API_PRODUCE, bytes(body))
         bases: dict[int, int] = {}
         for _ in range(resp.i32()):
             _t = resp.string()
             for _ in range(resp.i32()):
                 partition, err, base = resp.i32(), resp.i16(), resp.i64()
+                if use_v3:
+                    resp.i64()  # log_append_time
                 if err != _ERR_NONE:
                     raise ConnectionError(
                         f"produce error {err} on partition {partition}"
@@ -363,23 +678,44 @@ class _KafkaClient:
         return bases
 
     def fetch(
-        self, topic: str, partition: int, offset: int
+        self, topic: str, partition: int, offset: int, force_v0: bool = False
     ) -> tuple[int, list[tuple[int, bytes | None, bytes | None]]]:
-        """(high_watermark, [(offset, key, value)]) from ``offset``."""
-        body = struct.pack(">iii", -1, 100, 1)
-        body += struct.pack(">i", 1) + _kstr(topic) + struct.pack(">i", 1)
-        body += struct.pack(">i", partition) + struct.pack(">q", offset)
-        body += struct.pack(">i", 1 << 26)
-        resp = self._call(_API_FETCH, body)
+        """(high_watermark, [(offset, key, value)]) from ``offset``;
+        negotiates Fetch v4 (v2 RecordBatches) when advertised —
+        ``force_v0`` pins the legacy MessageSet wire (no negotiation,
+        the pre-ApiVersions client behavior)."""
+        use_v4 = (
+            not force_v0
+            and self.api_versions().get(_API_FETCH, (0, 0))[1] >= 4
+        )
+        if use_v4:
+            body = struct.pack(">iiii", -1, 100, 1, 1 << 26) + b"\x00"
+            body += struct.pack(">i", 1) + _kstr(topic) + struct.pack(">i", 1)
+            body += struct.pack(">i", partition) + struct.pack(">q", offset)
+            body += struct.pack(">i", 1 << 26)
+            resp = self._call(_API_FETCH, body, version=4)
+            _throttle = resp.i32()
+        else:
+            body = struct.pack(">iii", -1, 100, 1)
+            body += struct.pack(">i", 1) + _kstr(topic) + struct.pack(">i", 1)
+            body += struct.pack(">i", partition) + struct.pack(">q", offset)
+            body += struct.pack(">i", 1 << 26)
+            resp = self._call(_API_FETCH, body)
         n_topics = resp.i32()
         assert n_topics == 1
         _t = resp.string()
         _np = resp.i32()
         p, err, hw = resp.i32(), resp.i16(), resp.i64()
-        mset = resp.take(resp.i32())
+        if use_v4:
+            _lso = resp.i64()
+            for _ in range(resp.i32()):  # aborted transactions
+                resp.i64(), resp.i64()
+        recs = resp.take(resp.i32())
         if err != _ERR_NONE:
             raise ConnectionError(f"fetch error {err} on partition {p}")
-        return hw, _parse_message_set(mset)
+        if use_v4:
+            return hw, _parse_record_batches(recs)
+        return hw, _parse_message_set(recs)
 
     def close(self) -> None:
         try:
@@ -397,11 +733,15 @@ def publish_kafka_wire(
     value_col: str,
     num_partitions: int = 4,
     timeout: float = 30.0,
+    compression: str | None = None,
+    legacy_v0: bool = False,
 ):
     """One wire connection + ONE Produce request per DataFrame partition;
     records route to Kafka partitions by ``crc32(key) % num_partitions``
     (the FileKafkaBus partitioner, oracle-computable); appends
-    ``published``."""
+    ``published``.  ``compression='gzip'`` ships v2 RecordBatches with
+    the gzip attribute (negotiated via ApiVersions; requires a v3-capable
+    broker)."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -425,7 +765,8 @@ def publish_kafka_wire(
             client = None
             try:
                 client = _KafkaClient(host, port, "anspark-producer", timeout)
-                client.produce(topic, routed)
+                client.produce(topic, routed, compression=compression,
+                               force_v0=legacy_v0)
                 ok = True
             except (ConnectionError, OSError, ValueError):
                 ok = False
@@ -446,6 +787,7 @@ def consume_kafka_wire(
     topic: str,
     num_partitions: int = 4,
     timeout: float = 30.0,
+    legacy_v0: bool = False,
 ):
     """Distributed consumption: the partition list fans out as a
     DataFrame and each task Fetches its TopicPartition over the wire
@@ -470,7 +812,8 @@ def consume_kafka_wire(
                         client = _KafkaClient(
                             host, port, "anspark-consumer", timeout
                         )
-                    _hw, records = client.fetch(topic, int(p), 0)
+                    _hw, records = client.fetch(topic, int(p), 0,
+                                                force_v0=legacy_v0)
                     yield pd.DataFrame(
                         {
                             "key": [k for (_o, k, _v) in records],

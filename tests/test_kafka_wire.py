@@ -108,3 +108,75 @@ def test_spark_publish_consume_distributed(spark, broker):
         by_part.setdefault(r["partition"], []).append(r["offset"])
     for offs in by_part.values():
         assert sorted(offs) == list(range(len(offs)))
+
+
+def test_crc32c_and_zigzag_reference_vectors():
+    """CRC-32C must match the public check value ('123456789' →
+    0xE3069283); zigzag varints round-trip the edge cases."""
+    from apache_nifi_spark.streaming.kafka_wire import _crc32c, _vz, _vz_read
+
+    assert _crc32c(b"123456789") == 0xE3069283
+    assert _crc32c(b"") == 0
+    for n in (0, 1, -1, 63, 64, -64, -65, 300, -300, 2**31, -(2**31), 2**62):
+        v, off = _vz_read(_vz(n), 0)
+        assert (v, off) == (n, len(_vz(n)))
+
+
+def test_v2_record_batches_negotiated_gzip_roundtrip(broker):
+    """The modern wire end to end: ApiVersions advertises Produce v3 /
+    Fetch v4, a gzip-compressed v2 RecordBatch produces, the broker
+    decompresses + CRC32C-verifies, and the fetch re-encodes with the
+    producer's codec — offsets and null key/value intact."""
+    from apache_nifi_spark.streaming.kafka_wire import _parse_record_batches
+
+    c = _KafkaClient("127.0.0.1", broker.port, "t")
+    try:
+        vers = c.api_versions()
+        assert vers[0][1] >= 3 and vers[1][1] >= 4
+        base = c.produce(
+            "tz", {0: [(b"k1", b"v1" * 200), (None, b"v2"), (b"k3", None)]},
+            compression="gzip",
+        )
+        assert base == {0: 0}
+        hw, records = c.fetch("tz", 0, 0)
+        assert hw == 3
+        assert records == [(0, b"k1", b"v1" * 200), (1, None, b"v2"),
+                           (2, b"k3", None)]
+        # the fetched wire bytes really were a gzip v2 batch: the broker
+        # remembered the producer codec (attributes bits 0-2 == 1)
+        raw = c.fetch("tz", 0, 1)
+        assert raw[1] == [(1, None, b"v2"), (2, b"k3", None)]
+        # legacy pinning still speaks v0 MessageSets on the same broker
+        base = c.produce("tz0", {0: [(b"a", b"b")]}, force_v0=True)
+        assert base == {0: 0}
+        hw, recs = c.fetch("tz0", 0, 0, force_v0=True)
+        assert (hw, recs) == (1, [(0, b"a", b"b")])
+    finally:
+        c.close()
+
+
+def test_v2_corrupt_batch_rejected(broker):
+    """A v2 batch whose CRC32C does not cover its body answers
+    CORRUPT_MESSAGE (error 2) — the broker verifies, never appends."""
+    from apache_nifi_spark.streaming.kafka_wire import (
+        _kstr,
+        _record_batch_v2,
+    )
+
+    c = _KafkaClient("127.0.0.1", broker.port, "t")
+    try:
+        rb = bytearray(_record_batch_v2(0, [(0, b"k", b"v")]))
+        rb[-1] ^= 0xFF  # flip a record byte after the CRC was computed
+        body = bytearray(_kstr(None) + struct.pack(">hi", 1, 10000))
+        body += struct.pack(">i", 1) + _kstr("bad")
+        body += struct.pack(">i", 1) + struct.pack(">i", 0)
+        body += struct.pack(">i", len(rb)) + bytes(rb)
+        resp = c._call(0, bytes(body), version=3)
+        assert resp.i32() == 1  # one topic
+        assert resp.string() == "bad"
+        assert resp.i32() == 1  # one partition
+        partition, err, base = resp.i32(), resp.i16(), resp.i64()
+        assert (partition, err, base) == (0, 2, -1)
+        assert broker.log_end_offset("bad", 0) == 0
+    finally:
+        c.close()
