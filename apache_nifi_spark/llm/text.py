@@ -30,8 +30,10 @@ __all__ = [
     "repetition_scores",
     "normalize_urls",
     "decontaminate",
+    "gopher_quality_rules",
     "STOPWORDS",
     "PII_PATTERNS",
+    "GOPHER_STOPWORDS",
 ]
 
 #: Tiny per-language stopword lists for the n-gram/stopword language-ID
@@ -780,6 +782,89 @@ def c4_line_filter(
         F.size(kept).alias("n_kept"),
     )
     return out.filter(F.col("n_kept") >= min_kept_lines)
+
+
+#: The Gopher rule's required-stopword set (Rae et al. 2021 §A1.1): a
+#: document must contain at least two of these as whole tokens.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The Gopher document-quality rule set (Rae et al. 2021 §A1.1, the
+    public MassiveText filter every later pretraining recipe derives
+    from): word-count bounds, mean-word-length bounds [3, 10],
+    hash/ellipsis symbol-to-word ratio ≤ 0.1, ≤ 90 % of lines starting
+    with a bullet, ≤ 30 % ending with an ellipsis, ≥ 80 % of words
+    containing an alphabetic character, and ≥ 2 of the 8 required
+    stopwords present.
+
+    Entirely columnar and map-only — one projection computes every rule
+    from the whitespace-token and line arrays; no explode, no shuffle,
+    no UDF; scan-bandwidth at any scale.  Every threshold compares as
+    CROSS-MULTIPLIED INTEGERS (e.g. ``10·symbols ≤ words`` instead of a
+    float ratio ≤ 0.1), so the booleans are bit-identical on any engine
+    with no float policy needed.  Reported ratio columns are rounded to
+    6 dp for the differential.
+
+    Returns (id, n_words, mean_word_len, symbol_ratio, frac_alpha_words,
+    n_stop_hits, keep).
+    """
+    words = _ws_tokens(F.col(text_col))
+    lines = F.split(F.col(text_col), r"\n", -1)
+    n_words = F.size(words)
+    total_chars = F.aggregate(
+        words, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
+    )
+    hashes = F.length(text_col) - F.length(F.replace(F.col(text_col), F.lit("#")))
+    dots = (
+        F.length(text_col)
+        - F.length(F.replace(F.col(text_col), F.lit("..."), F.lit("")))
+    ) / 3
+    uni_ellipsis = F.length(text_col) - F.length(
+        F.replace(F.col(text_col), F.lit("…"))
+    )
+    symbols = (hashes + dots + uni_ellipsis).cast("bigint")
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r"^\s*([•\-\*]\s)"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)\s*$"))
+    )
+    low_words = F.transform(words, F.lower)
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(low_words, s),
+        )
+    )
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (total_chars >= 3 * n_words)
+        & (total_chars <= 10 * n_words)
+        & (10 * symbols <= n_words)
+        & (10 * bullet_lines <= 9 * n_lines)
+        & (10 * ellipsis_lines <= 3 * n_lines)
+        & (5 * alpha_words >= 4 * n_words)
+        & (stop_hits >= 2)
+    )
+    return df.select(
+        id_col,
+        n_words.cast("bigint").alias("n_words"),
+        F.round(total_chars / n_words, 6).alias("mean_word_len"),
+        F.round(symbols / n_words, 6).alias("symbol_ratio"),
+        F.round(alpha_words / n_words, 6).alias("frac_alpha_words"),
+        stop_hits.cast("int").alias("n_stop_hits"),
+        keep.alias("keep"),
+    )
 
 
 def ccnet_buckets(

@@ -3197,6 +3197,69 @@ def similarity_quantized_topk_q(spark, sf_dir):
 
 
 @register(
+    "text_gopher_rules",
+    oracle=r"""
+    WITH f AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS w,
+             string_split(text, chr(10)) AS ln,
+             length(text) - length(replace(text, '#', '')) AS hashes,
+             (length(text) - length(replace(text, '...', ''))) / 3 AS dots,
+             length(text) - length(replace(text, '…', '')) AS uni
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             COALESCE(list_sum(list_transform(w, x -> CAST(length(x) AS BIGINT))), 0)
+               AS total_chars,
+             CAST(hashes + dots + uni AS BIGINT) AS symbols,
+             CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                  AS BIGINT) AS alpha_words,
+             CAST(len(ln) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(ln,
+                  x -> regexp_matches(x, '^\s*([•\-\*]\s)'))) AS BIGINT)
+               AS bullet_lines,
+             CAST(len(list_filter(ln,
+                  x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) AS BIGINT)
+               AS ellipsis_lines,
+             CAST(len(list_filter(
+                  ['the','be','to','of','and','that','have','with'],
+                  s -> list_contains(list_transform(w, x -> lower(x)), s))) AS INT)
+               AS n_stop_hits
+      FROM f
+    )
+    SELECT doc_id, n_words,
+           round(total_chars / n_words, 6) AS mean_word_len,
+           round(symbols / n_words, 6) AS symbol_ratio,
+           round(alpha_words / n_words, 6) AS frac_alpha_words,
+           n_stop_hits,
+           (n_words >= 50 AND n_words <= 100000
+            AND total_chars >= 3 * n_words AND total_chars <= 10 * n_words
+            AND 10 * symbols <= n_words
+            AND 10 * bullet_lines <= 9 * n_lines
+            AND 10 * ellipsis_lines <= 3 * n_lines
+            AND 5 * alpha_words >= 4 * n_words
+            AND n_stop_hits >= 2) AS keep
+    FROM g
+    """,
+)
+def text_gopher_rules_q(spark, sf_dir):
+    """The Gopher quality-rule filter (§2.12 quality tier; Rae et al.
+    2021 §A1.1, the public MassiveText rule set downstream recipes
+    derive from): word-count and mean-word-length bounds, hash/ellipsis
+    symbol ratio, bullet/ellipsis line fractions, alphabetic-word
+    fraction, required-stopword count.  One map-only projection over
+    token and line arrays — no explode, no shuffle, scan bandwidth at
+    100 TB; every threshold compares as cross-multiplied integers so
+    keep/drop is bit-identical cross-engine with no float policy.  See
+    llm/text.gopher_quality_rules."""
+    from apache_nifi_spark.llm import gopher_quality_rules
+
+    d = io.widen_if_narrow(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return gopher_quality_rules(d)
+
+
+@register(
     "text_quality_logistic",
     oracle="""
     WITH f AS (

@@ -1803,3 +1803,36 @@ def test_matroska_ebml_walk_vints_and_corrupt_framing():
     # overrun the buffer — must raise, never land partial rows
     with pytest.raises(ValueError, match="overruns|truncated"):
         parse_matroska_metadata(payload[:-5])
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    """Per-rule coverage on crafted documents: a clean passing doc, then
+    one violator per rule — too short, long mean word length, symbol
+    spam, bullet walls, ellipsis endings, non-alpha flood, no
+    stopwords — each flips exactly the keep bit."""
+    from apache_nifi_spark.llm import gopher_quality_rules
+
+    clean = ("the quick brown fox and that other one have gone to town "
+             "with plenty of words " * 4).strip()
+    rows = [
+        (0, clean, True),
+        (1, "the of and short", False),                    # < min words
+        (2, ("hippopotomonstrous " * 60 + "the of and that have with be to"),
+         False),                                           # mean len > 10
+        (3, clean + " " + "#" * 1 + " #word" * 30, False), # symbol spam
+        (4, "\n".join("- bullet item here we go" for _ in range(30))
+            + "\nthe of and that have with plenty more words to fill the"
+              " quota here now " * 3, False),              # >90% bullets
+        (5, "\n".join("and that have with more... " for _ in range(10))
+            + "\n" + clean.replace("\n", " "), False),     # >30% ellipsis
+        (6, clean + " " + "1234 5678 " * 40, False),       # alpha < 80%
+        (7, ("zebra lion tiger puma otter badger weasel ferret stoat "
+             "marten " * 8).strip(), False),               # < 2 stopwords
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r["keep"] for r in gopher_quality_rules(
+        docs, min_words=20).collect()}
+    want = {i: k for i, t, k in rows}
+    assert got == want, {i: (got[i], want[i]) for i in want if got[i] != want[i]}
