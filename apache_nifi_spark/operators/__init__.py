@@ -95,3 +95,7 @@ from apache_nifi_spark.operators.content import (  # noqa: F401
     merge_content_text,
 )
 from apache_nifi_spark.operators.http import invoke_http  # noqa: F401,E402
+from apache_nifi_spark.operators.pgp import (  # noqa: F401,E402
+    decrypt_content_pgp,
+    encrypt_content_pgp,
+)

@@ -9097,6 +9097,43 @@ def partition_pruned_read_q(spark, sf_dir):
 
 
 @register(
+    "encrypt_content_pgp_roundtrip",
+    oracle="""
+    SELECT s_suppkey,
+           s_name || '|' || CAST(s_nationkey AS VARCHAR) AS payload
+    FROM supplier WHERE s_suppkey % 4 = 0
+    """,
+)
+def encrypt_content_pgp_q(spark, sf_dir):
+    """EncryptContentPGP → DecryptContentPGP (§2.4, NiFi's OpenPGP
+    content-protection pair) over REAL RFC 4880 messages: iterated+
+    salted S2K key derivation, SKESK + SEIPD(v1) packets, AES-128 CFB,
+    MDC integrity — interop-anchored against the actual ``gpg`` binary
+    in tests/test_operators.py (both directions).  Per-record encrypt →
+    decrypt → parse; the oracle recomputes the payload from the fixture,
+    proving the packet round trip is byte-lossless.  Map-only both ways
+    (operators/pgp.py)."""
+    from apache_nifi_spark.operators.pgp import (
+        decrypt_content_pgp,
+        encrypt_content_pgp,
+    )
+
+    sup = _t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") % 4 == 0)
+    rendered = sup.select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        F.concat_ws(
+            "|", F.col("s_name"), F.col("s_nationkey").cast("string")
+        ).alias("content"),
+    )
+    enc = encrypt_content_pgp(rendered, "corpus-secret", "s_suppkey")
+    dec = decrypt_content_pgp(enc, "corpus-secret", "s_suppkey")
+    return dec.select(
+        "s_suppkey",
+        F.col("content").cast("string").alias("payload"),
+    )
+
+
+@register(
     "encrypt_content_roundtrip",
     oracle="SELECT s_suppkey, s_name, CAST(s_nationkey AS VARCHAR) AS nation_str FROM supplier",
 )

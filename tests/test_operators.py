@@ -763,3 +763,77 @@ def test_flowfile_v3_nifi_wire_framing_and_truncation(spark):
     bad_df = spark.createDataFrame([(9, bytearray(bad))], ["group_id", "stream"])
     with pytest.raises(Exception, match="truncated FlowFile v3 content"):
         unpack_flowfile_v3(bad_df, "group_id", "stream").collect()
+
+
+def test_pgp_rfc4880_gpg_interop_and_mdc(spark):
+    """OpenPGP content protection (RFC 4880): our SKESK+SEIPD messages
+    decrypt with the REAL gpg binary and vice versa (when gpg is
+    installed); the S2K count encoding matches the spec example; any
+    ciphertext tamper fails the MDC check loudly; wrong passphrase
+    fails the prefix quick check."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    import pytest
+
+    from apache_nifi_spark.operators.pgp import (
+        pgp_decrypt_message,
+        pgp_encrypt_message,
+        s2k_iterated_salted,
+    )
+
+    # S2K count: 0x60 → (16 + 0) << (6 + 6) = 65536 octets hashed
+    assert (16 + (0x60 & 15)) << ((0x60 >> 4) + 6) == 65536
+    k1 = s2k_iterated_salted(b"pw", b"12345678", 0x60)
+    assert len(k1) == 16 and k1 != s2k_iterated_salted(b"pw", b"87654321", 0x60)
+
+    msg = pgp_encrypt_message(b"attack at dawn", b"hunter2", b"saltsalt")
+    assert pgp_decrypt_message(msg, b"hunter2") == b"attack at dawn"
+
+    with pytest.raises(ValueError, match="prefix repeat|MDC"):
+        pgp_decrypt_message(msg, b"wrong-pass")
+    bad = bytearray(msg)
+    bad[-3] ^= 0x01  # flip a ciphertext byte inside the MDC region
+    with pytest.raises(ValueError, match="MDC|prefix|literal|format"):
+        pgp_decrypt_message(bytes(bad), b"hunter2")
+
+    gpg = shutil.which("gpg")
+    if gpg:
+        d = tempfile.mkdtemp(prefix="anspark_pgp_")
+        with open(f"{d}/ours.pgp", "wb") as f:
+            f.write(msg)
+        out = subprocess.run(
+            [gpg, "--batch", "--yes", "--passphrase", "hunter2",
+             "--decrypt", f"{d}/ours.pgp"],
+            capture_output=True, timeout=60,
+        )
+        assert out.returncode == 0 and out.stdout == b"attack at dawn"
+        with open(f"{d}/plain.txt", "wb") as f:
+            f.write(b"from gnupg")
+        out = subprocess.run(
+            [gpg, "--batch", "--yes", "--rfc4880", "--passphrase", "hunter2",
+             "--symmetric", "--cipher-algo", "AES", "--s2k-digest-algo",
+             "SHA1", "--s2k-mode", "3", "-z", "0",
+             "-o", f"{d}/theirs.pgp", f"{d}/plain.txt"],
+            capture_output=True, timeout=60,
+        )
+        assert out.returncode == 0
+        with open(f"{d}/theirs.pgp", "rb") as f:
+            assert pgp_decrypt_message(f.read(), b"hunter2") == b"from gnupg"
+
+    # distributed round trip through the Spark operators
+    from pyspark.sql import functions as F
+
+    from apache_nifi_spark.operators import (
+        decrypt_content_pgp,
+        encrypt_content_pgp,
+    )
+
+    df = spark.range(30).select(
+        F.col("id"), F.concat(F.lit("doc-"), F.col("id")).alias("content")
+    ).repartition(4)
+    enc = encrypt_content_pgp(df, "pw", "id")
+    dec = decrypt_content_pgp(enc, "pw", "id")
+    got = {r["id"]: bytes(r["content"]).decode() for r in dec.collect()}
+    assert got == {i: f"doc-{i}" for i in range(30)}
