@@ -1,0 +1,183 @@
+"""WARC (Web ARChive, ISO 28500) ingest — the container format every
+Common Crawl-scale pretraining pipeline reads (§2.12 acquisition tier).
+
+Implemented from the public WARC 1.0/1.1 spec and the Common Crawl
+conventions:
+
+- a WARC file is a sequence of records: ``WARC/1.0\\r\\n`` + named
+  headers (``WARC-Type``, ``WARC-Target-URI``, ``WARC-Date``,
+  ``Content-Length``, …) + CRLF CRLF + a ``Content-Length``-sized block
+  + CRLF CRLF,
+- Common Crawl ships each record as its OWN GZIP MEMBER concatenated
+  into one ``.warc.gz`` — the property that makes a 100 TB crawl
+  splittable: a reader can start at any member boundary.  The parser
+  here walks multi-member gzip with ``zlib`` (``unused_data`` loop) and
+  accepts plain WARC too,
+- ``response`` records carry an HTTP/1.1 message as their block; the
+  status line, headers, and body split per RFC 9112.
+
+Spark-first shape: parsing is Arrow-batched ``mapInPandas`` over opaque
+binary columns (one task per WARC shard — the Common Crawl layout maps
+1 gzip member sequence → 1 split), emitting one row per response
+record.  Map-only; no shuffle until the caller aggregates.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+__all__ = ["encode_warc_gz", "parse_warc", "warc_responses"]
+
+
+def _gzip_member(data: bytes) -> bytes:
+    co = zlib.compressobj(9, zlib.DEFLATED, -zlib.MAX_WBITS)
+    body = co.compress(data) + co.flush()
+    return (
+        b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\xff"
+        + body
+        + struct.pack("<II", zlib.crc32(data) & 0xFFFFFFFF,
+                      len(data) & 0xFFFFFFFF)
+    )
+
+
+def encode_warc_gz(records: list[tuple[str, dict, bytes]]) -> bytes:
+    """Build a Common Crawl-style ``.warc.gz``: each (warc_type,
+    extra_headers, block) record serializes per the WARC spec and
+    compresses as its own gzip member.  Fixture-synthesis helper, the
+    acquisition twin of ``llm/multimodal.encode_wav``."""
+    out = bytearray()
+    for i, (wtype, extra, block) in enumerate(records):
+        headers = {
+            "WARC-Type": wtype,
+            "WARC-Record-ID": f"<urn:uuid:00000000-0000-0000-0000-{i:012d}>",
+            "WARC-Date": "2024-01-01T00:00:00Z",
+            "Content-Length": str(len(block)),
+        }
+        headers.update(extra)
+        head = b"WARC/1.0\r\n" + b"".join(
+            f"{k}: {v}\r\n".encode() for k, v in headers.items()
+        ) + b"\r\n"
+        out += _gzip_member(head + block + b"\r\n\r\n")
+    return bytes(out)
+
+
+def _gunzip_members(payload: bytes) -> bytes:
+    """Concatenated-member gzip → full plaintext (plain input passes
+    through); truncated members raise."""
+    if not payload.startswith(b"\x1f\x8b"):
+        return payload
+    out = bytearray()
+    rest = payload
+    while rest:
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        out += d.decompress(rest)
+        out += d.flush()
+        if not d.eof:
+            raise ValueError("truncated gzip member in WARC payload")
+        rest = d.unused_data
+    return bytes(out)
+
+
+def parse_warc(payload: bytes) -> list[tuple[str, dict, bytes]]:
+    """Decode a WARC (plain or multi-member gzip) →
+    [(warc_type, headers, block)]; malformed framing raises — a crawl
+    shard with a bad record must fail loudly, not land half-parsed."""
+    data = _gunzip_members(payload)
+    out: list[tuple[str, dict, bytes]] = []
+    pos = 0
+    while pos < len(data):
+        # tolerate inter-record CRLF padding
+        while data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= len(data):
+            break
+        if not data.startswith(b"WARC/", pos):
+            raise ValueError(f"bad WARC version line at offset {pos}")
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            raise ValueError("truncated WARC header block")
+        lines = data[pos:head_end].split(b"\r\n")
+        headers: dict[str, str] = {}
+        for ln in lines[1:]:
+            k, _, v = ln.partition(b":")
+            headers[k.strip().decode("ascii")] = v.strip().decode(
+                "utf-8", "replace"
+            )
+        try:
+            clen = int(headers["Content-Length"])
+        except (KeyError, ValueError):
+            raise ValueError("WARC record missing a valid Content-Length")
+        block_start = head_end + 4
+        if block_start + clen > len(data):
+            raise ValueError("WARC block overruns payload")
+        out.append(
+            (headers.get("WARC-Type", ""), headers,
+             data[block_start : block_start + clen])
+        )
+        pos = block_start + clen
+    return out
+
+
+def _split_http_response(block: bytes) -> tuple[int, dict, bytes]:
+    head_end = block.find(b"\r\n\r\n")
+    if head_end < 0:
+        raise ValueError("HTTP response block missing header terminator")
+    lines = block[:head_end].split(b"\r\n")
+    parts = lines[0].split(b" ", 2)
+    if len(parts) < 2 or not parts[0].startswith(b"HTTP/"):
+        raise ValueError("bad HTTP status line in WARC response block")
+    status = int(parts[1])
+    headers: dict[str, str] = {}
+    for ln in lines[1:]:
+        k, _, v = ln.partition(b":")
+        headers[k.strip().decode("ascii").lower()] = v.strip().decode(
+            "utf-8", "replace"
+        )
+    return status, headers, block[head_end + 4 :]
+
+
+_WARC_RESPONSES_SCHEMA = (
+    "shard_id long, url string, warc_date string, http_status int, "
+    "content_type string, body_len bigint, body binary"
+)
+
+
+def warc_responses(
+    df: DataFrame, id_col: str = "shard_id", content_col: str = "content"
+) -> DataFrame:
+    """One row per WARC ``response`` record across the binary shard
+    column: URL, date, HTTP status, content type, body.  Request /
+    metadata / warcinfo records are skipped (the crawl convention);
+    Arrow-batched mapInPandas, map-only at any scale."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                "shard_id": [], "url": [], "warc_date": [],
+                "http_status": [], "content_type": [], "body_len": [],
+                "body": [],
+            }
+            for rid, blob in zip(pdf[id_col], pdf[content_col]):
+                for wtype, headers, block in parse_warc(bytes(blob)):
+                    if wtype != "response":
+                        continue
+                    status, http_headers, body = _split_http_response(block)
+                    cols["shard_id"].append(int(rid))
+                    cols["url"].append(headers.get("WARC-Target-URI", ""))
+                    cols["warc_date"].append(headers.get("WARC-Date", ""))
+                    cols["http_status"].append(status)
+                    cols["content_type"].append(
+                        http_headers.get("content-type", "")
+                    )
+                    cols["body_len"].append(len(body))
+                    cols["body"].append(body)
+            yield pd.DataFrame(cols)
+
+    return df.select(id_col, content_col).mapInPandas(
+        run, _WARC_RESPONSES_SCHEMA
+    )

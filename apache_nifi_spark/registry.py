@@ -8103,6 +8103,75 @@ def confluent_avro_roundtrip_q(spark, sf_dir):
         reg.stop()
 
 
+@register(
+    "warc_ingest_responses",
+    oracle="""
+    SELECT doc_id AS shard_id,
+           'http://example.com/' || CAST(doc_id AS VARCHAR) || '/' ||
+             CAST(i AS VARCHAR) AS url,
+           CAST(CASE i WHEN 0 THEN 200 ELSE 404 END AS INT) AS http_status,
+           CASE i WHEN 0 THEN 'text/html' ELSE 'text/plain' END
+             AS content_type,
+           CAST(CASE i WHEN 0 THEN 26 + 10 + doc_id % 50 ELSE 9 END
+                AS BIGINT) AS body_len
+    FROM documents, LATERAL unnest(generate_series(0, 1)) t(i)
+    WHERE doc_id < 400 AND (i = 0 OR doc_id % 2 = 0)
+    """,
+)
+def warc_ingest_responses_q(spark, sf_dir):
+    """WARC/Common Crawl ingest (§2.12 acquisition tier; ISO 28500 +
+    the CC one-gzip-member-per-record convention that makes a 100 TB
+    crawl splittable): executor-synthesized .warc.gz shards — warcinfo
+    + request + response records, each its own gzip member — walked
+    back out by the real parser (multi-member gunzip, WARC header
+    block, RFC 9112 HTTP split), emitting one row per response record;
+    request/warcinfo records are skipped per the crawl convention.
+    Oracle regenerates url/status/content-type/body-length
+    arithmetically — equality proves the full container round trip.
+    Map-only, one task per shard (llm/warc.py)."""
+    import pandas as pd  # noqa: F811
+
+    from apache_nifi_spark.llm.warc import encode_warc_gz, warc_responses
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            contents = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                html = f"<html><body>{'x' * (10 + d % 50)}</body></html>"
+                recs = [
+                    ("warcinfo", {}, b"software: anspark-crawler\r\n"),
+                    ("request",
+                     {"WARC-Target-URI": f"http://example.com/{d}/0"},
+                     b"GET /0 HTTP/1.1\r\nHost: example.com\r\n\r\n"),
+                    ("response",
+                     {"WARC-Target-URI": f"http://example.com/{d}/0"},
+                     b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                     + html.encode()),
+                ]
+                if d % 2 == 0:
+                    recs.append(
+                        ("response",
+                         {"WARC-Target-URI": f"http://example.com/{d}/1"},
+                         b"HTTP/1.1 404 Not Found\r\n"
+                         b"Content-Type: text/plain\r\n\r\nnot found")
+                    )
+                contents.append(encode_warc_gz(recs))
+            yield pd.DataFrame({"shard_id": pdf["doc_id"],
+                                "content": contents})
+
+    shards = base.mapInPandas(synth, "shard_id long, content binary")
+    return warc_responses(shards).select(
+        "shard_id", "url", "http_status", "content_type", "body_len"
+    )
+
+
 _FTP_STAGE: dict[str, tuple] = {}
 
 

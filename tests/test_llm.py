@@ -1881,3 +1881,42 @@ def test_new_codec_property_roundtrips():
     # µ-law odd symmetry: code c and c^0x80 decode to negatives
     for c in range(128):
         assert g711_ulaw_to_linear(c) == -g711_ulaw_to_linear(c ^ 0x80)
+
+
+def test_warc_multi_member_gzip_and_malformed_framing():
+    """WARC parsing invariants: Common Crawl's one-member-per-record
+    gzip concatenation decodes record-exactly; plain (uncompressed)
+    WARC parses too; a truncated member and a block overrunning the
+    payload both raise instead of landing half-parsed shards."""
+    import gzip
+
+    import pytest
+
+    from apache_nifi_spark.llm.warc import encode_warc_gz, parse_warc
+
+    recs = [
+        ("warcinfo", {}, b"software: x\r\n"),
+        ("response", {"WARC-Target-URI": "http://a/0"},
+         b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html/>"),
+        ("response", {"WARC-Target-URI": "http://a/1"},
+         b"HTTP/1.1 301 Moved\r\nLocation: http://b\r\n\r\n"),
+    ]
+    gz = encode_warc_gz(recs)
+    got = parse_warc(gz)
+    assert [(t, h.get("WARC-Target-URI")) for t, h, _ in got] == [
+        ("warcinfo", None), ("response", "http://a/0"),
+        ("response", "http://a/1"),
+    ]
+    assert got[1][2].endswith(b"<html/>")
+    # each record really is its own gzip member (splittability): the
+    # stream contains 3 magic headers, and decompressing just the first
+    # member yields exactly one record
+    assert gz.count(b"\x1f\x8b\x08") == 3
+    assert parse_warc(gzip.decompress(gz)) == got  # plain WARC path
+
+    with pytest.raises(ValueError, match="truncated gzip"):
+        parse_warc(gz[:-7])
+    plain = gzip.decompress(gz)
+    bad = plain.replace(b"Content-Length: 13", b"Content-Length: 9999", 1)
+    with pytest.raises(ValueError, match="overruns"):
+        parse_warc(bad)
