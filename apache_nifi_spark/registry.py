@@ -8172,6 +8172,77 @@ def warc_ingest_responses_q(spark, sf_dir):
     )
 
 
+@register(
+    "robots_url_filter",
+    oracle=r"""
+    WITH p AS (
+      SELECT doc_id,
+             CASE doc_id % 7
+               WHEN 0 THEN '/articles/' || CAST(doc_id AS VARCHAR)
+               WHEN 1 THEN '/private/' || CAST(doc_id AS VARCHAR)
+               WHEN 2 THEN '/private/public/' || CAST(doc_id AS VARCHAR)
+               WHEN 3 THEN '/files/doc' || CAST(doc_id AS VARCHAR) || '.pdf'
+               WHEN 4 THEN '/tmp/cache/' || CAST(doc_id AS VARCHAR)
+               WHEN 5 THEN '/tmp/keep/' || CAST(doc_id AS VARCHAR)
+               ELSE '/files/doc' || CAST(doc_id AS VARCHAR) || '.pdfx'
+             END AS path
+      FROM documents WHERE doc_id < 700
+    )
+    SELECT doc_id, path,
+           CASE
+             WHEN path LIKE '/private/public%' THEN TRUE
+             WHEN path LIKE '/tmp/keep/%' THEN TRUE
+             WHEN path LIKE '/private/%' THEN FALSE
+             WHEN regexp_matches(path, '^/.*\.pdf$') THEN FALSE
+             WHEN path LIKE '/tmp%' THEN FALSE
+             ELSE TRUE
+           END AS allowed
+    FROM p
+    """,
+)
+def robots_url_filter_q(spark, sf_dir):
+    """robots.txt URL filtering (RFC 9309; §2.12 acquisition tier — the
+    crawl-etiquette gate between WARC ingest and curation): the rule
+    file parses ONCE driver-side (control-plane, KBs by spec), group
+    selection picks the crawler's own group over the deny-everything
+    ``*`` fallback, and the longest-match allow/disallow verdict
+    compiles to ONE ordered CASE chain over the path column — pure
+    JVM-side prefix/regex algebra, no UDF, no shuffle; pushes like any
+    predicate.  The oracle replays the same longest-match order as a
+    SQL CASE: equality proves wildcard, ``$``-anchor, longest-match,
+    and allow-tie semantics.  llm/robots.py."""
+    from apache_nifi_spark.llm.robots import robots_filter
+
+    robots_txt = """
+# corpus crawler policy
+User-agent: databot
+Disallow: /private/
+Allow: /private/public*
+Disallow: /*.pdf$
+Disallow: /tmp
+Allow: /tmp/keep/
+
+User-agent: *
+Disallow: /
+"""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 700)
+    ds = F.col("doc_id").cast("string")
+    paths = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.lit("/articles/"), ds))
+        .when(F.col("doc_id") % 7 == 1, F.concat(F.lit("/private/"), ds))
+        .when(F.col("doc_id") % 7 == 2,
+              F.concat(F.lit("/private/public/"), ds))
+        .when(F.col("doc_id") % 7 == 3,
+              F.concat(F.lit("/files/doc"), ds, F.lit(".pdf")))
+        .when(F.col("doc_id") % 7 == 4, F.concat(F.lit("/tmp/cache/"), ds))
+        .when(F.col("doc_id") % 7 == 5, F.concat(F.lit("/tmp/keep/"), ds))
+        .otherwise(F.concat(F.lit("/files/doc"), ds, F.lit(".pdfx")))
+        .alias("path"),
+    )
+    return robots_filter(paths, robots_txt, "path", agent="databot")
+
+
 _FTP_STAGE: dict[str, tuple] = {}
 
 

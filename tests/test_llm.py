@@ -1920,3 +1920,63 @@ def test_warc_multi_member_gzip_and_malformed_framing():
     bad = plain.replace(b"Content-Length: 13", b"Content-Length: 9999", 1)
     with pytest.raises(ValueError, match="overruns"):
         parse_warc(bad)
+
+
+def test_robots_rfc9309_semantics(spark):
+    """RFC 9309 invariants: longest-match wins, allow wins a length
+    tie, empty disallow allows, unmatched paths allow, the $ anchor
+    binds, group selection prefers the longest matching user-agent and
+    falls back to *; the compiled column agrees with the driver-side
+    reference evaluator on every case."""
+    from pyspark.sql import functions as F
+
+    from apache_nifi_spark.llm.robots import (
+        parse_robots,
+        robots_filter,
+        robots_is_allowed,
+    )
+
+    txt = """
+User-agent: megabot
+Disallow: /
+
+User-agent: databot
+Disallow: /a
+Allow: /a$
+Disallow: /b*.x$
+Allow: /c
+Disallow: /c
+Disallow:
+
+User-agent: *
+Allow: /
+"""
+    rules = parse_robots(txt, "databot")
+    cases = {
+        "/a": True,       # tie length? '/a$' (3) beats '/a' (2) → allow
+        "/ab": False,     # only '/a' matches
+        "/b123.x": False, # wildcard + anchor
+        "/b123.xy": True, # anchor miss → no rule → allowed
+        "/c": True,       # exact tie '/c' vs '/c' → allow wins
+        "/zzz": True,     # no rule
+    }
+    for path, want in cases.items():
+        assert robots_is_allowed(rules, path) == want, path
+    # star fallback when no specific group matches
+    assert robots_is_allowed(parse_robots(txt, "otherbot"), "/a") is True
+    # megabot gets its own deny-everything group
+    assert robots_is_allowed(parse_robots(txt, "megabot"), "/zzz") is False
+
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(cases)], ["i", "path"]
+    )
+    got = {
+        r["path"]: r["allowed"]
+        for r in robots_filter(df, txt, "path", agent="databot").collect()
+    }
+    assert got == cases
+    plan = (
+        robots_filter(df, txt, "path", agent="databot")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
