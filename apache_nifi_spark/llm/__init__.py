@@ -66,6 +66,16 @@ from apache_nifi_spark.llm.pack import pack_greedy, shard_layout  # noqa: F401
 from apache_nifi_spark.llm.pca import dominant_direction  # noqa: F401
 from apache_nifi_spark.llm.coreset import kcenter_coreset  # noqa: F401
 from apache_nifi_spark.llm.bloom import bloom_decontaminate  # noqa: F401
+from apache_nifi_spark.llm.warc import (  # noqa: F401
+    encode_warc_gz,
+    parse_warc,
+    warc_responses,
+)
+from apache_nifi_spark.llm.robots import (  # noqa: F401
+    parse_robots,
+    robots_filter,
+    robots_is_allowed,
+)
 from apache_nifi_spark.llm.sketch import countmin_heavy_hitters  # noqa: F401
 from apache_nifi_spark.llm.cluster import (  # noqa: F401
     connected_components,

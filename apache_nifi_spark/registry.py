@@ -8243,6 +8243,63 @@ Disallow: /
     return robots_filter(paths, robots_txt, "path", agent="databot")
 
 
+@register(
+    "sitemap_url_extract",
+    oracle="""
+    SELECT doc_id,
+           'http://example.com/' || CAST(doc_id AS VARCHAR) || '/page' ||
+             CAST(i AS VARCHAR) AS loc,
+           '2024-0' || CAST(1 + (doc_id + i) % 9 AS VARCHAR) || '-01'
+             AS lastmod,
+           CAST((5 + (doc_id + i) % 5) / 10.0 AS DOUBLE) AS priority
+    FROM documents, LATERAL unnest(generate_series(0, 2)) t(i)
+    WHERE doc_id < 500 AND i <= doc_id % 3
+    """,
+)
+def sitemap_url_extract_q(spark, sf_dir):
+    """Sitemap protocol parsing (sitemaps.org, the acquisition-tier
+    companion of robots.txt/WARC): per-host ``<urlset>`` documents —
+    built as pure column expressions — parse ENTIRELY JVM-side with
+    Spark's ``from_xml`` into typed (loc, lastmod, priority) rows, one
+    explode to URL grain.  No UDF, no Python; the XML never leaves
+    Tungsten.  Oracle regenerates the url table arithmetically —
+    equality proves build → XML → schema-parse → explode is lossless,
+    priorities decimal-exact."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    ds = F.col("doc_id").cast("string")
+    i = F.explode(F.sequence(F.lit(0), F.col("doc_id") % 3)).alias("i")
+    urls = d.select("doc_id", i).select(
+        "doc_id",
+        F.concat(
+            F.lit("<url><loc>http://example.com/"), ds, F.lit("/page"),
+            F.col("i").cast("string"),
+            F.lit("</loc><lastmod>2024-0"),
+            (1 + (F.col("doc_id") + F.col("i")) % 9).cast("string"),
+            F.lit("-01</lastmod><priority>0."),
+            (5 + (F.col("doc_id") + F.col("i")) % 5).cast("string"),
+            F.lit("</priority></url>"),
+        ).alias("u"),
+    )
+    sitemaps = urls.groupBy("doc_id").agg(
+        F.concat(
+            F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+            F.concat_ws("", F.sort_array(F.collect_list("u"))),
+            F.lit("</urlset>"),
+        ).alias("xml")
+    )
+    parsed = sitemaps.select(
+        "doc_id",
+        F.from_xml(
+            "xml",
+            "url ARRAY<STRUCT<loc: STRING, lastmod: STRING,"
+            " priority: DOUBLE>>",
+        ).alias("s"),
+    )
+    return parsed.select("doc_id", F.explode("s.url").alias("u")).select(
+        "doc_id", "u.loc", "u.lastmod", "u.priority"
+    )
+
+
 _FTP_STAGE: dict[str, tuple] = {}
 
 
