@@ -8300,6 +8300,81 @@ def sitemap_url_extract_q(spark, sf_dir):
     )
 
 
+@register(
+    "html_main_content",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             'content paragraph zero for document ' ||
+               CAST(doc_id AS VARCHAR) || ' filler words ' ||
+               CAST(doc_id % 7 AS VARCHAR) AS p0,
+             'content paragraph one for document ' ||
+               CAST(doc_id AS VARCHAR) || ' extra filler tokens here' AS p1
+      FROM documents WHERE doc_id < 500
+    ), m AS (
+      SELECT doc_id,
+             CAST(4 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INT)
+               AS n_blocks,
+             CAST(1 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INT)
+               AS n_kept,
+             p0 || CASE WHEN doc_id % 2 = 0 THEN chr(10) || p1 ELSE '' END
+               AS main_text
+      FROM p
+    )
+    SELECT doc_id, n_blocks, n_kept,
+           CAST(length(main_text) AS BIGINT) AS main_len, main_text
+    FROM m
+    """,
+)
+def html_main_content_q(spark, sf_dir):
+    """HTML main-content extraction / boilerplate removal (§2.12 — the
+    step between WARC response bodies and every text tier, the public
+    jusText/trafilatura block heuristics): script/style subtrees drop,
+    text gathers into block-level segments, and a block survives on the
+    two load-bearing rules — ≥ min-words AND link density ≤ 0.4 — so a
+    link-only nav, a 2-word heading, and a 1-word footer all drop while
+    the content paragraphs survive.  Deterministic by construction; the
+    oracle regenerates the surviving text arithmetically, proving the
+    parse → block → keep pipeline verbatim (llm/extract.py).
+    Arrow-batched mapInPandas, map-only."""
+    import pandas as pd  # noqa: F811
+
+    from apache_nifi_spark.llm.extract import html_main_text
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            contents = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                p1 = (
+                    f"<p>content paragraph one for document {d}"
+                    " extra filler tokens here</p>" if d % 2 == 0 else ""
+                )
+                contents.append(
+                    "<html><head><script>var x=1;</script>"
+                    "<style>.x{color:red}</style></head><body>"
+                    '<nav><a href="/">home link text here</a> '
+                    '<a href="/b">about page link text</a></nav>'
+                    "<h1>short title</h1>"
+                    f"<p>content paragraph zero for document {d}"
+                    f" filler words {d % 7}</p>"
+                    f"{p1}"
+                    "<footer>copyright</footer>"
+                    "</body></html>"
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "content": contents})
+
+    pages = base.mapInPandas(synth, "doc_id long, content string")
+    return html_main_text(pages)
+
+
 _FTP_STAGE: dict[str, tuple] = {}
 
 

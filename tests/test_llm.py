@@ -1980,3 +1980,30 @@ Allow: /
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_html_main_text_block_rules():
+    """Boilerplate-removal rules on crafted markup: script/style
+    subtrees vanish, link-dense navs drop, short headings drop, nested
+    anchors count toward link density, entity references decode, and
+    the survivor text normalizes whitespace."""
+    from apache_nifi_spark.llm.extract import extract_main_text
+
+    html = (
+        "<html><head><script>skip me entirely</script></head><body>"
+        "<nav><a href='/'>one two three four five six</a></nav>"
+        "<h2>tiny heading</h2>"
+        "<p>this paragraph has plenty of ordinary   words\n"
+        "and it survives the &amp; filter</p>"
+        "<div>mixed block with <a href='x'>a tiny link</a> inside a lot"
+        " of ordinary prose that keeps density low</div>"
+        "<footer><a>x</a></footer></body></html>"
+    )
+    text, n_blocks, n_kept = extract_main_text(html)
+    lines = text.split("\n")
+    assert n_kept == 2 and len(lines) == 2
+    assert lines[0] == ("this paragraph has plenty of ordinary words"
+                        " and it survives the & filter")
+    assert lines[1].startswith("mixed block with a tiny link")
+    assert "skip me" not in text and "tiny heading" not in text
+    assert n_blocks == 5  # nav, h2, p, div, footer
