@@ -8375,6 +8375,101 @@ def html_main_content_q(spark, sf_dir):
     return html_main_text(pages)
 
 
+@register(
+    "web_pipeline_full",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             'crawled article text for document ' ||
+               CAST(doc_id AS VARCHAR) || ' body words repeated ' ||
+               repeat('token ', 3 + doc_id % 5) || 'end' AS para
+      FROM documents WHERE doc_id < 400 AND doc_id % 3 != 2
+    )
+    SELECT doc_id,
+           'http://example.com/' || CAST(doc_id AS VARCHAR) || '/0' AS url,
+           CAST(length(para) AS BIGINT) AS main_len,
+           CAST(10 + (3 + doc_id % 5) AS BIGINT) AS n_words
+    FROM p
+    """,
+)
+def web_pipeline_full_q(spark, sf_dir):
+    """The ACQUISITION PIPELINE composed end to end (§2.12): WARC
+    shards (one gzip member per record) → response extraction →
+    robots.txt gate (RFC 9309 longest match: /blocked/ paths drop) →
+    HTML main-content extraction (nav/footer boilerplate drops) →
+    whitespace token stats.  Every tier is individually oracled
+    elsewhere; this run proves they compose — the oracle regenerates
+    the surviving article text arithmetically, so one wrong byte in
+    container, gate, or extractor breaks equality.  Map-only except the
+    final projection; one task per shard."""
+    import pandas as pd  # noqa: F811
+
+    from apache_nifi_spark.llm.extract import html_main_text
+    from apache_nifi_spark.llm.robots import robots_filter
+    from apache_nifi_spark.llm.warc import encode_warc_gz, warc_responses
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            contents = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                para = (
+                    f"crawled article text for document {d} body words"
+                    f" repeated {'token ' * (3 + d % 5)}end"
+                )
+                path = f"/blocked/{d}/0" if d % 3 == 2 else f"/{d}/0"
+                html = (
+                    "<html><body><nav><a href='/'>home nav link text"
+                    " words</a></nav>"
+                    f"<p>{para}</p><footer>c</footer></body></html>"
+                )
+                recs = [
+                    ("request",
+                     {"WARC-Target-URI": f"http://example.com{path}"},
+                     b"GET / HTTP/1.1\r\n\r\n"),
+                    ("response",
+                     {"WARC-Target-URI": f"http://example.com{path}"},
+                     b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                     + html.encode()),
+                ]
+                contents.append(encode_warc_gz(recs))
+            yield pd.DataFrame({"shard_id": pdf["doc_id"],
+                                "content": contents})
+
+    shards = base.mapInPandas(synth, "shard_id long, content binary")
+    responses = warc_responses(shards)
+    gated = robots_filter(
+        responses.withColumn(
+            "path", F.regexp_replace("url", r"^https?://[^/]+", "")
+        ),
+        "User-agent: *\nDisallow: /blocked/\n",
+        "path",
+    ).filter(F.col("allowed"))
+    # pinned: the extract branch and the url branch both read this frame
+    # — without the pin each branch re-runs the WARC parse
+    gated = gated.localCheckpoint(eager=False)
+    extracted = html_main_text(
+        gated.select(F.col("shard_id").alias("doc_id"), "url",
+                     F.col("body").alias("content")).drop("url"),
+    )
+    urls = gated.select(F.col("shard_id").alias("doc_id"), "url")
+    out = extracted.join(F.broadcast(urls), "doc_id").select(
+        "doc_id",
+        "url",
+        "main_len",
+        F.size(
+            F.filter(F.split("main_text", r"\s+", -1), lambda t: t != "")
+        ).cast("bigint").alias("n_words"),
+    )
+    return out
+
+
 _FTP_STAGE: dict[str, tuple] = {}
 
 
