@@ -8470,6 +8470,62 @@ def web_pipeline_full_q(spark, sf_dir):
     return out
 
 
+@register(
+    "hypertable_rollup_tiers",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('minute', ts) AS bucket_ts, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(value AS DECIMAL(30,6))) AS s,
+             MIN(value) AS min_value, MAX(value) AS max_value
+      FROM events WHERE event_id % 11 = 0
+      GROUP BY 1, 2
+    ), h AS (
+      SELECT date_trunc('hour', bucket_ts) AS bucket_ts, event_type,
+             CAST(SUM(n) AS BIGINT) AS n, SUM(s) AS s,
+             MIN(min_value) AS min_value, MAX(max_value) AS max_value
+      FROM m GROUP BY 1, 2
+    ), d AS (
+      SELECT date_trunc('day', bucket_ts) AS bucket_ts, event_type,
+             CAST(SUM(n) AS BIGINT) AS n, SUM(s) AS s,
+             MIN(min_value) AS min_value, MAX(max_value) AS max_value
+      FROM h GROUP BY 1, 2
+    )
+    SELECT 'minute' AS grain, bucket_ts, event_type, n,
+           CAST(s AS DOUBLE) AS total_value,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS avg_value,
+           min_value, max_value FROM m
+    UNION ALL
+    SELECT 'hour', bucket_ts, event_type, n, CAST(s AS DOUBLE),
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE), min_value, max_value
+    FROM h
+    UNION ALL
+    SELECT 'day', bucket_ts, event_type, n, CAST(s AS DOUBLE),
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE), min_value, max_value
+    FROM d
+    """,
+)
+def hypertable_rollup_q(spark, sf_dir):
+    """Hypertable continuous-aggregate rollup (the TimescaleDB/Druid
+    time-hierarchy pattern the task brief names as a custom-operator
+    example): minute/hour/day tiers over the events stream where each
+    coarser grain re-aggregates the NEXT-FINER ROLLUP — the raw table
+    scans exactly once however many grains materialize (hour reads 60×
+    fewer rows than raw, day 24× fewer again).  Decomposable aggregates
+    only (count/sum/min/max; avg derived as one double divide), each
+    intermediate tier checkpoint-pinned because two consumers read it.
+    The oracle runs the identical tier-over-tier cascade — equality
+    proves the re-aggregation algebra, not just the final numbers.
+    operators/hypertable.py."""
+    from apache_nifi_spark.operators.hypertable import hypertable_rollup
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
+    return hypertable_rollup(
+        ev, "ts", "value", key_cols=["event_type"],
+        grains=["minute", "hour", "day"],
+    )
+
+
 _FTP_STAGE: dict[str, tuple] = {}
 
 

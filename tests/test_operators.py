@@ -837,3 +837,52 @@ def test_pgp_rfc4880_gpg_interop_and_mdc(spark):
     dec = decrypt_content_pgp(enc, "pw", "id")
     got = {r["id"]: bytes(r["content"]).decode() for r in dec.collect()}
     assert got == {i: f"doc-{i}" for i in range(30)}
+
+
+def test_hypertable_rollup_reaggregation_algebra(spark):
+    """The coarser tier must equal a direct aggregation of the raw data
+    at that grain (the re-aggregable invariant: sum-of-sums, min-of-mins
+    over the finer tier loses nothing), grains validate, and the tier
+    column accounts for every bucket."""
+    import datetime as dt
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from apache_nifi_spark.operators.hypertable import hypertable_rollup
+
+    rows = []
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    for i in range(500):
+        rows.append((
+            base + dt.timedelta(seconds=37 * i),
+            "k%d" % (i % 3),
+            float((i * 7) % 101) / 4.0,
+        ))
+    df = spark.createDataFrame(rows, ["ts", "event_type", "value"])
+    out = hypertable_rollup(df, "ts", "value", ["event_type"],
+                            ["minute", "hour", "day"]).cache()
+
+    direct_hour = {
+        (r["b"], r["event_type"]): (r["n"], r["s"], r["mn"], r["mx"])
+        for r in df.groupBy(
+            F.date_trunc("hour", "ts").alias("b"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+            .alias("s"),
+            F.min("value").alias("mn"), F.max("value").alias("mx"),
+        ).collect()
+    }
+    rolled_hour = {
+        (r["bucket_ts"], r["event_type"]):
+            (r["n"], r["total_value"], r["min_value"], r["max_value"])
+        for r in out.filter(F.col("grain") == "hour").collect()
+    }
+    assert rolled_hour == direct_hour
+    # every tier present; finer tiers have at least as many buckets
+    sizes = {r["grain"]: r["c"] for r in out.groupBy("grain")
+             .agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert sizes["minute"] >= sizes["hour"] >= sizes["day"] >= 1
+    with pytest.raises(ValueError, match="finest-first"):
+        hypertable_rollup(df, "ts", "value", grains=["day", "minute"])
