@@ -8526,6 +8526,75 @@ def hypertable_rollup_q(spark, sf_dir):
     )
 
 
+def _pagerank_oracle(iters: int = 3) -> str:
+    """Unrolled integer-exact PageRank twin of
+    llm/graph.pagerank_fixed_point over the customer→supplier link
+    graph: every contribution is the same ``(r·85) // (100·deg)``
+    integer division, every inbound sum exact — K CTE rounds replay the
+    engine bit-for-bit."""
+    blocks = [
+        """e AS MATERIALIZED (
+      SELECT o_custkey AS s, l_suppkey + 1000000 AS d
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE l_orderkey % 13 = 0
+    ),
+    deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS dg FROM e GROUP BY s),
+    nodes AS (SELECT DISTINCT x AS n_ FROM
+              (SELECT s AS x FROM e UNION ALL SELECT d FROM e)),
+    k AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+                 CAST(1000000 // COUNT(*) AS BIGINT) AS init,
+                 CAST((1000000 * 15) // (100 * COUNT(*)) AS BIGINT) AS b
+          FROM nodes),
+    r0 AS (SELECT n_, init AS r FROM nodes, k)"""
+    ]
+    for t in range(1, iters + 1):
+        blocks.append(
+            f"""c{t} AS (
+      SELECT e.d AS n_, CAST(SUM((r.r * 85) // (100 * deg.dg)) AS BIGINT)
+               AS inn
+      FROM e JOIN deg ON deg.s = e.s JOIN r{t - 1} r ON r.n_ = e.s
+      GROUP BY e.d
+    ),
+    r{t} AS (
+      SELECT nodes.n_,
+             CAST(k.b + COALESCE(c.inn, 0) AS BIGINT) AS r
+      FROM nodes LEFT JOIN c{t} c ON c.n_ = nodes.n_, k
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + f"""
+    SELECT n_ AS node, r AS rank,
+           CAST(r AS DOUBLE) / 1000000.0 AS rank_frac
+    FROM r{iters}"""
+    )
+
+
+@register("graph_pagerank_links", oracle=_pagerank_oracle())
+def graph_pagerank_q(spark, sf_dir):
+    """Deterministic fixed-point PageRank (§2.12 graph tier) over the
+    customer→supplier link multigraph (orders⋈lineitem, every line one
+    link): integer ranks at 1e-6 scale, per-edge contributions as exact
+    integer divisions, inbound sums exact bigints — partition order
+    cannot move a bit, so the unrolled SQL twin reproduces all three
+    rounds exactly.  Scale shape: edges partitioned by source once and
+    pinned; one join + one map-side-combined agg per round; per-round
+    ranks checkpoint-pinned (constant plan depth, kmeans precedent);
+    the only collect is the node count.  llm/graph.py."""
+    from apache_nifi_spark.llm.graph import pagerank_fixed_point
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 13 == 0
+    ).select("l_orderkey", "l_suppkey")
+    edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + 1_000_000).alias("dst"),
+    )
+    return pagerank_fixed_point(edges, "src", "dst", iters=3)
+
+
 _FTP_STAGE: dict[str, tuple] = {}
 
 

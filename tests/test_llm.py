@@ -2007,3 +2007,46 @@ def test_html_main_text_block_rules():
     assert lines[1].startswith("mixed block with a tiny link")
     assert "skip me" not in text and "tiny heading" not in text
     assert n_blocks == 5  # nav, h2, p, div, footer
+
+
+def test_pagerank_fixed_point_known_graph_and_invariance(spark):
+    """Hand-checked: on the symmetric 3-cycle the uniform vector is
+    the stationary distribution — base (S·15)//(100·3) = 50000 plus one
+    inbound contribution (333333·85)//(100·1) = 283333 reproduces
+    333333 exactly, every round.  On the 1→{2,3} star the dangling
+    leaves keep base+half-share and the root keeps only base (dropped
+    dangling mass, as documented).  Partition-invariant, and plan depth
+    is constant in the iteration count."""
+    from pyspark.sql import functions as F
+
+    from apache_nifi_spark.llm.graph import pagerank_fixed_point
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], ["src", "dst"]
+    )
+    for it in (1, 3):
+        out = {r["node"]: r["rank"]
+               for r in pagerank_fixed_point(edges, iters=it).collect()}
+        assert out == {1: 333333, 2: 333333, 3: 333333}, it
+
+    # dangling mass drops: star 1→2, 1→3 (2 and 3 dangle)
+    star = spark.createDataFrame([(1, 2), (1, 3)], ["src", "dst"])
+    got = {r["node"]: r["rank"]
+           for r in pagerank_fixed_point(star, iters=1).collect()}
+    # init 333333, contribution (333333*85)//(100*2)=141666, base 50000
+    assert got == {1: 50000, 2: 191666, 3: 191666}
+
+    big = spark.createDataFrame(
+        [(i % 17, (i * 7) % 23 + 100) for i in range(300)], ["src", "dst"]
+    )
+    a = sorted(map(tuple, pagerank_fixed_point(big, iters=3)
+                   .select("node", "rank").collect()))
+    b = sorted(map(tuple, pagerank_fixed_point(big.repartition(7), iters=3)
+                   .select("node", "rank").collect()))
+    assert a == b
+
+    def depth(iters):
+        df = pagerank_fixed_point(big, iters=iters)
+        return df._jdf.queryExecution().executedPlan().toString().count("\n")
+
+    assert abs(depth(4) - depth(2)) <= 5  # constant, not O(iters)
