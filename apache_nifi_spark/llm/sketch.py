@@ -31,7 +31,88 @@ from pyspark.sql import functions as F
 
 from apache_nifi_spark.llm.pca import _packed_arr
 
-__all__ = ["countmin_heavy_hitters"]
+__all__ = ["countmin_heavy_hitters", "histogram_quantiles"]
+
+
+def histogram_quantiles(
+    df,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+    probs: list[float],
+):
+    """MERGEABLE fixed-boundary histogram quantile sketch (the
+    decomposable alternative to t-digest/GK when estimates may be
+    bucket-grained): one map-side-combined aggregation to ≤``bins``
+    counts, cumulative sum over the bounded bucket table, and each
+    requested quantile reads the first bucket whose cumulative count
+    reaches ``ceil(p·N)``; the estimate is that bucket's UPPER edge
+    (error ≤ one bucket width by construction, and counts from disjoint
+    shards merge by addition — the property t-digest only approximates).
+
+    Determinism: the bucket index is ``floor((v−lo)·bins/(hi−lo))``
+    clamped into range — three correctly-rounded IEEE ops, so Spark and
+    the SQL oracle bucket every value identically; ranks are exact
+    integers.
+
+    Scale shape: the only corpus-grain operation is the bucket
+    aggregation (output ≤ bins rows); the cumulative window and the
+    prob join run on the bounded bucket table (a ≤bins-row single
+    partition — control-plane sized by construction, not corpus
+    sized).  Returns (prob, rank, q_est).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    width_num = float(hi - lo)
+    idx = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                (F.col(value_col) - F.lit(float(lo)))
+                * F.lit(float(bins))
+                / F.lit(width_num)
+            ).cast("int"),
+        ),
+    )
+    counts = (
+        df.select(idx.alias("_b"))
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "_b",
+        F.sum("_c").over(w).alias("_cum"),
+        F.sum("_c").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_n"),
+    )
+    sess = df.sparkSession
+    pf = sess.createDataFrame([(p,) for p in probs], "prob double")
+    hit = (
+        cum.crossJoin(F.broadcast(pf))
+        .filter(F.col("_cum") >= F.ceil(F.col("prob") * F.col("_n")))
+        .groupBy("prob")
+        .agg(
+            F.min("_b").alias("_qb"),
+            F.max(F.ceil(F.col("prob") * F.col("_n"))).alias("rank"),
+        )
+    )
+    return hit.select(
+        "prob",
+        "rank",
+        (
+            F.lit(float(lo))
+            + (F.col("_qb") + 1).cast("double")
+            * F.lit(width_num)
+            / F.lit(float(bins))
+        ).alias("q_est"),
+    )
 
 
 def countmin_heavy_hitters(

@@ -22,10 +22,72 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hypertable_rollup"]
+__all__ = ["hypertable_rollup", "gapfill_locf"]
 
 #: supported grains, finest first; each derives from its predecessor
 _GRAINS = ["minute", "hour", "day", "week", "month"]
+
+#: seconds per supported gapfill stride
+_STRIDE_S = {"minute": 60, "hour": 3600, "day": 86400}
+
+
+def gapfill_locf(
+    rolled: DataFrame,
+    grain: str,
+    key_cols: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """``time_bucket_gapfill`` + LOCF (the TimescaleDB read-time pair):
+    materialize EVERY calendar bucket between each key's first and last
+    observed bucket, then carry the last observation forward into the
+    gaps (``filled`` marks synthesized rows).
+
+    Spark shape: per-key min/max bounds (one map-side-combined agg) →
+    ``sequence()`` + ``explode`` generates the calendar spine WITHOUT a
+    join against a numbers table → left join back to the rollup on
+    (key, bucket) → one ``last(ignorenulls)`` window per value column,
+    partitioned BY KEY (bounded sort per key, never corpus-global).
+    The spine is calendar-bounded — at 100 TB it is still
+    (keys × buckets-in-range), independent of row count."""
+    if grain not in _STRIDE_S:
+        raise ValueError(f"gapfill grain must be one of {list(_STRIDE_S)}")
+    from pyspark.sql import Window
+
+    stride = _STRIDE_S[grain]
+    bounds = rolled.groupBy(*key_cols).agg(
+        F.min("bucket_ts").alias("_lo"), F.max("bucket_ts").alias("_hi")
+    )
+    spine = bounds.select(
+        *key_cols,
+        F.explode(
+            F.sequence(
+                F.col("_lo").cast("timestamp"),
+                F.col("_hi").cast("timestamp"),
+                F.expr(f"INTERVAL {stride} SECOND"),
+            )
+        ).alias("bucket_ts"),
+    ).select(
+        *key_cols,
+        F.col("bucket_ts").cast(dict(rolled.dtypes)["bucket_ts"])
+        .alias("bucket_ts"),
+    )
+    joined = spine.join(rolled, [*key_cols, "bucket_ts"], "left")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = F.col(value_cols[0]).isNull()
+    out = joined.select(
+        *key_cols,
+        "bucket_ts",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(c)
+            for c in value_cols
+        ],
+        filled.alias("filled"),
+    )
+    return out
 
 
 def hypertable_rollup(

@@ -8595,6 +8595,105 @@ def graph_pagerank_q(spark, sf_dir):
     return pagerank_fixed_point(edges, "src", "dst", iters=3)
 
 
+@register(
+    "hypertable_gapfill_locf",
+    oracle="""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS b, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS s
+      FROM events WHERE event_id % 17 = 0 GROUP BY 1, 2
+    ), bounds AS (
+      SELECT event_type, MIN(b) AS lo, MAX(b) AS hi FROM h GROUP BY 1
+    ), spine AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+      FROM bounds
+    ), j AS (
+      SELECT sp.event_type, sp.b, h.n, h.s, h.n IS NULL AS filled
+      FROM spine sp LEFT JOIN h
+        ON h.event_type = sp.event_type AND h.b = sp.b
+    )
+    SELECT event_type, b AS bucket_ts,
+           last_value(n IGNORE NULLS) OVER
+             (PARTITION BY event_type ORDER BY b
+              ROWS UNBOUNDED PRECEDING) AS n,
+           last_value(s IGNORE NULLS) OVER
+             (PARTITION BY event_type ORDER BY b
+              ROWS UNBOUNDED PRECEDING) AS total_value,
+           filled
+    FROM j
+    """,
+)
+def hypertable_gapfill_q(spark, sf_dir):
+    """time_bucket_gapfill + LOCF (the TimescaleDB read-time pair on
+    top of the continuous aggregate): the hourly rollup's calendar gaps
+    materialize from a ``sequence()+explode`` spine (no numbers-table
+    join; spine size is keys × calendar range, independent of row
+    count), and the last observation carries forward per key with one
+    bounded per-key window.  ``filled`` marks synthesized rows.  The
+    oracle replays spine + LOCF with generate_series and IGNORE NULLS —
+    carried values are copies, so no float policy is needed.
+    operators/hypertable.py."""
+    from apache_nifi_spark.operators.hypertable import (
+        gapfill_locf,
+        hypertable_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 17 == 0)
+    hourly = hypertable_rollup(
+        ev, "ts", "value", key_cols=["event_type"], grains=["hour"]
+    ).select("event_type", "bucket_ts", "n", "total_value")
+    return gapfill_locf(
+        hourly, "hour", ["event_type"], ["n", "total_value"]
+    )
+
+
+@register(
+    "quantile_histogram_sketch",
+    oracle="""
+    WITH b AS (
+      SELECT LEAST(219, GREATEST(0,
+               CAST(floor((l_extendedprice - 0.0) * 220.0 / 110000.0)
+                    AS INT))) AS bb
+      FROM lineitem
+    ), c AS (
+      SELECT bb, CAST(COUNT(*) AS BIGINT) AS cc FROM b GROUP BY bb
+    ), cum AS (
+      SELECT bb,
+             SUM(cc) OVER (ORDER BY bb ROWS UNBOUNDED PRECEDING) AS cm,
+             SUM(cc) OVER () AS n
+      FROM c
+    ), p AS (SELECT unnest([0.5, 0.9, 0.95, 0.99]) AS prob),
+    hit AS (
+      SELECT prob, MIN(bb) AS qb,
+             MAX(CAST(ceil(prob * n) AS BIGINT)) AS rank
+      FROM cum, p WHERE cm >= ceil(prob * n) GROUP BY prob
+    )
+    SELECT prob, rank,
+           0.0 + CAST(qb + 1 AS DOUBLE) * 110000.0 / 220.0 AS q_est
+    FROM hit
+    """,
+)
+def quantile_histogram_q(spark, sf_dir):
+    """Mergeable fixed-boundary histogram quantiles (§2.12 sketch tier —
+    the decomposable alternative to t-digest: shard histograms merge by
+    ADDITION, so the sketch distributes exactly): l_extendedprice
+    buckets into 220 fixed bins with three correctly-rounded IEEE ops
+    (bit-identical bucketing cross-engine), one map-side-combined agg to
+    ≤220 counts, and each quantile reads the first bucket whose exact
+    cumulative rank reaches ceil(p·N) — estimate = bucket upper edge,
+    error ≤ one bin width by construction.  The cumulative window runs
+    on the bounded bucket table (control-plane sized), never the
+    corpus.  llm/sketch.histogram_quantiles."""
+    from apache_nifi_spark.llm.sketch import histogram_quantiles
+
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    return histogram_quantiles(
+        li, "l_extendedprice", 0.0, 110000.0, 220, [0.5, 0.9, 0.95, 0.99]
+    )
+
+
 _FTP_STAGE: dict[str, tuple] = {}
 
 

@@ -2050,3 +2050,36 @@ def test_pagerank_fixed_point_known_graph_and_invariance(spark):
         return df._jdf.queryExecution().executedPlan().toString().count("\n")
 
     assert abs(depth(4) - depth(2)) <= 5  # constant, not O(iters)
+
+
+def test_histogram_quantiles_sketch_properties(spark):
+    """Sketch invariants: estimates are bucket upper edges within one
+    bin width ABOVE the exact quantile; shard histograms merge by
+    addition (whole == union of halves); partition-invariant."""
+    from pyspark.sql import functions as F
+
+    from apache_nifi_spark.llm.sketch import histogram_quantiles
+
+    df = spark.range(1, 1001).select(
+        (F.col("id").cast("double")).alias("v")
+    )
+    probs = [0.25, 0.5, 0.9, 0.99]
+    got = {
+        r["prob"]: (r["rank"], r["q_est"])
+        for r in histogram_quantiles(df, "v", 0.0, 1000.0, 100, probs)
+        .collect()
+    }
+    for p in probs:
+        exact = p * 1000  # values are 1..1000 uniformly
+        rank, est = got[p]
+        assert rank == -(-1000 * p // 1)  # ceil(p*N)
+        assert exact <= est <= exact + 10 + 1e-9, (p, est)
+
+    # mergeability: computing over any partitioning is identical
+    got7 = {
+        r["prob"]: (r["rank"], r["q_est"])
+        for r in histogram_quantiles(
+            df.repartition(7), "v", 0.0, 1000.0, 100, probs
+        ).collect()
+    }
+    assert got7 == got
