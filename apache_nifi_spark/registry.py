@@ -5283,6 +5283,75 @@ def stream_tumbling_q(spark, sf_dir):
 
 
 @register(
+    "stream_hypertable_rollup",
+    oracle="""
+    WITH h AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS b, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(value AS DECIMAL(30,6))) AS s,
+             MIN(value) AS mn, MAX(value) AS mx
+      FROM events WHERE event_id % 7 = 0 GROUP BY 1, 2
+    ), d AS (
+      SELECT date_trunc('day', b) AS b, event_type,
+             CAST(SUM(n) AS BIGINT) AS n, SUM(s) AS s,
+             MIN(mn) AS mn, MAX(mx) AS mx
+      FROM h GROUP BY 1, 2
+    )
+    SELECT 'hour' AS grain, b AS bucket_ts, event_type, n,
+           CAST(s AS DOUBLE) AS total_value, mn AS min_value,
+           mx AS max_value FROM h
+    UNION ALL
+    SELECT 'day', b, event_type, n, CAST(s AS DOUBLE), mn, mx FROM d
+    """,
+)
+def stream_hypertable_q(spark, sf_dir):
+    """The hypertable pattern under Structured Streaming: the HOUR tier
+    materializes from the live stream (tumbling window agg, availableNow
+    drain — the continuous-aggregate refresh), and the DAY tier derives
+    from the drained hour tier batch-side, never re-reading the raw
+    stream — exactly how a Timescale continuous aggregate cascades
+    refreshes.  Decomposable aggregates only, so the streaming hop loses
+    nothing: the oracle computes the identical cascade from the fixture
+    in batch SQL."""
+    from apache_nifi_spark.streaming import run_to_memory, stream_events
+
+    sdf = stream_events(spark, sf_dir).filter(F.col("event_id") % 7 == 0)
+    agg = (
+        sdf.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("_s"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    hour = run_to_memory(agg, output_mode="complete").select(
+        F.col("window.start").alias("bucket_ts"),
+        "event_type", "n", "_s", "min_value", "max_value",
+    )
+    day = (
+        hour.groupBy(
+            F.date_trunc("day", "bucket_ts").alias("bucket_ts"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("_s").alias("_s"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+    tiers = hour.select(F.lit("hour").alias("grain"), "*").unionByName(
+        day.select(F.lit("day").alias("grain"), "*")
+    )
+    return tiers.select(
+        "grain", "bucket_ts", "event_type", "n",
+        F.col("_s").cast("double").alias("total_value"),
+        "min_value", "max_value",
+    )
+
+
+@register(
     "stream_sliding_window",
     oracle="""
     WITH k AS (SELECT * FROM (VALUES (0), (1)) t(i))
