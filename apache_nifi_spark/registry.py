@@ -8763,6 +8763,111 @@ def quantile_histogram_q(spark, sf_dir):
     )
 
 
+@register(
+    "funnel_ordered_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT v.user_id, v.t1, c.t2, p.t3,
+           CAST(1 + CASE WHEN c.t2 IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN p.t3 IS NULL THEN 0 ELSE 1 END AS INT)
+             AS steps_reached
+    FROM v LEFT JOIN c ON c.user_id = v.user_id
+           LEFT JOIN p ON p.user_id = v.user_id
+    """,
+)
+def funnel_ordered_q(spark, sf_dir):
+    """ORDERED funnel conversion (event-analytics tier: the
+    view→click→purchase sequence where each step must follow the
+    previous step's FIRST occurrence in event time — not the unordered
+    union the plain funnel computes).  Shape: per-step user-grain
+    ``min(ts)`` aggregates, each BROADCAST back onto the corpus-sized
+    event stream to time-bound the next step — three passes, zero
+    corpus-side shuffles beyond the per-step partial aggs; the
+    user-grain frames are the small side at any corpus scale."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id", "t1", "t2", "t3",
+            (
+                F.lit(1)
+                + F.col("t2").isNotNull().cast("int")
+                + F.col("t3").isNotNull().cast("int")
+            ).alias("steps_reached"),
+        )
+    )
+
+
+@register(
+    "cohort_retention_curve",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+      FROM events GROUP BY 1
+    ), a AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+      FROM events
+    )
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.d) AS INT) AS day_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_users
+    FROM a JOIN f ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_q(spark, sf_dir):
+    """Cohort retention (event-analytics tier): users cohort by
+    first-activity day, every (cohort, day-offset) cell counts the
+    distinct users still active — the retention curve every product
+    pipeline materializes.  Shape: one user-grain first-day agg
+    (broadcast dimension), one distinct (user, day) projection of the
+    corpus, one bounded join + agg — output is calendar², independent
+    of event count."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    f = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    a = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    return (
+        a.join(F.broadcast(f), "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("d", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
 _FTP_STAGE: dict[str, tuple] = {}
 
 
