@@ -8868,6 +8868,99 @@ def cohort_retention_q(spark, sf_dir):
     )
 
 
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM s WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def event_transition_q(spark, sf_dir):
+    """Per-user event-type transition matrix (event-analytics tier —
+    the Markov-chain counts behind next-action prediction and funnel
+    discovery): one ``lead`` window PER USER (bounded sort, never
+    corpus-global; (ts, event_id) total order so ties are
+    deterministic) then a map-side-combined count to the types² grid —
+    output bounded by the type vocabulary regardless of event count."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type",
+                                            "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        s.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "inverted_index_postings",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(
+               list_filter(regexp_split_to_array(lower(text),
+                                                 '[^a-z0-9'']+'),
+                           x -> x != '')) AS token
+      FROM documents WHERE doc_id < 600
+    )
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS doc_freq,
+           list(doc_id ORDER BY doc_id) AS postings
+    FROM tok GROUP BY token
+    HAVING COUNT(*) >= 50
+    """,
+)
+def inverted_index_q(spark, sf_dir):
+    """Inverted-index build (search tier — the classic distributed
+    indexing workload): distinct (doc, token) pairs → per-token sorted
+    posting lists + document frequency, thresholded to the terms worth
+    a dictionary entry.  Shape: one explode + distinct (map-side
+    combine collapses in-doc repeats before the only shuffle), then
+    ``sort_array(collect_set(...))`` per token — deterministic posting
+    order, skew bounded by the df threshold's Zipf head.  At real scale
+    the posting arrays shard by (token, doc range) — a layout change,
+    not an algebra change."""
+    d = io.widen_if_narrow(
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 600)
+        .select("doc_id", "text")
+    )
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower("text"), r"[^a-z0-9']+", -1),
+                    lambda t: t != "",
+                )
+            )
+        ).alias("token"),
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.sort_array(F.collect_set("doc_id")).alias("postings"),
+        )
+        .filter(F.col("doc_freq") >= 50)
+    )
+
+
 _FTP_STAGE: dict[str, tuple] = {}
 
 
