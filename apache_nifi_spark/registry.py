@@ -8961,6 +8961,106 @@ def inverted_index_q(spark, sf_dir):
     )
 
 
+@register(
+    "search_bm25_scores",
+    oracle="""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, unnest(
+               list_filter(regexp_split_to_array(lower(text),
+                                                 '[^a-z0-9'']+'),
+                           x -> x != '')) AS token
+      FROM documents WHERE doc_id < 600
+    ), dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dlen FROM tok GROUP BY 1
+    ), st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dlen) AS BIGINT) AS total_len
+      FROM dl
+    ), q AS (SELECT unnest(['data', 'spark', 'pipeline']) AS token),
+    tf AS (
+      SELECT t.doc_id, t.token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok t JOIN q ON q.token = t.token GROUP BY 1, 2
+    ), df AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    )
+    SELECT tf.doc_id, tf.token, tf.tf,
+           round(
+             ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+             * (CAST(tf AS DOUBLE) * 2.2)
+             / (CAST(tf AS DOUBLE)
+                + 1.2 * (0.25 + 0.75 * CAST(dlen AS DOUBLE)
+                                * CAST(n_docs AS DOUBLE)
+                                / CAST(total_len AS DOUBLE))),
+             6) AS bm25
+    FROM tf JOIN df ON df.token = tf.token
+           JOIN dl ON dl.doc_id = tf.doc_id, st
+    """,
+)
+def search_bm25_q(spark, sf_dir):
+    """BM25 term scoring (search tier, Robertson–Sparck Jones — the
+    lexical ranking half of every retrieval pipeline; pairs with
+    inverted_index_postings): Okapi BM25 with k1=1.2, b=0.75 and the
+    Lucene +1 idf smoothing, for a 3-term query over the corpus.
+    Shape: one tokenize feeding doc-length AND term-frequency branches
+    (pinned — two consumers), query terms broadcast, df/N/avgdl are
+    bounded side tables broadcast into a map-only scoring projection.
+    Rounded 6 dp (ln is not last-ulp portable — the unigram-LM
+    policy)."""
+    d = io.widen_if_narrow(
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 600)
+        .select("doc_id", "text")
+    )
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), r"[^a-z0-9']+", -1),
+                lambda t: t != "",
+            )
+        ).alias("token"),
+    ).localCheckpoint(eager=False)  # two consumers: dl and tf
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    st = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dlen").alias("total_len"),
+    )
+    terms = ["data", "spark", "pipeline"]
+    qf = tok.sparkSession.createDataFrame(
+        [(t,) for t in terms], "token string"
+    )
+    tf = (
+        tok.join(F.broadcast(qf), "token")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    nd = F.col("n_docs").cast("double")
+    idf = F.log(
+        (nd - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+        + 1.0
+    )
+    tfd = F.col("tf").cast("double")
+    norm = tfd + 1.2 * (
+        0.25
+        + 0.75
+        * F.col("dlen").cast("double")
+        * nd
+        / F.col("total_len").cast("double")
+    )
+    return (
+        tf.join(F.broadcast(df_), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "doc_id", "token", "tf",
+            F.round(idf * (tfd * 2.2) / norm, 6).alias("bm25"),
+        )
+    )
+
+
 _FTP_STAGE: dict[str, tuple] = {}
 
 
