@@ -9061,6 +9061,77 @@ def search_bm25_q(spark, sf_dir):
     )
 
 
+@register(
+    "protobuf_decode_records",
+    oracle="""
+    SELECT event_id AS rec_id, event_type AS kind, value AS score,
+           CAST(event_id % 7 - 3 AS BIGINT) AS delta,
+           event_id % 2 = 0 AS flag
+    FROM events WHERE event_id % 27 = 0
+    """,
+)
+def protobuf_decode_q(spark, sf_dir):
+    """Protobuf wire decode (proto3 public encoding — the
+    Kafka-topic-carries-protobuf record-reader path; pairs with the
+    Confluent registry tier): executor-synthesized messages carry a
+    varint int64, a string, a fixed64 double, a ZIGZAG sint64 (negative
+    values exercised), a bool, AND an extra field the reader's spec
+    does not know — proving the mandatory skip-by-wire-type
+    forward-compat rule.  The reader decodes schema-driven (no protoc,
+    no generated classes) back to typed columns; the oracle regenerates
+    every field from the fixture, doubles bit-exact through the fixed64
+    hop.  functions/protobuf_wire.py; map-only both directions."""
+    import pandas as pd  # noqa: F811
+
+    from apache_nifi_spark.functions.protobuf_wire import (
+        decode_protobuf_records,
+        pb_encode,
+    )
+
+    writer_spec = {
+        1: ("rec_id", "int64"),
+        2: ("kind", "string"),
+        3: ("score", "double"),
+        4: ("delta", "sint64"),
+        5: ("flag", "bool"),
+        6: ("extra", "uint32"),  # unknown to the reader: must skip
+    }
+    reader_spec = {k: v for k, v in writer_spec.items() if k != 6}
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_id") % 27 == 0
+    ).select("event_id", "event_type", "value")
+
+    def synth(batches):
+        for pdf in batches:
+            out = {"rec_id": [], "content": []}
+            for eid, etype, val in zip(
+                pdf["event_id"], pdf["event_type"], pdf["value"]
+            ):
+                e = int(eid)
+                out["rec_id"].append(e)
+                out["content"].append(
+                    pb_encode(
+                        writer_spec,
+                        {
+                            "rec_id": e,
+                            "kind": str(etype),
+                            "score": float(val),
+                            "delta": e % 7 - 3,
+                            "flag": e % 2 == 0,
+                            "extra": e % 13,
+                        },
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    frames = ev.mapInPandas(synth, "rec_id long, content binary")
+    return decode_protobuf_records(
+        frames, reader_spec,
+        "rec_id long, kind string, score double, delta long, flag boolean",
+    )
+
+
 _FTP_STAGE: dict[str, tuple] = {}
 
 

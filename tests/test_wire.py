@@ -221,3 +221,49 @@ def test_extract_email_attachments_multipart(spark):
     got = {(r["id"], r["filename"]): bytes(r["payload"]) for r in atts}
     assert got[(2, "f2_1.bin")] == bytes([2, 1]) * 10
     assert all(r["mime_type"] == "application/octet-stream" for r in atts)
+
+
+def test_protobuf_wire_codec_edge_cases():
+    """proto3 wire rules: negative int64 costs ten varint bytes,
+    zigzag sint64 round-trips negatives compactly, unknown fields skip
+    by wire type (all four types), last-one-wins for duplicates,
+    truncation raises."""
+    import struct
+
+    import pytest
+
+    from apache_nifi_spark.functions.protobuf_wire import (
+        pb_decode,
+        pb_encode,
+    )
+
+    spec = {1: ("a", "int64"), 2: ("s", "sint64"), 3: ("t", "string"),
+            4: ("d", "double"), 5: ("f", "fixed32"), 6: ("b", "bool")}
+    vals = {"a": -2, "s": -123456789, "t": "héllo", "d": -0.5,
+            "f": 4294967295, "b": True}
+    buf = pb_encode(spec, vals)
+    assert pb_decode(spec, buf) == vals
+    # negative int64 varint occupies 10 bytes per the spec
+    only_a = pb_encode({1: ("a", "int64")}, {"a": -2})
+    assert len(only_a) == 1 + 10
+    # zigzag: -1 encodes as a single 0x01 byte
+    assert pb_encode({1: ("s", "sint64")}, {"s": -1})[1:] == b"\x01"
+
+    # unknown fields (varint, len, fixed64, fixed32) skip cleanly
+    extra = (
+        pb_encode({9: ("x", "uint64")}, {"x": 7})
+        + pb_encode({10: ("y", "string")}, {"y": "zzz"})
+        + pb_encode({11: ("z", "double")}, {"z": 1.5})
+        + pb_encode({12: ("w", "fixed32")}, {"w": 9})
+    )
+    assert pb_decode(spec, buf + extra) == vals
+    # duplicate scalar: last one wins
+    dup = pb_encode({1: ("a", "int64")}, {"a": 5}) + pb_encode(
+        {1: ("a", "int64")}, {"a": 6}
+    )
+    assert pb_decode({1: ("a", "int64")}, dup) == {"a": 6}
+    with pytest.raises(ValueError, match="truncated"):
+        pb_decode(spec, buf[:-1])
+    # wire-type mismatch between writer and reader spec fails loudly
+    with pytest.raises(ValueError, match="wire type"):
+        pb_decode({1: ("a", "string")}, only_a)
