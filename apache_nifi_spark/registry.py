@@ -20,6 +20,7 @@ Determinism rules (so order-insensitive value hashes match bit-for-bit):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -9129,6 +9130,84 @@ def protobuf_decode_q(spark, sf_dir):
     return decode_protobuf_records(
         frames, reader_spec,
         "rec_id long, kind string, score double, delta long, flag boolean",
+    )
+
+
+_DELTA_STAGE: dict[str, str] = {}
+
+
+def _staged_delta(spark, sf_dir):
+    """Process-lifetime delta-protocol table over lineitem quarters
+    (same staging pattern as the FTP/JDBC fixtures): three JSON commits
+    whose replay must yield quarters 1,2,3 — quarter 0 is added in
+    commit 0 and REMOVED in commit 1, so a reader that ignores remove
+    actions (or replays out of order) double-counts."""
+    if sf_dir in _DELTA_STAGE:
+        return _DELTA_STAGE[sf_dir]
+    import glob
+    import tempfile
+
+    from apache_nifi_spark.sources.deltalog import write_commit
+
+    root = tempfile.mkdtemp(prefix="anspark_delta_")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    rel = {}
+    for q in range(4):
+        sub = f"q{q}"
+        (
+            li.filter(F.col("l_orderkey") % 4 == q)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{root}/{sub}")
+        )
+        part = glob.glob(f"{root}/{sub}/part-*.parquet")[0]
+        rel[q] = os.path.relpath(part, root)
+
+    def add(q):
+        return {"add": {"path": rel[q], "size": os.path.getsize(
+            os.path.join(root, rel[q])), "dataChange": True}}
+
+    write_commit(root, 0, [
+        {"metaData": {"id": "anspark-demo"}}, add(0), add(1),
+    ])
+    write_commit(root, 1, [
+        {"remove": {"path": rel[0], "dataChange": True}}, add(2),
+    ])
+    write_commit(root, 2, [add(3)])
+    _DELTA_STAGE[sf_dir] = root
+    return root
+
+
+@register(
+    "delta_log_snapshot_read",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+             AS total_qty
+    FROM lineitem WHERE l_orderkey % 4 IN (1, 2, 3)
+    GROUP BY 1
+    """,
+)
+def delta_log_snapshot_q(spark, sf_dir):
+    """Lakehouse transaction-log replay (the open Delta protocol,
+    delta.io PROTOCOL.md — implemented from the spec, no Delta jar):
+    three JSON commits add four lineitem quarters and REMOVE one; the
+    snapshot reader replays add/remove with latest-action-per-path
+    reconciliation (one distributed ``max_by`` at manifest grain) and
+    scans only the three active files.  The oracle computes the same
+    quarters straight from the fixture — equality proves the remove
+    action actually dropped quarter 0 and nothing double-counts.
+    sources/deltalog.py."""
+    from apache_nifi_spark.sources.deltalog import read_delta_snapshot
+
+    root = _staged_delta(spark, sf_dir)
+    snap = read_delta_snapshot(spark, root)
+    return snap.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("l_quantity"), "total_qty"),
     )
 
 

@@ -446,3 +446,47 @@ def test_confluent_registry_wire_and_schema_evolution(spark):
             decode_confluent(bad, reg.url, "s-value", "rec_id").collect()
     finally:
         reg.stop()
+
+
+def test_delta_log_time_travel_and_reconciliation(spark, tmp_path):
+    """Protocol invariants: snapshot-at-version (time travel) sees only
+    commits ≤ V; a remove as the latest action drops the file; re-adding
+    a removed path resurrects it; an empty snapshot raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from apache_nifi_spark.sources.deltalog import (
+        delta_active_files,
+        read_delta_snapshot,
+        write_commit,
+    )
+
+    root = str(tmp_path / "tbl")
+    for name, lo in (("a", 0), ("b", 100)):
+        spark.range(lo, lo + 10).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/{name}")
+    import glob
+    import os
+
+    rel = {n: os.path.relpath(glob.glob(f"{root}/{n}/part-*.parquet")[0],
+                              root) for n in ("a", "b")}
+    write_commit(root, 0, [{"add": {"path": rel["a"], "size": 1}}])
+    write_commit(root, 1, [{"add": {"path": rel["b"], "size": 1}},
+                           {"remove": {"path": rel["a"]}}])
+    write_commit(root, 2, [{"add": {"path": rel["a"], "size": 1}}])
+
+    def ids(version=None):
+        return sorted(
+            r["id"] for r in read_delta_snapshot(spark, root, version)
+            .collect()
+        )
+
+    assert ids(0) == list(range(0, 10))           # only a
+    assert ids(1) == list(range(100, 110))        # a removed, b added
+    assert ids(2) == list(range(0, 10)) + list(range(100, 110))  # resurrected
+    assert ids() == ids(2)                        # latest == max version
+    files0 = {r["path"] for r in delta_active_files(spark, root, 0).collect()}
+    assert files0 == {rel["a"]}
+    with pytest.raises(ValueError, match="no delta commits"):
+        read_delta_snapshot(spark, root, -1)
