@@ -154,6 +154,12 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
         # wraps text_unigram_logprob: the same 1-row smoothing-stats
         # broadcast (T+V), bounded by construction
         "text_ccnet_buckets",
+        # probs×buckets cross join: ≤ len(probs) × bins rows, both sides
+        # bounded by construction (the quantile read-out, not data)
+        "quantile_histogram_sketch",
+        # 1-row corpus-stats broadcast (N, total_len) into the scoring
+        # projection — bounded by construction
+        "search_bm25_scores",
     }
     for name, fn in QUERIES.items():
         if name.startswith("stream_") or name in skip:
