@@ -9133,6 +9133,137 @@ def protobuf_decode_q(spark, sf_dir):
     )
 
 
+@register(
+    "text_code_detection",
+    oracle=r"""
+    WITH f AS (
+      SELECT doc_id,
+             string_split(text, chr(10)) AS ln,
+             length(text) AS n_chars,
+             length(text)
+               - length(regexp_replace(text, '[{}();=<>\[\]]', '', 'g'))
+               AS sym,
+             CAST(regexp_matches(text,
+                  '\b(def |return |import |void |#include|function )')
+                  AS BOOLEAN) AS kw
+      FROM documents
+    ), g AS (
+      SELECT doc_id, n_chars, sym, kw,
+             CAST(len(ln) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(ln, x -> regexp_matches(x, '^(    |\t)')))
+                  AS BIGINT) AS indented,
+             CAST(len(list_filter(ln,
+                    x -> regexp_matches(x, '(;|\{|\})\s*$')))
+                  AS BIGINT) AS term_code
+      FROM f
+    )
+    SELECT doc_id, n_lines,
+           round(CAST(indented AS DOUBLE) / n_lines, 6) AS indent_frac,
+           round(CAST(sym AS DOUBLE) / n_chars, 6) AS symbol_density,
+           kw AS has_code_keyword,
+           (10 * indented >= 3 * n_lines
+            OR 20 * sym >= n_chars
+            OR (kw AND 10 * term_code >= n_lines)) AS looks_like_code
+    FROM g
+    """,
+)
+def text_code_detection_q(spark, sf_dir):
+    """Code-vs-prose detection (§2.12 curation tier — the-stack-style
+    routing of crawled text into code pipelines): indentation fraction,
+    bracket/operator symbol density, code-keyword hits, and
+    statement-terminator line fraction, combined with cross-multiplied
+    INTEGER thresholds (no float policy on the verdict, the Gopher-rules
+    pattern).  One map-only projection over line/char arrays — no
+    explode, no shuffle, scan bandwidth at any scale."""
+    lines = F.split(F.col("text"), r"\n", -1)
+    sym = F.length("text") - F.length(
+        F.regexp_replace("text", r"[{}();=<>\[\]]", "")
+    )
+    indented = F.size(F.filter(lines, lambda x: x.rlike(r"^(    |\t)")))
+    term_code = F.size(
+        F.filter(lines, lambda x: x.rlike(r"(;|\{|\})\s*$"))
+    )
+    kw = F.col("text").rlike(
+        r"\b(def |return |import |void |#include|function )"
+    )
+    n_lines = F.size(lines)
+    n_chars = F.length("text")
+    d = io.widen_if_narrow(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return d.select(
+        "doc_id",
+        n_lines.cast("bigint").alias("n_lines"),
+        F.round(indented.cast("double") / n_lines, 6).alias("indent_frac"),
+        F.round(sym.cast("double") / n_chars, 6).alias("symbol_density"),
+        kw.alias("has_code_keyword"),
+        (
+            (10 * indented >= 3 * n_lines)
+            | (20 * sym >= n_chars)
+            | (kw & (10 * term_code >= n_lines))
+        ).alias("looks_like_code"),
+    )
+
+
+@register(
+    "stats_pearson_exact",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(30,6))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(30,6))
+                 * CAST(l_quantity AS DECIMAL(30,6))) AS sxx,
+             SUM(CAST(l_extendedprice AS DECIMAL(30,6))
+                 * CAST(l_extendedprice AS DECIMAL(30,6))) AS syy,
+             SUM(CAST(l_quantity AS DECIMAL(30,6))
+                 * CAST(l_extendedprice AS DECIMAL(30,6))) AS sxy
+      FROM lineitem
+    )
+    SELECT n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS pearson_r
+    FROM s
+    """,
+)
+def stats_pearson_q(spark, sf_dir):
+    """Exact-sum Pearson correlation (analytics tier): the five moment
+    sums accumulate as EXACT decimals (addition-order independent — the
+    repo's float discipline), and only the final closed form runs in
+    doubles, where ·, −, /, sqrt are all correctly rounded — so the
+    statistic is bit-identical cross-engine at 6 dp with one map-side-
+    combined aggregation and zero row movement beyond partials."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("decimal(30,6)").alias("x"),
+        F.col("l_extendedprice").cast("decimal(30,6)").alias("y"),
+    )
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return s.select(
+        "n",
+        F.round(
+            (nd * sxy - sx * sy)
+            / (F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)),
+            6,
+        ).alias("pearson_r"),
+    )
+
+
 _DELTA_STAGE: dict[str, str] = {}
 
 
