@@ -9264,6 +9264,102 @@ def stats_pearson_q(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_winnowing_fingerprints",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                         x -> x != '') AS w
+      FROM documents WHERE doc_id < 600
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 4 THEN
+               list_transform(range(1, len(w) - 2),
+                 i -> CAST(('0x' || substr(md5(
+                        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                        || w[i+3]), 1, 8))::UBIGINT AS BIGINT))
+             ELSE [] END AS kg
+      FROM t
+    ), s AS (
+      SELECT doc_id, kg,
+             CASE WHEN len(kg) >= 5 THEN
+               list_transform(range(1, len(kg) - 3),
+                 j -> list_min(kg[j:j+4]))
+             ELSE [] END AS sel
+      FROM g
+    )
+    SELECT doc_id,
+           CAST(len(kg) AS BIGINT) AS n_kgrams,
+           CAST(len(list_distinct(sel)) AS BIGINT) AS n_fingerprints,
+           list_sort(list_distinct(sel)) AS fingerprints
+    FROM s
+    """,
+)
+def dedup_winnowing_q(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    2003 — the MOSS local fingerprinting guarantee: any shared run of
+    k+w−1 tokens between two documents shares a fingerprint, unlike
+    plain sampling): token 4-grams hash to 32-bit md5 values, every
+    window of 5 consecutive k-gram hashes contributes its MINIMUM, and
+    the distinct selected hashes are the document's fingerprint set.
+    Entirely JVM-side array algebra — transform/slice/array_min over
+    the token list, no explode, no shuffle, no UDF; the heaviest
+    curation op on the surface that still runs at scan bandwidth.
+    Value-oracled against DuckDB's identical list algebra."""
+    words = F.filter(
+        F.split(F.lower(F.col("text")), r"[^a-z0-9']+", -1),
+        lambda x: x != "",
+    )
+    d = io.widen_if_narrow(
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 600)
+        .select("doc_id", "text")
+    ).select("doc_id", words.alias("w"))
+    kgram = lambda i: F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.element_at(F.col("w"), i + 1),
+                    F.element_at(F.col("w"), i + 2),
+                    F.element_at(F.col("w"), i + 3),
+                    F.element_at(F.col("w"), i + 4),
+                )
+            ),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("bigint")
+    g = d.select(
+        "doc_id",
+        F.when(
+            F.size("w") >= 4,
+            F.transform(F.sequence(F.lit(0), F.size("w") - 4), kgram),
+        ).otherwise(F.array().cast("array<bigint>")).alias("kg"),
+    )
+    s = g.select(
+        "doc_id",
+        "kg",
+        F.when(
+            F.size("kg") >= 5,
+            F.transform(
+                F.sequence(F.lit(0), F.size("kg") - 5),
+                lambda j: F.array_min(
+                    F.slice(F.col("kg"), j + 1, F.lit(5))
+                ),
+            ),
+        ).otherwise(F.array().cast("array<bigint>")).alias("sel"),
+    )
+    return s.select(
+        "doc_id",
+        F.size("kg").cast("bigint").alias("n_kgrams"),
+        F.size(F.array_distinct("sel")).cast("bigint")
+        .alias("n_fingerprints"),
+        F.array_sort(F.array_distinct("sel")).alias("fingerprints"),
+    )
+
+
 _DELTA_STAGE: dict[str, str] = {}
 
 

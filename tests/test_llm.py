@@ -2083,3 +2083,43 @@ def test_histogram_quantiles_sketch_properties(spark):
         ).collect()
     }
     assert got7 == got
+
+
+def test_winnowing_local_guarantee(spark):
+    """Winnowing's defining property (Schleimer et al. 2003): two
+    documents sharing any run of k+w−1 = 8 tokens share at least one
+    fingerprint; disjoint documents share none."""
+    from apache_nifi_spark.registry import QUERIES
+
+    # reuse the registered query's algebra by running it over a temp view?
+    # simpler: drive the same expressions through the registry function
+    # on crafted docs via a monkeypatched loader is overkill — instead
+    # test the invariant END TO END on the fixture-shaped frame.
+    from pyspark.sql import functions as F
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (0, "one two three " + shared + " four five six seven"),
+        (1, "nine ten eleven twelve " + shared + " thirteen fourteen"),
+        (2, "totally different words everywhere nothing matches here at all"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    docs.createOrReplaceTempView("winnow_docs")
+
+    import apache_nifi_spark.registry as reg
+
+    real_t = reg._t
+    try:
+        reg._t = lambda s, sf, name: docs if name == "documents" else real_t(
+            s, sf, name
+        )
+        out = {
+            r["doc_id"]: set(r["fingerprints"])
+            for r in reg.QUERIES["dedup_winnowing_fingerprints"](
+                spark, "unused"
+            ).collect()
+        }
+    finally:
+        reg._t = real_t
+    assert out[0] & out[1], "shared 8-token run must share a fingerprint"
+    assert not (out[0] & out[2]) and not (out[1] & out[2])
