@@ -9360,6 +9360,104 @@ def dedup_winnowing_q(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_winnowing_pairs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                         x -> x != '') AS w
+      FROM documents WHERE doc_id < 600
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 4 THEN
+               list_transform(range(1, len(w) - 2),
+                 i -> CAST(('0x' || substr(md5(
+                        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                        || w[i+3]), 1, 8))::UBIGINT AS BIGINT))
+             ELSE [] END AS kg
+      FROM t
+    ), s AS (
+      SELECT doc_id,
+             CASE WHEN len(kg) >= 5 THEN
+               list_distinct(list_transform(range(1, len(kg) - 3),
+                 j -> list_min(kg[j:j+4])))
+             ELSE [] END AS sel
+      FROM g
+    ), fp AS (
+      SELECT doc_id, unnest(sel) AS f FROM s
+    ), bkt AS (
+      SELECT f, list_sort(list(DISTINCT doc_id)) AS ds
+      FROM fp GROUP BY f
+      HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 10
+    ), pr AS (
+      SELECT unnest(flatten(list_transform(range(1, len(ds)),
+               i -> list_transform(ds[i+1:],
+                      d2 -> {'a': ds[i], 'b': d2})))) AS p
+      FROM bkt
+    )
+    SELECT p.a AS doc_a, p.b AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fps
+    FROM pr GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_winnowing_pairs_q(spark, sf_dir):
+    """Winnowing CANDIDATE PAIRS (the use of the fingerprint set — the
+    MOSS/plagiarism-detection join): fingerprints explode to (doc, fp)
+    grain, each fingerprint bucket collects its (capped, sorted) doc
+    list, and pairs generate IN PLACE with array combinations — the LSH
+    band-bucket shape with NO join at all; a final count to pair grain
+    keeps pairs sharing ≥ 2 fingerprints.  The DF-CAP is load-bearing,
+    not advisory: fixture boilerplate makes a few fingerprints Zipf-hot
+    (thousands of docs → millions of pairs from ONE bucket; measured:
+    an uncapped self-join form did not finish sf0.1 in 5 minutes), so
+    fingerprints in more than 10 documents drop — they identify
+    boilerplate, not duplication.  Capped, every bucket yields ≤ 45
+    pairs, and the whole query is two map-side-combined aggregations
+    plus in-bucket array algebra."""
+    from apache_nifi_spark.registry import QUERIES as _Q
+
+    # Eager pin at the fingerprint boundary: the upstream winnowing plan
+    # sits on a round-robin widen (an INDETERMINATE distribution), and
+    # the two downstream shuffles re-submitted it in a retry loop
+    # (observed: single-task stages ping-ponging for minutes).  Cutting
+    # the lineage here makes the shuffle input deterministic rows.
+    fps = (
+        _Q["dedup_winnowing_fingerprints"](spark, sf_dir)
+        .localCheckpoint()
+        .select("doc_id", F.explode("fingerprints").alias("f"))
+    )
+    bkt = (
+        fps.groupBy("f")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= 10))
+    )
+    pairs = bkt.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ds") - 1),
+                    lambda i: F.transform(
+                        F.slice(F.col("ds"), i + 1, F.size("ds")),
+                        lambda d2: F.struct(
+                            F.element_at(F.col("ds"), i).alias("a"),
+                            d2.alias("b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 2)
+    )
+
+
 _DELTA_STAGE: dict[str, str] = {}
 
 
