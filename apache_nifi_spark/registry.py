@@ -9458,6 +9458,128 @@ def dedup_winnowing_pairs_q(spark, sf_dir):
     )
 
 
+@register(
+    "text_pmi_cooccurrence",
+    oracle="""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, unnest(
+               list_filter(regexp_split_to_array(lower(text),
+                                                 '[^a-z0-9'']+'),
+                           x -> x != '')) AS token
+      FROM documents WHERE doc_id < 600
+    ), dt AS MATERIALIZED (
+      SELECT DISTINCT doc_id, token FROM tok
+    ), vocab AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+      FROM dt GROUP BY token
+      HAVING COUNT(*) >= 100
+    ), nd AS (
+      SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM dt
+    ), per_doc AS (
+      SELECT doc_id, list_sort(list(dt.token)) AS ts
+      FROM dt JOIN vocab ON vocab.token = dt.token
+      GROUP BY doc_id
+    ), pairs AS (
+      SELECT unnest(flatten(list_transform(range(1, len(ts)),
+               i -> list_transform(ts[i+1:],
+                      t2 -> {'x': ts[i], 'y': t2})))) AS p
+      FROM per_doc
+    ), co AS (
+      SELECT p.x AS tok_x, p.y AS tok_y,
+             CAST(COUNT(*) AS BIGINT) AS c_xy
+      FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 50
+    )
+    SELECT tok_x, tok_y, c_xy,
+           round(ln((CAST(c_xy AS DOUBLE) * CAST(n AS DOUBLE))
+                    / (CAST(vx.df AS DOUBLE) * CAST(vy.df AS DOUBLE))),
+                 6) AS pmi
+    FROM co JOIN vocab vx ON vx.token = co.tok_x
+            JOIN vocab vy ON vy.token = co.tok_y, nd
+    """,
+)
+def text_pmi_q(spark, sf_dir):
+    """Pointwise mutual information over document co-occurrence (the
+    corpus-statistics signal behind collocation mining and embedding
+    evaluation; Church & Hanks 1990): document-frequency-thresholded
+    vocabulary (df ≥ 100 — the df-cap is the same hot-bucket guard as
+    the winnowing pairs), per-document sorted vocab-token sets generate
+    their co-occurrence pairs IN PLACE with array combinations (never a
+    token-grain self-join), then PMI = ln(N·c_xy/(df_x·df_y)) with the
+    vocab broadcast back — rounded 6 dp (ln policy).  Pair space is
+    bounded by vocab², pairs per doc by (tokens-in-vocab choose 2)."""
+    tok = io.widen_if_narrow(
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 600)
+        .select("doc_id", "text")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower("text"), r"[^a-z0-9']+", -1),
+                    lambda t: t != "",
+                )
+            )
+        ).alias("token"),
+    )
+    # eager pin: vocab, N, and the per-doc sets all read this frame, and
+    # the upstream round-robin widen is indeterminate (the winnowing
+    # stage-retry lesson)
+    dt = tok.localCheckpoint()
+    vocab = dt.groupBy("token").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") >= 100
+    )
+    n_docs = dt.select("doc_id").distinct().count()  # control-plane: 1 int
+    per_doc = (
+        dt.join(F.broadcast(vocab.select("token")), "token")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("token")).alias("ts"))
+        # ≥2 vocab tokens or no pairs — also guards F.sequence, whose
+        # (1, size-1) form runs DESCENDING for size 1
+        .filter(F.size("ts") >= 2)
+    )
+    pairs = per_doc.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - 1),
+                    lambda i: F.transform(
+                        F.slice(F.col("ts"), i + 1, F.size("ts")),
+                        lambda t2: F.struct(
+                            F.element_at(F.col("ts"), i).alias("x"),
+                            t2.alias("y"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    co = (
+        pairs.groupBy(
+            F.col("p.x").alias("tok_x"), F.col("p.y").alias("tok_y")
+        )
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= 50)
+    )
+    vx = vocab.select(F.col("token").alias("tok_x"), F.col("df").alias("_dx"))
+    vy = vocab.select(F.col("token").alias("tok_y"), F.col("df").alias("_dy"))
+    return (
+        co.join(F.broadcast(vx), "tok_x")
+        .join(F.broadcast(vy), "tok_y")
+        .select(
+            "tok_x", "tok_y", "c_xy",
+            F.round(
+                F.log(
+                    (F.col("c_xy").cast("double") * F.lit(float(n_docs)))
+                    / (F.col("_dx").cast("double")
+                       * F.col("_dy").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
 _DELTA_STAGE: dict[str, str] = {}
 
 
