@@ -829,7 +829,9 @@ def top3_per_segment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-K per group (PriorityAttributePrioritizer idiom)."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
-    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    # customer scales with SF (corpus-cardinality): no broadcast hint,
+    # AQE broadcasts at small SF and shuffles at scale
+    joined = o.join(c, o.o_custkey == c.c_custkey)
     return top_k_per_group(
         joined.select("c_mktsegment", "o_orderkey", "o_totalprice"),
         ["c_mktsegment"],
@@ -6020,7 +6022,8 @@ def jolt_chain_columnar_q(spark, sf_dir):
 
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 21 == 0)
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    # customer scales with SF: no broadcast hint, AQE decides
+    joined = o.join(c, o.o_custkey == c.c_custkey)
     doc = F.to_json(
         F.struct(
             F.col("o_orderkey").alias("id"),
@@ -7069,11 +7072,13 @@ def evaluate_xquery_q(spark, sf_dir):
 )
 def scan_content_semi_q(spark, sf_dir):
     """ScanContent/DetectDuplicate routing idiom (§2.3/§2.8): membership
-    against a derived dictionary → broadcast left-semi join (the dictionary
-    is the bounded side; the fact stream never shuffles)."""
+    against a derived dictionary → left-semi join.  The dictionary is
+    user-grain (corpus-cardinality — error users grow with the user
+    base), so no broadcast hint: AQE broadcasts when the survivor set
+    is measured small and shuffles otherwise."""
     ev = _t(spark, sf_dir, "events")
     err_users = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
-    return ev.join(F.broadcast(err_users), on="user_id", how="left_semi").select(
+    return ev.join(err_users, on="user_id", how="left_semi").select(
         "event_id", "user_id", "event_type"
     )
 
@@ -8529,7 +8534,8 @@ def web_pipeline_full_q(spark, sf_dir):
                      F.col("body").alias("content")).drop("url"),
     )
     urls = gated.select(F.col("shard_id").alias("doc_id"), "url")
-    out = extracted.join(F.broadcast(urls), "doc_id").select(
+    # doc-grain side (corpus-cardinality): no broadcast hint, AQE decides
+    out = extracted.join(urls, "doc_id").select(
         "doc_id",
         "url",
         "main_len",
@@ -8792,10 +8798,12 @@ def funnel_ordered_q(spark, sf_dir):
     view→click→purchase sequence where each step must follow the
     previous step's FIRST occurrence in event time — not the unordered
     union the plain funnel computes).  Shape: per-step user-grain
-    ``min(ts)`` aggregates, each BROADCAST back onto the corpus-sized
-    event stream to time-bound the next step — three passes, zero
-    corpus-side shuffles beyond the per-step partial aggs; the
-    user-grain frames are the small side at any corpus scale."""
+    ``min(ts)`` aggregates, each equi-joined back onto the event stream
+    to time-bound the next step.  The user-grain frames are
+    corpus-cardinality (they grow with the user base), so they carry NO
+    broadcast hint — AQE picks broadcast when a step's survivor set is
+    actually small and falls back to a shuffled hash join when it
+    isn't; a forced broadcast here is an OOM at real user counts."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     v = (
         ev.filter(F.col("event_type") == "view")
@@ -8803,13 +8811,13 @@ def funnel_ordered_q(spark, sf_dir):
     )
     c = (
         ev.filter(F.col("event_type") == "click")
-        .join(F.broadcast(v), "user_id")
+        .join(v, "user_id")
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id").agg(F.min("ts").alias("t2"))
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
+        .join(c, "user_id")
         .filter(F.col("ts") > F.col("t2"))
         .groupBy("user_id").agg(F.min("ts").alias("t3"))
     )
@@ -8848,10 +8856,12 @@ def cohort_retention_q(spark, sf_dir):
     """Cohort retention (event-analytics tier): users cohort by
     first-activity day, every (cohort, day-offset) cell counts the
     distinct users still active — the retention curve every product
-    pipeline materializes.  Shape: one user-grain first-day agg
-    (broadcast dimension), one distinct (user, day) projection of the
-    corpus, one bounded join + agg — output is calendar², independent
-    of event count."""
+    pipeline materializes.  Shape: one user-grain first-day agg, one
+    distinct (user, day) projection of the corpus, one equi-join + agg
+    — output is calendar², independent of event count.  The first-day
+    frame is user-grain (corpus-cardinality), so no broadcast hint:
+    AQE decides at runtime; forcing broadcast would OOM at real user
+    counts."""
     ev = _t(spark, sf_dir, "events").select("user_id", "ts")
     f = ev.groupBy("user_id").agg(
         F.date_trunc("day", F.min("ts")).alias("cohort_day")
@@ -8860,7 +8870,7 @@ def cohort_retention_q(spark, sf_dir):
         "user_id", F.date_trunc("day", "ts").alias("d")
     ).distinct()
     return (
-        a.join(F.broadcast(f), "user_id")
+        a.join(f, "user_id")
         .groupBy(
             "cohort_day",
             F.datediff("d", "cohort_day").alias("day_offset"),
@@ -10548,7 +10558,8 @@ def flow_registry_run_q(spark, sf_dir):
 )
 def stream_static_enrich_q(spark, sf_dir):
     """LookupRecord inside a stream (§2.6 × §2.11): stream-static join —
-    each micro-batch broadcast-joins the bounded customer dim; no state
+    each micro-batch joins the customer dim (auto-broadcast from size
+    stats when small; no forced hint — the dim scales with SF); no state
     store, no watermark (the static side is a lookup table, not a stream).
     At 100 TB the dim refreshes by re-reading the table per batch — the
     exact NiFi enrichment-in-flow shape."""
@@ -10556,7 +10567,9 @@ def stream_static_enrich_q(spark, sf_dir):
 
     sdf = stream_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
     dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    joined = sdf.join(F.broadcast(dim), sdf["user_id"] == dim["c_custkey"])
+    # customer scales with SF: no forced broadcast — the per-batch planner
+    # broadcasts from parquet size stats when the dim is actually small
+    joined = sdf.join(dim, sdf["user_id"] == dim["c_custkey"])
     return run_to_memory(
         joined.select("event_id", "user_id", "c_mktsegment"), output_mode="append"
     )

@@ -262,3 +262,56 @@ def test_ccnet_buckets_has_no_single_task_sort(spark):
     assert "SinglePartition" not in plan, plan
     # the only sort is the per-range-partition window sort
     assert "Sort [ppl" not in plan.replace("Sort [_pid", ""), plan
+
+
+def test_no_broadcast_hint_on_corpus_cardinality_frames():
+    """Static audit (round-11 verdict item 1): a forced ``F.broadcast``
+    on a user-/doc-/customer-grain frame is fast at fixture scale and an
+    executor OOM at real corpus scale — the hint disables AQE's
+    size-measured fallback.  Every ``F.broadcast(...)`` in the registry
+    must broadcast a frame whose cardinality is bounded by something
+    OTHER than the corpus: a fixed dim (nation: 25 rows), a 1-row global
+    aggregate, a literal query-term list, or a frequency-capped
+    heavy-hitter vocab (Heaps-law sub-linear, df-threshold keeps it
+    RAM-bounded).  New hints must be added to the allowlist here WITH a
+    grain justification — that review is the point of the gate."""
+    import ast
+    import pathlib
+
+    allowed = {
+        # nation is a fixed 25-row dim at every TPC-H SF
+        "n": "nation dim, 25 rows",
+        '_t(spark, sf_dir, "nation")': "nation dim, 25 rows",
+        # 1-row global max(ts) aggregate
+        "mx": "1-row global aggregate",
+        # literal 3-term query list and its per-term derivatives
+        "qf": "3 literal query terms",
+        "df_": "per-query-term df, <= 3 rows",
+        "st": "1-row corpus stats aggregate",
+        # df >= 100 heavy-hitter vocab: frequency cap bounds it far below
+        # doc-grain (Heaps' law); pmi pairs only form over this set
+        'vocab.select("token")': "df>=100 capped vocab",
+        "vx": "df>=100 capped vocab",
+        "vy": "df>=100 capped vocab",
+    }
+    import apache_nifi_spark.registry as registry
+
+    path = pathlib.Path(registry.__file__)
+    src = path.read_text()
+    tree = ast.parse(src)
+    offenders = []
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr == "broadcast"
+            and node.args
+        ):
+            arg_src = ast.get_source_segment(src, node.args[0])
+            if arg_src not in allowed:
+                offenders.append(f"registry.py:{node.lineno} broadcast({arg_src})")
+    assert not offenders, (
+        "forced broadcast on a frame not in the bounded-grain allowlist "
+        f"(add with a justification only if its cardinality is truly "
+        f"corpus-independent): {offenders}"
+    )
