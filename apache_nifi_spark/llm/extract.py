@@ -11,10 +11,10 @@ constraint as ``functions/html_elements``):
    ``<a>``), and its word count,
 3. a block survives if it has at least ``min_words`` words AND its link
    density (anchor chars / chars) is at most ``max_link_density`` —
-   the two rules that carry most of jusText's decisions; short heading
-   blocks (h1–h6) survive when any later block survived them... kept
-   deliberately rule-minimal and DETERMINISTIC so the verdicts replay
-   in the SQL oracle.
+   the two rules that carry most of jusText's decisions (headings get
+   no special treatment: a short heading drops under ``min_words`` like
+   any other short block) — kept deliberately rule-minimal and
+   DETERMINISTIC so the verdicts replay in the SQL oracle.
 
 Spark shape: Arrow-batched ``mapInPandas`` over the content column —
 the sanctioned Python seam for a byte-imperative format; map-only, one
@@ -109,12 +109,6 @@ def extract_main_text(
     return "\n".join(kept), len(c.blocks), len(kept)
 
 
-_MAIN_TEXT_SCHEMA = (
-    "doc_id long, n_blocks int, n_kept int, main_len bigint, "
-    "main_text string"
-)
-
-
 def html_main_text(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -123,13 +117,20 @@ def html_main_text(
     max_link_density: float = 0.4,
 ) -> DataFrame:
     """Main-content extraction over an HTML column: one row per
-    document with the surviving text and the block accounting."""
+    document with the surviving text and the block accounting.  The id
+    column keeps the caller's name (ADVICE r11: it used to be renamed
+    to a hardcoded ``doc_id``)."""
     import pandas as pd
+
+    schema = (
+        f"{id_col} long, n_blocks int, n_kept int, main_len bigint, "
+        "main_text string"
+    )
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             cols: dict[str, list] = {
-                "doc_id": [], "n_blocks": [], "n_kept": [],
+                id_col: [], "n_blocks": [], "n_kept": [],
                 "main_len": [], "main_text": [],
             }
             for rid, payload in zip(pdf[id_col], pdf[content_col]):
@@ -141,11 +142,11 @@ def html_main_text(
                 text, n_blocks, n_kept = extract_main_text(
                     html, min_words, max_link_density
                 )
-                cols["doc_id"].append(int(rid))
+                cols[id_col].append(int(rid))
                 cols["n_blocks"].append(n_blocks)
                 cols["n_kept"].append(n_kept)
                 cols["main_len"].append(len(text))
                 cols["main_text"].append(text)
             yield pd.DataFrame(cols)
 
-    return df.select(id_col, content_col).mapInPandas(run, _MAIN_TEXT_SCHEMA)
+    return df.select(id_col, content_col).mapInPandas(run, schema)

@@ -69,7 +69,12 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
         for a in agents:
             if a == "*":
                 star_rules = star_rules or rules
-            elif a in agent_l or agent_l in a:
+            # RFC 9309 §2.2.1: the group token matches when it is a
+            # (case-insensitive) substring of the crawler's product token
+            # — one way only.  The reverse test would let a group for a
+            # longer unrelated bot ('superdatabot') capture agent
+            # 'databot' and win the longest-match tie (ADVICE r11).
+            elif a in agent_l:
                 if len(a) > best_len:
                     best_len, best_rules = len(a), rules
     return best_rules if best_len >= 0 else star_rules

@@ -10,7 +10,14 @@ NiFi's OpenPGP processor pair; reference ships stock NiFi 2.7.2
   (tag 19) is the SHA-1 over everything before it including its own
   header — the integrity construction GnuPG enforces,
 - **Literal data** packet (tag 11, binary mode), new-format headers
-  with all three length encodings.
+  with all three length encodings,
+- **Decrypt-side interop** (ADVICE r11): gpg's default output wraps
+  the literal in a **compressed data** packet (tag 8) — ZIP/ZLIB/BZip2
+  per RFC 4880 §9.3 are decompressed transparently — and gpg streams
+  with **partial body lengths** (§4.2.2.4) and old-format
+  **indeterminate lengths** (§4.2.1), both parsed here.  The encrypt
+  side stays uncompressed (compression is an option, not a
+  requirement, and the deterministic oracle replays bytes).
 
 The block cipher is the repo's FIPS-197 AES from ``sources/ssh_crypto``
 (S-box generated from its GF(2^8) definition, validated against the
@@ -47,6 +54,7 @@ __all__ = [
 ]
 
 _TAG_SKESK = 3
+_TAG_COMPRESSED = 8
 _TAG_SEIPD = 18
 _TAG_LITERAL = 11
 _ALG_AES128 = 7
@@ -104,7 +112,34 @@ def _read_packet(buf: bytes, off: int) -> tuple[int, bytes, int]:
             n = struct.unpack(">I", buf[off + 1 : off + 5])[0]
             off += 5
         else:
-            raise ValueError("partial-length OpenPGP packets unsupported")
+            # partial body lengths (RFC 4880 §4.2.2.4): 1<<(b0&0x1F)
+            # octets, then further length headers until a non-partial
+            # one — gpg streams compressed/literal packets this way
+            chunks = []
+            off += 1
+            n = 1 << (b0 & 0x1F)
+            while True:
+                if off + n > len(buf):
+                    raise ValueError("OpenPGP packet overruns message")
+                chunks.append(buf[off : off + n])
+                off += n
+                b1 = buf[off]
+                if b1 < 192:
+                    n, off = b1, off + 1
+                elif b1 < 224:
+                    n = ((b1 - 192) << 8) + buf[off + 1] + 192
+                    off += 2
+                elif b1 == 0xFF:
+                    n = struct.unpack(">I", buf[off + 1 : off + 5])[0]
+                    off += 5
+                else:
+                    off += 1
+                    n = 1 << (b1 & 0x1F)
+                    continue
+                if off + n > len(buf):
+                    raise ValueError("OpenPGP packet overruns message")
+                chunks.append(buf[off : off + n])
+                return tag, b"".join(chunks), off + n
     else:  # old format (gpg may emit these)
         tag = (hdr >> 2) & 0x0F
         ltype = hdr & 0x03
@@ -118,7 +153,10 @@ def _read_packet(buf: bytes, off: int) -> tuple[int, bytes, int]:
             n = struct.unpack(">I", buf[off : off + 4])[0]
             off += 4
         else:
-            raise ValueError("indeterminate-length OpenPGP packet")
+            # indeterminate (RFC 4880 §4.2.1): body runs to the end of
+            # the enclosing container — gpg's old-format compressed
+            # packets inside SEIPD use this
+            n = len(buf) - off
     if off + n > len(buf):
         raise ValueError("OpenPGP packet overruns message")
     return tag, buf[off : off + n], off + n
@@ -208,7 +246,30 @@ def pgp_decrypt_message(message: bytes, passphrase: bytes) -> bytes:
         raise ValueError("missing MDC packet header")
     if hashlib.sha1(body_part).digest() != mdc_digest:
         raise ValueError("MDC mismatch: message integrity check failed")
-    tag, lit, _ = _read_packet(plain, 18)
+    # inner packet stream = everything between the 18-byte prefix and
+    # the MDC header; bounding it here makes old-format indeterminate
+    # lengths (gpg's compressed packets) parse to the exact end
+    inner = body_part[:-2]
+    tag, lit, _ = _read_packet(inner, 18)
+    if tag == _TAG_COMPRESSED:
+        # gpg's default output wraps the literal in a compressed packet
+        # (tag 8); algo octet: 0 none, 1 ZIP (raw deflate), 2 ZLIB,
+        # 3 BZip2 (RFC 4880 §9.3)
+        import bz2
+        import zlib
+
+        algo, cdata = lit[0], bytes(lit[1:])
+        if algo == 0:
+            data = cdata
+        elif algo == 1:
+            data = zlib.decompress(cdata, wbits=-15)
+        elif algo == 2:
+            data = zlib.decompress(cdata)
+        elif algo == 3:
+            data = bz2.decompress(cdata)
+        else:
+            raise ValueError(f"unsupported compression algorithm {algo}")
+        tag, lit, _ = _read_packet(data, 0)
     if tag != _TAG_LITERAL:
         raise ValueError(f"expected literal data packet, got tag {tag}")
     if lit[0:1] not in (b"b", b"t", b"u"):

@@ -210,10 +210,13 @@ def _record_batch_v2(
 
 def _parse_record_batches(
     buf: bytes,
-) -> list[tuple[int, bytes | None, bytes | None]]:
-    """Decode concatenated v2 RecordBatches → [(offset, key, value)];
-    verifies magic, CRC32C, and the record count; decompresses gzip."""
-    out: list[tuple[int, bytes | None, bytes | None]] = []
+) -> list[tuple[int, bytes | None, bytes | None, int]]:
+    """Decode concatenated v2 RecordBatches → [(offset, key, value,
+    codec)]; verifies magic, CRC32C, and the record count; decompresses
+    gzip.  The codec rides per RECORD, derived from its own batch's
+    attributes — a multi-batch produce may mix codecs (ADVICE r11: the
+    old fixed-offset sniff of the first batch mislabeled the rest)."""
+    out: list[tuple[int, bytes | None, bytes | None, int]] = []
     pos = 0
     while pos + 12 <= len(buf):
         base_offset, batch_len = struct.unpack(">qi", buf[pos : pos + 12])
@@ -256,7 +259,7 @@ def _parse_record_batches(
                 roff += max(hv, 0)
             if roff != rend:
                 raise ValueError("record length mismatch in batch")
-            out.append((base_offset + off_delta, key, value))
+            out.append((base_offset + off_delta, key, value, codec))
         pos = end
     return out
 
@@ -317,9 +320,10 @@ class MiniKafkaBroker:
         self.num_partitions = num_partitions
         # (topic, partition) → list of (key, value); index == offset
         self._log: dict[tuple[str, int], list[tuple[bytes | None, bytes | None]]] = {}
-        # (topic, partition) → last produce compression codec (fetch
-        # answers in kind, the simple stand-in for broker-side codecs)
-        self._codec: dict[tuple[str, int], int] = {}
+        # (topic, partition) → per-RECORD produce codec, aligned with
+        # self._log (fetch answers in kind per batch — a mixed-codec
+        # produce is re-served as one batch per codec run)
+        self._codec_log: dict[tuple[str, int], list[int]] = {}
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
@@ -426,6 +430,9 @@ class MiniKafkaBroker:
                         log = self._log.setdefault((topic, partition), [])
                         base = len(log)
                         log.extend((k, v) for (_o, k, v) in entries)
+                        self._codec_log.setdefault(
+                            (topic, partition), []
+                        ).extend([_CODEC_NONE] * len(entries))
                     err = _ERR_NONE
                 except ValueError:
                     base, err = -1, _ERR_CORRUPT
@@ -495,15 +502,14 @@ class MiniKafkaBroker:
                 partition = cur.i32()
                 batches = cur.take(cur.i32())
                 try:
-                    codec = 0
-                    if len(batches) >= 23:
-                        codec = struct.unpack(">h", batches[21:23])[0] & 0x07
                     entries = _parse_record_batches(batches)
                     with self._lock:
                         log = self._log.setdefault((topic, partition), [])
                         base = len(log)
-                        log.extend((k, v) for (_o, k, v) in entries)
-                        self._codec[(topic, partition)] = codec
+                        log.extend((k, v) for (_o, k, v, _c) in entries)
+                        self._codec_log.setdefault(
+                            (topic, partition), []
+                        ).extend(c for (_o, _k, _v, c) in entries)
                     err = _ERR_NONE
                 except ValueError:
                     base, err = -1, _ERR_CORRUPT
@@ -534,7 +540,7 @@ class MiniKafkaBroker:
                 _pmax_bytes = cur.i32()
                 with self._lock:
                     log = list(self._log.get((topic, partition), []))
-                    codec = self._codec.get((topic, partition), 0)
+                    codecs = list(self._codec_log.get((topic, partition), []))
                 hw = len(log)
                 if fetch_offset > hw:
                     out += struct.pack(
@@ -542,15 +548,22 @@ class MiniKafkaBroker:
                     )
                     out += struct.pack(">i", 0)
                     continue
-                entries = [
-                    (i, k, v)
-                    for i, (k, v) in enumerate(log[fetch_offset:])
-                ]
-                recs = (
-                    _record_batch_v2(fetch_offset, entries, codec)
-                    if entries
-                    else b""
-                )
+                # one v2 batch per consecutive same-codec run, so a
+                # mixed-codec log is re-served in kind
+                recs = b""
+                run_start = fetch_offset
+                for i in range(fetch_offset, hw + 1):
+                    if i < hw and codecs[i] == codecs[run_start]:
+                        continue
+                    entries = [
+                        (j - run_start, log[j][0], log[j][1])
+                        for j in range(run_start, i)
+                    ]
+                    if entries:
+                        recs += _record_batch_v2(
+                            run_start, entries, codecs[run_start]
+                        )
+                    run_start = i
                 # partition, error, high_watermark, last_stable_offset,
                 # aborted_transactions (empty array)
                 out += struct.pack(">ihqqi", partition, _ERR_NONE, hw, hw, 0)
@@ -714,7 +727,9 @@ class _KafkaClient:
         if err != _ERR_NONE:
             raise ConnectionError(f"fetch error {err} on partition {p}")
         if use_v4:
-            return hw, _parse_record_batches(recs)
+            return hw, [
+                (o, k, v) for (o, k, v, _c) in _parse_record_batches(recs)
+            ]
         return hw, _parse_message_set(recs)
 
     def close(self) -> None:

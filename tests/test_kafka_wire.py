@@ -151,6 +151,25 @@ def test_v2_record_batches_negotiated_gzip_roundtrip(broker):
         assert base == {0: 0}
         hw, recs = c.fetch("tz0", 0, 0, force_v0=True)
         assert (hw, recs) == (1, [(0, b"a", b"b")])
+        # mixed-codec partition (ADVICE r11): a gzip produce followed by
+        # an uncompressed produce must be re-served per-batch in kind —
+        # the fetch carries one batch per codec run, each CRC-valid,
+        # and the PER-RECORD codecs come back as produced
+        c.produce("tm", {0: [(b"g", b"gz" * 100)]}, compression="gzip")
+        c.produce("tm", {0: [(b"p", b"plain")]})
+        hw, records = c.fetch("tm", 0, 0)
+        assert hw == 2
+        assert records == [(0, b"g", b"gz" * 100), (1, b"p", b"plain")]
+        from apache_nifi_spark.streaming.kafka_wire import _record_batch_v2
+
+        wire = (
+            _record_batch_v2(0, [(0, b"g", b"gz" * 100)], 1)
+            + _record_batch_v2(1, [(0, b"p", b"plain")], 0)
+        )
+        assert [(o, k, v, cc) for (o, k, v, cc) in
+                _parse_record_batches(wire)] == [
+            (0, b"g", b"gz" * 100, 1), (1, b"p", b"plain", 0)
+        ]
     finally:
         c.close()
 

@@ -1874,7 +1874,7 @@ def test_new_codec_property_roundtrips():
         entries = [(i, k, v) for i, (k, v) in enumerate(kvs)]
         wire = _record_batch_v2(5, entries, codec)
         got = _parse_record_batches(wire)
-        assert got == [(5 + i, k, v) for i, (k, v) in enumerate(kvs)]
+        assert got == [(5 + i, k, v, codec) for i, (k, v) in enumerate(kvs)]
 
     batch_roundtrip()
 
@@ -1966,6 +1966,15 @@ Allow: /
     assert robots_is_allowed(parse_robots(txt, "otherbot"), "/a") is True
     # megabot gets its own deny-everything group
     assert robots_is_allowed(parse_robots(txt, "megabot"), "/zzz") is False
+    # one-way containment (ADVICE r11): a group for a LONGER unrelated
+    # token must not capture an agent that is merely its substring —
+    # 'databot' must not inherit 'superdatabot' rules, it falls to *
+    txt2 = "User-agent: superdatabot\nDisallow: /\n\nUser-agent: *\nAllow: /\n"
+    assert robots_is_allowed(parse_robots(txt2, "databot"), "/x") is True
+    assert robots_is_allowed(parse_robots(txt2, "superdatabot"), "/x") is False
+    # ...while a group token that is a substring of the product token
+    # still matches (RFC 9309 product-token match direction)
+    assert robots_is_allowed(parse_robots(txt2, "superdatabot/1.2"), "/x") is False
 
     df = spark.createDataFrame(
         [(i, p) for i, p in enumerate(cases)], ["i", "path"]

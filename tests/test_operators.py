@@ -821,6 +821,35 @@ def test_pgp_rfc4880_gpg_interop_and_mdc(spark):
         assert out.returncode == 0
         with open(f"{d}/theirs.pgp", "rb") as f:
             assert pgp_decrypt_message(f.read(), b"hunter2") == b"from gnupg"
+        # gpg DEFAULT output (no -z 0): literal wrapped in a tag-8
+        # compressed packet, streamed with partial/indeterminate
+        # lengths — must decrypt too (ADVICE r11)
+        out = subprocess.run(
+            [gpg, "--batch", "--yes", "--rfc4880", "--passphrase", "hunter2",
+             "--symmetric", "--cipher-algo", "AES", "--s2k-digest-algo",
+             "SHA1", "--s2k-mode", "3",
+             "-o", f"{d}/theirs_z.pgp", f"{d}/plain.txt"],
+            capture_output=True, timeout=60,
+        )
+        assert out.returncode == 0
+        with open(f"{d}/theirs_z.pgp", "rb") as f:
+            assert pgp_decrypt_message(f.read(), b"hunter2") == b"from gnupg"
+        # and explicitly per algorithm: ZIP(1), ZLIB(2), BZIP2(3)
+        for algo in ("ZIP", "ZLIB", "BZIP2"):
+            out = subprocess.run(
+                [gpg, "--batch", "--yes", "--rfc4880", "--passphrase",
+                 "hunter2", "--symmetric", "--cipher-algo", "AES",
+                 "--s2k-digest-algo", "SHA1", "--s2k-mode", "3",
+                 "--compress-algo", algo,
+                 "-o", f"{d}/theirs_{algo}.pgp", f"{d}/plain.txt"],
+                capture_output=True, timeout=60,
+            )
+            assert out.returncode == 0, out.stderr
+            with open(f"{d}/theirs_{algo}.pgp", "rb") as f:
+                assert (
+                    pgp_decrypt_message(f.read(), b"hunter2")
+                    == b"from gnupg"
+                ), algo
 
     # distributed round trip through the Spark operators
     from pyspark.sql import functions as F
