@@ -31,7 +31,11 @@ from pyspark.sql import functions as F
 
 from apache_nifi_spark.llm.pca import _packed_arr
 
-__all__ = ["countmin_heavy_hitters", "histogram_quantiles"]
+__all__ = [
+    "countmin_heavy_hitters",
+    "countmin_production_hitters",
+    "histogram_quantiles",
+]
 
 
 def histogram_quantiles(
@@ -179,5 +183,105 @@ def countmin_heavy_hitters(
             (est > F.col("c")).alias("overestimate"),
         )
         .orderBy(F.col("est_count").desc(), "token")
+        .limit(top_k)
+    )
+
+
+def countmin_production_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+    top_k: int = 20,
+    frac_denom: int = 256,
+) -> DataFrame:
+    """PRODUCTION two-pass count-min heavy hitters (the 100 TB shape the
+    certificate variant ``countmin_heavy_hitters`` deliberately is not):
+
+    - **pass 1** builds the d×w counter matrix straight from the token
+      STREAM — one shuffle whose group space is ``depth·width`` (map-side
+      combine collapses every partition to ≤ d·w rows); no token-grain
+      table exists anywhere,
+    - the **threshold** ``ceil(N / frac_denom)`` and the counters collect
+      as control-plane state (d·w + 1 integers; N is the row-0 counter
+      sum — division by a power-of-two denominator is IEEE-exact, so the
+      threshold replays bit-identically in the SQL oracle),
+    - **pass 2** re-scans the corpus, probes each occurrence against the
+      literal counter rows (map-only; est ≥ true is the sketch's
+      one-sided guarantee, so the est-filter passes a SUPERSET of the
+      true heavy hitters), and only the surviving occurrences — vocab
+      bounded by N/threshold ≤ frac_denom tokens — reach the exact-count
+      aggregate.  The full-vocabulary frequency table the certificate
+      variant materializes never exists in this plan
+      (tests/test_plans.py gates it).
+
+    Returns (token, est_count, exact_count) for tokens whose EXACT count
+    clears the threshold, ordered (exact_count DESC, token), top_k rows.
+    """
+
+    def col_for(tok: Column, r: int) -> Column:
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"cm{r}:"), tok)), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % width
+        )
+
+    def tokens() -> DataFrame:
+        # fresh lineage per call: each pass is its own scan — the
+        # two-pass stream shape, nothing corpus-sized is pinned
+        return df.select(
+            F.explode(
+                F.filter(
+                    F.split(F.col(text_col), r"\s+", -1), lambda t: t != ""
+                )
+            ).alias("tok")
+        )
+
+    pairs = tokens().select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), col_for(F.col("tok"), r).alias("col")
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("p")
+    )
+    got = {
+        (x["r"], x["col"]): x["s"]
+        for x in pairs.groupBy("p.r", "p.col")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .collect()  # control-plane: depth*width counter cells
+    }
+    rows = [[int(got.get((r, i), 0)) for i in range(width)] for r in range(depth)]
+    n_total = sum(rows[0])
+    import math
+
+    threshold = int(math.ceil(n_total / float(frac_denom)))
+
+    probes = [
+        F.element_at(
+            F.expr(_packed_arr(rows[r])),
+            (col_for(F.col("tok"), r)).cast("int") + 1,
+        )
+        for r in range(depth)
+    ]
+    est = F.least(*probes) if depth > 1 else probes[0]
+    return (
+        tokens()
+        .select(F.col("tok"), est.alias("est_count"))
+        .filter(F.col("est_count") >= threshold)
+        .groupBy("tok", "est_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+        .filter(F.col("exact_count") >= threshold)
+        .select(
+            F.col("tok").alias("token"), "est_count", "exact_count"
+        )
+        .orderBy(F.col("exact_count").desc(), "token")
         .limit(top_k)
     )

@@ -10379,6 +10379,85 @@ def text_countmin_q(spark, sf_dir):
     return countmin_heavy_hitters(d)
 
 
+def _countmin_prod_oracle(
+    depth: int = 4, width: int = 1024, top_k: int = 20, frac_denom: int = 256
+) -> str:
+    """Production count-min oracle: same md5-salted rows, counters built
+    straight from the token stream, ceil(N/frac_denom) threshold
+    (power-of-two denominator → IEEE-exact), est-filter then exact-count
+    of candidates only."""
+
+    def colx(r: int) -> str:
+        return (
+            f"CAST(('0x' || substr(md5('cm{r}:' || tok), 1, 8))::UBIGINT"
+            f" AS BIGINT) % {width}"
+        )
+
+    blocks = [
+        r"""tok AS MATERIALIZED (
+      SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                x -> x != '')) AS tok
+      FROM documents
+    )"""
+    ]
+    for r in range(depth):
+        blocks.append(
+            f"""cm{r} AS (
+      SELECT {colx(r)} AS col, CAST(COUNT(*) AS BIGINT) AS s
+      FROM tok GROUP BY 1
+    ),
+    w{r} AS (
+      SELECT list(CAST(COALESCE(cm{r}.s, 0) AS BIGINT) ORDER BY i) AS l
+      FROM range(0, {width}) t(i) LEFT JOIN cm{r} ON cm{r}.col = i
+    )"""
+        )
+    blocks.append(
+        f"""n AS (
+      SELECT CAST(CEIL(COUNT(*) / {float(frac_denom)}) AS BIGINT) AS thr
+      FROM tok
+    )"""
+    )
+    probes = ", ".join(
+        f"w{r}.l[CAST({colx(r)} AS INT) + 1]" for r in range(depth)
+    )
+    froms = ", ".join(f"w{r}" for r in range(depth))
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + f"""
+    , cand AS (
+      SELECT tok, least({probes}) AS est_count,
+             CAST(COUNT(*) AS BIGINT) AS exact_count, thr
+      FROM tok, {froms}, n
+      WHERE least({probes}) >= thr
+      GROUP BY 1, 2, thr
+    )
+    SELECT tok AS token, est_count, exact_count
+    FROM cand WHERE exact_count >= thr
+    ORDER BY exact_count DESC, token
+    LIMIT {top_k}"""
+    )
+
+
+@register("text_countmin_production", oracle=_countmin_prod_oracle())
+def text_countmin_production_q(spark, sf_dir):
+    """Count-min heavy hitters, PRODUCTION two-pass form (round-11
+    verdict item 2; Cormode & Muthukrishnan 2005 §4): pass 1 builds the
+    4×1024 counter matrix straight from the token stream (one shuffle,
+    group space depth·width, no token-grain table anywhere), the
+    ceil(N/256) threshold and counters collect as control-plane state,
+    pass 2 probes every occurrence map-only and only occurrences whose
+    sketch estimate clears the threshold (a superset of the true heavy
+    hitters — one-sided error) reach the exact-count aggregate.  The
+    full-vocabulary frequency table of the certificate variant never
+    materializes — tests/test_plans.py asserts the executed plan; see
+    llm/sketch.countmin_production_hitters."""
+    from apache_nifi_spark.llm.sketch import countmin_production_hitters
+
+    d = io.widen_if_narrow(_t(spark, sf_dir, "documents").select("text"))
+    return countmin_production_hitters(d)
+
+
 @register(
     "text_bloom_decontaminate",
     oracle=r"""

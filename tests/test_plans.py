@@ -315,3 +315,29 @@ def test_no_broadcast_hint_on_corpus_cardinality_frames():
         f"(add with a justification only if its cardinality is truly "
         f"corpus-independent): {offenders}"
     )
+
+
+def test_countmin_production_never_builds_full_vocab_table(spark, sf_dir):
+    """Round-11 verdict item 2: the production two-pass count-min must
+    never materialize a full-vocabulary exact-count table — the ONLY
+    token-keyed aggregate in the executed plan is the candidate count,
+    and it sits above the sketch-probe filter (so its input vocabulary
+    is bounded by N/threshold).  The certificate variant keeps the full
+    table on purpose; this gate keeps the production variant honest."""
+    import re
+
+    df = QUERIES["text_countmin_production"](spark, sf_dir)
+    df.collect()  # finalize the adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE appends the pre-adaptive plan after the final one: cut it off
+    plan = plan.split("== Initial Plan ==")[0]
+    # exactly one token-keyed aggregate (partial + final = 2 prints)
+    tok_aggs = re.findall(r"HashAggregate\(keys=\[tok", plan)
+    assert len(tok_aggs) == 2, f"expected 1 token-grain agg pair:\n{plan}"
+    # the probe filter feeds it: a Filter on the least() of the counter
+    # probes with the integer threshold
+    m_agg = re.search(r"HashAggregate\(keys=\[tok", plan)
+    m_filt = re.search(r"Filter .*least\(", plan)
+    assert m_filt, f"no sketch-probe filter in plan:\n{plan}"
+    # children print below parents: the filter must be BELOW the agg
+    assert m_filt.start() > m_agg.start(), plan
