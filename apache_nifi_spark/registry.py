@@ -3033,16 +3033,17 @@ def dedup_paragraph_global_q(spark, sf_dir):
     Spark side uses min(struct(id,pos)) aggregation rather than the
     oracle's row_number window — same winner, but map-side partial
     combine so Zipf-hot boilerplate lines can't skew a sort partition;
-    see llm/dedup.paragraph_dedup."""
+    see llm/dedup.paragraph_dedup.  The lining regexp runs on the
+    Arrow/RE2 path (llm/text.regexp_replace_arrow) — it was the
+    measured sf1 cost center (verdict r11 item 3)."""
     from apache_nifi_spark.llm import paragraph_dedup
+    from apache_nifi_spark.llm.text import regexp_replace_arrow
 
-    d = io.widen_if_narrow(
-        _t(spark, sf_dir, "documents").select(
-            "doc_id",
-            F.regexp_replace(
-                "text", r"((?:\S+ ){9}\S+) ", "$1\n"
-            ).alias("text"),
-        )
+    d = regexp_replace_arrow(
+        io.widen_if_narrow(_t(spark, sf_dir, "documents").select("doc_id", "text")),
+        "text",
+        r"((?:\S+ ){9}\S+) ",
+        "\\1\n",
     )
     return paragraph_dedup(d)
 
