@@ -61,6 +61,70 @@ def _bucket(gram: Column, buckets: int) -> Column:
     )
 
 
+def grams_arrow(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """(id, *carry, _gram) — one row per unigram AND bigram occurrence,
+    generated on the Arrow/RE2 path (round-11 verdict item 3: the
+    corpus-grain Java regex + the zip_with bigram lambda were the
+    measured cost centers).  Vectorized end to end: RE2 split, empties
+    masked, bigrams built by ``binary_join_element_wise`` over the flat
+    token array offset by one with a same-document mask from
+    ``list_parent_indices`` — no per-row Python.  Gram order within a
+    document is NOT preserved (unigrams then bigrams); every consumer
+    aggregates, so order never matters.  Carried columns ride by
+    parent-index take."""
+    import pyarrow as pa
+
+    carry = carry or []
+    in_cols = [id_col, *carry, text_col]
+    fields = {f.name: f.dataType.simpleString() for f in df.select(*in_cols).schema.fields}
+    out_schema = ", ".join(
+        [f"{id_col} {fields[id_col]}"]
+        + [f"{c} {fields[c]}" for c in carry]
+        + ["_gram string"]
+    )
+
+    def run(batches):
+        import numpy as np
+        import pyarrow.compute as pc
+
+        for b in batches:
+            t = pc.utf8_lower(b.column(b.schema.get_field_index(text_col)))
+            toks = pc.split_pattern_regex(t, pattern="[^a-z0-9']+")
+            flat = pc.list_flatten(toks)
+            parent = pc.list_parent_indices(toks).to_numpy(
+                zero_copy_only=False
+            )
+            mask = pc.not_equal(flat, "")
+            flat = flat.filter(mask)
+            parent = parent[mask.to_numpy(zero_copy_only=False)]
+            n = len(flat)
+            if n > 1:
+                same = parent[1:] == parent[:-1]
+                sel = pa.array(same)
+                big = pc.binary_join_element_wise(
+                    flat.slice(0, n - 1).filter(sel),
+                    flat.slice(1).filter(sel),
+                    " ",
+                )
+                gram = pa.concat_arrays([flat, big])
+                pidx = pa.array(np.concatenate([parent, parent[:-1][same]]))
+            else:
+                gram = flat
+                pidx = pa.array(parent)
+            arrays = [
+                pc.take(b.column(b.schema.get_field_index(c)), pidx)
+                for c in [id_col, *carry]
+            ] + [gram]
+            yield pa.RecordBatch.from_arrays(arrays, [id_col, *carry, "_gram"])
+
+    return df.select(*in_cols).mapInArrow(run, out_schema)
+
+
 def _gram_frame(
     df: DataFrame,
     text_col: str,
@@ -69,20 +133,11 @@ def _gram_frame(
     carry: list[str],
 ) -> DataFrame:
     """(id, *carry, bucket) — one row per unigram AND bigram occurrence;
-    ``carry`` columns ride through the explode unchanged."""
-    toks = _tokens(F.col(text_col))
-    bigrams = F.zip_with(
-        F.expr(f"slice({'_toks'}, 1, greatest(size(_toks) - 1, 0))"),
-        F.expr(f"slice({'_toks'}, 2, greatest(size(_toks) - 1, 0))"),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    return (
-        df.select(id_col, *carry, toks.alias("_toks"))
-        .select(
-            id_col, *carry,
-            F.explode(F.concat(F.col("_toks"), bigrams)).alias("_gram"),
-        )
-        .select(id_col, *carry, _bucket(F.col("_gram"), buckets).alias("bucket"))
+    ``carry`` columns ride through unchanged.  Gram generation is the
+    Arrow/RE2 pass (:func:`grams_arrow`); the md5 bucket hash stays
+    JVM-side (portable to the oracle)."""
+    return grams_arrow(df, text_col, id_col, carry).select(
+        id_col, *carry, _bucket(F.col("_gram"), buckets).alias("bucket")
     )
 
 

@@ -2245,12 +2245,13 @@ def text_classifier_train_score_q(spark, sf_dir):
     integers) plugs straight in.  The head's dot product is an exact
     bigint sum (order-independent), the probability the rational
     sigmoid, so train AND inference replay bit-identically in the
-    oracle.  See llm/train.logreg_train_weights /
-    hashed_linear_score_trained."""
-    from apache_nifi_spark.llm.train import (
-        hashed_linear_score_trained,
-        logreg_train_weights,
-    )
+    oracle.  The feature build runs ONCE over the full corpus (round-11
+    verdict item 4): the training split's feature rows are a filter of
+    the pinned (doc, bucket, count) frame and the head folds the same
+    frame against the trained packed-weight literal — values identical
+    to training-then-scoring separately, one corpus tokenize instead of
+    two.  See llm/train.logreg_train_score_shared."""
+    from apache_nifi_spark.llm.train import logreg_train_score_shared
 
     d = io.widen_if_narrow(
         _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -2262,8 +2263,9 @@ def text_classifier_train_score_q(spark, sf_dir):
         "                        'b', a.b + if(x = 'batch', 1, 0)),"
         " a -> a.s > a.b)"
     )
-    w = logreg_train_weights(d.filter(F.col("doc_id") % 3 == 0), label=label)
-    return hashed_linear_score_trained(d, w)
+    return logreg_train_score_shared(
+        d, label=label, train_pred=lambda i: i % 3 == 0
+    )
 
 
 @register(
