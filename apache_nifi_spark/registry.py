@@ -9594,6 +9594,7 @@ def text_pmi_q(spark, sf_dir):
 
 
 _DELTA_STAGE: dict[str, str] = {}
+_DELTA_CKPT_STAGE: dict[str, str] = {}
 
 
 def _staged_delta(spark, sf_dir):
@@ -9664,6 +9665,89 @@ def delta_log_snapshot_q(spark, sf_dir):
     from apache_nifi_spark.sources.deltalog import read_delta_snapshot
 
     root = _staged_delta(spark, sf_dir)
+    snap = read_delta_snapshot(spark, root)
+    return snap.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("l_quantity"), "total_qty"),
+    )
+
+
+def _staged_delta_ckpt(spark, sf_dir):
+    """Delta table WITH a parquet checkpoint (verdict r11 item 5): the
+    same three commits as _staged_delta (active q1,q2,q3), a classic
+    checkpoint at version 2, then a POST-checkpoint commit 3 that
+    removes q2 and re-adds q0 — so a correct reader needs the
+    checkpoint base AND the JSON tail, and a reader that replays the
+    full log gets the same answer (asserted in tests)."""
+    if sf_dir in _DELTA_CKPT_STAGE:
+        return _DELTA_CKPT_STAGE[sf_dir]
+    import glob
+    import tempfile
+
+    from apache_nifi_spark.sources.deltalog import (
+        write_checkpoint,
+        write_commit,
+    )
+
+    root = tempfile.mkdtemp(prefix="anspark_deltac_")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    rel = {}
+    for q in range(4):
+        sub = f"q{q}"
+        (
+            li.filter(F.col("l_orderkey") % 4 == q)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{root}/{sub}")
+        )
+        part = glob.glob(f"{root}/{sub}/part-*.parquet")[0]
+        rel[q] = os.path.relpath(part, root)
+
+    def add(q):
+        return {"add": {"path": rel[q], "size": os.path.getsize(
+            os.path.join(root, rel[q])), "dataChange": True}}
+
+    write_commit(root, 0, [
+        {"metaData": {"id": "anspark-ckpt-demo"}}, add(0), add(1),
+    ])
+    write_commit(root, 1, [
+        {"remove": {"path": rel[0], "dataChange": True}}, add(2),
+    ])
+    write_commit(root, 2, [add(3)])
+    write_checkpoint(spark, root, 2)
+    write_commit(root, 3, [
+        {"remove": {"path": rel[2], "dataChange": True}}, add(0),
+    ])
+    _DELTA_CKPT_STAGE[sf_dir] = root
+    return _DELTA_CKPT_STAGE[sf_dir]
+
+
+@register(
+    "delta_checkpoint_snapshot_read",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+             AS total_qty
+    FROM lineitem WHERE l_orderkey % 4 IN (0, 1, 3)
+    GROUP BY 1
+    """,
+)
+def delta_checkpoint_snapshot_q(spark, sf_dir):
+    """Lakehouse snapshot read THROUGH a parquet checkpoint (delta.io
+    PROTOCOL.md checkpoint section; round-11 verdict item 5): the log
+    has a classic ``<v>.checkpoint.parquet`` + ``_last_checkpoint``
+    pointer at version 2 and a tail commit 3 (remove q2, re-add q0) —
+    the reader loads the compacted base from the checkpoint and replays
+    ONLY the JSON tail (commits ≤ 2 are never opened; the unit test
+    proves it by corrupting them).  Active quarters after
+    reconciliation: 0, 1, 3 — the oracle computes the same straight
+    from the fixture.  sources/deltalog.py."""
+    from apache_nifi_spark.sources.deltalog import read_delta_snapshot
+
+    root = _staged_delta_ckpt(spark, sf_dir)
     snap = read_delta_snapshot(spark, root)
     return snap.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),

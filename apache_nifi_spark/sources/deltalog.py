@@ -6,9 +6,14 @@ Delta jar ships in this environment, so the LOG PROTOCOL is implemented
 from the public spec; parquet reading stays Spark-native.
 
 Scope: JSON commit replay (add/remove/metaData), the core of the
-protocol.  Parquet checkpoint files are a documented read-optimization
-seam — a reader without them is slower on 10⁶-commit logs, never
-wrong.
+protocol, PLUS classic single-part parquet checkpoints (round-11
+verdict item 5): ``<version>.checkpoint.parquet`` holding the actions
+COMPACTED at version V (the reconciled active adds) and the
+``_last_checkpoint`` pointer file, so a snapshot read replays only the
+JSON tail (> V) instead of the whole log — the read-optimization the
+protocol defines for 10⁶-commit logs.  Time travel to a version below
+the checkpoint falls back to full JSON replay (the JSON commits are
+retained, as the spec's VACUUM-less default does).
 
 Spark-first shape: the commit list is a control-plane directory listing
 (O(commits)); the ACTIONS parse distributedly — ``spark.read.json``
@@ -26,7 +31,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["write_commit", "delta_active_files", "read_delta_snapshot"]
+__all__ = [
+    "write_commit",
+    "write_checkpoint",
+    "delta_active_files",
+    "read_delta_snapshot",
+]
 
 
 def write_commit(table_path: str, version: int, actions: list[dict]) -> str:
@@ -41,21 +51,55 @@ def write_commit(table_path: str, version: int, actions: list[dict]) -> str:
     return p
 
 
-def delta_active_files(
-    spark: SparkSession, table_path: str, version: int | None = None
-) -> DataFrame:
-    """Replay the JSON commits up to ``version`` (default: latest) →
-    (path, size, added_version): the files active in that snapshot.
-    Latest action per path wins, exactly the protocol's reconciliation
-    rule; a remove as the latest action drops the file."""
+def _last_checkpoint_version(log_dir: str) -> int | None:
+    """Read the ``_last_checkpoint`` pointer (spec: a one-line JSON with
+    the checkpoint's version); None when no checkpoint exists."""
+    p = os.path.join(log_dir, "_last_checkpoint")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(json.loads(f.read())["version"])
+
+
+def write_checkpoint(
+    spark: SparkSession, table_path: str, version: int
+) -> str:
+    """Write the classic single-part parquet checkpoint at ``version``:
+    the reconciled ACTIVE adds ≤ version, one row per file, plus the
+    ``_last_checkpoint`` pointer.  ``added_version`` rides as a column
+    so post-checkpoint reads report the same provenance as a full
+    replay.  The checkpoint is MANIFEST-scale (O(active files) — the
+    same control-plane size the snapshot reader already collects), so
+    the single-part driver write matches the spec's classic checkpoint;
+    multi-part V2 checkpoints are the distributed-write variant of the
+    same content."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    active = delta_active_files(
+        spark, table_path, version, use_checkpoint=False
+    ).collect()  # control-plane: O(active files) manifest rows
     log_dir = os.path.join(table_path, "_delta_log")
-    commits = sorted(
-        f for f in os.listdir(log_dir) if f.endswith(".json")
-    )  # control-plane: O(commits) directory listing
-    if version is not None:
-        commits = [c for c in commits if int(c[:-5]) <= version]
-    if not commits:
-        raise ValueError(f"no delta commits at or below {version}")
+    tbl = pa.table(
+        {
+            "path": pa.array([r["path"] for r in active], pa.string()),
+            "size": pa.array([r["size"] for r in active], pa.int64()),
+            "added_version": pa.array(
+                [r["added_version"] for r in active], pa.int64()
+            ),
+        }
+    )
+    ckpt = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    pq.write_table(tbl, ckpt)
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
+        f.write(json.dumps({"version": version, "size": len(active)}))
+    return ckpt
+
+
+def _tail_actions(
+    spark: SparkSession, log_dir: str, commits: list[str]
+) -> DataFrame:
+    """(path, size, _is_add, _version) action rows from JSON commits."""
     paths = [os.path.join(log_dir, c) for c in commits]
     raw = spark.read.json(
         paths,
@@ -68,12 +112,55 @@ def delta_active_files(
         F.regexp_extract(F.input_file_name(), r"(\d{20})\.json", 1)
         .cast("long"),
     )
-    acts = raw.select(
+    return raw.select(
         F.coalesce(F.col("add.path"), F.col("remove.path")).alias("path"),
         F.col("add.size").alias("size"),
         F.col("add.path").isNotNull().alias("_is_add"),
         "_version",
     ).filter(F.col("path").isNotNull())
+
+
+def delta_active_files(
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    use_checkpoint: bool = True,
+) -> DataFrame:
+    """Replay the log up to ``version`` (default: latest) → (path, size,
+    added_version): the files active in that snapshot.  Latest action
+    per path wins, exactly the protocol's reconciliation rule; a remove
+    as the latest action drops the file.
+
+    With a ``_last_checkpoint`` present (and ``use_checkpoint``), the
+    base state loads from the parquet checkpoint and ONLY the JSON tail
+    (> checkpoint version) replays — commits at or below the checkpoint
+    are never opened.  Checkpoint rows carry their original add version,
+    and every tail action's version exceeds the checkpoint's, so the
+    same ``max_by`` reconciliation applies to the union unchanged."""
+    log_dir = os.path.join(table_path, "_delta_log")
+    commits = sorted(
+        f for f in os.listdir(log_dir) if f.endswith(".json")
+    )  # control-plane: O(commits) directory listing
+    if version is not None:
+        commits = [c for c in commits if int(c[:-5]) <= version]
+    ckpt_v = _last_checkpoint_version(log_dir) if use_checkpoint else None
+    if ckpt_v is not None and (version is None or version >= ckpt_v):
+        base = spark.read.parquet(
+            os.path.join(log_dir, f"{ckpt_v:020d}.checkpoint.parquet")
+        ).select(
+            "path",
+            "size",
+            F.lit(True).alias("_is_add"),
+            F.col("added_version").alias("_version"),
+        )
+        tail = [c for c in commits if int(c[:-5]) > ckpt_v]
+        acts = base.unionByName(
+            _tail_actions(spark, log_dir, tail)
+        ) if tail else base
+    else:
+        if not commits:
+            raise ValueError(f"no delta commits at or below {version}")
+        acts = _tail_actions(spark, log_dir, commits)
     latest = acts.groupBy("path").agg(
         F.max_by("_is_add", "_version").alias("_is_add"),
         F.max_by("size", "_version").alias("size"),
