@@ -4,11 +4,21 @@ baseline at the same scale factor (BASELINE.md §B — the pass criterion is
 
 Usage:
     python tools/bench_compare.py [sf_dir] [--bench BENCH_JSON]
+                                  [--prev BENCH_rN.json]
 
 If --bench is not given, runs bench.py in-process first.  Prints one line
 per query: spark_s, duck_s, ratio, and a flag for ratio > 2.0; then a
 summary.  DuckDB timings are best-of-2 (the first run pays file-cache
 warmup, same as Spark's warm JVM).
+
+Per-population split (BASELINE.md §K, round-11 verdict item 6): the
+summary also reports the suite ratio decomposed into the population
+SHARED with the previous round's BENCH_r{N}.json (the contract line —
+same queries, comparable walls) and this round's ADDITIONS (new queries
+sit on Spark's fixed per-job floor against ms-class DuckDB twins, so
+their group ratio is a floor artifact, not a plan signal — the §C
+taxonomy).  ``--prev`` overrides the baseline population; by default the
+highest-numbered BENCH_r*.json in the repo root is used.
 """
 
 from __future__ import annotations
@@ -45,14 +55,38 @@ def duck_timings(sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _latest_round_bench(root: str) -> str | None:
+    """Previous-round population source: prefer the committed
+    ``bench_population_r{N}.json`` snapshots (full query list — the
+    driver's BENCH_r{N}.json truncates to the top walls); fall back to
+    the newest BENCH_r*.json."""
+    import glob
+    import re
+
+    for pat, rx in (
+        ("bench_population_r*.json", r"bench_population_r(\d+)"),
+        ("BENCH_r*.json", r"BENCH_r(\d+)"),
+    ):
+        cands = sorted(
+            glob.glob(os.path.join(root, pat)),
+            key=lambda p: int(re.search(rx, p).group(1)),
+        )
+        if cands:
+            return cands[-1]
+    return None
+
+
 def main() -> int:
     sf_dir = "/root/testdata/sf0.1"
     bench_path = None
+    prev_path = None
     args = sys.argv[1:]
     while args:
         a = args.pop(0)
         if a == "--bench":
             bench_path = args.pop(0)
+        elif a == "--prev":
+            prev_path = args.pop(0)
         else:
             sf_dir = a
 
@@ -88,6 +122,31 @@ def main() -> int:
         f"\n{len(rows)} oracle queries; spark {total_s:.1f}s vs duckdb {total_d:.1f}s "
         f"(suite ratio {total_s / total_d:.2f}); {n_fail} queries over 2x"
     )
+
+    # per-population split vs the previous round's query set (§K)
+    if prev_path is None:
+        prev_path = _latest_round_bench(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+    if prev_path and os.path.exists(prev_path):
+        prev = json.load(open(prev_path))
+        # driver-recorded BENCH_r{N}.json wraps the bench line under
+        # "parsed"; a raw bench.py line carries "queries" at top level
+        prev_qs = set(
+            (prev.get("parsed") or prev).get("queries", {})
+        )
+        shared = [r for r in rows if r[0] in prev_qs]
+        added = [r for r in rows if r[0] not in prev_qs]
+        for tag, grp in (("shared-with-prev", shared), ("additions", added)):
+            if not grp:
+                continue
+            gs, gd = sum(r[1] for r in grp), sum(r[2] for r in grp)
+            print(
+                f"  {tag}: {len(grp)} queries, spark {gs:.1f}s vs duckdb "
+                f"{gd:.1f}s (ratio {gs / gd:.2f})"
+                + ("" if gd else " [duck 0]")
+            )
+        print(f"  (population baseline: {os.path.basename(prev_path)})")
     return 0
 
 
