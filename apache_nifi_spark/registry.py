@@ -8251,6 +8251,108 @@ def warc_ingest_responses_q(spark, sf_dir):
 
 
 @register(
+    "warc_wet_pipeline",
+    oracle="""
+    SELECT doc_id AS shard_id,
+           'http://example.com/' || CAST(doc_id AS VARCHAR) AS url,
+           'GET' AS method,
+           CAST(200 AS INT) AS http_status,
+           CAST(5 + doc_id % 100 AS INT) AS fetch_ms,
+           CAST(3 + doc_id % 5 AS BIGINT) AS wet_words
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def warc_wet_pipeline_q(spark, sf_dir):
+    """Common Crawl segment END TO END (round-11 verdict item 8): the
+    real CC layout ships three files per segment — ``.warc.gz`` (crawl:
+    warcinfo + request + response + metadata records), ``.warc.wet.gz``
+    (extracted text: ``conversion`` records whose ``WARC-Refers-To``
+    names the source response's ``WARC-Record-ID``) — and a consumer
+    joins them by record id.  Here executor-synthesized WARC and WET
+    members parse through the one generic typed parser
+    (llm/warc.warc_records: request lines, RFC 9112 responses,
+    application/warc-fields metadata, WET text) and the four typed
+    streams re-join: request→method, response→status,
+    metadata→fetchTimeMs (warc-fields), WET conversion→word count —
+    with the WET join going through WARC-Refers-To = record id, the
+    actual CC linkage, not the URL.  One parse, pinned; doc-grain
+    equi-joins; oracle regenerates everything arithmetically so
+    equality proves the full container + linkage round trip."""
+    import pandas as pd  # noqa: F811
+
+    from apache_nifi_spark.llm.warc import encode_warc_gz, warc_records
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            contents = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                u = f"http://example.com/{d}"
+                resp_id = f"<urn:uuid:resp-{d:012d}>"
+                html = f"<html><body>{'x' * (10 + d % 50)}</body></html>"
+                wet_text = " ".join(f"w{i}" for i in range(3 + d % 5))
+                warc = encode_warc_gz([
+                    ("warcinfo", {},
+                     b"software: anspark-crawler\r\nformat: WARC/1.0\r\n"),
+                    ("request", {"WARC-Target-URI": u},
+                     f"GET /{d} HTTP/1.1\r\nHost: example.com\r\n\r\n"
+                     .encode()),
+                    ("response",
+                     {"WARC-Target-URI": u, "WARC-Record-ID": resp_id},
+                     b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                     + html.encode()),
+                    ("metadata",
+                     {"WARC-Target-URI": u, "WARC-Refers-To": resp_id,
+                      "Content-Type": "application/warc-fields"},
+                     f"fetchTimeMs: {5 + d % 100}\r\n"
+                     f"charset-detected: utf-8\r\n".encode()),
+                ])
+                wet = encode_warc_gz([
+                    ("warcinfo", {},
+                     b"software: anspark-wet-extractor\r\n"),
+                    ("conversion",
+                     {"WARC-Target-URI": u, "WARC-Refers-To": resp_id,
+                      "Content-Type": "text/plain"},
+                     wet_text.encode()),
+                ])
+                contents.append(warc + wet)
+            yield pd.DataFrame({"shard_id": pdf["doc_id"],
+                                "content": contents})
+
+    shards = base.mapInPandas(synth, "shard_id long, content binary")
+    # one typed parse, pinned — four branches read it
+    recs = warc_records(shards).localCheckpoint(eager=False)
+    req = recs.filter(F.col("warc_type") == "request").select(
+        "shard_id", "url", "method"
+    )
+    resp = recs.filter(F.col("warc_type") == "response").select(
+        "shard_id", "url", "record_id", "http_status"
+    )
+    meta = recs.filter(F.col("warc_type") == "metadata").select(
+        F.col("refers_to").alias("m_ref"),
+        F.element_at("meta_fields", "fetchTimeMs").cast("int")
+        .alias("fetch_ms"),
+    )
+    wet = recs.filter(F.col("warc_type") == "conversion").select(
+        F.col("refers_to").alias("w_ref"),
+        F.size(F.split("text", " ", -1)).cast("bigint").alias("wet_words"),
+    )
+    return (
+        resp.join(req, ["shard_id", "url"])
+        .join(meta, F.col("record_id") == F.col("m_ref"))
+        .join(wet, F.col("record_id") == F.col("w_ref"))
+        .select("shard_id", "url", "method", "http_status",
+                "fetch_ms", "wet_words")
+    )
+
+
+@register(
     "robots_url_filter",
     oracle=r"""
     WITH p AS (

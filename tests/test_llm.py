@@ -1922,6 +1922,49 @@ def test_warc_multi_member_gzip_and_malformed_framing():
         parse_warc(bad)
 
 
+def test_warc_records_typed_parse_and_wet_linkage(spark):
+    """warc_records (round-11 item 8): every record type parses into its
+    typed columns — request line -> method/target, response -> status/
+    body, metadata/warcinfo -> application/warc-fields map, conversion
+    (WET) -> text — and the WET record links to its response through
+    WARC-Refers-To = WARC-Record-ID, the Common Crawl segment layout."""
+    import pandas as pd
+
+    from apache_nifi_spark.llm.warc import encode_warc_gz, warc_records
+
+    u = "http://site/x"
+    rid = "<urn:uuid:resp-1>"
+    blob = encode_warc_gz([
+        ("warcinfo", {}, b"software: t\r\nrobots: classic\r\n"),
+        ("request", {"WARC-Target-URI": u},
+         b"POST /x?a=1 HTTP/1.1\r\nHost: site\r\n\r\nbody"),
+        ("response", {"WARC-Target-URI": u, "WARC-Record-ID": rid},
+         b"HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n\r\nnope"),
+        ("metadata", {"WARC-Target-URI": u, "WARC-Refers-To": rid,
+                      "Content-Type": "application/warc-fields"},
+         b"fetchTimeMs: 42\r\nlanguages-cld2: en\r\n"),
+        ("conversion", {"WARC-Target-URI": u, "WARC-Refers-To": rid,
+                        "Content-Type": "text/plain"},
+         "extracted t\u00e9xt here".encode()),
+    ])
+    df = spark.createDataFrame(pd.DataFrame(
+        {"shard_id": [7], "content": [blob]}
+    ))
+    rows = {r["warc_type"]: r for r in warc_records(df).collect()}
+    assert set(rows) == {"warcinfo", "request", "response", "metadata",
+                         "conversion"}
+    assert rows["request"]["method"] == "POST"
+    assert rows["request"]["req_target"] == "/x?a=1"
+    assert rows["response"]["http_status"] == 404
+    assert bytes(rows["response"]["body"]) == b"nope"
+    assert rows["metadata"]["meta_fields"]["fetchTimeMs"] == "42"
+    assert rows["warcinfo"]["meta_fields"]["robots"] == "classic"
+    assert rows["conversion"]["text"] == "extracted t\u00e9xt here"
+    # the CC linkage: WET conversion refers to the response record id
+    assert rows["conversion"]["refers_to"] == rows["response"]["record_id"]
+    assert rows["metadata"]["refers_to"] == rid
+
+
 def test_robots_rfc9309_semantics(spark):
     """RFC 9309 invariants: longest-match wins, allow wins a length
     tie, empty disallow allows, unmatched paths allow, the $ anchor
