@@ -9697,6 +9697,7 @@ def text_pmi_q(spark, sf_dir):
 
 _DELTA_STAGE: dict[str, str] = {}
 _DELTA_CKPT_STAGE: dict[str, str] = {}
+_ICEBERG_STAGE: dict[str, str] = {}
 
 
 def _staged_delta(spark, sf_dir):
@@ -9768,6 +9769,78 @@ def delta_log_snapshot_q(spark, sf_dir):
 
     root = _staged_delta(spark, sf_dir)
     snap = read_delta_snapshot(spark, root)
+    return snap.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("l_quantity"), "total_qty"),
+    )
+
+
+def _staged_iceberg(spark, sf_dir):
+    """Process-lifetime Iceberg table over lineitem quarters (the delta
+    fixture's sibling): snapshot 1 adds q0+q1, snapshot 2 deletes q0
+    and adds q2+q3 — current active set is quarters 1,2,3, and time
+    travel to snapshot 1 sees 0,1 (tested in tests/test_sources.py)."""
+    if sf_dir in _ICEBERG_STAGE:
+        return _ICEBERG_STAGE[sf_dir]
+    import glob
+    import tempfile
+
+    from apache_nifi_spark.sources.iceberg import iceberg_commit
+
+    root = tempfile.mkdtemp(prefix="anspark_iceberg_")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    info = {}
+    for q in range(4):
+        sub = f"q{q}"
+        (
+            li.filter(F.col("l_orderkey") % 4 == q)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{root}/{sub}")
+        )
+        part = glob.glob(f"{root}/{sub}/part-*.parquet")[0]
+        info[q] = {
+            "file_path": part,
+            "record_count": 0,
+            "file_size_in_bytes": os.path.getsize(part),
+        }
+    iceberg_commit(root, 1, added=[info[0], info[1]])
+    iceberg_commit(
+        root, 2, added=[info[2], info[3]],
+        deleted=[info[0]["file_path"]],
+    )
+    _ICEBERG_STAGE[sf_dir] = root
+    return _ICEBERG_STAGE[sf_dir]
+
+
+@register(
+    "iceberg_snapshot_read",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+             AS total_qty
+    FROM lineitem WHERE l_orderkey % 4 IN (1, 2, 3)
+    GROUP BY 1
+    """,
+)
+def iceberg_snapshot_q(spark, sf_dir):
+    """Iceberg snapshot read (the open table spec, iceberg.apache.org —
+    implemented over the repo's from-scratch Avro codec, no Iceberg
+    jar): version-hint → metadata JSON → the current snapshot's Avro
+    manifest LIST (control-plane) → MANIFESTS decoded distributedly
+    (one binaryFile task each) → active entries (status ≠ DELETED) →
+    plain parquet scan.  Snapshot 2 deleted quarter 0 via a manifest
+    rewrite, so equality with the oracle proves the status field and
+    the self-contained-snapshot semantics (no cross-commit replay —
+    the structural contrast to delta_log_snapshot_read).
+    sources/iceberg.py."""
+    from apache_nifi_spark.sources.iceberg import read_iceberg_snapshot
+
+    root = _staged_iceberg(spark, sf_dir)
+    snap = read_iceberg_snapshot(spark, root)
     return snap.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         _dsum(F.col("l_quantity"), "total_qty"),

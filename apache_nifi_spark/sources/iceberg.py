@@ -1,0 +1,312 @@
+"""Apache Iceberg snapshot reads (the OPEN table spec —
+iceberg.apache.org/spec; reference ships stock NiFi whose PutIceberg
+writes this format [2.7.2-surface]).  No Iceberg jar ships in this
+environment, so the METADATA protocol is implemented from the public
+spec over the repo's own from-scratch Avro codec
+(``sources/avro_codec``); parquet data reading stays Spark-native.
+
+What the spec defines (v1/v2 core, the subset a reader needs):
+
+- ``metadata/v<N>.metadata.json`` — table metadata: ``snapshots`` (each
+  with ``snapshot-id``, ``timestamp-ms`` and a ``manifest-list`` path)
+  and ``current-snapshot-id``; the HadoopCatalog convention publishes
+  the latest version number in ``metadata/version-hint.text``,
+- the **manifest list** — an Avro object-container file, one record per
+  manifest (``manifest_path``, ``manifest_length``,
+  ``partition_spec_id``, ``added_snapshot_id``),
+- each **manifest** — an Avro file of entries ``(status, snapshot_id,
+  data_file{file_path, file_format, record_count,
+  file_size_in_bytes})`` where status 0=EXISTING, 1=ADDED, 2=DELETED.
+
+Unlike Delta's log REPLAY, an Iceberg snapshot is self-contained: its
+manifest list enumerates every live manifest, and the active files are
+simply the entries with status ≠ DELETED — no reconciliation across
+commits, which is why time travel is "read a different metadata
+pointer".
+
+Spark-first shape: version-hint + metadata JSON + manifest LIST are
+control-plane reads (O(1) + O(manifests) — the same class as a
+directory listing); the MANIFESTS decode DISTRIBUTEDLY — a
+``binaryFile`` scan over the manifest paths fans one Avro container per
+task through the from-scratch decoder (at 100 TB a table carries
+thousands of manifests; per-file tasks are exactly Iceberg's planned
+parallelism).  The resolved file list feeds a plain parquet scan, so
+pruning / pushdown work as on any parquet read.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from apache_nifi_spark.sources.avro_codec import (
+    decode_container,
+    encode_container,
+)
+
+__all__ = [
+    "iceberg_commit",
+    "iceberg_active_files",
+    "read_iceberg_snapshot",
+]
+
+MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "added_snapshot_id", "type": "long"},
+    ],
+}
+
+MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": "long"},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "data_file",
+                "fields": [
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+_STATUS_EXISTING, _STATUS_ADDED, _STATUS_DELETED = 0, 1, 2
+
+
+def _meta_dir(table_path: str) -> str:
+    d = os.path.join(table_path, "metadata")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _write_manifest(
+    table_path: str, name: str, entries: list[tuple[int, int, dict]]
+) -> tuple[str, int]:
+    """Write one manifest Avro file → (path, length)."""
+    p = os.path.join(_meta_dir(table_path), name)
+    blob = b"".join(
+        encode_container(iter(entries), MANIFEST_ENTRY_SCHEMA, codec="deflate")
+    )
+    with open(p, "wb") as f:
+        f.write(blob)
+    return p, len(blob)
+
+
+def iceberg_commit(
+    table_path: str,
+    snapshot_id: int,
+    added: list[dict],
+    deleted: list[str] | None = None,
+) -> int:
+    """Commit one snapshot: carry forward the previous snapshot's live
+    files (rewritten as EXISTING entries, minus ``deleted`` paths which
+    become DELETED entries — the spec's rewrite path), add ``added``
+    data files (dicts with file_path/record_count/file_size_in_bytes),
+    write the manifest + manifest list + new ``v<N>.metadata.json`` and
+    bump ``version-hint.text``.  Returns the new metadata version.
+
+    Writer-side simplification: each snapshot writes ONE new manifest
+    holding the full entry set (real writers keep unchanged manifests
+    and only rewrite touched ones — a write-amplification optimization,
+    not a read-semantics difference; the reader below handles
+    multi-manifest lists either way)."""
+    deleted = deleted or []
+    meta_dir = _meta_dir(table_path)
+    hint = os.path.join(meta_dir, "version-hint.text")
+    prev_live: list[dict] = []
+    version = 0
+    snapshots: list[dict] = []
+    if os.path.exists(hint):
+        with open(hint) as f:
+            version = int(f.read().strip())
+        with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as f:
+            meta = json.load(f)
+        snapshots = meta["snapshots"]
+        cur = meta.get("current-snapshot-id")
+        if cur is not None:
+            prev_live = [
+                r
+                for r in _manifest_rows_local(table_path, cur, snapshots)
+                if r["status"] != _STATUS_DELETED
+            ]
+
+    entries: list[tuple[int, int, dict]] = []
+    for r in prev_live:
+        status = (
+            _STATUS_DELETED
+            if r["data_file"]["file_path"] in deleted
+            else _STATUS_EXISTING
+        )
+        entries.append((status, snapshot_id, r["data_file"]))
+    for df_info in added:
+        entries.append(
+            (
+                _STATUS_ADDED,
+                snapshot_id,
+                {
+                    "file_path": df_info["file_path"],
+                    "file_format": df_info.get("file_format", "PARQUET"),
+                    "record_count": int(df_info.get("record_count", 0)),
+                    "file_size_in_bytes": int(
+                        df_info.get("file_size_in_bytes", 0)
+                    ),
+                },
+            )
+        )
+    mpath, mlen = _write_manifest(
+        table_path, f"manifest-{snapshot_id}.avro", entries
+    )
+    mlist = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
+    with open(mlist, "wb") as f:
+        f.write(
+            b"".join(
+                encode_container(
+                    iter([(mpath, mlen, 0, snapshot_id)]),
+                    MANIFEST_LIST_SCHEMA,
+                    codec="deflate",
+                )
+            )
+        )
+    version += 1
+    meta = {
+        "format-version": 1,
+        "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, table_path)),
+        "location": table_path,
+        "current-snapshot-id": snapshot_id,
+        "snapshots": snapshots
+        + [
+            {
+                "snapshot-id": snapshot_id,
+                "timestamp-ms": 0,
+                "manifest-list": mlist,
+            }
+        ],
+    }
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(hint, "w") as f:
+        f.write(str(version))
+    return version
+
+
+def _load_metadata(table_path: str) -> dict:
+    meta_dir = os.path.join(table_path, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        version = int(f.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as f:
+        return json.load(f)
+
+
+def _manifest_list_paths(
+    table_path: str, snapshot_id: int | None
+) -> list[str]:
+    """Control-plane: version hint → metadata JSON → the snapshot's
+    manifest-list Avro → manifest paths (O(manifests) rows)."""
+    meta = _load_metadata(table_path)
+    return _manifest_list_paths_from(meta, snapshot_id)
+
+
+def _manifest_list_paths_from(
+    meta: dict, snapshot_id: int | None
+) -> list[str]:
+    sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
+    snap = next(
+        (s for s in meta["snapshots"] if s["snapshot-id"] == sid), None
+    )
+    if snap is None:
+        raise ValueError(f"no iceberg snapshot {sid}")
+    with open(snap["manifest-list"], "rb") as f:
+        _schema, rows = decode_container(f.read())
+    return [r[0] for r in rows]
+
+
+def _manifest_rows_local(
+    table_path: str, snapshot_id: int, snapshots: list[dict]
+) -> list[dict]:
+    """Driver-side manifest decode for the WRITER's carry-forward step
+    (the writer owns the previous manifest it is rewriting)."""
+    snap = next(
+        s for s in snapshots if s["snapshot-id"] == snapshot_id
+    )
+    with open(snap["manifest-list"], "rb") as f:
+        _s, mrows = decode_container(f.read())
+    out: list[dict] = []
+    for m in mrows:
+        with open(m[0], "rb") as f:
+            _s, erows = decode_container(f.read())
+        out.extend(
+            {"status": r[0], "snapshot_id": r[1], "data_file": r[2]}
+            for r in erows
+        )
+    return out
+
+
+def iceberg_active_files(
+    spark: SparkSession, table_path: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """(file_path, record_count, file_size_in_bytes) active in the
+    snapshot: manifest entries with status ≠ DELETED.  The manifest
+    list is control-plane; the MANIFESTS decode distributedly — one
+    binaryFile task per manifest through the from-scratch Avro
+    decoder."""
+    import pandas as pd  # noqa: F401
+
+    paths = _manifest_list_paths(table_path, snapshot_id)
+    blobs = spark.read.format("binaryFile").load(paths).select("content")
+
+    def dec(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            cols = {"file_path": [], "record_count": [],
+                    "file_size_in_bytes": []}
+            for blob in pdf["content"]:
+                _schema, rows = decode_container(bytes(blob))
+                for status, _sid, data_file in rows:
+                    if status == _STATUS_DELETED:
+                        continue
+                    cols["file_path"].append(data_file["file_path"])
+                    cols["record_count"].append(
+                        int(data_file["record_count"])
+                    )
+                    cols["file_size_in_bytes"].append(
+                        int(data_file["file_size_in_bytes"])
+                    )
+            yield pd.DataFrame(cols)
+
+    return blobs.mapInPandas(
+        dec, "file_path string, record_count long, file_size_in_bytes long"
+    )
+
+
+def read_iceberg_snapshot(
+    spark: SparkSession, table_path: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """The snapshot's rows: resolve active files, then one parquet scan
+    (pushdown/pruning apply as on any parquet read).  The file-list
+    collect is the table MANIFEST — O(active files)."""
+    files = [
+        r["file_path"]
+        for r in iceberg_active_files(spark, table_path, snapshot_id)
+        .collect()  # control-plane: O(active files) manifest rows
+    ]
+    if not files:
+        raise ValueError("empty iceberg snapshot")
+    return spark.read.parquet(*files)
+

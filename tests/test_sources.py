@@ -561,3 +561,67 @@ def test_delta_checkpoint_tail_only_replay(spark, tmp_path):
         .collect()
     }
     assert after == {rel["c"]}
+
+
+def test_iceberg_snapshot_time_travel_and_manifest_semantics(spark, tmp_path):
+    """Iceberg spec invariants over the from-scratch Avro metadata: a
+    snapshot is SELF-CONTAINED (its manifest list names every live
+    manifest; no cross-commit replay), status=DELETED entries drop the
+    file, time travel = reading an older snapshot id, and the manifest
+    list / manifest files are genuine Avro object containers our codec
+    round-trips."""
+    import glob
+    import os
+
+    import pytest
+
+    from apache_nifi_spark.sources.avro_codec import decode_container
+    from apache_nifi_spark.sources.iceberg import (
+        iceberg_active_files,
+        iceberg_commit,
+        read_iceberg_snapshot,
+    )
+
+    root = str(tmp_path / "tbl")
+    info = {}
+    for name, lo in (("a", 0), ("b", 100), ("c", 200)):
+        spark.range(lo, lo + 10).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/{name}")
+        p = glob.glob(f"{root}/{name}/part-*.parquet")[0]
+        info[name] = {"file_path": p, "record_count": 10,
+                      "file_size_in_bytes": os.path.getsize(p)}
+
+    v1 = iceberg_commit(root, 101, added=[info["a"], info["b"]])
+    v2 = iceberg_commit(root, 102, added=[info["c"]],
+                        deleted=[info["a"]["file_path"]])
+    assert (v1, v2) == (1, 2)
+
+    def ids(snapshot_id=None):
+        return sorted(
+            r["id"]
+            for r in read_iceberg_snapshot(spark, root, snapshot_id)
+            .collect()
+        )
+
+    # current snapshot: a deleted, b existing, c added
+    assert ids() == list(range(100, 110)) + list(range(200, 210))
+    # time travel: snapshot 101 still sees a + b
+    assert ids(101) == list(range(0, 10)) + list(range(100, 110))
+    # active-file metadata carries counts/sizes through the Avro round trip
+    active = {
+        r["file_path"]: (r["record_count"], r["file_size_in_bytes"])
+        for r in iceberg_active_files(spark, root).collect()
+    }
+    assert set(active) == {info["b"]["file_path"], info["c"]["file_path"]}
+    assert active[info["c"]["file_path"]] == (
+        10, info["c"]["file_size_in_bytes"]
+    )
+    # the metadata files really are Avro OCF (magic + decodable)
+    mlist = glob.glob(f"{root}/metadata/snap-102.avro")[0]
+    blob = open(mlist, "rb").read()
+    assert blob[:4] == b"Obj\x01"
+    schema, rows = decode_container(blob)
+    assert schema["name"] == "manifest_file" and len(rows) == 1
+    with pytest.raises(ValueError, match="no iceberg snapshot"):
+        read_iceberg_snapshot(spark, root, 999)
