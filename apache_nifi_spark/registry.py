@@ -1721,6 +1721,69 @@ def sample_stratified_mixture_q(spark, sf_dir):
 
 
 @register(
+    "mixture_temperature_sampling",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  ::UBIGINT AS BIGINT) AS u
+      FROM documents
+    ),
+    s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS nd,
+             CAST(SUM(toks) AS BIGINT) AS n
+      FROM d GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM s),
+    w AS (
+      SELECT source, nd, n, nn,
+             sqrt(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)) AS wgt
+      FROM s, tot
+    ),
+    z AS (
+      SELECT list_reduce(list(wgt ORDER BY source), (a, b) -> a + b) AS zs
+      FROM w
+    ),
+    r AS (
+      SELECT source, nd, n,
+             least(1.0, wgt / zs * (0.5 * CAST(nn AS DOUBLE))
+                          / CAST(n AS DOUBLE)) AS rate,
+             CAST(floor(least(1.0, wgt / zs * (0.5 * CAST(nn AS DOUBLE))
+                                     / CAST(n AS DOUBLE))
+                        * 4294967296.0) AS BIGINT) AS thr
+      FROM w, z
+    )
+    SELECT d.source AS domain, r.nd AS n_docs, r.n AS n_tokens,
+           round(r.rate, 6) AS keep_rate,
+           CAST(SUM(CASE WHEN d.u < r.thr THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_docs,
+           CAST(SUM(CASE WHEN d.u < r.thr THEN d.toks ELSE 0 END) AS BIGINT)
+             AS kept_tokens
+    FROM d JOIN r ON d.source = r.source
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def mixture_temperature_q(spark, sf_dir):
+    """Temperature-based corpus mixture (§2.12 data-selection tier; the
+    mBERT/XLM-R ``(n_i/N)^τ`` exponentiated domain sampling, τ=0.5,
+    token budget = half the corpus): per-domain token totals →
+    temperature weights normalized by a FIXED-ORDER fold → integer keep
+    thresholds ``floor(r·2³²)`` compared against each doc's md5-derived
+    32-bit uniform — selection is a pure function of the row, so both
+    engines pick the exact same documents (kept_docs/kept_tokens are
+    integer-exact, not approximately equal).  Upsamples small domains,
+    caps at keep-all; see llm/mixture.py for the portability contract
+    (sqrt-only exponents, fold order, integer decision boundary)."""
+    from apache_nifi_spark.llm.mixture import temperature_mixture_summary
+
+    d = io.widen_if_narrow(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
+    return temperature_mixture_summary(d, tau=0.5, budget_frac=0.5)
+
+
+@register(
     "split_train_val_test",
     oracle="""
     SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
