@@ -87,20 +87,31 @@ def unpack_content_zip(df: DataFrame, id_col: str, archive_col: str) -> DataFram
     return df.mapInPandas(_unpack, _UNPACKED_SCHEMA)
 
 
-#: codec name → (compress, decompress) over bytes — the stdlib half of
-#: NiFi CompressContent's codec menu (snappy/lz4 need external libs and
-#: already ride Spark's writer `compression` option at the FILE level).
+#: codec name → (compress, decompress) over bytes — NiFi
+#: CompressContent's full codec menu: stdlib gzip/bzip2/xz/deflate plus
+#: the from-scratch Snappy and LZ4 block codecs (operators/lz.py — no
+#: snappy/lz4 library ships here, both implemented from the public
+#: format descriptions).
 def _codecs():
     import bz2
     import gzip as _gzip
     import lzma
     import zlib
 
+    from apache_nifi_spark.operators.lz import (
+        lz4_compress,
+        lz4_decompress,
+        snappy_compress,
+        snappy_decompress,
+    )
+
     return {
         "gzip": (lambda b: _gzip.compress(b, mtime=0), _gzip.decompress),
         "bzip2": (bz2.compress, bz2.decompress),
         "xz": (lzma.compress, lzma.decompress),
         "deflate": (zlib.compress, zlib.decompress),
+        "snappy": (snappy_compress, snappy_decompress),
+        "lz4": (lz4_compress, lz4_decompress),
     }
 
 

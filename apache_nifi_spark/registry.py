@@ -7641,6 +7641,55 @@ def compress_content_per_record_q(spark, sf_dir):
 
 
 @register(
+    "compress_content_snappy_lz4",
+    oracle="""
+    SELECT doc_id, text,
+           TRUE AS snappy_preamble_ok
+    FROM documents WHERE doc_id < 1000
+    """,
+)
+def compress_content_snappy_lz4_q(spark, sf_dir):
+    """CompressContent's snappy + lz4 codecs (§2.4 — the two menu
+    entries no stdlib covers, implemented from the public block-format
+    descriptions in operators/lz.py): each document's content snappy-
+    compresses and round-trips back, then lz4-compresses ON TOP of the
+    snappy bytes and round-trips (binary input exercises the copy
+    elements), with the snappy varint length preamble verified columnar
+    against the known text length.  Oracle equality on the recovered
+    text proves both codecs lossless."""
+    from apache_nifi_spark.operators import compress_content, decompress_content
+
+    d = io.widen_if_narrow(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    ).select("doc_id", F.col("text").cast("binary").alias("content"))
+    sn = compress_content(d, "content", codec="snappy", out_col="sn")
+    both = compress_content(sn, "sn", codec="lz4", out_col="lzb")
+    back = decompress_content(both, "lzb", codec="lz4", out_col="sn2")
+    back = decompress_content(back, "sn2", codec="snappy", out_col="content2")
+    # snappy preamble = varint(len): for fixture texts < 16384 chars the
+    # first varint decodes to the text length — verified columnar
+    def byte_at(i: int):
+        return F.conv(F.hex(F.substring(F.col("sn"), i + 1, 1)), 16, 10).cast("int")
+
+    b0, b1, b2 = byte_at(0), byte_at(1), byte_at(2)
+    n = F.length(F.col("content").cast("string"))
+    pre_ok = F.when(
+        n < 128, b0 == n
+    ).otherwise(
+        (b0 == (n % 128) + 128) & (
+            F.when(n < 16384, b1 == F.floor(n / 128).cast("int"))
+            .otherwise((b1 == (F.floor(n / 128) % 128 + 128).cast("int"))
+                       & (b2 == F.floor(n / 16384).cast("int")))
+        )
+    )
+    return back.select(
+        "doc_id",
+        F.col("content2").cast("string").alias("text"),
+        pre_ok.alias("snappy_preamble_ok"),
+    )
+
+
+@register(
     "unpack_content_zip",
     oracle="""
     SELECT doc_id, 'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS entry_name,

@@ -915,3 +915,60 @@ def test_hypertable_rollup_reaggregation_algebra(spark):
     assert sizes["minute"] >= sizes["hour"] >= sizes["day"] >= 1
     with pytest.raises(ValueError, match="finest-first"):
         hypertable_rollup(df, "ts", "value", grains=["day", "minute"])
+
+
+def test_snappy_lz4_block_codecs():
+    """From-scratch Snappy/LZ4 block codecs (operators/lz.py): property
+    roundtrips over adversarial inputs (empty, single byte, highly
+    repetitive, binary, incompressible), spec grammar on the decode
+    side (all snappy literal-length encodings + copy tags 01/10/11,
+    LZ4 255-continued length extensions, overlapping copies), and loud
+    failures on corrupt offsets."""
+    import pytest
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from apache_nifi_spark.operators.lz import (
+        lz4_compress,
+        lz4_decompress,
+        snappy_compress,
+        snappy_decompress,
+    )
+
+    for c in (b"", b"a", b"ab" * 5000, bytes(range(256)) * 8,
+              b"x" * 70000, b"the cat sat on the mat " * 300):
+        assert snappy_decompress(snappy_compress(c)) == c
+        assert lz4_decompress(lz4_compress(c)) == c
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(max_size=3000))
+    def roundtrip(data):
+        assert snappy_decompress(snappy_compress(data)) == data
+        assert lz4_decompress(lz4_compress(data)) == data
+
+    roundtrip()
+
+    # decode-side grammar beyond what our encoder emits:
+    # snappy copy tag 01 (1-byte offset, 3-bit length) and tag 11
+    # (4-byte offset) — hand-assembled per format_description.txt
+    lit = bytes([(4 - 1) << 2]) + b"abcd"                       # literal 'abcd'
+    copy1 = bytes([0b01 | ((4 - 4) << 2) | (0 << 5), 4])        # len 4, off 4
+    assert snappy_decompress(bytes([8]) + lit + copy1) == b"abcdabcd"
+    copy4 = bytes([0b11 | ((4 - 1) << 2)]) + (4).to_bytes(4, "little")
+    assert snappy_decompress(bytes([8]) + lit + copy4) == b"abcdabcd"
+    # overlapping copy: off 1, len 4 → run-length expansion
+    lit1 = bytes([(1 - 1) << 2]) + b"z"
+    ovl = bytes([0b01 | ((4 - 4) << 2), 1])
+    assert snappy_decompress(bytes([5]) + lit1 + ovl) == b"zzzzz"
+    # lz4 overlapping copy + length extension: 'a' then match off=1 len 19
+    # token: lit 1, matchlen nibble 15 → ext byte 0 → 15+4+0 = 19
+    frame = bytes([(1 << 4) | 15]) + b"a" + (1).to_bytes(2, "little") + bytes([0])
+    frame += bytes([0])  # final empty-literal token
+    assert lz4_decompress(frame) == b"a" * 20
+
+    with pytest.raises(ValueError, match="offset out of range"):
+        snappy_decompress(bytes([8]) + lit + bytes([0b10 | (3 << 2), 99, 0]))
+    with pytest.raises(ValueError, match="length mismatch"):
+        snappy_decompress(bytes([9]) + lit + copy1)
+    with pytest.raises(ValueError, match="offset out of range"):
+        lz4_decompress(bytes([(1 << 4) | 0]) + b"a" + (9).to_bytes(2, "little"))
