@@ -1037,3 +1037,115 @@ def ccnet_buckets(
     for k in range(parts - 1, -1, -1):
         label = _F.when(tile == k, _F.lit(names.get(k, f"b{k}"))).otherwise(label)
     return ranked.select(id_col, "n_tokens", "ppl", label.alias("bucket"))
+
+
+def rake_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: list[str] | None = None,
+    k: int = 25,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, the public rapid
+    automatic keyword extraction algorithm — the co-occurrence
+    complement to :func:`tfidf_keywords`): candidate phrases are the
+    maximal runs of non-stopword tokens, each word scores
+    ``degree/frequency`` where ``degree(w) = Σ |phrase|`` over phrases
+    containing ``w`` and ``frequency(w)`` is its occurrence count, and a
+    phrase scores the sum of its word scores.
+
+    Determinism contract: degree and frequency are exact integers; the
+    per-word ratio is one correctly-rounded IEEE division; the phrase
+    sum folds IN POSITION ORDER (left fold from the first word — double
+    addition is order-dependent, so the oracle replays
+    ``list_reduce(list(score ORDER BY pos))``), rounded 6 dp at the
+    edge.  Ties break lexicographically on the phrase.
+
+    Scale shape: tokenize → stopword-boundary phrase ids (one window
+    per document, bounded partitions) → two map-side-combined aggs
+    (word stats are vocabulary-grain; phrase rows are corpus-grain
+    narrow) → broadcast word-score join → TakeOrdered top-k.
+
+    Returns (phrase, n_words, rake_score), top ``k`` corpus-wide
+    distinct phrases by (score DESC, phrase)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as _F
+
+    stop = stopwords if stopwords is not None else STOPWORDS["en"]
+    toks = df.select(
+        _F.col(id_col).alias("_d"),
+        _F.posexplode(
+            _F.filter(
+                _F.split(_F.lower(_F.col(text_col)), r"[^a-z0-9']+", -1),
+                lambda t: t != "",
+            )
+        ).alias("_pos", "_w"),
+    )
+    is_stop = _F.col("_w").isin(list(stop))
+    w = Window.partitionBy("_d").orderBy("_pos")
+    marked = toks.select(
+        "_d", "_pos", "_w",
+        _F.sum(is_stop.cast("int")).over(w).alias("_ph"),
+        is_stop.alias("_is_stop"),
+    ).filter(~_F.col("_is_stop"))
+    # phrase rows: (phrase string, words in position order)
+    phrases = (
+        marked.groupBy("_d", "_ph")
+        .agg(
+            _F.array_sort(
+                _F.collect_list(_F.struct("_pos", "_w"))
+            ).alias("_ws"),
+        )
+        .select(
+            _F.transform("_ws", lambda s: s["_w"]).alias("_words"),
+        )
+        .select(
+            _F.concat_ws(" ", "_words").alias("phrase"),
+            "_words",
+            _F.size("_words").alias("n_words"),
+        )
+        .localCheckpoint(eager=False)  # two consumers: word stats + scores
+    )
+    wstats = (
+        phrases.select(_F.explode("_words").alias("_w"), "n_words")
+        .groupBy("_w")
+        .agg(
+            _F.count(_F.lit(1)).alias("_freq"),
+            _F.sum("n_words").alias("_deg"),
+        )
+        .select(
+            "_w",
+            (_F.col("_deg").cast("double") / _F.col("_freq").cast("double"))
+            .alias("_ws_score"),
+        )
+    )
+    # score DISTINCT phrases (word stats above use every instance, per
+    # RAKE; the phrase score is a function of the phrase string alone)
+    scored_words = (
+        phrases.dropDuplicates(["phrase"])
+        .select("phrase", "n_words",
+                _F.posexplode("_words").alias("_pos", "_w"))
+        .join(F.broadcast(wstats), "_w")
+    )
+    return (
+        scored_words.groupBy("phrase", "n_words")
+        .agg(
+            _F.array_sort(
+                _F.collect_list(_F.struct("_pos", _F.col("_ws_score")))
+            ).alias("_sc")
+        )
+        # fold word scores in position order, starting FROM the first
+        # element (the repo's portable-fold convention)
+        .select(
+            "phrase", "n_words",
+            _F.round(
+                _F.expr(
+                    "aggregate(slice(_sc, 2, size(_sc) - 1),"
+                    " _sc[0]._ws_score, (acc, s) -> acc + s._ws_score)"
+                ),
+                6,
+            ).alias("rake_score"),
+        )
+        .orderBy(_F.col("rake_score").desc(), "phrase")
+        .limit(k)
+    )

@@ -1626,6 +1626,71 @@ def dedup_cluster_components_q(spark, sf_dir):
 
 
 @register(
+    "dedup_canonical_longest",
+    oracle="""
+    WITH RECURSIVE g AS (
+      SELECT doc_id, lang, length(text) AS n_chars,
+             list_distinct(list_transform(generate_series(1, greatest(length(text)-2, 0)),
+                                          i -> substr(text, i, 3))) AS grams
+      FROM documents WHERE doc_id < 60
+    ), e0 AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / (length(a.grams) + length(b.grams) - length(list_intersect(a.grams, b.grams))) >= 0.5
+    ), e AS (
+      SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+    ), walk(id, r) AS (
+      SELECT doc_id, doc_id FROM g
+      UNION
+      SELECT w.id, e.dst FROM walk w JOIN e ON w.r = e.src
+    ), comp AS (
+      SELECT id AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY id
+    ), sized AS (
+      SELECT c.doc_id, c.cluster_id, g.n_chars
+      FROM comp c JOIN g ON g.doc_id = c.doc_id
+    ), canon AS (
+      SELECT cluster_id,
+             first(doc_id ORDER BY n_chars DESC, doc_id ASC) AS canon_id
+      FROM sized GROUP BY cluster_id
+    )
+    SELECT s.doc_id, s.cluster_id, canon.canon_id,
+           s.doc_id = canon.canon_id AS keep
+    FROM sized s JOIN canon USING (cluster_id)
+    """,
+)
+def dedup_canonical_longest_q(spark, sf_dir):
+    """Near-dup CANONICALIZATION with the keep-longest policy (§2.12
+    curation tier — the RefinedWeb/CCNet convention: within a near-dup
+    cluster keep the LONGEST member, ties to the lowest id, and map
+    every other member to it so downstream provenance can redirect):
+    connected components from blocked 3-gram Jaccard pairs
+    (llm/near_dup_clusters, min-label propagation), then one bounded
+    per-cluster argmax ``max_by(doc_id, (n_chars, -doc_id))`` and a
+    doc-grain join back.  Contrast with dedup_cluster_components'
+    min-id representative — same clusters, different (content-aware)
+    keep policy."""
+    from apache_nifi_spark.llm import near_dup_clusters
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    comp = near_dup_clusters(
+        d, "doc_id", "text", "lang", n=3, threshold=0.5
+    ).select("doc_id", "cluster_id")
+    sized = comp.join(
+        d.select("doc_id", F.length("text").alias("n_chars")), "doc_id"
+    )
+    canon = sized.groupBy("cluster_id").agg(
+        F.expr(
+            "max_by(doc_id, struct(n_chars, -doc_id))"
+        ).alias("canon_id")
+    )
+    return sized.join(canon, "cluster_id").select(
+        "doc_id", "cluster_id", "canon_id",
+        (F.col("doc_id") == F.col("canon_id")).alias("keep"),
+    )
+
+
+@register(
     "text_chunk_sliding",
     oracle="""
     WITH t AS (
@@ -1718,6 +1783,78 @@ def sample_stratified_mixture_q(spark, sf_dir):
         {"en": 0.75, "es": 0.5, "fr": 0.25, "de": 0.1, "zh": 1.0},
         default_rate=0.05,
     ).select("doc_id", "lang")
+
+
+@register(
+    "text_rake_keywords",
+    oracle=r"""
+    WITH arrs AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                         x -> x != '') AS a
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(a) AS w,
+             unnest(range(1, len(a) + 1)) AS pos
+      FROM arrs
+    ),
+    marked AS (
+      SELECT doc_id, pos, w,
+             SUM(CASE WHEN w IN ('the','and','of','to','a','in','is','it',
+                                 'that','for') THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS ph,
+             w IN ('the','and','of','to','a','in','is','it','that','for')
+               AS is_stop
+      FROM tok
+    ),
+    phrases AS (
+      SELECT doc_id, ph,
+             string_agg(w, ' ' ORDER BY pos) AS phrase,
+             list(w ORDER BY pos) AS words,
+             CAST(COUNT(*) AS INT) AS n_words
+      FROM marked WHERE NOT is_stop
+      GROUP BY 1, 2
+    ),
+    wstats AS (
+      SELECT w, CAST(SUM(n_words) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS s
+      FROM (SELECT unnest(words) AS w, n_words FROM phrases)
+      GROUP BY 1
+    ),
+    pd AS (SELECT DISTINCT phrase, words, n_words FROM phrases),
+    pw AS (
+      SELECT phrase, n_words, unnest(words) AS w,
+             unnest(range(1, len(words) + 1)) AS pos
+      FROM pd
+    ),
+    ps AS (
+      SELECT phrase, n_words, list(s ORDER BY pos) AS ss
+      FROM pw JOIN wstats USING (w)
+      GROUP BY 1, 2
+    )
+    SELECT phrase, n_words,
+           round(list_reduce(ss, (acc, x) -> acc + x), 6) AS rake_score
+    FROM ps
+    ORDER BY rake_score DESC, phrase
+    LIMIT 25
+    """,
+)
+def text_rake_keywords_q(spark, sf_dir):
+    """RAKE keyword extraction (Rose et al. 2010 — the public rapid
+    automatic keyword extraction; §2.12 text-analysis tier, the
+    co-occurrence complement to text_tfidf_keywords): stopword-bounded
+    candidate phrases, word score = degree/frequency over phrase
+    co-occurrence, phrase score = position-ordered fold of its word
+    scores (the portable left-fold convention), corpus-wide top 25 by
+    (score DESC, phrase).  Integer degree/frequency + one
+    correctly-rounded division per word keep both engines bit-identical;
+    see llm/text.rake_keywords."""
+    from apache_nifi_spark.llm.text import rake_keywords
+
+    d = io.widen_if_narrow(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return rake_keywords(d)
 
 
 @register(
