@@ -1786,6 +1786,65 @@ def sample_stratified_mixture_q(spark, sf_dir):
 
 
 @register(
+    "sessionize_events_batch",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, event_id,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS session_seq
+      FROM s
+    )
+    SELECT user_id, CAST(session_seq AS INT) AS session_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT)
+             AS duration_s
+    FROM numbered
+    GROUP BY 1, 2
+    """,
+)
+def sessionize_events_batch_q(spark, sf_dir):
+    """BATCH sessionization (§2.12 event-analytics tier — the
+    gap-rule twin of stream_session_window's Spark
+    ``session_window``): a new session starts when a user's
+    inter-event gap exceeds 30 minutes; session ids are per-user
+    ordinals from a cumulative sum over the break markers.  Shape: one
+    ``lag`` + one running-sum window PER USER (bounded sorts, never
+    corpus-global; (ts, event_id) total order for deterministic ties)
+    then a map-side-combined agg to session grain — output bounded by
+    session count."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    brk = epoch - F.lag(epoch).over(w) > 1800
+    s = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(brk | F.lag("ts").over(w).isNull(), 1).otherwise(0).alias("brk"),
+    )
+    numbered = s.select(
+        "user_id", "ts",
+        F.sum("brk").over(w).alias("session_seq"),
+    )
+    return numbered.groupBy(
+        "user_id", F.col("session_seq").cast("int").alias("session_seq")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.max(F.col("ts").cast("timestamp").cast("long"))
+         - F.min(F.col("ts").cast("timestamp").cast("long")))
+        .alias("duration_s"),
+    )
+
+
+@register(
     "text_rake_keywords",
     oracle=r"""
     WITH arrs AS (
