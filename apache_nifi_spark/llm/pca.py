@@ -52,9 +52,31 @@ __all__ = ["dominant_direction"]
 
 def _packed_arr(vals: list[int]) -> str:
     """SQL fragment: a comma-packed string literal split/cast back to
-    ``array<bigint>`` — one Literal node, constant-folded once."""
+    ``array<bigint>`` — one Literal node instead of len(vals) Literal
+    AST nodes (the kmeans analyzer-tax lesson).
+
+    CAVEAT (measured, round 12): ``split('…', ',')`` constant-folds to
+    an array literal, but the ``transform(…, cast)`` wrapper does NOT
+    (HigherOrderFunction is non-foldable) — the executed plan re-casts
+    all len(vals) elements PER ROW.  Fine inside a fold that consumes
+    the whole array once per row anyway; pathological under a per-row
+    ``element_at`` probe (count-min at sf1: 4×1024 casts × 2.7 M rows
+    ≈ 12 s).  For single-element probes use :func:`_packed_probe`."""
     packed = ",".join(str(v) for v in vals)
     return f"transform(split('{packed}', ','), x -> cast(x as bigint))"
+
+
+def _packed_probe(vals: list[int], idx) -> "Column":
+    """``element_at`` probe into a packed int array that stays FULLY
+    constant-folded: extract the string element first (split literal →
+    array<string> literal, folded once), cast only the ONE extracted
+    element per row."""
+    from pyspark.sql import functions as F
+
+    packed = ",".join(str(v) for v in vals)
+    return F.element_at(
+        F.expr(f"split('{packed}', ',')"), idx
+    ).cast("bigint")
 
 
 def _fold_norm2(xs: list[float]) -> float:

@@ -68,7 +68,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from apache_nifi_spark.llm.dsir import _bucket, _tokens
-from apache_nifi_spark.llm.pca import _packed_arr
+from apache_nifi_spark.llm.pca import _packed_probe
 
 __all__ = [
     "logreg_train_fixed_point",
@@ -188,9 +188,7 @@ def hashed_linear_score_trained(
 
     buckets = len(weights)
     grams = hashed_gram_buckets(df, text_col, id_col, buckets)
-    wcol = F.element_at(
-        F.expr(_packed_arr(weights)), F.col("bucket").cast("int") + 1
-    )
+    wcol = _packed_probe(weights, F.col("bucket").cast("int") + 1)
     pooled = grams.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_grams"),
         F.sum(wcol).alias("_dot"),
@@ -210,10 +208,15 @@ def hashed_linear_score_trained(
 
 def _scored(w: list[int], scale: int) -> tuple[Column, Column]:
     # sparse dot: fold only the occupied buckets of _sc against the
-    # packed weight literal (constant-folded to one array once)
+    # packed weight literal.  The split('..') literal folds to an
+    # array<string> ONCE; only the one extracted element casts per fold
+    # step (a transform(..., cast) wrapper would re-cast all B weights
+    # per step — the round-12 _packed_probe lesson).
+    packed = ",".join(str(v) for v in w)
     dot = F.expr(
         f"aggregate(_sc, cast(0 as bigint), (acc, s) -> acc"
-        f" + element_at({_packed_arr(w)}, cast(s._b as int) + 1) * s._c)"
+        f" + cast(element_at(split('{packed}', ','),"
+        f" cast(s._b as int) + 1) as bigint) * s._c)"
     )
     m = dot.cast("double") / (F.col("_n").cast("double") * float(scale))
     p = F.lit(0.5) + m / (F.lit(2.0) * (F.lit(1.0) + F.abs(m)))
