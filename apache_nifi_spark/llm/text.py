@@ -85,6 +85,14 @@ def tokens_arrow(
     batch transfer both ways; the one trade is leaving whole-stage
     codegen for the tokenize stage — a win whenever the regex dominates,
     which the sf1 measurements show it does for corpus-grain tokenizes.
+
+    SIZE-ADAPTIVE (round-12 bench finding): below ``min_bytes`` of
+    projected input (Catalyst plan statistics — the same size estimate
+    AQE's broadcast decision reads) the Python round-trip overhead
+    exceeds the regex saving (~+0.9 s per pass at sf0.1's 250 KB vs
+    −2.2 s at sf1's 2.4 MB), so small inputs take the equivalent JVM
+    ``F.split`` form.  Unknown statistics default to huge → Arrow, the
+    right call at production scale.
     """
     import pyarrow as pa
 
@@ -92,6 +100,29 @@ def tokens_arrow(
         f"{id_col} long, token string" if id_col else "token string"
     )
     cols = [id_col, text_col] if id_col else [text_col]
+
+    min_bytes = 1 << 20
+    try:
+        est = int(
+            df.select(*cols)
+            ._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # stats unavailable → assume big (scale-safe)
+        est = min_bytes
+    if est < min_bytes:
+        toks = F.explode(
+            F.filter(
+                F.split(
+                    F.lower(F.col(text_col)) if lower else F.col(text_col),
+                    pattern,
+                    -1,
+                ),
+                lambda t: t != "",
+            )
+        ).alias("token")
+        return (
+            df.select(id_col, toks) if id_col else df.select(toks)
+        )
 
     def run(batches):
         import pyarrow.compute as pc
