@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank_fixed_point"]
+__all__ = ["pagerank_fixed_point", "triangle_counts"]
 
 #: fixed-point rank scale (ranks are ints at 1e-6 units)
 _SCALE = 1_000_000
@@ -101,4 +101,70 @@ def pagerank_fixed_point(
         F.col("_n").alias("node"),
         F.col("_r").alias("rank"),
         (F.col("_r").cast("double") / float(_SCALE)).alias("rank_frac"),
+    )
+
+
+def triangle_counts(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts via degree-ordered edge orientation
+    (Schank & Wagner 2005 / the Cohen MapReduce formulation — the
+    standard distributed triangle algorithm): orient every undirected
+    edge from its lower-(degree, id) endpoint to the higher, join the
+    oriented list with itself on the low endpoint to form wedges, and
+    close each wedge against the oriented list — every triangle is
+    counted EXACTLY once, and the wedge fan-out of a hub is bounded by
+    its ORIENTED out-degree (≈√m), which is what makes the join safe on
+    power-law graphs at scale.
+
+    All-integer (degrees, ids, counts) — bit-identical in the SQL
+    oracle.  Returns (node, n_triangles) for nodes in ≥1 triangle.
+
+    Scale shape: dedup + degree agg (two map-side-combined shuffles on
+    the edge list), one self-join on the low endpoint with the
+    (deg, id) guard, one closing equi-join, explode-to-3 + final agg.
+    No broadcast hints — edge-grain frames are corpus-cardinality, AQE
+    decides."""
+    a, b = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.select(
+            F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b")
+        )
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+        .localCheckpoint(eager=False)  # read by degree agg + orientation
+    )
+    deg = (
+        e.select(F.col("_a").alias("_n"))
+        .unionAll(e.select(F.col("_b").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).alias("_dg"))
+    )
+    da = deg.select(F.col("_n").alias("_a"), F.col("_dg").alias("_dga"))
+    db = deg.select(F.col("_n").alias("_b"), F.col("_dg").alias("_dgb"))
+    keyed = e.join(da, "_a").join(db, "_b")
+    lo_first = (F.col("_dga") < F.col("_dgb")) | (
+        (F.col("_dga") == F.col("_dgb")) & (F.col("_a") < F.col("_b"))
+    )
+    o = keyed.select(
+        F.when(lo_first, F.col("_a")).otherwise(F.col("_b")).alias("_u"),
+        F.when(lo_first, F.col("_b")).otherwise(F.col("_a")).alias("_v"),
+        F.when(lo_first, F.col("_dgb")).otherwise(F.col("_dga")).alias("_dv"),
+    ).localCheckpoint(eager=False)  # read by both wedge sides + closer
+    w1 = o.select(F.col("_u"), F.col("_v").alias("_x"), F.col("_dv").alias("_dx"))
+    w2 = o.select(F.col("_u"), F.col("_v").alias("_y"), F.col("_dv").alias("_dy"))
+    wedges = w1.join(w2, "_u").filter(
+        (F.col("_dx") < F.col("_dy"))
+        | ((F.col("_dx") == F.col("_dy")) & (F.col("_x") < F.col("_y")))
+    )
+    closer = o.select(F.col("_u").alias("_x"), F.col("_v").alias("_y"))
+    tris = wedges.join(closer, ["_x", "_y"]).select("_u", "_x", "_y")
+    return (
+        tris.select(
+            F.explode(F.array(F.col("_u"), F.col("_x"), F.col("_y"))).alias(
+                "node"
+            )
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )

@@ -1786,6 +1786,84 @@ def sample_stratified_mixture_q(spark, sf_dir):
 
 
 @register(
+    "graph_triangle_counts",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+      FROM lineitem WHERE l_orderkey % 7 = 0
+    ),
+    e0 AS (
+      SELECT DISTINCT a.s AS ea, b.s AS eb
+      FROM li a JOIN li b ON a.o = b.o AND a.s < b.s
+    ),
+    deg AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS dg
+      FROM (SELECT ea AS n FROM e0 UNION ALL SELECT eb FROM e0)
+      GROUP BY 1
+    ),
+    o AS (
+      SELECT CASE WHEN (da.dg, ea) < (db.dg, eb) THEN ea ELSE eb END AS u,
+             CASE WHEN (da.dg, ea) < (db.dg, eb) THEN eb ELSE ea END AS v,
+             CASE WHEN (da.dg, ea) < (db.dg, eb) THEN db.dg ELSE da.dg END
+               AS dv
+      FROM e0 JOIN deg da ON da.n = ea JOIN deg db ON db.n = eb
+    ),
+    w AS (
+      SELECT o1.u, o1.v AS x, o1.dv AS dx, o2.v AS y
+      FROM o o1 JOIN o o2
+        ON o1.u = o2.u AND (o1.dv, o1.v) < (o2.dv, o2.v)
+    ),
+    t AS (SELECT w.u, w.x, w.y FROM w JOIN o ON o.u = w.x AND o.v = w.y)
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (SELECT u AS node FROM t
+          UNION ALL SELECT x FROM t
+          UNION ALL SELECT y FROM t)
+    GROUP BY 1
+    """,
+)
+def graph_triangle_counts_q(spark, sf_dir):
+    """Distributed triangle counting (§2.12 graph tier; Schank & Wagner
+    2005 degree-ordered orientation — every triangle counted once, hub
+    wedge fan-out bounded by oriented out-degree ≈ √m, the property
+    that keeps the self-join safe on power-law graphs at 100 TB) over
+    the supplier CO-PURCHASE graph: suppliers sharing an order are
+    adjacent (in-order pairs generated from per-order sorted sets via
+    array combinations — never an uncapped self-join on the group key,
+    the winnowing m² lesson).  All-integer; per-node counts for nodes
+    in ≥1 triangle.  See llm/graph.triangle_counts."""
+    from apache_nifi_spark.llm.graph import triangle_counts
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 7 == 0)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    sets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    edges = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ss") - 1),
+                    lambda i: F.transform(
+                        F.slice(F.col("ss"), i + 1, F.size("ss")),
+                        lambda t: F.struct(
+                            F.element_at(F.col("ss"), i).alias("src"),
+                            t.alias("dst"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst")
+    return triangle_counts(edges)
+
+
+@register(
     "sessionize_events_batch",
     oracle="""
     WITH s AS (
