@@ -1788,13 +1788,16 @@ def sample_stratified_mixture_q(spark, sf_dir):
 @register(
     "graph_triangle_counts",
     oracle="""
-    WITH li AS (
-      SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
-      FROM lineitem WHERE l_orderkey % 7 = 0
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents),
+    ids AS (SELECT doc_id AS i FROM documents),
+    raw AS (
+      SELECT i AS ea, (i + 1) % nn AS eb FROM ids, n
+      UNION ALL SELECT i, (i + 2) % nn FROM ids, n
+      UNION ALL SELECT i, (i * 7 + 3) % nn FROM ids, n
     ),
     e0 AS (
-      SELECT DISTINCT a.s AS ea, b.s AS eb
-      FROM li a JOIN li b ON a.o = b.o AND a.s < b.s
+      SELECT DISTINCT least(ea, eb) AS ea, greatest(ea, eb) AS eb
+      FROM raw WHERE ea <> eb
     ),
     deg AS (
       SELECT n, CAST(COUNT(*) AS BIGINT) AS dg
@@ -1825,41 +1828,29 @@ def graph_triangle_counts_q(spark, sf_dir):
     """Distributed triangle counting (§2.12 graph tier; Schank & Wagner
     2005 degree-ordered orientation — every triangle counted once, hub
     wedge fan-out bounded by oriented out-degree ≈ √m, the property
-    that keeps the self-join safe on power-law graphs at 100 TB) over
-    the supplier CO-PURCHASE graph: suppliers sharing an order are
-    adjacent (in-order pairs generated from per-order sorted sets via
-    array combinations — never an uncapped self-join on the group key,
-    the winnowing m² lesson).  All-integer; per-node counts for nodes
-    in ≥1 triangle.  See llm/graph.triangle_counts."""
+    that keeps the self-join safe on power-law graphs at 100 TB) over a
+    SPARSE deterministic document graph: ring edges (i, i+1), (i, i+2)
+    plus the irregular chord (i, 7i+3 mod N) — constant degree, so
+    edges AND triangles grow linearly with the corpus (a dense
+    projection like supplier co-purchase approaches a complete graph on
+    this fixture and measures the wedge blowup, not the operator).
+    All-integer; per-node counts for nodes in ≥1 triangle.  See
+    llm/graph.triangle_counts."""
     from apache_nifi_spark.llm.graph import triangle_counts
 
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") % 7 == 0)
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    sets = (
-        li.groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ss"))
-        .filter(F.size("ss") >= 2)
-    )
-    edges = sets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("ss") - 1),
-                    lambda i: F.transform(
-                        F.slice(F.col("ss"), i + 1, F.size("ss")),
-                        lambda t: F.struct(
-                            F.element_at(F.col("ss"), i).alias("src"),
-                            t.alias("dst"),
-                        ),
-                    ),
-                )
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("i"))
+    nn = ids.count()  # control-plane: 1 int, the node count
+    edges = (
+        ids.select(F.col("i").alias("src"), ((F.col("i") + 1) % nn).alias("dst"))
+        .unionAll(
+            ids.select(F.col("i").alias("src"), ((F.col("i") + 2) % nn).alias("dst"))
+        )
+        .unionAll(
+            ids.select(
+                F.col("i").alias("src"), ((F.col("i") * 7 + 3) % nn).alias("dst")
             )
-        ).alias("p")
-    ).select("p.src", "p.dst")
+        )
+    )
     return triangle_counts(edges)
 
 
