@@ -35,6 +35,7 @@ __all__ = [
     "countmin_heavy_hitters",
     "countmin_production_hitters",
     "histogram_quantiles",
+    "exact_quantile_twopass",
 ]
 
 
@@ -279,3 +280,119 @@ def countmin_production_hitters(
         .orderBy(F.col("exact_count").desc(), "token")
         .limit(top_k)
     )
+
+
+def exact_quantile_twopass(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 4096,
+) -> DataFrame:
+    """PRODUCTION exact median: the two-pass histogram-refinement
+    selection (the count-min-production pattern applied to order
+    statistics) — Spark's exact ``percentile``/``median`` buffers every
+    group value in one aggregator, which is not a 100 TB plan; the
+    sketch variant (:func:`histogram_quantiles`) is mergeable but
+    bucket-grained.  This returns the EXACT median with no global sort
+    and no corpus-sized aggregation state:
+
+    - **pass 0**: (min, max, count) — one agg, 1 control-plane row,
+    - **pass 1**: fixed ``bins``-bucket histogram (map-side-combined agg,
+      ≤bins rows collect; IEEE-exact bucketing as in
+      histogram_quantiles); the driver locates the bucket(s) holding
+      ranks ⌈N/2⌉ and N/2+1 (even N interpolates, the SQL MEDIAN rule),
+    - **pass 2**: scan only rows in the candidate value range
+      (selectivity ≈ 1/bins), range-partition them and turn
+      per-partition counts into global-rank offsets (the ccnet two-pass
+      machinery — every sort task holds ~|candidates|/P rows, none sees
+      the whole set), filter the two ranks, average.
+
+    Returns one row: (n, median).  All arithmetic is correctly-rounded
+    IEEE (+, /2), so the value is bit-identical to the oracle's
+    ``median()``.
+    """
+    from pyspark.sql import Window
+
+    sess = df.sparkSession
+    v = F.col(value_col).cast("double")
+    base = df.select(v.alias("_v")).filter(F.col("_v").isNotNull())
+    stats = base.agg(
+        F.min("_v").alias("lo"), F.max("_v").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]  # control-plane: 1 row of corpus stats
+    lo, hi, n = float(stats["lo"]), float(stats["hi"]), int(stats["n"])
+    if n == 0:
+        raise ValueError("exact_quantile_twopass on an empty frame")
+    ranks = [(n + 1) // 2] if n % 2 else [n // 2, n // 2 + 1]
+    if lo == hi:
+        return sess.createDataFrame([(n, lo)], "n bigint, median double")
+
+    width = hi - lo
+    idx = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("_v") - F.lit(lo)) * F.lit(float(bins))
+                    / F.lit(width)).cast("int"),
+        ),
+    )
+    hist = {
+        r["_b"]: r["_c"]
+        for r in base.select(idx.alias("_b"))
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .collect()  # control-plane: <= bins histogram rows
+    }
+    cum, below = 0, {}
+    for b in range(bins):
+        below[b] = cum
+        cum += hist.get(b, 0)
+    need = sorted({
+        next(b for b in range(bins)
+             if below[b] + hist.get(b, 0) >= r and hist.get(b, 0) > 0
+             and below[b] < r)
+        for r in ranks
+    })
+    b_lo, b_hi = need[0], need[-1]
+    lo_edge = lo + b_lo * width / float(bins)
+    # upper edge exclusive except the last bucket (clamped maxima)
+    cand = base.filter(
+        (F.col("_v") >= F.lit(lo_edge))
+        & (
+            F.col("_v") <= F.lit(hi)
+            if b_hi == bins - 1
+            else F.col("_v") < F.lit(lo + (b_hi + 1) * width / float(bins))
+        )
+    )
+    offset = below[b_lo]
+
+    n_range = max(1, int(sess.conf.get("spark.sql.shuffle.partitions", "32")))
+    ranged = (
+        cand.repartitionByRange(n_range, F.col("_v"))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # both passes must see one layout
+    )
+    counts = {
+        r["_pid"]: r["c"]
+        for r in ranged.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()  # control-plane: O(range partitions)
+    }
+    offs, acc = [], offset
+    for pid in range(n_range):
+        offs.append(acc)
+        acc += counts.get(pid, 0)
+    off_col = F.get(
+        F.split(F.lit(",".join(str(o) for o in offs)), ",", -1),
+        F.col("_pid"),
+    ).cast("long")
+    w = Window.partitionBy("_pid").orderBy("_v")
+    picked = (
+        ranged.select(
+            "_v", (off_col + F.row_number().over(w)).alias("_rank")
+        )
+        .filter(F.col("_rank").isin([int(r) for r in ranks]))
+    )
+    med = picked.agg(
+        (F.sum("_v") / F.count(F.lit(1))).alias("median")
+    )
+    return med.select(F.lit(n).cast("bigint").alias("n"), "median")

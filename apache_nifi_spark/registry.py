@@ -1786,6 +1786,33 @@ def sample_stratified_mixture_q(spark, sf_dir):
 
 
 @register(
+    "median_exact_twopass",
+    oracle="""
+    SELECT CAST(COUNT(value) AS BIGINT) AS n,
+           median(value) AS median
+    FROM events
+    """,
+)
+def median_exact_twopass_q(spark, sf_dir):
+    """PRODUCTION exact median (§2.12 corpus-statistics tier — the
+    two-pass histogram-refinement selection, the count-min-production
+    pattern on order statistics): Spark's own exact percentile buffers
+    every value in one aggregation state and a naive rank needs a
+    corpus-global sort — neither survives 100 TB.  Here: 1-row
+    min/max/count, a 4096-bucket histogram collect (control-plane),
+    driver locates the rank bucket(s), and ONLY the ~1/4096 candidate
+    slice is range-partitioned and offset-ranked (the ccnet two-pass
+    machinery — no SinglePartition sort; plan-gated in
+    tests/test_plans.py).  Result is the exact SQL MEDIAN including the
+    even-count interpolation, bit-identical to the oracle.  See
+    llm/sketch.exact_quantile_twopass."""
+    from apache_nifi_spark.llm.sketch import exact_quantile_twopass
+
+    ev = _t(spark, sf_dir, "events").select("value")
+    return exact_quantile_twopass(ev, "value")
+
+
+@register(
     "graph_triangle_counts",
     oracle="""
     WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents),

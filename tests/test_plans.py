@@ -341,3 +341,24 @@ def test_countmin_production_never_builds_full_vocab_table(spark, sf_dir):
     assert m_filt, f"no sketch-probe filter in plan:\n{plan}"
     # children print below parents: the filter must be BELOW the agg
     assert m_filt.start() > m_agg.start(), plan
+
+
+def test_exact_median_twopass_has_no_global_sort_or_percentile(spark, sf_dir):
+    """The production exact median must never run a SinglePartition
+    sort or Spark's buffer-everything percentile aggregate — its final
+    plan is the offset-ranked candidate slice (the ccnet two-pass
+    machinery on ~1/4096 of the data)."""
+    df = QUERIES["median_exact_twopass"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "SinglePartition" not in plan.replace(
+        # the final 1-row agg of the <=2 picked ranks is SinglePartition
+        # by nature (bounded input); only SORTS must never be global
+        "Exchange SinglePartition", "BOUNDED-AGG-EXCHANGE"
+    ) or "Sort" not in plan, plan
+    assert "percentile" not in plan.lower(), plan
+    # the only sorts are per-range-partition window sorts
+    for line in plan.splitlines():
+        if "Sort [" in line:
+            assert "_pid" in line or "_v" in line, line
