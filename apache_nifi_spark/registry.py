@@ -10102,6 +10102,7 @@ def text_pmi_q(spark, sf_dir):
 _DELTA_STAGE: dict[str, str] = {}
 _DELTA_CKPT_STAGE: dict[str, str] = {}
 _ICEBERG_STAGE: dict[str, str] = {}
+_ICEBERG_PART_STAGE: dict[str, str] = {}
 
 
 def _staged_delta(spark, sf_dir):
@@ -10245,6 +10246,73 @@ def iceberg_snapshot_q(spark, sf_dir):
 
     root = _staged_iceberg(spark, sf_dir)
     snap = read_iceberg_snapshot(spark, root)
+    return snap.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("l_quantity"), "total_qty"),
+    )
+
+
+def _staged_iceberg_part(spark, sf_dir):
+    """Iceberg table PARTITIONED by l_returnflag (one manifest per
+    partition value — the layout that makes the manifest-list partition
+    summaries prune whole manifests on read)."""
+    if sf_dir in _ICEBERG_PART_STAGE:
+        return _ICEBERG_PART_STAGE[sf_dir]
+    import glob
+    import tempfile
+
+    from apache_nifi_spark.sources.iceberg import iceberg_commit
+
+    root = tempfile.mkdtemp(prefix="anspark_icepart_")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    flags = ["A", "N", "R"]
+    added = []
+    for fl in flags:
+        sub = f"rf_{fl}"
+        (
+            li.filter(F.col("l_returnflag") == fl)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{root}/{sub}")
+        )
+        part = glob.glob(f"{root}/{sub}/part-*.parquet")[0]
+        added.append({
+            "file_path": part,
+            "partition": fl,
+            "record_count": 0,
+            "file_size_in_bytes": os.path.getsize(part),
+        })
+    iceberg_commit(root, 1, added=added)
+    _ICEBERG_PART_STAGE[sf_dir] = root
+    return _ICEBERG_PART_STAGE[sf_dir]
+
+
+@register(
+    "iceberg_partition_pruned_read",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+             AS total_qty
+    FROM lineitem WHERE l_returnflag = 'R'
+    GROUP BY 1
+    """,
+)
+def iceberg_partition_pruned_q(spark, sf_dir):
+    """Iceberg PARTITION-PRUNED snapshot read (the spec's manifest-list
+    partition summaries — the reader skips whole manifests whose
+    [min, max] range excludes the requested value WITHOUT opening them;
+    the unit test proves the skip by corrupting a pruned manifest):
+    l_returnflag-partitioned table, one manifest per flag, read
+    partition='R' only.  Equality with the oracle's plain WHERE proves
+    both pruning levels drop nothing they shouldn't.
+    sources/iceberg.py."""
+    from apache_nifi_spark.sources.iceberg import read_iceberg_snapshot
+
+    root = _staged_iceberg_part(spark, sf_dir)
+    snap = read_iceberg_snapshot(spark, root, partition="R")
     return snap.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         _dsum(F.col("l_quantity"), "total_qty"),

@@ -61,6 +61,11 @@ MANIFEST_LIST_SCHEMA = {
         {"name": "manifest_length", "type": "long"},
         {"name": "partition_spec_id", "type": "int"},
         {"name": "added_snapshot_id", "type": "long"},
+        # the spec's per-field partition summaries (lower/upper bounds),
+        # simplified to the single partition value's min/max — what lets
+        # a reader SKIP whole manifests without opening them
+        {"name": "partition_min", "type": "string"},
+        {"name": "partition_max", "type": "string"},
     ],
 }
 
@@ -78,6 +83,9 @@ MANIFEST_ENTRY_SCHEMA = {
                 "fields": [
                     {"name": "file_path", "type": "string"},
                     {"name": "file_format", "type": "string"},
+                    # single-value partition tuple (the spec keys this
+                    # by partition-spec field; one string field here)
+                    {"name": "partition", "type": "string"},
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
                 ],
@@ -162,6 +170,7 @@ def iceberg_commit(
                 {
                     "file_path": df_info["file_path"],
                     "file_format": df_info.get("file_format", "PARQUET"),
+                    "partition": df_info.get("partition", ""),
                     "record_count": int(df_info.get("record_count", 0)),
                     "file_size_in_bytes": int(
                         df_info.get("file_size_in_bytes", 0)
@@ -169,17 +178,24 @@ def iceberg_commit(
                 },
             )
         )
-    mpath, mlen = _write_manifest(
-        table_path, f"manifest-{snapshot_id}.avro", entries
-    )
+    # one manifest per partition value (the realistic writer layout —
+    # it is what makes the manifest-list partition summaries prune
+    # whole manifests on read)
+    by_part: dict[str, list] = {}
+    for e in entries:
+        by_part.setdefault(e[2]["partition"], []).append(e)
+    list_rows = []
+    for i, part in enumerate(sorted(by_part)):
+        mpath, mlen = _write_manifest(
+            table_path, f"manifest-{snapshot_id}-{i}.avro", by_part[part]
+        )
+        list_rows.append((mpath, mlen, 0, snapshot_id, part, part))
     mlist = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
     with open(mlist, "wb") as f:
         f.write(
             b"".join(
                 encode_container(
-                    iter([(mpath, mlen, 0, snapshot_id)]),
-                    MANIFEST_LIST_SCHEMA,
-                    codec="deflate",
+                    iter(list_rows), MANIFEST_LIST_SCHEMA, codec="deflate"
                 )
             )
         )
@@ -233,7 +249,8 @@ def _manifest_list_paths_from(
         raise ValueError(f"no iceberg snapshot {sid}")
     with open(snap["manifest-list"], "rb") as f:
         _schema, rows = decode_container(f.read())
-    return [r[0] for r in rows]
+    # (manifest_path, partition_min, partition_max)
+    return [(r[0], r[4], r[5]) for r in rows]
 
 
 def _manifest_rows_local(
@@ -258,30 +275,56 @@ def _manifest_rows_local(
 
 
 def iceberg_active_files(
-    spark: SparkSession, table_path: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    snapshot_id: int | None = None,
+    partition: str | None = None,
 ) -> DataFrame:
-    """(file_path, record_count, file_size_in_bytes) active in the
-    snapshot: manifest entries with status ≠ DELETED.  The manifest
-    list is control-plane; the MANIFESTS decode distributedly — one
-    binaryFile task per manifest through the from-scratch Avro
-    decoder."""
+    """(file_path, partition, record_count, file_size_in_bytes) active
+    in the snapshot: manifest entries with status ≠ DELETED.  The
+    manifest list is control-plane; the MANIFESTS decode distributedly
+    — one binaryFile task per manifest through the from-scratch Avro
+    decoder.
+
+    ``partition`` prunes at BOTH spec levels: manifests whose
+    [partition_min, partition_max] summary excludes the value are never
+    opened (the manifest-list summaries exist exactly for this — the
+    unit test proves it by corrupting a pruned manifest), and surviving
+    manifests' entries filter by equality."""
     import pandas as pd  # noqa: F401
 
-    paths = _manifest_list_paths(table_path, snapshot_id)
+    entries = _manifest_list_paths(table_path, snapshot_id)
+    if partition is not None:
+        entries = [
+            (p, lo, hi) for (p, lo, hi) in entries if lo <= partition <= hi
+        ]
+    paths = [p for (p, _lo, _hi) in entries]
+    if not paths:
+        return spark.createDataFrame(
+            [],
+            "file_path string, partition string, record_count long,"
+            " file_size_in_bytes long",
+        )
     blobs = spark.read.format("binaryFile").load(paths).select("content")
 
     def dec(batches):
         import pandas as pd
 
         for pdf in batches:
-            cols = {"file_path": [], "record_count": [],
+            cols = {"file_path": [], "partition": [], "record_count": [],
                     "file_size_in_bytes": []}
             for blob in pdf["content"]:
                 _schema, rows = decode_container(bytes(blob))
                 for status, _sid, data_file in rows:
                     if status == _STATUS_DELETED:
                         continue
+                    if (
+                        partition is not None
+                        and data_file["partition"] != partition
+                    ):
+                        continue
                     cols["file_path"].append(data_file["file_path"])
+                    cols["partition"].append(data_file["partition"])
                     cols["record_count"].append(
                         int(data_file["record_count"])
                     )
@@ -291,19 +334,26 @@ def iceberg_active_files(
             yield pd.DataFrame(cols)
 
     return blobs.mapInPandas(
-        dec, "file_path string, record_count long, file_size_in_bytes long"
+        dec,
+        "file_path string, partition string, record_count long,"
+        " file_size_in_bytes long",
     )
 
 
 def read_iceberg_snapshot(
-    spark: SparkSession, table_path: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    snapshot_id: int | None = None,
+    partition: str | None = None,
 ) -> DataFrame:
     """The snapshot's rows: resolve active files, then one parquet scan
     (pushdown/pruning apply as on any parquet read).  The file-list
     collect is the table MANIFEST — O(active files)."""
     files = [
         r["file_path"]
-        for r in iceberg_active_files(spark, table_path, snapshot_id)
+        for r in iceberg_active_files(
+            spark, table_path, snapshot_id, partition
+        )
         .collect()  # control-plane: O(active files) manifest rows
     ]
     if not files:

@@ -625,3 +625,52 @@ def test_iceberg_snapshot_time_travel_and_manifest_semantics(spark, tmp_path):
     assert schema["name"] == "manifest_file" and len(rows) == 1
     with pytest.raises(ValueError, match="no iceberg snapshot"):
         read_iceberg_snapshot(spark, root, 999)
+
+
+def test_iceberg_partition_pruning_skips_manifests(spark, tmp_path):
+    """Manifest-level partition pruning: a read with a partition filter
+    never opens manifests whose [min, max] summary excludes the value —
+    proved by corrupting the other partition's manifest after commit —
+    and entry-level equality filtering applies within the surviving
+    manifest."""
+    import glob
+    import os
+
+    from apache_nifi_spark.sources.iceberg import (
+        iceberg_active_files,
+        iceberg_commit,
+        read_iceberg_snapshot,
+    )
+
+    root = str(tmp_path / "tbl")
+    added = []
+    for name, lo, part in (("a", 0, "p0"), ("b", 100, "p1")):
+        spark.range(lo, lo + 10).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/{name}")
+        p = glob.glob(f"{root}/{name}/part-*.parquet")[0]
+        added.append({"file_path": p, "partition": part,
+                      "record_count": 10,
+                      "file_size_in_bytes": os.path.getsize(p)})
+    iceberg_commit(root, 201, added=added)
+    # two manifests, one per partition
+    manifests = sorted(glob.glob(f"{root}/metadata/manifest-201-*.avro"))
+    assert len(manifests) == 2
+    got = {
+        (r["partition"], r["file_path"])
+        for r in iceberg_active_files(spark, root, partition="p1").collect()
+    }
+    assert got == {("p1", added[1]["file_path"])}
+    # corrupt the p0 manifest: a pruned read must never open it...
+    with open(manifests[0], "wb") as f:
+        f.write(b"garbage, not avro")
+    ids = sorted(
+        r["id"] for r in read_iceberg_snapshot(spark, root, partition="p1")
+        .collect()
+    )
+    assert ids == list(range(100, 110))
+    # ...while an unpruned read does open it and fails loudly
+    import pytest
+
+    with pytest.raises(Exception):
+        iceberg_active_files(spark, root).collect()
