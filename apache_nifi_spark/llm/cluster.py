@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "kmeans_with_centroids",
     "connected_components",
     "near_dup_clusters",
     "kmeans_fixed_point",
@@ -226,6 +227,32 @@ def kmeans_fixed_point(
     Returns (id, cluster, dist) — dist is the final integer squared
     distance, the SemDeDup "keep nearest to centroid" signal.
     """
+    assigned, _cent = _kmeans_impl(df, id_col, vec_col, k, iters, scale)
+    return assigned
+
+
+def kmeans_with_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+    scale: int = 1000,
+) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
+    """:func:`kmeans_fixed_point` plus the FINAL centroid table
+    [(cluster, quantized_vector)] — the control-plane artifact the PQ
+    codebooks (llm/pq.py) and any assign-new-data pipeline need."""
+    return _kmeans_impl(df, id_col, vec_col, k, iters, scale)
+
+
+def _kmeans_impl(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int,
+    scale: int,
+) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
     q = df.select(
         F.col(id_col).alias("_id"),
         F.expr(
@@ -301,8 +328,9 @@ def kmeans_fixed_point(
             ((int(r["cluster"]), [int(v) for v in r["cv"]]) for r in new),
             key=lambda p: p[0],
         )
-    return _score(cent).select(
-        F.col("_id").alias(id_col), "cluster", "dist"
+    return (
+        _score(cent).select(F.col("_id").alias(id_col), "cluster", "dist"),
+        cent,
     )
 
 

@@ -2954,6 +2954,113 @@ def dedup_semantic_q(spark, sf_dir):
     return semantic_dedup(e, id_col="vec_id", vec_col="embedding", eps=0.3)
 
 
+def _pq_oracle(
+    query_id: int = 0,
+    dim: int = 64,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    scale: int = 1000,
+    top: int = 20,
+) -> str:
+    """Unrolled PQ/ADC oracle: per subspace, the fixed-point k-means
+    CTE blocks of _kmeans_oracle over the subvector slice; ADC joins
+    each final assignment to its codebook (the centroids the assignment
+    was scored against) and sums the integer query-to-centroid
+    distances — identical arithmetic to llm/pq.pq_adc_topk."""
+    sub = dim // m
+    blocks = []
+    for j in range(m):
+        lo = j * sub + 1
+        dist = (
+            f"list_reduce(list_transform(generate_series(1, {sub}),"
+            f" i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])),"
+            " (a, b) -> a + b)"
+        )
+        blocks.append(
+            f"""q{j} AS (
+      SELECT vec_id AS id,
+             list_transform(list_slice(embedding, {lo}, {lo + sub - 1}),
+               x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    c{j}_0 AS (
+      SELECT row_number() OVER (ORDER BY id) - 1 AS cluster, qv AS cv
+      FROM (SELECT * FROM q{j} ORDER BY id LIMIT {k})
+    )"""
+        )
+        for it in range(1, iters + 1):
+            blocks.append(
+                f"""s{j}_{it} AS (
+      SELECT q.id, q.qv, c.cluster, {dist} AS dist
+      FROM q{j} q, c{j}_{it - 1} c
+    ),
+    a{j}_{it} AS (
+      SELECT id, qv, cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY id
+                                     ORDER BY dist, cluster) AS rn
+        FROM s{j}_{it}
+      ) WHERE rn = 1
+    ),
+    e{j}_{it} AS (
+      SELECT cluster, i AS pos, qv[i] AS val
+      FROM a{j}_{it}, generate_series(1, {sub}) t(i)
+    ),
+    m{j}_{it} AS (
+      SELECT cluster, pos,
+             CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS mm
+      FROM e{j}_{it} GROUP BY cluster, pos
+    ),
+    c{j}_{it} AS (
+      SELECT cluster, list(mm ORDER BY pos) AS cv FROM m{j}_{it}
+      GROUP BY cluster
+    )"""
+            )
+        blocks.append(
+            f"""d{j} AS (
+      SELECT a.id, a.cluster AS code_{j},
+             list_reduce(list_transform(generate_series(1, {sub}),
+               i -> (qq.qv[i] - c.cv[i]) * (qq.qv[i] - c.cv[i])),
+               (x, y) -> x + y) AS adc_{j}
+      FROM a{j}_{iters} a
+      JOIN c{j}_{iters - 1} c USING (cluster),
+           (SELECT qv FROM q{j} WHERE id = {query_id}) qq
+    )"""
+        )
+    joins = " ".join(f"JOIN d{j} USING (id)" for j in range(1, m))
+    codes = ", ".join(f"CAST(code_{j} AS BIGINT) AS code_{j}" for j in range(m))
+    total = " + ".join(f"adc_{j}" for j in range(m))
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + f"""
+    SELECT d0.id AS vec_id, {codes}, {total} AS adc_dist
+    FROM d0 {joins}
+    ORDER BY adc_dist, vec_id
+    LIMIT {top}"""
+    )
+
+
+@register("similarity_pq_adc_topk", oracle=_pq_oracle())
+def similarity_pq_adc_q(spark, sf_dir):
+    """Product-quantization ANN (§2.12 similarity tier; Jégou et al.
+    2011 — the memory tier between brute-force/IVF scoring and raw
+    storage, 64 floats → 4 codes here): four 16-dim subspace codebooks
+    from the fixed-point k-means (integer arithmetic throughout, so the
+    TRAINED quantizer itself value-oracles — not just a fixed one),
+    corpus encoded by final subspace assignment, query scored by
+    asymmetric distance: an m×k integer table built driver-side from
+    control-plane centroids, then m constant-folded lookups per vector
+    and a TakeOrdered top-20.  See llm/pq.py."""
+    from apache_nifi_spark.llm.pq import pq_adc_topk
+
+    e = io.widen_if_narrow(
+        _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    qrow = e.filter(F.col("vec_id") == 0).head()  # control-plane: the query
+    return pq_adc_topk(e, [float(x) for x in qrow["embedding"]])
+
+
 @register("cluster_kmeans_embeddings", oracle=_kmeans_oracle())
 def cluster_kmeans_q(spark, sf_dir):
     """Deterministic k-means over the embeddings table (§2.12 semantic
