@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pack_greedy", "shard_layout"]
+__all__ = ["pack_greedy", "shard_layout", "rendezvous_shard"]
 
 
 def pack_greedy(
@@ -90,3 +90,35 @@ def shard_layout(
         .withColumn("position", F.row_number().over(w))
         .select(id_col, "shard", "position")
     )
+
+
+def rendezvous_shard(key, n_shards: int):
+    """Highest-random-weight (rendezvous) shard assignment (Thaler &
+    Ravishankar 1998 — the consistent-hashing family member with exact
+    minimal disruption): a key's shard is the one whose salted hash
+    ``md5(key ':' shard)`` is LARGEST.  Growing the shard count from N
+    to N+1 moves a document ONLY if the new shard's hash beats all N
+    old ones — so exactly the ~1/(N+1) expected fraction moves and
+    every moved document lands on the NEW shard, never reshuffled among
+    survivors (the invariant tests/test_llm.py asserts).  This is the
+    re-shard-stable alternative to ``shard_layout``'s modulo hash
+    (which moves ~N/(N+1) of the corpus on resize).
+
+    Pure column expression over md5 (portable, codegen'd, no shuffle):
+    argmax via ``array_max`` over (hash, shard) structs — struct
+    comparison breaks exact hash ties toward the higher shard id,
+    matching the oracle's ``max_by(s, h || s)``."""
+    from pyspark.sql import functions as F
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.md5(
+                    F.concat(key.cast("string"), F.lit(f":{s}"))
+                ).alias("h"),
+                F.lit(s).alias("s"),
+            )
+            for s in range(n_shards)
+        ]
+    )
+    return F.array_max(pairs)["s"]

@@ -8009,6 +8009,51 @@ def shard_layout_q(spark, sf_dir):
 
 
 @register(
+    "shard_rendezvous_resize",
+    oracle="""
+    WITH h8 AS (
+      SELECT doc_id, max_by(s, md5(CAST(doc_id AS VARCHAR) || ':'
+                                   || CAST(s AS VARCHAR))
+                               || CAST(s AS VARCHAR)) AS shard8
+      FROM documents, unnest(range(0, 8)) t(s)
+      GROUP BY doc_id
+    ),
+    h9 AS (
+      SELECT doc_id, max_by(s, md5(CAST(doc_id AS VARCHAR) || ':'
+                                   || CAST(s AS VARCHAR))
+                               || CAST(s AS VARCHAR)) AS shard9
+      FROM documents, unnest(range(0, 9)) t(s)
+      GROUP BY doc_id
+    )
+    SELECT h8.doc_id, CAST(shard8 AS INT) AS shard8,
+           CAST(shard9 AS INT) AS shard9,
+           shard8 <> shard9 AS moved
+    FROM h8 JOIN h9 USING (doc_id)
+    """,
+)
+def shard_rendezvous_q(spark, sf_dir):
+    """Rendezvous (highest-random-weight) sharding under a RESIZE
+    (§2.12 training-shard tier; Thaler & Ravishankar 1998): assignment
+    at 8 and at 9 shards side by side with the ``moved`` flag — HRW's
+    minimal-disruption guarantee means only ~1/9 of documents move and
+    EVERY mover lands on the new shard 8 (asserted as an invariant in
+    tests/test_llm.py; the modulo layout of shard_layout_deterministic
+    would reshuffle ~8/9 of the corpus).  Pure md5 column expressions,
+    map-only, no shuffle.  See llm/pack.rendezvous_shard."""
+    from apache_nifi_spark.llm.pack import rendezvous_shard
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    s8 = rendezvous_shard(F.col("doc_id"), 8)
+    s9 = rendezvous_shard(F.col("doc_id"), 9)
+    return d.select(
+        "doc_id",
+        s8.alias("shard8"),
+        s9.alias("shard9"),
+        (s8 != s9).alias("moved"),
+    )
+
+
+@register(
     "compress_content_per_record",
     oracle="""
     SELECT doc_id, text,

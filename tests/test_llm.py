@@ -2175,3 +2175,36 @@ def test_winnowing_local_guarantee(spark):
         reg._t = real_t
     assert out[0] & out[1], "shared 8-token run must share a fingerprint"
     assert not (out[0] & out[2]) and not (out[1] & out[2])
+
+
+def test_rendezvous_shard_minimal_disruption(spark):
+    """HRW invariants: resizing N -> N+1 moves only documents whose new
+    shard's hash wins (every mover lands on shard N, none reshuffle
+    among the old shards), the moved fraction is ~1/(N+1), and the
+    assignment is a pure function of the key (stable across calls and
+    partitionings)."""
+    from pyspark.sql import functions as F
+
+    from apache_nifi_spark.llm.pack import rendezvous_shard
+
+    df = spark.range(3000).select(F.col("id").alias("k"))
+    out = df.select(
+        "k",
+        rendezvous_shard(F.col("k"), 8).alias("s8"),
+        rendezvous_shard(F.col("k"), 9).alias("s9"),
+    ).collect()
+    moved = [r for r in out if r["s8"] != r["s9"]]
+    # every mover lands on the NEW shard — the HRW guarantee
+    assert moved and all(r["s9"] == 8 for r in moved)
+    # expected ~1/9 of keys move; generous bounds for 3000 keys
+    frac = len(moved) / len(out)
+    assert 0.05 < frac < 0.20, frac
+    # all shards populated, assignment deterministic across evaluations
+    assert {r["s8"] for r in out} == set(range(8))
+    again = {
+        r["k"]: r["s"]
+        for r in df.repartition(7)
+        .select("k", rendezvous_shard(F.col("k"), 8).alias("s"))
+        .collect()
+    }
+    assert all(again[r["k"]] == r["s8"] for r in out)
