@@ -291,8 +291,6 @@ def iceberg_active_files(
     opened (the manifest-list summaries exist exactly for this — the
     unit test proves it by corrupting a pruned manifest), and surviving
     manifests' entries filter by equality."""
-    import pandas as pd  # noqa: F401
-
     entries = _manifest_list_paths(table_path, snapshot_id)
     if partition is not None:
         entries = [
