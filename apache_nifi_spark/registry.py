@@ -8009,6 +8009,74 @@ def shard_layout_q(spark, sf_dir):
 
 
 @register(
+    "parquet_footer_stats_audit",
+    oracle="""
+    SELECT 'l_orderkey' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(MIN(l_orderkey) AS DOUBLE) AS min_v,
+           CAST(MAX(l_orderkey) AS DOUBLE) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(MIN(l_quantity) AS DOUBLE),
+           CAST(MAX(l_quantity) AS DOUBLE)
+    FROM lineitem
+    """,
+)
+def parquet_footer_stats_audit_q(spark, sf_dir):
+    """Parquet FOOTER-stats audit (§2.12 ops tier — the output-validation
+    pass a pipeline runs after every sharded export, and the same
+    metadata a scan planner prunes row groups with): the table's footers
+    are read DISTRIBUTEDLY (binaryFile scan, one task per file; only
+    footers parse — the column data never decodes) and the per-row-group
+    column-chunk metadata aggregates to per-column (num_values Σ,
+    stats-min min, stats-max max).  The oracle computes the same values
+    FROM THE DATA — equality proves the footers' statistics are
+    faithful, which is exactly what row-group pruning correctness rests
+    on."""
+    import pandas as pd  # noqa: F811
+
+    cols = ("l_orderkey", "l_quantity")
+    files = spark.read.format("binaryFile").load(
+        f"{sf_dir}/lineitem.parquet"
+    ).select("content")
+
+    def footer(batches):
+        import io as _io
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = {"column_name": [], "n_values": [], "min_v": [],
+                   "max_v": []}
+            for blob in pdf["content"]:
+                meta = pq.ParquetFile(_io.BytesIO(bytes(blob))).metadata
+                for rg in range(meta.num_row_groups):
+                    g = meta.row_group(rg)
+                    for i in range(meta.num_columns):
+                        c = g.column(i)
+                        if c.path_in_schema not in cols:
+                            continue
+                        out["column_name"].append(c.path_in_schema)
+                        out["n_values"].append(int(c.num_values))
+                        out["min_v"].append(float(c.statistics.min))
+                        out["max_v"].append(float(c.statistics.max))
+            yield pd.DataFrame(out)
+
+    per_chunk = files.mapInPandas(
+        footer,
+        "column_name string, n_values bigint, min_v double, max_v double",
+    )
+    return per_chunk.groupBy("column_name").agg(
+        F.sum("n_values").alias("n_values"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )
+
+
+@register(
     "shard_rendezvous_resize",
     oracle="""
     WITH h8 AS (
