@@ -8009,6 +8009,85 @@ def shard_layout_q(spark, sf_dir):
 
 
 @register(
+    "corpus_datacard_report",
+    oracle="""
+    WITH lg AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS nd,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks,
+             CAST(SUM(length(text)) AS BIGINT) AS chars,
+             CAST(SUM(CASE WHEN length(text) < 100 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS short
+      FROM documents GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(SUM(nd) AS BIGINT) AS n_docs,
+             CAST(SUM(toks) AS BIGINT) AS n_tokens,
+             CAST(SUM(chars) AS BIGINT) AS n_chars,
+             CAST(SUM(short) AS BIGINT) AS n_short,
+             CAST(COUNT(*) AS BIGINT) AS n_langs,
+             first(lang ORDER BY nd DESC, lang DESC) AS top_lang,
+             CAST(MAX(nd) AS BIGINT) AS top_lang_docs
+      FROM lg
+    ),
+    d AS (
+      SELECT CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS distinct_texts
+      FROM documents
+    )
+    SELECT n_docs, n_tokens, n_langs, top_lang, top_lang_docs,
+           distinct_texts,
+           round(1.0 - CAST(distinct_texts AS DOUBLE)
+                       / CAST(n_docs AS DOUBLE), 6) AS dup_frac,
+           round(CAST(n_chars AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+             AS mean_len_chars,
+           round(CAST(n_short AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+             AS short_doc_frac
+    FROM g, d
+    """,
+)
+def corpus_datacard_q(spark, sf_dir):
+    """Corpus DATACARD (§2.12 governance tier — the one-page stats
+    panel shipped alongside every training-data release: size, language
+    mix, duplication rate, length profile): ONE language-grain pass
+    carries counts/tokens/chars/short-doc tallies (global numbers are
+    exact integer sums of the 20-row language table; the dominant
+    language is a bounded max_by), plus one exact-dup pass
+    (count-distinct over sha256(text)).  Ratios are single
+    correctly-rounded divisions, 6 dp at the edge.  Output: one row."""
+    d = _t(spark, sf_dir, "documents").select("lang", "text")
+    lg = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum(F.size(F.split("text", " ", -1)).cast("bigint")).alias("toks"),
+        F.sum(F.length("text").cast("bigint")).alias("chars"),
+        F.sum((F.length("text") < 100).cast("bigint")).alias("short"),
+    )
+    g = lg.agg(
+        F.sum("nd").alias("n_docs"),
+        F.sum("toks").alias("n_tokens"),
+        F.sum("chars").alias("n_chars"),
+        F.sum("short").alias("n_short"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.expr("max_by(lang, struct(nd, lang))").alias("top_lang"),
+        F.max("nd").alias("top_lang_docs"),
+    )
+    dt = d.agg(
+        F.count_distinct(F.sha2("text", 256)).alias("distinct_texts")
+    )
+    nd_d = F.col("n_docs").cast("double")
+    return g.crossJoin(dt).select(
+        "n_docs", "n_tokens", "n_langs", "top_lang", "top_lang_docs",
+        "distinct_texts",
+        F.round(
+            F.lit(1.0) - F.col("distinct_texts").cast("double") / nd_d, 6
+        ).alias("dup_frac"),
+        F.round(F.col("n_chars").cast("double") / nd_d, 6)
+        .alias("mean_len_chars"),
+        F.round(F.col("n_short").cast("double") / nd_d, 6)
+        .alias("short_doc_frac"),
+    )
+
+
+@register(
     "parquet_footer_stats_audit",
     oracle="""
     SELECT 'l_orderkey' AS column_name,
