@@ -2208,3 +2208,84 @@ def test_rendezvous_shard_minimal_disruption(spark):
         .collect()
     }
     assert all(again[r["k"]] == r["s8"] for r in out)
+
+
+def test_temperature_mixture_properties(spark):
+    """Temperature-sampling invariants: tau=0.5 UPSAMPLES the smallest
+    domain relative to its natural share and downsamples the dominant
+    one; keep rates cap at 1.0; the kept-token total lands near the
+    budget; tau=1.0 degenerates to uniform rate = budget_frac; invalid
+    tau raises (the portability contract)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from apache_nifi_spark.llm.mixture import (
+        temperature_mixture_rates,
+        temperature_mixture_summary,
+    )
+
+    rows = []
+    for i in range(900):
+        dom = "big" if i % 9 else ("mid" if i % 2 else "small")
+        rows.append((i, dom, "tok " * (5 + i % 3)))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    rates = temperature_mixture_rates(df, budget_frac=0.5, tau=0.5)
+    assert set(rates) == {"big", "mid", "small"}
+    n_tot = sum(n for _d, n, _r, _t in rates.values())
+    # q_i/(n_i/N) grows as n_i shrinks under tau<1: smaller domains get
+    # relatively larger keep rates
+    by_size = sorted(rates.items(), key=lambda kv: kv[1][1])
+    keep = [r for _s, (_d, _n, r, _t) in by_size]
+    assert keep == sorted(keep, reverse=True)
+    assert all(0.0 < r <= 1.0 for r in keep)
+
+    # tau=1: q_i = n_i/N, so every keep rate is exactly budget_frac
+    flat = temperature_mixture_rates(df, budget_frac=0.25, tau=1.0)
+    for _s, (_d, _n, r, _t) in flat.items():
+        assert abs(r - 0.25) < 1e-12
+
+    summ = {r["domain"]: r for r in
+            temperature_mixture_summary(df, budget_frac=0.5).collect()}
+    kept = sum(r["kept_tokens"] for r in summ.values())
+    assert 0.35 * n_tot < kept < 0.65 * n_tot  # ~budget, Bernoulli noise
+    for r in summ.values():
+        assert r["kept_docs"] <= r["n_docs"]
+
+    with pytest.raises(ValueError, match="tau"):
+        temperature_mixture_rates(df, tau=0.3)
+
+
+def test_pq_adc_agrees_with_exact_quantized_distance(spark):
+    """PQ invariants: codes land in the learned codebooks, the ADC
+    score of a vector equals the EXACT integer distance between the
+    quantized query and that vector's reconstructed centroids (ADC is
+    exact over the codebook — its only approximation is quantization),
+    and the query's own nearest neighbour is itself."""
+    from apache_nifi_spark.llm.pq import pq_adc_topk, pq_train_encode
+
+    rows = [
+        (i, [((i * 13 + j * 7) % 29) / 29.0 for j in range(16)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codes, books = pq_train_encode(df, dim=16, m=4, k=4, iters=2)
+    got = {r["vec_id"]: [r[f"code_{j}"] for j in range(4)]
+           for r in codes.collect()}
+    valid = [set(c for c, _ in b) for b in books]
+    assert all(got[i][j] in valid[j] for i in got for j in range(4))
+
+    out = pq_adc_topk(df, rows[7][1], dim=16, m=4, k=4, iters=2, top=60)
+    res = {r["vec_id"]: r for r in out.collect()}
+    # recompute ADC for one vector from control-plane state
+    import math
+    qq = [int(math.floor(x * 1000)) for x in rows[7][1]]
+    vid = 19
+    want = 0
+    for j, cent in enumerate(books):
+        table = {c: sum((a - b) * (a - b) for a, b in
+                        zip(qq[j * 4:(j + 1) * 4], cv)) for c, cv in cent}
+        want += table[res[vid][f"code_{j}"]]
+    assert res[vid]["adc_dist"] == want
+    best = min(res.values(), key=lambda r: (r["adc_dist"], r["vec_id"]))
+    assert best["vec_id"] == 7 or res[7]["adc_dist"] == best["adc_dist"]
