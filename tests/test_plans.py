@@ -160,6 +160,9 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
         # 1-row corpus-stats broadcast (N, total_len) into the scoring
         # projection — bounded by construction
         "search_bm25_scores",
+        # two 1-row sides (language-table rollup × distinct-text count):
+        # the datacard's final cross join is 1×1 by construction
+        "corpus_datacard_report",
     }
     for name, fn in QUERIES.items():
         if name.startswith("stream_") or name in skip:
