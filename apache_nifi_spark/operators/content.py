@@ -99,8 +99,8 @@ def _codecs():
     import zlib
 
     from apache_nifi_spark.operators.lz import (
-        lz4_compress,
-        lz4_decompress,
+        lz4_frame_compress,
+        lz4_frame_decompress,
         snappy_compress,
         snappy_decompress,
     )
@@ -111,7 +111,9 @@ def _codecs():
         "xz": (lzma.compress, lzma.decompress),
         "deflate": (zlib.compress, zlib.decompress),
         "snappy": (snappy_compress, snappy_decompress),
-        "lz4": (lz4_compress, lz4_decompress),
+        # NiFi's LZ4 mode speaks the FRAME format (what the lz4 tool
+        # reads/writes — interop-tested against the real binary)
+        "lz4": (lz4_frame_compress, lz4_frame_decompress),
     }
 
 

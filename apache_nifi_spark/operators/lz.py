@@ -29,6 +29,9 @@ __all__ = [
     "snappy_decompress",
     "lz4_compress",
     "lz4_decompress",
+    "lz4_frame_compress",
+    "lz4_frame_decompress",
+    "xxhash32",
 ]
 
 _MIN_MATCH = 4
@@ -249,4 +252,146 @@ def lz4_decompress(data: bytes) -> bytes:
                     break
         for _ in range(mlen):
             out.append(out[-off])
+    return bytes(out)
+
+
+# ------------------------------------------------------------- lz4 frame --
+#
+# The interchange format the ``lz4`` tool speaks (lz4_Frame_format.md):
+# magic 0x184D2204, FLG/BD descriptor + xxHash32 header check, 4-byte
+# block headers (high bit = stored uncompressed), EndMark, optional
+# content checksum.  xxHash32 implemented from its public spec below —
+# the frame is what makes the block codec interoperable (the unit test
+# round-trips against the real ``lz4`` binary when present).
+
+_XXH_P1, _XXH_P2, _XXH_P3, _XXH_P4, _XXH_P5 = (
+    2654435761, 2246822519, 3266489917, 668265263, 374761393,
+)
+_M32 = 0xFFFFFFFF
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def xxhash32(data: bytes, seed: int = 0) -> int:
+    """xxHash32 from the public spec (Collet) — the frame format's
+    header-check and content-checksum function."""
+    n = len(data)
+    pos = 0
+    if n >= 16:
+        v1 = (seed + _XXH_P1 + _XXH_P2) & _M32
+        v2 = (seed + _XXH_P2) & _M32
+        v3 = seed & _M32
+        v4 = (seed - _XXH_P1) & _M32
+        while pos + 16 <= n:
+            for i, v in enumerate((v1, v2, v3, v4)):
+                lane = int.from_bytes(data[pos + 4 * i : pos + 4 * i + 4],
+                                      "little")
+                v = (v + lane * _XXH_P2) & _M32
+                v = (_rotl32(v, 13) * _XXH_P1) & _M32
+                if i == 0:
+                    v1 = v
+                elif i == 1:
+                    v2 = v
+                elif i == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            pos += 16
+        acc = (
+            _rotl32(v1, 1) + _rotl32(v2, 7) + _rotl32(v3, 12)
+            + _rotl32(v4, 18)
+        ) & _M32
+    else:
+        acc = (seed + _XXH_P5) & _M32
+    acc = (acc + n) & _M32
+    while pos + 4 <= n:
+        lane = int.from_bytes(data[pos : pos + 4], "little")
+        acc = (acc + lane * _XXH_P3) & _M32
+        acc = (_rotl32(acc, 17) * _XXH_P4) & _M32
+        pos += 4
+    while pos < n:
+        acc = (acc + data[pos] * _XXH_P5) & _M32
+        acc = (_rotl32(acc, 11) * _XXH_P1) & _M32
+        pos += 1
+    acc ^= acc >> 15
+    acc = (acc * _XXH_P2) & _M32
+    acc ^= acc >> 13
+    acc = (acc * _XXH_P3) & _M32
+    acc ^= acc >> 16
+    return acc
+
+
+def lz4_frame_compress(data: bytes, block_max: int = 1 << 22) -> bytes:
+    """One LZ4 frame: FLG = version 01 + block-independence + content
+    checksum; BD = 4 MiB max block; each block stores the SMALLER of
+    the lz4-block compression and the raw bytes (high header bit =
+    uncompressed, per spec)."""
+    data = bytes(data)
+    flg = (0b01 << 6) | (1 << 5) | (1 << 2)  # v01, b.indep, c.checksum
+    bd = 7 << 4  # 4 MiB
+    desc = bytes([flg, bd])
+    hc = (xxhash32(desc) >> 8) & 0xFF
+    out = bytearray((0x184D2204).to_bytes(4, "little") + desc + bytes([hc]))
+    pos = 0
+    while pos < len(data):
+        chunk = data[pos : pos + block_max]
+        comp = lz4_compress(chunk)
+        if len(comp) < len(chunk):
+            out += len(comp).to_bytes(4, "little") + comp
+        else:
+            out += (len(chunk) | 0x80000000).to_bytes(4, "little") + chunk
+        pos += len(chunk)
+    out += (0).to_bytes(4, "little")  # EndMark
+    out += xxhash32(data).to_bytes(4, "little")
+    return bytes(out)
+
+
+def lz4_frame_decompress(data: bytes) -> bytes:
+    """Decode an LZ4 frame (the ``lz4`` tool's output): verifies the
+    header check, handles stored/compressed blocks, optional block
+    checksums, and the content checksum when present."""
+    data = bytes(data)
+    if int.from_bytes(data[:4], "little") != 0x184D2204:
+        raise ValueError("not an LZ4 frame (bad magic)")
+    flg = data[4]
+    if (flg >> 6) != 0b01:
+        raise ValueError(f"unsupported LZ4 frame version {flg >> 6}")
+    b_checksum = bool(flg & (1 << 4))
+    c_size = bool(flg & (1 << 3))
+    c_checksum = bool(flg & (1 << 2))
+    dict_id = bool(flg & 1)
+    pos = 6  # past FLG + BD
+    desc_end = pos
+    if c_size:
+        desc_end += 8
+    if dict_id:
+        desc_end += 4
+    hc = data[desc_end]
+    if (xxhash32(data[4:desc_end]) >> 8) & 0xFF != hc:
+        raise ValueError("LZ4 frame header checksum mismatch")
+    pos = desc_end + 1
+    out = bytearray()
+    while True:
+        bsize = int.from_bytes(data[pos : pos + 4], "little")
+        pos += 4
+        if bsize == 0:  # EndMark
+            break
+        stored = bool(bsize & 0x80000000)
+        bsize &= 0x7FFFFFFF
+        block = data[pos : pos + bsize]
+        if len(block) != bsize:
+            raise ValueError("LZ4 frame block overruns payload")
+        pos += bsize
+        if b_checksum:
+            want = int.from_bytes(data[pos : pos + 4], "little")
+            if xxhash32(block) != want:
+                raise ValueError("LZ4 block checksum mismatch")
+            pos += 4
+        out += block if stored else lz4_decompress(block)
+    if c_checksum:
+        want = int.from_bytes(data[pos : pos + 4], "little")
+        if xxhash32(bytes(out)) != want:
+            raise ValueError("LZ4 content checksum mismatch")
     return bytes(out)

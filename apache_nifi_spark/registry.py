@@ -8241,13 +8241,15 @@ def compress_content_per_record_q(spark, sf_dir):
 )
 def compress_content_snappy_lz4_q(spark, sf_dir):
     """CompressContent's snappy + lz4 codecs (§2.4 — the two menu
-    entries no stdlib covers, implemented from the public block-format
-    descriptions in operators/lz.py): each document's content snappy-
-    compresses and round-trips back, then lz4-compresses ON TOP of the
-    snappy bytes and round-trips (binary input exercises the copy
-    elements), with the snappy varint length preamble verified columnar
-    against the known text length.  Oracle equality on the recovered
-    text proves both codecs lossless."""
+    entries no stdlib covers, implemented from the public format
+    descriptions in operators/lz.py; lz4 speaks the FRAME format with
+    from-scratch xxHash32 checksums, interop-tested against the real
+    ``lz4`` binary): each document's content snappy-compresses and
+    round-trips back, then lz4-frame-compresses ON TOP of the snappy
+    bytes and round-trips (binary input exercises the copy elements),
+    with the snappy varint length preamble verified columnar against
+    the known text length.  Oracle equality on the recovered text
+    proves both codecs lossless."""
     from apache_nifi_spark.operators import compress_content, decompress_content
 
     d = io.widen_if_narrow(

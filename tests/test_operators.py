@@ -972,3 +972,50 @@ def test_snappy_lz4_block_codecs():
         snappy_decompress(bytes([9]) + lit + copy1)
     with pytest.raises(ValueError, match="offset out of range"):
         lz4_decompress(bytes([(1 << 4) | 0]) + b"a" + (9).to_bytes(2, "little"))
+
+
+def test_lz4_frame_real_binary_interop_and_xxhash_vectors():
+    """LZ4 FRAME format + from-scratch xxHash32: public xxh32 test
+    vectors hold; our frames decode with the REAL lz4 binary and vice
+    versa (when installed); header/content checksum tampers raise."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    import pytest
+
+    from apache_nifi_spark.operators.lz import (
+        lz4_frame_compress,
+        lz4_frame_decompress,
+        xxhash32,
+    )
+
+    assert xxhash32(b"") == 0x02CC5D05
+    assert xxhash32(b"Hello World") == 0xB1FD16EE
+    assert xxhash32(b"a" * 101, seed=2654435761) != xxhash32(b"a" * 101)
+
+    data = b"the quick brown fox jumps over the lazy dog. " * 400 + bytes(
+        range(256)
+    )
+    frame = lz4_frame_compress(data)
+    assert lz4_frame_decompress(frame) == data
+    # content-checksum tamper fails loudly
+    bad = bytearray(frame)
+    bad[12] ^= 0x01
+    with pytest.raises(ValueError, match="checksum|offset|overruns"):
+        lz4_frame_decompress(bytes(bad))
+
+    lz4 = shutil.which("lz4")
+    if lz4:
+        d = tempfile.mkdtemp(prefix="anspark_lz4_")
+        with open(f"{d}/ours.lz4", "wb") as f:
+            f.write(frame)
+        out = subprocess.run([lz4, "-d", "-c", f"{d}/ours.lz4"],
+                             capture_output=True, timeout=60)
+        assert out.returncode == 0 and out.stdout == data
+        with open(f"{d}/plain", "wb") as f:
+            f.write(data)
+        subprocess.run([lz4, "-f", f"{d}/plain", f"{d}/theirs.lz4"],
+                       capture_output=True, timeout=60, check=True)
+        with open(f"{d}/theirs.lz4", "rb") as f:
+            assert lz4_frame_decompress(f.read()) == data
