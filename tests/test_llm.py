@@ -2289,3 +2289,30 @@ def test_pq_adc_agrees_with_exact_quantized_distance(spark):
     assert res[vid]["adc_dist"] == want
     best = min(res.values(), key=lambda r: (r["adc_dist"], r["vec_id"]))
     assert best["vec_id"] == 7 or res[7]["adc_dist"] == best["adc_dist"]
+
+
+def test_exact_median_twopass_property(spark):
+    """Property check of the two-pass exact median against Python's
+    statistics.median over adversarial shapes: duplicates, constant
+    columns, odd/even counts, skewed ranges, negatives — the
+    interpolated median must match exactly (both use (v_k + v_{k+1})/2
+    on even counts)."""
+    import statistics
+
+    from apache_nifi_spark.llm.sketch import exact_quantile_twopass
+
+    cases = [
+        [1.0],
+        [2.0, 2.0],
+        [5.0] * 100,
+        [float(i) for i in range(101)],
+        [float(i) for i in range(100)],
+        [float(i % 7) for i in range(999)],
+        [(-1.0) ** i * (i % 13) * 1e6 for i in range(500)],
+        [0.1 * i for i in range(2, 250)],
+    ]
+    for vals in cases:
+        df = spark.createDataFrame([(v,) for v in vals], "value double")
+        row = exact_quantile_twopass(df, "value", bins=16).collect()[0]
+        assert row["n"] == len(vals)
+        assert row["median"] == statistics.median(vals), vals[:5]
