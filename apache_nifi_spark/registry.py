@@ -306,6 +306,46 @@ def scan_attribute_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_content_dictionary",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             list_filter(['spark', 'batch', 'vector', 'window', 'shuffle',
+                          'agg', 'stream'],
+                         t -> contains(text, t)) AS matched_terms
+      FROM documents
+    )
+    SELECT doc_id, matched_terms,
+           CAST(len(matched_terms) AS INT) AS n_matched,
+           len(matched_terms) > 0 AS hit
+    FROM d
+    """,
+)
+def scan_content_dictionary_q(spark, sf_dir):
+    """ScanContent's SUBSTRING-dictionary mode (§2.3 — NiFi scans
+    FlowFile CONTENT for any dictionary term, distinct from
+    ScanAttribute's exact membership and the token semi-join of
+    scan_content_semi): the dictionary rides as one literal array and
+    each document filters it by ``contains`` — a map-only codegen'd
+    projection, no explode, no shuffle, dictionary size bounded by the
+    operator contract (NiFi loads it from a file; tens of thousands of
+    terms stay a single broadcast-free literal)."""
+    terms = ["spark", "batch", "vector", "window", "shuffle", "agg",
+             "stream"]
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    matched = F.filter(
+        F.array(*[F.lit(t) for t in terms]),
+        lambda t: F.col("text").contains(t),
+    )
+    return d.select(
+        "doc_id",
+        matched.alias("matched_terms"),
+        F.size(matched).alias("n_matched"),
+        (F.size(matched) > 0).alias("hit"),
+    )
+
+
+@register(
     "validate_record_split",
     oracle="""
     SELECT l_orderkey, l_linenumber,
