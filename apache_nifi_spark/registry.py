@@ -8049,6 +8049,72 @@ def shard_layout_q(spark, sf_dir):
 
 
 @register(
+    "stats_benford_first_digit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(abs(value)) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INT) AS digit
+      FROM events WHERE abs(value) >= 1
+    ),
+    c AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c),
+    b AS (
+      SELECT * FROM (VALUES (1, 0.301030), (2, 0.176091), (3, 0.124939),
+                            (4, 0.096910), (5, 0.079181), (6, 0.066947),
+                            (7, 0.057992), (8, 0.051153), (9, 0.045757))
+             v(digit, p)
+    )
+    SELECT b.digit, COALESCE(c.n, 0) AS n,
+           round(CAST(COALESCE(c.n, 0) AS DOUBLE) / CAST(t.tot AS DOUBLE), 6)
+             AS observed_frac,
+           b.p AS benford_frac,
+           round(CAST(COALESCE(c.n, 0) AS DOUBLE) / CAST(t.tot AS DOUBLE)
+                 - b.p, 6) AS deviation
+    FROM b LEFT JOIN c USING (digit), t
+    """,
+)
+def stats_benford_q(spark, sf_dir):
+    """Benford first-digit profile (§2.12 data-quality tier — the
+    classic synthetic-data / fraud smell test: natural multiplicative
+    quantities follow P(d) = log10(1+1/d); generated or tampered value
+    columns usually don't): leading digit of |value| ≥ 1 via string
+    head of the floored integer (portable — no log in the hot path),
+    one 9-bucket map-side-combined agg, observed vs the published
+    Benford constants (6-dp LITERALS, not engine log10 — cross-engine
+    last-ulp safety), signed deviation per digit."""
+    benford = {1: 0.301030, 2: 0.176091, 3: 0.124939, 4: 0.096910,
+               5: 0.079181, 6: 0.066947, 7: 0.057992, 8: 0.051153,
+               9: 0.045757}
+    ev = _t(spark, sf_dir, "events").select("value")
+    d = ev.filter(F.abs("value") >= 1).select(
+        F.substring(
+            F.floor(F.abs("value")).cast("bigint").cast("string"), 1, 1
+        ).cast("int").alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    st = c.agg(F.sum("n").alias("tot"))
+    b = spark.createDataFrame(
+        [(k, v) for k, v in benford.items()], "digit int, p double"
+    )
+    obs = F.coalesce(F.col("n"), F.lit(0)).cast("double") / F.col("tot").cast(
+        "double"
+    )
+    return (
+        b.join(c, "digit", "left")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.round(obs, 6).alias("observed_frac"),
+            F.col("p").alias("benford_frac"),
+            F.round(obs - F.col("p"), 6).alias("deviation"),
+        )
+    )
+
+
+@register(
     "corpus_datacard_report",
     oracle="""
     WITH lg AS (

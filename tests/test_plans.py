@@ -163,6 +163,8 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
         # two 1-row sides (language-table rollup × distinct-text count):
         # the datacard's final cross join is 1×1 by construction
         "corpus_datacard_report",
+        # 9-row Benford constants × 1-row total: bounded by construction
+        "stats_benford_first_digit",
     }
     for name, fn in QUERIES.items():
         if name.startswith("stream_") or name in skip:
