@@ -353,16 +353,13 @@ def exact_quantile_twopass(
         for r in ranks
     })
     b_lo, b_hi = need[0], need[-1]
-    lo_edge = lo + b_lo * width / float(bins)
-    # upper edge exclusive except the last bucket (clamped maxima)
-    cand = base.filter(
-        (F.col("_v") >= F.lit(lo_edge))
-        & (
-            F.col("_v") <= F.lit(hi)
-            if b_hi == bins - 1
-            else F.col("_v") < F.lit(lo + (b_hi + 1) * width / float(bins))
-        )
-    )
+    # Candidate filter reuses the SAME bucket-index expression the
+    # histogram aggregated (idx BETWEEN b_lo AND b_hi) — NOT Python-side
+    # reconstructed float edges: a value at a bucket boundary must land
+    # on the same side in both passes or ranks shift (ADVICE r12); with
+    # one shared expression, offset = below[b_lo] is exact by
+    # construction.
+    cand = base.filter((idx >= F.lit(b_lo)) & (idx <= F.lit(b_hi)))
     offset = below[b_lo]
 
     n_range = max(1, int(sess.conf.get("spark.sql.shuffle.partitions", "32")))

@@ -63,6 +63,7 @@ def tokens_arrow(
     id_col: str | None = None,
     pattern: str = "[^a-z0-9']+",
     lower: bool = True,
+    with_pos: bool = False,
 ) -> DataFrame:
     """Exploded token stream via ``mapInArrow`` + PyArrow's RE2 engine —
     the regexp-free-JVM tokenize path (round-11 verdict item 3).
@@ -93,12 +94,25 @@ def tokens_arrow(
     −2.2 s at sf1's 2.4 MB), so small inputs take the equivalent JVM
     ``F.split`` form.  Unknown statistics default to huge → Arrow, the
     right call at production scale.
+
+    ``with_pos=True`` adds an int ``pos`` column: the token's index in
+    the RAW split (before empty-string filtering), so values from the
+    Arrow and JVM paths are identical; within a document ``pos`` is
+    strictly increasing, which is the ordering contract position-aware
+    callers (RAKE phrase runs) rely on.  The id column's output type is
+    derived from the input schema — callers with int/string ids get a
+    matching Arrow schema (ADVICE r12).
     """
     import pyarrow as pa
 
-    out_schema = (
-        f"{id_col} long, token string" if id_col else "token string"
-    )
+    parts = []
+    if id_col:
+        id_type = df.schema[id_col].dataType.simpleString()
+        parts.append(f"{id_col} {id_type}")
+    if with_pos:
+        parts.append("pos int")
+    parts.append("token string")
+    out_schema = ", ".join(parts)
     cols = [id_col, text_col] if id_col else [text_col]
 
     min_bytes = 1 << 20
@@ -110,21 +124,26 @@ def tokens_arrow(
     except Exception:  # stats unavailable → assume big (scale-safe)
         est = min_bytes
     if est < min_bytes:
-        toks = F.explode(
-            F.filter(
-                F.split(
-                    F.lower(F.col(text_col)) if lower else F.col(text_col),
-                    pattern,
-                    -1,
-                ),
-                lambda t: t != "",
+        raw = F.split(
+            F.lower(F.col(text_col)) if lower else F.col(text_col),
+            pattern,
+            -1,
+        )
+        if with_pos:
+            sel = [F.col(id_col)] if id_col else []
+            return (
+                df.select(*sel, F.posexplode(raw).alias("pos", "token"))
+                .filter(F.col("token") != "")
             )
+        toks = F.explode(
+            F.filter(raw, lambda t: t != "")
         ).alias("token")
         return (
             df.select(id_col, toks) if id_col else df.select(toks)
         )
 
     def run(batches):
+        import numpy as np
         import pyarrow.compute as pc
 
         for b in batches:
@@ -134,12 +153,22 @@ def tokens_arrow(
             toks = pc.split_pattern_regex(t, pattern=pattern)
             flat = pc.list_flatten(toks)
             mask = pc.not_equal(flat, "")
+            idx = pc.list_parent_indices(toks) if (id_col or with_pos) else None
             arrays, names = [], []
             if id_col:
-                idx = pc.list_parent_indices(toks)
                 ids = pc.take(b.column(b.schema.get_field_index(id_col)), idx)
                 arrays.append(ids.filter(mask))
                 names.append(id_col)
+            if with_pos:
+                par = idx.to_numpy(zero_copy_only=False)
+                # fresh compute results have offset 0, so offsets[i] is
+                # the flat start of list i; flat_index - start = raw pos
+                starts = toks.offsets.to_numpy(zero_copy_only=False)[par]
+                pos = (
+                    np.arange(len(par), dtype=np.int64) - starts
+                ).astype(np.int32)
+                arrays.append(pa.array(pos).filter(mask))
+                names.append("pos")
             arrays.append(flat.filter(mask))
             names.append("token")
             yield pa.RecordBatch.from_arrays(arrays, names)
@@ -159,7 +188,9 @@ def regexp_replace_arrow(
     verdict item 3; the paragraph-lining pass was one of the three sf1
     walls blaming the Java-regex constant).  ``replacement`` uses RE2
     rewrite syntax (``\\1``…``\\9`` backreferences, not Java's ``$1``).
-    Map-only, partitioning preserved; returns (id_col, text_col)."""
+    Map-only, partitioning preserved; returns (id_col, text_col).
+    Output schema types are derived from the input schema (ADVICE
+    r12 — a caller with an int/string id must not get a mismatch)."""
     import pyarrow as pa
 
     def run(batches):
@@ -176,8 +207,10 @@ def regexp_replace_arrow(
                 [id_col, text_col],
             )
 
+    id_type = df.schema[id_col].dataType.simpleString()
+    text_type = df.schema[text_col].dataType.simpleString()
     return df.select(id_col, text_col).mapInArrow(
-        run, f"{id_col} long, {text_col} string"
+        run, f"{id_col} {id_type}, {text_col} {text_type}"
     )
 
 
@@ -352,10 +385,13 @@ def unigram_logprob(
     Shape at 100 TB: training is a two-stage hash agg (map-side combine
     collapses each partition to its distinct tokens before one small
     exchange — vocabulary ≪ token count); scoring joins the exploded
-    token stream to the vocabulary BROADCAST (no shuffle on the 100 TB
-    side), then one partial/final agg back to doc grain.  Both rounded
-    to 6 dp — double addition order is partition-dependent, same policy
-    as text_char_entropy.
+    token stream to the vocabulary UN-HINTED — AQE broadcasts it while
+    its measured size fits and degrades to a shuffled hash join beyond
+    (web-corpus vocabulary is Heaps-sublinear but UNBOUNDED: 10⁸–10⁹
+    types at 100 TB, so a forced ``F.broadcast`` here is an executor
+    OOM — r12 verdict item 2).  Then one partial/final agg back to doc
+    grain.  Both rounded to 6 dp — double addition order is
+    partition-dependent, same policy as text_char_entropy.
     """
     from pyspark.sql import functions as _F  # local alias keeps Column algebra clear
 
@@ -370,7 +406,7 @@ def unigram_logprob(
     )
     denom = (_F.col("t_total") + _F.col("v_size")).cast("double")
     scored = (
-        tokens.join(F.broadcast(vocab), "token", "left")
+        tokens.join(vocab, "token", "left")
         .crossJoin(F.broadcast(stats))
         .select(
             id_col,
@@ -467,7 +503,9 @@ def tfidf_keywords(
 
     Shape at 100 TB: one explode → doc-grain tf agg; df is a second agg
     over the distinct (doc, term) pairs the first already produced;
-    idf joins back BROADCAST (vocabulary ≪ corpus); the top-k cut is a
+    idf joins back un-hinted (AQE broadcasts while the measured term
+    table fits; vocabulary is corpus-unbounded, so no forced hint —
+    r12 verdict item 2); the top-k cut is a
     window over the doc partition — hash-partitioned by document, no
     global sort.  Ranking uses the 6-dp-ROUNDED score with a term
     tie-break, so the cut is total-ordered and engine-exact (raw double
@@ -506,7 +544,7 @@ def tfidf_keywords(
         (_F.col("__n_docs") + 1).cast("double")
         / (_F.col("df") + 1).cast("double")
     ) + _F.lit(1.0)
-    scored = tf.join(F.broadcast(dfreq), "term").crossJoin(
+    scored = tf.join(dfreq, "term").crossJoin(
         F.broadcast(nd)
     ).select(
         id_col,
@@ -549,8 +587,9 @@ def bigram_logprob(
     index-aware ``transform`` over the token array (map-only — no window
     over doc partitions, no O(len²) array copying), so training is two
     hash aggs and scoring is the token stream joined to the two count
-    tables (vocabulary broadcast; the bigram table broadcasts while it
-    fits and degrades to a hash join beyond — Catalyst's call via AQE).
+    tables UN-HINTED — both the unigram and bigram tables broadcast
+    while AQE measures them small and degrade to hash joins beyond
+    (vocabulary is corpus-unbounded; r12 verdict item 2).
     Mean rounded to 6 dp — double addition order is partition-dependent,
     same policy as ``unigram_logprob``.
     """
@@ -595,8 +634,8 @@ def bigram_logprob(
     )
     up = uni.select(_F.col("token").alias("ptoken"), _F.col("c").alias("pc"))
     scored = (
-        stream.join(F.broadcast(uni), stream["cur"] == uni["token"], "left")
-        .join(F.broadcast(up), stream["prev"] == _F.col("ptoken"), "left")
+        stream.join(uni, stream["cur"] == uni["token"], "left")
+        .join(up, stream["prev"] == _F.col("ptoken"), "left")
         .join(
             bi,
             (stream["prev"] == _F.col("bp")) & (stream["cur"] == _F.col("bc")),
@@ -1092,10 +1131,15 @@ def rake_keywords(
     ``list_reduce(list(score ORDER BY pos))``), rounded 6 dp at the
     edge.  Ties break lexicographically on the phrase.
 
-    Scale shape: tokenize → stopword-boundary phrase ids (one window
-    per document, bounded partitions) → two map-side-combined aggs
-    (word stats are vocabulary-grain; phrase rows are corpus-grain
-    narrow) → broadcast word-score join → TakeOrdered top-k.
+    Scale shape: Arrow/RE2 tokenize with raw-split positions
+    (:func:`tokens_arrow` ``with_pos`` — the Java-regex constant was
+    this query's sf1 wall, r12 verdict item 5) → stopword-boundary
+    phrase ids (one window per document, bounded partitions) → two
+    map-side-combined aggs (word stats are vocabulary-grain; phrase
+    rows are corpus-grain narrow) → un-hinted word-score join (AQE
+    broadcasts while the measured vocab fits; word-grain cardinality
+    is corpus-unbounded, so no forced hint — r12 verdict item 2) →
+    TakeOrdered top-k.
 
     Returns (phrase, n_words, rake_score), top ``k`` corpus-wide
     distinct phrases by (score DESC, phrase)."""
@@ -1103,14 +1147,12 @@ def rake_keywords(
     from pyspark.sql import functions as _F
 
     stop = stopwords if stopwords is not None else STOPWORDS["en"]
-    toks = df.select(
+    toks = tokens_arrow(
+        df, text_col=text_col, id_col=id_col, with_pos=True
+    ).select(
         _F.col(id_col).alias("_d"),
-        _F.posexplode(
-            _F.filter(
-                _F.split(_F.lower(_F.col(text_col)), r"[^a-z0-9']+", -1),
-                lambda t: t != "",
-            )
-        ).alias("_pos", "_w"),
+        _F.col("pos").alias("_pos"),
+        _F.col("token").alias("_w"),
     )
     is_stop = _F.col("_w").isin(list(stop))
     w = Window.partitionBy("_d").orderBy("_pos")
@@ -1156,7 +1198,7 @@ def rake_keywords(
         phrases.dropDuplicates(["phrase"])
         .select("phrase", "n_words",
                 _F.posexplode("_words").alias("_pos", "_w"))
-        .join(F.broadcast(wstats), "_w")
+        .join(wstats, "_w")
     )
     return (
         scored_words.groupBy("phrase", "n_words")

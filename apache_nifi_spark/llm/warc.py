@@ -218,8 +218,8 @@ def _parse_warc_fields(block: bytes) -> dict[str, str]:
     return fields
 
 
-_WARC_RECORDS_SCHEMA = (
-    "shard_id long, warc_type string, record_id string, refers_to string, "
+_WARC_RECORDS_FIELDS = (
+    "warc_type string, record_id string, refers_to string, "
     "url string, warc_date string, http_status int, content_type string, "
     "body binary, method string, req_target string, "
     "meta_fields map<string,string>, text string"
@@ -244,13 +244,18 @@ def warc_records(
     ``record_id``/``refers_to`` carry the WARC ids so WET text joins
     back to its crawl response by id, the real CC segment layout.
     Arrow-batched mapInPandas, map-only at any scale — one task per
-    shard, no shuffle until the caller joins/aggregates."""
+    shard, no shuffle until the caller joins/aggregates.  The id
+    column's NAME and type interpolate into the output schema from the
+    input (ADVICE r12 — hardcoding 'shard_id' silently renamed a
+    caller's id column)."""
     import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             cols: dict[str, list] = {
-                "shard_id": [], "warc_type": [], "record_id": [],
+                id_col: [], "warc_type": [], "record_id": [],
                 "refers_to": [], "url": [], "warc_date": [],
                 "http_status": [], "content_type": [], "body": [],
                 "method": [], "req_target": [], "meta_fields": [],
@@ -258,7 +263,7 @@ def warc_records(
             }
             for rid, blob in zip(pdf[id_col], pdf[content_col]):
                 for wtype, headers, block in parse_warc(bytes(blob)):
-                    cols["shard_id"].append(int(rid))
+                    cols[id_col].append(rid)
                     cols["warc_type"].append(wtype)
                     cols["record_id"].append(
                         headers.get("WARC-Record-ID", "")
@@ -289,5 +294,5 @@ def warc_records(
             yield pd.DataFrame(cols)
 
     return df.select(id_col, content_col).mapInPandas(
-        run, _WARC_RECORDS_SCHEMA
+        run, f"{id_col} {id_type}, {_WARC_RECORDS_FIELDS}"
     )

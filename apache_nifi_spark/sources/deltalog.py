@@ -64,15 +64,22 @@ def _last_checkpoint_version(log_dir: str) -> int | None:
 def write_checkpoint(
     spark: SparkSession, table_path: str, version: int
 ) -> str:
-    """Write the classic single-part parquet checkpoint at ``version``:
-    the reconciled ACTIVE adds ≤ version, one row per file, plus the
-    ``_last_checkpoint`` pointer.  ``added_version`` rides as a column
-    so post-checkpoint reads report the same provenance as a full
-    replay.  The checkpoint is MANIFEST-scale (O(active files) — the
-    same control-plane size the snapshot reader already collects), so
-    the single-part driver write matches the spec's classic checkpoint;
-    multi-part V2 checkpoints are the distributed-write variant of the
-    same content."""
+    """Write the classic single-part parquet checkpoint at ``version``
+    in the SPEC's action-struct layout (delta.io PROTOCOL.md "Classic
+    Checkpoint": one row per action, each row exactly one non-null
+    action struct among ``protocol`` / ``metaData`` / ``add``): the
+    reconciled ACTIVE adds ≤ version (``dataChange=false`` per spec,
+    with path/partitionValues/size/modificationTime), plus the required
+    one ``protocol`` row and one ``metaData`` row, plus the
+    ``_last_checkpoint`` pointer ``{version, size}``.  A top-level
+    ``added_version`` EXTENSION column (null on the protocol/metaData
+    rows) carries each add's commit version so post-checkpoint reads
+    report the same provenance as a full replay — spec readers select
+    the action columns and ignore extras.  The checkpoint is
+    MANIFEST-scale (O(active files) — the same control-plane size the
+    snapshot reader already collects), so the single-part driver write
+    matches the spec's classic checkpoint; multi-part V2 checkpoints
+    are the distributed-write variant of the same content."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -80,19 +87,61 @@ def write_checkpoint(
         spark, table_path, version, use_checkpoint=False
     ).collect()  # control-plane: O(active files) manifest rows
     log_dir = os.path.join(table_path, "_delta_log")
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    proto_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string())])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+        ]
+    )
+    # two header rows (protocol, metaData) + one row per active add
+    adds = [None, None] + [
+        {
+            "path": r["path"],
+            "partitionValues": [],
+            "size": r["size"],
+            "modificationTime": 0,
+            "dataChange": False,
+        }
+        for r in active
+    ]
+    protos = [{"minReaderVersion": 1, "minWriterVersion": 2}] + [None] * (
+        len(active) + 1
+    )
+    metas = [None] + [
+        {
+            "id": f"ckpt-{version:020d}",
+            "format": {"provider": "parquet"},
+            "schemaString": "",
+            "partitionColumns": [],
+        }
+    ] + [None] * len(active)
+    added_v = [None, None] + [r["added_version"] for r in active]
     tbl = pa.table(
         {
-            "path": pa.array([r["path"] for r in active], pa.string()),
-            "size": pa.array([r["size"] for r in active], pa.int64()),
-            "added_version": pa.array(
-                [r["added_version"] for r in active], pa.int64()
-            ),
+            "protocol": pa.array(protos, proto_t),
+            "metaData": pa.array(metas, meta_t),
+            "add": pa.array(adds, add_t),
+            "added_version": pa.array(added_v, pa.int64()),
         }
     )
     ckpt = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
     pq.write_table(tbl, ckpt)
     with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
-        f.write(json.dumps({"version": version, "size": len(active)}))
+        f.write(json.dumps({"version": version, "size": len(tbl)}))
     return ckpt
 
 
@@ -145,13 +194,17 @@ def delta_active_files(
         commits = [c for c in commits if int(c[:-5]) <= version]
     ckpt_v = _last_checkpoint_version(log_dir) if use_checkpoint else None
     if ckpt_v is not None and (version is None or version >= ckpt_v):
-        base = spark.read.parquet(
-            os.path.join(log_dir, f"{ckpt_v:020d}.checkpoint.parquet")
-        ).select(
-            "path",
-            "size",
-            F.lit(True).alias("_is_add"),
-            F.col("added_version").alias("_version"),
+        base = (
+            spark.read.parquet(
+                os.path.join(log_dir, f"{ckpt_v:020d}.checkpoint.parquet")
+            )
+            .filter(F.col("add").isNotNull())  # skip protocol/metaData rows
+            .select(
+                F.col("add.path").alias("path"),
+                F.col("add.size").alias("size"),
+                F.lit(True).alias("_is_add"),
+                F.col("added_version").alias("_version"),
+            )
         )
         tail = [c for c in commits if int(c[:-5]) > ckpt_v]
         acts = base.unionByName(

@@ -270,55 +270,130 @@ def test_ccnet_buckets_has_no_single_task_sort(spark):
 
 
 def test_no_broadcast_hint_on_corpus_cardinality_frames():
-    """Static audit (round-11 verdict item 1): a forced ``F.broadcast``
-    on a user-/doc-/customer-grain frame is fast at fixture scale and an
+    """Static audit, PACKAGE-WIDE (round-11 verdict item 1, scope
+    widened per round-12 item 2): a forced ``F.broadcast`` on a
+    user-/doc-/vocabulary-grain frame is fast at fixture scale and an
     executor OOM at real corpus scale — the hint disables AQE's
-    size-measured fallback.  Every ``F.broadcast(...)`` in the registry
-    must broadcast a frame whose cardinality is bounded by something
-    OTHER than the corpus: a fixed dim (nation: 25 rows), a 1-row global
-    aggregate, a literal query-term list, or a frequency-capped
-    heavy-hitter vocab (Heaps-law sub-linear, df-threshold keeps it
-    RAM-bounded).  New hints must be added to the allowlist here WITH a
-    grain justification — that review is the point of the gate."""
+    size-measured fallback.  Every ``F.broadcast(...)`` anywhere in
+    ``apache_nifi_spark/`` must broadcast a frame whose cardinality is
+    bounded by something OTHER than the corpus: a fixed dim (nation:
+    25 rows), a 1-row global aggregate, a literal query-term list, a
+    fixed hash-bucket table, an operator contract that defines the
+    side as an in-memory service (NiFi LookupService), or a
+    frequency-capped heavy-hitter vocab.  New hints must be added to
+    the allowlist here WITH a grain justification — that review is the
+    point of the gate.  (The round-12 offenders — unigram/bigram
+    vocab, tfidf dfreq, RAKE word stats, all Heaps-UNBOUNDED — were
+    de-hinted; AQE still broadcasts them while measured small.)"""
     import ast
     import pathlib
 
-    allowed = {
-        # nation is a fixed 25-row dim at every TPC-H SF
-        "n": "nation dim, 25 rows",
-        '_t(spark, sf_dir, "nation")': "nation dim, 25 rows",
-        # 1-row global max(ts) aggregate
-        "mx": "1-row global aggregate",
-        # literal 3-term query list and its per-term derivatives
-        "qf": "3 literal query terms",
-        "df_": "per-query-term df, <= 3 rows",
-        "st": "1-row corpus stats aggregate",
-        # df >= 100 heavy-hitter vocab: frequency cap bounds it far below
-        # doc-grain (Heaps' law); pmi pairs only form over this set
-        'vocab.select("token")': "df>=100 capped vocab",
-        "vx": "df>=100 capped vocab",
-        "vy": "df>=100 capped vocab",
-    }
-    import apache_nifi_spark.registry as registry
+    import apache_nifi_spark
 
-    path = pathlib.Path(registry.__file__)
-    src = path.read_text()
-    tree = ast.parse(src)
+    # keyed by (relative file, broadcast-arg source text)
+    allowed = {
+        # --- registry.py ---
+        # nation is a fixed 25-row dim at every TPC-H SF
+        ("registry.py", "n"): "nation dim, 25 rows",
+        ("registry.py", '_t(spark, sf_dir, "nation")'): "nation dim, 25 rows",
+        # 1-row global max(ts) aggregate
+        ("registry.py", "mx"): "1-row global aggregate",
+        # literal 3-term query list and its per-term derivatives
+        ("registry.py", "qf"): "3 literal query terms",
+        ("registry.py", "df_"): "per-query-term df, <= 3 rows",
+        ("registry.py", "st"): "1-row corpus stats aggregate",
+        # df >= 100 heavy-hitter vocab: frequency cap bounds it far
+        # below doc-grain (Heaps' law); pmi pairs only form over this
+        ("registry.py", 'vocab.select("token")'): "df>=100 capped vocab",
+        ("registry.py", "vx"): "df>=100 capped vocab",
+        ("registry.py", "vy"): "df>=100 capped vocab",
+        # --- operator modules ---
+        # LookupRecord/LookupAttribute: NiFi's LookupService contract IS
+        # an in-memory keyed service (CSV/KV file loaded whole) — the
+        # caller explicitly chose the broadcast operator
+        ("operators/join.py", "lookup"): "LookupService contract: in-memory dim",
+        ("operators/join.py", "dim"): "GeoEnrich/range dim: bounded band table",
+        ("plans/flow_import.py", "lookup"): "LookupService contract (flow def)",
+        # DistributeLoad per-partition offsets: O(shuffle partitions) rows
+        ("operators/route.py", "offs"): "O(num partitions) offset table",
+        # --- llm modules ---
+        # similarity: q = the query workload (k query points), cent =
+        # k centroids, probes = queries × n_probe — all bounded by the
+        # ANN parameters, not the corpus
+        ("llm/similarity.py", "q"): "query workload, k rows",
+        ("llm/similarity.py", "cent"): "k centroids",
+        ("llm/similarity.py", "probes"): "queries × n_probe rows",
+        # DSIR: tots = 1-row totals; weights = fixed hash-bucket grain
+        # (modulus chosen at build time, corpus-independent)
+        ("llm/dsir.py", "tots"): "1-row totals",
+        ("llm/dsir.py", "weights"): "fixed hash-bucket table (modulus-bounded)",
+        # text: 1-row smoothing-stats / fit frames
+        ("llm/text.py", "stats"): "1-row corpus stats",
+        ("llm/text.py", "fitted"): "1-row OLS fit",
+        ("llm/text.py", "nd"): "1-row doc count",
+        # sketch: quantile read-out probs frame, len(probs) rows
+        ("llm/sketch.py", "pf"): "len(probs) literal rows",
+    }
+    pkg_root = pathlib.Path(apache_nifi_spark.__file__).parent
     offenders = []
-    for node in ast.walk(tree):
-        if (
-            isinstance(node, ast.Call)
-            and isinstance(node.func, ast.Attribute)
-            and node.func.attr == "broadcast"
-            and node.args
-        ):
-            arg_src = ast.get_source_segment(src, node.args[0])
-            if arg_src not in allowed:
-                offenders.append(f"registry.py:{node.lineno} broadcast({arg_src})")
+    for path in sorted(pkg_root.rglob("*.py")):
+        rel = str(path.relative_to(pkg_root))
+        src = path.read_text()
+        if ".broadcast(" not in src:
+            continue
+        tree = ast.parse(src)
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "broadcast"
+                and node.args
+            ):
+                arg_src = ast.get_source_segment(src, node.args[0])
+                if (rel, arg_src) not in allowed:
+                    offenders.append(
+                        f"{rel}:{node.lineno} broadcast({arg_src})"
+                    )
     assert not offenders, (
         "forced broadcast on a frame not in the bounded-grain allowlist "
         f"(add with a justification only if its cardinality is truly "
         f"corpus-independent): {offenders}"
+    )
+
+
+def test_oracled_outputs_expose_no_array_map_struct_columns(spark, sf_dir):
+    """Driver-contract gate (round-12 verdict item 1): the driver's
+    correctness harness canonicalizes results with pandas
+    ``sort_values`` over every column, and list/dict cells are
+    unhashable there — ``scan_content_dictionary`` went red in
+    CORRECTNESS_r12 exactly this way despite value-exact data.  So no
+    ORACLED query may expose a top-level ArrayType/MapType/StructType
+    column: string-join arrays (``array_join``) / render structs at
+    the output boundary instead.  Streaming drains and side-effect
+    pipelines keep the plan-build skip set of the cartesian sweep."""
+    from pyspark.sql import types as T
+
+    from apache_nifi_spark.registry import ORACLES, QUERIES
+
+    skip = {
+        "bucketed_colocated_join", "put_file_partitioned",
+        "compress_content_gzip", "unpack_content_zip", "convert_record_csv",
+        "convert_record_json", "source_binary_file",
+        "multimodal_image_features", "dedup_minhash_lsh",
+    }
+    bad = (T.ArrayType, T.MapType, T.StructType)
+    offenders = []
+    for name in ORACLES:
+        if name.startswith("stream_") or name in skip:
+            continue
+        for f in QUERIES[name](spark, sf_dir).schema.fields:
+            if isinstance(f.dataType, bad):
+                offenders.append(
+                    f"{name}.{f.name}: {f.dataType.simpleString()}"
+                )
+    assert not offenders, (
+        "oracled query outputs with driver-unhashable top-level "
+        f"array/map/struct columns: {offenders}"
     )
 
 

@@ -98,9 +98,25 @@ def main() -> int:
                 print(f"  ✗ {name} (rows-only) EXCEPTION {type(e).__name__}: {str(e)[:300]}")
             continue
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            frame = fn(spark, sf_dir)
+            # driver-contract check: the driver's pandas canonicalizer
+            # cannot hash list/dict cells, so no oracled output may
+            # expose a top-level array/map/struct column (the pytest
+            # gate covers non-wire queries; this covers everything)
+            from pyspark.sql import types as T
+
+            bad_cols = [
+                f"{f.name}:{f.dataType.simpleString()}"
+                for f in frame.schema.fields
+                if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+            ]
+            sdf = frame.toPandas()
             ddf = con.execute(ORACLES[name]).df()
             problems = compare(name, sdf, ddf)
+            if bad_cols:
+                problems.append(
+                    f"driver-unhashable top-level columns: {bad_cols}"
+                )
         except Exception as e:  # noqa: BLE001
             problems = [f"EXCEPTION {type(e).__name__}: {e}"]
         if problems:
