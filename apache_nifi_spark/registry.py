@@ -10606,6 +10606,8 @@ _DELTA_STAGE: dict[str, str] = {}
 _DELTA_CKPT_STAGE: dict[str, str] = {}
 _ICEBERG_STAGE: dict[str, str] = {}
 _ICEBERG_PART_STAGE: dict[str, str] = {}
+_ICEBERG_EVOLVED_STAGE: dict[str, str] = {}
+_ICEBERG_EXPIRED_STAGE: dict[str, str] = {}
 
 
 def _staged_delta(spark, sf_dir):
@@ -10816,6 +10818,168 @@ def iceberg_partition_pruned_q(spark, sf_dir):
 
     root = _staged_iceberg_part(spark, sf_dir)
     snap = read_iceberg_snapshot(spark, root, partition="R")
+    return snap.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("l_quantity"), "total_qty"),
+    )
+
+
+def _staged_iceberg_evolved(spark, sf_dir):
+    """Iceberg table with SCHEMA EVOLUTION (r12 verdict item 6):
+    snapshot 1 writes even orders under schema (o_orderkey long,
+    o_totalprice double); ``iceberg_add_column`` appends
+    o_orderstatus (field-id 3, metadata-only — no data rewrite);
+    snapshot 2 adds the odd orders WITH the new column.  A current-
+    schema read must null-fill the pre-evolution files."""
+    if sf_dir in _ICEBERG_EVOLVED_STAGE:
+        return _ICEBERG_EVOLVED_STAGE[sf_dir]
+    import glob
+    import tempfile
+
+    from apache_nifi_spark.sources.iceberg import (
+        iceberg_add_column,
+        iceberg_commit,
+    )
+
+    root = tempfile.mkdtemp(prefix="anspark_iceevo_")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+
+    def land(sub, df):
+        df.coalesce(1).write.mode("overwrite").parquet(f"{root}/{sub}")
+        part = glob.glob(f"{root}/{sub}/part-*.parquet")[0]
+        return {
+            "file_path": part,
+            "record_count": 0,
+            "file_size_in_bytes": os.path.getsize(part),
+        }
+
+    f0 = land(
+        "even",
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice"),
+    )
+    iceberg_commit(
+        root, 1, added=[f0],
+        schema=[("o_orderkey", "long"), ("o_totalprice", "double")],
+    )
+    iceberg_add_column(root, "o_orderstatus", "string")
+    f1 = land(
+        "odd",
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus"),
+    )
+    iceberg_commit(root, 2, added=[f1])
+    _ICEBERG_EVOLVED_STAGE[sf_dir] = root
+    return root
+
+
+@register(
+    "iceberg_schema_evolved_read",
+    oracle="""
+    SELECT COALESCE(CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END,
+                    'pre-evolution') AS o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS total_price
+    FROM orders WHERE o_orderkey < 3000
+    GROUP BY 1
+    """,
+)
+def iceberg_schema_evolved_q(spark, sf_dir):
+    """Iceberg SCHEMA-EVOLVED read (spec "Schema Evolution" — add-column
+    is a METADATA-ONLY commit: the new field gets ``last-column-id + 1``,
+    ids are never reused, snapshots/data files are untouched, and a
+    reader projects the CURRENT schema, null-filling columns absent
+    from pre-evolution files).  Snapshot 1's files predate
+    o_orderstatus, snapshot 2's carry it; the groupBy proves exactly
+    the pre-evolution rows surface as null (rendered 'pre-evolution')
+    while post-evolution rows keep their values.  sources/iceberg.py
+    ``iceberg_add_column``."""
+    from apache_nifi_spark.sources.iceberg import read_iceberg_snapshot
+
+    root = _staged_iceberg_evolved(spark, sf_dir)
+    snap = read_iceberg_snapshot(spark, root)
+    return snap.groupBy(
+        F.coalesce("o_orderstatus", F.lit("pre-evolution")).alias(
+            "o_orderstatus"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("o_totalprice"), "total_price"),
+    )
+
+
+def _staged_iceberg_expired(spark, sf_dir):
+    """Iceberg table after SNAPSHOT EXPIRY (r12 verdict item 6): the
+    same two-commit history as _staged_iceberg (snap 1: q0+q1; snap 2:
+    delete q0, add q2+q3), then ``iceberg_expire_snapshots`` keeping
+    only the current snapshot — snap 1 becomes unreadable, its
+    manifest list and the q0 data file (live only there) are deleted
+    from disk (asserted in tests/test_sources.py)."""
+    if sf_dir in _ICEBERG_EXPIRED_STAGE:
+        return _ICEBERG_EXPIRED_STAGE[sf_dir]
+    import glob
+    import tempfile
+
+    from apache_nifi_spark.sources.iceberg import (
+        iceberg_commit,
+        iceberg_expire_snapshots,
+    )
+
+    root = tempfile.mkdtemp(prefix="anspark_iceexp_")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    info = {}
+    for q in range(4):
+        sub = f"q{q}"
+        (
+            li.filter(F.col("l_orderkey") % 4 == q)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{root}/{sub}")
+        )
+        part = glob.glob(f"{root}/{sub}/part-*.parquet")[0]
+        info[q] = {
+            "file_path": part,
+            "record_count": 0,
+            "file_size_in_bytes": os.path.getsize(part),
+        }
+    iceberg_commit(root, 1, added=[info[0], info[1]])
+    iceberg_commit(
+        root, 2, added=[info[2], info[3]],
+        deleted=[info[0]["file_path"]],
+    )
+    iceberg_expire_snapshots(root)  # keep current (snap 2) only
+    _ICEBERG_EXPIRED_STAGE[sf_dir] = root
+    return root
+
+
+@register(
+    "iceberg_snapshot_expiry_read",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+             AS total_qty
+    FROM lineitem WHERE l_orderkey % 4 IN (1, 2, 3)
+    GROUP BY 1
+    """,
+)
+def iceberg_snapshot_expiry_q(spark, sf_dir):
+    """Read after SNAPSHOT EXPIRY (the spec's maintenance op): expired
+    snapshot 1 is dropped from the metadata, its manifest list and the
+    q0 data file — live only in the expired snapshot — are physically
+    deleted, and the CURRENT snapshot still reads exactly its active
+    set (quarters 1,2,3).  Equality with the oracle proves expiry
+    reclaimed storage without touching retained state; the unreadable-
+    history and file-deletion halves are asserted in
+    tests/test_sources.py.  sources/iceberg.py
+    ``iceberg_expire_snapshots``."""
+    from apache_nifi_spark.sources.iceberg import read_iceberg_snapshot
+
+    root = _staged_iceberg_expired(spark, sf_dir)
+    snap = read_iceberg_snapshot(spark, root)
     return snap.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         _dsum(F.col("l_quantity"), "total_qty"),

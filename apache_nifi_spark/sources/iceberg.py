@@ -49,6 +49,8 @@ from apache_nifi_spark.sources.avro_codec import (
 
 __all__ = [
     "iceberg_commit",
+    "iceberg_add_column",
+    "iceberg_expire_snapshots",
     "iceberg_active_files",
     "read_iceberg_snapshot",
 ]
@@ -121,6 +123,7 @@ def iceberg_commit(
     snapshot_id: int,
     added: list[dict],
     deleted: list[str] | None = None,
+    schema: list[tuple[str, str]] | None = None,
 ) -> int:
     """Commit one snapshot: carry forward the previous snapshot's live
     files (rewritten as EXISTING entries, minus ``deleted`` paths which
@@ -128,6 +131,13 @@ def iceberg_commit(
     data files (dicts with file_path/record_count/file_size_in_bytes),
     write the manifest + manifest list + new ``v<N>.metadata.json`` and
     bump ``version-hint.text``.  Returns the new metadata version.
+
+    ``schema`` (ordered (name, iceberg-type) pairs, e.g. ``[('k',
+    'long'), ('v', 'string')]``) records the table schema in the
+    metadata per the spec's field-id rules on the FIRST commit (ids
+    assigned 1..n, ``last-column-id`` tracked); later commits carry the
+    schema metadata forward unchanged — schema CHANGES go through
+    :func:`iceberg_add_column` (a metadata-only commit).
 
     Writer-side simplification: each snapshot writes ONE new manifest
     holding the full entry set (real writers keep unchanged manifests
@@ -140,12 +150,18 @@ def iceberg_commit(
     prev_live: list[dict] = []
     version = 0
     snapshots: list[dict] = []
+    schemas: list[dict] = []
+    current_schema_id: int | None = None
+    last_column_id = 0
     if os.path.exists(hint):
         with open(hint) as f:
             version = int(f.read().strip())
         with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as f:
             meta = json.load(f)
         snapshots = meta["snapshots"]
+        schemas = meta.get("schemas", [])
+        current_schema_id = meta.get("current-schema-id")
+        last_column_id = meta.get("last-column-id", 0)
         cur = meta.get("current-snapshot-id")
         if cur is not None:
             prev_live = [
@@ -153,6 +169,15 @@ def iceberg_commit(
                 for r in _manifest_rows_local(table_path, cur, snapshots)
                 if r["status"] != _STATUS_DELETED
             ]
+    if schema is not None and not schemas:
+        # spec: field ids are assigned once, in order, and never reused
+        fields = [
+            {"id": i + 1, "name": n, "required": False, "type": t}
+            for i, (n, t) in enumerate(schema)
+        ]
+        schemas = [{"type": "struct", "schema-id": 0, "fields": fields}]
+        current_schema_id = 0
+        last_column_id = len(fields)
 
     entries: list[tuple[int, int, dict]] = []
     for r in prev_live:
@@ -214,11 +239,169 @@ def iceberg_commit(
             }
         ],
     }
+    if schemas:
+        meta["schemas"] = schemas
+        meta["current-schema-id"] = current_schema_id
+        meta["last-column-id"] = last_column_id
     with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as f:
         json.dump(meta, f)
     with open(hint, "w") as f:
         f.write(str(version))
     return version
+
+
+def iceberg_add_column(table_path: str, name: str, ice_type: str) -> int:
+    """SCHEMA EVOLUTION, add-column (spec §Schemas and "Schema
+    Evolution": a new schema struct with a fresh ``schema-id``, the new
+    field assigned ``last-column-id + 1`` — field ids are append-only
+    and NEVER reused, which is what makes column adds metadata-only and
+    old data files readable forever: a reader projects by field id and
+    fills absent columns with null).  Writes a new
+    ``v<N>.metadata.json`` with the evolved schema as
+    ``current-schema-id``; SNAPSHOTS ARE UNCHANGED — no data rewrite,
+    no manifest rewrite, O(1) regardless of table size.  Returns the
+    new metadata version."""
+    meta_dir = _meta_dir(table_path)
+    hint = os.path.join(meta_dir, "version-hint.text")
+    with open(hint) as f:
+        version = int(f.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as f:
+        meta = json.load(f)
+    schemas = meta.get("schemas")
+    if not schemas:
+        raise ValueError(
+            "table has no schema metadata — commit with schema= first"
+        )
+    cur = next(
+        s for s in schemas if s["schema-id"] == meta["current-schema-id"]
+    )
+    if any(f["name"] == name for f in cur["fields"]):
+        raise ValueError(f"column {name!r} already exists")
+    new_id = meta["last-column-id"] + 1
+    evolved = {
+        "type": "struct",
+        "schema-id": max(s["schema-id"] for s in schemas) + 1,
+        "fields": cur["fields"]
+        + [{"id": new_id, "name": name, "required": False, "type": ice_type}],
+    }
+    meta["schemas"] = schemas + [evolved]
+    meta["current-schema-id"] = evolved["schema-id"]
+    meta["last-column-id"] = new_id
+    version += 1
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(hint, "w") as f:
+        f.write(str(version))
+    return version
+
+
+def iceberg_expire_snapshots(
+    table_path: str, keep_ids: list[int] | None = None
+) -> dict:
+    """SNAPSHOT EXPIRY (the spec's maintenance operation): drop expired
+    snapshots from the metadata (default: keep only the current one),
+    then physically delete every file reachable ONLY through expired
+    snapshots — their manifest lists, manifests not referenced by any
+    retained snapshot, and data files not LIVE (status ≠ DELETED) in
+    any retained snapshot.  Time travel to an expired id must fail and
+    its storage must be reclaimed; retained snapshots are untouched.
+
+    Control-plane throughout: the reachability walk touches manifests
+    (O(manifests) Avro reads), never data.  Returns
+    ``{"version", "removed_snapshots", "deleted_files"}``."""
+    meta_dir = _meta_dir(table_path)
+    hint = os.path.join(meta_dir, "version-hint.text")
+    with open(hint) as f:
+        version = int(f.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as f:
+        meta = json.load(f)
+    keep = set(
+        keep_ids if keep_ids is not None else [meta["current-snapshot-id"]]
+    )
+    if meta["current-snapshot-id"] not in keep:
+        raise ValueError("cannot expire the current snapshot")
+    retained = [s for s in meta["snapshots"] if s["snapshot-id"] in keep]
+    expired = [s for s in meta["snapshots"] if s["snapshot-id"] not in keep]
+    if not expired:
+        return {"version": version, "removed_snapshots": [],
+                "deleted_files": []}
+
+    def reach(snaps):
+        """(manifest paths, live data paths, all data paths) reachable."""
+        manifests: set[str] = set()
+        live: set[str] = set()
+        alldata: set[str] = set()
+        for s in snaps:
+            with open(s["manifest-list"], "rb") as f:
+                _s, mrows = decode_container(f.read())
+            for m in mrows:
+                manifests.add(m[0])
+                with open(m[0], "rb") as f:
+                    _s, erows = decode_container(f.read())
+                for status, _sid, data_file in erows:
+                    alldata.add(data_file["file_path"])
+                    if status != _STATUS_DELETED:
+                        live.add(data_file["file_path"])
+        return manifests, live, alldata
+
+    keep_manifests, keep_live, _ = reach(retained)
+    exp_manifests, _, exp_data = reach(expired)
+
+    deleted_files: list[str] = []
+    for s in expired:
+        deleted_files.append(s["manifest-list"])
+    deleted_files.extend(sorted(exp_manifests - keep_manifests))
+    deleted_files.extend(sorted(exp_data - keep_live))
+    for p in deleted_files:
+        if os.path.exists(p):
+            os.remove(p)
+
+    meta["snapshots"] = retained
+    version += 1
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(hint, "w") as f:
+        f.write(str(version))
+    return {
+        "version": version,
+        "removed_snapshots": [s["snapshot-id"] for s in expired],
+        "deleted_files": deleted_files,
+    }
+
+
+#: iceberg spec type name → Spark SQL type (the subset these fixtures
+#: and the NiFi PutIceberg record schema mapping use)
+_ICE_TO_SPARK = {
+    "long": "bigint",
+    "int": "int",
+    "integer": "int",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp": "timestamp",
+    "binary": "binary",
+}
+
+
+def _current_spark_schema(meta: dict) -> str | None:
+    """DDL string of the CURRENT schema, or None when the table carries
+    no schema metadata (pre-evolution tables read by parquet inference)."""
+    schemas = meta.get("schemas")
+    if not schemas:
+        return None
+    cur = next(
+        s for s in schemas if s["schema-id"] == meta["current-schema-id"]
+    )
+    parts = []
+    for f in cur["fields"]:
+        t = f["type"]
+        spark_t = _ICE_TO_SPARK.get(t, t if "(" in t else None)
+        if spark_t is None:
+            raise ValueError(f"unmapped iceberg type {t!r}")
+        parts.append(f"{f['name']} {spark_t}")
+    return ", ".join(parts)
 
 
 def _load_metadata(table_path: str) -> dict:
@@ -346,7 +529,12 @@ def read_iceberg_snapshot(
 ) -> DataFrame:
     """The snapshot's rows: resolve active files, then one parquet scan
     (pushdown/pruning apply as on any parquet read).  The file-list
-    collect is the table MANIFEST — O(active files)."""
+    collect is the table MANIFEST — O(active files).
+
+    When the table carries schema metadata, the scan is projected
+    through the CURRENT schema (the spec's read rule after evolution:
+    columns absent from an older data file read as null) — Spark's
+    explicit read schema gives exactly that null-fill semantics."""
     files = [
         r["file_path"]
         for r in iceberg_active_files(
@@ -356,5 +544,7 @@ def read_iceberg_snapshot(
     ]
     if not files:
         raise ValueError("empty iceberg snapshot")
-    return spark.read.parquet(*files)
+    ddl = _current_spark_schema(_load_metadata(table_path))
+    reader = spark.read.schema(ddl) if ddl else spark.read
+    return reader.parquet(*files)
 

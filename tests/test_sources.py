@@ -674,3 +674,109 @@ def test_iceberg_partition_pruning_skips_manifests(spark, tmp_path):
 
     with pytest.raises(Exception):
         iceberg_active_files(spark, root).collect()
+
+
+def test_iceberg_schema_evolution_add_column(spark, tmp_path):
+    """Spec "Schema Evolution": add-column is METADATA-ONLY — a new
+    schema struct under a fresh schema-id, the field assigned
+    last-column-id + 1 (ids never reused), snapshots untouched — and a
+    current-schema read null-fills the column in pre-evolution files."""
+    import glob
+    import json
+    import os
+
+    import pytest
+
+    from apache_nifi_spark.sources.iceberg import (
+        iceberg_add_column,
+        iceberg_commit,
+        read_iceberg_snapshot,
+    )
+
+    root = str(tmp_path / "tbl")
+    spark.range(0, 5).selectExpr("id AS k", "CAST(id * 1.5 AS DOUBLE) AS v")\
+        .coalesce(1).write.parquet(f"{root}/old")
+    old = glob.glob(f"{root}/old/part-*.parquet")[0]
+    iceberg_commit(
+        root, 1,
+        added=[{"file_path": old, "record_count": 5,
+                "file_size_in_bytes": os.path.getsize(old)}],
+        schema=[("k", "long"), ("v", "double")],
+    )
+    v = iceberg_add_column(root, "tag", "string")
+    # metadata rules: new schema-id, field-id 3, old ids unchanged,
+    # snapshots untouched
+    meta = json.load(open(f"{root}/metadata/v{v}.metadata.json"))
+    assert meta["last-column-id"] == 3
+    assert len(meta["schemas"]) == 2
+    cur = next(s for s in meta["schemas"]
+               if s["schema-id"] == meta["current-schema-id"])
+    assert [(f["id"], f["name"]) for f in cur["fields"]] == [
+        (1, "k"), (2, "v"), (3, "tag")]
+    assert len(meta["snapshots"]) == 1  # no new snapshot, no data rewrite
+
+    spark.range(5, 8).selectExpr(
+        "id AS k", "CAST(id * 1.5 AS DOUBLE) AS v", "'new' AS tag"
+    ).coalesce(1).write.parquet(f"{root}/new")
+    new = glob.glob(f"{root}/new/part-*.parquet")[0]
+    iceberg_commit(
+        root, 2,
+        added=[{"file_path": new, "record_count": 3,
+                "file_size_in_bytes": os.path.getsize(new)}],
+    )
+    rows = {r["k"]: r["tag"]
+            for r in read_iceberg_snapshot(spark, root).collect()}
+    assert len(rows) == 8
+    assert all(rows[k] is None for k in range(5))      # null-filled
+    assert all(rows[k] == "new" for k in range(5, 8))  # carried
+    # duplicate add refused; id is NOT reclaimed by a different column
+    with pytest.raises(ValueError, match="already exists"):
+        iceberg_add_column(root, "tag", "string")
+    v2 = iceberg_add_column(root, "extra", "int")
+    meta2 = json.load(open(f"{root}/metadata/v{v2}.metadata.json"))
+    assert meta2["last-column-id"] == 4
+
+
+def test_iceberg_expire_snapshots_reclaims_unreachable(spark, tmp_path):
+    """Snapshot expiry: expired ids vanish from metadata (time travel
+    fails), their manifest lists and the manifests/data files reachable
+    ONLY through them are deleted from disk, and the retained snapshot
+    reads unchanged.  The current snapshot cannot be expired."""
+    import glob
+    import os
+
+    import pytest
+
+    from apache_nifi_spark.sources.iceberg import (
+        iceberg_commit,
+        iceberg_expire_snapshots,
+        read_iceberg_snapshot,
+    )
+
+    root = str(tmp_path / "tbl")
+    info = {}
+    for name, lo in (("a", 0), ("b", 100), ("c", 200)):
+        spark.range(lo, lo + 10).coalesce(1).write.parquet(f"{root}/{name}")
+        p = glob.glob(f"{root}/{name}/part-*.parquet")[0]
+        info[name] = {"file_path": p, "record_count": 10,
+                      "file_size_in_bytes": os.path.getsize(p)}
+    iceberg_commit(root, 11, added=[info["a"], info["b"]])
+    iceberg_commit(root, 12, added=[info["c"]],
+                   deleted=[info["a"]["file_path"]])
+
+    with pytest.raises(ValueError, match="cannot expire the current"):
+        iceberg_expire_snapshots(root, keep_ids=[11])
+
+    out = iceberg_expire_snapshots(root)  # keep current (12) only
+    assert out["removed_snapshots"] == [11]
+    # snapshot 11's manifest list is gone; a (the file live only in 11,
+    # DELETED in 12) is physically removed; b and c survive
+    assert not os.path.exists(f"{root}/metadata/snap-11.avro")
+    assert not os.path.exists(info["a"]["file_path"])
+    assert os.path.exists(info["b"]["file_path"])
+    assert os.path.exists(info["c"]["file_path"])
+    # time travel to the expired snapshot fails; current reads unchanged
+    with pytest.raises(ValueError, match="no iceberg snapshot"):
+        read_iceberg_snapshot(spark, root, 11)
+    ids = sorted(r["id"] for r in read_iceberg_snapshot(spark, root).collect())
+    assert ids == list(range(100, 110)) + list(range(200, 210))
