@@ -5135,13 +5135,21 @@ def listen_smtp_q(spark, sf_dir):
         F.lit(" priority "),
         F.col("o_orderpriority"),
     )
+    # Deliver over a BOUNDED connection pool: the 1-in-110 message
+    # stream inherits the orders scan's ~43 partitions, and each
+    # partition dials its own SMTP connection + Python worker — 8
+    # connections drain the same messages with an order of magnitude
+    # less handshake/worker overhead (profiled r13: deliver phase was
+    # the query's largest slice).  At production scale the coalesce
+    # target is the MTA's concurrency budget, a server-side constant —
+    # never one connection per data partition.
     rendered = o.select(
         F.lit("noreply@engine.local").alias("from_addr"),
         to.alias("to_addr"),
         wire.email_mime(
             "noreply@engine.local", to, subject, F.col("o_orderdate"), body
         ).cast("binary").alias("message"),
-    )
+    ).coalesce(8)
     landing = tempfile.mkdtemp(prefix="anspark_smtp_")
     srv = MiniSmtpServer(landing)
     n = put_smtp(rendered, "127.0.0.1", srv.port).filter("delivered").count()
@@ -5155,7 +5163,14 @@ def listen_smtp_q(spark, sf_dir):
         raise TimeoutError("landing zone incomplete")
     from apache_nifi_spark.sources import read_binary_files
 
-    landed = read_binary_files(spark, landing, glob="*.eml").select("content")
+    # two consumers below (the envelope regexes and the MIME parser)
+    # would each replay the 1 300-small-file binaryFile scan — pin it
+    # once; eager=False folds materialization into the first join job
+    landed = (
+        read_binary_files(spark, landing, glob="*.eml")
+        .select("content")
+        .localCheckpoint(eager=False)
+    )
     parsed = parse_email_headers(landed, "content")
 
     def first_header(name: str):
