@@ -1,0 +1,913 @@
+"""Connector-semantics closure tier (SURVEY.md §2.1/§2.2 final rows):
+document-store / notification sinks rendering their exact wire
+payloads, and the consumer-side predicate languages.
+
+Split out of ``registry.py`` (round-12 verdict item 8).  Same
+``@register`` decorator and ``QUERIES``/``ORACLES`` dicts; imported by
+``apache_nifi_spark.registry`` at the end of its body.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from apache_nifi_spark import io
+from apache_nifi_spark.registry import (
+    ORACLES,
+    QUERIES,
+    _davg,
+    _dsum,
+    _t,
+    register,
+)
+
+# =====================================================================
+# Connector-semantics closure (SURVEY.md §2.1/§2.2 final rows): the
+# document-store / notification sinks render their exact wire payloads
+# (sinks/wire.py), and the consumer-side predicate languages (MQTT topic
+# filters, JMS selectors, Mongo query documents) compile to Catalyst
+# predicates (functions/selectors.py).  The socket/client half of each
+# connector is commodity I/O; the record-level semantics live here and
+# are value-oracled.
+# =====================================================================
+
+@register(
+    "put_elasticsearch_bulk",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           concat('{"index":{"_index":"orders","_id":"', CAST(o_orderkey AS VARCHAR), '"}}',
+                  chr(10),
+                  '{"orderkey":', CAST(CAST(o_orderkey AS BIGINT) AS VARCHAR),
+                  ',"status":"', o_orderstatus,
+                  '","totalprice":', CAST(CAST(o_totalprice AS DECIMAL(27,2)) AS VARCHAR),
+                  ',"priority":"', o_orderpriority, '"}') AS bulk
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def put_elasticsearch_bulk_q(spark, sf_dir):
+    """PutElasticsearchRecord (§2.2): render the exact ``_bulk`` NDJSON
+    entry per record — action-and-metadata line + source line — as one
+    codegen'd string expression (sinks/wire.es_bulk).  POSTing the
+    concatenated lines is commodity HTTP (operators/http.py); the render
+    IS the record-level work, and it is value-oracled byte-for-byte."""
+    from apache_nifi_spark.sinks import wire
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        wire.es_bulk(
+            "orders",
+            F.col("o_orderkey"),
+            [
+                ("orderkey", wire.json_number(F.col("o_orderkey"))),
+                ("status", wire.json_string(F.col("o_orderstatus"))),
+                ("totalprice", wire.json_number(F.col("o_totalprice"), 2)),
+                ("priority", wire.json_string(F.col("o_orderpriority"))),
+            ],
+        ).alias("bulk"),
+    )
+
+
+@register(
+    "publish_amqp_wire_roundtrip",
+    oracle="""
+    SELECT event_type AS etype, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id
+    FROM events
+    WHERE event_id % 110 = 0 AND user_id % 3 = 1
+    GROUP BY event_type
+    """,
+)
+def publish_amqp_wire_q(spark, sf_dir):
+    """PublishAMQP → broker → ConsumeAMQP over the REAL 0-9-1 wire
+    (§2.1/§2.2): the full handshake (Start/Tune/Open/Channel/
+    Confirm.Select), Basic.Publish with content header+body frames and
+    every Basic.Ack confirm awaited (streaming/amqp_wire); the broker
+    lands exchange/routing-key/payload batches durably; the consumer
+    drains the landing dir and applies the ``region.*.u1`` TOPIC BINDING
+    exactly as the exchange routes (streaming/amqp_bus.binding_matches),
+    aggregating value-exact."""
+    import glob as _glob
+    import tempfile
+    import time as _time
+
+    from apache_nifi_spark.streaming.amqp_bus import binding_matches
+    from apache_nifi_spark.streaming.amqp_wire import MiniAmqpBroker, publish_amqp
+
+    ev = io.widen_if_narrow(
+        _t(spark, sf_dir, "events").filter(F.col("event_id") % 110 == 0)
+    )
+    msgs = ev.select(
+        F.concat(
+            F.lit("region."),
+            F.col("event_type"),
+            F.lit(".u"),
+            (F.col("user_id") % 3).cast("string"),
+        ).alias("rkey"),
+        F.concat(
+            F.col("event_id").cast("string"), F.lit(","), F.col("event_type")
+        ).alias("payload"),
+    )
+    landing = tempfile.mkdtemp(prefix="anspark_amqp_")
+    broker = MiniAmqpBroker(landing)
+    try:
+        sent = publish_amqp(msgs, "127.0.0.1", broker.port, "events", "rkey", "payload")
+        n_sent = sent.filter("published").count()
+        assert n_sent == ev.count()
+        deadline = _time.monotonic() + 15
+        while _time.monotonic() < deadline:
+            landed = sum(
+                sum(1 for ln in open(p, "rb") if ln.strip())
+                for p in _glob.glob(f"{landing}/*")
+            )
+            if landed >= n_sent:
+                break
+            _time.sleep(0.05)
+        else:
+            raise TimeoutError(f"broker landed {landed} of {n_sent}")
+    finally:
+        broker.stop()
+    back = spark.read.text(landing).select(
+        F.split("value", "\t", 3).alias("p")
+    ).select(F.col("p")[1].alias("rkey"), F.col("p")[2].alias("payload"))
+    consumed = back.filter(binding_matches(F.col("rkey"), "topic", "region.*.u1"))
+    parsed = consumed.select(F.split("payload", ",", 2).alias("v")).select(
+        F.col("v")[0].cast("bigint").alias("event_id"),
+        F.col("v")[1].alias("etype"),
+    )
+    return parsed.groupBy("etype").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("sum_id")
+    )
+
+
+@register(
+    "publish_mqtt_wire_roundtrip",
+    oracle="""
+    SELECT event_type AS etype, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id
+    FROM events
+    WHERE event_id % 120 = 0 AND user_id % 4 = 1
+    GROUP BY event_type
+    """,
+)
+def publish_mqtt_wire_q(spark, sf_dir):
+    """PublishMQTT → broker → ConsumeMQTT over the REAL 3.1.1 wire
+    (§2.1/§2.2): executor partitions each CONNECT once and PUBLISH QoS1
+    per record with the PUBACK awaited (streaming/mqtt); the broker
+    lands topic+payload batches durably; the consumer side drains the
+    landing dir and applies the ``sensors/+/u1`` topic FILTER exactly as
+    ConsumeMQTT's subscription does (functions/selectors), aggregating
+    value-exact — frame encode → wire → land → filter is lossless."""
+    import glob as _glob
+    import tempfile
+    import time as _time
+
+    from apache_nifi_spark.functions.selectors import mqtt_topic_matches
+    from apache_nifi_spark.streaming.mqtt import MiniMqttBroker, publish_mqtt
+
+    ev = io.widen_if_narrow(
+        _t(spark, sf_dir, "events").filter(F.col("event_id") % 120 == 0)
+    )
+    msgs = ev.select(
+        F.concat(
+            F.lit("sensors/"),
+            F.col("event_type"),
+            F.lit("/u"),
+            (F.col("user_id") % 4).cast("string"),
+        ).alias("topic"),
+        F.concat(
+            F.col("event_id").cast("string"), F.lit(","), F.col("event_type")
+        ).alias("payload"),
+    )
+    landing = tempfile.mkdtemp(prefix="anspark_mqtt_")
+    broker = MiniMqttBroker(landing)
+    try:
+        sent = publish_mqtt(msgs, "127.0.0.1", broker.port, "topic", "payload")
+        n_sent = sent.filter("published").count()
+        assert n_sent == ev.count()
+        deadline = _time.monotonic() + 15
+        while _time.monotonic() < deadline:
+            landed = sum(
+                sum(1 for ln in open(p, "rb") if ln.strip())
+                for p in _glob.glob(f"{landing}/*")
+            )
+            if landed >= n_sent:
+                break
+            _time.sleep(0.05)
+        else:
+            raise TimeoutError(f"broker landed {landed} of {n_sent}")
+    finally:
+        broker.stop()
+    back = spark.read.text(landing).select(
+        F.split("value", "\t", 2).alias("p")
+    ).select(
+        F.col("p")[0].alias("topic"), F.col("p")[1].alias("payload")
+    )
+    consumed = back.filter(mqtt_topic_matches(F.col("topic"), "sensors/+/u1"))
+    parsed = consumed.select(
+        F.split("payload", ",", 2).alias("v")
+    ).select(
+        F.col("v")[0].cast("bigint").alias("event_id"),
+        F.col("v")[1].alias("etype"),
+    )
+    return parsed.groupBy("etype").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("sum_id")
+    )
+
+
+@register(
+    "put_elasticsearch_live",
+    oracle="""
+    SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price
+    FROM orders WHERE o_orderkey % 90 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def put_elasticsearch_live_q(spark, sf_dir):
+    """PutElasticsearchRecord delivered over the WIRE (§2.2): rendered
+    ``_bulk`` NDJSON batches (one batched POST per partition, the real
+    processor's batching shape) index into an Elasticsearch-compatible
+    endpoint (streaming/elastic_store.MiniElasticServer) which lands
+    each document durably; ``_count`` must equal the sent total and the
+    landed documents must aggregate value-exact — render + bulk-POST +
+    index is lossless end-to-end."""
+    import json as _json
+    import tempfile
+    import urllib.request
+
+    from apache_nifi_spark.operators.http import post_http
+    from apache_nifi_spark.sinks import wire
+    from apache_nifi_spark.streaming.elastic_store import MiniElasticServer
+
+    o = io.widen_if_narrow(
+        _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 90 == 0)
+    )
+    rendered = o.select(
+        wire.es_bulk(
+            "orders",
+            F.col("o_orderkey"),
+            [
+                ("orderkey", wire.json_number(F.col("o_orderkey"))),
+                ("status", wire.json_string(F.col("o_orderstatus"))),
+                ("totalprice", wire.json_number(F.col("o_totalprice"), 2)),
+            ],
+        ).alias("bulk")
+    )
+    # the processor's batching shape: ONE _bulk body per partition
+    bodies = rendered.groupBy(F.spark_partition_id().alias("p")).agg(
+        F.concat_ws("\n", F.collect_list("bulk")).alias("payload")
+    )
+    landing = tempfile.mkdtemp(prefix="anspark_es_")
+    srv = MiniElasticServer(landing)
+    try:
+        sent = post_http(bodies, srv.url + "/_bulk", "payload")
+        assert sent.filter(F.col("status") != 200).count() == 0
+        n_docs = o.count()
+        with urllib.request.urlopen(  # control-plane delivery assertion
+            srv.url + "/orders/_count", timeout=10
+        ) as r:
+            assert _json.load(r)["count"] == n_docs
+    finally:
+        srv.stop()
+    back = spark.read.schema(
+        "orderkey bigint, status string, totalprice double"
+    ).json(landing)
+    return back.groupBy(F.col("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("orderkey").alias("sum_key"),
+        _dsum(F.col("totalprice"), "sum_price"),
+    )
+
+
+@register(
+    "put_mongo_wire_roundtrip",
+    oracle="""
+    SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+    FROM customer WHERE c_custkey % 25 = 0
+    GROUP BY c_mktsegment
+    """,
+)
+def put_mongo_wire_q(spark, sf_dir):
+    """PutMongoRecord / GetMongo over the REAL MongoDB wire protocol
+    (§2.1/§2.2): executor partitions each open one OP_MSG connection and
+    batch-insert BSON documents (sources/mongo_wire — dependency-free
+    BSON codec + OP_MSG client against the in-process server); the wire
+    ``count`` must equal the sent total, a wire ``find`` smoke-reads,
+    and the landed documents aggregate value-exact — the BSON encode →
+    wire → decode → land loop is lossless."""
+    import tempfile
+
+    from apache_nifi_spark.sources.mongo_wire import (
+        MiniMongoServer,
+        MongoWireClient,
+        put_mongo_records,
+    )
+
+    c = io.widen_if_narrow(
+        _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 25 == 0)
+    ).select("c_custkey", "c_mktsegment")
+    landing = tempfile.mkdtemp(prefix="anspark_mongo_")
+    srv = MiniMongoServer(landing)
+    try:
+        sent = put_mongo_records(c, "127.0.0.1", srv.port, "customers")
+        assert sent.filter(~F.col("inserted")).count() == 0
+        probe = MongoWireClient("127.0.0.1", srv.port)  # control-plane
+        try:
+            assert probe.count("customers") == c.count()
+            smoke = probe.find("customers", limit=3)
+            assert len(smoke) == 3 and all("c_custkey" in d for d in smoke)
+        finally:
+            probe.close()
+    finally:
+        srv.stop()
+    back = spark.read.schema("c_custkey bigint, c_mktsegment string").json(landing)
+    return back.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c_custkey").alias("sum_key")
+    )
+
+
+@register(
+    "put_mongo_extended_json",
+    oracle="""
+    SELECT c_custkey AS custkey,
+           concat('{"_id":{"$numberLong":"', CAST(CAST(c_custkey AS BIGINT) AS VARCHAR), '"}',
+                  ',"name":"', c_name,
+                  '","nationkey":{"$numberLong":"', CAST(CAST(c_nationkey AS BIGINT) AS VARCHAR), '"}',
+                  ',"acctbal":{"$numberDouble":"', CAST(CAST(c_acctbal AS DECIMAL(27,2)) AS VARCHAR), '"}',
+                  ',"segment":"', c_mktsegment, '"}') AS doc
+    FROM customer
+    """,
+)
+def put_mongo_extended_json_q(spark, sf_dir):
+    """PutMongoRecord (§2.2): canonical MongoDB Extended JSON v2 per
+    record — the lossless BSON text form a Mongo client ingests —
+    rendered columnar (sinks/wire.mongo_extended_json), typed per field
+    exactly like a RecordSetWriter schema."""
+    from apache_nifi_spark.sinks import wire
+
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        wire.mongo_extended_json(
+            F.col("c_custkey"),
+            [
+                ("name", "string", F.col("c_name"), None),
+                ("nationkey", "long", F.col("c_nationkey"), None),
+                ("acctbal", "double", F.col("c_acctbal"), 2),
+                ("segment", "string", F.col("c_mktsegment"), None),
+            ],
+        ).alias("doc"),
+    )
+
+
+@register(
+    "put_email_render",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           concat('From: noreply@engine.local', chr(13), chr(10),
+                  'To: customer', CAST(o_custkey AS VARCHAR), '@example.com', chr(13), chr(10),
+                  'Subject: Order ', CAST(o_orderkey AS VARCHAR), ' ', o_orderstatus, chr(13), chr(10),
+                  'Date: ', strftime(o_orderdate, '%a, %-d %b %Y %H:%M:%S +0000'), chr(13), chr(10),
+                  'MIME-Version: 1.0', chr(13), chr(10),
+                  'Content-Type: text/plain; charset=utf-8', chr(13), chr(10),
+                  'Content-Transfer-Encoding: base64', chr(13), chr(10), chr(13), chr(10),
+                  -- body stays < 57 bytes so unchunked to_base64 equals Spark's
+                  -- MIME encoder (which inserts CRLF every 76 output chars)
+                  to_base64(encode(concat('Total ', CAST(CAST(o_totalprice AS DECIMAL(27,2)) AS VARCHAR),
+                                          ' priority ', o_orderpriority))),
+                  chr(13), chr(10)) AS message
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def put_email_render_q(spark, sf_dir):
+    """PutEmail (§2.2): the full RFC 5322 message (headers + RFC 2045
+    base64 body) per record — what the processor hands its SMTP client —
+    as one string expression (sinks/wire.email_mime), value-oracled
+    including the RFC 5322 date render and the base64 transfer coding."""
+    from apache_nifi_spark.sinks import wire
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    to = F.concat(F.lit("customer"), F.col("o_custkey").cast("string"), F.lit("@example.com"))
+    subject = F.concat(
+        F.lit("Order "), F.col("o_orderkey").cast("string"), F.lit(" "), F.col("o_orderstatus")
+    )
+    body = F.concat(
+        F.lit("Total "),
+        F.col("o_totalprice").cast("decimal(27,2)").cast("string"),
+        F.lit(" priority "),
+        F.col("o_orderpriority"),
+    )
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        wire.email_mime(
+            "noreply@engine.local", to, subject, F.col("o_orderdate"), body
+        ).alias("message"),
+    )
+
+
+@register(
+    "parse_netflow5_flows",
+    oracle="""
+    SELECT event_id,
+           CAST(event_id % 100000 AS BIGINT) AS sys_uptime,
+           CAST(1700000000 + event_id AS BIGINT) AS unix_secs,
+           CAST(event_id AS BIGINT) AS flow_sequence,
+           '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.'
+                   || CAST(event_id % 256 AS VARCHAR) AS src_ip,
+           '192.168.1.' || CAST(user_id % 200 AS VARCHAR) AS dst_ip,
+           CAST(0 AS BIGINT) AS nexthop,
+           CAST(1 AS BIGINT) AS input_if,
+           CAST(2 AS BIGINT) AS output_if,
+           CAST(1 + event_id % 1000 AS BIGINT) AS d_pkts,
+           CAST(CAST(floor(abs(value) * 100) AS BIGINT) AS BIGINT) AS d_octets,
+           CAST(event_id % 100000 AS BIGINT) AS first_ms,
+           CAST(event_id % 100000 + 1000 AS BIGINT) AS last_ms,
+           CAST(1024 + event_id % 40000 AS BIGINT) AS srcport,
+           CAST(CASE WHEN event_type = 'error' THEN 443 ELSE 80 END AS BIGINT)
+             AS dstport,
+           CAST(27 AS BIGINT) AS tcp_flags,
+           CAST(CASE WHEN event_type = 'click' THEN 17 ELSE 6 END AS BIGINT)
+             AS proto,
+           CAST(0 AS BIGINT) AS tos,
+           CAST(64500 AS BIGINT) AS src_as,
+           CAST(64501 AS BIGINT) AS dst_as,
+           CAST(24 AS BIGINT) AS src_mask,
+           CAST(24 AS BIGINT) AS dst_mask
+    FROM events WHERE event_id % 5 = 0
+    """,
+)
+def parse_netflow5_q(spark, sf_dir):
+    """ParseNetflowv5 (§2.4 [nifi-network bundle]): v5 packets built
+    columnar from events (hex-concat → unhex — no UDF) and parsed back
+    columnar (count-driven record explode, conv(hex(substring)) reads,
+    dotted-quad IPs).  The oracle states every expected field directly
+    from the source rows, proving encode → parse is the identity over
+    real big-endian packet bytes (functions/netflow.py)."""
+    from apache_nifi_spark.functions.netflow import netflow5_packet, parse_netflow5
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    fields = {
+        "srcaddr": F.lit(10).cast("bigint") * 16777216
+        + (uid % 256) * 256 + eid % 256,
+        "dstaddr": F.lit(192).cast("bigint") * 16777216
+        + F.lit(168) * 65536 + F.lit(1) * 256 + uid % 200,
+        "nexthop": F.lit(0),
+        "input_if": F.lit(1),
+        "output_if": F.lit(2),
+        "d_pkts": F.lit(1) + eid % 1000,
+        "d_octets": F.floor(F.abs(F.col("value")) * 100).cast("bigint"),
+        "first_ms": eid % 100000,
+        "last_ms": eid % 100000 + 1000,
+        "srcport": F.lit(1024) + eid % 40000,
+        "dstport": F.when(F.col("event_type") == "error", 443).otherwise(80),
+        "tcp_flags": F.lit(27),
+        "proto": F.when(F.col("event_type") == "click", 17).otherwise(6),
+        "tos": F.lit(0),
+        "src_as": F.lit(64500),
+        "dst_as": F.lit(64501),
+        "src_mask": F.lit(24),
+        "dst_mask": F.lit(24),
+    }
+    built = ev.select(
+        "event_id",
+        netflow5_packet(
+            fields,
+            sys_uptime=eid % 100000,
+            unix_secs=F.lit(1700000000) + eid,
+            flow_sequence=eid,
+        ).alias("packet"),
+    )
+    return parse_netflow5(built, "packet")
+
+
+def _parse_cef_oracle() -> str:
+    from apache_nifi_spark.functions.cef import cef_oracle_exprs
+
+    return f"""
+    WITH built AS (
+      SELECT event_id,
+             CASE WHEN event_id % 23 = 0 THEN 'not a cef line'
+                  ELSE 'CEF:0|Engine\\|Corp|anspark|1.0|' || event_type || '|'
+                       || event_type || ' event|'
+                       || CAST(CASE WHEN event_type = 'error' THEN 9 ELSE 3 END
+                               AS VARCHAR)
+                       || '|src=10.0.' || CAST(user_id % 256 AS VARCHAR) || '.5'
+                       || ' spt=' || CAST(1024 + event_id % 40000 AS VARCHAR)
+                       || CASE WHEN event_id % 3 = 0 THEN ' act=allow' ELSE '' END
+                       || ' msg=v=1 ' || event_type || ' observed'
+             END AS content
+      FROM events
+    )
+    SELECT event_id,
+           {cef_oracle_exprs('content')}
+    FROM built
+    """
+
+
+@register("parse_cef_events", oracle=_parse_cef_oracle())
+def parse_cef_q(spark, sf_dir):
+    """ParseCEF (§2.4): ArcSight CEF lines — escaped-pipe header fields,
+    token extensions, trailing free-text msg (which itself contains an
+    '=') — parsed columnar; non-CEF lines yield all-NULL fields.  The
+    oracle shares the module's regex constants (functions/cef), one
+    semantic source for both engines."""
+    from apache_nifi_spark.functions.cef import parse_cef
+
+    ev = io.widen_if_narrow(_t(spark, sf_dir, "events"))
+    sev = F.when(F.col("event_type") == "error", F.lit("9")).otherwise(F.lit("3"))
+    line = F.concat(
+        F.lit("CEF:0|Engine\\|Corp|anspark|1.0|"),
+        F.col("event_type"),
+        F.lit("|"),
+        F.col("event_type"),
+        F.lit(" event|"),
+        sev,
+        F.lit("|src=10.0."),
+        (F.col("user_id") % 256).cast("string"),
+        F.lit(".5 spt="),
+        (F.lit(1024) + F.col("event_id") % 40000).cast("string"),
+        F.when(F.col("event_id") % 3 == 0, F.lit(" act=allow")).otherwise(F.lit("")),
+        F.lit(" msg=v=1 "),
+        F.col("event_type"),
+        F.lit(" observed"),
+    )
+    built = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 23 == 0, F.lit("not a cef line"))
+        .otherwise(line)
+        .alias("content"),
+    )
+    return parse_cef(built).drop("content")
+
+
+@register(
+    "extract_email_headers",
+    oracle="""
+    SELECT o_orderkey AS mid,
+           'noreply@engine.local' AS from_addr,
+           'customer' || CAST(o_custkey AS VARCHAR) || '@example.com' AS to_addr,
+           'Order ' || CAST(o_orderkey AS VARCHAR) || ' ' || o_orderstatus AS subject,
+           CAST(o_orderdate AS TIMESTAMP) AS date_ts,
+           'Total ' || CAST(CAST(o_totalprice AS DECIMAL(27,2)) AS VARCHAR)
+             || ' priority ' || o_orderpriority AS body_text,
+           CAST(0 AS INT) AS n_attachments
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def extract_email_headers_q(spark, sf_dir):
+    """ExtractEmailHeaders (§2.4 [nifi-email bundle]): the render half
+    (sinks/wire.email_mime, byte-exact RFC 5322) feeds the stdlib MIME
+    parser (sources/email_codec) — headers, RFC 5322 date, and the
+    base64 transfer-decoded body all recover exactly; oracle states the
+    expected values directly from the source rows, proving the
+    render → parse cycle is lossless."""
+    from apache_nifi_spark.sinks import wire
+    from apache_nifi_spark.sources.email_codec import parse_email_headers
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    to = F.concat(
+        F.lit("customer"), F.col("o_custkey").cast("string"), F.lit("@example.com")
+    )
+    subject = F.concat(
+        F.lit("Order "), F.col("o_orderkey").cast("string"), F.lit(" "),
+        F.col("o_orderstatus"),
+    )
+    body = F.concat(
+        F.lit("Total "),
+        F.col("o_totalprice").cast("decimal(27,2)").cast("string"),
+        F.lit(" priority "),
+        F.col("o_orderpriority"),
+    )
+    rendered = o.select(
+        F.col("o_orderkey").alias("mid"),
+        wire.email_mime(
+            "noreply@engine.local", to, subject, F.col("o_orderdate"), body
+        ).cast("binary").alias("message"),
+    )
+    return parse_email_headers(rendered, "message", id_col="mid")
+
+
+@register(
+    "put_slack_payload",
+    oracle="""
+    WITH esc AS (
+      SELECT event_id,
+             concat('Event ', CAST(event_id AS VARCHAR), ': ', event_type,
+                    ' value=', CAST(CAST(value AS DECIMAL(27,2)) AS VARCHAR)) AS txt,
+             replace(replace(replace(replace(replace(props,
+                     chr(92), chr(92)||chr(92)), '"', chr(92)||'"'),
+                     chr(10), chr(92)||'n'), chr(13), chr(92)||'r'),
+                     chr(9), chr(92)||'t') AS ctx
+      FROM events WHERE event_id < 2000
+    )
+    SELECT event_id,
+           concat('{"channel":"#ops","text":"', txt,
+                  '","blocks":[{"type":"section","text":{"type":"mrkdwn","text":"', txt,
+                  '"}},{"type":"context","elements":[{"type":"plain_text","text":"', ctx,
+                  '"}]}]}') AS payload
+    FROM esc
+    """,
+)
+def put_slack_payload_q(spark, sf_dir):
+    """PutSlack (§2.2): the ``chat.postMessage`` Block Kit JSON body per
+    record (sinks/wire.slack_post_payload) — channel, mrkdwn section,
+    context block carrying the raw props JSON (exercises the full
+    JSON-string escaping chain, oracled byte-for-byte)."""
+    from apache_nifi_spark.sinks import wire
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    text = F.concat(
+        F.lit("Event "),
+        F.col("event_id").cast("string"),
+        F.lit(": "),
+        F.col("event_type"),
+        F.lit(" value="),
+        F.col("value").cast("decimal(27,2)").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        wire.slack_post_payload("#ops", text, F.col("props")).alias("payload"),
+    )
+
+
+@register(
+    "put_slack_webhook_post",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id,
+           MIN(event_type) AS min_type
+    FROM events WHERE event_id % 150 = 0
+    """,
+)
+def put_slack_webhook_post_q(spark, sf_dir):
+    """PutSlack delivered over the WIRE (§2.2): rendered chat.postMessage
+    bodies POST per partition to a real HTTP webhook endpoint (the
+    landing listener standing in for hooks.slack.com), which lands each
+    body durably; the landed JSON parses back and must aggregate
+    value-exact — the render+transport hop is lossless.  All 200s are
+    asserted (operators/http.post_http)."""
+    import glob as _glob
+    import tempfile
+    import time as _time
+
+    from apache_nifi_spark.operators.http import post_http
+    from apache_nifi_spark.sinks import wire
+    from apache_nifi_spark.streaming.listen import HttpLandingListener
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 150 == 0)
+    text = F.concat(
+        F.lit("Event "),
+        F.col("event_id").cast("string"),
+        F.lit(": "),
+        F.col("event_type"),
+    )
+    # widen: delivery wall is per-request RTT × rows ÷ connections — one
+    # keep-alive connection per partition, so spread the single split
+    bodies = io.widen_if_narrow(ev).select(
+        wire.slack_post_payload("#ops", text).alias("payload")
+    )
+    landing = tempfile.mkdtemp(prefix="anspark_slack_")
+    with HttpLandingListener(landing) as lst:
+        sent = post_http(bodies, lst.url + "services/hook", "payload")
+        n_ok = sent.filter(F.col("status") == 200).count()
+        assert n_ok == ev.count()
+        deadline = _time.monotonic() + 15
+        while _time.monotonic() < deadline:
+            if len(_glob.glob(f"{landing}/*")) >= n_ok:
+                break
+            _time.sleep(0.05)
+    # explicit schema: inference would re-read every landed one-body
+    # file a second time
+    back = spark.read.schema("channel string, text string").json(landing)
+    parsed = back.select(
+        F.regexp_extract(
+            F.col("text"), r"^Event (\d+): ([a-z_]+)$", 1
+        ).cast("bigint").alias("event_id"),
+        F.regexp_extract(F.col("text"), r"^Event (\d+): ([a-z_]+)$", 2).alias(
+            "event_type"
+        ),
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("sum_id"),
+        F.min("event_type").alias("min_type"),
+    )
+
+
+@register(
+    "put_splunk_hec",
+    oracle="""
+    SELECT event_id,
+           concat('{"time":', CAST(CAST(CAST(epoch_ms(ts) AS DECIMAL(20,0)) / 1000
+                              AS DECIMAL(20,3)) AS VARCHAR),
+                  ',"host":"h', CAST(user_id % 5 AS VARCHAR),
+                  '","source":"engine","sourcetype":"_json","index":"events",',
+                  '"event":{"type":"', event_type,
+                  '","value":', CAST(CAST(value AS DECIMAL(27,3)) AS VARCHAR),
+                  '}}') AS payload
+    FROM events WHERE event_id < 2000
+    """,
+)
+def put_splunk_hec_q(spark, sf_dir):
+    """PutSplunkHTTP (§2.2): the HTTP Event Collector envelope per record
+    (sinks/wire.splunk_hec_payload) — fractional epoch time at
+    millisecond precision via decimal rendering, routing metadata, and
+    the event as a nested JSON object; byte-exact oracle like every
+    wire sink.  POST = operators/http."""
+    from apache_nifi_spark.sinks import wire
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    payload = wire.splunk_hec_payload(
+        F.col("ts"),
+        F.concat(F.lit("h"), (F.col("user_id") % 5).cast("string")),
+        "engine",
+        "_json",
+        [
+            ("type", wire.json_string(F.col("event_type"))),
+            ("value", wire.json_number(F.col("value"), 3)),
+        ],
+        index="events",
+    )
+    return ev.select("event_id", payload.alias("payload"))
+
+
+@register(
+    "mqtt_topic_filter_route",
+    oracle="""
+    WITH t AS (
+      SELECT event_id,
+             CASE WHEN event_type = 'error'
+                  THEN concat('$SYS/broker/', CAST(user_id % 10 AS VARCHAR))
+                  ELSE concat('telemetry/', event_type, '/', CAST(user_id % 10 AS VARCHAR))
+             END AS topic
+      FROM events WHERE event_id < 3000
+    )
+    SELECT event_id, topic,
+           regexp_matches(topic, '^telemetry/[^/]*/3$')                AS m_one_level,
+           regexp_matches(topic, '^telemetry/purchase(/.*)?$')         AS m_subtree,
+           (regexp_matches(topic, '^.*$') AND NOT starts_with(topic, '$')) AS m_all
+    FROM t
+    """,
+)
+def mqtt_topic_filter_route_q(spark, sf_dir):
+    """ConsumeMQTT (§2.1): MQTT 5.0 topic-filter matching — ``+`` one
+    level, trailing ``#`` subtree-with-parent, and the ``$``-prefix guard
+    (wildcard-leading filters skip ``$SYS`` topics) — compiled to
+    RE2-safe rlike predicates (functions/selectors.mqtt_topic_matches).
+    The broker socket is commodity I/O; subscription semantics are the
+    engine's job and are value-oracled here."""
+    from apache_nifi_spark.functions import mqtt_topic_matches
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    topic = F.when(
+        F.col("event_type") == "error",
+        F.concat(F.lit("$SYS/broker/"), (F.col("user_id") % 10).cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit("telemetry/"),
+            F.col("event_type"),
+            F.lit("/"),
+            (F.col("user_id") % 10).cast("string"),
+        )
+    )
+    out = ev.select("event_id", topic.alias("topic"))
+    return out.select(
+        "event_id",
+        "topic",
+        mqtt_topic_matches(F.col("topic"), "telemetry/+/3").alias("m_one_level"),
+        mqtt_topic_matches(F.col("topic"), "telemetry/purchase/#").alias("m_subtree"),
+        mqtt_topic_matches(F.col("topic"), "#").alias("m_all"),
+    )
+
+
+@register(
+    "mongo_query_filter",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+    FROM orders
+    WHERE o_orderkey < 30000
+      AND (o_totalprice > 400000
+           OR (o_orderstatus = 'F' AND o_orderpriority IN ('1-URGENT', '2-HIGH')))
+    """,
+)
+def mongo_query_filter_q(spark, sf_dir):
+    """GetMongo (§2.1): the processor's Query property is a MongoDB query
+    document; functions/selectors.compile_mongo_query compiles it to ONE
+    Catalyst predicate ($or/$and/$in/$gt/... surface), so the filter is
+    pushdown-eligible and codegen'd — no per-row evaluation engine."""
+    from apache_nifi_spark.functions import compile_mongo_query
+
+    q = {
+        "o_orderkey": {"$lt": 30000},
+        "$or": [
+            {"o_totalprice": {"$gt": 400000}},
+            {
+                "o_orderstatus": "F",
+                "o_orderpriority": {"$in": ["1-URGENT", "2-HIGH"]},
+            },
+        ],
+    }
+    return _t(spark, sf_dir, "orders").filter(compile_mongo_query(q))
+
+
+@register(
+    "publish_jms_wire_roundtrip",
+    oracle="""
+    SELECT event_id, event_type, user_id, value
+    FROM events
+    WHERE event_id % 10 = 0
+      AND event_type IN ('click', 'purchase')
+      AND value > 100
+      AND NOT (user_id = 7)
+    """,
+)
+def publish_jms_wire_q(spark, sf_dir):
+    """PublishJMS → broker → ConsumeJMS closed over the REAL wire
+    (§2.1/§2.2): STOMP 1.2 — the interoperable protocol every open JMS
+    broker exposes — via streaming/stomp.py.  Executors publish one
+    pipelined connection per partition (JMS properties ride as STOMP
+    headers, delivery confirmed by ONE receipt at DISCONNECT: in-order
+    frame processing makes it cover every prior SEND); the consumer
+    side is a distributed JSON scan of the landed batches with the
+    functions/selectors JMS message selector compiled onto it — the
+    full ConsumeJMS contract, selector included.  Oracle recomputes the
+    published-subset + selector directly on the fixture: equality
+    proves the wire hop is lossless, duplicate-free, and type-exact
+    (double properties round-trip via shortest-repr strings)."""
+    import tempfile
+
+    from apache_nifi_spark.functions import jms_selector
+    from apache_nifi_spark.streaming.stomp import MiniStompBroker, publish_stomp
+
+    landing = tempfile.mkdtemp(prefix="anspark_stomp_land_")
+    broker = MiniStompBroker(landing)
+    try:
+        ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
+        rendered = ev.select(
+            F.lit("/queue/events").alias("dest"),
+            F.col("event_type"),
+            F.col("user_id").cast("string").alias("user_id"),
+            # shortest-repr double → exact round-trip on re-cast
+            F.col("value").cast("string").alias("value"),
+            F.to_json(F.struct("event_id")).alias("body"),
+        )
+        sent = publish_stomp(
+            rendered, "127.0.0.1", broker.port, "dest", "body",
+            header_cols=["event_type", "user_id", "value"],
+        )
+        n_failed = sent.filter(~F.col("published")).count()
+        if n_failed:
+            raise RuntimeError(f"{n_failed} rows failed STOMP publish")
+        landed = spark.read.schema(
+            "destination string, headers map<string,string>, body string"
+        ).json(landing)
+        typed = landed.select(
+            F.from_json("body", "event_id bigint").getField("event_id").alias("event_id"),
+            F.col("headers")["event_type"].alias("event_type"),
+            F.col("headers")["user_id"].cast("bigint").alias("user_id"),
+            F.col("headers")["value"].cast("double").alias("value"),
+        )
+        selector = (
+            "event_type IN ('click', 'purchase') AND value > 100"
+            " AND NOT (user_id = 7)"
+        )
+        return typed.filter(jms_selector(selector))
+    finally:
+        broker.stop()
+
+
+@register(
+    "jms_selector_consume",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+      AND value BETWEEN 50 AND 300
+      AND NOT (user_id = 7)
+      AND props IS NOT NULL
+    """,
+)
+def jms_selector_consume_q(spark, sf_dir):
+    """ConsumeJMS (§2.1): JMS message selectors are the SQL-92
+    conditional subset; functions/selectors.jms_selector validates the
+    selector against that grammar (rejecting function calls/SQL
+    extensions) and compiles it via Spark's expression parser — a strict
+    superset of the selector language, so semantics match the JMS spec
+    construct-for-construct."""
+    from apache_nifi_spark.functions import jms_selector
+
+    sel = (
+        "event_type IN ('click', 'purchase') AND value BETWEEN 50 AND 300"
+        " AND NOT (user_id = 7) AND props IS NOT NULL"
+    )
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(jms_selector(sel)).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )

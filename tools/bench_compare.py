@@ -4,7 +4,13 @@ baseline at the same scale factor (BASELINE.md §B — the pass criterion is
 
 Usage:
     python tools/bench_compare.py [sf_dir] [--bench BENCH_JSON]
-                                  [--prev BENCH_rN.json]
+                                  [--prev BENCH_rN.json] [--out OUT_JSON]
+
+``--out`` persists the full comparison as JSON (round-12 verdict item
+7: commit a ``BENCH_compare_r{N}.json`` at round close so the judge's
+ratio decomposition reproduces without re-running DuckDB): per-query
+{spark_s, duck_s, ratio} plus the suite totals and both §K population
+lines.
 
 If --bench is not given, runs bench.py in-process first.  Prints one line
 per query: spark_s, duck_s, ratio, and a flag for ratio > 2.0; then a
@@ -80,6 +86,7 @@ def main() -> int:
     sf_dir = "/root/testdata/sf0.1"
     bench_path = None
     prev_path = None
+    out_path = None
     args = sys.argv[1:]
     while args:
         a = args.pop(0)
@@ -87,6 +94,8 @@ def main() -> int:
             bench_path = args.pop(0)
         elif a == "--prev":
             prev_path = args.pop(0)
+        elif a == "--out":
+            out_path = args.pop(0)
         else:
             sf_dir = a
 
@@ -128,6 +137,7 @@ def main() -> int:
         prev_path = _latest_round_bench(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         )
+    populations = {}
     if prev_path and os.path.exists(prev_path):
         prev = json.load(open(prev_path))
         # driver-recorded BENCH_r{N}.json wraps the bench line under
@@ -146,7 +156,39 @@ def main() -> int:
                 f"{gd:.1f}s (ratio {gs / gd:.2f})"
                 + ("" if gd else " [duck 0]")
             )
+            populations[tag] = {
+                "n_queries": len(grp),
+                "spark_s": round(gs, 3),
+                "duck_s": round(gd, 3),
+                "ratio": round(gs / gd, 3) if gd else None,
+            }
         print(f"  (population baseline: {os.path.basename(prev_path)})")
+    if out_path:
+        artifact = {
+            "sf_dir": sf_dir,
+            "population_baseline": (
+                os.path.basename(prev_path) if prev_path else None
+            ),
+            "suite": {
+                "n_queries": len(rows),
+                "spark_s": round(total_s, 3),
+                "duck_s": round(total_d, 3),
+                "ratio": round(total_s / total_d, 3) if total_d else None,
+                "n_over_2x": n_fail,
+            },
+            "populations": populations,
+            "queries": {
+                name: {
+                    "spark_s": ss,
+                    "duck_s": ds,
+                    "ratio": round(ratio, 3),
+                }
+                for name, ss, ds, ratio in rows
+            },
+        }
+        with open(out_path, "w") as f:
+            json.dump(artifact, f, indent=1, sort_keys=True)
+        print(f"  (comparison persisted to {out_path})")
     return 0
 
 
