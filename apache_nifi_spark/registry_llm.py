@@ -5749,3 +5749,368 @@ def text_readability_scores_q(spark, sf_dir):
             F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6
         ).alias("flesch_ease"),
     )
+
+
+@register(
+    "pii_luhn_validate",
+    oracle="""
+    WITH cand AS (
+      SELECT event_id,
+             '4' || lpad(CAST((user_id * 7919 + event_id) % 100000000000000
+                              AS VARCHAR), 14, '0') AS cc
+      FROM events WHERE event_id < 4000
+    ), summed AS (
+      SELECT event_id, cc,
+             list_reduce(
+               list_prepend(0::BIGINT,
+                 list_transform(range(1, 16), i -> CASE
+                   WHEN (15 - i) % 2 = 1
+                   THEN CASE WHEN CAST(substr(cc, i, 1) AS BIGINT) * 2 > 9
+                             THEN CAST(substr(cc, i, 1) AS BIGINT) * 2 - 9
+                             ELSE CAST(substr(cc, i, 1) AS BIGINT) * 2 END
+                   ELSE CAST(substr(cc, i, 1) AS BIGINT) END)),
+               (a, b) -> a + b) AS luhn_sum
+      FROM cand
+    )
+    SELECT event_id, cc, luhn_sum % 10 = 0 AS luhn_valid
+    FROM summed
+    """,
+)
+def pii_luhn_validate_q(spark, sf_dir):
+    """Luhn checksum validation (§2.12 PII tier — the false-positive
+    killer for the card-number patterns ``pii_redact`` flags: a
+    16-digit run is only a REAL card number if its Luhn check passes,
+    which cuts redaction noise by ~90% on digit-dense corpora).
+    Candidates here are deterministic synthetic 15-digit numbers from
+    the fixture (the validator is the operator; in production it runs
+    on ``regexp_extract_all`` hits).  The checksum is pure integer
+    algebra — a fold over the digit positions doubling every second
+    digit from the right (ISO/IEC 7812) — fully inside whole-stage
+    codegen, no UDF, map-only at any scale."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 4000)
+    cc = F.concat(
+        F.lit("4"),
+        F.lpad(
+            ((F.col("user_id") * 7919 + F.col("event_id"))
+             % 100000000000000).cast("string"),
+            14, "0",
+        ),
+    )
+    d = ev.select("event_id", cc.alias("cc"))
+    digit = lambda i: F.substring(F.col("cc"), i, 1).cast("bigint")
+
+    def term(i):
+        dd = digit(i) * 2
+        return F.when(
+            F.lit((15 - i) % 2 == 1),
+            F.when(dd > 9, dd - 9).otherwise(dd),
+        ).otherwise(digit(i))
+
+    luhn_sum = sum((term(i) for i in range(2, 16)), term(1))
+    return d.select(
+        "event_id", "cc", (luhn_sum % 10 == 0).alias("luhn_valid")
+    )
+
+
+@register(
+    "layout_zorder_buckets",
+    oracle="""
+    WITH xy AS (
+      SELECT l_orderkey % 256 AS x, l_partkey % 256 AS y
+      FROM lineitem
+    ), sp AS (
+      SELECT x, y,
+             ((x | (x << 8)) & 16711935) AS x1,
+             ((y | (y << 8)) & 16711935) AS y1
+      FROM xy
+    ), sp2 AS (
+      SELECT x, y,
+             ((x1 | (x1 << 4)) & 252645135) AS x2,
+             ((y1 | (y1 << 4)) & 252645135) AS y2
+      FROM sp
+    ), sp3 AS (
+      SELECT x, y,
+             ((x2 | (x2 << 2)) & 858993459) AS x3,
+             ((y2 | (y2 << 2)) & 858993459) AS y3
+      FROM sp2
+    ), z AS (
+      SELECT x, y,
+             (((x3 | (x3 << 1)) & 1431655765)
+              | ((((y3 | (y3 << 1)) & 1431655765)) << 1)) AS zval
+      FROM sp3
+    )
+    SELECT zval // 2048 AS z_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(x) AS x_min, MAX(x) AS x_max,
+           MIN(y) AS y_min, MAX(y) AS y_max,
+           CAST(MAX(x) - MIN(x) AS BIGINT) * (MAX(y) - MIN(y)) AS bbox_area
+    FROM z GROUP BY 1
+    """,
+)
+def layout_zorder_buckets_q(spark, sf_dir):
+    """Z-ORDER layout optimization (§2.12 storage-layout tier — the
+    Delta OPTIMIZE ZORDER / Iceberg sort-order workload): interleave
+    the bits of two join/filter dimensions into one Morton code, range-
+    bucket by it, and report each bucket's bounding box in BOTH
+    dimensions.  A z-ordered file layout gives every file a tight
+    min/max range on EVERY z-ordered column simultaneously — which is
+    what makes parquet footer-stats skipping (see
+    parquet_footer_stats_audit) effective on multi-column predicates;
+    a linear sort only bounds its leading column.
+
+    The bit-spread is the classic magic-mask ladder (x|(x<<8)&…, four
+    rounds), exact bigint algebra in both engines — no UDF, no float.
+    Shape: map + ONE agg to the 32 z-bucket rows; at production scale
+    the same zval feeds ``repartitionByRange`` as the write
+    clustering key, and the bbox_area column is the audit metric
+    (Σ area ≪ global area = locality achieved)."""
+    xy = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 256).alias("x"),
+        (F.col("l_partkey") % 256).alias("y"),
+    )
+
+    def spread(c):
+        # Column `|`/`&` are LOGICAL in PySpark — bit ops are methods
+        c = c.bitwiseOR(F.shiftleft(c, 8)).bitwiseAND(F.lit(16711935))
+        c = c.bitwiseOR(F.shiftleft(c, 4)).bitwiseAND(F.lit(252645135))
+        c = c.bitwiseOR(F.shiftleft(c, 2)).bitwiseAND(F.lit(858993459))
+        c = c.bitwiseOR(F.shiftleft(c, 1)).bitwiseAND(F.lit(1431655765))
+        return c
+
+    z = xy.select(
+        "x", "y",
+        spread(F.col("x"))
+        .bitwiseOR(F.shiftleft(spread(F.col("y")), 1))
+        .alias("zval"),
+    )
+    return (
+        z.groupBy(F.floor(F.col("zval") / 2048).cast("bigint")
+                  .alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("x_min"), F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"), F.max("y").alias("y_max"),
+            ((F.max("x") - F.min("x")).cast("bigint")
+             * (F.max("y") - F.min("y"))).alias("bbox_area"),
+        )
+    )
+
+
+@register(
+    "corpus_drift_kl",
+    oracle="""
+    WITH a AS (
+      SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS ca
+      FROM events WHERE user_id % 2 = 0 GROUP BY 1
+    ), b AS (
+      SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS cb
+      FROM events WHERE user_id % 2 = 1 GROUP BY 1
+    ), j AS (
+      SELECT a.event_type,
+             ca / (SELECT SUM(ca) FROM a) AS p,
+             cb / (SELECT SUM(cb) FROM b) AS q
+      FROM a JOIN b USING (event_type)
+    )
+    SELECT event_type,
+           round(p, 6) AS p,
+           round(q, 6) AS q,
+           round(p * ln(p / q), 6) AS kl_term,
+           round(abs(p - q) / 2, 6) AS tv_term
+    FROM j
+    """,
+)
+def corpus_drift_kl_q(spark, sf_dir):
+    """Corpus COMPOSITION DRIFT report (§2.12 corpus-analysis tier —
+    the between-snapshot health check a pretraining pipeline runs
+    before committing a refreshed crawl: per-category KL-divergence
+    and total-variation contributions between two cohorts).  Cohorts
+    here are the user_id parity halves; in production they are
+    "yesterday's corpus" vs "today's".  Per-type output (KL/TV terms)
+    rather than the scalar Σ so the report NAMES the drifting
+    categories — and so the only floats are one division and one ln
+    per type (6 dp policy), never a partition-order-dependent double
+    sum.  Shape: two map-side-combined aggs + a tiny type-grain join;
+    the 1-row totals ride as scalar subqueries/window sums, bounded by
+    construction."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    a = (
+        ev.filter(F.col("user_id") % 2 == 0)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("double").alias("ca"))
+    )
+    b = (
+        ev.filter(F.col("user_id") % 2 == 1)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("double").alias("cb"))
+    )
+    w = Window.partitionBy(F.lit(1))
+    j = (
+        a.join(b, "event_type")
+        .select(
+            "event_type",
+            (F.col("ca") / F.sum("ca").over(w)).alias("p"),
+            (F.col("cb") / F.sum("cb").over(w)).alias("q"),
+        )
+    )
+    return j.select(
+        "event_type",
+        F.round("p", 6).alias("p"),
+        F.round("q", 6).alias("q"),
+        F.round(F.col("p") * F.log(F.col("p") / F.col("q")), 6)
+        .alias("kl_term"),
+        F.round(F.abs(F.col("p") - F.col("q")) / 2, 6).alias("tv_term"),
+    )
+
+
+@register(
+    "dedup_prefix_filter_jaccard",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(
+               list_filter(regexp_split_to_array(lower(text),
+                                                 '[^a-z0-9'']+'),
+                           x -> x != '')) AS token
+      FROM documents WHERE doc_id < 200
+    ), df AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS dfc FROM tok GROUP BY 1
+    ), docs AS (
+      SELECT doc_id,
+             list_sort(list({'d': dfc, 't': tok.token})) AS ordered,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM tok JOIN df USING (token) GROUP BY doc_id
+    ), pref AS (
+      SELECT doc_id, n,
+             list_transform(ordered[1:CAST(n - (4 * n + 4) // 5 + 1 AS INT)],
+                            s -> s.t) AS prefix,
+             list_transform(ordered, s -> s.t) AS toks
+      FROM docs
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM (SELECT doc_id, unnest(prefix) AS p FROM pref) a
+      JOIN (SELECT doc_id, unnest(prefix) AS p FROM pref) b
+        ON a.p = b.p AND a.doc_id < b.doc_id
+    ), verified AS (
+      SELECT doc_a, doc_b,
+             CAST(len(list_intersect(x.toks, y.toks)) AS BIGINT) AS inter,
+             x.n AS na, y.n AS nb
+      FROM cand
+      JOIN pref x ON x.doc_id = doc_a
+      JOIN pref y ON y.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, inter,
+           round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+    FROM verified WHERE 9 * inter >= 4 * (na + nb)
+    """,
+)
+def dedup_prefix_filter_jaccard_q(spark, sf_dir):
+    """PREFIX-FILTERED exact-Jaccard similarity join (PPJoin family,
+    Xiao et al. 2011 — the EXACT complement to dedup_minhash_lsh's
+    probabilistic blocking, §2.12 dedup tier): order each document's
+    distinct tokens rarest-first (global df, token tiebreak), keep
+    only the first ``n − ⌈t·n⌉ + 1`` as its PREFIX (t = 0.8) — two
+    sets with Jaccard ≥ t MUST share a prefix token (pigeonhole on the
+    ordered universe), so candidates generate from prefix buckets whose
+    sizes the rarest-first order keeps small — then verify candidates
+    with the exact intersection.  No pair outside a shared-rare-token
+    bucket is ever formed; recall is exactly 1 by the filter theorem.
+
+    Determinism: the t=0.8 threshold verifies as the INTEGER test
+    ``9·inter ≥ 4·(na+nb)`` (inter ≥ t·union rearranged — no float
+    compare anywhere); the reported jaccard is one correctly-rounded
+    division.  Shape: tokenize → two map-side-combined aggs (df, per-
+    doc ordered arrays) → prefix explode → in-bucket candidate join →
+    verification joins at candidate grain.  At 100 TB the bucket join
+    IS the LSH band shape with exact guarantees; the known hazard is
+    a low-df token misestimated hot — production adds a df cap with
+    the dropped tokens routed to a MinHash fallback tier."""
+    d = io.widen_if_narrow(
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower("text"), r"[^a-z0-9']+", -1),
+                    lambda t: t != "",
+                )
+            )
+        ).alias("token"),
+    )
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("dfc"))
+    docs = (
+        tok.join(dfreq, "token")  # un-hinted: vocab grain, AQE decides
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dfc").alias("d"),
+                                        F.col("token").alias("t")))
+            ).alias("ordered"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    plen = (
+        F.col("n") - ((4 * F.col("n") + 4) / 5).cast("bigint") + 1
+    ).cast("int")
+    pref = docs.select(
+        "doc_id",
+        "n",
+        F.transform(
+            F.slice(F.col("ordered"), F.lit(1), plen), lambda s: s["t"]
+        ).alias("prefix"),
+        F.transform(F.col("ordered"), lambda s: s["t"]).alias("toks"),
+    ).localCheckpoint(eager=False)  # three consumers: buckets + 2 verify joins
+    buckets = (
+        pref.select("doc_id", F.explode("prefix").alias("p"))
+        .groupBy("p")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    cand = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ds") - 1),
+                        lambda i: F.transform(
+                            F.slice(F.col("ds"), i + 1, F.size("ds")),
+                            lambda d2: F.struct(
+                                F.element_at(F.col("ds"), i).alias("a"),
+                                d2.alias("b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("pr")
+        )
+        .select(F.col("pr.a").alias("doc_a"), F.col("pr.b").alias("doc_b"))
+        .distinct()
+    )
+    x = pref.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("xt"), F.col("n").alias("na"),
+    )
+    y = pref.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("yt"), F.col("n").alias("nb"),
+    )
+    v = (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            "doc_a", "doc_b", "na", "nb",
+            F.size(F.array_intersect("xt", "yt")).cast("bigint")
+            .alias("inter"),
+        )
+        .filter(9 * F.col("inter") >= 4 * (F.col("na") + F.col("nb")))
+    )
+    return v.select(
+        "doc_a", "doc_b", "inter",
+        F.round(
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+            6,
+        ).alias("jaccard"),
+    )
