@@ -6114,3 +6114,267 @@ def dedup_prefix_filter_jaccard_q(spark, sf_dir):
             6,
         ).alias("jaccard"),
     )
+
+
+@register(
+    "stream_delta_append_commits",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def stream_delta_append_commits_q(spark, sf_dir):
+    """STREAMING writer into the Delta-protocol table (§2.11 × §2.12
+    lakehouse seam — the foreachBatch upsert/append pattern every
+    production Spark-to-lakehouse pipeline uses): the purchase stream
+    drains availableNow, each micro-batch lands as parquet data files
+    PLUS one atomic ``_delta_log`` JSON commit (sources/deltalog), with
+    EXACTLY-ONCE via batch-id-keyed commit versions — a replayed batch
+    sees its commit file already present and skips, the same
+    idempotent-sink contract as the JDBC __batch_id delete.  The
+    returned frame is a fresh ``read_delta_snapshot`` of the table —
+    equality with the batch oracle proves the log replay reconstructs
+    exactly what the stream wrote."""
+    import glob
+    import os as _os
+    import tempfile
+
+    from apache_nifi_spark.sources.deltalog import (
+        read_delta_snapshot,
+        write_commit,
+    )
+    from apache_nifi_spark.streaming import stream_events
+
+    root = tempfile.mkdtemp(prefix="anspark_stream_delta_")
+    sdf = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id", "user_id",
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+            .alias("cents"),
+        )
+    )
+
+    def write_batch(bdf, bid):
+        version = int(bid) + 1
+        commit = _os.path.join(root, "_delta_log", f"{version:020d}.json")
+        if _os.path.exists(commit):
+            return  # replayed batch: commit already durable — exactly-once
+        sub = f"batch-{int(bid)}"
+        bdf.write.mode("overwrite").parquet(_os.path.join(root, sub))
+        actions = [
+            {
+                "add": {
+                    "path": _os.path.join(sub, _os.path.basename(p)),
+                    "size": _os.path.getsize(p),
+                }
+            }
+            for p in glob.glob(_os.path.join(root, sub, "part-*.parquet"))
+        ]
+        write_commit(root, version, actions)
+
+    cp = tempfile.mkdtemp(prefix="anspark_stream_delta_cp_")
+    (
+        sdf.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return read_delta_snapshot(spark, root).select(
+        "event_id", "user_id", "cents"
+    )
+
+
+@register(
+    "reconcile_table_checksums",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey % 64 AS bucket,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|'
+                    || CAST(CAST(o_totalprice AS DECIMAL(27,2)) AS VARCHAR)),
+                    1, 13)) AS BIGINT) % 1000000000 AS h
+      FROM orders
+    ), b AS (
+      SELECT o_orderkey % 64 AS bucket,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|'
+                    || CAST(CAST(CASE WHEN o_orderkey % 997 = 0
+                                      THEN o_totalprice + 1
+                                      ELSE o_totalprice END
+                             AS DECIMAL(27,2)) AS VARCHAR)),
+                    1, 13)) AS BIGINT) % 1000000000 AS h
+      FROM orders
+    ), ca AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_a,
+             CAST(SUM(h) AS BIGINT) AS sum_a
+      FROM a GROUP BY 1
+    ), cb AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_b,
+             CAST(SUM(h) AS BIGINT) AS sum_b
+      FROM b GROUP BY 1
+    )
+    SELECT bucket, n_a, n_b, sum_a, sum_b,
+           (n_a = n_b AND sum_a = sum_b) AS bucket_matches
+    FROM ca JOIN cb USING (bucket)
+    """,
+)
+def reconcile_table_checksums_q(spark, sf_dir):
+    """Bucketed CHECKSUM RECONCILIATION (§2.12 migration/validation
+    tier — the anti-entropy pass that validates a table copy or a
+    replication stream without moving the data: per-bucket row-hash
+    sums on both sides, only differing buckets need row-level diff).
+    Side B here is the fixture with a deterministic perturbation
+    (every 997th order's price +1), so exactly the buckets containing
+    a perturbed key report a checksum break while their row COUNTS
+    still match — the failure mode a count-only validator misses.
+
+    Determinism: row hash = md5 of the canonical key|value rendering,
+    folded mod 10⁹ so 64-bucket bigint sums stay exact at any SF (no
+    overflow, no float).  Shape: two scans, two map-side-combined
+    aggs to 64 rows, one tiny join — data never crosses the wire, the
+    checksums do.  At 100 TB this is THE way to compare tables."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+
+    def side(price_col):
+        h = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.col("o_orderkey").cast("string"),
+                            price_col.cast("decimal(27,2)").cast("string"),
+                        )
+                    ),
+                    1, 13,
+                ),
+                16, 10,
+            ).cast("bigint") % 1000000000
+        )
+        return o.select(
+            (F.col("o_orderkey") % 64).alias("bucket"), h.alias("h")
+        ).groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("h").alias("s")
+        )
+    a = side(F.col("o_totalprice"))
+    b = side(
+        F.when(F.col("o_orderkey") % 997 == 0, F.col("o_totalprice") + 1)
+        .otherwise(F.col("o_totalprice"))
+    )
+    return (
+        a.select("bucket", F.col("n").alias("n_a"), F.col("s").alias("sum_a"))
+        .join(
+            b.select("bucket", F.col("n").alias("n_b"),
+                     F.col("s").alias("sum_b")),
+            "bucket",
+        )
+        .select(
+            "bucket", "n_a", "n_b", "sum_a", "sum_b",
+            ((F.col("n_a") == F.col("n_b"))
+             & (F.col("sum_a") == F.col("sum_b"))).alias("bucket_matches"),
+        )
+    )
+
+
+@register(
+    "fuzzy_dedup_levenshtein",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_name,
+             split_part(p_name, ' ', 1) AS blk,
+             length(p_name) AS ln
+      FROM part WHERE p_partkey < 1000
+    )
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM p a JOIN p b
+      ON a.blk = b.blk AND a.ln = b.ln AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def fuzzy_dedup_levenshtein_q(spark, sf_dir):
+    """BLOCKED edit-distance fuzzy matching (§2.12 entity-resolution
+    tier — the catalog/name-dedup workload: near-identical product
+    names that exact dedup misses): candidates block on (first token,
+    exact length) — both cheap blocking keys that bound block sizes —
+    then verify with ``levenshtein ≤ 2``.  Both engines implement the
+    classic unit-cost Wagner-Fischer DP, so the distance is an exact
+    integer, no portability caveat.  Shape: one self-equi-join ON the
+    block keys (hash join, never cartesian — the cartesian gate
+    covers it), distance evaluated only inside blocks.  At 100 TB the
+    blocking keys ARE the shuffle keys; skew = a hot first token,
+    handled by the standard salt-on-hot-blocks pattern."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 1000).select(
+        "p_partkey", "p_name",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk"),
+        F.length("p_name").alias("ln"),
+    )
+    a = p.select(
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"),
+        "blk", "ln",
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"),
+        "blk", "ln",
+    )
+    return (
+        a.join(b, ["blk", "ln"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a", "key_b", "name_a", "name_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+    )
+
+
+@register(
+    "stats_ewma_per_user",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id,
+             list(value ORDER BY ts, event_id) AS vs
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+           round(list_reduce(vs,
+                  (a, b) -> CAST(0.3 AS DOUBLE) * b
+                            + CAST(0.7 AS DOUBLE) * a), 6) AS ewma
+    FROM ordered
+    """,
+)
+def stats_ewma_per_user_q(spark, sf_dir):
+    """Per-key EWMA (§2.12 event-analytics tier — the smoothed-signal
+    primitive behind rate monitoring and anomaly baselines):
+    exponentially weighted moving average α=0.3 over each user's
+    time-ordered values.  An EWMA is an ORDER-DEPENDENT float fold, so
+    determinism comes from folding an explicitly (ts, event_id)-sorted
+    list left-to-right — both engines then execute the identical
+    sequence of correctly-rounded IEEE ops (the rake_keywords
+    position-fold convention), 6 dp at the edge.  Shape: one groupBy
+    collecting per-user (bounded) event lists, fold in the projection
+    — one shuffle, no window, no UDF."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    ordered = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ),
+            lambda s: s["value"],
+        ).alias("vs")
+    )
+    fold = F.aggregate(
+        F.slice(F.col("vs"), 2, F.greatest(F.size("vs") - 1, F.lit(0))),
+        F.element_at(F.col("vs"), 1),
+        lambda acc, v: F.lit(0.3) * v + F.lit(0.7) * acc,
+    )
+    return ordered.select(
+        "user_id",
+        F.size("vs").cast("bigint").alias("n_events"),
+        F.round(fold, 6).alias("ewma"),
+    )
