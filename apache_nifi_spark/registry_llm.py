@@ -6378,3 +6378,229 @@ def stats_ewma_per_user_q(spark, sf_dir):
         F.size("vs").cast("bigint").alias("n_events"),
         F.round(fold, 6).alias("ewma"),
     )
+
+
+@register(
+    "text_kneser_ney_logprob",
+    oracle=r"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                         x -> x != '') AS t
+      FROM documents WHERE doc_id < 400
+    ),
+    stream AS MATERIALIZED (
+      SELECT doc_id, i AS pos, t[i] AS cur,
+             CASE WHEN i = 1 THEN '<s>' ELSE t[i-1] END AS prev
+      FROM toks, unnest(range(1, len(t) + 1)) AS r(i)
+    ),
+    bi AS MATERIALIZED (
+      SELECT prev AS bp, cur AS bc, CAST(COUNT(*) AS BIGINT) AS cb
+      FROM stream GROUP BY prev, cur
+    ),
+    hist AS (
+      SELECT bp, CAST(SUM(cb) AS BIGINT) AS cp,
+             CAST(COUNT(*) AS BIGINT) AS n1h
+      FROM bi GROUP BY bp
+    ),
+    cont AS (
+      SELECT bc, CAST(COUNT(*) AS BIGINT) AS nw FROM bi GROUP BY bc
+    ),
+    btot AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM bi)
+    SELECT st.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(SUM(ln(
+             greatest(CAST(bi.cb AS DOUBLE) - 0.75, 0.0)
+               / CAST(hist.cp AS DOUBLE)
+             + (0.75 * CAST(hist.n1h AS DOUBLE)) / CAST(hist.cp AS DOUBLE)
+               * (CAST(cont.nw AS DOUBLE) / CAST(btot.b AS DOUBLE))
+           )) / COUNT(*), 6) AS mean_logprob,
+           round(exp(-SUM(ln(
+             greatest(CAST(bi.cb AS DOUBLE) - 0.75, 0.0)
+               / CAST(hist.cp AS DOUBLE)
+             + (0.75 * CAST(hist.n1h AS DOUBLE)) / CAST(hist.cp AS DOUBLE)
+               * (CAST(cont.nw AS DOUBLE) / CAST(btot.b AS DOUBLE))
+           )) / COUNT(*)), 6) AS ppl
+    FROM stream st
+    JOIN bi   ON bi.bp = st.prev AND bi.bc = st.cur
+    JOIN hist ON hist.bp = st.prev
+    JOIN cont ON cont.bc = st.cur, btot
+    GROUP BY st.doc_id
+    """,
+)
+def text_kneser_ney_logprob_q(spark, sf_dir):
+    """Interpolated KNESER-NEY bigram scoring (§2.12 quality tier — the
+    top rung of this repo's KenLM ladder, above Jelinek-Mercer
+    text_bigram_logprob: KN's continuation probability
+    ``p_cont(w) = |{h: c(hw)>0}| / |bigram types|`` famously fixes the
+    'san FRANCISCO' pathology where raw unigram frequency overrates
+    words that only ever follow one context):
+
+        p(w|h) = max(c(hw) − d, 0)/c(h·)
+                 + d·N₁₊(h·)/c(h·) · p_cont(w),    d = 0.75
+
+    Every position has a history — a ``<s>`` sentinel precedes each
+    document's first token (so continuation counts are never zero and
+    the <s> row carries the doc-start distribution, the textbook
+    construction).  All counts are exact integers; d·N₁₊ is an exact
+    dyadic product; the per-position log is one identically-shaped
+    float expression in both engines; doc means round 6 dp (the
+    unigram/bigram policy).  Shape: columnar (prev,cur) stream (no
+    window), THE bigram table feeds all three count tables (history
+    totals, continuation counts, type total — no second corpus pass),
+    scoring joins are un-hinted token-grain (AQE broadcasts while
+    small), one agg back to doc grain."""
+    from pyspark.sql import functions as _F
+
+    toks = io.widen_if_narrow(
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id", "text")
+    ).select(
+        "doc_id",
+        _F.filter(
+            _F.split(_F.lower(_F.col("text")), r"[^a-z0-9']+", -1),
+            lambda t: t != "",
+        ).alias("t"),
+    )
+    stream = (
+        toks.select(
+            "doc_id",
+            _F.explode(
+                _F.expr(
+                    "transform(t, (x, i) -> struct("
+                    "i + 1 as pos, x as cur,"
+                    " case when i = 0 then '<s>'"
+                    " else element_at(t, i) end as prev))"
+                )
+            ).alias("u"),
+        )
+        .select("doc_id", "u.pos", "u.cur", "u.prev")
+        .localCheckpoint(eager=False)  # two consumers: training + scoring
+    )
+    bi = (
+        stream.groupBy(_F.col("prev").alias("bp"), _F.col("cur").alias("bc"))
+        .agg(_F.count(_F.lit(1)).alias("cb"))
+        .localCheckpoint(eager=False)  # four consumers below
+    )
+    hist = bi.groupBy(_F.col("bp").alias("hp")).agg(
+        _F.sum("cb").alias("cp"), _F.count(_F.lit(1)).alias("n1h")
+    )
+    cont = bi.groupBy(_F.col("bc").alias("cw")).agg(
+        _F.count(_F.lit(1)).alias("nw")
+    )
+    btot = bi.agg(_F.count(_F.lit(1)).alias("b"))
+    scored = (
+        stream.join(bi, (stream["prev"] == bi["bp"]) & (stream["cur"] == bi["bc"]))
+        .join(hist, stream["prev"] == _F.col("hp"))
+        .join(cont, stream["cur"] == _F.col("cw"))
+        .crossJoin(btot)
+    )
+    lp = _F.log(
+        _F.greatest(_F.col("cb").cast("double") - 0.75, _F.lit(0.0))
+        / _F.col("cp").cast("double")
+        + (_F.lit(0.75) * _F.col("n1h").cast("double"))
+        / _F.col("cp").cast("double")
+        * (_F.col("nw").cast("double") / _F.col("b").cast("double"))
+    )
+    return (
+        scored.select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            _F.count(_F.lit(1)).alias("n_tokens"),
+            _F.round(_F.sum("lp") / _F.count(_F.lit(1)), 6)
+            .alias("mean_logprob"),
+            _F.round(_F.exp(-_F.sum("lp") / _F.count(_F.lit(1))), 6)
+            .alias("ppl"),
+        )
+    )
+
+
+@register(
+    "table_profile_ndv",
+    oracle="""
+    WITH stacked AS (
+      SELECT col, val FROM (
+        SELECT unnest(['o_custkey', 'o_orderstatus', 'o_orderpriority',
+                       'o_orderdate']) AS col,
+               unnest([CAST(o_custkey AS VARCHAR), o_orderstatus,
+                       o_orderpriority, CAST(o_orderdate AS VARCHAR)])
+                 AS val
+        FROM orders
+      )
+    ), hashed AS (
+      SELECT DISTINCT col,
+             CAST(('0x' || substr(md5(val), 1, 13)) AS BIGINT) AS h
+      FROM stacked
+    ), ranked AS (
+      SELECT col, h, row_number() OVER (PARTITION BY col ORDER BY h) AS rn
+      FROM hashed
+    ), sk AS (
+      SELECT col, CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(h) AS kth
+      FROM ranked WHERE rn <= 64 GROUP BY col
+    )
+    SELECT col, n_kept,
+           round(CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+                 ELSE CAST(63 AS DOUBLE)
+                      / (CAST(kth AS DOUBLE) / 4503599627370496.0)
+                 END, 6) AS ndv_estimate
+    FROM sk
+    """,
+)
+def table_profile_ndv_q(spark, sf_dir):
+    """Per-column NDV PROFILE (§2.12 catalog/ANALYZE tier — the
+    statistics pass a query optimizer or layout planner runs before
+    choosing join orders and bucketing: one deterministic KMV sketch
+    PER COLUMN from a single table scan).  Columns stack to
+    (column, value) grain via one literal-array explode — the scan
+    happens once regardless of how many columns are profiled — then
+    the approx_distinct_users KMV machinery runs per column key
+    (distinct md5-hashes, 64 smallest, (k−1)/U₍ₖ₎ estimator, exact
+    below k).  Deterministic, so it value-oracles — engine-native
+    NDV sketches (HLL variants) never can.  The per-column rank
+    window sorts each column's distinct hashes in one task — the
+    documented fixture trade; at warehouse scale the k-smallest
+    per group comes from a two-pass threshold prune instead."""
+    o = _t(spark, sf_dir, "orders")
+    stacked = o.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("o_custkey").alias("col"),
+                    F.col("o_custkey").cast("string").alias("val"),
+                ),
+                F.struct(
+                    F.lit("o_orderstatus").alias("col"),
+                    F.col("o_orderstatus").alias("val"),
+                ),
+                F.struct(
+                    F.lit("o_orderpriority").alias("col"),
+                    F.col("o_orderpriority").alias("val"),
+                ),
+                F.struct(
+                    F.lit("o_orderdate").alias("col"),
+                    F.col("o_orderdate").cast("string").alias("val"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.col", "s.val")
+    hashed = stacked.select(
+        "col",
+        F.conv(F.substring(F.md5("val"), 1, 13), 16, 10)
+        .cast("bigint").alias("h"),
+    ).distinct()
+    w = Window.partitionBy("col").orderBy("h")
+    sk = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 64)
+        .groupBy("col")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("kth"))
+    )
+    est = F.when(
+        F.col("n_kept") < 64, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(63.0) / (F.col("kth").cast("double") / F.lit(4503599627370496.0))
+    )
+    return sk.select(
+        "col", "n_kept", F.round(est, 6).alias("ndv_estimate")
+    )

@@ -2165,8 +2165,12 @@ def test_winnowing_local_guarantee(spark):
         reg._t = lambda s, sf, name: docs if name == "documents" else real_t(
             s, sf, name
         )
+        # fingerprints are comma-joined to STRING at the output boundary
+        # (driver canonicalizer gate, r13) — parse back for set algebra
         out = {
-            r["doc_id"]: set(r["fingerprints"])
+            r["doc_id"]: set(
+                r["fingerprints"].split(",") if r["fingerprints"] else []
+            )
             for r in reg.QUERIES["dedup_winnowing_fingerprints"](
                 spark, "unused"
             ).collect()
