@@ -165,6 +165,9 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
         "corpus_datacard_report",
         # 9-row Benford constants × 1-row total: bounded by construction
         "stats_benford_first_digit",
+        # 1-row bigram-type-total broadcast (the KN continuation
+        # denominator): keyless by nature, bounded by construction
+        "text_kneser_ney_logprob",
     }
     for name, fn in QUERIES.items():
         if name.startswith("stream_") or name in skip:
