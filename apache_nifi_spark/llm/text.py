@@ -1131,54 +1131,112 @@ def rake_keywords(
     ``list_reduce(list(score ORDER BY pos))``), rounded 6 dp at the
     edge.  Ties break lexicographically on the phrase.
 
-    Scale shape: Arrow/RE2 tokenize with raw-split positions
-    (:func:`tokens_arrow` ``with_pos`` — the Java-regex constant was
-    this query's sf1 wall, r12 verdict item 5) → stopword-boundary
-    phrase ids (one window per document, bounded partitions) → two
-    map-side-combined aggs (word stats are vocabulary-grain; phrase
-    rows are corpus-grain narrow) → un-hinted word-score join (AQE
-    broadcasts while the measured vocab fits; word-grain cardinality
-    is corpus-unbounded, so no forced hint — r12 verdict item 2) →
-    TakeOrdered top-k.
+    Scale shape (r13 rewrite — the r12 window+shuffle formulation cost
+    3.7 s at sf1): candidate phrases come from ONE regex split on the
+    stopword boundaries directly — ``(?<![a-z0-9'])(stop|…)(?![a-z0-9'])``
+    — so the phrase stream is MAP-ONLY (no per-doc window, no
+    token-grain groupBy; a run of non-stopword tokens between two
+    stopword occurrences IS the split piece, with word order preserved
+    natively).  Then two map-side-combined aggs (word stats are
+    vocabulary-grain; distinct-phrase rows are far below corpus grain)
+    → un-hinted word-score join (AQE broadcasts while the measured
+    vocab fits; word-grain cardinality is corpus-unbounded, so no
+    forced hint — r12 verdict item 2) → TakeOrdered top-k.
 
     Returns (phrase, n_words, rake_score), top ``k`` corpus-wide
     distinct phrases by (score DESC, phrase)."""
-    from pyspark.sql import Window
     from pyspark.sql import functions as _F
 
     stop = stopwords if stopwords is not None else STOPWORDS["en"]
-    toks = tokens_arrow(
-        df, text_col=text_col, id_col=id_col, with_pos=True
-    ).select(
-        _F.col(id_col).alias("_d"),
-        _F.col("pos").alias("_pos"),
-        _F.col("token").alias("_w"),
-    )
-    is_stop = _F.col("_w").isin(list(stop))
-    w = Window.partitionBy("_d").orderBy("_pos")
-    marked = toks.select(
-        "_d", "_pos", "_w",
-        _F.sum(is_stop.cast("int")).over(w).alias("_ph"),
-        is_stop.alias("_is_stop"),
-    ).filter(~_F.col("_is_stop"))
-    # phrase rows: (phrase string, words in position order)
-    phrases = (
-        marked.groupBy("_d", "_ph")
-        .agg(
-            _F.array_sort(
-                _F.collect_list(_F.struct("_pos", "_w"))
-            ).alias("_ws"),
+    alt = "|".join(sorted(stop))
+
+    min_bytes = 1 << 20
+    try:
+        est = int(
+            df.select(text_col)
+            ._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
-        .select(
-            _F.transform("_ws", lambda s: s["_w"]).alias("_words"),
+    except Exception:  # stats unavailable → assume big (scale-safe)
+        est = min_bytes
+    if est < min_bytes:
+        # small input: one Java split at stopword occurrences
+        # (token-bounded via lookarounds over the word charset);
+        # punctuation/whitespace stay inside pieces and fall out at the
+        # per-piece word split — exactly the runs-of-non-stopword-tokens
+        # definition the oracle replays
+        sep = r"(?<![a-z0-9'])(?:" + alt + r")(?![a-z0-9'])"
+        pieces = df.select(
+            _F.explode(
+                _F.split(_F.lower(_F.col(text_col)), sep, -1)
+            ).alias("_piece")
+        )
+    else:
+        # corpus scale: RE2 has no lookarounds, so the Arrow path
+        # normalizes first (non-word runs → one space, pad both ends)
+        # and then splits on RUNS of space-bounded stopwords —
+        # ``· S(· S)*·`` consumes chained stopwords ("of the") exactly
+        # like the lookaround form; both passes are vectorized C++
+        # (the tokens_arrow rationale: Java regex is the measured
+        # 5-8×/byte constant, and the r13 lookaround-alternation form
+        # measured 5.8 s at sf1 vs ~1 s for this pipeline).  The WORD
+        # split also happens here (pieces are single-space-normalized,
+        # so it is a plain space split) — emitting (phrase, _words)
+        # directly keeps the Java-regex word split out of the plan
+        # entirely; measured: CollapseProject inlined that split into
+        # all three consuming projections (phrase/words/size), tripling
+        # a 1.2 s evaluation (the r10 lesson, again).
+        import pyarrow as pa
+
+        sep_run = f" (?:{alt})(?: (?:{alt}))* "
+
+        def run(batches):
+            import pyarrow.compute as pc
+
+            for b in batches:
+                t = pc.utf8_lower(b.column(0))
+                t = pc.replace_substring_regex(
+                    t, pattern="[^a-z0-9']+", replacement=" "
+                )
+                t = pc.binary_join_element_wise(" ", t, " ", "")
+                ps = pc.split_pattern_regex(t, pattern=sep_run)
+                flat = pc.utf8_trim_whitespace(pc.list_flatten(ps))
+                words = pc.split_pattern(flat, " ")
+                yield pa.RecordBatch.from_arrays(
+                    [flat, words], ["phrase", "_words"]
+                )
+
+        raw = df.select(text_col).mapInArrow(
+            run, "phrase string, _words array<string>"
+        )
+        phrases = (
+            raw.select("phrase", "_words", _F.size("_words").alias("n_words"))
+            .filter(_F.col("phrase") != "")
+            .localCheckpoint(eager=False)  # two consumers: stats + scores
+        )
+        return _rake_score(phrases, k)
+    words = _F.filter(
+        _F.split(_F.col("_piece"), r"[^a-z0-9']+", -1), lambda t: t != ""
+    )
+    phrases = (
+        pieces.select(
+            words.alias("_words"),
         )
         .select(
             _F.concat_ws(" ", "_words").alias("phrase"),
             "_words",
             _F.size("_words").alias("n_words"),
         )
+        .filter(_F.col("n_words") > 0)
         .localCheckpoint(eager=False)  # two consumers: word stats + scores
     )
+    return _rake_score(phrases, k)
+
+
+def _rake_score(phrases: DataFrame, k: int) -> DataFrame:
+    """Shared RAKE scoring tail over the (phrase, _words, n_words)
+    candidate stream: word degree/frequency stats, per-phrase
+    position-ordered score fold, corpus-wide top-k."""
+    from pyspark.sql import functions as _F
     wstats = (
         phrases.select(_F.explode("_words").alias("_w"), "n_words")
         .groupBy("_w")

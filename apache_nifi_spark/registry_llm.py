@@ -3675,21 +3675,23 @@ def listen_smtp_q(spark, sf_dir):
         F.lit(" priority "),
         F.col("o_orderpriority"),
     )
-    # Deliver over a BOUNDED connection pool: the 1-in-110 message
-    # stream inherits the orders scan's ~43 partitions, and each
-    # partition dials its own SMTP connection + Python worker — 8
-    # connections drain the same messages with an order of magnitude
-    # less handshake/worker overhead (profiled r13: deliver phase was
-    # the query's largest slice).  At production scale the coalesce
-    # target is the MTA's concurrency budget, a server-side constant —
-    # never one connection per data partition.
+    # Deliver over a FIXED 8-connection pool: the scan-side partition
+    # count is the wrong delivery concurrency in BOTH directions — the
+    # default session gives ~43 partitions (43 connections + Python
+    # workers for 1 364 messages), the bench's packed-scan config gives
+    # ONE (a fully serial RFC 5321 dialogue — profiled r13: that serial
+    # hop was the query's 2.6 s wall).  A deterministic hash
+    # repartition on the recipient pins the pool size to the MTA's
+    # concurrency budget, a server-side constant independent of data
+    # partitioning (keyed, not round-robin — task retries re-send the
+    # same partition, not a reshuffled one).
     rendered = o.select(
         F.lit("noreply@engine.local").alias("from_addr"),
         to.alias("to_addr"),
         wire.email_mime(
             "noreply@engine.local", to, subject, F.col("o_orderdate"), body
         ).cast("binary").alias("message"),
-    ).coalesce(8)
+    ).repartition(8, "to_addr")
     landing = tempfile.mkdtemp(prefix="anspark_smtp_")
     srv = MiniSmtpServer(landing)
     n = put_smtp(rendered, "127.0.0.1", srv.port).filter("delivered").count()
