@@ -6586,11 +6586,15 @@ def table_profile_ndv_q(spark, sf_dir):
             )
         ).alias("s")
     ).select("s.col", "s.val")
-    hashed = stacked.select(
+    # distinct FIRST on the raw (col, value) pairs, hash after: the
+    # md5+conv then runs on ~NDV rows instead of rows x columns
+    # (measured sf1: 5.9 s -> the hash was the wall, 6 M evaluations
+    # for a 155 k-row distinct set)
+    hashed = stacked.distinct().select(
         "col",
         F.conv(F.substring(F.md5("val"), 1, 13), 16, 10)
         .cast("bigint").alias("h"),
-    ).distinct()
+    )
     w = Window.partitionBy("col").orderBy("h")
     sk = (
         hashed.withColumn("rn", F.row_number().over(w))
