@@ -6610,3 +6610,140 @@ def table_profile_ndv_q(spark, sf_dir):
     return sk.select(
         "col", "n_kept", F.round(est, 6).alias("ndv_estimate")
     )
+
+
+@register(
+    "stream_delta_upsert_merge",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents_total,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def stream_delta_upsert_merge_q(spark, sf_dir):
+    """STREAMING MERGE (upsert) into the Delta-protocol table — the
+    foreachBatch copy-on-write pattern production Spark pipelines run
+    against lakehouse tables (the writer-depth complement to
+    stream_delta_append_commits' blind append): the table holds
+    per-user purchase totals partitioned into 8 user-hash buckets; the
+    purchase stream drains in MULTIPLE micro-batches
+    (maxFilesPerTrigger=1 over a 3-file staging of the fixture), and
+    each batch
+
+    1. aggregates its rows to (user, delta) grain,
+    2. reads the CURRENT snapshot of only the AFFECTED buckets,
+    3. merges (full outer on user, totals summed — the MERGE),
+    4. rewrites those buckets' data files, and
+    5. commits atomically: remove(old bucket files) + add(new) in one
+       ``_delta_log`` JSON commit, batch-id-keyed for exactly-once.
+
+    Copy-on-write touches only affected buckets — at production scale
+    the bucket count and the hash partitioning bound every batch's
+    rewrite to its own keys' files, never the table.  The returned
+    frame is a fresh snapshot read; equality with the batch groupBy
+    oracle proves the multi-batch remove+add reconciliation converges
+    to exactly the batch answer."""
+    import glob
+    import os as _os
+    import tempfile
+
+    from apache_nifi_spark.sources.deltalog import (
+        delta_active_files,
+        read_delta_snapshot,
+        write_commit,
+    )
+    from apache_nifi_spark.streaming import stream_events
+
+    # stage the purchase stream as 3 files so the drain is genuinely
+    # multi-batch (one file per trigger)
+    staged = tempfile.mkdtemp(prefix="anspark_updelta_src_")
+    (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value", "event_type")
+        .repartition(3, "user_id")
+        .write.mode("overwrite").parquet(staged)
+    )
+    root = tempfile.mkdtemp(prefix="anspark_updelta_tbl_")
+
+    def write_batch(bdf, bid):
+        version = int(bid) + 1
+        commit = _os.path.join(root, "_delta_log", f"{version:020d}.json")
+        if _os.path.exists(commit):
+            return  # replayed batch — exactly-once
+        sp = bdf.sparkSession
+        delta = bdf.groupBy("user_id").agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5)).cast("bigint")
+            .alias("cents_total"),
+            F.count(F.lit(1)).alias("n_purchases"),
+        ).withColumn("bucket", (F.col("user_id") % 8).cast("int"))
+        affected = sorted(
+            r["bucket"] for r in delta.select("bucket").distinct()
+            .collect()  # control-plane: <= 8 bucket ids
+        )
+        removed: list[str] = []
+        if version > 1:
+            cur_files = [
+                r["path"]
+                for r in delta_active_files(sp, root)
+                .collect()  # control-plane: O(active files) manifest rows
+                if int(r["path"].split("bucket-")[1].split("/")[0])
+                in affected
+            ]
+            removed = cur_files
+            if cur_files:
+                cur = sp.read.parquet(
+                    *[_os.path.join(root, p) for p in cur_files]
+                ).withColumn("bucket", (F.col("user_id") % 8).cast("int"))
+                delta = (
+                    cur.join(delta, ["user_id", "bucket"], "full_outer")
+                    .select(
+                        "user_id", "bucket",
+                        (
+                            F.coalesce(cur["cents_total"], F.lit(0))
+                            + F.coalesce(delta["cents_total"], F.lit(0))
+                        ).alias("cents_total"),
+                        (
+                            F.coalesce(cur["n_purchases"], F.lit(0))
+                            + F.coalesce(delta["n_purchases"], F.lit(0))
+                        ).alias("n_purchases"),
+                    )
+                )
+        actions = [{"remove": {"path": p}} for p in removed]
+        for b in affected:
+            sub = f"bucket-{b}/v{version}"
+            (
+                delta.filter(F.col("bucket") == b)
+                .select("user_id", "cents_total", "n_purchases")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(_os.path.join(root, sub))
+            )
+            actions.extend(
+                {
+                    "add": {
+                        "path": _os.path.join(sub, _os.path.basename(p)),
+                        "size": _os.path.getsize(p),
+                    }
+                }
+                for p in glob.glob(
+                    _os.path.join(root, sub, "part-*.parquet")
+                )
+            )
+        write_commit(root, version, actions)
+
+    cp = tempfile.mkdtemp(prefix="anspark_updelta_cp_")
+    sdf = stream_events(spark, sf_dir, path=staged, max_files_per_trigger=1)
+    (
+        sdf.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return read_delta_snapshot(spark, root).select(
+        "user_id", "cents_total", "n_purchases"
+    )
