@@ -110,4 +110,9 @@ from apache_nifi_spark.llm.multimodal import (  # noqa: F401
     encode_webm,
     parse_matroska_metadata,
     decode_video_mkv_meta,
+    encode_flac_streaminfo,
+    parse_flac_streaminfo,
+    encode_mp3_frames,
+    parse_mpeg_audio,
+    decode_audio_container_meta,
 )

@@ -59,6 +59,11 @@ __all__ = [
     "png_pixel_stats",
     "encode_png",
     "decode_image_pixel_stats",
+    "encode_flac_streaminfo",
+    "parse_flac_streaminfo",
+    "encode_mp3_frames",
+    "parse_mpeg_audio",
+    "decode_audio_container_meta",
 ]
 
 #: magic-byte prefixes → mime type (IdentifyMimeType analog, §2.3)
@@ -1443,4 +1448,201 @@ def decode_jpeg_gray_stats(
 
     return df.select(id_col, content_col).mapInPandas(
         decode, JPEG_GRAY_STATS_SCHEMA
+    )
+
+
+# =====================================================================
+# FLAC / MPEG-audio (MP3) container metadata — round 13
+# =====================================================================
+
+#: MPEG-1 Layer III bitrate table (kbps), index 1..14 (xiph/ISO 11172-3)
+_MP3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+#: MPEG-1 sample-rate table, header index 0..2
+_MP3_RATES = [44100, 48000, 32000]
+
+
+def encode_flac_streaminfo(
+    sample_rate: int, channels: int, bits: int, total_samples: int
+) -> bytes:
+    """Minimal spec-valid FLAC file: ``fLaC`` magic + a last-block
+    STREAMINFO METADATA_BLOCK (type 0, 34 bytes) packing sample rate
+    (20 bits), channels-1 (3), bits-1 (5) and total samples (36) per the
+    public FLAC format spec.  No audio frames — metadata-complete, the
+    shape a header-sniffing pipeline stage consumes (the WAV twin is
+    :func:`wav_header_bytes`)."""
+    packed = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits - 1) << 36)
+        | (total_samples & ((1 << 36) - 1))
+    )
+    body = (
+        (4096).to_bytes(2, "big") * 2      # min/max blocksize
+        + (0).to_bytes(3, "big") * 2       # min/max framesize (unknown)
+        + packed.to_bytes(8, "big")
+        + b"\x00" * 16                     # md5 of unencoded audio (unset)
+    )
+    return b"fLaC" + bytes([0x80, 0, 0, len(body)]) + body
+
+
+def parse_flac_streaminfo(payload: bytes):
+    """(sample_rate_hz, channels, bits_per_sample, total_samples) from a
+    FLAC container by walking the metadata-block list (public spec);
+    None for non-FLAC / truncated payloads."""
+    if len(payload) < 8 or payload[:4] != b"fLaC":
+        return None
+    pos = 4
+    while pos + 4 <= len(payload):
+        hdr = payload[pos]
+        size = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        if (hdr & 0x7F) == 0 and pos + 4 + 34 <= len(payload):  # STREAMINFO
+            body = payload[pos + 4 : pos + 4 + 34]
+            packed = int.from_bytes(body[10:18], "big")
+            rate = packed >> 44
+            channels = ((packed >> 41) & 0x7) + 1
+            bits = ((packed >> 36) & 0x1F) + 1
+            total = packed & ((1 << 36) - 1)
+            return (rate, channels, bits, total) if rate else None
+        if hdr & 0x80:  # last-metadata-block flag
+            break
+        pos += 4 + size
+    return None
+
+
+def encode_mp3_frames(
+    kbps: int, sample_rate: int, channels: int, n_frames: int, id3_size: int = 0
+) -> bytes:
+    """Spec-valid MPEG-1 Layer III byte stream: ``n_frames`` frames with
+    correct 4-byte headers (sync, version/layer bits, bitrate and
+    sample-rate indices from the ISO 11172-3 tables) and zero-fill
+    payloads sized by the layer-III frame-length formula
+    ``144000*kbps//rate + padding``.  Padding alternates per frame so a
+    parser must walk real variable-length frames, and an optional ID3v2
+    tag (syncsafe size) is prepended to exercise tag skipping."""
+    br_idx = _MP3_BITRATES.index(kbps)
+    sr_idx = _MP3_RATES.index(sample_rate)
+    mode = 3 if channels == 1 else 0  # 3=mono, 0=stereo
+    out = bytearray()
+    if id3_size:
+        ss = id3_size
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(ss >> 21) & 0x7F, (ss >> 14) & 0x7F, (ss >> 7) & 0x7F, ss & 0x7F]
+        )
+        out += b"\x00" * id3_size
+    for i in range(n_frames):
+        pad = i & 1
+        flen = 144000 * kbps // sample_rate + pad
+        hdr = bytes(
+            [0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2) | (pad << 1), mode << 6]
+        )
+        out += hdr + b"\x00" * (flen - 4)
+    return bytes(out)
+
+
+def parse_mpeg_audio(payload: bytes):
+    """(sample_rate_hz, channels, bitrate_kbps, n_frames, duration_ms)
+    by walking every MPEG-1 Layer III frame header (skipping a leading
+    ID3v2 tag via its syncsafe size).  Each frame's length comes from
+    ITS OWN header (bitrate/padding may vary frame to frame); 1152
+    samples per layer-III frame.  None when no valid first frame."""
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        ss = payload[6:10]
+        pos = 10 + ((ss[0] << 21) | (ss[1] << 14) | (ss[2] << 7) | ss[3])
+    rate = channels = kbps = None
+    frames = 0
+    while pos + 4 <= len(payload):
+        b0, b1, b2, b3 = payload[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            break
+        version = (b1 >> 3) & 0x3
+        layer = (b1 >> 1) & 0x3
+        if version != 3 or layer != 1:  # MPEG-1 Layer III only
+            break
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 0x3
+        if br_idx in (0, 15) or sr_idx == 3:
+            break
+        f_kbps = _MP3_BITRATES[br_idx]
+        f_rate = _MP3_RATES[sr_idx]
+        if rate is None:
+            rate, kbps = f_rate, f_kbps
+            channels = 1 if ((b3 >> 6) & 0x3) == 3 else 2
+        pad = (b2 >> 1) & 0x1
+        flen = 144000 * f_kbps // f_rate + pad
+        if flen < 4 or pos + flen > len(payload):
+            break
+        frames += 1
+        pos += flen
+    if rate is None or frames == 0:
+        return None
+    return (rate, channels, kbps, frames, frames * 1152 * 1000 // rate)
+
+
+#: output schema of the unified audio-container metadata extractor
+AUDIO_CONTAINER_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("format", StringType()),
+        StructField("sample_rate_hz", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("bits_per_sample", IntegerType()),
+        StructField("bitrate_kbps", IntegerType()),
+        StructField("n_units", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def decode_audio_container_meta(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """Unified audio-container metadata over binary payloads, sniffed by
+    magic bytes: FLAC STREAMINFO (:func:`parse_flac_streaminfo`),
+    MPEG-1 Layer III frame walk (:func:`parse_mpeg_audio`), RIFF/WAVE
+    chunk walk (:func:`parse_wav_metadata`).  ``n_units`` is total
+    samples (FLAC), frames (MP3) or sample frames (WAV); unknown fields
+    are 0 (MP3 bits, FLAC/WAV bitrate).  mapInPandas, Arrow-batched,
+    map-only at any scale; unrecognized payloads yield null fields."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in AUDIO_CONTAINER_META_SCHEMA.fields}
+            for rid, blob in zip(pdf[id_col], pdf[content_col]):
+                p = bytes(blob) if blob is not None else b""
+                fmt = rate = ch = bits = kbps = units = dur = None
+                if p[:4] == b"fLaC":
+                    m = parse_flac_streaminfo(p)
+                    if m:
+                        fmt = "flac"
+                        rate, ch, bits, units = m
+                        kbps = 0
+                        dur = units * 1000 // rate
+                elif p[:3] == b"ID3" or (
+                    len(p) > 1 and p[0] == 0xFF and (p[1] & 0xE0) == 0xE0
+                ):
+                    m = parse_mpeg_audio(p)
+                    if m:
+                        fmt = "mp3"
+                        rate, ch, kbps, units, dur = m
+                        bits = 0
+                elif p[:4] == b"RIFF":
+                    m = parse_wav_metadata(p)
+                    if m:
+                        fmt = "wav"
+                        ch, rate, bits, units = m
+                        kbps = 0
+                        dur = units * 1000 // rate
+                rows["doc_id"].append(int(rid))
+                rows["format"].append(fmt)
+                rows["sample_rate_hz"].append(rate)
+                rows["channels"].append(ch)
+                rows["bits_per_sample"].append(bits)
+                rows["bitrate_kbps"].append(kbps)
+                rows["n_units"].append(units)
+                rows["duration_ms"].append(dur)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, content_col).mapInPandas(
+        decode, AUDIO_CONTAINER_META_SCHEMA
     )

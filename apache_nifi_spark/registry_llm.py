@@ -6747,3 +6747,96 @@ def stream_delta_upsert_merge_q(spark, sf_dir):
     return read_delta_snapshot(spark, root).select(
         "user_id", "cents_total", "n_purchases"
     )
+
+
+@register(
+    "multimodal_audio_container_meta",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'flac' ELSE 'mp3' END AS format,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 22050
+                     ELSE 44100 END
+                ELSE CASE (doc_id % 9) // 3 WHEN 0 THEN 44100
+                     WHEN 1 THEN 48000 ELSE 32000 END
+                END AS INT) AS sample_rate_hz,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id % 4) // 2
+                ELSE 1 + (doc_id % 10) // 5 END AS INT) AS channels,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN CASE WHEN doc_id % 8 < 4 THEN 16 ELSE 24 END
+                ELSE 0 END AS INT) AS bits_per_sample,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+                ELSE CASE doc_id % 3 WHEN 0 THEN 64 WHEN 1 THEN 128
+                     ELSE 320 END END AS INT) AS bitrate_kbps,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1000 + doc_id % 5000
+                ELSE 50 + doc_id % 200 END AS BIGINT) AS n_units,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN (1000 + doc_id % 5000) * 1000 //
+                     (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 22050
+                      ELSE 44100 END)
+                ELSE (50 + doc_id % 200) * 1152 * 1000 //
+                     (CASE (doc_id % 9) // 3 WHEN 0 THEN 44100
+                      WHEN 1 THEN 48000 ELSE 32000 END)
+                END AS BIGINT) AS duration_ms
+    FROM documents WHERE doc_id < 400
+    """,
+)
+def multimodal_audio_container_meta_q(spark, sf_dir):
+    """REAL FLAC + MP3 container metadata decode, value-oracled (§2.12
+    multimodal; extends the WAV/MP4/WebM tier to the two remaining
+    ubiquitous audio containers): spec-valid payloads are ENCODED
+    executor-side — FLAC ``fLaC``+STREAMINFO bit-packing, MPEG-1
+    Layer III frame sequences with per-frame alternating padding (so
+    the parser must walk genuinely variable-length frames via each
+    frame's own header) and, on every fourth id, a leading ID3v2 tag
+    with a syncsafe size (proving tag skip) — then decoded back through
+    the magic-byte-dispatched container walkers
+    (`llm/multimodal.parse_flac_streaminfo` / `parse_mpeg_audio`).
+    The oracle recomputes every field arithmetically from the
+    generating formulas — a true byte-level round trip.  Arrow-batched
+    both sides; map-only at any scale."""
+    import pandas as pd  # noqa: F811
+
+    from apache_nifi_spark.llm import (
+        decode_audio_container_meta,
+        encode_flac_streaminfo,
+        encode_mp3_frames,
+    )
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            contents = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 2 == 0:
+                    rate = [8000, 22050, 44100][d % 3]
+                    contents.append(
+                        encode_flac_streaminfo(
+                            rate,
+                            1 + (d % 4) // 2,
+                            16 if d % 8 < 4 else 24,
+                            1000 + d % 5000,
+                        )
+                    )
+                else:
+                    kbps = [64, 128, 320][d % 3]
+                    rate = [44100, 48000, 32000][(d % 9) // 3]
+                    contents.append(
+                        encode_mp3_frames(
+                            kbps,
+                            rate,
+                            1 + (d % 10) // 5,
+                            50 + d % 200,
+                            id3_size=(d % 100) if d % 4 == 1 else 0,
+                        )
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": contents})
+
+    audio = base.mapInPandas(synth, "doc_id long, content binary")
+    return decode_audio_container_meta(audio)

@@ -124,6 +124,7 @@ def iceberg_commit(
     added: list[dict],
     deleted: list[str] | None = None,
     schema: list[tuple[str, str]] | None = None,
+    max_entries_per_manifest: int | None = None,
 ) -> int:
     """Commit one snapshot: carry forward the previous snapshot's live
     files (rewritten as EXISTING entries, minus ``deleted`` paths which
@@ -139,11 +140,16 @@ def iceberg_commit(
     schema metadata forward unchanged — schema CHANGES go through
     :func:`iceberg_add_column` (a metadata-only commit).
 
-    Writer-side simplification: each snapshot writes ONE new manifest
-    holding the full entry set (real writers keep unchanged manifests
-    and only rewrite touched ones — a write-amplification optimization,
-    not a read-semantics difference; the reader below handles
-    multi-manifest lists either way)."""
+    Writer-side simplification: each snapshot rewrites the full entry
+    set (real writers keep unchanged manifests and only rewrite touched
+    ones — a write-amplification optimization, not a read-semantics
+    difference; the reader below handles multi-manifest lists either
+    way).  ``max_entries_per_manifest`` caps entries per manifest FILE
+    (the spec's ``write.manifest.target-size-bytes`` knob expressed in
+    entries): a partition with more entries splits into multiple
+    manifests, each with its own manifest-list row and partition
+    summary, so at 100 TB scale manifest decode stays bounded per task
+    and the list itself is the only O(manifests) read."""
     deleted = deleted or []
     meta_dir = _meta_dir(table_path)
     hint = os.path.join(meta_dir, "version-hint.text")
@@ -210,11 +216,18 @@ def iceberg_commit(
     for e in entries:
         by_part.setdefault(e[2]["partition"], []).append(e)
     list_rows = []
-    for i, part in enumerate(sorted(by_part)):
-        mpath, mlen = _write_manifest(
-            table_path, f"manifest-{snapshot_id}-{i}.avro", by_part[part]
-        )
-        list_rows.append((mpath, mlen, 0, snapshot_id, part, part))
+    seq = 0
+    for part in sorted(by_part):
+        rows = by_part[part]
+        cap = max_entries_per_manifest or len(rows) or 1
+        for lo in range(0, len(rows), cap):
+            mpath, mlen = _write_manifest(
+                table_path,
+                f"manifest-{snapshot_id}-{seq}.avro",
+                rows[lo : lo + cap],
+            )
+            list_rows.append((mpath, mlen, 0, snapshot_id, part, part))
+            seq += 1
     mlist = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
     with open(mlist, "wb") as f:
         f.write(

@@ -2320,3 +2320,72 @@ def test_exact_median_twopass_property(spark):
         row = exact_quantile_twopass(df, "value", bins=16).collect()[0]
         assert row["n"] == len(vals)
         assert row["median"] == statistics.median(vals), vals[:5]
+
+
+def test_flac_streaminfo_roundtrip_and_rejects():
+    from apache_nifi_spark.llm.multimodal import (
+        encode_flac_streaminfo,
+        parse_flac_streaminfo,
+    )
+
+    for rate, ch, bits, total in [
+        (8000, 1, 16, 0),
+        (44100, 2, 24, 123456),
+        (192000, 8, 32, (1 << 36) - 1),  # field maxima
+    ]:
+        blob = encode_flac_streaminfo(rate, ch, bits, total)
+        assert parse_flac_streaminfo(blob) == (rate, ch, bits, total)
+    assert parse_flac_streaminfo(b"") is None
+    assert parse_flac_streaminfo(b"RIFFxxxxWAVE") is None
+    # truncated STREAMINFO body → None, not a crash
+    blob = encode_flac_streaminfo(44100, 2, 16, 99)
+    assert parse_flac_streaminfo(blob[:20]) is None
+
+
+def test_mp3_frame_walk_id3_skip_and_padding():
+    from apache_nifi_spark.llm.multimodal import (
+        encode_mp3_frames,
+        parse_mpeg_audio,
+    )
+
+    # variable padding makes frame lengths alternate; parser must walk
+    # each frame by its own header
+    blob = encode_mp3_frames(128, 44100, 2, 10)
+    assert parse_mpeg_audio(blob) == (44100, 2, 128, 10, 10 * 1152 * 1000 // 44100)
+    # ID3v2 tag with a syncsafe size > 127 exercises the multi-byte path
+    tagged = encode_mp3_frames(320, 32000, 1, 3, id3_size=300)
+    assert parse_mpeg_audio(tagged) == (32000, 1, 320, 3, 3 * 1152 * 1000 // 32000)
+    # truncated final frame is not counted
+    assert parse_mpeg_audio(blob[:-1])[3] == 9
+    assert parse_mpeg_audio(b"\x00\x01\x02\x03") is None
+    # free-format (bitrate idx 0) and reserved idx 15 rejected
+    assert parse_mpeg_audio(bytes([0xFF, 0xFB, 0x00, 0x00])) is None
+    assert parse_mpeg_audio(bytes([0xFF, 0xFB, 0xF0, 0x00])) is None
+
+
+def test_decode_audio_container_meta_dispatch(spark):
+    from apache_nifi_spark.llm.multimodal import (
+        decode_audio_container_meta,
+        encode_flac_streaminfo,
+        encode_mp3_frames,
+        wav_header_bytes,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, encode_flac_streaminfo(22050, 1, 16, 4410)),
+        (2, encode_mp3_frames(64, 48000, 2, 4)),
+        (3, b"not audio at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r["doc_id"]: r.asDict() for r in decode_audio_container_meta(df).collect()}
+    assert got[1]["format"] == "flac" and got[1]["duration_ms"] == 200
+    assert got[2]["format"] == "mp3" and got[2]["n_units"] == 4
+    assert got[3]["format"] is None and got[3]["sample_rate_hz"] is None
+    # WAV dispatch through the same entry point
+    wav = spark.range(1).select(
+        F.lit(9).cast("long").alias("doc_id"),
+        wav_header_bytes(F.lit(2), F.lit(8000), F.lit(800)).alias("content"),
+    )
+    w = decode_audio_container_meta(wav).collect()[0]
+    assert (w["format"], w["n_units"], w["duration_ms"]) == ("wav", 800, 100)

@@ -780,3 +780,69 @@ def test_iceberg_expire_snapshots_reclaims_unreachable(spark, tmp_path):
         read_iceberg_snapshot(spark, root, 11)
     ids = sorted(r["id"] for r in read_iceberg_snapshot(spark, root).collect())
     assert ids == list(range(100, 110)) + list(range(200, 210))
+
+
+def test_iceberg_multipart_manifests(spark, tmp_path):
+    """Multi-part manifests (spec's target-manifest-size knob): a
+    partition whose entry count exceeds ``max_entries_per_manifest``
+    splits across several manifest files, each with its own
+    manifest-list row and partition summary — reads see the identical
+    file set, expiry's reachability walk still collects every part, and
+    pruning skips ALL of a foreign partition's parts unopened."""
+    import glob
+    import os
+
+    import pytest
+
+    from apache_nifi_spark.sources.iceberg import (
+        iceberg_active_files,
+        iceberg_commit,
+        iceberg_expire_snapshots,
+        read_iceberg_snapshot,
+    )
+
+    root = str(tmp_path / "tbl")
+    added = []
+    for i in range(7):
+        part = "p0" if i < 5 else "p1"
+        spark.range(i * 10, i * 10 + 10).coalesce(1).write.parquet(
+            f"{root}/f{i}"
+        )
+        p = glob.glob(f"{root}/f{i}/part-*.parquet")[0]
+        added.append({"file_path": p, "partition": part,
+                      "record_count": 10,
+                      "file_size_in_bytes": os.path.getsize(p)})
+    iceberg_commit(root, 301, added=added, max_entries_per_manifest=2)
+    manifests = sorted(glob.glob(f"{root}/metadata/manifest-301-*.avro"))
+    # p0: 5 entries / cap 2 → 3 parts; p1: 2 entries → 1 part
+    assert len(manifests) == 4
+    got = sorted(
+        r["file_path"] for r in iceberg_active_files(spark, root).collect()
+    )
+    assert got == sorted(a["file_path"] for a in added)
+    ids = sorted(r["id"] for r in read_iceberg_snapshot(spark, root).collect())
+    assert ids == list(range(70))
+    # pruning skips every p0 part: corrupt all three, p1 read unharmed
+    for m in manifests[:3]:
+        with open(m, "wb") as f:
+            f.write(b"garbage")
+    p1 = sorted(
+        r["id"]
+        for r in read_iceberg_snapshot(spark, root, partition="p1").collect()
+    )
+    assert p1 == list(range(50, 70))
+    with pytest.raises(Exception):
+        iceberg_active_files(spark, root).collect()
+    # expiry reachability walks every part of a retained snapshot:
+    # commit a second snapshot, expire the first, all 301 parts deleted
+    root2 = str(tmp_path / "tbl2")
+    spark.range(0, 10).coalesce(1).write.parquet(f"{root2}/a")
+    a = glob.glob(f"{root2}/a/part-*.parquet")[0]
+    info = {"file_path": a, "partition": "", "record_count": 10,
+            "file_size_in_bytes": os.path.getsize(a)}
+    iceberg_commit(root2, 401, added=[info], max_entries_per_manifest=1)
+    iceberg_commit(root2, 402, added=[], max_entries_per_manifest=1)
+    dropped = iceberg_expire_snapshots(root2, keep_ids=[402])
+    assert not glob.glob(f"{root2}/metadata/snap-401.avro")
+    # the shared data file stays (still reachable from 402)
+    assert os.path.exists(a) and dropped
