@@ -6741,6 +6741,93 @@ def delta_checkpoint_snapshot_q(spark, sf_dir):
     )
 
 
+_DELTA_DV_STAGE: dict[str, str] = {}
+
+
+def _staged_delta_dv(spark, sf_dir):
+    """Delta table with inline DELETION VECTORS (merge-on-read DML):
+    two position-sorted data files of documents [0,200) and [200,400),
+    one commit adding both, then ``delta_delete_rows`` marking the
+    ordinals of every ``doc_id % 7 == 3`` row — in TWO delete commits
+    (file 0 twice, so the reader also proves DV merge) — without ever
+    rewriting the parquet."""
+    if sf_dir in _DELTA_DV_STAGE:
+        return _DELTA_DV_STAGE[sf_dir]
+    import glob
+    import tempfile
+
+    from apache_nifi_spark.sources.deltalog import (
+        delta_delete_rows,
+        write_commit,
+    )
+
+    root = tempfile.mkdtemp(prefix="anspark_deltadv_")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    actions, rel = [], {}
+    for k in range(2):
+        sub = f"f{k}"
+        (
+            docs.filter(
+                (F.col("doc_id") >= k * 200) & (F.col("doc_id") < k * 200 + 200)
+            )
+            .coalesce(1)
+            .sortWithinPartitions("doc_id")  # ordinal = doc_id - k*200
+            .write.mode("overwrite")
+            .parquet(f"{root}/{sub}")
+        )
+        part = glob.glob(f"{root}/{sub}/part-*.parquet")[0]
+        rel[k] = os.path.relpath(part, root)
+        actions.append({"add": {"path": rel[k], "size": os.path.getsize(part)}})
+    write_commit(root, 0, actions)
+    # ordinal of doc_id within file k is doc_id - k*200 (sorted write)
+    delta_delete_rows(
+        spark, root, {rel[0]: [d for d in range(3, 200, 7) if d % 2 == 1]}
+    )
+    delta_delete_rows(
+        spark,
+        root,
+        {
+            rel[0]: [d for d in range(3, 200, 7) if d % 2 == 0],
+            rel[1]: [d - 200 for d in range(206, 400, 7)],
+        },
+    )
+    _DELTA_DV_STAGE[sf_dir] = root
+    return root
+
+
+@register(
+    "delta_deletion_vector_read",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    WHERE doc_id < 400 AND doc_id % 7 <> 3
+    GROUP BY lang
+    """,
+)
+def delta_deletion_vector_q(spark, sf_dir):
+    """Snapshot read through inline DELETION VECTORS (delta.io
+    PROTOCOL.md "Deletion Vectors" — merge-on-read DELETE): the staged
+    log's add actions carry Z85-encoded RoaringBitmapArray DVs
+    (``sources/dv``, both codecs from the public specs) marking every
+    ``doc_id % 7 == 3`` ordinal across two files and THREE delete
+    batches (so one file's DV is a two-commit MERGE), and the reader
+    drops exactly those ordinals executor-side without any parquet
+    rewrite.  Equality with the oracle's arithmetic complement proves
+    bitmap encode → Z85 → commit → replay → decode → positional drop is
+    lossless end to end.  sources/deltalog.py ``delta_delete_rows`` /
+    ``read_delta_snapshot``."""
+    from apache_nifi_spark.sources.deltalog import read_delta_snapshot
+
+    root = _staged_delta_dv(spark, sf_dir)
+    snap = read_delta_snapshot(spark, root)
+    return snap.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
 _FTP_STAGE: dict[str, tuple] = {}
 
 

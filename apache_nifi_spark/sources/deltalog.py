@@ -36,6 +36,7 @@ __all__ = [
     "write_checkpoint",
     "delta_active_files",
     "read_delta_snapshot",
+    "delta_delete_rows",
 ]
 
 
@@ -94,6 +95,17 @@ def write_checkpoint(
             ("size", pa.int64()),
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
+            (
+                "deletionVector",
+                pa.struct(
+                    [
+                        ("storageType", pa.string()),
+                        ("pathOrInlineDv", pa.string()),
+                        ("sizeInBytes", pa.int32()),
+                        ("cardinality", pa.int64()),
+                    ]
+                ),
+            ),
         ]
     )
     proto_t = pa.struct(
@@ -115,6 +127,7 @@ def write_checkpoint(
             "size": r["size"],
             "modificationTime": 0,
             "dataChange": False,
+            "deletionVector": json.loads(r["dv"]) if r["dv"] else None,
         }
         for r in active
     ]
@@ -153,7 +166,9 @@ def _tail_actions(
     raw = spark.read.json(
         paths,
         schema=(
-            "add struct<path: string, size: bigint>, "
+            "add struct<path: string, size: bigint, deletionVector: "
+            "struct<storageType: string, pathOrInlineDv: string, "
+            "sizeInBytes: int, cardinality: bigint>>, "
             "remove struct<path: string>"
         ),
     ).withColumn(
@@ -165,6 +180,10 @@ def _tail_actions(
         F.coalesce(F.col("add.path"), F.col("remove.path")).alias("path"),
         F.col("add.size").alias("size"),
         F.col("add.path").isNotNull().alias("_is_add"),
+        F.when(
+            F.col("add.deletionVector.storageType").isNotNull(),
+            F.to_json(F.col("add.deletionVector")),
+        ).alias("dv"),
         "_version",
     ).filter(F.col("path").isNotNull())
 
@@ -203,6 +222,10 @@ def delta_active_files(
                 F.col("add.path").alias("path"),
                 F.col("add.size").alias("size"),
                 F.lit(True).alias("_is_add"),
+                F.when(
+                    F.col("add.deletionVector.storageType").isNotNull(),
+                    F.to_json(F.col("add.deletionVector")),
+                ).alias("dv"),
                 F.col("added_version").alias("_version"),
             )
         )
@@ -217,10 +240,11 @@ def delta_active_files(
     latest = acts.groupBy("path").agg(
         F.max_by("_is_add", "_version").alias("_is_add"),
         F.max_by("size", "_version").alias("size"),
+        F.max_by("dv", "_version").alias("dv"),
         F.max("_version").alias("added_version"),
     )
     return latest.filter(F.col("_is_add")).select(
-        "path", "size", "added_version"
+        "path", "size", "dv", "added_version"
     )
 
 
@@ -229,12 +253,103 @@ def read_delta_snapshot(
 ) -> DataFrame:
     """The snapshot's rows: resolve active files, then one parquet scan
     over that list (pushdown/pruning apply as on any parquet read).
-    The file-list collect is the table MANIFEST — O(active files)."""
-    files = [
-        os.path.join(table_path, r["path"])
-        for r in delta_active_files(spark, table_path, version)
-        .collect()  # control-plane: O(active files) manifest rows
-    ]
-    if not files:
+    The file-list collect is the table MANIFEST — O(active files).
+
+    Files whose add action carries a deletion vector (merge-on-read DML,
+    PROTOCOL.md "Deletion Vectors") take the DV path instead: the
+    inline roaring bitmap decodes executor-side next to its file and
+    the marked row ordinals are dropped before the union with the plain
+    scan — so a snapshot after :func:`delta_delete_rows` never shows
+    deleted rows, with zero data-file rewrites."""
+    rows = delta_active_files(
+        spark, table_path, version
+    ).collect()  # control-plane: O(active files) manifest rows
+    if not rows:
         raise ValueError("empty delta snapshot")
-    return spark.read.parquet(*files)
+    plain = [
+        os.path.join(table_path, r["path"]) for r in rows if not r["dv"]
+    ]
+    dv_rows = [
+        (os.path.join(table_path, r["path"]), r["dv"])
+        for r in rows
+        if r["dv"]
+    ]
+    parts = []
+    if plain:
+        parts.append(spark.read.parquet(*plain))
+    if dv_rows:
+        schema = spark.read.parquet(dv_rows[0][0]).schema  # footer-only
+        names = schema.fieldNames()
+
+        def strip(batches):
+            import json as _json
+
+            import pyarrow.parquet as _pq
+
+            from apache_nifi_spark.sources.dv import read_inline_dv
+
+            for pdf in batches:
+                for path, dvj in zip(pdf["path"], pdf["dv"]):
+                    dels = read_inline_dv(_json.loads(dvj))
+                    t = _pq.read_table(path)
+                    keep = [i for i in range(t.num_rows) if i not in dels]
+                    yield t.take(keep).to_pandas()[names]
+
+        flist = spark.createDataFrame(
+            dv_rows, "path string, dv string"
+        ).repartition(len(dv_rows))
+        parts.append(flist.mapInPandas(strip, schema))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def delta_delete_rows(
+    spark: SparkSession,
+    table_path: str,
+    positions_by_path: dict[str, list[int]],
+) -> int:
+    """Merge-on-read DELETE: mark row ordinals of data files deleted by
+    committing new add actions that carry inline deletion vectors
+    (roaring bitmap, Z85 — ``sources/dv``), never touching the parquet.
+    Ordinals merge with any DV the file already has (the spec's
+    replace-DV semantics: the new descriptor supersedes the old, and
+    the protocol requires it to cover a superset).  One atomic commit;
+    returns its version.
+
+    Spec note: writers normally pair the superseding add with a remove
+    of the previous add entry; under this module's latest-action-wins
+    reconciliation the newer add alone resolves identically, so the
+    redundant remove is not emitted."""
+    from apache_nifi_spark.sources.dv import make_inline_dv, read_inline_dv
+
+    current = {
+        r["path"]: r
+        for r in delta_active_files(
+            spark, table_path
+        ).collect()  # control-plane: O(active files) manifest rows
+    }
+    log_dir = os.path.join(table_path, "_delta_log")
+    next_v = 1 + max(
+        int(f[:-5]) for f in os.listdir(log_dir) if f.endswith(".json")
+    )
+    actions = []
+    for rel, positions in sorted(positions_by_path.items()):
+        if rel not in current:
+            raise ValueError(f"{rel} is not active in the snapshot")
+        merged = set(positions)
+        if current[rel]["dv"]:
+            merged |= read_inline_dv(json.loads(current[rel]["dv"]))
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "size": current[rel]["size"],
+                    "dataChange": True,
+                    "deletionVector": make_inline_dv(merged),
+                }
+            }
+        )
+    write_commit(table_path, next_v, actions)
+    return next_v

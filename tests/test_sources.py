@@ -846,3 +846,102 @@ def test_iceberg_multipart_manifests(spark, tmp_path):
     assert not glob.glob(f"{root2}/metadata/snap-401.avro")
     # the shared data file stays (still reachable from 402)
     assert os.path.exists(a) and dropped
+
+
+def test_delta_deletion_vectors_merge_on_read(spark, tmp_path):
+    """PROTOCOL.md "Deletion Vectors": delta_delete_rows commits inline
+    roaring-bitmap DVs (Z85, RoaringBitmapArray) without touching
+    parquet; snapshot reads drop exactly the marked ordinals; a second
+    delete MERGES with the existing DV; time travel before the delete
+    still sees every row; checkpoints carry DVs through the tail-only
+    replay path."""
+    import glob
+    import os
+
+    from apache_nifi_spark.sources.deltalog import (
+        delta_delete_rows,
+        read_delta_snapshot,
+        write_checkpoint,
+        write_commit,
+    )
+
+    root = str(tmp_path / "tbl")
+    for k, name in enumerate(("a", "b")):
+        spark.range(k * 100, k * 100 + 100).coalesce(1)\
+            .sortWithinPartitions("id").write.parquet(f"{root}/{name}")
+    actions = []
+    for name in ("a", "b"):
+        p = glob.glob(f"{root}/{name}/part-*.parquet")[0]
+        rel = os.path.relpath(p, root)
+        actions.append({"add": {"path": rel, "size": os.path.getsize(p)}})
+    write_commit(root, 0, actions)
+    rel_a, rel_b = actions[0]["add"]["path"], actions[1]["add"]["path"]
+    mtime_a = os.path.getmtime(os.path.join(root, rel_a))
+
+    v1 = delta_delete_rows(spark, root, {rel_a: [0, 5, 99]})
+    got = sorted(r["id"] for r in read_delta_snapshot(spark, root).collect())
+    assert got == sorted(set(range(200)) - {0, 5, 99})
+    # the parquet itself was never rewritten
+    assert os.path.getmtime(os.path.join(root, rel_a)) == mtime_a
+    # time travel to v0: all rows
+    assert read_delta_snapshot(spark, root, 0).count() == 200
+    # second delete on the same file merges; other file gets a DV too
+    delta_delete_rows(spark, root, {rel_a: [1], rel_b: [0]})
+    got = sorted(r["id"] for r in read_delta_snapshot(spark, root).collect())
+    assert got == sorted(set(range(200)) - {0, 1, 5, 99, 100})
+    # checkpoint at head, then a later plain commit: DVs survive the
+    # checkpoint-base + JSON-tail union
+    write_checkpoint(spark, root, v1 + 1)
+    spark.range(500, 510).coalesce(1).write.parquet(f"{root}/c")
+    pc = glob.glob(f"{root}/c/part-*.parquet")[0]
+    write_commit(root, v1 + 2, [{"add": {
+        "path": os.path.relpath(pc, root), "size": os.path.getsize(pc)}}])
+    got = sorted(r["id"] for r in read_delta_snapshot(spark, root).collect())
+    assert got == sorted((set(range(200)) - {0, 1, 5, 99, 100})
+                         | set(range(500, 510)))
+
+
+def test_dv_codecs_spec_vectors():
+    """Z85 against the RFC 32 test vector; roaring against its
+    portable-format spec (array, bitmap and run containers, multi-chunk
+    keys); RoaringBitmapArray across the 32-bit boundary with a gap
+    word; inline descriptor round trip with pad truncation."""
+    from apache_nifi_spark.sources.dv import (
+        make_inline_dv,
+        rbm_array_deserialize,
+        rbm_array_serialize,
+        read_inline_dv,
+        roaring_deserialize,
+        roaring_serialize,
+        z85_decode,
+        z85_encode,
+    )
+
+    assert z85_encode(bytes([0x86, 0x4F, 0xD2, 0x6F,
+                             0xB5, 0x59, 0xF7, 0x5B])) == "HelloWorld"
+    assert z85_decode("HelloWorld") == bytes(
+        [0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+
+    for vals in ([], [0, 1, 65535, 65536, 1 << 31],
+                 list(range(5000)),               # bitmap container
+                 [i * 3 for i in range(4097)]):   # bitmap, sparse
+        blob = roaring_serialize(vals)
+        got, used = roaring_deserialize(blob)
+        assert got == set(vals) and used == len(blob)
+
+    # run-container READ path (cookie 12347): hand-build 1 run container
+    import struct
+    run = struct.pack("<i", 12347 | (0 << 16)) + b"\x01"  # 1 container, run
+    run += struct.pack("<HH", 0, 9)        # key 0, cardinality 10
+    run += struct.pack("<H", 1)            # 1 run
+    run += struct.pack("<HH", 5, 9)        # [5, 14]
+    got, used = roaring_deserialize(run)
+    assert got == set(range(5, 15)) and used == len(run)
+
+    big = [0, 5, (1 << 32) + 3, (3 << 32) + 7]  # gap at high word 2
+    assert rbm_array_deserialize(rbm_array_serialize(big)) == set(big)
+
+    d = make_inline_dv([1, 5, 9])
+    assert d["storageType"] == "i" and d["cardinality"] == 3
+    assert len(z85_decode(d["pathOrInlineDv"])) % 4 == 0
+    assert read_inline_dv(d) == {1, 5, 9}
