@@ -6840,3 +6840,326 @@ def multimodal_audio_container_meta_q(spark, sf_dir):
 
     audio = base.mapInPandas(synth, "doc_id long, content binary")
     return decode_audio_container_meta(audio)
+
+
+@register(
+    "hypertable_m4_downsample",
+    oracle="""
+    SELECT event_type,
+           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(value) AS DOUBLE) AS vmin,
+           CAST(max(value) AS DOUBLE) AS vmax,
+           CAST(arg_min(value, epoch_us(ts)) AS DOUBLE) AS vfirst,
+           CAST(arg_max(value, epoch_us(ts)) AS DOUBLE) AS vlast
+    FROM events GROUP BY 1, 2
+    """,
+)
+def hypertable_m4_downsample_q(spark, sf_dir):
+    """M4 time-series downsampling (Jugel et al., VLDB 2014 — the
+    error-free line-chart reduction): per (series, pixel-bucket) the
+    min, max, FIRST and LAST values — the four points that make a
+    rendered line pixel-identical to the full-resolution data.  One
+    hash aggregation (min/max/min_by/max_by are all partial-aggregable,
+    so map-side combine runs before the shuffle); every output is a
+    SELECTION of an input double (zero float arithmetic → bit-exact
+    across engines).  first/last order by ``unix_micros(ts)``, unique
+    in this dataset (asserted across SFs by the generator contract).
+    Scale: output is O(series × buckets) — chart-sized, independent of
+    row count; the canonical 100 TB dashboard query."""
+    ev = _t(spark, sf_dir, "events")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    return (
+        ev.select(
+            "event_type",
+            F.expr(
+                "CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"
+                " AS BIGINT)"
+            ).alias("bucket"),
+            "value",
+            micros.alias("_us"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.min_by("value", "_us").alias("vfirst"),
+            F.max_by("value", "_us").alias("vlast"),
+        )
+    )
+
+
+@register(
+    "stats_robust_outliers",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id, value FROM events
+      WHERE event_type = 'purchase'
+    ), r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS cnt
+      FROM p
+    ), m AS (
+      SELECT *, max(CASE WHEN rn = (cnt + 1) // 2 THEN value END)
+                  OVER (PARTITION BY user_id) AS med
+      FROM r
+    ), d AS (
+      SELECT *, abs(value - med) AS dev FROM m
+    ), r2 AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY dev, event_id) AS rn2
+      FROM d
+    ), m2 AS (
+      SELECT *, max(CASE WHEN rn2 = (cnt + 1) // 2 THEN dev END)
+                  OVER (PARTITION BY user_id) AS mad
+      FROM r2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(max(med) AS DOUBLE) AS med,
+           CAST(max(mad) AS DOUBLE) AS mad,
+           CAST(sum(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM m2 GROUP BY user_id
+    """,
+)
+def stats_robust_outliers_q(spark, sf_dir):
+    """Per-key robust outlier flags via EXACT median + MAD (the
+    median-absolute-deviation robust z-score — the anomaly filter that
+    survives the skewed value distributions where mean/stddev break):
+    lower median selected positionally (row_number against
+    (count+1)//2 — a SELECTION, no buffer-everything percentile
+    aggregate, no global sort), deviations re-ranked the same way for
+    the MAD, outlier = dev > 3·MAD.  The only float arithmetic is one
+    subtraction/abs and one multiply — identical single IEEE ops in
+    both engines, so doubles hash exactly.  Scale: both window passes
+    sort WITHIN user-sized groups under one hash partitioning on
+    user_id (Catalyst reuses the exchange; groups are bounded by a
+    user's activity, never table-sized), then one aggregation — the
+    sessionize/EWMA scale shape."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "value")
+    )
+    by_user = Window.partitionBy("user_id")
+    r = ev.withColumn(
+        "rn", F.row_number().over(by_user.orderBy("value", "event_id"))
+    ).withColumn("cnt", F.count(F.lit(1)).over(by_user))
+    target = F.floor((F.col("cnt") + 1) / 2)
+    m = r.withColumn(
+        "med",
+        F.max(F.when(F.col("rn") == target, F.col("value"))).over(by_user),
+    ).withColumn("dev", F.abs(F.col("value") - F.col("med")))
+    m2 = m.withColumn(
+        "rn2", F.row_number().over(by_user.orderBy("dev", "event_id"))
+    ).withColumn(
+        "mad",
+        F.max(F.when(F.col("rn2") == target, F.col("dev"))).over(by_user),
+    )
+    return m2.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("med").alias("med"),
+        F.max("mad").alias("mad"),
+        F.sum(
+            F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0)
+        ).cast("long").alias("n_outliers"),
+    )
+
+
+@register(
+    "pii_k_anonymity",
+    oracle="""
+    SELECT c_nationkey,
+           c_mktsegment,
+           CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+           CAST(count(*) AS BIGINT) AS class_size,
+           count(*) < 5 AS at_risk
+    FROM customer
+    GROUP BY 1, 2, 3
+    """,
+)
+def pii_k_anonymity_q(spark, sf_dir):
+    """k-anonymity audit (Sweeney 2002 — the release gate for
+    quasi-identifier re-identification risk): group the table by its
+    quasi-identifier tuple AFTER one generalization step (account
+    balance coarsened to 2000-unit bands — the hierarchy-climb that
+    trades utility for class size), emit each equivalence class with
+    its size and an ``at_risk`` flag for classes below k=5 (the rows a
+    release would have to suppress or generalize further).  One hash
+    aggregation, map-side combinable; output is O(classes) —
+    independent of row count, the 100 TB privacy-audit shape.  The
+    band edge uses floor(x/2000) on the exact input double — one IEEE
+    division both engines."""
+    c = _t(spark, sf_dir, "customer")
+    cls = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    return cls.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "bal_band",
+        "class_size",
+        (F.col("class_size") < 5).alias("at_risk"),
+    )
+
+
+@register(
+    "stats_correlation_matrix",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(18,2)))      AS s_q,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS s_p,
+             SUM(CAST(l_discount AS DECIMAL(18,2)))      AS s_d,
+             SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+                 CAST(l_quantity AS DECIMAL(18,2)))      AS p_qq,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                 CAST(l_extendedprice AS DECIMAL(18,2))) AS p_pp,
+             SUM(CAST(l_discount AS DECIMAL(18,2)) *
+                 CAST(l_discount AS DECIMAL(18,2)))      AS p_dd,
+             SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+                 CAST(l_extendedprice AS DECIMAL(18,2))) AS p_qp,
+             SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+                 CAST(l_discount AS DECIMAL(18,2)))      AS p_qd,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                 CAST(l_discount AS DECIMAL(18,2)))      AS p_pd
+      FROM lineitem
+    )
+    SELECT col_a, col_b, n,
+           round((n * CAST(pab AS DOUBLE)
+                  - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                 / sqrt((n * CAST(paa AS DOUBLE)
+                         - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                        * (n * CAST(pbb AS DOUBLE)
+                           - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))),
+                 6) AS corr
+    FROM (
+      SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
+             s_q AS sa, s_p AS sb, p_qq AS paa, p_pp AS pbb, p_qp AS pab
+      FROM s
+      UNION ALL
+      SELECT 'l_quantity', 'l_discount', n,
+             s_q, s_d, p_qq, p_dd, p_qd FROM s
+      UNION ALL
+      SELECT 'l_extendedprice', 'l_discount', n,
+             s_p, s_d, p_pp, p_dd, p_pd FROM s
+    )
+    """,
+)
+def stats_correlation_matrix_q(spark, sf_dir):
+    """Pairwise Pearson correlation matrix with EXACT-decimal moment
+    sums (the profiling pass a feature-selection / drift pipeline runs
+    over numeric columns): all nine moments (Σx, Σx², Σxy per pair)
+    accumulate as decimals in ONE scan-and-aggregate — order-
+    independent, so the doubles derived from them hash identically —
+    and only the final corr formula runs in floats (identical IEEE
+    expression both engines, 6 dp at the edge).  Engine-native
+    ``corr()`` can never value-oracle (float accumulation order); this
+    shape can, and is map-side combinable at any scale.  Output is
+    3 rows per table, row-count independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d("l_quantity")).alias("s_q"),
+        F.sum(d("l_extendedprice")).alias("s_p"),
+        F.sum(d("l_discount")).alias("s_d"),
+        F.sum(d("l_quantity") * d("l_quantity")).alias("p_qq"),
+        F.sum(d("l_extendedprice") * d("l_extendedprice")).alias("p_pp"),
+        F.sum(d("l_discount") * d("l_discount")).alias("p_dd"),
+        F.sum(d("l_quantity") * d("l_extendedprice")).alias("p_qp"),
+        F.sum(d("l_quantity") * d("l_discount")).alias("p_qd"),
+        F.sum(d("l_extendedprice") * d("l_discount")).alias("p_pd"),
+    )
+    pairs = [
+        ("l_quantity", "l_extendedprice", "s_q", "s_p", "p_qq", "p_pp", "p_qp"),
+        ("l_quantity", "l_discount", "s_q", "s_d", "p_qq", "p_dd", "p_qd"),
+        ("l_extendedprice", "l_discount", "s_p", "s_d", "p_pp", "p_dd", "p_pd"),
+    ]
+    parts = []
+    for a, b, sa, sb, paa, pbb, pab in pairs:
+        n = F.col("n")
+        dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+        corr = F.round(
+            (n * dbl(pab) - dbl(sa) * dbl(sb))
+            / F.sqrt(
+                (n * dbl(paa) - dbl(sa) * dbl(sa))
+                * (n * dbl(pbb) - dbl(sb) * dbl(sb))
+            ),
+            6,
+        )
+        parts.append(
+            s.select(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col("n"),
+                corr.alias("corr"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9 ]'))
+               AS c
+      FROM documents WHERE doc_id < 3000
+    ), cnt AS (
+      SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2
+    ), terms AS (
+      SELECT doc_id, CAST(k * ln(k) AS DECIMAL(28,9)) AS t, k FROM cnt
+    )
+    SELECT doc_id,
+           CAST(sum(k) AS BIGINT) AS n_chars,
+           CAST(count(*) AS BIGINT) AS n_unique,
+           round(ln(sum(k)) - CAST(sum(t) AS DOUBLE) / sum(k), 6)
+             AS entropy
+    FROM terms GROUP BY doc_id
+    """,
+)
+def text_char_entropy_q(spark, sf_dir):
+    """Per-document character-distribution Shannon entropy (the
+    gibberish / encoded-blob / keyboard-mash quality signal next to
+    the Gopher and C4 rules): alphabet-restricted char counts, then
+    ``H = ln(n) − (Σ kᵢ·ln kᵢ)/n``.  The order-dependent float sum is
+    made engine-exact the decimal way: each ``k·ln k`` term rounds to
+    DECIMAL(28,9) ONCE (deterministic per term — counts are integers,
+    ``ln`` agrees across engines as the LM-scoring tier already
+    relies on), the sum accumulates exactly, and only the final
+    subtraction/division is float, rounded 6 dp.  Two hash
+    aggregations, both map-side combinable; no windows, no sorts —
+    linear at any scale."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 3000)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9 ]', 0)")
+            ).alias("c"),
+        )
+    )
+    cnt = d.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k"))
+    terms = cnt.select(
+        "doc_id",
+        "k",
+        (F.col("k") * F.log(F.col("k"))).cast("decimal(28,9)").alias("t"),
+    )
+    return terms.groupBy("doc_id").agg(
+        F.sum("k").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.round(
+            F.log(F.sum("k")) - F.sum("t").cast("double") / F.sum("k"), 6
+        ).alias("entropy"),
+    )
