@@ -6690,7 +6690,7 @@ def stream_delta_upsert_merge_q(spark, sf_dir):
                 r["path"]
                 for r in delta_active_files(sp, root)
                 .collect()  # control-plane: O(active files) manifest rows
-                if int(r["path"].split("bucket-")[1].split("/")[0])
+                if int(r["path"].split("bucket=")[1].split("/")[0])
                 in affected
             ]
             removed = cur_files
@@ -6713,26 +6713,33 @@ def stream_delta_upsert_merge_q(spark, sf_dir):
                     )
                 )
         actions = [{"remove": {"path": p}} for p in removed]
-        for b in affected:
-            sub = f"bucket-{b}/v{version}"
-            (
-                delta.filter(F.col("bucket") == b)
-                .select("user_id", "cents_total", "n_purchases")
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(_os.path.join(root, sub))
+        # ONE write job rewrites every affected bucket (partitionBy
+        # lays out bucket=<b>/ dirs; repartition("bucket") puts each
+        # bucket wholly in one task → one file per bucket) — the merge
+        # plan executes once, not once per bucket
+        sub = f"v{version}"
+        (
+            delta.select(
+                "user_id", "cents_total", "n_purchases", "bucket"
             )
-            actions.extend(
-                {
-                    "add": {
-                        "path": _os.path.join(sub, _os.path.basename(p)),
-                        "size": _os.path.getsize(p),
-                    }
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(_os.path.join(root, sub))
+        )
+        actions.extend(
+            {
+                "add": {
+                    "path": _os.path.relpath(p, root),
+                    "size": _os.path.getsize(p),
                 }
-                for p in glob.glob(
-                    _os.path.join(root, sub, "part-*.parquet")
+            }
+            for p in sorted(
+                glob.glob(
+                    _os.path.join(root, sub, "bucket=*", "part-*.parquet")
                 )
             )
+        )
         write_commit(root, version, actions)
 
     cp = tempfile.mkdtemp(prefix="anspark_updelta_cp_")
