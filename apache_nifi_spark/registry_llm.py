@@ -7170,3 +7170,112 @@ def text_char_entropy_q(spark, sf_dir):
             F.log(F.sum("k")) - F.sum("t").cast("double") / F.sum("k"), 6
         ).alias("entropy"),
     )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), c AS (
+      SELECT event_type AS cur, nxt, CAST(count(*) AS BIGINT) AS n
+      FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT cur, nxt, n,
+           round(CAST(n AS DOUBLE) /
+                 sum(n) OVER (PARTITION BY cur), 6) AS p
+    FROM c
+    """,
+)
+def events_transition_matrix_q(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (the journey/next-action model behind funnel design and
+    sequence anomaly detection): ``lead`` pairs each event with its
+    user's next event under one hash partitioning on user_id, pair
+    counts aggregate map-side-combinably, and the row-conditional
+    probability normalizes over a types×types frame (O(|types|²) —
+    constant-size, row-count independent).  The only float op is one
+    division, rounded 6 dp — identical single IEEE ops both engines.
+    Scale: the window sorts WITHIN user-sized groups (never
+    table-grain); output is the model itself."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("cur"), "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    by_cur = Window.partitionBy("cur")
+    return pairs.select(
+        "cur",
+        "nxt",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(by_cur), 6
+        ).alias("p"),
+    )
+
+
+@register(
+    "stats_cusum_drift",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id,
+             SUM(CAST(value AS DECIMAL(18,6)) - 50)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS cusum
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(max(cusum) AS DOUBLE) AS max_cusum,
+           CAST(min(cusum) AS DOUBLE) AS min_cusum,
+           CAST(sum(CASE WHEN abs(cusum) > 200 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_alarms,
+           CAST(min(CASE WHEN abs(cusum) > 200 THEN event_id END)
+                AS BIGINT) AS first_alarm
+    FROM s GROUP BY user_id
+    """,
+)
+def stats_cusum_drift_q(spark, sf_dir):
+    """CUSUM drift/changepoint detection per key (Page 1954 — the SPC
+    monitor that flags a sustained level shift long before a mean
+    test): running sum of (value − target) per user in EXACT decimals
+    (the cumulative window sum never touches floats, so every
+    intermediate is engine-identical), alarm where |S| crosses the
+    decision interval, plus the first crossing's event id.  The
+    sequential fold that makes CUSUM un-SQL-able in float becomes
+    portable integer algebra in decimal.  Scale: one hash partitioning
+    on user_id, window sorts within user-sized groups, one
+    aggregation — linear, no table-grain sort."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select("user_id", "event_id", "ts", "value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = ev.withColumn(
+        "cusum",
+        F.sum(F.col("value").cast("decimal(18,6)") - 50).over(w),
+    )
+    alarmed = F.abs(F.col("cusum")) > 200
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("cusum").cast("double").alias("max_cusum"),
+        F.min("cusum").cast("double").alias("min_cusum"),
+        F.sum(F.when(alarmed, 1).otherwise(0)).cast("long").alias("n_alarms"),
+        F.min(F.when(alarmed, F.col("event_id"))).cast("long")
+        .alias("first_alarm"),
+    )
