@@ -7833,3 +7833,82 @@ def flow_import_lookup_q(spark, sf_dir):
 from apache_nifi_spark import registry_connectors  # noqa: E402,F401
 from apache_nifi_spark import registry_flows  # noqa: E402,F401
 from apache_nifi_spark import registry_llm  # noqa: E402,F401
+
+
+_ICEBERG_POSDEL_STAGE: dict[str, str] = {}
+
+
+def _staged_iceberg_posdel(spark, sf_dir):
+    """Iceberg v2 table with POSITION DELETES: documents [0,400) in two
+    position-sorted data files, one data commit, then TWO delete
+    commits marking every ``doc_id % 7 == 3`` ordinal (split by parity
+    so the reader proves multi-delete-file union) — data parquet never
+    rewritten."""
+    if sf_dir in _ICEBERG_POSDEL_STAGE:
+        return _ICEBERG_POSDEL_STAGE[sf_dir]
+    import glob
+    import tempfile
+
+    from apache_nifi_spark.sources.iceberg import iceberg_commit
+
+    root = tempfile.mkdtemp(prefix="anspark_iceposdel_")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    added, paths = [], {}
+    for k in range(2):
+        (
+            docs.filter(
+                (F.col("doc_id") >= k * 200) & (F.col("doc_id") < k * 200 + 200)
+            )
+            .coalesce(1)
+            .sortWithinPartitions("doc_id")  # ordinal = doc_id - k*200
+            .write.mode("overwrite")
+            .parquet(f"{root}/f{k}")
+        )
+        p = glob.glob(f"{root}/f{k}/part-*.parquet")[0]
+        paths[k] = p
+        added.append({"file_path": p, "partition": f"p{k}",
+                      "record_count": 200,
+                      "file_size_in_bytes": os.path.getsize(p)})
+    iceberg_commit(root, 601, added=added)
+    iceberg_commit(root, 602, added=[], position_deletes={
+        paths[0]: [d for d in range(3, 200, 7) if d % 2 == 1],
+        paths[1]: [d - 200 for d in range(206, 400, 7)],
+    })
+    iceberg_commit(root, 603, added=[], position_deletes={
+        paths[0]: [d for d in range(3, 200, 7) if d % 2 == 0],
+    })
+    _ICEBERG_POSDEL_STAGE[sf_dir] = root
+    return root
+
+
+@register(
+    "iceberg_position_delete_read",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    WHERE doc_id < 400 AND doc_id % 7 <> 3
+    GROUP BY lang
+    """,
+)
+def iceberg_position_delete_q(spark, sf_dir):
+    """Snapshot read through SPEC-V2 POSITION DELETES (Iceberg's
+    merge-on-read row-level DML — the lakehouse twin of
+    ``delta_deletion_vector_read``): the staged table's two delete
+    commits wrote sorted (file_path, pos) parquet delete files behind
+    content=1 DELETE manifests, and the reader drops exactly those
+    ordinals per data file (pyarrow file_path-pushdown inside each
+    file's task) without rewriting any data parquet.  Equality with the
+    arithmetic complement proves commit → manifest → delete-file →
+    positional-drop is lossless across multiple delete files.
+    sources/iceberg.py ``iceberg_commit(position_deletes=…)`` /
+    ``read_iceberg_snapshot``."""
+    from apache_nifi_spark.sources.iceberg import read_iceberg_snapshot
+
+    root = _staged_iceberg_posdel(spark, sf_dir)
+    snap = read_iceberg_snapshot(spark, root)
+    return snap.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )

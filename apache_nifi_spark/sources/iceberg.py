@@ -68,6 +68,8 @@ MANIFEST_LIST_SCHEMA = {
         # a reader SKIP whole manifests without opening them
         {"name": "partition_min", "type": "string"},
         {"name": "partition_max", "type": "string"},
+        # spec v2: 0 = data manifest, 1 = delete manifest
+        {"name": "content", "type": "int"},
     ],
 }
 
@@ -90,6 +92,8 @@ MANIFEST_ENTRY_SCHEMA = {
                     {"name": "partition", "type": "string"},
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
+                    # spec v2: 0 = DATA, 1 = POSITION_DELETES
+                    {"name": "content", "type": "int"},
                 ],
             },
         },
@@ -97,6 +101,8 @@ MANIFEST_ENTRY_SCHEMA = {
 }
 
 _STATUS_EXISTING, _STATUS_ADDED, _STATUS_DELETED = 0, 1, 2
+#: spec v2 content ids (data_file.content / manifest_file.content)
+_CONTENT_DATA, _CONTENT_POSITION_DELETES = 0, 1
 
 
 def _meta_dir(table_path: str) -> str:
@@ -125,6 +131,7 @@ def iceberg_commit(
     deleted: list[str] | None = None,
     schema: list[tuple[str, str]] | None = None,
     max_entries_per_manifest: int | None = None,
+    position_deletes: dict[str, list[int]] | None = None,
 ) -> int:
     """Commit one snapshot: carry forward the previous snapshot's live
     files (rewritten as EXISTING entries, minus ``deleted`` paths which
@@ -187,6 +194,7 @@ def iceberg_commit(
 
     entries: list[tuple[int, int, dict]] = []
     for r in prev_live:
+        r["data_file"].setdefault("content", _CONTENT_DATA)
         status = (
             _STATUS_DELETED
             if r["data_file"]["file_path"] in deleted
@@ -206,19 +214,58 @@ def iceberg_commit(
                     "file_size_in_bytes": int(
                         df_info.get("file_size_in_bytes", 0)
                     ),
+                    "content": int(df_info.get("content", _CONTENT_DATA)),
                 },
             )
         )
-    # one manifest per partition value (the realistic writer layout —
-    # it is what makes the manifest-list partition summaries prune
-    # whole manifests on read)
-    by_part: dict[str, list] = {}
+    if position_deletes:
+        # spec v2 position-delete FILE: parquet of (file_path, pos),
+        # sorted by (file_path, pos) as required, one file per commit
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pairs = sorted(
+            (fp, int(p))
+            for fp, ps in position_deletes.items()
+            for p in ps
+        )
+        ddir = os.path.join(table_path, "deletes")
+        os.makedirs(ddir, exist_ok=True)
+        dpath = os.path.join(ddir, f"delete-{snapshot_id}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "file_path": pa.array([fp for fp, _ in pairs]),
+                    "pos": pa.array([p for _, p in pairs], pa.int64()),
+                }
+            ),
+            dpath,
+        )
+        entries.append(
+            (
+                _STATUS_ADDED,
+                snapshot_id,
+                {
+                    "file_path": dpath,
+                    "file_format": "PARQUET",
+                    "partition": "",
+                    "record_count": len(pairs),
+                    "file_size_in_bytes": os.path.getsize(dpath),
+                    "content": _CONTENT_POSITION_DELETES,
+                },
+            )
+        )
+    # one manifest per (partition value, content) — the realistic
+    # writer layout: partition summaries prune whole DATA manifests on
+    # read, and delete manifests never mix with data manifests (spec v2)
+    by_part: dict[tuple, list] = {}
     for e in entries:
-        by_part.setdefault(e[2]["partition"], []).append(e)
+        key = (e[2]["partition"], e[2].get("content", _CONTENT_DATA))
+        by_part.setdefault(key, []).append(e)
     list_rows = []
     seq = 0
-    for part in sorted(by_part):
-        rows = by_part[part]
+    for part, content in sorted(by_part):
+        rows = by_part[(part, content)]
         cap = max_entries_per_manifest or len(rows) or 1
         for lo in range(0, len(rows), cap):
             mpath, mlen = _write_manifest(
@@ -226,7 +273,9 @@ def iceberg_commit(
                 f"manifest-{snapshot_id}-{seq}.avro",
                 rows[lo : lo + cap],
             )
-            list_rows.append((mpath, mlen, 0, snapshot_id, part, part))
+            list_rows.append(
+                (mpath, mlen, 0, snapshot_id, part, part, content)
+            )
             seq += 1
     mlist = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
     with open(mlist, "wb") as f:
@@ -445,8 +494,11 @@ def _manifest_list_paths_from(
         raise ValueError(f"no iceberg snapshot {sid}")
     with open(snap["manifest-list"], "rb") as f:
         _schema, rows = decode_container(f.read())
-    # (manifest_path, partition_min, partition_max)
-    return [(r[0], r[4], r[5]) for r in rows]
+    # (manifest_path, partition_min, partition_max, content)
+    return [
+        (r[0], r[4], r[5], r[6] if len(r) > 6 else _CONTENT_DATA)
+        for r in rows
+    ]
 
 
 def _manifest_rows_local(
@@ -475,6 +527,7 @@ def iceberg_active_files(
     table_path: str,
     snapshot_id: int | None = None,
     partition: str | None = None,
+    content: int = _CONTENT_DATA,
 ) -> DataFrame:
     """(file_path, partition, record_count, file_size_in_bytes) active
     in the snapshot: manifest entries with status ≠ DELETED.  The
@@ -488,11 +541,14 @@ def iceberg_active_files(
     unit test proves it by corrupting a pruned manifest), and surviving
     manifests' entries filter by equality."""
     entries = _manifest_list_paths(table_path, snapshot_id)
-    if partition is not None:
+    entries = [e for e in entries if e[3] == content]
+    if partition is not None and content == _CONTENT_DATA:
         entries = [
-            (p, lo, hi) for (p, lo, hi) in entries if lo <= partition <= hi
+            (p, lo, hi, c)
+            for (p, lo, hi, c) in entries
+            if lo <= partition <= hi
         ]
-    paths = [p for (p, _lo, _hi) in entries]
+    paths = [p for (p, _lo, _hi, _c) in entries]
     if not paths:
         return spark.createDataFrame(
             [],
@@ -512,8 +568,11 @@ def iceberg_active_files(
                 for status, _sid, data_file in rows:
                     if status == _STATUS_DELETED:
                         continue
+                    if data_file.get("content", _CONTENT_DATA) != content:
+                        continue
                     if (
                         partition is not None
+                        and content == _CONTENT_DATA
                         and data_file["partition"] != partition
                     ):
                         continue
@@ -547,7 +606,16 @@ def read_iceberg_snapshot(
     When the table carries schema metadata, the scan is projected
     through the CURRENT schema (the spec's read rule after evolution:
     columns absent from an older data file read as null) — Spark's
-    explicit read schema gives exactly that null-fill semantics."""
+    explicit read schema gives exactly that null-fill semantics.
+
+    SPEC V2 POSITION DELETES: when the snapshot carries delete
+    manifests (``content=1``), every data file routes through a
+    per-file task that reads the delete files' rows for ITS path
+    (pyarrow predicate pushdown on the spec's sorted ``file_path``
+    column) and drops the marked row ordinals — merge-on-read, no data
+    rewrite.  Simplification vs the full spec: deletes apply to every
+    matching path regardless of sequence number (this writer never
+    re-adds a path after deleting against it)."""
     files = [
         r["file_path"]
         for r in iceberg_active_files(
@@ -557,7 +625,42 @@ def read_iceberg_snapshot(
     ]
     if not files:
         raise ValueError("empty iceberg snapshot")
+    delete_files = [
+        r["file_path"]
+        for r in iceberg_active_files(
+            spark, table_path, snapshot_id,
+            content=_CONTENT_POSITION_DELETES,
+        )
+        .collect()  # control-plane: O(delete files) manifest rows
+    ]
     ddl = _current_spark_schema(_load_metadata(table_path))
     reader = spark.read.schema(ddl) if ddl else spark.read
-    return reader.parquet(*files)
+    if not delete_files:
+        return reader.parquet(*files)
+    schema = reader.parquet(files[0]).schema  # footer-only
+    names = schema.fieldNames()
+
+    def strip(batches):
+        import pyarrow.parquet as _pq
+
+        for pdf in batches:
+            for path in pdf["path"]:
+                dels = set()
+                for dfp in delete_files:
+                    t = _pq.read_table(
+                        dfp, filters=[("file_path", "==", path)]
+                    )
+                    dels.update(t.column("pos").to_pylist())
+                t = _pq.read_table(path)
+                keep = [i for i in range(t.num_rows) if i not in dels]
+                out = t.take(keep).to_pandas()
+                for n in names:
+                    if n not in out.columns:
+                        out[n] = None  # evolution null-fill
+                yield out[names]
+
+    flist = spark.createDataFrame(
+        [(f,) for f in files], "path string"
+    ).repartition(len(files))
+    return flist.mapInPandas(strip, schema)
 

@@ -945,3 +945,47 @@ def test_dv_codecs_spec_vectors():
     assert d["storageType"] == "i" and d["cardinality"] == 3
     assert len(z85_decode(d["pathOrInlineDv"])) % 4 == 0
     assert read_inline_dv(d) == {1, 5, 9}
+
+
+def test_iceberg_position_deletes_merge_on_read(spark, tmp_path):
+    """Spec v2 position deletes: iceberg_commit(position_deletes=…)
+    writes a sorted (file_path, pos) parquet + a content=1 DELETE
+    manifest; snapshot reads drop exactly the marked ordinals with no
+    data rewrite; two delete commits UNION; time travel before the
+    delete sees every row; a partition-pruned read still applies
+    deletes."""
+    import glob
+    import os
+
+    from apache_nifi_spark.sources.iceberg import (
+        iceberg_commit,
+        read_iceberg_snapshot,
+    )
+
+    root = str(tmp_path / "tbl")
+    added, paths = [], {}
+    for k, part in ((0, "p0"), (1, "p1")):
+        spark.range(k * 100, k * 100 + 100).coalesce(1)\
+            .sortWithinPartitions("id").write.parquet(f"{root}/f{k}")
+        p = glob.glob(f"{root}/f{k}/part-*.parquet")[0]
+        paths[k] = p
+        added.append({"file_path": p, "partition": part,
+                      "record_count": 100,
+                      "file_size_in_bytes": os.path.getsize(p)})
+    iceberg_commit(root, 501, added=added)
+    mtime = os.path.getmtime(paths[0])
+    iceberg_commit(root, 502, added=[],
+                   position_deletes={paths[0]: [0, 7], paths[1]: [99]})
+    iceberg_commit(root, 503, added=[], position_deletes={paths[0]: [50]})
+    ids = sorted(r["id"] for r in read_iceberg_snapshot(spark, root).collect())
+    assert ids == sorted(set(range(200)) - {0, 7, 50, 199})
+    assert os.path.getmtime(paths[0]) == mtime  # no rewrite
+    # time travel: snapshot 501 has all rows, 502 only its delete batch
+    assert read_iceberg_snapshot(spark, root, 501).count() == 200
+    assert read_iceberg_snapshot(spark, root, 502).count() == 197
+    # pruned read of p1 still applies p1's delete
+    p1 = sorted(
+        r["id"]
+        for r in read_iceberg_snapshot(spark, root, partition="p1").collect()
+    )
+    assert p1 == list(range(100, 199))
