@@ -172,3 +172,206 @@ def scd2_intervals_q(spark, sf_dir):
         F.unix_micros(nxt.cast("timestamp")).alias("valid_to_us"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@register(
+    "basket_association_rules",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      FROM lineitem
+    ), n AS (
+      SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets FROM items
+    ), item_n AS (
+      SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM items GROUP BY item
+    ), pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             CAST(count(*) AS BIGINT) AS pair_n
+      FROM items a JOIN items b
+        ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    )
+    SELECT item_a, item_b, pair_n,
+           round(CAST(pair_n AS DOUBLE) / ia.cnt, 6) AS confidence,
+           round(CAST(pair_n AS DOUBLE) * n.n_baskets
+                 / (CAST(ia.cnt AS DOUBLE) * ib.cnt), 6) AS lift
+    FROM pairs
+    JOIN item_n ia ON ia.item = item_a
+    JOIN item_n ib ON ib.item = item_b
+    CROSS JOIN n
+    """,
+)
+def basket_association_rules_q(spark, sf_dir):
+    """Market-basket association rules (Agrawal-Srikant support/
+    confidence/lift — the co-occurrence recommender primitive): basket
+    items pair via a KEYED self-equi-join on the basket id (pair volume
+    is Σ sᵢ² over basket sizes — baskets are small and bounded, never
+    table-grain), pair counts filter at min-support 3, and
+    confidence/lift derive from the pair and item counts by single
+    float divisions (6 dp).  Item-grain joins stay plain equi-joins
+    (AQE broadcasts if genuinely small — no forced hint on an
+    unbounded item vocabulary).  The 1-row basket-count frame is the
+    same bounded keyless cross as the LM type-total class."""
+    items = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("basket"),
+                F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    n_baskets = items.select(
+        F.countDistinct("basket").alias("n_baskets")
+    )
+    item_n = items.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.basket") == F.col("b.basket"))
+               & (F.col("a.item") < F.col("b.item")))
+        .groupBy(F.col("a.item").alias("item_a"),
+                 F.col("b.item").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= 3)
+    )
+    ia = item_n.select(F.col("item").alias("item_a"),
+                       F.col("cnt").alias("cnt_a"))
+    ib = item_n.select(F.col("item").alias("item_b"),
+                       F.col("cnt").alias("cnt_b"))
+    return (
+        pairs.join(ia, "item_a").join(ib, "item_b")
+        .crossJoin(n_baskets)  # 1-row total: bounded by construction
+        .select(
+            "item_a", "item_b", "pair_n",
+            F.round(F.col("pair_n").cast("double") / F.col("cnt_a"), 6)
+            .alias("confidence"),
+            F.round(
+                F.col("pair_n").cast("double") * F.col("n_baskets")
+                / (F.col("cnt_a").cast("double") * F.col("cnt_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "forecast_seasonal_naive_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             SUM(CAST(value AS DECIMAL(18,6))) AS rev
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT d.day,
+           CAST(d.rev AS DOUBLE) AS rev,
+           CAST(f.rev AS DOUBLE) AS forecast,
+           CAST(abs(d.rev - f.rev) AS DOUBLE) AS abs_err
+    FROM daily d JOIN daily f ON f.day = d.day - 7
+    """,
+)
+def forecast_seasonal_naive_backtest_q(spark, sf_dir):
+    """Seasonal-naive forecast backtest (the baseline every forecast
+    model must beat; M-competition protocol): daily revenue in EXACT
+    decimals, forecast(d) = actual(d−7) realized as a keyed SELF-JOIN
+    on the day bucket (never lag-7-rows — row offsets lie when days
+    gap), absolute errors still decimal-exact.  Day-grain frames are
+    O(days) — the join, whatever the table size, runs on chart-sized
+    inputs after one map-side-combinable aggregation."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.expr(
+                "CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"
+                " AS BIGINT)"
+            ).alias("day")
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("rev"))
+    )
+    d = daily.alias("d")
+    f = daily.alias("f")
+    return d.join(
+        f, F.col("f.day") == F.col("d.day") - 7
+    ).select(
+        F.col("d.day").alias("day"),
+        F.col("d.rev").cast("double").alias("rev"),
+        F.col("f.rev").cast("double").alias("forecast"),
+        F.abs(F.col("d.rev") - F.col("f.rev")).cast("double")
+        .alias("abs_err"),
+    )
+
+
+@register(
+    "stats_ab_test_ztest",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+             max(CASE WHEN event_type = 'purchase' AND value > 95 THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ), v AS (
+      SELECT variant, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(converted) AS BIGINT) AS k
+      FROM u GROUP BY variant
+    ), w AS (
+      SELECT
+        max(CASE WHEN variant = 0 THEN n END) AS n0,
+        max(CASE WHEN variant = 0 THEN k END) AS k0,
+        max(CASE WHEN variant = 1 THEN n END) AS n1,
+        max(CASE WHEN variant = 1 THEN k END) AS k1
+      FROM v
+    )
+    SELECT n0, k0, n1, k1,
+           round((CAST(k0 AS DOUBLE) / n0 - CAST(k1 AS DOUBLE) / n1)
+                 / sqrt((CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+                        * (1 - CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+                        * (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1)),
+                 6) AS z,
+           abs((CAST(k0 AS DOUBLE) / n0 - CAST(k1 AS DOUBLE) / n1)
+               / sqrt((CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+                      * (1 - CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+                      * (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1)))
+             > 1.959964 AS significant
+    FROM w
+    """,
+)
+def stats_ab_test_ztest_q(spark, sf_dir):
+    """Two-proportion z-test (the experimentation readout): variants by
+    user-id parity, per-user conversion (any high-value purchase), pooled-variance
+    z statistic and the α=0.05 two-sided significance call.  Counts are
+    exact integers; the z formula is ONE shared float expression in
+    both engines (identical IEEE op sequence), rounded 6 dp.  Two
+    map-side-combinable aggregations → a 1-row report; at any scale the
+    data-plane work is the user-grain conversion rollup."""
+    u = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when((F.col("event_type") == "purchase") & (F.col("value") > 95), 1).otherwise(0)
+            ).alias("converted")
+        )
+        .withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    )
+    v = u.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("k")
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("k"))).alias("k0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("k"))).alias("k1"),
+    )
+    p0 = F.col("k0").cast("double") / F.col("n0")
+    p1 = F.col("k1").cast("double") / F.col("n1")
+    pool = (F.col("k0") + F.col("k1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    se = F.sqrt(
+        pool * (1 - pool)
+        * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    z = (p0 - p1) / se
+    return w.select(
+        "n0", "k0", "n1", "k1",
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 1.959964).alias("significant"),
+    )
