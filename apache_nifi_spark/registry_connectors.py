@@ -911,3 +911,121 @@ def jms_selector_consume_q(spark, sf_dir):
     return ev.filter(jms_selector(sel)).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
+
+
+_SNMP_STAGE: dict[str, tuple] = {}
+
+
+def _staged_snmp(spark, sf_dir):
+    """Process-lifetime SNMP v2c agent whose MIB is the per-user
+    purchase-cents counters (users < 150 — a bounded enterprise-MIB
+    slice, the GetSNMP device-poll shape)."""
+    if sf_dir in _SNMP_STAGE:
+        return _SNMP_STAGE[sf_dir]
+    from apache_nifi_spark.sources.snmp import MiniSnmpAgent
+
+    totals = (
+        _t(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") < 150))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5)).cast("long")
+            .alias("cents")
+        )
+        .collect()  # control-plane: bounded MIB slice (< 150 counters)
+    )
+    mib = {
+        f"1.3.6.1.4.1.9999.1.{r['user_id']}": (0x41, int(r["cents"]))
+        for r in totals
+    }
+    agent = MiniSnmpAgent(mib)
+    _SNMP_STAGE[sf_dir] = (agent, sorted(int(r["user_id"]) for r in totals))
+    return _SNMP_STAGE[sf_dir]
+
+
+@register(
+    "get_snmp_poll",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM events
+    WHERE event_type = 'purchase' AND user_id < 150
+    GROUP BY user_id
+    """,
+)
+def get_snmp_poll_q(spark, sf_dir):
+    """GetSNMP over the REAL wire (§2.1 — the nifi-snmp bundle's device
+    poll): a v2c agent serves per-user purchase-cents Counter32s from
+    its MIB; the poll list is a DataFrame of OIDs and every GetRequest/
+    Response round trip runs executor-side (ASN.1 BER encode/decode
+    from X.690/RFC 3416 — `sources/snmp.py`, one socket per partition).
+    Oracle equality proves OID encode → agent decode → counter encode →
+    response parse is lossless for every row.  At fleet scale the poll
+    parallelizes by partition; the agent here is loopback, real devices
+    are a host:port change."""
+    from apache_nifi_spark.sources.snmp import snmp_get
+
+    agent, user_ids = _staged_snmp(spark, sf_dir)
+    oids = spark.createDataFrame(
+        [(f"1.3.6.1.4.1.9999.1.{u}",) for u in user_ids], "oid string"
+    ).repartition(4)
+    got = snmp_get(oids, "127.0.0.1", agent.port)
+    return got.select(
+        F.element_at(F.split(F.col("oid"), r"\."), -1).cast("long")
+        .alias("user_id"),
+        F.col("value").alias("cents"),
+    )
+
+
+_DNS_STAGE: dict[str, object] = {}
+
+
+def _staged_dns(spark, sf_dir):
+    """Process-lifetime authoritative DNS server for the synthetic
+    ``n<nationkey>.example.com`` zone (25 A records)."""
+    if sf_dir in _DNS_STAGE:
+        return _DNS_STAGE[sf_dir]
+    from apache_nifi_spark.sources.dns_wire import MiniDnsServer
+
+    zone = {f"n{k}.example.com": f"10.0.{k}.1" for k in range(25)}
+    _DNS_STAGE[sf_dir] = MiniDnsServer(zone)
+    return _DNS_STAGE[sf_dir]
+
+
+@register(
+    "query_dns_enrich",
+    oracle="""
+    SELECT s_suppkey,
+           'n' || CAST(s_nationkey AS VARCHAR) || '.example.com' AS hostname,
+           '10.0.' || CAST(s_nationkey AS VARCHAR) || '.1' AS ip,
+           CAST(300 AS BIGINT) AS ttl
+    FROM supplier
+    """,
+)
+def query_dns_enrich_q(spark, sf_dir):
+    """QueryDNS enrichment over the REAL wire (§2.6 — the nifi-enrich
+    bundle's attribute resolver): supplier hostnames resolve against an
+    authoritative loopback server speaking RFC 1035 — label-encoded
+    questions, A-record answers behind §4.1.4 COMPRESSION POINTERS the
+    client must follow — with the scale-correct shape: DISTINCT
+    hostnames resolve once (per-partition cache), then a plain
+    equi-join fans the 25-row answer set back to the rows.  Oracle
+    equality proves encode → serve → pointer-decode → join is lossless.
+    `sources/dns_wire.py`."""
+    from apache_nifi_spark.sources.dns_wire import dns_lookup
+
+    srv = _staged_dns(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.concat(
+            F.lit("n"), F.col("s_nationkey").cast("string"),
+            F.lit(".example.com"),
+        ).alias("hostname"),
+    )
+    resolved = dns_lookup(
+        s.select("hostname").distinct(), "127.0.0.1", srv.port
+    )
+    return s.join(resolved, "hostname").select(
+        "s_suppkey", "hostname", "ip", "ttl"
+    )

@@ -267,3 +267,76 @@ def test_protobuf_wire_codec_edge_cases():
     # wire-type mismatch between writer and reader spec fails loudly
     with pytest.raises(ValueError, match="wire type"):
         pb_decode({1: ("a", "string")}, only_a)
+
+
+def test_snmp_ber_and_agent_roundtrip():
+    """X.690 BER: OID multi-byte arcs, minimal two's-complement ints;
+    RFC 3416: Response matching, noSuchObject for unknown OIDs, error
+    16 on a wrong community."""
+    import socket
+
+    from apache_nifi_spark.sources.snmp import (
+        MiniSnmpAgent,
+        ber_decode,
+        ber_encode_int,
+        ber_encode_oid,
+        snmp_get_request,
+        snmp_parse_response,
+    )
+
+    assert ber_decode(ber_encode_oid("1.3.6.1.4.1.9999.1.200"))[1] == \
+        "1.3.6.1.4.1.9999.1.200"
+    for v in (0, 1, 127, 128, 255, 65535, -1, -128, 2**31 - 1):
+        assert ber_decode(ber_encode_int(v))[1] == v
+    agent = MiniSnmpAgent({"1.3.6.1.2.1.1.3.0": (0x43, 99)})
+    try:
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        s.settimeout(5)
+        s.sendto(snmp_get_request(7, "public", "1.3.6.1.2.1.1.3.0"),
+                 ("127.0.0.1", agent.port))
+        rid, err, binds = snmp_parse_response(s.recvfrom(65535)[0])
+        assert (rid, err) == (7, 0)
+        assert binds == [("1.3.6.1.2.1.1.3.0", 0x43, 99)]
+        s.sendto(snmp_get_request(8, "public", "1.3.6.1.2.1.9.9"),
+                 ("127.0.0.1", agent.port))
+        assert snmp_parse_response(s.recvfrom(65535)[0])[2][0][2] is None
+        s.sendto(snmp_get_request(9, "wrong", "1.3.6.1.2.1.1.3.0"),
+                 ("127.0.0.1", agent.port))
+        assert snmp_parse_response(s.recvfrom(65535)[0])[1] == 16
+        s.close()
+    finally:
+        agent.close()
+
+
+def test_dns_wire_compression_and_nxdomain():
+    """RFC 1035: label encode, §4.1.4 compression-pointer decode on the
+    answer name, NXDOMAIN rcode 3, pointer-loop guard."""
+    import socket
+
+    import pytest
+
+    from apache_nifi_spark.sources.dns_wire import (
+        MiniDnsServer,
+        _decode_name,
+        dns_decode_message,
+        dns_encode_query,
+    )
+
+    srv = MiniDnsServer({"a.example.com": "10.1.2.3"}, ttl=60)
+    try:
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        s.settimeout(5)
+        s.sendto(dns_encode_query(1, "a.example.com"),
+                 ("127.0.0.1", srv.port))
+        txn, rcode, q, ans = dns_decode_message(s.recvfrom(4096)[0])
+        assert (txn, rcode, q) == (1, 0, "a.example.com")
+        assert ans == [("a.example.com", 60, "10.1.2.3")]
+        s.sendto(dns_encode_query(2, "nope.example.com"),
+                 ("127.0.0.1", srv.port))
+        assert dns_decode_message(s.recvfrom(4096)[0])[1] == 3
+        s.close()
+    finally:
+        srv.close()
+    # self-referential pointer must raise, not spin
+    with pytest.raises(ValueError, match="pointer loop"):
+        _decode_name(b"\xc0\x00", 0)
