@@ -168,6 +168,9 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
         # 1-row bigram-type-total broadcast (the KN continuation
         # denominator): keyless by nature, bounded by construction
         "text_kneser_ney_logprob",
+        # 1-row basket-count broadcast (the lift denominator): keyless
+        # by nature, bounded by construction
+        "basket_association_rules",
     }
     for name, fn in QUERIES.items():
         if name.startswith("stream_") or name in skip:
