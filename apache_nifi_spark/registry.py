@@ -50,6 +50,15 @@ ORACLES: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
+        # Fail fast on name collisions: a duplicate would silently
+        # SHADOW the earlier query+oracle pair (the r13
+        # text_char_entropy incident — two tiers registered the same
+        # name and one vanished from the registry and every gate).
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate registry query name: {name!r} "
+                f"(already registered by {QUERIES[name].__module__})"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

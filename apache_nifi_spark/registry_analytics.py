@@ -375,3 +375,441 @@ def stats_ab_test_ztest_q(spark, sf_dir):
         F.round(z, 6).alias("z"),
         (F.abs(z) > 1.959964).alias("significant"),
     )
+
+
+@register(
+    "stats_gini_concentration",
+    oracle="""
+    WITH r AS (
+      SELECT c.c_mktsegment AS segment, o.o_custkey,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,6)))
+                  AS DECIMAL(30,6)) AS revenue
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), k AS (
+      SELECT segment, revenue,
+             row_number() OVER (PARTITION BY segment
+                                ORDER BY revenue, o_custkey) AS i
+      FROM r
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(CAST(sum(revenue) AS DECIMAL(38,6)) AS DOUBLE)
+             AS total_revenue,
+           round((2.0 * CAST(CAST(sum(i * revenue) AS DECIMAL(38,6))
+                             AS DOUBLE)
+                  - (count(*) + 1)
+                    * CAST(CAST(sum(revenue) AS DECIMAL(38,6)) AS DOUBLE))
+                 / (count(*)
+                    * CAST(CAST(sum(revenue) AS DECIMAL(38,6)) AS DOUBLE)),
+                 6) AS gini
+    FROM k GROUP BY segment
+    """,
+)
+def stats_gini_concentration_q(spark, sf_dir):
+    """Gini coefficient of customer revenue per market segment — the
+    corpus-balance / source-concentration diagnostic (a training-data
+    pipeline asks the same question of tokens-per-domain before fixing
+    mixture weights): G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) with xᵢ
+    ascending.  Shape: one keyed join + customer-grain agg, then a
+    per-segment window rank (parallel across segments — never a global
+    sort) and one map-side-combinable agg.  Determinism: revenue and
+    both Σ run in DECIMAL end-to-end (rank index i is exact — the
+    (revenue, custkey) tiebreak makes the order total), only the final
+    ratio is float, rounded 6 dp.  At 100 TB the segment-grain windows
+    each sort only their own hash partition's customers."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    r = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_custkey"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("decimal(30,6)")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy("segment").orderBy("revenue", "o_custkey")
+    k = r.select(
+        "segment", "revenue", F.row_number().over(w).alias("i")
+    )
+    n = F.count(F.lit(1))
+    tot = F.sum("revenue").cast("decimal(38,6)").cast("double")
+    weighted = (
+        F.sum(F.col("i") * F.col("revenue"))
+        .cast("decimal(38,6)")
+        .cast("double")
+    )
+    return k.groupBy("segment").agg(
+        n.cast("bigint").alias("n_customers"),
+        tot.alias("total_revenue"),
+        F.round(
+            (F.lit(2.0) * weighted - (n + 1) * tot) / (n * tot), 6
+        ).alias("gini"),
+    )
+
+
+@register(
+    "stats_ks_drift",
+    oracle="""
+    WITH v AS (
+      SELECT o_totalprice AS val,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS n1,
+             count(*) FILTER (WHERE o_orderstatus = 'O') AS n2
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+      GROUP BY 1
+    ), c AS (
+      SELECT sum(n1) OVER (ORDER BY val) AS c1,
+             sum(n2) OVER (ORDER BY val) AS c2,
+             sum(n1) OVER () AS t1,
+             sum(n2) OVER () AS t2
+      FROM v
+    )
+    SELECT CAST(max(t1) AS BIGINT) AS n1,
+           CAST(max(t2) AS BIGINT) AS n2,
+           round(max(abs(CAST(c1 AS DOUBLE) / t1
+                         - CAST(c2 AS DOUBLE) / t2)), 6) AS d_stat,
+           round(1.358099 * sqrt(CAST(max(t1) + max(t2) AS DOUBLE)
+                                 / (max(t1) * max(t2))), 6) AS d_crit_05,
+           round(max(abs(CAST(c1 AS DOUBLE) / t1
+                         - CAST(c2 AS DOUBLE) / t2)), 6)
+             > round(1.358099 * sqrt(CAST(max(t1) + max(t2) AS DOUBLE)
+                                     / (max(t1) * max(t2))), 6)
+             AS drifted
+    FROM c
+    """,
+)
+def stats_ks_drift_q(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov drift test (finished vs open
+    orders' price distributions — the distribution-shift monitor a
+    training pipeline runs between corpus snapshots), computed WITHOUT
+    a global sort via the distributed two-level prefix sum:
+
+    - value-grain counts per group (one hash agg — ECDFs only jump at
+      observed values);
+    - each distinct value range-bucketed into 64 fixed buckets from a
+      1-row min/max broadcast;
+    - bucket-grain subtotals (≤64 rows) cumulated by a window on the
+      bounded bucket table;
+    - within each bucket, a PARALLEL window (partitionBy bucket) adds
+      the bucket offset to the in-bucket running sum → exact global
+      cumulative counts, so D = max|F₁−F₂| is exact.
+
+    The oracle computes the same ECDFs with one flat window — bit-equal
+    because cumulative counts are integers and the only float ops
+    (division, abs, max, the √ in the critical value) are IEEE-identical
+    in both engines.  Bucket ASSIGNMENT rounding can differ only in
+    which bucket a boundary value lands in, which never changes the
+    cumulative order (buckets are range-contiguous and ordering is
+    bucket-then-value either way).  At 100 TB: two hash aggs + a 64-row
+    control-plane window + per-bucket sorts of 1/64th of the
+    value-distinct frame each — no stage ever sees the global order."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "O"))
+        .select(
+            F.col("o_totalprice").alias("val"), "o_orderstatus"
+        )
+    )
+    v = o.groupBy("val").agg(
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        ).alias("n1"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)
+        ).alias("n2"),
+    )
+    mm = v.agg(
+        F.min("val").alias("lo"),
+        F.max("val").alias("hi"),
+        F.sum("n1").alias("t1"),
+        F.sum("n2").alias("t2"),
+    )
+    b = v.join(F.broadcast(mm)).withColumn(
+        "bkt",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(63),
+                F.floor(
+                    (F.col("val") - F.col("lo"))
+                    * 64.0
+                    / (F.col("hi") - F.col("lo"))
+                ),
+            )
+        ).cast("int"),
+    )
+    bt = b.groupBy("bkt").agg(
+        F.sum("n1").alias("b1"), F.sum("n2").alias("b2")
+    )
+    wb = (
+        Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # ≤64-row bounded bucket table: control-plane-scale sort
+    off = bt.select(
+        "bkt",
+        F.coalesce(F.sum("b1").over(wb), F.lit(0)).alias("off1"),
+        F.coalesce(F.sum("b2").over(wb), F.lit(0)).alias("off2"),
+    )
+    wv = (
+        Window.partitionBy("bkt")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = b.join(F.broadcast(off), "bkt").select(
+        "t1",
+        "t2",
+        (F.col("off1") + F.sum("n1").over(wv)).alias("c1"),
+        (F.col("off2") + F.sum("n2").over(wv)).alias("c2"),
+    )
+    diff = F.abs(
+        F.col("c1").cast("double") / F.col("t1")
+        - F.col("c2").cast("double") / F.col("t2")
+    )
+    agg = c.groupBy("t1", "t2").agg(
+        F.round(F.max(diff), 6).alias("d_stat")
+    )
+    crit = F.round(
+        F.lit(1.358099)
+        * F.sqrt(
+            (F.col("t1") + F.col("t2")).cast("double")
+            / (F.col("t1") * F.col("t2"))
+        ),
+        6,
+    )
+    return agg.select(
+        F.col("t1").cast("bigint").alias("n1"),
+        F.col("t2").cast("bigint").alias("n2"),
+        "d_stat",
+        crit.alias("d_crit_05"),
+        (F.col("d_stat") > crit).alias("drifted"),
+    )
+
+
+@register(
+    "stats_pareto_8020",
+    oracle="""
+    WITH r AS (
+      SELECT c.c_mktsegment AS segment, o.o_custkey,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,6)))
+                  AS DECIMAL(30,6)) AS revenue
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), k AS (
+      SELECT segment, revenue,
+             row_number() OVER (PARTITION BY segment
+                                ORDER BY revenue DESC, o_custkey) AS i,
+             CAST(sum(revenue) OVER (PARTITION BY segment
+                                     ORDER BY revenue DESC, o_custkey)
+                  AS DECIMAL(38,6)) AS cum_rev,
+             CAST(sum(revenue) OVER (PARTITION BY segment)
+                  AS DECIMAL(38,6)) AS tot_rev,
+             count(*) OVER (PARTITION BY segment) AS n
+      FROM r
+    )
+    SELECT segment,
+           CAST(max(n) AS BIGINT) AS n_customers,
+           CAST(min(CASE WHEN CAST(cum_rev AS DOUBLE)
+                              >= 0.8 * CAST(tot_rev AS DOUBLE)
+                         THEN i END) AS BIGINT) AS head_customers,
+           round(CAST(min(CASE WHEN CAST(cum_rev AS DOUBLE)
+                                    >= 0.8 * CAST(tot_rev AS DOUBLE)
+                               THEN i END) AS DOUBLE) / max(n), 6)
+             AS head_share
+    FROM k GROUP BY segment
+    """,
+)
+def stats_pareto_8020_q(spark, sf_dir):
+    """Pareto 80/20 concentration per market segment — "how few heavy
+    sources carry 80 % of the corpus" (the companion readout to
+    [`stats_gini_concentration`]; a mixture designer reads both before
+    reweighting): rank customers by revenue DESC under a total order
+    (revenue, custkey tiebreak), running DECIMAL revenue share, first
+    rank whose cumulative share reaches 80 %.  All windows partition by
+    segment — parallel, never global; cumulative sums are exact
+    decimals so the 0.8 threshold crossing is engine-identical (the
+    only floats are the final two IEEE divisions, compared and rounded
+    the same way in both engines)."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    r = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_custkey"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("decimal(30,6)")
+            .alias("revenue")
+        )
+    )
+    ws = Window.partitionBy("segment").orderBy(
+        F.col("revenue").desc(), "o_custkey"
+    )
+    wseg = Window.partitionBy("segment")
+    k = r.select(
+        "segment",
+        F.row_number().over(ws).alias("i"),
+        F.sum("revenue")
+        .over(ws.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("decimal(38,6)")
+        .alias("cum_rev"),
+        F.sum("revenue").over(wseg).cast("decimal(38,6)").alias("tot_rev"),
+        F.count(F.lit(1)).over(wseg).alias("n"),
+    )
+    head = F.min(
+        F.when(
+            F.col("cum_rev").cast("double")
+            >= 0.8 * F.col("tot_rev").cast("double"),
+            F.col("i"),
+        )
+    )
+    return k.groupBy("segment").agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        head.cast("bigint").alias("head_customers"),
+        F.round(
+            head.cast("double") / F.max("n"), 6
+        ).alias("head_share"),
+    )
+
+
+@register(
+    "stats_mann_whitney_u",
+    oracle="""
+    WITH v AS (
+      SELECT o_totalprice AS val,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS n1,
+             count(*) AS m
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+      GROUP BY 1
+    ), c AS (
+      SELECT n1, m,
+             sum(m) OVER (ORDER BY val) - m AS cbefore,
+             sum(n1) OVER () AS t1,
+             sum(m) OVER () AS n,
+             sum(m * m * m - m) OVER () AS ties
+      FROM v
+    ), s AS (
+      SELECT max(t1) AS t1, max(n) AS n, max(ties) AS ties,
+             CAST(sum(CAST(n1 AS DECIMAL(38,0))
+                      * (2 * cbefore + m + 1)) AS DECIMAL(38,0)) AS r1x2
+      FROM c
+    )
+    SELECT CAST(t1 AS BIGINT) AS n1,
+           CAST(n - t1 AS BIGINT) AS n2,
+           CAST(CAST(r1x2 AS DOUBLE) / 2
+                - CAST(t1 * (t1 + 1) AS DOUBLE) / 2 AS DOUBLE) AS u1,
+           round((CAST(r1x2 AS DOUBLE) / 2
+                  - CAST(t1 * (t1 + 1) AS DOUBLE) / 2
+                  - CAST(t1 * (n - t1) AS DOUBLE) / 2)
+                 / sqrt(CAST(t1 AS DOUBLE) * (n - t1) / 12.0
+                        * ((n + 1)
+                           - CAST(ties AS DOUBLE) / (n * (n - 1)))),
+                 6) AS z
+    FROM s
+    """,
+)
+def stats_mann_whitney_u_q(spark, sf_dir):
+    """Mann–Whitney U rank-sum test (finished vs open orders — the
+    ordinal-shift drift monitor next to [`stats_ks_drift`]'s
+    shape test; a corpus pipeline runs it on quality scores between
+    snapshots), with the textbook tie correction, computed WITHOUT a
+    global sort: ranks come from the same distributed two-level prefix
+    sum the KS query uses — cbefore(v) = bucket offset + in-bucket
+    running sum − m(v), with the in-bucket windows parallel across the
+    64 range buckets and the bucket-offset window bounded at 64 rows.
+
+    Exactness: tied ranks are handled via doubled integer sums
+    (2·avg_rank = 2·cbefore + m + 1, so R₁×2 accumulates as
+    DECIMAL(38,0) with zero float error; Σ(m³−m) likewise integer);
+    the z statistic is the single shared IEEE expression, rounded 6 dp.
+    At 100 TB the heavy ops are two hash aggs; the only sorts are
+    per-bucket over 1/64th of the distinct-value frame."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "O"))
+        .select(F.col("o_totalprice").alias("val"), "o_orderstatus")
+    )
+    v = o.groupBy("val").agg(
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        ).alias("n1"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    mm = v.agg(
+        F.min("val").alias("lo"),
+        F.max("val").alias("hi"),
+        F.sum("n1").alias("t1"),
+        F.sum("m").alias("n"),
+        F.sum(
+            F.col("m") * F.col("m") * F.col("m") - F.col("m")
+        ).alias("ties"),
+    )
+    b = v.join(F.broadcast(mm)).withColumn(
+        "bkt",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(63),
+                F.floor(
+                    (F.col("val") - F.col("lo"))
+                    * 64.0
+                    / (F.col("hi") - F.col("lo"))
+                ),
+            )
+        ).cast("int"),
+    )
+    bt = b.groupBy("bkt").agg(F.sum("m").alias("bm"))
+    wb = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # ≤64-row bounded bucket table: control-plane-scale sort
+    off = bt.select(
+        "bkt", F.coalesce(F.sum("bm").over(wb), F.lit(0)).alias("boff")
+    )
+    wv = (
+        Window.partitionBy("bkt")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = b.join(F.broadcast(off), "bkt").select(
+        "n1",
+        "m",
+        "t1",
+        "n",
+        "ties",
+        (F.col("boff") + F.sum("m").over(wv) - F.col("m")).alias(
+            "cbefore"
+        ),
+    )
+    s = c.groupBy("t1", "n", "ties").agg(
+        F.sum(
+            F.col("n1").cast("decimal(38,0)")
+            * (2 * F.col("cbefore") + F.col("m") + 1)
+        )
+        .cast("decimal(38,0)")
+        .alias("r1x2")
+    )
+    t1d = F.col("t1").cast("double")
+    t2 = F.col("n") - F.col("t1")
+    u1 = (
+        F.col("r1x2").cast("double") / 2
+        - (F.col("t1") * (F.col("t1") + 1)).cast("double") / 2
+    )
+    sigma = F.sqrt(
+        t1d * t2 / 12.0
+        * (
+            (F.col("n") + 1)
+            - F.col("ties").cast("double")
+            / (F.col("n") * (F.col("n") - 1))
+        )
+    )
+    return s.select(
+        F.col("t1").cast("bigint").alias("n1"),
+        t2.cast("bigint").alias("n2"),
+        u1.cast("double").alias("u1"),
+        F.round(
+            (u1 - (F.col("t1") * t2).cast("double") / 2) / sigma, 6
+        ).alias("z"),
+    )

@@ -7116,7 +7116,7 @@ def stats_correlation_matrix_q(spark, sf_dir):
 
 
 @register(
-    "text_char_entropy",
+    "text_chardist_entropy",
     oracle="""
     WITH ch AS (
       SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9 ]'))
@@ -7135,7 +7135,7 @@ def stats_correlation_matrix_q(spark, sf_dir):
     FROM terms GROUP BY doc_id
     """,
 )
-def text_char_entropy_q(spark, sf_dir):
+def text_chardist_entropy_q(spark, sf_dir):
     """Per-document character-distribution Shannon entropy (the
     gibberish / encoded-blob / keyboard-mash quality signal next to
     the Gopher and C4 rules): alphabet-restricted char counts, then
@@ -7278,4 +7278,82 @@ def stats_cusum_drift_q(spark, sf_dir):
         F.sum(F.when(alarmed, 1).otherwise(0)).cast("long").alias("n_alarms"),
         F.min(F.when(alarmed, F.col("event_id"))).cast("long")
         .alias("first_alarm"),
+    )
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_distinct(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+               x -> x != '')) AS toks
+      FROM documents WHERE doc_id < 80
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(length(list_intersect(a.toks, b.toks)) AS BIGINT)
+             AS n_shared,
+           round(CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / least(length(a.toks), length(b.toks)), 6)
+             AS containment
+    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE length(a.toks) > 0 AND length(b.toks) > 0
+      AND CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / least(length(a.toks), length(b.toks)) >= 0.6
+    """,
+)
+def dedup_containment_pairs_q(spark, sf_dir):
+    """Token-set CONTAINMENT pairs — the subset-duplicate detector the
+    Jaccard tier misses (Broder's containment C = |A∩B| / min(|A|,|B|):
+    a short doc fully embedded in a long one scores ~1.0 here but low
+    Jaccard because the union is dominated by the long doc; exactly
+    the boilerplate-wrapped-article and quote-inside-thread cases a
+    training-data dedup must catch).  Same blocked-verifier shape as
+    ``dedup_ngram_jaccard``: language-blocked self-join (never
+    all-pairs), distinct word-token arrays built by one codegen'd
+    projection, intersection sized JVM-side — no explode, no UDF.
+    Determinism: set sizes are integers; the single float division is
+    IEEE-identical in both engines, rounded 6 dp.  At 100 TB the lang
+    block becomes the LSH band bucket (dedup_minhash_lsh) and this
+    exact containment is its verifier stage."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 80)
+        .select(
+            "doc_id",
+            "lang",
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower("text"), r"[^a-z0-9']+", -1),
+                    lambda t: t != "",
+                )
+            ).alias("toks"),
+        )
+    )
+    a, b = d.alias("a"), d.alias("b")
+    inter = F.size(
+        F.array_intersect(F.col("a.toks"), F.col("b.toks"))
+    )
+    denom = F.least(
+        F.size(F.col("a.toks")), F.size(F.col("b.toks"))
+    )
+    cont = inter.cast("double") / denom
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(
+            (F.size(F.col("a.toks")) > 0)
+            & (F.size(F.col("b.toks")) > 0)
+            & (cont >= 0.6)
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            inter.cast("bigint").alias("n_shared"),
+            F.round(cont, 6).alias("containment"),
+        )
     )

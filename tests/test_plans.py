@@ -171,6 +171,11 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
         # 1-row basket-count broadcast (the lift denominator): keyless
         # by nature, bounded by construction
         "basket_association_rules",
+        # 1-row min/max/totals broadcast feeding the range bucketer:
+        # keyless by nature, bounded by construction
+        "stats_ks_drift",
+        # same 1-row range-bucketer broadcast shape
+        "stats_mann_whitney_u",
     }
     for name, fn in QUERIES.items():
         if name.startswith("stream_") or name in skip:
@@ -339,6 +344,10 @@ def test_no_broadcast_hint_on_corpus_cardinality_frames():
         ("llm/text.py", "nd"): "1-row doc count",
         # sketch: quantile read-out probs frame, len(probs) rows
         ("llm/sketch.py", "pf"): "len(probs) literal rows",
+        # KS / Mann-Whitney two-level prefix sum: mm = 1-row min/max/
+        # totals aggregate; off = fixed 64-range-bucket offset table
+        ("registry_analytics.py", "mm"): "1-row min/max/totals aggregate",
+        ("registry_analytics.py", "off"): "fixed 64-bucket offset table",
     }
     pkg_root = pathlib.Path(apache_nifi_spark.__file__).parent
     offenders = []
