@@ -396,7 +396,9 @@ def stats_ab_test_ztest_q(spark, sf_dir):
            CAST(count(*) AS BIGINT) AS n_customers,
            CAST(CAST(sum(revenue) AS DECIMAL(38,6)) AS DOUBLE)
              AS total_revenue,
-           round((2.0 * CAST(CAST(sum(i * revenue) AS DECIMAL(38,6))
+           round((2.0 * CAST(CAST(sum(CAST(i AS DECIMAL(18,0))
+                                      * CAST(revenue AS DECIMAL(19,6)))
+                                  AS DECIMAL(38,6))
                              AS DOUBLE)
                   - (count(*) + 1)
                     * CAST(CAST(sum(revenue) AS DECIMAL(38,6)) AS DOUBLE))
@@ -413,10 +415,14 @@ def stats_gini_concentration_q(spark, sf_dir):
     mixture weights): G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) with xᵢ
     ascending.  Shape: one keyed join + customer-grain agg, then a
     per-segment window rank (parallel across segments — never a global
-    sort) and one map-side-combinable agg.  Determinism: revenue and
-    both Σ run in DECIMAL end-to-end (rank index i is exact — the
-    (revenue, custkey) tiebreak makes the order total), only the final
-    ratio is float, rounded 6 dp.  At 100 TB the segment-grain windows
+    sort) and one map-side-combinable agg.  Determinism: Σxᵢ runs in
+    DECIMAL end-to-end; the Σi·xᵢ product is pre-cast to an EXPLICIT
+    DECIMAL(18,0)×DECIMAL(19,6) in BOTH engines so each computes the
+    identical decimal(≤38,6) product (exact while rank < 10¹⁸ and
+    per-customer revenue < 10¹³ — comfortably past 100 TB; beyond
+    that both engines overflow loudly rather than diverging silently).
+    The (revenue, custkey) tiebreak makes the rank order total; only
+    the final ratio is float, rounded 6 dp.  At 100 TB the segment-grain windows
     each sort only their own hash partition's customers."""
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
@@ -439,7 +445,10 @@ def stats_gini_concentration_q(spark, sf_dir):
     n = F.count(F.lit(1))
     tot = F.sum("revenue").cast("decimal(38,6)").cast("double")
     weighted = (
-        F.sum(F.col("i") * F.col("revenue"))
+        F.sum(
+            F.col("i").cast("decimal(18,0)")
+            * F.col("revenue").cast("decimal(19,6)")
+        )
         .cast("decimal(38,6)")
         .cast("double")
     )
@@ -690,7 +699,7 @@ def stats_pareto_8020_q(spark, sf_dir):
              sum(m) OVER (ORDER BY val) - m AS cbefore,
              sum(n1) OVER () AS t1,
              sum(m) OVER () AS n,
-             sum(m * m * m - m) OVER () AS ties
+             sum(CAST(m AS HUGEINT) * m * m - m) OVER () AS ties
       FROM v
     ), s AS (
       SELECT max(t1) AS t1, max(n) AS n, max(ties) AS ties,
@@ -724,7 +733,9 @@ def stats_mann_whitney_u_q(spark, sf_dir):
 
     Exactness: tied ranks are handled via doubled integer sums
     (2·avg_rank = 2·cbefore + m + 1, so R₁×2 accumulates as
-    DECIMAL(38,0) with zero float error; Σ(m³−m) likewise integer);
+    DECIMAL(38,0) with zero float error; Σ(m³−m) accumulates with m
+    pre-cast to DECIMAL(12,0) / HUGEINT so a value tied across up to
+    10¹² rows cubes exactly instead of wrapping 64-bit);
     the z statistic is the single shared IEEE expression, rounded 6 dp.
     At 100 TB the heavy ops are two hash aggs; the only sorts are
     per-bucket over 1/64th of the distinct-value frame."""
@@ -745,7 +756,10 @@ def stats_mann_whitney_u_q(spark, sf_dir):
         F.sum("n1").alias("t1"),
         F.sum("m").alias("n"),
         F.sum(
-            F.col("m") * F.col("m") * F.col("m") - F.col("m")
+            F.col("m").cast("decimal(12,0)")
+            * F.col("m").cast("decimal(12,0)")
+            * F.col("m").cast("decimal(12,0)")
+            - F.col("m")
         ).alias("ties"),
     )
     b = v.join(F.broadcast(mm)).withColumn(
