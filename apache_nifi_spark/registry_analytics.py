@@ -827,3 +827,578 @@ def stats_mann_whitney_u_q(spark, sf_dir):
             (u1 - (F.col("t1") * t2).cast("double") / 2) / sigma, 6
         ).alias("z"),
     )
+
+def _cbefore_map(v, val_col="val", m_col="m", buckets=64):
+    """Distributed dense-rank plumbing shared by the rank-statistics
+    tier (Spearman / Kruskal–Wallis here; KS / Mann–Whitney keep their
+    round-13 inline copies verbatim): given a VALUE-GRAIN frame with a
+    per-value row count, add ``cbefore`` = #rows strictly below the
+    value, WITHOUT a global sort.
+
+    Two-level prefix sum: values range-bucket into ``buckets`` fixed
+    ranges from a 1-row min/max broadcast; bucket subtotals (≤buckets
+    rows — control-plane) cumulate under one bounded window; within
+    each bucket a PARALLEL window (partitionBy bucket) adds the offset.
+    Exact: cumulative counts are integers.  At 100 TB each per-bucket
+    sort sees 1/``buckets`` of the value-distinct frame and no stage
+    ever holds the global order.  Tie-averaged 1-based rank doubles to
+    the integer ``2·cbefore + m + 1``.
+    """
+    mm = v.agg(
+        F.min(val_col).alias("__lo"), F.max(val_col).alias("__hi")
+    )
+    b = v.join(F.broadcast(mm)).withColumn(
+        "__bkt",
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(buckets - 1),
+                F.floor(
+                    (F.col(val_col) - F.col("__lo"))
+                    * float(buckets)
+                    / (F.col("__hi") - F.col("__lo"))
+                ),
+            )
+        ).cast("int"),
+    )
+    bt = b.groupBy("__bkt").agg(F.sum(m_col).alias("__bm"))
+    wb = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # ≤``buckets``-row bounded bucket table: control-plane-scale sort
+    off = bt.select(
+        "__bkt",
+        F.coalesce(F.sum("__bm").over(wb), F.lit(0)).alias("__boff"),
+    )
+    wv = (
+        Window.partitionBy("__bkt")
+        .orderBy(val_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        b.join(F.broadcast(off), "__bkt")
+        .withColumn(
+            "cbefore",
+            F.col("__boff") + F.sum(m_col).over(wv) - F.col(m_col),
+        )
+        .drop("__bkt", "__lo", "__hi", "__boff")
+    )
+
+
+@register(
+    "stats_spearman_rank",
+    oracle="""
+    WITH vx AS (
+      SELECT l_quantity AS v, count(*) AS m FROM lineitem GROUP BY 1
+    ), cx AS (
+      SELECT v, 2 * (sum(m) OVER (ORDER BY v) - m) + m + 1 AS r2
+      FROM vx
+    ), vy AS (
+      SELECT l_extendedprice AS v, count(*) AS m FROM lineitem GROUP BY 1
+    ), cy AS (
+      SELECT v, 2 * (sum(m) OVER (ORDER BY v) - m) + m + 1 AS r2
+      FROM vy
+    ), r AS (
+      SELECT CAST(cx.r2 AS DECIMAL(19,0)) AS rx,
+             CAST(cy.r2 AS DECIMAL(19,0)) AS ry
+      FROM lineitem l
+      JOIN cx ON l.l_quantity = cx.v
+      JOIN cy ON l.l_extendedprice = cy.v
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(rx) AS sx, sum(ry) AS sy,
+             sum(rx * rx) AS sxx, sum(ry * ry) AS syy,
+             sum(rx * ry) AS sxy
+      FROM r
+    )
+    SELECT n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS spearman_rho
+    FROM s
+    """,
+)
+def stats_spearman_rank_q(spark, sf_dir):
+    """Spearman rank correlation with exact tie-averaged ranks (the
+    monotone-association drift monitor next to [stats_pearson_exact]'s
+    linear one — a corpus pipeline runs it between quality-score
+    versions because rank stability, not linearity, is what reweighting
+    preserves), computed WITHOUT a global sort.
+
+    Ranks: per-column value-grain counts → the shared two-level
+    64-bucket prefix sum (``_cbefore_map``) → doubled tie-averaged rank
+    2R = 2·cbefore + m + 1 (integer exact).  Rows join their two rank
+    maps by value (keyed equi-joins — the quantity map is tiny and AQE
+    broadcasts it; the price map shuffles on the value key).  ρ is
+    Pearson on the doubled ranks (scale-invariance makes the doubling
+    free), with the five moment sums in DECIMAL(38,0) — addition-order
+    independent — and one shared IEEE closed form, rounded 6 dp.
+    At 100 TB: two hash aggs, two keyed joins, per-bucket sorts over
+    1/64th of each value-distinct frame; no global sort anywhere."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    )
+    r2 = lambda col: (2 * F.col("cbefore") + F.col("m") + 1).alias(col)
+    rx = _cbefore_map(
+        li.groupBy(F.col("x").alias("v")).agg(F.count(F.lit(1)).alias("m")),
+        val_col="v",
+    ).select("v", r2("rx"))
+    ry = _cbefore_map(
+        li.groupBy(F.col("y").alias("v")).agg(F.count(F.lit(1)).alias("m")),
+        val_col="v",
+    ).select("v", r2("ry"))
+    rows = (
+        li.join(rx, li["x"] == rx["v"])
+        .join(ry, li["y"] == ry["v"])
+        .select(
+            F.col("rx").cast("decimal(19,0)").alias("rx"),
+            F.col("ry").cast("decimal(19,0)").alias("ry"),
+        )
+    )
+    s = rows.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            (nd * sxy - sx * sy)
+            / (F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+@register(
+    "stats_kruskal_wallis",
+    oracle="""
+    WITH vg AS (
+      SELECT o_totalprice AS val, o_orderpriority AS grp,
+             count(*) AS cnt
+      FROM orders GROUP BY 1, 2
+    ), v AS (
+      SELECT val, sum(cnt) AS m FROM vg GROUP BY 1
+    ), c AS (
+      SELECT val, m, sum(m) OVER (ORDER BY val) - m AS cbefore,
+             sum(m) OVER () AS n,
+             sum(CAST(m AS HUGEINT) * m * m - m) OVER () AS ties
+      FROM v
+    ), g AS (
+      SELECT vg.grp,
+             CAST(sum(CAST(vg.cnt AS DECIMAL(38,0))
+                      * (2 * c.cbefore + c.m + 1)) AS DECIMAL(38,0))
+               AS r2sum,
+             CAST(sum(vg.cnt) AS BIGINT) AS ng,
+             max(c.n) AS n, max(c.ties) AS ties
+      FROM vg JOIN c ON vg.val = c.val
+      GROUP BY 1
+    ), t AS (
+      SELECT grp, ng, n, ties,
+             CAST(CAST(r2sum AS DOUBLE) * CAST(r2sum AS DOUBLE) / ng
+                  AS DECIMAL(30,6)) AS term
+      FROM g
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS k, max(n) AS n,
+             max(ties) AS ties, sum(term) AS terms
+      FROM t
+    )
+    SELECT k, CAST(n AS BIGINT) AS n,
+           round((3.0 / (CAST(n AS DOUBLE) * (n + 1))
+                  * CAST(terms AS DOUBLE) - 3.0 * (n + 1))
+                 / (1 - CAST(ties AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * n * n - n)),
+                 6) AS h_stat
+    FROM s
+    """,
+)
+def stats_kruskal_wallis_q(spark, sf_dir):
+    """Kruskal–Wallis rank ANOVA (order price across the five order
+    priorities — the k-group generalization of [stats_mann_whitney_u];
+    a corpus pipeline runs it on quality scores across source domains
+    to ask "does ANY source shift the distribution?"), with the
+    textbook tie correction, computed WITHOUT a global sort.
+
+    Ranks come from the shared two-level 64-bucket prefix sum
+    (``_cbefore_map``) on the value-grain frame; per-group rank sums
+    accumulate the doubled tie-averaged rank Σ 2R = Σ cnt·(2·cbefore
+    + m + 1) in DECIMAL(38,0) (integer-exact, order-free); the k
+    per-group (ΣR)²/n_g terms are each ONE shared IEEE expression cast
+    to DECIMAL(30,6) once, so the k-term sum is order-free too; H uses
+    the doubled-rank identity H = 3/(n(n+1))·Σ(Σ2R)²/n_g − 3(n+1),
+    then divides by the tie correction 1 − Σ(m³−m)/(n³−n) (m cubed in
+    DECIMAL/HUGEINT — no 64-bit wrap at any tie depth).  At 100 TB:
+    two hash aggs, one keyed join, per-bucket sorts over 1/64th of
+    the value-distinct frame, and a k-row control-plane combine."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("val"),
+        F.col("o_orderpriority").alias("grp"),
+    )
+    vg = o.groupBy("val", "grp").agg(F.count(F.lit(1)).alias("cnt"))
+    v = vg.groupBy("val").agg(F.sum("cnt").alias("m"))
+    tot = v.agg(
+        F.sum("m").alias("n"),
+        F.sum(
+            F.col("m").cast("decimal(12,0)")
+            * F.col("m").cast("decimal(12,0)")
+            * F.col("m").cast("decimal(12,0)")
+            - F.col("m")
+        ).alias("ties"),
+    )
+    c = _cbefore_map(v, val_col="val")
+    g = (
+        vg.join(c, "val")
+        .join(F.broadcast(tot))
+        .groupBy("grp")
+        .agg(
+            F.sum(
+                F.col("cnt").cast("decimal(38,0)")
+                * (2 * F.col("cbefore") + F.col("m") + 1)
+            )
+            .cast("decimal(38,0)")
+            .alias("r2sum"),
+            F.sum("cnt").cast("bigint").alias("ng"),
+            F.max("n").alias("n"),
+            F.max("ties").alias("ties"),
+        )
+    )
+    t = g.select(
+        "grp", "ng", "n", "ties",
+        (
+            F.col("r2sum").cast("double")
+            * F.col("r2sum").cast("double")
+            / F.col("ng")
+        )
+        .cast("decimal(30,6)")
+        .alias("term"),
+    )
+    s = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.max("n").alias("n"),
+        F.max("ties").alias("ties"),
+        F.sum("term").alias("terms"),
+    )
+    nd = F.col("n").cast("double")
+    h = (
+        F.lit(3.0) / (nd * (F.col("n") + 1)) * F.col("terms").cast("double")
+        - F.lit(3.0) * (F.col("n") + 1)
+    )
+    corr = 1 - F.col("ties").cast("double") / (nd * F.col("n") * F.col("n") - F.col("n"))
+    return s.select(
+        "k",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(h / corr, 6).alias("h_stat"),
+    )
+
+@register(
+    "stats_chi_squared_cramers",
+    oracle="""
+    WITH cells AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+             CAST(count(*) AS BIGINT) AS obs
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), m AS (
+      SELECT seg, pri, obs,
+             sum(obs) OVER (PARTITION BY seg) AS rtot,
+             sum(obs) OVER (PARTITION BY pri) AS ctot,
+             sum(obs) OVER () AS n
+      FROM cells
+    ), t AS (
+      SELECT seg, pri, n,
+             CAST(pow(CAST(obs AS DOUBLE)
+                      - CAST(rtot AS DOUBLE) * ctot / n, 2)
+                  / (CAST(rtot AS DOUBLE) * ctot / n)
+                  AS DECIMAL(28,9)) AS term
+      FROM m
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           CAST(count(DISTINCT seg) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT pri) AS BIGINT) AS n_cols,
+           CAST((count(DISTINCT seg) - 1) * (count(DISTINCT pri) - 1)
+                AS BIGINT) AS dof,
+           round(CAST(sum(term) AS DOUBLE), 6) AS chi2,
+           round(sqrt(CAST(sum(term) AS DOUBLE)
+                      / (CAST(max(n) AS DOUBLE)
+                         * least(count(DISTINCT seg) - 1,
+                                 count(DISTINCT pri) - 1))), 6)
+             AS cramers_v
+    FROM t
+    """,
+)
+def stats_chi_squared_cramers_q(spark, sf_dir):
+    """χ² test of independence + Cramér's V (market segment ×
+    order priority — the "is this metadata dimension informative?"
+    screen a training pipeline runs between source labels and quality
+    buckets before stratifying on them).  Shape: one keyed join + one
+    hash agg to the |seg|×|pri| contingency frame (constant-size —
+    row-count independent), then windows PARTITIONED over that tiny
+    frame for the margins (the one unpartitioned total runs over ≤25
+    rows — control-plane).  Each cell's (O−E)²/E is ONE shared IEEE
+    expression cast to DECIMAL(28,9) once, so the cell sum is
+    addition-order free; only the final √ and divisions are float,
+    rounded 6 dp.  At 100 TB the data-plane work is the join + agg;
+    everything after runs on a constant-size frame."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    m = cells.select(
+        "seg", "pri", "obs",
+        F.sum("obs").over(Window.partitionBy("seg")).alias("rtot"),
+        F.sum("obs").over(Window.partitionBy("pri")).alias("ctot"),
+        # ≤|seg|·|pri| rows (constant-size contingency frame):
+        # control-plane-scale total
+        F.sum("obs").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("rtot").cast("double") * F.col("ctot") / F.col("n")
+    t = m.select(
+        "seg", "pri", "n",
+        (
+            F.pow(F.col("obs").cast("double") - e, F.lit(2)) / e
+        ).cast("decimal(28,9)").alias("term"),
+    )
+    chi2 = F.sum("term").cast("double")
+    r1 = F.countDistinct("seg") - 1
+    c1 = F.countDistinct("pri") - 1
+    return t.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.countDistinct("seg").cast("bigint").alias("n_rows"),
+        F.countDistinct("pri").cast("bigint").alias("n_cols"),
+        (r1 * c1).cast("bigint").alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.sqrt(chi2 / (F.max("n").cast("double") * F.least(r1, c1))), 6
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "stats_anova_oneway",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag AS grp,
+             CAST(count(*) AS BIGINT) AS ng,
+             SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS sg,
+             SUM(CAST(l_extendedprice AS DECIMAL(30,6))
+                 * CAST(l_extendedprice AS DECIMAL(30,6))) AS qg
+      FROM lineitem GROUP BY 1
+    ), t AS (
+      SELECT grp, ng, sg, qg,
+             CAST(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng
+                  AS DECIMAL(30,6)) AS term
+      FROM g
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(ng) AS BIGINT) AS n,
+             CAST(sum(sg) AS DECIMAL(38,6)) AS s_all,
+             CAST(sum(qg) AS DECIMAL(38,6)) AS q_all,
+             sum(term) AS t_all
+      FROM t
+    )
+    SELECT k, n,
+           round(((CAST(t_all AS DOUBLE)
+                   - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / n)
+                  / (k - 1))
+                 / ((CAST(q_all AS DOUBLE) - CAST(t_all AS DOUBLE))
+                    / (n - k)), 6) AS f_stat,
+           round((CAST(t_all AS DOUBLE)
+                  - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / n)
+                 / (CAST(q_all AS DOUBLE)
+                    - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / n),
+                 6) AS eta_squared
+    FROM s
+    """,
+)
+def stats_anova_oneway_q(spark, sf_dir):
+    """One-way ANOVA F statistic + η² effect size (extended price
+    across return flags — the parametric k-group mean test beside
+    [stats_kruskal_wallis]'s rank one; a pipeline runs both because
+    heavy-tailed quality scores flunk normality).  Per-group moments
+    (n_g, Σx, Σx²) accumulate as exact decimals in ONE map-side-
+    combinable hash agg; each group's (Σx)²/n_g is one shared IEEE
+    expression cast to DECIMAL(30,6) once, making the k-term sums
+    order-free; SSB = Σ(Σx)²/n_g − (Σx)²/N and SSW = Σx² − Σ(Σx)²/n_g
+    combine in doubles only inside the final 1-row expression, rounded
+    6 dp.  At any scale the data-plane work is one agg over the fact
+    table; everything after is a k-row control-plane combine."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").cast("decimal(30,6)").alias("x"),
+    )
+    g = li.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("x").alias("sg"),
+        F.sum(F.col("x") * F.col("x")).alias("qg"),
+    )
+    t = g.select(
+        "ng", "sg", "qg",
+        (
+            F.col("sg").cast("double")
+            * F.col("sg").cast("double")
+            / F.col("ng")
+        ).cast("decimal(30,6)").alias("term"),
+    )
+    s = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("ng").cast("bigint").alias("n"),
+        F.sum("sg").cast("decimal(38,6)").alias("s_all"),
+        F.sum("qg").cast("decimal(38,6)").alias("q_all"),
+        F.sum("term").alias("t_all"),
+    )
+    ta = F.col("t_all").cast("double")
+    sa = F.col("s_all").cast("double")
+    qa = F.col("q_all").cast("double")
+    nd = F.col("n").cast("double")
+    ssb = ta - sa * sa / F.col("n")
+    sst = qa - sa * sa / F.col("n")
+    return s.select(
+        "k", "n",
+        F.round(
+            (ssb / (F.col("k") - 1)) / ((qa - ta) / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+        F.round(ssb / sst, 6).alias("eta_squared"),
+    )
+
+
+@register(
+    "stats_theil_index",
+    oracle="""
+    WITH r AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,6)))
+                  AS DECIMAL(30,6)) AS revenue
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, o.o_custkey
+    ), t AS (
+      SELECT segment, revenue,
+             CAST(CAST(revenue AS DOUBLE) * ln(CAST(revenue AS DOUBLE))
+                  AS DECIMAL(28,6)) AS xlnx
+      FROM r
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(CAST(sum(revenue) AS DECIMAL(38,6)) AS DOUBLE)
+             AS total_revenue,
+           round(CAST(sum(xlnx) AS DOUBLE)
+                   / CAST(CAST(sum(revenue) AS DECIMAL(38,6)) AS DOUBLE)
+                 - ln(CAST(CAST(sum(revenue) AS DECIMAL(38,6)) AS DOUBLE))
+                 + ln(count(*)), 6) AS theil_t
+    FROM t GROUP BY segment
+    """,
+)
+def stats_theil_index_q(spark, sf_dir):
+    """Theil T inequality index of customer revenue per market segment
+    (the decomposable companion to [stats_gini_concentration] — Theil
+    is the one that splits into within/between-source terms, which is
+    why corpus-balance dashboards prefer it): using the single-pass
+    identity T = (Σx·ln x)/Σx − ln Σx + ln n, each row's x·ln x is ONE
+    shared IEEE expression cast to DECIMAL(28,6) once (order-free
+    sum), Σx stays decimal end-to-end, and the closing combination is
+    a single float expression rounded 6 dp.  Shape: one keyed join +
+    two hash aggs — NO second pass for the mean, no window, no sort;
+    linear at any scale."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    r = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"), F.col("o_custkey")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("decimal(30,6)")
+            .alias("revenue")
+        )
+    )
+    xd = F.col("revenue").cast("double")
+    t = r.select(
+        "segment", "revenue",
+        (xd * F.log(xd)).cast("decimal(28,6)").alias("xlnx"),
+    )
+    tot = F.sum("revenue").cast("decimal(38,6)").cast("double")
+    return t.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        tot.alias("total_revenue"),
+        F.round(
+            F.sum("xlnx").cast("double") / tot - F.log(tot)
+            + F.log(F.count(F.lit(1))),
+            6,
+        ).alias("theil_t"),
+    )
+
+
+@register(
+    "stats_hhi_concentration",
+    oracle="""
+    WITH r AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,6)))
+                  AS DECIMAL(30,6)) AS revenue
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, o.o_custkey
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(10000.0
+                 * CAST(CAST(sum(revenue * revenue) AS DECIMAL(38,6))
+                        AS DOUBLE)
+                 / (CAST(CAST(sum(revenue) AS DECIMAL(38,6)) AS DOUBLE)
+                    * CAST(CAST(sum(revenue) AS DECIMAL(38,6)) AS DOUBLE)),
+                 6) AS hhi,
+           round(CAST(CAST(sum(revenue) AS DECIMAL(38,6)) AS DOUBLE)
+                 * CAST(CAST(sum(revenue) AS DECIMAL(38,6)) AS DOUBLE)
+                 / CAST(CAST(sum(revenue * revenue) AS DECIMAL(38,6))
+                        AS DOUBLE), 6) AS effective_n
+    FROM r GROUP BY segment
+    """,
+)
+def stats_hhi_concentration_q(spark, sf_dir):
+    """Herfindahl–Hirschman concentration index per market segment
+    (the antitrust-style 0–10000 scale; its reciprocal — the
+    "effective number of customers" — is what a mixture designer reads
+    as effective source count): HHI = 10⁴·Σx²/(Σx)².  Both Σ
+    accumulate as exact decimals in one map-side-combinable agg (the
+    square (30,6)×(30,6) follows the Pearson moment precedent); the
+    ratio and scaling are one shared float expression, rounded 6 dp.
+    One keyed join + two hash aggs; no window, no sort, linear at any
+    scale."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    r = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"), F.col("o_custkey")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("decimal(30,6)")
+            .alias("revenue")
+        )
+    )
+    tot = F.sum("revenue").cast("decimal(38,6)").cast("double")
+    sq = (
+        F.sum(F.col("revenue") * F.col("revenue"))
+        .cast("decimal(38,6)")
+        .cast("double")
+    )
+    return r.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.round(F.lit(10000.0) * sq / (tot * tot), 6).alias("hhi"),
+        F.round(tot * tot / sq, 6).alias("effective_n"),
+    )

@@ -176,6 +176,13 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
         "stats_ks_drift",
         # same 1-row range-bucketer broadcast shape
         "stats_mann_whitney_u",
+        # the shared _cbefore_map 1-row min/max range-bucketer broadcast
+        # (two of them — one per ranked column): keyless by nature,
+        # bounded by construction
+        "stats_spearman_rank",
+        # same range-bucketer broadcast + a 1-row n/ties totals
+        # broadcast: both keyless by nature, bounded by construction
+        "stats_kruskal_wallis",
     }
     for name, fn in QUERIES.items():
         if name.startswith("stream_") or name in skip:
@@ -348,6 +355,8 @@ def test_no_broadcast_hint_on_corpus_cardinality_frames():
         # totals aggregate; off = fixed 64-range-bucket offset table
         ("registry_analytics.py", "mm"): "1-row min/max/totals aggregate",
         ("registry_analytics.py", "off"): "fixed 64-bucket offset table",
+        # Kruskal-Wallis: 1-row n/ties totals aggregate
+        ("registry_analytics.py", "tot"): "1-row n/ties totals aggregate",
     }
     pkg_root = pathlib.Path(apache_nifi_spark.__file__).parent
     offenders = []

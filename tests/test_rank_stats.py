@@ -99,3 +99,146 @@ def test_gini_uniform_is_zero_and_extreme_is_high(spark):
     # one customer holds everything: G -> (n-1)/n = 0.75 for n=4
     row = run([0.000001, 0.000001, 0.000001, 1000000])
     assert row["gini"] == pytest.approx(0.75, abs=1e-4)
+
+def _patched(spark, tables, query):
+    """Run a registry query with ``_t`` swapped for constructed frames
+    (same satellite-binding caveat as ``_two_level_rows``)."""
+    import apache_nifi_spark.registry_analytics as reg
+
+    orig = reg._t
+    try:
+        reg._t = lambda s, d, t: tables[t]
+        return QUERIES[query](spark, "unused").collect()
+    finally:
+        reg._t = orig
+
+
+def _li(spark, rows, schema="l_quantity double, l_extendedprice double"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_spearman_perfect_monotone_and_ties(spark):
+    # identical tie structure on both sides -> rank vectors equal -> rho=1
+    li = _li(spark, [(1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 40.0)])
+    [row] = _patched(spark, {"lineitem": li}, "stats_spearman_rank")
+    assert row["n"] == 4
+    assert row["spearman_rho"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_spearman_reversed_is_minus_one(spark):
+    li = _li(spark, [(1.0, 30.0), (2.0, 20.0), (3.0, 10.0)])
+    [row] = _patched(spark, {"lineitem": li}, "stats_spearman_rank")
+    assert row["spearman_rho"] == pytest.approx(-1.0, abs=1e-9)
+
+
+def test_spearman_matches_d_squared_formula(spark):
+    # x=[1,2,3,4], y ranks [1,4,2,3]: rho = 1 - 6*6/(4*15) = 0.4
+    li = _li(spark, [(1.0, 10.0), (2.0, 40.0), (3.0, 20.0), (4.0, 30.0)])
+    [row] = _patched(spark, {"lineitem": li}, "stats_spearman_rank")
+    assert row["spearman_rho"] == pytest.approx(0.4, abs=1e-9)
+
+
+def test_kruskal_wallis_textbook_three_groups(spark):
+    # A={1,2}, B={3,4}, C={5,6}: no ties, H = 12/42*89.5 - 21 = 4.571429
+    o = spark.createDataFrame(
+        [(1.0, "A"), (2.0, "A"), (3.0, "B"), (4.0, "B"), (5.0, "C"), (6.0, "C")],
+        "o_totalprice double, o_orderpriority string",
+    )
+    [row] = _patched(spark, {"orders": o}, "stats_kruskal_wallis")
+    assert row["k"] == 3 and row["n"] == 6
+    assert row["h_stat"] == pytest.approx(12 / 42 * 89.5 - 21, abs=1e-6)
+
+
+def test_kruskal_wallis_identical_groups_near_zero(spark):
+    o = spark.createDataFrame(
+        [(v, g) for g in ("A", "B") for v in (1.0, 2.0, 3.0)],
+        "o_totalprice double, o_orderpriority string",
+    )
+    [row] = _patched(spark, {"orders": o}, "stats_kruskal_wallis")
+    assert abs(row["h_stat"]) < 1e-9
+
+
+def _seg_orders(spark, cells):
+    """Build orders+customer for a {(seg, pri): count} contingency."""
+    segs = sorted({s for s, _ in cells})
+    cust = [(i, s) for i, s in enumerate(segs)]
+    orders, k = [], 0
+    for (s, p), cnt in cells.items():
+        ci = segs.index(s)
+        for _ in range(cnt):
+            orders.append((k, ci, p))
+            k += 1
+    o = spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderpriority string"
+    )
+    c = spark.createDataFrame(cust, "c_custkey long, c_mktsegment string")
+    return {"orders": o, "customer": c}
+
+
+def test_chi_squared_hand_computed_2x2(spark):
+    # [[10,20],[20,10]]: E=15 everywhere, chi2 = 4*25/15 = 6.666667,
+    # V = sqrt(chi2/(n*1)) = 1/3
+    t = _seg_orders(
+        spark,
+        {("A", "p1"): 10, ("A", "p2"): 20, ("B", "p1"): 20, ("B", "p2"): 10},
+    )
+    [row] = _patched(spark, t, "stats_chi_squared_cramers")
+    assert row["n"] == 60 and row["dof"] == 1
+    assert row["chi2"] == pytest.approx(20 / 3, abs=1e-6)
+    assert row["cramers_v"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_chi_squared_independent_table_is_zero(spark):
+    # perfectly proportional rows -> chi2 = 0
+    t = _seg_orders(
+        spark,
+        {("A", "p1"): 10, ("A", "p2"): 20, ("B", "p1"): 20, ("B", "p2"): 40},
+    )
+    [row] = _patched(spark, t, "stats_chi_squared_cramers")
+    assert row["chi2"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_anova_hand_computed_two_groups(spark):
+    # A={1,2,3}, B={4,5,6}: SSB=13.5, SSW=4, F=13.5, eta2=13.5/17.5
+    li = spark.createDataFrame(
+        [("A", 1.0), ("A", 2.0), ("A", 3.0), ("B", 4.0), ("B", 5.0), ("B", 6.0)],
+        "l_returnflag string, l_extendedprice double",
+    )
+    [row] = _patched(spark, {"lineitem": li}, "stats_anova_oneway")
+    assert row["k"] == 2 and row["n"] == 6
+    assert row["f_stat"] == pytest.approx(13.5, abs=1e-6)
+    assert row["eta_squared"] == pytest.approx(13.5 / 17.5, abs=1e-6)
+
+
+def _rev_tables(spark, revenues):
+    orders = spark.createDataFrame(
+        [(i, float(r)) for i, r in enumerate(revenues)],
+        "o_custkey long, o_totalprice double",
+    )
+    customer = spark.createDataFrame(
+        [(i, "SEG") for i in range(len(revenues))],
+        "c_custkey long, c_mktsegment string",
+    )
+    return {"orders": orders, "customer": customer}
+
+
+def test_theil_uniform_zero_and_matches_direct(spark):
+    import math as m
+
+    [row] = _patched(spark, _rev_tables(spark, [7, 7, 7, 7]), "stats_theil_index")
+    assert row["theil_t"] == pytest.approx(0.0, abs=1e-9)
+    xs = [1.0, 2.0, 3.0, 4.0]
+    mu = sum(xs) / len(xs)
+    want = sum(x / mu * m.log(x / mu) for x in xs) / len(xs)
+    [row] = _patched(spark, _rev_tables(spark, xs), "stats_theil_index")
+    assert row["theil_t"] == pytest.approx(want, abs=1e-6)
+
+
+def test_hhi_uniform_and_monopoly(spark):
+    [row] = _patched(spark, _rev_tables(spark, [5, 5, 5, 5]), "stats_hhi_concentration")
+    assert row["hhi"] == pytest.approx(2500.0, abs=1e-6)
+    assert row["effective_n"] == pytest.approx(4.0, abs=1e-9)
+    [row] = _patched(
+        spark, _rev_tables(spark, [0.0001, 0.0001, 1000000]), "stats_hhi_concentration"
+    )
+    assert row["hhi"] > 9999.0
