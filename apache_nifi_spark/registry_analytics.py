@@ -1402,3 +1402,119 @@ def stats_hhi_concentration_q(spark, sf_dir):
         F.round(F.lit(10000.0) * sq / (tot * tot), 6).alias("hhi"),
         F.round(tot * tot / sq, 6).alias("effective_n"),
     )
+
+def _hilbert_round_sql(i, s):
+    """One xy→d Hilbert round as SQL (CTE h{i} → h{i+1}); the Spark
+    expression chain in the query body is generated from the SAME
+    transition rules so the two engines run identical arithmetic."""
+    lx, ly = f"(hx & {s - 1})", f"(hy & {s - 1})"
+    rx, ry = f"(hx & {s}) > 0", f"(hy & {s}) > 0"
+    return f"""
+    h{i + 1} AS (
+      SELECT x, y,
+             CASE WHEN {ry} THEN {lx}
+                  WHEN {rx} THEN {s} - 1 - {ly}
+                  ELSE {ly} END AS hx,
+             CASE WHEN {ry} THEN {ly}
+                  WHEN {rx} THEN {s} - 1 - {lx}
+                  ELSE {lx} END AS hy,
+             d + {s * s} * (CASE WHEN {rx} AND {ry} THEN 2
+                                 WHEN {rx} THEN 3
+                                 WHEN {ry} THEN 1
+                                 ELSE 0 END) AS d
+      FROM h{i}
+    )"""
+
+
+def _hilbert_oracle_sql(order=8, bucket=2048):
+    rounds = ",".join(
+        _hilbert_round_sql(i, 1 << (order - 1 - i)) for i in range(order)
+    )
+    return f"""
+    WITH xy AS (
+      SELECT l_orderkey % 256 AS x, l_partkey % 256 AS y FROM lineitem
+    ), h0 AS (SELECT x, y, x AS hx, y AS hy, 0 AS d FROM xy),{rounds}
+    SELECT CAST(d // {bucket} AS BIGINT) AS h_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(x) AS x_min, MAX(x) AS x_max,
+           MIN(y) AS y_min, MAX(y) AS y_max,
+           CAST(MAX(x) - MIN(x) AS BIGINT) * (MAX(y) - MIN(y)) AS bbox_area
+    FROM h{order} GROUP BY 1
+    """
+
+
+def hilbert_frame(df, order=8):
+    """Add the Hilbert-curve distance ``d`` of (x, y) on a 2^order grid
+    to a frame carrying integer columns x, y — the textbook quadrant
+    walk with LOCAL coordinates (mask to the quadrant before
+    reflecting, so every intermediate stays in [0, s) — no
+    negative-value bitwise edge in either engine).  Each round is its
+    OWN projection over plain attributes: building the walk as one
+    nested column expression explodes the (unshared) Catalyst tree
+    ~4^order-fold and stalls analysis; per-round projections keep every
+    expression constant-size, and CollapseProject leaves them alone
+    because each round's outputs are non-cheap and multiply referenced.
+    Verified a bijection with unit-step adjacency in
+    tests/test_rank_stats.py."""
+    h = df.select(
+        "x", "y",
+        F.col("x").alias("hx"), F.col("y").alias("hy"),
+        F.lit(0).alias("d"),
+    )
+    for i in range(order):
+        s = 1 << (order - 1 - i)
+        rx = F.col("hx").bitwiseAND(F.lit(s)) > 0
+        ry = F.col("hy").bitwiseAND(F.lit(s)) > 0
+        lx = F.col("hx").bitwiseAND(F.lit(s - 1))
+        ly = F.col("hy").bitwiseAND(F.lit(s - 1))
+        h = h.select(
+            "x", "y",
+            F.when(ry, lx).when(rx, F.lit(s - 1) - ly).otherwise(ly)
+            .alias("hx"),
+            F.when(ry, ly).when(rx, F.lit(s - 1) - lx).otherwise(lx)
+            .alias("hy"),
+            (
+                F.col("d")
+                + F.lit(s * s)
+                * F.when(rx & ry, 2).when(rx, 3).when(ry, 1).otherwise(0)
+            ).alias("d"),
+        )
+    return h.select("x", "y", "d")
+
+
+@register("layout_hilbert_buckets", oracle=_hilbert_oracle_sql())
+def layout_hilbert_buckets_q(spark, sf_dir):
+    """Hilbert-curve layout optimization (the storage-layout tier's
+    second space-filling curve, beside [layout_zorder_buckets]'s Morton
+    interleave): map the two clustering dimensions onto the Hilbert
+    distance of a 256×256 grid, range-bucket by it, and report each
+    bucket's bounding box in both dimensions.  Hilbert beats Z-order on
+    locality — consecutive curve positions are always grid-adjacent (no
+    Morton "seams"), so equal-size buckets get strictly tighter worst-
+    case bboxes; the Σ bbox_area audit metric here is what a table
+    optimizer compares between the two curves before choosing a
+    clustering key.
+
+    The 8-round quadrant walk is pure integer CASE/mask algebra
+    generated from ONE round template for both engines (no UDF, no
+    float, no negative intermediates).  Shape: map + one agg to 32
+    bucket rows; at production scale the curve value feeds
+    ``repartitionByRange`` as the write clustering key exactly like
+    the Z-order variant."""
+    xy = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 256).alias("x"),
+        (F.col("l_partkey") % 256).alias("y"),
+    )
+    h = hilbert_frame(xy)
+    return (
+        h.groupBy(
+            F.floor(F.col("d") / 2048).cast("bigint").alias("h_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("x_min"), F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"), F.max("y").alias("y_max"),
+            ((F.max("x") - F.min("x")).cast("bigint")
+             * (F.max("y") - F.min("y"))).alias("bbox_area"),
+        )
+    )

@@ -1029,3 +1029,74 @@ def query_dns_enrich_q(spark, sf_dir):
     return s.join(resolved, "hostname").select(
         "s_suppkey", "hostname", "ip", "ttl"
     )
+
+# =====================================================================
+# Lakehouse time travel (§2.12 storage tier): version-pinned snapshot
+# reads against the SAME staged fixtures the current-snapshot queries
+# replay — proving the log/metadata machinery resolves HISTORY, not
+# just the head.
+# =====================================================================
+
+@register(
+    "delta_time_travel_read",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+             AS total_qty
+    FROM lineitem WHERE l_orderkey % 4 IN (0, 1)
+    GROUP BY 1
+    """,
+)
+def delta_time_travel_q(spark, sf_dir):
+    """Delta time travel (PROTOCOL.md "VERSION AS OF"): replay the
+    staged three-commit log ONLY through version 0 — quarters 0 and 1,
+    BEFORE commit 1 removed quarter 0 and added quarter 2.  The oracle
+    computes those quarters straight from the fixture, so equality
+    proves the reader's version cutoff excludes later adds AND ignores
+    later removes (a reader that applies commit 1's remove to a v0 read
+    would drop quarter 0; one that ignores the cutoff double-counts).
+    Same control-plane manifest replay as [delta_log_snapshot_read];
+    at any scale time travel costs the same as a head read plus the
+    skipped tail commits.  sources/deltalog.py."""
+    from apache_nifi_spark.registry import _staged_delta
+    from apache_nifi_spark.sources.deltalog import read_delta_snapshot
+
+    root = _staged_delta(spark, sf_dir)
+    snap = read_delta_snapshot(spark, root, version=0)
+    return snap.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("l_quantity"), "total_qty"),
+    )
+
+
+@register(
+    "iceberg_time_travel_read",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+             AS total_qty
+    FROM lineitem WHERE l_orderkey % 4 IN (0, 1)
+    GROUP BY 1
+    """,
+)
+def iceberg_time_travel_q(spark, sf_dir):
+    """Iceberg time travel (the spec's snapshot-id read): pin the read
+    to snapshot 1 — quarters 0 and 1, BEFORE snapshot 2's manifest
+    rewrite deleted quarter 0 and added quarters 2/3.  Structural
+    contrast to the Delta variant above: Iceberg snapshots are
+    SELF-CONTAINED (the pinned snapshot's own manifest list is the
+    whole truth — no cross-commit replay or cutoff), so a correct
+    reader never even opens snapshot 2's manifests.  Equality with the
+    fixture-level oracle proves the snapshot-log lookup and the
+    manifest-list resolution honor the pin.  sources/iceberg.py."""
+    from apache_nifi_spark.registry import _staged_iceberg
+    from apache_nifi_spark.sources.iceberg import read_iceberg_snapshot
+
+    root = _staged_iceberg(spark, sf_dir)
+    snap = read_iceberg_snapshot(spark, root, snapshot_id=1)
+    return snap.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("l_quantity"), "total_qty"),
+    )

@@ -242,3 +242,40 @@ def test_hhi_uniform_and_monopoly(spark):
         spark, _rev_tables(spark, [0.0001, 0.0001, 1000000]), "stats_hhi_concentration"
     )
     assert row["hhi"] > 9999.0
+
+def test_hilbert_frame_bijection_and_adjacency(spark):
+    """The column-expression Hilbert walk must match the pure-Python
+    reference (an independent implementation of the same quadrant
+    rules) and satisfy the curve's defining properties on a full small
+    grid: bijection onto 0..n^2-1 and unit-step adjacency of
+    consecutive curve positions."""
+    from apache_nifi_spark.registry_analytics import hilbert_frame
+
+    def ref(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            x &= s - 1
+            y &= s - 1
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    n = 16
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x int, y int"
+    )
+    rows = hilbert_frame(grid, order=4).collect()
+    got = {(r["x"], r["y"]): r["d"] for r in rows}
+    assert sorted(got.values()) == list(range(n * n))
+    for (x, y), d in got.items():
+        assert d == ref(n, x, y)
+    pos = {d: xy for xy, d in got.items()}
+    for i in range(n * n - 1):
+        (x1, y1), (x2, y2) = pos[i], pos[i + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
