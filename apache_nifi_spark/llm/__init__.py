@@ -60,6 +60,7 @@ from apache_nifi_spark.llm.text import (  # noqa: F401
     repetition_scores,
     normalize_urls,
     decontaminate,
+    ngram_novelty,
     gopher_quality_rules,
 )
 from apache_nifi_spark.llm.pack import pack_greedy, shard_layout  # noqa: F401

@@ -844,6 +844,69 @@ def decontaminate(
     ).select(id_col, F.coalesce("contaminated", F.lit(False)).alias("contaminated"))
 
 
+def ngram_novelty(
+    corpus: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document n-gram novelty rate against a reference corpus —
+    the incremental-data-valuation metric (what fraction of this
+    document's ``n``-grams has the training set never seen?) that
+    curation pipelines rank new crawls by before paying to process
+    them.  The structural complement of :func:`decontaminate`: that
+    one asks "any overlap?" (boolean), this one measures the overlap's
+    complement at shingle grain.
+
+    Same xxhash64-compressed gram key as decontaminate (tokens hash
+    once, grams hash 8-long slices — no gram strings materialize); the
+    corpus side keeps its per-doc DISTINCT grams, the reference side
+    collapses to a global distinct gram set, and one LEFT equi-join +
+    per-doc agg yields (total, novel, rate).  Documents shorter than
+    ``n`` tokens have no shingles and drop out (same rule both
+    engines).  At scale: reference grams broadcast when small, shuffle
+    equi-join otherwise — never all-pairs.
+    Output: (id, n_shingles, n_novel, novelty_rate)."""
+
+    def grams(d: DataFrame, out: str) -> DataFrame:
+        return (
+            d.withColumn("__t", _ws_tokens(F.col(text_col)))
+            .withColumn("__th", F.expr("transform(__t, t -> xxhash64(t))"))
+            .select(
+                F.col(id_col).alias(out),
+                F.explode(
+                    F.expr(
+                        f"IF(size(__th) >= {n},"
+                        f" array_distinct(transform(sequence(1, size(__th) - {n - 1}),"
+                        f"   i -> xxhash64(slice(__th, i, {n})))),"
+                        " array())"
+                    )
+                ).alias("gram"),
+            )
+        )
+
+    c = grams(corpus, id_col)
+    ref = (
+        grams(reference, "__rid")
+        .select("gram")
+        .distinct()
+        .withColumn("__seen", F.lit(True))
+    )
+    j = c.join(ref, "gram", "left")
+    return j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_novel"),
+        F.round(
+            F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("novelty_rate"),
+    )
+
+
 def rolling_fingerprint(
     df: DataFrame, text_col: str = "text", out_col: str = "fingerprint", mod: int = 1 << 31
 ) -> DataFrame:

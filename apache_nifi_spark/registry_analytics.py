@@ -1518,3 +1518,131 @@ def layout_hilbert_buckets_q(spark, sf_dir):
              * (F.max("y") - F.min("y"))).alias("bbox_area"),
         )
     )
+
+@register(
+    "stats_fdr_bh",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderpriority AS grp, o_totalprice AS val,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS n1,
+             count(*) FILTER (WHERE o_orderstatus = 'O') AS n2
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+      GROUP BY 1, 2
+    ), c AS (
+      SELECT grp,
+             sum(n1) OVER (PARTITION BY grp ORDER BY val) AS c1,
+             sum(n2) OVER (PARTITION BY grp ORDER BY val) AS c2,
+             sum(n1) OVER (PARTITION BY grp) AS t1,
+             sum(n2) OVER (PARTITION BY grp) AS t2
+      FROM v
+    ), g AS (
+      SELECT grp, max(t1) AS t1, max(t2) AS t2,
+             max(abs(CAST(c1 AS DOUBLE) / t1
+                     - CAST(c2 AS DOUBLE) / t2)) AS d
+      FROM c GROUP BY grp
+    ), p AS (
+      SELECT grp, CAST(t1 AS BIGINT) AS n1, CAST(t2 AS BIGINT) AS n2,
+             round(d, 6) AS d_stat,
+             round(least(1.0,
+                 2 * exp(-2 * d * d * (CAST(t1 AS DOUBLE) * t2
+                                       / (t1 + t2)))), 6) AS p_value
+      FROM g
+    ), r AS (
+      SELECT *,
+             CAST(row_number() OVER (ORDER BY p_value, grp) AS BIGINT)
+               AS p_rank,
+             count(*) OVER () AS m
+      FROM p
+    )
+    SELECT grp, n1, n2, d_stat, p_value, p_rank,
+           p_rank <= coalesce(
+             max(CASE WHEN p_value <= p_rank * 0.05 / m
+                      THEN p_rank END) OVER (), 0) AS rejected
+    FROM r
+    """,
+)
+def stats_fdr_bh_q(spark, sf_dir):
+    """Benjamini–Hochberg false-discovery-rate control over a FAMILY of
+    per-group two-sample KS tests (finished-vs-open price distributions
+    within each order priority — the multiple-testing discipline a
+    pipeline needs once it runs [stats_ks_drift] per source instead of
+    once: at α=0.05, 5% of per-source drift alarms are noise unless
+    corrected).  Per-group ECDFs come from windows PARTITIONED by
+    group (each sorts only its group's value-distinct rows — parallel
+    across groups, never a global sort); the asymptotic p-value
+    p = min(1, 2·exp(−2d²·n₁n₂/(n₁+n₂))) is one shared IEEE expression
+    rounded 6 dp BEFORE the BH step, so the step-up comparison
+    p₍ₖ₎ ≤ k·α/m runs on identical inputs in both engines; the
+    rank/threshold pass runs on the m-row control-plane frame.
+    Output: per group — sample sizes, D, p, BH rank, rejected flag."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    ).select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("val"),
+        "o_orderstatus",
+    )
+    v = o.groupBy("grp", "val").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .alias("n1"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+        .alias("n2"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wg = Window.partitionBy("grp")
+    c = v.select(
+        "grp",
+        F.sum("n1").over(w).alias("c1"),
+        F.sum("n2").over(w).alias("c2"),
+        F.sum("n1").over(wg).alias("t1"),
+        F.sum("n2").over(wg).alias("t2"),
+    )
+    g = c.groupBy("grp").agg(
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+        F.max(
+            F.abs(
+                F.col("c1").cast("double") / F.col("t1")
+                - F.col("c2").cast("double") / F.col("t2")
+            )
+        ).alias("d"),
+    )
+    t1d = F.col("t1").cast("double")
+    p = g.select(
+        "grp",
+        F.col("t1").cast("bigint").alias("n1"),
+        F.col("t2").cast("bigint").alias("n2"),
+        F.round("d", 6).alias("d_stat"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                2
+                * F.exp(
+                    -2 * F.col("d") * F.col("d")
+                    * (t1d * F.col("t2") / (F.col("t1") + F.col("t2")))
+                ),
+            ),
+            6,
+        ).alias("p_value"),
+    )
+    # m-row control-plane frame from here down (m = #groups)
+    wr = Window.orderBy("p_value", "grp")
+    r = p.select(
+        "*",
+        F.row_number().over(wr).cast("bigint").alias("p_rank"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    kmax = F.max(
+        F.when(
+            F.col("p_value") <= F.col("p_rank") * 0.05 / F.col("m"),
+            F.col("p_rank"),
+        )
+    ).over(Window.partitionBy())
+    return r.select(
+        "grp", "n1", "n2", "d_stat", "p_value", "p_rank",
+        (F.col("p_rank") <= F.coalesce(kmax, F.lit(0))).alias("rejected"),
+    )

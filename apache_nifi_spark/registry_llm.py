@@ -7357,3 +7357,54 @@ def dedup_containment_pairs_q(spark, sf_dir):
             F.round(cont, 6).alias("containment"),
         )
     )
+
+@register(
+    "text_ngram_novelty",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')
+               AS toks
+      FROM documents
+    ),
+    cg AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(toks) - 6, 1)),
+               i -> array_to_string(list_slice(toks, i, i + 7), ' ')))) AS gram
+      FROM t WHERE doc_id % 10 >= 8
+    ),
+    rg AS (
+      SELECT DISTINCT
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(toks) - 6, 1)),
+               i -> array_to_string(list_slice(toks, i, i + 7), ' ')))) AS gram
+      FROM t WHERE doc_id % 10 < 8
+    )
+    SELECT cg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(*) FILTER (WHERE rg.gram IS NULL) AS BIGINT)
+             AS n_novel,
+           round(CAST(count(*) FILTER (WHERE rg.gram IS NULL) AS DOUBLE)
+                 / count(*), 6) AS novelty_rate
+    FROM cg LEFT JOIN rg USING (gram)
+    GROUP BY cg.doc_id
+    """,
+)
+def text_ngram_novelty_q(spark, sf_dir):
+    """Per-document 8-gram novelty rate of the incoming slice
+    (doc_id % 10 ≥ 8) against the training corpus (% 10 < 8) — the
+    incremental-data-valuation metric a curation pipeline ranks new
+    crawls by (near-zero novelty = pay nothing for this source; the
+    measured complement of [text_decontaminate]'s boolean overlap
+    flag).  Hashed-gram equi-join per llm/text.ngram_novelty — no gram
+    strings materialize Spark-side; the string-keyed oracle proves the
+    hash path collision-free on the fixture."""
+    from apache_nifi_spark.llm import ngram_novelty
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_novelty(
+        d.filter(F.col("doc_id") % 10 >= 8),
+        d.filter(F.col("doc_id") % 10 < 8),
+        n=8,
+    )
