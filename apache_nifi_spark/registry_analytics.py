@@ -1646,3 +1646,161 @@ def stats_fdr_bh_q(spark, sf_dir):
         "grp", "n1", "n2", "d_stat", "p_value", "p_rank",
         (F.col("p_rank") <= F.coalesce(kmax, F.lit(0))).alias("rejected"),
     )
+
+@register(
+    "stats_ols_regression",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(30,6))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(30,6))
+                 * CAST(l_quantity AS DECIMAL(30,6))) AS sxx,
+             SUM(CAST(l_extendedprice AS DECIMAL(30,6))
+                 * CAST(l_extendedprice AS DECIMAL(30,6))) AS syy,
+             SUM(CAST(l_quantity AS DECIMAL(30,6))
+                 * CAST(l_extendedprice AS DECIMAL(30,6))) AS sxy
+      FROM lineitem
+    )
+    SELECT n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS slope,
+           round(CAST(sy AS DOUBLE) / n
+                 - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                   * (CAST(sx AS DOUBLE) / n), 6) AS intercept,
+           round(pow(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2)
+                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS r_squared
+    FROM s
+    """,
+)
+def stats_ols_regression_q(spark, sf_dir):
+    """Closed-form simple OLS (extended price on quantity): slope,
+    intercept, R² from the SAME five exact-decimal moment sums as
+    [stats_pearson_exact] — the calibration-line readout (tokens-vs-
+    bytes, cost-vs-rows) pipelines fit without an iterative solver.
+    One map-side-combinable agg; every moment decimal-exact; the three
+    closed forms are single shared IEEE expressions rounded 6 dp.
+    Zero row movement beyond partials at any scale."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("decimal(30,6)").alias("x"),
+        F.col("l_extendedprice").cast("decimal(30,6)").alias("y"),
+    )
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    cov_n = nd * sxy - sx * sy
+    var_n = nd * sxx - sx * sx
+    return s.select(
+        "n",
+        F.round(cov_n / var_n, 6).alias("slope"),
+        F.round(sy / F.col("n") - (cov_n / var_n) * (sx / F.col("n")), 6)
+        .alias("intercept"),
+        F.round(
+            F.pow(cov_n, F.lit(2)) / (var_n * (nd * syy - sy * sy)), 6
+        ).alias("r_squared"),
+    )
+
+
+@register(
+    "stats_autocorrelation",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+                  AS DECIMAL(30,6)) AS rev
+      FROM orders GROUP BY 1
+    ), lags AS (
+      SELECT a.day, lag.k, a.rev AS x,
+             b.rev AS y
+      FROM d a
+      JOIN (SELECT unnest([1, 2, 3, 7]) AS k) lag ON true
+      JOIN d b ON b.day = a.day + CAST(lag.k || ' days' AS INTERVAL)
+    ), s AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM lags GROUP BY k
+    )
+    SELECT CAST(k AS INT) AS lag_days, n_pairs,
+           round((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS acf
+    FROM s
+    """,
+)
+def stats_autocorrelation_q(spark, sf_dir):
+    """Autocorrelation of the daily-revenue series at lags 1/2/3/7 days
+    (the seasonality probe behind [forecast_seasonal_naive_backtest]'s
+    lag choice — a pipeline reads the lag-7 spike before picking the
+    season length).  Day-grain rollup first (the series is
+    calendar-bounded — control-plane-size however big the fact table),
+    then a keyed self-join per lag and the exact-decimal Pearson
+    moments per lag.  The Pearson-on-pairs formulation (not the
+    mean-anchored ACF) keeps every sum decimal-exact with no second
+    pass for the mean.  At 100 TB the only fact-grain work is the
+    day rollup; the lag joins run on the day-grain frame."""
+    d = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("decimal(30,6)")
+            .alias("rev")
+        )
+    )
+    lags = spark.createDataFrame([(1,), (2,), (3,), (7,)], "k int")
+    a = d.select(F.col("day"), F.col("rev").alias("x"))
+    b = d.select(F.col("day").alias("bday"), F.col("rev").alias("y"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))  # 4-row literal lag table
+        .join(
+            b,
+            F.col("bday")
+            == F.date_add(F.col("day"), F.col("k")),
+        )
+    )
+    s = pairs.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return s.select(
+        F.col("k").alias("lag_days"),
+        "n_pairs",
+        F.round(
+            (nd * sxy - sx * sy)
+            / (F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)),
+            6,
+        ).alias("acf"),
+    )

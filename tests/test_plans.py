@@ -183,6 +183,9 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
         # same range-bucketer broadcast + a 1-row n/ties totals
         # broadcast: both keyless by nature, bounded by construction
         "stats_kruskal_wallis",
+        # 4-row literal lag table crossed into the day-grain series:
+        # bounded by construction (the lag workload, not data)
+        "stats_autocorrelation",
     }
     for name, fn in QUERIES.items():
         if name.startswith("stream_") or name in skip:
@@ -357,6 +360,8 @@ def test_no_broadcast_hint_on_corpus_cardinality_frames():
         ("registry_analytics.py", "off"): "fixed 64-bucket offset table",
         # Kruskal-Wallis: 1-row n/ties totals aggregate
         ("registry_analytics.py", "tot"): "1-row n/ties totals aggregate",
+        # autocorrelation: 4-row literal lag table
+        ("registry_analytics.py", "lags"): "4-row literal lag table",
     }
     pkg_root = pathlib.Path(apache_nifi_spark.__file__).parent
     offenders = []
