@@ -1100,3 +1100,135 @@ def iceberg_time_travel_q(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         _dsum(F.col("l_quantity"), "total_qty"),
     )
+
+@register(
+    "convert_record_cbor",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 10 = 5
+    """,
+)
+def convert_record_cbor_q(spark, sf_dir):
+    """ConvertRecord parquet→CBOR→records (RFC 8949/8742, from the
+    public spec — reference parity with NiFi's CBOR-capable record
+    serde): one CBOR-sequence file per partition on write (mapInPandas,
+    executor-side), binaryFile + per-file decode on read.  The round
+    trip must be value-exact through minimal-width ints, IEEE float64,
+    UTF-8 text, AND tag-1001 extended-time (integer micros) — a
+    timestamp codec bug shows up as an oracle hash break, exactly like
+    the Avro container's timestamp-micros logical.  A deterministic
+    1-in-10 key subset keeps the pure-Python encode cost proportionate
+    in the suite bench (the avro twin uses % 10 = 0; this uses = 5 so
+    the two codecs never share a cached scan).  sources/cbor_codec.py."""
+    import tempfile
+
+    from apache_nifi_spark.sources import convert_record
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 == 5
+    )
+    out = tempfile.mkdtemp(prefix="anspark_convert_cbor_")
+    return convert_record(spark, orders, "cbor", out)
+
+_PART_EVOLVE_STAGE: dict = {}
+
+
+def _staged_iceberg_evolved(spark, sf_dir):
+    """Process-lifetime partition-evolution fixture: commit 1 writes
+    quarters 0+1 UNPARTITIONED (spec 0); the default spec then evolves
+    to identity(l_returnflag); commit 2 adds quarters 2+3 as one file
+    per return flag under spec 1.  A partition-pruned read must keep
+    scanning the spec-0 files (no metadata for the new column) while
+    pruning spec-1 manifests by flag."""
+    if sf_dir in _PART_EVOLVE_STAGE:
+        return _PART_EVOLVE_STAGE[sf_dir]
+    import glob
+    import tempfile
+
+    from apache_nifi_spark.sources.iceberg import (
+        iceberg_commit,
+        iceberg_evolve_partition_spec,
+    )
+
+    root = tempfile.mkdtemp(prefix="anspark_iceberg_pe_")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+
+    def finfo(part_path, partition=""):
+        return {
+            "file_path": part_path,
+            "record_count": 0,
+            "file_size_in_bytes": os.path.getsize(part_path),
+            "partition": partition,
+        }
+
+    old = []
+    for q in (0, 1):
+        (
+            li.filter(F.col("l_orderkey") % 4 == q)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{root}/q{q}")
+        )
+        old.append(finfo(glob.glob(f"{root}/q{q}/part-*.parquet")[0]))
+    iceberg_commit(root, 1, added=old)
+    iceberg_evolve_partition_spec(
+        root,
+        [{"name": "l_returnflag", "transform": "identity", "source-id": 2}],
+    )
+    late = li.filter((F.col("l_orderkey") % 4).isin(2, 3))
+    flags = sorted(
+        r["l_returnflag"]
+        for r in late.select("l_returnflag").distinct()
+        .collect()  # control-plane: one row per flag value
+    )
+    added = []
+    for flag in flags:
+        # identity-partitioned data files keep the source column (the
+        # spec stores partition VALUES in metadata, not by dropping
+        # the column from the file)
+        (
+            late.filter(F.col("l_returnflag") == flag)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{root}/flag_{flag}")
+        )
+        part = glob.glob(f"{root}/flag_{flag}/part-*.parquet")[0]
+        added.append(finfo(part, partition=flag))
+    iceberg_commit(root, 2, added=added)
+    _PART_EVOLVE_STAGE[sf_dir] = root
+    return root
+
+
+@register(
+    "iceberg_partition_evolution_read",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+             AS total_qty
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def iceberg_partition_evolution_q(spark, sf_dir):
+    """Iceberg PARTITION-SPEC EVOLUTION read (spec §Partition
+    Evolution): the staged table's quarters 0+1 predate the partition
+    spec (written unpartitioned under spec 0), quarters 2+3 are
+    flag-partitioned under the evolved spec 1.  Reading flag='R' must
+    (a) prune spec-1 manifests to the R file only — metadata-level,
+    and (b) keep EVERY spec-0 file and apply the predicate row-level
+    there, because pre-evolution files carry no value for the new
+    partition column.  Equality with the whole-table oracle proves
+    both directions: a reader that prunes old-spec manifests by the
+    new spec loses the early quarters' R rows; one that skips spec-1
+    pruning still matches values but the unit test's
+    corrupted-manifest probe catches it.  sources/iceberg.py."""
+    from apache_nifi_spark.sources.iceberg import read_iceberg_snapshot
+
+    root = _staged_iceberg_evolved(spark, sf_dir)
+    snap = read_iceberg_snapshot(spark, root, partition="R")
+    return snap.filter(F.col("l_returnflag") == "R").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("l_quantity"), "total_qty"),
+    )

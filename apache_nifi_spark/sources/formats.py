@@ -31,7 +31,7 @@ from pyspark.sql.types import StructType
 # Formats with a native DataFrame reader/writer in this build, plus
 # "avro"/"xml" via the dependency-free codecs in avro_codec.py /
 # xml_codec.py (the spark-avro / spark-xml jars are absent in this env).
-_FORMATS = {"parquet", "csv", "json", "text", "orc", "avro", "xml"}
+_FORMATS = {"parquet", "csv", "json", "text", "orc", "avro", "xml", "cbor"}
 
 _DEFAULT_READ_OPTIONS: dict[str, dict[str, str]] = {
     # header carries names; types come from the explicit schema, never
@@ -76,6 +76,14 @@ def read_records(
         if schema is None:
             raise ValueError("xml reader requires an explicit schema")
         return read_xml(spark, path, schema)
+    if fmt == "cbor":
+        from .cbor_codec import read_cbor
+
+        if schema is None:
+            raise ValueError("cbor reader requires an explicit schema")
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        return read_cbor(spark, path, schema)
     reader = spark.read.format(fmt)
     for k, v in {**_DEFAULT_READ_OPTIONS.get(fmt, {}), **dict(options or {})}.items():
         reader = reader.option(k, v)
@@ -112,6 +120,13 @@ def write_records(
         if partition_by:
             raise ValueError("partition_by is not supported for the xml codec path")
         write_xml(df, path, mode=mode)
+        return
+    if fmt == "cbor":
+        from .cbor_codec import write_cbor
+
+        if partition_by:
+            raise ValueError("partition_by is not supported for the cbor codec path")
+        write_cbor(df, path, mode=mode)
         return
     writer = df.write.format(fmt).mode(mode)
     for k, v in {**_DEFAULT_WRITE_OPTIONS.get(fmt, {}), **dict(options or {})}.items():

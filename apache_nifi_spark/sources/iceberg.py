@@ -166,6 +166,8 @@ def iceberg_commit(
     schemas: list[dict] = []
     current_schema_id: int | None = None
     last_column_id = 0
+    part_specs: list[dict] = [{"spec-id": 0, "fields": []}]
+    default_spec_id = 0
     if os.path.exists(hint):
         with open(hint) as f:
             version = int(f.read().strip())
@@ -175,6 +177,8 @@ def iceberg_commit(
         schemas = meta.get("schemas", [])
         current_schema_id = meta.get("current-schema-id")
         last_column_id = meta.get("last-column-id", 0)
+        part_specs = meta.get("partition-specs") or part_specs
+        default_spec_id = meta.get("default-spec-id", 0)
         cur = meta.get("current-snapshot-id")
         if cur is not None:
             prev_live = [
@@ -192,7 +196,11 @@ def iceberg_commit(
         current_schema_id = 0
         last_column_id = len(fields)
 
-    entries: list[tuple[int, int, dict]] = []
+    # entries carry the PARTITION SPEC each file was written under
+    # (spec §Partition Evolution: a file's spec never changes after
+    # write — rewritten EXISTING entries keep theirs; new adds get the
+    # table's current default spec)
+    entries: list[tuple[int, int, dict, int]] = []
     for r in prev_live:
         r["data_file"].setdefault("content", _CONTENT_DATA)
         status = (
@@ -200,7 +208,9 @@ def iceberg_commit(
             if r["data_file"]["file_path"] in deleted
             else _STATUS_EXISTING
         )
-        entries.append((status, snapshot_id, r["data_file"]))
+        entries.append(
+            (status, snapshot_id, r["data_file"], r.get("spec_id", 0))
+        )
     for df_info in added:
         entries.append(
             (
@@ -216,6 +226,7 @@ def iceberg_commit(
                     ),
                     "content": int(df_info.get("content", _CONTENT_DATA)),
                 },
+                default_spec_id,
             )
         )
     if position_deletes:
@@ -253,6 +264,7 @@ def iceberg_commit(
                     "file_size_in_bytes": os.path.getsize(dpath),
                     "content": _CONTENT_POSITION_DELETES,
                 },
+                default_spec_id,
             )
         )
     # one manifest per (partition value, content) — the realistic
@@ -260,21 +272,25 @@ def iceberg_commit(
     # read, and delete manifests never mix with data manifests (spec v2)
     by_part: dict[tuple, list] = {}
     for e in entries:
-        key = (e[2]["partition"], e[2].get("content", _CONTENT_DATA))
+        key = (
+            e[2]["partition"],
+            e[2].get("content", _CONTENT_DATA),
+            e[3],  # manifests never mix partition specs (spec rule)
+        )
         by_part.setdefault(key, []).append(e)
     list_rows = []
     seq = 0
-    for part, content in sorted(by_part):
-        rows = by_part[(part, content)]
+    for part, content, spec_id in sorted(by_part):
+        rows = by_part[(part, content, spec_id)]
         cap = max_entries_per_manifest or len(rows) or 1
         for lo in range(0, len(rows), cap):
             mpath, mlen = _write_manifest(
                 table_path,
                 f"manifest-{snapshot_id}-{seq}.avro",
-                rows[lo : lo + cap],
+                [(s, sid, df) for s, sid, df, _sp in rows[lo : lo + cap]],
             )
             list_rows.append(
-                (mpath, mlen, 0, snapshot_id, part, part, content)
+                (mpath, mlen, spec_id, snapshot_id, part, part, content)
             )
             seq += 1
     mlist = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
@@ -305,6 +321,8 @@ def iceberg_commit(
         meta["schemas"] = schemas
         meta["current-schema-id"] = current_schema_id
         meta["last-column-id"] = last_column_id
+    meta["partition-specs"] = part_specs
+    meta["default-spec-id"] = default_spec_id
     with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as f:
         json.dump(meta, f)
     with open(hint, "w") as f:
@@ -349,6 +367,43 @@ def iceberg_add_column(table_path: str, name: str, ice_type: str) -> int:
     meta["schemas"] = schemas + [evolved]
     meta["current-schema-id"] = evolved["schema-id"]
     meta["last-column-id"] = new_id
+    version += 1
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(hint, "w") as f:
+        f.write(str(version))
+    return version
+
+
+def iceberg_evolve_partition_spec(
+    table_path: str, fields: list[dict]
+) -> int:
+    """PARTITION-SPEC EVOLUTION (spec §Partitioning / "Partition
+    Evolution": specs are append-only structs with fresh ``spec-id``s
+    and partition field ids allocated from 1000 up; evolving the
+    default spec is METADATA-ONLY — existing data files keep the spec
+    they were written under, which is exactly why a reader may prune
+    by the new spec only on manifests WRITTEN under it and must keep
+    scanning older-spec manifests for any predicate on the new
+    partition column).  ``fields`` are spec dicts like ``[{"name":
+    "flag", "transform": "identity", "source-id": 2}]``; field-ids
+    are assigned here.  Writes a new ``v<N>.metadata.json``; snapshots
+    unchanged, O(1) at any table size.  Returns the new version."""
+    meta_dir = _meta_dir(table_path)
+    hint = os.path.join(meta_dir, "version-hint.text")
+    with open(hint) as f:
+        version = int(f.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as f:
+        meta = json.load(f)
+    specs = meta.get("partition-specs") or [{"spec-id": 0, "fields": []}]
+    new_spec = {
+        "spec-id": max(s["spec-id"] for s in specs) + 1,
+        "fields": [
+            {**f, "field-id": 1000 + i} for i, f in enumerate(fields)
+        ],
+    }
+    meta["partition-specs"] = specs + [new_spec]
+    meta["default-spec-id"] = new_spec["spec-id"]
     version += 1
     with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as f:
         json.dump(meta, f)
@@ -494,9 +549,9 @@ def _manifest_list_paths_from(
         raise ValueError(f"no iceberg snapshot {sid}")
     with open(snap["manifest-list"], "rb") as f:
         _schema, rows = decode_container(f.read())
-    # (manifest_path, partition_min, partition_max, content)
+    # (manifest_path, partition_min, partition_max, content, spec_id)
     return [
-        (r[0], r[4], r[5], r[6] if len(r) > 6 else _CONTENT_DATA)
+        (r[0], r[4], r[5], r[6] if len(r) > 6 else _CONTENT_DATA, r[2])
         for r in rows
     ]
 
@@ -516,7 +571,12 @@ def _manifest_rows_local(
         with open(m[0], "rb") as f:
             _s, erows = decode_container(f.read())
         out.extend(
-            {"status": r[0], "snapshot_id": r[1], "data_file": r[2]}
+            {
+                "status": r[0],
+                "snapshot_id": r[1],
+                "data_file": r[2],
+                "spec_id": m[2],  # the spec this manifest was written under
+            }
             for r in erows
         )
     return out
@@ -539,23 +599,41 @@ def iceberg_active_files(
     [partition_min, partition_max] summary excludes the value are never
     opened (the manifest-list summaries exist exactly for this — the
     unit test proves it by corrupting a pruned manifest), and surviving
-    manifests' entries filter by equality."""
-    entries = _manifest_list_paths(table_path, snapshot_id)
+    manifests' entries filter by equality.
+
+    PARTITION EVOLUTION rule (spec §Partition Evolution): pruning by
+    ``partition`` applies ONLY to manifests written under the table's
+    CURRENT default spec — files written under an older spec carry no
+    value for the new partition column, so their manifests are always
+    scanned and their entries always survive (the engine applies the
+    predicate row-level on those files instead)."""
+    meta = _load_metadata(table_path)
+    default_spec_id = meta.get("default-spec-id", 0)
+    entries = _manifest_list_paths_from(meta, snapshot_id)
     entries = [e for e in entries if e[3] == content]
+    current_spec_paths = {
+        p for (p, _lo, _hi, _c, sp) in entries if sp == default_spec_id
+    }
     if partition is not None and content == _CONTENT_DATA:
         entries = [
-            (p, lo, hi, c)
-            for (p, lo, hi, c) in entries
-            if lo <= partition <= hi
+            (p, lo, hi, c, sp)
+            for (p, lo, hi, c, sp) in entries
+            if sp != default_spec_id or lo <= partition <= hi
         ]
-    paths = [p for (p, _lo, _hi, _c) in entries]
+    paths = [p for (p, _lo, _hi, _c, _sp) in entries]
     if not paths:
         return spark.createDataFrame(
             [],
             "file_path string, partition string, record_count long,"
             " file_size_in_bytes long",
         )
-    blobs = spark.read.format("binaryFile").load(paths).select("content")
+    blobs = (
+        spark.read.format("binaryFile").load(paths)
+        .select("path", "content")
+    )
+    # basename-keyed so the binaryFile file:// URI matches the stored
+    # manifest path regardless of scheme
+    cur_spec_names = {os.path.basename(p) for p in current_spec_paths}
 
     def dec(batches):
         import pandas as pd
@@ -563,8 +641,9 @@ def iceberg_active_files(
         for pdf in batches:
             cols = {"file_path": [], "partition": [], "record_count": [],
                     "file_size_in_bytes": []}
-            for blob in pdf["content"]:
+            for mpath, blob in zip(pdf["path"], pdf["content"]):
                 _schema, rows = decode_container(bytes(blob))
+                prunable = os.path.basename(str(mpath)) in cur_spec_names
                 for status, _sid, data_file in rows:
                     if status == _STATUS_DELETED:
                         continue
@@ -573,6 +652,7 @@ def iceberg_active_files(
                     if (
                         partition is not None
                         and content == _CONTENT_DATA
+                        and prunable
                         and data_file["partition"] != partition
                     ):
                         continue

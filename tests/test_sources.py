@@ -989,3 +989,81 @@ def test_iceberg_position_deletes_merge_on_read(spark, tmp_path):
         for r in read_iceberg_snapshot(spark, root, partition="p1").collect()
     )
     assert p1 == list(range(100, 199))
+
+def test_iceberg_partition_spec_evolution_prune_rules(spark, tmp_path):
+    """Spec "Partition Evolution": evolving the default spec is
+    metadata-only, and a partition-filtered read (a) always scans
+    manifests written under OLDER specs — their files carry no value
+    for the new partition column — while (b) pruning current-spec
+    manifests by the summary as usual.  Proved both ways by
+    corruption: the pruned current-spec manifest may rot freely; the
+    old-spec manifest may not."""
+    import glob
+    import os
+
+    import pytest
+
+    from apache_nifi_spark.sources.iceberg import (
+        iceberg_active_files,
+        iceberg_commit,
+        iceberg_evolve_partition_spec,
+        read_iceberg_snapshot,
+    )
+
+    root = str(tmp_path / "tbl")
+
+    def stage(name, lo):
+        spark.range(lo, lo + 10).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/{name}")
+        p = glob.glob(f"{root}/{name}/part-*.parquet")[0]
+        return {"file_path": p, "record_count": 10,
+                "file_size_in_bytes": os.path.getsize(p)}
+
+    # commit 1: unpartitioned (spec 0)
+    old = stage("old", 0)
+    iceberg_commit(root, 301, added=[old])
+    v = iceberg_evolve_partition_spec(
+        root, [{"name": "bucket", "transform": "identity", "source-id": 1}]
+    )
+    assert v == 2  # metadata-only version bump, snapshots untouched
+    # commit 2: two files under the evolved spec
+    a, b = stage("a", 100), stage("b", 200)
+    a["partition"], b["partition"] = "p0", "p1"
+    iceberg_commit(root, 302, added=[a, b])
+
+    # filtered read keeps the OLD-SPEC file plus the matching new one
+    got = {
+        r["file_path"]
+        for r in iceberg_active_files(spark, root, partition="p1").collect()
+    }
+    assert got == {old["file_path"], b["file_path"]}
+
+    manifests = sorted(glob.glob(f"{root}/metadata/manifest-302-*.avro"))
+    spec0 = [m for m in manifests if _manifest_has(m, old["file_path"])]
+    spec1_p0 = [m for m in manifests if _manifest_has(m, a["file_path"])]
+    assert spec0 and spec1_p0
+    # the pruned current-spec (p0) manifest is never opened...
+    with open(spec1_p0[0], "wb") as f:
+        f.write(b"garbage, not avro")
+    ids = sorted(
+        r["id"]
+        for r in read_iceberg_snapshot(spark, root, partition="p1").collect()
+    )
+    assert ids == list(range(0, 10)) + list(range(200, 210))
+    # ...but the old-spec manifest MUST be opened even under the filter
+    with open(spec0[0], "wb") as f:
+        f.write(b"garbage, not avro")
+    with pytest.raises(Exception):
+        read_iceberg_snapshot(spark, root, partition="p1").collect()
+
+
+def _manifest_has(path, file_path):
+    from apache_nifi_spark.sources.avro_codec import decode_container
+
+    try:
+        with open(path, "rb") as f:
+            _s, rows = decode_container(f.read())
+    except Exception:
+        return False
+    return any(r[2]["file_path"] == file_path for r in rows)
