@@ -7408,3 +7408,96 @@ def text_ngram_novelty_q(spark, sf_dir):
         d.filter(F.col("doc_id") % 10 < 8),
         n=8,
     )
+
+def _ketama_ring(nodes, vnodes=16):
+    """Driver-side consistent-hash ring: (hex8(md5(node:v)) + '#' +
+    node) strings, sorted.  Fixed-width lowercase hex compares as the
+    32-bit ring position, so MIN over strings IS the ring walk — the
+    trick that makes the whole assignment a map-only expression in
+    both engines.  hashlib md5 == Spark md5 == DuckDB md5 on the same
+    bytes, so the Python-built ring is engine-portable config."""
+    import hashlib
+
+    pts = []
+    for node in nodes:
+        for v in range(vnodes):
+            h = hashlib.md5(f"{node}:{v}".encode()).hexdigest()[:8]
+            pts.append(f"{h}#{node}")
+    return sorted(pts)
+
+
+def _ring_assign(ring, key_col):
+    """First ring point clockwise of md5(key) (wrap to the ring's
+    smallest point): coalesce(array_min(points ≥ key), first point)."""
+    arr = F.array(*[F.lit(p) for p in ring])
+    kh = F.substring(F.md5(key_col.cast("string")), 1, 8)
+    nxt = F.array_min(
+        F.filter(arr, lambda p: F.substring(p, 1, 8) >= kh)
+    )
+    return F.substring_index(F.coalesce(nxt, F.lit(ring[0])), "#", -1)
+
+
+def _ring_sql(nodes, vnodes=16):
+    ring = _ketama_ring(nodes, vnodes)
+    lits = ", ".join(f"'{p}'" for p in ring)
+    return f"[{lits}]", ring[0]
+
+
+@register(
+    "shard_consistent_hash_ring",
+    oracle=f"""
+    WITH cfg AS (
+      SELECT {_ring_sql(['n0', 'n1', 'n2', 'n3'])[0]} AS ring4,
+             '{_ring_sql(['n0', 'n1', 'n2', 'n3'])[1]}' AS first4,
+             {_ring_sql(['n0', 'n1', 'n2', 'n3', 'n4'])[0]} AS ring5,
+             '{_ring_sql(['n0', 'n1', 'n2', 'n3', 'n4'])[1]}' AS first5
+    ), k AS (
+      SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS kh
+      FROM documents WHERE doc_id < 5000
+    )
+    SELECT doc_id,
+           split_part(coalesce(
+             list_min(list_filter(ring4, p -> substr(p, 1, 8) >= kh)),
+             first4), '#', 2) AS node4,
+           split_part(coalesce(
+             list_min(list_filter(ring5, p -> substr(p, 1, 8) >= kh)),
+             first5), '#', 2) AS node5,
+           split_part(coalesce(
+             list_min(list_filter(ring4, p -> substr(p, 1, 8) >= kh)),
+             first4), '#', 2)
+           <> split_part(coalesce(
+             list_min(list_filter(ring5, p -> substr(p, 1, 8) >= kh)),
+             first5), '#', 2) AS moved
+    FROM k, cfg
+    """,
+)
+def shard_consistent_hash_ring_q(spark, sf_dir):
+    """Consistent-hash ring sharding under a RESIZE (the ketama scheme
+    NiFi-style clusters and every distributed cache use — the §2.12
+    training-shard tier's third layout beside modulo and rendezvous):
+    4 nodes × 16 vnodes vs 5 nodes side by side, with the ``moved``
+    flag.  The ring's minimal-disruption guarantee: only the arc
+    segments the new node's vnodes claim move (~1/5 of keys), and
+    EVERY mover lands on the new node — asserted as an invariant in
+    tests/test_llm.py.
+
+    Scale shape: the ring is CONFIG (nodes×vnodes literal points,
+    built driver-side — hashlib md5 ≡ engine md5), the assignment is
+    coalesce(array_min(filter(ring, point ≥ md5(key))), first point)
+    — a pure map-side expression over fixed-width hex strings, no
+    join, no shuffle, no UDF."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 5000)
+        .select("doc_id")
+    )
+    r4 = _ketama_ring(["n0", "n1", "n2", "n3"])
+    r5 = _ketama_ring(["n0", "n1", "n2", "n3", "n4"])
+    n4 = _ring_assign(r4, F.col("doc_id"))
+    n5 = _ring_assign(r5, F.col("doc_id"))
+    return d.select(
+        "doc_id",
+        n4.alias("node4"),
+        n5.alias("node5"),
+        (n4 != n5).alias("moved"),
+    )

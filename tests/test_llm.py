@@ -2389,3 +2389,39 @@ def test_decode_audio_container_meta_dispatch(spark):
     )
     w = decode_audio_container_meta(wav).collect()[0]
     assert (w["format"], w["n_units"], w["duration_ms"]) == ("wav", 800, 100)
+
+def test_consistent_hash_ring_minimal_disruption(spark):
+    """Ketama ring invariants: adding a node moves ONLY keys whose arc
+    the new node's vnodes claim — every mover lands on the new node,
+    the moved fraction is ~1/(N+1), and a Python reference walk of the
+    same ring agrees with the column expression exactly."""
+    import bisect
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from apache_nifi_spark.registry_llm import _ketama_ring, _ring_assign
+
+    r4 = _ketama_ring(["n0", "n1", "n2", "n3"])
+    r5 = _ketama_ring(["n0", "n1", "n2", "n3", "n4"])
+    df = spark.range(3000).select(F.col("id").alias("k"))
+    out = df.select(
+        "k",
+        _ring_assign(r4, F.col("k")).alias("n4"),
+        _ring_assign(r5, F.col("k")).alias("n5"),
+    ).collect()
+    moved = [r for r in out if r["n4"] != r["n5"]]
+    assert moved and all(r["n5"] == "n4" for r in moved)
+    frac = len(moved) / len(out)
+    assert 0.08 < frac < 0.35, frac
+    assert {r["n4"] for r in out} == {"n0", "n1", "n2", "n3"}
+
+    def ref(ring, k):
+        kh = hashlib.md5(str(k).encode()).hexdigest()[:8]
+        i = bisect.bisect_left(ring, kh)
+        pt = ring[i] if i < len(ring) else ring[0]
+        return pt.split("#", 1)[1]
+
+    for r in out[:200]:
+        assert ref(r4, r["k"]) == r["n4"]
+        assert ref(r5, r["k"]) == r["n5"]
