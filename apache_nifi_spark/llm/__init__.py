@@ -116,4 +116,7 @@ from apache_nifi_spark.llm.multimodal import (  # noqa: F401
     encode_mp3_frames,
     parse_mpeg_audio,
     decode_audio_container_meta,
+    encode_tiff,
+    parse_tiff_metadata,
+    decode_image_tiff_meta,
 )

@@ -1646,3 +1646,133 @@ def decode_audio_container_meta(
     return df.select(id_col, content_col).mapInPandas(
         decode, AUDIO_CONTAINER_META_SCHEMA
     )
+
+# ----------------------------------------------------- TIFF meta tier ---
+#
+# TIFF 6.0 (the public Adobe spec): a 'II'/'MM' byte-order header, magic
+# 42, and a chain of IFDs whose 12-byte entries are (tag u16, type u16,
+# count u32, value-or-offset u32) SORTED BY TAG; values that fit 4 bytes
+# live inline, LEFT-justified in big-endian files.  Baseline tags read
+# here: 256 ImageWidth, 257 ImageLength, 258 BitsPerSample,
+# 259 Compression, 262 PhotometricInterpretation, 277 SamplesPerPixel.
+# Pixel strips (codec work) remain the documented external seam —
+# container metadata is what a curation pass scans at 100 TB.
+
+_TIFF_SHORT, _TIFF_LONG = 3, 4
+
+
+def encode_tiff(
+    width: int,
+    height: int,
+    bits: int = 8,
+    compression: int = 1,
+    photometric: int = 1,
+    samples: int = 1,
+    big_endian: bool = False,
+) -> bytes:
+    """Spec-valid single-IFD TIFF metadata skeleton (no pixel strips)."""
+    e = ">" if big_endian else "<"
+    entries = [
+        (256, _TIFF_LONG, 1, width),
+        (257, _TIFF_LONG, 1, height),
+        (258, _TIFF_SHORT, 1, bits),
+        (259, _TIFF_SHORT, 1, compression),
+        (262, _TIFF_SHORT, 1, photometric),
+        (277, _TIFF_SHORT, 1, samples),
+    ]
+    out = [
+        (b"MM" if big_endian else b"II")
+        + struct.pack(e + "H", 42)
+        + struct.pack(e + "I", 8),  # first IFD immediately after header
+        struct.pack(e + "H", len(entries)),
+    ]
+    for tag, typ, count, val in entries:  # already tag-sorted
+        if typ == _TIFF_SHORT:
+            # inline value, left-justified within the 4-byte field
+            vfield = struct.pack(e + "H", val) + b"\x00\x00"
+            if big_endian:
+                pass  # left-justified = first two bytes either way
+        else:
+            vfield = struct.pack(e + "I", val)
+        out.append(struct.pack(e + "HHI", tag, typ, count) + vfield)
+    out.append(struct.pack(e + "I", 0))  # no next IFD
+    return b"".join(out)
+
+
+def parse_tiff_metadata(payload: bytes):
+    """(endian, width, height, bits, compression, photometric, samples,
+    n_entries) or None for non-TIFF payloads."""
+    if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
+        return None
+    endian = payload[:2].decode()
+    e = "<" if endian == "II" else ">"
+    if struct.unpack_from(e + "H", payload, 2)[0] != 42:
+        return None
+    (ifd_off,) = struct.unpack_from(e + "I", payload, 4)
+    (n_entries,) = struct.unpack_from(e + "H", payload, ifd_off)
+    tags = {}
+    for i in range(n_entries):
+        base = ifd_off + 2 + 12 * i
+        tag, typ, _count = struct.unpack_from(e + "HHI", payload, base)
+        if typ == _TIFF_SHORT:
+            (val,) = struct.unpack_from(e + "H", payload, base + 8)
+        else:
+            (val,) = struct.unpack_from(e + "I", payload, base + 8)
+        tags[tag] = val
+    return (
+        endian,
+        tags.get(256),
+        tags.get(257),
+        tags.get(258),
+        tags.get(259),
+        tags.get(262),
+        tags.get(277),
+        n_entries,
+    )
+
+
+IMAGE_TIFF_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("endian", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("bits_per_sample", IntegerType()),
+        StructField("compression", IntegerType()),
+        StructField("photometric", IntegerType()),
+        StructField("samples_per_pixel", IntegerType()),
+        StructField("n_ifd_entries", IntegerType()),
+    ]
+)
+
+
+def decode_image_tiff_meta(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """TIFF container metadata over a binary column, Arrow-batched
+    (mapInPandas).  Non-TIFF rows are dropped (undecodable→failure)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in IMAGE_TIFF_META_SCHEMA.fields}
+            for doc_id, payload in zip(pdf[id_col], pdf[content_col]):
+                meta = parse_tiff_metadata(
+                    bytes(payload) if payload is not None else b""
+                )
+                if meta is None:
+                    continue
+                endian, w, h, bits, comp, photo, samples, n = meta
+                out["doc_id"].append(doc_id)
+                out["endian"].append(endian)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["bits_per_sample"].append(bits)
+                out["compression"].append(comp)
+                out["photometric"].append(photo)
+                out["samples_per_pixel"].append(samples)
+                out["n_ifd_entries"].append(n)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(
+        decode, IMAGE_TIFF_META_SCHEMA
+    )

@@ -7501,3 +7501,65 @@ def shard_consistent_hash_ring_q(spark, sf_dir):
         n5.alias("node5"),
         (n4 != n5).alias("moved"),
     )
+
+@register(
+    "multimodal_image_tiff_meta",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 2 WHEN 0 THEN 'II' ELSE 'MM' END AS endian,
+           CAST(100 + doc_id % 4000 AS INT) AS width,
+           CAST(80 + doc_id % 2000 AS INT) AS height,
+           CAST(8 * (1 + doc_id % 2) AS INT) AS bits_per_sample,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 5 ELSE 7 END
+                AS INT) AS compression,
+           CAST(1 + doc_id % 2 AS INT) AS photometric,
+           CAST(CASE doc_id % 2 WHEN 0 THEN 1 ELSE 3 END AS INT)
+             AS samples_per_pixel,
+           CAST(6 AS INT) AS n_ifd_entries
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def multimodal_image_tiff_q(spark, sf_dir):
+    """REAL TIFF 6.0 IFD walk, value-oracled (the image-container
+    sibling of the MP4/WebM/FLAC rows — TIFF is the scan/geo/archive
+    master format a multimodal curation pass meets after JPEG/PNG):
+    spec-valid single-IFD skeletons are built executor-side
+    (llm/multimodal.encode_tiff) ALTERNATING byte order II/MM per doc,
+    then parse_tiff_metadata walks the header → magic-42 → tag-sorted
+    entry table back out: dimensions, BitsPerSample, Compression
+    (none/LZW/JPEG cycling), photometric, samples (single inline
+    BitsPerSample value — the equal-across-samples writer shorthand).
+    The endianness alternation is the test: one wrong byte-order read
+    breaks half the oracle rows.  Pixel strips (codec work) remain the
+    documented external seam.  Arrow-batched mapInPandas both ways;
+    the oracle recomputes every field arithmetically."""
+    import pandas as pd  # noqa: F811
+
+    from apache_nifi_spark.llm import decode_image_tiff_meta, encode_tiff
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            contents = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                contents.append(
+                    encode_tiff(
+                        width=100 + d % 4000,
+                        height=80 + d % 2000,
+                        bits=8 * (1 + d % 2),
+                        compression=[1, 5, 7][d % 3],
+                        photometric=1 + d % 2,
+                        samples=1 if d % 2 == 0 else 3,
+                        big_endian=(d % 2 == 1),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": contents})
+
+    tiff = base.mapInPandas(synth, "doc_id long, content binary")
+    return decode_image_tiff_meta(tiff)
