@@ -7563,3 +7563,65 @@ def multimodal_image_tiff_q(spark, sf_dir):
 
     tiff = base.mapInPandas(synth, "doc_id long, content binary")
     return decode_image_tiff_meta(tiff)
+
+@register(
+    "pii_l_diversity",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_nationkey, c.c_mktsegment,
+             o.o_orderpriority AS sensitive
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), sv AS (
+      SELECT c_nationkey, c_mktsegment, sensitive,
+             count(*) AS k
+      FROM j GROUP BY 1, 2, 3
+    ), terms AS (
+      SELECT c_nationkey, c_mktsegment, k,
+             CAST(k * ln(k) AS DECIMAL(28,9)) AS t
+      FROM sv
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(sum(k) AS BIGINT) AS class_size,
+           CAST(count(*) AS BIGINT) AS l_distinct,
+           round(ln(sum(k)) - CAST(sum(t) AS DOUBLE) / sum(k), 6)
+             AS sensitive_entropy,
+           count(*) < 3 AS at_risk
+    FROM terms GROUP BY 1, 2
+    """,
+)
+def pii_l_diversity_q(spark, sf_dir):
+    """l-diversity audit (Machanavajjhala 2007 — the release gate
+    k-anonymity misses: a k=1000 class whose SENSITIVE attribute is
+    constant still leaks it for every member): per quasi-identifier
+    class (nation × segment), the number of DISTINCT sensitive values
+    (order priority) and the Shannon entropy of their distribution —
+    distinct-l flags classes below l=3, entropy-l is the stricter
+    read-out.  Entropy uses the decimal-summed k·ln k pattern
+    (order-free sums, one float combination rounded 6 dp).  Two hash
+    aggregations, both map-side combinable; output is O(classes ×
+    values) then O(classes) — row-count independent, the 100 TB
+    privacy-audit shape next to [pii_k_anonymity]."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    sv = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "c_nationkey", "c_mktsegment",
+            F.col("o_orderpriority").alias("sensitive"),
+        )
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    terms = sv.select(
+        "c_nationkey", "c_mktsegment", "k",
+        (F.col("k") * F.log(F.col("k"))).cast("decimal(28,9)").alias("t"),
+    )
+    return terms.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("k").cast("bigint").alias("class_size"),
+        F.count(F.lit(1)).cast("bigint").alias("l_distinct"),
+        F.round(
+            F.log(F.sum("k")) - F.sum("t").cast("double") / F.sum("k"), 6
+        ).alias("sensitive_entropy"),
+        (F.count(F.lit(1)) < 3).alias("at_risk"),
+    )
