@@ -927,16 +927,28 @@ def stats_spearman_rank_q(spark, sf_dir):
     versions because rank stability, not linearity, is what reweighting
     preserves), computed WITHOUT a global sort.
 
-    Ranks: per-column value-grain counts → the shared two-level
-    64-bucket prefix sum (``_cbefore_map``) → doubled tie-averaged rank
-    2R = 2·cbefore + m + 1 (integer exact).  Rows join their two rank
-    maps by value (keyed equi-joins — the quantity map is tiny and AQE
-    broadcasts it; the price map shuffles on the value key).  ρ is
-    Pearson on the doubled ranks (scale-invariance makes the doubling
-    free), with the five moment sums in DECIMAL(38,0) — addition-order
-    independent — and one shared IEEE closed form, rounded 6 dp.
-    At 100 TB: two hash aggs, two keyed joins, per-bucket sorts over
-    1/64th of each value-distinct frame; no global sort anywhere."""
+    Ranks, one strategy per cardinality regime:
+
+    - x (quantity, ~50 distinct values): value-grain counts → the
+      shared two-level prefix sum (``_cbefore_map``) → a tiny rank MAP
+      that AQE broadcasts back onto the rows (the dimension-side
+      shape).
+    - y (price, ~row-distinct): a value-grain map would be as big as
+      the table, so the doubled rank computes AT ROW GRAIN under ONE
+      bucket exchange: with c≤ = rows with y′ ≤ y and c≥ = rows with
+      y′ ≥ y (two RANGE-frame counts over the same per-bucket sort)
+      and n_b the bucket size, 2R = 2·boff + (n_b − c≥) + c≤ + 1 —
+      algebraically 2·cbefore + m + 1 without materializing m.
+      Measured under identical probe flags this drops the table-sized
+      groupBy AND the table-sized map join: sf0.1 3.33 → 2.09 s,
+      sf1 8.45 → 4.49 s (the 10× growth factor improves 2.5× → 2.1×).
+
+    ρ is Pearson on the doubled ranks (scale-invariance makes the
+    doubling free), moment sums in DECIMAL(38,0) — addition-order
+    independent — one shared IEEE closed form, rounded 6 dp.  At
+    100 TB: one row-grain exchange (bucket key), per-bucket sorts over
+    1/64th of the rows, a broadcast map join; no global sort
+    anywhere."""
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
     )
@@ -945,17 +957,51 @@ def stats_spearman_rank_q(spark, sf_dir):
         li.groupBy(F.col("x").alias("v")).agg(F.count(F.lit(1)).alias("m")),
         val_col="v",
     ).select("v", r2("rx"))
-    ry = _cbefore_map(
-        li.groupBy(F.col("y").alias("v")).agg(F.count(F.lit(1)).alias("m")),
-        val_col="v",
-    ).select("v", r2("ry"))
-    rows = (
-        li.join(rx, li["x"] == rx["v"])
-        .join(ry, li["y"] == ry["v"])
-        .select(
-            F.col("rx").cast("decimal(19,0)").alias("rx"),
-            F.col("ry").cast("decimal(19,0)").alias("ry"),
-        )
+    mm = li.agg(F.min("y").alias("__lo"), F.max("y").alias("__hi"))
+    b = li.join(F.broadcast(mm)).withColumn(
+        "__bkt",
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(63),
+                F.floor(
+                    (F.col("y") - F.col("__lo"))
+                    * 64.0
+                    / (F.col("__hi") - F.col("__lo"))
+                ),
+            )
+        ).cast("int"),
+    )
+    bt = b.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__bm"))
+    wb = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # ≤64-row bounded bucket table: control-plane-scale sort
+    off = bt.select(
+        "__bkt",
+        F.coalesce(F.sum("__bm").over(wb), F.lit(0)).alias("__boff"),
+    )
+    w_le = (
+        Window.partitionBy("__bkt")
+        .orderBy("y")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    w_ge = (
+        Window.partitionBy("__bkt")
+        .orderBy(F.desc("y"))
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    w_n = Window.partitionBy("__bkt")
+    ranked = b.join(F.broadcast(off), "__bkt").select(
+        "x",
+        (
+            2 * F.col("__boff")
+            + (F.count(F.lit(1)).over(w_n) - F.count(F.lit(1)).over(w_ge))
+            + F.count(F.lit(1)).over(w_le)
+            + 1
+        ).alias("ry"),
+    )
+    rows = ranked.join(rx, ranked["x"] == rx["v"]).select(
+        F.col("rx").cast("decimal(19,0)").alias("rx"),
+        F.col("ry").cast("decimal(19,0)").alias("ry"),
     )
     s = rows.agg(
         F.count(F.lit(1)).alias("n"),
