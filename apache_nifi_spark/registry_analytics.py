@@ -1236,37 +1236,37 @@ def stats_chi_squared_cramers_q(spark, sf_dir):
 @register(
     "stats_anova_oneway",
     oracle="""
-    WITH g AS (
+    WITH c AS (
       SELECT l_returnflag AS grp,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS x
+      FROM lineitem
+    ), g AS (
+      SELECT grp,
              CAST(count(*) AS BIGINT) AS ng,
-             SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS sg,
-             SUM(CAST(l_extendedprice AS DECIMAL(30,6))
-                 * CAST(l_extendedprice AS DECIMAL(30,6))) AS qg
-      FROM lineitem GROUP BY 1
+             SUM(CAST(x AS HUGEINT)) AS sgc,
+             SUM(CAST(x * x AS HUGEINT)) AS qgc
+      FROM c GROUP BY 1
     ), t AS (
-      SELECT grp, ng, sg, qg,
-             CAST(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng
+      SELECT grp, ng, sgc, qgc,
+             CAST((CAST(sgc AS DOUBLE) / 100.0)
+                  * (CAST(sgc AS DOUBLE) / 100.0) / ng
                   AS DECIMAL(30,6)) AS term
       FROM g
     ), s AS (
       SELECT CAST(count(*) AS BIGINT) AS k,
              CAST(sum(ng) AS BIGINT) AS n,
-             CAST(sum(sg) AS DECIMAL(38,6)) AS s_all,
-             CAST(sum(qg) AS DECIMAL(38,6)) AS q_all,
+             CAST(sum(sgc) AS DOUBLE) / 100.0 AS s_all,
+             CAST(sum(qgc) AS DOUBLE) / 10000.0 AS q_all,
              sum(term) AS t_all
       FROM t
     )
     SELECT k, n,
-           round(((CAST(t_all AS DOUBLE)
-                   - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / n)
+           round(((CAST(t_all AS DOUBLE) - s_all * s_all / n)
                   / (k - 1))
-                 / ((CAST(q_all AS DOUBLE) - CAST(t_all AS DOUBLE))
-                    / (n - k)), 6) AS f_stat,
-           round((CAST(t_all AS DOUBLE)
-                  - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / n)
-                 / (CAST(q_all AS DOUBLE)
-                    - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / n),
-                 6) AS eta_squared
+                 / ((q_all - CAST(t_all AS DOUBLE)) / (n - k)), 6)
+             AS f_stat,
+           round((CAST(t_all AS DOUBLE) - s_all * s_all / n)
+                 / (q_all - s_all * s_all / n), 6) AS eta_squared
     FROM s
     """,
 )
@@ -1275,40 +1275,41 @@ def stats_anova_oneway_q(spark, sf_dir):
     across return flags — the parametric k-group mean test beside
     [stats_kruskal_wallis]'s rank one; a pipeline runs both because
     heavy-tailed quality scores flunk normality).  Per-group moments
-    (n_g, Σx, Σx²) accumulate as exact decimals in ONE map-side-
-    combinable hash agg; each group's (Σx)²/n_g is one shared IEEE
-    expression cast to DECIMAL(30,6) once, making the k-term sums
-    order-free; SSB = Σ(Σx)²/n_g − (Σx)²/N and SSW = Σx² − Σ(Σx)²/n_g
-    combine in doubles only inside the final 1-row expression, rounded
-    6 dp.  At any scale the data-plane work is one agg over the fact
-    table; everything after is a k-row control-plane combine."""
+    (n_g, Σx, Σx²) accumulate under the scaled-integer discipline of
+    the Pearson row (exact cents, long·long products,
+    DECIMAL(38,0)/HUGEINT sums — order-free, 38-digit-exact) in ONE
+    map-side-combinable hash agg; each group's (Σx)²/n_g descales and
+    casts to DECIMAL(30,6) once, making the k-term sums order-free;
+    SSB/SSW combine in doubles only inside the final 1-row expression,
+    rounded 6 dp.  At any scale the data-plane work is one agg over
+    the fact table; everything after is a k-row control-plane
+    combine."""
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("grp"),
-        F.col("l_extendedprice").cast("decimal(30,6)").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        .alias("x"),
     )
+    dec = lambda c: c.cast("decimal(38,0)")
     g = li.groupBy("grp").agg(
         F.count(F.lit(1)).alias("ng"),
-        F.sum("x").alias("sg"),
-        F.sum(F.col("x") * F.col("x")).alias("qg"),
+        F.sum(dec(F.col("x"))).alias("sgc"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("qgc"),
     )
+    sgd = F.col("sgc").cast("double") / 100.0
     t = g.select(
-        "ng", "sg", "qg",
-        (
-            F.col("sg").cast("double")
-            * F.col("sg").cast("double")
-            / F.col("ng")
-        ).cast("decimal(30,6)").alias("term"),
+        "ng", "sgc", "qgc",
+        (sgd * sgd / F.col("ng")).cast("decimal(30,6)").alias("term"),
     )
     s = t.agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
         F.sum("ng").cast("bigint").alias("n"),
-        F.sum("sg").cast("decimal(38,6)").alias("s_all"),
-        F.sum("qg").cast("decimal(38,6)").alias("q_all"),
+        F.sum("sgc").alias("s_all_c"),
+        F.sum("qgc").alias("q_all_c"),
         F.sum("term").alias("t_all"),
     )
     ta = F.col("t_all").cast("double")
-    sa = F.col("s_all").cast("double")
-    qa = F.col("q_all").cast("double")
+    sa = F.col("s_all_c").cast("double") / 100.0
+    qa = F.col("q_all_c").cast("double") / 10000.0
     nd = F.col("n").cast("double")
     ssb = ta - sa * sa / F.col("n")
     sst = qa - sa * sa / F.col("n")
@@ -1696,36 +1697,37 @@ def stats_fdr_bh_q(spark, sf_dir):
 @register(
     "stats_ols_regression",
     oracle="""
-    WITH s AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             SUM(CAST(l_quantity AS DECIMAL(30,6))) AS sx,
-             SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS sy,
-             SUM(CAST(l_quantity AS DECIMAL(30,6))
-                 * CAST(l_quantity AS DECIMAL(30,6))) AS sxx,
-             SUM(CAST(l_extendedprice AS DECIMAL(30,6))
-                 * CAST(l_extendedprice AS DECIMAL(30,6))) AS syy,
-             SUM(CAST(l_quantity AS DECIMAL(30,6))
-                 * CAST(l_extendedprice AS DECIMAL(30,6))) AS sxy
+    WITH c AS (
+      SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
       FROM lineitem
+    ), i AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sxc,
+             SUM(CAST(y AS HUGEINT)) AS syc,
+             SUM(CAST(x * x AS HUGEINT)) AS sxxc,
+             SUM(CAST(y * y AS HUGEINT)) AS syyc,
+             SUM(CAST(x * y AS HUGEINT)) AS sxyc
+      FROM c
+    ), s AS (
+      SELECT n,
+             CAST(sxc AS DOUBLE) / 100.0 AS sx,
+             CAST(syc AS DOUBLE) / 100.0 AS sy,
+             CAST(sxxc AS DOUBLE) / 10000.0 AS sxx,
+             CAST(syyc AS DOUBLE) / 10000.0 AS syy,
+             CAST(sxyc AS DOUBLE) / 10000.0 AS sxy
+      FROM i
     )
     SELECT n,
-           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
-             AS slope,
-           round(CAST(sy AS DOUBLE) / n
-                 - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-                   * (CAST(sx AS DOUBLE) / n), 6) AS intercept,
-           round(pow(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2)
-                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+           round(sy / n
+                 - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                    / (CAST(n AS DOUBLE) * sxx - sx * sx))
+                   * (sx / n), 6) AS intercept,
+           round(pow(CAST(n AS DOUBLE) * sxy - sx * sy, 2)
+                 / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n AS DOUBLE) * syy - sy * sy)), 6)
              AS r_squared
     FROM s
     """,
@@ -1735,25 +1737,32 @@ def stats_ols_regression_q(spark, sf_dir):
     intercept, R² from the SAME five exact-decimal moment sums as
     [stats_pearson_exact] — the calibration-line readout (tokens-vs-
     bytes, cost-vs-rows) pipelines fit without an iterative solver.
-    One map-side-combinable agg; every moment decimal-exact; the three
-    closed forms are single shared IEEE expressions rounded 6 dp.
-    Zero row movement beyond partials at any scale."""
+    Scaled-integer moment discipline per the Pearson row (exact cents,
+    long·long products, DECIMAL(38,0)/HUGEINT sums — 3× cheaper than
+    decimal multiplies, order-free, 38-digit-exact at any row count);
+    each moment descales by the identical /100 power in both engines
+    before the three closed forms, rounded 6 dp.  One
+    map-side-combinable agg; zero row movement beyond partials."""
     li = _t(spark, sf_dir, "lineitem").select(
-        F.col("l_quantity").cast("decimal(30,6)").alias("x"),
-        F.col("l_extendedprice").cast("decimal(30,6)").alias("y"),
+        F.floor(F.col("l_quantity") * 100 + 0.5).cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        .alias("y"),
     )
+    dec = lambda c: c.cast("decimal(38,0)")
     s = li.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).alias("syy"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
     )
     nd = F.col("n").cast("double")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
-    sxy = F.col("sxy").cast("double")
+    sx = F.col("sx").cast("double") / 100.0
+    sy = F.col("sy").cast("double") / 100.0
+    sxx = F.col("sxx").cast("double") / 10000.0
+    syy = F.col("syy").cast("double") / 10000.0
+    sxy = F.col("sxy").cast("double") / 10000.0
     cov_n = nd * sxy - sx * sy
     var_n = nd * sxx - sx * sx
     return s.select(

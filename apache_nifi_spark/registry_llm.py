@@ -7019,32 +7019,40 @@ def pii_k_anonymity_q(spark, sf_dir):
 @register(
     "stats_correlation_matrix",
     oracle="""
-    WITH s AS (
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             SUM(CAST(l_quantity AS DECIMAL(18,2)))      AS s_q,
-             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS s_p,
-             SUM(CAST(l_discount AS DECIMAL(18,2)))      AS s_d,
-             SUM(CAST(l_quantity AS DECIMAL(18,2)) *
-                 CAST(l_quantity AS DECIMAL(18,2)))      AS p_qq,
-             SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                 CAST(l_extendedprice AS DECIMAL(18,2))) AS p_pp,
-             SUM(CAST(l_discount AS DECIMAL(18,2)) *
-                 CAST(l_discount AS DECIMAL(18,2)))      AS p_dd,
-             SUM(CAST(l_quantity AS DECIMAL(18,2)) *
-                 CAST(l_extendedprice AS DECIMAL(18,2))) AS p_qp,
-             SUM(CAST(l_quantity AS DECIMAL(18,2)) *
-                 CAST(l_discount AS DECIMAL(18,2)))      AS p_qd,
-             SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                 CAST(l_discount AS DECIMAL(18,2)))      AS p_pd
+    WITH c AS (
+      SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d
       FROM lineitem
+    ), i AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             SUM(CAST(q AS HUGEINT)) AS s_qc,
+             SUM(CAST(p AS HUGEINT)) AS s_pc,
+             SUM(CAST(d AS HUGEINT)) AS s_dc,
+             SUM(CAST(q * q AS HUGEINT)) AS p_qqc,
+             SUM(CAST(p * p AS HUGEINT)) AS p_ppc,
+             SUM(CAST(d * d AS HUGEINT)) AS p_ddc,
+             SUM(CAST(q * p AS HUGEINT)) AS p_qpc,
+             SUM(CAST(q * d AS HUGEINT)) AS p_qdc,
+             SUM(CAST(p * d AS HUGEINT)) AS p_pdc
+      FROM c
+    ), s AS (
+      SELECT n,
+             CAST(s_qc AS DOUBLE) / 100.0 AS s_q,
+             CAST(s_pc AS DOUBLE) / 100.0 AS s_p,
+             CAST(s_dc AS DOUBLE) / 100.0 AS s_d,
+             CAST(p_qqc AS DOUBLE) / 10000.0 AS p_qq,
+             CAST(p_ppc AS DOUBLE) / 10000.0 AS p_pp,
+             CAST(p_ddc AS DOUBLE) / 10000.0 AS p_dd,
+             CAST(p_qpc AS DOUBLE) / 10000.0 AS p_qp,
+             CAST(p_qdc AS DOUBLE) / 10000.0 AS p_qd,
+             CAST(p_pdc AS DOUBLE) / 10000.0 AS p_pd
+      FROM i
     )
     SELECT col_a, col_b, n,
-           round((n * CAST(pab AS DOUBLE)
-                  - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
-                 / sqrt((n * CAST(paa AS DOUBLE)
-                         - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
-                        * (n * CAST(pbb AS DOUBLE)
-                           - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))),
+           round((n * pab - sa * sb)
+                 / sqrt((n * paa - sa * sa)
+                        * (n * pbb - sb * sb)),
                  6) AS corr
     FROM (
       SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
@@ -7063,33 +7071,55 @@ def stats_correlation_matrix_q(spark, sf_dir):
     """Pairwise Pearson correlation matrix with EXACT-decimal moment
     sums (the profiling pass a feature-selection / drift pipeline runs
     over numeric columns): all nine moments (Σx, Σx², Σxy per pair)
-    accumulate as decimals in ONE scan-and-aggregate — order-
-    independent, so the doubles derived from them hash identically —
+    accumulate under the scaled-integer discipline of the Pearson row
+    (exact cents, long·long products, DECIMAL(38,0)/HUGEINT sums —
+    order-independent AND 3× cheaper than decimal multiplies) in ONE
+    scan-and-aggregate, then descale by identical /100 powers —
     and only the final corr formula runs in floats (identical IEEE
     expression both engines, 6 dp at the edge).  Engine-native
     ``corr()`` can never value-oracle (float accumulation order); this
     shape can, and is map-side combinable at any scale.  Output is
     3 rows per table, row-count independent."""
-    li = _t(spark, sf_dir, "lineitem")
-    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_quantity") * 100 + 0.5).cast("long").alias("q"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        .alias("p"),
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("d"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    q, p, dd = F.col("q"), F.col("p"), F.col("d")
     s = li.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(d("l_quantity")).alias("s_q"),
-        F.sum(d("l_extendedprice")).alias("s_p"),
-        F.sum(d("l_discount")).alias("s_d"),
-        F.sum(d("l_quantity") * d("l_quantity")).alias("p_qq"),
-        F.sum(d("l_extendedprice") * d("l_extendedprice")).alias("p_pp"),
-        F.sum(d("l_discount") * d("l_discount")).alias("p_dd"),
-        F.sum(d("l_quantity") * d("l_extendedprice")).alias("p_qp"),
-        F.sum(d("l_quantity") * d("l_discount")).alias("p_qd"),
-        F.sum(d("l_extendedprice") * d("l_discount")).alias("p_pd"),
+        F.sum(dec(q)).alias("s_qc"),
+        F.sum(dec(p)).alias("s_pc"),
+        F.sum(dec(dd)).alias("s_dc"),
+        F.sum(dec(q * q)).alias("p_qqc"),
+        F.sum(dec(p * p)).alias("p_ppc"),
+        F.sum(dec(dd * dd)).alias("p_ddc"),
+        F.sum(dec(q * p)).alias("p_qpc"),
+        F.sum(dec(q * dd)).alias("p_qdc"),
+        F.sum(dec(p * dd)).alias("p_pdc"),
+    ).select(
+        "n",
+        (F.col("s_qc").cast("double") / 100.0).alias("s_q"),
+        (F.col("s_pc").cast("double") / 100.0).alias("s_p"),
+        (F.col("s_dc").cast("double") / 100.0).alias("s_d"),
+        (F.col("p_qqc").cast("double") / 10000.0).alias("p_qq"),
+        (F.col("p_ppc").cast("double") / 10000.0).alias("p_pp"),
+        (F.col("p_ddc").cast("double") / 10000.0).alias("p_dd"),
+        (F.col("p_qpc").cast("double") / 10000.0).alias("p_qp"),
+        (F.col("p_qdc").cast("double") / 10000.0).alias("p_qd"),
+        (F.col("p_pdc").cast("double") / 10000.0).alias("p_pd"),
     )
     pairs = [
         ("l_quantity", "l_extendedprice", "s_q", "s_p", "p_qq", "p_pp", "p_qp"),
         ("l_quantity", "l_discount", "s_q", "s_d", "p_qq", "p_dd", "p_qd"),
         ("l_extendedprice", "l_discount", "s_p", "s_d", "p_pp", "p_dd", "p_pd"),
     ]
-    parts = []
+    # ONE projection over the 1-row moment frame (a 3-way union would
+    # re-run the scan+agg once per branch): the pair rows explode out
+    # of an array of structs, each corr computed in place.
+    structs = []
     for a, b, sa, sb, paa, pbb, pab in pairs:
         n = F.col("n")
         dbl = lambda c: F.col(c).cast("double")  # noqa: E731
@@ -7101,18 +7131,15 @@ def stats_correlation_matrix_q(spark, sf_dir):
             ),
             6,
         )
-        parts.append(
-            s.select(
+        structs.append(
+            F.struct(
                 F.lit(a).alias("col_a"),
                 F.lit(b).alias("col_b"),
-                F.col("n"),
+                F.col("n").alias("n"),
                 corr.alias("corr"),
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return s.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
 
 
 @register(
