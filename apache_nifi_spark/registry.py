@@ -157,44 +157,76 @@ def flagship_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q1_pricing_summary",
     oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
+             CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS t
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    )
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)      AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_quantity)      AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
-           CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_discount)      AS avg_disc,
+           CAST(SUM(CAST(q AS HUGEINT)) AS DOUBLE) / 100.0 AS sum_qty,
+           CAST(SUM(CAST(p AS HUGEINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+           CAST(SUM(CAST(p * (100 - d) AS HUGEINT)) AS DOUBLE) / 10000.0
+             AS sum_disc_price,
+           CAST(SUM(CAST(p * (100 - d) * (100 + t) AS HUGEINT)) AS DOUBLE)
+             / 1000000.0 AS sum_charge,
+           CAST(SUM(CAST(q AS HUGEINT)) AS DOUBLE) / 100.0 / COUNT(*)
+             AS avg_qty,
+           CAST(SUM(CAST(p AS HUGEINT)) AS DOUBLE) / 100.0 / COUNT(*)
+             AS avg_price,
+           CAST(SUM(CAST(d AS HUGEINT)) AS DOUBLE) / 100.0 / COUNT(*)
+             AS avg_disc,
            COUNT(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    FROM c
     GROUP BY l_returnflag, l_linestatus
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QueryRecord with GROUP BY (NiFi runs this per-FlowFile in Calcite;
-    here it is one distributed hash aggregate with map-side partials)."""
+    here it is one distributed hash aggregate with map-side partials).
+
+    Scaled-integer moment discipline (the round-14 Pearson-family
+    rework, applied to the headline agg): every measure is 2-decimal
+    fixed-point, so values scale EXACTLY to integer cents
+    (floor(x·100 + 0.5)) and the disc-price/charge products become
+    long·long integers — p·(100−d) and p·(100−d)·(100+t) are EXACT
+    (the previous form rounded each row's IEEE double product to 6 dp
+    before summing), sums accumulate in DECIMAL(38,0)/HUGEINT
+    (order-free, 38-digit-exact at any row count, per-row charge
+    bounded ≤ ~10¹¹ ≪ 2⁶³), and each output descales by the identical
+    power of 100 in both engines.  The round-robin widen that used to
+    precede the agg is GONE with the decimal CPU cost it amortized:
+    re-measured, the widen's own shuffle now costs more than it saves
+    (1.19 s with vs 0.79 s without at sf0.1; the 512 MB-split scan
+    already yields multiple tasks, and at real scale the scan is
+    many-task regardless)."""
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        # widen: 7 decimal aggregates over the full fact table are the CPU
-        # cost here; on a single-row-group fixture they'd run in one task.
-        io.widen_if_narrow(
-            li.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp_ntz"))
-        )
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            _dsum(F.col("l_quantity"), "sum_qty"),
-            _dsum(F.col("l_extendedprice"), "sum_base_price"),
-            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price"),
-            _dsum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
-                "sum_charge",
-            ),
-            _davg(F.col("l_quantity"), "avg_qty"),
-            _davg(F.col("l_extendedprice"), "avg_price"),
-            _davg(F.col("l_discount"), "avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = li.filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp_ntz")
+    ).select(
+        "l_returnflag", "l_linestatus",
+        F.floor(F.col("l_quantity") * 100 + 0.5).cast("long").alias("q"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        .alias("p"),
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("d"),
+        F.floor(F.col("l_tax") * 100 + 0.5).cast("long").alias("t"),
+    )
+    q, p, d, t = F.col("q"), F.col("p"), F.col("d"), F.col("t")
+    cnt = F.count(F.lit(1))
+    return base.groupBy("l_returnflag", "l_linestatus").agg(
+        (F.sum(dec(q)).cast("double") / 100.0).alias("sum_qty"),
+        (F.sum(dec(p)).cast("double") / 100.0).alias("sum_base_price"),
+        (F.sum(dec(p * (100 - d))).cast("double") / 10000.0)
+        .alias("sum_disc_price"),
+        (F.sum(dec(p * (100 - d) * (100 + t))).cast("double") / 1000000.0)
+        .alias("sum_charge"),
+        (F.sum(dec(q)).cast("double") / 100.0 / cnt).alias("avg_qty"),
+        (F.sum(dec(p)).cast("double") / 100.0 / cnt).alias("avg_price"),
+        (F.sum(dec(d)).cast("double") / 100.0 / cnt).alias("avg_disc"),
+        cnt.alias("count_order"),
     )
 
 
