@@ -1893,3 +1893,110 @@ def stats_autocorrelation_q(spark, sf_dir):
             6,
         ).alias("acf"),
     )
+
+@register(
+    "stats_theil_decomposition",
+    oracle="""
+    WITH r AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,6)))
+                  AS DECIMAL(30,6)) AS revenue
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, o.o_custkey
+    ), t AS (
+      SELECT segment, revenue,
+             CAST(CAST(revenue AS DOUBLE) * ln(CAST(revenue AS DOUBLE))
+                  AS DECIMAL(28,6)) AS xlnx
+      FROM r
+    ), g AS (
+      SELECT segment,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(revenue) AS DECIMAL(38,6)) AS tot,
+             CAST(sum(xlnx) AS DECIMAL(38,6)) AS sx
+      FROM t GROUP BY segment
+    ), w AS (
+      SELECT segment, n_customers, tot, sx,
+             sum(n_customers) OVER () AS n_all,
+             CAST(sum(tot) OVER () AS DECIMAL(38,6)) AS tot_all
+      FROM g
+    )
+    SELECT segment, n_customers,
+           round(CAST(sx AS DOUBLE) / CAST(tot AS DOUBLE)
+                 - ln(CAST(tot AS DOUBLE))
+                 + ln(n_customers), 6) AS theil_within,
+           round(CAST(tot AS DOUBLE) / CAST(tot_all AS DOUBLE), 6)
+             AS revenue_share,
+           round((CAST(tot AS DOUBLE) / CAST(tot_all AS DOUBLE))
+                 * (CAST(sx AS DOUBLE) / CAST(tot AS DOUBLE)
+                    - ln(CAST(tot AS DOUBLE)) + ln(n_customers)), 6)
+             AS within_contribution,
+           round((CAST(tot AS DOUBLE) / CAST(tot_all AS DOUBLE))
+                 * ln((CAST(tot AS DOUBLE) / CAST(tot_all AS DOUBLE))
+                      / (CAST(n_customers AS DOUBLE) / n_all)), 6)
+             AS between_term
+    FROM w
+    """,
+)
+def stats_theil_decomposition_q(spark, sf_dir):
+    """Theil T decomposition — the property [stats_theil_index]'s
+    docstring sells, delivered: total inequality splits EXACTLY into
+    T = Σ_g w_g·T_g (within) + Σ_g w_g·ln(w_g/p_g) (between), with
+    w_g the group's revenue share and p_g its population share — the
+    corpus-balance readout that tells a mixture designer whether
+    imbalance lives INSIDE sources (reweight documents) or BETWEEN
+    them (reweight sources).  Data-plane work is the same keyed join +
+    customer-grain agg + decimal-summed x·ln x terms as the Theil row;
+    everything after runs on the |segments|-row control-plane frame
+    (the global-share window is over ≤5 rows).  Per-segment output:
+    within-T, revenue share, and both contribution terms, each a
+    single shared IEEE expression rounded 6 dp."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    r = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"), F.col("o_custkey")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("decimal(30,6)")
+            .alias("revenue")
+        )
+    )
+    xd = F.col("revenue").cast("double")
+    t = r.select(
+        "segment", "revenue",
+        (xd * F.log(xd)).cast("decimal(28,6)").alias("xlnx"),
+    )
+    g = t.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("revenue").cast("decimal(38,6)").alias("tot"),
+        F.sum("xlnx").cast("decimal(38,6)").alias("sx"),
+    )
+    # ≤|segments|-row control-plane frame: the global windows are tiny
+    wall = Window.partitionBy()
+    w = g.select(
+        "*",
+        F.sum("n_customers").over(wall).alias("n_all"),
+        F.sum("tot").over(wall).cast("decimal(38,6)").alias("tot_all"),
+    )
+    td, totd = F.col("tot").cast("double"), F.col("tot_all").cast("double")
+    within = (
+        F.col("sx").cast("double") / td - F.log(td)
+        + F.log(F.col("n_customers"))
+    )
+    share = td / totd
+    return w.select(
+        "segment", "n_customers",
+        F.round(within, 6).alias("theil_within"),
+        F.round(share, 6).alias("revenue_share"),
+        F.round(share * within, 6).alias("within_contribution"),
+        F.round(
+            share
+            * F.log(
+                share
+                / (F.col("n_customers").cast("double") / F.col("n_all"))
+            ),
+            6,
+        ).alias("between_term"),
+    )

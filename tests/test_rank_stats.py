@@ -279,3 +279,33 @@ def test_hilbert_frame_bijection_and_adjacency(spark):
     for i in range(n * n - 1):
         (x1, y1), (x2, y2) = pos[i], pos[i + 1]
         assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+def test_theil_decomposition_identity(spark):
+    """Σ_g within_contribution + Σ_g between_term must equal the pooled
+    population's Theil T computed directly — the decomposition's
+    defining identity — on a constructed two-segment table."""
+    import math as m
+
+    revenues = {"A": [1.0, 2.0, 3.0], "B": [10.0, 20.0, 30.0, 40.0]}
+    orders = []
+    cust = []
+    i = 0
+    for seg, xs in revenues.items():
+        for x in xs:
+            orders.append((i, float(x)))
+            cust.append((i, seg))
+            i += 1
+    tables = {
+        "orders": spark.createDataFrame(
+            orders, "o_custkey long, o_totalprice double"
+        ),
+        "customer": spark.createDataFrame(
+            cust, "c_custkey long, c_mktsegment string"
+        ),
+    }
+    rows = _patched(spark, tables, "stats_theil_decomposition")
+    got = sum(r["within_contribution"] + r["between_term"] for r in rows)
+    xs = [x for v in revenues.values() for x in v]
+    mu = sum(xs) / len(xs)
+    want = sum(x / mu * m.log(x / mu) for x in xs) / len(xs)
+    assert got == pytest.approx(want, abs=1e-5)
