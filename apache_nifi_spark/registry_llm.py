@@ -7652,3 +7652,78 @@ def pii_l_diversity_q(spark, sf_dir):
         ).alias("sensitive_entropy"),
         (F.count(F.lit(1)) < 3).alias("at_risk"),
     )
+
+@register(
+    "text_burstiness",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                x -> x != '')) AS term
+      FROM documents
+    ), tc AS (
+      SELECT term, doc_id, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    ), nd AS (
+      SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM documents
+    ), s AS (
+      SELECT term,
+             CAST(count(*) AS BIGINT) AS df,
+             SUM(CAST(c AS HUGEINT)) AS sc,
+             SUM(CAST(c * c AS HUGEINT)) AS scc
+      FROM tc GROUP BY term
+    )
+    SELECT term, df, CAST(sc AS BIGINT) AS total_count,
+           round((CAST(scc AS DOUBLE) / n_docs
+                  - (CAST(sc AS DOUBLE) / n_docs)
+                    * (CAST(sc AS DOUBLE) / n_docs))
+                 / (CAST(sc AS DOUBLE) / n_docs), 6) AS dispersion,
+           round(CAST(sc AS DOUBLE) / df, 6) AS burstiness
+    FROM s, nd WHERE df >= 50
+    """,
+)
+def text_burstiness_q(spark, sf_dir):
+    """Term burstiness / index of dispersion (Church & Gale 1995 — the
+    content-vs-function-word signal a corpus pipeline reads before
+    keyword extraction or stopword induction): per term, the
+    variance-to-mean ratio of its per-document counts over ALL
+    documents (D = σ²/μ; ≈1 = Poisson scatter = function word, ≫1 =
+    bursty = topical content word) plus the classic per-occurrence
+    burstiness E[c | c>0] = Σc/df.  Zero-count documents never
+    materialize: with N total docs, μ = Σc/N and σ² = Σc²/N − μ² need
+    only the occurring-doc moments (integer-exact HUGEINT/decimal
+    sums) and the 1-row N broadcast.  Shape: token explode → (term,
+    doc) hash agg → term hash agg, all map-side combinable; df ≥ 50
+    bounds the report to the head vocabulary.  Floats are single
+    shared IEEE expressions, rounded 6 dp."""
+    from apache_nifi_spark.llm.text import _ws_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    ndocs = d.agg(F.countDistinct("doc_id").alias("n_docs"))
+    tok = d.select(
+        "doc_id",
+        F.explode(_ws_tokens(F.lower(F.col("text")))).alias("term"),
+    )
+    tc = tok.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    s = (
+        tc.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sum(F.col("c").cast("decimal(38,0)")).alias("sc"),
+            F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)"))
+            .alias("scc"),
+        )
+        .filter(F.col("df") >= 50)
+    )
+    mu = F.col("sc").cast("double") / F.col("n_docs")
+    return s.join(F.broadcast(ndocs)).select(
+        "term", "df",
+        F.col("sc").cast("bigint").alias("total_count"),
+        F.round(
+            (F.col("scc").cast("double") / F.col("n_docs") - mu * mu) / mu,
+            6,
+        ).alias("dispersion"),
+        F.round(F.col("sc").cast("double") / F.col("df"), 6)
+        .alias("burstiness"),
+    )

@@ -186,6 +186,9 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
         # 4-row literal lag table crossed into the day-grain series:
         # bounded by construction (the lag workload, not data)
         "stats_autocorrelation",
+        # 1-row corpus doc-count broadcast (the dispersion denominator):
+        # keyless by nature, bounded by construction
+        "text_burstiness",
     }
     for name, fn in QUERIES.items():
         if name.startswith("stream_") or name in skip:
@@ -362,6 +365,8 @@ def test_no_broadcast_hint_on_corpus_cardinality_frames():
         ("registry_analytics.py", "tot"): "1-row n/ties totals aggregate",
         # autocorrelation: 4-row literal lag table
         ("registry_analytics.py", "lags"): "4-row literal lag table",
+        # burstiness: 1-row corpus doc-count aggregate
+        ("registry_llm.py", "ndocs"): "1-row corpus doc count",
     }
     pkg_root = pathlib.Path(apache_nifi_spark.__file__).parent
     offenders = []
