@@ -7727,3 +7727,107 @@ def text_burstiness_q(spark, sf_dir):
         F.round(F.col("sc").cast("double") / F.col("df"), 6)
         .alias("burstiness"),
     )
+
+@register(
+    "stats_cohens_kappa",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')) AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+             length(list_intersect(toks, ['the','and','of','to','a','in','is','it','that','for'])) AS s_en,
+             length(list_intersect(toks, ['el','la','de','que','y','en','un','es','por','con'])) AS s_es,
+             length(list_intersect(toks, ['le','la','de','et','un','en','est','que','pour','dans'])) AS s_fr,
+             length(list_intersect(toks, ['der','die','das','und','in','von','zu','mit','ist','auf'])) AS s_de,
+             length(list_intersect(toks, ['的','了','是','在','我','有','和','就','不','人'])) AS s_zh
+      FROM t
+    ), p AS (
+      SELECT lang,
+             CASE WHEN greatest(s_en,s_es,s_fr,s_de,s_zh) = 0 THEN 'unknown'
+                  WHEN s_en = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'en'
+                  WHEN s_es = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'es'
+                  WHEN s_fr = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'fr'
+                  WHEN s_de = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'de'
+                  ELSE 'zh' END AS pred
+      FROM s
+    ), cells AS (
+      SELECT lang, pred, CAST(count(*) AS BIGINT) AS n
+      FROM p GROUP BY 1, 2
+    ), r AS (
+      SELECT lang AS label, sum(n) AS rn FROM cells GROUP BY 1
+    ), c AS (
+      SELECT pred AS label, sum(n) AS cn FROM cells GROUP BY 1
+    ), m AS (
+      SELECT CAST(sum(CAST(coalesce(rn, 0) AS HUGEINT)
+                       * coalesce(cn, 0)) AS HUGEINT) AS pe_num
+      FROM r FULL JOIN c USING (label)
+    ), agg AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+             CAST(sum(n) FILTER (WHERE lang = pred) AS BIGINT) AS agree
+      FROM cells
+    )
+    SELECT n_docs, agree,
+           round(CAST(agree AS DOUBLE) / n_docs, 6) AS po,
+           round(CAST(pe_num AS DOUBLE)
+                 / (CAST(n_docs AS DOUBLE) * n_docs), 6) AS pe,
+           round((CAST(agree AS DOUBLE) / n_docs
+                  - CAST(pe_num AS DOUBLE)
+                    / (CAST(n_docs AS DOUBLE) * n_docs))
+                 / (1 - CAST(pe_num AS DOUBLE)
+                        / (CAST(n_docs AS DOUBLE) * n_docs)), 6) AS kappa
+    FROM agg, m
+    """,
+)
+def stats_cohens_kappa_q(spark, sf_dir):
+    """Cohen's κ inter-rater agreement between the DECLARED language
+    label and the stopword-argmax language-ID prediction (the
+    label-quality audit a curation pipeline runs on any
+    machine-labeled column: raw accuracy p₀ flatters imbalanced label
+    sets, κ subtracts the chance agreement p_e = Σ r_ℓ·c_ℓ/N²).
+    Shape: the language-ID scorer at row grain (map-only), ONE hash
+    agg to the ≤|labels|² confusion frame, then margins/diagonal on
+    control-plane-size frames (marginal products summed as
+    HUGEINT/decimal — order-free); κ is one shared IEEE expression
+    rounded 6 dp.  [text_language_id] reports the per-doc verdicts;
+    this row is its corpus-level scorecard."""
+    from apache_nifi_spark.llm import language_id
+
+    p = language_id(_t(spark, sf_dir, "documents")).select(
+        "lang", F.col("lang_pred").alias("pred")
+    )
+    cells = p.groupBy("lang", "pred").agg(F.count(F.lit(1)).alias("n"))
+    r = cells.groupBy(F.col("lang").alias("label")).agg(
+        F.sum("n").alias("rn")
+    )
+    c = cells.groupBy(F.col("pred").alias("label")).agg(
+        F.sum("n").alias("cn")
+    )
+    m = (
+        r.join(c, "label", "full")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("rn"), F.lit(0)).cast("decimal(38,0)")
+                * F.coalesce(F.col("cn"), F.lit(0))
+            )
+            .cast("decimal(38,0)")
+            .alias("pe_num")
+        )
+    )
+    agg = cells.agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("lang") == F.col("pred"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("agree"),
+    )
+    j = agg.join(F.broadcast(m))  # 1-row × 1-row: bounded by construction
+    nd = F.col("n_docs").cast("double")
+    po = F.col("agree").cast("double") / F.col("n_docs")
+    pe = F.col("pe_num").cast("double") / (nd * F.col("n_docs"))
+    return j.select(
+        "n_docs", "agree",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+    )

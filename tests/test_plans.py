@@ -189,6 +189,9 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
         # 1-row corpus doc-count broadcast (the dispersion denominator):
         # keyless by nature, bounded by construction
         "text_burstiness",
+        # 1-row agreement totals × 1-row chance-agreement numerator:
+        # both keyless by nature, bounded by construction
+        "stats_cohens_kappa",
     }
     for name, fn in QUERIES.items():
         if name.startswith("stream_") or name in skip:
@@ -367,6 +370,8 @@ def test_no_broadcast_hint_on_corpus_cardinality_frames():
         ("registry_analytics.py", "lags"): "4-row literal lag table",
         # burstiness: 1-row corpus doc-count aggregate
         ("registry_llm.py", "ndocs"): "1-row corpus doc count",
+        # Cohen's kappa: 1-row chance-agreement numerator
+        ("registry_llm.py", "m"): "1-row chance-agreement numerator",
     }
     pkg_root = pathlib.Path(apache_nifi_spark.__file__).parent
     offenders = []

@@ -309,3 +309,30 @@ def test_theil_decomposition_identity(spark):
     mu = sum(xs) / len(xs)
     want = sum(x / mu * m.log(x / mu) for x in xs) / len(xs)
     assert got == pytest.approx(want, abs=1e-5)
+
+def test_cohens_kappa_hand_computed(spark):
+    """κ against the textbook formula on a constructed 4-doc corpus
+    with a known confusion matrix (patching the llm satellite's _t)."""
+    import apache_nifi_spark.registry_llm as rl
+
+    docs = spark.createDataFrame(
+        [
+            (0, "en", "the and of to a"),
+            (1, "en", "the is it that for"),
+            (2, "es", "el la de que y"),
+            (3, "es", "the and of is it"),  # mislabeled -> pred en
+        ],
+        "doc_id long, lang string, text string",
+    )
+    orig = rl._t
+    try:
+        rl._t = lambda s, d, t: docs
+        [row] = rl.QUERIES["stats_cohens_kappa"](spark, "x").collect()
+    finally:
+        rl._t = orig
+    # confusion: lang en -> pred en (2); lang es -> pred es (1), en (1)
+    # po = 3/4; pe = (2*3 + 2*1)/16 = 0.5; kappa = (0.75-0.5)/0.5 = 0.5
+    assert row["n_docs"] == 4 and row["agree"] == 3
+    assert row["po"] == pytest.approx(0.75, abs=1e-9)
+    assert row["pe"] == pytest.approx(0.5, abs=1e-9)
+    assert row["kappa"] == pytest.approx(0.5, abs=1e-9)
