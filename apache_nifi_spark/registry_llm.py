@@ -7831,3 +7831,75 @@ def stats_cohens_kappa_q(spark, sf_dir):
         F.round(pe, 6).alias("pe"),
         F.round((po - pe) / (1 - pe), 6).alias("kappa"),
     )
+
+@register(
+    "text_mattr_diversity",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x != '') AS toks
+      FROM documents WHERE doc_id < 1500
+    ), w AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             greatest(len(toks) - 49, 1) AS n_windows,
+             CASE WHEN len(toks) = 0 THEN 0
+                  ELSE list_sum(list_transform(
+                    range(1, greatest(len(toks) - 49, 1) + 1),
+                    i -> len(list_distinct(
+                           list_slice(toks, i, i + least(49, len(toks) - 1))))))
+             END AS dsum
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_windows AS BIGINT) AS n_windows,
+           CASE WHEN n_tokens = 0 THEN NULL
+                ELSE round(CAST(dsum AS DOUBLE)
+                           / (least(50, n_tokens) * n_windows), 6)
+           END AS mattr
+    FROM w
+    """,
+)
+def text_mattr_diversity_q(spark, sf_dir):
+    """MATTR lexical diversity (Covington & McFall 2010 — the
+    length-robust type-token ratio; plain TTR decays with document
+    length, so corpus quality gates use the moving-average variant):
+    per document, the mean distinct-token ratio over all 50-token
+    sliding windows (documents shorter than the window fall back to
+    one whole-document window — the standard rule).  The windowed
+    distinct counts are INTEGERS, so the mean is Σdistinctᵢ/(w·n_win)
+    with an exact integer numerator — no order-dependent float sum —
+    and one final division rounded 6 dp.  Pure array algebra
+    (sequence→slice→array_distinct), map-only, no shuffle, no UDF;
+    per-doc cost is O(tokens·w), independent of corpus size."""
+    from apache_nifi_spark.llm.text import _ws_tokens
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 1500)
+        .select(
+            "doc_id", _ws_tokens(F.lower(F.col("text"))).alias("toks")
+        )
+    )
+    n = F.size("toks")
+    n_win = F.greatest(n - 49, F.lit(1))
+    wlen = F.least(F.lit(50), n)
+    dsum = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda i: F.size(
+                F.array_distinct(F.slice(F.col("toks"), i, 50))
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        n_win.cast("bigint").alias("n_windows"),
+        F.when(n == 0, F.lit(None).cast("double")).otherwise(
+            F.round(dsum.cast("double") / (wlen * n_win), 6)
+        ).alias("mattr"),
+    )
