@@ -168,3 +168,77 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
+
+def link_prediction_scores(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    min_common: int = 2,
+) -> DataFrame:
+    """Neighborhood link-prediction scores (Liben-Nowell & Kleinberg
+    2003) for NON-edges: common-neighbor count, Jaccard
+    |Γu∩Γv|/|Γu∪Γv|, and Adamic–Adar Σ_z 1/ln(deg z) over shared
+    neighbors z — the classic "which edge appears next" features.
+
+    Shape: canonical-undirected dedup, adjacency both directions, ONE
+    wedge self-join on the shared neighbor (u<v halves the pairs; the
+    wedge fan-out is Σ deg(z)², bounded on constant/√-degree graphs),
+    a hash agg to candidate-pair grain, an ANTI join dropping existing
+    edges, and two degree joins for the Jaccard denominator.  Every
+    common neighbor has deg ≥ 2 by construction, so 1/ln(deg) is
+    finite; each Adamic–Adar term is ONE shared IEEE expression cast
+    to DECIMAL(28,9) once (order-free sum — the repo's float
+    discipline).  All other quantities integer-exact.
+    Returns (u, v, common_neighbors, jaccard, adamic_adar) for
+    non-adjacent pairs with ≥ ``min_common`` shared neighbors."""
+    a, b = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.select(
+            F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b")
+        )
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+        .localCheckpoint(eager=False)  # read by adj, deg, and anti join
+    )
+    adj = e.select(F.col("_a").alias("n"), F.col("_b").alias("nbr")).unionAll(
+        e.select(F.col("_b").alias("n"), F.col("_a").alias("nbr"))
+    )
+    deg = adj.groupBy(F.col("n")).agg(F.count(F.lit(1)).alias("dg"))
+    zdeg = adj.join(
+        deg.select(F.col("n").alias("nbr"), F.col("dg").alias("zdg")), "nbr"
+    )
+    w1 = zdeg.select(
+        F.col("nbr").alias("z"), F.col("n").alias("u"), F.col("zdg")
+    )
+    w2 = adj.select(F.col("nbr").alias("z"), F.col("n").alias("v"))
+    wedges = w1.join(w2, "z").filter(F.col("u") < F.col("v"))
+    cand = (
+        wedges.groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+            F.sum(
+                (F.lit(1.0) / F.log(F.col("zdg"))).cast("decimal(28,9)")
+            ).alias("aa"),
+        )
+        .filter(F.col("common_neighbors") >= min_common)
+    )
+    non_edges = cand.join(
+        e.select(F.col("_a").alias("u"), F.col("_b").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("dg").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("dg").alias("dv"))
+    return (
+        non_edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u", "v", "common_neighbors",
+            F.round(
+                F.col("common_neighbors").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("common_neighbors")),
+                6,
+            ).alias("jaccard"),
+            F.round(F.col("aa").cast("double"), 6).alias("adamic_adar"),
+        )
+    )

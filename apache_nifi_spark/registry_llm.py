@@ -7903,3 +7903,84 @@ def text_mattr_diversity_q(spark, sf_dir):
             F.round(dsum.cast("double") / (wlen * n_win), 6)
         ).alias("mattr"),
     )
+
+@register(
+    "graph_link_prediction",
+    oracle="""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents),
+    ids AS (SELECT doc_id AS i FROM documents),
+    raw AS (
+      SELECT i AS ea, (i + 1) % nn AS eb FROM ids, n
+      UNION ALL SELECT i, (i + 2) % nn FROM ids, n
+      UNION ALL SELECT i, (i * 7 + 3) % nn FROM ids, n
+    ),
+    e0 AS (
+      SELECT DISTINCT least(ea, eb) AS ea, greatest(ea, eb) AS eb
+      FROM raw WHERE ea <> eb
+    ),
+    adj AS (
+      SELECT ea AS node, eb AS nbr FROM e0
+      UNION ALL SELECT eb, ea FROM e0
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS dg FROM adj GROUP BY 1
+    ),
+    wedges AS (
+      SELECT a1.node AS u, a2.node AS v, a1.nbr AS z, dz.dg AS zdg
+      FROM adj a1
+      JOIN adj a2 ON a1.nbr = a2.nbr AND a1.node < a2.node
+      JOIN deg dz ON dz.node = a1.nbr
+    ),
+    cand AS (
+      SELECT u, v,
+             CAST(count(*) AS BIGINT) AS common_neighbors,
+             sum(CAST(1.0 / ln(zdg) AS DECIMAL(28,9))) AS aa
+      FROM wedges GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    ne AS (
+      SELECT cand.* FROM cand
+      LEFT JOIN e0 ON e0.ea = cand.u AND e0.eb = cand.v
+      WHERE e0.ea IS NULL
+    )
+    SELECT u, v, common_neighbors,
+           round(CAST(common_neighbors AS DOUBLE)
+                 / (du.dg + dv.dg - common_neighbors), 6) AS jaccard,
+           round(CAST(aa AS DOUBLE), 6) AS adamic_adar
+    FROM ne
+    JOIN deg du ON du.node = ne.u
+    JOIN deg dv ON dv.node = ne.v
+    """,
+)
+def graph_link_prediction_q(spark, sf_dir):
+    """Link prediction over the deterministic document graph (§2.12
+    graph tier, beside pagerank and triangles — the "which duplicate
+    cluster / citation edge appears next" primitive): common-neighbor,
+    Jaccard, and Adamic–Adar scores for every NON-edge with ≥2 shared
+    neighbors, via one wedge self-join on the shared neighbor (fan-out
+    Σ deg(z)² — linear on this constant-degree graph, √m-bounded after
+    orientation on power-law ones), an anti join against the edge
+    list, and two degree joins.  Adamic–Adar terms decimal-cast once
+    (order-free sum); everything else integer-exact.
+    llm/graph.link_prediction_scores."""
+    from apache_nifi_spark.llm.graph import link_prediction_scores
+
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("i"))
+    nn = ids.count()  # control-plane: 1 int, the node count
+    edges = (
+        ids.select(
+            F.col("i").alias("src"), ((F.col("i") + 1) % nn).alias("dst")
+        )
+        .unionAll(
+            ids.select(
+                F.col("i").alias("src"), ((F.col("i") + 2) % nn).alias("dst")
+            )
+        )
+        .unionAll(
+            ids.select(
+                F.col("i").alias("src"),
+                ((F.col("i") * 7 + 3) % nn).alias("dst"),
+            )
+        )
+    )
+    return link_prediction_scores(edges)
