@@ -2000,3 +2000,79 @@ def stats_theil_decomposition_q(spark, sf_dir):
             6,
         ).alias("between_term"),
     )
+
+@register(
+    "orders_abc_classification",
+    oracle="""
+    WITH pr AS (
+      SELECT p.p_brand AS brand, l.l_partkey AS partkey,
+             CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                      * (100 - CAST(floor(l.l_discount * 100 + 0.5)
+                                    AS BIGINT))) AS HUGEINT) AS rev_c
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ), r AS (
+      SELECT brand, partkey, rev_c,
+             sum(rev_c) OVER (PARTITION BY brand
+                              ORDER BY rev_c DESC, partkey) AS cum_c,
+             sum(rev_c) OVER (PARTITION BY brand) AS tot_c
+      FROM pr
+    )
+    SELECT brand, partkey,
+           CAST(rev_c AS DOUBLE) / 10000.0 AS revenue,
+           round(CAST(cum_c AS DOUBLE) / CAST(tot_c AS DOUBLE), 6)
+             AS cum_share,
+           CASE WHEN CAST(cum_c AS DOUBLE) / CAST(tot_c AS DOUBLE) <= 0.8
+                THEN 'A'
+                WHEN CAST(cum_c AS DOUBLE) / CAST(tot_c AS DOUBLE) <= 0.95
+                THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM r
+    """,
+)
+def orders_abc_classification_q(spark, sf_dir):
+    """ABC inventory classification (the 80/95 cumulative-revenue
+    classing every part, where [stats_pareto_8020] only reported the
+    head count — the corpus analog assigns KEEP/SAMPLE/DROP tiers to
+    sources): per-part discounted revenue in EXACT scaled integers
+    (the round-14 Q1 discipline — cents·(100−disc) long products,
+    HUGEINT/decimal sums), then a cumulative share under a
+    brand-PARTITIONED total-order window ((rev DESC, partkey) tiebreak
+    makes the order total, so cum_share is deterministic), classed at
+    ≤0.8 / ≤0.95.  At 100 TB every window sorts only its brand's
+    partkeys inside one hash partition — never a global sort; the
+    part-grain agg is the only fact-table work."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+            * (100 - F.floor(F.col("l_discount") * 100 + 0.5).cast("long"))
+        ).alias("rc"),
+    )
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    pr = (
+        li.join(p, "l_partkey")
+        .groupBy("brand", F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(F.col("rc").cast("decimal(38,0)")).alias("rev_c"))
+    )
+    wc = (
+        Window.partitionBy("brand")
+        .orderBy(F.desc("rev_c"), F.asc("partkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("brand")
+    r = pr.select(
+        "brand", "partkey", "rev_c",
+        F.sum("rev_c").over(wc).alias("cum_c"),
+        F.sum("rev_c").over(wt).alias("tot_c"),
+    )
+    share = F.col("cum_c").cast("double") / F.col("tot_c").cast("double")
+    return r.select(
+        "brand", "partkey",
+        (F.col("rev_c").cast("double") / 10000.0).alias("revenue"),
+        F.round(share, 6).alias("cum_share"),
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C")
+        .alias("abc_class"),
+    )

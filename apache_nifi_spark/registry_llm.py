@@ -7984,3 +7984,64 @@ def graph_link_prediction_q(spark, sf_dir):
         )
     )
     return link_prediction_scores(edges)
+
+@register(
+    "stats_mcnemar_test",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')) AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+             length(list_intersect(toks, ['the','and','of','to','a','in','is','it','that','for'])) AS s_en,
+             length(list_intersect(toks, ['el','la','de','que','y','en','un','es','por','con'])) AS s_es,
+             length(list_intersect(toks, ['le','la','de','et','un','en','est','que','pour','dans'])) AS s_fr,
+             length(list_intersect(toks, ['der','die','das','und','in','von','zu','mit','ist','auf'])) AS s_de,
+             length(list_intersect(toks, ['的','了','是','在','我','有','和','就','不','人'])) AS s_zh
+      FROM t
+    ), p AS (
+      SELECT (lang = 'en') AS rater_a,
+             (greatest(s_en,s_es,s_fr,s_de,s_zh) > 0
+              AND s_en = greatest(s_en,s_es,s_fr,s_de,s_zh)) AS rater_b
+      FROM s
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE rater_a AND NOT rater_b) AS BIGINT)
+             AS b,
+           CAST(count(*) FILTER (WHERE NOT rater_a AND rater_b) AS BIGINT)
+             AS c,
+           round(pow(CAST(count(*) FILTER (WHERE rater_a AND NOT rater_b)
+                          AS DOUBLE)
+                     - count(*) FILTER (WHERE NOT rater_a AND rater_b), 2)
+                 / (count(*) FILTER (WHERE rater_a AND NOT rater_b)
+                    + count(*) FILTER (WHERE NOT rater_a AND rater_b)),
+                 6) AS chi2
+    FROM p
+    """,
+)
+def stats_mcnemar_test_q(spark, sf_dir):
+    """McNemar's paired test on the binary "is it English?" question —
+    declared label vs the language-ID argmax as the two paired raters
+    (the A/B-labeler comparison run on the SAME documents, where the
+    unpaired χ² would be wrong): only the DISCORDANT counts matter,
+    χ² = (b−c)²/(b+c).  Counts are exact integers from one map-side-
+    combinable agg over a map-only scorer pass; the statistic is one
+    shared IEEE expression rounded 6 dp.  The paired complement of
+    [stats_cohens_kappa]'s agreement scorecard."""
+    from apache_nifi_spark.llm import language_id
+
+    p = language_id(_t(spark, sf_dir, "documents")).select(
+        (F.col("lang") == "en").alias("ra"),
+        (F.col("lang_pred") == "en").alias("rb"),
+    )
+    b = F.sum(F.when(F.col("ra") & ~F.col("rb"), 1).otherwise(0))
+    c = F.sum(F.when(~F.col("ra") & F.col("rb"), 1).otherwise(0))
+    return p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        b.cast("bigint").alias("b"),
+        c.cast("bigint").alias("c"),
+        F.round(
+            F.pow(b.cast("double") - c, F.lit(2)) / (b + c), 6
+        ).alias("chi2"),
+    )
