@@ -2076,3 +2076,137 @@ def orders_abc_classification_q(spark, sf_dir):
         F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C")
         .alias("abc_class"),
     )
+
+@register(
+    "hypertable_lttb_downsample",
+    oracle="""
+    WITH p AS (
+      SELECT event_id,
+             epoch_us(ts) AS xa,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+      FROM events WHERE event_type = 'purchase'
+    ), mm AS (
+      SELECT min(xa) AS lo, max(xa) AS hi FROM p
+    ), b AS (
+      SELECT event_id, xa - lo AS x, y,
+             CAST(least(63, (xa - lo) * 64 // (hi - lo + 1)) AS INT)
+               AS bkt
+      FROM p, mm
+    ), agg AS (
+      SELECT bkt, CAST(count(*) AS BIGINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx,
+             SUM(CAST(y AS HUGEINT)) AS sy
+      FROM b GROUP BY 1
+    ), mid AS (
+      SELECT b.bkt, b.event_id, b.y, b.x,
+             abs((l.sx * r.n - r.sx * l.n)
+                 * (CAST(b.y AS HUGEINT) * l.n - l.sy)
+                 - (l.sx - CAST(b.x AS HUGEINT) * l.n)
+                   * (r.sy * l.n - l.sy * r.n)) AS area2
+      FROM b
+      JOIN agg l ON l.bkt = b.bkt - 1
+      JOIN agg r ON r.bkt = b.bkt + 1
+    ), midw AS (
+      SELECT bkt, event_id, y,
+             row_number() OVER (PARTITION BY bkt
+                                ORDER BY area2 DESC, x, event_id) AS rk
+      FROM mid
+    ), edge AS (
+      SELECT bkt, event_id, y,
+             row_number() OVER (PARTITION BY bkt
+                                ORDER BY CASE WHEN bkt = 0 THEN x
+                                              ELSE -x END, event_id) AS rk
+      FROM b WHERE bkt IN (0, 63)
+    )
+    SELECT bkt AS bucket, event_id,
+           round(CAST(y AS DOUBLE) / 100.0, 2) AS value
+    FROM (SELECT * FROM midw WHERE rk = 1
+          UNION ALL SELECT * FROM edge WHERE rk = 1)
+    """,
+)
+def hypertable_lttb_downsample_q(spark, sf_dir):
+    """LTTB downsampling (Steinarsson 2013 — the visualization
+    downsampler dashboards actually use, beside [hypertable_m4_downsample]'s
+    min/max envelope): one representative point per time bucket, the
+    point maximizing the triangle area against the NEIGHBOR buckets'
+    mean points; first/last buckets keep their first/last point per
+    the algorithm.  Strict LTTB anchors on the previously SELECTED
+    point (a sequential chain); this is the standard parallel variant
+    anchoring on bucket MEANS — bucket-independent, so every bucket
+    selects concurrently.
+
+    Determinism: the argmax runs on EXACT INTEGERS — multiplying the
+    area through by the anchor denominators n_l·n_r gives
+    A = |(Xl·n_r − Xr·n_l)·(y·n_l − Yl) − (Xl − x·n_l)·(Yr·n_l − Yl·n_r)|
+    over epoch-micro offsets and value cents (HUGEINT/decimal(38,0);
+    exact while n_bucket·span·cents stays under 38 digits — ~10⁷
+    points per bucket at micro resolution, far past the fixture), so
+    the (area DESC, x, id) ordering can never flip on a float ulp.
+    Shape: 1-row min/max broadcast, bucket hash agg (64 rows), two
+    broadcast joins of the bucket frame onto the points, per-bucket
+    rank windows — no global sort, map-parallel at any scale."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    p = ev.select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("xa"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("y"),
+    )
+    mm = p.agg(F.min("xa").alias("lo"), F.max("xa").alias("hi"))
+    b = p.join(F.broadcast(mm)).select(
+        "event_id", "y",
+        (F.col("xa") - F.col("lo")).alias("x"),
+        F.least(
+            F.lit(63),
+            F.floor(
+                (F.col("xa") - F.col("lo")) * 64
+                / (F.col("hi") - F.col("lo") + 1)
+            ),
+        ).cast("int").alias("bkt"),
+    )
+    agg = b.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+    )
+    l = agg.select(
+        (F.col("bkt") + 1).alias("bkt"), F.col("n").alias("nl"),
+        F.col("sx").alias("xl"), F.col("sy").alias("yl"),
+    )
+    r = agg.select(
+        (F.col("bkt") - 1).alias("bkt"), F.col("n").alias("nr"),
+        F.col("sx").alias("xr"), F.col("sy").alias("yr"),
+    )
+    area2 = F.abs(
+        (F.col("xl") * F.col("nr") - F.col("xr") * F.col("nl"))
+        * (F.col("y").cast("decimal(38,0)") * F.col("nl") - F.col("yl"))
+        - (F.col("xl") - F.col("x").cast("decimal(38,0)") * F.col("nl"))
+        * (F.col("yr") * F.col("nl") - F.col("yl") * F.col("nr"))
+    )
+    mid = (
+        b.join(l, "bkt").join(r, "bkt")
+        .select("bkt", "event_id", "y", "x", area2.alias("area2"))
+    )
+    wm = Window.partitionBy("bkt").orderBy(
+        F.desc("area2"), F.asc("x"), F.asc("event_id")
+    )
+    midw = mid.select(
+        "bkt", "event_id", "y", F.row_number().over(wm).alias("rk")
+    )
+    we = Window.partitionBy("bkt").orderBy(
+        F.when(F.col("bkt") == 0, F.col("x")).otherwise(-F.col("x")),
+        F.asc("event_id"),
+    )
+    edge = (
+        b.filter(F.col("bkt").isin(0, 63))
+        .select("bkt", "event_id", "y", F.row_number().over(we).alias("rk"))
+    )
+    out = midw.filter(F.col("rk") == 1).unionByName(
+        edge.filter(F.col("rk") == 1)
+    )
+    return out.select(
+        F.col("bkt").alias("bucket"),
+        "event_id",
+        F.round(F.col("y").cast("double") / 100.0, 2).alias("value"),
+    )
