@@ -192,6 +192,9 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
         # 1-row agreement totals × 1-row chance-agreement numerator:
         # both keyless by nature, bounded by construction
         "stats_cohens_kappa",
+        # 1-row min/max time-range broadcast feeding the bucketer:
+        # keyless by nature, bounded by construction
+        "hypertable_lttb_downsample",
     }
     for name, fn in QUERIES.items():
         if name.startswith("stream_") or name in skip:
