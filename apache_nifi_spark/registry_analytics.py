@@ -2210,3 +2210,101 @@ def hypertable_lttb_downsample_q(spark, sf_dir):
         "event_id",
         F.round(F.col("y").cast("double") / 100.0, 2).alias("value"),
     )
+
+@register(
+    "stats_levene_test",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag AS grp,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS x
+      FROM lineitem
+    ), g AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS ng,
+             SUM(CAST(x AS HUGEINT)) AS sgc
+      FROM c GROUP BY 1
+    ), z AS (
+      SELECT c.grp,
+             CAST(abs(CAST(c.x AS DOUBLE) / 100.0
+                      - CAST(g.sgc AS DOUBLE) / 100.0 / g.ng)
+                  AS DECIMAL(28,9)) AS tz,
+             CAST(pow(abs(CAST(c.x AS DOUBLE) / 100.0
+                          - CAST(g.sgc AS DOUBLE) / 100.0 / g.ng), 2)
+                  AS DECIMAL(28,9)) AS tz2
+      FROM c JOIN g USING (grp)
+    ), zg AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             sum(tz) AS sz, sum(tz2) AS szz,
+             CAST(CAST(sum(tz) AS DOUBLE) * CAST(sum(tz) AS DOUBLE)
+                  / count(*) AS DECIMAL(30,6)) AS term
+      FROM z GROUP BY 1
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(sz) AS DOUBLE) AS s_all,
+             CAST(sum(szz) AS DOUBLE) AS q_all,
+             CAST(sum(term) AS DOUBLE) AS t_all
+      FROM zg
+    )
+    SELECT k, n,
+           round(((t_all - s_all * s_all / n) / (k - 1))
+                 / ((q_all - t_all) / (n - k)), 6) AS w_stat
+    FROM s
+    """,
+)
+def stats_levene_test_q(spark, sf_dir):
+    """Levene's test of variance homogeneity (mean-centered form —
+    the assumption check behind [stats_anova_oneway]: ANOVA's F is
+    only calibrated when group variances match, and Levene IS the
+    one-way ANOVA of the absolute deviations z = |x − x̄_g|): group
+    means come EXACT from the scaled-integer sums (one hash agg, the
+    Q1/Pearson discipline); each row's z and z² are single shared IEEE
+    expressions cast to DECIMAL(28,9) once, so every downstream sum is
+    addition-order free; W reuses the ANOVA closed form on the z
+    moments, rounded 6 dp.  Two hash aggs + one keyed join back to
+    rows (the k-row group-mean side broadcasts); k-row control-plane
+    combine at the end."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        .alias("x"),
+    )
+    g = li.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sgc"),
+    )
+    zexpr = F.abs(
+        F.col("x").cast("double") / 100.0
+        - F.col("sgc").cast("double") / 100.0 / F.col("ng")
+    )
+    z = li.join(g, "grp").select(
+        "grp",
+        zexpr.cast("decimal(28,9)").alias("tz"),
+        F.pow(zexpr, F.lit(2)).cast("decimal(28,9)").alias("tz2"),
+    )
+    zg = z.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("tz").alias("sz"),
+        F.sum("tz2").alias("szz"),
+    ).select(
+        "*",
+        (
+            F.col("sz").cast("double")
+            * F.col("sz").cast("double")
+            / F.col("n")
+        ).cast("decimal(30,6)").alias("term"),
+    )
+    s = zg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("sz").cast("double").alias("s_all"),
+        F.sum("szz").cast("double").alias("q_all"),
+        F.sum("term").cast("double").alias("t_all"),
+    )
+    ssb = F.col("t_all") - F.col("s_all") * F.col("s_all") / F.col("n")
+    ssw = F.col("q_all") - F.col("t_all")
+    return s.select(
+        "k", "n",
+        F.round(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 6
+        ).alias("w_stat"),
+    )

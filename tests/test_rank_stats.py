@@ -336,3 +336,23 @@ def test_cohens_kappa_hand_computed(spark):
     assert row["po"] == pytest.approx(0.75, abs=1e-9)
     assert row["pe"] == pytest.approx(0.5, abs=1e-9)
     assert row["kappa"] == pytest.approx(0.5, abs=1e-9)
+
+def test_levene_hand_computed(spark):
+    """Levene W on a constructed two-group frame, against the textbook
+    ANOVA-of-|deviations| computed directly in Python."""
+    xs = {"A": [1.0, 2.0, 3.0, 10.0], "B": [5.0, 5.5, 6.0, 6.5]}
+    rows = [(g, x) for g, v in xs.items() for x in v]
+    li = spark.createDataFrame(
+        rows, "l_returnflag string, l_extendedprice double"
+    )
+    [row] = _patched(spark, {"lineitem": li}, "stats_levene_test")
+    # reference: one-way ANOVA F on z = |x - group mean|
+    z = {g: [abs(x - sum(v) / len(v)) for x in v] for g, v in xs.items()}
+    allz = [x for v in z.values() for x in v]
+    gm = sum(allz) / len(allz)
+    ssb = sum(len(v) * (sum(v) / len(v) - gm) ** 2 for v in z.values())
+    ssw = sum((x - sum(v) / len(v)) ** 2 for v in z.values() for x in v)
+    k, n = 2, len(allz)
+    want = (ssb / (k - 1)) / (ssw / (n - k))
+    assert row["k"] == 2 and row["n"] == 8
+    assert row["w_stat"] == pytest.approx(want, rel=1e-5)
