@@ -7890,6 +7890,7 @@ def flow_import_lookup_q(spark, sf_dir):
 from apache_nifi_spark import registry_connectors  # noqa: E402,F401
 from apache_nifi_spark import registry_flows  # noqa: E402,F401
 from apache_nifi_spark import registry_llm  # noqa: E402,F401
+from apache_nifi_spark import registry_stats  # noqa: E402,F401
 from apache_nifi_spark import registry_analytics  # noqa: E402,F401
 
 

@@ -5569,2479 +5569,3 @@ def stream_put_database_q(spark, sf_dir):
 
 
 
-# =====================================================================
-# Round 13: dense HyperLogLog (value-oracled), readability scoring,
-# Luhn PII validation, Z-order layout, corpus drift (§2.12 additions)
-# =====================================================================
-
-@register(
-    "sketch_hyperloglog_dense",
-    oracle="""
-    WITH h AS (
-      SELECT event_type,
-             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
-                  AS BIGINT) AS hv
-      FROM events
-    ), parts AS (
-      SELECT event_type, hv % 512 AS bucket, hv // 512 AS w FROM h
-    ), regs AS (
-      SELECT event_type, bucket,
-             MAX(CASE WHEN w = 0 THEN 44
-                      ELSE 44 - length(bin(w)) END) AS reg
-      FROM parts GROUP BY 1, 2
-    ), sk AS (
-      SELECT event_type,
-             CAST(512 - COUNT(*) AS BIGINT) AS v_zero,
-             CAST(SUM(1::BIGINT << (44 - reg))
-                  + (512 - COUNT(*)) * (1::BIGINT << 44) AS BIGINT)
-               AS s_scaled
-      FROM regs GROUP BY 1
-    )
-    SELECT event_type, v_zero, s_scaled,
-           round(CASE
-             WHEN (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
-                    + CAST(1.079 AS DOUBLE) / CAST(512.0 AS DOUBLE)))
-                  * CAST(4611686018427387904 AS DOUBLE)
-                  / CAST(s_scaled AS DOUBLE) <= 1280.0
-                  AND v_zero > 0
-             THEN CAST(512.0 AS DOUBLE)
-                  * ln(CAST(512.0 AS DOUBLE) / CAST(v_zero AS DOUBLE))
-             ELSE (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
-                    + CAST(1.079 AS DOUBLE) / CAST(512.0 AS DOUBLE)))
-                  * CAST(4611686018427387904 AS DOUBLE)
-                  / CAST(s_scaled AS DOUBLE)
-           END, 6) AS estimate
-    FROM sk
-    """,
-)
-def sketch_hyperloglog_dense_q(spark, sf_dir):
-    """DENSE HyperLogLog, value-oracled (§2.5/§2.12 sketch tier — the
-    upgrade over the engine-native approx_count_distinct this repo
-    replaced with KMV in round 2: engine HLLs differ in hash and bias
-    table, so they can never value-oracle; THIS one builds the
-    registers from explicit md5-derived 52-bit hashes, so both engines
-    compute the identical sketch, Flajolet et al. 2007 estimator and
-    all).  bucket = h mod 2⁹, rho = leading-zero rank of the remaining
-    43 bits (via length(bin(w)) — exact integer algebra, no float
-    log2); the harmonic mean is accumulated in SCALED INTEGERS
-    (Σ 2^(44−reg) ≤ 2⁵², exact in bigint — a double Σ2^−reg would be
-    partition-order-dependent), and only the final division and the
-    linear-counting ln are floats, under the repo's 6-dp policy.
-
-    Scale shape: one map-side-combined agg to (group, bucket) grain
-    (≤ 512 rows per group), one agg to group grain — the register
-    table IS the mergeable sketch state, so shards union by max(reg).
-    Columns: (event_type, v_zero, s_scaled, estimate) — the two
-    integer sketch fields make the oracle match bit-exact, not just
-    estimate-close."""
-    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
-    h = F.conv(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
-    ).cast("bigint")
-    parts = ev.select(
-        "event_type",
-        (h % 512).alias("bucket"),
-        F.shiftrightunsigned(h, 9).alias("w"),
-    )
-    rho = F.when(F.col("w") == 0, 44).otherwise(
-        F.lit(44) - F.length(F.bin("w"))
-    )
-    regs = parts.groupBy("event_type", "bucket").agg(
-        F.max(rho).alias("reg")
-    )
-    # 2^(44-reg) via a 45-entry literal power table (F.shiftleft takes
-    # only a Python-int shift — llm/bloom.py precedent)
-    pow2 = F.array(*[F.lit(1 << k).cast("long") for k in range(45)])
-    term = F.element_at(pow2, (F.lit(44) - F.col("reg")) + 1)
-    sk = regs.groupBy("event_type").agg(
-        (F.lit(512) - F.count(F.lit(1))).cast("bigint").alias("v_zero"),
-        (
-            F.sum(term)
-            + (F.lit(512) - F.count(F.lit(1))) * F.lit(1 << 44).cast("long")
-        ).cast("bigint").alias("s_scaled"),
-    )
-    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(512.0))
-    # alpha * m^2 * 2^44 = alpha * 2^62 (the scale factor restoring the
-    # integer accumulator to Σ 2^-reg)
-    raw = alpha * F.lit(float(1 << 62)) / F.col("s_scaled").cast("double")
-    est = F.when(
-        (raw <= 1280.0) & (F.col("v_zero") > 0),
-        F.lit(512.0) * F.log(F.lit(512.0) / F.col("v_zero").cast("double")),
-    ).otherwise(raw)
-    return sk.select(
-        "event_type", "v_zero", "s_scaled", F.round(est, 6).alias("estimate")
-    )
-
-
-@register(
-    "text_readability_scores",
-    oracle="""
-    WITH t AS (
-      SELECT doc_id,
-             len(list_filter(regexp_split_to_array(text, '\\s+'),
-                             x -> x != '')) AS n_words,
-             greatest(1, len(regexp_extract_all(text, '[.!?]+')))
-               AS n_sentences,
-             list_reduce(
-               list_prepend(0::BIGINT,
-                 list_transform(
-                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                               x -> x != ''),
-                   w -> greatest(1::BIGINT,
-                                 len(regexp_extract_all(w, '[aeiouy]+'))))),
-               (a, b) -> a + b) AS n_syllables
-      FROM documents
-    )
-    SELECT doc_id, CAST(n_words AS INT) AS n_words,
-           CAST(n_sentences AS INT) AS n_sentences,
-           CAST(n_syllables AS BIGINT) AS n_syllables,
-           round(CAST(0.39 AS DOUBLE) * n_words / n_sentences
-                 + CAST(11.8 AS DOUBLE) * n_syllables / n_words
-                 - CAST(15.59 AS DOUBLE), 6) AS fk_grade,
-           round(CAST(206.835 AS DOUBLE)
-                 - CAST(1.015 AS DOUBLE) * n_words / n_sentences
-                 - CAST(84.6 AS DOUBLE) * n_syllables / n_words, 6)
-             AS flesch_ease
-    FROM t WHERE n_words > 0
-    """,
-)
-def text_readability_scores_q(spark, sf_dir):
-    """Flesch-Kincaid readability scoring (§2.12 quality tier — the
-    classic document-difficulty signal a curation pipeline uses
-    alongside gopher_quality_rules for audience bucketing): words =
-    whitespace tokens, sentences = terminal-punctuation runs (min 1),
-    syllables = per-word vowel-group count clamped to ≥ 1 (the
-    standard dictionary-free heuristic).  All three counts are exact
-    integer algebra inside whole-stage codegen (split /
-    regexp_extract_all / a clamped aggregate fold — no UDF, no
-    shuffle); the two grade formulas are double arithmetic on
-    identical operands, rounded 6 dp at the edge.  Map-only at any
-    scale: the heaviest cost is the regex scan itself."""
-    t = F.col("text")
-    words = F.filter(F.split(t, r"\s+", -1), lambda x: x != "")
-    n_words = F.size(words)
-    n_sent = F.greatest(
-        F.lit(1), F.size(F.regexp_extract_all(t, F.lit(r"[.!?]+"), 0))
-    )
-    lwords = F.filter(F.split(F.lower(t), r"\s+", -1), lambda x: x != "")
-    n_syl = F.aggregate(
-        lwords,
-        F.lit(0).cast("bigint"),
-        lambda acc, w: acc
-        + F.greatest(
-            F.lit(1).cast("bigint"),
-            F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0))
-            .cast("bigint"),
-        ),
-    )
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        n_words.alias("n_words"),
-        n_sent.alias("n_sentences"),
-        n_syl.alias("n_syllables"),
-    ).filter(F.col("n_words") > 0)
-    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
-    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast("double")
-    return d.select(
-        "doc_id", "n_words", "n_sentences", "n_syllables",
-        F.round(
-            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
-        ).alias("fk_grade"),
-        F.round(
-            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6
-        ).alias("flesch_ease"),
-    )
-
-
-@register(
-    "pii_luhn_validate",
-    oracle="""
-    WITH cand AS (
-      SELECT event_id,
-             '4' || lpad(CAST((user_id * 7919 + event_id) % 100000000000000
-                              AS VARCHAR), 14, '0') AS cc
-      FROM events WHERE event_id < 4000
-    ), summed AS (
-      SELECT event_id, cc,
-             list_reduce(
-               list_prepend(0::BIGINT,
-                 list_transform(range(1, 16), i -> CASE
-                   WHEN (15 - i) % 2 = 1
-                   THEN CASE WHEN CAST(substr(cc, i, 1) AS BIGINT) * 2 > 9
-                             THEN CAST(substr(cc, i, 1) AS BIGINT) * 2 - 9
-                             ELSE CAST(substr(cc, i, 1) AS BIGINT) * 2 END
-                   ELSE CAST(substr(cc, i, 1) AS BIGINT) END)),
-               (a, b) -> a + b) AS luhn_sum
-      FROM cand
-    )
-    SELECT event_id, cc, luhn_sum % 10 = 0 AS luhn_valid
-    FROM summed
-    """,
-)
-def pii_luhn_validate_q(spark, sf_dir):
-    """Luhn checksum validation (§2.12 PII tier — the false-positive
-    killer for the card-number patterns ``pii_redact`` flags: a
-    16-digit run is only a REAL card number if its Luhn check passes,
-    which cuts redaction noise by ~90% on digit-dense corpora).
-    Candidates here are deterministic synthetic 15-digit numbers from
-    the fixture (the validator is the operator; in production it runs
-    on ``regexp_extract_all`` hits).  The checksum is pure integer
-    algebra — a fold over the digit positions doubling every second
-    digit from the right (ISO/IEC 7812) — fully inside whole-stage
-    codegen, no UDF, map-only at any scale."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 4000)
-    cc = F.concat(
-        F.lit("4"),
-        F.lpad(
-            ((F.col("user_id") * 7919 + F.col("event_id"))
-             % 100000000000000).cast("string"),
-            14, "0",
-        ),
-    )
-    d = ev.select("event_id", cc.alias("cc"))
-    digit = lambda i: F.substring(F.col("cc"), i, 1).cast("bigint")
-
-    def term(i):
-        dd = digit(i) * 2
-        return F.when(
-            F.lit((15 - i) % 2 == 1),
-            F.when(dd > 9, dd - 9).otherwise(dd),
-        ).otherwise(digit(i))
-
-    luhn_sum = sum((term(i) for i in range(2, 16)), term(1))
-    return d.select(
-        "event_id", "cc", (luhn_sum % 10 == 0).alias("luhn_valid")
-    )
-
-
-@register(
-    "layout_zorder_buckets",
-    oracle="""
-    WITH xy AS (
-      SELECT l_orderkey % 256 AS x, l_partkey % 256 AS y
-      FROM lineitem
-    ), sp AS (
-      SELECT x, y,
-             ((x | (x << 8)) & 16711935) AS x1,
-             ((y | (y << 8)) & 16711935) AS y1
-      FROM xy
-    ), sp2 AS (
-      SELECT x, y,
-             ((x1 | (x1 << 4)) & 252645135) AS x2,
-             ((y1 | (y1 << 4)) & 252645135) AS y2
-      FROM sp
-    ), sp3 AS (
-      SELECT x, y,
-             ((x2 | (x2 << 2)) & 858993459) AS x3,
-             ((y2 | (y2 << 2)) & 858993459) AS y3
-      FROM sp2
-    ), z AS (
-      SELECT x, y,
-             (((x3 | (x3 << 1)) & 1431655765)
-              | ((((y3 | (y3 << 1)) & 1431655765)) << 1)) AS zval
-      FROM sp3
-    )
-    SELECT zval // 2048 AS z_bucket,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           MIN(x) AS x_min, MAX(x) AS x_max,
-           MIN(y) AS y_min, MAX(y) AS y_max,
-           CAST(MAX(x) - MIN(x) AS BIGINT) * (MAX(y) - MIN(y)) AS bbox_area
-    FROM z GROUP BY 1
-    """,
-)
-def layout_zorder_buckets_q(spark, sf_dir):
-    """Z-ORDER layout optimization (§2.12 storage-layout tier — the
-    Delta OPTIMIZE ZORDER / Iceberg sort-order workload): interleave
-    the bits of two join/filter dimensions into one Morton code, range-
-    bucket by it, and report each bucket's bounding box in BOTH
-    dimensions.  A z-ordered file layout gives every file a tight
-    min/max range on EVERY z-ordered column simultaneously — which is
-    what makes parquet footer-stats skipping (see
-    parquet_footer_stats_audit) effective on multi-column predicates;
-    a linear sort only bounds its leading column.
-
-    The bit-spread is the classic magic-mask ladder (x|(x<<8)&…, four
-    rounds), exact bigint algebra in both engines — no UDF, no float.
-    Shape: map + ONE agg to the 32 z-bucket rows; at production scale
-    the same zval feeds ``repartitionByRange`` as the write
-    clustering key, and the bbox_area column is the audit metric
-    (Σ area ≪ global area = locality achieved)."""
-    xy = _t(spark, sf_dir, "lineitem").select(
-        (F.col("l_orderkey") % 256).alias("x"),
-        (F.col("l_partkey") % 256).alias("y"),
-    )
-
-    def spread(c):
-        # Column `|`/`&` are LOGICAL in PySpark — bit ops are methods
-        c = c.bitwiseOR(F.shiftleft(c, 8)).bitwiseAND(F.lit(16711935))
-        c = c.bitwiseOR(F.shiftleft(c, 4)).bitwiseAND(F.lit(252645135))
-        c = c.bitwiseOR(F.shiftleft(c, 2)).bitwiseAND(F.lit(858993459))
-        c = c.bitwiseOR(F.shiftleft(c, 1)).bitwiseAND(F.lit(1431655765))
-        return c
-
-    z = xy.select(
-        "x", "y",
-        spread(F.col("x"))
-        .bitwiseOR(F.shiftleft(spread(F.col("y")), 1))
-        .alias("zval"),
-    )
-    return (
-        z.groupBy(F.floor(F.col("zval") / 2048).cast("bigint")
-                  .alias("z_bucket"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("x").alias("x_min"), F.max("x").alias("x_max"),
-            F.min("y").alias("y_min"), F.max("y").alias("y_max"),
-            ((F.max("x") - F.min("x")).cast("bigint")
-             * (F.max("y") - F.min("y"))).alias("bbox_area"),
-        )
-    )
-
-
-@register(
-    "corpus_drift_kl",
-    oracle="""
-    WITH a AS (
-      SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS ca
-      FROM events WHERE user_id % 2 = 0 GROUP BY 1
-    ), b AS (
-      SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS cb
-      FROM events WHERE user_id % 2 = 1 GROUP BY 1
-    ), j AS (
-      SELECT a.event_type,
-             ca / (SELECT SUM(ca) FROM a) AS p,
-             cb / (SELECT SUM(cb) FROM b) AS q
-      FROM a JOIN b USING (event_type)
-    )
-    SELECT event_type,
-           round(p, 6) AS p,
-           round(q, 6) AS q,
-           round(p * ln(p / q), 6) AS kl_term,
-           round(abs(p - q) / 2, 6) AS tv_term
-    FROM j
-    """,
-)
-def corpus_drift_kl_q(spark, sf_dir):
-    """Corpus COMPOSITION DRIFT report (§2.12 corpus-analysis tier —
-    the between-snapshot health check a pretraining pipeline runs
-    before committing a refreshed crawl: per-category KL-divergence
-    and total-variation contributions between two cohorts).  Cohorts
-    here are the user_id parity halves; in production they are
-    "yesterday's corpus" vs "today's".  Per-type output (KL/TV terms)
-    rather than the scalar Σ so the report NAMES the drifting
-    categories — and so the only floats are one division and one ln
-    per type (6 dp policy), never a partition-order-dependent double
-    sum.  Shape: two map-side-combined aggs + a tiny type-grain join;
-    the 1-row totals ride as scalar subqueries/window sums, bounded by
-    construction."""
-    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
-    a = (
-        ev.filter(F.col("user_id") % 2 == 0)
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).cast("double").alias("ca"))
-    )
-    b = (
-        ev.filter(F.col("user_id") % 2 == 1)
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).cast("double").alias("cb"))
-    )
-    w = Window.partitionBy(F.lit(1))
-    j = (
-        a.join(b, "event_type")
-        .select(
-            "event_type",
-            (F.col("ca") / F.sum("ca").over(w)).alias("p"),
-            (F.col("cb") / F.sum("cb").over(w)).alias("q"),
-        )
-    )
-    return j.select(
-        "event_type",
-        F.round("p", 6).alias("p"),
-        F.round("q", 6).alias("q"),
-        F.round(F.col("p") * F.log(F.col("p") / F.col("q")), 6)
-        .alias("kl_term"),
-        F.round(F.abs(F.col("p") - F.col("q")) / 2, 6).alias("tv_term"),
-    )
-
-
-@register(
-    "dedup_prefix_filter_jaccard",
-    oracle="""
-    WITH tok AS (
-      SELECT DISTINCT doc_id, unnest(
-               list_filter(regexp_split_to_array(lower(text),
-                                                 '[^a-z0-9'']+'),
-                           x -> x != '')) AS token
-      FROM documents WHERE doc_id < 200
-    ), df AS (
-      SELECT token, CAST(COUNT(*) AS BIGINT) AS dfc FROM tok GROUP BY 1
-    ), docs AS (
-      SELECT doc_id,
-             list_sort(list({'d': dfc, 't': tok.token})) AS ordered,
-             CAST(COUNT(*) AS BIGINT) AS n
-      FROM tok JOIN df USING (token) GROUP BY doc_id
-    ), pref AS (
-      SELECT doc_id, n,
-             list_transform(ordered[1:CAST(n - (4 * n + 4) // 5 + 1 AS INT)],
-                            s -> s.t) AS prefix,
-             list_transform(ordered, s -> s.t) AS toks
-      FROM docs
-    ), cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM (SELECT doc_id, unnest(prefix) AS p FROM pref) a
-      JOIN (SELECT doc_id, unnest(prefix) AS p FROM pref) b
-        ON a.p = b.p AND a.doc_id < b.doc_id
-    ), verified AS (
-      SELECT doc_a, doc_b,
-             CAST(len(list_intersect(x.toks, y.toks)) AS BIGINT) AS inter,
-             x.n AS na, y.n AS nb
-      FROM cand
-      JOIN pref x ON x.doc_id = doc_a
-      JOIN pref y ON y.doc_id = doc_b
-    )
-    SELECT doc_a, doc_b, inter,
-           round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
-    FROM verified WHERE 9 * inter >= 4 * (na + nb)
-    """,
-)
-def dedup_prefix_filter_jaccard_q(spark, sf_dir):
-    """PREFIX-FILTERED exact-Jaccard similarity join (PPJoin family,
-    Xiao et al. 2011 — the EXACT complement to dedup_minhash_lsh's
-    probabilistic blocking, §2.12 dedup tier): order each document's
-    distinct tokens rarest-first (global df, token tiebreak), keep
-    only the first ``n − ⌈t·n⌉ + 1`` as its PREFIX (t = 0.8) — two
-    sets with Jaccard ≥ t MUST share a prefix token (pigeonhole on the
-    ordered universe), so candidates generate from prefix buckets whose
-    sizes the rarest-first order keeps small — then verify candidates
-    with the exact intersection.  No pair outside a shared-rare-token
-    bucket is ever formed; recall is exactly 1 by the filter theorem.
-
-    Determinism: the t=0.8 threshold verifies as the INTEGER test
-    ``9·inter ≥ 4·(na+nb)`` (inter ≥ t·union rearranged — no float
-    compare anywhere); the reported jaccard is one correctly-rounded
-    division.  Shape: tokenize → two map-side-combined aggs (df, per-
-    doc ordered arrays) → prefix explode → in-bucket candidate join →
-    verification joins at candidate grain.  At 100 TB the bucket join
-    IS the LSH band shape with exact guarantees; the known hazard is
-    a low-df token misestimated hot — production adds a df cap with
-    the dropped tokens routed to a MinHash fallback tier."""
-    d = io.widen_if_narrow(
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 200)
-        .select("doc_id", "text")
-    )
-    tok = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.filter(
-                    F.split(F.lower("text"), r"[^a-z0-9']+", -1),
-                    lambda t: t != "",
-                )
-            )
-        ).alias("token"),
-    )
-    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("dfc"))
-    docs = (
-        tok.join(dfreq, "token")  # un-hinted: vocab grain, AQE decides
-        .groupBy("doc_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("dfc").alias("d"),
-                                        F.col("token").alias("t")))
-            ).alias("ordered"),
-            F.count(F.lit(1)).alias("n"),
-        )
-    )
-    plen = (
-        F.col("n") - ((4 * F.col("n") + 4) / 5).cast("bigint") + 1
-    ).cast("int")
-    pref = docs.select(
-        "doc_id",
-        "n",
-        F.transform(
-            F.slice(F.col("ordered"), F.lit(1), plen), lambda s: s["t"]
-        ).alias("prefix"),
-        F.transform(F.col("ordered"), lambda s: s["t"]).alias("toks"),
-    ).localCheckpoint(eager=False)  # three consumers: buckets + 2 verify joins
-    buckets = (
-        pref.select("doc_id", F.explode("prefix").alias("p"))
-        .groupBy("p")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
-        .filter(F.size("ds") >= 2)
-    )
-    cand = (
-        buckets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("ds") - 1),
-                        lambda i: F.transform(
-                            F.slice(F.col("ds"), i + 1, F.size("ds")),
-                            lambda d2: F.struct(
-                                F.element_at(F.col("ds"), i).alias("a"),
-                                d2.alias("b"),
-                            ),
-                        ),
-                    )
-                )
-            ).alias("pr")
-        )
-        .select(F.col("pr.a").alias("doc_a"), F.col("pr.b").alias("doc_b"))
-        .distinct()
-    )
-    x = pref.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("toks").alias("xt"), F.col("n").alias("na"),
-    )
-    y = pref.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("toks").alias("yt"), F.col("n").alias("nb"),
-    )
-    v = (
-        cand.join(x, "doc_a")
-        .join(y, "doc_b")
-        .select(
-            "doc_a", "doc_b", "na", "nb",
-            F.size(F.array_intersect("xt", "yt")).cast("bigint")
-            .alias("inter"),
-        )
-        .filter(9 * F.col("inter") >= 4 * (F.col("na") + F.col("nb")))
-    )
-    return v.select(
-        "doc_a", "doc_b", "inter",
-        F.round(
-            F.col("inter").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
-            6,
-        ).alias("jaccard"),
-    )
-
-
-@register(
-    "stream_delta_append_commits",
-    oracle="""
-    SELECT event_id, user_id,
-           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-    FROM events WHERE event_type = 'purchase'
-    """,
-)
-def stream_delta_append_commits_q(spark, sf_dir):
-    """STREAMING writer into the Delta-protocol table (§2.11 × §2.12
-    lakehouse seam — the foreachBatch upsert/append pattern every
-    production Spark-to-lakehouse pipeline uses): the purchase stream
-    drains availableNow, each micro-batch lands as parquet data files
-    PLUS one atomic ``_delta_log`` JSON commit (sources/deltalog), with
-    EXACTLY-ONCE via batch-id-keyed commit versions — a replayed batch
-    sees its commit file already present and skips, the same
-    idempotent-sink contract as the JDBC __batch_id delete.  The
-    returned frame is a fresh ``read_delta_snapshot`` of the table —
-    equality with the batch oracle proves the log replay reconstructs
-    exactly what the stream wrote."""
-    import glob
-    import os as _os
-    import tempfile
-
-    from apache_nifi_spark.sources.deltalog import (
-        read_delta_snapshot,
-        write_commit,
-    )
-    from apache_nifi_spark.streaming import stream_events
-
-    root = tempfile.mkdtemp(prefix="anspark_stream_delta_")
-    sdf = (
-        stream_events(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            "event_id", "user_id",
-            F.floor(F.col("value") * 100 + 0.5).cast("bigint")
-            .alias("cents"),
-        )
-    )
-
-    def write_batch(bdf, bid):
-        version = int(bid) + 1
-        commit = _os.path.join(root, "_delta_log", f"{version:020d}.json")
-        if _os.path.exists(commit):
-            return  # replayed batch: commit already durable — exactly-once
-        sub = f"batch-{int(bid)}"
-        bdf.write.mode("overwrite").parquet(_os.path.join(root, sub))
-        actions = [
-            {
-                "add": {
-                    "path": _os.path.join(sub, _os.path.basename(p)),
-                    "size": _os.path.getsize(p),
-                }
-            }
-            for p in glob.glob(_os.path.join(root, sub, "part-*.parquet"))
-        ]
-        write_commit(root, version, actions)
-
-    cp = tempfile.mkdtemp(prefix="anspark_stream_delta_cp_")
-    (
-        sdf.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", cp)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    return read_delta_snapshot(spark, root).select(
-        "event_id", "user_id", "cents"
-    )
-
-
-@register(
-    "reconcile_table_checksums",
-    oracle="""
-    WITH a AS (
-      SELECT o_orderkey % 64 AS bucket,
-             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|'
-                    || CAST(CAST(o_totalprice AS DECIMAL(27,2)) AS VARCHAR)),
-                    1, 13)) AS BIGINT) % 1000000000 AS h
-      FROM orders
-    ), b AS (
-      SELECT o_orderkey % 64 AS bucket,
-             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|'
-                    || CAST(CAST(CASE WHEN o_orderkey % 997 = 0
-                                      THEN o_totalprice + 1
-                                      ELSE o_totalprice END
-                             AS DECIMAL(27,2)) AS VARCHAR)),
-                    1, 13)) AS BIGINT) % 1000000000 AS h
-      FROM orders
-    ), ca AS (
-      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_a,
-             CAST(SUM(h) AS BIGINT) AS sum_a
-      FROM a GROUP BY 1
-    ), cb AS (
-      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_b,
-             CAST(SUM(h) AS BIGINT) AS sum_b
-      FROM b GROUP BY 1
-    )
-    SELECT bucket, n_a, n_b, sum_a, sum_b,
-           (n_a = n_b AND sum_a = sum_b) AS bucket_matches
-    FROM ca JOIN cb USING (bucket)
-    """,
-)
-def reconcile_table_checksums_q(spark, sf_dir):
-    """Bucketed CHECKSUM RECONCILIATION (§2.12 migration/validation
-    tier — the anti-entropy pass that validates a table copy or a
-    replication stream without moving the data: per-bucket row-hash
-    sums on both sides, only differing buckets need row-level diff).
-    Side B here is the fixture with a deterministic perturbation
-    (every 997th order's price +1), so exactly the buckets containing
-    a perturbed key report a checksum break while their row COUNTS
-    still match — the failure mode a count-only validator misses.
-
-    Determinism: row hash = md5 of the canonical key|value rendering,
-    folded mod 10⁹ so 64-bucket bigint sums stay exact at any SF (no
-    overflow, no float).  Shape: two scans, two map-side-combined
-    aggs to 64 rows, one tiny join — data never crosses the wire, the
-    checksums do.  At 100 TB this is THE way to compare tables."""
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-
-    def side(price_col):
-        h = (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            F.col("o_orderkey").cast("string"),
-                            price_col.cast("decimal(27,2)").cast("string"),
-                        )
-                    ),
-                    1, 13,
-                ),
-                16, 10,
-            ).cast("bigint") % 1000000000
-        )
-        return o.select(
-            (F.col("o_orderkey") % 64).alias("bucket"), h.alias("h")
-        ).groupBy("bucket").agg(
-            F.count(F.lit(1)).alias("n"), F.sum("h").alias("s")
-        )
-    a = side(F.col("o_totalprice"))
-    b = side(
-        F.when(F.col("o_orderkey") % 997 == 0, F.col("o_totalprice") + 1)
-        .otherwise(F.col("o_totalprice"))
-    )
-    return (
-        a.select("bucket", F.col("n").alias("n_a"), F.col("s").alias("sum_a"))
-        .join(
-            b.select("bucket", F.col("n").alias("n_b"),
-                     F.col("s").alias("sum_b")),
-            "bucket",
-        )
-        .select(
-            "bucket", "n_a", "n_b", "sum_a", "sum_b",
-            ((F.col("n_a") == F.col("n_b"))
-             & (F.col("sum_a") == F.col("sum_b"))).alias("bucket_matches"),
-        )
-    )
-
-
-@register(
-    "fuzzy_dedup_levenshtein",
-    oracle="""
-    WITH p AS (
-      SELECT p_partkey, p_name,
-             split_part(p_name, ' ', 1) AS blk,
-             length(p_name) AS ln
-      FROM part WHERE p_partkey < 1000
-    )
-    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
-           a.p_name AS name_a, b.p_name AS name_b,
-           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
-    FROM p a JOIN p b
-      ON a.blk = b.blk AND a.ln = b.ln AND a.p_partkey < b.p_partkey
-    WHERE levenshtein(a.p_name, b.p_name) <= 2
-    """,
-)
-def fuzzy_dedup_levenshtein_q(spark, sf_dir):
-    """BLOCKED edit-distance fuzzy matching (§2.12 entity-resolution
-    tier — the catalog/name-dedup workload: near-identical product
-    names that exact dedup misses): candidates block on (first token,
-    exact length) — both cheap blocking keys that bound block sizes —
-    then verify with ``levenshtein ≤ 2``.  Both engines implement the
-    classic unit-cost Wagner-Fischer DP, so the distance is an exact
-    integer, no portability caveat.  Shape: one self-equi-join ON the
-    block keys (hash join, never cartesian — the cartesian gate
-    covers it), distance evaluated only inside blocks.  At 100 TB the
-    blocking keys ARE the shuffle keys; skew = a hot first token,
-    handled by the standard salt-on-hot-blocks pattern."""
-    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 1000).select(
-        "p_partkey", "p_name",
-        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk"),
-        F.length("p_name").alias("ln"),
-    )
-    a = p.select(
-        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"),
-        "blk", "ln",
-    )
-    b = p.select(
-        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"),
-        "blk", "ln",
-    )
-    return (
-        a.join(b, ["blk", "ln"])
-        .filter(F.col("key_a") < F.col("key_b"))
-        .select(
-            "key_a", "key_b", "name_a", "name_b",
-            F.levenshtein("name_a", "name_b").alias("dist"),
-        )
-        .filter(F.col("dist") <= 2)
-    )
-
-
-@register(
-    "stats_ewma_per_user",
-    oracle="""
-    WITH ordered AS (
-      SELECT user_id,
-             list(value ORDER BY ts, event_id) AS vs
-      FROM events GROUP BY user_id
-    )
-    SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
-           round(list_reduce(vs,
-                  (a, b) -> CAST(0.3 AS DOUBLE) * b
-                            + CAST(0.7 AS DOUBLE) * a), 6) AS ewma
-    FROM ordered
-    """,
-)
-def stats_ewma_per_user_q(spark, sf_dir):
-    """Per-key EWMA (§2.12 event-analytics tier — the smoothed-signal
-    primitive behind rate monitoring and anomaly baselines):
-    exponentially weighted moving average α=0.3 over each user's
-    time-ordered values.  An EWMA is an ORDER-DEPENDENT float fold, so
-    determinism comes from folding an explicitly (ts, event_id)-sorted
-    list left-to-right — both engines then execute the identical
-    sequence of correctly-rounded IEEE ops (the rake_keywords
-    position-fold convention), 6 dp at the edge.  Shape: one groupBy
-    collecting per-user (bounded) event lists, fold in the projection
-    — one shuffle, no window, no UDF."""
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "value"
-    )
-    ordered = ev.groupBy("user_id").agg(
-        F.transform(
-            F.array_sort(
-                F.collect_list(F.struct("ts", "event_id", "value"))
-            ),
-            lambda s: s["value"],
-        ).alias("vs")
-    )
-    fold = F.aggregate(
-        F.slice(F.col("vs"), 2, F.greatest(F.size("vs") - 1, F.lit(0))),
-        F.element_at(F.col("vs"), 1),
-        lambda acc, v: F.lit(0.3) * v + F.lit(0.7) * acc,
-    )
-    return ordered.select(
-        "user_id",
-        F.size("vs").cast("bigint").alias("n_events"),
-        F.round(fold, 6).alias("ewma"),
-    )
-
-
-@register(
-    "text_kneser_ney_logprob",
-    oracle=r"""
-    WITH toks AS MATERIALIZED (
-      SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
-                         x -> x != '') AS t
-      FROM documents WHERE doc_id < 400
-    ),
-    stream AS MATERIALIZED (
-      SELECT doc_id, i AS pos, t[i] AS cur,
-             CASE WHEN i = 1 THEN '<s>' ELSE t[i-1] END AS prev
-      FROM toks, unnest(range(1, len(t) + 1)) AS r(i)
-    ),
-    bi AS MATERIALIZED (
-      SELECT prev AS bp, cur AS bc, CAST(COUNT(*) AS BIGINT) AS cb
-      FROM stream GROUP BY prev, cur
-    ),
-    hist AS (
-      SELECT bp, CAST(SUM(cb) AS BIGINT) AS cp,
-             CAST(COUNT(*) AS BIGINT) AS n1h
-      FROM bi GROUP BY bp
-    ),
-    cont AS (
-      SELECT bc, CAST(COUNT(*) AS BIGINT) AS nw FROM bi GROUP BY bc
-    ),
-    btot AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM bi)
-    SELECT st.doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           round(SUM(ln(
-             greatest(CAST(bi.cb AS DOUBLE) - 0.75, 0.0)
-               / CAST(hist.cp AS DOUBLE)
-             + (0.75 * CAST(hist.n1h AS DOUBLE)) / CAST(hist.cp AS DOUBLE)
-               * (CAST(cont.nw AS DOUBLE) / CAST(btot.b AS DOUBLE))
-           )) / COUNT(*), 6) AS mean_logprob,
-           round(exp(-SUM(ln(
-             greatest(CAST(bi.cb AS DOUBLE) - 0.75, 0.0)
-               / CAST(hist.cp AS DOUBLE)
-             + (0.75 * CAST(hist.n1h AS DOUBLE)) / CAST(hist.cp AS DOUBLE)
-               * (CAST(cont.nw AS DOUBLE) / CAST(btot.b AS DOUBLE))
-           )) / COUNT(*)), 6) AS ppl
-    FROM stream st
-    JOIN bi   ON bi.bp = st.prev AND bi.bc = st.cur
-    JOIN hist ON hist.bp = st.prev
-    JOIN cont ON cont.bc = st.cur, btot
-    GROUP BY st.doc_id
-    """,
-)
-def text_kneser_ney_logprob_q(spark, sf_dir):
-    """Interpolated KNESER-NEY bigram scoring (§2.12 quality tier — the
-    top rung of this repo's KenLM ladder, above Jelinek-Mercer
-    text_bigram_logprob: KN's continuation probability
-    ``p_cont(w) = |{h: c(hw)>0}| / |bigram types|`` famously fixes the
-    'san FRANCISCO' pathology where raw unigram frequency overrates
-    words that only ever follow one context):
-
-        p(w|h) = max(c(hw) − d, 0)/c(h·)
-                 + d·N₁₊(h·)/c(h·) · p_cont(w),    d = 0.75
-
-    Every position has a history — a ``<s>`` sentinel precedes each
-    document's first token (so continuation counts are never zero and
-    the <s> row carries the doc-start distribution, the textbook
-    construction).  All counts are exact integers; d·N₁₊ is an exact
-    dyadic product; the per-position log is one identically-shaped
-    float expression in both engines; doc means round 6 dp (the
-    unigram/bigram policy).  Shape: columnar (prev,cur) stream (no
-    window), THE bigram table feeds all three count tables (history
-    totals, continuation counts, type total — no second corpus pass),
-    scoring joins are un-hinted token-grain (AQE broadcasts while
-    small), one agg back to doc grain."""
-    from pyspark.sql import functions as _F
-
-    toks = io.widen_if_narrow(
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 400)
-        .select("doc_id", "text")
-    ).select(
-        "doc_id",
-        _F.filter(
-            _F.split(_F.lower(_F.col("text")), r"[^a-z0-9']+", -1),
-            lambda t: t != "",
-        ).alias("t"),
-    )
-    stream = (
-        toks.select(
-            "doc_id",
-            _F.explode(
-                _F.expr(
-                    "transform(t, (x, i) -> struct("
-                    "i + 1 as pos, x as cur,"
-                    " case when i = 0 then '<s>'"
-                    " else element_at(t, i) end as prev))"
-                )
-            ).alias("u"),
-        )
-        .select("doc_id", "u.pos", "u.cur", "u.prev")
-        .localCheckpoint(eager=False)  # two consumers: training + scoring
-    )
-    bi = (
-        stream.groupBy(_F.col("prev").alias("bp"), _F.col("cur").alias("bc"))
-        .agg(_F.count(_F.lit(1)).alias("cb"))
-        .localCheckpoint(eager=False)  # four consumers below
-    )
-    hist = bi.groupBy(_F.col("bp").alias("hp")).agg(
-        _F.sum("cb").alias("cp"), _F.count(_F.lit(1)).alias("n1h")
-    )
-    cont = bi.groupBy(_F.col("bc").alias("cw")).agg(
-        _F.count(_F.lit(1)).alias("nw")
-    )
-    btot = bi.agg(_F.count(_F.lit(1)).alias("b"))
-    scored = (
-        stream.join(bi, (stream["prev"] == bi["bp"]) & (stream["cur"] == bi["bc"]))
-        .join(hist, stream["prev"] == _F.col("hp"))
-        .join(cont, stream["cur"] == _F.col("cw"))
-        .crossJoin(btot)
-    )
-    lp = _F.log(
-        _F.greatest(_F.col("cb").cast("double") - 0.75, _F.lit(0.0))
-        / _F.col("cp").cast("double")
-        + (_F.lit(0.75) * _F.col("n1h").cast("double"))
-        / _F.col("cp").cast("double")
-        * (_F.col("nw").cast("double") / _F.col("b").cast("double"))
-    )
-    return (
-        scored.select("doc_id", lp.alias("lp"))
-        .groupBy("doc_id")
-        .agg(
-            _F.count(_F.lit(1)).alias("n_tokens"),
-            _F.round(_F.sum("lp") / _F.count(_F.lit(1)), 6)
-            .alias("mean_logprob"),
-            _F.round(_F.exp(-_F.sum("lp") / _F.count(_F.lit(1))), 6)
-            .alias("ppl"),
-        )
-    )
-
-
-@register(
-    "table_profile_ndv",
-    oracle="""
-    WITH stacked AS (
-      SELECT col, val FROM (
-        SELECT unnest(['o_custkey', 'o_orderstatus', 'o_orderpriority',
-                       'o_orderdate']) AS col,
-               unnest([CAST(o_custkey AS VARCHAR), o_orderstatus,
-                       o_orderpriority, CAST(o_orderdate AS VARCHAR)])
-                 AS val
-        FROM orders
-      )
-    ), hashed AS (
-      SELECT DISTINCT col,
-             CAST(('0x' || substr(md5(val), 1, 13)) AS BIGINT) AS h
-      FROM stacked
-    ), ranked AS (
-      SELECT col, h, row_number() OVER (PARTITION BY col ORDER BY h) AS rn
-      FROM hashed
-    ), sk AS (
-      SELECT col, CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(h) AS kth
-      FROM ranked WHERE rn <= 64 GROUP BY col
-    )
-    SELECT col, n_kept,
-           round(CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
-                 ELSE CAST(63 AS DOUBLE)
-                      / (CAST(kth AS DOUBLE) / 4503599627370496.0)
-                 END, 6) AS ndv_estimate
-    FROM sk
-    """,
-)
-def table_profile_ndv_q(spark, sf_dir):
-    """Per-column NDV PROFILE (§2.12 catalog/ANALYZE tier — the
-    statistics pass a query optimizer or layout planner runs before
-    choosing join orders and bucketing: one deterministic KMV sketch
-    PER COLUMN from a single table scan).  Columns stack to
-    (column, value) grain via one literal-array explode — the scan
-    happens once regardless of how many columns are profiled — then
-    the approx_distinct_users KMV machinery runs per column key
-    (distinct md5-hashes, 64 smallest, (k−1)/U₍ₖ₎ estimator, exact
-    below k).  Deterministic, so it value-oracles — engine-native
-    NDV sketches (HLL variants) never can.  The per-column rank
-    window sorts each column's distinct hashes in one task — the
-    documented fixture trade; at warehouse scale the k-smallest
-    per group comes from a two-pass threshold prune instead."""
-    o = _t(spark, sf_dir, "orders")
-    stacked = o.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit("o_custkey").alias("col"),
-                    F.col("o_custkey").cast("string").alias("val"),
-                ),
-                F.struct(
-                    F.lit("o_orderstatus").alias("col"),
-                    F.col("o_orderstatus").alias("val"),
-                ),
-                F.struct(
-                    F.lit("o_orderpriority").alias("col"),
-                    F.col("o_orderpriority").alias("val"),
-                ),
-                F.struct(
-                    F.lit("o_orderdate").alias("col"),
-                    F.col("o_orderdate").cast("string").alias("val"),
-                ),
-            )
-        ).alias("s")
-    ).select("s.col", "s.val")
-    # distinct FIRST on the raw (col, value) pairs, hash after: the
-    # md5+conv then runs on ~NDV rows instead of rows x columns
-    # (measured sf1: 5.9 s -> the hash was the wall, 6 M evaluations
-    # for a 155 k-row distinct set)
-    hashed = stacked.distinct().select(
-        "col",
-        F.conv(F.substring(F.md5("val"), 1, 13), 16, 10)
-        .cast("bigint").alias("h"),
-    )
-    w = Window.partitionBy("col").orderBy("h")
-    sk = (
-        hashed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 64)
-        .groupBy("col")
-        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("kth"))
-    )
-    est = F.when(
-        F.col("n_kept") < 64, F.col("n_kept").cast("double")
-    ).otherwise(
-        F.lit(63.0) / (F.col("kth").cast("double") / F.lit(4503599627370496.0))
-    )
-    return sk.select(
-        "col", "n_kept", F.round(est, 6).alias("ndv_estimate")
-    )
-
-
-@register(
-    "stream_delta_upsert_merge",
-    oracle="""
-    SELECT user_id,
-           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
-             AS cents_total,
-           CAST(COUNT(*) AS BIGINT) AS n_purchases
-    FROM events WHERE event_type = 'purchase'
-    GROUP BY user_id
-    """,
-)
-def stream_delta_upsert_merge_q(spark, sf_dir):
-    """STREAMING MERGE (upsert) into the Delta-protocol table — the
-    foreachBatch copy-on-write pattern production Spark pipelines run
-    against lakehouse tables (the writer-depth complement to
-    stream_delta_append_commits' blind append): the table holds
-    per-user purchase totals partitioned into 8 user-hash buckets; the
-    purchase stream drains in MULTIPLE micro-batches
-    (maxFilesPerTrigger=1 over a 3-file staging of the fixture), and
-    each batch
-
-    1. aggregates its rows to (user, delta) grain,
-    2. reads the CURRENT snapshot of only the AFFECTED buckets,
-    3. merges (full outer on user, totals summed — the MERGE),
-    4. rewrites those buckets' data files, and
-    5. commits atomically: remove(old bucket files) + add(new) in one
-       ``_delta_log`` JSON commit, batch-id-keyed for exactly-once.
-
-    Copy-on-write touches only affected buckets — at production scale
-    the bucket count and the hash partitioning bound every batch's
-    rewrite to its own keys' files, never the table.  The returned
-    frame is a fresh snapshot read; equality with the batch groupBy
-    oracle proves the multi-batch remove+add reconciliation converges
-    to exactly the batch answer."""
-    import glob
-    import os as _os
-    import tempfile
-
-    from apache_nifi_spark.sources.deltalog import (
-        delta_active_files,
-        read_delta_snapshot,
-        write_commit,
-    )
-    from apache_nifi_spark.streaming import stream_events
-
-    # stage the purchase stream as 3 files so the drain is genuinely
-    # multi-batch (one file per trigger)
-    staged = tempfile.mkdtemp(prefix="anspark_updelta_src_")
-    (
-        _t(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "purchase")
-        .select("event_id", "user_id", "ts", "value", "event_type")
-        .repartition(3, "user_id")
-        .write.mode("overwrite").parquet(staged)
-    )
-    root = tempfile.mkdtemp(prefix="anspark_updelta_tbl_")
-
-    def write_batch(bdf, bid):
-        version = int(bid) + 1
-        commit = _os.path.join(root, "_delta_log", f"{version:020d}.json")
-        if _os.path.exists(commit):
-            return  # replayed batch — exactly-once
-        sp = bdf.sparkSession
-        delta = bdf.groupBy("user_id").agg(
-            F.sum(F.floor(F.col("value") * 100 + 0.5)).cast("bigint")
-            .alias("cents_total"),
-            F.count(F.lit(1)).alias("n_purchases"),
-        ).withColumn("bucket", (F.col("user_id") % 8).cast("int"))
-        affected = sorted(
-            r["bucket"] for r in delta.select("bucket").distinct()
-            .collect()  # control-plane: <= 8 bucket ids
-        )
-        removed: list[str] = []
-        if version > 1:
-            cur_files = [
-                r["path"]
-                for r in delta_active_files(sp, root)
-                .collect()  # control-plane: O(active files) manifest rows
-                if int(r["path"].split("bucket=")[1].split("/")[0])
-                in affected
-            ]
-            removed = cur_files
-            if cur_files:
-                cur = sp.read.parquet(
-                    *[_os.path.join(root, p) for p in cur_files]
-                ).withColumn("bucket", (F.col("user_id") % 8).cast("int"))
-                delta = (
-                    cur.join(delta, ["user_id", "bucket"], "full_outer")
-                    .select(
-                        "user_id", "bucket",
-                        (
-                            F.coalesce(cur["cents_total"], F.lit(0))
-                            + F.coalesce(delta["cents_total"], F.lit(0))
-                        ).alias("cents_total"),
-                        (
-                            F.coalesce(cur["n_purchases"], F.lit(0))
-                            + F.coalesce(delta["n_purchases"], F.lit(0))
-                        ).alias("n_purchases"),
-                    )
-                )
-        actions = [{"remove": {"path": p}} for p in removed]
-        # ONE write job rewrites every affected bucket (partitionBy
-        # lays out bucket=<b>/ dirs; repartition("bucket") puts each
-        # bucket wholly in one task → one file per bucket) — the merge
-        # plan executes once, not once per bucket
-        sub = f"v{version}"
-        (
-            delta.select(
-                "user_id", "cents_total", "n_purchases", "bucket"
-            )
-            .repartition("bucket")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(_os.path.join(root, sub))
-        )
-        actions.extend(
-            {
-                "add": {
-                    "path": _os.path.relpath(p, root),
-                    "size": _os.path.getsize(p),
-                }
-            }
-            for p in sorted(
-                glob.glob(
-                    _os.path.join(root, sub, "bucket=*", "part-*.parquet")
-                )
-            )
-        )
-        write_commit(root, version, actions)
-
-    cp = tempfile.mkdtemp(prefix="anspark_updelta_cp_")
-    sdf = stream_events(spark, sf_dir, path=staged, max_files_per_trigger=1)
-    (
-        sdf.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", cp)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    return read_delta_snapshot(spark, root).select(
-        "user_id", "cents_total", "n_purchases"
-    )
-
-
-@register(
-    "multimodal_audio_container_meta",
-    oracle="""
-    SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'flac' ELSE 'mp3' END AS format,
-           CAST(CASE WHEN doc_id % 2 = 0
-                THEN CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 22050
-                     ELSE 44100 END
-                ELSE CASE (doc_id % 9) // 3 WHEN 0 THEN 44100
-                     WHEN 1 THEN 48000 ELSE 32000 END
-                END AS INT) AS sample_rate_hz,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id % 4) // 2
-                ELSE 1 + (doc_id % 10) // 5 END AS INT) AS channels,
-           CAST(CASE WHEN doc_id % 2 = 0
-                THEN CASE WHEN doc_id % 8 < 4 THEN 16 ELSE 24 END
-                ELSE 0 END AS INT) AS bits_per_sample,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN 0
-                ELSE CASE doc_id % 3 WHEN 0 THEN 64 WHEN 1 THEN 128
-                     ELSE 320 END END AS INT) AS bitrate_kbps,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN 1000 + doc_id % 5000
-                ELSE 50 + doc_id % 200 END AS BIGINT) AS n_units,
-           CAST(CASE WHEN doc_id % 2 = 0
-                THEN (1000 + doc_id % 5000) * 1000 //
-                     (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 22050
-                      ELSE 44100 END)
-                ELSE (50 + doc_id % 200) * 1152 * 1000 //
-                     (CASE (doc_id % 9) // 3 WHEN 0 THEN 44100
-                      WHEN 1 THEN 48000 ELSE 32000 END)
-                END AS BIGINT) AS duration_ms
-    FROM documents WHERE doc_id < 400
-    """,
-)
-def multimodal_audio_container_meta_q(spark, sf_dir):
-    """REAL FLAC + MP3 container metadata decode, value-oracled (§2.12
-    multimodal; extends the WAV/MP4/WebM tier to the two remaining
-    ubiquitous audio containers): spec-valid payloads are ENCODED
-    executor-side — FLAC ``fLaC``+STREAMINFO bit-packing, MPEG-1
-    Layer III frame sequences with per-frame alternating padding (so
-    the parser must walk genuinely variable-length frames via each
-    frame's own header) and, on every fourth id, a leading ID3v2 tag
-    with a syncsafe size (proving tag skip) — then decoded back through
-    the magic-byte-dispatched container walkers
-    (`llm/multimodal.parse_flac_streaminfo` / `parse_mpeg_audio`).
-    The oracle recomputes every field arithmetically from the
-    generating formulas — a true byte-level round trip.  Arrow-batched
-    both sides; map-only at any scale."""
-    import pandas as pd  # noqa: F811
-
-    from apache_nifi_spark.llm import (
-        decode_audio_container_meta,
-        encode_flac_streaminfo,
-        encode_mp3_frames,
-    )
-
-    base = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 400)
-        .select("doc_id")
-    )
-
-    def synth(batches):
-        for pdf in batches:
-            contents = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                if d % 2 == 0:
-                    rate = [8000, 22050, 44100][d % 3]
-                    contents.append(
-                        encode_flac_streaminfo(
-                            rate,
-                            1 + (d % 4) // 2,
-                            16 if d % 8 < 4 else 24,
-                            1000 + d % 5000,
-                        )
-                    )
-                else:
-                    kbps = [64, 128, 320][d % 3]
-                    rate = [44100, 48000, 32000][(d % 9) // 3]
-                    contents.append(
-                        encode_mp3_frames(
-                            kbps,
-                            rate,
-                            1 + (d % 10) // 5,
-                            50 + d % 200,
-                            id3_size=(d % 100) if d % 4 == 1 else 0,
-                        )
-                    )
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": contents})
-
-    audio = base.mapInPandas(synth, "doc_id long, content binary")
-    return decode_audio_container_meta(audio)
-
-
-@register(
-    "hypertable_m4_downsample",
-    oracle="""
-    SELECT event_type,
-           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS bucket,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(min(value) AS DOUBLE) AS vmin,
-           CAST(max(value) AS DOUBLE) AS vmax,
-           CAST(arg_min(value, epoch_us(ts)) AS DOUBLE) AS vfirst,
-           CAST(arg_max(value, epoch_us(ts)) AS DOUBLE) AS vlast
-    FROM events GROUP BY 1, 2
-    """,
-)
-def hypertable_m4_downsample_q(spark, sf_dir):
-    """M4 time-series downsampling (Jugel et al., VLDB 2014 — the
-    error-free line-chart reduction): per (series, pixel-bucket) the
-    min, max, FIRST and LAST values — the four points that make a
-    rendered line pixel-identical to the full-resolution data.  One
-    hash aggregation (min/max/min_by/max_by are all partial-aggregable,
-    so map-side combine runs before the shuffle); every output is a
-    SELECTION of an input double (zero float arithmetic → bit-exact
-    across engines).  first/last order by ``unix_micros(ts)``, unique
-    in this dataset (asserted across SFs by the generator contract).
-    Scale: output is O(series × buckets) — chart-sized, independent of
-    row count; the canonical 100 TB dashboard query."""
-    ev = _t(spark, sf_dir, "events")
-    micros = F.unix_micros(F.col("ts").cast("timestamp"))
-    return (
-        ev.select(
-            "event_type",
-            F.expr(
-                "CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"
-                " AS BIGINT)"
-            ).alias("bucket"),
-            "value",
-            micros.alias("_us"),
-        )
-        .groupBy("event_type", "bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("value").alias("vmin"),
-            F.max("value").alias("vmax"),
-            F.min_by("value", "_us").alias("vfirst"),
-            F.max_by("value", "_us").alias("vlast"),
-        )
-    )
-
-
-@register(
-    "stats_robust_outliers",
-    oracle="""
-    WITH p AS (
-      SELECT user_id, event_id, value FROM events
-      WHERE event_type = 'purchase'
-    ), r AS (
-      SELECT *,
-             row_number() OVER (PARTITION BY user_id
-                                ORDER BY value, event_id) AS rn,
-             count(*) OVER (PARTITION BY user_id) AS cnt
-      FROM p
-    ), m AS (
-      SELECT *, max(CASE WHEN rn = (cnt + 1) // 2 THEN value END)
-                  OVER (PARTITION BY user_id) AS med
-      FROM r
-    ), d AS (
-      SELECT *, abs(value - med) AS dev FROM m
-    ), r2 AS (
-      SELECT *, row_number() OVER (PARTITION BY user_id
-                                   ORDER BY dev, event_id) AS rn2
-      FROM d
-    ), m2 AS (
-      SELECT *, max(CASE WHEN rn2 = (cnt + 1) // 2 THEN dev END)
-                  OVER (PARTITION BY user_id) AS mad
-      FROM r2
-    )
-    SELECT user_id,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(max(med) AS DOUBLE) AS med,
-           CAST(max(mad) AS DOUBLE) AS mad,
-           CAST(sum(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_outliers
-    FROM m2 GROUP BY user_id
-    """,
-)
-def stats_robust_outliers_q(spark, sf_dir):
-    """Per-key robust outlier flags via EXACT median + MAD (the
-    median-absolute-deviation robust z-score — the anomaly filter that
-    survives the skewed value distributions where mean/stddev break):
-    lower median selected positionally (row_number against
-    (count+1)//2 — a SELECTION, no buffer-everything percentile
-    aggregate, no global sort), deviations re-ranked the same way for
-    the MAD, outlier = dev > 3·MAD.  The only float arithmetic is one
-    subtraction/abs and one multiply — identical single IEEE ops in
-    both engines, so doubles hash exactly.  Scale: both window passes
-    sort WITHIN user-sized groups under one hash partitioning on
-    user_id (Catalyst reuses the exchange; groups are bounded by a
-    user's activity, never table-sized), then one aggregation — the
-    sessionize/EWMA scale shape."""
-    ev = (
-        _t(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "purchase")
-        .select("user_id", "event_id", "value")
-    )
-    by_user = Window.partitionBy("user_id")
-    r = ev.withColumn(
-        "rn", F.row_number().over(by_user.orderBy("value", "event_id"))
-    ).withColumn("cnt", F.count(F.lit(1)).over(by_user))
-    target = F.floor((F.col("cnt") + 1) / 2)
-    m = r.withColumn(
-        "med",
-        F.max(F.when(F.col("rn") == target, F.col("value"))).over(by_user),
-    ).withColumn("dev", F.abs(F.col("value") - F.col("med")))
-    m2 = m.withColumn(
-        "rn2", F.row_number().over(by_user.orderBy("dev", "event_id"))
-    ).withColumn(
-        "mad",
-        F.max(F.when(F.col("rn2") == target, F.col("dev"))).over(by_user),
-    )
-    return m2.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.max("med").alias("med"),
-        F.max("mad").alias("mad"),
-        F.sum(
-            F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0)
-        ).cast("long").alias("n_outliers"),
-    )
-
-
-@register(
-    "pii_k_anonymity",
-    oracle="""
-    SELECT c_nationkey,
-           c_mktsegment,
-           CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
-           CAST(count(*) AS BIGINT) AS class_size,
-           count(*) < 5 AS at_risk
-    FROM customer
-    GROUP BY 1, 2, 3
-    """,
-)
-def pii_k_anonymity_q(spark, sf_dir):
-    """k-anonymity audit (Sweeney 2002 — the release gate for
-    quasi-identifier re-identification risk): group the table by its
-    quasi-identifier tuple AFTER one generalization step (account
-    balance coarsened to 2000-unit bands — the hierarchy-climb that
-    trades utility for class size), emit each equivalence class with
-    its size and an ``at_risk`` flag for classes below k=5 (the rows a
-    release would have to suppress or generalize further).  One hash
-    aggregation, map-side combinable; output is O(classes) —
-    independent of row count, the 100 TB privacy-audit shape.  The
-    band edge uses floor(x/2000) on the exact input double — one IEEE
-    division both engines."""
-    c = _t(spark, sf_dir, "customer")
-    cls = c.groupBy(
-        "c_nationkey",
-        "c_mktsegment",
-        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
-    ).agg(F.count(F.lit(1)).alias("class_size"))
-    return cls.select(
-        "c_nationkey",
-        "c_mktsegment",
-        "bal_band",
-        "class_size",
-        (F.col("class_size") < 5).alias("at_risk"),
-    )
-
-
-@register(
-    "stats_correlation_matrix",
-    oracle="""
-    WITH c AS (
-      SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q,
-             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p,
-             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d
-      FROM lineitem
-    ), i AS (
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             SUM(CAST(q AS HUGEINT)) AS s_qc,
-             SUM(CAST(p AS HUGEINT)) AS s_pc,
-             SUM(CAST(d AS HUGEINT)) AS s_dc,
-             SUM(CAST(q * q AS HUGEINT)) AS p_qqc,
-             SUM(CAST(p * p AS HUGEINT)) AS p_ppc,
-             SUM(CAST(d * d AS HUGEINT)) AS p_ddc,
-             SUM(CAST(q * p AS HUGEINT)) AS p_qpc,
-             SUM(CAST(q * d AS HUGEINT)) AS p_qdc,
-             SUM(CAST(p * d AS HUGEINT)) AS p_pdc
-      FROM c
-    ), s AS (
-      SELECT n,
-             CAST(s_qc AS DOUBLE) / 100.0 AS s_q,
-             CAST(s_pc AS DOUBLE) / 100.0 AS s_p,
-             CAST(s_dc AS DOUBLE) / 100.0 AS s_d,
-             CAST(p_qqc AS DOUBLE) / 10000.0 AS p_qq,
-             CAST(p_ppc AS DOUBLE) / 10000.0 AS p_pp,
-             CAST(p_ddc AS DOUBLE) / 10000.0 AS p_dd,
-             CAST(p_qpc AS DOUBLE) / 10000.0 AS p_qp,
-             CAST(p_qdc AS DOUBLE) / 10000.0 AS p_qd,
-             CAST(p_pdc AS DOUBLE) / 10000.0 AS p_pd
-      FROM i
-    )
-    SELECT col_a, col_b, n,
-           round((n * pab - sa * sb)
-                 / sqrt((n * paa - sa * sa)
-                        * (n * pbb - sb * sb)),
-                 6) AS corr
-    FROM (
-      SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
-             s_q AS sa, s_p AS sb, p_qq AS paa, p_pp AS pbb, p_qp AS pab
-      FROM s
-      UNION ALL
-      SELECT 'l_quantity', 'l_discount', n,
-             s_q, s_d, p_qq, p_dd, p_qd FROM s
-      UNION ALL
-      SELECT 'l_extendedprice', 'l_discount', n,
-             s_p, s_d, p_pp, p_dd, p_pd FROM s
-    )
-    """,
-)
-def stats_correlation_matrix_q(spark, sf_dir):
-    """Pairwise Pearson correlation matrix with EXACT-decimal moment
-    sums (the profiling pass a feature-selection / drift pipeline runs
-    over numeric columns): all nine moments (Σx, Σx², Σxy per pair)
-    accumulate under the scaled-integer discipline of the Pearson row
-    (exact cents, long·long products, DECIMAL(38,0)/HUGEINT sums —
-    order-independent AND 3× cheaper than decimal multiplies) in ONE
-    scan-and-aggregate, then descale by identical /100 powers —
-    and only the final corr formula runs in floats (identical IEEE
-    expression both engines, 6 dp at the edge).  Engine-native
-    ``corr()`` can never value-oracle (float accumulation order); this
-    shape can, and is map-side combinable at any scale.  Output is
-    3 rows per table, row-count independent."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        F.floor(F.col("l_quantity") * 100 + 0.5).cast("long").alias("q"),
-        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
-        .alias("p"),
-        F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("d"),
-    )
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    q, p, dd = F.col("q"), F.col("p"), F.col("d")
-    s = li.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(dec(q)).alias("s_qc"),
-        F.sum(dec(p)).alias("s_pc"),
-        F.sum(dec(dd)).alias("s_dc"),
-        F.sum(dec(q * q)).alias("p_qqc"),
-        F.sum(dec(p * p)).alias("p_ppc"),
-        F.sum(dec(dd * dd)).alias("p_ddc"),
-        F.sum(dec(q * p)).alias("p_qpc"),
-        F.sum(dec(q * dd)).alias("p_qdc"),
-        F.sum(dec(p * dd)).alias("p_pdc"),
-    ).select(
-        "n",
-        (F.col("s_qc").cast("double") / 100.0).alias("s_q"),
-        (F.col("s_pc").cast("double") / 100.0).alias("s_p"),
-        (F.col("s_dc").cast("double") / 100.0).alias("s_d"),
-        (F.col("p_qqc").cast("double") / 10000.0).alias("p_qq"),
-        (F.col("p_ppc").cast("double") / 10000.0).alias("p_pp"),
-        (F.col("p_ddc").cast("double") / 10000.0).alias("p_dd"),
-        (F.col("p_qpc").cast("double") / 10000.0).alias("p_qp"),
-        (F.col("p_qdc").cast("double") / 10000.0).alias("p_qd"),
-        (F.col("p_pdc").cast("double") / 10000.0).alias("p_pd"),
-    )
-    pairs = [
-        ("l_quantity", "l_extendedprice", "s_q", "s_p", "p_qq", "p_pp", "p_qp"),
-        ("l_quantity", "l_discount", "s_q", "s_d", "p_qq", "p_dd", "p_qd"),
-        ("l_extendedprice", "l_discount", "s_p", "s_d", "p_pp", "p_dd", "p_pd"),
-    ]
-    # ONE projection over the 1-row moment frame (a 3-way union would
-    # re-run the scan+agg once per branch): the pair rows explode out
-    # of an array of structs, each corr computed in place.
-    structs = []
-    for a, b, sa, sb, paa, pbb, pab in pairs:
-        n = F.col("n")
-        dbl = lambda c: F.col(c).cast("double")  # noqa: E731
-        corr = F.round(
-            (n * dbl(pab) - dbl(sa) * dbl(sb))
-            / F.sqrt(
-                (n * dbl(paa) - dbl(sa) * dbl(sa))
-                * (n * dbl(pbb) - dbl(sb) * dbl(sb))
-            ),
-            6,
-        )
-        structs.append(
-            F.struct(
-                F.lit(a).alias("col_a"),
-                F.lit(b).alias("col_b"),
-                F.col("n").alias("n"),
-                corr.alias("corr"),
-            )
-        )
-    return s.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
-
-
-@register(
-    "text_chardist_entropy",
-    oracle="""
-    WITH ch AS (
-      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9 ]'))
-               AS c
-      FROM documents WHERE doc_id < 3000
-    ), cnt AS (
-      SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2
-    ), terms AS (
-      SELECT doc_id, CAST(k * ln(k) AS DECIMAL(28,9)) AS t, k FROM cnt
-    )
-    SELECT doc_id,
-           CAST(sum(k) AS BIGINT) AS n_chars,
-           CAST(count(*) AS BIGINT) AS n_unique,
-           round(ln(sum(k)) - CAST(sum(t) AS DOUBLE) / sum(k), 6)
-             AS entropy
-    FROM terms GROUP BY doc_id
-    """,
-)
-def text_chardist_entropy_q(spark, sf_dir):
-    """Per-document character-distribution Shannon entropy (the
-    gibberish / encoded-blob / keyboard-mash quality signal next to
-    the Gopher and C4 rules): alphabet-restricted char counts, then
-    ``H = ln(n) − (Σ kᵢ·ln kᵢ)/n``.  The order-dependent float sum is
-    made engine-exact the decimal way: each ``k·ln k`` term rounds to
-    DECIMAL(28,9) ONCE (deterministic per term — counts are integers,
-    ``ln`` agrees across engines as the LM-scoring tier already
-    relies on), the sum accumulates exactly, and only the final
-    subtraction/division is float, rounded 6 dp.  Two hash
-    aggregations, both map-side combinable; no windows, no sorts —
-    linear at any scale."""
-    d = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 3000)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr("regexp_extract_all(lower(text), '[a-z0-9 ]', 0)")
-            ).alias("c"),
-        )
-    )
-    cnt = d.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k"))
-    terms = cnt.select(
-        "doc_id",
-        "k",
-        (F.col("k") * F.log(F.col("k"))).cast("decimal(28,9)").alias("t"),
-    )
-    return terms.groupBy("doc_id").agg(
-        F.sum("k").cast("long").alias("n_chars"),
-        F.count(F.lit(1)).alias("n_unique"),
-        F.round(
-            F.log(F.sum("k")) - F.sum("t").cast("double") / F.sum("k"), 6
-        ).alias("entropy"),
-    )
-
-
-@register(
-    "events_transition_matrix",
-    oracle="""
-    WITH o AS (
-      SELECT user_id, event_type,
-             lead(event_type) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id) AS nxt
-      FROM events
-    ), c AS (
-      SELECT event_type AS cur, nxt, CAST(count(*) AS BIGINT) AS n
-      FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
-    )
-    SELECT cur, nxt, n,
-           round(CAST(n AS DOUBLE) /
-                 sum(n) OVER (PARTITION BY cur), 6) AS p
-    FROM c
-    """,
-)
-def events_transition_matrix_q(spark, sf_dir):
-    """First-order Markov transition matrix over per-user event
-    sequences (the journey/next-action model behind funnel design and
-    sequence anomaly detection): ``lead`` pairs each event with its
-    user's next event under one hash partitioning on user_id, pair
-    counts aggregate map-side-combinably, and the row-conditional
-    probability normalizes over a types×types frame (O(|types|²) —
-    constant-size, row-count independent).  The only float op is one
-    division, rounded 6 dp — identical single IEEE ops both engines.
-    Scale: the window sorts WITHIN user-sized groups (never
-    table-grain); output is the model itself."""
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = (
-        ev.select(
-            "user_id",
-            "event_type",
-            F.lead("event_type").over(w).alias("nxt"),
-        )
-        .filter(F.col("nxt").isNotNull())
-        .groupBy(F.col("event_type").alias("cur"), "nxt")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    by_cur = Window.partitionBy("cur")
-    return pairs.select(
-        "cur",
-        "nxt",
-        "n",
-        F.round(
-            F.col("n").cast("double") / F.sum("n").over(by_cur), 6
-        ).alias("p"),
-    )
-
-
-@register(
-    "stats_cusum_drift",
-    oracle="""
-    WITH s AS (
-      SELECT user_id, event_id,
-             SUM(CAST(value AS DECIMAL(18,6)) - 50)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS UNBOUNDED PRECEDING) AS cusum
-      FROM events WHERE event_type = 'view'
-    )
-    SELECT user_id,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(max(cusum) AS DOUBLE) AS max_cusum,
-           CAST(min(cusum) AS DOUBLE) AS min_cusum,
-           CAST(sum(CASE WHEN abs(cusum) > 200 THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_alarms,
-           CAST(min(CASE WHEN abs(cusum) > 200 THEN event_id END)
-                AS BIGINT) AS first_alarm
-    FROM s GROUP BY user_id
-    """,
-)
-def stats_cusum_drift_q(spark, sf_dir):
-    """CUSUM drift/changepoint detection per key (Page 1954 — the SPC
-    monitor that flags a sustained level shift long before a mean
-    test): running sum of (value − target) per user in EXACT decimals
-    (the cumulative window sum never touches floats, so every
-    intermediate is engine-identical), alarm where |S| crosses the
-    decision interval, plus the first crossing's event id.  The
-    sequential fold that makes CUSUM un-SQL-able in float becomes
-    portable integer algebra in decimal.  Scale: one hash partitioning
-    on user_id, window sorts within user-sized groups, one
-    aggregation — linear, no table-grain sort."""
-    ev = (
-        _t(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "view")
-        .select("user_id", "event_id", "ts", "value")
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    s = ev.withColumn(
-        "cusum",
-        F.sum(F.col("value").cast("decimal(18,6)") - 50).over(w),
-    )
-    alarmed = F.abs(F.col("cusum")) > 200
-    return s.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.max("cusum").cast("double").alias("max_cusum"),
-        F.min("cusum").cast("double").alias("min_cusum"),
-        F.sum(F.when(alarmed, 1).otherwise(0)).cast("long").alias("n_alarms"),
-        F.min(F.when(alarmed, F.col("event_id"))).cast("long")
-        .alias("first_alarm"),
-    )
-
-
-@register(
-    "dedup_containment_pairs",
-    oracle="""
-    WITH t AS (
-      SELECT doc_id, lang,
-             list_distinct(list_filter(
-               regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
-               x -> x != '')) AS toks
-      FROM documents WHERE doc_id < 80
-    )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(length(list_intersect(a.toks, b.toks)) AS BIGINT)
-             AS n_shared,
-           round(CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE)
-                 / least(length(a.toks), length(b.toks)), 6)
-             AS containment
-    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE length(a.toks) > 0 AND length(b.toks) > 0
-      AND CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE)
-            / least(length(a.toks), length(b.toks)) >= 0.6
-    """,
-)
-def dedup_containment_pairs_q(spark, sf_dir):
-    """Token-set CONTAINMENT pairs — the subset-duplicate detector the
-    Jaccard tier misses (Broder's containment C = |A∩B| / min(|A|,|B|):
-    a short doc fully embedded in a long one scores ~1.0 here but low
-    Jaccard because the union is dominated by the long doc; exactly
-    the boilerplate-wrapped-article and quote-inside-thread cases a
-    training-data dedup must catch).  Same blocked-verifier shape as
-    ``dedup_ngram_jaccard``: language-blocked self-join (never
-    all-pairs), distinct word-token arrays built by one codegen'd
-    projection, intersection sized JVM-side — no explode, no UDF.
-    Determinism: set sizes are integers; the single float division is
-    IEEE-identical in both engines, rounded 6 dp.  At 100 TB the lang
-    block becomes the LSH band bucket (dedup_minhash_lsh) and this
-    exact containment is its verifier stage."""
-    d = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 80)
-        .select(
-            "doc_id",
-            "lang",
-            F.array_distinct(
-                F.filter(
-                    F.split(F.lower("text"), r"[^a-z0-9']+", -1),
-                    lambda t: t != "",
-                )
-            ).alias("toks"),
-        )
-    )
-    a, b = d.alias("a"), d.alias("b")
-    inter = F.size(
-        F.array_intersect(F.col("a.toks"), F.col("b.toks"))
-    )
-    denom = F.least(
-        F.size(F.col("a.toks")), F.size(F.col("b.toks"))
-    )
-    cont = inter.cast("double") / denom
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(
-            (F.size(F.col("a.toks")) > 0)
-            & (F.size(F.col("b.toks")) > 0)
-            & (cont >= 0.6)
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            inter.cast("bigint").alias("n_shared"),
-            F.round(cont, 6).alias("containment"),
-        )
-    )
-
-@register(
-    "text_ngram_novelty",
-    oracle=r"""
-    WITH t AS (
-      SELECT doc_id,
-             list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')
-               AS toks
-      FROM documents
-    ),
-    cg AS (
-      SELECT doc_id,
-             unnest(list_distinct(list_transform(
-               range(1, greatest(len(toks) - 6, 1)),
-               i -> array_to_string(list_slice(toks, i, i + 7), ' ')))) AS gram
-      FROM t WHERE doc_id % 10 >= 8
-    ),
-    rg AS (
-      SELECT DISTINCT
-             unnest(list_distinct(list_transform(
-               range(1, greatest(len(toks) - 6, 1)),
-               i -> array_to_string(list_slice(toks, i, i + 7), ' ')))) AS gram
-      FROM t WHERE doc_id % 10 < 8
-    )
-    SELECT cg.doc_id,
-           CAST(count(*) AS BIGINT) AS n_shingles,
-           CAST(count(*) FILTER (WHERE rg.gram IS NULL) AS BIGINT)
-             AS n_novel,
-           round(CAST(count(*) FILTER (WHERE rg.gram IS NULL) AS DOUBLE)
-                 / count(*), 6) AS novelty_rate
-    FROM cg LEFT JOIN rg USING (gram)
-    GROUP BY cg.doc_id
-    """,
-)
-def text_ngram_novelty_q(spark, sf_dir):
-    """Per-document 8-gram novelty rate of the incoming slice
-    (doc_id % 10 ≥ 8) against the training corpus (% 10 < 8) — the
-    incremental-data-valuation metric a curation pipeline ranks new
-    crawls by (near-zero novelty = pay nothing for this source; the
-    measured complement of [text_decontaminate]'s boolean overlap
-    flag).  Hashed-gram equi-join per llm/text.ngram_novelty — no gram
-    strings materialize Spark-side; the string-keyed oracle proves the
-    hash path collision-free on the fixture."""
-    from apache_nifi_spark.llm import ngram_novelty
-
-    d = _t(spark, sf_dir, "documents")
-    return ngram_novelty(
-        d.filter(F.col("doc_id") % 10 >= 8),
-        d.filter(F.col("doc_id") % 10 < 8),
-        n=8,
-    )
-
-def _ketama_ring(nodes, vnodes=16):
-    """Driver-side consistent-hash ring: (hex8(md5(node:v)) + '#' +
-    node) strings, sorted.  Fixed-width lowercase hex compares as the
-    32-bit ring position, so MIN over strings IS the ring walk — the
-    trick that makes the whole assignment a map-only expression in
-    both engines.  hashlib md5 == Spark md5 == DuckDB md5 on the same
-    bytes, so the Python-built ring is engine-portable config."""
-    import hashlib
-
-    pts = []
-    for node in nodes:
-        for v in range(vnodes):
-            h = hashlib.md5(f"{node}:{v}".encode()).hexdigest()[:8]
-            pts.append(f"{h}#{node}")
-    return sorted(pts)
-
-
-def _ring_assign(ring, key_col):
-    """First ring point clockwise of md5(key) (wrap to the ring's
-    smallest point): coalesce(array_min(points ≥ key), first point)."""
-    arr = F.array(*[F.lit(p) for p in ring])
-    kh = F.substring(F.md5(key_col.cast("string")), 1, 8)
-    nxt = F.array_min(
-        F.filter(arr, lambda p: F.substring(p, 1, 8) >= kh)
-    )
-    return F.substring_index(F.coalesce(nxt, F.lit(ring[0])), "#", -1)
-
-
-def _ring_sql(nodes, vnodes=16):
-    ring = _ketama_ring(nodes, vnodes)
-    lits = ", ".join(f"'{p}'" for p in ring)
-    return f"[{lits}]", ring[0]
-
-
-@register(
-    "shard_consistent_hash_ring",
-    oracle=f"""
-    WITH cfg AS (
-      SELECT {_ring_sql(['n0', 'n1', 'n2', 'n3'])[0]} AS ring4,
-             '{_ring_sql(['n0', 'n1', 'n2', 'n3'])[1]}' AS first4,
-             {_ring_sql(['n0', 'n1', 'n2', 'n3', 'n4'])[0]} AS ring5,
-             '{_ring_sql(['n0', 'n1', 'n2', 'n3', 'n4'])[1]}' AS first5
-    ), k AS (
-      SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS kh
-      FROM documents WHERE doc_id < 5000
-    )
-    SELECT doc_id,
-           split_part(coalesce(
-             list_min(list_filter(ring4, p -> substr(p, 1, 8) >= kh)),
-             first4), '#', 2) AS node4,
-           split_part(coalesce(
-             list_min(list_filter(ring5, p -> substr(p, 1, 8) >= kh)),
-             first5), '#', 2) AS node5,
-           split_part(coalesce(
-             list_min(list_filter(ring4, p -> substr(p, 1, 8) >= kh)),
-             first4), '#', 2)
-           <> split_part(coalesce(
-             list_min(list_filter(ring5, p -> substr(p, 1, 8) >= kh)),
-             first5), '#', 2) AS moved
-    FROM k, cfg
-    """,
-)
-def shard_consistent_hash_ring_q(spark, sf_dir):
-    """Consistent-hash ring sharding under a RESIZE (the ketama scheme
-    NiFi-style clusters and every distributed cache use — the §2.12
-    training-shard tier's third layout beside modulo and rendezvous):
-    4 nodes × 16 vnodes vs 5 nodes side by side, with the ``moved``
-    flag.  The ring's minimal-disruption guarantee: only the arc
-    segments the new node's vnodes claim move (~1/5 of keys), and
-    EVERY mover lands on the new node — asserted as an invariant in
-    tests/test_llm.py.
-
-    Scale shape: the ring is CONFIG (nodes×vnodes literal points,
-    built driver-side — hashlib md5 ≡ engine md5), the assignment is
-    coalesce(array_min(filter(ring, point ≥ md5(key))), first point)
-    — a pure map-side expression over fixed-width hex strings, no
-    join, no shuffle, no UDF."""
-    d = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 5000)
-        .select("doc_id")
-    )
-    r4 = _ketama_ring(["n0", "n1", "n2", "n3"])
-    r5 = _ketama_ring(["n0", "n1", "n2", "n3", "n4"])
-    n4 = _ring_assign(r4, F.col("doc_id"))
-    n5 = _ring_assign(r5, F.col("doc_id"))
-    return d.select(
-        "doc_id",
-        n4.alias("node4"),
-        n5.alias("node5"),
-        (n4 != n5).alias("moved"),
-    )
-
-@register(
-    "multimodal_image_tiff_meta",
-    oracle="""
-    SELECT doc_id,
-           CASE doc_id % 2 WHEN 0 THEN 'II' ELSE 'MM' END AS endian,
-           CAST(100 + doc_id % 4000 AS INT) AS width,
-           CAST(80 + doc_id % 2000 AS INT) AS height,
-           CAST(8 * (1 + doc_id % 2) AS INT) AS bits_per_sample,
-           CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 5 ELSE 7 END
-                AS INT) AS compression,
-           CAST(1 + doc_id % 2 AS INT) AS photometric,
-           CAST(CASE doc_id % 2 WHEN 0 THEN 1 ELSE 3 END AS INT)
-             AS samples_per_pixel,
-           CAST(6 AS INT) AS n_ifd_entries
-    FROM documents WHERE doc_id < 300
-    """,
-)
-def multimodal_image_tiff_q(spark, sf_dir):
-    """REAL TIFF 6.0 IFD walk, value-oracled (the image-container
-    sibling of the MP4/WebM/FLAC rows — TIFF is the scan/geo/archive
-    master format a multimodal curation pass meets after JPEG/PNG):
-    spec-valid single-IFD skeletons are built executor-side
-    (llm/multimodal.encode_tiff) ALTERNATING byte order II/MM per doc,
-    then parse_tiff_metadata walks the header → magic-42 → tag-sorted
-    entry table back out: dimensions, BitsPerSample, Compression
-    (none/LZW/JPEG cycling), photometric, samples (single inline
-    BitsPerSample value — the equal-across-samples writer shorthand).
-    The endianness alternation is the test: one wrong byte-order read
-    breaks half the oracle rows.  Pixel strips (codec work) remain the
-    documented external seam.  Arrow-batched mapInPandas both ways;
-    the oracle recomputes every field arithmetically."""
-    import pandas as pd  # noqa: F811
-
-    from apache_nifi_spark.llm import decode_image_tiff_meta, encode_tiff
-
-    base = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 300)
-        .select("doc_id")
-    )
-
-    def synth(batches):
-        for pdf in batches:
-            contents = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                contents.append(
-                    encode_tiff(
-                        width=100 + d % 4000,
-                        height=80 + d % 2000,
-                        bits=8 * (1 + d % 2),
-                        compression=[1, 5, 7][d % 3],
-                        photometric=1 + d % 2,
-                        samples=1 if d % 2 == 0 else 3,
-                        big_endian=(d % 2 == 1),
-                    )
-                )
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": contents})
-
-    tiff = base.mapInPandas(synth, "doc_id long, content binary")
-    return decode_image_tiff_meta(tiff)
-
-@register(
-    "pii_l_diversity",
-    oracle="""
-    WITH j AS (
-      SELECT c.c_nationkey, c.c_mktsegment,
-             o.o_orderpriority AS sensitive
-      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-    ), sv AS (
-      SELECT c_nationkey, c_mktsegment, sensitive,
-             count(*) AS k
-      FROM j GROUP BY 1, 2, 3
-    ), terms AS (
-      SELECT c_nationkey, c_mktsegment, k,
-             CAST(k * ln(k) AS DECIMAL(28,9)) AS t
-      FROM sv
-    )
-    SELECT c_nationkey, c_mktsegment,
-           CAST(sum(k) AS BIGINT) AS class_size,
-           CAST(count(*) AS BIGINT) AS l_distinct,
-           round(ln(sum(k)) - CAST(sum(t) AS DOUBLE) / sum(k), 6)
-             AS sensitive_entropy,
-           count(*) < 3 AS at_risk
-    FROM terms GROUP BY 1, 2
-    """,
-)
-def pii_l_diversity_q(spark, sf_dir):
-    """l-diversity audit (Machanavajjhala 2007 — the release gate
-    k-anonymity misses: a k=1000 class whose SENSITIVE attribute is
-    constant still leaks it for every member): per quasi-identifier
-    class (nation × segment), the number of DISTINCT sensitive values
-    (order priority) and the Shannon entropy of their distribution —
-    distinct-l flags classes below l=3, entropy-l is the stricter
-    read-out.  Entropy uses the decimal-summed k·ln k pattern
-    (order-free sums, one float combination rounded 6 dp).  Two hash
-    aggregations, both map-side combinable; output is O(classes ×
-    values) then O(classes) — row-count independent, the 100 TB
-    privacy-audit shape next to [pii_k_anonymity]."""
-    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
-    c = _t(spark, sf_dir, "customer").select(
-        "c_custkey", "c_nationkey", "c_mktsegment"
-    )
-    sv = (
-        o.join(c, o["o_custkey"] == c["c_custkey"])
-        .groupBy(
-            "c_nationkey", "c_mktsegment",
-            F.col("o_orderpriority").alias("sensitive"),
-        )
-        .agg(F.count(F.lit(1)).alias("k"))
-    )
-    terms = sv.select(
-        "c_nationkey", "c_mktsegment", "k",
-        (F.col("k") * F.log(F.col("k"))).cast("decimal(28,9)").alias("t"),
-    )
-    return terms.groupBy("c_nationkey", "c_mktsegment").agg(
-        F.sum("k").cast("bigint").alias("class_size"),
-        F.count(F.lit(1)).cast("bigint").alias("l_distinct"),
-        F.round(
-            F.log(F.sum("k")) - F.sum("t").cast("double") / F.sum("k"), 6
-        ).alias("sensitive_entropy"),
-        (F.count(F.lit(1)) < 3).alias("at_risk"),
-    )
-
-@register(
-    "text_burstiness",
-    oracle=r"""
-    WITH tok AS (
-      SELECT doc_id,
-             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
-                                x -> x != '')) AS term
-      FROM documents
-    ), tc AS (
-      SELECT term, doc_id, CAST(count(*) AS BIGINT) AS c
-      FROM tok GROUP BY 1, 2
-    ), nd AS (
-      SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
-      FROM documents
-    ), s AS (
-      SELECT term,
-             CAST(count(*) AS BIGINT) AS df,
-             SUM(CAST(c AS HUGEINT)) AS sc,
-             SUM(CAST(c * c AS HUGEINT)) AS scc
-      FROM tc GROUP BY term
-    )
-    SELECT term, df, CAST(sc AS BIGINT) AS total_count,
-           round((CAST(scc AS DOUBLE) / n_docs
-                  - (CAST(sc AS DOUBLE) / n_docs)
-                    * (CAST(sc AS DOUBLE) / n_docs))
-                 / (CAST(sc AS DOUBLE) / n_docs), 6) AS dispersion,
-           round(CAST(sc AS DOUBLE) / df, 6) AS burstiness
-    FROM s, nd WHERE df >= 50
-    """,
-)
-def text_burstiness_q(spark, sf_dir):
-    """Term burstiness / index of dispersion (Church & Gale 1995 — the
-    content-vs-function-word signal a corpus pipeline reads before
-    keyword extraction or stopword induction): per term, the
-    variance-to-mean ratio of its per-document counts over ALL
-    documents (D = σ²/μ; ≈1 = Poisson scatter = function word, ≫1 =
-    bursty = topical content word) plus the classic per-occurrence
-    burstiness E[c | c>0] = Σc/df.  Zero-count documents never
-    materialize: with N total docs, μ = Σc/N and σ² = Σc²/N − μ² need
-    only the occurring-doc moments (integer-exact HUGEINT/decimal
-    sums) and the 1-row N broadcast.  Shape: token explode → (term,
-    doc) hash agg → term hash agg, all map-side combinable; df ≥ 50
-    bounds the report to the head vocabulary.  Floats are single
-    shared IEEE expressions, rounded 6 dp."""
-    from apache_nifi_spark.llm.text import _ws_tokens
-
-    d = _t(spark, sf_dir, "documents")
-    ndocs = d.agg(F.countDistinct("doc_id").alias("n_docs"))
-    tok = d.select(
-        "doc_id",
-        F.explode(_ws_tokens(F.lower(F.col("text")))).alias("term"),
-    )
-    tc = tok.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("c"))
-    s = (
-        tc.groupBy("term")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("df"),
-            F.sum(F.col("c").cast("decimal(38,0)")).alias("sc"),
-            F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)"))
-            .alias("scc"),
-        )
-        .filter(F.col("df") >= 50)
-    )
-    mu = F.col("sc").cast("double") / F.col("n_docs")
-    return s.join(F.broadcast(ndocs)).select(
-        "term", "df",
-        F.col("sc").cast("bigint").alias("total_count"),
-        F.round(
-            (F.col("scc").cast("double") / F.col("n_docs") - mu * mu) / mu,
-            6,
-        ).alias("dispersion"),
-        F.round(F.col("sc").cast("double") / F.col("df"), 6)
-        .alias("burstiness"),
-    )
-
-@register(
-    "stats_cohens_kappa",
-    oracle="""
-    WITH t AS (
-      SELECT doc_id, lang,
-             list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')) AS toks
-      FROM documents
-    ), s AS (
-      SELECT doc_id, lang,
-             length(list_intersect(toks, ['the','and','of','to','a','in','is','it','that','for'])) AS s_en,
-             length(list_intersect(toks, ['el','la','de','que','y','en','un','es','por','con'])) AS s_es,
-             length(list_intersect(toks, ['le','la','de','et','un','en','est','que','pour','dans'])) AS s_fr,
-             length(list_intersect(toks, ['der','die','das','und','in','von','zu','mit','ist','auf'])) AS s_de,
-             length(list_intersect(toks, ['的','了','是','在','我','有','和','就','不','人'])) AS s_zh
-      FROM t
-    ), p AS (
-      SELECT lang,
-             CASE WHEN greatest(s_en,s_es,s_fr,s_de,s_zh) = 0 THEN 'unknown'
-                  WHEN s_en = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'en'
-                  WHEN s_es = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'es'
-                  WHEN s_fr = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'fr'
-                  WHEN s_de = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'de'
-                  ELSE 'zh' END AS pred
-      FROM s
-    ), cells AS (
-      SELECT lang, pred, CAST(count(*) AS BIGINT) AS n
-      FROM p GROUP BY 1, 2
-    ), r AS (
-      SELECT lang AS label, sum(n) AS rn FROM cells GROUP BY 1
-    ), c AS (
-      SELECT pred AS label, sum(n) AS cn FROM cells GROUP BY 1
-    ), m AS (
-      SELECT CAST(sum(CAST(coalesce(rn, 0) AS HUGEINT)
-                       * coalesce(cn, 0)) AS HUGEINT) AS pe_num
-      FROM r FULL JOIN c USING (label)
-    ), agg AS (
-      SELECT CAST(sum(n) AS BIGINT) AS n_docs,
-             CAST(sum(n) FILTER (WHERE lang = pred) AS BIGINT) AS agree
-      FROM cells
-    )
-    SELECT n_docs, agree,
-           round(CAST(agree AS DOUBLE) / n_docs, 6) AS po,
-           round(CAST(pe_num AS DOUBLE)
-                 / (CAST(n_docs AS DOUBLE) * n_docs), 6) AS pe,
-           round((CAST(agree AS DOUBLE) / n_docs
-                  - CAST(pe_num AS DOUBLE)
-                    / (CAST(n_docs AS DOUBLE) * n_docs))
-                 / (1 - CAST(pe_num AS DOUBLE)
-                        / (CAST(n_docs AS DOUBLE) * n_docs)), 6) AS kappa
-    FROM agg, m
-    """,
-)
-def stats_cohens_kappa_q(spark, sf_dir):
-    """Cohen's κ inter-rater agreement between the DECLARED language
-    label and the stopword-argmax language-ID prediction (the
-    label-quality audit a curation pipeline runs on any
-    machine-labeled column: raw accuracy p₀ flatters imbalanced label
-    sets, κ subtracts the chance agreement p_e = Σ r_ℓ·c_ℓ/N²).
-    Shape: the language-ID scorer at row grain (map-only), ONE hash
-    agg to the ≤|labels|² confusion frame, then margins/diagonal on
-    control-plane-size frames (marginal products summed as
-    HUGEINT/decimal — order-free); κ is one shared IEEE expression
-    rounded 6 dp.  [text_language_id] reports the per-doc verdicts;
-    this row is its corpus-level scorecard."""
-    from apache_nifi_spark.llm import language_id
-
-    p = language_id(_t(spark, sf_dir, "documents")).select(
-        "lang", F.col("lang_pred").alias("pred")
-    )
-    cells = p.groupBy("lang", "pred").agg(F.count(F.lit(1)).alias("n"))
-    r = cells.groupBy(F.col("lang").alias("label")).agg(
-        F.sum("n").alias("rn")
-    )
-    c = cells.groupBy(F.col("pred").alias("label")).agg(
-        F.sum("n").alias("cn")
-    )
-    m = (
-        r.join(c, "label", "full")
-        .agg(
-            F.sum(
-                F.coalesce(F.col("rn"), F.lit(0)).cast("decimal(38,0)")
-                * F.coalesce(F.col("cn"), F.lit(0))
-            )
-            .cast("decimal(38,0)")
-            .alias("pe_num")
-        )
-    )
-    agg = cells.agg(
-        F.sum("n").cast("bigint").alias("n_docs"),
-        F.sum(F.when(F.col("lang") == F.col("pred"), F.col("n")).otherwise(0))
-        .cast("bigint")
-        .alias("agree"),
-    )
-    j = agg.join(F.broadcast(m))  # 1-row × 1-row: bounded by construction
-    nd = F.col("n_docs").cast("double")
-    po = F.col("agree").cast("double") / F.col("n_docs")
-    pe = F.col("pe_num").cast("double") / (nd * F.col("n_docs"))
-    return j.select(
-        "n_docs", "agree",
-        F.round(po, 6).alias("po"),
-        F.round(pe, 6).alias("pe"),
-        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
-    )
-
-@register(
-    "text_mattr_diversity",
-    oracle=r"""
-    WITH t AS (
-      SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '\s+'),
-                         x -> x != '') AS toks
-      FROM documents WHERE doc_id < 1500
-    ), w AS (
-      SELECT doc_id, len(toks) AS n_tokens,
-             greatest(len(toks) - 49, 1) AS n_windows,
-             CASE WHEN len(toks) = 0 THEN 0
-                  ELSE list_sum(list_transform(
-                    range(1, greatest(len(toks) - 49, 1) + 1),
-                    i -> len(list_distinct(
-                           list_slice(toks, i, i + least(49, len(toks) - 1))))))
-             END AS dsum
-      FROM t
-    )
-    SELECT doc_id,
-           CAST(n_tokens AS BIGINT) AS n_tokens,
-           CAST(n_windows AS BIGINT) AS n_windows,
-           CASE WHEN n_tokens = 0 THEN NULL
-                ELSE round(CAST(dsum AS DOUBLE)
-                           / (least(50, n_tokens) * n_windows), 6)
-           END AS mattr
-    FROM w
-    """,
-)
-def text_mattr_diversity_q(spark, sf_dir):
-    """MATTR lexical diversity (Covington & McFall 2010 — the
-    length-robust type-token ratio; plain TTR decays with document
-    length, so corpus quality gates use the moving-average variant):
-    per document, the mean distinct-token ratio over all 50-token
-    sliding windows (documents shorter than the window fall back to
-    one whole-document window — the standard rule).  The windowed
-    distinct counts are INTEGERS, so the mean is Σdistinctᵢ/(w·n_win)
-    with an exact integer numerator — no order-dependent float sum —
-    and one final division rounded 6 dp.  Pure array algebra
-    (sequence→slice→array_distinct), map-only, no shuffle, no UDF;
-    per-doc cost is O(tokens·w), independent of corpus size."""
-    from apache_nifi_spark.llm.text import _ws_tokens
-
-    d = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 1500)
-        .select(
-            "doc_id", _ws_tokens(F.lower(F.col("text"))).alias("toks")
-        )
-    )
-    n = F.size("toks")
-    n_win = F.greatest(n - 49, F.lit(1))
-    wlen = F.least(F.lit(50), n)
-    dsum = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(1), n_win),
-            lambda i: F.size(
-                F.array_distinct(F.slice(F.col("toks"), i, 50))
-            ),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    return d.select(
-        "doc_id",
-        n.cast("bigint").alias("n_tokens"),
-        n_win.cast("bigint").alias("n_windows"),
-        F.when(n == 0, F.lit(None).cast("double")).otherwise(
-            F.round(dsum.cast("double") / (wlen * n_win), 6)
-        ).alias("mattr"),
-    )
-
-@register(
-    "graph_link_prediction",
-    oracle="""
-    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents),
-    ids AS (SELECT doc_id AS i FROM documents),
-    raw AS (
-      SELECT i AS ea, (i + 1) % nn AS eb FROM ids, n
-      UNION ALL SELECT i, (i + 2) % nn FROM ids, n
-      UNION ALL SELECT i, (i * 7 + 3) % nn FROM ids, n
-    ),
-    e0 AS (
-      SELECT DISTINCT least(ea, eb) AS ea, greatest(ea, eb) AS eb
-      FROM raw WHERE ea <> eb
-    ),
-    adj AS (
-      SELECT ea AS node, eb AS nbr FROM e0
-      UNION ALL SELECT eb, ea FROM e0
-    ),
-    deg AS (
-      SELECT node, CAST(COUNT(*) AS BIGINT) AS dg FROM adj GROUP BY 1
-    ),
-    wedges AS (
-      SELECT a1.node AS u, a2.node AS v, a1.nbr AS z, dz.dg AS zdg
-      FROM adj a1
-      JOIN adj a2 ON a1.nbr = a2.nbr AND a1.node < a2.node
-      JOIN deg dz ON dz.node = a1.nbr
-    ),
-    cand AS (
-      SELECT u, v,
-             CAST(count(*) AS BIGINT) AS common_neighbors,
-             sum(CAST(1.0 / ln(zdg) AS DECIMAL(28,9))) AS aa
-      FROM wedges GROUP BY 1, 2
-      HAVING count(*) >= 2
-    ),
-    ne AS (
-      SELECT cand.* FROM cand
-      LEFT JOIN e0 ON e0.ea = cand.u AND e0.eb = cand.v
-      WHERE e0.ea IS NULL
-    )
-    SELECT u, v, common_neighbors,
-           round(CAST(common_neighbors AS DOUBLE)
-                 / (du.dg + dv.dg - common_neighbors), 6) AS jaccard,
-           round(CAST(aa AS DOUBLE), 6) AS adamic_adar
-    FROM ne
-    JOIN deg du ON du.node = ne.u
-    JOIN deg dv ON dv.node = ne.v
-    """,
-)
-def graph_link_prediction_q(spark, sf_dir):
-    """Link prediction over the deterministic document graph (§2.12
-    graph tier, beside pagerank and triangles — the "which duplicate
-    cluster / citation edge appears next" primitive): common-neighbor,
-    Jaccard, and Adamic–Adar scores for every NON-edge with ≥2 shared
-    neighbors, via one wedge self-join on the shared neighbor (fan-out
-    Σ deg(z)² — linear on this constant-degree graph, √m-bounded after
-    orientation on power-law ones), an anti join against the edge
-    list, and two degree joins.  Adamic–Adar terms decimal-cast once
-    (order-free sum); everything else integer-exact.
-    llm/graph.link_prediction_scores."""
-    from apache_nifi_spark.llm.graph import link_prediction_scores
-
-    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("i"))
-    nn = ids.count()  # control-plane: 1 int, the node count
-    edges = (
-        ids.select(
-            F.col("i").alias("src"), ((F.col("i") + 1) % nn).alias("dst")
-        )
-        .unionAll(
-            ids.select(
-                F.col("i").alias("src"), ((F.col("i") + 2) % nn).alias("dst")
-            )
-        )
-        .unionAll(
-            ids.select(
-                F.col("i").alias("src"),
-                ((F.col("i") * 7 + 3) % nn).alias("dst"),
-            )
-        )
-    )
-    return link_prediction_scores(edges)
-
-@register(
-    "stats_mcnemar_test",
-    oracle="""
-    WITH t AS (
-      SELECT doc_id, lang,
-             list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')) AS toks
-      FROM documents
-    ), s AS (
-      SELECT doc_id, lang,
-             length(list_intersect(toks, ['the','and','of','to','a','in','is','it','that','for'])) AS s_en,
-             length(list_intersect(toks, ['el','la','de','que','y','en','un','es','por','con'])) AS s_es,
-             length(list_intersect(toks, ['le','la','de','et','un','en','est','que','pour','dans'])) AS s_fr,
-             length(list_intersect(toks, ['der','die','das','und','in','von','zu','mit','ist','auf'])) AS s_de,
-             length(list_intersect(toks, ['的','了','是','在','我','有','和','就','不','人'])) AS s_zh
-      FROM t
-    ), p AS (
-      SELECT (lang = 'en') AS rater_a,
-             (greatest(s_en,s_es,s_fr,s_de,s_zh) > 0
-              AND s_en = greatest(s_en,s_es,s_fr,s_de,s_zh)) AS rater_b
-      FROM s
-    )
-    SELECT CAST(count(*) AS BIGINT) AS n,
-           CAST(count(*) FILTER (WHERE rater_a AND NOT rater_b) AS BIGINT)
-             AS b,
-           CAST(count(*) FILTER (WHERE NOT rater_a AND rater_b) AS BIGINT)
-             AS c,
-           round(pow(CAST(count(*) FILTER (WHERE rater_a AND NOT rater_b)
-                          AS DOUBLE)
-                     - count(*) FILTER (WHERE NOT rater_a AND rater_b), 2)
-                 / (count(*) FILTER (WHERE rater_a AND NOT rater_b)
-                    + count(*) FILTER (WHERE NOT rater_a AND rater_b)),
-                 6) AS chi2
-    FROM p
-    """,
-)
-def stats_mcnemar_test_q(spark, sf_dir):
-    """McNemar's paired test on the binary "is it English?" question —
-    declared label vs the language-ID argmax as the two paired raters
-    (the A/B-labeler comparison run on the SAME documents, where the
-    unpaired χ² would be wrong): only the DISCORDANT counts matter,
-    χ² = (b−c)²/(b+c).  Counts are exact integers from one map-side-
-    combinable agg over a map-only scorer pass; the statistic is one
-    shared IEEE expression rounded 6 dp.  The paired complement of
-    [stats_cohens_kappa]'s agreement scorecard."""
-    from apache_nifi_spark.llm import language_id
-
-    p = language_id(_t(spark, sf_dir, "documents")).select(
-        (F.col("lang") == "en").alias("ra"),
-        (F.col("lang_pred") == "en").alias("rb"),
-    )
-    b = F.sum(F.when(F.col("ra") & ~F.col("rb"), 1).otherwise(0))
-    c = F.sum(F.when(~F.col("ra") & F.col("rb"), 1).otherwise(0))
-    return p.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        b.cast("bigint").alias("b"),
-        c.cast("bigint").alias("c"),
-        F.round(
-            F.pow(b.cast("double") - c, F.lit(2)) / (b + c), 6
-        ).alias("chi2"),
-    )

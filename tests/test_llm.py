@@ -2400,7 +2400,7 @@ def test_consistent_hash_ring_minimal_disruption(spark):
 
     from pyspark.sql import functions as F
 
-    from apache_nifi_spark.registry_llm import _ketama_ring, _ring_assign
+    from apache_nifi_spark.registry_stats import _ketama_ring, _ring_assign
 
     r4 = _ketama_ring(["n0", "n1", "n2", "n3"])
     r5 = _ketama_ring(["n0", "n1", "n2", "n3", "n4"])

@@ -372,9 +372,9 @@ def test_no_broadcast_hint_on_corpus_cardinality_frames():
         # autocorrelation: 4-row literal lag table
         ("registry_analytics.py", "lags"): "4-row literal lag table",
         # burstiness: 1-row corpus doc-count aggregate
-        ("registry_llm.py", "ndocs"): "1-row corpus doc count",
+        ("registry_stats.py", "ndocs"): "1-row corpus doc count",
         # Cohen's kappa: 1-row chance-agreement numerator
-        ("registry_llm.py", "m"): "1-row chance-agreement numerator",
+        ("registry_stats.py", "m"): "1-row chance-agreement numerator",
     }
     pkg_root = pathlib.Path(apache_nifi_spark.__file__).parent
     offenders = []
@@ -484,3 +484,66 @@ def test_exact_median_twopass_has_no_global_sort_or_percentile(spark, sf_dir):
     for line in plan.splitlines():
         if "Sort [" in line:
             assert "_pid" in line or "_v" in line, line
+
+
+def test_no_global_window_on_data_grain_frames():
+    """Static audit, PACKAGE-WIDE (round-14 verdict item 3, the
+    regression guard for the RFM rework): a ``Window.orderBy`` with no
+    ``partitionBy`` moves its ENTIRE input to one task — fine on a
+    control-plane-bounded frame (a ≤64-row bucket-offset table, an
+    m-row p-value step-up, a top-N-capped slice), a straggler-and-spill
+    defect on a data-grain frame (the pre-r15 RFM ran three of them
+    over ALL customers).  Every global ``Window.orderBy(...)`` anywhere
+    in ``apache_nifi_spark/`` must appear in the allowlist below WITH a
+    boundedness justification — that review is the point of the gate.
+    Data-grain ranking must go through the two-level bucket prefix sum
+    (``_cbefore_map`` / ``_ntile_bucketed``) instead."""
+    import ast
+    import pathlib
+
+    import apache_nifi_spark
+
+    # keyed by (relative file, orderBy-args source text)
+    allowed = {
+        # two-level prefix sums: the bucket-subtotal table is <=64 rows
+        # (fixed range-bucket count) regardless of data size
+        ("registry_analytics.py", '"__bkt"'): "<=64-row bucket offsets",
+        ("registry_analytics.py", '"bkt"'): "<=64-row bucket offsets",
+        # Benjamini-Hochberg step-up: m = #groups (control-plane)
+        ("registry_analytics.py", '"p_value", "grp"'):
+            "m-row per-group p-value frame",
+        # Zipf fit: rank over the top-N capped slice (N fixed)
+        ("llm/text.py", '_F.col("freq").desc(), "token"'):
+            "top-N capped frequency slice",
+        # histogram-quantile sketch: fixed-bin cumulative table
+        ("llm/sketch.py", '"_b"'): "fixed histogram-bin table",
+        ("llm/sketch.py", "F.lit(1)"): "fixed histogram-bin table total",
+    }
+    pkg_root = pathlib.Path(apache_nifi_spark.__file__).parent
+    offenders = []
+    for path in sorted(pkg_root.rglob("*.py")):
+        rel = str(path.relative_to(pkg_root))
+        src = path.read_text()
+        if "Window.orderBy(" not in src:
+            continue
+        tree = ast.parse(src)
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "orderBy"
+                and isinstance(node.func.value, ast.Name)
+                and node.func.value.id == "Window"
+            ):
+                args_src = ", ".join(
+                    ast.get_source_segment(src, a) for a in node.args
+                )
+                if (rel, args_src) not in allowed:
+                    offenders.append(
+                        f"{rel}:{node.lineno} Window.orderBy({args_src})"
+                    )
+    assert not offenders, (
+        "global (non-partitioned) Window.orderBy on a frame not in the "
+        "bounded-grain allowlist (add with a justification only if its "
+        f"cardinality is truly control-plane-bounded): {offenders}"
+    )

@@ -313,7 +313,7 @@ def test_theil_decomposition_identity(spark):
 def test_cohens_kappa_hand_computed(spark):
     """κ against the textbook formula on a constructed 4-doc corpus
     with a known confusion matrix (patching the llm satellite's _t)."""
-    import apache_nifi_spark.registry_llm as rl
+    import apache_nifi_spark.registry_stats as rl
 
     docs = spark.createDataFrame(
         [
@@ -356,3 +356,26 @@ def test_levene_hand_computed(spark):
     want = (ssb / (k - 1)) / (ssw / (n - k))
     assert row["k"] == 2 and row["n"] == 8
     assert row["w_stat"] == pytest.approx(want, rel=1e-5)
+
+
+def test_ntile_bucketed_matches_native_ntile(spark):
+    """_ntile_bucketed (the RFM no-global-sort quartiler) must be
+    bit-identical to F.ntile under the same (metric, key) total order,
+    on sizes exercising both remainder branches (n%4==0 and n%4!=0)
+    and heavy ties."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from apache_nifi_spark.registry_analytics import _ntile_bucketed
+
+    for n in (7, 16, 101, 1000):
+        df = spark.range(n).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 13).cast("double").alias("v"),  # heavy ties
+        )
+        want = df.select(
+            "k", F.ntile(4).over(Window.orderBy("v", "k")).alias("q")
+        )
+        got = _ntile_bucketed(df, "v", "k", F.col("v"), "q").select("k", "q")
+        diff = got.join(want, "k").filter(got["q"] != want["q"]).count()
+        assert diff == 0, f"n={n}: {diff} rows disagree with native ntile"
