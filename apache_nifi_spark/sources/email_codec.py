@@ -25,12 +25,19 @@ __all__ = ["parse_email_headers", "extract_email_attachments"]
 
 
 def parse_email_headers(
-    df: DataFrame, content_col: str = "message", id_col: str | None = None
+    df: DataFrame,
+    content_col: str = "message",
+    id_col: str | None = None,
+    envelope: bool = False,
 ) -> DataFrame:
     """ExtractEmailHeaders: (id?, from_addr, to_addr, subject, date_ts,
     body_text, n_attachments) per message.  ``date_ts`` is the Date
     header as a UTC-naive timestamp; ``body_text`` is the decoded
-    text/plain body (transfer encoding undone by the stdlib parser)."""
+    text/plain body (transfer encoding undone by the stdlib parser).
+    ``envelope=True`` additionally surfaces the ``X-Envelope-From`` /
+    ``X-Envelope-To`` headers a ListenSMTP landing writes — parsed in
+    the SAME pass so the SMTP read-back needs no second content scan
+    or self-join."""
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -38,6 +45,8 @@ def parse_email_headers(
                 "from_addr": [], "to_addr": [], "subject": [],
                 "date_ts": [], "body_text": [], "n_attachments": [],
             }
+            if envelope:
+                out["env_from"], out["env_to"] = [], []
             if id_col is not None:
                 out[id_col] = list(pdf[id_col])
             for raw in pdf[content_col]:
@@ -47,6 +56,9 @@ def parse_email_headers(
                 out["from_addr"].append(msg.get("From"))
                 out["to_addr"].append(msg.get("To"))
                 out["subject"].append(msg.get("Subject"))
+                if envelope:
+                    out["env_from"].append(msg.get("X-Envelope-From"))
+                    out["env_to"].append(msg.get("X-Envelope-To"))
                 d = msg.get("Date")
                 ts = None
                 if d:
@@ -78,15 +90,17 @@ def parse_email_headers(
             cols = ([id_col] if id_col is not None else []) + [
                 "from_addr", "to_addr", "subject", "date_ts", "body_text",
                 "n_attachments",
-            ]
+            ] + (["env_from", "env_to"] if envelope else [])
             yield pd.DataFrame({c: out[c] for c in cols})
 
     prefix = f"{id_col} bigint, " if id_col is not None else ""
+    suffix = ", env_from string, env_to string" if envelope else ""
     return df.mapInPandas(
         parse,
         prefix
         + "from_addr string, to_addr string, subject string,"
-        " date_ts timestamp_ntz, body_text string, n_attachments int",
+        " date_ts timestamp_ntz, body_text string, n_attachments int"
+        + suffix,
     )
 
 
