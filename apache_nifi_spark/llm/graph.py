@@ -174,6 +174,7 @@ def link_prediction_scores(
     src_col: str = "src",
     dst_col: str = "dst",
     min_common: int = 2,
+    max_degree: int = 10_000,
 ) -> DataFrame:
     """Neighborhood link-prediction scores (Liben-Nowell & Kleinberg
     2003) for NON-edges: common-neighbor count, Jaccard
@@ -181,11 +182,24 @@ def link_prediction_scores(
     neighbors z — the classic "which edge appears next" features.
 
     Shape: canonical-undirected dedup, adjacency both directions, ONE
-    wedge self-join on the shared neighbor (u<v halves the pairs; the
-    wedge fan-out is Σ deg(z)², bounded on constant/√-degree graphs),
-    a hash agg to candidate-pair grain, an ANTI join dropping existing
-    edges, and two degree joins for the Jaccard denominator.  Every
-    common neighbor has deg ≥ 2 by construction, so 1/ln(deg) is
+    wedge self-join on the shared neighbor (u<v halves the pairs), a
+    hash agg to candidate-pair grain, an ANTI join dropping existing
+    edges, and two degree joins for the Jaccard denominator.
+
+    Degree cap (round-14 verdict item 8): the raw wedge fan-out is
+    Σ_z deg(z)² — quadratic on a power-law hub.  Wedges only form
+    through shared neighbors with deg(z) ≤ ``max_degree``, so the
+    fan-out is bounded by D·Σdeg(z) = 2·D·|E| — LINEAR in edges for
+    fixed D.  This is also the standard semantic choice: a
+    10 000-neighbor hub certifies almost nothing about its leaf pairs
+    (Adamic–Adar already discounts it as 1/ln deg), and scoring the
+    ~10⁸ pairs under one hub is list-completion, not prediction.
+    Pairs whose ONLY common neighbors are above-cap hubs are absent
+    from the output; set ``max_degree`` past the graph's max degree
+    for exhaustive semantics (the fixture oracle runs far below the
+    default cap, so its result is exact).
+
+    Every common neighbor has deg ≥ 2 by construction, so 1/ln(deg) is
     finite; each Adamic–Adar term is ONE shared IEEE expression cast
     to DECIMAL(28,9) once (order-free sum — the repo's float
     discipline).  All other quantities integer-exact.
@@ -207,7 +221,9 @@ def link_prediction_scores(
     zdeg = adj.join(
         deg.select(F.col("n").alias("nbr"), F.col("dg").alias("zdg")), "nbr"
     )
-    w1 = zdeg.select(
+    # hub cap: the inner join on z means filtering ONE side excludes
+    # the hub's wedges entirely (w2 needs no degree column)
+    w1 = zdeg.filter(F.col("zdg") <= max_degree).select(
         F.col("nbr").alias("z"), F.col("n").alias("u"), F.col("zdg")
     )
     w2 = adj.select(F.col("nbr").alias("z"), F.col("n").alias("v"))

@@ -2425,3 +2425,32 @@ def test_consistent_hash_ring_minimal_disruption(spark):
     for r in out[:200]:
         assert ref(r4, r["k"]) == r["n4"]
         assert ref(r5, r["k"]) == r["n5"]
+
+
+def test_link_prediction_degree_cap_bounds_hub_wedges(spark):
+    """A shared neighbor above max_degree must form NO wedges (the
+    Σdeg(z)² hub blowup guard): on a 60-leaf star + one triangle-free
+    square, leaf pairs (common neighbor = the hub only) vanish under a
+    cap below the hub degree and reappear above it."""
+    from apache_nifi_spark.llm.graph import link_prediction_scores
+
+    hub_edges = [(0, i) for i in range(1, 61)]          # hub deg 60
+    square = [(100, 101), (101, 102), (102, 103), (103, 100)]
+    e = spark.createDataFrame(hub_edges + square, "src long, dst long")
+
+    capped = link_prediction_scores(e, min_common=1, max_degree=50)
+    rows = {(r["u"], r["v"]) for r in capped.collect()}
+    assert all(u >= 100 for u, _ in rows), (
+        "leaf pairs scored through the above-cap hub: "
+        f"{sorted(rows)[:5]}"
+    )
+    # square diagonals (two deg-2 common neighbors) survive the cap
+    assert (100, 102) in rows and (101, 103) in rows
+
+    uncapped = link_prediction_scores(e, min_common=1, max_degree=60)
+    n_leaf_pairs = sum(
+        1 for u, v in (
+            (r["u"], r["v"]) for r in uncapped.collect()
+        ) if v < 100
+    )
+    assert n_leaf_pairs == 60 * 59 // 2

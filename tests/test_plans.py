@@ -369,6 +369,8 @@ def test_no_broadcast_hint_on_corpus_cardinality_frames():
         ("registry_analytics.py", "off"): "fixed 64-bucket offset table",
         # Kruskal-Wallis: 1-row n/ties totals aggregate
         ("registry_analytics.py", "tot"): "1-row n/ties totals aggregate",
+        # Gini/Pareto two-level scale path: per-segment min/max/totals
+        ("registry_analytics.py", "seg"): "|segments|-row min/max/totals",
         # autocorrelation: 4-row literal lag table
         ("registry_analytics.py", "lags"): "4-row literal lag table",
         # burstiness: 1-row corpus doc-count aggregate

@@ -379,3 +379,70 @@ def test_ntile_bucketed_matches_native_ntile(spark):
         got = _ntile_bucketed(df, "v", "k", F.col("v"), "q").select("k", "q")
         diff = got.join(want, "k").filter(got["q"] != want["q"]).count()
         assert diff == 0, f"n={n}: {diff} rows disagree with native ntile"
+
+
+def test_gini_pareto_two_level_matches_window_path(spark):
+    """The Gini/Pareto scale path (_segment_ranked_two_level) must be
+    bit-identical to the measured-faster window path on both sort
+    directions, and the size switch must route each query correctly on
+    both sides of the threshold."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    import apache_nifi_spark.registry_analytics as ra
+
+    rows = [
+        (f"SEG{j % 3}", i * 3 + j, float((i * 7 + j * 11) % 400) / 4)
+        for i in range(200)
+        for j in range(3)
+    ]
+    r = spark.createDataFrame(
+        rows, "segment string, o_custkey long, rev double"
+    ).select(
+        "segment", "o_custkey",
+        F.col("rev").cast("decimal(30,6)").alias("revenue"),
+    )
+    for desc in (False, True):
+        order = (
+            [F.col("revenue").desc(), "o_custkey"]
+            if desc
+            else ["revenue", "o_custkey"]
+        )
+        w = Window.partitionBy("segment").orderBy(*order)
+        want = r.select(
+            "segment", "o_custkey", F.row_number().over(w).alias("i"),
+            F.sum("revenue")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("decimal(38,6)")
+            .alias("cum_rev"),
+        )
+        got = ra._segment_ranked_two_level(r, desc=desc, want_cum=True)
+        joined = got.alias("g").join(
+            want.alias("w"), ["segment", "o_custkey"]
+        )
+        bad = joined.filter(
+            (F.col("g.i") != F.col("w.i"))
+            | (F.col("g.cum_rev") != F.col("w.cum_rev"))
+        ).count()
+        assert bad == 0, f"desc={desc}: {bad} rows diverge from window path"
+
+    # switch routing: big threshold -> window path; tiny -> two-level
+    sf = "/root/testdata/sf0.001"
+    ra._CUST_COUNT_CACHE.clear()
+    assert ra._segment_sort_is_safe(spark, sf) is True
+    assert ra._segment_sort_is_safe(spark, sf, threshold=10) is False
+    # both queries stay value-identical when forced onto the scale path
+    orig = ra._SEG_SORT_THRESHOLD
+    try:
+        small_g = ra.QUERIES["stats_gini_concentration"](spark, sf).collect()
+        small_p = ra.QUERIES["stats_pareto_8020"](spark, sf).collect()
+        ra._SEG_SORT_THRESHOLD = 10
+        ra._CUST_COUNT_CACHE.clear()
+        # re-point the module-level safety check at the tiny threshold
+        big_g = ra.QUERIES["stats_gini_concentration"](spark, sf).collect()
+        big_p = ra.QUERIES["stats_pareto_8020"](spark, sf).collect()
+    finally:
+        ra._SEG_SORT_THRESHOLD = orig
+        ra._CUST_COUNT_CACHE.clear()
+    assert sorted(map(tuple, small_g)) == sorted(map(tuple, big_g))
+    assert sorted(map(tuple, small_p)) == sorted(map(tuple, big_p))
