@@ -1232,3 +1232,93 @@ def iceberg_partition_evolution_q(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         _dsum(F.col("l_quantity"), "total_qty"),
     )
+
+
+_ICEBERG_EQDEL_STAGE: dict[str, str] = {}
+
+
+def _staged_iceberg_eqdel(spark, sf_dir):
+    """Iceberg v2 table with EQUALITY DELETES (what a Flink CDC writer
+    emits): commit 1 (seq 1) lands documents [0,300), commit 2 (seq 2)
+    lands [300,400), commit 3 (seq 3) writes ONE equality-delete file
+    on (lang) for 'de' and 'fr' PLUS position deletes marking every
+    doc_id % 11 == 5 ordinal of the first file, and commit 4 (seq 4)
+    lands [400,500) — which the seq-3 equality delete must NOT touch
+    (strictly-lower applicability), even though those rows include the
+    deleted languages."""
+    if sf_dir in _ICEBERG_EQDEL_STAGE:
+        return _ICEBERG_EQDEL_STAGE[sf_dir]
+    import glob
+    import tempfile
+
+    from apache_nifi_spark.sources.iceberg import iceberg_commit
+
+    root = tempfile.mkdtemp(prefix="anspark_iceeqdel_")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    paths = {}
+    for k, (lo, hi) in enumerate([(0, 300), (300, 400), (400, 500)]):
+        (
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .coalesce(1)
+            .sortWithinPartitions("doc_id")  # ordinal = doc_id - lo
+            .write.mode("overwrite")
+            .parquet(f"{root}/f{k}")
+        )
+        paths[k] = glob.glob(f"{root}/f{k}/part-*.parquet")[0]
+
+    def add(k, n):
+        return [{
+            "file_path": paths[k], "partition": f"p{k}",
+            "record_count": n,
+            "file_size_in_bytes": os.path.getsize(paths[k]),
+        }]
+
+    iceberg_commit(root, 701, added=add(0, 300))
+    iceberg_commit(root, 702, added=add(1, 100))
+    iceberg_commit(
+        root, 703, added=[],
+        position_deletes={paths[0]: list(range(5, 300, 11))},
+        equality_deletes=(["lang"], [("de",), ("fr",)]),
+    )
+    iceberg_commit(root, 704, added=add(2, 100))
+    _ICEBERG_EQDEL_STAGE[sf_dir] = root
+    return root
+
+
+@register(
+    "iceberg_equality_delete_read",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    WHERE (doc_id < 400
+           AND lang NOT IN ('de', 'fr')
+           AND NOT (doc_id < 300 AND doc_id % 11 = 5))
+       OR (doc_id >= 400 AND doc_id < 500)
+    GROUP BY lang
+    """,
+)
+def iceberg_equality_delete_q(spark, sf_dir):
+    """Snapshot read through SPEC-V2 EQUALITY DELETES (content=2 — the
+    merge-on-read path Flink CDC writers emit; completes the row-level
+    DML triptych next to [iceberg_position_delete_read] and
+    [delta_deletion_vector_read]): the staged delete commit (seq 3)
+    kills every 'de'/'fr' row in the seq-1/seq-2 data files AND
+    position-drops doc_id % 11 == 5 ordinals of the first file, in the
+    spec's order (positions first, then equality).  The seq-4 data file
+    lands AFTER the delete and keeps its 'de'/'fr' rows — the
+    strictly-lower sequence rule, which is what makes CDC upsert
+    streams (delete-then-reinsert) read correctly.  Equality with the
+    arithmetic complement proves commit → manifest → delete-file →
+    match-drop is lossless across delete kinds.
+    sources/iceberg.py ``iceberg_commit(equality_deletes=…)`` /
+    ``read_iceberg_snapshot``."""
+    from apache_nifi_spark.sources.iceberg import read_iceberg_snapshot
+
+    root = _staged_iceberg_eqdel(spark, sf_dir)
+    snap = read_iceberg_snapshot(spark, root)
+    return snap.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )

@@ -92,8 +92,12 @@ MANIFEST_ENTRY_SCHEMA = {
                     {"name": "partition", "type": "string"},
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
-                    # spec v2: 0 = DATA, 1 = POSITION_DELETES
+                    # spec v2: 0 = DATA, 1 = POSITION_DELETES,
+                    # 2 = EQUALITY_DELETES
                     {"name": "content", "type": "int"},
+                    # spec v2 data sequence number (assigned at commit;
+                    # the delete-applicability ordering key)
+                    {"name": "sequence_number", "type": "long"},
                 ],
             },
         },
@@ -102,7 +106,7 @@ MANIFEST_ENTRY_SCHEMA = {
 
 _STATUS_EXISTING, _STATUS_ADDED, _STATUS_DELETED = 0, 1, 2
 #: spec v2 content ids (data_file.content / manifest_file.content)
-_CONTENT_DATA, _CONTENT_POSITION_DELETES = 0, 1
+_CONTENT_DATA, _CONTENT_POSITION_DELETES, _CONTENT_EQUALITY_DELETES = 0, 1, 2
 
 
 def _meta_dir(table_path: str) -> str:
@@ -132,6 +136,7 @@ def iceberg_commit(
     schema: list[tuple[str, str]] | None = None,
     max_entries_per_manifest: int | None = None,
     position_deletes: dict[str, list[int]] | None = None,
+    equality_deletes: tuple[list[str], list[tuple]] | None = None,
 ) -> int:
     """Commit one snapshot: carry forward the previous snapshot's live
     files (rewritten as EXISTING entries, minus ``deleted`` paths which
@@ -156,7 +161,24 @@ def iceberg_commit(
     entries): a partition with more entries splits into multiple
     manifests, each with its own manifest-list row and partition
     summary, so at 100 TB scale manifest decode stays bounded per task
-    and the list itself is the only O(manifests) read."""
+    and the list itself is the only O(manifests) read.
+
+    SEQUENCE NUMBERS (spec v2): every file written by a commit gets the
+    commit's sequence number (here: the new metadata version — strictly
+    increasing); carried-forward EXISTING entries keep theirs.  The
+    reader applies position deletes to data files with
+    ``data_seq <= delete_seq`` and equality deletes STRICTLY
+    ``data_seq < delete_seq`` — rows added after an equality delete are
+    never affected by it, per the spec's ordering rules.
+
+    ``equality_deletes`` = (equality column names, rows as tuples):
+    writes a spec v2 EQUALITY-DELETE parquet (content=2) of exactly
+    those columns; a data row is deleted when its values match ANY
+    delete row on the delete file's columns.  Simplification: the
+    spec's ``equality_ids`` field-id list is carried by the delete
+    parquet's own column names rather than a manifest field (the
+    reader maps names, not ids — same semantics for tables whose
+    schema evolution never renames equality columns)."""
     deleted = deleted or []
     meta_dir = _meta_dir(table_path)
     hint = os.path.join(meta_dir, "version-hint.text")
@@ -200,9 +222,11 @@ def iceberg_commit(
     # (spec §Partition Evolution: a file's spec never changes after
     # write — rewritten EXISTING entries keep theirs; new adds get the
     # table's current default spec)
+    seq = version + 1  # this commit's data sequence number
     entries: list[tuple[int, int, dict, int]] = []
     for r in prev_live:
         r["data_file"].setdefault("content", _CONTENT_DATA)
+        r["data_file"].setdefault("sequence_number", 0)
         status = (
             _STATUS_DELETED
             if r["data_file"]["file_path"] in deleted
@@ -225,6 +249,7 @@ def iceberg_commit(
                         df_info.get("file_size_in_bytes", 0)
                     ),
                     "content": int(df_info.get("content", _CONTENT_DATA)),
+                    "sequence_number": seq,
                 },
                 default_spec_id,
             )
@@ -263,6 +288,42 @@ def iceberg_commit(
                     "record_count": len(pairs),
                     "file_size_in_bytes": os.path.getsize(dpath),
                     "content": _CONTENT_POSITION_DELETES,
+                    "sequence_number": seq,
+                },
+                default_spec_id,
+            )
+        )
+    if equality_deletes:
+        # spec v2 equality-delete FILE: parquet of the equality columns
+        # only; a data row matches when its values equal ANY delete row
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        eq_cols, eq_rows = equality_deletes
+        ddir = os.path.join(table_path, "deletes")
+        os.makedirs(ddir, exist_ok=True)
+        dpath = os.path.join(ddir, f"eqdelete-{snapshot_id}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    c: pa.array([r[i] for r in eq_rows])
+                    for i, c in enumerate(eq_cols)
+                }
+            ),
+            dpath,
+        )
+        entries.append(
+            (
+                _STATUS_ADDED,
+                snapshot_id,
+                {
+                    "file_path": dpath,
+                    "file_format": "PARQUET",
+                    "partition": "",
+                    "record_count": len(eq_rows),
+                    "file_size_in_bytes": os.path.getsize(dpath),
+                    "content": _CONTENT_EQUALITY_DELETES,
+                    "sequence_number": seq,
                 },
                 default_spec_id,
             )
@@ -625,7 +686,7 @@ def iceberg_active_files(
         return spark.createDataFrame(
             [],
             "file_path string, partition string, record_count long,"
-            " file_size_in_bytes long",
+            " file_size_in_bytes long, sequence_number long",
         )
     blobs = (
         spark.read.format("binaryFile").load(paths)
@@ -640,7 +701,7 @@ def iceberg_active_files(
 
         for pdf in batches:
             cols = {"file_path": [], "partition": [], "record_count": [],
-                    "file_size_in_bytes": []}
+                    "file_size_in_bytes": [], "sequence_number": []}
             for mpath, blob in zip(pdf["path"], pdf["content"]):
                 _schema, rows = decode_container(bytes(blob))
                 prunable = os.path.basename(str(mpath)) in cur_spec_names
@@ -664,12 +725,15 @@ def iceberg_active_files(
                     cols["file_size_in_bytes"].append(
                         int(data_file["file_size_in_bytes"])
                     )
+                    cols["sequence_number"].append(
+                        int(data_file.get("sequence_number", 0))
+                    )
             yield pd.DataFrame(cols)
 
     return blobs.mapInPandas(
         dec,
         "file_path string, partition string, record_count long,"
-        " file_size_in_bytes long",
+        " file_size_in_bytes long, sequence_number long",
     )
 
 
@@ -688,34 +752,47 @@ def read_iceberg_snapshot(
     columns absent from an older data file read as null) — Spark's
     explicit read schema gives exactly that null-fill semantics.
 
-    SPEC V2 POSITION DELETES: when the snapshot carries delete
-    manifests (``content=1``), every data file routes through a
-    per-file task that reads the delete files' rows for ITS path
-    (pyarrow predicate pushdown on the spec's sorted ``file_path``
-    column) and drops the marked row ordinals — merge-on-read, no data
-    rewrite.  Simplification vs the full spec: deletes apply to every
-    matching path regardless of sequence number (this writer never
-    re-adds a path after deleting against it)."""
-    files = [
-        r["file_path"]
-        for r in iceberg_active_files(
-            spark, table_path, snapshot_id, partition
-        )
-        .collect()  # control-plane: O(active files) manifest rows
-    ]
+    SPEC V2 ROW-LEVEL DELETES (merge-on-read, no data rewrite): when
+    the snapshot carries delete manifests, every data file routes
+    through a per-file task that applies, in the spec's order:
+
+    - POSITION DELETES (``content=1``, ``data_seq <= delete_seq``):
+      read the delete files' rows for THIS path (pyarrow predicate
+      pushdown on the spec's sorted ``file_path`` column), drop the
+      marked row ordinals;
+    - EQUALITY DELETES (``content=2``, STRICTLY
+      ``data_seq < delete_seq``): drop surviving rows whose values
+      match any delete row on the delete file's columns — rows added
+      at or after the delete's sequence number are never affected.
+
+    Equality-delete files are read whole per task (they are
+    metadata-scale: a CDC writer emits keys, not data)."""
+    dfiles = iceberg_active_files(
+        spark, table_path, snapshot_id, partition
+    ).collect()  # control-plane: O(active files) manifest rows
+    files = [r["file_path"] for r in dfiles]
+    fseq = {r["file_path"]: r["sequence_number"] for r in dfiles}
     if not files:
         raise ValueError("empty iceberg snapshot")
-    delete_files = [
-        r["file_path"]
+    pos_deletes = [
+        (r["file_path"], r["sequence_number"])
         for r in iceberg_active_files(
             spark, table_path, snapshot_id,
             content=_CONTENT_POSITION_DELETES,
         )
         .collect()  # control-plane: O(delete files) manifest rows
     ]
+    eq_deletes = [
+        (r["file_path"], r["sequence_number"])
+        for r in iceberg_active_files(
+            spark, table_path, snapshot_id,
+            content=_CONTENT_EQUALITY_DELETES,
+        )
+        .collect()  # control-plane: O(delete files) manifest rows
+    ]
     ddl = _current_spark_schema(_load_metadata(table_path))
     reader = spark.read.schema(ddl) if ddl else spark.read
-    if not delete_files:
+    if not pos_deletes and not eq_deletes:
         return reader.parquet(*files)
     schema = reader.parquet(files[0]).schema  # footer-only
     names = schema.fieldNames()
@@ -724,9 +801,11 @@ def read_iceberg_snapshot(
         import pyarrow.parquet as _pq
 
         for pdf in batches:
-            for path in pdf["path"]:
+            for path, seq in zip(pdf["path"], pdf["seq"]):
                 dels = set()
-                for dfp in delete_files:
+                for dfp, dseq in pos_deletes:
+                    if dseq < seq:
+                        continue  # delete predates this data file
                     t = _pq.read_table(
                         dfp, filters=[("file_path", "==", path)]
                     )
@@ -734,13 +813,26 @@ def read_iceberg_snapshot(
                 t = _pq.read_table(path)
                 keep = [i for i in range(t.num_rows) if i not in dels]
                 out = t.take(keep).to_pandas()
+                for dfp, dseq in eq_deletes:
+                    if dseq <= seq:
+                        continue  # strict: applies to OLDER data only
+                    dt = _pq.read_table(dfp)
+                    eq_cols = dt.column_names
+                    dset = set(
+                        zip(*(dt.column(c).to_pylist() for c in eq_cols))
+                    )
+                    if dset and all(c in out.columns for c in eq_cols):
+                        mask = out[list(eq_cols)].apply(
+                            tuple, axis=1
+                        ).isin(dset)
+                        out = out[~mask]
                 for n in names:
                     if n not in out.columns:
                         out[n] = None  # evolution null-fill
                 yield out[names]
 
     flist = spark.createDataFrame(
-        [(f,) for f in files], "path string"
+        [(f, int(fseq[f])) for f in files], "path string, seq long"
     ).repartition(len(files))
     return flist.mapInPandas(strip, schema)
 

@@ -1067,3 +1067,64 @@ def _manifest_has(path, file_path):
     except Exception:
         return False
     return any(r[2]["file_path"] == file_path for r in rows)
+
+def test_iceberg_equality_deletes_merge_on_read(spark, tmp_path):
+    """Spec v2 equality deletes (content=2): a delete file's rows kill
+    matching rows in STRICTLY-OLDER data files only; position deletes
+    apply first; expiring unrelated snapshots keeps the delete file
+    alive; a missing delete file is a loud error, not silent
+    resurrection."""
+    import glob
+    import os
+
+    from apache_nifi_spark.sources.iceberg import (
+        iceberg_commit,
+        iceberg_expire_snapshots,
+        read_iceberg_snapshot,
+    )
+
+    root = str(tmp_path / "tbl")
+    paths = {}
+    for k in (0, 1):
+        spark.range(k * 100, k * 100 + 100).select(
+            F.col("id"), (F.col("id") % 5).cast("string").alias("grp")
+        ).coalesce(1).sortWithinPartitions("id").write.parquet(f"{root}/f{k}")
+        paths[k] = glob.glob(f"{root}/f{k}/part-*.parquet")[0]
+
+    def add(k):
+        return [{"file_path": paths[k], "partition": f"p{k}",
+                 "record_count": 100,
+                 "file_size_in_bytes": os.path.getsize(paths[k])}]
+
+    iceberg_commit(root, 801, added=add(0))              # seq 1
+    mtime = os.path.getmtime(paths[0])
+    iceberg_commit(root, 802, added=[],                  # seq 2
+                   position_deletes={paths[0]: [0]},     # drops id 0
+                   equality_deletes=(["grp"], [("3",)]))
+    iceberg_commit(root, 803, added=add(1))              # seq 3: AFTER
+    rows = {r["id"] for r in read_iceberg_snapshot(spark, root).collect()}
+    # file 0 (seq 1 < 2): loses id 0 (position) and grp '3' (equality);
+    # file 1 (seq 3 > 2): keeps ALL rows including grp '3'
+    want = {i for i in range(1, 100) if i % 5 != 3} | set(range(100, 200))
+    assert rows == want
+    assert os.path.getmtime(paths[0]) == mtime  # no data rewrite
+    # time travel to the delete snapshot: only file 0, deletes applied
+    assert {r["id"] for r in
+            read_iceberg_snapshot(spark, root, 802).collect()} == {
+        i for i in range(1, 100) if i % 5 != 3}
+    # expiring the UNRELATED pre-delete snapshot keeps the delete file
+    eq_file = glob.glob(f"{root}/deletes/eqdelete-*.parquet")
+    assert len(eq_file) == 1
+    iceberg_expire_snapshots(root, keep_ids=[802, 803])
+    assert os.path.exists(eq_file[0])
+    assert {r["id"] for r in
+            read_iceberg_snapshot(spark, root).collect()} == want
+    # corruption: a vanished delete file must raise, not resurrect rows
+    os.remove(eq_file[0])
+    try:
+        read_iceberg_snapshot(spark, root).collect()
+        raise AssertionError("missing equality-delete file went unnoticed")
+    except Exception as exc:  # noqa: BLE001 — Spark wraps the IOError
+        assert "eqdelete" in str(exc) or "FileNotFound" in str(
+            type(exc).__name__
+        ) or "No such file" in str(exc)
