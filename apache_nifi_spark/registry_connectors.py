@@ -1322,3 +1322,150 @@ def iceberg_equality_delete_q(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("doc_id").cast("long").alias("id_sum"),
     )
+
+
+_DELTA_MAINT_STAGE: dict[str, str] = {}
+_DELTA_VACUUM_STAGE: dict[str, str] = {}
+
+
+def _staged_delta_maint(spark, sf_dir):
+    """Delta table needing maintenance: four SMALL files of documents
+    [0,400) across two commits, a DV delete marking doc_id % 9 == 4
+    ordinals of the second file (v2), then OPTIMIZE (v3) compacting all
+    four into ONE file with dataChange=false — materializing the DV in
+    the rewrite.  The four small files stay on disk (time travel to
+    v0–v2 must still work) until :func:`_staged_delta_vacuumed` runs
+    retention over them."""
+    if sf_dir in _DELTA_MAINT_STAGE:
+        return _DELTA_MAINT_STAGE[sf_dir]
+    import glob
+    import tempfile
+
+    from apache_nifi_spark.sources.deltalog import (
+        delta_delete_rows,
+        delta_optimize,
+        read_delta_snapshot,
+        write_commit,
+    )
+
+    root = tempfile.mkdtemp(prefix="anspark_deltamaint_")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    rel = {}
+    for k in range(4):
+        (
+            docs.filter(
+                (F.col("doc_id") >= k * 100) & (F.col("doc_id") < k * 100 + 100)
+            )
+            .coalesce(1)
+            .sortWithinPartitions("doc_id")  # ordinal = doc_id - k*100
+            .write.mode("overwrite")
+            .parquet(f"{root}/f{k}")
+        )
+        part = glob.glob(f"{root}/f{k}/part-*.parquet")[0]
+        rel[k] = os.path.relpath(part, root)
+
+    def add(k):
+        return {"add": {"path": rel[k], "size": os.path.getsize(
+            os.path.join(root, rel[k])), "dataChange": True}}
+
+    write_commit(root, 0, [{"metaData": {"id": "anspark-maint"}},
+                           add(0), add(1)])
+    write_commit(root, 1, [add(2), add(3)])
+    delta_delete_rows(
+        spark, root, {rel[1]: [d - 100 for d in range(103, 200) if d % 9 == 4]}
+    )
+    v = delta_optimize(spark, root)
+    assert v == 3
+    # pre-OPTIMIZE time travel still resolves the small files
+    assert read_delta_snapshot(spark, root, 1).count() == 400
+    _DELTA_MAINT_STAGE[sf_dir] = root
+    return root
+
+
+def _staged_delta_vacuumed(spark, sf_dir):
+    """VACUUM over the maintenance fixture with the retention cutoff at
+    the OPTIMIZE version: the four compacted small files become
+    unreferenced by every retained snapshot and are physically deleted;
+    the compacted file survives; time travel below the cutoff now fails
+    loudly (the documented trade-off)."""
+    if sf_dir in _DELTA_VACUUM_STAGE:
+        return _DELTA_VACUUM_STAGE[sf_dir]
+    from apache_nifi_spark.sources.deltalog import (
+        delta_vacuum,
+        read_delta_snapshot,
+    )
+
+    root = _staged_delta_maint(spark, sf_dir)
+    doomed = delta_vacuum(spark, root, retain_from_version=3)
+    assert len(doomed) == 4 and all(d.startswith("f") for d in doomed), doomed
+    try:
+        read_delta_snapshot(spark, root, 1).count()
+        raise AssertionError("time travel below the VACUUM cutoff succeeded")
+    except Exception:  # noqa: BLE001 — Spark wraps the missing-file error
+        pass
+    _DELTA_VACUUM_STAGE[sf_dir] = root
+    return root
+
+
+@register(
+    "delta_optimize_compacted_read",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    WHERE doc_id < 400
+      AND NOT (doc_id >= 100 AND doc_id < 200 AND doc_id % 9 = 4)
+    GROUP BY lang
+    """,
+)
+def delta_optimize_compacted_q(spark, sf_dir):
+    """Snapshot read after OPTIMIZE (small-file compaction — the
+    nightly operational commit every real lakehouse runs; pairs with
+    [delta_vacuum_survivor_read]): four small files + one
+    deletion-vector delete compact into ONE dataChange=false file, the
+    DV materializing in the rewrite.  Equality with the arithmetic
+    complement proves the compaction moved bytes, not rows — and the
+    staging asserts time travel BELOW the OPTIMIZE version still reads
+    the original small files (physical deletion is VACUUM's job, not
+    OPTIMIZE's).  sources/deltalog.py ``delta_optimize``."""
+    from apache_nifi_spark.sources.deltalog import read_delta_snapshot
+
+    root = _staged_delta_maint(spark, sf_dir)
+    snap = read_delta_snapshot(spark, root)
+    return snap.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
+@register(
+    "delta_vacuum_survivor_read",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    WHERE doc_id < 400
+      AND NOT (doc_id >= 100 AND doc_id < 200 AND doc_id % 9 = 4)
+    GROUP BY lang
+    """,
+)
+def delta_vacuum_survivor_q(spark, sf_dir):
+    """Snapshot read after VACUUM (retention-checked physical deletion
+    — OPTIMIZE's operational pair): the four pre-compaction small
+    files are provably unreferenced by every retained version
+    (replayed per version before deletion, asserted in staging) and
+    removed from storage; the retained snapshot reads byte-identically
+    through the surviving compacted file, while time travel below the
+    cutoff fails loudly (asserted).  Equality with the same arithmetic
+    complement as the OPTIMIZE read proves VACUUM deleted only
+    unreachable bytes.  sources/deltalog.py ``delta_vacuum``."""
+    from apache_nifi_spark.sources.deltalog import read_delta_snapshot
+
+    root = _staged_delta_vacuumed(spark, sf_dir)
+    snap = read_delta_snapshot(spark, root)
+    return snap.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )

@@ -37,6 +37,8 @@ __all__ = [
     "delta_active_files",
     "read_delta_snapshot",
     "delta_delete_rows",
+    "delta_optimize",
+    "delta_vacuum",
 ]
 
 
@@ -353,3 +355,141 @@ def delta_delete_rows(
         )
     write_commit(table_path, next_v, actions)
     return next_v
+
+def delta_optimize(
+    spark: SparkSession,
+    table_path: str,
+    small_file_threshold: int = 1 << 30,
+    target_files: int = 1,
+) -> int:
+    """OPTIMIZE (bin-packing compaction — the operational half every
+    real lakehouse runs nightly; delta.io PROTOCOL.md requires only
+    that the commit's net content is unchanged): rewrite the active
+    files smaller than ``small_file_threshold`` into ``target_files``
+    compacted parquet files and commit ``remove`` actions for every
+    input plus ``add`` actions for the outputs with
+    ``dataChange=false`` — the spec's marker that the commit moved
+    bytes, not rows, which is what lets a streaming reader skip it.
+
+    Files carrying a deletion vector are compacted THROUGH the DV
+    (deleted ordinals drop during the rewrite and the compacted add
+    carries no DV) — OPTIMIZE is the spec's DV-materialization point.
+    Time travel below the returned version still resolves the old
+    files: OPTIMIZE removes them from the LATEST snapshot only;
+    physical deletion is VACUUM's job (:func:`delta_vacuum`).
+
+    Scale shape: the rewrite is one distributed parquet scan+write of
+    the selected files (the snapshot reader's own machinery applies
+    the DVs); only the O(selected files) action list touches the
+    driver.  Returns the OPTIMIZE commit's version."""
+    active = delta_active_files(spark, table_path).collect()
+    inputs = [r for r in active if r["size"] < small_file_threshold]
+    if len(inputs) <= target_files:
+        raise ValueError("nothing to compact below the threshold")
+    log_dir = os.path.join(table_path, "_delta_log")
+    next_v = 1 + max(
+        int(f[:-5]) for f in os.listdir(log_dir) if f.endswith(".json")
+    )
+    plain = [
+        os.path.join(table_path, r["path"]) for r in inputs if not r["dv"]
+    ]
+    parts = []
+    if plain:
+        parts.append(spark.read.parquet(*plain))
+    dv_rows = [
+        (os.path.join(table_path, r["path"]), r["dv"])
+        for r in inputs
+        if r["dv"]
+    ]
+    if dv_rows:
+        schema = spark.read.parquet(dv_rows[0][0]).schema  # footer-only
+        names = schema.fieldNames()
+
+        def strip(batches):
+            import json as _json
+
+            import pyarrow.parquet as _pq
+
+            from apache_nifi_spark.sources.dv import read_inline_dv
+
+            for pdf in batches:
+                for path, dvj in zip(pdf["path"], pdf["dv"]):
+                    dels = read_inline_dv(_json.loads(dvj))
+                    t = _pq.read_table(path)
+                    keep = [i for i in range(t.num_rows) if i not in dels]
+                    yield t.take(keep).to_pandas()[names]
+
+        flist = spark.createDataFrame(
+            dv_rows, "path string, dv string"
+        ).repartition(len(dv_rows))
+        parts.append(flist.mapInPandas(strip, schema))
+    rows = parts[0]
+    for p in parts[1:]:
+        rows = rows.unionByName(p)
+    outdir = os.path.join(table_path, f"optimized-{next_v:020d}")
+    rows.coalesce(target_files).write.parquet(outdir)
+    actions = [
+        {"remove": {"path": r["path"], "dataChange": False}}
+        for r in inputs
+    ]
+    for fn in sorted(os.listdir(outdir)):
+        if not fn.endswith(".parquet"):
+            continue
+        rel = os.path.join(os.path.basename(outdir), fn)
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "size": os.path.getsize(os.path.join(outdir, fn)),
+                    "dataChange": False,
+                }
+            }
+        )
+    write_commit(table_path, next_v, actions)
+    return next_v
+
+
+def delta_vacuum(
+    spark: SparkSession, table_path: str, retain_from_version: int
+) -> list[str]:
+    """VACUUM (retention-checked physical deletion — OPTIMIZE's
+    operational pair): delete every data file that NO retained version
+    (``>= retain_from_version``, up to the latest) references, i.e.
+    files reachable only through time travel below the retention
+    cutoff.  The spec expresses retention in tombstone age
+    (``deletedFileRetentionDuration``); versions are this module's
+    deterministic equivalent (fixtures pin no wall clock).
+
+    Proof obligation honored here: a file is deleted ONLY when absent
+    from every retained snapshot's active set — computed by replaying
+    each retained version (O(retained × files) manifest-scale work,
+    no data reads).  Time travel at or above the cutoff is untouched;
+    below it, reads fail loudly on the missing files (the documented
+    VACUUM trade-off).  Returns the deleted paths (relative)."""
+    log_dir = os.path.join(table_path, "_delta_log")
+    versions = sorted(
+        int(f[:-5]) for f in os.listdir(log_dir) if f.endswith(".json")
+    )
+    if retain_from_version > versions[-1]:
+        raise ValueError("retention cutoff beyond the latest version")
+    referenced: set[str] = set()
+    for v in [v for v in versions if v >= retain_from_version]:
+        referenced |= {
+            r["path"]
+            for r in delta_active_files(spark, table_path, v).collect()
+        }
+    # every path the log EVER added (any version) is a candidate
+    ever = {
+        r["path"]
+        for r in _tail_actions(
+            spark, log_dir, [f"{v:020d}.json" for v in versions]
+        )
+        .filter("_is_add")
+        .collect()
+    }
+    doomed = sorted(ever - referenced)
+    for rel in doomed:
+        p = os.path.join(table_path, rel)
+        if os.path.exists(p):
+            os.remove(p)
+    return doomed

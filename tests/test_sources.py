@@ -1128,3 +1128,56 @@ def test_iceberg_equality_deletes_merge_on_read(spark, tmp_path):
         assert "eqdelete" in str(exc) or "FileNotFound" in str(
             type(exc).__name__
         ) or "No such file" in str(exc)
+
+def test_delta_optimize_vacuum_lifecycle(spark, tmp_path):
+    """OPTIMIZE: compaction commit removes the small files and adds one
+    dataChange=false file whose rows are byte-identical (DV
+    materialized in the rewrite); time travel below it still works.
+    VACUUM: deletes exactly the files unreferenced by every retained
+    version; the compacted file and the log survive."""
+    import glob
+    import json
+    import os
+
+    from apache_nifi_spark.sources.deltalog import (
+        delta_active_files,
+        delta_delete_rows,
+        delta_optimize,
+        delta_vacuum,
+        read_delta_snapshot,
+        write_commit,
+    )
+
+    root = str(tmp_path / "tbl")
+    rel = {}
+    for k in (0, 1, 2):
+        spark.range(k * 50, k * 50 + 50).coalesce(1)\
+            .sortWithinPartitions("id").write.parquet(f"{root}/f{k}")
+        p = glob.glob(f"{root}/f{k}/part-*.parquet")[0]
+        rel[k] = os.path.relpath(p, root)
+    write_commit(root, 0, [
+        {"add": {"path": rel[k], "size": os.path.getsize(
+            os.path.join(root, rel[k]))}} for k in (0, 1, 2)])
+    delta_delete_rows(spark, root, {rel[1]: [0, 1]})  # drops ids 50,51
+    v = delta_optimize(spark, root)
+    assert v == 2
+    # one active file, no DV, rows identical minus the DV'd ordinals
+    active = delta_active_files(spark, root).collect()
+    assert len(active) == 1 and active[0]["dv"] is None
+    ids = sorted(r["id"] for r in read_delta_snapshot(spark, root).collect())
+    assert ids == sorted(set(range(150)) - {50, 51})
+    # the OPTIMIZE commit is dataChange=false on every action
+    acts = [json.loads(ln) for ln in open(
+        f"{root}/_delta_log/{2:020d}.json")]
+    assert acts and all(
+        not (a.get("add") or a.get("remove"))["dataChange"] for a in acts)
+    # pre-OPTIMIZE time travel still resolves the small files
+    assert read_delta_snapshot(spark, root, 0).count() == 150
+    # VACUUM at the OPTIMIZE cutoff deletes exactly the three inputs
+    doomed = delta_vacuum(spark, root, retain_from_version=2)
+    assert sorted(doomed) == sorted(rel.values())
+    for r in rel.values():
+        assert not os.path.exists(os.path.join(root, r))
+    assert sorted(
+        r["id"] for r in read_delta_snapshot(spark, root).collect()
+    ) == sorted(set(range(150)) - {50, 51})
