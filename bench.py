@@ -88,6 +88,25 @@ def run_bench(sf_dir: str) -> dict:
             "overwrite"
         ).format("noop").save()
 
+    # Flow-compile warm-up, billed to its own row (round-14 verdict
+    # item 1): the mega-flow query families share ONE flow
+    # compile+landing per (session, sf_dir) (_MEGA_CACHE/_MEGA2_CACHE)
+    # — without this, whichever family member runs FIRST absorbs that
+    # one-time cost inside its timed runs (mega2_lookup_xpath_xquery
+    # read 8.8-15.1 s in the r14 receipt vs 1.3 s warm).  The helpers
+    # compile the flow and write the landing dirs; the returned frames
+    # are not executed here, so per-query timings below measure plans,
+    # not authoring.
+    t0 = time.perf_counter()
+    try:
+        from apache_nifi_spark import registry_flows as _rf
+
+        _rf._mega(spark, sf_dir, "OrdersAgg.byStatus")
+        _rf._mega2(spark, sf_dir, "LookupAgg.agg")
+    except Exception:  # noqa: BLE001 — warm-up must never fail the run
+        pass
+    timings["flow_compile_amortized"] = round(time.perf_counter() - t0, 4)
+
     # Best-of-2 per query, mirroring the DuckDB baseline protocol
     # (BASELINE.md §B: duck timings are best-of-2 so the first run absorbs
     # file-cache warmup).  For Spark the first run additionally pays

@@ -510,6 +510,7 @@ def test_no_global_window_on_data_grain_frames():
         # two-level prefix sums: the bucket-subtotal table is <=64 rows
         # (fixed range-bucket count) regardless of data size
         ("registry_analytics.py", '"__bkt"'): "<=64-row bucket offsets",
+        ("registry_analytics.py", 'f"__bkt{i}"'): "<=64-row bucket offsets",
         ("registry_analytics.py", '"bkt"'): "<=64-row bucket offsets",
         # Benjamini-Hochberg step-up: m = #groups (control-plane)
         ("registry_analytics.py", '"p_value", "grp"'):
