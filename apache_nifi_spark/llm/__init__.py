@@ -116,7 +116,10 @@ from apache_nifi_spark.llm.multimodal import (  # noqa: F401
     encode_mp3_frames,
     parse_mpeg_audio,
     decode_audio_container_meta,
+    decode_image_png_meta,
+    encode_png,
     encode_tiff,
+    parse_png_metadata,
     parse_tiff_metadata,
     decode_image_tiff_meta,
 )

@@ -1776,3 +1776,122 @@ def decode_image_tiff_meta(
     return df.select(id_col, content_col).mapInPandas(
         decode, IMAGE_TIFF_META_SCHEMA
     )
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(
+    width: int,
+    height: int,
+    color_type: int = 0,
+    doc_seed: int = 0,
+    with_text: bool = False,
+) -> bytes:
+    """REAL PNG (ISO 15948 / RFC 2083): signature, IHDR, optional tEXt,
+    one zlib-compressed IDAT of filter-0 scanlines with a deterministic
+    pixel pattern, IEND — every chunk carrying its true CRC-32 over
+    type+data, 8-bit depth, no interlace."""
+    import zlib
+
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter type None per scanline
+        for x in range(width * channels):
+            raw.append((x * 3 + y * 7 + doc_seed) % 256)
+    out = [_PNG_SIG, chunk(b"IHDR", ihdr)]
+    if with_text:
+        out.append(chunk(b"tEXt", b"Software\x00apache_nifi_spark"))
+    out.append(chunk(b"IDAT", zlib.compress(bytes(raw), 6)))
+    out.append(chunk(b"IEND", b""))
+    return b"".join(out)
+
+
+def parse_png_metadata(payload: bytes):
+    """(width, height, bit_depth, color_type, interlace, n_chunks,
+    idat_raw_bytes) or None for non-PNG / CRC-corrupt / inflate-broken
+    payloads — a container whose checksums do not verify is treated as
+    undecodable, not best-effort."""
+    import zlib
+
+    if len(payload) < 8 + 25 or payload[:8] != _PNG_SIG:
+        return None
+    pos, n_chunks, idat = 8, 0, bytearray()
+    ihdr = None
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            return None
+        n_chunks += 1
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        pos += 12 + ln
+        if ctype == b"IEND":
+            break
+    if ihdr is None or pos > len(payload):
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    return (w, h, depth, color, interlace, n_chunks, len(raw))
+
+
+IMAGE_PNG_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("bit_depth", IntegerType()),
+        StructField("color_type", IntegerType()),
+        StructField("n_chunks", IntegerType()),
+        StructField("idat_raw_bytes", LongType()),
+    ]
+)
+
+
+def decode_image_png_meta(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """PNG container metadata over a binary column, Arrow-batched
+    (mapInPandas).  Non-PNG / checksum-broken rows are dropped."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in IMAGE_PNG_META_SCHEMA.fields}
+            for doc_id, payload in zip(pdf[id_col], pdf[content_col]):
+                meta = parse_png_metadata(
+                    bytes(payload) if payload is not None else b""
+                )
+                if meta is None:
+                    continue
+                w, h, depth, color, _inter, n, rawlen = meta
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["bit_depth"].append(depth)
+                out["color_type"].append(color)
+                out["n_chunks"].append(n)
+                out["idat_raw_bytes"].append(rawlen)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(
+        decode, IMAGE_PNG_META_SCHEMA
+    )

@@ -2504,3 +2504,576 @@ def stats_mcnemar_test_q(spark, sf_dir):
             F.pow(b.cast("double") - c, F.lit(2)) / (b + c), 6
         ).alias("chi2"),
     )
+
+
+# =====================================================================
+# Round 15: Welch's t, Jensen-Shannon drift, t-closeness, Kaplan-Meier,
+# rolling distinct actives, KMV theta intersection, PNG metadata
+# (§2.12 statistics/governance additions)
+# =====================================================================
+
+@register(
+    "stats_welch_ttest",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderstatus AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS DECIMAL(38,0)) AS s,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                      * CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS DECIMAL(38,0)) AS ss
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+      GROUP BY 1
+    ), w AS (
+      SELECT max(CASE WHEN grp = 'F' THEN n END) AS n1,
+             max(CASE WHEN grp = 'O' THEN n END) AS n2,
+             max(CASE WHEN grp = 'F' THEN CAST(s AS DOUBLE) END) AS s1,
+             max(CASE WHEN grp = 'O' THEN CAST(s AS DOUBLE) END) AS s2,
+             max(CASE WHEN grp = 'F' THEN CAST(ss AS DOUBLE) END) AS ss1,
+             max(CASE WHEN grp = 'O' THEN CAST(ss AS DOUBLE) END) AS ss2
+      FROM g
+    ), v AS (
+      SELECT n1, n2,
+             (s1 / n1) / 100.0 AS m1,
+             (s2 / n2) / 100.0 AS m2,
+             ((ss1 - s1 * s1 / n1) / (n1 - 1)) / 10000.0 AS v1,
+             ((ss2 - s2 * s2 / n2) / (n2 - 1)) / 10000.0 AS v2
+      FROM w
+    )
+    SELECT n1, n2,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+           round((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+                 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                    + (v2 / n2) * (v2 / n2) / (n2 - 1)), 4) AS df_welch
+    FROM v
+    """,
+)
+def stats_welch_ttest_q(spark, sf_dir):
+    """Welch's unequal-variance t-test (finished vs open orders' price
+    means — the mean-shift companion to [stats_ab_test_ztest]'s
+    proportion test and [stats_levene_test]'s variance test; Welch is
+    the default recommendation since variances are rarely equal):
+    moment sums in INTEGER CENTS (the round-14 scaled-int discipline —
+    floor(x·100+0.5) is one IEEE op both engines agree on, products as
+    long·long, Σ as DECIMAL(38,0) — addition-order independent), then
+    ONE shared float pipeline for the means/variances, the t statistic
+    and the Welch–Satterthwaite degrees of freedom.  Single
+    map-side-combinable agg to 2 rows; everything after is
+    control-plane arithmetic."""
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    g = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "O"))
+        .groupBy(F.col("o_orderstatus").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).cast("decimal(38,0)").alias("s"),
+            F.sum(cents * cents).cast("decimal(38,0)").alias("ss"),
+        )
+    )
+    pick = lambda grp, col: F.max(
+        F.when(F.col("grp") == grp, F.col(col))
+    )
+    w = g.agg(
+        pick("F", "n").alias("n1"),
+        pick("O", "n").alias("n2"),
+        pick("F", "s").cast("double").alias("s1"),
+        pick("O", "s").cast("double").alias("s2"),
+        pick("F", "ss").cast("double").alias("ss1"),
+        pick("O", "ss").cast("double").alias("ss2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    m1 = (F.col("s1") / n1) / 100.0
+    m2 = (F.col("s2") / n2) / 100.0
+    v1 = ((F.col("ss1") - F.col("s1") * F.col("s1") / n1) / (n1 - 1)) / 1e4
+    v2 = ((F.col("ss2") - F.col("s2") * F.col("s2") / n2) / (n2 - 1)) / 1e4
+    se1, se2 = v1 / n1, v2 / n2
+    return w.select(
+        n1.cast("bigint").alias("n1"),
+        n2.cast("bigint").alias("n2"),
+        F.round((m1 - m2) / F.sqrt(se1 + se2), 6).alias("t_stat"),
+        F.round(
+            (se1 + se2) * (se1 + se2)
+            / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)),
+            4,
+        ).alias("df_welch"),
+    )
+
+
+@register(
+    "stats_jensen_shannon_drift",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(COUNT(*) FILTER (WHERE event_id % 2 = 0) AS BIGINT) AS a,
+             CAST(COUNT(*) FILTER (WHERE event_id % 2 = 1) AS BIGINT) AS b
+      FROM events GROUP BY 1
+    ), t AS (
+      SELECT event_type, a, b,
+             CAST(SUM(a) OVER () AS DOUBLE) AS ta,
+             CAST(SUM(b) OVER () AS DOUBLE) AS tb
+      FROM c
+    ), terms AS (
+      SELECT CAST(a AS DOUBLE) / ta AS p, CAST(b AS DOUBLE) / tb AS q
+      FROM t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
+           round(SUM(CASE WHEN p > 0
+                 THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0 END)
+               + SUM(CASE WHEN q > 0
+                 THEN 0.5 * q * ln(q / ((p + q) / 2)) ELSE 0 END), 6)
+             AS js_divergence
+    FROM terms
+    """,
+)
+def stats_jensen_shannon_drift_q(spark, sf_dir):
+    """Jensen–Shannon divergence between the even- and odd-half event-
+    type distributions (the SYMMETRIC, always-finite companion to
+    [corpus_drift_kl] — JS is what corpus monitors actually alert on,
+    because KL explodes on a vanished category and depends on argument
+    order): one map-side-combinable agg to category grain (event types
+    — control-plane), totals via a bounded window over that tiny
+    frame, then 0.5·KL(p‖m) + 0.5·KL(q‖m) with m the midpoint mixture,
+    zero-probability terms dropped exactly as the limit prescribes.
+    Float ops (divide, ln) in ONE shared expression shape, rounded
+    6 dp.  At 100 TB the only data-grain stage is the first agg."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("event_id") % 2 == 0, 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("event_id") % 2 == 1, 1).otherwise(0)).alias("b"),
+    )
+    wall = Window.partitionBy()
+    t = c.select(
+        "a", "b",
+        F.sum("a").over(wall).cast("double").alias("ta"),
+        F.sum("b").over(wall).cast("double").alias("tb"),
+    )
+    p = F.col("a").cast("double") / F.col("ta")
+    q = F.col("b").cast("double") / F.col("tb")
+    m = (p + q) / 2
+    return t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+        F.round(
+            F.sum(F.when(p > 0, 0.5 * p * F.log(p / m)).otherwise(0.0))
+            + F.sum(F.when(q > 0, 0.5 * q * F.log(q / m)).otherwise(0.0)),
+            6,
+        ).alias("js_divergence"),
+    )
+
+
+@register(
+    "pii_t_closeness",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_nationkey, c.c_mktsegment,
+             o.o_orderpriority AS sensitive
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), sv AS (
+      SELECT c_nationkey, c_mktsegment, sensitive, count(*) AS k
+      FROM j GROUP BY 1, 2, 3
+    ), gv AS (
+      SELECT sensitive, CAST(sum(k) AS BIGINT) AS g,
+             CAST(SUM(SUM(k)) OVER () AS BIGINT) AS total
+      FROM sv GROUP BY 1
+    ), cls AS (
+      SELECT c_nationkey, c_mktsegment, CAST(sum(k) AS BIGINT) AS n_c
+      FROM sv GROUP BY 1, 2
+    ), terms AS (
+      SELECT s.c_nationkey, s.c_mktsegment, c.n_c,
+             CAST(abs(CAST(s.k AS DOUBLE) / c.n_c
+                      - CAST(g.g AS DOUBLE) / g.total)
+                  AS DECIMAL(28,9)) AS d,
+             CAST(CAST(g.g AS DOUBLE) / g.total AS DECIMAL(28,9)) AS q
+      FROM sv s
+      JOIN gv g ON s.sensitive = g.sensitive
+      JOIN cls c ON s.c_nationkey = c.c_nationkey
+               AND s.c_mktsegment = c.c_mktsegment
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(max(n_c) AS BIGINT) AS class_size,
+           round(0.5 * (CAST(sum(d) AS DOUBLE)
+                        + 1.0 - CAST(sum(q) AS DOUBLE)), 6) AS tvd,
+           round(0.5 * (CAST(sum(d) AS DOUBLE)
+                        + 1.0 - CAST(sum(q) AS DOUBLE)), 6) > 0.2
+             AS violates_t02
+    FROM terms GROUP BY 1, 2
+    """,
+)
+def pii_t_closeness_q(spark, sf_dir):
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007 — the third
+    release gate, completing [pii_k_anonymity] and [pii_l_diversity]:
+    a class can be k-large and l-diverse yet still SKEWED toward one
+    sensitive value; t-closeness bounds the distance between each
+    class's sensitive distribution and the GLOBAL one): per
+    quasi-identifier class, the total-variation distance
+    0.5·Σ_v|p_cv − q_v| with the categorical-EMD identity
+    Σ_v = Σ_present|p−q| + (1 − Σ_present q) so absent class-values
+    never materialize.  Per-term doubles pin to DECIMAL(28,9) before
+    summing (order-free — the l-diversity k·ln k pattern); one float
+    combination rounded 6 dp.  Shapes: two hash aggs + a 5-row value
+    join (AQE-broadcast, unhinted) — O(classes × values) throughout,
+    row-count independent."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    sv = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "c_nationkey", "c_mktsegment",
+            F.col("o_orderpriority").alias("sensitive"),
+        )
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    gv = sv.groupBy("sensitive").agg(F.sum("k").alias("g")).select(
+        "sensitive", "g",
+        F.sum("g").over(Window.partitionBy()).alias("total"),
+    )
+    cls = sv.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("k").alias("n_c")
+    )
+    p = F.col("k").cast("double") / F.col("n_c")
+    q = F.col("g").cast("double") / F.col("total")
+    terms = (
+        sv.join(gv, "sensitive")
+        .join(cls, ["c_nationkey", "c_mktsegment"])
+        .select(
+            "c_nationkey", "c_mktsegment", "n_c",
+            F.abs(p - q).cast("decimal(28,9)").alias("d"),
+            q.cast("decimal(28,9)").alias("q"),
+        )
+    )
+    tvd = F.round(
+        0.5 * (F.sum("d").cast("double") + 1.0 - F.sum("q").cast("double")),
+        6,
+    )
+    return terms.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.max("n_c").cast("bigint").alias("class_size"),
+        tvd.alias("tvd"),
+        (tvd > 0.2).alias("violates_t02"),
+    )
+
+
+@register(
+    "survival_kaplan_meier",
+    oracle="""
+    WITH cd AS (
+      SELECT DISTINCT o_custkey, o_orderdate FROM orders
+    ), mx AS (
+      SELECT max(o_orderdate) AS mxd FROM cd
+    ), gaps AS (
+      SELECT datediff('day', o_orderdate,
+                      coalesce(lead(o_orderdate) OVER (
+                          PARTITION BY o_custkey ORDER BY o_orderdate),
+                        (SELECT mxd FROM mx))) AS duration,
+             CASE WHEN lead(o_orderdate) OVER (
+                      PARTITION BY o_custkey ORDER BY o_orderdate)
+                  IS NULL THEN 0 ELSE 1 END AS event
+      FROM cd
+    ), g AS (
+      SELECT duration,
+             CAST(sum(event) AS BIGINT) AS d,
+             CAST(sum(1 - event) AS BIGINT) AS c
+      FROM gaps GROUP BY 1
+    ), r AS (
+      SELECT duration, d, c,
+             CAST(SUM(d + c) OVER () AS BIGINT)
+               - CAST(coalesce(SUM(d + c) OVER (
+                     ORDER BY duration
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS n_risk
+      FROM g
+    ), s AS (
+      SELECT duration, d, c, n_risk,
+             SUM(CASE WHEN d < n_risk
+                 THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                 ELSE 0 END) OVER (ORDER BY duration) AS lsum,
+             MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY duration) AS died_out
+      FROM r
+    )
+    SELECT duration AS duration_days, n_risk, d AS d_events,
+           c AS c_censored,
+           round(CASE WHEN died_out = 1 THEN 0.0 ELSE exp(lsum) END, 6)
+             AS survival
+    FROM s
+    """,
+)
+def survival_kaplan_meier_q(spark, sf_dir):
+    """Kaplan–Meier survival curve over customer reorder gaps (the
+    product-limit estimator, Kaplan & Meier 1958 — "how long until a
+    customer orders again", with the gap after each customer's LAST
+    order right-CENSORED at the table horizon; the same estimator a
+    data pipeline runs on document-refresh or session-return times):
+    per-customer gaps from a partitioned lead() window, value-grain
+    (day) event/censor counts, risk sets by reverse cumulative count,
+    and S(t) = Π(1 − dᵢ/nᵢ) as exp(Σ ln) under ONE day-grain cumulative
+    window — float ln/exp in identical expression shape both engines,
+    a died-out guard instead of ln(0) (Spark log(0) is NULL, DuckDB's
+    is −inf — the guard sidesteps the engine divergence), rounded
+    6 dp.  Scale: the only data-grain stages are the distinct and the
+    per-customer window (hash-partitioned by key); the KM table itself
+    is day-grain — bounded by the calendar, not the data."""
+    cd = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate"
+    ).distinct()
+    mx = cd.agg(F.max("o_orderdate").alias("mxd"))
+    wc = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    nxt = F.lead("o_orderdate").over(wc)
+    gaps = cd.join(F.broadcast(mx)).select(
+        F.datediff(F.coalesce(nxt, F.col("mxd")), F.col("o_orderdate"))
+        .alias("duration"),
+        F.when(nxt.isNull(), 0).otherwise(1).alias("event"),
+    )
+    g = gaps.groupBy("duration").agg(
+        F.sum("event").alias("d"),
+        F.sum(1 - F.col("event")).alias("c"),
+    )
+    # day-grain KM table: every window below is calendar-bounded
+    wall = Window.partitionBy()
+    wb = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r = g.select(
+        "duration", "d", "c",
+        (
+            F.sum(F.col("d") + F.col("c")).over(wall)
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(wb), F.lit(0)
+            )
+        ).alias("n_risk"),
+    )
+    wcum = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dd = F.col("d").cast("double")
+    s = r.select(
+        "duration", "d", "c", "n_risk",
+        F.sum(
+            F.when(
+                F.col("d") < F.col("n_risk"),
+                F.log(1.0 - dd / F.col("n_risk")),
+            ).otherwise(0.0)
+        ).over(wcum).alias("lsum"),
+        F.max(
+            F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+        ).over(wcum).alias("died_out"),
+    )
+    return s.select(
+        F.col("duration").cast("bigint").alias("duration_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("d_events"),
+        F.col("c").cast("bigint").alias("c_censored"),
+        F.round(
+            F.when(F.col("died_out") == 1, 0.0).otherwise(F.exp("lsum")), 6
+        ).alias("survival"),
+    )
+
+
+@register(
+    "events_rolling_wau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), days AS (
+      SELECT DISTINCT day FROM ud
+    )
+    SELECT CAST(d.day AS VARCHAR) AS day,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS active_7d
+    FROM days d
+    JOIN ud u
+      ON u.day <= d.day AND u.day >= d.day - INTERVAL 6 DAY
+    GROUP BY d.day
+    """,
+)
+def events_rolling_wau_q(spark, sf_dir):
+    """Rolling 7-day distinct active users per day (the WAU curve every
+    product dashboard carries — and the one rolling metric a plain
+    window CANNOT express, because COUNT(DISTINCT) over a moving frame
+    is not decomposable): user-day dedup first (the grain drop that
+    makes everything after cheap), then each user-day feeds the ≤7
+    calendar days it keeps active via a bounded range join against the
+    day spine, then one distinct-count per day.  Exact, not sketched —
+    the HLL-mergeable variant is [sketch_hyperloglog_dense]'s register
+    algebra.  Scale: fan-out is a constant 7; the join keys on day
+    (the spine side is calendar-bounded, AQE broadcasts it unhinted);
+    the final agg is day-grain."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = ud.select("day").distinct().withColumnRenamed("day", "d")
+    j = ud.join(
+        days,
+        (F.col("day") <= F.col("d"))
+        & (F.col("day") >= F.date_sub(F.col("d"), 6)),
+    )
+    return j.groupBy(F.col("d").cast("string").alias("day")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("active_7d")
+    )
+
+
+@register(
+    "sketch_theta_intersection",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+                  AS BIGINT) AS hv
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ), n AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd FROM h GROUP BY 1
+    ), keep AS (
+      SELECT h.event_type, h.hv,
+             row_number() OVER (PARTITION BY h.event_type
+                                ORDER BY h.hv) AS rk
+      FROM h JOIN n ON h.event_type = n.event_type
+      WHERE h.hv < CAST(ceil(CAST(1024.0 AS DOUBLE)
+                        * CAST(4503599627370496.0 AS DOUBLE) / n.nd)
+                        AS BIGINT)
+    ), sk AS (
+      SELECT event_type, hv FROM keep WHERE rk <= 256
+    ), theta AS (
+      SELECT CAST(least(
+               max(CASE WHEN event_type = 'view' THEN hv END),
+               max(CASE WHEN event_type = 'purchase' THEN hv END))
+             AS BIGINT) AS th
+      FROM sk
+    )
+    SELECT th AS theta,
+           CAST(COUNT(*) AS BIGINT) AS matched,
+           round(COUNT(*) * CAST(4503599627370496.0 AS DOUBLE) / th, 4)
+             AS est_intersection
+    FROM (SELECT a.hv, (SELECT th FROM theta) AS th
+          FROM (SELECT hv FROM sk WHERE event_type = 'view') a
+          JOIN (SELECT hv FROM sk WHERE event_type = 'purchase') b
+            ON a.hv = b.hv) m
+    WHERE hv < th
+    GROUP BY th
+    """,
+)
+def sketch_theta_intersection_q(spark, sf_dir):
+    """Theta-sketch SET INTERSECTION estimate (the KMV/theta algebra of
+    Dasgupta et al. / Apache DataSketches — the sketch family's set
+    OPERATIONS, which HLL cannot do: |view-users ∩ purchase-users|
+    from two 256-hash sketches, value-oracled because BOTH engines
+    build the identical md5-derived 52-bit hash space):
+
+    - per set, the 256 SMALLEST distinct hashes — found WITHOUT a
+      per-set global sort: the exact distinct count n bounds the k-th
+      smallest hash by τ = ⌈4k/n · 2⁵²⌉ w.h.p., so a pushdown filter
+      keeps ~4k rows per set and the rank window sorts only those
+      (the candidate-slice idiom from the exact-median two-pass);
+    - θ = min of the two sketches' max retained hash;
+    - estimate = |matching hashes < θ| · 2⁵² / θ.
+
+    Everything before the final division is exact integer algebra;
+    both engines compute the same sketch, same θ, same match set.
+    Scale: distinct + count per set (hash aggs), one bounded filter,
+    a ≤k×k equi-join on hash — the mergeable-sketch shape (per-shard
+    sketches union by keeping the k smallest of the union)."""
+    two = F.lit(4503599627370496.0)  # 2^52
+    h = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "event_type",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 13),
+                16, 10,
+            ).cast("bigint").alias("hv"),
+        )
+        .distinct()
+    )
+    n = h.groupBy("event_type").agg(F.count(F.lit(1)).alias("nd"))
+    tau = F.ceil(F.lit(1024.0) * two / F.col("nd")).cast("bigint")
+    keep = h.join(n, "event_type").filter(F.col("hv") < tau)
+    wk = Window.partitionBy("event_type").orderBy("hv")
+    sk = keep.select(
+        "event_type", "hv", F.row_number().over(wk).alias("rk")
+    ).filter(F.col("rk") <= 256)
+    theta = sk.groupBy().agg(
+        F.least(
+            F.max(F.when(F.col("event_type") == "view", F.col("hv"))),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("hv"))),
+        ).cast("bigint").alias("th")
+    )
+    a = sk.filter(F.col("event_type") == "view").select("hv")
+    b = sk.filter(F.col("event_type") == "purchase").select(
+        F.col("hv").alias("hvb")
+    )
+    m = a.join(b, a["hv"] == b["hvb"]).join(F.broadcast(theta)).filter(
+        F.col("hv") < F.col("th")
+    )
+    return m.groupBy("th").agg(
+        F.count(F.lit(1)).cast("bigint").alias("matched"),
+        F.round(F.count(F.lit(1)) * two / F.col("th"), 4)
+        .alias("est_intersection"),
+    ).select(
+        F.col("th").alias("theta"), "matched", "est_intersection"
+    )
+
+
+@register(
+    "multimodal_image_png_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + doc_id % 48 AS INT) AS width,
+           CAST(8 + doc_id % 24 AS INT) AS height,
+           CAST(8 AS INT) AS bit_depth,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 6 END
+                AS INT) AS color_type,
+           CAST(3 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INT)
+             AS n_chunks,
+           CAST((8 + doc_id % 24)
+                * (1 + (16 + doc_id % 48)
+                       * CASE doc_id % 3 WHEN 0 THEN 1
+                                         WHEN 1 THEN 3 ELSE 4 END)
+                AS BIGINT) AS idat_raw_bytes
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def multimodal_image_png_q(spark, sf_dir):
+    """REAL PNG chunk walk, value-oracled (ISO 15948 — the web's
+    lossless format, completing the image-container row next to TIFF/
+    JPEG/GIF): spec-valid PNGs are built executor-side
+    (llm/multimodal.encode_png — signature, IHDR, alternating tEXt,
+    one zlib IDAT of filter-0 scanlines, IEND, REAL CRC-32 on every
+    chunk), then parse_png_metadata walks the chunks back out,
+    VERIFIES every CRC, and inflates the IDAT stream — the oracle's
+    ``idat_raw_bytes`` is the decompressed scanline length
+    height·(1+width·channels), so a zlib-layer or filter-byte bug
+    breaks every row, not just a header field.  Grayscale/RGB/RGBA
+    cycle per doc (channel arithmetic is the per-row variance);
+    checksum-broken payloads drop as undecodable.  Arrow-batched
+    mapInPandas both ways; pixel SEMANTICS (beyond the deterministic
+    pattern) remain the documented learned-decode seam."""
+    import pandas as pd  # noqa: F811
+
+    from apache_nifi_spark.llm import decode_image_png_meta, encode_png
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            contents = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                contents.append(
+                    encode_png(
+                        width=16 + d % 48,
+                        height=8 + d % 24,
+                        color_type=[0, 2, 6][d % 3],
+                        doc_seed=d,
+                        with_text=(d % 2 == 0),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": contents})
+
+    png = base.mapInPandas(synth, "doc_id long, content binary")
+    return decode_image_png_meta(png)

@@ -2454,3 +2454,46 @@ def test_link_prediction_degree_cap_bounds_hub_wedges(spark):
         ) if v < 100
     )
     assert n_leaf_pairs == 60 * 59 // 2
+
+
+def test_png_codec_roundtrip_and_integrity():
+    """encode_png emits a spec-valid PNG (signature, IHDR fields, true
+    per-chunk CRC-32, inflatable IDAT of filter-0 scanlines); the
+    parser rejects CRC corruption and truncated streams rather than
+    best-effort decoding."""
+    import struct
+    import zlib
+
+    from apache_nifi_spark.llm import encode_png, parse_png_metadata
+
+    for color, ch in ((0, 1), (2, 3), (6, 4)):
+        b = encode_png(33, 9, color, doc_seed=5, with_text=(color == 2))
+        meta = parse_png_metadata(b)
+        assert meta == (33, 9, 8, color, 0, 3 + (color == 2), 9 * (1 + 33 * ch))
+        # stdlib-independent spot check of the IHDR bytes themselves
+        assert b[:8] == b"\x89PNG\r\n\x1a\n"
+        w, h = struct.unpack_from(">II", b, 16)
+        assert (w, h) == (33, 9)
+    # CRC corruption anywhere -> undecodable
+    b = bytearray(encode_png(20, 10, 2, doc_seed=1))
+    b[30] ^= 0x01
+    assert parse_png_metadata(bytes(b)) is None
+    # IDAT corruption that keeps the CRC valid is impossible without
+    # recomputing it; simulate a broken deflate stream WITH a fixed CRC
+    raw = encode_png(8, 4, 0)
+    idat_at = raw.index(b"IDAT") - 4
+    (ln,) = struct.unpack_from(">I", raw, idat_at)
+    body = bytearray(raw)
+    body[idat_at + 8] ^= 0xFF  # first deflate byte
+    crc = zlib.crc32(bytes(body[idat_at + 4 : idat_at + 8 + ln])) & 0xFFFFFFFF
+    struct.pack_into(">I", body, idat_at + 8 + ln, crc)
+    assert parse_png_metadata(bytes(body)) is None
+    # optional real-decoder interop when PIL is around
+    try:
+        import io as _io
+
+        from PIL import Image
+    except ImportError:
+        return
+    img = Image.open(_io.BytesIO(encode_png(21, 7, 2, doc_seed=3)))
+    assert img.size == (21, 7) and img.mode == "RGB"

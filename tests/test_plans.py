@@ -377,6 +377,8 @@ def test_no_broadcast_hint_on_corpus_cardinality_frames():
         ("registry_stats.py", "ndocs"): "1-row corpus doc count",
         # Cohen's kappa: 1-row chance-agreement numerator
         ("registry_stats.py", "m"): "1-row chance-agreement numerator",
+        # Kaplan-Meier: 1-row global max-date aggregate
+        ("registry_stats.py", "mx"): "1-row max-date aggregate",
     }
     pkg_root = pathlib.Path(apache_nifi_spark.__file__).parent
     offenders = []
@@ -520,6 +522,9 @@ def test_no_global_window_on_data_grain_frames():
             "top-N capped frequency slice",
         # histogram-quantile sketch: fixed-bin cumulative table
         ("llm/sketch.py", '"_b"'): "fixed histogram-bin table",
+        # Kaplan-Meier risk/survival cumulatives: day-grain duration
+        # table, bounded by the calendar span, not the data
+        ("registry_stats.py", '"duration"'): "day-grain KM table",
         ("llm/sketch.py", "F.lit(1)"): "fixed histogram-bin table total",
     }
     pkg_root = pathlib.Path(apache_nifi_spark.__file__).parent
