@@ -117,7 +117,7 @@ from apache_nifi_spark.llm.multimodal import (  # noqa: F401
     parse_mpeg_audio,
     decode_audio_container_meta,
     decode_image_png_meta,
-    encode_png,
+    encode_png_skeleton,
     encode_tiff,
     parse_png_metadata,
     parse_tiff_metadata,

@@ -1781,7 +1781,7 @@ def decode_image_tiff_meta(
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def encode_png(
+def encode_png_skeleton(
     width: int,
     height: int,
     color_type: int = 0,

@@ -1469,3 +1469,103 @@ def delta_vacuum_survivor_q(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("doc_id").cast("long").alias("id_sum"),
     )
+
+
+_ICEBERG_COMPACT_STAGE: dict[str, str] = {}
+
+
+def _staged_iceberg_compacted(spark, sf_dir):
+    """Iceberg maintenance fixture (the Delta OPTIMIZE/VACUUM twin):
+    four small files of documents [0,400) over two commits, a commit
+    carrying position deletes (doc_id % 9 == 4 ordinals of file 1) AND
+    an equality delete (lang 'zh'), then rewrite_data_files compacting
+    the four into ONE file — deletes materialize in the rewrite — and
+    finally snapshot expiry of everything below the compaction, which
+    must physically reclaim the replaced inputs while the compacted
+    read stays byte-identical."""
+    if sf_dir in _ICEBERG_COMPACT_STAGE:
+        return _ICEBERG_COMPACT_STAGE[sf_dir]
+    import glob
+    import tempfile
+
+    from apache_nifi_spark.sources.iceberg import (
+        iceberg_commit,
+        iceberg_expire_snapshots,
+        iceberg_rewrite_data_files,
+        read_iceberg_snapshot,
+    )
+
+    root = tempfile.mkdtemp(prefix="anspark_icecompact_")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    paths = {}
+    for k in range(4):
+        (
+            docs.filter(
+                (F.col("doc_id") >= k * 100) & (F.col("doc_id") < k * 100 + 100)
+            )
+            .coalesce(1)
+            .sortWithinPartitions("doc_id")  # ordinal = doc_id - k*100
+            .write.mode("overwrite")
+            .parquet(f"{root}/f{k}")
+        )
+        paths[k] = glob.glob(f"{root}/f{k}/part-*.parquet")[0]
+
+    def add(ks):
+        return [{
+            "file_path": paths[k], "partition": f"p{k}",
+            "record_count": 100,
+            "file_size_in_bytes": os.path.getsize(paths[k]),
+        } for k in ks]
+
+    iceberg_commit(root, 901, added=add([0, 1]))
+    iceberg_commit(root, 902, added=add([2, 3]))
+    iceberg_commit(
+        root, 903, added=[],
+        position_deletes={paths[1]: [d - 100 for d in range(100, 200)
+                                     if d % 9 == 4]},
+        equality_deletes=(["lang"], [("zh",)]),
+    )
+    iceberg_rewrite_data_files(spark, root, 904)
+    # pre-compaction time travel still reads the original small files
+    assert read_iceberg_snapshot(spark, root, 902).count() == 400
+    # expiry below the compaction reclaims the replaced inputs
+    res = iceberg_expire_snapshots(root, keep_ids=[904])
+    assert all(not os.path.exists(p) for p in paths.values()), res
+    _ICEBERG_COMPACT_STAGE[sf_dir] = root
+    return root
+
+
+@register(
+    "iceberg_rewrite_compacted_read",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    WHERE doc_id < 400
+      AND lang <> 'zh'
+      AND NOT (doc_id >= 100 AND doc_id < 200 AND doc_id % 9 = 4)
+    GROUP BY lang
+    """,
+)
+def iceberg_rewrite_compacted_q(spark, sf_dir):
+    """Snapshot read after rewrite_data_files + snapshot expiry
+    (Iceberg's bin-packing compaction action and its storage reclaim —
+    the lakehouse-maintenance twin of [delta_optimize_compacted_read] /
+    [delta_vacuum_survivor_read]): four small files with live position
+    AND equality deletes compact into one file (both delete kinds
+    materialize in the rewrite; the compacted file's HIGHER sequence
+    number is what stops the old equality delete from re-applying),
+    then expiring every pre-compaction snapshot physically deletes the
+    replaced inputs — asserted in staging, along with pre-expiry time
+    travel to the original layout.  Equality with the arithmetic
+    complement proves compaction + expiry moved bytes, not rows.
+    sources/iceberg.py ``iceberg_rewrite_data_files``."""
+    from apache_nifi_spark.sources.iceberg import read_iceberg_snapshot
+
+    root = _staged_iceberg_compacted(spark, sf_dir)
+    snap = read_iceberg_snapshot(spark, root)
+    return snap.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )

@@ -3038,7 +3038,7 @@ def multimodal_image_png_q(spark, sf_dir):
     """REAL PNG chunk walk, value-oracled (ISO 15948 — the web's
     lossless format, completing the image-container row next to TIFF/
     JPEG/GIF): spec-valid PNGs are built executor-side
-    (llm/multimodal.encode_png — signature, IHDR, alternating tEXt,
+    (llm/multimodal.encode_png_skeleton — signature, IHDR, alternating tEXt,
     one zlib IDAT of filter-0 scanlines, IEND, REAL CRC-32 on every
     chunk), then parse_png_metadata walks the chunks back out,
     VERIFIES every CRC, and inflates the IDAT stream — the oracle's
@@ -3051,7 +3051,10 @@ def multimodal_image_png_q(spark, sf_dir):
     pattern) remain the documented learned-decode seam."""
     import pandas as pd  # noqa: F811
 
-    from apache_nifi_spark.llm import decode_image_png_meta, encode_png
+    from apache_nifi_spark.llm import (
+        decode_image_png_meta,
+        encode_png_skeleton,
+    )
 
     base = (
         _t(spark, sf_dir, "documents")
@@ -3065,7 +3068,7 @@ def multimodal_image_png_q(spark, sf_dir):
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 contents.append(
-                    encode_png(
+                    encode_png_skeleton(
                         width=16 + d % 48,
                         height=8 + d % 24,
                         color_type=[0, 2, 6][d % 3],
@@ -3077,3 +3080,298 @@ def multimodal_image_png_q(spark, sf_dir):
 
     png = base.mapInPandas(synth, "doc_id long, content binary")
     return decode_image_png_meta(png)
+
+
+@register(
+    "stats_kendall_tau",
+    oracle="""
+    WITH g AS (
+      SELECT l_quantity AS x, l_discount AS y,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM lineitem GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.m AS ma, b.m AS mb,
+             CASE WHEN (a.x < b.x AND a.y < b.y)
+                    OR (a.x > b.x AND a.y > b.y) THEN 1
+                  WHEN (a.x < b.x AND a.y > b.y)
+                    OR (a.x > b.x AND a.y < b.y) THEN -1
+                  ELSE 0 END AS sgn,
+             CASE WHEN a.x = b.x AND a.y <> b.y THEN 1 ELSE 0 END AS tx,
+             CASE WHEN a.y = b.y AND a.x <> b.x THEN 1 ELSE 0 END AS ty
+      FROM g a JOIN g b
+        ON (a.x, a.y) < (b.x, b.y)
+    ), diag AS (
+      SELECT CAST(SUM(m) AS DECIMAL(38,0)) AS n,
+             CAST(SUM(m * (m - 1) / 2) AS DECIMAL(38,0)) AS txy
+      FROM g
+    ), s AS (
+      SELECT CAST(SUM(sgn * CAST(ma AS DECIMAL(38,0)) * mb)
+                  AS DECIMAL(38,0)) AS cd,
+             CAST(SUM(tx * CAST(ma AS DECIMAL(38,0)) * mb)
+                  AS DECIMAL(38,0)) AS tiex,
+             CAST(SUM(ty * CAST(ma AS DECIMAL(38,0)) * mb)
+                  AS DECIMAL(38,0)) AS tiey
+      FROM pairs
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(CAST(cd AS DOUBLE)
+                 / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) / 2
+                         - (CAST(tiex AS DOUBLE) + CAST(txy AS DOUBLE)))
+                        * (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) / 2
+                           - (CAST(tiey AS DOUBLE)
+                              + CAST(txy AS DOUBLE)))),
+                 6) AS kendall_tau_b
+    FROM s, diag
+    """,
+)
+def stats_kendall_tau_q(spark, sf_dir):
+    """Kendall's τ-b rank correlation (quantity vs discount — the
+    concordance companion to [stats_spearman_rank]: τ reads as a
+    probability of agreement and is the estimator of choice under
+    heavy ties), computed at VALUE-GRID grain: both columns are
+    low-cardinality (≈50 × 11 distinct values), so concordant/
+    discordant/tied pair counts collapse to one self-join over the
+    ≤550-row value grid — control-plane work after a single
+    map-side-combinable agg; the row-pair count n(n−1)/2 never
+    materializes.  Products run ma·mb in DECIMAL(38,0) (exact,
+    order-free); within-cell ties Σm(m−1)/2 join the tie terms exactly
+    (they count in BOTH tie corrections of the τ-b denominator); one
+    shared IEEE closed form, 6 dp.  The grid self-join is the
+    documented cardinality precondition — for a row-distinct column
+    pair the Spearman bucket machinery is the right tool instead."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"), F.col("l_discount").alias("y")
+    )
+    g = li.groupBy("x", "y").agg(F.count(F.lit(1)).alias("m"))
+    a = g.select(
+        F.col("x").alias("xa"), F.col("y").alias("ya"), F.col("m").alias("ma")
+    )
+    b = g.select(
+        F.col("x").alias("xb"), F.col("y").alias("yb"), F.col("m").alias("mb")
+    )
+    pairs = a.join(
+        b,
+        (F.col("xa") < F.col("xb"))
+        | ((F.col("xa") == F.col("xb")) & (F.col("ya") < F.col("yb"))),
+    )
+    sgn = (
+        F.when(
+            ((F.col("xa") < F.col("xb")) & (F.col("ya") < F.col("yb")))
+            | ((F.col("xa") > F.col("xb")) & (F.col("ya") > F.col("yb"))),
+            1,
+        )
+        .when(
+            ((F.col("xa") < F.col("xb")) & (F.col("ya") > F.col("yb")))
+            | ((F.col("xa") > F.col("xb")) & (F.col("ya") < F.col("yb"))),
+            -1,
+        )
+        .otherwise(0)
+    )
+    tx = F.when(
+        (F.col("xa") == F.col("xb")) & (F.col("ya") != F.col("yb")), 1
+    ).otherwise(0)
+    ty = F.when(
+        (F.col("ya") == F.col("yb")) & (F.col("xa") != F.col("xb")), 1
+    ).otherwise(0)
+    mm_ = F.col("ma").cast("decimal(38,0)") * F.col("mb")
+    s = pairs.agg(
+        F.sum(sgn * mm_).cast("decimal(38,0)").alias("cd"),
+        F.sum(tx * mm_).cast("decimal(38,0)").alias("tiex"),
+        F.sum(ty * mm_).cast("decimal(38,0)").alias("tiey"),
+    )
+    diag = g.agg(
+        F.sum("m").cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("m") * (F.col("m") - 1) / 2)
+        .cast("decimal(38,0)")
+        .alias("txy"),
+    )
+    j = s.join(F.broadcast(diag))
+    nd = F.col("n").cast("double")
+    half = nd * (nd - 1) / 2
+    return j.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            F.col("cd").cast("double")
+            / F.sqrt(
+                (half - (F.col("tiex").cast("double")
+                         + F.col("txy").cast("double")))
+                * (half - (F.col("tiey").cast("double")
+                           + F.col("txy").cast("double")))
+            ),
+            6,
+        ).alias("kendall_tau_b"),
+    )
+
+
+@register(
+    "stats_wilson_ci",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+               AS k
+      FROM orders GROUP BY 1
+    )
+    SELECT grp, n, k,
+           round(CAST(k AS DOUBLE) / n, 6) AS p_hat,
+           round(((CAST(k AS DOUBLE) / n)
+                  + 1.959964 * 1.959964 / (2.0 * n)
+                  - 1.959964 * sqrt(((CAST(k AS DOUBLE) / n)
+                        * (1.0 - CAST(k AS DOUBLE) / n)
+                        + 1.959964 * 1.959964 / (4.0 * n)) / n))
+                 / (1.0 + 1.959964 * 1.959964 / n), 6) AS ci_lo,
+           round(((CAST(k AS DOUBLE) / n)
+                  + 1.959964 * 1.959964 / (2.0 * n)
+                  + 1.959964 * sqrt(((CAST(k AS DOUBLE) / n)
+                        * (1.0 - CAST(k AS DOUBLE) / n)
+                        + 1.959964 * 1.959964 / (4.0 * n)) / n))
+                 / (1.0 + 1.959964 * 1.959964 / n), 6) AS ci_hi
+    FROM g
+    """,
+)
+def stats_wilson_ci_q(spark, sf_dir):
+    """Wilson score 95 % confidence interval for a per-group proportion
+    (share of FINISHED orders per priority — the interval the
+    rate-dashboard next to [stats_ab_test_ztest] should draw: unlike
+    the Wald interval it never leaves [0,1] and stays calibrated at
+    small n or extreme p): one map-side-combinable agg to group grain,
+    then the closed-form score interval
+    (p̂ + z²/2n ± z·√((p̂(1−p̂) + z²/4n)/n)) / (1 + z²/n) with
+    z = 1.959964 as a shared literal — every float op in ONE identical
+    expression shape both engines, rounded 6 dp."""
+    z = F.lit(1.959964)
+    g = _t(spark, sf_dir, "orders").groupBy(
+        F.col("o_orderpriority").alias("grp")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        ).alias("k"),
+    )
+    n = F.col("n")
+    p = F.col("k").cast("double") / n
+    zz = z * z
+    centre = p + zz / (2.0 * n)
+    spread = z * F.sqrt((p * (1.0 - p) + zz / (4.0 * n)) / n)
+    denom = 1.0 + zz / n
+    return g.select(
+        "grp",
+        n.cast("bigint").alias("n"),
+        F.col("k").cast("bigint").alias("k"),
+        F.round(p, 6).alias("p_hat"),
+        F.round((centre - spread) / denom, 6).alias("ci_lo"),
+        F.round((centre + spread) / denom, 6).alias("ci_hi"),
+    )
+
+
+def _textrank_oracle(iters: int = 3, min_freq: int = 30) -> str:
+    """Unrolled integer-exact TextRank twin of the Spark query below:
+    same tokenizer, same ±2 co-occurrence window over the freq-capped
+    vocab, same (r·85) // (100·deg) integer PageRank rounds as
+    registry._pagerank_oracle — node type string."""
+    blocks = [
+        f"""tk AS MATERIALIZED (
+      SELECT doc_id, tok, ord FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS tok,
+               generate_subscripts(
+                 regexp_split_to_array(lower(text), '[^a-z]+'), 1) AS ord
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    vocab AS (SELECT tok FROM tk GROUP BY tok
+              HAVING COUNT(*) >= {min_freq}),
+    tv AS (SELECT tk.doc_id, tk.tok, tk.ord
+           FROM tk JOIN vocab USING (tok)),
+    pr AS (
+      SELECT a.tok AS s, b.tok AS d
+      FROM tv a JOIN tv b
+        ON a.doc_id = b.doc_id
+       AND b.ord > a.ord AND b.ord <= a.ord + 2
+       AND a.tok <> b.tok
+    ),
+    e AS MATERIALIZED (
+      SELECT s, d FROM pr UNION ALL SELECT d AS s, s AS d FROM pr
+    ),
+    deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS dg FROM e GROUP BY s),
+    nodes AS (SELECT DISTINCT x AS n_ FROM
+              (SELECT s AS x FROM e UNION ALL SELECT d FROM e)),
+    k AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+                 CAST(1000000 // COUNT(*) AS BIGINT) AS init,
+                 CAST((1000000 * 15) // (100 * COUNT(*)) AS BIGINT) AS b
+          FROM nodes),
+    r0 AS (SELECT n_, init AS r FROM nodes, k)"""
+    ]
+    for t in range(1, iters + 1):
+        blocks.append(
+            f"""c{t} AS (
+      SELECT e.d AS n_, CAST(SUM((r.r * 85) // (100 * deg.dg)) AS BIGINT)
+               AS inn
+      FROM e JOIN deg ON deg.s = e.s JOIN r{t - 1} r ON r.n_ = e.s
+      GROUP BY e.d
+    ),
+    r{t} AS (
+      SELECT nodes.n_,
+             CAST(k.b + COALESCE(c.inn, 0) AS BIGINT) AS r
+      FROM nodes LEFT JOIN c{t} c ON c.n_ = nodes.n_, k
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + f"""
+    SELECT n_ AS token, r AS rank,
+           CAST(r AS DOUBLE) / 1000000.0 AS rank_frac
+    FROM r{iters}"""
+    )
+
+
+@register("text_textrank_keywords", oracle=_textrank_oracle())
+def text_textrank_keywords_q(spark, sf_dir):
+    """TextRank keyword scoring (Mihalcea & Tarau 2004 — the
+    graph-centrality keyword extractor next to the frequency-family
+    [text_rake_keywords] / [text_tfidf_keywords]: a term matters
+    because IMPORTANT terms co-occur with it, not because it is
+    frequent): tokens co-occurring within a ±2 window form an
+    undirected multigraph over the freq≥30-capped vocabulary
+    (Heaps-bounded — the PMI precedent), scored by three rounds of the
+    repo's integer-exact fixed-point PageRank (llm/graph.py), so the
+    unrolled SQL twin replays every round bit-for-bit.  Scale shape:
+    tokenize is one projection; the window join is an equi-join on
+    doc_id with a ±2 ordinal band (fan-out ≤ 2 per token); the vocab
+    cap bounds the graph; PageRank rounds are one join + one
+    map-side-combined agg each.  At 100 TB the pair join keys on
+    (doc, token-position block) — never all-pairs."""
+    from apache_nifi_spark.llm.graph import pagerank_fixed_point
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tk = (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.split(F.lower(F.col("text")), "[^a-z]+")
+            ).alias("ord", "tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    vocab = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("freq")).filter(
+        F.col("freq") >= 30
+    ).select("tok")
+    tv = tk.join(vocab, "tok").select("doc_id", "tok", "ord")
+    a = tv.select(
+        "doc_id", F.col("tok").alias("s"), F.col("ord").alias("oa")
+    )
+    b = tv.select(
+        "doc_id", F.col("tok").alias("d"), F.col("ord").alias("ob")
+    )
+    pr = a.join(b, "doc_id").filter(
+        (F.col("ob") > F.col("oa"))
+        & (F.col("ob") <= F.col("oa") + 2)
+        & (F.col("s") != F.col("d"))
+    )
+    edges = pr.select("s", "d").unionAll(
+        pr.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    )
+    out = pagerank_fixed_point(edges, "s", "d", iters=3)
+    return out.select(F.col("node").alias("token"), "rank", "rank_frac")

@@ -382,7 +382,9 @@ def delta_optimize(
     the selected files (the snapshot reader's own machinery applies
     the DVs); only the O(selected files) action list touches the
     driver.  Returns the OPTIMIZE commit's version."""
-    active = delta_active_files(spark, table_path).collect()
+    active = delta_active_files(
+        spark, table_path
+    ).collect()  # control-plane: O(active files) manifest rows
     inputs = [r for r in active if r["size"] < small_file_threshold]
     if len(inputs) <= target_files:
         raise ValueError("nothing to compact below the threshold")
@@ -476,7 +478,9 @@ def delta_vacuum(
     for v in [v for v in versions if v >= retain_from_version]:
         referenced |= {
             r["path"]
-            for r in delta_active_files(spark, table_path, v).collect()
+            for r in delta_active_files(
+                spark, table_path, v
+            ).collect()  # control-plane: O(active files) manifest rows
         }
     # every path the log EVER added (any version) is a candidate
     ever = {
@@ -485,7 +489,7 @@ def delta_vacuum(
             spark, log_dir, [f"{v:020d}.json" for v in versions]
         )
         .filter("_is_add")
-        .collect()
+        .collect()  # control-plane: O(log actions) manifest rows
     }
     doomed = sorted(ever - referenced)
     for rel in doomed:

@@ -51,6 +51,7 @@ __all__ = [
     "iceberg_commit",
     "iceberg_add_column",
     "iceberg_expire_snapshots",
+    "iceberg_rewrite_data_files",
     "iceberg_active_files",
     "read_iceberg_snapshot",
 ]
@@ -770,6 +771,21 @@ def read_iceberg_snapshot(
     dfiles = iceberg_active_files(
         spark, table_path, snapshot_id, partition
     ).collect()  # control-plane: O(active files) manifest rows
+    return _read_files_with_deletes(
+        spark, table_path, dfiles, snapshot_id
+    )
+
+
+def _read_files_with_deletes(
+    spark: SparkSession,
+    table_path: str,
+    dfiles: list,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Delete-applying read core shared by the snapshot reader and the
+    compaction rewrite: scan exactly ``dfiles`` (active-file rows with
+    sequence numbers) through the snapshot's position + equality
+    deletes under the spec's ordering rules."""
     files = [r["file_path"] for r in dfiles]
     fseq = {r["file_path"]: r["sequence_number"] for r in dfiles}
     if not files:
@@ -836,3 +852,54 @@ def read_iceberg_snapshot(
     ).repartition(len(files))
     return flist.mapInPandas(strip, schema)
 
+
+
+def iceberg_rewrite_data_files(
+    spark: SparkSession,
+    table_path: str,
+    snapshot_id: int,
+    small_file_threshold: int = 1 << 30,
+    target_files: int = 1,
+) -> int:
+    """rewrite_data_files (Iceberg's bin-packing COMPACTION action —
+    the operational twin of :func:`delta_optimize` on the Delta side):
+    read the active data files smaller than ``small_file_threshold``
+    THROUGH the snapshot's position/equality deletes (the rewrite is
+    the spec's delete-materialization point), write ``target_files``
+    compacted parquet files, and commit one snapshot that DELETEs the
+    inputs and ADDs the outputs.  The compacted files carry the new
+    commit's sequence number, so older equality deletes no longer
+    apply to them — exactly right, their effect is baked into the
+    rewritten bytes.  Carried-forward delete files stay in the
+    manifests (they may still apply to untouched data files); storage
+    reclaim of the replaced inputs is :func:`iceberg_expire_snapshots`'
+    job, so time travel below the compaction still reads the original
+    layout until expiry.  Returns the new metadata version."""
+    import glob
+
+    rows = iceberg_active_files(
+        spark, table_path
+    ).collect()  # control-plane: O(active files) manifest rows
+    inputs = [r for r in rows if r["file_size_in_bytes"] < small_file_threshold]
+    if len(inputs) <= target_files:
+        raise ValueError("nothing to compact below the threshold")
+    df = _read_files_with_deletes(spark, table_path, inputs)
+    outdir = os.path.join(table_path, f"compacted-{snapshot_id}")
+    df.coalesce(target_files).write.parquet(outdir)
+    added = []
+    for i, p in enumerate(sorted(glob.glob(f"{outdir}/part-*.parquet"))):
+        n = spark.read.parquet(p).count()
+        added.append(
+            {
+                "file_path": p,
+                "partition": f"compact{i}",
+                "record_count": n,
+                "file_size_in_bytes": os.path.getsize(p),
+            }
+        )
+    return iceberg_commit(
+        table_path,
+        snapshot_id,
+        added=added,
+        deleted=[r["file_path"] for r in inputs],
+    )

@@ -2464,10 +2464,10 @@ def test_png_codec_roundtrip_and_integrity():
     import struct
     import zlib
 
-    from apache_nifi_spark.llm import encode_png, parse_png_metadata
+    from apache_nifi_spark.llm import encode_png_skeleton, parse_png_metadata
 
     for color, ch in ((0, 1), (2, 3), (6, 4)):
-        b = encode_png(33, 9, color, doc_seed=5, with_text=(color == 2))
+        b = encode_png_skeleton(33, 9, color, doc_seed=5, with_text=(color == 2))
         meta = parse_png_metadata(b)
         assert meta == (33, 9, 8, color, 0, 3 + (color == 2), 9 * (1 + 33 * ch))
         # stdlib-independent spot check of the IHDR bytes themselves
@@ -2475,12 +2475,12 @@ def test_png_codec_roundtrip_and_integrity():
         w, h = struct.unpack_from(">II", b, 16)
         assert (w, h) == (33, 9)
     # CRC corruption anywhere -> undecodable
-    b = bytearray(encode_png(20, 10, 2, doc_seed=1))
+    b = bytearray(encode_png_skeleton(20, 10, 2, doc_seed=1))
     b[30] ^= 0x01
     assert parse_png_metadata(bytes(b)) is None
     # IDAT corruption that keeps the CRC valid is impossible without
     # recomputing it; simulate a broken deflate stream WITH a fixed CRC
-    raw = encode_png(8, 4, 0)
+    raw = encode_png_skeleton(8, 4, 0)
     idat_at = raw.index(b"IDAT") - 4
     (ln,) = struct.unpack_from(">I", raw, idat_at)
     body = bytearray(raw)
@@ -2495,5 +2495,5 @@ def test_png_codec_roundtrip_and_integrity():
         from PIL import Image
     except ImportError:
         return
-    img = Image.open(_io.BytesIO(encode_png(21, 7, 2, doc_seed=3)))
+    img = Image.open(_io.BytesIO(encode_png_skeleton(21, 7, 2, doc_seed=3)))
     assert img.size == (21, 7) and img.mode == "RGB"

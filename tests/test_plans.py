@@ -122,6 +122,18 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
         "multimodal_image_features", "dedup_minhash_lsh",
     }
     bnlj_ok = {
+        # Kendall tau-b: non-equi self-join over the <=550-row value
+        # GRID (50 quantities x 11 discounts), both sides bounded by
+        # column cardinality, never row count
+        "stats_kendall_tau",
+        # Kaplan-Meier: 1-row global max-date broadcast (censoring
+        # horizon), keyless by nature, bounded by construction
+        "survival_kaplan_meier",
+        # theta sketch: 1-row theta broadcast onto the <=k*k match set
+        "sketch_theta_intersection",
+        # rolling WAU: day-spine range join, spine side calendar-
+        # bounded, fan-out a constant 7
+        "events_rolling_wau",
         "range_join_price_bands", "theta_join_richer_customers",
         "mega2_geoenrich_bands",  # GeoEnrichIP range join: bounded broadcast
         "flowfile_expiration_ttl", "similarity_cosine_topk",
@@ -379,6 +391,10 @@ def test_no_broadcast_hint_on_corpus_cardinality_frames():
         ("registry_stats.py", "m"): "1-row chance-agreement numerator",
         # Kaplan-Meier: 1-row global max-date aggregate
         ("registry_stats.py", "mx"): "1-row max-date aggregate",
+        # theta sketch: 1-row min-of-max-hash aggregate
+        ("registry_stats.py", "theta"): "1-row theta aggregate",
+        # Kendall tau-b: 1-row n / within-cell-tie totals
+        ("registry_stats.py", "diag"): "1-row n/tie totals aggregate",
     }
     pkg_root = pathlib.Path(apache_nifi_spark.__file__).parent
     offenders = []
