@@ -118,6 +118,7 @@ from apache_nifi_spark.llm.multimodal import (  # noqa: F401
     decode_audio_container_meta,
     decode_image_png_meta,
     encode_png_skeleton,
+    ima_adpcm_decode,
     encode_tiff,
     parse_png_metadata,
     parse_tiff_metadata,

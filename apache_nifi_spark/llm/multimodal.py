@@ -1895,3 +1895,39 @@ def decode_image_png_meta(
     return df.select(id_col, content_col).mapInPandas(
         decode, IMAGE_PNG_META_SCHEMA
     )
+
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def ima_adpcm_decode(payload: bytes, n_samples: int) -> list[int]:
+    """IMA/DVI ADPCM 4-bit decode (IMA Digital Audio Pack, 1992 — the
+    classic telephony/game codec): one mono stream, initial predictor 0
+    and step index 0, two samples per byte (low nibble first).  Pure
+    integer algebra — predictor clamped to int16, index to [0, 88]."""
+    pred, idx, out = 0, 0, []
+    for k in range(n_samples):
+        byte = payload[k // 2]
+        code = (byte & 0x0F) if k % 2 == 0 else (byte >> 4)
+        step = _IMA_STEPS[idx]
+        diff = step >> 3
+        if code & 4:
+            diff += step
+        if code & 2:
+            diff += step >> 1
+        if code & 1:
+            diff += step >> 2
+        pred = pred - diff if code & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + _IMA_INDEX[code & 7]))
+        out.append(pred)
+    return out

@@ -3375,3 +3375,112 @@ def text_textrank_keywords_q(spark, sf_dir):
     )
     out = pagerank_fixed_point(edges, "s", "d", iters=3)
     return out.select(F.col("node").alias("token"), "rank", "rank_frac")
+
+
+def _adpcm_oracle() -> str:
+    """Recursive-CTE twin of llm/multimodal.ima_adpcm_decode: the same
+    step/index tables and clamp algebra, advanced one sample per
+    recursion level for every doc at once — the decode recurrence
+    replayed in SQL, integer-exact."""
+    from apache_nifi_spark.llm.multimodal import _IMA_STEPS
+
+    vals = ",".join(f"({i},{s})" for i, s in enumerate(_IMA_STEPS))
+    return f"""
+    WITH RECURSIVE p AS (
+      SELECT doc_id, CAST(12 + doc_id % 28 AS INT) AS n
+      FROM documents WHERE doc_id < 250
+    ), steps(idx, step) AS (VALUES {vals}),
+    st AS (
+      SELECT doc_id, n, -1 AS k, 0 AS pred, 0 AS sidx,
+             CAST(0 AS BIGINT) AS sum_amp, CAST(0 AS BIGINT) AS sumsq,
+             0 AS peak
+      FROM p
+      UNION ALL
+      SELECT doc_id, n, k,
+             greatest(-32768, least(32767, raw)) AS pred,
+             greatest(0, least(88, sidx
+               + CASE code % 8 WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6
+                               WHEN 7 THEN 8 ELSE -1 END)) AS sidx,
+             sum_amp + greatest(-32768, least(32767, raw)),
+             sumsq + CAST(greatest(-32768, least(32767, raw)) AS BIGINT)
+                   * greatest(-32768, least(32767, raw)),
+             greatest(peak, abs(greatest(-32768, least(32767, raw))))
+      FROM (
+        SELECT doc_id, n, k, sidx, code, sum_amp, sumsq, peak,
+               CASE WHEN code >= 8 THEN pred - diff ELSE pred + diff END
+                 AS raw
+        FROM (
+          SELECT s.doc_id, s.n, s.k + 1 AS k, s.sidx, s.pred,
+                 s.sum_amp, s.sumsq, s.peak, c.code,
+                 steps.step // 8
+                 + CASE WHEN (c.code // 4) % 2 = 1
+                        THEN steps.step ELSE 0 END
+                 + CASE WHEN (c.code // 2) % 2 = 1
+                        THEN steps.step // 2 ELSE 0 END
+                 + CASE WHEN c.code % 2 = 1
+                        THEN steps.step // 4 ELSE 0 END AS diff
+          FROM st s
+          JOIN steps ON steps.idx = s.sidx,
+          LATERAL (SELECT CASE WHEN (s.k + 1) % 2 = 0
+                     THEN ((s.doc_id * 13 + 7 * ((s.k + 1) // 2)) % 256)
+                          % 16
+                     ELSE ((s.doc_id * 13 + 7 * ((s.k + 1) // 2)) % 256)
+                          // 16
+                   END AS code) c
+          WHERE s.k + 1 < s.n
+        )
+      )
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_samples, sum_amp,
+           sumsq AS sumsq_amp, CAST(peak AS INT) AS peak_amp
+    FROM st WHERE k = n - 1
+    """
+
+
+@register("multimodal_audio_adpcm", oracle=_adpcm_oracle())
+def multimodal_audio_adpcm_q(spark, sf_dir):
+    """IMA/DVI ADPCM 4-bit audio DECODE (IMA Digital Audio Pack 1992 —
+    the first PREDICTIVE codec in the audio tier: unlike the G.711 row
+    each sample depends on the full decode state before it, so a
+    single wrong step-table read corrupts every later sample):
+    deterministic nibble streams synthesize executor-side, decode
+    through the real step/index adaptation with int16 clamping
+    (llm/multimodal.ima_adpcm_decode), and reduce to exact integer
+    stats.  The oracle replays the SAME recurrence as a recursive CTE
+    over the shared step table — sample-exact equality across ~40
+    adaptation steps is the proof the state machine is right.
+    Map-only, Arrow-batched; MDCT codecs (MP3/AAC payloads) remain the
+    documented external seam."""
+    import pandas as pd  # noqa: F811
+
+    from apache_nifi_spark.llm import ima_adpcm_decode
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 250)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "n_samples": [], "sum_amp": [],
+                   "sumsq_amp": [], "peak_amp": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 12 + d % 28
+                payload = bytes(
+                    (d * 13 + 7 * j) % 256 for j in range((n + 1) // 2)
+                )
+                dec = ima_adpcm_decode(payload, n)
+                out["doc_id"].append(d)
+                out["n_samples"].append(n)
+                out["sum_amp"].append(sum(dec))
+                out["sumsq_amp"].append(sum(x * x for x in dec))
+                out["peak_amp"].append(max(abs(x) for x in dec))
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(
+        synth,
+        "doc_id long, n_samples long, sum_amp long, sumsq_amp long,"
+        " peak_amp int",
+    )

@@ -2497,3 +2497,30 @@ def test_png_codec_roundtrip_and_integrity():
         return
     img = Image.open(_io.BytesIO(encode_png_skeleton(21, 7, 2, doc_seed=3)))
     assert img.size == (21, 7) and img.mode == "RGB"
+
+
+def test_ima_adpcm_decoder_reference_vectors():
+    """Bit-serial IMA ADPCM reference form (diff = step>>3 + step·b2 +
+    (step>>1)·b1 + (step>>2)·b0 — the IMA-spec expansion; stdlib
+    audioop implements the multiplicative DVI variant with different
+    truncation, so vectors are hand-stepped here): first samples,
+    step-index adaptation, int16 clamping, index clamp at 88."""
+    from apache_nifi_spark.llm import ima_adpcm_decode
+
+    # code 0 at idx 0 (step 7): diff = 7>>3 = 0... +1 path: code 1 ->
+    # diff = 0 + 7>>2 = 1; hand-stepped:
+    #  k0 code=1: pred=+1, idx 0-1 -> clamp 0
+    #  k1 code=0: diff=0, pred=1, idx 0
+    assert ima_adpcm_decode(bytes([0x01]), 2) == [1, 1]
+    #  code 8 (sign bit only): diff=0 -> pred stays, idx -1 clamped
+    assert ima_adpcm_decode(bytes([0x88]), 2) == [0, 0]
+    #  code 7 at idx 0: diff = 0+7+3+1 = 11, idx += 8
+    #  then code 7 at idx 8 (step 16): diff = 2+16+8+4 = 30
+    assert ima_adpcm_decode(bytes([0x77]), 2) == [11, 41]
+    # saturating run of max-positive codes clamps predictor at 32767
+    # and the step index at 88
+    out = ima_adpcm_decode(bytes([0x77] * 40), 80)
+    assert max(out) == 32767 and out[-1] == 32767
+    # alternating extremes never escape int16
+    out = ima_adpcm_decode(bytes([0xF7] * 40), 80)
+    assert all(-32768 <= v <= 32767 for v in out)
