@@ -3484,3 +3484,293 @@ def multimodal_audio_adpcm_q(spark, sf_dir):
         "doc_id long, n_samples long, sum_amp long, sumsq_amp long,"
         " peak_amp int",
     )
+
+
+def _markov_stationary_oracle(iters: int = 3) -> str:
+    """Unrolled integer-exact power iteration to the Markov chain's
+    stationary distribution over the event-type transition counts —
+    the same (π·n) // tot fixed-point arithmetic as the Spark query,
+    replayed round by round."""
+    blocks = [
+        """o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    tc AS (
+      SELECT event_type AS cur, nxt, CAST(count(*) AS BIGINT) AS n
+      FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS t FROM tc GROUP BY 1),
+    states AS (SELECT DISTINCT cur AS s FROM tc),
+    k AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+                 CAST(1000000 // COUNT(*) AS BIGINT) AS init
+          FROM states),
+    p0 AS (SELECT s, init AS pi FROM states, k)"""
+    ]
+    for t in range(1, iters + 1):
+        blocks.append(
+            f"""p{t} AS (
+      SELECT tc.nxt AS s,
+             CAST(SUM((p.pi * tc.n) // tot.t) AS BIGINT) AS pi
+      FROM tc JOIN tot ON tot.cur = tc.cur
+              JOIN p{t - 1} p ON p.s = tc.cur
+      GROUP BY tc.nxt
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + f"""
+    SELECT s AS state, pi AS pi_fixed,
+           CAST(pi AS DOUBLE) / 1000000.0 AS pi_frac
+    FROM p{iters}"""
+    )
+
+
+@register("events_markov_stationary", oracle=_markov_stationary_oracle())
+def events_markov_stationary_q(spark, sf_dir):
+    """Stationary distribution of the user-journey Markov chain (where
+    the [events_transition_matrix] settles — the long-run share of
+    attention each event type holds, the PageRank of the journey
+    graph): three rounds of integer-exact power iteration
+    π′(j) = Σᵢ (π(i)·n_ij) div totᵢ at 1e-6 fixed-point scale (the
+    PageRank discipline: partition order cannot move a bit, so the
+    unrolled SQL twin replays every round exactly).  The chain state
+    space is |event types| — everything after the lead() pairing and
+    one count agg is control-plane."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    tc = o.groupBy(F.col("event_type").alias("cur"), "nxt").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = tc.groupBy("cur").agg(F.sum("n").alias("t"))
+    states = tc.select(F.col("cur").alias("s")).distinct()
+    k = states.count()  # control-plane: |event types|
+    pi = states.select("s", F.lit(1_000_000 // k).cast("bigint").alias("pi"))
+    tj = tc.join(tot, "cur")
+    for _ in range(3):
+        pi = (
+            tj.join(pi.withColumnRenamed("s", "cur"), "cur")
+            .select(
+                F.col("nxt").alias("s"),
+                F.expr("(pi * n) div t").alias("c"),
+            )
+            .groupBy("s")
+            .agg(F.sum("c").cast("bigint").alias("pi"))
+        )
+    return pi.select(
+        F.col("s").alias("state"),
+        F.col("pi").alias("pi_fixed"),
+        (F.col("pi").cast("double") / 1e6).alias("pi_frac"),
+    )
+
+
+@register(
+    "hypertable_time_weighted_avg",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, CAST(value AS DOUBLE) AS v,
+             CAST(epoch_us(ts) AS BIGINT) AS t,
+             CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id))
+                  AS BIGINT) AS t2
+      FROM events WHERE user_id < 400
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(t2 - t) AS BIGINT) AS span_us,
+           round(SUM(v * CAST(t2 - t AS DOUBLE))
+                 / CAST(SUM(t2 - t) AS DOUBLE), 6) AS time_weighted_avg
+    FROM o WHERE t2 IS NOT NULL
+    GROUP BY user_id
+    HAVING SUM(t2 - t) > 0
+    """,
+)
+def hypertable_time_weighted_avg_q(spark, sf_dir):
+    """time_weighted_average (TimescaleDB's irregular-sampling
+    aggregate — the plain AVG over-weights burst periods when a sensor
+    reports unevenly): per key, the LOCF step-function integral
+    Σ vᵢ·(tᵢ₊₁−tᵢ) over the observed span, normalized by the span.
+    One lead() under a per-user hash partitioning; interval widths are
+    EXACT epoch-micro integers (the sum is order-free), so the only
+    floats are the v·Δt products and one final division — summed in
+    the same grouping both engines, rounded 6 dp.  Zero-span keys
+    (single observation) drop, as the estimator is undefined there."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 400)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    t2 = F.unix_micros(F.lead("ts").over(w).cast("timestamp"))
+    o = ev.select(
+        "user_id",
+        F.col("value").cast("double").alias("v"),
+        t.alias("t"),
+        t2.alias("t2"),
+    ).filter(F.col("t2").isNotNull())
+    return (
+        o.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.sum(F.col("t2") - F.col("t")).cast("bigint").alias("span_us"),
+            F.round(
+                F.sum(F.col("v") * (F.col("t2") - F.col("t")).cast("double"))
+                / F.sum(F.col("t2") - F.col("t")).cast("double"),
+                6,
+            ).alias("time_weighted_avg"),
+        )
+        .filter(F.col("span_us") > 0)
+    )
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH first_m AS (
+      SELECT o_custkey,
+             date_trunc('month', min(o_orderdate)) AS cohort
+      FROM orders GROUP BY 1
+    ), rev AS (
+      SELECT CAST(f.cohort AS VARCHAR) AS cohort,
+             CAST(datediff('month', f.cohort,
+                           date_trunc('month', o.o_orderdate)) AS INT)
+               AS month_offset,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,2)))
+                  AS DECIMAL(38,2)) AS revenue,
+             CAST(max(c.n) AS BIGINT) AS cohort_size
+      FROM orders o
+      JOIN first_m f ON o.o_custkey = f.o_custkey
+      JOIN (SELECT cohort, CAST(count(*) AS BIGINT) AS n
+            FROM first_m GROUP BY 1) c ON c.cohort = f.cohort
+      GROUP BY 1, 2
+    )
+    SELECT cohort, month_offset, cohort_size,
+           CAST(revenue AS DOUBLE) AS revenue,
+           round(CAST(SUM(revenue) OVER (PARTITION BY cohort
+                                         ORDER BY month_offset)
+                      AS DOUBLE) / cohort_size, 6) AS cum_ltv_per_user
+    FROM rev
+    """,
+)
+def orders_cohort_ltv_q(spark, sf_dir):
+    """Cohort lifetime-value curve (the REVENUE twin of
+    [cohort_retention_curve] — what a subscription/commerce dashboard
+    actually plots: cumulative revenue per acquired user by month
+    offset since acquisition): first-order month per customer, exact
+    DECIMAL revenue to (cohort, offset) grain, then one cumulative
+    window PARTITIONED BY COHORT over the month-offset axis
+    (calendar-bounded — never a data-grain sort) divided by the cohort
+    population.  Decimal sums are order-free; the two float ops
+    (division, round) are shared shapes."""
+    o = _t(spark, sf_dir, "orders")
+    first_m = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    sizes = first_m.groupBy("cohort").agg(F.count(F.lit(1)).alias("n"))
+    rev = (
+        o.join(first_m, "o_custkey")
+        .join(sizes, "cohort")
+        .groupBy(
+            F.col("cohort").cast("date").cast("string").alias("cohort_s"),
+            F.months_between(
+                F.date_trunc("month", F.col("o_orderdate")), F.col("cohort")
+            ).cast("int").alias("month_offset"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+            .cast("decimal(38,2)")
+            .alias("revenue"),
+            F.max("n").cast("bigint").alias("cohort_size"),
+        )
+    )
+    wc = Window.partitionBy("cohort_s").orderBy("month_offset")
+    return rev.select(
+        F.col("cohort_s").alias("cohort"),
+        "month_offset",
+        "cohort_size",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.round(
+            F.sum("revenue").over(
+                wc.rowsBetween(Window.unboundedPreceding, 0)
+            ).cast("double")
+            / F.col("cohort_size"),
+            6,
+        ).alias("cum_ltv_per_user"),
+    )
+
+
+@register(
+    "forecast_theil_sen_trend",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(datediff('month', DATE '1992-01-01',
+                           date_trunc('month', o_orderdate)) AS BIGINT)
+               AS x,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS DECIMAL(38,0)) AS yc
+      FROM orders GROUP BY 1
+    ), slopes AS (
+      SELECT (CAST(b.yc AS DOUBLE) - CAST(a.yc AS DOUBLE))
+             / (100.0 * (b.x - a.x)) AS slope
+      FROM m a JOIN m b ON a.x < b.x
+    ), r AS (
+      SELECT slope,
+             row_number() OVER (ORDER BY slope) AS rk,
+             CAST(count(*) OVER () AS BIGINT) AS c
+      FROM slopes
+    )
+    SELECT CAST(max(c) AS BIGINT) AS n_slopes,
+           round(avg(slope), 6) AS theil_sen_slope
+    FROM r
+    WHERE rk IN ((c + 1) // 2, (c + 2) // 2)
+    """,
+)
+def forecast_theil_sen_trend_q(spark, sf_dir):
+    """Theil–Sen robust trend estimator over monthly revenue (Sen 1968
+    — the median of all pairwise slopes: up to ~29 % of months can be
+    corrupted outliers without moving it, where [stats_ols_regression]
+    follows every spike): month-grain integer-cent revenue (one agg),
+    then all C(months,2) pairwise slopes — a self-join of the
+    CALENDAR-BOUNDED month frame (≈84 rows → ≈3.5 k slopes,
+    control-plane) — and the exact median by rank selection (both
+    middle ranks averaged on even counts; equal slope VALUES make any
+    tie order irrelevant to the selected values).  Month indices and
+    cent sums are exact integers; each slope is one shared float
+    division, the median one shared avg, rounded 6 dp."""
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    m = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.months_between(
+                F.date_trunc("month", F.col("o_orderdate")),
+                F.lit("1992-01-01").cast("date"),
+            ).cast("bigint").alias("x")
+        )
+        .agg(F.sum(cents).cast("decimal(38,0)").alias("yc"))
+    )
+    a = m.select(F.col("x").alias("xa"), F.col("yc").alias("ya"))
+    b = m.select(F.col("x").alias("xb"), F.col("yc").alias("yb"))
+    slopes = a.join(b, F.col("xa") < F.col("xb")).select(
+        (
+            (F.col("yb").cast("double") - F.col("ya").cast("double"))
+            / (100.0 * (F.col("xb") - F.col("xa")))
+        ).alias("slope")
+    )
+    # month-pair grain: calendar-bounded (≈3.5k rows), never data-grain
+    wr = Window.orderBy("slope")
+    r = slopes.select(
+        "slope",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("c"),
+    )
+    mid = r.filter(
+        (F.col("rk") == F.floor((F.col("c") + 1) / 2))
+        | (F.col("rk") == F.floor((F.col("c") + 2) / 2))
+    )
+    return mid.agg(
+        F.max("c").cast("bigint").alias("n_slopes"),
+        F.round(F.avg("slope"), 6).alias("theil_sen_slope"),
+    )

@@ -134,6 +134,9 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
         # rolling WAU: day-spine range join, spine side calendar-
         # bounded, fan-out a constant 7
         "events_rolling_wau",
+        # Theil-Sen: non-equi self-join of the CALENDAR-BOUNDED month
+        # frame (~84 rows -> ~3.5k slope pairs), never data-grain
+        "forecast_theil_sen_trend",
         "range_join_price_bands", "theta_join_richer_customers",
         "mega2_geoenrich_bands",  # GeoEnrichIP range join: bounded broadcast
         "flowfile_expiration_ttl", "similarity_cosine_topk",
@@ -541,6 +544,9 @@ def test_no_global_window_on_data_grain_frames():
         # Kaplan-Meier risk/survival cumulatives: day-grain duration
         # table, bounded by the calendar span, not the data
         ("registry_stats.py", '"duration"'): "day-grain KM table",
+        # Theil-Sen: month-PAIR grain slope frame (~3.5k rows,
+        # calendar-bounded squared), rank-select median
+        ("registry_stats.py", '"slope"'): "month-pair slope frame",
         ("llm/sketch.py", "F.lit(1)"): "fixed histogram-bin table total",
     }
     pkg_root = pathlib.Path(apache_nifi_spark.__file__).parent
