@@ -1569,3 +1569,107 @@ def iceberg_rewrite_compacted_q(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("doc_id").cast("long").alias("id_sum"),
     )
+
+
+_DELTA_CDF_STAGE: dict[str, str] = {}
+
+
+def _staged_delta_cdf(spark, sf_dir):
+    """Delta table with Change Data Feed: v0 adds documents [0,300)
+    (plain add — the reader's DERIVED-insert path), v1 is a COW MERGE
+    with cdc files (the EXPLICIT path): doc_id % 10 == 0 rows update
+    lang to 'xx' (pre+postimage), % 10 == 5 rows delete, [300,350)
+    insert."""
+    if sf_dir in _DELTA_CDF_STAGE:
+        return _DELTA_CDF_STAGE[sf_dir]
+    import glob
+    import tempfile
+
+    from apache_nifi_spark.sources.deltalog import (
+        delta_commit_cdf,
+        write_commit,
+    )
+
+    root = tempfile.mkdtemp(prefix="anspark_deltacdf_")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    base = docs.filter(F.col("doc_id") < 300)
+    base.coalesce(1).write.parquet(f"{root}/base")
+    p0 = glob.glob(f"{root}/base/part-*.parquet")[0]
+    rel0 = os.path.relpath(p0, root)
+    write_commit(root, 0, [
+        {"metaData": {"id": "anspark-cdf"}},
+        {"add": {"path": rel0, "size": os.path.getsize(p0),
+                 "dataChange": True}},
+    ])
+    upd = F.col("doc_id") % 10 == 0
+    dele = F.col("doc_id") % 10 == 5
+    pre = base.filter(upd)
+    post = pre.withColumn("lang", F.lit("xx"))
+    deleted = base.filter(dele)
+    ins = docs.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 350)
+    )
+    new_snap = (
+        base.filter(~upd & ~dele).unionByName(post).unionByName(ins)
+    )
+    ct = lambda df, t: df.withColumn("_change_type", F.lit(t))
+    cdc = (
+        ct(pre, "update_preimage")
+        .unionByName(ct(post, "update_postimage"))
+        .unionByName(ct(deleted, "delete"))
+        .unionByName(ct(ins, "insert"))
+    )
+    delta_commit_cdf(spark, root, 1, [rel0], new_snap, cdc)
+    _DELTA_CDF_STAGE[sf_dir] = root
+    return root
+
+
+@register(
+    "delta_change_feed_read",
+    oracle="""
+    SELECT 'insert' AS change_type, CAST(0 AS BIGINT) AS commit_version,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents WHERE doc_id < 300
+    UNION ALL
+    SELECT 'update_preimage', 1, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(doc_id) AS BIGINT)
+    FROM documents WHERE doc_id < 300 AND doc_id % 10 = 0
+    UNION ALL
+    SELECT 'update_postimage', 1, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(doc_id) AS BIGINT)
+    FROM documents WHERE doc_id < 300 AND doc_id % 10 = 0
+    UNION ALL
+    SELECT 'delete', 1, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(doc_id) AS BIGINT)
+    FROM documents WHERE doc_id < 300 AND doc_id % 10 = 5
+    UNION ALL
+    SELECT 'insert', 1, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(doc_id) AS BIGINT)
+    FROM documents WHERE doc_id >= 300 AND doc_id < 350
+    """,
+)
+def delta_change_feed_q(spark, sf_dir):
+    """CHANGE DATA FEED read (delta.io PROTOCOL.md "Add CDC File" —
+    ``table_changes`` / ``readChangeFeed``, the downstream-incremental
+    contract every medallion pipeline consumes): version 0's plain add
+    reads through the spec's DERIVATION rule (add→insert rows), while
+    version 1's COW MERGE carries explicit ``cdc`` files under
+    ``_change_data/`` whose ``_change_type`` rows — update_preimage /
+    update_postimage / delete / insert — are the complete change
+    statement (nothing derived from its add/remove set, which would
+    double-count the rewrite).  Grouped counts + id sums per
+    (change_type, version) against the arithmetic oracle prove both
+    read paths and the pre/post pairing.  sources/deltalog.py
+    ``delta_commit_cdf`` / ``read_delta_changes``."""
+    from apache_nifi_spark.sources.deltalog import read_delta_changes
+
+    root = _staged_delta_cdf(spark, sf_dir)
+    ch = read_delta_changes(spark, root, 0, 1)
+    return ch.groupBy(
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").cast("bigint").alias("commit_version"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )

@@ -39,6 +39,8 @@ __all__ = [
     "delta_delete_rows",
     "delta_optimize",
     "delta_vacuum",
+    "delta_commit_cdf",
+    "read_delta_changes",
 ]
 
 
@@ -497,3 +499,134 @@ def delta_vacuum(
         if os.path.exists(p):
             os.remove(p)
     return doomed
+
+
+def delta_commit_cdf(
+    spark: SparkSession,
+    table_path: str,
+    version: int,
+    remove_paths: list[str],
+    add_df: DataFrame | None,
+    cdc_df: DataFrame | None,
+) -> int:
+    """Commit one COW change WITH a Change Data Feed (delta.io
+    PROTOCOL.md "Add CDC File" / ``delta.enableChangeDataFeed``): the
+    rewritten snapshot lands as ordinary ``add``/``remove`` actions,
+    and the row-level change record — ``cdc_df`` carrying the spec's
+    ``_change_type`` column (insert / update_preimage /
+    update_postimage / delete) — lands under ``_change_data/`` behind
+    a ``cdc`` action.  Per spec, when a commit carries ANY cdc action
+    readers derive NOTHING from its add/remove set; the cdc files are
+    the complete change statement.  Returns ``version``."""
+    actions: list[dict] = []
+    for p in remove_paths:
+        actions.append({"remove": {"path": p, "dataChange": True}})
+    if add_df is not None:
+        import glob
+
+        sub = f"data-{version:020d}"
+        add_df.coalesce(1).write.parquet(os.path.join(table_path, sub))
+        for fp in sorted(
+            glob.glob(os.path.join(table_path, sub, "part-*.parquet"))
+        ):
+            actions.append(
+                {
+                    "add": {
+                        "path": os.path.relpath(fp, table_path),
+                        "size": os.path.getsize(fp),
+                        "dataChange": True,
+                    }
+                }
+            )
+    if cdc_df is not None:
+        import glob
+
+        sub = os.path.join("_change_data", f"cdc-{version:020d}")
+        cdc_df.coalesce(1).write.parquet(os.path.join(table_path, sub))
+        for fp in sorted(
+            glob.glob(os.path.join(table_path, sub, "part-*.parquet"))
+        ):
+            actions.append(
+                {
+                    "cdc": {
+                        "path": os.path.relpath(fp, table_path),
+                        "size": os.path.getsize(fp),
+                        "dataChange": False,
+                    }
+                }
+            )
+    write_commit(table_path, version, actions)
+    return version
+
+
+def read_delta_changes(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """CHANGE DATA FEED read (``table_changes`` /
+    ``readChangeFeed``): every row-level change committed in
+    [from_version, to_version], each with the spec's ``_change_type``
+    plus ``_commit_version``.
+
+    Per commit: when cdc actions exist they are the COMPLETE change
+    statement (read those files, nothing derived); otherwise the spec's
+    derivation rule applies — ``add(dataChange=true)`` files read as
+    ``insert`` rows, ``remove(dataChange=true)`` files read as
+    ``delete`` rows (their bytes must still exist, i.e. not yet
+    VACUUMed — the documented retention coupling).  dataChange=false
+    commits (OPTIMIZE) contribute nothing, which is exactly why the
+    flag exists.  Control-plane: one commit-file JSON parse per
+    version; all row reads are parquet scans."""
+    log_dir = os.path.join(table_path, "_delta_log")
+    versions = sorted(
+        int(f[:-5]) for f in os.listdir(log_dir) if f.endswith(".json")
+    )
+    hi = to_version if to_version is not None else versions[-1]
+    parts: list[DataFrame] = []
+    for v in versions:
+        if not (from_version <= v <= hi):
+            continue
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as f:
+            acts = [json.loads(ln) for ln in f if ln.strip()]
+        cdc = [a["cdc"]["path"] for a in acts if "cdc" in a]
+        if cdc:
+            df = spark.read.parquet(
+                *[os.path.join(table_path, p) for p in cdc]
+            )
+            parts.append(df.withColumn("_commit_version", F.lit(v)))
+            continue
+        adds = [
+            a["add"]["path"]
+            for a in acts
+            if "add" in a and a["add"].get("dataChange", True)
+            and not a["add"].get("deletionVector")
+        ]
+        removes = [
+            a["remove"]["path"]
+            for a in acts
+            if "remove" in a and a["remove"].get("dataChange", True)
+        ]
+        if adds:
+            parts.append(
+                spark.read.parquet(
+                    *[os.path.join(table_path, p) for p in adds]
+                )
+                .withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_version", F.lit(v))
+            )
+        if removes:
+            parts.append(
+                spark.read.parquet(
+                    *[os.path.join(table_path, p) for p in removes]
+                )
+                .withColumn("_change_type", F.lit("delete"))
+                .withColumn("_commit_version", F.lit(v))
+            )
+    if not parts:
+        raise ValueError("no changes in the requested version range")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1181,3 +1181,64 @@ def test_delta_optimize_vacuum_lifecycle(spark, tmp_path):
     assert sorted(
         r["id"] for r in read_delta_snapshot(spark, root).collect()
     ) == sorted(set(range(150)) - {50, 51})
+
+def test_delta_change_data_feed_paths(spark, tmp_path):
+    """CDF reader: derived inserts/deletes from plain commits, explicit
+    cdc files when present (and ONLY those — no double-count from the
+    rewrite's add/remove), dataChange=false OPTIMIZE commits invisible,
+    version-range bounds honored."""
+    import glob
+    import os
+
+    from apache_nifi_spark.sources.deltalog import (
+        delta_commit_cdf,
+        delta_optimize,
+        read_delta_changes,
+        write_commit,
+    )
+
+    root = str(tmp_path / "tbl")
+    spark.range(0, 10).coalesce(1).write.parquet(f"{root}/f0")
+    p0 = os.path.relpath(glob.glob(f"{root}/f0/part-*.parquet")[0], root)
+    write_commit(root, 0, [{"add": {"path": p0, "size": 1,
+                                    "dataChange": True}}])
+    # v1: explicit CDF merge — id 3 updated (pre+post), id 7 deleted
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, 10)
+    new_snap = base.filter("id not in (3, 7)").unionByName(
+        spark.createDataFrame([(103,)], "id long")
+    )
+    cdc = (
+        spark.createDataFrame(
+            [(3, "update_preimage"), (103, "update_postimage"),
+             (7, "delete")],
+            "id long, _change_type string",
+        )
+    )
+    delta_commit_cdf(spark, root, 1, [p0], new_snap, cdc)
+    ch = read_delta_changes(spark, root, 0, 1)
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"])
+        for r in ch.collect()
+    )
+    want = sorted(
+        [(0, "insert", i) for i in range(10)]
+        + [(1, "update_preimage", 3), (1, "update_postimage", 103),
+           (1, "delete", 7)]
+    )
+    assert got == want
+    # v2: OPTIMIZE (trivially: two-file table) — must be CDF-invisible
+    spark.range(200, 205).coalesce(1).write.parquet(f"{root}/f2")
+    p2 = os.path.relpath(glob.glob(f"{root}/f2/part-*.parquet")[0], root)
+    write_commit(root, 2, [{"add": {"path": p2, "size": 1,
+                                    "dataChange": True}}])
+    delta_optimize(spark, root)  # v3, dataChange=false
+    try:
+        read_delta_changes(spark, root, 3, 3)
+        raise AssertionError("OPTIMIZE commit leaked into the change feed")
+    except ValueError:
+        pass
+    # range bound: v2 alone shows only its insert
+    only2 = read_delta_changes(spark, root, 2, 2)
+    assert sorted(r["id"] for r in only2.collect()) == list(range(200, 205))
