@@ -3774,3 +3774,156 @@ def forecast_theil_sen_trend_q(spark, sf_dir):
         F.max("c").cast("bigint").alias("n_slopes"),
         F.round(F.avg("slope"), 6).alias("theil_sen_slope"),
     )
+
+
+@register(
+    "search_ndcg_eval",
+    oracle="""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, unnest(
+               list_filter(regexp_split_to_array(lower(text),
+                                                 '[^a-z0-9'']+'),
+                           x -> x != '')) AS token
+      FROM documents WHERE doc_id < 600
+    ), dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dlen FROM tok GROUP BY 1
+    ), st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dlen) AS BIGINT) AS total_len
+      FROM dl
+    ), q AS (SELECT unnest(['data', 'spark', 'pipeline']) AS token),
+    tf AS (
+      SELECT t.doc_id, t.token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok t JOIN q ON q.token = t.token GROUP BY 1, 2
+    ), df AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT tf.doc_id,
+             CAST(SUM(CAST(
+               ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                  / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+               * (CAST(tf AS DOUBLE) * 2.2)
+               / (CAST(tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dlen AS DOUBLE)
+                                  * CAST(n_docs AS DOUBLE)
+                                  / CAST(total_len AS DOUBLE)))
+               AS DECIMAL(28,9))) AS DECIMAL(38,9)) AS score,
+             CAST(COUNT(*) AS INT) AS rel
+      FROM tf JOIN df ON df.token = tf.token
+             JOIN dl ON dl.doc_id = tf.doc_id, st
+      GROUP BY tf.doc_id
+    ), ranked AS (
+      SELECT rel, row_number() OVER (ORDER BY score DESC, doc_id) AS i
+      FROM scored
+    ), ideal AS (
+      SELECT rel, row_number() OVER (ORDER BY rel DESC, 1) AS i
+      FROM scored
+    ), dcg AS (
+      SELECT SUM((pow(2.0, rel) - 1.0) / (ln(i + 1.0) / ln(2.0)))
+               AS dcg
+      FROM ranked WHERE i <= 10
+    ), idcg AS (
+      SELECT SUM((pow(2.0, rel) - 1.0) / (ln(i + 1.0) / ln(2.0)))
+               AS idcg
+      FROM ideal WHERE i <= 10
+    )
+    SELECT CAST((SELECT COUNT(*) FROM scored) AS BIGINT) AS n_candidates,
+           round(dcg, 6) AS dcg_10,
+           round(idcg, 6) AS idcg_10,
+           round(dcg / idcg, 6) AS ndcg_10
+    FROM dcg, idcg
+    """,
+)
+def search_ndcg_eval_q(spark, sf_dir):
+    """NDCG@10 retrieval evaluation (Järvelin & Kekäläinen 2002 — the
+    metric that closes the search tier: [inverted_index_postings]
+    builds the index, [search_bm25_scores] ranks, THIS grades the
+    ranking): documents scored by summed BM25 over the 3-term query —
+    per-term scores pinned to DECIMAL(28,9) so the query-level sum is
+    order-free and the ranking is deterministic under (score, doc_id)
+    — with graded relevance = distinct query terms matched.  DCG@10
+    uses the standard (2^rel − 1)/log₂(i+1) gains against the ideal
+    ordering.  Scale: candidate generation and scoring are the BM25
+    shapes; both cut-offs are ``orderBy().limit(10)`` —
+    Spark's distributed TakeOrdered (per-partition top-k + merge,
+    never a single-task sort) — with positions assigned by a window
+    over the already-limited 10-row frames."""
+    d = io.widen_if_narrow(
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 600)
+        .select("doc_id", "text")
+    )
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), r"[^a-z0-9']+", -1),
+                lambda t: t != "",
+            )
+        ).alias("token"),
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    st = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dlen").alias("total_len"),
+    )
+    q = F.array([F.lit(t) for t in ("data", "spark", "pipeline")])
+    tf = (
+        tok.filter(F.array_contains(q, F.col("token")))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    nd = F.col("n_docs").cast("double")
+    idf = F.log(
+        (nd - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+        + 1.0
+    )
+    tfd = F.col("tf").cast("double")
+    norm = 1.2 * (
+        0.25
+        + 0.75 * F.col("dlen").cast("double") * nd
+        / F.col("total_len").cast("double")
+    )
+    term = (idf * (tfd * 2.2) / (tfd + norm)).cast("decimal(28,9)")
+    scored = (
+        tf.join(df_, "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(st))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(term).cast("decimal(38,9)").alias("score"),
+            F.count(F.lit(1)).cast("int").alias("rel"),
+        )
+    )
+    # top-10 cutoffs: orderBy().limit() is Spark's distributed
+    # TakeOrdered (per-partition top-10 + merge — never a single-task
+    # sort of the candidate frame); the row_number windows below run
+    # over the ALREADY-LIMITED 10-row frames
+    wr = Window.orderBy(F.col("score").desc(), "doc_id")
+    wi = Window.orderBy(F.col("rel").desc())
+    gain = lambda i: (F.pow(2.0, F.col("rel")) - 1.0) / (
+        F.log(i + 1.0) / F.log(F.lit(2.0))
+    )
+    ranked = (
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+        .select("rel", F.row_number().over(wr).cast("double").alias("i"))
+    )
+    ideal = (
+        scored.orderBy(F.col("rel").desc())
+        .limit(10)
+        .select("rel", F.row_number().over(wi).cast("double").alias("i"))
+    )
+    dcg = ranked.agg(F.sum(gain(F.col("i"))).alias("dcg"))
+    idcg = ideal.agg(F.sum(gain(F.col("i"))).alias("idcg"))
+    n_cand = scored.agg(F.count(F.lit(1)).alias("n_candidates"))
+    return (
+        n_cand.join(F.broadcast(dcg)).join(F.broadcast(idcg)).select(
+            F.col("n_candidates").cast("bigint").alias("n_candidates"),
+            F.round("dcg", 6).alias("dcg_10"),
+            F.round("idcg", 6).alias("idcg_10"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_10"),
+        )
+    )

@@ -398,6 +398,10 @@ def test_no_broadcast_hint_on_corpus_cardinality_frames():
         ("registry_stats.py", "theta"): "1-row theta aggregate",
         # Kendall tau-b: 1-row n / within-cell-tie totals
         ("registry_stats.py", "diag"): "1-row n/tie totals aggregate",
+        # NDCG: 1-row corpus stats / DCG / IDCG aggregates
+        ("registry_stats.py", "st"): "1-row corpus stats aggregate",
+        ("registry_stats.py", "dcg"): "1-row DCG aggregate",
+        ("registry_stats.py", "idcg"): "1-row IDCG aggregate",
     }
     pkg_root = pathlib.Path(apache_nifi_spark.__file__).parent
     offenders = []
@@ -547,6 +551,12 @@ def test_no_global_window_on_data_grain_frames():
         # Theil-Sen: month-PAIR grain slope frame (~3.5k rows,
         # calendar-bounded squared), rank-select median
         ("registry_stats.py", '"slope"'): "month-pair slope frame",
+        # NDCG: row_number over the ALREADY-LIMITED 10-row top-k
+        # frames (the cutoff itself is a distributed TakeOrdered)
+        ("registry_stats.py", 'F.col("score").desc(), "doc_id"'):
+            "window over a limit-10 frame",
+        ("registry_stats.py", 'F.col("rel").desc()'):
+            "window over a limit-10 frame",
         ("llm/sketch.py", "F.lit(1)"): "fixed histogram-bin table total",
     }
     pkg_root = pathlib.Path(apache_nifi_spark.__file__).parent
