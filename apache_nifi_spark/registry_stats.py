@@ -3927,3 +3927,63 @@ def search_ndcg_eval_q(spark, sf_dir):
             F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_10"),
         )
     )
+
+
+@register(
+    "hypertable_ohlc_candles",
+    oracle="""
+    WITH e AS (
+      SELECT user_id % 8 AS series,
+             date_trunc('day', ts) AS bucket,
+             CAST(value AS DOUBLE) AS v,
+             printf('%020d-%010d', CAST(epoch_us(ts) AS BIGINT),
+                    event_id) AS k
+      FROM events
+    )
+    SELECT series, CAST(bucket AS VARCHAR) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           min_by(v, k) AS open,
+           CAST(max(v) AS DOUBLE) AS high,
+           CAST(min(v) AS DOUBLE) AS low,
+           max_by(v, k) AS close
+    FROM e GROUP BY 1, 2
+    """,
+)
+def hypertable_ohlc_candles_q(spark, sf_dir):
+    """OHLC candlestick rollup (the ``ohlc()`` hyperfunction — the
+    finance/monitoring downsample beside [hypertable_m4_downsample]:
+    M4 keeps the extremes for PLOTTING, OHLC keeps first/last for
+    DELTA semantics): per (series, day), open = value at the earliest
+    (ts, event_id), close at the latest, high/low the extremes — one
+    map-side-combinable agg via ``min_by``/``max_by`` with a composite
+    deterministic tiebreak — a zero-padded (epoch-micros, event_id)
+    string key whose lexicographic order IS the numeric order, so
+    equal timestamps cannot flip the candle.
+    Values pass through as raw doubles (no arithmetic — selection
+    aggregates are bit-exact by construction).  At 100 TB this is the
+    continuous-aggregate leaf the rollup cascade
+    [stream_hypertable_rollup] materializes."""
+    ev = _t(spark, sf_dir, "events")
+    key = F.format_string(
+        "%020d-%010d",
+        F.unix_micros(F.col("ts").cast("timestamp")),
+        F.col("event_id"),
+    )
+    v = F.col("value").cast("double")
+    return (
+        ev.select(
+            (F.col("user_id") % 8).alias("series"),
+            F.date_trunc("day", F.col("ts")).cast("date").cast("string")
+            .alias("bucket"),
+            v.alias("v"),
+            key.alias("k"),
+        )
+        .groupBy("series", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min_by("v", "k").alias("open"),
+            F.max("v").alias("high"),
+            F.min("v").alias("low"),
+            F.max_by("v", "k").alias("close"),
+        )
+    )
