@@ -2568,8 +2568,10 @@ def stats_welch_ttest_q(spark, sf_dir):
         .groupBy(F.col("o_orderstatus").alias("grp"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(cents).cast("decimal(38,0)").alias("s"),
-            F.sum(cents * cents).cast("decimal(38,0)").alias("ss"),
+            # cast each term BEFORE the sum: a long Σ of cent-squares
+            # overflows past ~4M rows (caught by the sf0.1 probe)
+            F.sum(cents.cast("decimal(38,0)")).alias("s"),
+            F.sum((cents * cents).cast("decimal(38,0)")).alias("ss"),
         )
     )
     pick = lambda grp, col: F.max(
@@ -3362,14 +3364,18 @@ def text_textrank_keywords_q(spark, sf_dir):
     a = tv.select(
         "doc_id", F.col("tok").alias("s"), F.col("ord").alias("oa")
     )
+    # ±2 window as TWO SHIFTED EQUI-JOINS on (doc_id, ordinal): a join
+    # on doc_id alone with a band filter is doc-QUADRATIC (t² pairs per
+    # doc before the filter — measured 4.9 s at sf0.1, unbounded on a
+    # long document); the shifted copies keep fan-out ≤ 2 per token
     b = tv.select(
-        "doc_id", F.col("tok").alias("d"), F.col("ord").alias("ob")
+        "doc_id",
+        F.col("tok").alias("d"),
+        F.explode(
+            F.array(F.col("ord") - 1, F.col("ord") - 2)
+        ).alias("oa"),
     )
-    pr = a.join(b, "doc_id").filter(
-        (F.col("ob") > F.col("oa"))
-        & (F.col("ob") <= F.col("oa") + 2)
-        & (F.col("s") != F.col("d"))
-    )
+    pr = a.join(b, ["doc_id", "oa"]).filter(F.col("s") != F.col("d"))
     edges = pr.select("s", "d").unionAll(
         pr.select(F.col("d").alias("s"), F.col("s").alias("d"))
     )
@@ -3545,8 +3551,12 @@ def events_markov_stationary_q(spark, sf_dir):
     o = ev.select(
         "event_type", F.lead("event_type").over(w).alias("nxt")
     ).filter(F.col("nxt").isNotNull())
-    tc = o.groupBy(F.col("event_type").alias("cur"), "nxt").agg(
-        F.count(F.lit(1)).alias("n")
+    tc = (
+        o.groupBy(F.col("event_type").alias("cur"), "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # |types|²-row chain matrix: pin it so the three power
+        # iterations never replay the event-grain lead() window
+        .localCheckpoint(eager=False)
     )
     tot = tc.groupBy("cur").agg(F.sum("n").alias("t"))
     states = tc.select(F.col("cur").alias("s")).distinct()
