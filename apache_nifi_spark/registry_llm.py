@@ -3703,27 +3703,31 @@ def listen_smtp_q(spark, sf_dir):
         F.lit(" priority "),
         F.col("o_orderpriority"),
     )
-    # Deliver over a FIXED 8-connection pool: the scan-side partition
-    # count is the wrong delivery concurrency in BOTH directions — the
-    # default session gives ~43 partitions (43 connections + Python
-    # workers for 1 364 messages), the bench's packed-scan config gives
-    # ONE (a fully serial RFC 5321 dialogue — profiled r13: that serial
-    # hop was the query's 2.6 s wall).  A deterministic hash
-    # repartition on the recipient pins the pool size to the MTA's
-    # concurrency budget, a server-side constant independent of data
-    # partitioning (keyed, not round-robin — task retries re-send the
-    # same partition, not a reshuffled one).
+    # Deliver over a VOLUME-SIZED connection pool, capped by the MTA's
+    # concurrency budget: the scan-side partition count is the wrong
+    # delivery concurrency in BOTH directions — the default session
+    # gives ~43 partitions (43 connections + Python workers for 1 364
+    # messages), the bench's packed-scan config gives ONE (a fully
+    # serial RFC 5321 dialogue — profiled r13: that serial hop was the
+    # query's 2.6 s wall).  Measured r15: 8 connections are optimal at
+    # sf0.1 (task setup dominates; 16/24 were slower) but the dialogue
+    # dominates at 10× messages (26 s at sf1 on 8) — so the pool scales
+    # ~1 connection per 400 recipients between 8 and the 32-connection
+    # budget.  Deterministic hash repartition on the recipient (keyed,
+    # not round-robin — task retries re-send the same partition).
+    n_msgs = o.count()  # control-plane scalar, already scanned below
+    pool = max(8, min(32, n_msgs // 400))
     rendered = o.select(
         F.lit("noreply@engine.local").alias("from_addr"),
         to.alias("to_addr"),
         wire.email_mime(
             "noreply@engine.local", to, subject, F.col("o_orderdate"), body
         ).cast("binary").alias("message"),
-    ).repartition(8, "to_addr")
+    ).repartition(pool, "to_addr")
     landing = tempfile.mkdtemp(prefix="anspark_smtp_")
     srv = _shared_smtp(landing)
     n = put_smtp(rendered, "127.0.0.1", srv.port).filter("delivered").count()
-    assert n == o.count()
+    assert n == n_msgs
     deadline = time.monotonic() + 15
     while time.monotonic() < deadline:
         if len(glob.glob(f"{landing}/*.eml")) >= n:
@@ -3733,7 +3737,14 @@ def listen_smtp_q(spark, sf_dir):
         raise TimeoutError("landing zone incomplete")
     from apache_nifi_spark.sources import read_binary_files
 
-    landed = read_binary_files(spark, landing, glob="*.eml").select("content")
+    landed = (
+        read_binary_files(spark, landing, glob="*.eml")
+        .select("content")
+        # binaryFile splits by per-file open cost (~8 tiny files/task →
+        # 1 705 tasks at sf1; the scan, not the dialogue, was the 10×
+        # wall) — coalesce to a bounded task count, no shuffle
+        .coalesce(64)
+    )
     parsed = parse_email_headers(landed, "content", envelope=True)
     return parsed.select("env_from", "env_to", "subject", "body_text")
 

@@ -3946,8 +3946,7 @@ def search_ndcg_eval_q(spark, sf_dir):
       SELECT user_id % 8 AS series,
              date_trunc('day', ts) AS bucket,
              CAST(value AS DOUBLE) AS v,
-             printf('%020d-%010d', CAST(epoch_us(ts) AS BIGINT),
-                    event_id) AS k
+             CAST(epoch_us(ts) AS HUGEINT) * 4294967296 + event_id AS k
       FROM events
     )
     SELECT series, CAST(bucket AS VARCHAR) AS bucket,
@@ -3966,18 +3965,19 @@ def hypertable_ohlc_candles_q(spark, sf_dir):
     DELTA semantics): per (series, day), open = value at the earliest
     (ts, event_id), close at the latest, high/low the extremes — one
     map-side-combinable agg via ``min_by``/``max_by`` with a composite
-    deterministic tiebreak — a zero-padded (epoch-micros, event_id)
-    string key whose lexicographic order IS the numeric order, so
-    equal timestamps cannot flip the candle.
+    deterministic tiebreak — the exact integer key
+    micros·2³² + event_id (DECIMAL(38,0) / HUGEINT), so equal
+    timestamps cannot flip the candle and no per-row string
+    materializes.
     Values pass through as raw doubles (no arithmetic — selection
     aggregates are bit-exact by construction).  At 100 TB this is the
     continuous-aggregate leaf the rollup cascade
     [stream_hypertable_rollup] materializes."""
     ev = _t(spark, sf_dir, "events")
-    key = F.format_string(
-        "%020d-%010d",
-        F.unix_micros(F.col("ts").cast("timestamp")),
-        F.col("event_id"),
+    key = (
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("decimal(38,0)")
+        * 4294967296
+        + F.col("event_id")
     )
     v = F.col("value").cast("double")
     return (
