@@ -137,6 +137,9 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
         # Theil-Sen: non-equi self-join of the CALENDAR-BOUNDED month
         # frame (~84 rows -> ~3.5k slope pairs), never data-grain
         "forecast_theil_sen_trend",
+        # NDCG: keyless joins of three 1-row aggregates (corpus stats,
+        # DCG, IDCG) - bounded by construction
+        "search_ndcg_eval",
         "range_join_price_bands", "theta_join_richer_customers",
         "mega2_geoenrich_bands",  # GeoEnrichIP range join: bounded broadcast
         "flowfile_expiration_ttl", "similarity_cosine_topk",
