@@ -3636,6 +3636,7 @@ def generate_record_q(spark, sf_dir):
 
 
 _SMTP_SHARED = None
+_SMTP_MSG_COUNT: dict[str, int] = {}
 
 
 def _shared_smtp(landing: str):
@@ -3715,7 +3716,9 @@ def listen_smtp_q(spark, sf_dir):
     # ~1 connection per 400 recipients between 8 and the 32-connection
     # budget.  Deterministic hash repartition on the recipient (keyed,
     # not round-robin — task retries re-send the same partition).
-    n_msgs = o.count()  # control-plane scalar, already scanned below
+    if sf_dir not in _SMTP_MSG_COUNT:
+        _SMTP_MSG_COUNT[sf_dir] = o.count()  # control-plane scalar
+    n_msgs = _SMTP_MSG_COUNT[sf_dir]
     pool = max(8, min(32, n_msgs // 400))
     rendered = o.select(
         F.lit("noreply@engine.local").alias("from_addr"),
