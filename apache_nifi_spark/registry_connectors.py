@@ -1673,3 +1673,88 @@ def delta_change_feed_q(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("doc_id").cast("long").alias("id_sum"),
     )
+
+
+_ICEBERG_MANIFEST_STAGE: dict[str, str] = {}
+
+
+def _staged_iceberg_manifests(spark, sf_dir):
+    """Fragmented-metadata fixture for rewrite_manifests: documents
+    [0,400) in four files across two partitions, committed with
+    PER-ENTRY manifests (the accumulate-per-commit layout a streaming
+    writer produces), plus a position-delete commit (doc_id % 13 == 2
+    ordinals of file 0), then the metadata compaction — which must
+    shrink the manifest list while changing nothing a reader sees."""
+    if sf_dir in _ICEBERG_MANIFEST_STAGE:
+        return _ICEBERG_MANIFEST_STAGE[sf_dir]
+    import glob
+    import tempfile
+
+    from apache_nifi_spark.sources.iceberg import (
+        iceberg_commit,
+        iceberg_rewrite_manifests,
+    )
+
+    root = tempfile.mkdtemp(prefix="anspark_icemanifests_")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    added = []
+    for k in range(4):
+        (
+            docs.filter(
+                (F.col("doc_id") >= k * 100) & (F.col("doc_id") < k * 100 + 100)
+            )
+            .coalesce(1)
+            .sortWithinPartitions("doc_id")  # ordinal = doc_id - k*100
+            .write.mode("overwrite")
+            .parquet(f"{root}/f{k}")
+        )
+        p = glob.glob(f"{root}/f{k}/part-*.parquet")[0]
+        added.append({"file_path": p, "partition": f"p{k % 2}",
+                      "record_count": 100,
+                      "file_size_in_bytes": os.path.getsize(p)})
+    iceberg_commit(root, 951, added=added, max_entries_per_manifest=1)
+    iceberg_commit(
+        root, 952, added=[],
+        position_deletes={added[0]["file_path"]:
+                          [d for d in range(0, 100) if d % 13 == 2]},
+        max_entries_per_manifest=1,
+    )
+    _v, before, after = iceberg_rewrite_manifests(root, 953)
+    assert before == 5 and after == 3, (before, after)
+    _ICEBERG_MANIFEST_STAGE[sf_dir] = root
+    return root
+
+
+@register(
+    "iceberg_rewrite_manifests_read",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    WHERE doc_id < 400
+      AND NOT (doc_id < 100 AND doc_id % 13 = 2)
+    GROUP BY lang
+    """,
+)
+def iceberg_rewrite_manifests_q(spark, sf_dir):
+    """Snapshot read after rewrite_manifests (Iceberg's METADATA
+    compaction — completing the maintenance trio beside
+    [iceberg_rewrite_compacted_read] and [iceberg_snapshot_expiry_read]:
+    a streaming writer's per-commit manifests make every planner pass
+    open O(commits) Avro files; the action re-commits the live entries
+    into one manifest per (partition, content) group): the staged
+    fragmented layout (5 per-entry manifests) compacts to 3 — asserted
+    in staging — while the read stays byte-identical THROUGH the
+    surviving position deletes, whose preserved sequence numbers keep
+    applying to the older data files.  Equality with the arithmetic
+    complement proves metadata moved, rows did not.
+    sources/iceberg.py ``iceberg_rewrite_manifests``."""
+    from apache_nifi_spark.sources.iceberg import read_iceberg_snapshot
+
+    root = _staged_iceberg_manifests(spark, sf_dir)
+    snap = read_iceberg_snapshot(spark, root)
+    return snap.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )

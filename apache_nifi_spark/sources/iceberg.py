@@ -52,6 +52,7 @@ __all__ = [
     "iceberg_add_column",
     "iceberg_expire_snapshots",
     "iceberg_rewrite_data_files",
+    "iceberg_rewrite_manifests",
     "iceberg_active_files",
     "read_iceberg_snapshot",
 ]
@@ -903,3 +904,29 @@ def iceberg_rewrite_data_files(
         added=added,
         deleted=[r["file_path"] for r in inputs],
     )
+
+
+def iceberg_rewrite_manifests(
+    table_path: str, snapshot_id: int
+) -> tuple[int, int, int]:
+    """rewrite_manifests (Iceberg's metadata-compaction action — the
+    third maintenance operation beside :func:`iceberg_rewrite_data_files`
+    and :func:`iceberg_expire_snapshots`): real streaming writers
+    append small manifests per commit (modeled here by
+    ``max_entries_per_manifest`` splits), so the manifest LIST grows
+    and every planner pass opens them all; this action re-commits the
+    CURRENT snapshot's live entries into one manifest per (partition,
+    content, spec) — the grouping the partition-summary pruning needs —
+    without touching any data or delete file.  Sequence numbers ride
+    inside each data_file and are preserved verbatim, so delete
+    applicability cannot shift.
+
+    Pure metadata, driver-side O(entries) — the same scale the
+    writer's carry-forward already handles.  Returns
+    (new_version, manifests_before, manifests_after)."""
+    before = len(_manifest_list_paths_from(_load_metadata(table_path), None))
+    version = iceberg_commit(table_path, snapshot_id, added=[])
+    after = len(
+        _manifest_list_paths_from(_load_metadata(table_path), None)
+    )
+    return version, before, after

@@ -1242,3 +1242,47 @@ def test_delta_change_data_feed_paths(spark, tmp_path):
     # range bound: v2 alone shows only its insert
     only2 = read_delta_changes(spark, root, 2, 2)
     assert sorted(r["id"] for r in only2.collect()) == list(range(200, 205))
+
+def test_iceberg_rewrite_manifests_compacts_metadata(spark, tmp_path):
+    """rewrite_manifests: a fragmented layout (per-entry manifests via
+    max_entries_per_manifest=1) compacts to one manifest per
+    (partition, content) group; reads are byte-identical, partition
+    pruning still skips the other group's manifest, sequence numbers
+    survive so deletes still apply."""
+    import glob
+    import os
+
+    from apache_nifi_spark.sources.iceberg import (
+        iceberg_active_files,
+        iceberg_commit,
+        iceberg_rewrite_manifests,
+        read_iceberg_snapshot,
+    )
+
+    root = str(tmp_path / "tbl")
+    added = []
+    for k in range(6):
+        spark.range(k * 10, k * 10 + 10).coalesce(1)\
+            .sortWithinPartitions("id").write.parquet(f"{root}/f{k}")
+        p = glob.glob(f"{root}/f{k}/part-*.parquet")[0]
+        added.append({"file_path": p, "partition": f"p{k % 2}",
+                      "record_count": 10,
+                      "file_size_in_bytes": os.path.getsize(p)})
+    iceberg_commit(root, 1, added=added, max_entries_per_manifest=1)
+    iceberg_commit(root, 2, added=[],
+                   position_deletes={added[0]["file_path"]: [0]},
+                   max_entries_per_manifest=1)
+    pre = sorted(r["id"] for r in read_iceberg_snapshot(spark, root).collect())
+    assert pre == sorted(set(range(60)) - {0})
+    v, before, after = iceberg_rewrite_manifests(root, 3)
+    # 6 data + 1 delete per-entry manifests -> one per (partition, content)
+    assert before == 7 and after == 3, (before, after)
+    post = sorted(r["id"] for r in read_iceberg_snapshot(spark, root).collect())
+    assert post == pre
+    # partition pruning still resolves exactly p1's files
+    p1 = iceberg_active_files(spark, root, partition="p1").collect()
+    assert sorted(r["file_path"] for r in p1) == sorted(
+        a["file_path"] for a in added if a["partition"] == "p1")
+    # sequence numbers preserved: the delete (seq 2) still applies to
+    # the seq-1 data file after the rewrite
+    assert 0 not in post
