@@ -117,8 +117,10 @@ from apache_nifi_spark.llm.multimodal import (  # noqa: F401
     parse_mpeg_audio,
     decode_audio_container_meta,
     decode_image_png_meta,
+    encode_avi_skeleton,
     encode_png_skeleton,
     ima_adpcm_decode,
+    parse_avi_metadata,
     encode_tiff,
     parse_png_metadata,
     parse_tiff_metadata,

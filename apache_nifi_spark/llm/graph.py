@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank_fixed_point", "triangle_counts"]
+__all__ = ["pagerank_fixed_point", "triangle_counts", "kcore_membership", "link_prediction_scores"]
 
 #: fixed-point rank scale (ranks are ints at 1e-6 units)
 _SCALE = 1_000_000
@@ -257,4 +257,55 @@ def link_prediction_scores(
             ).alias("jaccard"),
             F.round(F.col("aa").cast("double"), 6).alias("adamic_adar"),
         )
+    )
+
+
+def kcore_membership(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Exact k-CORE membership (Seidman 1983 — the standard graph
+    curation gate: nodes surviving repeated deletion of everything
+    with degree < k; a near-dup cluster's k-core is its reliable
+    center, the periphery is noise): synchronous peeling to the TRUE
+    fixpoint — per round, one degree aggregation over the surviving
+    undirected edge set and one semi-join filter; stops when a round
+    deletes nothing (the driver reads only the per-round edge COUNT, a
+    control-plane scalar, exactly the components-fixpoint discipline).
+    Each round's survivor set is localCheckpoint-pinned so plan depth
+    stays constant.  Returns (node, degree_in_core).
+
+    Scale: every round is a hash agg + keyed join over the current
+    edge set, which only SHRINKS; rounds are bounded by ``max_rounds``
+    (peeling depth, not data size — real graphs converge in tens)."""
+    e = (
+        edges.select(F.col(src_col).alias("_a"), F.col(dst_col).alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    prev = e.count()  # control-plane: one scalar per round
+    for _ in range(max_rounds):
+        adj = e.select(F.col("_a").alias("n")).unionAll(
+            e.select(F.col("_b").alias("n"))
+        )
+        deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("dg"))
+        keep = deg.filter(F.col("dg") >= k).select("n")
+        e = (
+            e.join(keep.withColumnRenamed("n", "_a"), "_a", "left_semi")
+            .join(keep.withColumnRenamed("n", "_b"), "_b", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+        cur = e.count()  # control-plane: one scalar per round
+        if cur == prev:
+            break
+        prev = cur
+    adj = e.select(F.col("_a").alias("node")).unionAll(
+        e.select(F.col("_b").alias("node"))
+    )
+    return adj.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree_in_core")
     )

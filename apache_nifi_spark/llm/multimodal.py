@@ -1931,3 +1931,79 @@ def ima_adpcm_decode(payload: bytes, n_samples: int) -> list[int]:
         idx = max(0, min(88, idx + _IMA_INDEX[code & 7]))
         out.append(pred)
     return out
+
+
+def encode_avi_skeleton(
+    width: int,
+    height: int,
+    fps_us: int,
+    total_frames: int,
+    n_streams: int = 1,
+) -> bytes:
+    """Spec-valid AVI metadata skeleton (RIFF 'AVI ' with the required
+    hdrl LIST carrying avih + one strl LIST per stream; movi LIST left
+    empty — frame payloads are the documented codec seam, exactly the
+    TIFF/PNG policy)."""
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    avih = struct.pack(
+        "<14I",
+        fps_us,            # dwMicroSecPerFrame
+        0, 0, 0x10,        # maxbytes, padding, flags(HASINDEX)
+        total_frames,      # dwTotalFrames
+        0, n_streams, 0,   # initialframes, streams, sugbufsize
+        width, height,     # dwWidth, dwHeight
+        0, 0, 0, 0,        # reserved
+    )
+    strls = b""
+    for i in range(n_streams):
+        strh = struct.pack(
+            "<4s4sIHHIIIIIIIIhhhh",
+            b"vids", b"RAW ", 0, 0, 0, 0,
+            1, 30 + i,            # dwScale / dwRate → fps
+            0, total_frames, 0, 0xFFFFFFFF, 0,
+            0, 0, width, height,
+        )
+        strls += lst(b"strl", chunk(b"strh", strh))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strls)
+    movi = lst(b"movi", b"")
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def parse_avi_metadata(payload: bytes):
+    """(width, height, fps_us, total_frames, n_streams, n_lists) from a
+    RIFF/AVI container — the avih main header plus a count of strl
+    stream lists; None for non-AVI payloads or a truncated header."""
+    if len(payload) < 24 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    pos, n_lists, n_strl, avih = 12, 0, 0, None
+    stack = [(12, len(payload))]
+
+    def walk(start: int, end: int) -> None:
+        nonlocal n_lists, n_strl, avih
+        pos = start
+        while pos + 8 <= end:
+            fourcc = payload[pos : pos + 4]
+            (ln,) = struct.unpack_from("<I", payload, pos + 4)
+            body = pos + 8
+            if fourcc == b"LIST" and ln >= 4:
+                kind = payload[body : body + 4]
+                n_lists += 1
+                if kind == b"strl":
+                    n_strl += 1
+                walk(body + 4, min(end, body + ln))
+            elif fourcc == b"avih" and ln >= 40:
+                avih = struct.unpack_from("<10I", payload, body)
+            pos = body + ln + (ln % 2)
+
+    walk(12, len(payload))
+    if avih is None:
+        return None
+    fps_us, _mb, _pad, _flags, frames, _init, streams, _sb, w, h = avih
+    return (w, h, fps_us, frames, streams, n_lists, n_strl)

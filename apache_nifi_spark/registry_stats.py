@@ -3997,3 +3997,185 @@ def hypertable_ohlc_candles_q(spark, sf_dir):
             F.max_by("v", "k").alias("close"),
         )
     )
+
+
+def _kcore_oracle(k: int = 4, rounds: int = 8) -> str:
+    """Unrolled peeling twin of llm/graph.kcore_membership over the
+    customer→supplier link graph: ``rounds`` fixed deletion rounds —
+    strictly more than the fixture's measured peeling depth, so the
+    last rounds are no-ops and the result IS the fixpoint (a converged
+    round changes nothing, making extra rounds idempotent)."""
+    blocks = [
+        """e0 AS MATERIALIZED (
+      SELECT DISTINCT least(o_custkey, l_suppkey + 1000000) AS a,
+             greatest(o_custkey, l_suppkey + 1000000) AS b
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE l_orderkey % 17 = 0
+    )"""
+    ]
+    for t in range(1, rounds + 1):
+        blocks.append(
+            f"""d{t} AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+        SELECT a AS n FROM e{t - 1}
+        UNION ALL SELECT b FROM e{t - 1}
+      ) GROUP BY n
+    ),
+    k{t} AS (SELECT n FROM d{t} WHERE dg >= {k}),
+    e{t} AS MATERIALIZED (
+      SELECT e.a, e.b FROM e{t - 1} e
+      JOIN k{t} ka ON ka.n = e.a
+      JOIN k{t} kb ON kb.n = e.b
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + f"""
+    SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS degree_in_core FROM (
+      SELECT a AS n FROM e{rounds} UNION ALL SELECT b FROM e{rounds}
+    ) GROUP BY n"""
+    )
+
+
+@register("graph_kcore_membership", oracle=_kcore_oracle())
+def graph_kcore_membership_q(spark, sf_dir):
+    """Exact 4-CORE of the customer→supplier link graph (Seidman 1983
+    — the graph-curation gate beside [graph_triangle_counts] and
+    [graph_link_prediction]: the k-core of a near-dup cluster is its
+    reliable center): synchronous peeling to the TRUE fixpoint — per
+    round one degree agg over the shrinking undirected edge set and
+    one semi-join filter, converged when a round deletes nothing (the
+    driver reads only the per-round edge count; the components-
+    fixpoint discipline).  The oracle unrolls MORE rounds than the
+    fixture's peeling depth — converged rounds are idempotent, so its
+    result is the same fixpoint.  llm/graph.kcore_membership."""
+    from apache_nifi_spark.llm.graph import kcore_membership
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 17 == 0
+    ).select("l_orderkey", "l_suppkey")
+    edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + 1_000_000).alias("dst"),
+    )
+    return kcore_membership(edges, k=4)
+
+
+@register(
+    "events_path_trigrams",
+    oracle="""
+    WITH o AS (
+      SELECT event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), t AS (
+      SELECT e1 || '>' || e2 || '>' || e3 AS path,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM o WHERE e3 IS NOT NULL GROUP BY 1
+    )
+    SELECT path, n,
+           round(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS share
+    FROM t WHERE n >= 20
+    """,
+)
+def events_path_trigrams_q(spark, sf_dir):
+    """Journey path trigrams (the Sankey/flow diagram behind every
+    product-analytics funnel explorer — [events_transition_matrix] is
+    its first-order marginal): per user, each event with its next two
+    under ONE hash partitioning (both leads share the window frame),
+    trigram counts map-side-combinable, share normalized over the
+    |types|³-bounded trigram frame (control-plane window).  The n ≥ 20
+    floor keeps the readout at dashboard grain; one float division,
+    6 dp."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    t = o.groupBy(
+        F.concat_ws(">", "e1", "e2", "e3").alias("path")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return t.select(
+        "path",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy()),
+            6,
+        ).alias("share"),
+    ).filter(F.col("n") >= 20)
+
+
+@register(
+    "multimodal_video_avi_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(160 + 16 * (doc_id % 50) AS INT) AS width,
+           CAST(120 + 8 * (doc_id % 40) AS INT) AS height,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 33333 WHEN 1 THEN 41708
+                ELSE 16667 END AS BIGINT) AS fps_us,
+           CAST(100 + doc_id % 900 AS BIGINT) AS total_frames,
+           CAST(1 + doc_id % 2 AS INT) AS n_streams,
+           CAST(3 + doc_id % 2 AS INT) AS n_lists
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def multimodal_video_avi_q(spark, sf_dir):
+    """RIFF/AVI container walk (the third video container beside
+    MP4/ISO-BMFF and Matroska/WebM — AVI is what archival and capture
+    pipelines still emit): spec-valid skeletons with the required hdrl
+    LIST (avih main header + one strl per stream) and an empty movi
+    LIST synthesize executor-side (llm/multimodal.encode_avi_skeleton),
+    and the parser walks the nested LIST tree back out — dimensions,
+    µs-per-frame (30/24/60 fps cycling), frame and stream counts, LIST
+    census (3 + streams: hdrl, movi, strl×n).  Frame payloads stay the
+    documented codec seam, as in every container row.  Arrow-batched
+    mapInPandas both ways; the oracle recomputes every field
+    arithmetically."""
+    import pandas as pd  # noqa: F811
+
+    from apache_nifi_spark.llm import encode_avi_skeleton, parse_avi_metadata
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "fps_us": [],
+                   "total_frames": [], "n_streams": [], "n_lists": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                blob = encode_avi_skeleton(
+                    width=160 + 16 * (d % 50),
+                    height=120 + 8 * (d % 40),
+                    fps_us=[33333, 41708, 16667][d % 3],
+                    total_frames=100 + d % 900,
+                    n_streams=1 + d % 2,
+                )
+                meta = parse_avi_metadata(blob)
+                if meta is None:
+                    continue
+                w, h, fps, frames, streams, n_lists, _n_strl = meta
+                out["doc_id"].append(d)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["fps_us"].append(fps)
+                out["total_frames"].append(frames)
+                out["n_streams"].append(streams)
+                out["n_lists"].append(n_lists)
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(
+        synth,
+        "doc_id long, width int, height int, fps_us long,"
+        " total_frames long, n_streams int, n_lists int",
+    )

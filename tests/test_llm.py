@@ -2524,3 +2524,24 @@ def test_ima_adpcm_decoder_reference_vectors():
     # alternating extremes never escape int16
     out = ima_adpcm_decode(bytes([0xF7] * 40), 80)
     assert all(-32768 <= v <= 32767 for v in out)
+
+
+def test_kcore_peels_to_true_fixpoint(spark):
+    """k-core must peel CASCADES (a long path has every node at deg 2
+    mid-chain but still fully dissolves at k=2 only if... no — a path's
+    endpoints peel first, re-exposing their neighbors round after
+    round; the 2-core of a pure path is EMPTY while a cycle survives
+    intact), which distinguishes a true fixpoint from one bounded
+    round."""
+    from apache_nifi_spark.llm.graph import kcore_membership
+
+    path = [(i, i + 1) for i in range(12)]             # dissolves at k=2
+    cycle = [(100 + i, 100 + (i + 1) % 6) for i in range(6)]  # survives
+    pendant = [(100, 200)]                             # peels, core stays
+    e = spark.createDataFrame(path + cycle + pendant, "src long, dst long")
+    core = {r["node"]: r["degree_in_core"]
+            for r in kcore_membership(e, k=2).collect()}
+    assert set(core) == {100 + i for i in range(6)}
+    assert all(v == 2 for v in core.values())
+    # k above the max degree -> empty core, no crash
+    assert kcore_membership(e, k=10).count() == 0
