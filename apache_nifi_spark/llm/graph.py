@@ -282,7 +282,14 @@ def kcore_membership(
     edge set, which only SHRINKS; rounds are bounded by ``max_rounds``
     (peeling depth, not data size — real graphs converge in tens)."""
     e = (
-        edges.select(F.col(src_col).alias("_a"), F.col(dst_col).alias("_b"))
+        edges.select(
+            # canonicalize the undirected edge so (a,b) and (b,a) collapse
+            # to ONE row before distinct — matching link_prediction_scores
+            # and the oracle's least/greatest dedup; without this a
+            # both-directions edge list doubles every degree.
+            F.least(F.col(src_col), F.col(dst_col)).alias("_a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("_b"),
+        )
         .filter(F.col("_a") != F.col("_b"))
         .distinct()
         .localCheckpoint(eager=False)

@@ -1982,12 +1982,17 @@ def parse_avi_metadata(payload: bytes):
     stream lists; None for non-AVI payloads or a truncated header."""
     if len(payload) < 24 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         return None
-    pos, n_lists, n_strl, avih = 12, 0, 0, None
+    n_lists, n_strl, avih = 0, 0, None
+    # Iterative walk with an explicit frame stack, capped — a crafted
+    # payload of deeply nested LIST headers must return None like every
+    # other malformed input, never RecursionError an executor.
     stack = [(12, len(payload))]
-
-    def walk(start: int, end: int) -> None:
-        nonlocal n_lists, n_strl, avih
-        pos = start
+    frames_budget = 4096
+    while stack:
+        frames_budget -= 1
+        if frames_budget < 0:
+            return None
+        pos, end = stack.pop()
         while pos + 8 <= end:
             fourcc = payload[pos : pos + 4]
             (ln,) = struct.unpack_from("<I", payload, pos + 4)
@@ -1997,12 +2002,10 @@ def parse_avi_metadata(payload: bytes):
                 n_lists += 1
                 if kind == b"strl":
                     n_strl += 1
-                walk(body + 4, min(end, body + ln))
+                stack.append((body + 4, min(end, body + ln)))
             elif fourcc == b"avih" and ln >= 40:
                 avih = struct.unpack_from("<10I", payload, body)
             pos = body + ln + (ln % 2)
-
-    walk(12, len(payload))
     if avih is None:
         return None
     fps_us, _mb, _pad, _flags, frames, _init, streams, _sb, w, h = avih

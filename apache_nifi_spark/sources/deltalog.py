@@ -577,8 +577,12 @@ def read_delta_changes(
     ``delete`` rows (their bytes must still exist, i.e. not yet
     VACUUMed — the documented retention coupling).  dataChange=false
     commits (OPTIMIZE) contribute nothing, which is exactly why the
-    flag exists.  Control-plane: one commit-file JSON parse per
-    version; all row reads are parquet scans."""
+    flag exists.  Merge-on-read DV commits (add-with-deletionVector +
+    remove, no cdc) derive by APPLYING the DV: only the ordinals newly
+    marked vs the predecessor snapshot's DV for the same file emit as
+    ``delete`` — never the whole removed file.  Control-plane: one
+    commit-file JSON parse per version; all row reads are parquet
+    scans."""
     log_dir = os.path.join(table_path, "_delta_log")
     versions = sorted(
         int(f[:-5]) for f in os.listdir(log_dir) if f.endswith(".json")
@@ -603,11 +607,86 @@ def read_delta_changes(
             if "add" in a and a["add"].get("dataChange", True)
             and not a["add"].get("deletionVector")
         ]
+        dv_adds = [
+            a["add"]
+            for a in acts
+            if "add" in a and a["add"].get("dataChange", True)
+            and a["add"].get("deletionVector")
+        ]
         removes = [
             a["remove"]["path"]
             for a in acts
             if "remove" in a and a["remove"].get("dataChange", True)
         ]
+        if dv_adds:
+            # Merge-on-read DML commit (add-with-DV + remove of the same
+            # path, no cdc action).  The naive derivation — every row of
+            # the removed file as 'delete' — is WRONG: surviving rows
+            # would appear deleted.  The true change set is exactly the
+            # ordinals newly marked in the add's DV, i.e. the add-DV
+            # positions minus whatever DV the same file carried in the
+            # predecessor snapshot (delta_delete_rows merges old+new).
+            dv_paths = {a["path"] for a in dv_adds}
+            removes = [p for p in removes if p not in dv_paths]
+            prior: dict[str, set[int]] = {}
+            try:
+                for r in delta_active_files(
+                    spark, table_path, v - 1
+                ).collect():  # control-plane: O(active files) manifest
+                    if r["dv"]:
+                        from apache_nifi_spark.sources.dv import (
+                            read_inline_dv,
+                        )
+
+                        prior[r["path"]] = set(
+                            read_inline_dv(json.loads(r["dv"]))
+                        )
+            except Exception:
+                prior = {}
+            from apache_nifi_spark.sources.dv import read_inline_dv
+
+            dv_file_rows = []
+            for a in dv_adds:
+                new_positions = sorted(
+                    set(read_inline_dv(a["deletionVector"]))
+                    - prior.get(a["path"], set())
+                )
+                if new_positions:
+                    dv_file_rows.append(
+                        (
+                            os.path.join(table_path, a["path"]),
+                            json.dumps(new_positions),
+                        )
+                    )
+            if dv_file_rows:
+                schema = spark.read.parquet(
+                    dv_file_rows[0][0]
+                ).schema  # footer-only
+                names = schema.fieldNames()
+
+                def take_rows(batches):
+                    import json as _json
+
+                    import pyarrow.parquet as _pq
+
+                    for pdf in batches:
+                        for path, posj in zip(pdf["path"], pdf["pos"]):
+                            t = _pq.read_table(path)
+                            pos = [
+                                p
+                                for p in _json.loads(posj)
+                                if p < t.num_rows
+                            ]
+                            yield t.take(pos).to_pandas()[names]
+
+                flist = spark.createDataFrame(
+                    dv_file_rows, "path string, pos string"
+                ).repartition(len(dv_file_rows))
+                parts.append(
+                    flist.mapInPandas(take_rows, schema)
+                    .withColumn("_change_type", F.lit("delete"))
+                    .withColumn("_commit_version", F.lit(v))
+                )
         if adds:
             parts.append(
                 spark.read.parquet(

@@ -875,7 +875,14 @@ def iceberg_rewrite_data_files(
     manifests (they may still apply to untouched data files); storage
     reclaim of the replaced inputs is :func:`iceberg_expire_snapshots`'
     job, so time travel below the compaction still reads the original
-    layout until expiry.  Returns the new metadata version."""
+    layout until expiry.
+
+    Compaction is PER PARTITION, as the reference RewriteDataFiles
+    action does: input files group by their partition tuple and each
+    group compacts to ≤``target_files`` outputs committed with the
+    REAL partition value — never a synthetic one, so partition-pruned
+    reads after compaction still resolve every original partition.
+    Returns the new metadata version."""
     import glob
 
     rows = iceberg_active_files(
@@ -884,20 +891,26 @@ def iceberg_rewrite_data_files(
     inputs = [r for r in rows if r["file_size_in_bytes"] < small_file_threshold]
     if len(inputs) <= target_files:
         raise ValueError("nothing to compact below the threshold")
-    df = _read_files_with_deletes(spark, table_path, inputs)
-    outdir = os.path.join(table_path, f"compacted-{snapshot_id}")
-    df.coalesce(target_files).write.parquet(outdir)
+    groups: dict[str, list] = {}
+    for r in inputs:
+        groups.setdefault(r["partition"], []).append(r)
     added = []
-    for i, p in enumerate(sorted(glob.glob(f"{outdir}/part-*.parquet"))):
-        n = spark.read.parquet(p).count()
-        added.append(
-            {
-                "file_path": p,
-                "partition": f"compact{i}",
-                "record_count": n,
-                "file_size_in_bytes": os.path.getsize(p),
-            }
+    for gi, (part_value, grp) in enumerate(sorted(groups.items())):
+        df = _read_files_with_deletes(spark, table_path, grp)
+        outdir = os.path.join(
+            table_path, f"compacted-{snapshot_id}-{gi}"
         )
+        df.coalesce(target_files).write.parquet(outdir)
+        for p in sorted(glob.glob(f"{outdir}/part-*.parquet")):
+            n = spark.read.parquet(p).count()
+            added.append(
+                {
+                    "file_path": p,
+                    "partition": part_value,
+                    "record_count": n,
+                    "file_size_in_bytes": os.path.getsize(p),
+                }
+            )
     return iceberg_commit(
         table_path,
         snapshot_id,

@@ -2545,3 +2545,16 @@ def test_kcore_peels_to_true_fixpoint(spark):
     assert all(v == 2 for v in core.values())
     # k above the max degree -> empty core, no crash
     assert kcore_membership(e, k=10).count() == 0
+    # an edge list carrying BOTH directions must canonicalize to one
+    # undirected edge before degree counting — (a,b)+(b,a) doubling
+    # every degree would wrongly keep the path's 2-core alive
+    both = path + [(b, a) for a, b in path]
+    e2 = spark.createDataFrame(both, "src long, dst long")
+    assert kcore_membership(e2, k=2).count() == 0
+    cyc2 = spark.createDataFrame(
+        cycle + [(b, a) for a, b in cycle], "src long, dst long"
+    )
+    core2 = {r["node"]: r["degree_in_core"]
+             for r in kcore_membership(cyc2, k=2).collect()}
+    assert set(core2) == {100 + i for i in range(6)}
+    assert all(v == 2 for v in core2.values())

@@ -1243,6 +1243,40 @@ def test_delta_change_data_feed_paths(spark, tmp_path):
     only2 = read_delta_changes(spark, root, 2, 2)
     assert sorted(r["id"] for r in only2.collect()) == list(range(200, 205))
 
+def test_delta_change_feed_dv_commit_derives_only_marked_rows(
+    spark, tmp_path
+):
+    """CDF over a merge-on-read DV delete (add-with-deletionVector +
+    remove, no cdc): the change set must be EXACTLY the ordinals newly
+    marked in the DV — not every row of the removed file (which would
+    report surviving rows as deleted) — and a second DV commit on the
+    same file must emit only the incremental ordinals, not the merged
+    bitmap."""
+    import glob
+    import os
+
+    from apache_nifi_spark.sources.deltalog import (
+        delta_delete_rows,
+        read_delta_changes,
+        write_commit,
+    )
+
+    root = str(tmp_path / "tbl")
+    spark.range(0, 20).coalesce(1).write.parquet(f"{root}/f0")
+    p0 = os.path.relpath(glob.glob(f"{root}/f0/part-*.parquet")[0], root)
+    write_commit(root, 0, [{"add": {"path": p0, "size": 1,
+                                    "dataChange": True}}])
+    delta_delete_rows(spark, root, {p0: [2, 5]})        # v1
+    delta_delete_rows(spark, root, {p0: [5, 11]})       # v2 (5 already)
+    ch1 = read_delta_changes(spark, root, 1, 1).collect()
+    assert sorted((r["_change_type"], r["id"]) for r in ch1) == [
+        ("delete", 2), ("delete", 5)]
+    ch2 = read_delta_changes(spark, root, 2, 2).collect()
+    assert sorted((r["_change_type"], r["id"]) for r in ch2) == [
+        ("delete", 11)]
+    full = read_delta_changes(spark, root, 0, 2)
+    assert full.filter("_change_type = 'delete'").count() == 3
+
 def test_iceberg_rewrite_manifests_compacts_metadata(spark, tmp_path):
     """rewrite_manifests: a fragmented layout (per-entry manifests via
     max_entries_per_manifest=1) compacts to one manifest per
@@ -1286,3 +1320,49 @@ def test_iceberg_rewrite_manifests_compacts_metadata(spark, tmp_path):
     # sequence numbers preserved: the delete (seq 2) still applies to
     # the seq-1 data file after the rewrite
     assert 0 not in post
+
+def test_iceberg_rewrite_data_files_preserves_partitions(spark, tmp_path):
+    """rewrite_data_files compacts WITHIN partitions and commits each
+    output with its real partition tuple — a partition-pruned read
+    after compaction must still resolve every original partition (the
+    r15 implementation committed synthetic 'compactN' partitions,
+    silently emptying pruned reads)."""
+    import glob
+    import os
+
+    from apache_nifi_spark.sources.iceberg import (
+        iceberg_active_files,
+        iceberg_commit,
+        iceberg_rewrite_data_files,
+        read_iceberg_snapshot,
+    )
+
+    root = str(tmp_path / "tbl")
+    added = []
+    for k in range(6):
+        spark.range(k * 10, k * 10 + 10).coalesce(1)\
+            .sortWithinPartitions("id").write.parquet(f"{root}/f{k}")
+        p = glob.glob(f"{root}/f{k}/part-*.parquet")[0]
+        added.append({"file_path": p, "partition": f"p{k % 2}",
+                      "record_count": 10,
+                      "file_size_in_bytes": os.path.getsize(p)})
+    iceberg_commit(root, 1, added=added)
+    iceberg_rewrite_data_files(spark, root, 2)
+    active = iceberg_active_files(spark, root).collect()
+    # one compacted file per partition, carrying the REAL values
+    assert sorted(r["partition"] for r in active) == ["p0", "p1"]
+    # partition-pruned read returns exactly that partition's rows
+    p0_files = iceberg_active_files(spark, root, partition="p0").collect()
+    assert len(p0_files) == 1
+    got = sorted(
+        r["id"]
+        for r in spark.read.parquet(p0_files[0]["file_path"]).collect()
+    )
+    want = sorted(
+        i for k in range(6) if k % 2 == 0 for i in range(k * 10, k * 10 + 10)
+    )
+    assert got == want
+    # full read is unchanged by the compaction
+    assert sorted(
+        r["id"] for r in read_iceberg_snapshot(spark, root).collect()
+    ) == list(range(60))
