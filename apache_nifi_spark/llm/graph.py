@@ -39,6 +39,7 @@ def pagerank_fixed_point(
     iters: int = 3,
     damping_num: int = 85,
     damping_den: int = 100,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """``iters`` rounds of integer-exact PageRank over a directed edge
     list (duplicate edges count as parallel links, the multigraph
@@ -46,9 +47,26 @@ def pagerank_fixed_point(
     1e-6, plus ``rank_frac`` as the double for presentation.
 
     Per round: r'(v) = floor(S·(den−num)/(den·N)) +
-    Σ_{u→v} (r(u)·num) div (den·outdeg(u)) — all integer ops."""
-    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
-    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    Σ_{u→v} (r(u)·num) div (den·outdeg(u)) — all integer ops.
+
+    ``weight_col``: integer edge multiplicity — bit-exact with the
+    multigraph (w parallel edges each contribute the same floored
+    share, so the sum is w · share and outdeg is Σw), while keeping
+    one ROW per distinct edge; the collapse is what lets callers
+    prune low-weight edges before the rounds."""
+    w = (
+        F.col(weight_col).cast("bigint")
+        if weight_col
+        else F.lit(1).cast("bigint")
+    )
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"),
+        w.alias("_w"),
+    ).localCheckpoint(eager=True)
+    # ^ EAGER: the edge list feeds deg, ej AND nodes — without the pin
+    #   the caller's (possibly expensive) edge lineage recomputes once
+    #   per consumer (measured 2× the TextRank pair join, the r15 wall).
+    deg = e.groupBy("_s").agg(F.sum("_w").alias("_deg"))
     # corpus-sized side partitioned by the join key ONCE; ranks meet it
     # exchange-free on their side of every iteration
     ej = (
@@ -79,7 +97,7 @@ def pagerank_fixed_point(
             .select(
                 F.col("_d").alias("_n"),
                 F.expr(
-                    f"(_r * {damping_num}) div ({damping_den} * _deg)"
+                    f"_w * ((_r * {damping_num}) div ({damping_den} * _deg))"
                 ).alias("_c"),
             )
             .groupBy("_n")

