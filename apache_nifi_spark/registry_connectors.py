@@ -1758,3 +1758,246 @@ def iceberg_rewrite_manifests_q(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("doc_id").cast("long").alias("id_sum"),
     )
+
+
+_DELTA_COLMAP_STAGE: dict[str, str] = {}
+
+
+def _staged_delta_colmap(spark, sf_dir):
+    """Column-mapped Delta table (``delta.columnMapping.mode=name``)
+    exercising the three operations the mode exists for, all WITHOUT
+    rewriting a byte of data:
+
+    - v0: schema (doc_id→col-1, lang→col-2, score→col-3), one file of
+      documents [0,200) with a doc-derived score, PHYSICAL names in the
+      parquet.
+    - v1: RENAME ``score``→``quality`` — a metaData-only commit; the
+      physicalName col-3 is unchanged.
+    - v2: second data file [200,400) written under the renamed schema
+      (same physical names — the mapping is stable across renames).
+    - v3: DROP ``quality`` and ADD ``bucket`` (fresh physical col-4) +
+      a third file [400,500) carrying col-4; the older files null-fill
+      it, and col-3's bytes remain on disk but are no longer projected.
+
+    Staging asserts the time-travel contract: at v0 the column reads as
+    ``score``, at v1–v2 as ``quality``, at HEAD it is gone."""
+    if sf_dir in _DELTA_COLMAP_STAGE:
+        return _DELTA_COLMAP_STAGE[sf_dir]
+    import glob
+    import json as _json
+    import tempfile
+
+    from apache_nifi_spark.sources.deltalog import (
+        read_delta_snapshot_mapped,
+        write_commit,
+    )
+
+    root = tempfile.mkdtemp(prefix="anspark_deltacolmap_")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+
+    def field(name, phys, typ="long"):
+        return {
+            "name": name, "type": typ, "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": int(phys.split("-")[1]),
+                "delta.columnMapping.physicalName": phys,
+            },
+        }
+
+    def meta(fields):
+        return {"metaData": {
+            "id": "anspark-colmap",
+            "format": {"provider": "parquet"},
+            "schemaString": _json.dumps(
+                {"type": "struct", "fields": fields}),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name"},
+        }}
+
+    rel = {}
+    for k, (lo, hi, with4) in enumerate(
+        [(0, 200, False), (200, 400, False), (400, 500, True)]
+    ):
+        d = docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).select(
+            F.col("doc_id").alias("col-1"),
+            F.col("lang").alias("col-2"),
+            *(
+                [(F.col("doc_id") % 10).alias("col-4")]
+                if with4
+                else [(F.col("doc_id") % 7).alias("col-3")]
+            ),
+        )
+        d.coalesce(1).write.mode("overwrite").parquet(f"{root}/f{k}")
+        rel[k] = os.path.relpath(
+            glob.glob(f"{root}/f{k}/part-*.parquet")[0], root
+        )
+
+    def add(k):
+        return {"add": {"path": rel[k], "size": os.path.getsize(
+            os.path.join(root, rel[k])), "dataChange": True}}
+
+    v0 = [field("doc_id", "col-1"), field("lang", "col-2", "string"),
+          field("score", "col-3")]
+    v1 = [field("doc_id", "col-1"), field("lang", "col-2", "string"),
+          field("quality", "col-3")]
+    v3 = [field("doc_id", "col-1"), field("lang", "col-2", "string"),
+          field("bucket", "col-4")]
+    write_commit(root, 0, [meta(v0), add(0)])
+    write_commit(root, 1, [meta(v1)])           # rename: metadata only
+    write_commit(root, 2, [add(1)])
+    write_commit(root, 3, [meta(v3), add(2)])   # drop + add + data
+    # time-travel contract across the rename/drop
+    assert read_delta_snapshot_mapped(spark, root, 0).columns == [
+        "doc_id", "lang", "score"]
+    assert read_delta_snapshot_mapped(spark, root, 2).columns == [
+        "doc_id", "lang", "quality"]
+    assert read_delta_snapshot_mapped(spark, root).columns == [
+        "doc_id", "lang", "bucket"]
+    _DELTA_COLMAP_STAGE[sf_dir] = root
+    return root
+
+
+@register(
+    "delta_column_mapping_read",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(CASE WHEN doc_id >= 400 THEN doc_id % 10 END)
+                AS BIGINT) AS bucket_sum,
+           CAST(SUM(CASE WHEN doc_id < 400 THEN doc_id % 7 END)
+                AS BIGINT) AS old_quality_sum
+    FROM documents WHERE doc_id < 500
+    GROUP BY lang
+    """,
+)
+def delta_column_mapping_q(spark, sf_dir):
+    """Snapshot + time-travel read under ``delta.columnMapping.mode=
+    name`` (PROTOCOL.md Column Mapping — rename/drop without rewrite:
+    parquet keeps PHYSICAL names like ``col-3`` forever; the effective
+    schemaString maps them to logical names per version): the staged
+    table renames ``score``→``quality`` (metadata-only), then drops it
+    and adds ``bucket`` under a fresh physical column.  The HEAD read
+    projects (doc_id, lang, bucket) — old files null-fill bucket — and
+    the v2 time travel still surfaces the dropped column's bytes as
+    ``quality``; summing both against the arithmetic oracle proves the
+    physical→logical projection reads the right bytes at every
+    version.  A schema field WITHOUT a physicalName raises (corrupt
+    metadata, pytest-gated).  sources/deltalog.py
+    ``read_delta_snapshot_mapped``."""
+    from apache_nifi_spark.sources.deltalog import (
+        read_delta_snapshot_mapped,
+    )
+
+    root = _staged_delta_colmap(spark, sf_dir)
+    head = read_delta_snapshot_mapped(spark, root)
+    old = read_delta_snapshot_mapped(spark, root, 2)
+    h = head.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+        F.sum("bucket").cast("long").alias("bucket_sum"),
+    )
+    o = old.groupBy("lang").agg(
+        F.sum("quality").cast("long").alias("old_quality_sum")
+    )
+    return h.join(o, "lang", "left").select(
+        "lang", "n", "id_sum", "bucket_sum", "old_quality_sum"
+    )
+
+
+_ICEBERG_DV_STAGE: dict[str, str] = {}
+
+
+def _staged_iceberg_dv(spark, sf_dir):
+    """Spec-v3 deletion-vector fixture: documents [0,400) in two files,
+    then (1) a DV commit marking doc_id % 11 == 5 ordinals of file 0,
+    (2) a SECOND DV commit for file 0 (doc_id % 13 == 1) plus a first
+    DV on file 1 (doc_id % 17 == 3 of its local ordinals) — the writer
+    must MERGE file 0's vectors into one puffin blob and supersede the
+    old container (at most one DV per data file, the v3 invariant) —
+    and (3) a third data file [400,500) added AFTER both DV commits,
+    untouched by them under the sequence rule.  Staging asserts exactly
+    one active puffin remains and that time travel to the first DV
+    commit applies only it."""
+    if sf_dir in _ICEBERG_DV_STAGE:
+        return _ICEBERG_DV_STAGE[sf_dir]
+    import glob
+    import tempfile
+
+    from apache_nifi_spark.sources.iceberg import (
+        iceberg_active_files,
+        iceberg_commit,
+        read_iceberg_snapshot,
+    )
+
+    root = tempfile.mkdtemp(prefix="anspark_icedv_")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    paths = {}
+    for k, (lo, hi) in enumerate([(0, 200), (200, 400), (400, 500)]):
+        (
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .coalesce(1)
+            .sortWithinPartitions("doc_id")  # ordinal = doc_id - lo
+            .write.mode("overwrite")
+            .parquet(f"{root}/f{k}")
+        )
+        paths[k] = glob.glob(f"{root}/f{k}/part-*.parquet")[0]
+
+    def add(k, n):
+        return [{"file_path": paths[k], "partition": f"p{k}",
+                 "record_count": n,
+                 "file_size_in_bytes": os.path.getsize(paths[k])}]
+
+    iceberg_commit(root, 801, added=add(0, 200) + add(1, 200))
+    iceberg_commit(root, 802, added=[], dv_deletes={
+        paths[0]: [d for d in range(200) if d % 11 == 5]})
+    iceberg_commit(root, 803, added=[], dv_deletes={
+        paths[0]: [d for d in range(200) if d % 13 == 1],
+        paths[1]: [d - 200 for d in range(200, 400) if d % 17 == 3]})
+    iceberg_commit(root, 804, added=add(2, 100))
+    act = iceberg_active_files(spark, root, content=1).collect()
+    assert len(act) == 1 and act[0]["file_path"].endswith(".puffin"), act
+    # time travel to 802 applies ONLY the first DV
+    n802 = read_iceberg_snapshot(spark, root, 802).count()
+    assert n802 == 400 - len([d for d in range(200) if d % 11 == 5])
+    _ICEBERG_DV_STAGE[sf_dir] = root
+    return root
+
+
+@register(
+    "iceberg_dv_read",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    WHERE doc_id < 500
+      AND NOT (doc_id < 200 AND (doc_id % 11 = 5 OR doc_id % 13 = 1))
+      AND NOT (doc_id >= 200 AND doc_id < 400 AND doc_id % 17 = 3)
+    GROUP BY lang
+    """,
+)
+def iceberg_dv_q(spark, sf_dir):
+    """Snapshot read through SPEC-V3 DELETION VECTORS (puffin-stored
+    roaring bitmaps replacing v2 position-delete parquets — the same
+    merge-on-read DML expressed as at-most-ONE vector per data file):
+    two DV commits against the same file MERGE into one blob (old ∪
+    new) and supersede the older puffin container — asserted in
+    staging, along with the sequence rule (a file added after the DV
+    commits reads untouched) and first-DV-only time travel.  The
+    reader parses the kilobyte puffin footers driver-side (CRC-checked)
+    and drops ordinals executor-side next to each file scan, exactly
+    the v2 position-delete shape.  Equality with the arithmetic
+    complement proves commit → puffin blob → bitmap → positional drop
+    is lossless across the merge.  sources/iceberg.py
+    ``write_puffin_dvs`` / ``iceberg_commit(dv_deletes=…)``."""
+    from apache_nifi_spark.sources.iceberg import read_iceberg_snapshot
+
+    root = _staged_iceberg_dv(spark, sf_dir)
+    snap = read_iceberg_snapshot(spark, root)
+    return snap.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )

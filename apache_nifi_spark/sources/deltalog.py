@@ -709,3 +709,96 @@ def read_delta_changes(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def delta_latest_metadata(
+    table_path: str, version: int | None = None
+) -> dict | None:
+    """The table's effective ``metaData`` action at ``version`` (or at
+    HEAD): the LAST metaData in commit order wins, exactly the spec's
+    reconciliation rule.  Control-plane — one JSON parse per commit
+    file, newest first, stopping at the first hit."""
+    log_dir = os.path.join(table_path, "_delta_log")
+    versions = sorted(
+        (int(f[:-5]) for f in os.listdir(log_dir) if f.endswith(".json")),
+        reverse=True,
+    )
+    for v in versions:
+        if version is not None and v > version:
+            continue
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as f:
+            acts = [json.loads(ln) for ln in f if ln.strip()]
+        for a in reversed(acts):
+            if "metaData" in a:
+                return a["metaData"]
+    return None
+
+
+def _column_mapping(meta: dict) -> list[tuple[str, str, str]] | None:
+    """(logical, physical, sql_type) triples for a
+    ``delta.columnMapping.mode=name`` table, or None when the table
+    does not use column mapping.  Raises on the corruption the mode
+    makes possible: a schema field WITHOUT a physicalName annotation
+    (a naive writer that appended a field by logical name) — reading
+    such a table by logical names silently returns wrong/no data, so
+    the reader must refuse."""
+    conf = (meta or {}).get("configuration", {}) or {}
+    mode = conf.get("delta.columnMapping.mode", "none")
+    if mode == "none":
+        return None
+    if mode != "name":
+        raise ValueError(f"unsupported columnMapping mode: {mode!r}")
+    fields = json.loads(meta["schemaString"])["fields"]
+    out = []
+    for fld in fields:
+        md = fld.get("metadata", {}) or {}
+        phys = md.get("delta.columnMapping.physicalName")
+        if not phys:
+            raise ValueError(
+                "columnMapping.mode=name but field "
+                f"{fld['name']!r} carries no physicalName — "
+                "corrupt metadata, refusing to guess"
+            )
+        out.append((fld["name"], phys, fld["type"]))
+    return out
+
+
+def read_delta_snapshot_mapped(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read honoring ``delta.columnMapping.mode=name``
+    (PROTOCOL.md "Column Mapping" — rename/drop columns WITHOUT
+    rewriting data: parquet files keep their PHYSICAL column names
+    forever; the schemaString maps each logical field to its
+    ``delta.columnMapping.physicalName``).  The effective metaData at
+    ``version`` drives the projection, so time travel across a rename
+    commit surfaces the OLD logical name below it and the new one
+    above — same bytes, different metadata, the point of the feature.
+    Files older than a column-add lack its physical column and
+    null-fill (``mergeSchema`` union of footers); dropped columns'
+    physical data is simply no longer projected.  Falls back to the
+    plain snapshot read when the table carries no mapping."""
+    meta = delta_latest_metadata(table_path, version)
+    mapping = _column_mapping(meta) if meta else None
+    if mapping is None:
+        return read_delta_snapshot(spark, table_path, version)
+    rows = delta_active_files(
+        spark, table_path, version
+    ).collect()  # control-plane: O(active files) manifest rows
+    if not rows:
+        raise ValueError("empty delta snapshot")
+    if any(r["dv"] for r in rows):
+        raise ValueError(
+            "column-mapped read with deletion vectors not supported"
+        )
+    df = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[os.path.join(table_path, r["path"]) for r in rows])
+    )
+    cols = []
+    for logical, phys, sql_type in mapping:
+        if phys in df.columns:
+            cols.append(F.col(phys).alias(logical))
+        else:
+            cols.append(F.lit(None).cast(sql_type).alias(logical))
+    return df.select(*cols)

@@ -55,6 +55,8 @@ __all__ = [
     "iceberg_rewrite_manifests",
     "iceberg_active_files",
     "read_iceberg_snapshot",
+    "write_puffin_dvs",
+    "read_puffin_dvs",
 ]
 
 MANIFEST_LIST_SCHEMA = {
@@ -139,6 +141,7 @@ def iceberg_commit(
     max_entries_per_manifest: int | None = None,
     position_deletes: dict[str, list[int]] | None = None,
     equality_deletes: tuple[list[str], list[tuple]] | None = None,
+    dv_deletes: dict[str, list[int]] | None = None,
 ) -> int:
     """Commit one snapshot: carry forward the previous snapshot's live
     files (rewritten as EXISTING entries, minus ``deleted`` paths which
@@ -289,6 +292,65 @@ def iceberg_commit(
                     "partition": "",
                     "record_count": len(pairs),
                     "file_size_in_bytes": os.path.getsize(dpath),
+                    "content": _CONTENT_POSITION_DELETES,
+                    "sequence_number": seq,
+                },
+                default_spec_id,
+            )
+        )
+    if dv_deletes:
+        # spec v3 DELETION VECTORS: one puffin file per commit, one
+        # deletion-vector-v1 blob per referenced data file.  The v3
+        # invariant is AT MOST ONE DV per data file in a snapshot — a
+        # new DV for a file carries the MERGED positions (old ∪ new)
+        # and supersedes the old puffin entry, so readers never union
+        # delete files per data file.
+        merged: dict[str, set[int]] = {
+            fp: set(int(p) for p in ps) for fp, ps in dv_deletes.items()
+        }
+        superseded: set[str] = set()
+        for e in entries:
+            dfrec = e[2]
+            if (
+                e[0] != _STATUS_DELETED
+                and dfrec.get("content") == _CONTENT_POSITION_DELETES
+                and dfrec.get("file_format") == "PUFFIN"
+            ):
+                prior = read_puffin_dvs(dfrec["file_path"])
+                if any(ref in merged for ref in prior):
+                    # rewrite the WHOLE old puffin: targets merge, the
+                    # untouched files' DVs carry into the new container
+                    for ref, (_ps, poss) in prior.items():
+                        merged.setdefault(ref, set()).update(poss)
+                    superseded.add(dfrec["file_path"])
+        if superseded:
+            entries = [
+                (
+                    _STATUS_DELETED if e[2]["file_path"] in superseded
+                    else e[0],
+                    e[1], e[2], e[3],
+                )
+                for e in entries
+            ]
+        ddir = os.path.join(table_path, "deletes")
+        os.makedirs(ddir, exist_ok=True)
+        ppath = os.path.join(ddir, f"dv-{snapshot_id}.puffin")
+        write_puffin_dvs(
+            ppath,
+            {fp: sorted(ps) for fp, ps in merged.items()},
+            snapshot_id,
+            seq,
+        )
+        entries.append(
+            (
+                _STATUS_ADDED,
+                snapshot_id,
+                {
+                    "file_path": ppath,
+                    "file_format": "PUFFIN",
+                    "partition": "",
+                    "record_count": sum(len(v) for v in merged.values()),
+                    "file_size_in_bytes": os.path.getsize(ppath),
                     "content": _CONTENT_POSITION_DELETES,
                     "sequence_number": seq,
                 },
@@ -791,14 +853,25 @@ def _read_files_with_deletes(
     fseq = {r["file_path"]: r["sequence_number"] for r in dfiles}
     if not files:
         raise ValueError("empty iceberg snapshot")
+    pos_rows = iceberg_active_files(
+        spark, table_path, snapshot_id,
+        content=_CONTENT_POSITION_DELETES,
+    ).collect()  # control-plane: O(delete files) manifest rows
     pos_deletes = [
         (r["file_path"], r["sequence_number"])
-        for r in iceberg_active_files(
-            spark, table_path, snapshot_id,
-            content=_CONTENT_POSITION_DELETES,
-        )
-        .collect()  # control-plane: O(delete files) manifest rows
+        for r in pos_rows
+        if not r["file_path"].endswith(".puffin")
     ]
+    # spec v3 puffin DVs: parse the (kilobyte-scale) footers driver-side
+    # into {referenced data file → (delete seq, ordinals)}; at most one
+    # DV per data file by the writer's supersede invariant
+    dv_map: dict[str, tuple[int, frozenset]] = {}
+    for r in pos_rows:
+        if r["file_path"].endswith(".puffin"):
+            for ref, (_bseq, poss) in read_puffin_dvs(
+                r["file_path"]
+            ).items():
+                dv_map[ref] = (int(r["sequence_number"]), frozenset(poss))
     eq_deletes = [
         (r["file_path"], r["sequence_number"])
         for r in iceberg_active_files(
@@ -809,7 +882,7 @@ def _read_files_with_deletes(
     ]
     ddl = _current_spark_schema(_load_metadata(table_path))
     reader = spark.read.schema(ddl) if ddl else spark.read
-    if not pos_deletes and not eq_deletes:
+    if not pos_deletes and not eq_deletes and not dv_map:
         return reader.parquet(*files)
     schema = reader.parquet(files[0]).schema  # footer-only
     names = schema.fieldNames()
@@ -827,6 +900,10 @@ def _read_files_with_deletes(
                         dfp, filters=[("file_path", "==", path)]
                     )
                     dels.update(t.column("pos").to_pylist())
+                if path in dv_map:
+                    dseq, poss = dv_map[path]
+                    if dseq >= seq:  # same rule as position deletes
+                        dels.update(poss)
                 t = _pq.read_table(path)
                 keep = [i for i in range(t.num_rows) if i not in dels]
                 out = t.take(keep).to_pandas()
@@ -943,3 +1020,117 @@ def iceberg_rewrite_manifests(
         _manifest_list_paths_from(_load_metadata(table_path), None)
     )
     return version, before, after
+
+
+# ---------------------------------------------------------------------
+# Spec v3: deletion vectors in PUFFIN files (Puffin spec + "Deletion
+# vectors" of the v3 table spec): a DV is a 64-bit roaring bitmap of
+# deleted row ordinals for ONE data file, stored as a blob inside a
+# puffin container and referenced from a delete manifest.  v3 replaces
+# per-commit position-delete parquets with at-most-ONE DV per data
+# file — a new DV for a file supersedes the old one (merged by the
+# writer), so readers never union delete files per data file.
+# ---------------------------------------------------------------------
+
+_PUFFIN_MAGIC = b"PFA1"
+#: shared Delta/Iceberg DV-blob magic (int32 LE 1681511377)
+_DV_BLOB_MAGIC = bytes([0xD1, 0xD3, 0x39, 0x64])
+_DV_BLOB_TYPE = "deletion-vector-v1"
+
+
+def write_puffin_dvs(
+    path: str,
+    dvs: dict[str, list[int]],
+    snapshot_id: int,
+    sequence_number: int,
+) -> dict[str, tuple[int, int]]:
+    """Write one puffin file with a ``deletion-vector-v1`` blob per
+    referenced data file.  Blob payload per the v3 spec: 4-byte
+    big-endian length of (magic + bitmap), the 4-byte DV magic, the
+    64-bit RoaringBitmapArray (portable), then a big-endian CRC-32 of
+    (magic + bitmap).  Footer: Magic, UTF-8 JSON FileMetadata, its
+    int32-LE size, 4 flag bytes (0 — uncompressed), Magic.  Returns
+    {referenced data file → (blob offset, blob length)}."""
+    import binascii
+    import struct as _struct
+
+    from apache_nifi_spark.sources.dv import rbm_array_serialize
+
+    blobs_meta = []
+    body = bytearray(_PUFFIN_MAGIC)
+    for ref in sorted(dvs):
+        bitmap = rbm_array_serialize(sorted(set(dvs[ref])))
+        inner = _DV_BLOB_MAGIC + bitmap
+        payload = (
+            _struct.pack(">I", len(inner))
+            + inner
+            + _struct.pack(">I", binascii.crc32(inner) & 0xFFFFFFFF)
+        )
+        off = len(body)
+        body += payload
+        blobs_meta.append(
+            {
+                "type": _DV_BLOB_TYPE,
+                "fields": [2147483546],  # reserved _deleted field id
+                "snapshot-id": snapshot_id,
+                "sequence-number": sequence_number,
+                "offset": off,
+                "length": len(payload),
+                "properties": {
+                    "referenced-data-file": ref,
+                    "cardinality": str(len(set(dvs[ref]))),
+                },
+            }
+        )
+    footer_json = json.dumps(
+        {"blobs": blobs_meta, "properties": {}}
+    ).encode()
+    body += (
+        _PUFFIN_MAGIC
+        + footer_json
+        + __import__("struct").pack("<I", len(footer_json))
+        + b"\x00\x00\x00\x00"
+        + _PUFFIN_MAGIC
+    )
+    with open(path, "wb") as f:
+        f.write(bytes(body))
+    return {
+        b["properties"]["referenced-data-file"]: (b["offset"], b["length"])
+        for b in blobs_meta
+    }
+
+
+def read_puffin_dvs(path: str) -> dict[str, tuple[int, set[int]]]:
+    """Parse a puffin DV file → {referenced data file →
+    (sequence_number, deleted ordinals)}.  Verifies the container
+    magics and every blob's CRC-32; raises on corruption (a wrong DV
+    silently resurrects or deletes rows)."""
+    import binascii
+    import struct as _struct
+
+    from apache_nifi_spark.sources.dv import rbm_array_deserialize
+
+    with open(path, "rb") as f:
+        raw = f.read()
+    if raw[:4] != _PUFFIN_MAGIC or raw[-4:] != _PUFFIN_MAGIC:
+        raise ValueError(f"not a puffin file: {path}")
+    (size,) = _struct.unpack("<I", raw[-12:-8])
+    footer = json.loads(raw[-12 - size : -12].decode())
+    out: dict[str, tuple[int, set[int]]] = {}
+    for b in footer["blobs"]:
+        if b["type"] != _DV_BLOB_TYPE:
+            continue
+        off, ln = b["offset"], b["length"]
+        payload = raw[off : off + ln]
+        (inner_len,) = _struct.unpack(">I", payload[:4])
+        inner = payload[4 : 4 + inner_len]
+        (crc,) = _struct.unpack(">I", payload[4 + inner_len : 8 + inner_len])
+        if inner[:4] != _DV_BLOB_MAGIC:
+            raise ValueError("bad DV blob magic")
+        if binascii.crc32(inner) & 0xFFFFFFFF != crc:
+            raise ValueError("DV blob CRC mismatch")
+        out[b["properties"]["referenced-data-file"]] = (
+            int(b["sequence-number"]),
+            rbm_array_deserialize(inner[4:]),
+        )
+    return out

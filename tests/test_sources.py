@@ -1366,3 +1366,135 @@ def test_iceberg_rewrite_data_files_preserves_partitions(spark, tmp_path):
     assert sorted(
         r["id"] for r in read_iceberg_snapshot(spark, root).collect()
     ) == list(range(60))
+
+def test_delta_column_mapping_refuses_missing_physical_name(spark, tmp_path):
+    """columnMapping.mode=name with a schema field lacking its
+    physicalName annotation is corrupt metadata — reading by logical
+    names would silently project nothing/wrong bytes, so the reader
+    must refuse loudly; an unmapped table falls back to the plain
+    snapshot read."""
+    import glob
+    import json
+    import os
+
+    from apache_nifi_spark.sources.deltalog import (
+        read_delta_snapshot_mapped,
+        write_commit,
+    )
+
+    root = str(tmp_path / "tbl")
+    spark.range(0, 10).selectExpr("id AS `col-1`").coalesce(1)\
+        .write.parquet(f"{root}/f0")
+    p0 = os.path.relpath(glob.glob(f"{root}/f0/part-*.parquet")[0], root)
+    bad_schema = {"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+    ]}
+    write_commit(root, 0, [
+        {"metaData": {"id": "x", "format": {"provider": "parquet"},
+                      "schemaString": json.dumps(bad_schema),
+                      "partitionColumns": [],
+                      "configuration": {
+                          "delta.columnMapping.mode": "name"}}},
+        {"add": {"path": p0, "size": 1, "dataChange": True}},
+    ])
+    try:
+        read_delta_snapshot_mapped(spark, root)
+        raise AssertionError("corrupt column-mapping metadata accepted")
+    except ValueError as e:
+        assert "physicalName" in str(e)
+    # unknown mapping modes refuse too
+    root2 = str(tmp_path / "tbl2")
+    spark.range(0, 5).coalesce(1).write.parquet(f"{root2}/f0")
+    p = os.path.relpath(glob.glob(f"{root2}/f0/part-*.parquet")[0], root2)
+    write_commit(root2, 0, [
+        {"metaData": {"id": "y",
+                      "schemaString": json.dumps(bad_schema),
+                      "configuration": {
+                          "delta.columnMapping.mode": "id"}}},
+        {"add": {"path": p, "size": 1, "dataChange": True}},
+    ])
+    try:
+        read_delta_snapshot_mapped(spark, root2)
+        raise AssertionError("unsupported mapping mode accepted")
+    except ValueError as e:
+        assert "mode" in str(e)
+    # no mapping configured -> plain snapshot read fallback
+    root3 = str(tmp_path / "tbl3")
+    spark.range(0, 7).coalesce(1).write.parquet(f"{root3}/f0")
+    p3 = os.path.relpath(glob.glob(f"{root3}/f0/part-*.parquet")[0], root3)
+    write_commit(root3, 0, [
+        {"metaData": {"id": "z"}},
+        {"add": {"path": p3, "size": 1, "dataChange": True}},
+    ])
+    assert read_delta_snapshot_mapped(spark, root3).count() == 7
+
+def test_iceberg_v3_puffin_deletion_vectors(spark, tmp_path):
+    """Spec v3 deletion vectors: a puffin-stored roaring DV drops
+    exactly its marked ordinals; a second DV commit for the same file
+    MERGES (old union new) and supersedes the old puffin (at most one
+    DV per data file — asserted via the active delete entries); data
+    added after a DV commit is untouched (sequence rule); snapshot
+    expiry physically reclaims the superseded puffin; a corrupted blob
+    CRC refuses loudly."""
+    import glob
+    import os
+
+    from apache_nifi_spark.sources.iceberg import (
+        iceberg_active_files,
+        iceberg_commit,
+        iceberg_expire_snapshots,
+        read_iceberg_snapshot,
+        read_puffin_dvs,
+    )
+
+    root = str(tmp_path / "tbl")
+    spark.range(0, 100).coalesce(1).sortWithinPartitions("id")\
+        .write.parquet(f"{root}/f0")
+    p0 = glob.glob(f"{root}/f0/part-*.parquet")[0]
+    iceberg_commit(root, 1, added=[{
+        "file_path": p0, "partition": "p0", "record_count": 100,
+        "file_size_in_bytes": os.path.getsize(p0)}])
+    iceberg_commit(root, 2, added=[], dv_deletes={p0: [3, 7, 50]})
+    got = sorted(r["id"] for r in read_iceberg_snapshot(spark, root).collect())
+    assert got == sorted(set(range(100)) - {3, 7, 50})
+    # second DV merges + supersedes: only ONE active puffin remains
+    iceberg_commit(root, 3, added=[], dv_deletes={p0: [7, 99]})
+    act = iceberg_active_files(spark, root, content=1).collect()
+    puffins = [r for r in act if r["file_path"].endswith(".puffin")]
+    assert len(puffins) == 1
+    _seq, poss = read_puffin_dvs(puffins[0]["file_path"])[p0]
+    assert poss == {3, 7, 50, 99}
+    got = sorted(r["id"] for r in read_iceberg_snapshot(spark, root).collect())
+    assert got == sorted(set(range(100)) - {3, 7, 50, 99})
+    # data added AFTER the DV commit is untouched by it (seq rule)
+    spark.range(100, 120).coalesce(1).write.parquet(f"{root}/f1")
+    p1 = glob.glob(f"{root}/f1/part-*.parquet")[0]
+    iceberg_commit(root, 4, added=[{
+        "file_path": p1, "partition": "p1", "record_count": 20,
+        "file_size_in_bytes": os.path.getsize(p1)}])
+    got = sorted(r["id"] for r in read_iceberg_snapshot(spark, root).collect())
+    assert got == sorted(set(range(120)) - {3, 7, 50, 99})
+    # time travel below the merge still applies only the FIRST DV
+    got2 = sorted(
+        r["id"] for r in read_iceberg_snapshot(spark, root, 2).collect())
+    assert got2 == sorted(set(range(100)) - {3, 7, 50})
+    # expiry of pre-merge snapshots reclaims the superseded puffin
+    old_puffin = os.path.join(root, "deletes", "dv-2.puffin")
+    assert os.path.exists(old_puffin)
+    res = iceberg_expire_snapshots(root, keep_ids=[4])
+    assert old_puffin in res["deleted_files"]
+    assert not os.path.exists(old_puffin)
+    live_puffin = os.path.join(root, "deletes", "dv-3.puffin")
+    assert os.path.exists(live_puffin)
+    got = sorted(r["id"] for r in read_iceberg_snapshot(spark, root).collect())
+    assert got == sorted(set(range(120)) - {3, 7, 50, 99})
+    # CRC corruption refuses loudly
+    raw = bytearray(open(live_puffin, "rb").read())
+    raw[10] ^= 0xFF
+    bad = str(tmp_path / "bad.puffin")
+    open(bad, "wb").write(bytes(raw))
+    try:
+        read_puffin_dvs(bad)
+        raise AssertionError("corrupt DV blob accepted")
+    except ValueError:
+        pass
