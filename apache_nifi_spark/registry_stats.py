@@ -4205,3 +4205,134 @@ def multimodal_video_avi_q(spark, sf_dir):
         "doc_id long, width int, height int, fps_us long,"
         " total_frames long, n_streams int, n_lists int",
     )
+
+
+def _mp2_oracle() -> str:
+    """Closed-form SQL twin of llm/mp2.mp2_decode_stats: replays the
+    same allocation/scalefactor/code formulas the encoder packs, then
+    the identical Q20 requantization, Q14 matrixing and Q15 windowed
+    overlap-add over the shared integer tables — every division
+    sign-split on non-negative magnitudes so Python floor-div and
+    DuckDB's truncating ``//`` agree bit-for-bit."""
+    from apache_nifi_spark.llm.mp2 import mp2_closed_form_plan
+
+    t = mp2_closed_form_plan()
+    return f"""
+    WITH p AS (SELECT doc_id AS d FROM documents WHERE doc_id < 48),
+    sfs(idx, sf) AS (VALUES {t['sf']}),
+    cosn(i, k, nv) AS (VALUES {t['cos']}),
+    win(j, tp, wv) AS (VALUES {t['win']}),
+    amap(ac, lv) AS (VALUES (0, 0), (1, 3), (2, 7), (3, 15)),
+    s0 AS (
+      SELECT p.d, tt.t, sb.sb, amap.lv, sfs.sf,
+             2 * ((p.d * 7 + sb.sb * 13 + tt.t * 3) % amap.lv)
+               - (amap.lv - 1) AS q
+      FROM p,
+           unnest(generate_series(0, 35)) tt(t),
+           unnest(generate_series(0, 7)) sb(sb)
+      JOIN amap ON amap.ac = (p.d + sb.sb) % 4
+      JOIN sfs ON sfs.idx =
+        (2 * p.d + 5 * sb.sb + 11 * ((tt.t // 3) // 4)) % 48
+      WHERE amap.lv > 0
+    ),
+    s AS (
+      SELECT d, t, sb,
+             CASE WHEN q < 0 THEN -((-q * sf) // (lv - 1))
+                  ELSE (q * sf) // (lv - 1) END AS sv
+      FROM s0
+    ),
+    v AS (
+      SELECT s.d, s.t, c.i, CAST(SUM(c.nv * s.sv) AS BIGINT) AS vv
+      FROM s JOIN cosn c ON c.k = s.sb
+      GROUP BY s.d, s.t, c.i
+    ),
+    g AS (
+      SELECT p.d, tt.t, jj.j
+      FROM p,
+           unnest(generate_series(0, 35)) tt(t),
+           unnest(generate_series(0, 31)) jj(j)
+    ),
+    o AS (
+      SELECT g.d, g.t, g.j,
+             CAST(SUM(win.wv * COALESCE(v.vv, 0)) AS BIGINT) AS acc
+      FROM g
+      JOIN win ON win.j = g.j
+      LEFT JOIN v ON v.d = g.d AND v.t = g.t - win.tp
+                 AND v.i = g.j + 32 * (win.tp % 2)
+      GROUP BY g.d, g.t, g.j
+    ),
+    od AS (
+      SELECT d,
+             CASE WHEN acc < 0 THEN -((-acc) // {t['descale']})
+                  ELSE acc // {t['descale']} END AS ov
+      FROM o
+    )
+    SELECT d AS doc_id,
+           CAST(CASE d % 3 WHEN 0 THEN 32 WHEN 1 THEN 48
+                ELSE 56 END AS INT) AS bitrate_kbps,
+           CAST(32000 AS INT) AS sample_rate_hz,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(ov) AS BIGINT) AS out_sum,
+           CAST(MIN(ov) AS BIGINT) AS out_min,
+           CAST(MAX(ov) AS BIGINT) AS out_max
+    FROM od GROUP BY d
+    """
+
+
+@register("multimodal_audio_mp2", oracle=_mp2_oracle())
+def multimodal_audio_mp2_q(spark, sf_dir):
+    """MPEG-1 Audio LAYER II decode (ISO/IEC 11172-3 — the perceptual
+    rung above [multimodal_audio_adpcm]: quantized SUBBAND coefficients
+    that only become PCM through the 32-band polyphase synthesis
+    filterbank): spec-valid single-channel frames synthesize
+    executor-side (real 32-bit header with the Layer II bitrate/
+    sample-rate tables, 2-bit allocations over the low-rate 8-subband
+    region, scfsi, 6-bit Table-B.1 scalefactors, GROUPED base-3
+    3-level codes and individual 3/4-bit codes), then decode back
+    through the full bit-level parse, Q20 requantization, Q14 cosine
+    matrixing and the 512-tap windowed overlap-add (the spec's X/U
+    FIFO indexing reduced to out(t,j) = Σₚ W[j+32p]·V_{t−p}[j+32(p%2)])
+    and reduce to exact integer stats.  The oracle replays the SAME
+    integer pipeline from the closed-form frame content over the
+    shared scalefactor/cosine/window tables — sample-exact equality
+    across requantize→matrix→window is the proof the filterbank state
+    machine is right.  Window coefficients are the documented
+    deterministic stand-in for ISO Table 3-B.3 (llm/mp2.py module
+    docstring); everything else is spec algebra.  Arrow-batched,
+    map-only at any scale."""
+    import pandas as pd  # noqa: F811
+
+    from apache_nifi_spark.llm.mp2 import (
+        encode_mp2_frame,
+        mp2_decode_stats,
+    )
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 48)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "bitrate_kbps": [],
+                   "sample_rate_hz": [], "n_samples": [],
+                   "out_sum": [], "out_min": [], "out_max": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                dec = mp2_decode_stats(encode_mp2_frame(d))
+                out["doc_id"].append(d)
+                out["bitrate_kbps"].append(dec[0])
+                out["sample_rate_hz"].append(dec[1])
+                out["n_samples"].append(dec[2])
+                out["out_sum"].append(dec[3])
+                out["out_min"].append(dec[4])
+                out["out_max"].append(dec[5])
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(
+        synth,
+        "doc_id long, bitrate_kbps int, sample_rate_hz int, "
+        "n_samples bigint, out_sum bigint, out_min bigint, "
+        "out_max bigint",
+    )

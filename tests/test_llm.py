@@ -2558,3 +2558,84 @@ def test_kcore_peels_to_true_fixpoint(spark):
              for r in kcore_membership(cyc2, k=2).collect()}
     assert set(core2) == {100 + i for i in range(6)}
     assert all(v == 2 for v in core2.values())
+
+
+def test_mp2_frame_walk_and_decode_invariants():
+    """Layer II frame walk: header field placement (sync/ID/layer/
+    bitrate/sample-rate), rejection of non-Layer-II and truncated
+    payloads, silence decoding to exact zeros, and scalefactor
+    monotonicity (a smaller scalefactor INDEX means a louder signal —
+    Table B.1 is a descending 2·2^(−idx/3) progression)."""
+    from apache_nifi_spark.llm.mp2 import (
+        MP2_BITRATES_KBPS,
+        SF_Q20,
+        WIN_Q15,
+        encode_mp2_frame,
+        mp2_decode_stats,
+        _BitReader,
+        _BitWriter,
+    )
+
+    f = encode_mp2_frame(5)
+    h = int.from_bytes(f[:4], "big")
+    assert h >> 20 == 0xFFF          # sync
+    assert (h >> 19) & 1 == 1        # ID = MPEG-1
+    assert (h >> 17) & 3 == 0b10     # layer II
+    dec = mp2_decode_stats(f)
+    assert dec[0] == MP2_BITRATES_KBPS[1 + 5 % 3] and dec[1] == 32000
+    assert dec[2] == 36 * 32
+    # rejections: garbage, layer III header, truncation, free-format
+    assert mp2_decode_stats(b"\x12\x34\x56\x78") is None
+    l3 = bytearray(f)
+    l3[1] = (l3[1] & ~0b110) | 0b010  # layer bits 01 = Layer III
+    assert mp2_decode_stats(bytes(l3)) is None
+    assert mp2_decode_stats(f[:3]) is None
+    ff = bytearray(f)
+    ff[2] &= 0x0F                    # bitrate_index 0 (free format)
+    assert mp2_decode_stats(bytes(ff)) is None
+    # hand-built SILENT frame (all allocations 0) decodes to zeros
+    w = _BitWriter()
+    for v, b in [(0xFFF, 12), (1, 1), (0b10, 2), (1, 1), (2, 4),
+                 (2, 2), (0, 1), (0, 1), (0b11, 2), (0, 2), (0, 1),
+                 (0, 1), (0, 2)]:
+        w.write(v, b)
+    for _ in range(8):
+        w.write(0, 2)                # alloc = 0 everywhere
+    silent = w.bytes() + b"\x00" * 8
+    assert mp2_decode_stats(silent)[3:] == (0, 0, 0)
+    # bit I/O round-trip (msb-first)
+    w2 = _BitWriter()
+    for v, b in [(5, 3), (0, 1), (1023, 10), (1, 1)]:
+        w2.write(v, b)
+    r = _BitReader(w2.bytes())
+    assert [r.read(3), r.read(1), r.read(10), r.read(1)] == [5, 0, 1023, 1]
+    # table shapes
+    assert len(SF_Q20) == 63 and all(
+        a >= b for a, b in zip(SF_Q20, SF_Q20[1:]))
+    assert all(a > b for a, b in zip(SF_Q20[:48], SF_Q20[1:48]))
+    assert len(WIN_Q15) == 512
+    # the window's 64-block sign alternation (the ISO window's shape)
+    assert all(
+        (WIN_Q15[n] >= 0) == ((n // 64) % 2 == 0)
+        for n in range(512) if WIN_Q15[n] != 0
+    )
+
+
+def test_mp2_scalefactor_and_grouping_paths():
+    """The grouped 3-level path (one 5-bit base-3 code per granule)
+    and the individual 7/15-level paths must all round-trip: doc ids
+    are chosen so each allocation code family appears, and decode is
+    deterministic (same payload → same stats)."""
+    from apache_nifi_spark.llm.mp2 import (
+        _closed_form,
+        encode_mp2_frame,
+        mp2_decode_stats,
+    )
+
+    # doc 0: alloc codes (0+sb)%4 cycle 0,1,2,3 → silent + all three
+    # quantizer families present
+    alloc, _sf, _code = _closed_form(0)
+    assert sorted(set(alloc)) == [0, 1, 2, 3]
+    a = mp2_decode_stats(encode_mp2_frame(0))
+    b = mp2_decode_stats(encode_mp2_frame(0))
+    assert a == b and a[3] != 0

@@ -82,6 +82,11 @@ def _latest_round_bench(root: str) -> str | None:
     return None
 
 
+#: §K floor threshold: a DuckDB wall below this measures the fixture,
+#: not the plan (Spark's per-job floor is ~0.2-0.5 s regardless)
+FLOOR_DUCK_S = 0.020
+
+
 def main() -> int:
     sf_dir = "/root/testdata/sf0.1"
     bench_path = None
@@ -121,15 +126,36 @@ def main() -> int:
     print(f"{'query':<34} {'spark_s':>8} {'duck_s':>8} {'ratio':>7}")
     for name, ss, ds, ratio in rows:
         flag = ""
-        if ratio > 2.0:
+        if ds < FLOOR_DUCK_S:
+            flag = "  [floor]"
+        elif ratio > 2.0:
             flag = "  <-- >2x"
             n_fail += 1
         print(f"{name:<34} {ss:>8.3f} {ds:>8.4f} {ratio:>7.2f}{flag}")
     total_s = sum(r[1] for r in rows)
     total_d = sum(r[2] for r in rows)
+    # §K floor separation (round-15 verdict item 8): a query whose
+    # DuckDB twin is a <20 ms fixture scan measures Spark's fixed
+    # per-job scheduling/codegen floor, not the plan — ratios over a
+    # 2 ms denominator degenerate (the r15 additions read 12x while
+    # nothing was slow).  Floor-class queries report ABSOLUTE walls and
+    # are excluded from every population ratio below.
+    meas = [r for r in rows if r[2] >= FLOOR_DUCK_S]
+    floor = [r for r in rows if r[2] < FLOOR_DUCK_S]
+    ms, md = sum(r[1] for r in meas), sum(r[2] for r in meas)
+    fs, fd = sum(r[1] for r in floor), sum(r[2] for r in floor)
     print(
-        f"\n{len(rows)} oracle queries; spark {total_s:.1f}s vs duckdb {total_d:.1f}s "
-        f"(suite ratio {total_s / total_d:.2f}); {n_fail} queries over 2x"
+        f"\n{len(rows)} oracle queries; spark {total_s:.1f}s vs duckdb {total_d:.1f}s; "
+        f"{n_fail} measurable queries over 2x"
+    )
+    print(
+        f"  measurable (duck >= {FLOOR_DUCK_S * 1000:.0f} ms): {len(meas)} queries, "
+        f"spark {ms:.1f}s vs duckdb {md:.1f}s (ratio {ms / md:.2f})"
+        if md else "  measurable: none"
+    )
+    print(
+        f"  floor-class (duck < {FLOOR_DUCK_S * 1000:.0f} ms): {len(floor)} queries, "
+        f"spark {fs:.1f}s absolute (duck {fd:.2f}s; no ratio — fixture-floor denominators)"
     )
 
     # per-population split vs the previous round's query set (§K)
@@ -145,15 +171,16 @@ def main() -> int:
         prev_qs = set(
             (prev.get("parsed") or prev).get("queries", {})
         )
-        shared = [r for r in rows if r[0] in prev_qs]
-        added = [r for r in rows if r[0] not in prev_qs]
+        shared = [r for r in meas if r[0] in prev_qs]
+        added = [r for r in meas if r[0] not in prev_qs]
+        n_floor_added = sum(1 for r in floor if r[0] not in prev_qs)
         for tag, grp in (("shared-with-prev", shared), ("additions", added)):
             if not grp:
                 continue
             gs, gd = sum(r[1] for r in grp), sum(r[2] for r in grp)
             print(
-                f"  {tag}: {len(grp)} queries, spark {gs:.1f}s vs duckdb "
-                f"{gd:.1f}s (ratio {gs / gd:.2f})"
+                f"  {tag}: {len(grp)} measurable queries, spark {gs:.1f}s "
+                f"vs duckdb {gd:.1f}s (ratio {gs / gd:.2f})"
                 + ("" if gd else " [duck 0]")
             )
             populations[tag] = {
@@ -162,6 +189,11 @@ def main() -> int:
                 "duck_s": round(gd, 3),
                 "ratio": round(gs / gd, 3) if gd else None,
             }
+        if n_floor_added:
+            print(
+                f"  (additions exclude {n_floor_added} floor-class "
+                "queries — absolute walls only)"
+            )
         print(f"  (population baseline: {os.path.basename(prev_path)})")
     if out_path:
         artifact = {
@@ -169,6 +201,7 @@ def main() -> int:
             "population_baseline": (
                 os.path.basename(prev_path) if prev_path else None
             ),
+            "floor_duck_s": FLOOR_DUCK_S,
             "suite": {
                 "n_queries": len(rows),
                 "spark_s": round(total_s, 3),
@@ -176,12 +209,24 @@ def main() -> int:
                 "ratio": round(total_s / total_d, 3) if total_d else None,
                 "n_over_2x": n_fail,
             },
+            "measurable": {
+                "n_queries": len(meas),
+                "spark_s": round(ms, 3),
+                "duck_s": round(md, 3),
+                "ratio": round(ms / md, 3) if md else None,
+            },
+            "floor_class": {
+                "n_queries": len(floor),
+                "spark_s": round(fs, 3),
+                "duck_s": round(fd, 3),
+            },
             "populations": populations,
             "queries": {
                 name: {
                     "spark_s": ss,
                     "duck_s": ds,
                     "ratio": round(ratio, 3),
+                    "floor": ds < FLOOR_DUCK_S,
                 }
                 for name, ss, ds, ratio in rows
             },
