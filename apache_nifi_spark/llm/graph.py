@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank_fixed_point", "triangle_counts", "kcore_membership", "link_prediction_scores"]
+__all__ = ["pagerank_fixed_point", "hits_fixed_point", "triangle_counts", "kcore_membership", "link_prediction_scores"]
 
 #: fixed-point rank scale (ranks are ints at 1e-6 units)
 _SCALE = 1_000_000
@@ -333,4 +333,89 @@ def kcore_membership(
     )
     return adj.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("degree_in_core")
+    )
+
+
+def hits_fixed_point(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 2,
+) -> DataFrame:
+    """``iters`` rounds of integer-exact HITS (Kleinberg 1999 — the
+    hub/authority twin of PageRank: a node is a good AUTHORITY when
+    good HUBS point at it, a good hub when it points at good
+    authorities; on curation link graphs the two scores separate
+    portal pages from content pages where PageRank conflates them).
+
+    Per round, in 1e-6 fixed point with L1 normalization:
+    raw_a(v) = Σ_{u→v} h(u);  a = raw_a·S div Σraw_a;
+    raw_h(u) = Σ_{u→v} a(v);  h = raw_h·S div Σraw_h —
+    all integer ops (exact bigint sums, non-negative divisions), so
+    an unrolled SQL twin replays every round bit-for-bit.  The totals
+    are 1-row aggregates broadcast onto the score frames (the
+    control-plane shape, never a data-grain shuffle).
+
+    Returns (node, side['hub'|'authority'], score, score_frac).
+
+    Scale: the edge list pins once (eager — the PageRank lesson:
+    deg/nodes/rounds all read it); each round is two keyed joins +
+    two map-side-combined aggs; scores checkpoint per round so plan
+    depth stays constant in ``iters``."""
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).localCheckpoint(eager=True)
+    hubs = e.select("_s").distinct().localCheckpoint(eager=False)
+    auths = e.select("_d").distinct().localCheckpoint(eager=False)
+    h = hubs.select("_s", F.lit(_SCALE).cast("bigint").alias("_h"))
+    a = None
+    for _ in range(iters):
+        raw_a = (
+            e.join(h, "_s")
+            .groupBy("_d")
+            .agg(F.sum("_h").alias("_ra"))
+        )
+        ta = raw_a.agg(F.sum("_ra").alias("_ta"))  # 1-row L1 total
+        a = (
+            auths.join(raw_a, "_d", "left")
+            .crossJoin(F.broadcast(ta))
+            .select(
+                "_d",
+                F.expr(
+                    f"coalesce(_ra, 0) * {_SCALE} div _ta"
+                ).cast("bigint").alias("_a"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        raw_h = (
+            e.join(a, "_d")
+            .groupBy("_s")
+            .agg(F.sum("_a").alias("_rh"))
+        )
+        th = raw_h.agg(F.sum("_rh").alias("_th"))  # 1-row L1 total
+        h = (
+            hubs.join(raw_h, "_s", "left")
+            .crossJoin(F.broadcast(th))
+            .select(
+                "_s",
+                F.expr(
+                    f"coalesce(_rh, 0) * {_SCALE} div _th"
+                ).cast("bigint").alias("_h"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out_h = h.select(
+        F.col("_s").alias("node"),
+        F.lit("hub").alias("side"),
+        F.col("_h").alias("score"),
+    )
+    out_a = a.select(
+        F.col("_d").alias("node"),
+        F.lit("authority").alias("side"),
+        F.col("_a").alias("score"),
+    )
+    return out_h.unionByName(out_a).select(
+        "node", "side", "score",
+        (F.col("score").cast("double") / float(_SCALE))
+        .alias("score_frac"),
     )

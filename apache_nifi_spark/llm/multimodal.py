@@ -2010,3 +2010,67 @@ def parse_avi_metadata(payload: bytes):
         return None
     fps_us, _mb, _pad, _flags, frames, _init, streams, _sb, w, h = avih
     return (w, h, fps_us, frames, streams, n_lists, n_strl)
+
+
+def encode_pdf_skeleton(n_pages: int, version: str = "1.7") -> bytes:
+    """Spec-valid minimal PDF (ISO 32000 / the classic Adobe PDF file
+    structure): header comment, a Catalog object, a Pages node, one
+    Page + one content-stream object per page, a correctly
+    byte-offset xref TABLE, trailer with /Size and /Root, startxref
+    pointing at the xref — the four-part layout every real PDF reader
+    walks.  Page content streams are empty (text/raster payloads are
+    the documented codec seam, the TIFF/PNG policy)."""
+    objs: list[bytes] = []
+    kids = " ".join(f"{3 + 2 * p} 0 R" for p in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    for p in range(n_pages):
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /Contents {4 + 2 * p} 0 R "
+            f"/MediaBox [0 0 612 792] >>".encode()
+        )
+        objs.append(b"<< /Length 0 >>\nstream\nendstream")
+    out = bytearray(f"%PDF-{version}\n".encode())
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def parse_pdf_metadata(payload: bytes):
+    """(version, n_objects, n_pages, size_entry, xref_ok) from a PDF's
+    file structure — header version comment, ``N 0 obj`` census,
+    /Type /Page census (word-boundary guarded so /Pages nodes don't
+    count), trailer /Size, and validation that startxref's byte offset
+    really lands on the xref table.  None for non-PDF payloads."""
+    import re
+
+    if not payload.startswith(b"%PDF-"):
+        return None
+    m = re.match(rb"%PDF-(\d+\.\d+)", payload)
+    if not m:
+        return None
+    version = m.group(1).decode()
+    n_objects = len(re.findall(rb"\n?(\d+) 0 obj\b", payload))
+    n_pages = len(re.findall(rb"/Type /Page(?![a-zA-Z])", payload))
+    sz = re.search(rb"/Size (\d+)", payload)
+    size_entry = int(sz.group(1)) if sz else -1
+    sx = re.search(rb"startxref\s+(\d+)", payload)
+    xref_ok = 0
+    if sx:
+        off = int(sx.group(1))
+        if payload[off : off + 4] == b"xref":
+            xref_ok = 1
+    return (version, n_objects, n_pages, size_entry, xref_ok)

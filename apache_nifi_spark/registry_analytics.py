@@ -2538,3 +2538,464 @@ def stats_levene_test_q(spark, sf_dir):
             (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 6
         ).alias("w_stat"),
     )
+
+
+@register(
+    "stats_psi_drift",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                  AS BIGINT) AS cents,
+             o_orderdate < DATE '1996-01-01' AS is_exp
+      FROM orders
+    ), mm AS (
+      SELECT MIN(cents) AS lo, MAX(cents) AS hi
+      FROM base WHERE is_exp
+    ), bk AS (
+      SELECT GREATEST(0, LEAST(9,
+               (cents - mm.lo) * 10 // (mm.hi - mm.lo + 1))) AS bucket,
+             is_exp
+      FROM base, mm
+    ), spine AS (
+      SELECT unnest(generate_series(0, 9)) AS bucket
+    ), cnt AS (
+      SELECT s.bucket,
+             CAST(1 + coalesce(SUM(CASE WHEN is_exp THEN 1 END), 0)
+                  AS BIGINT) AS e_n,
+             CAST(1 + coalesce(SUM(CASE WHEN NOT is_exp THEN 1 END), 0)
+                  AS BIGINT) AS a_n
+      FROM spine s LEFT JOIN bk ON bk.bucket = s.bucket
+      GROUP BY s.bucket
+    ), tot AS (
+      SELECT bucket, e_n, a_n,
+             CAST(SUM(e_n) OVER () AS BIGINT) AS ne,
+             CAST(SUM(a_n) OVER () AS BIGINT) AS na
+      FROM cnt
+    ), term AS (
+      SELECT bucket, e_n, a_n,
+             (CAST(a_n AS DOUBLE) / na - CAST(e_n AS DOUBLE) / ne)
+               * ln(CAST(a_n * ne AS DOUBLE) / CAST(e_n * na AS DOUBLE))
+               AS t
+      FROM tot
+    )
+    SELECT CAST(bucket AS INT) AS bucket, e_n, a_n,
+           round(t, 6) AS psi_term,
+           round(SUM(t) OVER (), 6) AS psi_total
+    FROM term
+    """,
+)
+def stats_psi_drift_q(spark, sf_dir):
+    """Population Stability Index (the standard ML-ops drift gate —
+    the banded variant of [corpus_drift_kl]: PSI = Σ(aᵢ−eᵢ)·ln(aᵢ/eᵢ)
+    over fixed bands, with the 0.1/0.25 action thresholds every model
+    monitor documents): order totals split into an EXPECTED population
+    (pre-1996) and an ACTUAL one, 10 fixed-range bands from the
+    expected min/max in exact integer cents (memory-pattern scaled
+    ints — the band id is pure integer algebra, clamped so unseen
+    actual values land in the edge bands), +1-count Laplace smoothing
+    on the 10-row spine so empty bands stay defined, then the PSI term
+    as ONE shared float expression (two divisions, one ln of an exact
+    integer-product ratio) both engines, 6 dp.  Scale: two counting
+    aggregations over the fact table; everything after is the 10-row
+    control-plane spine."""
+    base = _t(spark, sf_dir, "orders").select(
+        F.floor(
+            F.col("o_totalprice").cast("double") * 100 + 0.5
+        ).cast("bigint").alias("cents"),
+        (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+        .alias("is_exp"),
+    )
+    mm = base.filter("is_exp").agg(
+        F.min("cents").alias("lo"), F.max("cents").alias("hi")
+    )
+    bk = base.crossJoin(F.broadcast(mm)).select(
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(9),
+                F.expr("(cents - lo) * 10 div (hi - lo + 1)"),
+            ),
+        ).alias("bucket"),
+        "is_exp",
+    )
+    spine = spark.range(0, 10).select(F.col("id").alias("bucket"))
+    cnt = (
+        spine.join(bk, "bucket", "left")
+        .groupBy("bucket")
+        .agg(
+            (1 + F.coalesce(
+                F.sum(F.when(F.col("is_exp"), 1)), F.lit(0)
+            )).cast("bigint").alias("e_n"),
+            (1 + F.coalesce(
+                F.sum(F.when(~F.col("is_exp"), 1)), F.lit(0)
+            )).cast("bigint").alias("a_n"),
+        )
+    )
+    wall = Window.partitionBy()  # 10-row spine: control-plane bounded
+    tot = cnt.select(
+        "bucket", "e_n", "a_n",
+        F.sum("e_n").over(wall).cast("bigint").alias("ne"),
+        F.sum("a_n").over(wall).cast("bigint").alias("na"),
+    )
+    t = (
+        (F.col("a_n").cast("double") / F.col("na")
+         - F.col("e_n").cast("double") / F.col("ne"))
+        * F.log(
+            (F.col("a_n") * F.col("ne")).cast("double")
+            / (F.col("e_n") * F.col("na")).cast("double")
+        )
+    )
+    term = tot.select("bucket", "e_n", "a_n", t.alias("t"))
+    return term.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        "e_n", "a_n",
+        F.round(F.col("t"), 6).alias("psi_term"),
+        F.round(F.sum("t").over(wall), 6).alias("psi_total"),
+    )
+
+
+@register(
+    "stats_mutual_information",
+    oracle="""
+    WITH j AS (
+      SELECT e.event_type AS x, c.c_mktsegment AS y
+      FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    ), cell AS (
+      SELECT x, y, CAST(COUNT(*) AS BIGINT) AS nxy FROM j GROUP BY x, y
+    ), rx AS (
+      SELECT x, CAST(SUM(nxy) AS BIGINT) AS nx FROM cell GROUP BY x
+    ), ry AS (
+      SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny FROM cell GROUP BY y
+    ), tot AS (
+      SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM cell
+    ), term AS (
+      SELECT cell.x, cell.y, cell.nxy, rx.nx, ry.ny,
+             (CAST(cell.nxy AS DOUBLE) / tot.n)
+               * ln(CAST(cell.nxy AS DOUBLE) * tot.n
+                    / (CAST(rx.nx AS DOUBLE) * ry.ny)) AS t
+      FROM cell JOIN rx USING (x) JOIN ry USING (y), tot
+    )
+    SELECT x AS event_type, y AS segment, nxy AS n_cell,
+           round(t, 6) AS mi_term,
+           round(SUM(t) OVER (), 6) AS mi_total
+    FROM term
+    """,
+)
+def stats_mutual_information_q(spark, sf_dir):
+    """Mutual information between event type and customer segment
+    (Cover & Thomas — the dependence screen feature pipelines run
+    before keeping a categorical pair; χ² [stats_chi_squared_cramers]
+    tests independence, MI MEASURES it in nats): one contingency
+    aggregation at (type, segment) grain, marginals re-aggregated
+    from the CELLS (never a second fact-table pass), then each cell's
+    term (p(x,y)·ln(p(x,y)/(p(x)p(y)))) as ONE shared float expression
+    — a double ratio of exact integer products — both engines, 6 dp,
+    with the grid total under a wall window over the ≤|types|·|segments|
+    control-plane cell frame.  Scale: one keyed join + one counting
+    shuffle at fact grain; everything after is cell-grain."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("x"), "user_id"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("y"),
+    )
+    cell = (
+        ev.join(cust, "user_id")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("nxy"))
+    )
+    rx = cell.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    ry = cell.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    tot = cell.agg(F.sum("nxy").alias("n"))
+    t = (
+        (F.col("nxy").cast("double") / F.col("n"))
+        * F.log(
+            F.col("nxy").cast("double") * F.col("n")
+            / (F.col("nx").cast("double") * F.col("ny"))
+        )
+    )
+    term = (
+        cell.join(rx, "x").join(ry, "y")
+        .crossJoin(F.broadcast(tot))
+        .select("x", "y", "nxy", t.alias("t"))
+    )
+    wall = Window.partitionBy()  # cell grid: control-plane bounded
+    return term.select(
+        F.col("x").alias("event_type"),
+        F.col("y").alias("segment"),
+        F.col("nxy").alias("n_cell"),
+        F.round(F.col("t"), 6).alias("mi_term"),
+        F.round(F.sum("t").over(wall), 6).alias("mi_total"),
+    )
+
+
+@register(
+    "stats_brier_decomposition",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(o_custkey % 10 AS BIGINT) AS bucket,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ), g AS (
+      SELECT bucket,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS f
+      FROM b GROUP BY bucket
+    ), t AS (
+      SELECT bucket, n, f,
+             (CAST(bucket AS DOUBLE) + 0.5) / 10.0 AS p,
+             CAST(SUM(n) OVER () AS BIGINT) AS nn,
+             CAST(SUM(f) OVER () AS BIGINT) AS ff
+      FROM g
+    ), terms AS (
+      SELECT bucket, n, f, p, nn, ff,
+             CAST(f AS DOUBLE) / n AS yk,
+             CAST(ff AS DOUBLE) / nn AS ybar
+      FROM t
+    )
+    SELECT CAST(bucket AS INT) AS bucket, n, f AS events,
+           round(p, 6) AS mean_pred,
+           round(yk, 6) AS event_rate,
+           round(SUM((n * p * p - 2.0 * p * f + f) / nn) OVER (), 6)
+             AS brier,
+           round(SUM(n * (p - yk) * (p - yk) / nn) OVER (), 6)
+             AS reliability,
+           round(SUM(n * (yk - ybar) * (yk - ybar) / nn) OVER (), 6)
+             AS resolution,
+           round(ybar * (1.0 - ybar), 6) AS uncertainty
+    FROM terms
+    """,
+)
+def stats_brier_decomposition_q(spark, sf_dir):
+    """Brier score with the Murphy (1973) reliability/resolution/
+    uncertainty decomposition (the calibration readout every
+    probabilistic classifier gate runs — [stats_cohens_kappa] grades
+    hard labels, THIS grades the probabilities themselves): a
+    deterministic 10-band forecast (band midpoint (k+0.5)/10 keyed by
+    customer) against the binary fulfilled outcome, per-band exact
+    integer (n, events) counts, then Brier = Σ(n·p²−2pf+f)/N and its
+    decomposition (reliability Σn(p−ȳₖ)²/N, resolution Σn(ȳₖ−ȳ)²/N,
+    uncertainty ȳ(1−ȳ)) as shared float expressions under a wall
+    window over the 10-row band frame, 6 dp.  The p-constant-per-band
+    identity brier = rel − res + unc is the pytest invariant.  Scale:
+    ONE counting aggregation over the fact table; all float work is
+    10-row control plane."""
+    b = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 10).cast("bigint").alias("bucket"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    g = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("f"),
+    )
+    wall = Window.partitionBy()  # 10-row band frame: control-plane
+    t = g.select(
+        "bucket", "n", "f",
+        ((F.col("bucket").cast("double") + 0.5) / 10.0).alias("p"),
+        F.sum("n").over(wall).cast("bigint").alias("nn"),
+        F.sum("f").over(wall).cast("bigint").alias("ff"),
+    )
+    yk = F.col("f").cast("double") / F.col("n")
+    ybar = F.col("ff").cast("double") / F.col("nn")
+    terms = t.select(
+        "bucket", "n", "f", "p", "nn", "ff",
+        yk.alias("yk"), ybar.alias("ybar"),
+    )
+    n, f, p, nn = (F.col("n"), F.col("f"), F.col("p"), F.col("nn"))
+    return terms.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        "n",
+        F.col("f").alias("events"),
+        F.round(p, 6).alias("mean_pred"),
+        F.round(F.col("yk"), 6).alias("event_rate"),
+        F.round(
+            F.sum((n * p * p - 2.0 * p * f + f) / nn).over(wall), 6
+        ).alias("brier"),
+        F.round(
+            F.sum(
+                n * (p - F.col("yk")) * (p - F.col("yk")) / nn
+            ).over(wall),
+            6,
+        ).alias("reliability"),
+        F.round(
+            F.sum(
+                n * (F.col("yk") - F.col("ybar"))
+                * (F.col("yk") - F.col("ybar")) / nn
+            ).over(wall),
+            6,
+        ).alias("resolution"),
+        F.round(F.col("ybar") * (1.0 - F.col("ybar")), 6)
+        .alias("uncertainty"),
+    )
+
+
+@register(
+    "events_interval_overlap_join",
+    oracle="""
+    WITH w AS (
+      SELECT s_suppkey,
+             CAST(DATE '2024-01-01' AS TIMESTAMP)
+               + INTERVAL ((s_suppkey % 28)) DAY
+               + INTERVAL ((s_suppkey % 24)) HOUR AS w_lo,
+             CAST(DATE '2024-01-01' AS TIMESTAMP)
+               + INTERVAL ((s_suppkey % 28)) DAY
+               + INTERVAL ((s_suppkey % 24 + 2 + s_suppkey % 5)) HOUR
+               AS w_hi
+      FROM supplier WHERE s_suppkey < 100
+    ), e AS (
+      SELECT event_id, value, ts AS e_lo,
+             ts + INTERVAL ((1 + event_id % 120)) MINUTE AS e_hi
+      FROM events
+    )
+    SELECT w.s_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+           CAST(SUM(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE)
+             AS value_sum
+    FROM w JOIN e
+      ON e.e_lo < w.w_hi AND w.w_lo < e.e_hi
+    GROUP BY w.s_suppkey
+    """,
+)
+def events_interval_overlap_q(spark, sf_dir):
+    """INTERVAL-OVERLAP join (the two-sided generalization of the
+    point-in-band [range_join_price_bands]: both sides carry a time
+    INTERVAL and a pair matches when the intervals intersect — the
+    maintenance-window / session-collision / downtime-attribution
+    query): per-supplier maintenance windows (2–6 h) overlap-joined
+    with per-event activity intervals (≤2 h).  Scale shape — the
+    CHUNKED interval join: both sides explode into the HOUR chunks
+    they touch (windows ≤7 rows, events ≤3 — bounded fan-out, and the
+    chunk grain is chosen at the window scale so per-chunk density
+    stays low), equi-join on the chunk (hash-partitioned — never the
+    quadratic cross the oracle's predicate join would be at data
+    grain), filter the true microsecond overlap, and COUNT EACH PAIR
+    ONCE by the claim rule chunk == greatest(start-chunk, start-chunk)
+    — the standard dedup that avoids a distinct over the pair set.
+    Aggregates decimal-exact."""
+    w = _t(spark, sf_dir, "supplier").filter(
+        # FIXED window population: maintenance windows are a
+        # control-plane catalog — they do not grow with event volume,
+        # and capping them keeps the chunk join linear in the facts
+        # (unbounded both-sides density is quadratic by construction)
+        F.col("s_suppkey") < 100
+    ).select(
+        "s_suppkey",
+        F.expr(
+            "CAST(DATE '2024-01-01' AS TIMESTAMP)"
+            " + make_interval(0,0,0,s_suppkey % 28,"
+            "s_suppkey % 24,0,0)"
+        ).alias("w_lo"),
+        F.expr(
+            "CAST(DATE '2024-01-01' AS TIMESTAMP)"
+            " + make_interval(0,0,0,s_suppkey % 28,"
+            "s_suppkey % 24 + 2 + s_suppkey % 5,0,0)"
+        ).alias("w_hi"),
+    )
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "value",
+        F.col("ts").cast("timestamp").alias("e_lo"),
+        F.expr(
+            "CAST(ts AS TIMESTAMP) + make_interval(0,0,0,0,0,"
+            "1 + event_id % 120,0)"
+        ).alias("e_hi"),
+    )
+    hour = lambda c: F.date_trunc("hour", c)  # noqa: E731
+    wd = w.select(
+        "*",
+        F.explode(
+            F.sequence(
+                hour(F.col("w_lo")), hour(F.col("w_hi")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("chunk"),
+    )
+    ed = e.select(
+        "*",
+        F.explode(
+            F.sequence(
+                hour(F.col("e_lo")), hour(F.col("e_hi")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("chunk"),
+    )
+    j = (
+        wd.join(ed, "chunk")
+        .filter(
+            (F.col("e_lo") < F.col("w_hi"))
+            & (F.col("w_lo") < F.col("e_hi"))
+            # claim rule: the pair is counted only in the LATEST of the
+            # two start chunks — each overlapping pair shares that
+            # chunk exactly once
+            & (
+                F.col("chunk")
+                == F.greatest(hour(F.col("w_lo")), hour(F.col("e_lo")))
+            )
+        )
+    )
+    return j.groupBy("s_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlaps"),
+        _dsum(F.col("value"), "value_sum"),
+    )
+
+
+@register(
+    "sample_weighted_reservoir",
+    oracle="""
+    WITH h AS (
+      SELECT event_id, user_id, event_type, value,
+             CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13))
+                  AS BIGINT) AS hv
+      FROM events WHERE value > 0
+    ), keyed AS (
+      SELECT event_id, user_id, event_type, value,
+             ln((CAST(hv AS DOUBLE) + 1.0) / 4503599627370496.0) / value
+               AS k
+      FROM h
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY k DESC, event_id) AS rn
+      FROM keyed
+    )
+    SELECT event_type, CAST(rn AS INT) AS rn, event_id, user_id,
+           round(k, 6) AS sample_key
+    FROM ranked WHERE rn <= 50
+    """,
+)
+def sample_weighted_reservoir_q(spark, sf_dir):
+    """WEIGHTED reservoir sampling, A-ES (Efraimidis & Spirtes 2006 —
+    the weight-proportional counterpart of [sample_reservoir_k]:
+    exactly k items per stratum with inclusion probability ∝ weight,
+    in ONE distributed pass; the curation move that over-samples
+    high-value documents without a global shuffle): deterministic
+    uniforms from 52-bit md5 prefixes (the KMV idiom — exact in a
+    double), key = ln(u)/w so the top-k BY KEY is the weighted sample,
+    ranked per event-type stratum under a PARTITIONED window (never a
+    global sort; at scale the per-stratum top-k is a per-partition
+    heap + merge).  The key expression is one shared IEEE op sequence
+    both engines, so ranks — not just values — agree exactly."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    hv = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 13),
+        16, 10,
+    ).cast("bigint")
+    keyed = ev.select(
+        "event_id", "user_id", "event_type", "value",
+        (
+            F.log(
+                (hv.cast("double") + 1.0) / 4503599627370496.0
+            ) / F.col("value")
+        ).alias("k"),
+    )
+    wq = Window.partitionBy("event_type").orderBy(
+        F.col("k").desc(), "event_id"
+    )
+    ranked = keyed.select(
+        "*", F.row_number().over(wq).alias("rn")
+    ).filter(F.col("rn") <= 50)
+    return ranked.select(
+        "event_type",
+        F.col("rn").cast("int").alias("rn"),
+        "event_id", "user_id",
+        F.round("k", 6).alias("sample_key"),
+    )

@@ -4336,3 +4336,480 @@ def multimodal_audio_mp2_q(spark, sf_dir):
         "n_samples bigint, out_sum bigint, out_min bigint, "
         "out_max bigint",
     )
+
+
+def _hits_oracle(iters: int = 2) -> str:
+    """Unrolled integer-exact HITS twin of llm/graph.hits_fixed_point
+    over the customer→supplier link graph: the same exact bigint
+    inbound sums and non-negative ``·10⁶ // L1-total`` normalizations
+    per round — K CTE rounds replay the engine bit-for-bit."""
+    blocks = [
+        """e AS MATERIALIZED (
+      SELECT o_custkey AS s, l_suppkey + 1000000 AS d
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE l_orderkey % 13 = 0
+    ),
+    hub0 AS (SELECT DISTINCT s FROM e),
+    auth0 AS (SELECT DISTINCT d FROM e),
+    h0 AS (SELECT s, CAST(1000000 AS BIGINT) AS h FROM hub0)"""
+    ]
+    for t in range(1, iters + 1):
+        blocks.append(
+            f"""ra{t} AS (
+      SELECT e.d, CAST(SUM(h.h) AS BIGINT) AS ra
+      FROM e JOIN h{t - 1} h ON h.s = e.s GROUP BY e.d
+    ),
+    ta{t} AS (SELECT CAST(SUM(ra) AS BIGINT) AS tt FROM ra{t}),
+    a{t} AS (
+      SELECT auth0.d,
+             CAST(COALESCE(ra.ra, 0) * 1000000 // ta.tt AS BIGINT) AS a
+      FROM auth0 LEFT JOIN ra{t} ra ON ra.d = auth0.d, ta{t} ta
+    ),
+    rh{t} AS (
+      SELECT e.s, CAST(SUM(a.a) AS BIGINT) AS rh
+      FROM e JOIN a{t} a ON a.d = e.d GROUP BY e.s
+    ),
+    th{t} AS (SELECT CAST(SUM(rh) AS BIGINT) AS tt FROM rh{t}),
+    h{t} AS (
+      SELECT hub0.s,
+             CAST(COALESCE(rh.rh, 0) * 1000000 // th.tt AS BIGINT) AS h
+      FROM hub0 LEFT JOIN rh{t} rh ON rh.s = hub0.s, th{t} th
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + f"""
+    SELECT s AS node, 'hub' AS side, h AS score,
+           CAST(h AS DOUBLE) / 1000000.0 AS score_frac
+    FROM h{iters}
+    UNION ALL
+    SELECT d AS node, 'authority' AS side, a AS score,
+           CAST(a AS DOUBLE) / 1000000.0 AS score_frac
+    FROM a{iters}"""
+    )
+
+
+@register("graph_hits_scores", oracle=_hits_oracle())
+def graph_hits_q(spark, sf_dir):
+    """HITS hubs & authorities (Kleinberg 1999 — the §2.12 graph
+    tier's second centrality next to [graph_pagerank_links]: on a
+    curation link graph the hub/authority split separates portal pages
+    from content pages where PageRank conflates them): two rounds of
+    integer-exact mutual reinforcement over the customer→supplier link
+    multigraph, L1-normalized each half-round by a 1-row total
+    broadcast (exact ``·10⁶ // Σ`` on non-negative bigints), so the
+    unrolled SQL twin replays every round bit-for-bit.  Scale shape:
+    edges pinned once; each half-round is one keyed join + one
+    map-side-combined agg; the only keyless joins are the 1-row
+    normalization totals.  llm/graph.py ``hits_fixed_point``."""
+    from apache_nifi_spark.llm.graph import hits_fixed_point
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 13 == 0
+    ).select("l_orderkey", "l_suppkey")
+    edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + 1_000_000).alias("dst"),
+    )
+    return hits_fixed_point(edges, "src", "dst", iters=2)
+
+
+@register(
+    "survival_nelson_aalen",
+    oracle="""
+    WITH cd AS (
+      SELECT DISTINCT o_custkey, o_orderdate FROM orders
+    ), mx AS (
+      SELECT max(o_orderdate) AS mxd FROM cd
+    ), gaps AS (
+      SELECT datediff('day', o_orderdate,
+                      coalesce(lead(o_orderdate) OVER (
+                          PARTITION BY o_custkey ORDER BY o_orderdate),
+                        (SELECT mxd FROM mx))) AS duration,
+             CASE WHEN lead(o_orderdate) OVER (
+                      PARTITION BY o_custkey ORDER BY o_orderdate)
+                  IS NULL THEN 0 ELSE 1 END AS event
+      FROM cd
+    ), g AS (
+      SELECT duration,
+             CAST(sum(event) AS BIGINT) AS d,
+             CAST(sum(1 - event) AS BIGINT) AS c
+      FROM gaps GROUP BY 1
+    ), r AS (
+      SELECT duration, d, c,
+             CAST(SUM(d + c) OVER () AS BIGINT)
+               - CAST(coalesce(SUM(d + c) OVER (
+                     ORDER BY duration
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS n_risk
+      FROM g
+    ), s AS (
+      SELECT duration, d, c, n_risk,
+             SUM(CAST(d AS DOUBLE) / n_risk)
+               OVER (ORDER BY duration) AS hsum,
+             SUM(CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE) * n_risk))
+               OVER (ORDER BY duration) AS vsum
+      FROM r
+    )
+    SELECT duration AS duration_days, n_risk, d AS d_events,
+           round(hsum, 6) AS cum_hazard,
+           round(exp(-hsum), 6) AS na_survival,
+           round(vsum, 6) AS hazard_var
+    FROM s
+    """,
+)
+def survival_nelson_aalen_q(spark, sf_dir):
+    """Nelson–Aalen cumulative hazard over customer reorder gaps
+    (Nelson 1972 / Aalen 1978 — the estimator PAIRED with
+    [survival_kaplan_meier]: KM multiplies survival, NA sums hazard
+    H(t) = Σ dᵢ/nᵢ, and exp(−H) is the Fleming–Harrington survival
+    variant that stays defined where KM dies out; the per-increment
+    variance Σ dᵢ/nᵢ² is the standard CI input): same per-customer
+    lead() gaps, same day-grain risk sets by reverse cumulative count,
+    then the hazard and its variance as cumulative float sums under
+    ONE calendar-bounded window — identical expression shape both
+    engines, 6 dp.  Scale: data-grain work is the distinct + keyed
+    window; the NA table is day-grain, bounded by the calendar."""
+    cd = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate"
+    ).distinct()
+    mx = cd.agg(F.max("o_orderdate").alias("mxd"))
+    wc = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    nxt = F.lead("o_orderdate").over(wc)
+    gaps = cd.join(F.broadcast(mx)).select(
+        F.datediff(F.coalesce(nxt, F.col("mxd")), F.col("o_orderdate"))
+        .alias("duration"),
+        F.when(nxt.isNull(), 0).otherwise(1).alias("event"),
+    )
+    g = gaps.groupBy("duration").agg(
+        F.sum("event").alias("d"),
+        F.sum(1 - F.col("event")).alias("c"),
+    )
+    # day-grain NA table: every window below is calendar-bounded
+    wall = Window.partitionBy()
+    wcum = Window.partitionBy().orderBy("duration")
+    prev = Window.partitionBy().orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r = g.select(
+        "duration", "d", "c",
+        (
+            F.sum(F.col("d") + F.col("c")).over(wall)
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(prev), F.lit(0)
+            )
+        ).cast("bigint").alias("n_risk"),
+    )
+    nr = F.col("n_risk")
+    s = r.select(
+        "duration", "d", "n_risk",
+        F.sum(F.col("d").cast("double") / nr).over(wcum).alias("hsum"),
+        F.sum(
+            F.col("d").cast("double") / (nr.cast("double") * nr)
+        ).over(wcum).alias("vsum"),
+    )
+    return s.select(
+        F.col("duration").cast("bigint").alias("duration_days"),
+        "n_risk",
+        F.col("d").alias("d_events"),
+        F.round(F.col("hsum"), 6).alias("cum_hazard"),
+        F.round(F.exp(-F.col("hsum")), 6).alias("na_survival"),
+        F.round(F.col("vsum"), 6).alias("hazard_var"),
+    )
+
+
+@register(
+    "search_mrr_map_eval",
+    oracle="""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, unnest(
+               list_filter(regexp_split_to_array(lower(text),
+                                                 '[^a-z0-9'']+'),
+                           x -> x != '')) AS token
+      FROM documents WHERE doc_id < 600
+    ), q AS (SELECT unnest(['data', 'spark', 'pipeline']) AS token),
+    tf AS (
+      SELECT t.token, t.doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok t JOIN q ON q.token = t.token GROUP BY 1, 2
+    ), rtot AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n_relevant
+      FROM tf WHERE tf >= 2 GROUP BY token
+    ), ranked AS (
+      SELECT token, doc_id, tf,
+             CASE WHEN tf >= 2 THEN 1 ELSE 0 END AS rel,
+             row_number() OVER (PARTITION BY token
+                                ORDER BY tf DESC, doc_id) AS rn
+      FROM tf
+    ), top AS (
+      SELECT token, rel, rn,
+             CAST(SUM(rel) OVER (PARTITION BY token ORDER BY rn)
+                  AS BIGINT) AS cumrel
+      FROM ranked WHERE rn <= 10
+    ), per AS (
+      SELECT q.token,
+             CAST(coalesce(rtot.n_relevant, 0) AS BIGINT) AS n_relevant,
+             CAST(coalesce(MIN(CASE WHEN top.rel = 1 THEN top.rn END),
+                           0) AS BIGINT) AS first_rel_rank,
+             coalesce(SUM(CASE WHEN top.rel = 1
+                 THEN CAST(top.cumrel AS DOUBLE) / top.rn END), 0.0)
+               AS ap_num
+      FROM q LEFT JOIN top ON top.token = q.token
+             LEFT JOIN rtot ON rtot.token = q.token
+      GROUP BY q.token, rtot.n_relevant
+    ), scored AS (
+      SELECT token, n_relevant, first_rel_rank,
+             CASE WHEN first_rel_rank > 0
+                  THEN 1.0 / first_rel_rank ELSE 0.0 END AS rr,
+             CASE WHEN n_relevant > 0
+                  THEN ap_num / LEAST(n_relevant, 10) ELSE 0.0 END AS ap
+      FROM per
+    )
+    SELECT token, n_relevant, first_rel_rank,
+           round(rr, 6) AS rr,
+           round(ap, 6) AS ap_10,
+           round(AVG(rr) OVER (), 6) AS mrr,
+           round(AVG(ap) OVER (), 6) AS map_10
+    FROM scored
+    """,
+)
+def search_mrr_map_q(spark, sf_dir):
+    """MRR and MAP@10 retrieval evaluation (the binary-relevance
+    metrics beside [search_ndcg_eval]'s graded one — MRR grades the
+    FIRST hit, MAP the whole precision profile; together they are the
+    standard IR eval triple): three single-term queries rank documents
+    by term frequency under a per-query top-10 window (PARTITIONED by
+    query — never a global sort), binary relevance tf ≥ 2, reciprocal
+    rank of the first relevant hit, and AP@10 = Σ_{rel k} P@k /
+    min(R, 10) from an exact cumulative-relevant integer window; the
+    per-query frame then averages to MRR/MAP under a wall window over
+    the 3-row query spine.  Every float step is a shared-shape
+    division of exact integers, 6 dp.  Scale: tokenize + one counting
+    agg at (query, doc) grain; the ranking window partitions by query;
+    everything after is query-grain control plane."""
+    d = io.widen_if_narrow(
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 600)
+        .select("doc_id", "text")
+    )
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), r"[^a-z0-9']+", -1),
+                lambda t: t != "",
+            )
+        ).alias("token"),
+    )
+    terms = ["data", "spark", "pipeline"]
+    qf = spark.createDataFrame([(t,) for t in terms], "token string")
+    tf = (
+        tok.join(F.broadcast(qf), "token")
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    rtot = tf.filter(F.col("tf") >= 2).groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_relevant")
+    )
+    wq = Window.partitionBy("token").orderBy(
+        F.col("tf").desc(), "doc_id"
+    )
+    ranked = tf.select(
+        "token",
+        F.when(F.col("tf") >= 2, 1).otherwise(0).alias("rel"),
+        F.row_number().over(wq).alias("rn"),
+    )
+    wcum = Window.partitionBy("token").orderBy("rn")
+    top = ranked.filter(F.col("rn") <= 10).select(
+        "token", "rel", "rn",
+        F.sum("rel").over(wcum).cast("bigint").alias("cumrel"),
+    )
+    per = (
+        qf.join(top, "token", "left")
+        .join(rtot, "token", "left")
+        .groupBy("token", "n_relevant")
+        .agg(
+            F.coalesce(
+                F.min(F.when(F.col("rel") == 1, F.col("rn"))), F.lit(0)
+            ).cast("bigint").alias("first_rel_rank"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("rel") == 1,
+                        F.col("cumrel").cast("double") / F.col("rn"),
+                    )
+                ),
+                F.lit(0.0),
+            ).alias("ap_num"),
+        )
+        .select(
+            "token",
+            F.coalesce(F.col("n_relevant"), F.lit(0))
+            .cast("bigint").alias("n_relevant"),
+            "first_rel_rank", "ap_num",
+        )
+    )
+    scored = per.select(
+        "token", "n_relevant", "first_rel_rank",
+        F.when(
+            F.col("first_rel_rank") > 0,
+            F.lit(1.0) / F.col("first_rel_rank"),
+        ).otherwise(0.0).alias("rr"),
+        F.when(
+            F.col("n_relevant") > 0,
+            F.col("ap_num") / F.least(F.col("n_relevant"), F.lit(10)),
+        ).otherwise(0.0).alias("ap"),
+    )
+    wall = Window.partitionBy()  # 3-row query spine: control-plane
+    return scored.select(
+        "token", "n_relevant", "first_rel_rank",
+        F.round("rr", 6).alias("rr"),
+        F.round("ap", 6).alias("ap_10"),
+        F.round(F.avg("rr").over(wall), 6).alias("mrr"),
+        F.round(F.avg("ap").over(wall), 6).alias("map_10"),
+    )
+
+
+@register(
+    "text_yule_k",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z]+'),
+               x -> x != '')) AS token
+      FROM documents
+    ), freq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS m FROM tok GROUP BY 1
+    ), vm AS (
+      SELECT m, CAST(COUNT(*) AS BIGINT) AS v FROM freq GROUP BY 1
+    ), st AS (
+      SELECT CAST(SUM(m * v) AS BIGINT) AS n_tokens,
+             CAST(SUM(v) AS BIGINT) AS n_types,
+             CAST(SUM(m * m * v) AS BIGINT) AS s2,
+             CAST(coalesce(SUM(CASE WHEN m = 1 THEN v END), 0)
+                  AS BIGINT) AS v1,
+             CAST(coalesce(SUM(CASE WHEN m = 2 THEN v END), 0)
+                  AS BIGINT) AS v2
+      FROM vm
+    )
+    SELECT n_tokens, n_types, v1 AS hapax, v2 AS dis_legomena,
+           round(10000.0 * (CAST(s2 AS DOUBLE) - n_tokens)
+                 / (CAST(n_tokens AS DOUBLE) * n_tokens), 6) AS yule_k,
+           round(CAST(v1 AS DOUBLE) / n_types, 6) AS hapax_ratio
+    FROM st
+    """,
+)
+def text_yule_k_q(spark, sf_dir):
+    """Yule's K characteristic + hapax profile (Yule 1944 — the
+    classic vocabulary-richness constant next to [text_mattr_diversity]
+    and [text_zipf_fit]: K = 10⁴·(Σm²Vₘ − N)/N² is length-invariant
+    where raw type/token ratio is not, and the hapax share V₁/V is the
+    standard crawl-quality signal — boilerplate corpora starve hapaxes):
+    token frequencies by one map-side-combinable agg, the frequency
+    SPECTRUM Vₘ by a second (frequency-grain, Heaps-bounded), then K
+    and the hapax ratio as shared float expressions over exact integer
+    moments, 6 dp.  Scale: tokenize is map-only; both aggregations
+    combine map-side; the spectrum is ≤max-frequency rows of control
+    plane."""
+    tok = _t(spark, sf_dir, "documents").select(
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z]+", -1),
+                lambda t: t != "",
+            )
+        ).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("m"))
+    vm = freq.groupBy("m").agg(F.count(F.lit(1)).alias("v"))
+    st = vm.agg(
+        F.sum(F.col("m") * F.col("v")).cast("bigint").alias("n_tokens"),
+        F.sum("v").cast("bigint").alias("n_types"),
+        F.sum(F.col("m") * F.col("m") * F.col("v"))
+        .cast("bigint").alias("s2"),
+        F.coalesce(
+            F.sum(F.when(F.col("m") == 1, F.col("v"))), F.lit(0)
+        ).cast("bigint").alias("v1"),
+        F.coalesce(
+            F.sum(F.when(F.col("m") == 2, F.col("v"))), F.lit(0)
+        ).cast("bigint").alias("v2"),
+    )
+    nt = F.col("n_tokens")
+    return st.select(
+        "n_tokens", "n_types",
+        F.col("v1").alias("hapax"),
+        F.col("v2").alias("dis_legomena"),
+        F.round(
+            10000.0 * (F.col("s2").cast("double") - nt)
+            / (nt.cast("double") * nt),
+            6,
+        ).alias("yule_k"),
+        F.round(
+            F.col("v1").cast("double") / F.col("n_types"), 6
+        ).alias("hapax_ratio"),
+    )
+
+
+@register(
+    "multimodal_doc_pdf_meta",
+    oracle="""
+    SELECT doc_id,
+           '1.' || CAST(4 + doc_id % 4 AS VARCHAR) AS pdf_version,
+           CAST(2 + 2 * (1 + doc_id % 5) AS INT) AS n_objects,
+           CAST(1 + doc_id % 5 AS INT) AS n_pages,
+           CAST(3 + 2 * (1 + doc_id % 5) AS INT) AS size_entry,
+           CAST(1 AS INT) AS xref_ok
+    FROM documents WHERE doc_id < 400
+    """,
+)
+def multimodal_pdf_meta_q(spark, sf_dir):
+    """PDF file-structure metadata walk (ISO 32000 — the DOCUMENT
+    container beside the image/audio/video tiers: header version
+    comment, object census, page-tree census, trailer /Size, and a
+    startxref byte offset that must land exactly on the xref table):
+    spec-valid minimal PDFs synthesize executor-side (Catalog → Pages
+    → per-page Page + content-stream objects, REAL byte-offset xref
+    entries) and parse back through the same four-part walk a real
+    reader does — the /Type /Page census is word-boundary guarded so
+    the /Pages node never counts as a page, and xref_ok proves the
+    writer's offsets are byte-exact.  The oracle recomputes the census
+    in closed form from the synthesis parameters.  Arrow-batched,
+    map-only at any scale; text/raster payload decode stays the
+    documented seam (the TIFF/PNG policy)."""
+    import pandas as pd  # noqa: F811
+
+    from apache_nifi_spark.llm.multimodal import (
+        encode_pdf_skeleton,
+        parse_pdf_metadata,
+    )
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "pdf_version": [], "n_objects": [],
+                   "n_pages": [], "size_entry": [], "xref_ok": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                meta = parse_pdf_metadata(
+                    encode_pdf_skeleton(
+                        1 + d % 5, version=f"1.{4 + d % 4}"
+                    )
+                )
+                out["doc_id"].append(d)
+                out["pdf_version"].append(meta[0])
+                out["n_objects"].append(meta[1])
+                out["n_pages"].append(meta[2])
+                out["size_entry"].append(meta[3])
+                out["xref_ok"].append(meta[4])
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(
+        synth,
+        "doc_id long, pdf_version string, n_objects int, n_pages int, "
+        "size_entry int, xref_ok int",
+    )

@@ -126,9 +126,10 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
         # GRID (50 quantities x 11 discounts), both sides bounded by
         # column cardinality, never row count
         "stats_kendall_tau",
-        # Kaplan-Meier: 1-row global max-date broadcast (censoring
-        # horizon), keyless by nature, bounded by construction
+        # Kaplan-Meier / Nelson-Aalen: 1-row global max-date broadcast
+        # (censoring horizon), keyless by nature, bounded by construction
         "survival_kaplan_meier",
+        "survival_nelson_aalen",
         # theta sketch: 1-row theta broadcast onto the <=k*k match set
         "sketch_theta_intersection",
         # rolling WAU: day-spine range join, spine side calendar-
@@ -140,6 +141,12 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
         # NDCG: keyless joins of three 1-row aggregates (corpus stats,
         # DCG, IDCG) - bounded by construction
         "search_ndcg_eval",
+        # HITS: keyless joins of 1-row L1-normalization totals only
+        "graph_hits_scores",
+        # PSI: 1-row expected-range min/max broadcast onto the band map
+        "stats_psi_drift",
+        # MI: 1-row grid-total broadcast onto the bounded cell frame
+        "stats_mutual_information",
         "range_join_price_bands", "theta_join_richer_customers",
         "mega2_geoenrich_bands",  # GeoEnrichIP range join: bounded broadcast
         "flowfile_expiration_ttl", "similarity_cosine_topk",
@@ -382,6 +389,11 @@ def test_no_broadcast_hint_on_corpus_cardinality_frames():
         ("llm/text.py", "nd"): "1-row doc count",
         # sketch: quantile read-out probs frame, len(probs) rows
         ("llm/sketch.py", "pf"): "len(probs) literal rows",
+        # HITS: 1-row L1-normalization totals per half-round
+        ("llm/graph.py", "ta"): "1-row L1 total aggregate",
+        ("llm/graph.py", "th"): "1-row L1 total aggregate",
+        # MRR/MAP: 3-row literal query-term frame
+        ("registry_stats.py", "qf"): "3 literal query terms",
         # KS / Mann-Whitney two-level prefix sum: mm = 1-row min/max/
         # totals aggregate; off = fixed 64-range-bucket offset table
         ("registry_analytics.py", "mm"): "1-row min/max/totals aggregate",
