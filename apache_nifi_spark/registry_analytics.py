@@ -2999,3 +2999,498 @@ def sample_weighted_reservoir_q(spark, sf_dir):
         "event_id", "user_id",
         F.round("k", 6).alias("sample_key"),
     )
+
+
+@register(
+    "stats_friedman_test",
+    oracle="""
+    WITH cell AS (
+      SELECT CAST(ts AS DATE) AS blk, event_type,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DECIMAL(38,6))
+               AS m
+      FROM events GROUP BY 1, 2
+    ), blocks AS (
+      SELECT blk FROM cell GROUP BY blk
+      HAVING COUNT(*) = (SELECT COUNT(DISTINCT event_type) FROM cell)
+    ), ranked AS (
+      SELECT c.blk, c.event_type,
+             CAST(rank() OVER (PARTITION BY c.blk ORDER BY c.m)
+                  AS DOUBLE)
+               + (CAST(COUNT(*) OVER (PARTITION BY c.blk, c.m)
+                       AS DOUBLE) - 1.0) / 2.0 AS r
+      FROM cell c JOIN blocks b ON b.blk = c.blk
+    ), pt AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             SUM(r) AS rsum
+      FROM ranked GROUP BY event_type
+    ), st AS (
+      SELECT CAST(MAX(n_blocks) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(rsum * rsum) AS ss
+      FROM pt
+    )
+    SELECT pt.event_type, pt.n_blocks,
+           round(pt.rsum, 6) AS rank_sum,
+           round(12.0 / (st.n * st.k * (st.k + 1.0)) * st.ss
+                 - 3.0 * st.n * (st.k + 1.0), 6) AS friedman_chi2,
+           CAST(st.k - 1 AS BIGINT) AS dof
+    FROM pt, st
+    """,
+)
+def stats_friedman_test_q(spark, sf_dir):
+    """Friedman rank test (Friedman 1937 — the repeated-measures rank
+    ANOVA beside [stats_kruskal_wallis]: each DAY is a block, the k
+    event types are ranked WITHIN the day, so day-level volume shifts
+    cancel and only the relative ordering of treatments counts — the
+    right test for 'does type A consistently out-revenue type B'):
+    per-(day, type) decimal-exact revenue cells, complete blocks only,
+    mid-rank ties via rank + (peer-count−1)/2 under a PARTITIONED
+    per-block window (k rows each — never global), then
+    χ²_F = 12/(nk(k+1))·ΣR²ⱼ − 3n(k+1) as one shared float expression
+    over exact rank sums, 6 dp.  Scale: one fact-grain agg; blocks are
+    calendar-grain control plane."""
+    cell = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("ts").cast("date").alias("blk"), "event_type"
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("decimal(38,6)").alias("m")
+        )
+    )
+    k_types = cell.select("event_type").distinct().count()
+    # control-plane: one scalar (the treatment count) for the
+    # complete-block filter
+    blocks = cell.groupBy("blk").agg(
+        F.count(F.lit(1)).alias("nc")
+    ).filter(F.col("nc") == k_types).select("blk")
+    wb = Window.partitionBy("blk").orderBy("m")
+    peers = Window.partitionBy("blk", "m")
+    ranked = cell.join(blocks, "blk").select(
+        "blk", "event_type",
+        (
+            F.rank().over(wb).cast("double")
+            + (F.count(F.lit(1)).over(peers).cast("double") - 1.0) / 2.0
+        ).alias("r"),
+    )
+    pt = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.sum("r").alias("rsum"),
+    )
+    st = pt.agg(
+        F.max("n_blocks").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.col("rsum") * F.col("rsum")).alias("ss"),
+    )
+    return pt.crossJoin(F.broadcast(st)).select(
+        "event_type", "n_blocks",
+        F.round("rsum", 6).alias("rank_sum"),
+        F.round(
+            12.0 / (F.col("n") * F.col("k") * (F.col("k") + 1.0))
+            * F.col("ss")
+            - 3.0 * F.col("n") * (F.col("k") + 1.0),
+            6,
+        ).alias("friedman_chi2"),
+        (F.col("k") - 1).cast("bigint").alias("dof"),
+    )
+
+
+@register(
+    "stats_page_hinkley",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS x
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), st AS (
+      SELECT AVG(x) AS mu FROM daily
+    ), m AS (
+      SELECT day, x,
+             SUM(x - st.mu - 5.0) OVER (ORDER BY day) AS mt
+      FROM daily, st
+    ), ph AS (
+      SELECT day, x, mt,
+             mt - MIN(mt) OVER (ORDER BY day) AS ph_stat
+      FROM m
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           round(x, 6) AS daily_value,
+           round(mt, 6) AS cum_dev,
+           round(ph_stat, 6) AS ph_stat,
+           ph_stat > 50.0 AS drift_flag
+    FROM ph
+    """,
+)
+def stats_page_hinkley_q(spark, sf_dir):
+    """Page–Hinkley sequential drift test (Page 1954 / Hinkley 1971 —
+    the one-sided sequential cousin of [stats_cusum_drift]: PH_t =
+    m_t − min_{s≤t} m_s with m_t = Σ(xᵢ − μ − δ) flags a sustained
+    upward mean shift the moment the cumulative deviation climbs λ
+    above its running minimum): daily purchase revenue (decimal-exact
+    to the day grain), the global mean as a 1-row broadcast, then the
+    cumulative deviation and its RUNNING MINIMUM under two
+    calendar-bounded cumulative windows — identical float expression
+    shape both engines (δ=5, λ=50), 6 dp.  Scale: one fact-grain agg;
+    the PH recursion is the day-grain control plane."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double").alias("x")
+        )
+    )
+    st = daily.agg(F.avg("x").alias("mu"))
+    wcum = Window.partitionBy().orderBy("day")  # day-grain: bounded
+    m = daily.crossJoin(F.broadcast(st)).select(
+        "day", "x",
+        F.sum(F.col("x") - F.col("mu") - 5.0).over(wcum).alias("mt"),
+    )
+    ph = m.select(
+        "day", "x", "mt",
+        (F.col("mt") - F.min("mt").over(wcum)).alias("ph_stat"),
+    )
+    return ph.select(
+        F.col("day").cast("string").alias("day"),
+        F.round("x", 6).alias("daily_value"),
+        F.round("mt", 6).alias("cum_dev"),
+        F.round("ph_stat", 6).alias("ph_stat"),
+        (F.col("ph_stat") > 50.0).alias("drift_flag"),
+    )
+
+
+@register(
+    "stats_cumulative_gains",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(9 - o_custkey % 10 AS BIGINT) AS decile,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ), g AS (
+      SELECT decile,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS pos
+      FROM b GROUP BY decile
+    ), c AS (
+      SELECT decile, n, pos,
+             CAST(SUM(n) OVER (ORDER BY decile DESC) AS BIGINT) AS cum_n,
+             CAST(SUM(pos) OVER (ORDER BY decile DESC) AS BIGINT)
+               AS cum_pos,
+             CAST(SUM(n) OVER () AS BIGINT) AS nn,
+             CAST(SUM(pos) OVER () AS BIGINT) AS np
+      FROM g
+    )
+    SELECT CAST(decile AS INT) AS decile, n, pos,
+           round(CAST(cum_n AS DOUBLE) / nn, 6) AS population_share,
+           round(CAST(cum_pos AS DOUBLE) / np, 6) AS gain,
+           round((CAST(cum_pos AS DOUBLE) / np)
+                 / (CAST(cum_n AS DOUBLE) / nn), 6) AS lift
+    FROM c
+    """,
+)
+def stats_cumulative_gains_q(spark, sf_dir):
+    """Cumulative gains / lift chart (the targeting readout beside
+    [stats_brier_decomposition]'s calibration one: sort the population
+    by model score, take the top deciles, and ask what share of all
+    positives they capture — lift = gain / population share is what a
+    campaign-sizing decision reads): a deterministic 10-decile score
+    (higher decile = higher predicted rate), exact integer (n, pos)
+    per decile, then cumulative captures from the TOP decile down and
+    the gain/lift ratios as shared float expressions under
+    decile-bounded windows, 6 dp.  Scale: one counting agg
+    over the facts; the chart is a 10-row control-plane frame."""
+    b = _t(spark, sf_dir, "orders").select(
+        (9 - F.col("o_custkey") % 10).cast("bigint").alias("decile"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    g = b.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    wtop = Window.partitionBy().orderBy(F.col("decile").desc())
+    wall = Window.partitionBy()  # 10-row decile frame: control-plane
+    c = g.select(
+        "decile", "n", "pos",
+        F.sum("n").over(wtop).cast("bigint").alias("cum_n"),
+        F.sum("pos").over(wtop).cast("bigint").alias("cum_pos"),
+        F.sum("n").over(wall).cast("bigint").alias("nn"),
+        F.sum("pos").over(wall).cast("bigint").alias("np"),
+    )
+    pop = F.col("cum_n").cast("double") / F.col("nn")
+    gain = F.col("cum_pos").cast("double") / F.col("np")
+    return c.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n", "pos",
+        F.round(pop, 6).alias("population_share"),
+        F.round(gain, 6).alias("gain"),
+        F.round(gain / pop, 6).alias("lift"),
+    )
+
+
+@register(
+    "events_session_entry_exit",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id)
+                    > 1800000000
+                  OR lag(ts) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id)
+                    IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(SUM(brk) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS BIGINT)
+               AS session_seq
+      FROM ev
+    ), agg AS (
+      SELECT user_id, session_seq,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             min_by(event_type,
+                    CAST(epoch_us(ts) AS HUGEINT) * 4294967296
+                      + event_id) AS entry_type,
+             max_by(event_type,
+                    CAST(epoch_us(ts) AS HUGEINT) * 4294967296
+                      + event_id) AS exit_type
+      FROM s GROUP BY user_id, session_seq
+    ), pg AS (
+      SELECT entry_type, exit_type,
+             CAST(COUNT(*) AS BIGINT) AS n_sessions,
+             CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_bounces
+      FROM agg GROUP BY entry_type, exit_type
+    )
+    SELECT entry_type, exit_type, n_sessions, n_bounces,
+           round(CAST(n_bounces AS DOUBLE) / n_sessions, 6)
+             AS bounce_rate
+    FROM pg
+    """,
+)
+def events_session_entry_exit_q(spark, sf_dir):
+    """Session ENTRY/EXIT matrix + bounce rate (the landing/exit-page
+    report product analytics ships beside [events_path_trigrams]'s
+    Sankey: which event type OPENS a session, which CLOSES it, and
+    what share of (entry, exit) cells are single-event bounces): the
+    30-minute-gap sessionization of [sessionize_events_batch]
+    (microsecond-exact break rule), entry/exit via min_by/max_by on
+    the packed micros·2³²+event_id composite key (the r15 memory
+    pattern — DuckDB has no struct ordering), then one agg to the
+    (entry, exit) cell grid.  Scale: two per-user windows + two
+    map-side-combined aggs; the matrix is |types|² control plane."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    brk = micros - F.lag(micros).over(w) > 1800 * 1_000_000
+    s = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(
+            brk | F.lag("ts").over(w).isNull(), 1
+        ).otherwise(0).alias("brk"),
+    ).select(
+        "user_id", "ts", "event_id", "event_type",
+        F.sum("brk").over(w).cast("bigint").alias("session_seq"),
+    )
+    key = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        .cast("decimal(38,0)") * 4294967296 + F.col("event_id")
+    )
+    agg = s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min_by("event_type", key).alias("entry_type"),
+        F.max_by("event_type", key).alias("exit_type"),
+    )
+    pg = agg.groupBy("entry_type", "exit_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum(
+            F.when(F.col("n_events") == 1, 1).otherwise(0)
+        ).cast("bigint").alias("n_bounces"),
+    )
+    return pg.select(
+        "entry_type", "exit_type", "n_sessions", "n_bounces",
+        F.round(
+            F.col("n_bounces").cast("double") / F.col("n_sessions"), 6
+        ).alias("bounce_rate"),
+    )
+
+
+@register(
+    "hypertable_counter_rate",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(user_id % 16 AS BIGINT) AS series, ts, event_id,
+             CAST((event_id * 7) % 1000 AS BIGINT) AS v
+      FROM events
+    ), d AS (
+      SELECT series, ts, v,
+             v - lag(v) OVER (PARTITION BY series
+                              ORDER BY ts, event_id) AS diff
+      FROM s
+    ), inc AS (
+      SELECT series, date_trunc('hour', ts) AS bucket,
+             CASE WHEN diff IS NULL THEN NULL
+                  WHEN diff >= 0 THEN diff
+                  ELSE v END AS contrib,
+             CASE WHEN diff < 0 THEN 1 ELSE 0 END AS reset
+      FROM d
+    )
+    SELECT series, CAST(bucket AS VARCHAR) AS bucket,
+           CAST(COUNT(contrib) AS BIGINT) AS n_samples,
+           CAST(coalesce(SUM(contrib), 0) AS BIGINT) AS increase,
+           CAST(SUM(reset) AS BIGINT) AS n_resets
+    FROM inc GROUP BY series, bucket
+    """,
+)
+def hypertable_counter_rate_q(spark, sf_dir):
+    """Counter increase() with RESET handling (the PromQL / Prometheus
+    counter primitive — the one time-series semantic the hypertable
+    tier was missing: a monotone counter that wraps on process restart
+    must contribute ``v`` after a reset, never the negative diff, or
+    every restart erases an hour of traffic): deterministic sawtooth
+    counter samples per series, per-series lag diffs under a
+    PARTITIONED (series) window with (ts, event_id) total order,
+    reset-corrected contributions (diff if diff ≥ 0 else v), then one
+    map-side-combinable agg to (series, hour) grain — ALL integer, no
+    float anywhere.  Scale: one keyed window + one agg; series
+    partitioning is the Prometheus sharding model itself."""
+    s = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 16).cast("bigint").alias("series"),
+        "ts", "event_id",
+        ((F.col("event_id") * 7) % 1000).cast("bigint").alias("v"),
+    )
+    w = Window.partitionBy("series").orderBy("ts", "event_id")
+    d = s.select(
+        "series", "ts", "v",
+        (F.col("v") - F.lag("v").over(w)).alias("diff"),
+    )
+    inc = d.select(
+        "series",
+        F.date_trunc("hour", F.col("ts").cast("timestamp"))
+        .alias("bucket"),
+        F.when(F.col("diff").isNull(), F.lit(None))
+        .when(F.col("diff") >= 0, F.col("diff"))
+        .otherwise(F.col("v")).alias("contrib"),
+        F.when(F.col("diff") < 0, 1).otherwise(0).alias("reset"),
+    )
+    return inc.groupBy(
+        "series", F.col("bucket").cast("string").alias("bucket")
+    ).agg(
+        F.count("contrib").cast("bigint").alias("n_samples"),
+        F.coalesce(F.sum("contrib"), F.lit(0))
+        .cast("bigint").alias("increase"),
+        F.sum("reset").cast("bigint").alias("n_resets"),
+    )
+
+
+@register(
+    "forecast_mann_kendall",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS mon,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2)))
+                  AS DECIMAL(38,2)) AS rev
+      FROM orders GROUP BY 1
+    ), pairs AS (
+      SELECT CASE WHEN b.rev > a.rev THEN 1
+                  WHEN b.rev < a.rev THEN -1 ELSE 0 END AS sg
+      FROM m a JOIN m b ON b.mon > a.mon
+    ), sstat AS (
+      SELECT CAST(SUM(sg) AS BIGINT) AS s FROM pairs
+    ), ties AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS t FROM m GROUP BY rev
+    ), vs AS (
+      SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n,
+             CAST((SELECT COUNT(*) FROM m) AS BIGINT)
+               * ((SELECT COUNT(*) FROM m) - 1)
+               * (2 * (SELECT COUNT(*) FROM m) + 5) AS nterm,
+             CAST(coalesce(SUM(t * (t - 1) * (2 * t + 5)), 0)
+                  AS BIGINT) AS tterm
+      FROM ties
+    )
+    SELECT vs.n AS n_months, sstat.s AS s_stat,
+           round((CAST(vs.nterm AS DOUBLE)
+                  - CAST(vs.tterm AS DOUBLE)) / 18.0, 6) AS var_s,
+           round(CASE WHEN sstat.s > 0
+                   THEN (CAST(sstat.s AS DOUBLE) - 1.0)
+                        / sqrt((CAST(vs.nterm AS DOUBLE)
+                                - CAST(vs.tterm AS DOUBLE)) / 18.0)
+                 WHEN sstat.s < 0
+                   THEN (CAST(sstat.s AS DOUBLE) + 1.0)
+                        / sqrt((CAST(vs.nterm AS DOUBLE)
+                                - CAST(vs.tterm AS DOUBLE)) / 18.0)
+                 ELSE 0.0 END, 6) AS z,
+           CASE WHEN sstat.s > 0 THEN 'increasing'
+                WHEN sstat.s < 0 THEN 'decreasing'
+                ELSE 'none' END AS trend
+    FROM sstat, vs
+    """,
+)
+def forecast_mann_kendall_q(spark, sf_dir):
+    """Mann–Kendall trend test (Mann 1945 / Kendall 1975 — the
+    nonparametric significance companion of [forecast_theil_sen_trend]:
+    Theil–Sen gives the robust SLOPE, Mann–Kendall says whether any
+    monotone trend EXISTS, from pure pairwise sign counts that no
+    outlier month can move): monthly decimal-exact revenue, the
+    calendar-bounded month-pair self-join (~n²/2 ≈ 3.5k pairs — the
+    Theil–Sen precedent, never data-grain), exact integer S = Σ sign,
+    the tie-corrected variance [n(n−1)(2n+5) − Σt(t−1)(2t+5)]/18 from
+    exact integer terms, and the continuity-corrected Z as one shared
+    float expression, 6 dp.  Scale: one fact-grain agg; everything
+    after is month-grain control plane."""
+    m = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("mon"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+            .cast("decimal(38,2)").alias("rev")
+        )
+    )
+    a, b = m.alias("a"), m.alias("b")
+    pairs = a.join(b, F.col("b.mon") > F.col("a.mon")).select(
+        F.when(F.col("b.rev") > F.col("a.rev"), 1)
+        .when(F.col("b.rev") < F.col("a.rev"), -1)
+        .otherwise(0).alias("sg")
+    )
+    sstat = pairs.agg(F.sum("sg").cast("bigint").alias("s"))
+    ties = m.groupBy("rev").agg(F.count(F.lit(1)).alias("t"))
+    vs = ties.agg(
+        F.coalesce(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("tterm"),
+    ).crossJoin(
+        F.broadcast(m.agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    ).select(
+        "n",
+        (
+            F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        ).cast("bigint").alias("nterm"),
+        "tterm",
+    )
+    var_s = (
+        F.col("nterm").cast("double") - F.col("tterm").cast("double")
+    ) / 18.0
+    sd = F.col("s").cast("double")
+    z = (
+        F.when(F.col("s") > 0, (sd - 1.0) / F.sqrt(var_s))
+        .when(F.col("s") < 0, (sd + 1.0) / F.sqrt(var_s))
+        .otherwise(0.0)
+    )
+    return sstat.crossJoin(F.broadcast(vs)).select(
+        F.col("n").alias("n_months"),
+        F.col("s").alias("s_stat"),
+        F.round(var_s, 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+        F.when(F.col("s") > 0, "increasing")
+        .when(F.col("s") < 0, "decreasing")
+        .otherwise("none").alias("trend"),
+    )

@@ -147,6 +147,13 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
         "stats_psi_drift",
         # MI: 1-row grid-total broadcast onto the bounded cell frame
         "stats_mutual_information",
+        # Friedman: 1-row (n, k, SS) totals onto the k-row type frame
+        "stats_friedman_test",
+        # Page-Hinkley: 1-row global-mean broadcast onto the day series
+        "stats_page_hinkley",
+        # Mann-Kendall: month-pair self-join (calendar-bounded, the
+        # Theil-Sen precedent) + 1-row S/variance total joins
+        "forecast_mann_kendall",
         "range_join_price_bands", "theta_join_richer_customers",
         "mega2_geoenrich_bands",  # GeoEnrichIP range join: bounded broadcast
         "flowfile_expiration_ttl", "similarity_cosine_topk",
@@ -404,6 +411,12 @@ def test_no_broadcast_hint_on_corpus_cardinality_frames():
         ("registry_analytics.py", "seg"): "|segments|-row min/max/totals",
         # autocorrelation: 4-row literal lag table
         ("registry_analytics.py", "lags"): "4-row literal lag table",
+        # Friedman: 1-row (n, k, rank-sum-of-squares) aggregate
+        ("registry_analytics.py", "st"): "1-row n/k/SS totals aggregate",
+        # Mann-Kendall: 1-row month count / variance-terms frames
+        ("registry_analytics.py", 'm.agg(F.count(F.lit(1)).cast("bigint").alias("n"))'):
+            "1-row month count",
+        ("registry_analytics.py", "vs"): "1-row variance-terms frame",
         # burstiness: 1-row corpus doc-count aggregate
         ("registry_stats.py", "ndocs"): "1-row corpus doc count",
         # Cohen's kappa: 1-row chance-agreement numerator
