@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from apache_nifi_spark import io
 from apache_nifi_spark.registry import (
     ORACLES,  # noqa: F401  (registration side effects)
     QUERIES,  # noqa: F401
@@ -3493,4 +3494,1126 @@ def forecast_mann_kendall_q(spark, sf_dir):
         F.when(F.col("s") > 0, "increasing")
         .when(F.col("s") < 0, "decreasing")
         .otherwise("none").alias("trend"),
+    )
+
+
+@register(
+    "stats_lincoln_petersen",
+    oracle="""
+    WITH s1 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE CAST(ts AS DATE) <= DATE '2024-01-10'
+    ), s2 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE CAST(ts AS DATE) >= DATE '2024-01-20'
+    ), c AS (
+      SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n1,
+             CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n2,
+             CAST((SELECT COUNT(*) FROM s1 JOIN s2 USING (user_id))
+                  AS BIGINT) AS m
+    )
+    SELECT n1, n2, m,
+           CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT)
+             AS chapman_estimate,
+           round(sqrt(CAST((n1 + 1) * (n2 + 1) AS DOUBLE)
+                      * (n1 - m) * (n2 - m)
+                      / (CAST(m + 1 AS DOUBLE) * (m + 1) * (m + 2))),
+                 6) AS se
+    FROM c
+    """,
+)
+def stats_lincoln_petersen_q(spark, sf_dir):
+    """Capture–recapture population estimate (Lincoln–Petersen with
+    the Chapman 1951 bias correction — the mark-recapture estimator
+    data teams reuse to size UNSEEN populations: how many users exist
+    given two overlapping observation windows, or how many duplicates
+    remain given two independent dedup passes): distinct user sets
+    from two disjoint calendar windows, their intersection via one
+    keyed semi-size count, then N̂ = (n₁+1)(n₂+1)/(m+1) − 1 in exact
+    integer floor division and the Seber standard error as one shared
+    float expression, 6 dp.  Scale: two distincts + one equi-join —
+    all map-side-combinable; the estimate is a 1-row control frame."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    s1 = ev.filter(
+        F.col("day") <= F.lit("2024-01-10").cast("date")
+    ).select("user_id").distinct()
+    s2 = ev.filter(
+        F.col("day") >= F.lit("2024-01-20").cast("date")
+    ).select("user_id").distinct()
+    n1 = s1.agg(F.count(F.lit(1)).cast("bigint").alias("n1"))
+    n2 = s2.agg(F.count(F.lit(1)).cast("bigint").alias("n2"))
+    m = s1.join(s2, "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m")
+    )
+    c = n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(m))
+    n1c, n2c, mc = F.col("n1"), F.col("n2"), F.col("m")
+    return c.select(
+        "n1", "n2", "m",
+        F.expr("(n1 + 1) * (n2 + 1) div (m + 1) - 1")
+        .cast("bigint").alias("chapman_estimate"),
+        F.round(
+            F.sqrt(
+                ((n1c + 1) * (n2c + 1)).cast("double")
+                * (n1c - mc) * (n2c - mc)
+                / ((mc + 1).cast("double") * (mc + 1) * (mc + 2))
+            ),
+            6,
+        ).alias("se"),
+    )
+
+
+@register(
+    "graph_degree_powerlaw",
+    oracle="""
+    WITH e AS (
+      SELECT o_custkey AS s, l_suppkey + 1000000 AS d
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE l_orderkey % 13 = 0
+    ), deg AS (
+      SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS dg
+      FROM e GROUP BY s
+    ), st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(MIN(dg) AS BIGINT) AS d_min,
+             CAST(MAX(dg) AS BIGINT) AS d_max,
+             SUM(ln(CAST(dg AS DOUBLE) / (SELECT MIN(dg) FROM deg)))
+               AS lsum
+      FROM deg
+    )
+    SELECT n_nodes, d_min, d_max,
+           round(1.0 + CAST(n_nodes AS DOUBLE) / lsum, 6) AS alpha_mle,
+           round(CAST(n_nodes AS DOUBLE) / lsum / sqrt(n_nodes), 6)
+             AS alpha_se
+    FROM st
+    """,
+)
+def graph_degree_powerlaw_q(spark, sf_dir):
+    """Power-law degree-distribution fit (Clauset, Shalizi & Newman
+    2009 — the discrete MLE α̂ = 1 + n/Σln(dᵢ/d_min) that decides
+    whether a link graph is scale-free, i.e. whether the hub-capping
+    and √m-orientation defenses in the graph tier are load-bearing):
+    out-degrees of the customer→supplier multigraph, one ln-ratio
+    aggregate with d_min as a shared sub-aggregate, the Hill/MLE α and
+    its n^(−1/2) standard error as shared float expressions, 6 dp.
+    Scale: one degree agg (map-side combinable) + one 1-row reduce —
+    nothing beyond the PageRank fixture's shapes."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 13 == 0
+    ).select("l_orderkey", "l_suppkey")
+    deg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("dg"))
+    )
+    dmin = deg.agg(F.min("dg").alias("dmn"))
+    st = deg.crossJoin(F.broadcast(dmin)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.min("dg").cast("bigint").alias("d_min"),
+        F.max("dg").cast("bigint").alias("d_max"),
+        F.sum(
+            F.log(F.col("dg").cast("double") / F.col("dmn"))
+        ).alias("lsum"),
+    )
+    nn = F.col("n_nodes").cast("double")
+    return st.select(
+        "n_nodes", "d_min", "d_max",
+        F.round(1.0 + nn / F.col("lsum"), 6).alias("alpha_mle"),
+        F.round(nn / F.col("lsum") / F.sqrt(nn), 6).alias("alpha_se"),
+    )
+
+
+#: Poisson(1) CDF thresholds at 2^52 fixed point (k = 0..6), shared by
+#: the engine and the SQL twin — the deterministic inverse-CDF table
+#: for per-(row, replica) md5-uniform bootstrap weights
+_POIS1_T = [
+    1656781714176974, 3313563428353948, 4141954285442435,
+    4418084571138597, 4487117142562638, 4500923656847446,
+    4503224742561580,
+]
+
+
+def _pois_weight_sql(u: str) -> str:
+    """CASE chain mapping a 52-bit uniform to a Poisson(1) draw."""
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS1_T)
+    )
+    return f"CASE {cases} ELSE 7 END"
+
+
+@register(
+    "stats_poisson_bootstrap_ci",
+    oracle=f"""
+    WITH b AS (
+      SELECT o_orderkey,
+             CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                  AS BIGINT) AS cents
+      FROM orders
+    ), expl AS (
+      SELECT o_orderkey, cents, unnest(generate_series(0, 63)) AS rep
+      FROM b
+    ), w AS (
+      SELECT rep, cents,
+             {_pois_weight_sql("CAST(('0x' || substr(md5("
+              "CAST(o_orderkey AS VARCHAR) || ':' || "
+              "CAST(rep AS VARCHAR)), 1, 13)) AS BIGINT)")} AS wt
+      FROM expl
+    ), rm AS (
+      SELECT rep,
+             CAST(SUM(wt * cents) AS BIGINT) AS s,
+             CAST(SUM(wt) AS BIGINT) AS n
+      FROM w GROUP BY rep
+    ), means AS (
+      SELECT rep, CAST(s AS DOUBLE) / n / 100.0 AS mb,
+             row_number() OVER (ORDER BY CAST(s AS DOUBLE) / n, rep)
+               AS rk
+      FROM rm
+    ), pt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(cents) AS BIGINT) AS cs
+      FROM b
+    )
+    SELECT pt.n_rows,
+           CAST(64 AS INT) AS n_replicas,
+           round(CAST(pt.cs AS DOUBLE) / pt.n_rows / 100.0, 6)
+             AS point_mean,
+           round((SELECT mb FROM means WHERE rk = 2), 6) AS ci_lo,
+           round((SELECT mb FROM means WHERE rk = 63), 6) AS ci_hi
+    FROM pt
+    """,
+)
+def stats_poisson_bootstrap_ci_q(spark, sf_dir):
+    """POISSON BOOTSTRAP confidence interval (Chamandy et al. 2012 —
+    the bootstrap that actually distributes: classic resampling needs
+    n draws per replica from ONE machine's view of the data, while
+    independent per-(row, replica) Poisson(1) weights make every
+    replica a map-side weighted sum): 64 replicas of the mean order
+    value, weights drawn deterministically by inverse-CDF over 52-bit
+    md5 uniforms against a shared fixed-point threshold table (the
+    mixture-sampling idiom — integer compares, no float RNG), replica
+    means from exact integer cent sums, and the 95 % CI by rank 2/63
+    of the 64-row replica frame.  Scale: the ×64 explode is the
+    documented bootstrap cost (map-only), each replica reduces
+    map-side-combined; the CI step is a 64-row control frame."""
+    b = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice").cast("double") * 100 + 0.5)
+        .cast("bigint").alias("cents"),
+    )
+    # the x64 explode + per-(row, replica) md5 is CPU-heavy work over a
+    # NARROW scan — widen to the session parallelism first (the
+    # measured widen_if_narrow case; 9.6 -> ~1.5 s at sf0.1)
+    expl = io.widen_if_narrow(b).select(
+        "o_orderkey", "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("rep"),
+    )
+    u = (
+        "CAST(conv(substr(md5(concat(CAST(o_orderkey AS STRING), ':', "
+        "CAST(rep AS STRING))), 1, 13), 16, 10) AS BIGINT)"
+    )
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS1_T)
+    )
+    w = expl.select(
+        "rep", "cents", F.expr(f"CASE {cases} ELSE 7 END").alias("wt")
+    )
+    rm = w.groupBy("rep").agg(
+        F.sum(F.col("wt") * F.col("cents")).cast("bigint").alias("s"),
+        F.sum("wt").cast("bigint").alias("n"),
+    )
+    mb = F.col("s").cast("double") / F.col("n") / 100.0
+    wrk = Window.partitionBy().orderBy(mb, "rep")  # 64-row frame
+    means = rm.select(
+        F.col("rep"), mb.alias("mb"), F.row_number().over(wrk).alias("rk")
+    )
+    pt = b.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("cs"),
+    )
+    lo = means.filter(F.col("rk") == 2).select(
+        F.col("mb").alias("lo")
+    )
+    hi = means.filter(F.col("rk") == 63).select(
+        F.col("mb").alias("hi")
+    )
+    return (
+        pt.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))
+        .select(
+            "n_rows",
+            F.lit(64).cast("int").alias("n_replicas"),
+            F.round(
+                F.col("cs").cast("double") / F.col("n_rows") / 100.0, 6
+            ).alias("point_mean"),
+            F.round("lo", 6).alias("ci_lo"),
+            F.round("hi", 6).alias("ci_hi"),
+        )
+    )
+
+
+@register(
+    "events_attribution_models",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+      WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT event_id AS t_id, user_id, ts AS t_ts,
+             event_type AS channel
+      FROM events WHERE event_type IN ('view', 'click', 'signup')
+    ), j AS (
+      SELECT p.p_id, t.channel, t.t_ts, t.t_id,
+             row_number() OVER (PARTITION BY p.p_id
+                                ORDER BY t.t_ts, t.t_id) AS pos,
+             COUNT(*) OVER (PARTITION BY p.p_id) AS n
+      FROM p JOIN t ON t.user_id = p.user_id
+       AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 7 DAY
+    ), c AS (
+      SELECT channel,
+             CASE WHEN pos = 1 THEN 1.0 ELSE 0.0 END AS fr,
+             CASE WHEN pos = n THEN 1.0 ELSE 0.0 END AS la,
+             1.0 / n AS li,
+             CASE WHEN n = 1 THEN 1.0
+                  WHEN n = 2 THEN 0.5
+                  WHEN pos = 1 OR pos = n THEN 0.4
+                  ELSE 0.2 / (n - 2) END AS us
+      FROM j
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS touches,
+           round(SUM(CAST(fr AS DECIMAL(18,12))), 6) AS first_touch,
+           round(SUM(CAST(la AS DECIMAL(18,12))), 6) AS last_touch,
+           round(SUM(CAST(li AS DECIMAL(18,12))), 6) AS linear,
+           round(SUM(CAST(us AS DECIMAL(18,12))), 6) AS u_shape
+    FROM c GROUP BY channel ORDER BY channel
+    """,
+)
+def events_attribution_models_q(spark, sf_dir):
+    """Multi-touch MARKETING ATTRIBUTION (the four standard rule-based
+    models every growth pipeline reports before anyone trusts a data-
+    driven one): per purchase, the view/click/signup touches of the
+    same user in the 7 days before it, positioned by time; credit per
+    model — first-touch, last-touch, linear 1/n, U-shape 40/20/40
+    (position-based) — summed per channel.  Credits are exact small-
+    integer rationals computed identically in both engines, decimal-
+    pinned before the per-channel sum so accumulation is order-free.
+    Scale: one user-keyed equi-join bounded by the 7-day window, one
+    purchase-partitioned window, one channel agg — no global state."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    t = ev.filter(
+        F.col("event_type").isin("view", "click", "signup")
+    ).select(
+        F.col("event_id").alias("t_id"), "user_id",
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    j = p.join(
+        t,
+        (p.user_id == t.user_id)
+        & (t.t_ts < p.p_ts)
+        & (t.t_ts >= p.p_ts - F.expr("INTERVAL 7 DAY")),
+    ).select("p_id", "channel", "t_ts", "t_id")
+    w = Window.partitionBy("p_id").orderBy("t_ts", "t_id")
+    wn = Window.partitionBy("p_id")
+    pos, n = F.row_number().over(w), F.count(F.lit(1)).over(wn)
+    g = j.select(
+        "channel", pos.alias("pos"), n.alias("n")
+    )
+    dec = lambda c: c.cast("decimal(18,12)")
+    nd = F.col("n").cast("double")
+    return (
+        g.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("touches"),
+            F.round(F.sum(dec(F.when(F.col("pos") == 1, 1.0)
+                               .otherwise(0.0))), 6).cast("double").alias("first_touch"),
+            F.round(F.sum(dec(F.when(F.col("pos") == F.col("n"), 1.0)
+                               .otherwise(0.0))), 6).cast("double").alias("last_touch"),
+            F.round(F.sum(dec(F.lit(1.0) / nd)), 6).cast("double").alias("linear"),
+            F.round(F.sum(dec(
+                F.when(F.col("n") == 1, 1.0)
+                .when(F.col("n") == 2, 0.5)
+                .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")),
+                      0.4)
+                .otherwise(F.lit(0.2) / (nd - 2))
+            )), 6).cast("double").alias("u_shape"),
+        )
+        .orderBy("channel")
+    )
+
+
+@register(
+    "search_rrf_fusion",
+    oracle="""
+    WITH tokd AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text),
+                                            '[^a-z0-9'']+'),
+                         t -> t != '') AS toks
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dlen,
+             CAST(len(list_filter(toks, t -> t = 'data')) AS BIGINT)
+               AS tf1,
+             CAST(len(list_filter(toks, t -> t = 'spark')) AS BIGINT)
+               AS tf2,
+             CAST(len(list_filter(toks, t -> t = 'pipeline'))
+                  AS BIGINT) AS tf3
+      FROM tokd
+    ), st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dlen) AS BIGINT) AS total_len,
+             CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS df1,
+             CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS df2,
+             CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS df3
+      FROM tf
+    ), scored AS (
+      SELECT doc_id,
+        CAST(CAST(CASE WHEN tf1 = 0 THEN 0 ELSE
+          ln((CAST(n_docs AS DOUBLE) - df1 + 0.5) / (df1 + 0.5) + 1.0)
+          * (CAST(tf1 AS DOUBLE) * 2.2)
+          / (CAST(tf1 AS DOUBLE)
+             + 1.2 * (0.25 + 0.75 * CAST(dlen AS DOUBLE)
+                             * CAST(n_docs AS DOUBLE)
+                             / CAST(total_len AS DOUBLE))) END
+          AS DECIMAL(28,9))
+        + CAST(CASE WHEN tf2 = 0 THEN 0 ELSE
+          ln((CAST(n_docs AS DOUBLE) - df2 + 0.5) / (df2 + 0.5) + 1.0)
+          * (CAST(tf2 AS DOUBLE) * 2.2)
+          / (CAST(tf2 AS DOUBLE)
+             + 1.2 * (0.25 + 0.75 * CAST(dlen AS DOUBLE)
+                             * CAST(n_docs AS DOUBLE)
+                             / CAST(total_len AS DOUBLE))) END
+          AS DECIMAL(28,9))
+        + CAST(CASE WHEN tf3 = 0 THEN 0 ELSE
+          ln((CAST(n_docs AS DOUBLE) - df3 + 0.5) / (df3 + 0.5) + 1.0)
+          * (CAST(tf3 AS DOUBLE) * 2.2)
+          / (CAST(tf3 AS DOUBLE)
+             + 1.2 * (0.25 + 0.75 * CAST(dlen AS DOUBLE)
+                             * CAST(n_docs AS DOUBLE)
+                             / CAST(total_len AS DOUBLE))) END
+          AS DECIMAL(28,9)) AS DECIMAL(38,9)) AS score
+      FROM tf, st
+      WHERE tf1 + tf2 + tf3 > 0
+    ), lexr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+               AS ra
+      FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 50)
+    ), q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id = 0
+    ), cosv AS (
+      SELECT c.vec_id AS doc_id,
+             list_dot_product(q.v, CAST(c.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[]))))
+               AS cosine
+      FROM embeddings c, q WHERE c.vec_id != 0
+    ), cosr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id)
+               AS rb
+      FROM (SELECT * FROM cosv ORDER BY cosine DESC, doc_id LIMIT 50)
+    ), fused AS (
+      SELECT COALESCE(l.doc_id, c.doc_id) AS doc_id,
+             CAST(l.ra AS BIGINT) AS lex_rank,
+             CAST(c.rb AS BIGINT) AS vec_rank,
+             COALESCE(1.0 / (60 + l.ra), 0.0)
+               + COALESCE(1.0 / (60 + c.rb), 0.0) AS rrf
+      FROM lexr l FULL OUTER JOIN cosr c ON l.doc_id = c.doc_id
+    )
+    SELECT doc_id, lex_rank, vec_rank, round(rrf, 9) AS rrf_score,
+           CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT)
+             AS rrf_rank
+    FROM fused ORDER BY rrf_rank
+    """,
+)
+def search_rrf_fusion_q(spark, sf_dir):
+    """RECIPROCAL RANK FUSION hybrid search (Cormack, Clarke &
+    Büttcher 2009 — the fusion rule behind every lexical+vector hybrid
+    retriever: score = Σ 1/(k + rankᵢ), k=60, robust because it uses
+    only RANKS, never incomparable raw scores): list A = BM25 top-50
+    for the 3-term query (decimal-pinned scores, the
+    [search_bm25_scores]/[search_ndcg_eval] machinery), list B =
+    cosine top-50 against the query embedding (vec 0, the
+    [similarity_cosine_topk] broadcast-query scorer), fused by a full
+    outer join on doc id — 1/(60+r) is an exact small-integer rational
+    in both engines.  Scale: both cutoffs are distributed TakeOrdered
+    per-partition top-50s; the fusion join and final rank run on the
+    ≤100-row fused frame (control-plane)."""
+    from apache_nifi_spark.llm import cosine_topk_bruteforce
+
+    # corpus tokenize rides the size-adaptive Arrow/RE2 path (Java
+    # regex costs 5-8x RE2 per byte — the measured constant behind
+    # every corpus-grain tokenize wall); per-doc term counts are one
+    # map-side-combinable doc-grain agg, corpus stats ONE 1-row reduce
+    from apache_nifi_spark.llm.text import tokens_arrow
+
+    tok = tokens_arrow(
+        io.widen_if_narrow(
+            _t(spark, sf_dir, "documents").select("doc_id", "text")
+        ),
+        id_col="doc_id",
+    )
+    cnt1 = lambda t: F.sum(
+        F.when(F.col("token") == t, 1).otherwise(0)
+    ).cast("bigint")
+    tf = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dlen"),
+        cnt1("data").alias("tf1"),
+        cnt1("spark").alias("tf2"),
+        cnt1("pipeline").alias("tf3"),
+    )
+    bmstats = tf.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dlen").cast("bigint").alias("total_len"),
+        F.sum(F.when(F.col("tf1") > 0, 1).otherwise(0))
+        .cast("bigint").alias("df1"),
+        F.sum(F.when(F.col("tf2") > 0, 1).otherwise(0))
+        .cast("bigint").alias("df2"),
+        F.sum(F.when(F.col("tf3") > 0, 1).otherwise(0))
+        .cast("bigint").alias("df3"),
+    )
+    nd = F.col("n_docs").cast("double")
+    norm = 1.2 * (
+        0.25
+        + 0.75 * F.col("dlen").cast("double") * nd
+        / F.col("total_len").cast("double")
+    )
+
+    def term(tfc, dfc):
+        tfd = F.col(tfc).cast("double")
+        return F.when(F.col(tfc) == 0, F.lit(0).cast("decimal(28,9)")) \
+            .otherwise(
+                (
+                    F.log(
+                        (nd - F.col(dfc) + 0.5) / (F.col(dfc) + 0.5)
+                        + 1.0
+                    )
+                    * (tfd * 2.2) / (tfd + norm)
+                ).cast("decimal(28,9)")
+            )
+
+    scored = (
+        tf.join(F.broadcast(bmstats))
+        .filter(F.col("tf1") + F.col("tf2") + F.col("tf3") > 0)
+        .select(
+            "doc_id",
+            (term("tf1", "df1") + term("tf2", "df2")
+             + term("tf3", "df3")).cast("decimal(38,9)").alias("score"),
+        )
+    )
+    # distributed TakeOrdered cutoffs; windows run over the <=50-row
+    # already-limited frames
+    wl = Window.orderBy(F.col("score").desc(), "doc_id")
+    lexr = (
+        scored.orderBy(F.col("score").desc(), "doc_id").limit(50)
+        .select("doc_id", F.row_number().over(wl).alias("ra"))
+    )
+    e = _t(spark, sf_dir, "embeddings")
+    cosr = (
+        cosine_topk_bruteforce(e, e.filter(F.col("vec_id") == 0), k=50)
+        .select(F.col("neighbor_id").alias("doc_id"),
+                F.col("rank").alias("rb"))
+    )
+    fused = lexr.join(cosr, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("ra").cast("bigint").alias("lex_rank"),
+        F.col("rb").cast("bigint").alias("vec_rank"),
+        (
+            F.coalesce(1.0 / (60 + F.col("ra")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("rb")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    wf = Window.orderBy(F.col("rrf").desc(), "doc_id")
+    return fused.select(
+        "doc_id", "lex_rank", "vec_rank",
+        F.round("rrf", 9).alias("rrf_score"),
+        F.row_number().over(wf).cast("int").alias("rrf_rank"),
+    ).orderBy("rrf_rank")
+
+
+@register(
+    "search_rbo_rankings",
+    oracle="""
+    WITH a AS (
+      SELECT o_custkey AS k,
+             CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS rev,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY o_custkey
+    ), la AS (
+      SELECT k, row_number() OVER (ORDER BY rev DESC, k) AS ra
+      FROM (SELECT * FROM a ORDER BY rev DESC, k LIMIT 100)
+    ), lb AS (
+      SELECT k, row_number() OVER (ORDER BY cnt DESC, k) AS rb
+      FROM (SELECT * FROM a ORDER BY cnt DESC, k LIMIT 100)
+    ), mx AS (
+      SELECT greatest(ra, rb) AS maxd, COUNT(*) AS c
+      FROM la JOIN lb USING (k) GROUP BY greatest(ra, rb)
+    ), spine AS (
+      SELECT unnest(generate_series(1, 100)) AS d
+    ), cum AS (
+      SELECT d, SUM(COALESCE(c, 0))
+                  OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS xd
+      FROM spine LEFT JOIN mx ON mx.maxd = spine.d
+    ), terms AS (
+      SELECT d, xd,
+             CAST(0.5 * pow(0.5, d - 1) * xd / d
+                  AS DECIMAL(28,20)) AS term
+      FROM cum
+    )
+    SELECT CAST(100 AS INT) AS depth,
+           CAST((SELECT xd FROM cum WHERE d = 100) AS BIGINT)
+             AS overlap_at_depth,
+           round((SELECT xd FROM cum WHERE d = 100) / 100.0, 6)
+             AS agreement_at_depth,
+           round(SUM(term), 6) AS rbo
+    FROM terms
+    """,
+)
+def search_rbo_rankings_q(spark, sf_dir):
+    """RANK-BIASED OVERLAP between two rankings (Webber, Moffat &
+    Zobel 2010 — the top-weighted, rank-only similarity that answers
+    "did the ranking change?" when comparing a new scorer against the
+    incumbent): customers ranked by revenue vs by order count, both
+    truncated at depth 100 by distributed TakeOrdered; cumulative
+    overlap X_d counted from each item's max(rankA, rankB) entry
+    depth; RBO = Σ (1−p)·p^(d−1)·X_d/d with p = 0.5 — a DYADIC weight,
+    so pow() is bit-exact in both engines and the decimal-pinned term
+    sum is order-free.  Scale: one customer-grain agg, two top-100
+    cutoffs; everything after runs on ≤100-row control frames."""
+    a = _t(spark, sf_dir, "orders").groupBy(
+        F.col("o_custkey").alias("k")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice").cast("double") * 100 + 0.5)
+            .cast("bigint")
+        ).cast("bigint").alias("rev"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    wa = Window.orderBy(F.col("rev").desc(), "k")
+    wb = Window.orderBy(F.col("cnt").desc(), "k")
+    la = (
+        a.orderBy(F.col("rev").desc(), "k").limit(100)
+        .select("k", F.row_number().over(wa).alias("ra"))
+    )
+    lb = (
+        a.orderBy(F.col("cnt").desc(), "k").limit(100)
+        .select("k", F.row_number().over(wb).alias("rb"))
+    )
+    mx = (
+        la.join(lb, "k")
+        .groupBy(F.greatest("ra", "rb").alias("maxd"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    spine = spark.range(1).select(
+        F.explode(F.sequence(F.lit(1), F.lit(100))).alias("d")
+    )
+    wd = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        spine.join(F.broadcast(mx), spine.d == mx.maxd, "left")
+        .select("d", F.coalesce("c", F.lit(0)).alias("c"))
+        .select("d", F.sum("c").over(wd).alias("xd"))
+    )
+    terms = cum.select(
+        "d", "xd",
+        (
+            F.lit(0.5) * F.pow(F.lit(0.5), F.col("d") - 1)
+            * F.col("xd") / F.col("d")
+        ).cast("decimal(28,20)").alias("term"),
+    )
+    tail = cum.filter(F.col("d") == 100).select(
+        F.col("xd").alias("x100")
+    )
+    return (
+        terms.agg(F.round(F.sum("term"), 6).cast("double").alias("rbo"))
+        .join(F.broadcast(tail))
+        .select(
+            F.lit(100).cast("int").alias("depth"),
+            F.col("x100").cast("bigint").alias("overlap_at_depth"),
+            F.round(F.col("x100") / 100.0, 6).alias("agreement_at_depth"),
+            "rbo",
+        )
+    )
+
+
+@register(
+    "stats_cuped",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS INT) AS arm,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN
+                 CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN
+                 CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+               AS sxy,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))
+               AS sxx,
+             CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+               AS syy,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT)
+               AS sy1,
+             CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT)
+               AS sx1,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0,
+             CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT)
+               AS sy0,
+             CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT)
+               AS sx0
+      FROM u
+    )
+    SELECT n AS n_users,
+      round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+            / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+            , 6) AS theta,
+      round((CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0)
+            / 100.0, 6) AS diff_raw,
+      round(((CAST(sy1 AS DOUBLE) / n1
+              - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * (CAST(sx1 AS DOUBLE) / n1 - CAST(sx AS DOUBLE) / n))
+             - (CAST(sy0 AS DOUBLE) / n0
+              - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * (CAST(sx0 AS DOUBLE) / n0 - CAST(sx AS DOUBLE) / n)))
+            / 100.0, 6) AS diff_cuped,
+      round(100.0
+            * ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+            / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+               * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+            , 6) AS var_reduction_pct
+    FROM m
+    """,
+)
+def stats_cuped_q(spark, sf_dir):
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013 — the
+    pre-experiment-covariate adjustment every mature A/B platform
+    applies before reading a metric: Y' = Y − θ(X − X̄) with
+    θ = cov(X,Y)/var(X) removes the between-user variance the
+    pre-period already explains): per-user pre/post value sums in
+    exact integer cents (one conditional pass), pooled moments as
+    DECIMAL(38,0) products, θ / raw diff / adjusted diff / the ρ²
+    variance-reduction readout as shared 1-row float expressions.
+    Deterministic user_id %% 2 assignment.  Scale: one user-grain agg
+    + one 13-column map-side-combinable moment reduce."""
+    cents = F.floor(F.col("value").cast("double") * 100 + 0.5).cast(
+        "bigint"
+    )
+    cut = F.lit("2024-01-15").cast("timestamp")
+    u = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "ts", cents.alias("cents"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < cut, F.col("cents"))
+                  .otherwise(0)).cast("bigint").alias("x"),
+            F.sum(F.when(F.col("ts") >= cut, F.col("cents"))
+                  .otherwise(0)).cast("bigint").alias("y"),
+        )
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("arm"), "x", "y"
+        )
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")
+    m = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d38("x")).cast("decimal(38,0)").alias("sx"),
+        F.sum(d38("y")).cast("decimal(38,0)").alias("sy"),
+        F.sum(d38("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(d38("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(d38("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0))
+        .cast("bigint").alias("sy1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x")).otherwise(0))
+        .cast("bigint").alias("sx1"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0))
+        .cast("bigint").alias("sy0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("x")).otherwise(0))
+        .cast("bigint").alias("sx0"),
+    )
+    nD = F.col("n").cast("double")
+    sxD, syD = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxyD = F.col("sxy").cast("double")
+    sxxD, syyD = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    covn = nD * sxyD - sxD * syD     # n·cov (shared expression)
+    varxn = nD * sxxD - sxD * sxD    # n·var(X)
+    varyn = nD * syyD - syD * syD
+    theta = covn / varxn
+    ybar1 = F.col("sy1").cast("double") / F.col("n1")
+    ybar0 = F.col("sy0").cast("double") / F.col("n0")
+    xbar1 = F.col("sx1").cast("double") / F.col("n1")
+    xbar0 = F.col("sx0").cast("double") / F.col("n0")
+    xbar = sxD / nD
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.round(theta, 6).alias("theta"),
+        F.round((ybar1 - ybar0) / 100.0, 6).alias("diff_raw"),
+        F.round(
+            ((ybar1 - theta * (xbar1 - xbar))
+             - (ybar0 - theta * (xbar0 - xbar))) / 100.0, 6
+        ).alias("diff_cuped"),
+        F.round(100.0 * (covn * covn) / (varxn * varyn), 6)
+        .alias("var_reduction_pct"),
+    )
+
+
+@register(
+    "stats_diff_in_diff",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(o_custkey % 2 AS INT) AS treat,
+             CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                  THEN 1 ELSE 0 END AS post,
+             CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                  AS BIGINT) AS cents
+      FROM orders
+    ), m AS (
+      SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_orders,
+        CAST(SUM(CASE WHEN treat=1 AND post=0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_t0,
+        CAST(SUM(CASE WHEN treat=1 AND post=0 THEN cents ELSE 0 END)
+             AS BIGINT) AS s_t0,
+        CAST(SUM(CASE WHEN treat=1 AND post=0 THEN
+             CAST(cents AS DECIMAL(38,0)) * cents ELSE 0 END)
+             AS DECIMAL(38,0)) AS q_t0,
+        CAST(SUM(CASE WHEN treat=1 AND post=1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_t1,
+        CAST(SUM(CASE WHEN treat=1 AND post=1 THEN cents ELSE 0 END)
+             AS BIGINT) AS s_t1,
+        CAST(SUM(CASE WHEN treat=1 AND post=1 THEN
+             CAST(cents AS DECIMAL(38,0)) * cents ELSE 0 END)
+             AS DECIMAL(38,0)) AS q_t1,
+        CAST(SUM(CASE WHEN treat=0 AND post=0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_c0,
+        CAST(SUM(CASE WHEN treat=0 AND post=0 THEN cents ELSE 0 END)
+             AS BIGINT) AS s_c0,
+        CAST(SUM(CASE WHEN treat=0 AND post=0 THEN
+             CAST(cents AS DECIMAL(38,0)) * cents ELSE 0 END)
+             AS DECIMAL(38,0)) AS q_c0,
+        CAST(SUM(CASE WHEN treat=0 AND post=1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_c1,
+        CAST(SUM(CASE WHEN treat=0 AND post=1 THEN cents ELSE 0 END)
+             AS BIGINT) AS s_c1,
+        CAST(SUM(CASE WHEN treat=0 AND post=1 THEN
+             CAST(cents AS DECIMAL(38,0)) * cents ELSE 0 END)
+             AS DECIMAL(38,0)) AS q_c1
+      FROM o
+    )
+    SELECT n_orders,
+      round(CAST(s_t0 AS DOUBLE) / n_t0 / 100.0, 6) AS mean_t_pre,
+      round(CAST(s_t1 AS DOUBLE) / n_t1 / 100.0, 6) AS mean_t_post,
+      round(CAST(s_c0 AS DOUBLE) / n_c0 / 100.0, 6) AS mean_c_pre,
+      round(CAST(s_c1 AS DOUBLE) / n_c1 / 100.0, 6) AS mean_c_post,
+      round(((CAST(s_t1 AS DOUBLE) / n_t1 - CAST(s_t0 AS DOUBLE) / n_t0)
+           - (CAST(s_c1 AS DOUBLE) / n_c1 - CAST(s_c0 AS DOUBLE) / n_c0))
+            / 100.0, 6) AS did_estimate,
+      round(sqrt(
+          (CAST(q_t1 AS DOUBLE) - CAST(s_t1 AS DOUBLE) * s_t1 / n_t1)
+            / (n_t1 - 1) / n_t1
+        + (CAST(q_t0 AS DOUBLE) - CAST(s_t0 AS DOUBLE) * s_t0 / n_t0)
+            / (n_t0 - 1) / n_t0
+        + (CAST(q_c1 AS DOUBLE) - CAST(s_c1 AS DOUBLE) * s_c1 / n_c1)
+            / (n_c1 - 1) / n_c1
+        + (CAST(q_c0 AS DOUBLE) - CAST(s_c0 AS DOUBLE) * s_c0 / n_c0)
+            / (n_c0 - 1) / n_c0
+      ) / 100.0, 6) AS se
+    FROM m
+    """,
+)
+def stats_diff_in_diff_q(spark, sf_dir):
+    """DIFFERENCE-IN-DIFFERENCES estimator (Card & Krueger 1994 shape
+    — the quasi-experimental readout when assignment isn't random:
+    (T_post − T_pre) − (C_post − C_pre) cancels both the group gap and
+    the common time trend): 2×2 cells from deterministic o_custkey %% 2
+    groups and a calendar split, exact integer-cent sums and
+    DECIMAL(38,0) squared sums in ONE conditional pass, cell means /
+    DiD estimate / pooled SE as shared 1-row float expressions.
+    Scale: a single 13-column map-side-combinable reduce."""
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 2).cast("int").alias("treat"),
+        F.when(
+            F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"),
+            1,
+        ).otherwise(0).alias("post"),
+        F.floor(F.col("o_totalprice").cast("double") * 100 + 0.5)
+        .cast("bigint").alias("cents"),
+    )
+    cnt = lambda t, p: F.sum(
+        F.when((F.col("treat") == t) & (F.col("post") == p), 1)
+        .otherwise(0)
+    ).cast("bigint")
+    ssum = lambda t, p: F.sum(
+        F.when((F.col("treat") == t) & (F.col("post") == p),
+               F.col("cents")).otherwise(0)
+    ).cast("bigint")
+    qsum = lambda t, p: F.sum(
+        F.when(
+            (F.col("treat") == t) & (F.col("post") == p),
+            F.col("cents").cast("decimal(38,0)") * F.col("cents"),
+        ).otherwise(F.lit(0).cast("decimal(38,0)"))
+    ).cast("decimal(38,0)")
+    m = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        cnt(1, 0).alias("n_t0"), ssum(1, 0).alias("s_t0"),
+        qsum(1, 0).alias("q_t0"),
+        cnt(1, 1).alias("n_t1"), ssum(1, 1).alias("s_t1"),
+        qsum(1, 1).alias("q_t1"),
+        cnt(0, 0).alias("n_c0"), ssum(0, 0).alias("s_c0"),
+        qsum(0, 0).alias("q_c0"),
+        cnt(0, 1).alias("n_c1"), ssum(0, 1).alias("s_c1"),
+        qsum(0, 1).alias("q_c1"),
+    )
+    mean = lambda s, n: F.col(s).cast("double") / F.col(n)
+    sterm = lambda q, s, n: (
+        F.col(q).cast("double")
+        - F.col(s).cast("double") * F.col(s) / F.col(n)
+    ) / (F.col(n) - 1) / F.col(n)
+    return m.select(
+        "n_orders",
+        F.round(mean("s_t0", "n_t0") / 100.0, 6).alias("mean_t_pre"),
+        F.round(mean("s_t1", "n_t1") / 100.0, 6).alias("mean_t_post"),
+        F.round(mean("s_c0", "n_c0") / 100.0, 6).alias("mean_c_pre"),
+        F.round(mean("s_c1", "n_c1") / 100.0, 6).alias("mean_c_post"),
+        F.round(
+            ((mean("s_t1", "n_t1") - mean("s_t0", "n_t0"))
+             - (mean("s_c1", "n_c1") - mean("s_c0", "n_c0"))) / 100.0,
+            6,
+        ).alias("did_estimate"),
+        F.round(
+            F.sqrt(
+                sterm("q_t1", "s_t1", "n_t1")
+                + sterm("q_t0", "s_t0", "n_t0")
+                + sterm("q_c1", "s_c1", "n_c1")
+                + sterm("q_c0", "s_c0", "n_c0")
+            ) / 100.0,
+            6,
+        ).alias("se"),
+    )
+
+
+@register(
+    "stats_jackknife_ratio",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(o_custkey % 32 AS INT) AS g,
+             CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_custkey % 32
+    ), tot AS (
+      SELECT CAST(SUM(s) AS BIGINT) AS st, CAST(SUM(n) AS BIGINT) AS nt,
+             CAST(COUNT(*) AS BIGINT) AS gn
+      FROM b
+    ), r AS (
+      SELECT g,
+             CAST((st - s) AS DOUBLE) / (nt - n) AS rg,
+             st, nt, gn
+      FROM b, tot
+    ), jk AS (
+      SELECT any_value(gn) AS gn, any_value(st) AS st,
+             any_value(nt) AS nt,
+             SUM(CAST(rg AS DECIMAL(28,12))) AS sr,
+             SUM(CAST(rg * rg AS DECIMAL(28,12))) AS srr
+      FROM r
+    )
+    SELECT CAST(nt AS BIGINT) AS n_orders,
+           CAST(gn AS INT) AS n_groups,
+           round(CAST(st AS DOUBLE) / nt / 100.0, 6) AS point_aov,
+           round(sqrt((CAST(gn AS DOUBLE) - 1) / gn
+                      * (CAST(srr AS DOUBLE)
+                         - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / gn))
+                 / 100.0, 6) AS jk_se,
+           round((CAST(st AS DOUBLE) / nt
+                  - 1.96 * sqrt((CAST(gn AS DOUBLE) - 1) / gn
+                      * (CAST(srr AS DOUBLE)
+                         - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / gn)))
+                 / 100.0, 6) AS ci_lo,
+           round((CAST(st AS DOUBLE) / nt
+                  + 1.96 * sqrt((CAST(gn AS DOUBLE) - 1) / gn
+                      * (CAST(srr AS DOUBLE)
+                         - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / gn)))
+                 / 100.0, 6) AS ci_hi
+    FROM jk
+    """,
+)
+def stats_jackknife_ratio_q(spark, sf_dir):
+    """DELETE-A-GROUP JACKKNIFE for a ratio metric (Kott 2001 / the
+    standard survey-statistics variance for Σy/Σx metrics like average
+    order value, where the classic per-row jackknife is both wrong
+    under clustering and undistributable): 32 deterministic customer
+    buckets, leave-one-bucket-out ratios R₍g₎ = (S−s_g)/(N−n_g) from
+    exact integer-cent totals, variance (G−1)/G·Σ(R₍g₎−R̄)² via
+    decimal-pinned ΣR/ΣR² so the 32-row reduction is order-free, and
+    the 95 %% CI.  The companion of [stats_poisson_bootstrap_ci] —
+    deterministic where the bootstrap is randomized.  Scale: one
+    bucket-grain agg (map-side combinable), then ≤32-row control
+    frames."""
+    b = _t(spark, sf_dir, "orders").groupBy(
+        (F.col("o_custkey") % 32).cast("int").alias("g")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice").cast("double") * 100 + 0.5)
+            .cast("bigint")
+        ).cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    tot = b.agg(
+        F.sum("s").cast("bigint").alias("st"),
+        F.sum("n").cast("bigint").alias("nt"),
+        F.count(F.lit(1)).cast("bigint").alias("gn"),
+    )
+    r = b.crossJoin(F.broadcast(tot)).select(
+        ((F.col("st") - F.col("s")).cast("double")
+         / (F.col("nt") - F.col("n"))).alias("rg"),
+        "st", "nt", "gn",
+    )
+    jk = r.agg(
+        F.any_value("gn").alias("gn"),
+        F.any_value("st").alias("st"),
+        F.any_value("nt").alias("nt"),
+        F.sum(F.col("rg").cast("decimal(28,12)")).alias("sr"),
+        F.sum((F.col("rg") * F.col("rg")).cast("decimal(28,12)"))
+        .alias("srr"),
+    )
+    gnD = F.col("gn").cast("double")
+    var = (gnD - 1) / F.col("gn") * (
+        F.col("srr").cast("double")
+        - F.col("sr").cast("double") * F.col("sr").cast("double")
+        / F.col("gn")
+    )
+    aov = F.col("st").cast("double") / F.col("nt")
+    return jk.select(
+        F.col("nt").cast("bigint").alias("n_orders"),
+        F.col("gn").cast("int").alias("n_groups"),
+        F.round(aov / 100.0, 6).alias("point_aov"),
+        F.round(F.sqrt(var) / 100.0, 6).alias("jk_se"),
+        F.round((aov - 1.96 * F.sqrt(var)) / 100.0, 6).alias("ci_lo"),
+        F.round((aov + 1.96 * F.sqrt(var)) / 100.0, 6).alias("ci_hi"),
+    )
+
+
+#: SPRT log-likelihood-ratio constants at 1e12 fixed point, shared by
+#: the engine and the SQL twin.  H0: p=0.18, H1: p=0.22, alpha=beta=0.05:
+#: A = ln(p1/p0)*1e12, B = ln((1-p1)/(1-p0))*1e12, bounds = ±ln(19)*1e12.
+_SPRT_A = 200670695462
+_SPRT_B = -50010420575
+_SPRT_UP = 2944438979166
+_SPRT_LO = -2944438979166
+
+
+@register(
+    "stats_sprt_sequential",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS events,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                      END) AS BIGINT) AS conversions
+      FROM events GROUP BY CAST(ts AS DATE)
+    ), c AS (
+      SELECT day, events, conversions,
+             SUM(conversions * {_SPRT_A}
+                 + (events - conversions) * {_SPRT_B})
+               OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS llr_fp
+      FROM d
+    ), dec AS (
+      SELECT MIN(day) AS decision_day FROM c
+      WHERE llr_fp >= {_SPRT_UP} OR llr_fp <= {_SPRT_LO}
+    )
+    SELECT CAST(c.day AS VARCHAR) AS day, c.events, c.conversions,
+           round(CAST(llr_fp AS DOUBLE) / 1e12, 6) AS llr,
+           CASE WHEN llr_fp >= {_SPRT_UP} THEN 'accept_h1'
+                WHEN llr_fp <= {_SPRT_LO} THEN 'accept_h0'
+                ELSE 'continue' END AS status,
+           CASE WHEN c.day = dec.decision_day THEN TRUE ELSE FALSE END
+             AS is_decision_point
+    FROM c, dec ORDER BY c.day
+    """,
+)
+def stats_sprt_sequential_q(spark, sf_dir):
+    """Wald SPRT sequential conversion monitor (Wald 1945 — the
+    always-valid sequential test that lets an experiment STOP EARLY:
+    cumulative log-likelihood ratio between H1 p=0.22 and H0 p=0.18
+    against the ±ln((1−β)/α) barriers at α=β=0.05): daily conversion
+    counts, per-day LLR increment x·ln(p1/p0) + (m−x)·ln(q1/q0) in
+    1e12 FIXED-POINT integers (module constants shared with the SQL
+    twin, so the cumulative sum is exact and order-free), cumulated
+    over the calendar-day spine; the first barrier crossing is the
+    decision point.  Scale: one day-grain agg; the cumsum window runs
+    on the ~31-row calendar frame (control-plane-bounded)."""
+    d = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("ts").cast("date").alias("day"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0).alias("cv"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("events"),
+            F.sum("cv").cast("bigint").alias("conversions"),
+        )
+    )
+    wd = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = d.select(
+        "day", "events", "conversions",
+        F.sum(
+            F.col("conversions") * F.lit(_SPRT_A)
+            + (F.col("events") - F.col("conversions")) * F.lit(_SPRT_B)
+        ).over(wd).alias("llr_fp"),
+    )
+    crossed = (F.col("llr_fp") >= _SPRT_UP) | (
+        F.col("llr_fp") <= _SPRT_LO
+    )
+    decday = c.filter(crossed).agg(F.min("day").alias("decision_day"))
+    return (
+        c.crossJoin(F.broadcast(decday))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "events", "conversions",
+            F.round(F.col("llr_fp").cast("double") / 1e12, 6)
+            .alias("llr"),
+            F.when(F.col("llr_fp") >= _SPRT_UP, "accept_h1")
+            .when(F.col("llr_fp") <= _SPRT_LO, "accept_h0")
+            .otherwise("continue").alias("status"),
+            F.coalesce(
+                F.col("day") == F.col("decision_day"), F.lit(False)
+            ).alias("is_decision_point"),
+        )
+        .orderBy("day")
     )

@@ -1957,7 +1957,9 @@ def _staged_iceberg_dv(spark, sf_dir):
         paths[0]: [d for d in range(200) if d % 13 == 1],
         paths[1]: [d - 200 for d in range(200, 400) if d % 17 == 3]})
     iceberg_commit(root, 804, added=add(2, 100))
-    act = iceberg_active_files(spark, root, content=1).collect()
+    act = iceberg_active_files(  # control-plane: O(manifests) DV listing
+        spark, root, content=1
+    ).collect()
     assert len(act) == 1 and act[0]["file_path"].endswith(".puffin"), act
     # time travel to 802 applies ONLY the first DV
     n802 = read_iceberg_snapshot(spark, root, 802).count()
@@ -1999,5 +2001,194 @@ def iceberg_dv_q(spark, sf_dir):
     snap = read_iceberg_snapshot(spark, root)
     return snap.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
+_HUDI_STAGE: dict[str, str] = {}
+
+
+def _staged_hudi_cow(spark, sf_dir):
+    """Hudi COW table exercising the full timeline protocol: c1 INSERT
+    of four file groups (documents [0,400) in two partitions), c2 COW
+    UPSERT rewriting group g1 WITHOUT its doc_id %% 7 == 3 rows (a new
+    file slice — the old one stays for time travel), c3 INSERT of
+    group g4 ([400,500)), c4 REPLACECOMMIT clustering g0+g2 into one
+    g5 slice (Hudi's OPTIMIZE analog — the replaced groups' files stay
+    on disk), then a retention-checked CLEAN at c2 deleting exactly
+    g1's superseded first slice; staging asserts time travel to c1
+    fails loudly afterwards while c2/c3 replays stay byte-identical."""
+    if sf_dir in _HUDI_STAGE:
+        return _HUDI_STAGE[sf_dir]
+    import tempfile
+
+    from apache_nifi_spark.sources.hudi import (
+        hudi_clean,
+        hudi_commit,
+        hudi_init,
+        hudi_write_base_file,
+        read_hudi_snapshot,
+    )
+
+    root = tempfile.mkdtemp(prefix="anspark_hudi_")
+    hudi_init(root, "anspark_docs")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    c1, c2, c3, c4 = (
+        "20240101080000000", "20240102080000000",
+        "20240103080000000", "20240104080000000",
+    )
+
+    def rng(lo, hi):
+        return docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+
+    stats1: dict[str, list] = {"part=0": [], "part=1": []}
+    for k in range(4):
+        stats1[f"part={k % 2}"].append(
+            hudi_write_base_file(
+                rng(k * 100, k * 100 + 100), root, f"part={k % 2}",
+                f"g{k}", c1, "doc_id",
+            )
+        )
+    hudi_commit(root, c1, stats1, operation="insert")
+    # c2: COW upsert — group g1 rewritten WITHOUT doc_id % 7 == 3
+    g1_new = rng(100, 200).filter(F.col("doc_id") % 7 != 3)
+    hudi_commit(
+        root, c2,
+        {"part=1": [hudi_write_base_file(
+            g1_new, root, "part=1", "g1", c2, "doc_id")]},
+    )
+    # c3: insert g4
+    hudi_commit(
+        root, c3,
+        {"part=0": [hudi_write_base_file(
+            rng(400, 500), root, "part=0", "g4", c3, "doc_id")]},
+        operation="insert",
+    )
+    # c4: clustering — g0 + g2 replaced by one g5 slice
+    g5 = rng(0, 100).unionByName(rng(200, 300))
+    hudi_commit(
+        root, c4,
+        {"part=0": [hudi_write_base_file(
+            g5, root, "part=0", "g5", c4, "doc_id")]},
+        operation="cluster",
+        replace_file_ids={"part=0": ["g0", "g2"]},
+    )
+    # clean retaining from c2: ONLY g1's c1 slice is superseded in
+    # every retained snapshot (g0/g2 stay — c2/c3 still read them)
+    doomed = hudi_clean(spark, root, retain_from=c2)
+    assert doomed == [f"part=1/g1_0-1-0_{c1}.parquet"], doomed
+    try:
+        read_hudi_snapshot(spark, root, as_of=c1).count()
+        raise AssertionError("hudi time travel below the clean succeeded")
+    except AssertionError:
+        raise
+    except Exception:  # noqa: BLE001 — Spark wraps the missing file
+        pass
+    # retained replays stay exact: 500 docs minus the 15 upsert-dropped
+    # ids (101, 108, ..., 199 — the %7==3 members of [100, 200))
+    assert read_hudi_snapshot(spark, root, as_of=c3).count() == 485
+    _HUDI_STAGE[sf_dir] = root
+    return root
+
+
+@register(
+    "hudi_cow_snapshot_read",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    WHERE doc_id < 500
+      AND NOT (doc_id >= 100 AND doc_id < 200 AND doc_id % 7 = 3)
+    GROUP BY lang
+    """,
+)
+def hudi_cow_snapshot_q(spark, sf_dir):
+    """Hudi COPY-ON-WRITE snapshot read (the third open lakehouse
+    protocol, completing the trio beside Delta log replay and Iceberg
+    manifests — hudi.apache.org spec: ``.hoodie/`` instant timeline,
+    file groups, file slices): latest-slice resolution across an
+    insert → COW upsert → insert → CLUSTERING replacecommit → clean
+    timeline, one ``max_by`` at file-group grain plus the replace-set
+    anti-join, then a plain parquet scan.  Equality with the
+    arithmetic complement proves the upsert rewrote rows, the
+    clustering moved bytes only, and the clean deleted nothing
+    reachable.  sources/hudi.py."""
+    from apache_nifi_spark.sources.hudi import read_hudi_snapshot
+
+    root = _staged_hudi_cow(spark, sf_dir)
+    snap = read_hudi_snapshot(spark, root)
+    return snap.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
+@register(
+    "hudi_time_travel_read",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    WHERE doc_id < 400
+      AND NOT (doc_id >= 100 AND doc_id < 200 AND doc_id % 7 = 3)
+    GROUP BY lang
+    """,
+)
+def hudi_time_travel_q(spark, sf_dir):
+    """Hudi timeline time travel: snapshot AS OF the upsert instant —
+    the post-upsert g1 slice plus the UNTOUCHED c1 groups (g0/g2/g3),
+    with the later insert (g4) and clustering (g5/replace) invisible;
+    the retention-checked clean (staged after) provably kept every
+    slice this replay needs.  The complement-arithmetic oracle pins
+    slice resolution at an interior instant, not just HEAD.
+    sources/hudi.py ``read_hudi_snapshot(as_of=…)``."""
+    from apache_nifi_spark.sources.hudi import read_hudi_snapshot
+
+    root = _staged_hudi_cow(spark, sf_dir)
+    snap = read_hudi_snapshot(spark, root, as_of="20240102080000000")
+    return snap.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
+@register(
+    "hudi_clustering_read",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT CASE WHEN doc_id < 100 OR
+                (doc_id >= 200 AND doc_id < 300) THEN doc_id END)
+                AS BIGINT) AS clustered_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    WHERE doc_id < 500
+      AND NOT (doc_id >= 100 AND doc_id < 200 AND doc_id % 7 = 3)
+    """,
+)
+def hudi_clustering_q(spark, sf_dir):
+    """Hudi CLUSTERING audit (replacecommit — the maintenance action
+    completing the trio's OPTIMIZE story: Delta OPTIMIZE ↔ Iceberg
+    rewrite_data_files ↔ Hudi clustering): the snapshot after the
+    replacecommit reads groups g0+g2 through the ONE clustered g5
+    slice — ``_hoodie_commit_time`` (the spec's meta column, kept via
+    ``with_meta``) proves exactly the clustered rows carry the
+    replacecommit's instant while totals stay byte-identical.
+    sources/hudi.py ``partitionToReplaceFileIds``."""
+    from apache_nifi_spark.sources.hudi import read_hudi_snapshot
+
+    root = _staged_hudi_cow(spark, sf_dir)
+    snap = read_hudi_snapshot(spark, root, with_meta=True)
+    return snap.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_distinct(
+            F.when(
+                F.col("_hoodie_commit_time") == "20240104080000000",
+                F.col("doc_id"),
+            )
+        ).cast("bigint").alias("clustered_rows"),
         F.sum("doc_id").cast("long").alias("id_sum"),
     )

@@ -1,0 +1,293 @@
+"""Apache Hudi copy-on-write table reads (the third OPEN lakehouse
+table protocol beside Delta (sources/deltalog.py) and Iceberg
+(sources/iceberg.py) — hudi.apache.org tech specs: an ordered TIMELINE
+of instants under ``.hoodie/`` (``<instantTime>.<action>`` completed
+files, with ``.requested``/``.inflight`` transition markers), data laid
+out as FILE GROUPS (a ``fileId`` within a partition path) whose base
+files are FILE SLICES named ``<fileId>_<writeToken>_<instantTime>
+.parquet``; a COW upsert rewrites the whole group as a new slice).  No
+Hudi jar ships in this environment, so the TIMELINE PROTOCOL is
+implemented from the public spec; parquet reading stays Spark-native.
+
+Scope: ``commit`` (insert/upsert — HoodieCommitMetadata JSON with
+``partitionToWriteStats``), ``replacecommit`` (clustering — the
+``partitionToReplaceFileIds`` REPLACE semantics, Hudi's OPTIMIZE
+analog), and ``clean`` (retention-checked physical deletion of
+superseded slices).  Snapshot at instant T = for each file group, the
+latest completed slice ≤ T, minus groups replaced by a completed
+replacecommit ≤ T.
+
+Spark-first shape: the instant list is a control-plane directory
+listing (O(instants)); commit METADATA parses distributedly —
+``spark.read`` wholetext over the completed instant files with
+``from_json`` on the spec's write-stats map — and latest-slice
+resolution is one ``max_by`` at file-group grain (O(file groups), the
+table's manifest scale, not its data scale).  The resolved slice list
+feeds a plain parquet scan, so pruning / pushdown work exactly as for
+any parquet read.  Base files carry the spec's ``_hoodie_commit_time``
+/ ``_hoodie_record_key`` meta columns; the reader strips them unless
+asked.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hudi_init",
+    "hudi_write_base_file",
+    "hudi_commit",
+    "hudi_timeline",
+    "hudi_active_slices",
+    "read_hudi_snapshot",
+    "hudi_clean",
+]
+
+#: completed-instant actions the reader understands
+_ACTIONS = ("commit", "replacecommit", "clean")
+
+_STATS_SCHEMA = (
+    "struct<partitionToWriteStats: map<string, array<struct<"
+    "fileId: string, path: string, numWrites: bigint,"
+    "fileSizeInBytes: bigint, prevCommit: string>>>,"
+    "partitionToReplaceFileIds: map<string, array<string>>,"
+    "operationType: string>"
+)
+
+
+def hudi_init(table_path: str, name: str) -> None:
+    """Write ``.hoodie/hoodie.properties`` (spec: java-properties file
+    carrying table name/type/version)."""
+    meta = os.path.join(table_path, ".hoodie")
+    os.makedirs(meta, exist_ok=True)
+    with open(os.path.join(meta, "hoodie.properties"), "w") as f:
+        f.write(
+            "hoodie.table.name=%s\n"
+            "hoodie.table.type=COPY_ON_WRITE\n"
+            "hoodie.table.version=6\n"
+            "hoodie.timeline.layout.version=1\n" % name
+        )
+
+
+def hudi_write_base_file(
+    df: DataFrame,
+    table_path: str,
+    partition: str,
+    file_id: str,
+    instant: str,
+    key_col: str,
+) -> dict:
+    """Write one file slice ``<partition>/<fileId>_0-1-0_<instant>
+    .parquet`` with the spec's meta columns and return its write-stat
+    dict for :func:`hudi_commit`.  COW: the caller passes the FULL
+    group content (survivors + updates), never a delta."""
+    rel = f"{partition}/{file_id}_0-1-0_{instant}.parquet"
+    out_dir = os.path.join(table_path, f"__stage_{file_id}_{instant}")
+    n = (
+        df.withColumn("_hoodie_commit_time", F.lit(instant))
+        .withColumn(
+            "_hoodie_record_key", F.col(key_col).cast("string")
+        )
+        .coalesce(1)
+        .sortWithinPartitions(key_col)
+    )
+    n.write.mode("overwrite").parquet(out_dir)
+    part = [
+        p for p in os.listdir(out_dir) if p.startswith("part-")
+    ][0]
+    dst = os.path.join(table_path, rel)
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    os.replace(os.path.join(out_dir, part), dst)
+    shutil.rmtree(out_dir)
+    return {
+        "fileId": file_id,
+        "path": rel,
+        "numWrites": df.count(),
+        "fileSizeInBytes": os.path.getsize(dst),
+        "prevCommit": "null",
+    }
+
+
+def hudi_commit(
+    table_path: str,
+    instant: str,
+    partition_stats: dict[str, list[dict]],
+    operation: str = "upsert",
+    replace_file_ids: dict[str, list[str]] | None = None,
+) -> str:
+    """Append one completed instant to the timeline: the
+    ``.requested`` / ``.inflight`` transition markers then the
+    completed ``<instant>.<action>`` file carrying
+    HoodieCommitMetadata JSON.  ``replace_file_ids`` switches the
+    action to ``replacecommit`` (clustering)."""
+    action = "replacecommit" if replace_file_ids else "commit"
+    meta = os.path.join(table_path, ".hoodie")
+    os.makedirs(meta, exist_ok=True)
+    for suffix in (f"{action}.requested", f"{action}.inflight"):
+        open(os.path.join(meta, f"{instant}.{suffix}"), "w").close()
+    body = {
+        "partitionToWriteStats": partition_stats,
+        "operationType": operation.upper(),
+    }
+    if replace_file_ids:
+        body["partitionToReplaceFileIds"] = replace_file_ids
+    p = os.path.join(meta, f"{instant}.{action}")
+    with open(p, "w") as f:
+        json.dump(body, f)
+    return p
+
+
+def hudi_timeline(table_path: str) -> list[tuple[str, str]]:
+    """COMPLETED instants, time-ordered: ``[(instant, action), ...]``.
+    Control-plane: one directory listing, O(instants)."""
+    meta = os.path.join(table_path, ".hoodie")
+    out = []
+    for name in os.listdir(meta):
+        parts = name.split(".")
+        if len(parts) == 2 and parts[1] in _ACTIONS:
+            out.append((parts[0], parts[1]))
+    return sorted(out)
+
+
+def hudi_active_slices(
+    spark: SparkSession, table_path: str, as_of: str | None = None
+) -> DataFrame:
+    """Resolve the ACTIVE file slice per file group at ``as_of``
+    (default: latest instant): distributed wholetext+``from_json``
+    parse of the completed commit metadata, one explode to slice
+    grain, one ``max_by(path, instant)`` per (partition, fileId),
+    then an anti-join against the replace sets of completed
+    replacecommits ≤ as_of.  Output: (partition, file_id, path,
+    instant) at file-group grain."""
+    timeline = hudi_timeline(table_path)
+    commits = [
+        (t, a) for t, a in timeline
+        if a in ("commit", "replacecommit")
+        and (as_of is None or t <= as_of)
+    ]
+    if not commits:
+        raise ValueError(
+            f"hudi: no completed commit at or before {as_of!r} "
+            f"in {table_path}"
+        )
+    meta = os.path.join(table_path, ".hoodie")
+    paths = [os.path.join(meta, f"{t}.{a}") for t, a in commits]
+    raw = (
+        spark.read.text(paths, wholetext=True)
+        .select(
+            F.element_at(
+                F.split(
+                    F.element_at(
+                        F.split(F.input_file_name(), "/"), -1
+                    ),
+                    r"\.",
+                ),
+                1,
+            ).alias("instant"),
+            F.from_json("value", _STATS_SCHEMA).alias("m"),
+        )
+    )
+    slices = (
+        raw.select(
+            "instant",
+            F.explode("m.partitionToWriteStats").alias("partition", "ws"),
+        )
+        .select("instant", "partition", F.explode("ws").alias("s"))
+        .groupBy("partition", F.col("s.fileId").alias("file_id"))
+        .agg(
+            F.max_by("s.path", "instant").alias("path"),
+            F.max("instant").alias("instant"),
+        )
+    )
+    replaced = (
+        raw.filter(F.col("m.partitionToReplaceFileIds").isNotNull())
+        .select(
+            F.explode("m.partitionToReplaceFileIds")
+            .alias("partition", "ids")
+        )
+        .select("partition", F.explode("ids").alias("file_id"))
+        .distinct()
+    )
+    return slices.join(
+        F.broadcast(replaced), ["partition", "file_id"], "left_anti"
+    )
+
+
+def read_hudi_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    as_of: str | None = None,
+    with_meta: bool = False,
+) -> DataFrame:
+    """Snapshot read at ``as_of`` (default latest): resolve active
+    slices, then one plain parquet scan over them — pruning and
+    pushdown apply as for any parquet read.  Meta columns
+    (``_hoodie_*``) are stripped unless ``with_meta``."""
+    rows = hudi_active_slices(  # control-plane: O(file groups)
+        spark, table_path, as_of
+    ).collect()
+    paths = [os.path.join(table_path, r["path"]) for r in rows]
+    df = spark.read.parquet(*paths)
+    if not with_meta:
+        df = df.drop("_hoodie_commit_time", "_hoodie_record_key")
+    return df
+
+
+def hudi_clean(
+    spark: SparkSession, table_path: str, retain_from: str
+) -> list[str]:
+    """Retention-checked physical deletion (the spec's ``clean``
+    action, KEEP_LATEST-style): a slice is deletable iff it is NOT the
+    active slice of its file group in ANY retained snapshot (every
+    completed commit instant ≥ ``retain_from``).  Replays each
+    retained instant's active set before deleting — time travel below
+    ``retain_from`` then fails loudly on the missing file, the
+    documented trade-off.  Returns deleted relative paths and appends
+    the ``<instant>.clean`` record."""
+    timeline = hudi_timeline(table_path)
+    commit_instants = [
+        t for t, a in timeline if a in ("commit", "replacecommit")
+    ]
+    retained = [t for t in commit_instants if t >= retain_from]
+    if not retained:
+        raise ValueError(f"hudi clean: nothing retained at {retain_from}")
+    keep: set[str] = set()
+    for t in retained:
+        for r in hudi_active_slices(  # control-plane: O(groups)
+            spark, table_path, t
+        ).collect():
+            keep.add(r["path"])
+    all_slices: set[str] = set()
+    for t, a in timeline:
+        if a not in ("commit", "replacecommit"):
+            continue
+        with open(
+            os.path.join(table_path, ".hoodie", f"{t}.{a}")
+        ) as f:
+            body = json.load(f)
+        for stats in body.get("partitionToWriteStats", {}).values():
+            for s in stats:
+                all_slices.add(s["path"])
+    doomed = sorted(all_slices - keep)
+    for rel in doomed:
+        os.remove(os.path.join(table_path, rel))
+    clean_instant = max(t for t, _ in timeline) + "001"
+    meta = os.path.join(table_path, ".hoodie")
+    for suffix in ("clean.requested", "clean.inflight"):
+        open(os.path.join(meta, f"{clean_instant}.{suffix}"), "w").close()
+    with open(
+        os.path.join(meta, f"{clean_instant}.clean"), "w"
+    ) as f:
+        json.dump(
+            {
+                "earliestCommitToRetain": retain_from,
+                "pathsDeleted": doomed,
+            },
+            f,
+        )
+    return doomed

@@ -154,6 +154,20 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
         # Mann-Kendall: month-pair self-join (calendar-bounded, the
         # Theil-Sen precedent) + 1-row S/variance total joins
         "forecast_mann_kendall",
+        # Lincoln-Petersen: three 1-row capture-count frames
+        "stats_lincoln_petersen",
+        # power-law MLE: 1-row d_min broadcast onto the degree frame
+        "graph_degree_powerlaw",
+        # Poisson bootstrap: 1-row point estimate x rank-2/63 CI rows
+        "stats_poisson_bootstrap_ci",
+        # RRF: 1-row BM25 corpus-stats frame onto the term frame
+        "search_rrf_fusion",
+        # RBO: 1-row rbo total x 1-row depth-100 overlap
+        "search_rbo_rankings",
+        # jackknife: 1-row totals onto the 32-row bucket frame
+        "stats_jackknife_ratio",
+        # SPRT: 1-row decision-day frame onto the ~31-day frame
+        "stats_sprt_sequential",
         "range_join_price_bands", "theta_join_richer_customers",
         "mega2_geoenrich_bands",  # GeoEnrichIP range join: bounded broadcast
         "flowfile_expiration_ttl", "similarity_cosine_topk",
@@ -394,6 +408,9 @@ def test_no_broadcast_hint_on_corpus_cardinality_frames():
         ("llm/text.py", "stats"): "1-row corpus stats",
         ("llm/text.py", "fitted"): "1-row OLS fit",
         ("llm/text.py", "nd"): "1-row doc count",
+        # Hudi: replaced-file-group set, O(replacecommits) manifest grain
+        ("sources/hudi.py", "replaced"):
+            "replaced file-group ids (manifest grain)",
         # sketch: quantile read-out probs frame, len(probs) rows
         ("llm/sketch.py", "pf"): "len(probs) literal rows",
         # HITS: 1-row L1-normalization totals per half-round
@@ -417,6 +434,23 @@ def test_no_broadcast_hint_on_corpus_cardinality_frames():
         ("registry_analytics.py", 'm.agg(F.count(F.lit(1)).cast("bigint").alias("n"))'):
             "1-row month count",
         ("registry_analytics.py", "vs"): "1-row variance-terms frame",
+        # Lincoln-Petersen: 1-row capture counts
+        ("registry_analytics.py", "n2"): "1-row capture count",
+        ("registry_analytics.py", "m"): "1-row recapture count",
+        # power-law MLE: 1-row min-degree aggregate
+        ("registry_analytics.py", "dmin"): "1-row min-degree aggregate",
+        # Poisson bootstrap: rank-selected 1-row CI bounds
+        ("registry_analytics.py", "lo"): "1-row CI bound",
+        ("registry_analytics.py", "hi"): "1-row CI bound",
+        # RRF: 1-row BM25 corpus stats
+        ("registry_analytics.py", "bmstats"): "1-row BM25 corpus stats",
+        # RBO: <=100-row max-depth histogram + 1-row depth-100 overlap
+        ("registry_analytics.py", "mx"): "<=100-row max-depth histogram",
+        ("registry_analytics.py", "tail"): "1-row depth-100 overlap",
+        # jackknife: 1-row bucket totals
+        ("registry_analytics.py", "tot"): "1-row bucket totals",
+        # SPRT: 1-row first-crossing day
+        ("registry_analytics.py", "decday"): "1-row decision day",
         # burstiness: 1-row corpus doc-count aggregate
         ("registry_stats.py", "ndocs"): "1-row corpus doc count",
         # Cohen's kappa: 1-row chance-agreement numerator
@@ -587,6 +621,21 @@ def test_no_global_window_on_data_grain_frames():
         ("registry_stats.py", 'F.col("rel").desc()'):
             "window over a limit-10 frame",
         ("llm/sketch.py", "F.lit(1)"): "fixed histogram-bin table total",
+        # RRF: windows over the two limit-50 frames + <=100-row fusion
+        ("registry_analytics.py", 'F.col("score").desc(), "doc_id"'):
+            "window over a limit-50 frame",
+        ("registry_analytics.py", 'F.col("rrf").desc(), "doc_id"'):
+            "window over the <=100-row fused frame",
+        # RBO: windows over the two limit-100 frames + 100-row spine
+        ("registry_analytics.py", 'F.col("rev").desc(), "k"'):
+            "window over a limit-100 frame",
+        ("registry_analytics.py", 'F.col("cnt").desc(), "k"'):
+            "window over a limit-100 frame",
+        ("registry_analytics.py", '"d"'):
+            "fixed 100-row depth spine cumsum",
+        # SPRT: cumulative LLR over the calendar-day spine
+        ("registry_analytics.py", '"day"'):
+            "day-grain frame, calendar-bounded",
     }
     pkg_root = pathlib.Path(apache_nifi_spark.__file__).parent
     offenders = []
