@@ -125,4 +125,8 @@ from apache_nifi_spark.llm.multimodal import (  # noqa: F401
     parse_png_metadata,
     parse_tiff_metadata,
     decode_image_tiff_meta,
+    encode_ogg_vorbis,
+    parse_ogg_metadata,
+    encode_id3v2,
+    parse_id3v2,
 )

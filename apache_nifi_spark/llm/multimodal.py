@@ -2074,3 +2074,208 @@ def parse_pdf_metadata(payload: bytes):
         if payload[off : off + 4] == b"xref":
             xref_ok = 1
     return (version, n_objects, n_pages, size_entry, xref_ok)
+
+
+#: Ogg page CRC (RFC 3533 / Xiph spec): polynomial 0x04c11db7,
+#: NON-reflected, init 0, xorout 0 — NOT the zlib CRC-32.  256-entry
+#: table built once per executor import.
+_OGG_CRC_TABLE = []
+for _i in range(256):
+    _r = _i << 24
+    for _ in range(8):
+        _r = ((_r << 1) ^ 0x04C11DB7) if (_r & 0x80000000) else (_r << 1)
+        _r &= 0xFFFFFFFF
+    _OGG_CRC_TABLE.append(_r)
+
+
+def _ogg_crc(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[
+            ((crc >> 24) & 0xFF) ^ b
+        ]
+    return crc
+
+
+def _ogg_page(
+    header_type: int,
+    granule: int,
+    serial: int,
+    seq: int,
+    packets: list[bytes],
+) -> bytes:
+    """One RFC 3533 page: lacing-value segment table (255-run framing)
+    + payload, CRC computed over the whole page with the CRC field
+    zeroed."""
+    segs = bytearray()
+    payload = b""
+    for pk in packets:
+        n = len(pk)
+        while n >= 255:
+            segs.append(255)
+            n -= 255
+        segs.append(n)
+        payload += pk
+    head = struct.pack(
+        "<4sBBqIII",
+        b"OggS", 0, header_type, granule, serial, seq, 0,
+    ) + bytes([len(segs)]) + bytes(segs)
+    crc = _ogg_crc(head + payload)
+    head = head[:22] + struct.pack("<I", crc) + head[26:]
+    return head + payload
+
+
+def encode_ogg_vorbis(
+    channels: int,
+    sample_rate: int,
+    total_samples: int,
+    n_data_pages: int,
+    serial: int,
+) -> bytes:
+    """Spec-valid Ogg/Vorbis metadata skeleton: a BOS page carrying
+    the Vorbis identification header (packet type 0x01 + 'vorbis' +
+    version/channels/rate/bitrates/blocksizes/framing), then
+    ``n_data_pages`` empty-packet data pages with granule positions
+    stepping to ``total_samples``, the last flagged EOS.  Audio packet
+    payloads are the documented codec seam (the AVI/TIFF/PNG policy);
+    the page framing and CRCs are real."""
+    ident = (
+        b"\x01vorbis"
+        + struct.pack("<IB I iii B B", 0, channels, sample_rate,
+                      0, 128000, 0, 0xB8, 1)
+    )
+    pages = [_ogg_page(0x02, 0, serial, 0, [ident])]
+    for i in range(n_data_pages):
+        last = i == n_data_pages - 1
+        gran = (
+            total_samples
+            if last
+            else (total_samples * (i + 1)) // n_data_pages
+        )
+        pages.append(
+            _ogg_page(0x04 if last else 0x00, gran, serial, i + 1,
+                      [b""])
+        )
+    return b"".join(pages)
+
+
+def parse_ogg_metadata(payload: bytes):
+    """(channels, sample_rate, n_pages, crc_valid_pages, final_granule,
+    bos_ok, eos_ok, serial) from an Ogg stream with a Vorbis
+    identification header; None for non-Ogg or truncated payloads.
+    Every page's CRC is recomputed against the zeroed-field header —
+    the round-trip proof that the 0x04c11db7 non-reflected table
+    matches the spec."""
+    if len(payload) < 27 or payload[:4] != b"OggS":
+        return None
+    pos, n_pages, crc_ok = 0, 0, 0
+    channels = sample_rate = None
+    final_granule = 0
+    bos_ok = eos_ok = 0
+    serial = None
+    while pos + 27 <= len(payload):
+        if payload[pos : pos + 4] != b"OggS":
+            return None
+        (_v, htype, granule, ser, _seq, crc) = struct.unpack_from(
+            "<BBqIII", payload, pos + 4
+        )
+        nsegs = payload[pos + 26]
+        seg_end = pos + 27 + nsegs
+        if seg_end > len(payload):
+            return None
+        body_len = sum(payload[pos + 27 : seg_end])
+        end = seg_end + body_len
+        if end > len(payload):
+            return None
+        page = bytearray(payload[pos:end])
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(page)) == crc:
+            crc_ok += 1
+        if htype & 0x02:
+            bos_ok = 1
+            body = payload[seg_end:end]
+            if body[:7] == b"\x01vorbis" and len(body) >= 30:
+                _ver, ch = struct.unpack_from("<IB", body, 7)
+                (rate,) = struct.unpack_from("<I", body, 12)
+                channels, sample_rate = ch, rate
+        if htype & 0x04:
+            eos_ok = 1
+        if serial is None:
+            serial = ser
+        elif ser != serial:
+            return None
+        final_granule = max(final_granule, granule)
+        n_pages += 1
+        pos = end
+    if channels is None:
+        return None
+    return (
+        channels, sample_rate, n_pages, crc_ok, final_granule,
+        bos_ok, eos_ok, serial,
+    )
+
+
+def encode_id3v2(frames: dict[str, str]) -> bytes:
+    """ID3v2.3 tag (id3.org spec): 10-byte header ('ID3', version
+    3.0, flags 0, SYNCSAFE 28-bit size) + text frames (4-char frame
+    id, 32-bit big-endian size, 2 flag bytes, encoding byte 0x00,
+    Latin-1 text)."""
+    body = b""
+    for fid, text in frames.items():
+        data = b"\x00" + text.encode("latin-1")
+        body += (
+            fid.encode("ascii")
+            + struct.pack(">I", len(data))
+            + b"\x00\x00"
+            + data
+        )
+    ss = len(body)
+    return (
+        b"ID3\x03\x00\x00"
+        + bytes(
+            [(ss >> 21) & 0x7F, (ss >> 14) & 0x7F,
+             (ss >> 7) & 0x7F, ss & 0x7F]
+        )
+        + body
+    )
+
+
+def parse_id3v2(payload: bytes):
+    """(major_version, tag_size, n_frames, {frame_id: text}) from an
+    ID3v2.2/3/4 tag header; None when no tag leads the payload.
+    Text frames decode their 0x00 (Latin-1) / 0x03 (UTF-8) encodings;
+    other encodings and non-'T' frames are counted, not decoded."""
+    if len(payload) < 10 or payload[:3] != b"ID3":
+        return None
+    major = payload[3]
+    ss = payload[6:10]
+    if any(b & 0x80 for b in ss):
+        return None
+    size = (ss[0] << 21) | (ss[1] << 14) | (ss[2] << 7) | ss[3]
+    end = min(10 + size, len(payload))
+    pos, n_frames, texts = 10, 0, {}
+    while pos + 10 <= end:
+        fid = payload[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        (flen,) = struct.unpack_from(">I", payload, pos + 4)
+        if major >= 4:  # v2.4 frame sizes are syncsafe
+            b0, b1, b2, b3 = payload[pos + 4 : pos + 8]
+            flen = (b0 << 21) | (b1 << 14) | (b2 << 7) | b3
+        body = pos + 10
+        if body + flen > end:
+            return None
+        if fid[:1] == b"T" and flen >= 1:
+            enc = payload[body]
+            raw = payload[body + 1 : body + flen]
+            if enc == 0:
+                texts[fid.decode("ascii")] = raw.decode(
+                    "latin-1", "replace"
+                )
+            elif enc == 3:
+                texts[fid.decode("ascii")] = raw.decode(
+                    "utf-8", "replace"
+                )
+        n_frames += 1
+        pos = body + flen
+    return (major, size, n_frames, texts)

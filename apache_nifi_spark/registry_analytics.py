@@ -4617,3 +4617,278 @@ def stats_sprt_sequential_q(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "stats_ewma_control_chart",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ), ix AS (
+      SELECT day, x,
+             row_number() OVER (ORDER BY day) - 1 AS t
+      FROM d
+    ), acc AS (
+      SELECT day, x, t,
+             SUM(CAST(CASE WHEN t = 0 THEN 1 ELSE pow(2, t - 1) END
+                      AS DECIMAL(38,0)) * x)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS a
+      FROM ix
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))
+               AS sxx
+      FROM d
+    )
+    SELECT CAST(acc.day AS VARCHAR) AS day,
+           round(CAST(acc.x AS DOUBLE) / 100.0, 6) AS x,
+           round(CAST(acc.a AS DOUBLE) * pow(0.5, acc.t) / 100.0, 6)
+             AS ewma,
+           round((CAST(sx AS DOUBLE) / n
+                  + 3.0 * sqrt((CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * sx / n) / (n - 1))
+                    * sqrt((1.0 - pow(0.25, acc.t + 1)) / 3.0))
+                 / 100.0, 6) AS ucl,
+           round((CAST(sx AS DOUBLE) / n
+                  - 3.0 * sqrt((CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * sx / n) / (n - 1))
+                    * sqrt((1.0 - pow(0.25, acc.t + 1)) / 3.0))
+                 / 100.0, 6) AS lcl,
+           CAST(acc.a AS DOUBLE) * pow(0.5, acc.t)
+             > (CAST(sx AS DOUBLE) / n
+                + 3.0 * sqrt((CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * sx / n) / (n - 1))
+                  * sqrt((1.0 - pow(0.25, acc.t + 1)) / 3.0))
+           OR CAST(acc.a AS DOUBLE) * pow(0.5, acc.t)
+             < (CAST(sx AS DOUBLE) / n
+                - 3.0 * sqrt((CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * sx / n) / (n - 1))
+                  * sqrt((1.0 - pow(0.25, acc.t + 1)) / 3.0))
+             AS signal
+    FROM acc, m ORDER BY day
+    """,
+)
+def stats_ewma_control_chart_q(spark, sf_dir):
+    """EWMA CONTROL CHART (Roberts 1959 — the SPC monitor that catches
+    small sustained mean shifts a Shewhart chart misses; the chart
+    form of the per-key [stats_ewma_per_user] smoother): daily revenue
+    cents, λ = 1/2 chosen DYADIC so every weight 2^-k is bit-exact —
+    the smoothed value z_t rides the exact integer recurrence
+    A_t = 2^(t-1)·x_t + A_(t-1) (one decimal-pinned cumsum over the
+    calendar-day frame), z_t = A_t·2^-t with both factors converting
+    identically in the two engines; control limits
+    μ ± 3σ·sqrt(λ/(2-λ)·(1-(1-λ)^(2(t+1)))) use the time-varying
+    start-up variance with exact pow(0.25, t+1) terms.  Scale: one
+    day-grain agg + one 1-row moment reduce; the cumsum window runs on
+    the calendar-bounded day frame."""
+    d = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value").cast("double") * 100 + 0.5)
+                .cast("bigint")
+            ).cast("bigint").alias("x")
+        )
+    )
+    wday = Window.orderBy("day")
+    ix = d.select(
+        "day", "x", (F.row_number().over(wday) - 1).alias("t")
+    )
+    wcum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    acc = ix.select(
+        "day", "x", "t",
+        F.sum(
+            F.when(F.col("t") == 0, F.lit(1.0))
+            .otherwise(F.pow(F.lit(2.0), F.col("t") - 1))
+            .cast("decimal(38,0)") * F.col("x")
+        ).over(wcum).alias("a"),
+    )
+    m = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)").alias("sxx"),
+    )
+    j = acc.crossJoin(F.broadcast(m))
+    nD = F.col("n").cast("double")
+    mu = F.col("sx").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (F.col("sxx").cast("double")
+         - F.col("sx").cast("double") * F.col("sx") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    width = 3.0 * sd * F.sqrt(
+        (1.0 - F.pow(F.lit(0.25), F.col("t") + 1)) / 3.0
+    )
+    z = F.col("a").cast("double") * F.pow(F.lit(0.5), F.col("t"))
+    return j.select(
+        F.col("day").cast("string").alias("day"),
+        F.round(F.col("x").cast("double") / 100.0, 6).alias("x"),
+        F.round(z / 100.0, 6).alias("ewma"),
+        F.round((mu + width) / 100.0, 6).alias("ucl"),
+        F.round((mu - width) / 100.0, 6).alias("lcl"),
+        ((z > mu + width) | (z < mu - width)).alias("signal"),
+    ).orderBy("day")
+
+
+@register(
+    "linkage_fellegi_sunter",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey AS k, c_custkey // 100 AS blk,
+             c_nationkey AS nat, c_mktsegment AS seg,
+             CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT)
+               AS bal
+      FROM customer
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nr FROM c
+    ), u AS (
+      SELECT
+        (SELECT SUM(CAST(cnt AS DOUBLE) * cnt)
+         FROM (SELECT COUNT(*) AS cnt FROM c GROUP BY nat))
+          / (nr * CAST(nr AS DOUBLE)) AS u_nat,
+        (SELECT SUM(CAST(cnt AS DOUBLE) * cnt)
+         FROM (SELECT COUNT(*) AS cnt FROM c GROUP BY seg))
+          / (nr * CAST(nr AS DOUBLE)) AS u_seg,
+        (SELECT SUM(CAST(cnt AS DOUBLE) * cnt)
+         FROM (SELECT COUNT(*) AS cnt FROM c GROUP BY bal))
+          / (nr * CAST(nr AS DOUBLE)) AS u_bal
+      FROM n
+    ), pairs AS (
+      SELECT a.k AS ka, b.k AS kb,
+             CASE WHEN a.nat = b.nat THEN 1 ELSE 0 END AS g_nat,
+             CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS g_seg,
+             CASE WHEN a.bal = b.bal THEN 1 ELSE 0 END AS g_bal
+      FROM c a JOIN c b ON a.blk = b.blk AND a.k < b.k
+    ), pat AS (
+      SELECT g_nat, g_seg, g_bal, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM pairs GROUP BY 1, 2, 3
+    ), scored AS (
+      SELECT cnt,
+        CAST(CASE WHEN g_nat = 1 THEN ln(0.95 / u_nat)
+             ELSE ln(0.05 / (1.0 - u_nat)) END AS DECIMAL(28,12))
+        + CAST(CASE WHEN g_seg = 1 THEN ln(0.9 / u_seg)
+             ELSE ln(0.1 / (1.0 - u_seg)) END AS DECIMAL(28,12))
+        + CAST(CASE WHEN g_bal = 1 THEN ln(0.85 / u_bal)
+             ELSE ln(0.15 / (1.0 - u_bal)) END AS DECIMAL(28,12))
+          AS w
+      FROM pat, u
+    )
+    SELECT CASE WHEN w >= 4.0 THEN 'match'
+                WHEN w <= -2.0 THEN 'non_match'
+                ELSE 'possible' END AS decision,
+           CAST(SUM(cnt) AS BIGINT) AS n_pairs,
+           round(SUM(CAST(w AS DECIMAL(19,12))
+                     * CAST(cnt AS DECIMAL(18,0))), 6) AS total_weight,
+           round(MIN(CAST(w AS DOUBLE)), 6) AS min_w,
+           round(MAX(CAST(w AS DOUBLE)), 6) AS max_w
+    FROM scored GROUP BY 1 ORDER BY decision
+    """,
+)
+def linkage_fellegi_sunter_q(spark, sf_dir):
+    """FELLEGI–SUNTER record linkage (Fellegi & Sunter 1969 — the
+    probabilistic entity-resolution model behind Splink/every dedup
+    engine: per-field agreement weights ln(m/u) with the u-probability
+    — CHANCE agreement of two random records — estimated from the
+    field's value-frequency distribution Σ(fᵥ/n)², and m as the
+    documented match-reliability prior): candidate pairs from
+    100-key blocks (pair volume LINEAR in rows — never all-pairs),
+    three field comparisons (nation, segment, balance band), per-pair
+    composite weight decimal-pinned so the per-decision sums are
+    order-free, thresholded into the model's match / possible /
+    non-match regions.  Scale: one frequency agg per field (1-row u
+    frame broadcast), one blocked self-join co-partitioned on the
+    block key."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.expr("c_custkey div 100").alias("blk"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal").cast("double") / 1000)
+        .cast("bigint").alias("bal"),
+    )
+    nr = c.agg(F.count(F.lit(1)).cast("bigint").alias("nr"))
+
+    def u_of(col, alias):
+        freq = c.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        return (
+            freq.crossJoin(F.broadcast(nr))
+            .agg(
+                (
+                    F.sum(F.col("cnt").cast("double") * F.col("cnt"))
+                    / (F.any_value("nr") * F.any_value("nr")
+                       .cast("double"))
+                ).alias(alias)
+            )
+        )
+
+    uf = (
+        u_of("nat", "u_nat")
+        .crossJoin(F.broadcast(u_of("seg", "u_seg")))
+        .crossJoin(F.broadcast(u_of("bal", "u_bal")))
+    )
+    a, b = c.alias("a"), c.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.k") < F.col("b.k")),
+    ).select(
+        (F.col("a.nat") == F.col("b.nat")).alias("g_nat"),
+        (F.col("a.seg") == F.col("b.seg")).alias("g_seg"),
+        (F.col("a.bal") == F.col("b.bal")).alias("g_bal"),
+    )
+    # pairs collapse to the 8 agreement PATTERNS before any float or
+    # decimal op — per-pair scoring cost 13.5 s at sf1 (7.4M pairs x 3
+    # BigDecimal adds); pattern-grain runs the ln/decimal arithmetic
+    # exactly 8 times, and decimal w x integer count keeps the sums
+    # exactly equal to the per-pair form
+    pat = pairs.groupBy("g_nat", "g_seg", "g_bal").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    dec = lambda e: e.cast("decimal(28,12)")
+    w = (
+        dec(
+            F.when(F.col("g_nat"), F.log(0.95 / F.col("u_nat")))
+            .otherwise(F.log(0.05 / (1.0 - F.col("u_nat"))))
+        )
+        + dec(
+            F.when(F.col("g_seg"), F.log(0.9 / F.col("u_seg")))
+            .otherwise(F.log(0.1 / (1.0 - F.col("u_seg"))))
+        )
+        + dec(
+            F.when(F.col("g_bal"), F.log(0.85 / F.col("u_bal")))
+            .otherwise(F.log(0.15 / (1.0 - F.col("u_bal"))))
+        )
+    )
+    scored = pat.crossJoin(F.broadcast(uf)).select(
+        "cnt", w.alias("w")
+    )
+    return (
+        scored.select(
+            F.when(F.col("w") >= 4.0, "match")
+            .when(F.col("w") <= -2.0, "non_match")
+            .otherwise("possible").alias("decision"),
+            "cnt", "w",
+        )
+        .groupBy("decision")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum(
+                    F.col("w").cast("decimal(19,12)")
+                    * F.col("cnt").cast("decimal(18,0)")
+                ), 6,
+            ).cast("double").alias("total_weight"),
+            F.round(F.min(F.col("w").cast("double")), 6).alias("min_w"),
+            F.round(F.max(F.col("w").cast("double")), 6).alias("max_w"),
+        )
+        .orderBy("decision")
+    )

@@ -2192,3 +2192,101 @@ def hudi_clustering_q(spark, sf_dir):
         ).cast("bigint").alias("clustered_rows"),
         F.sum("doc_id").cast("long").alias("id_sum"),
     )
+
+
+_ICEBERG_REF_STAGE: dict[str, str] = {}
+
+
+def _staged_iceberg_refs(spark, sf_dir):
+    """Iceberg table with named refs: snapshot 901 (docs [0,200)),
+    snapshot 902 (+[200,400)); a ``tag`` 'audit-q1' PINNED at 901 and
+    a ``branch`` 'dev' at 902, each written as its own metadata
+    version (the spec's atomic swap).  Staging asserts an unknown ref
+    fails loudly and 'main' resolves to the current snapshot."""
+    if sf_dir in _ICEBERG_REF_STAGE:
+        return _ICEBERG_REF_STAGE[sf_dir]
+    import glob
+    import tempfile
+
+    from apache_nifi_spark.sources.iceberg import (
+        iceberg_commit,
+        iceberg_resolve_ref,
+        iceberg_set_ref,
+    )
+
+    root = tempfile.mkdtemp(prefix="anspark_icerefs_")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    paths = {}
+    for k in range(2):
+        (
+            docs.filter(
+                (F.col("doc_id") >= k * 200)
+                & (F.col("doc_id") < k * 200 + 200)
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{root}/f{k}")
+        )
+        paths[k] = glob.glob(f"{root}/f{k}/part-*.parquet")[0]
+
+    def add(k):
+        return [{
+            "file_path": paths[k], "partition": f"p{k}",
+            "record_count": 200,
+            "file_size_in_bytes": os.path.getsize(paths[k]),
+        }]
+
+    iceberg_commit(root, 901, added=add(0))
+    iceberg_commit(root, 902, added=add(1))
+    iceberg_set_ref(root, "audit-q1", 901, ref_type="tag")
+    iceberg_set_ref(root, "dev", 902, ref_type="branch")
+    assert iceberg_resolve_ref(root, "main") == 902
+    try:
+        iceberg_resolve_ref(root, "prod")
+        raise AssertionError("unknown iceberg ref resolved")
+    except KeyError:
+        pass
+    _ICEBERG_REF_STAGE[sf_dir] = root
+    return root
+
+
+@register(
+    "iceberg_ref_read",
+    oracle="""
+    SELECT 'audit-q1' AS ref, lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents WHERE doc_id < 200 GROUP BY lang
+    UNION ALL
+    SELECT 'dev' AS ref, lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents WHERE doc_id < 400 GROUP BY lang
+    """,
+)
+def iceberg_ref_read_q(spark, sf_dir):
+    """Iceberg NAMED REFS (spec 'Refs' — tags pin a snapshot forever
+    for audits/reproducibility, branches are movable heads; the
+    time-travel-by-NAME surface every catalog exposes as
+    ``VERSION AS OF 'tag'``): reads through a pinned tag and a branch
+    resolve to different snapshots of the same table, each ref update
+    committed as its own atomic metadata version; unknown refs fail
+    loudly (asserted in staging, never a silent HEAD fallback).
+    sources/iceberg.py ``iceberg_set_ref``/``iceberg_resolve_ref``."""
+    from apache_nifi_spark.sources.iceberg import (
+        iceberg_resolve_ref,
+        read_iceberg_snapshot,
+    )
+
+    root = _staged_iceberg_refs(spark, sf_dir)
+
+    def via(ref):
+        snap = read_iceberg_snapshot(
+            spark, root, iceberg_resolve_ref(root, ref)
+        )
+        return snap.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        ).select(F.lit(ref).alias("ref"), "lang", "n", "id_sum")
+
+    return via("audit-q1").unionByName(via("dev"))

@@ -4813,3 +4813,276 @@ def multimodal_pdf_meta_q(spark, sf_dir):
         "doc_id long, pdf_version string, n_objects int, n_pages int, "
         "size_entry int, xref_ok int",
     )
+
+
+@register(
+    "multimodal_audio_ogg_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END
+                AS BIGINT) AS sample_rate,
+           CAST(2 + doc_id % 3 AS INT) AS n_pages,
+           CAST(2 + doc_id % 3 AS INT) AS crc_valid_pages,
+           CAST(1000 + (doc_id % 100) * 441 AS BIGINT) AS total_samples,
+           CAST((1000 + (doc_id % 100) * 441) * 1000
+                // (CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                    WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END)
+                AS BIGINT) AS duration_ms,
+           CAST(1 AS INT) AS eos_ok
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def multimodal_audio_ogg_q(spark, sf_dir):
+    """Ogg/Vorbis container walk (RFC 3533 page framing + the Vorbis I
+    identification header — the free-codec container podcast and web
+    audio archives ship): spec-valid streams synthesize executor-side
+    (llm/multimodal.encode_ogg_vorbis — BOS page with the Vorbis id
+    packet, granule-stepped data pages, EOS flag, REAL page CRCs on
+    the 0x04c11db7 non-reflected table), and the parser walks the
+    pages back out, recomputing every CRC against the zeroed-field
+    header: channels, sample rate, page census, CRC-valid count (==
+    n_pages proves the table), final granule → duration by integer
+    floor division.  Audio packet payloads stay the documented codec
+    seam, the AVI/TIFF/PNG policy.  Arrow-batched mapInPandas both
+    ways; the oracle recomputes every field arithmetically."""
+    import pandas as pd  # noqa: F811
+
+    from apache_nifi_spark.llm import encode_ogg_vorbis, parse_ogg_metadata
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+    rates = [8000, 16000, 22050, 44100, 48000]
+
+    def synth(batches):
+        for pdf in batches:
+            out = {
+                "doc_id": [], "channels": [], "sample_rate": [],
+                "n_pages": [], "crc_valid_pages": [],
+                "total_samples": [], "duration_ms": [], "eos_ok": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                blob = encode_ogg_vorbis(
+                    channels=1 + d % 2,
+                    sample_rate=rates[d % 5],
+                    total_samples=1000 + (d % 100) * 441,
+                    n_data_pages=1 + d % 3,
+                    serial=1000 + d,
+                )
+                meta = parse_ogg_metadata(blob)
+                if meta is None:
+                    continue
+                ch, rate, n_pages, crc_ok, granule, _bos, eos, _ser = meta
+                out["doc_id"].append(d)
+                out["channels"].append(ch)
+                out["sample_rate"].append(rate)
+                out["n_pages"].append(n_pages)
+                out["crc_valid_pages"].append(crc_ok)
+                out["total_samples"].append(granule)
+                out["duration_ms"].append(granule * 1000 // rate)
+                out["eos_ok"].append(eos)
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(
+        synth,
+        "doc_id long, channels int, sample_rate long, n_pages int,"
+        " crc_valid_pages int, total_samples long, duration_ms long,"
+        " eos_ok int",
+    )
+
+
+@register(
+    "events_seasonal_anomaly",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(ts AS DATE) AS day, hour(ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), cell AS (
+      SELECT isodow(day) AS dw, hr, day, cnt,
+             row_number() OVER (PARTITION BY isodow(day), hr
+                                ORDER BY cnt, day) AS rn,
+             COUNT(*) OVER (PARTITION BY isodow(day), hr) AS n
+      FROM h
+    ), med AS (
+      SELECT dw, hr, day, cnt, n,
+             MAX(CASE WHEN rn = (n + 1) // 2 THEN cnt END)
+               OVER (PARTITION BY dw, hr) AS med
+      FROM cell
+    ), dev AS (
+      SELECT dw, hr, day, cnt, n, med, abs(cnt - med) AS dv,
+             row_number() OVER (PARTITION BY dw, hr
+                                ORDER BY abs(cnt - med), day) AS rn2
+      FROM med
+    ), mad AS (
+      SELECT dw, hr, cnt, n, med, dv,
+             MAX(CASE WHEN rn2 = (n + 1) // 2 THEN dv END)
+               OVER (PARTITION BY dw, hr) AS mad
+      FROM dev
+    )
+    SELECT CAST(dw AS INT) AS dow_iso, CAST(hr AS INT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(MAX(med) AS BIGINT) AS median_cnt,
+           CAST(MAX(mad) AS BIGINT) AS mad_cnt,
+           CAST(SUM(CASE WHEN dv > 3 * mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_anomalies
+    FROM mad GROUP BY dw, hr ORDER BY dow_iso, hour
+    """,
+)
+def events_seasonal_anomaly_q(spark, sf_dir):
+    """SEASONAL-BASELINE anomaly detection (the robust seasonal
+    monitor every ops pipeline runs before trusting an alert: compare
+    each hour's volume against the SAME (weekday, hour) cell's history
+    — median + MAD, the [stats_robust_outliers] machinery lifted to a
+    seasonal grain, so Monday-9am is judged only against Monday-9ams):
+    hourly event counts, per-(isodow, hour) exact lower-median by
+    positional selection (row_number vs (n+1)//2 — no
+    buffer-everything percentile), MAD the same way, anomaly = dev >
+    3·MAD.  ALL-INTEGER arithmetic — counts, medians, deviations —
+    so both engines hash exactly with zero float edges.  Scale: the
+    series is day×hour grain (calendar-bounded); windows sort within
+    168 seasonal cells under one hash partitioning."""
+    h = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("ts").cast("date").alias("day"),
+            F.hour("ts").alias("hr"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select((F.weekday("day") + 1).alias("dw"), "hr", "day", "cnt")
+    )
+    cell = Window.partitionBy("dw", "hr")
+    r = h.withColumn(
+        "rn", F.row_number().over(cell.orderBy("cnt", "day"))
+    ).withColumn("n", F.count(F.lit(1)).over(cell))
+    target = F.floor((F.col("n") + 1) / 2)
+    m = r.withColumn(
+        "med",
+        F.max(F.when(F.col("rn") == target, F.col("cnt"))).over(cell),
+    ).withColumn("dv", F.abs(F.col("cnt") - F.col("med")))
+    m2 = m.withColumn(
+        "rn2", F.row_number().over(cell.orderBy("dv", "day"))
+    ).withColumn(
+        "mad",
+        F.max(F.when(F.col("rn2") == target, F.col("dv"))).over(cell),
+    )
+    return (
+        m2.groupBy("dw", "hr")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+            F.max("med").cast("bigint").alias("median_cnt"),
+            F.max("mad").cast("bigint").alias("mad_cnt"),
+            F.sum(
+                F.when(F.col("dv") > 3 * F.col("mad"), 1).otherwise(0)
+            ).cast("bigint").alias("n_anomalies"),
+        )
+        .select(
+            F.col("dw").cast("int").alias("dow_iso"),
+            F.col("hr").cast("int").alias("hour"),
+            "n_obs", "median_cnt", "mad_cnt", "n_anomalies",
+        )
+        .orderBy("dow_iso", "hour")
+    )
+
+
+@register(
+    "multimodal_audio_id3_tags",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id AS d,
+             'Track ' || CAST(doc_id AS VARCHAR) AS title,
+             'Artist ' || CAST(doc_id % 20 AS VARCHAR) AS artist,
+             'Album ' || CAST(doc_id % 7 AS VARCHAR) AS album,
+             CAST(1 + doc_id % 16 AS VARCHAR) AS track,
+             CASE doc_id % 3 WHEN 0 THEN 32000 WHEN 1 THEN 44100
+                  ELSE 48000 END AS rate,
+             10 + doc_id % 20 AS nf
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT d AS doc_id,
+           CAST(3 AS INT) AS id3_version,
+           CAST(4 * 11 + length(title) + length(artist)
+                + length(album) + length(track) AS BIGINT) AS tag_size,
+           CAST(4 AS INT) AS n_tag_frames,
+           title, artist, album, track,
+           CAST(nf AS INT) AS mp3_frames,
+           CAST(nf * 1152 * 1000 // rate AS BIGINT) AS duration_ms
+    FROM p
+    """,
+)
+def multimodal_audio_id3_q(spark, sf_dir):
+    """ID3v2.3 tag walk over real MPEG-1 Layer III streams (id3.org +
+    ISO 11172-3 — the metadata layer podcast/music ingest reads before
+    any audio byte): executor-side synthesis of a four-frame text tag
+    (TIT2/TPE1/TALB/TRCK, syncsafe header size, big-endian frame
+    sizes, Latin-1 encoding byte) prepended to spec-valid variable-
+    length MP3 frames (llm/multimodal.encode_id3v2 +
+    encode_mp3_frames), then BOTH parsers walk the stream back out —
+    the tag fields byte-exact, the frame census and duration from the
+    frame walk that SKIPS the tag via its syncsafe size.  The oracle
+    recomputes the tag size from string lengths and the duration by
+    integer floor division.  Arrow-batched mapInPandas."""
+    import pandas as pd  # noqa: F811
+
+    from apache_nifi_spark.llm import (
+        encode_id3v2,
+        encode_mp3_frames,
+        parse_id3v2,
+        parse_mpeg_audio,
+    )
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+    rates = [32000, 44100, 48000]
+
+    def synth(batches):
+        for pdf in batches:
+            out = {
+                "doc_id": [], "id3_version": [], "tag_size": [],
+                "n_tag_frames": [], "title": [], "artist": [],
+                "album": [], "track": [], "mp3_frames": [],
+                "duration_ms": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rate = rates[d % 3]
+                nf = 10 + d % 20
+                tag = encode_id3v2({
+                    "TIT2": f"Track {d}",
+                    "TPE1": f"Artist {d % 20}",
+                    "TALB": f"Album {d % 7}",
+                    "TRCK": str(1 + d % 16),
+                })
+                blob = tag + encode_mp3_frames(128, rate, 1 + d % 2, nf)
+                t = parse_id3v2(blob)
+                a = parse_mpeg_audio(blob)
+                if t is None or a is None:
+                    continue
+                major, size, n_frames, texts = t
+                _rate, _ch, _kbps, frames, dur = a
+                out["doc_id"].append(d)
+                out["id3_version"].append(major)
+                out["tag_size"].append(size)
+                out["n_tag_frames"].append(n_frames)
+                out["title"].append(texts.get("TIT2"))
+                out["artist"].append(texts.get("TPE1"))
+                out["album"].append(texts.get("TALB"))
+                out["track"].append(texts.get("TRCK"))
+                out["mp3_frames"].append(frames)
+                out["duration_ms"].append(dur)
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(
+        synth,
+        "doc_id long, id3_version int, tag_size long, n_tag_frames int,"
+        " title string, artist string, album string, track string,"
+        " mp3_frames int, duration_ms long",
+    )

@@ -1134,3 +1134,59 @@ def read_puffin_dvs(path: str) -> dict[str, tuple[int, set[int]]]:
             rbm_array_deserialize(inner[4:]),
         )
     return out
+
+
+def iceberg_set_ref(
+    table_path: str,
+    name: str,
+    snapshot_id: int,
+    ref_type: str = "tag",
+) -> int:
+    """Named reference (spec §'Refs': the table metadata ``refs`` map
+    — ``tag`` pins a snapshot forever, ``branch`` is an independently
+    movable head like ``main``): written as a NEW metadata version
+    (the spec's atomic metadata swap — refs changes are commits, not
+    edits), version-hint bumped.  Returns the new metadata version."""
+    if ref_type not in ("tag", "branch"):
+        raise ValueError(f"iceberg ref type must be tag|branch: {ref_type}")
+    meta_dir = os.path.join(table_path, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        version = int(f.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as f:
+        meta = json.load(f)
+    if not any(
+        s["snapshot-id"] == snapshot_id for s in meta.get("snapshots", [])
+    ):
+        raise ValueError(
+            f"iceberg ref {name!r}: snapshot {snapshot_id} not in table"
+        )
+    refs = dict(meta.get("refs", {}))
+    refs[name] = {"snapshot-id": snapshot_id, "type": ref_type}
+    meta["refs"] = refs
+    new_version = version + 1
+    with open(
+        os.path.join(meta_dir, f"v{new_version}.metadata.json"), "w"
+    ) as f:
+        json.dump(meta, f)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(new_version))
+    return new_version
+
+
+def iceberg_resolve_ref(table_path: str, name: str) -> int:
+    """Resolve a named ref to its snapshot id (spec: ``main`` always
+    exists implicitly as the current snapshot).  Raises KeyError for
+    an unknown ref — a misspelled tag must fail loudly, never fall
+    back to HEAD."""
+    meta = _load_metadata(table_path)
+    if name == "main" and name not in meta.get("refs", {}):
+        cur = meta.get("current-snapshot-id")
+        if cur is None:
+            raise KeyError("iceberg ref 'main': table has no snapshot")
+        return cur
+    refs = meta.get("refs", {})
+    if name not in refs:
+        raise KeyError(
+            f"iceberg ref {name!r} not found; known: {sorted(refs)}"
+        )
+    return refs[name]["snapshot-id"]

@@ -168,6 +168,10 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
         "stats_jackknife_ratio",
         # SPRT: 1-row decision-day frame onto the ~31-day frame
         "stats_sprt_sequential",
+        # EWMA chart: 1-row moment frame onto the day frame
+        "stats_ewma_control_chart",
+        # Fellegi-Sunter: 1-row record count x three 1-row u frames
+        "linkage_fellegi_sunter",
         "range_join_price_bands", "theta_join_richer_customers",
         "mega2_geoenrich_bands",  # GeoEnrichIP range join: bounded broadcast
         "flowfile_expiration_ttl", "similarity_cosine_topk",
@@ -451,6 +455,13 @@ def test_no_broadcast_hint_on_corpus_cardinality_frames():
         ("registry_analytics.py", "tot"): "1-row bucket totals",
         # SPRT: 1-row first-crossing day
         ("registry_analytics.py", "decday"): "1-row decision day",
+        # Fellegi-Sunter: 1-row record count and u-probability frames
+        ("registry_analytics.py", "nr"): "1-row record count",
+        ("registry_analytics.py", 'u_of("seg", "u_seg")'):
+            "1-row u-probability",
+        ("registry_analytics.py", 'u_of("bal", "u_bal")'):
+            "1-row u-probability",
+        ("registry_analytics.py", "uf"): "1-row u-probability frame",
         # burstiness: 1-row corpus doc-count aggregate
         ("registry_stats.py", "ndocs"): "1-row corpus doc count",
         # Cohen's kappa: 1-row chance-agreement numerator
@@ -633,9 +644,11 @@ def test_no_global_window_on_data_grain_frames():
             "window over a limit-100 frame",
         ("registry_analytics.py", '"d"'):
             "fixed 100-row depth spine cumsum",
-        # SPRT: cumulative LLR over the calendar-day spine
+        # SPRT / EWMA chart: cumulatives over the calendar-day spine
         ("registry_analytics.py", '"day"'):
             "day-grain frame, calendar-bounded",
+        ("registry_analytics.py", '"t"'):
+            "day-index frame, calendar-bounded",
     }
     pkg_root = pathlib.Path(apache_nifi_spark.__file__).parent
     offenders = []
