@@ -4892,3 +4892,78 @@ def linkage_fellegi_sunter_q(spark, sf_dir):
         )
         .orderBy("decision")
     )
+
+
+@register(
+    "stats_roc_auc",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                  AS BIGINT) AS val,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ), v AS (
+      SELECT val,
+             CAST(SUM(y) AS BIGINT) AS npos,
+             CAST(SUM(1 - y) AS BIGINT) AS nneg
+      FROM s GROUP BY val
+    ), c AS (
+      SELECT val, npos, nneg,
+             CAST(COALESCE(SUM(nneg) OVER (
+                 ORDER BY val
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS cneg
+      FROM v
+    ), agg AS (
+      SELECT CAST(SUM(npos) AS BIGINT) AS p,
+             CAST(SUM(nneg) AS BIGINT) AS n,
+             CAST(SUM(CAST(npos AS DECIMAL(38,0))
+                      * (2 * cneg + nneg)) AS DECIMAL(38,0)) AS num2
+      FROM c
+    )
+    SELECT p AS n_pos, n AS n_neg,
+           round(CAST(num2 AS DOUBLE)
+                 / (2.0 * CAST(p AS DOUBLE) * n), 6) AS auc,
+           round(CAST(num2 AS DOUBLE) / (CAST(p AS DOUBLE) * n) - 1.0,
+                 6) AS gini
+    FROM agg
+    """,
+)
+def stats_roc_auc_q(spark, sf_dir):
+    """EXACT ROC AUC (the ML-eval headline number — P(score_pos >
+    score_neg) with half credit for ties, the Mann–Whitney U identity,
+    here as the classifier-grading readout beside
+    [stats_cumulative_gains] and [stats_brier_decomposition]):
+    score-value grain (integer cents), per-value positive/negative
+    counts, cumulative negatives below each value via the two-level
+    bucket prefix sum (``_cbefore_map`` — no stage ever holds the
+    global order), and the ALL-INTEGER numerator
+    2·num = Σ nposᵥ·(2·cnegᵥ + nnegᵥ) accumulated as DECIMAL(38,0);
+    one final float division.  Scale: one value-grain agg + the
+    bucketed rank shapes — the Spearman/KW exchange budget."""
+    s = _t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice").cast("double") * 100 + 0.5)
+        .cast("bigint").alias("val"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    v = s.groupBy("val").agg(
+        F.sum("y").cast("bigint").alias("npos"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("m"),
+    )
+    c = _cbefore_map(v, val_col="val", m_col="m")
+    agg = c.agg(
+        F.sum("npos").cast("bigint").alias("p"),
+        F.sum("m").cast("bigint").alias("n"),
+        F.sum(
+            F.col("npos").cast("decimal(38,0)")
+            * (2 * F.col("cbefore") + F.col("m"))
+        ).cast("decimal(38,0)").alias("num2"),
+    )
+    pD = F.col("p").cast("double")
+    numD = F.col("num2").cast("double")
+    return agg.select(
+        F.col("p").alias("n_pos"),
+        F.col("n").alias("n_neg"),
+        F.round(numD / (2.0 * pD * F.col("n")), 6).alias("auc"),
+        F.round(numD / (pD * F.col("n")) - 1.0, 6).alias("gini"),
+    )

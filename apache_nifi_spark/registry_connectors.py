@@ -2290,3 +2290,139 @@ def iceberg_ref_read_q(spark, sf_dir):
         ).select(F.lit(ref).alias("ref"), "lang", "n", "id_sum")
 
     return via("audit-q1").unionByName(via("dev"))
+
+
+_HUDI_MOR_STAGE: dict[str, str] = {}
+
+
+def _staged_hudi_mor(spark, sf_dir):
+    """Hudi MERGE-ON-READ table: base commit c1 (two file groups,
+    documents [0,400)), then three deltacommits APPENDING log blocks
+    instead of rewriting base files — dc2 upserts lang='xx' onto g0's
+    doc_id %% 10 == 7 rows, dc3 writes a DELETE block for g1's
+    doc_id %% 9 == 4 keys, dc4 re-upserts key 301 (deleted by dc3)
+    with lang='yy', proving the per-key instant-ordered merge: a
+    delete then a later upsert must resurrect the key."""
+    if sf_dir in _HUDI_MOR_STAGE:
+        return _HUDI_MOR_STAGE[sf_dir]
+    from apache_nifi_spark.sources.hudi import (
+        hudi_append_log_block,
+        hudi_commit,
+        hudi_init,
+        hudi_write_base_file,
+        read_hudi_mor_snapshot,
+    )
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="anspark_hudimor_")
+    hudi_init(root, "anspark_docs_mor")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    c1, dc2, dc3, dc4 = (
+        "20240201080000000", "20240202080000000",
+        "20240203080000000", "20240204080000000",
+    )
+    stats1: dict[str, list] = {"part=0": []}
+    for k in range(2):
+        stats1["part=0"].append(
+            hudi_write_base_file(
+                docs.filter(
+                    (F.col("doc_id") >= k * 200)
+                    & (F.col("doc_id") < k * 200 + 200)
+                ),
+                root, "part=0", f"g{k}", c1, "doc_id",
+            )
+        )
+    hudi_commit(root, c1, stats1, operation="insert")
+    up2 = [
+        {"doc_id": d, "lang": "xx"}
+        for d in range(0, 200) if d % 10 == 7
+    ]
+    hudi_commit(
+        root, dc2,
+        {"part=0": [hudi_append_log_block(
+            root, "part=0", "g0", c1, dc2, 1, upserts=up2)]},
+        action="deltacommit",
+    )
+    dels = [str(d) for d in range(200, 400) if d % 9 == 4]
+    hudi_commit(
+        root, dc3,
+        {"part=0": [hudi_append_log_block(
+            root, "part=0", "g1", c1, dc3, 2, delete_keys=dels)]},
+        action="deltacommit",
+    )
+    hudi_commit(
+        root, dc4,
+        {"part=0": [hudi_append_log_block(
+            root, "part=0", "g1", c1, dc4, 3,
+            upserts=[{"doc_id": 301, "lang": "yy"}])]},
+        action="deltacommit",
+    )
+    # interior-instant replay: at dc3 key 301 is GONE (deleted, not
+    # yet re-upserted) — 400 - 22 deleted keys
+    n_del = len(dels)
+    assert read_hudi_mor_snapshot(spark, root, as_of=dc3).count() == \
+        400 - n_del
+    _HUDI_MOR_STAGE[sf_dir] = root
+    return root
+
+
+@register(
+    "hudi_mor_snapshot_read",
+    oracle="""
+    SELECT CASE WHEN doc_id = 301 THEN 'yy'
+                WHEN doc_id < 200 AND doc_id % 10 = 7 THEN 'xx'
+                ELSE lang END AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    WHERE doc_id < 400
+      AND NOT (doc_id >= 200 AND doc_id % 9 = 4 AND doc_id != 301)
+    GROUP BY 1
+    """,
+)
+def hudi_mor_snapshot_q(spark, sf_dir):
+    """Hudi MERGE-ON-READ real-time view (the write-optimized half of
+    the protocol: deltacommits APPEND log blocks — hoodie log framing,
+    Avro data + delete blocks — instead of rewriting base files; the
+    read merges base + log per record key): executor-side block decode
+    over binaryFile Arrow batches, one max_by(struct, instant) per
+    key, tombstones dropped AFTER the ordering so dc3's delete of key
+    301 loses to dc4's re-upsert — the merge-order semantics the
+    arithmetic oracle pins exactly (lang='xx' upserts, %%9 deletes,
+    the 'yy' resurrection).  sources/hudi.py
+    ``hudi_append_log_block`` / ``read_hudi_mor_snapshot``."""
+    from apache_nifi_spark.sources.hudi import read_hudi_mor_snapshot
+
+    root = _staged_hudi_mor(spark, sf_dir)
+    snap = read_hudi_mor_snapshot(spark, root)
+    return snap.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("doc_id").cast("long")).cast("long").alias("id_sum"),
+    )
+
+
+@register(
+    "hudi_mor_read_optimized",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents WHERE doc_id < 400
+    GROUP BY lang
+    """,
+)
+def hudi_mor_read_optimized_q(spark, sf_dir):
+    """Hudi MOR READ-OPTIMIZED view (the spec's other read path: base
+    files only, columnar-fast but stale — log deltas invisible until
+    compaction folds them in): the same table serves both views, and
+    the oracle proves this one returns the PRE-delta state while
+    [hudi_mor_snapshot_read] returns the merged one — the
+    freshness/latency trade the two MOR views exist to offer."""
+    from apache_nifi_spark.sources.hudi import read_hudi_snapshot
+
+    root = _staged_hudi_mor(spark, sf_dir)
+    snap = read_hudi_snapshot(spark, root)
+    return snap.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )

@@ -5086,3 +5086,172 @@ def multimodal_audio_id3_q(spark, sf_dir):
         " title string, artist string, album string, track string,"
         " mp3_frames int, duration_ms long",
     )
+
+
+@register(
+    "survival_logrank_test",
+    oracle="""
+    WITH cd AS (
+      SELECT DISTINCT o_custkey, o_orderdate FROM orders
+    ), mx AS (
+      SELECT max(o_orderdate) AS mxd FROM cd
+    ), gaps AS (
+      SELECT CAST(o_custkey % 2 AS INT) AS grp,
+             datediff('day', o_orderdate,
+                      coalesce(lead(o_orderdate) OVER (
+                          PARTITION BY o_custkey ORDER BY o_orderdate),
+                        (SELECT mxd FROM mx))) AS duration,
+             CASE WHEN lead(o_orderdate) OVER (
+                      PARTITION BY o_custkey ORDER BY o_orderdate)
+                  IS NULL THEN 0 ELSE 1 END AS event
+      FROM cd
+    ), g AS (
+      SELECT grp, duration,
+             CAST(SUM(event) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM gaps GROUP BY 1, 2
+    ), tot AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_tot
+      FROM gaps GROUP BY 1
+    ), grid AS (
+      SELECT dur.duration, gg.grp
+      FROM (SELECT DISTINCT duration FROM gaps) dur,
+           (SELECT unnest([0, 1]) AS grp) gg
+    ), r AS (
+      SELECT grid.duration, grid.grp,
+             COALESCE(g.d, 0) AS d,
+             tot.n_tot
+               - COALESCE(SUM(COALESCE(g.obs, 0)) OVER (
+                     PARTITION BY grid.grp ORDER BY grid.duration
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS n_risk
+      FROM grid
+      LEFT JOIN g ON g.grp = grid.grp AND g.duration = grid.duration
+      JOIN tot ON tot.grp = grid.grp
+    ), t AS (
+      SELECT duration,
+             CAST(SUM(CASE WHEN grp = 1 THEN d ELSE 0 END) AS BIGINT)
+               AS d1,
+             CAST(SUM(d) AS BIGINT) AS dt,
+             CAST(SUM(CASE WHEN grp = 1 THEN n_risk ELSE 0 END)
+                  AS BIGINT) AS n1,
+             CAST(SUM(n_risk) AS BIGINT) AS nt
+      FROM r GROUP BY duration
+    ), terms AS (
+      SELECT d1,
+             CAST(CAST(dt AS DOUBLE) * n1 / nt AS DECIMAL(28,12))
+               AS e1,
+             CAST(CASE WHEN nt > 1 THEN
+                 CAST(dt AS DOUBLE) * (CAST(n1 AS DOUBLE) / nt)
+                 * (1.0 - CAST(n1 AS DOUBLE) / nt)
+                 * (nt - dt) / (nt - 1.0)
+               ELSE 0 END AS DECIMAL(28,12)) AS v
+      FROM t WHERE dt > 0
+    )
+    SELECT CAST(SUM(d1) AS BIGINT) AS observed_g1,
+           round(SUM(e1), 6) AS expected_g1,
+           round((CAST(SUM(d1) AS DOUBLE) - CAST(SUM(e1) AS DOUBLE))
+                 / sqrt(CAST(SUM(v) AS DOUBLE)), 6) AS z,
+           round(((CAST(SUM(d1) AS DOUBLE) - CAST(SUM(e1) AS DOUBLE))
+                  * (CAST(SUM(d1) AS DOUBLE) - CAST(SUM(e1) AS DOUBLE)))
+                 / CAST(SUM(v) AS DOUBLE), 6) AS chi2
+    FROM terms
+    """,
+)
+def survival_logrank_test_q(spark, sf_dir):
+    """LOG-RANK TEST (Mantel 1966 — THE two-sample survival
+    comparison: are group 1's reorder gaps distributionally different
+    from group 0's, accounting for right-censoring?  Completes the
+    survival tier beside the [survival_kaplan_meier] curve and
+    [survival_nelson_aalen] hazard): per event time, observed group-1
+    events vs the hypergeometric expectation d·n₁/n and variance
+    d·(n₁/n)(1−n₁/n)(n−d)/(n−1), summed decimal-pinned so the
+    duration-grain reduction is order-free; χ² = (O−E)²/V and the
+    signed z.  At-risk counts for BOTH groups at EVERY event time come
+    from a (duration × group) grid — explode, never a join — with
+    per-group prefix sums.  Scale: gaps are user-partitioned windows;
+    everything after is duration-grain (calendar-bounded)."""
+    cd = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate"
+    ).distinct()
+    mx = cd.agg(F.max("o_orderdate").alias("mxd"))
+    wcust = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    nxt = F.lead("o_orderdate").over(wcust)
+    gaps = (
+        cd.crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("o_custkey") % 2).cast("int").alias("grp"),
+            F.datediff(F.coalesce(nxt, F.col("mxd")), F.col("o_orderdate"))
+            .alias("duration"),
+            F.when(nxt.isNull(), 0).otherwise(1).alias("event"),
+        )
+    )
+    g = gaps.groupBy("grp", "duration").agg(
+        F.sum("event").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("obs"),
+    )
+    tot = gaps.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tot")
+    )
+    grid = (
+        gaps.select("duration").distinct()
+        .select(
+            "duration",
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("grp"),
+        )
+    )
+    wg = Window.partitionBy("grp").orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r = (
+        grid.join(g, ["grp", "duration"], "left")
+        .join(F.broadcast(tot), "grp")
+        .select(
+            "duration", "grp",
+            F.coalesce("d", F.lit(0)).alias("d"),
+            (
+                F.col("n_tot")
+                - F.coalesce(
+                    F.sum(F.coalesce("obs", F.lit(0))).over(wg),
+                    F.lit(0),
+                )
+            ).alias("n_risk"),
+        )
+    )
+    t = r.groupBy("duration").agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("d")).otherwise(0))
+        .cast("bigint").alias("d1"),
+        F.sum("d").cast("bigint").alias("dt"),
+        F.sum(F.when(F.col("grp") == 1, F.col("n_risk")).otherwise(0))
+        .cast("bigint").alias("n1"),
+        F.sum("n_risk").cast("bigint").alias("nt"),
+    )
+    dtD = F.col("dt").cast("double")
+    n1f = F.col("n1").cast("double") / F.col("nt")
+    terms = t.filter(F.col("dt") > 0).select(
+        "d1",
+        (dtD * F.col("n1") / F.col("nt")).cast("decimal(28,12)")
+        .alias("e1"),
+        F.when(
+            F.col("nt") > 1,
+            dtD * n1f * (1.0 - n1f)
+            * (F.col("nt") - F.col("dt")) / (F.col("nt") - 1.0),
+        ).otherwise(0.0).cast("decimal(28,12)").alias("v"),
+    )
+    oe = F.col("so").cast("double") - F.col("se").cast("double")
+    return (
+        terms.agg(
+            F.sum("d1").cast("bigint").alias("so"),
+            F.sum("e1").alias("se"),
+            F.sum("v").alias("sv"),
+        )
+        .select(
+            F.col("so").alias("observed_g1"),
+            F.round(F.col("se"), 6).cast("double").alias("expected_g1"),
+            F.round(oe / F.sqrt(F.col("sv").cast("double")), 6)
+            .alias("z"),
+            F.round(
+                oe * oe / F.col("sv").cast("double"), 6
+            ).alias("chi2"),
+        )
+    )

@@ -34,6 +34,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import struct
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -49,7 +50,7 @@ __all__ = [
 ]
 
 #: completed-instant actions the reader understands
-_ACTIONS = ("commit", "replacecommit", "clean")
+_ACTIONS = ("commit", "replacecommit", "deltacommit", "clean")
 
 _STATS_SCHEMA = (
     "struct<partitionToWriteStats: map<string, array<struct<"
@@ -119,13 +120,17 @@ def hudi_commit(
     partition_stats: dict[str, list[dict]],
     operation: str = "upsert",
     replace_file_ids: dict[str, list[str]] | None = None,
+    action: str | None = None,
 ) -> str:
     """Append one completed instant to the timeline: the
     ``.requested`` / ``.inflight`` transition markers then the
     completed ``<instant>.<action>`` file carrying
     HoodieCommitMetadata JSON.  ``replace_file_ids`` switches the
-    action to ``replacecommit`` (clustering)."""
-    action = "replacecommit" if replace_file_ids else "commit"
+    action to ``replacecommit`` (clustering); MOR delta writes pass
+    ``action="deltacommit"`` so base-slice resolution never mistakes a
+    log file for a base file."""
+    if action is None:
+        action = "replacecommit" if replace_file_ids else "commit"
     meta = os.path.join(table_path, ".hoodie")
     os.makedirs(meta, exist_ok=True)
     for suffix in (f"{action}.requested", f"{action}.inflight"):
@@ -291,3 +296,255 @@ def hudi_clean(
             f,
         )
     return doomed
+
+
+# ---------------------------------------------------------------------
+# Merge-on-read (MOR): hoodie log files + snapshot merge
+# ---------------------------------------------------------------------
+
+#: hoodie log block framing (HoodieLogFormat v2 fields): 6-byte magic,
+#: format version, block type, header map, content length, content,
+#: then the total block length for reverse scans.  Data/delete block
+#: CONTENT is an Avro object-container (the reference embeds raw datum
+#:  bytes + schema header key — same information; documented divergence).
+_LOG_MAGIC = b"#HUDI#"
+_BLOCK_AVRO_DATA = 1
+_BLOCK_DELETE = 2
+#: header map keys (HeaderMetadataType ordinals)
+_HDR_INSTANT = 1
+_HDR_TARGET_INSTANT = 2
+
+
+def hudi_log_path(
+    partition: str, file_id: str, base_instant: str, version: int
+) -> str:
+    """Spec naming: ``.<fileId>_<baseInstant>.log.<version>``."""
+    return f"{partition}/.{file_id}_{base_instant}.log.{version}"
+
+
+def hudi_append_log_block(
+    table_path: str,
+    partition: str,
+    file_id: str,
+    base_instant: str,
+    instant: str,
+    version: int,
+    upserts: list[dict] | None = None,
+    delete_keys: list[str] | None = None,
+) -> dict:
+    """Append ONE log block (avro-data upserts or a delete block) to
+    the file group's log file and return its write-stat dict for the
+    ``deltacommit``.  Block framing per the hoodie log format; content
+    is an Avro container of the records (upserts) or of
+    ``{record_key}`` rows (deletes)."""
+    from apache_nifi_spark.sources.avro_codec import encode_container
+
+    if (upserts is None) == (delete_keys is None):
+        raise ValueError("exactly one of upserts/delete_keys")
+    if upserts is not None:
+        btype = _BLOCK_AVRO_DATA
+        rows = upserts
+    else:
+        btype = _BLOCK_DELETE
+        rows = [{"record_key": k} for k in delete_keys]
+    schema = {
+        "type": "record",
+        "name": "hudi_log_rec",
+        "fields": [
+            {
+                "name": k,
+                "type": "long" if isinstance(v, int) else "string",
+            }
+            for k, v in rows[0].items()
+        ],
+    }
+    content = b"".join(encode_container(iter(rows), schema, codec="null"))
+    headers = [(_HDR_INSTANT, instant)]
+    hdr = struct.pack(">I", len(headers))
+    for k, v in headers:
+        vb = v.encode()
+        hdr += struct.pack(">II", k, len(vb)) + vb
+    block = (
+        _LOG_MAGIC
+        + struct.pack(">II", 2, btype)
+        + hdr
+        + struct.pack(">Q", len(content))
+        + content
+    )
+    block += struct.pack(">Q", len(block) + 8)
+    rel = hudi_log_path(partition, file_id, base_instant, version)
+    dst = os.path.join(table_path, rel)
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    with open(dst, "ab") as f:
+        f.write(block)
+    return {
+        "fileId": file_id,
+        "path": rel,
+        "numWrites": len(rows),
+        "fileSizeInBytes": os.path.getsize(dst),
+        "prevCommit": base_instant,
+    }
+
+
+def hudi_parse_log_blocks(payload: bytes):
+    """Walk every block of a hoodie log file:
+    ``[(instant, 'data'|'delete', schema, rows)]``.  Raises on a bad
+    magic or a truncated block — a torn log append must fail loudly,
+    never read as an empty delta."""
+    from apache_nifi_spark.sources.avro_codec import decode_container
+
+    out = []
+    pos = 0
+    while pos < len(payload):
+        if payload[pos : pos + 6] != _LOG_MAGIC:
+            raise ValueError(f"hudi log: bad magic at {pos}")
+        ver, btype = struct.unpack_from(">II", payload, pos + 6)
+        if ver != 2:
+            raise ValueError(f"hudi log: unsupported version {ver}")
+        p = pos + 14
+        (nh,) = struct.unpack_from(">I", payload, p)
+        p += 4
+        instant = None
+        for _ in range(nh):
+            k, ln = struct.unpack_from(">II", payload, p)
+            v = payload[p + 8 : p + 8 + ln].decode()
+            if k == _HDR_INSTANT:
+                instant = v
+            p += 8 + ln
+        (clen,) = struct.unpack_from(">Q", payload, p)
+        p += 8
+        content = payload[p : p + clen]
+        if len(content) != clen:
+            raise ValueError("hudi log: truncated block content")
+        p += clen
+        if p + 8 > len(payload):
+            raise ValueError("hudi log: truncated block trailer")
+        (total,) = struct.unpack_from(">Q", payload, p)
+        p += 8
+        if total != p - pos:
+            raise ValueError("hudi log: block length mismatch")
+        schema, rows = decode_container(content)
+        out.append(
+            (
+                instant,
+                "data" if btype == _BLOCK_AVRO_DATA else "delete",
+                schema,
+                rows,
+            )
+        )
+        pos = p
+    return out
+
+
+def read_hudi_mor_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    as_of: str | None = None,
+    key_col: str = "_hoodie_record_key",
+) -> DataFrame:
+    """MERGE-ON-READ snapshot: base file slices (the COW resolution)
+    merged with their log deltas — per record key, the LATEST of
+    {base row, log upsert, delete tombstone} by instant wins, and
+    tombstones drop out (so a key deleted then re-upserted survives
+    with the later payload, the spec's ordered-merge semantics).
+
+    Spark-first: log files ship as ``binaryFile`` rows and their
+    blocks decode EXECUTOR-side (mapInPandas over Arrow batches — the
+    delta payloads are data, never driver state); the merge itself is
+    one ``max_by(struct, instant)`` per key.  Read-optimized reads
+    (base only) are :func:`read_hudi_snapshot` — this function is the
+    real-time view."""
+    import pandas as pd
+
+    base = read_hudi_snapshot(spark, table_path, as_of, with_meta=True)
+    data_cols = [
+        c for c in base.columns
+        if c not in ("_hoodie_commit_time", "_hoodie_record_key")
+    ]
+    # deltacommit write stats name the log files (manifest grain)
+    timeline = hudi_timeline(table_path)
+    log_paths = []
+    for t, a in timeline:
+        if a != "deltacommit" or (as_of is not None and t > as_of):
+            continue
+        with open(os.path.join(table_path, ".hoodie", f"{t}.{a}")) as f:
+            body = json.load(f)
+        for stats in body.get("partitionToWriteStats", {}).values():
+            for s in stats:
+                if ".log." in s["path"]:
+                    log_paths.append(os.path.join(table_path, s["path"]))
+    if not log_paths:
+        return base.select(*data_cols)
+    schema = (
+        "instant string, record_key string, is_delete boolean, "
+        + ", ".join(f"{c} string" for c in data_cols)
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            rows = {
+                "instant": [], "record_key": [], "is_delete": [],
+                **{c: [] for c in data_cols},
+            }
+            for path in pdf["log_path"]:
+                with open(path, "rb") as fh:
+                    blob = fh.read()
+                for instant, kind, sch, recs in hudi_parse_log_blocks(
+                    blob
+                ):
+                    names = [f["name"] for f in sch["fields"]]
+                    for rec in recs:
+                        d = dict(zip(names, rec))
+                        rows["instant"].append(instant)
+                        if kind == "delete":
+                            rows["record_key"].append(
+                                str(d["record_key"])
+                            )
+                            rows["is_delete"].append(True)
+                            for c in data_cols:
+                                rows[c].append(None)
+                        else:
+                            rows["record_key"].append(
+                                str(d[key_col])
+                                if key_col in d
+                                else str(d[data_cols[0]])
+                            )
+                            rows["is_delete"].append(False)
+                            for c in data_cols:
+                                rows[c].append(
+                                    None if d.get(c) is None
+                                    else str(d[c])
+                                )
+                    del kind
+            yield pd.DataFrame(rows)
+
+    # the spec's dot-prefixed log names are HIDDEN files to Hadoop's
+    # path filter (binaryFile silently lists zero of them), so the
+    # manifest-grain path list distributes as rows and each TASK opens
+    # its files — executor-side IO, the same placement binaryFile
+    # would give on shared storage
+    logs = (
+        spark.createDataFrame(
+            [(p,) for p in log_paths], "log_path string"
+        )
+        .repartition(min(len(log_paths), 32))
+        .mapInPandas(decode, schema)
+    )
+    base_t = base.select(
+        F.col("_hoodie_commit_time").alias("instant"),
+        F.col("_hoodie_record_key").alias("record_key"),
+        F.lit(False).alias("is_delete"),
+        *[F.col(c).cast("string").alias(c) for c in data_cols],
+    )
+    merged = (
+        base_t.unionByName(logs)
+        .groupBy("record_key")
+        .agg(
+            F.max_by(
+                F.struct("is_delete", *data_cols), F.col("instant")
+            ).alias("s")
+        )
+        .filter(~F.col("s.is_delete"))
+        .select(*[F.col(f"s.{c}").alias(c) for c in data_cols])
+    )
+    return merged

@@ -172,6 +172,10 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
         "stats_ewma_control_chart",
         # Fellegi-Sunter: 1-row record count x three 1-row u frames
         "linkage_fellegi_sunter",
+        # log-rank: 1-row censoring-horizon broadcast (KM precedent)
+        "survival_logrank_test",
+        # ROC AUC: 1-row min/max broadcast (the bucketed-rank shape)
+        "stats_roc_auc",
         "range_join_price_bands", "theta_join_richer_customers",
         "mega2_geoenrich_bands",  # GeoEnrichIP range join: bounded broadcast
         "flowfile_expiration_ttl", "similarity_cosine_topk",
@@ -415,6 +419,8 @@ def test_no_broadcast_hint_on_corpus_cardinality_frames():
         # Hudi: replaced-file-group set, O(replacecommits) manifest grain
         ("sources/hudi.py", "replaced"):
             "replaced file-group ids (manifest grain)",
+        # log-rank: 2-row per-group totals
+        ("registry_stats.py", "tot"): "2-row group totals",
         # sketch: quantile read-out probs frame, len(probs) rows
         ("llm/sketch.py", "pf"): "len(probs) literal rows",
         # HITS: 1-row L1-normalization totals per half-round
