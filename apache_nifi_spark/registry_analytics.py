@@ -4967,3 +4967,200 @@ def stats_roc_auc_q(spark, sf_dir):
         F.round(numD / (2.0 * pD * F.col("n")), 6).alias("auc"),
         F.round(numD / (pD * F.col("n")) - 1.0, 6).alias("gini"),
     )
+
+
+@register(
+    "events_window_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e
+      JOIN s1 ON s1.user_id = e.user_id
+      JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    ), lv AS (
+      SELECT s1.user_id,
+             CASE WHEN s3.user_id IS NOT NULL THEN 3
+                  WHEN s2.user_id IS NOT NULL THEN 2
+                  ELSE 1 END AS level
+      FROM s1
+      LEFT JOIN s2 ON s2.user_id = s1.user_id
+      LEFT JOIN s3 ON s3.user_id = s1.user_id
+    )
+    SELECT level,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           round(CAST(COUNT(*) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM s1), 6) AS share_of_entered
+    FROM lv GROUP BY level ORDER BY level
+    """,
+)
+def events_window_funnel_q(spark, sf_dir):
+    """WINDOW FUNNEL (the ClickHouse ``windowFunnel`` semantics — max
+    STRICT-ORDER step depth view→click→purchase where every later step
+    lands inside the window opened by step 1, distinct from
+    [funnel_ordered_conversion]'s per-step time bounds): each step is
+    one user-keyed MIN aggregation chained through an equi-join —
+    earliest view opens the 24 h window, earliest in-window click
+    after it, earliest in-window purchase after THAT — so there is no
+    per-pair explosion anywhere, just three bounded user-grain
+    reduces.  Share = level count / entered users, an exact integer
+    ratio.  Scale: three user-keyed joins under one hash partitioning;
+    Catalyst reuses the exchange."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOUR"))
+        )
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s1, "user_id")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOUR"))
+        )
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    lv = (
+        s1.join(s2.select("user_id", F.lit(1).alias("h2")),
+                "user_id", "left")
+        .join(s3.select("user_id", F.lit(1).alias("h3")),
+              "user_id", "left")
+        .select(
+            F.when(F.col("h3").isNotNull(), 3)
+            .when(F.col("h2").isNotNull(), 2)
+            .otherwise(1).alias("level")
+        )
+    )
+    entered = s1.agg(F.count(F.lit(1)).alias("n_entered"))
+    return (
+        lv.groupBy("level")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .crossJoin(F.broadcast(entered))
+        .select(
+            "level", "n_users",
+            F.round(
+                F.col("n_users").cast("double") / F.col("n_entered"), 6
+            ).alias("share_of_entered"),
+        )
+        .orderBy("level")
+    )
+
+
+@register(
+    "join_bloom_pruned",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    WHERE c_nationkey < 5
+    GROUP BY c_mktsegment ORDER BY segment
+    """,
+)
+def join_bloom_pruned_q(spark, sf_dir):
+    """BLOOM-PRUNED JOIN (the runtime-filter pattern behind Spark's
+    own InjectRuntimeFilter and every warehouse's sideways-information-
+    passing: when the dimension side is selective, ship a Bloom filter
+    of its join keys to the FACT SCAN so non-matching rows die before
+    the shuffle, not after): the filtered customer keys build a
+    16 Ki-bit double-hashed filter (one control-plane collect of ≤512
+    filter words), the orders scan probes it as a constant-folded
+    map-only predicate, and the exact equi-join afterwards removes the
+    false positives.  Equality with the PLAIN-join oracle is the
+    contract — pruning must be invisible in results, only in bytes
+    shuffled.  At 100 TB the filter is KiB against a fact-shuffle cut
+    proportional to dimension selectivity."""
+    from apache_nifi_spark.llm.pca import _packed_probe
+
+    m_bits, k = 16384, 3
+    words = m_bits // 32
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey") < 5
+    ).select("c_custkey", "c_mktsegment")
+    # JVM-native xxhash64 pair (NOT the md5-hex path: the filter's bit
+    # pattern never affects results — only the FP rate — so the hash
+    # only needs speed; md5+conv+substring cost 18 s at sf1, this 1.4 s)
+    h1 = F.pmod(F.xxhash64(F.col("c_custkey")), F.lit(2**31)).cast("bigint")
+    h2 = F.pmod(
+        F.xxhash64(F.col("c_custkey"), F.lit(1)), F.lit(2**31)
+    ).cast("bigint")
+    bbits = (
+        cust.select(h1.alias("g1"), h2.alias("g2"))
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(k - 1)),
+                    lambda j: (F.col("g1") + j * F.col("g2")) % m_bits,
+                )
+            ).alias("bit")
+        )
+        .select(
+            (F.col("bit") / 32).cast("int").alias("w"),
+            _packed_probe(
+                [1 << b for b in range(32)],
+                (F.col("bit") % 32).cast("int") + 1,
+            ).alias("mask"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+        .collect()  # control-plane: <=512 filter words
+    )
+    got = {r["w"]: r["bits"] for r in bbits}
+    filt = [int(got.get(i, 0)) for i in range(words)]
+    pow2 = [1 << b for b in range(32)]
+    og1 = F.pmod(F.xxhash64(F.col("o_custkey")), F.lit(2**31)).cast(
+        "bigint"
+    )
+    og2 = F.pmod(
+        F.xxhash64(F.col("o_custkey"), F.lit(1)), F.lit(2**31)
+    ).cast("bigint")
+    probe = None
+    for j in range(k):
+        bit = (og1 + F.lit(j) * og2) % m_bits
+        word = _packed_probe(filt, (bit / 32).cast("int") + 1)
+        mask = _packed_probe(pow2, (bit % 32).cast("int") + 1)
+        c = word.bitwiseAND(mask) != 0
+        probe = c if probe is None else (probe & c)
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice")
+        .filter(probe)  # map-only runtime filter BEFORE the shuffle
+    )
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice").cast("double") * 100
+                        + 0.5).cast("bigint")
+            ).cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("segment")
+    )

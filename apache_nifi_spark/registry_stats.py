@@ -5255,3 +5255,187 @@ def survival_logrank_test_q(spark, sf_dir):
             ).alias("chi2"),
         )
     )
+
+
+@register(
+    "hypertable_percentile_rollup",
+    oracle="""
+    WITH e AS (
+      SELECT date_trunc('hour', ts) AS hr,
+             CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)
+               // 96 AS bkt
+      FROM events
+    ), hb AS (
+      SELECT hr, bkt, CAST(COUNT(*) AS BIGINT) AS m
+      FROM e GROUP BY 1, 2
+    ), c AS (
+      SELECT hr, bkt, m,
+             CAST(SUM(m) OVER (PARTITION BY hr ORDER BY bkt
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum,
+             CAST(SUM(m) OVER (PARTITION BY hr) AS BIGINT) AS n
+      FROM hb
+    )
+    SELECT CAST(hr AS VARCHAR) AS hour,
+           CAST(MAX(n) AS BIGINT) AS n,
+           round(CAST(MIN(CASE WHEN cum >= (n + 1) // 2
+                      THEN (bkt + 1) * 96 END) AS DOUBLE) / 100.0, 2)
+             AS p50,
+           round(CAST(MIN(CASE WHEN cum >= (19 * n + 19) // 20
+                      THEN (bkt + 1) * 96 END) AS DOUBLE) / 100.0, 2)
+             AS p95,
+           round(CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100
+                      THEN (bkt + 1) * 96 END) AS DOUBLE) / 100.0, 2)
+             AS p99
+    FROM c GROUP BY hr ORDER BY hour
+    """,
+)
+def hypertable_percentile_rollup_q(spark, sf_dir):
+    """PER-BUCKET PERCENTILE ROLLUP (TimescaleDB's ``percentile_agg``
+    hyperfunction shape — the p50/p95/p99-per-hour latency dashboard
+    every ops team runs, completing the hyperfunction tier beside
+    time_weighted_avg / OHLC / gapfill / counter rate / M4 / LTTB):
+    values bucket by PURE INTEGER division (96-cent bins — zero IEEE
+    ops anywhere), per-(hour, bucket) counts merge by addition (the
+    mergeable-sketch property [quantile_histogram_sketch] pins
+    globally), per-hour cumulative over the ≤512-row bucket table, and
+    each percentile reads the first bucket reaching its exact integer
+    rank ceil(p·n) — estimates are bucket upper edges, error ≤ one
+    bin by construction.  Scale: ONE map-side-combinable agg at
+    (hour × bucket) grain; windows run inside hour partitions over
+    bounded bucket tables."""
+    e = _t(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        F.expr(
+            "cast(floor(cast(value as double) * 100 + 0.5) as bigint)"
+            " div 96"
+        ).alias("bkt"),
+    )
+    hb = e.groupBy("hr", "bkt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m")
+    )
+    whr = Window.partitionBy("hr")
+    wcum = whr.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = hb.select(
+        "hr", "bkt", "m",
+        F.sum("m").over(wcum).cast("bigint").alias("cum"),
+        F.sum("m").over(whr).cast("bigint").alias("n"),
+    )
+    edge = (F.col("bkt") + 1) * 96
+
+    def pick(rank_expr, name):
+        return F.round(
+            F.min(F.when(F.col("cum") >= rank_expr, edge))
+            .cast("double") / 100.0,
+            2,
+        ).alias(name)
+
+    n = F.col("n")
+    return (
+        c.groupBy("hr")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            pick(F.expr("(n + 1) div 2"), "p50"),
+            pick(F.expr("(19 * n + 19) div 20"), "p95"),
+            pick(F.expr("(99 * n + 99) div 100"), "p99"),
+        )
+        .select(
+            F.col("hr").cast("string").alias("hour"),
+            "n", "p50", "p95", "p99",
+        )
+        .orderBy("hour")
+    )
+
+
+def _lpa_oracle() -> str:
+    """Unrolled 3-round synchronous label propagation twin: identical
+    per-round argmax (count DESC, label ASC) over the canonical
+    undirected edge set."""
+    base = """
+    WITH e0 AS (
+      SELECT o_custkey AS a, l_suppkey + 1000000 AS b
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE l_orderkey % 17 = 0
+    ), ed AS (
+      SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM e0
+    ), adj AS (
+      SELECT u AS s, v AS d FROM ed UNION ALL SELECT v, u FROM ed
+    ), l0 AS (
+      SELECT DISTINCT s AS node, s AS lbl FROM adj
+    )"""
+    rnd = """, l{n} AS (
+      SELECT node, lbl FROM (
+        SELECT adj.s AS node, p.lbl,
+               row_number() OVER (PARTITION BY adj.s
+                   ORDER BY COUNT(*) DESC, p.lbl ASC) AS rk
+        FROM adj JOIN l{p} p ON p.node = adj.d
+        GROUP BY adj.s, p.lbl
+      ) WHERE rk = 1
+    )"""
+    q = base
+    for i in range(1, 4):
+        q += rnd.format(n=i, p=i - 1)
+    q += """
+    SELECT lbl AS community,
+           CAST(COUNT(*) AS BIGINT) AS size
+    FROM l3 GROUP BY lbl HAVING COUNT(*) >= 3 ORDER BY size DESC, lbl
+    """
+    return q
+
+
+@register("graph_lpa_communities", oracle=_lpa_oracle())
+def graph_lpa_communities_q(spark, sf_dir):
+    """LABEL PROPAGATION community detection (Raghavan, Albert &
+    Kumara 2007 — the near-linear community algorithm, the clustering
+    rung of the graph tier above [graph_kcore_membership]'s density
+    peeling): SYNCHRONOUS rounds — every node adopts the label most
+    frequent among its neighbors, ties to the SMALLEST label, so each
+    round is one (node, label) count aggregation and one per-node
+    argmax window, fully deterministic (async LPA's order-dependence
+    is exactly what a distributed engine cannot promise).  3 unrolled
+    rounds, identical in the SQL twin; communities under 3 members
+    suppressed.  Scale: per-round cost is one edge-grain shuffle —
+    the PageRank shape — and labels are node-grain state."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 17 == 0
+    ).select("l_orderkey", "l_suppkey")
+    e0 = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("a"),
+        (F.col("l_suppkey") + 1_000_000).alias("b"),
+    )
+    ed = e0.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+    adj = ed.select(F.col("u").alias("s"), F.col("v").alias("d")) \
+        .unionByName(
+            ed.select(F.col("v").alias("s"), F.col("u").alias("d"))
+        )
+    lbl = adj.select(F.col("s").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    wnode = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("lbl").asc()
+    )
+    for _ in range(3):
+        lbl = (
+            adj.join(
+                lbl.select(
+                    F.col("node").alias("d"), "lbl"
+                ),
+                "d",
+            )
+            .groupBy(F.col("s").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("rk", F.row_number().over(wnode))
+            .filter(F.col("rk") == 1)
+            .select("node", "lbl")
+        )
+    return (
+        lbl.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("size"))
+        .filter(F.col("size") >= 3)
+        .orderBy(F.col("size").desc(), "community")
+    )

@@ -176,6 +176,8 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
         "survival_logrank_test",
         # ROC AUC: 1-row min/max broadcast (the bucketed-rank shape)
         "stats_roc_auc",
+        # window funnel: 1-row entered-count broadcast
+        "events_window_funnel",
         "range_join_price_bands", "theta_join_richer_customers",
         "mega2_geoenrich_bands",  # GeoEnrichIP range join: bounded broadcast
         "flowfile_expiration_ttl", "similarity_cosine_topk",
@@ -461,6 +463,8 @@ def test_no_broadcast_hint_on_corpus_cardinality_frames():
         ("registry_analytics.py", "tot"): "1-row bucket totals",
         # SPRT: 1-row first-crossing day
         ("registry_analytics.py", "decday"): "1-row decision day",
+        # window funnel: 1-row entered-user count
+        ("registry_analytics.py", "entered"): "1-row entered count",
         # Fellegi-Sunter: 1-row record count and u-probability frames
         ("registry_analytics.py", "nr"): "1-row record count",
         ("registry_analytics.py", 'u_of("seg", "u_seg")'):
