@@ -5164,3 +5164,337 @@ def join_bloom_pruned_q(spark, sf_dir):
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "forecast_seasonal_decompose",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ), tr AS (
+      SELECT day, x, isodow(day) AS dw,
+             CASE WHEN COUNT(*) OVER w = 7 THEN
+               CAST(SUM(x) OVER w AS DOUBLE) / 7.0 END AS trend
+      FROM d
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                   AND 3 FOLLOWING)
+    ), se AS (
+      SELECT dw,
+             CAST(SUM(CAST(CAST(x AS DOUBLE) - trend
+                           AS DECIMAL(28,9))) AS DOUBLE)
+               / COUNT(trend) AS raw_s,
+             CAST(COUNT(trend) AS BIGINT) AS n_obs
+      FROM tr WHERE trend IS NOT NULL GROUP BY dw
+    ), adj AS (
+      SELECT dw, raw_s, n_obs,
+             raw_s - (SELECT CAST(SUM(CAST(raw_s AS DECIMAL(28,9)))
+                              AS DOUBLE) / 7.0 FROM se) AS seasonal
+      FROM se
+    )
+    SELECT CAST(dw AS INT) AS dow_iso, n_obs,
+           round(raw_s / 100.0, 6) AS raw_effect,
+           round(seasonal / 100.0, 6) AS seasonal_effect
+    FROM adj ORDER BY dow_iso
+    """,
+)
+def forecast_seasonal_decompose_q(spark, sf_dir):
+    """Classical ADDITIVE SEASONAL DECOMPOSITION (the moving-average
+    decomposition under every STL/X-11 pipeline — x = trend + seasonal
+    + residual, here the day-of-week effect extraction step beside
+    [forecast_seasonal_naive_backtest]'s forecaster and
+    [events_seasonal_anomaly]'s robust monitor): daily revenue cents,
+    trend = CENTERED 7-day moving average (full windows only),
+    per-ISO-weekday mean detrended residual, then the effects
+    re-centered to sum to zero (the identifiability constraint).
+    Float arithmetic is shared single-expression work over the ≤7-row
+    weekday frame; the only data-grain ops are one day agg and one
+    calendar-bounded window.  Scale: day grain throughout."""
+    d = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value").cast("double") * 100 + 0.5)
+                .cast("bigint")
+            ).cast("bigint").alias("x")
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = d.select(
+        "day", "x",
+        (F.weekday("day") + 1).alias("dw"),
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            F.sum("x").over(w).cast("double") / 7.0,
+        ).alias("trend"),
+    )
+    se = (
+        tr.filter(F.col("trend").isNotNull())
+        .groupBy("dw")
+        .agg(
+            (
+                F.sum(
+                    (F.col("x").cast("double") - F.col("trend"))
+                    .cast("decimal(28,9)")
+                ).cast("double") / F.count("trend")
+            ).alias("raw_s"),
+            F.count("trend").cast("bigint").alias("n_obs"),
+        )
+    )
+    mean_s = se.agg(
+        (F.sum(F.col("raw_s").cast("decimal(28,9)")).cast("double")
+         / 7.0).alias("ms")
+    )
+    return (
+        se.crossJoin(F.broadcast(mean_s))
+        .select(
+            F.col("dw").cast("int").alias("dow_iso"),
+            "n_obs",
+            F.round(F.col("raw_s") / 100.0, 6).alias("raw_effect"),
+            F.round((F.col("raw_s") - F.col("ms")) / 100.0, 6)
+            .alias("seasonal_effect"),
+        )
+        .orderBy("dow_iso")
+    )
+
+
+@register(
+    "recommend_item_cf",
+    oracle="""
+    WITH it AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      FROM lineitem WHERE l_partkey % 7 = 0
+    ), item_n AS (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt FROM it GROUP BY item
+    ), pairs AS (
+      SELECT a.item AS i, b.item AS j, CAST(COUNT(*) AS BIGINT) AS cij
+      FROM it a JOIN it b ON a.basket = b.basket AND a.item != b.item
+      GROUP BY a.item, b.item
+    ), scored AS (
+      SELECT i, j, cij,
+             CAST(cij AS DOUBLE) / sqrt(CAST(ia.cnt AS DOUBLE) * ib.cnt)
+               AS cosine
+      FROM pairs JOIN item_n ia ON ia.item = i
+                 JOIN item_n ib ON ib.item = j
+      WHERE cij >= 2
+    ), ranked AS (
+      SELECT i, j, cij, cosine,
+             row_number() OVER (PARTITION BY i
+                 ORDER BY cosine DESC, j) AS rk
+      FROM scored
+    )
+    SELECT i AS item, j AS neighbor, cij AS co_count,
+           round(cosine, 6) AS cosine,
+           CAST(rk AS INT) AS rank
+    FROM ranked WHERE rk <= 5 ORDER BY item, rank
+    """,
+)
+def recommend_item_cf_q(spark, sf_dir):
+    """ITEM-ITEM COLLABORATIVE FILTERING (Sarwar et al. 2001 / the
+    Amazon recommender primitive — "customers who bought X also
+    bought": co-occurrence cosine cᵢⱼ/√(cᵢcⱼ) with top-5 neighbors
+    per item, the ranked-recommendation output the association-rules
+    operator's support/confidence table is not): basket-keyed pair
+    self-join on the pinned basket-partitioned item set (Σsᵢ² pair
+    volume, the [basket_association_rules] shape), min co-count 2,
+    cosine from the two item-frequency joins, per-item top-5 by a
+    window PARTITIONED on the item — never a global sort.  The %%7
+    item filter keeps the fixture's pair frame honest while the shape
+    stays corpus-general.  Scale: pair agg is map-side combinable;
+    ranking runs inside item partitions."""
+    items = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 7 == 0)
+        .select(F.col("l_orderkey").alias("basket"),
+                F.col("l_partkey").alias("item"))
+        .distinct()
+        .repartition("basket")
+        .localCheckpoint(eager=True)
+    )
+    item_n = items.groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") != F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("i"), F.col("b.item").alias("j"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cij"))
+        .filter(F.col("cij") >= 2)
+    )
+    scored = (
+        pairs.join(item_n.select(F.col("item").alias("i"),
+                                 F.col("cnt").alias("ci")), "i")
+        .join(item_n.select(F.col("item").alias("j"),
+                            F.col("cnt").alias("cj")), "j")
+        .select(
+            "i", "j", "cij",
+            (
+                F.col("cij").cast("double")
+                / F.sqrt(F.col("ci").cast("double") * F.col("cj"))
+            ).alias("cosine"),
+        )
+    )
+    wi = Window.partitionBy("i").orderBy(F.col("cosine").desc(), "j")
+    return (
+        scored.withColumn("rk", F.row_number().over(wi))
+        .filter(F.col("rk") <= 5)
+        .select(
+            F.col("i").alias("item"), F.col("j").alias("neighbor"),
+            F.col("cij").alias("co_count"),
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rk").cast("int").alias("rank"),
+        )
+        .orderBy("item", "rank")
+    )
+
+
+@register(
+    "quality_expectation_audit",
+    oracle="""
+    SELECT 'not_null' AS check_name, 'customer.c_name' AS target,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_failed
+    FROM customer
+    UNION ALL
+    SELECT 'unique_key', 'customer.c_custkey',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'value_range', 'orders.o_totalprice',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'domain', 'orders.o_orderstatus',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'referential', 'orders.o_custkey->customer',
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_custkey NOT IN
+                   (SELECT c_custkey FROM customer)) AS BIGINT)
+    UNION ALL
+    SELECT 'referential', 'lineitem.l_orderkey->orders',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_orderkey NOT IN
+                   (SELECT o_orderkey FROM orders)) AS BIGINT)
+    UNION ALL
+    SELECT 'freshness', 'events.ts',
+           CAST(1 AS BIGINT),
+           CAST(CASE WHEN (SELECT MAX(ts) FROM events)
+                     >= TIMESTAMP '2024-01-30' THEN 0 ELSE 1 END
+                AS BIGINT)
+    ORDER BY check_name, target
+    """,
+)
+def quality_expectation_audit_q(spark, sf_dir):
+    """DATA-QUALITY EXPECTATION AUDIT (the Great-Expectations-style
+    contract every pipeline runs before publishing a table: not-null,
+    key uniqueness, value range, categorical domain, REFERENTIAL
+    integrity, freshness — one report frame, one row per check):
+    column checks are single conditional aggregates; the two
+    referential checks are LEFT-ANTI joins (orphans), the shape that
+    scales where a NOT IN subquery would not; freshness compares the
+    1-row max timestamp against the contract horizon.  Scale: every
+    check is one map-side-combinable reduce; the anti-joins are plain
+    keyed joins under AQE."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ev = _t(spark, sf_dir, "events")
+
+    r1 = cust.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("c_name").isNull(), 1).otherwise(0))
+        .alias("f"),
+    ).select(
+        F.lit("not_null").alias("check_name"),
+        F.lit("customer.c_name").alias("target"),
+        F.col("n").cast("bigint").alias("n_checked"),
+        F.col("f").cast("bigint").alias("n_failed"),
+    )
+    r2 = cust.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey")).alias("f"),
+    ).select(
+        F.lit("unique_key").alias("check_name"),
+        F.lit("customer.c_custkey").alias("target"),
+        F.col("n").cast("bigint").alias("n_checked"),
+        F.col("f").cast("bigint").alias("n_failed"),
+    )
+    r3 = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .alias("f"),
+    ).select(
+        F.lit("value_range").alias("check_name"),
+        F.lit("orders.o_totalprice").alias("target"),
+        F.col("n").cast("bigint").alias("n_checked"),
+        F.col("f").cast("bigint").alias("n_failed"),
+    )
+    r4 = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1)
+            .otherwise(0)
+        ).alias("f"),
+    ).select(
+        F.lit("domain").alias("check_name"),
+        F.lit("orders.o_orderstatus").alias("target"),
+        F.col("n").cast("bigint").alias("n_checked"),
+        F.col("f").cast("bigint").alias("n_failed"),
+    )
+    o_orph = (
+        orders.select("o_custkey")
+        .join(cust.select(F.col("c_custkey").alias("o_custkey")),
+              "o_custkey", "left_anti")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    r5 = orders.agg(F.count(F.lit(1)).alias("n")).crossJoin(
+        F.broadcast(o_orph)
+    ).select(
+        F.lit("referential").alias("check_name"),
+        F.lit("orders.o_custkey->customer").alias("target"),
+        F.col("n").cast("bigint").alias("n_checked"),
+        F.col("f").cast("bigint").alias("n_failed"),
+    )
+    l_orph = (
+        li.select("l_orderkey")
+        .join(orders.select(F.col("o_orderkey").alias("l_orderkey")),
+              "l_orderkey", "left_anti")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    r6 = li.agg(F.count(F.lit(1)).alias("n")).crossJoin(
+        F.broadcast(l_orph)
+    ).select(
+        F.lit("referential").alias("check_name"),
+        F.lit("lineitem.l_orderkey->orders").alias("target"),
+        F.col("n").cast("bigint").alias("n_checked"),
+        F.col("f").cast("bigint").alias("n_failed"),
+    )
+    r7 = ev.agg(F.max("ts").alias("mx")).select(
+        F.lit("freshness").alias("check_name"),
+        F.lit("events.ts").alias("target"),
+        F.lit(1).cast("bigint").alias("n_checked"),
+        F.when(
+            F.col("mx") >= F.lit("2024-01-30").cast("timestamp"), 0
+        ).otherwise(1).cast("bigint").alias("n_failed"),
+    )
+    out = r1
+    for r in (r2, r3, r4, r5, r6, r7):
+        out = out.unionByName(r)
+    return out.orderBy("check_name", "target")

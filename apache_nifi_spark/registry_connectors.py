@@ -2426,3 +2426,101 @@ def hudi_mor_read_optimized_q(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("doc_id").cast("long").alias("id_sum"),
     )
+
+
+_DELTA_V2CKPT_STAGE: dict[str, str] = {}
+
+
+def _staged_delta_v2ckpt(spark, sf_dir):
+    """Delta table proving the V2 (sidecar) checkpoint path: commits
+    v0/v1 add four files of documents [0,400), v2 DV-deletes
+    doc_id %% 11 == 5 ordinals of the second file, a V2 checkpoint at
+    v2 splits the reconciled adds across two sidecar parquets, v3
+    appends [400,500) as a JSON tail commit — then every JSON commit
+    AT OR BELOW the checkpoint is DELETED, so the snapshot read can
+    only succeed through checkpointMetadata → sidecar actions →
+    sidecar scan → tail replay."""
+    if sf_dir in _DELTA_V2CKPT_STAGE:
+        return _DELTA_V2CKPT_STAGE[sf_dir]
+    import glob
+    import tempfile
+
+    from apache_nifi_spark.sources.deltalog import (
+        delta_delete_rows,
+        read_delta_snapshot,
+        write_checkpoint_v2,
+        write_commit,
+    )
+
+    root = tempfile.mkdtemp(prefix="anspark_deltav2_")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    rel = {}
+    for k in range(5):
+        (
+            docs.filter(
+                (F.col("doc_id") >= k * 100)
+                & (F.col("doc_id") < k * 100 + 100)
+            )
+            .coalesce(1)
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(f"{root}/f{k}")
+        )
+        part = glob.glob(f"{root}/f{k}/part-*.parquet")[0]
+        rel[k] = os.path.relpath(part, root)
+
+    def add(k):
+        return {"add": {"path": rel[k], "size": os.path.getsize(
+            os.path.join(root, rel[k])), "dataChange": True}}
+
+    write_commit(root, 0, [{"metaData": {"id": "anspark-v2ckpt"}},
+                           add(0), add(1)])
+    write_commit(root, 1, [add(2), add(3)])
+    delta_delete_rows(
+        spark, root,
+        {rel[1]: [d - 100 for d in range(100, 200) if d % 11 == 5]},
+    )
+    write_checkpoint_v2(spark, root, 2, n_sidecars=2)
+    write_commit(root, 3, [add(4)])
+    # burn the boats: reads below must come ONLY from the v2 layout
+    for j in glob.glob(f"{root}/_delta_log/0000*.json"):
+        if int(os.path.basename(j)[:-5]) <= 2:
+            os.remove(j)
+    assert read_delta_snapshot(spark, root).count() == 500 - len(
+        [d for d in range(100, 200) if d % 11 == 5]
+    )
+    _DELTA_V2CKPT_STAGE[sf_dir] = root
+    return root
+
+
+@register(
+    "delta_checkpoint_v2_read",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    WHERE doc_id < 500
+      AND NOT (doc_id >= 100 AND doc_id < 200 AND doc_id % 11 = 5)
+    GROUP BY lang
+    """,
+)
+def delta_checkpoint_v2_q(spark, sf_dir):
+    """Delta V2 CHECKPOINT read (PROTOCOL.md 'V2 Checkpoints' — the
+    ``v2Checkpoint`` feature: a UUID-named top file carrying ONE
+    ``checkpointMetadata`` action plus ``sidecar`` actions, with the
+    reconciled adds split across ``_delta_log/_sidecars/`` parquets a
+    distributed writer can emit in parallel): the staging DELETES every
+    JSON commit at or below the checkpoint, so this snapshot can only
+    resolve through top file → sidecar list → sidecar scan → JSON tail
+    — and the deletion-vector add carried through the sidecar still
+    drops its ordinals.  sources/deltalog.py ``write_checkpoint_v2`` /
+    ``_v2_checkpoint_base``."""
+    from apache_nifi_spark.sources.deltalog import read_delta_snapshot
+
+    root = _staged_delta_v2ckpt(spark, sf_dir)
+    snap = read_delta_snapshot(spark, root)
+    return snap.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )

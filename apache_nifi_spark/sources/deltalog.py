@@ -56,14 +56,20 @@ def write_commit(table_path: str, version: int, actions: list[dict]) -> str:
     return p
 
 
-def _last_checkpoint_version(log_dir: str) -> int | None:
-    """Read the ``_last_checkpoint`` pointer (spec: a one-line JSON with
-    the checkpoint's version); None when no checkpoint exists."""
+def _last_checkpoint_pointer(log_dir: str) -> dict | None:
+    """Read the full ``_last_checkpoint`` pointer JSON (spec: version,
+    size, and for v2 checkpoints the top file name); None when no
+    checkpoint exists."""
     p = os.path.join(log_dir, "_last_checkpoint")
     if not os.path.exists(p):
         return None
     with open(p) as f:
-        return int(json.loads(f.read())["version"])
+        return json.loads(f.read())
+
+
+def _last_checkpoint_version(log_dir: str) -> int | None:
+    ptr = _last_checkpoint_pointer(log_dir)
+    return None if ptr is None else int(ptr["version"])
 
 
 def write_checkpoint(
@@ -215,8 +221,24 @@ def delta_active_files(
     )  # control-plane: O(commits) directory listing
     if version is not None:
         commits = [c for c in commits if int(c[:-5]) <= version]
-    ckpt_v = _last_checkpoint_version(log_dir) if use_checkpoint else None
+    ptr = _last_checkpoint_pointer(log_dir) if use_checkpoint else None
+    ckpt_v = None if ptr is None else int(ptr["version"])
     if ckpt_v is not None and (version is None or version >= ckpt_v):
+        if "v2Checkpoint" in (ptr or {}):
+            base = _v2_checkpoint_base(spark, log_dir, ptr)
+            tail = [c for c in commits if int(c[:-5]) > ckpt_v]
+            acts = base.unionByName(
+                _tail_actions(spark, log_dir, tail)
+            ) if tail else base
+            latest = acts.groupBy("path").agg(
+                F.max_by("_is_add", "_version").alias("_is_add"),
+                F.max_by("size", "_version").alias("size"),
+                F.max_by("dv", "_version").alias("dv"),
+                F.max("_version").alias("added_version"),
+            )
+            return latest.filter(F.col("_is_add")).select(
+                "path", "size", "dv", "added_version"
+            )
         base = (
             spark.read.parquet(
                 os.path.join(log_dir, f"{ckpt_v:020d}.checkpoint.parquet")
@@ -802,3 +824,139 @@ def read_delta_snapshot_mapped(
         else:
             cols.append(F.lit(None).cast(sql_type).alias(logical))
     return df.select(*cols)
+
+
+def write_checkpoint_v2(
+    spark: SparkSession,
+    table_path: str,
+    version: int,
+    n_sidecars: int = 2,
+) -> str:
+    """V2 CHECKPOINT (PROTOCOL.md "V2 Checkpoints", the
+    ``v2Checkpoint`` table feature): the top-level
+    ``<version>.checkpoint.<unique>.parquet`` holds ONE
+    ``checkpointMetadata`` action plus one ``sidecar`` action per
+    sidecar file, and the reconciled add actions move into
+    ``_delta_log/_sidecars/*.parquet`` — the layout that lets a
+    distributed writer emit the manifest in parallel parts and a
+    reader skip the top file's action scan entirely.  The
+    ``_last_checkpoint`` pointer records the v2 file name.  Sidecar
+    content is the classic checkpoint's add-struct rows (plus the
+    ``added_version`` provenance extension)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    active = delta_active_files(
+        spark, table_path, version, use_checkpoint=False
+    ).collect()  # control-plane: O(active files) manifest rows
+    log_dir = os.path.join(table_path, "_delta_log")
+    side_dir = os.path.join(log_dir, "_sidecars")
+    os.makedirs(side_dir, exist_ok=True)
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("size", pa.int64()),
+            ("dataChange", pa.bool_()),
+            (
+                "deletionVector",
+                pa.struct(
+                    [
+                        ("storageType", pa.string()),
+                        ("pathOrInlineDv", pa.string()),
+                        ("sizeInBytes", pa.int32()),
+                        ("cardinality", pa.int64()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    groups: list[list] = [[] for _ in range(n_sidecars)]
+    for i, r in enumerate(active):
+        groups[i % n_sidecars].append(r)
+    sidecars = []
+    for i, g in enumerate(groups):
+        adds = [
+            {
+                "path": r["path"],
+                "size": r["size"],
+                "dataChange": False,
+                "deletionVector": json.loads(r["dv"]) if r["dv"] else None,
+            }
+            for r in g
+        ]
+        tbl = pa.table(
+            {
+                "add": pa.array(adds, add_t),
+                "added_version": pa.array(
+                    [r["added_version"] for r in g], pa.int64()
+                ),
+            }
+        )
+        name = f"{version:020d}-sidecar-{i}.parquet"
+        pq.write_table(tbl, os.path.join(side_dir, name))
+        sidecars.append(
+            {
+                "path": name,
+                "sizeInBytes": os.path.getsize(
+                    os.path.join(side_dir, name)
+                ),
+                "modificationTime": 0,
+            }
+        )
+    ckpt_meta_t = pa.struct([("version", pa.int64())])
+    sidecar_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("sizeInBytes", pa.int64()),
+            ("modificationTime", pa.int64()),
+        ]
+    )
+    n = 1 + len(sidecars)
+    top = pa.table(
+        {
+            "checkpointMetadata": pa.array(
+                [{"version": version}] + [None] * len(sidecars),
+                ckpt_meta_t,
+            ),
+            "sidecar": pa.array([None] + sidecars, sidecar_t),
+        }
+    )
+    name = f"{version:020d}.checkpoint.{version:08x}v2.parquet"
+    pq.write_table(top, os.path.join(log_dir, name))
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
+        f.write(
+            json.dumps(
+                {"version": version, "size": n, "v2Checkpoint": name}
+            )
+        )
+    return os.path.join(log_dir, name)
+
+
+def _v2_checkpoint_base(
+    spark: SparkSession, log_dir: str, pointer: dict
+) -> DataFrame:
+    """Base action state from a v2 checkpoint: top file → sidecar
+    list (manifest grain) → one parquet scan over the sidecars."""
+    top = os.path.join(log_dir, pointer["v2Checkpoint"])
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(top, columns=["sidecar"]).to_pylist()
+    # control-plane: O(sidecars) rows from the kilobyte top file
+    side_paths = [
+        os.path.join(log_dir, "_sidecars", r["sidecar"]["path"])
+        for r in t
+        if r["sidecar"] is not None
+    ]
+    return (
+        spark.read.parquet(*side_paths)
+        .select(
+            F.col("add.path").alias("path"),
+            F.col("add.size").alias("size"),
+            F.lit(True).alias("_is_add"),
+            F.when(
+                F.col("add.deletionVector.storageType").isNotNull(),
+                F.to_json(F.col("add.deletionVector")),
+            ).alias("dv"),
+            F.col("added_version").alias("_version"),
+        )
+    )

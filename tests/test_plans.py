@@ -178,6 +178,10 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
         "stats_roc_auc",
         # window funnel: 1-row entered-count broadcast
         "events_window_funnel",
+        # seasonal decompose: 1-row zero-centering mean
+        "forecast_seasonal_decompose",
+        # expectation audit: two 1-row orphan counts
+        "quality_expectation_audit",
         "range_join_price_bands", "theta_join_richer_customers",
         "mega2_geoenrich_bands",  # GeoEnrichIP range join: bounded broadcast
         "flowfile_expiration_ttl", "similarity_cosine_topk",
@@ -465,6 +469,10 @@ def test_no_broadcast_hint_on_corpus_cardinality_frames():
         ("registry_analytics.py", "decday"): "1-row decision day",
         # window funnel: 1-row entered-user count
         ("registry_analytics.py", "entered"): "1-row entered count",
+        # seasonal decompose / expectation audit: 1-row frames
+        ("registry_analytics.py", "mean_s"): "1-row seasonal mean",
+        ("registry_analytics.py", "o_orph"): "1-row orphan count",
+        ("registry_analytics.py", "l_orph"): "1-row orphan count",
         # Fellegi-Sunter: 1-row record count and u-probability frames
         ("registry_analytics.py", "nr"): "1-row record count",
         ("registry_analytics.py", 'u_of("seg", "u_seg")'):
