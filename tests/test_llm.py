@@ -2158,25 +2158,27 @@ def test_winnowing_local_guarantee(spark):
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     docs.createOrReplaceTempView("winnow_docs")
 
+    import importlib
     import apache_nifi_spark.registry as reg
 
-    real_t = reg._t
+    # patch _t in the module that DEFINES the query — the registry is
+    # split across satellites that bind _t at import time (r16 split)
+    fn = reg.QUERIES["dedup_winnowing_fingerprints"]
+    owner = importlib.import_module(fn.__module__)
+    real_t = owner._t
     try:
-        reg._t = lambda s, sf, name: docs if name == "documents" else real_t(
-            s, sf, name
-        )
+        owner._t = lambda s, sf, name: docs if name == "documents" \
+            else real_t(s, sf, name)
         # fingerprints are comma-joined to STRING at the output boundary
         # (driver canonicalizer gate, r13) — parse back for set algebra
         out = {
             r["doc_id"]: set(
                 r["fingerprints"].split(",") if r["fingerprints"] else []
             )
-            for r in reg.QUERIES["dedup_winnowing_fingerprints"](
-                spark, "unused"
-            ).collect()
+            for r in fn(spark, "unused").collect()
         }
     finally:
-        reg._t = real_t
+        owner._t = real_t
     assert out[0] & out[1], "shared 8-token run must share a fingerprint"
     assert not (out[0] & out[2]) and not (out[1] & out[2])
 

@@ -4,9 +4,13 @@ Runs every registry query on Spark AND its DuckDB oracle over the same
 parquet fixtures, then compares: row count, normalized schema, and
 order-insensitive exact values.  Usage:
 
-    python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
 
-Exit code 0 iff every checked query matches exactly.
+Exit code 0 iff every checked query matches exactly.  ``--json``
+additionally writes the machine-readable receipt the round commits as
+``CORRECTNESS_full_r{N}.json`` (judge item r15 #1: the driver samples
+~50 of the registry every round; this file is the committed evidence
+for the rest).
 """
 
 from __future__ import annotations
@@ -79,8 +83,14 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    detail: dict[str, str] = {}
     spark = get_spark(app_name="oracle-check")
     con = duck_con(sf_dir)
 
@@ -95,6 +105,7 @@ def main() -> int:
                 skipped.append(name)
             except Exception as e:  # noqa: BLE001
                 failed.append(name)
+                detail[name] = f"rows-only EXCEPTION {type(e).__name__}"
                 print(f"  ✗ {name} (rows-only) EXCEPTION {type(e).__name__}: {str(e)[:300]}")
             continue
         try:
@@ -121,6 +132,7 @@ def main() -> int:
             problems = [f"EXCEPTION {type(e).__name__}: {e}"]
         if problems:
             failed.append(name)
+            detail[name] = "; ".join(p[:200] for p in problems)
             print(f"  ✗ {name}")
             for p in problems:
                 print(f"      {p}")
@@ -131,6 +143,27 @@ def main() -> int:
     print(f"\n{len(passed)} passed, {len(failed)} failed, {len(skipped)} rows-only")
     if failed:
         print("FAILED:", ", ".join(failed))
+    if json_out:
+        import json as _json
+
+        status = {n: "pass" for n in passed}
+        status.update({n: "rows_only" for n in skipped})
+        status.update({n: "fail" for n in failed})
+        with open(json_out, "w") as f:
+            _json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(passed) + len(failed) + len(skipped),
+                    "passed": len(passed),
+                    "failed": len(failed),
+                    "rows_only": len(skipped),
+                    "failures": {n: detail.get(n, "") for n in failed},
+                    "queries": status,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
     spark.stop()
     return 1 if failed else 0
 
