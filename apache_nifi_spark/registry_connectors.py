@@ -2524,3 +2524,82 @@ def delta_checkpoint_v2_q(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("doc_id").cast("long").alias("id_sum"),
     )
+
+
+_HUDI_COMPACT_STAGE: dict[str, str] = {}
+
+
+def _staged_hudi_compacted(spark, sf_dir):
+    """The MOR fixture compacted: every log-bearing file group folds
+    its deltas into a new base slice at c5; staging asserts the
+    read-optimized view now equals the real-time view (the point of
+    compaction), while time travel to the pre-compaction instant still
+    reads the stale base."""
+    if sf_dir in _HUDI_COMPACT_STAGE:
+        return _HUDI_COMPACT_STAGE[sf_dir]
+    from apache_nifi_spark.sources.hudi import (
+        hudi_compact,
+        read_hudi_mor_snapshot,
+        read_hudi_snapshot,
+    )
+
+    import shutil
+    import tempfile
+
+    # compact a COPY: the MOR fixture is shared with the real-time /
+    # read-optimized queries whose oracles pin the PRE-compaction
+    # state — mutating it would make results depend on query order
+    src = _staged_hudi_mor(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="anspark_hudicmp_")
+    shutil.rmtree(root)
+    shutil.copytree(src, root)
+    if True:
+        compacted = hudi_compact(
+            spark, root, "20240205080000000", key_col="doc_id"
+        )
+        assert compacted == ["g0", "g1"], compacted
+        # RO == RT after compaction — and the stale pre-compaction RO
+        # state is still reachable by time travel
+        n_rt = read_hudi_mor_snapshot(spark, root).count()
+        assert read_hudi_snapshot(spark, root).count() == n_rt
+        assert read_hudi_snapshot(
+            spark, root, as_of="20240204080000000"
+        ).count() == 400
+    _HUDI_COMPACT_STAGE[sf_dir] = root
+    return root
+
+
+@register(
+    "hudi_mor_compacted_read",
+    oracle="""
+    SELECT CASE WHEN doc_id = 301 THEN 'yy'
+                WHEN doc_id < 200 AND doc_id % 10 = 7 THEN 'xx'
+                ELSE lang END AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    WHERE doc_id < 400
+      AND NOT (doc_id >= 200 AND doc_id % 9 = 4 AND doc_id != 301)
+    GROUP BY 1
+    """,
+)
+def hudi_mor_compacted_q(spark, sf_dir):
+    """Hudi MOR COMPACTION (the table service completing the MOR
+    lifecycle: deltacommit log blocks fold into NEW base slices at the
+    compaction instant, so the read-optimized view CONVERGES to the
+    real-time view with zero reader changes — slice resolution simply
+    prefers the newer base and every log record loses its per-key
+    max_by): this READ-OPTIMIZED (base-only) read over the compacted
+    table must equal [hudi_mor_snapshot_read]'s merged state — upserts,
+    deletes, and the delete-then-reinsert resurrection all baked into
+    the new slices; staging also proves the pre-compaction base state
+    stays reachable by time travel.  sources/hudi.py
+    ``hudi_compact``."""
+    from apache_nifi_spark.sources.hudi import read_hudi_snapshot
+
+    root = _staged_hudi_compacted(spark, sf_dir)
+    snap = read_hudi_snapshot(spark, root)
+    return snap.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )

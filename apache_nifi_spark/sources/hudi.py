@@ -523,18 +523,31 @@ def read_hudi_mor_snapshot(
     # manifest-grain path list distributes as rows and each TASK opens
     # its files — executor-side IO, the same placement binaryFile
     # would give on shared storage
+    base_types = {
+        f.name: f.dataType.simpleString() for f in base.schema.fields
+    }
     logs = (
         spark.createDataFrame(
             [(p,) for p in log_paths], "log_path string"
         )
         .repartition(min(len(log_paths), 32))
         .mapInPandas(decode, schema)
+        # log records decode as strings; cast to the BASE schema so the
+        # merge (and any compaction slice written from it) preserves
+        # the table's types
+        .select(
+            "instant", "record_key", "is_delete",
+            *[
+                F.col(c).cast(base_types[c]).alias(c)
+                for c in data_cols
+            ],
+        )
     )
     base_t = base.select(
         F.col("_hoodie_commit_time").alias("instant"),
         F.col("_hoodie_record_key").alias("record_key"),
         F.lit(False).alias("is_delete"),
-        *[F.col(c).cast("string").alias(c) for c in data_cols],
+        *data_cols,
     )
     merged = (
         base_t.unionByName(logs)
@@ -548,3 +561,59 @@ def read_hudi_mor_snapshot(
         .select(*[F.col(f"s.{c}").alias(c) for c in data_cols])
     )
     return merged
+
+
+def hudi_compact(
+    spark: SparkSession,
+    table_path: str,
+    instant: str,
+    key_col: str,
+) -> list[str]:
+    """MOR COMPACTION (the spec's ``commit``-action table service that
+    folds each file group's accumulated log deltas into a NEW base
+    file slice): for every group with log deltas, materialize the
+    merged real-time state (the :func:`read_hudi_mor_snapshot`
+    semantics restricted to that group) and write it as a base slice
+    at the compaction instant — after which slice resolution naturally
+    prefers the new base and the untouched log records lose every
+    per-key max_by, so the read-optimized view CONVERGES to the
+    real-time view with zero reader changes.  Returns the compacted
+    file-group ids."""
+    timeline = hudi_timeline(table_path)
+    log_groups: dict[tuple[str, str], str] = {}
+    for t, a in timeline:
+        if a != "deltacommit":
+            continue
+        with open(os.path.join(table_path, ".hoodie", f"{t}.{a}")) as f:
+            body = json.load(f)
+        for part, stats in body.get("partitionToWriteStats", {}).items():
+            for s in stats:
+                if ".log." in s["path"]:
+                    log_groups[(part, s["fileId"])] = s["prevCommit"]
+    if not log_groups:
+        return []
+    merged = read_hudi_mor_snapshot(spark, table_path)
+    # group membership = the base slices' key ranges; for the fixture
+    # grain (and Hudi's bloom index) the record key routes the row:
+    # re-read each group's CURRENT base to learn its keys, then write
+    # the merged rows belonging to it as the new slice
+    stats_out: dict[str, list[dict]] = {}
+    for (part, fid), base_instant in sorted(log_groups.items()):
+        base_keys = (
+            spark.read.parquet(os.path.join(
+                table_path,
+                f"{part}/{fid}_0-1-0_{base_instant}.parquet",
+            ))
+            .select(F.col("_hoodie_record_key").alias("__k"))
+        )
+        grp = merged.join(
+            base_keys,
+            merged[key_col].cast("string") == base_keys["__k"],
+            "left_semi",
+        )
+        st = hudi_write_base_file(
+            grp, table_path, part, fid, instant, key_col
+        )
+        stats_out.setdefault(part, []).append(st)
+    hudi_commit(table_path, instant, stats_out, operation="compact")
+    return [fid for (_, fid) in sorted(log_groups)]
