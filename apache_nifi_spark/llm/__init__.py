@@ -129,4 +129,6 @@ from apache_nifi_spark.llm.multimodal import (  # noqa: F401
     parse_ogg_metadata,
     encode_id3v2,
     parse_id3v2,
+    encode_zstd_skeleton,
+    parse_zstd_metadata,
 )

@@ -2279,3 +2279,125 @@ def parse_id3v2(payload: bytes):
         n_frames += 1
         pos = body + flen
     return (major, size, n_frames, texts)
+
+
+def encode_zstd_skeleton(
+    content_size: int,
+    window_log: int,
+    window_mantissa: int,
+    single_segment: bool,
+    dict_id: int,
+    checksum: bool,
+    n_blocks: int,
+    skippable_size: int = 0,
+) -> bytes:
+    """Spec-valid zstandard FRAME skeleton (RFC 8878 §3: magic,
+    frame-header descriptor, window descriptor, dictionary ID, frame
+    content size, raw-block headers; block PAYLOADS zero-fill — the
+    entropy streams are the documented codec seam, the container
+    policy of every multimodal row).  Optionally preceded by a
+    skippable frame (magic 0x184D2A50, §3.1.2)."""
+    out = bytearray()
+    if skippable_size:
+        out += struct.pack("<II", 0x184D2A50, skippable_size)
+        out += b"\x00" * skippable_size
+    out += struct.pack("<I", 0xFD2FB528)
+    dict_flag = 2 if dict_id else 0  # 2 -> 2-byte dictionary id
+    fcs_flag = 2                     # 4-byte frame content size
+    desc = (
+        (fcs_flag << 6)
+        | (0x20 if single_segment else 0)
+        | (0x04 if checksum else 0)
+        | dict_flag
+    )
+    out.append(desc)
+    if not single_segment:
+        out.append(((window_log - 10) << 3) | window_mantissa)
+    if dict_id:
+        out += struct.pack("<H", dict_id)
+    out += struct.pack("<I", content_size)
+    for i in range(n_blocks):
+        last = 1 if i == n_blocks - 1 else 0
+        bsize = 10 + (content_size + i) % 50
+        # block header: 1 bit last, 2 bits type (0 = raw), 21 bits size
+        hdr = last | (0 << 1) | (bsize << 3)
+        out += struct.pack("<I", hdr)[:3]
+        out += b"\x00" * bsize
+    if checksum:
+        out += b"\x00\x00\x00\x00"  # content checksum slot
+    return bytes(out)
+
+
+def parse_zstd_metadata(payload: bytes):
+    """(n_frames, n_skippable, window_size, dict_id, content_size,
+    n_blocks, checksum_flag) from a zstandard stream; None for
+    non-zstd or truncated payloads.  Window size from the spec
+    formula ``(1 << (10+exp)) + ((1 << (10+exp)) >> 3) * mantissa``;
+    single-segment frames use the content size as the window."""
+    pos, n_frames, n_skip = 0, 0, 0
+    window = dict_id = content = blocks = 0
+    checksum = 0
+    while pos + 4 <= len(payload):
+        (magic,) = struct.unpack_from("<I", payload, pos)
+        if 0x184D2A50 <= magic <= 0x184D2A5F:
+            if pos + 8 > len(payload):
+                return None
+            (sz,) = struct.unpack_from("<I", payload, pos + 4)
+            pos += 8 + sz
+            n_skip += 1
+            continue
+        if magic != 0xFD2FB528:
+            return None
+        pos += 4
+        if pos >= len(payload):
+            return None
+        desc = payload[pos]
+        pos += 1
+        fcs_flag = desc >> 6
+        single = bool(desc & 0x20)
+        checksum = 1 if desc & 0x04 else 0
+        dflag = desc & 0x03
+        if not single:
+            if pos >= len(payload):
+                return None
+            wd = payload[pos]
+            pos += 1
+            base = 1 << (10 + (wd >> 3))
+            window = base + (base >> 3) * (wd & 7)
+        dlen = (0, 1, 2, 4)[dflag]
+        if dlen:
+            dict_id = int.from_bytes(
+                payload[pos : pos + dlen], "little"
+            )
+            pos += dlen
+        flen = (0, 2, 4, 8)[fcs_flag]
+        if flen == 2:
+            content = 256 + int.from_bytes(payload[pos : pos + 2], "little")
+        elif flen:
+            content = int.from_bytes(payload[pos : pos + flen], "little")
+        pos += flen
+        if single:
+            window = content
+        # block walk
+        while True:
+            if pos + 3 > len(payload):
+                return None
+            hdr = int.from_bytes(payload[pos : pos + 3], "little")
+            pos += 3
+            last, btype, bsize = hdr & 1, (hdr >> 1) & 3, hdr >> 3
+            if btype == 1:  # RLE block stores ONE byte
+                bsize = 1
+            pos += bsize
+            blocks += 1
+            if last:
+                break
+        if checksum:
+            if pos + 4 > len(payload):
+                return None
+            pos += 4
+        n_frames += 1
+    if n_frames == 0:
+        return None
+    return (
+        n_frames, n_skip, window, dict_id, content, blocks, checksum
+    )

@@ -5439,3 +5439,209 @@ def graph_lpa_communities_q(spark, sf_dir):
         .filter(F.col("size") >= 3)
         .orderBy(F.col("size").desc(), "community")
     )
+
+
+@register(
+    "forecast_holt_linear",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT event_type AS et, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), ix AS (
+      SELECT et, day, x,
+             row_number() OVER (PARTITION BY et ORDER BY day) - 1 AS t,
+             COUNT(*) OVER (PARTITION BY et) AS n
+      FROM d
+    ), st AS (
+      SELECT a.et, 1 AS t, a.n,
+             (CAST(b.x AS DOUBLE) + CAST(a.x AS DOUBLE)
+              + (CAST(b.x AS DOUBLE) - a.x)) * 0.5 AS l,
+             ((CAST(b.x AS DOUBLE) + CAST(a.x AS DOUBLE)
+               + (CAST(b.x AS DOUBLE) - a.x)) * 0.5
+              - CAST(a.x AS DOUBLE)
+              + (CAST(b.x AS DOUBLE) - a.x)) * 0.5 AS b,
+             CAST(a.x AS DOUBLE) AS l_prev0,
+             CAST(b.x AS DOUBLE) - a.x AS b_prev0
+      FROM ix a JOIN ix b ON b.et = a.et AND b.t = 1
+      WHERE a.t = 0
+      UNION ALL
+      SELECT s.et, s.t + 1, s.n,
+             (CAST(i.x AS DOUBLE) + s.l + s.b) * 0.5,
+             ((CAST(i.x AS DOUBLE) + s.l + s.b) * 0.5 - s.l + s.b)
+               * 0.5,
+             s.l, s.b
+      FROM st s JOIN ix i ON i.et = s.et AND i.t = s.t + 1
+      WHERE s.t + 1 < s.n
+    )
+    SELECT st.et AS event_type, CAST(ix.day AS VARCHAR) AS day,
+           ix.x,
+           round(st.l, 6) AS level,
+           round(st.b, 6) AS trend,
+           round(st.l + 7 * st.b, 6) AS forecast_7d
+    FROM st JOIN ix ON ix.et = st.et AND ix.t = st.t
+    WHERE st.t >= 1
+    ORDER BY event_type, day
+    """,
+)
+def forecast_holt_linear_q(spark, sf_dir):
+    """HOLT LINEAR-TREND smoothing (Holt 1957 — double exponential
+    smoothing, the level+trend forecaster between [stats_ewma_per_user]
+    (no trend) and [forecast_seasonal_naive_backtest] (no smoothing)):
+    per-event-type daily counts, α = β = 1/2 so both updates collapse
+    to the SHARED single-association form l' = (x + l + b)·0.5,
+    b' = (l' − l + b)·0.5 — the identical IEEE op sequence in the
+    pandas loop and the recursive-CTE twin, so every intermediate
+    double is bit-equal with no decimal pinning needed.  Init
+    l₀ = x₀, b₀ = x₁ − x₀; output level/trend per day plus the 7-step
+    forecast l + 7b.  Scale: the recursion runs INSIDE each
+    series partition (applyInPandas, calendar-bounded groups); the
+    day agg is the only corpus-grain op."""
+    import pandas as pd  # noqa: F811
+
+    d = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type"),
+            F.col("ts").cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+
+    def holt(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        xs = [float(v) for v in pdf["x"]]
+        out = {"event_type": [], "day": [], "x": [], "level": [],
+               "trend": [], "forecast_7d": []}
+        if len(xs) < 2:
+            return pd.DataFrame(out)
+        l_prev = xs[0]
+        b_prev = xs[1] - xs[0]
+        for t in range(1, len(xs)):
+            l = (xs[t] + l_prev + b_prev) * 0.5
+            b = (l - l_prev + b_prev) * 0.5
+            out["event_type"].append(pdf["event_type"][t])
+            out["day"].append(str(pdf["day"][t]))
+            out["x"].append(int(pdf["x"][t]))
+            # NO python round() here: dyadic state hits exact 6dp
+            # ties (…3125) where python rounds half-to-EVEN but both
+            # engines' SQL round() is half-up — round JVM-side below
+            out["level"].append(l)
+            out["trend"].append(b)
+            out["forecast_7d"].append(l + 7 * b)
+            l_prev, b_prev = l, b
+        return pd.DataFrame(out)
+
+    return (
+        d.groupBy("event_type")
+        .applyInPandas(
+            holt,
+            "event_type string, day string, x long, level double,"
+            " trend double, forecast_7d double",
+        )
+        .select(
+            "event_type", "day", "x",
+            F.round("level", 6).alias("level"),
+            F.round("trend", 6).alias("trend"),
+            F.round("forecast_7d", 6).alias("forecast_7d"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "multimodal_zstd_frame_meta",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id AS d,
+             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS sseg,
+             1000 + doc_id % 9000 AS cs,
+             10 + doc_id % 8 AS wl,
+             doc_id % 6 AS wm,
+             CASE WHEN doc_id % 2 = 1 THEN 100 + doc_id % 900
+                  ELSE 0 END AS did,
+             CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS ck,
+             1 + doc_id % 3 AS nb,
+             CASE WHEN doc_id % 4 = 0 THEN 8 + doc_id % 16
+                  ELSE 0 END AS skip_sz
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT d AS doc_id,
+           CAST(1 AS INT) AS n_frames,
+           CAST(CASE WHEN skip_sz > 0 THEN 1 ELSE 0 END AS INT)
+             AS n_skippable,
+           CAST(CASE WHEN sseg = 1 THEN cs
+                ELSE (1 << wl) + ((1 << wl) // 8) * wm END AS BIGINT)
+             AS window_size,
+           CAST(did AS BIGINT) AS dict_id,
+           CAST(cs AS BIGINT) AS content_size,
+           CAST(nb AS INT) AS n_blocks,
+           CAST(ck AS INT) AS checksum_flag
+    FROM p
+    """,
+)
+def multimodal_zstd_frame_q(spark, sf_dir):
+    """ZSTANDARD frame-header walk (RFC 8878 — THE corpus-storage
+    codec: every modern training-data shard ships as zstd frames, and
+    the frame header is what a reader must parse to plan decompression
+    windows and dictionary routing): spec-valid frames synthesize
+    executor-side (llm/multimodal.encode_zstd_skeleton — magic,
+    descriptor bits, window descriptor with the spec's exp+mantissa
+    formula, 2-byte dictionary IDs, 4-byte content size, raw-block
+    headers, checksum slot, optional skippable frames) and the parser
+    walks them back out, bounds-checked so a torn frame returns None,
+    never a phantom record.  Entropy payloads stay the documented
+    codec seam.  Arrow-batched mapInPandas; every field recomputed
+    arithmetically in the oracle."""
+    import pandas as pd  # noqa: F811
+
+    from apache_nifi_spark.llm import (
+        encode_zstd_skeleton,
+        parse_zstd_metadata,
+    )
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_frames": [], "n_skippable": [],
+                "window_size": [], "dict_id": [], "content_size": [],
+                "n_blocks": [], "checksum_flag": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                blob = encode_zstd_skeleton(
+                    content_size=1000 + d % 9000,
+                    window_log=10 + d % 8,
+                    window_mantissa=d % 6,
+                    single_segment=d % 3 == 0,
+                    dict_id=(100 + d % 900) if d % 2 else 0,
+                    checksum=d % 5 == 0,
+                    n_blocks=1 + d % 3,
+                    skippable_size=(8 + d % 16) if d % 4 == 0 else 0,
+                )
+                m = parse_zstd_metadata(blob)
+                if m is None:
+                    continue
+                nf, ns, win, did, cs, nb, ck = m
+                out["doc_id"].append(d)
+                out["n_frames"].append(nf)
+                out["n_skippable"].append(ns)
+                out["window_size"].append(win)
+                out["dict_id"].append(did)
+                out["content_size"].append(cs)
+                out["n_blocks"].append(nb)
+                out["checksum_flag"].append(ck)
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(
+        synth,
+        "doc_id long, n_frames int, n_skippable int, window_size long,"
+        " dict_id long, content_size long, n_blocks int,"
+        " checksum_flag int",
+    )
