@@ -29,13 +29,37 @@ a TakeOrdered top-k.  Nothing corpus-sized reaches the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from apache_nifi_spark.llm.cluster import kmeans_with_centroids
 from apache_nifi_spark.llm.pca import _packed_probe
 
 __all__ = ["pq_train_encode", "pq_adc_topk"]
+
+
+def _sub_cluster(
+    cent_pairs: list[tuple[int, list[int]]], off: int, sub: int
+) -> Column:
+    """Map-only subspace assignment against a literal codebook: the
+    per-subspace copy of ``llm/cluster._kmeans_impl``'s scoring —
+    identical integer arithmetic (Σ(a−b)² over the quantized subvector,
+    argmin via ``array_position`` first-match = lower-cluster-id ties),
+    only the input is ``slice(qv, off+1, sub)`` instead of a
+    pre-sliced column.  Same packed-literal discipline (ONE string
+    literal per codebook, not k·sub AST nodes)."""
+    packed = "|".join(",".join(str(v) for v in cv) for _, cv in cent_pairs)
+    ids = ", ".join(str(c) + "L" for c, _ in cent_pairs)
+    dists = (
+        f"transform(transform(split('{packed}', '\\\\|'),"
+        " p -> transform(split(p, ','), x -> cast(x as bigint))),"
+        f" cv -> aggregate(zip_with(slice(qv, {off + 1}, {sub}), cv,"
+        " (a, b) -> (a - b) * (a - b)), cast(0 as bigint),"
+        " (acc, x) -> acc + x))"
+    )
+    return F.expr(
+        f"element_at(array({ids}), cast(array_position({dists},"
+        f" array_min({dists})) as int))"
+    )
 
 
 def pq_train_encode(
@@ -56,23 +80,97 @@ def pq_train_encode(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
-    # one pinned read: every subspace's ~3 Lloyd jobs re-read this frame
-    # (m·iters·2 corpus scans otherwise — measured 9.7 s → 4.6 s at sf1)
-    base = df.select(id_col, vec_col).localCheckpoint(eager=False)
-    codes: DataFrame | None = None
-    books: list[list[tuple[int, list[int]]]] = []
-    for j in range(m):
-        sdf = base.select(
-            id_col,
-            F.slice(F.col(vec_col), j * sub + 1, sub).alias("embedding"),
+    # FUSED training (r16 optimization): the m subspace k-means runs are
+    # independent, so every pass is shared — quantize the full vector
+    # once, collect ONE k-seed job and slice driver-side, run each Lloyd
+    # round as ONE job computing all m assignments + all m·k·sub
+    # centroid partial means (posexplode with subspace = pos DIV sub),
+    # and encode with ONE map-only projection.  Replaces m separate
+    # kmeans loops (m·iters jobs) + an (m−1)-way id self-join to
+    # assemble the codes; per-subspace arithmetic is bit-identical
+    # (integer slices, argmin ties, floor means all unchanged), so the
+    # trained codebooks and codes are the same rows.
+    # One pinned read: the seed job, every Lloyd round and the encode
+    # re-read this frame.
+    q = df.select(
+        F.col(id_col).alias("_id"),
+        F.expr(
+            f"transform({vec_col}, x -> cast(floor(cast(x as double)"
+            f" * {scale}) as bigint))"
+        ).alias("qv"),
+    ).localCheckpoint(eager=False)
+
+    # Deterministic init, shared by all subspaces: the k lowest-id
+    # vectors (same rows for every subspace), cluster ids 0..k-1.
+    init = q.orderBy("_id").limit(k).collect()  # control-plane: K seeds
+    init = sorted(init, key=lambda r: r["_id"])
+    books: list[list[tuple[int, list[int]]]] = [
+        [
+            (i, [int(v) for v in r["qv"][j * sub : (j + 1) * sub]])
+            for i, r in enumerate(init)
+        ]
+        for j in range(m)
+    ]
+
+    for _ in range(iters - 1):
+        assigned = q.select(
+            "qv",
+            *[
+                _sub_cluster(books[j], j * sub, sub).alias(f"_c{j}")
+                for j in range(m)
+            ],
         )
-        assigned, cent = kmeans_with_centroids(
-            sdf, id_col=id_col, vec_col="embedding",
-            k=k, iters=iters, scale=scale,
+        # one exchange: (subspace, cluster, pos-in-subspace) partial
+        # means for ALL subspaces — ≤ m·k·sub control-plane rows out
+        dims = assigned.select(
+            *[f"_c{j}" for j in range(m)],
+            F.posexplode("qv").alias("_pos", "_val"),
+        ).select(
+            (F.col("_pos") / sub).cast("int").alias("_j"),
+            F.element_at(
+                F.array(*[F.col(f"_c{j}") for j in range(m)]),
+                (F.col("_pos") / sub).cast("int") + 1,
+            ).alias("cluster"),
+            (F.col("_pos") % sub).alias("pos"),
+            F.col("_val").alias("val"),
         )
-        books.append(cent)
-        cj = assigned.select(id_col, F.col("cluster").alias(f"code_{j}"))
-        codes = cj if codes is None else codes.join(cj, id_col)
+        new = (
+            dims.groupBy("_j", "cluster", "pos")
+            .agg(
+                F.floor(
+                    F.sum("val").cast("double") / F.count(F.lit(1))
+                ).cast("bigint").alias("m")
+            )
+            .groupBy("_j", "cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .collect()  # control-plane: m·K×sub centroid update
+        )
+        # Empty clusters simply vanish, independently per subspace.
+        books = [
+            sorted(
+                (
+                    (int(r["cluster"]), [int(v) for v in r["cv"]])
+                    for r in new
+                    if r["_j"] == j
+                ),
+                key=lambda p: p[0],
+            )
+            for j in range(m)
+        ]
+
+    # encode: ONE map-only projection, no joins
+    codes = q.select(
+        F.col("_id").alias(id_col),
+        *[
+            _sub_cluster(books[j], j * sub, sub).alias(f"code_{j}")
+            for j in range(m)
+        ],
+    )
     return codes, books
 
 

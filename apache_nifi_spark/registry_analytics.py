@@ -336,15 +336,34 @@ def basket_association_rules_q(spark, sf_dir):
         F.countDistinct("basket").alias("n_baskets")
     )
     item_n = items.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
-    a = items.alias("a")
-    b = items.alias("b")
+    # Pair generation WITHOUT the self-join (r16 optimization): collect
+    # each basket's sorted item array and explode its combinations with
+    # a higher-order transform — the identical (item_a < item_b) pair
+    # multiset the keyed self-join produced, but the plan drops the
+    # join (at fixture scale a 600 k-row broadcast build; at 100 TB a
+    # sort-merge re-exchange of BOTH sides) for one basket-grain agg +
+    # one pair-grain agg.  Baskets are small and bounded (TPC-H ≤7
+    # items), so the per-row s² expansion is local arithmetic.
     pairs = (
-        a.join(b, (F.col("a.basket") == F.col("b.basket"))
-               & (F.col("a.item") < F.col("b.item")))
-        .groupBy(F.col("a.item").alias("item_a"),
-                 F.col("b.item").alias("item_b"))
+        items.groupBy("basket")
+        .agg(F.sort_array(F.collect_list("item")).alias("its"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(its, (a, i) ->"
+                    " transform(slice(its, i + 2, size(its)),"
+                    " b -> shiftleft(a, 32) + b)))"
+                )
+            ).alias("pk")
+        )
+        .groupBy("pk")
         .agg(F.count(F.lit(1)).alias("pair_n"))
         .filter(F.col("pair_n") >= 3)
+        .select(
+            F.shiftright("pk", 32).alias("item_a"),
+            F.col("pk").bitwiseAND(F.lit(4294967295)).alias("item_b"),
+            "pair_n",
+        )
     )
     ia = item_n.select(F.col("item").alias("item_a"),
                        F.col("cnt").alias("cnt_a"))
@@ -3819,9 +3838,16 @@ def events_attribution_models_q(spark, sf_dir):
         (p.user_id == t.user_id)
         & (t.t_ts < p.p_ts)
         & (t.t_ts >= p.p_ts - F.expr("INTERVAL 7 DAY")),
-    ).select("p_id", "channel", "t_ts", "t_id")
-    w = Window.partitionBy("p_id").orderBy("t_ts", "t_id")
-    wn = Window.partitionBy("p_id")
+    ).select(p["user_id"], "p_id", "channel", "t_ts", "t_id")
+    # Window keyed (user_id, p_id) instead of bare p_id (r16
+    # optimization): p_id determines user_id, so the frames are
+    # identical — but the user-prefixed key lets the window's
+    # ClusteredDistribution be satisfied by the join's own
+    # hash(user_id) output partitioning at scale (sort-merge regime):
+    # one data-grain Exchange removed; under a broadcast join the cost
+    # is unchanged.
+    w = Window.partitionBy("user_id", "p_id").orderBy("t_ts", "t_id")
+    wn = Window.partitionBy("user_id", "p_id")
     pos, n = F.row_number().over(w), F.count(F.lit(1)).over(wn)
     g = j.select(
         "channel", pos.alias("pos"), n.alias("n")

@@ -1110,7 +1110,7 @@ def stream_delta_upsert_merge_q(spark, sf_dir):
     import tempfile
 
     from apache_nifi_spark.sources.deltalog import (
-        delta_active_files,
+        _delta_active_rows,
         read_delta_snapshot,
         write_commit,
     )
@@ -1147,8 +1147,8 @@ def stream_delta_upsert_merge_q(spark, sf_dir):
         if version > 1:
             cur_files = [
                 r["path"]
-                for r in delta_active_files(sp, root)
-                .collect()  # control-plane: O(active files) manifest rows
+                for r in _delta_active_rows(sp, root)
+                # control-plane: O(active files) manifest rows, local replay
                 if int(r["path"].split("bucket=")[1].split("/")[0])
                 in affected
             ]

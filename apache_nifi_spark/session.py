@@ -57,6 +57,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow for every pandas UDF / mapInPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # PySpark's per-API-call error-context capture walks the Python
+        # stack and makes two extra py4j round-trips on EVERY DataFrame
+        # method (pyspark/errors/utils.py _with_origin) — measured
+        # ~1 s per mega-flow compile (413 captures) and a diffuse tax
+        # on every query construction.  An engine compiles plans
+        # programmatically; the enriched "which user line built this
+        # column" context has no reader here, so trade it for driver
+        # CPU.  (r16 optimization; standard conf, default true.)
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # Fixture events.parquet carries TIMESTAMP(NANOS) which Spark's
         # vectorized reader rejects; read as long and convert in io.py.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -94,9 +94,9 @@ def write_checkpoint(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    active = delta_active_files(
+    active = _delta_active_rows(
         spark, table_path, version, use_checkpoint=False
-    ).collect()  # control-plane: O(active files) manifest rows
+    )  # control-plane: O(active files) manifest rows
     log_dir = os.path.join(table_path, "_delta_log")
     add_t = pa.struct(
         [
@@ -198,6 +198,119 @@ def _tail_actions(
     ).filter(F.col("path").isNotNull())
 
 
+#: Σ log bytes (JSON tail + classic checkpoint) at or below which the
+#: log replay happens DRIVER-SIDE with zero Spark jobs (r16
+#: optimization).  The Delta log is control-plane metadata — the
+#: reference implementation replays it on the driver too; above the
+#: threshold (or for v2 checkpoints / non-local paths) the distributed
+#: replay below takes over unchanged.
+_LOCAL_LOG_BYTES = int(
+    os.environ.get("SPARK_GRAFT_DELTA_LOCAL_LOG_BYTES", 8 << 20)
+)
+
+
+def _dv_json(dv: dict | None) -> str | None:
+    """Serialize an add's deletionVector struct the way the distributed
+    path's ``to_json`` does: None when absent (storageType null)."""
+    if not dv or dv.get("storageType") is None:
+        return None
+    return json.dumps({k: v for k, v in dv.items() if v is not None})
+
+
+def _delta_active_rows(
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    use_checkpoint: bool = True,
+) -> list[dict]:
+    """Active-file rows as a driver-side list: every internal consumer
+    of :func:`delta_active_files` immediately ``collect()``s — a
+    distributed JSON-read + groupBy job per snapshot read for
+    kilobyte-scale log metadata.  Below ``_LOCAL_LOG_BYTES`` this
+    replays the log on the driver (same latest-action-wins
+    reconciliation, same checkpoint-base + JSON-tail structure); above
+    it, for v2 checkpoints, or on any I/O surprise it falls back to
+    the distributed replay, unchanged."""
+    log_dir = os.path.join(table_path, "_delta_log")
+    try:
+        commits = sorted(
+            f for f in os.listdir(log_dir) if f.endswith(".json")
+        )
+        if version is not None:
+            commits = [c for c in commits if int(c[:-5]) <= version]
+        ptr = _last_checkpoint_pointer(log_dir) if use_checkpoint else None
+        ckpt_v = None if ptr is None else int(ptr["version"])
+        state: dict[str, dict] = {}
+        use_ckpt = ckpt_v is not None and (version is None or version >= ckpt_v)
+        if use_ckpt and "v2Checkpoint" in (ptr or {}):
+            raise _FallBack()
+        tail = (
+            [c for c in commits if int(c[:-5]) > ckpt_v] if use_ckpt else commits
+        )
+        if not use_ckpt and not commits:
+            raise ValueError(f"no delta commits at or below {version}")
+        total = sum(
+            os.stat(os.path.join(log_dir, c)).st_size for c in tail
+        )
+        ckpt_path = None
+        if use_ckpt:
+            ckpt_path = os.path.join(
+                log_dir, f"{ckpt_v:020d}.checkpoint.parquet"
+            )
+            total += os.stat(ckpt_path).st_size
+        if total > _LOCAL_LOG_BYTES:
+            raise _FallBack()
+        if ckpt_path is not None:
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(ckpt_path, columns=["add", "added_version"])
+            for add, av in zip(
+                t.column("add").to_pylist(), t.column("added_version").to_pylist()
+            ):
+                if add is None:
+                    continue  # protocol/metaData rows
+                state[add["path"]] = {
+                    "path": add["path"],
+                    "size": add["size"],
+                    "dv": _dv_json(add.get("deletionVector")),
+                    "added_version": av,
+                    "_is_add": True,
+                }
+        for c in tail:
+            v = int(c[:-5])
+            with open(os.path.join(log_dir, c)) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    a = json.loads(line)
+                    if "add" in a:
+                        add = a["add"]
+                        state[add["path"]] = {
+                            "path": add["path"],
+                            "size": add.get("size"),
+                            "dv": _dv_json(add.get("deletionVector")),
+                            "added_version": v,
+                            "_is_add": True,
+                        }
+                    elif "remove" in a and a["remove"].get("path"):
+                        state[a["remove"]["path"]] = {"_is_add": False}
+        return [
+            {k: r[k] for k in ("path", "size", "dv", "added_version")}
+            for r in state.values()
+            if r["_is_add"]
+        ]
+    except ValueError:
+        raise
+    except (_FallBack, OSError, KeyError):
+        return delta_active_files(
+            spark, table_path, version, use_checkpoint
+        ).collect()  # control-plane: O(active files) manifest rows
+
+
+class _FallBack(Exception):
+    """Internal: route to the distributed log replay."""
+
+
 def delta_active_files(
     spark: SparkSession,
     table_path: str,
@@ -287,9 +400,9 @@ def read_delta_snapshot(
     the marked row ordinals are dropped before the union with the plain
     scan — so a snapshot after :func:`delta_delete_rows` never shows
     deleted rows, with zero data-file rewrites."""
-    rows = delta_active_files(
+    rows = _delta_active_rows(
         spark, table_path, version
-    ).collect()  # control-plane: O(active files) manifest rows
+    )  # control-plane: O(active files) manifest rows
     if not rows:
         raise ValueError("empty delta snapshot")
     plain = [
@@ -352,9 +465,9 @@ def delta_delete_rows(
 
     current = {
         r["path"]: r
-        for r in delta_active_files(
+        for r in _delta_active_rows(
             spark, table_path
-        ).collect()  # control-plane: O(active files) manifest rows
+        )  # control-plane: O(active files) manifest rows
     }
     log_dir = os.path.join(table_path, "_delta_log")
     next_v = 1 + max(
@@ -406,9 +519,9 @@ def delta_optimize(
     the selected files (the snapshot reader's own machinery applies
     the DVs); only the O(selected files) action list touches the
     driver.  Returns the OPTIMIZE commit's version."""
-    active = delta_active_files(
+    active = _delta_active_rows(
         spark, table_path
-    ).collect()  # control-plane: O(active files) manifest rows
+    )  # control-plane: O(active files) manifest rows
     inputs = [r for r in active if r["size"] < small_file_threshold]
     if len(inputs) <= target_files:
         raise ValueError("nothing to compact below the threshold")
@@ -502,9 +615,9 @@ def delta_vacuum(
     for v in [v for v in versions if v >= retain_from_version]:
         referenced |= {
             r["path"]
-            for r in delta_active_files(
+            for r in _delta_active_rows(
                 spark, table_path, v
-            ).collect()  # control-plane: O(active files) manifest rows
+            )  # control-plane: O(active files) manifest rows
         }
     # every path the log EVER added (any version) is a candidate
     ever = {
@@ -652,9 +765,9 @@ def read_delta_changes(
             removes = [p for p in removes if p not in dv_paths]
             prior: dict[str, set[int]] = {}
             try:
-                for r in delta_active_files(
+                for r in _delta_active_rows(
                     spark, table_path, v - 1
-                ).collect():  # control-plane: O(active files) manifest
+                ):  # control-plane: O(active files) manifest
                     if r["dv"]:
                         from apache_nifi_spark.sources.dv import (
                             read_inline_dv,
@@ -804,9 +917,9 @@ def read_delta_snapshot_mapped(
     mapping = _column_mapping(meta) if meta else None
     if mapping is None:
         return read_delta_snapshot(spark, table_path, version)
-    rows = delta_active_files(
+    rows = _delta_active_rows(
         spark, table_path, version
-    ).collect()  # control-plane: O(active files) manifest rows
+    )  # control-plane: O(active files) manifest rows
     if not rows:
         raise ValueError("empty delta snapshot")
     if any(r["dv"] for r in rows):
@@ -846,9 +959,9 @@ def write_checkpoint_v2(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    active = delta_active_files(
+    active = _delta_active_rows(
         spark, table_path, version, use_checkpoint=False
-    ).collect()  # control-plane: O(active files) manifest rows
+    )  # control-plane: O(active files) manifest rows
     log_dir = os.path.join(table_path, "_delta_log")
     side_dir = os.path.join(log_dir, "_sidecars")
     os.makedirs(side_dir, exist_ok=True)

@@ -159,6 +159,66 @@ def hudi_timeline(table_path: str) -> list[tuple[str, str]]:
     return sorted(out)
 
 
+#: Σ commit-metadata bytes at or below which active-slice resolution
+#: happens DRIVER-SIDE with zero Spark jobs (r16 optimization —
+#: timeline metadata is control-plane; the reference engine's own
+#: timeline server resolves file slices on the driver).  Above the
+#: threshold or on any I/O surprise the distributed parse below runs
+#: unchanged.
+_LOCAL_TIMELINE_BYTES = int(
+    os.environ.get("SPARK_GRAFT_HUDI_LOCAL_TIMELINE_BYTES", 8 << 20)
+)
+
+
+def _hudi_active_rows(
+    spark: SparkSession, table_path: str, as_of: str | None = None
+) -> list[dict]:
+    """Driver-side twin of :func:`hudi_active_slices` (same latest-
+    slice-per-file-group + replacecommit anti-set semantics), used by
+    the internal consumers that immediately ``collect()`` — below
+    ``_LOCAL_TIMELINE_BYTES`` it replays the timeline JSON on the
+    driver; otherwise it falls back to the distributed parse."""
+    timeline = hudi_timeline(table_path)
+    commits = [
+        (t, a) for t, a in timeline
+        if a in ("commit", "replacecommit")
+        and (as_of is None or t <= as_of)
+    ]
+    if not commits:
+        raise ValueError(
+            f"hudi: no completed commit at or before {as_of!r} "
+            f"in {table_path}"
+        )
+    meta = os.path.join(table_path, ".hoodie")
+    paths = [os.path.join(meta, f"{t}.{a}") for t, a in commits]
+    try:
+        if sum(os.stat(p).st_size for p in paths) > _LOCAL_TIMELINE_BYTES:
+            raise OSError("timeline above local threshold")
+        state: dict[tuple[str, str], tuple[str, str]] = {}
+        replaced: set[tuple[str, str]] = set()
+        for (t, _a), p in zip(commits, paths):
+            with open(p) as f:
+                body = json.load(f)
+            for part, stats in (body.get("partitionToWriteStats") or {}).items():
+                for s in stats:
+                    key = (part, s["fileId"])
+                    if key not in state or t >= state[key][1]:
+                        state[key] = (s["path"], t)
+            for part, ids in (
+                body.get("partitionToReplaceFileIds") or {}
+            ).items():
+                replaced.update((part, i) for i in ids)
+        return [
+            {"partition": k[0], "file_id": k[1], "path": v[0], "instant": v[1]}
+            for k, v in state.items()
+            if k not in replaced
+        ]
+    except (OSError, KeyError, json.JSONDecodeError):
+        return hudi_active_slices(
+            spark, table_path, as_of
+        ).collect()  # control-plane: O(file groups)
+
+
 def hudi_active_slices(
     spark: SparkSession, table_path: str, as_of: str | None = None
 ) -> DataFrame:
@@ -233,9 +293,9 @@ def read_hudi_snapshot(
     slices, then one plain parquet scan over them — pruning and
     pushdown apply as for any parquet read.  Meta columns
     (``_hoodie_*``) are stripped unless ``with_meta``."""
-    rows = hudi_active_slices(  # control-plane: O(file groups)
+    rows = _hudi_active_rows(  # control-plane: O(file groups)
         spark, table_path, as_of
-    ).collect()
+    )
     paths = [os.path.join(table_path, r["path"]) for r in rows]
     df = spark.read.parquet(*paths)
     if not with_meta:
@@ -263,9 +323,9 @@ def hudi_clean(
         raise ValueError(f"hudi clean: nothing retained at {retain_from}")
     keep: set[str] = set()
     for t in retained:
-        for r in hudi_active_slices(  # control-plane: O(groups)
+        for r in _hudi_active_rows(  # control-plane: O(groups)
             spark, table_path, t
-        ).collect():
+        ):
             keep.add(r["path"])
     all_slices: set[str] = set()
     for t, a in timeline:

@@ -707,31 +707,60 @@ def _manifest_rows_local(
     return out
 
 
-def iceberg_active_files(
+#: Σ manifest bytes at or below which the manifest decode happens
+#: DRIVER-SIDE (one open+decode per manifest, no Spark job) instead of
+#: distributedly.  Manifests are control-plane metadata; the reference
+#: engine's own planning does exactly this (local planning unless the
+#: manifest set is large).  8 MiB ≈ 160 ms of driver decode — below one
+#: Spark job's scheduling floor; at 100 TB a snapshot's manifests
+#: exceed this and the distributed binaryFile path takes over.
+_LOCAL_MANIFEST_BYTES = int(
+    os.environ.get("SPARK_GRAFT_ICEBERG_LOCAL_MANIFEST_BYTES", 8 << 20)
+)
+
+
+def _entry_row(
+    data_file: dict, status: int, content: int,
+    partition: str | None, prunable: bool,
+) -> dict | None:
+    """Shared manifest-entry filter/projection — ONE implementation for
+    the driver-side and distributed decode paths so their semantics
+    cannot drift."""
+    if status == _STATUS_DELETED:
+        return None
+    if data_file.get("content", _CONTENT_DATA) != content:
+        return None
+    if (
+        partition is not None
+        and content == _CONTENT_DATA
+        and prunable
+        and data_file["partition"] != partition
+    ):
+        return None
+    return {
+        "file_path": data_file["file_path"],
+        "partition": data_file["partition"],
+        "record_count": int(data_file["record_count"]),
+        "file_size_in_bytes": int(data_file["file_size_in_bytes"]),
+        "sequence_number": int(data_file.get("sequence_number", 0)),
+    }
+
+
+def _active_file_rows(
     spark: SparkSession,
     table_path: str,
     snapshot_id: int | None = None,
     partition: str | None = None,
     content: int = _CONTENT_DATA,
-) -> DataFrame:
-    """(file_path, partition, record_count, file_size_in_bytes) active
-    in the snapshot: manifest entries with status ≠ DELETED.  The
-    manifest list is control-plane; the MANIFESTS decode distributedly
-    — one binaryFile task per manifest through the from-scratch Avro
-    decoder.
-
-    ``partition`` prunes at BOTH spec levels: manifests whose
-    [partition_min, partition_max] summary excludes the value are never
-    opened (the manifest-list summaries exist exactly for this — the
-    unit test proves it by corrupting a pruned manifest), and surviving
-    manifests' entries filter by equality.
-
-    PARTITION EVOLUTION rule (spec §Partition Evolution): pruning by
-    ``partition`` applies ONLY to manifests written under the table's
-    CURRENT default spec — files written under an older spec carry no
-    value for the new partition column, so their manifests are always
-    scanned and their entries always survive (the engine applies the
-    predicate row-level on those files instead)."""
+) -> list[dict]:
+    """Active-file manifest rows as a driver-side list (r16
+    optimization): every internal consumer of
+    :func:`iceberg_active_files` immediately ``collect()``s the result
+    — a distributed binaryFile + mapInPandas job per content class per
+    snapshot read, ~0.3-1 s each, for kilobyte-scale metadata.  Below
+    ``_LOCAL_MANIFEST_BYTES`` of local manifest bytes this decodes on
+    the driver with ZERO jobs; above it (or for non-local paths) it
+    falls back to the distributed scan + collect, unchanged."""
     meta = _load_metadata(table_path)
     default_spec_id = meta.get("default-spec-id", 0)
     entries = _manifest_list_paths_from(meta, snapshot_id)
@@ -747,11 +776,86 @@ def iceberg_active_files(
         ]
     paths = [p for (p, _lo, _hi, _c, _sp) in entries]
     if not paths:
-        return spark.createDataFrame(
-            [],
-            "file_path string, partition string, record_count long,"
-            " file_size_in_bytes long, sequence_number long",
-        )
+        return []
+    total = 0
+    for p in paths:
+        try:
+            total += os.stat(p).st_size
+        except OSError:
+            total = None  # non-local manifest → distributed decode
+            break
+    if total is not None and total <= _LOCAL_MANIFEST_BYTES:
+        out: list[dict] = []
+        for p in paths:
+            with open(p, "rb") as f:
+                _schema, rows = decode_container(f.read())
+            prunable = p in current_spec_paths
+            for status, _sid, data_file in rows:
+                row = _entry_row(data_file, status, content, partition, prunable)
+                if row is not None:
+                    out.append(row)
+        return out
+    return _active_files_distributed(
+        spark, paths, current_spec_paths, partition, content
+    ).collect()  # control-plane: O(active files) manifest rows
+
+
+def iceberg_active_files(
+    spark: SparkSession,
+    table_path: str,
+    snapshot_id: int | None = None,
+    partition: str | None = None,
+    content: int = _CONTENT_DATA,
+) -> DataFrame:
+    """(file_path, partition, record_count, file_size_in_bytes) active
+    in the snapshot: manifest entries with status ≠ DELETED.  The
+    manifest list is control-plane; MANIFESTS decode driver-side below
+    ``_LOCAL_MANIFEST_BYTES`` (planning metadata, the reference
+    engine's local-planning behavior) and distributedly above it —
+    one binaryFile task per manifest through the from-scratch Avro
+    decoder.
+
+    ``partition`` prunes at BOTH spec levels: manifests whose
+    [partition_min, partition_max] summary excludes the value are never
+    opened (the manifest-list summaries exist exactly for this — the
+    unit test proves it by corrupting a pruned manifest), and surviving
+    manifests' entries filter by equality.
+
+    PARTITION EVOLUTION rule (spec §Partition Evolution): pruning by
+    ``partition`` applies ONLY to manifests written under the table's
+    CURRENT default spec — files written under an older spec carry no
+    value for the new partition column, so their manifests are always
+    scanned and their entries always survive (the engine applies the
+    predicate row-level on those files instead)."""
+    rows = _active_file_rows(spark, table_path, snapshot_id, partition, content)
+    return spark.createDataFrame(
+        [
+            (
+                r["file_path"], r["partition"], r["record_count"],
+                r["file_size_in_bytes"], r["sequence_number"],
+            )
+            for r in rows
+        ],
+        _ACTIVE_FILES_DDL,
+    )
+
+
+_ACTIVE_FILES_DDL = (
+    "file_path string, partition string, record_count long,"
+    " file_size_in_bytes long, sequence_number long"
+)
+
+
+def _active_files_distributed(
+    spark: SparkSession,
+    paths: list[str],
+    current_spec_paths: set[str],
+    partition: str | None,
+    content: int,
+) -> DataFrame:
+    """The distributed manifest decode: one binaryFile task per
+    manifest through the from-scratch Avro decoder (the >threshold /
+    non-local path of :func:`_active_file_rows`)."""
     blobs = (
         spark.read.format("binaryFile").load(paths)
         .select("path", "content")
@@ -764,41 +868,25 @@ def iceberg_active_files(
         import pandas as pd
 
         for pdf in batches:
-            cols = {"file_path": [], "partition": [], "record_count": [],
-                    "file_size_in_bytes": [], "sequence_number": []}
+            rows_out: list[dict] = []
             for mpath, blob in zip(pdf["path"], pdf["content"]):
                 _schema, rows = decode_container(bytes(blob))
                 prunable = os.path.basename(str(mpath)) in cur_spec_names
                 for status, _sid, data_file in rows:
-                    if status == _STATUS_DELETED:
-                        continue
-                    if data_file.get("content", _CONTENT_DATA) != content:
-                        continue
-                    if (
-                        partition is not None
-                        and content == _CONTENT_DATA
-                        and prunable
-                        and data_file["partition"] != partition
-                    ):
-                        continue
-                    cols["file_path"].append(data_file["file_path"])
-                    cols["partition"].append(data_file["partition"])
-                    cols["record_count"].append(
-                        int(data_file["record_count"])
+                    row = _entry_row(
+                        data_file, status, content, partition, prunable
                     )
-                    cols["file_size_in_bytes"].append(
-                        int(data_file["file_size_in_bytes"])
-                    )
-                    cols["sequence_number"].append(
-                        int(data_file.get("sequence_number", 0))
-                    )
-            yield pd.DataFrame(cols)
+                    if row is not None:
+                        rows_out.append(row)
+            yield pd.DataFrame(
+                rows_out,
+                columns=[
+                    "file_path", "partition", "record_count",
+                    "file_size_in_bytes", "sequence_number",
+                ],
+            )
 
-    return blobs.mapInPandas(
-        dec,
-        "file_path string, partition string, record_count long,"
-        " file_size_in_bytes long, sequence_number long",
-    )
+    return blobs.mapInPandas(dec, _ACTIVE_FILES_DDL)
 
 
 def read_iceberg_snapshot(
@@ -831,9 +919,9 @@ def read_iceberg_snapshot(
 
     Equality-delete files are read whole per task (they are
     metadata-scale: a CDC writer emits keys, not data)."""
-    dfiles = iceberg_active_files(
+    dfiles = _active_file_rows(
         spark, table_path, snapshot_id, partition
-    ).collect()  # control-plane: O(active files) manifest rows
+    )  # control-plane: O(active files) manifest rows, driver-side decode
     return _read_files_with_deletes(
         spark, table_path, dfiles, snapshot_id
     )
@@ -853,10 +941,10 @@ def _read_files_with_deletes(
     fseq = {r["file_path"]: r["sequence_number"] for r in dfiles}
     if not files:
         raise ValueError("empty iceberg snapshot")
-    pos_rows = iceberg_active_files(
+    pos_rows = _active_file_rows(
         spark, table_path, snapshot_id,
         content=_CONTENT_POSITION_DELETES,
-    ).collect()  # control-plane: O(delete files) manifest rows
+    )  # control-plane: O(delete files) manifest rows
     pos_deletes = [
         (r["file_path"], r["sequence_number"])
         for r in pos_rows
@@ -874,11 +962,10 @@ def _read_files_with_deletes(
                 dv_map[ref] = (int(r["sequence_number"]), frozenset(poss))
     eq_deletes = [
         (r["file_path"], r["sequence_number"])
-        for r in iceberg_active_files(
+        for r in _active_file_rows(
             spark, table_path, snapshot_id,
             content=_CONTENT_EQUALITY_DELETES,
-        )
-        .collect()  # control-plane: O(delete files) manifest rows
+        )  # control-plane: O(delete files) manifest rows
     ]
     ddl = _current_spark_schema(_load_metadata(table_path))
     reader = spark.read.schema(ddl) if ddl else spark.read
@@ -962,9 +1049,9 @@ def iceberg_rewrite_data_files(
     Returns the new metadata version."""
     import glob
 
-    rows = iceberg_active_files(
+    rows = _active_file_rows(
         spark, table_path
-    ).collect()  # control-plane: O(active files) manifest rows
+    )  # control-plane: O(active files) manifest rows
     inputs = [r for r in rows if r["file_size_in_bytes"] < small_file_threshold]
     if len(inputs) <= target_files:
         raise ValueError("nothing to compact below the threshold")
