@@ -204,6 +204,56 @@ def _estimated_scan_splits(df: DataFrame, par: int) -> int | None:
     return max(1, -(-total // max(max_split, 1)))
 
 
+#: target bytes per partition for control-loop pins (conf, not code path)
+_PIN_TARGET_BYTES = int(
+    os.environ.get("SPARK_GRAFT_PIN_TARGET_BYTES", 64 << 20)
+)
+
+
+def pin_for_rescan(df: DataFrame) -> DataFrame:
+    """``localCheckpoint`` a frame that an iterative control loop will
+    re-scan once per round, with a partition count PROPORTIONAL TO ITS
+    ESTIMATED SIZE instead of whatever width the upstream plan had
+    (r16 optimization).
+
+    Iterative operators (k-means, k-center, PQ training, power
+    iteration) re-read their pinned quantized corpus k×; when the
+    upstream plan was widened to core-width for one CPU-heavy pass, a
+    kilobyte-scale pin inherits 32 partitions and every round pays a
+    full task-wave of scheduling for microseconds of work.  One
+    partition per ``_PIN_TARGET_BYTES`` (64 MB default, env-tunable)
+    keeps fixture-scale loops at 1-2 tasks per round while a 100 TB
+    corpus still pins at full width — the partition count follows the
+    DATA, not the session (guide §2: scale-adaptive partitioning).
+    ``coalesce`` never shuffles and never increases partitions, so
+    results and row order within partitions are untouched.
+
+    The size estimate is the scan's file bytes (one logical-plan walk,
+    ~3 ms — the widen_if_narrow probe), an underestimate of in-memory
+    width but the right order for a partition budget; frames with no
+    file source pin as-is.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        total = 0
+        files = df.inputFiles()
+        if not files:
+            raise ValueError("no file source")
+        for uri in files:
+            if not uri.startswith("file:"):
+                raise ValueError("non-local source")
+            path = (
+                uri[len("file://"):] if uri.startswith("file://")
+                else uri[len("file:"):]
+            )
+            total += os.stat(path).st_size
+        n = max(1, min(par, -(-total // _PIN_TARGET_BYTES)))
+        df = df.coalesce(n)
+    except Exception:  # noqa: BLE001 — estimate unavailable: pin as-is
+        pass
+    return df.localCheckpoint(eager=False)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

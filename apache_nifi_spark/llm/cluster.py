@@ -253,13 +253,17 @@ def _kmeans_impl(
     iters: int,
     scale: int,
 ) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
-    q = df.select(
+    from apache_nifi_spark.io import pin_for_rescan
+
+    # size-proportional pin: init + every Lloyd round + the returned
+    # assignment re-scan this frame (io.pin_for_rescan)
+    q = pin_for_rescan(df.select(
         F.col(id_col).alias("_id"),
         F.expr(
             f"transform({vec_col}, x -> cast(floor(cast(x as double) * {scale})"
             " as bigint))"
         ).alias("qv"),
-    )
+    ))
     # Deterministic init: the k lowest-id vectors, cluster ids 0..k-1 in
     # _id order.  K rows — control-plane by construction.
     init = q.orderBy("_id").limit(k).collect()  # control-plane: K centroid seeds

@@ -60,13 +60,16 @@ def kcenter_coreset(
     the document itself was picked.  ``max(d2)`` is the k-center
     covering radius — the coreset quality certificate.
     """
-    q = df.select(
+    from apache_nifi_spark.io import pin_for_rescan
+
+    # size-proportional pin: k rounds re-scan this frame (io.pin_for_rescan)
+    q = pin_for_rescan(df.select(
         F.col(id_col).alias("_id"),
         F.expr(
             f"transform({vec_col}, x -> cast(floor(cast(x as double) * {scale})"
             " as bigint))"
         ).alias("qv"),
-    ).localCheckpoint(eager=False)
+    ))
 
     # seed: smallest id (deterministic, no RNG) — min(struct) carries the
     # vector out in the same aggregation, one job

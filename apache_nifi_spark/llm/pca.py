@@ -113,13 +113,17 @@ def dominant_direction(
     64 sums are collected as control-plane state and re-inlined as
     literals, so the final plan is map-only.
     """
-    q = df.select(
+    from apache_nifi_spark.io import pin_for_rescan
+
+    # size-proportional pin: the mean job + iters power steps + the
+    # final projection re-scan this frame (io.pin_for_rescan)
+    q = pin_for_rescan(df.select(
         F.col(id_col).alias("_id"),
         F.expr(
             f"transform({vec_col}, x -> cast(floor(cast(x as double) * {scale})"
             " as bigint))"
         ).alias("qv"),
-    )
+    ))
     # Corpus mean, exact integer algebra: decimal(38,0) partial sums per
     # dimension (order-independent), floor(double division) re-quantize —
     # the identical algebra as the oracle's floor(CAST(sum AS DOUBLE)/n).

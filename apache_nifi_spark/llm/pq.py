@@ -91,14 +91,16 @@ def pq_train_encode(
     # (integer slices, argmin ties, floor means all unchanged), so the
     # trained codebooks and codes are the same rows.
     # One pinned read: the seed job, every Lloyd round and the encode
-    # re-read this frame.
-    q = df.select(
+    # re-read this frame (size-proportional pin — io.pin_for_rescan).
+    from apache_nifi_spark.io import pin_for_rescan
+
+    q = pin_for_rescan(df.select(
         F.col(id_col).alias("_id"),
         F.expr(
             f"transform({vec_col}, x -> cast(floor(cast(x as double)"
             f" * {scale}) as bigint))"
         ).alias("qv"),
-    ).localCheckpoint(eager=False)
+    ))
 
     # Deterministic init, shared by all subspaces: the k lowest-id
     # vectors (same rows for every subspace), cluster ids 0..k-1.

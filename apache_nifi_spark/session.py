@@ -93,10 +93,17 @@ def get_spark(
         # (diffuse 20-40 % slowdowns late in a suite).  512 MB keeps the
         # full registry hot; extra flags (profiling, GC logs) pass through
         # $SPARK_GRAFT_JAVA_OPTS.  Standard long-running-engine JVM conf.
+        # ExplicitGCInvokesConcurrent (r16): the ContextCleaner's
+        # periodic GC (1 min above) and any explicit System.gc() hygiene
+        # otherwise trigger STOP-THE-WORLD full collections on the 24g
+        # heap — observed as random 4-7 s spikes on whichever query the
+        # minute boundary lands in.  With G1 this flag turns those into
+        # concurrent cycles; standard long-running-JVM conf.
         .config(
             "spark.driver.extraJavaOptions",
             (
                 "-XX:ReservedCodeCacheSize=512m "
+                "-XX:+ExplicitGCInvokesConcurrent "
                 + os.environ.get("SPARK_GRAFT_JAVA_OPTS", "")
             ).strip(),
         )
