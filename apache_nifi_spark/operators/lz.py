@@ -58,9 +58,17 @@ def _find_matches(data: bytes, max_offset: int, tail_guard: int):
     lit_start = 0
     out = []
     limit = n - tail_guard
+    # hot loop (r16): _hash4 inlined (a Python call per input byte) and
+    # the 4 index/shift/or ops folded into one int.from_bytes; match
+    # extension compares 8-byte slices before the byte tail.  Greedy
+    # semantics identical — same hash, same table updates, same
+    # byte-equality extension — so compressed output is byte-identical
+    # (locked by the round-trip + interop unit tests).
+    ifb = int.from_bytes
+    get = table.get
     while i + _MIN_MATCH <= limit:
-        h = _hash4(data, i)
-        cand = table.get(h, -1)
+        h = ((ifb(data[i : i + 4], "little") * 2654435761) >> 18) & 0x3FFF
+        cand = get(h, -1)
         table[h] = i
         if (
             cand >= 0
@@ -68,6 +76,12 @@ def _find_matches(data: bytes, max_offset: int, tail_guard: int):
             and data[cand : cand + _MIN_MATCH] == data[i : i + _MIN_MATCH]
         ):
             mlen = _MIN_MATCH
+            while (
+                i + mlen + 8 <= limit
+                and data[cand + mlen : cand + mlen + 8]
+                == data[i + mlen : i + mlen + 8]
+            ):
+                mlen += 8
             while i + mlen < limit and data[cand + mlen] == data[i + mlen]:
                 mlen += 1
             out.append((data[lit_start:i], i - cand, mlen))
@@ -284,20 +298,20 @@ def xxhash32(data: bytes, seed: int = 0) -> int:
         v2 = (seed + _XXH_P2) & _M32
         v3 = seed & _M32
         v4 = (seed - _XXH_P1) & _M32
+        # stripe loop unrolled with the rotate inlined (r16): the
+        # enumerate/tuple inner loop cost a Python iteration per lane
+        # per stripe; math unchanged, digests byte-identical (locked by
+        # the interop unit tests against the real lz4 binary's frames).
+        ifb = int.from_bytes
         while pos + 16 <= n:
-            for i, v in enumerate((v1, v2, v3, v4)):
-                lane = int.from_bytes(data[pos + 4 * i : pos + 4 * i + 4],
-                                      "little")
-                v = (v + lane * _XXH_P2) & _M32
-                v = (_rotl32(v, 13) * _XXH_P1) & _M32
-                if i == 0:
-                    v1 = v
-                elif i == 1:
-                    v2 = v
-                elif i == 2:
-                    v3 = v
-                else:
-                    v4 = v
+            v1 = (v1 + ifb(data[pos : pos + 4], "little") * _XXH_P2) & _M32
+            v1 = (((v1 << 13) | (v1 >> 19)) & _M32) * _XXH_P1 & _M32
+            v2 = (v2 + ifb(data[pos + 4 : pos + 8], "little") * _XXH_P2) & _M32
+            v2 = (((v2 << 13) | (v2 >> 19)) & _M32) * _XXH_P1 & _M32
+            v3 = (v3 + ifb(data[pos + 8 : pos + 12], "little") * _XXH_P2) & _M32
+            v3 = (((v3 << 13) | (v3 >> 19)) & _M32) * _XXH_P1 & _M32
+            v4 = (v4 + ifb(data[pos + 12 : pos + 16], "little") * _XXH_P2) & _M32
+            v4 = (((v4 << 13) | (v4 >> 19)) & _M32) * _XXH_P1 & _M32
             pos += 16
         acc = (
             _rotl32(v1, 1) + _rotl32(v2, 7) + _rotl32(v3, 12)
