@@ -5343,16 +5343,32 @@ def recommend_item_cf_q(spark, sf_dir):
     item_n = items.groupBy("item").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
-    a, b = items.alias("a"), items.alias("b")
+    # Join-free DIRECTED pair generation (r16 optimization, the
+    # [basket_association_rules] packed-bigint shape): each unordered
+    # in-basket combination emits BOTH orders — identical multiset to
+    # the (item != item) self-join, without broadcasting/re-exchanging
+    # the table-grain item set.
     pairs = (
-        a.join(
-            b,
-            (F.col("a.basket") == F.col("b.basket"))
-            & (F.col("a.item") != F.col("b.item")),
+        items.groupBy("basket")
+        .agg(F.sort_array(F.collect_list("item")).alias("its"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(its, (a, i) ->"
+                    " flatten(transform(slice(its, i + 2, size(its)),"
+                    " b -> array(shiftleft(a, 32) + b,"
+                    " shiftleft(b, 32) + a)))))"
+                )
+            ).alias("pk")
         )
-        .groupBy(F.col("a.item").alias("i"), F.col("b.item").alias("j"))
+        .groupBy("pk")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cij"))
         .filter(F.col("cij") >= 2)
+        .select(
+            F.shiftright("pk", 32).alias("i"),
+            F.col("pk").bitwiseAND(F.lit(4294967295)).alias("j"),
+            "cij",
+        )
     )
     scored = (
         pairs.join(item_n.select(F.col("item").alias("i"),
