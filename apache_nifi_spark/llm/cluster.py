@@ -255,7 +255,7 @@ def _kmeans_impl(
 ) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
     from apache_nifi_spark.io import pin_for_rescan
 
-    # size-proportional pin: init + every Lloyd round + the returned
+    # pinned read: init + every Lloyd round + the returned
     # assignment re-scan this frame (io.pin_for_rescan)
     q = pin_for_rescan(df.select(
         F.col(id_col).alias("_id"),

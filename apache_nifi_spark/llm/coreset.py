@@ -62,7 +62,7 @@ def kcenter_coreset(
     """
     from apache_nifi_spark.io import pin_for_rescan
 
-    # size-proportional pin: k rounds re-scan this frame (io.pin_for_rescan)
+    # pinned read: k rounds re-scan this frame (io.pin_for_rescan)
     q = pin_for_rescan(df.select(
         F.col(id_col).alias("_id"),
         F.expr(

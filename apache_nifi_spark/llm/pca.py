@@ -115,7 +115,7 @@ def dominant_direction(
     """
     from apache_nifi_spark.io import pin_for_rescan
 
-    # size-proportional pin: the mean job + iters power steps + the
+    # pinned read: the mean job + iters power steps + the
     # final projection re-scan this frame (io.pin_for_rescan)
     q = pin_for_rescan(df.select(
         F.col(id_col).alias("_id"),

@@ -91,7 +91,7 @@ def pq_train_encode(
     # (integer slices, argmin ties, floor means all unchanged), so the
     # trained codebooks and codes are the same rows.
     # One pinned read: the seed job, every Lloyd round and the encode
-    # re-read this frame (size-proportional pin — io.pin_for_rescan).
+    # re-read this frame (io.pin_for_rescan).
     from apache_nifi_spark.io import pin_for_rescan
 
     q = pin_for_rescan(df.select(

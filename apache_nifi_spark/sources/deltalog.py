@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -209,12 +210,25 @@ _LOCAL_LOG_BYTES = int(
 )
 
 
+#: the deletionVector fields the distributed path's read schema declares,
+#: in schema order — _dv_json must match to_json over exactly this struct
+_DV_FIELDS = ("storageType", "pathOrInlineDv", "sizeInBytes", "cardinality")
+
+
 def _dv_json(dv: dict | None) -> str | None:
-    """Serialize an add's deletionVector struct the way the distributed
-    path's ``to_json`` does: None when absent (storageType null)."""
+    """Serialize an add's deletionVector struct BYTE-identically to the
+    distributed path's ``to_json`` over the declared 4-field struct:
+    compact separators, schema field order, null fields dropped, extra
+    keys (offset, maxRowIndex — legal per PROTOCOL.md) never read.
+    None when absent (storageType null).  Keeping the two serializations
+    byte-equal is what lets tests/test_metadata_local.py assert
+    local ≡ distributed row sets on DV-bearing tables."""
     if not dv or dv.get("storageType") is None:
         return None
-    return json.dumps({k: v for k, v in dv.items() if v is not None})
+    return json.dumps(
+        {k: dv[k] for k in _DV_FIELDS if dv.get(k) is not None},
+        separators=(",", ":"),
+    )
 
 
 def _delta_active_rows(
@@ -233,9 +247,7 @@ def _delta_active_rows(
     the distributed replay, unchanged."""
     log_dir = os.path.join(table_path, "_delta_log")
     try:
-        commits = sorted(
-            f for f in os.listdir(log_dir) if f.endswith(".json")
-        )
+        commits = _list_commits(log_dir)
         if version is not None:
             commits = [c for c in commits if int(c[:-5]) <= version]
         ptr = _last_checkpoint_pointer(log_dir) if use_checkpoint else None
@@ -311,6 +323,17 @@ class _FallBack(Exception):
     """Internal: route to the distributed log replay."""
 
 
+#: commit files are EXACTLY 20 digits + .json (PROTOCOL.md framing);
+#: real Delta writers leave other *.json in _delta_log (log compaction
+#: "*.compacted.json", sidecars) that a bare endswith(".json") would
+#: feed to int() and crash on (r16 advice)
+_COMMIT_RE = re.compile(r"^\d{20}\.json$")
+
+
+def _list_commits(log_dir: str) -> list[str]:
+    return sorted(f for f in os.listdir(log_dir) if _COMMIT_RE.match(f))
+
+
 def delta_active_files(
     spark: SparkSession,
     table_path: str,
@@ -329,8 +352,8 @@ def delta_active_files(
     and every tail action's version exceeds the checkpoint's, so the
     same ``max_by`` reconciliation applies to the union unchanged."""
     log_dir = os.path.join(table_path, "_delta_log")
-    commits = sorted(
-        f for f in os.listdir(log_dir) if f.endswith(".json")
+    commits = _list_commits(
+        log_dir
     )  # control-plane: O(commits) directory listing
     if version is not None:
         commits = [c for c in commits if int(c[:-5]) <= version]
@@ -471,7 +494,7 @@ def delta_delete_rows(
     }
     log_dir = os.path.join(table_path, "_delta_log")
     next_v = 1 + max(
-        int(f[:-5]) for f in os.listdir(log_dir) if f.endswith(".json")
+        int(f[:-5]) for f in _list_commits(log_dir)
     )
     actions = []
     for rel, positions in sorted(positions_by_path.items()):
@@ -527,7 +550,7 @@ def delta_optimize(
         raise ValueError("nothing to compact below the threshold")
     log_dir = os.path.join(table_path, "_delta_log")
     next_v = 1 + max(
-        int(f[:-5]) for f in os.listdir(log_dir) if f.endswith(".json")
+        int(f[:-5]) for f in _list_commits(log_dir)
     )
     plain = [
         os.path.join(table_path, r["path"]) for r in inputs if not r["dv"]
@@ -607,7 +630,7 @@ def delta_vacuum(
     VACUUM trade-off).  Returns the deleted paths (relative)."""
     log_dir = os.path.join(table_path, "_delta_log")
     versions = sorted(
-        int(f[:-5]) for f in os.listdir(log_dir) if f.endswith(".json")
+        int(f[:-5]) for f in _list_commits(log_dir)
     )
     if retain_from_version > versions[-1]:
         raise ValueError("retention cutoff beyond the latest version")
@@ -720,7 +743,7 @@ def read_delta_changes(
     scans."""
     log_dir = os.path.join(table_path, "_delta_log")
     versions = sorted(
-        int(f[:-5]) for f in os.listdir(log_dir) if f.endswith(".json")
+        int(f[:-5]) for f in _list_commits(log_dir)
     )
     hi = to_version if to_version is not None else versions[-1]
     parts: list[DataFrame] = []
@@ -855,7 +878,7 @@ def delta_latest_metadata(
     file, newest first, stopping at the first hit."""
     log_dir = os.path.join(table_path, "_delta_log")
     versions = sorted(
-        (int(f[:-5]) for f in os.listdir(log_dir) if f.endswith(".json")),
+        (int(f[:-5]) for f in _list_commits(log_dir)),
         reverse=True,
     )
     for v in versions:

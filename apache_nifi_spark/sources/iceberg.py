@@ -746,6 +746,63 @@ def _entry_row(
     }
 
 
+def _plan_manifests(
+    table_path: str,
+    snapshot_id: int | None,
+    partition: str | None,
+    content: int,
+) -> tuple[list[str], set[str], bool]:
+    """Resolve the snapshot's manifest paths (after manifest-list
+    partition pruning) and decide the decode venue: (paths,
+    current_spec_paths, local_ok).  ``local_ok`` is True when every
+    manifest is a local file and their total size is at or below
+    ``_LOCAL_MANIFEST_BYTES`` — the driver-side decode gate."""
+    meta = _load_metadata(table_path)
+    default_spec_id = meta.get("default-spec-id", 0)
+    entries = _manifest_list_paths_from(meta, snapshot_id)
+    entries = [e for e in entries if e[3] == content]
+    current_spec_paths = {
+        p for (p, _lo, _hi, _c, sp) in entries if sp == default_spec_id
+    }
+    if partition is not None and content == _CONTENT_DATA:
+        entries = [
+            (p, lo, hi, c, sp)
+            for (p, lo, hi, c, sp) in entries
+            if sp != default_spec_id or lo <= partition <= hi
+        ]
+    paths = [p for (p, _lo, _hi, _c, _sp) in entries]
+    total: int | None = 0
+    for p in paths:
+        try:
+            total += os.stat(p).st_size
+        except OSError:
+            total = None  # non-local manifest → distributed decode
+            break
+    local_ok = total is not None and total <= _LOCAL_MANIFEST_BYTES
+    return paths, current_spec_paths, local_ok
+
+
+def _decode_manifests_local(
+    paths: list[str],
+    current_spec_paths: set[str],
+    partition: str | None,
+    content: int,
+) -> list[dict]:
+    """Driver-side manifest decode (zero Spark jobs) — the local half
+    of the venue gate; semantics pinned to the distributed decode via
+    the shared :func:`_entry_row`."""
+    out: list[dict] = []
+    for p in paths:
+        with open(p, "rb") as f:
+            _schema, rows = decode_container(f.read())
+        prunable = p in current_spec_paths
+        for status, _sid, data_file in rows:
+            row = _entry_row(data_file, status, content, partition, prunable)
+            if row is not None:
+                out.append(row)
+    return out
+
+
 def _active_file_rows(
     spark: SparkSession,
     table_path: str,
@@ -761,40 +818,15 @@ def _active_file_rows(
     ``_LOCAL_MANIFEST_BYTES`` of local manifest bytes this decodes on
     the driver with ZERO jobs; above it (or for non-local paths) it
     falls back to the distributed scan + collect, unchanged."""
-    meta = _load_metadata(table_path)
-    default_spec_id = meta.get("default-spec-id", 0)
-    entries = _manifest_list_paths_from(meta, snapshot_id)
-    entries = [e for e in entries if e[3] == content]
-    current_spec_paths = {
-        p for (p, _lo, _hi, _c, sp) in entries if sp == default_spec_id
-    }
-    if partition is not None and content == _CONTENT_DATA:
-        entries = [
-            (p, lo, hi, c, sp)
-            for (p, lo, hi, c, sp) in entries
-            if sp != default_spec_id or lo <= partition <= hi
-        ]
-    paths = [p for (p, _lo, _hi, _c, _sp) in entries]
+    paths, current_spec_paths, local_ok = _plan_manifests(
+        table_path, snapshot_id, partition, content
+    )
     if not paths:
         return []
-    total = 0
-    for p in paths:
-        try:
-            total += os.stat(p).st_size
-        except OSError:
-            total = None  # non-local manifest → distributed decode
-            break
-    if total is not None and total <= _LOCAL_MANIFEST_BYTES:
-        out: list[dict] = []
-        for p in paths:
-            with open(p, "rb") as f:
-                _schema, rows = decode_container(f.read())
-            prunable = p in current_spec_paths
-            for status, _sid, data_file in rows:
-                row = _entry_row(data_file, status, content, partition, prunable)
-                if row is not None:
-                    out.append(row)
-        return out
+    if local_ok:
+        return _decode_manifests_local(
+            paths, current_spec_paths, partition, content
+        )
     return _active_files_distributed(
         spark, paths, current_spec_paths, partition, content
     ).collect()  # control-plane: O(active files) manifest rows
@@ -826,8 +858,22 @@ def iceberg_active_files(
     CURRENT default spec — files written under an older spec carry no
     value for the new partition column, so their manifests are always
     scanned and their entries always survive (the engine applies the
-    predicate row-level on those files instead)."""
-    rows = _active_file_rows(spark, table_path, snapshot_id, partition, content)
+    predicate row-level on those files instead).
+
+    Above the local gate the DISTRIBUTED frame is returned directly —
+    lazy, never collected (r16 advice: at 100 TB manifest scale the
+    public API must not round-trip O(active files) rows through the
+    driver twice)."""
+    paths, current_spec_paths, local_ok = _plan_manifests(
+        table_path, snapshot_id, partition, content
+    )
+    if not local_ok and paths:
+        return _active_files_distributed(
+            spark, paths, current_spec_paths, partition, content
+        )
+    rows = _decode_manifests_local(
+        paths, current_spec_paths, partition, content
+    )
     return spark.createDataFrame(
         [
             (

@@ -53,6 +53,26 @@ def test_widen_preserves_pushdown_and_noops_when_wide(spark, sf_dir):
     assert a == b
 
 
+def test_widen_split_estimate_on_joined_frame(spark, sf_dir):
+    """r17 (r16 verdict #5): _estimated_scan_splits on a MULTI-SCAN
+    frame sums every source's files — by design it may only err toward
+    NOT widening (overestimating splits), never toward firing a widen
+    the RDD probe would have skipped.  Pin that direction."""
+    li = io.load_table(spark, sf_dir, "lineitem")
+    orders = io.load_table(spark, sf_dir, "orders")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    par = spark.sparkContext.defaultParallelism
+    est = io._estimated_scan_splits(joined, par)
+    assert est is not None
+    # the joined estimate is at least each single-scan estimate
+    assert est >= io._estimated_scan_splits(li, par)
+    assert est >= io._estimated_scan_splits(orders, par)
+    # and the widen decision on the joined frame matches results-safety:
+    # widening never changes rows
+    a = joined.count()
+    assert io.widen_if_narrow(joined).count() == a
+
+
 def test_lookup_is_broadcast_not_shuffle(spark, sf_dir):
     df = QUERIES["lookup_customer_nation"](spark, sf_dir)
     assert has_broadcast_join(df)
