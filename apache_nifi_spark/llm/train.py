@@ -47,12 +47,12 @@ near-perfect accuracy in a handful of steps (see
 tests/test_llm.py::test_logreg_train_learns_separable_signal).
 
 Scale shape (100 TB rules): one tokenize+hash pass builds SPARSE
-(doc, bucket, count) features (narrow, doc-partitioned, pinned once
-with a lazy localCheckpoint — the bpe.py precedent); each descent step
-scores every document with an O(occupied-buckets) fold evaluated ONCE
-per doc, joins the residual back to the count rows doc-locally, and
-aggregates ≤B partial sums — the only exchange; the driver sees ≤B
-integers per step.  The final scoring plan is map-only over literal
+per-doc (bucket, count) struct lists (narrow, doc-partitioned, pinned
+once with a lazy localCheckpoint — the bpe.py precedent); each descent
+step scans the pinned frame ONCE, folds the residual per document
+(O(occupied buckets)), explodes the struct list in the same scan, and
+aggregates ≤B partial sums map-side — the only exchange; no per-step
+join; the driver sees ≤B integers per step.  The final scoring plan is map-only over literal
 weights.  Sparse beats a dense B-vector at every B (the dense build is
 B×grams interpreted lambda steps per doc, and exploding a dense vector
 lets CollapseProject re-evaluate the residual fold per (doc, bucket) —
@@ -134,8 +134,8 @@ def logreg_train_fixed_point(
     every per-step job reads only the pinned narrow frames.
     """
     w, feat, _ = _fit(df, label, text_col, id_col, buckets, iters, lr, bigrams)
-    m, p = _scored(w, _SCALE)
-    return feat.select(
+    m, p = _mp(_SCALE)
+    return _scored_frame(feat, w, _SCALE).select(
         F.col("_id").alias(id_col),
         F.col("_n").alias("n_grams"),
         F.col("_y").alias("y"),
@@ -206,19 +206,36 @@ def hashed_linear_score_trained(
     )
 
 
-def _scored(w: list[int], scale: int) -> tuple[Column, Column]:
+def _scored_frame(df: DataFrame, w: list[int], scale: int) -> DataFrame:
     # sparse dot: fold only the occupied buckets of _sc against the
     # packed weight literal.  The split('..') literal folds to an
     # array<string> ONCE; only the one extracted element casts per fold
     # step (a transform(..., cast) wrapper would re-cast all B weights
     # per step — the round-12 _packed_probe lesson).
+    #
+    # The O(B) fold is projected ONCE per document into ``_dot`` in its
+    # own select (r17): the rational sigmoid references the margin
+    # twice and the declared outputs up to five times, and higher-order
+    # functions are CodegenFallback — no codegen CSE rescues a repeated
+    # fold.  CollapseProject will not re-inline it (non-cheap producer
+    # consumed more than once), so downstream margin/prob/keep all read
+    # the materialized column.  Plan-verified: the fold appears ONCE in
+    # the optimized final plan (was 5×) and once per descent step
+    # (was 2×).
     packed = ",".join(str(v) for v in w)
     dot = F.expr(
         f"aggregate(_sc, cast(0 as bigint), (acc, s) -> acc"
         f" + cast(element_at(split('{packed}', ','),"
         f" cast(s._b as int) + 1) as bigint) * s._c)"
     )
-    m = dot.cast("double") / (F.col("_n").cast("double") * float(scale))
+    return df.select("*", dot.alias("_dot"))
+
+
+def _mp(scale: int) -> tuple[Column, Column]:
+    # margin / rational-sigmoid prob over a materialized ``_dot`` —
+    # exactly the former inline expressions with the fold replaced by
+    # the column reference (same IEEE ops, same values).
+    m = F.col("_dot").cast("double") / (F.col("_n").cast("double") * float(scale))
     p = F.lit(0.5) + m / (F.lit(2.0) * (F.lit(1.0) + F.abs(m)))
     return m, p
 
@@ -238,14 +255,12 @@ def _fit(
         F.col(text_col).alias("_text"),
         label.cast("int").alias("_y"),
     )
-    cnts, feat = _features(base, buckets, bigrams)
-    w, nn = _descent(cnts, feat, buckets, iters, lr)
+    feat = _features(base, buckets, bigrams)
+    w, nn = _descent(feat, buckets, iters, lr)
     return w, feat, nn
 
 
-def _features(
-    base: DataFrame, buckets: int, bigrams: bool
-) -> tuple[DataFrame, DataFrame]:
+def _features(base: DataFrame, buckets: int, bigrams: bool) -> DataFrame:
     toks = _gram_explode(base, bigrams)
     # Hash every gram occurrence DIRECTLY into its bucket and fold with
     # ONE map-side-combined shuffle to (doc, bucket) grain.  The former
@@ -257,35 +272,52 @@ def _features(
     # feature rows.  Output cardinality is bounded by docs×B regardless
     # of corpus size.
     #
-    # SPARSE features throughout: (doc, bucket, count) rows for the
-    # gradient and a per-doc (bucket, count) struct list for the scoring
-    # fold — never a dense B-vector (a dense build costs B×grams
-    # interpreted lambda steps per doc; sparse folds only the occupied
-    # buckets, ~10× cheaper at B=64 and the gap widens with B).  Both
-    # pinned lazily; cnts is HASH-PARTITIONED BY DOCUMENT so the
-    # per-iteration gradient join is exchange-free on the big side (the
-    # descent reads them iters+2 times; both are narrow).  Counts are
+    # SPARSE features throughout: a per-doc (bucket, count) struct list
+    # serving both the scoring fold and (exploded) the gradient — never
+    # a dense B-vector (a dense build costs B×grams interpreted lambda
+    # steps per doc; sparse folds only the occupied buckets, ~10×
+    # cheaper at B=64 and the gap widens with B).  Counts are
     # order-independent, so collect_list ordering never matters.
-    cnts = (
+    # ONE pin, not two (r17): a lazy localCheckpoint is not free at
+    # construction — toRdd forces full analysis + physical planning +
+    # whole-stage codegen immediately (profiled ~0.5 s per pin on the
+    # gram pipeline).  Only ``feat`` is pinned; the descent derives the
+    # per-(doc, bucket) gradient terms per step by EXPLODING the pinned
+    # struct list in the same scan that folds the residual (see
+    # _descent) — the former separate (doc, bucket, count) pin and its
+    # per-step join are gone entirely.
+    return (
         toks.select("_id", "_y", _bucket(F.col("_tok"), buckets).alias("_b"))
         .groupBy("_id", "_y", "_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
         .repartition("_id")
-        .localCheckpoint(eager=False)
-    )
-    feat = (
-        cnts.groupBy("_id", "_y")
+        .groupBy("_id", "_y")
         .agg(
             F.collect_list(F.struct("_b", "_c")).alias("_sc"),
             F.sum("_c").alias("_n"),
         )
         .localCheckpoint(eager=False)
     )
-    return cnts, feat
+
+
+def _grad_frame(feat: DataFrame, w: list[int], q: Column) -> DataFrame:
+    """The per-step gradient job: g_b = Σ_d q_d·c_db as ONE scan of the
+    pinned feat frame — no join (see the comment in :func:`_descent`)."""
+    return (
+        _scored_frame(feat, w, _SCALE)
+        .select(q.alias("_q"), "_sc")
+        .select("_q", F.explode("_sc").alias("_s"))
+        .groupBy(F.col("_s._b").alias("_b"))
+        .agg(
+            F.sum(
+                (F.col("_s._c") * F.col("_q")).cast("decimal(38,0)")
+            ).alias("g")
+        )
+    )
 
 
 def _descent(
-    cnts: DataFrame, feat: DataFrame, buckets: int, iters: int, lr: float
+    feat: DataFrame, buckets: int, iters: int, lr: float
 ) -> tuple[list[int], int]:
     # Class priors → balanced-logistic residual weights cw_y = N/(2·N_y)
     # (GREATEST guard: a single-class corpus trains as unweighted).
@@ -306,28 +338,30 @@ def _descent(
 
     w = [0] * buckets
     for _ in range(iters if nn else 0):
-        _m, p = _scored(w, _SCALE)
+        _m, p = _mp(_SCALE)
         cw = F.when(F.col("_y") == 1, F.lit(cw1)).otherwise(F.lit(cw0))
         q = F.floor(
             ((F.lit(float(_SCALE)) * (p - F.col("_y").cast("double"))) * cw)
             / F.col("_n").cast("double")
         ).cast("bigint")
-        # Gradient over the SPARSE count rows: g_b = Σ_d q_d·c_db.  The
-        # per-doc residual q (an O(B) interpreted fold) is evaluated
-        # exactly once per document on the narrow qdoc projection —
-        # exploding the dense vector instead would let CollapseProject
-        # re-evaluate it per (doc, bucket) pair, B× the work (measured
-        # 2.0 s → 0.3 s per step at sf0.1).  Both join sides are
-        # doc-partitioned, so only the B-row output exchanges.
-        qdoc = feat.select("_id", q.alias("_q"))
+        # Gradient over the SPARSE count rows: g_b = Σ_d q_d·c_db, as
+        # ONE scan of the pinned feat frame (r17, replacing a per-step
+        # cnts ⋈ qdoc self-join of the same frame): the residual q (an
+        # O(B) interpreted fold) is computed in its OWN select so the
+        # analyzer's ExtractGenerator leaves it in the Project BELOW
+        # the Generate — once per DOCUMENT, not per (doc, bucket) pair.
+        # (Folding q into the same select as the explode puts it in the
+        # post-Generate projection: per-pair re-evaluation, measured 3×
+        # the step cost.  CollapseProject does not merge across
+        # Generate; both placements plan-verified.)  The struct list
+        # then explodes and the partial sums combine map-side.  The
+        # per-(b, c·q) term multiset is exactly the join's (the explode
+        # emits each doc's aggregated (b, c) rows against that doc's
+        # q), and the decimal(38,0) sum is exact and order-independent,
+        # so g is bit-identical.  Only the ≤B-row aggregate exchanges —
+        # one exchange per step, no join.
         g_rows = (
-            cnts.join(qdoc, "_id")
-            .groupBy("_b")
-            .agg(
-                F.sum(
-                    (F.col("_c") * F.col("_q")).cast("decimal(38,0)")
-                ).alias("g")
-            )
+            _grad_frame(feat, w, q)
             .collect()  # control-plane: ≤B gradient sums (sparse)
         )
         g = {r["_b"]: r["g"] for r in g_rows}
@@ -356,8 +390,8 @@ def logreg_train_score_shared(
     once inside the inference head over the full corpus).
 
     The split's feature rows are a FILTER of the full corpus's pinned
-    (doc, bucket, count) frame — bit-identical to building them from the
-    split directly — and scoring folds the SAME pinned frame against the
+    per-doc (bucket, count) frame — bit-identical to building them from
+    the split directly — and scoring folds the SAME pinned frame against the
     trained packed-weight literal, which is exactly the inference head's
     dot product (Σ_b w_b·c_db as one bigint sum, n_grams = Σ_b c_db), so
     values match :func:`hashed_linear_score_trained` on
@@ -373,11 +407,11 @@ def logreg_train_score_shared(
         F.col(text_col).alias("_text"),
         label.cast("int").alias("_y"),
     )
-    cnts, feat = _features(base, buckets, bigrams)
+    feat = _features(base, buckets, bigrams)
     sel = train_pred(F.col("_id"))
-    w, _ = _descent(cnts.filter(sel), feat.filter(sel), buckets, iters, lr)
-    m, p = _scored(w, _SCALE)
-    return feat.select(
+    w, _ = _descent(feat.filter(sel), buckets, iters, lr)
+    m, p = _mp(_SCALE)
+    return _scored_frame(feat, w, _SCALE).select(
         F.col("_id").alias(id_col),
         F.col("_n").alias("n_grams"),
         F.round(m, 6).alias("score"),
