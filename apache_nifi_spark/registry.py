@@ -1712,7 +1712,14 @@ def stream_dedup_q(spark, sf_dir):
     sdf = stream_events(spark, sf_dir)
     doubled = sdf.union(stream_events(spark, sf_dir))
     deduped = dedup_within_watermark(doubled, ["event_id"], "ts", delay="1 hour")
-    return run_to_memory(deduped.select("event_id", "event_type"), output_mode="append")
+    # Arrival-time dedup emits first occurrences during data batches;
+    # the trailing no-data micro-batch only ages out state — skip it
+    # (rows proven identical; r17).
+    return run_to_memory(
+        deduped.select("event_id", "event_type"),
+        output_mode="append",
+        final_no_data_batch=False,
+    )
 
 
 @register(
@@ -2709,8 +2716,13 @@ def stream_wait_notify_q(spark, sf_dir):
     signups = stream_events(spark, sf_dir).filter(F.col("event_type") == "signup")
     purchases = stream_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
     joined = correlate_streams(signups, purchases, ["user_id"], "ts", within="24 hours")
+    # INNER join: matches emit during data batches; the trailing no-data
+    # micro-batch would only evict state (rows proven identical) — skip
+    # its extra planning + 32 state-store commits (r17).
     return run_to_memory(
-        joined.select("w_event_id", "s_event_id", "w_user_id"), output_mode="append"
+        joined.select("w_event_id", "s_event_id", "w_user_id"),
+        output_mode="append",
+        final_no_data_batch=False,
     )
 
 

@@ -82,6 +82,7 @@ def run_to_memory(
     output_mode: str = "append",
     query_name: str | None = None,
     shuffle_partitions: int | None = 8,
+    final_no_data_batch: bool = True,
 ) -> DataFrame:
     """Drain a streaming DataFrame synchronously: availableNow trigger →
     memory sink → return the materialized table.
@@ -98,11 +99,29 @@ def run_to_memory(
     the same session keep the session default.  At real scale pass
     ``None`` (keep the session setting) or size to state volume —
     Spark's own guidance for streaming state.
+
+    ``final_no_data_batch=False`` scopes
+    ``spark.sql.streaming.noDataMicroBatches.enabled=false`` to the
+    drain: after the last data batch, Spark normally runs one more
+    EMPTY micro-batch so watermark-gated operators can emit/evict —
+    a full extra round of planning + one commit per state-store
+    instance (measured: the 8-partition stream-stream join pays 4
+    stores × 8 partitions = 32 commits plus ~0.8 s wall for it).
+    ONLY pass False when the sink's rows provably don't depend on
+    watermark-triggered emission — an append-mode INNER stream-stream
+    join (matches emit during data batches; the final batch only
+    evicts state) or arrival-time dedup (dropDuplicatesWithinWatermark
+    emits first occurrences on arrival).  Watermark-FINALIZED outputs —
+    append-mode window aggregates, left-outer/expiry joins — need that
+    batch to emit at all, so they keep the default.  Semantics-neutral
+    at any scale for the eligible shapes: the conf changes when state
+    is reclaimed on a drain-and-stop run, never what is emitted.
     """
     name = query_name or f"q_{uuid.uuid4().hex[:12]}"
     cp = tempfile.mkdtemp(prefix="anspark_cp_")
     sess = sdf.sparkSession
     key = "spark.sql.shuffle.partitions"
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
     # The save/set/restore of the session conf is a read-modify-write on
     # PROCESS-GLOBAL state: two concurrent drains (e.g. REST schedules)
     # interleaving it could permanently leak the temporary value as the
@@ -111,11 +130,15 @@ def run_to_memory(
     # drain; concurrent drains serialize here, which at availableNow
     # fixture scale is the same wall as the state-store contention they
     # would otherwise create.
-    guard = _SHUFFLE_OVERRIDE_LOCK if shuffle_partitions is not None else _NO_LOCK
+    scoped = shuffle_partitions is not None or not final_no_data_batch
+    guard = _SHUFFLE_OVERRIDE_LOCK if scoped else _NO_LOCK
     with guard:
         old = sess.conf.get(key)
+        old_nodata = sess.conf.get(nodata_key, "true")
         if shuffle_partitions is not None:
             sess.conf.set(key, str(shuffle_partitions))
+        if not final_no_data_batch:
+            sess.conf.set(nodata_key, "false")
         try:
             q = (
                 sdf.writeStream.format("memory")
@@ -129,6 +152,8 @@ def run_to_memory(
         finally:
             if shuffle_partitions is not None:
                 sess.conf.set(key, old)
+            if not final_no_data_batch:
+                sess.conf.set(nodata_key, old_nodata)
     out = sdf.sparkSession.table(name)
     # Oracle parity: DuckDB TIMESTAMP is tz-naive; with a UTC session tz the
     # instants match, only the Spark-side type differs — normalize it.

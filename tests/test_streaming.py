@@ -529,3 +529,41 @@ def test_mini_elastic_bulk_protocol():
         }
     finally:
         srv.stop()
+
+
+def test_skip_final_no_data_batch_is_output_neutral(spark, sf_dir):
+    """final_no_data_batch=False must not change what an eligible drain
+    emits — the trailing empty micro-batch only evicts state for an
+    append-mode INNER stream-stream join and for arrival-time dedup —
+    and must restore the session conf afterwards (r17)."""
+    from apache_nifi_spark.streaming import dedup_within_watermark
+
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    before = spark.conf.get(key, "true")
+
+    def join_rows(skip):
+        s = stream_events(spark, sf_dir).filter(F.col("event_type") == "signup")
+        p = stream_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+        j = correlate_streams(s, p, ["user_id"], "ts", within="24 hours")
+        out = run_to_memory(
+            j.select("w_event_id", "s_event_id"),
+            final_no_data_batch=not skip,
+        )
+        return sorted(map(tuple, out.collect()))
+
+    assert join_rows(skip=True) == join_rows(skip=False)
+    assert spark.conf.get(key, "true") == before
+
+    def dedup_rows(skip):
+        sdf = stream_events(spark, sf_dir)
+        doubled = sdf.union(stream_events(spark, sf_dir))
+        out = run_to_memory(
+            dedup_within_watermark(doubled, ["event_id"], "ts", delay="1 hour").select(
+                "event_id", "event_type"
+            ),
+            final_no_data_batch=not skip,
+        )
+        return sorted(map(tuple, out.collect()))
+
+    assert dedup_rows(skip=True) == dedup_rows(skip=False)
+    assert spark.conf.get(key, "true") == before
