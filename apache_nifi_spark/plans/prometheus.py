@@ -92,9 +92,15 @@ class MetricsEndpoint:
         endpoint = self
 
         class Handler(http.server.BaseHTTPRequestHandler):
+            # keep-alive (see streaming/listen.py); the bodyless 404
+            # needs an explicit zero Content-Length under HTTP/1.1 (r17)
+            protocol_version = "HTTP/1.1"
+            disable_nagle_algorithm = True
+
             def do_GET(self):  # noqa: N802 (stdlib API name)
                 if self.path != "/metrics":
                     self.send_response(404)
+                    self.send_header("Content-Length", "0")
                     self.end_headers()
                     return
                 with endpoint._lock:

@@ -5149,6 +5149,11 @@ def _staged_echo_server() -> int:
     import urllib.parse
 
     class Handler(http.server.BaseHTTPRequestHandler):
+        # keep-alive (see streaming/listen.py): the one response path
+        # sends Content-Length (r17)
+        protocol_version = "HTTP/1.1"
+        disable_nagle_algorithm = True
+
         def do_GET(self):  # noqa: N802
             q = urllib.parse.urlsplit(self.path).query
             x = urllib.parse.parse_qs(q).get("x", [""])[0]

@@ -1173,15 +1173,20 @@ def stream_delta_upsert_merge_q(spark, sf_dir):
                 )
         actions = [{"remove": {"path": p}} for p in removed]
         # ONE write job rewrites every affected bucket (partitionBy
-        # lays out bucket=<b>/ dirs; repartition("bucket") puts each
+        # lays out bucket=<b>/ dirs; repartition(8, "bucket") puts each
         # bucket wholly in one task → one file per bucket) — the merge
-        # plan executes once, not once per bucket
+        # plan executes once, not once per bucket.  The exchange is
+        # sized to the TABLE's bucket count (8, a table constant — not
+        # a core-count tune): the session default left 24 of 32 write
+        # tasks empty, each still paying committer setup/commit per
+        # micro-batch (r17; measured 0.38–0.54 s/batch → see
+        # OPTIMIZATION_r17.md).
         sub = f"v{version}"
         (
             delta.select(
                 "user_id", "cents_total", "n_purchases", "bucket"
             )
-            .repartition("bucket")
+            .repartition(8, "bucket")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(_os.path.join(root, sub))

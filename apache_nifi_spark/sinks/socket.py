@@ -58,6 +58,7 @@ def put_tcp(
         for pdf in batches:
             try:
                 s = socket.create_connection((host, port), timeout=timeout)
+                s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)  # r17
                 try:
                     if ctx is not None:
                         # wrap_socket DETACHES the raw socket — the
@@ -138,6 +139,9 @@ def put_tcp_octet_counted(
         for pdf in batches:
             try:
                 with socket.create_connection((host, port), timeout=timeout) as s:
+                    s.setsockopt(
+                        socket.IPPROTO_TCP, socket.TCP_NODELAY, 1
+                    )  # r17
                     frames = []
                     sent = []
                     for v in pdf[content_col]:

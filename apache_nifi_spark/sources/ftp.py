@@ -42,6 +42,10 @@ __all__ = ["MiniFtpServer", "list_ftp", "fetch_ftp", "put_ftp"]
 class _FtpHandler(socketserver.StreamRequestHandler):
     """One FTP control connection (RFC 959 subset, passive mode only)."""
 
+    # control channel is chatty small writes; never let Nagle queue a
+    # reply behind an unACKed one (see streaming/listen.py; r17)
+    disable_nagle_algorithm = True
+
     def _reply(self, code: int, text: str) -> None:
         self.wfile.write(f"{code} {text}\r\n".encode())
 

@@ -72,6 +72,11 @@ class MiniSchemaRegistry:
         reg = self
 
         class Handler(http.server.BaseHTTPRequestHandler):
+            # keep-alive (see streaming/listen.py): every response goes
+            # through _json, which always sends Content-Length (r17)
+            protocol_version = "HTTP/1.1"
+            disable_nagle_algorithm = True
+
             def _json(self, code: int, obj: Any) -> None:
                 body = json.dumps(obj).encode()
                 self.send_response(code)

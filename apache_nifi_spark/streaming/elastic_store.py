@@ -44,6 +44,12 @@ class MiniElasticServer:
         store = self
 
         class Handler(BaseHTTPRequestHandler):
+            # keep-alive (see streaming/listen.py): every _reply carries
+            # Content-Length, so HTTP/1.1 is safe and saves one TCP
+            # connect + one server thread per request (r17)
+            protocol_version = "HTTP/1.1"
+            disable_nagle_algorithm = True
+
             def _reply(self, code: int, obj: dict) -> None:
                 body = json.dumps(obj).encode()
                 self.send_response(code)

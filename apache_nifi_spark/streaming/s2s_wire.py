@@ -170,6 +170,10 @@ class SiteToSiteServer:
             threading.Thread(target=self._serve, args=(conn,), daemon=True).start()
 
     def _serve(self, raw: socket.socket) -> None:
+        # two-phase transactions are small alternating writes; Nagle +
+        # delayed ACK would stall each phase (see streaming/listen.py;
+        # r17)
+        raw.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         try:
             conn = self._ctx.wrap_socket(raw, server_side=True)
         except (ssl.SSLError, OSError):
@@ -291,6 +295,7 @@ def _open(host: str, port: int, cert_path: str, timeout: float):
 
     ctx = client_context(cert_path)
     raw = socket.create_connection((host, port), timeout=timeout)
+    raw.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)  # r17
     conn = ctx.wrap_socket(raw, server_hostname="localhost")
     f = conn.makefile("rwb")
     f.write(_MAGIC)

@@ -121,6 +121,11 @@ class HttpRequestResponseService:
         service = self
 
         class Handler(http.server.BaseHTTPRequestHandler):
+            # keep-alive (see streaming/listen.py): the single response
+            # path always sends Content-Length (r17)
+            protocol_version = "HTTP/1.1"
+            disable_nagle_algorithm = True
+
             def do_POST(self):  # noqa: N802 (stdlib API name)
                 length = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(length)

@@ -147,6 +147,9 @@ class WebSocketLandingServer:
             ).start()
 
     def _serve_conn(self, conn: socket.socket) -> None:
+        # frame-per-record echo: handshake reply + per-frame writes are
+        # small back-to-back segments (see streaming/listen.py; r17)
+        conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         try:
             self._handshake(conn)
             parts: list[bytes] = []
@@ -247,6 +250,7 @@ def put_websocket(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sock = socket.create_connection((host, port), timeout=timeout)
+        sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)  # r17
         ok = True
         try:
             _client_handshake(sock, host, port)
