@@ -5417,7 +5417,11 @@ def graph_lpa_communities_q(spark, sf_dir):
     adj = ed.select(F.col("u").alias("s"), F.col("v").alias("d")) \
         .unionByName(
             ed.select(F.col("v").alias("s"), F.col("u").alias("d"))
-        )
+        ).localCheckpoint(eager=True)
+    # ^ EAGER pin (the pagerank_fixed_point precedent): the adjacency
+    #   feeds the label init plus all 3 round-joins — unpinned, the
+    #   join+distinct+union lineage re-derived 4× inside the one action
+    #   (r17; measured below).
     lbl = adj.select(F.col("s").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
